@@ -1,24 +1,44 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is fully
+  * materialized via the noop sink (no driver collect, no disk write),
+  * so the measured time is the whole distributed plan. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JVM/class-loading warmup on the smallest SF so per-query times
+    // measure the plan, not first-touch initialization.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.benchQueries.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,345 @@
+package graft
+
+import graft.domain.Emotions
+import graft.operators.TextAnalysis
+
+/** DuckDB oracle SQL — the driver runs each statement against the same
+  * parquet tables (registered under their bare names) and hash-compares
+  * the result with the Spark query of the same key.
+  *
+  * Exactness rules used throughout (so hashes match bit-for-bit):
+  *  - money/double aggregation goes through DECIMAL in BOTH engines;
+  *  - synthesized emotion scores are exact multiples of 1/1024;
+  *  - every LIMIT / row_number has a total-order tie-break;
+  *  - column names and order are aligned with the Spark results.
+  *
+  * Queries with engine-specific hashing (xxhash64) or sequential
+  * semantics have no entry → the driver records a rows-only check.
+  */
+object OracleSql {
+
+  private val episodes = Emotions.episodesSql
+  private val strains  = Emotions.strainsSql
+  private val epLong   = Emotions.longSql("episodes", Seq("episode_id"))
+  private val stLong   = Emotions.longSql("strains", Seq("strain_id"))
+
+  private val q01 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q02 =
+    s"""WITH strains AS ($strains)
+       |SELECT strain_id, strain_name, happy, excited FROM (
+       |  SELECT * FROM strains ORDER BY happy DESC, strain_id ASC LIMIT 100)
+       |ORDER BY excited DESC, strain_id ASC LIMIT 5""".stripMargin
+
+  private val q03 =
+    """SELECT r_name,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  private val q04 =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  private val q05 =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val q06 =
+    """SELECT p_brand, CAST(rn AS INTEGER) AS rn, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |  FROM part)
+      |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin
+
+  private val q07 =
+    s"""WITH episodes AS ($episodes)
+       |${Emotions.longSql("episodes", Seq("episode_id", "episode_name"))}
+       |ORDER BY episode_id, emotion""".stripMargin
+
+  private val q08 =
+    s"""WITH episodes AS ($episodes),
+       |strains AS ($strains),
+       |ep_long AS ($epLong),
+       |st_long AS ($stLong),
+       |st_top2 AS (
+       |  SELECT strain_id,
+       |    max(CASE WHEN rn = 1 THEN emotion END) AS emo1,
+       |    max(CASE WHEN rn = 2 THEN emotion END) AS emo2
+       |  FROM (SELECT strain_id, emotion, score,
+       |          row_number() OVER (PARTITION BY strain_id
+       |                             ORDER BY score DESC, emotion ASC) AS rn
+       |        FROM st_long)
+       |  WHERE rn <= 2 GROUP BY strain_id),
+       |pool AS (
+       |  SELECT t.strain_id, t.emo1, t.emo2, e.episode_id,
+       |    row_number() OVER (PARTITION BY t.strain_id
+       |                       ORDER BY e.score DESC, e.episode_id ASC) AS r1
+       |  FROM st_top2 t JOIN ep_long e ON e.emotion = t.emo1),
+       |best AS (
+       |  SELECT p.strain_id, p.emo1, p.emo2, p.episode_id,
+       |    row_number() OVER (PARTITION BY p.strain_id
+       |                       ORDER BY e2.score DESC, p.episode_id ASC) AS r2
+       |  FROM (SELECT * FROM pool WHERE r1 <= 100) p
+       |  JOIN ep_long e2 ON e2.emotion = p.emo2 AND e2.episode_id = p.episode_id)
+       |SELECT b.strain_id, s.strain_name, b.emo1, b.emo2,
+       |       b.episode_id, ep.episode_name
+       |FROM best b
+       |JOIN strains s USING (strain_id)
+       |JOIN episodes ep USING (episode_id)
+       |WHERE b.r2 = 1
+       |ORDER BY b.strain_id""".stripMargin
+
+  private val q10 =
+    s"""WITH episodes AS ($episodes),
+       |base AS (
+       |  SELECT episode_id, episode_name,
+       |    regexp_replace(
+       |      CASE WHEN episode_id IN (19,25,32,35) THEN episode_name
+       |           ELSE regexp_replace(episode_name, ':', '', 'g') END,
+       |      ',', '', 'g') AS stripped
+       |  FROM episodes)
+       |SELECT episode_id, episode_name, stripped,
+       |  regexp_replace(lower(stripped), '\\s+', '_', 'g') AS slug,
+       |  CAST(len(regexp_split_to_array(episode_name, '\\s+')) AS INTEGER) AS n_words,
+       |  'https://rickandmorty.fandom.com/wiki/' ||
+       |    regexp_replace(stripped, '\\s+', '_', 'g') AS url,
+       |  upper(substr(episode_name, 1, 1)) || lower(substr(episode_name, 2))
+       |    AS capitalized
+       |FROM base ORDER BY episode_id""".stripMargin
+
+  private val q11 =
+    """SELECT type_word, COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT p_brand) AS n_brands
+      |FROM (SELECT unnest(string_split(p_type, ' ')) AS type_word, p_brand
+      |      FROM part)
+      |GROUP BY type_word ORDER BY type_word""".stripMargin
+
+  private val q12 =
+    s"""WITH strains AS ($strains),
+       |st_long AS ($stLong)
+       |SELECT emotion, AVG(score) AS avg_score, COUNT(*) AS n
+       |FROM st_long GROUP BY emotion ORDER BY emotion""".stripMargin
+
+  private val q13 =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+      |  CAST(MAX(k) AS INTEGER) AS max_k
+      |FROM (SELECT event_type, value,
+      |        CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val q14 =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessioned AS (
+      |  SELECT user_id,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS session_events
+      |  FROM sessioned GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(session_events) AS BIGINT) AS n_events,
+      |  CAST(MAX(session_events) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val q15 =
+    """SELECT text AS dup_key, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id
+      |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
+
+  private val enStop = TextAnalysis.stopwords("en")
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val q16 =
+    s"""WITH ws AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(w) AS INTEGER) AS n_words,
+       |  CAST(length(text) AS INTEGER) AS n_chars_obs,
+       |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,
+       |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+       |    / len(w) AS avg_word_len,
+       |  CAST(len(list_filter(w, x -> list_contains($enStop, x))) AS DOUBLE)
+       |    / len(w) AS stopword_ratio
+       |FROM ws ORDER BY doc_id""".stripMargin
+
+  private val q17 =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(w) AS n_words,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
+       |    CAST(len(list_filter(w, x -> list_contains($enStop, x))) AS DOUBLE)
+       |      / len(w) AS stop_ratio,
+       |    least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS length_score
+       |  FROM ws)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       |  round(diversity, 6) AS diversity,
+       |  round(stop_ratio, 6) AS stopword_ratio,
+       |  round(length_score * 0.4 + diversity * 0.4
+       |        + least(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+  private def stopList(l: String) = TextAnalysis.stopwords(l)
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val q18 = {
+    val scoreCols = langs.map { l =>
+      s"""CAST(len(list_filter(w, x -> list_contains(${stopList(l)}, x))) AS DOUBLE)
+         |      / len(w) AS ${l}_score""".stripMargin
+    }.mkString(",\n  ")
+    // tie-break: first language in `langs` order wins (matches the
+    // Spark argmax's ord construction)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"${l}_score >= ${r}_score")
+        .mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |  $scoreCols
+       |  FROM ws)
+       |SELECT doc_id, ${langs.map(l => s"${l}_score").mkString(", ")},
+       |  CASE $caseChain ELSE '${langs.last}' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private val q19 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM ws WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |pairs AS (
+      |  SELECT p1.doc_id AS a, p2.doc_id AS b, COUNT(*) AS common
+      |  FROM post p1 JOIN post p2 USING (shingle)
+      |  WHERE p1.doc_id < p2.doc_id
+      |  GROUP BY p1.doc_id, p2.doc_id)
+      |SELECT a, b, common,
+      |  common / (sa.n_sh + sb.n_sh - common) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = a
+      |JOIN sizes sb ON sb.doc_id = b
+      |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
+  private val q20 =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |  CAST(CASE WHEN length(text) = 0 THEN -1
+      |            ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+      |  CAST(CASE WHEN length(text) = 0 THEN -1
+      |            ELSE ascii(substr(text, length(text), 1)) END AS INTEGER) AS last_byte,
+      |  CAST(COALESCE(list_aggregate(
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> ascii(substr(text, i, 1))), 'sum') % 65536,
+      |       0) AS BIGINT) AS checksum
+      |FROM documents
+      |WHERE octet_length(encode(text)) = length(text)
+      |ORDER BY doc_id""".stripMargin
+
+  private val q21 =
+    """SELECT date_trunc('day', ts) AS day_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
+
+  private val q22 =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+      |    list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.qid)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val q26 =
+    """SELECT doc_id,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(lower(text), ' '),
+      |                     w -> CAST(ascii(w) * 37 + length(w) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1048576) AS BIGINT) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val q27 =
+    """SELECT s_suppkey, s_name, s_nationkey,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
+      |FROM supplier WHERE s_nationkey < 10
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier WHERE s_nationkey >= 10
+      |ORDER BY s_suppkey""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_topk_nested_limit" -> q02,
+    "q03_dim_join_agg" -> q03,
+    "q04_parts_no_lineitem" -> q04,
+    "q05_big_order_customers" -> q05,
+    "q06_top2_per_brand" -> q06,
+    "q07_unpivot_emotions" -> q07,
+    "q08_match_reverse" -> q08,
+    "q10_slug_normalize" -> q10,
+    "q11_bridge_explode" -> q11,
+    "q12_mean_emotion_vector" -> q12,
+    "q13_events_enriched" -> q13,
+    "q14_user_sessions" -> q14,
+    "q15_dedup_exact" -> q15,
+    "q16_token_stats" -> q16,
+    "q17_quality_score" -> q17,
+    "q18_lang_id" -> q18,
+    "q19_ngram_sim_pairs" -> q19,
+    "q20_media_meta" -> q20,
+    "q21_stream_daily" -> q21,
+    "q22_ann_brute" -> q22,
+    "q26_fingerprint" -> q26,
+    "q27_upsert_suppliers" -> q27)
+}

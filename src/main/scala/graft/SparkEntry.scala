@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.domain.Emotions
+import graft.functions.Strings
+import graft.operators._
+import graft.streaming.EventsStream
+
+/** Driver contract (SURVEY.md §7): every implemented operator from the
+  * §2 inventory is registered here as a named query over the testdata
+  * tables, with a DuckDB-equivalent oracle SQL where the semantics are
+  * SQL-expressible. Column names are aligned between the Spark result
+  * and the oracle (the driver sorts columns by name and hash-compares
+  * values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7 step 0): the reverse matching
+    * pipeline (ipynb cell 15), de-correlated into unpivot → per-entity
+    * top-2 → two-stage rank-join. Driver smoke-checks rows > 0 on
+    * sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qMatchReverse(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  private def strainLong(s: SparkSession, dir: String): DataFrame =
+    Emotions.toLong(Emotions.strainsWide(s, dir), Seq("strain_id", "strain_name"))
+      .select("strain_id", "emotion", "score")
+
+  private def episodeLong(s: SparkSession, dir: String): DataFrame =
+    Emotions.toLong(Emotions.episodesWide(s, dir), Seq("episode_id", "episode_name"))
+      .select("episode_id", "emotion", "score")
+
+  // ------------------------------------------------------------- the queries
+
+  /** A1/TPC-H-Q1-style wide aggregation with pushdown-able filter.
+    * Money math in decimal so Spark and DuckDB agree bit-for-bit. */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** K1: the reference's two-stage nested-limit top-k (ipynb cell 12
+    * line 160) with explicit total-order tie-breaks. */
+  private def qTopkNestedLimit(s: SparkSession, dir: String): DataFrame =
+    TopK.nestedLimit(
+      Emotions.strainsWide(s, dir),
+      poolSize = 100,
+      first = Seq(col("happy").desc, col("strain_id").asc),
+      second = Seq(col("excited").desc, col("strain_id").asc),
+      take = 5)
+      .select("strain_id", "strain_name", "happy", "excited")
+
+  /** J1/J3: broadcast dimension joins customer ⋈ nation ⋈ region. */
+  private def qDimJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Joins.broadcastDim(
+      Joins.broadcastDim(
+        Tables.customer(s, dir),
+        Tables.nation(s, dir).withColumnRenamed("n_nationkey", "c_nationkey"),
+        Seq("c_nationkey")),
+      Tables.region(s, dir).withColumnRenamed("r_regionkey", "n_regionkey"),
+      Seq("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** J4 (detection half): parts never referenced by any lineitem. */
+  private def qPartsNoLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** P3 as semi join: customers having at least one big order. */
+  private def qBigOrderCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** K4: per-group top-n (top-2 parts by retail price per brand). */
+  private def qTop2PerBrand(s: SparkSession, dir: String): DataFrame =
+    TopK.perGroupTopN(
+      Tables.part(s, dir),
+      partition = Seq(col("p_brand")),
+      order = Seq(col("p_retailprice").desc, col("p_partkey").asc),
+      n = 2)
+      .select("p_brand", "rn", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rn")
+
+  /** R1: wide→long unpivot of the 6 emotion columns. */
+  private def qUnpivotEmotions(s: SparkSession, dir: String): DataFrame =
+    Emotions.toLong(Emotions.episodesWide(s, dir),
+      Seq("episode_id", "episode_name"))
+      .orderBy("episode_id", "emotion")
+
+  /** J6 flagship: reverse matching, de-correlated (see `entry`). */
+  private def qMatchReverse(s: SparkSession, dir: String): DataFrame = {
+    val stTop2 = Matching.top2Emotions(strainLong(s, dir), "strain_id")
+    val matched = Matching.rankMatch(
+      stTop2, "strain_id", episodeLong(s, dir), "episode_id", poolSize = 100)
+    matched
+      .join(Emotions.strainsWide(s, dir).select("strain_id", "strain_name"),
+        Seq("strain_id"))
+      .join(Emotions.episodesWide(s, dir).select("episode_id", "episode_name"),
+        Seq("episode_id"))
+      .select("strain_id", "strain_name", "emo1", "emo2",
+        "episode_id", "episode_name")
+      .orderBy("strain_id")
+  }
+
+  /** §2.9: greedy matching-without-replacement (cell 12). Distributed
+    * candidate matrix + driver fold; no SQL oracle (sequential
+    * semantics), verified by ScalaTest invariants. */
+  private def qGreedyMatch(s: SparkSession, dir: String): DataFrame = {
+    val epTop2 = Matching.top2Emotions(episodeLong(s, dir), "episode_id")
+    Matching.greedyMatch(s, epTop2, strainLong(s, dir), poolSize = 100)
+      .orderBy("episode_id")
+  }
+
+  /** F1-F7: normalization / slug pipeline over episode names. */
+  private def qSlugNormalize(s: SparkSession, dir: String): DataFrame = {
+    val eps = Emotions.episodesWide(s, dir).select("episode_id", "episode_name")
+    val stripped = Strings.conditionalStrip(
+      col("episode_name"), col("episode_id"), Seq(19, 25, 32, 35))
+    eps.select(
+      col("episode_id"),
+      col("episode_name"),
+      stripped.as("stripped"),
+      Strings.slug(lower(stripped)).as("slug"),
+      Strings.wordCount(col("episode_name")).as("n_words"),
+      Strings.fandomUrl(Strings.slug(stripped)).as("url"),
+      Strings.capitalize(col("episode_name")).as("capitalized"))
+      .orderBy("episode_id")
+  }
+
+  /** J7/R3: bridge-table expansion via explode (the legacy
+    * strain_to_positive_table shape). */
+  private def qBridgeExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_brand"), explode(split(col("p_type"), " ")).as("type_word"))
+      .groupBy(col("type_word"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_brand")).as("n_brands"))
+      .orderBy("type_word")
+
+  /** A1: mean emotion vector (long form). Scores are exact binary
+    * fractions → exact sums in any partition order. */
+  private def qMeanEmotionVector(s: SparkSession, dir: String): DataFrame =
+    strainLong(s, dir)
+      .groupBy(col("emotion"))
+      .agg(avg(col("score")).as("avg_score"), count(lit(1)).as("n"))
+      .orderBy("emotion")
+
+  /** F9/S1: JSON prop extraction + aggregation over events. */
+  private def qEventsEnriched(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Sessionization over the events table (30-min gap). */
+  private def qUserSessions(s: SparkSession, dir: String): DataFrame =
+    Sessions.userSessionStats(Tables.events(s, dir), gapSeconds = 1800)
+      .orderBy("user_id")
+
+  /** Exact dedup by full text (hash-groupBy). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("keeper_id")
+
+  /** Token/char statistics per document. */
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Heuristic quality scoring per document. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Stopword-voting language ID per document. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** n-gram Jaccard near-dup candidates: top-20 most similar pairs. */
+  private def qNgramSimPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(20)
+
+  /** Multimodal binary-column pipeline (decode stubbed; plumbing real).
+    * Restricted to pure-ASCII docs so byte-level features are
+    * SQL-oracle-able via codepoints. */
+  private def qMediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val asciiDocs = Tables.documents(s, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    Multimodal.extract(s, Multimodal.withPayload(asciiDocs, "doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Structured Streaming: daily windowed aggregation over events. */
+  private def qStreamDaily(s: SparkSession, dir: String): DataFrame =
+    EventsStream.dailyTypeCounts(s, dir)
+      .orderBy("day_start", "event_type")
+
+  /** Brute-force cosine top-5 neighbors for every 20th vector. */
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.bruteForceTopK(broadcast(queries), corpus, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate cosine top-5 (scale path; no SQL oracle —
+    * verified against brute force in ScalaTest). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.lshTopK(queries, corpus, dims = 64, nPlanes = 8, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash-LSH near-duplicate pairs (no SQL oracle — xxhash64). */
+  private def qMinhashNearDups(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.1)
+      .orderBy("a", "b")
+
+  /** SimHash fingerprints + Hamming-near pairs (no SQL oracle). */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearPairs(
+      SimHash.fingerprints(Tables.documents(s, dir), "doc_id", "text"),
+      maxDist = 16)
+      .orderBy("a", "b")
+
+  /** Rolling polynomial document fingerprint. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** J4 both halves: keyed upsert (replace-or-append). */
+  private def qUpsertSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val incoming = sup.filter(col("s_nationkey") < 10)
+      .withColumn("s_acctbal",
+        (dec2(col("s_acctbal")) * 2).cast("double"))
+    Joins.upsert(sup, incoming, Seq("s_suppkey")).orderBy("s_suppkey")
+  }
+
+  // ------------------------------------------------------------ registration
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
+      "q01_pricing_summary" -> (qPricingSummary _),
+      "q02_topk_nested_limit" -> (qTopkNestedLimit _),
+      "q03_dim_join_agg" -> (qDimJoinAgg _),
+      "q04_parts_no_lineitem" -> (qPartsNoLineitem _),
+      "q05_big_order_customers" -> (qBigOrderCustomers _),
+      "q06_top2_per_brand" -> (qTop2PerBrand _),
+      "q07_unpivot_emotions" -> (qUnpivotEmotions _),
+      "q08_match_reverse" -> (qMatchReverse _),
+      "q09_greedy_match" -> (qGreedyMatch _),
+      "q10_slug_normalize" -> (qSlugNormalize _),
+      "q11_bridge_explode" -> (qBridgeExplode _),
+      "q12_mean_emotion_vector" -> (qMeanEmotionVector _),
+      "q13_events_enriched" -> (qEventsEnriched _),
+      "q14_user_sessions" -> (qUserSessions _),
+      "q15_dedup_exact" -> (qDedupExact _),
+      "q16_token_stats" -> (qTokenStats _),
+      "q17_quality_score" -> (qQualityScore _),
+      "q18_lang_id" -> (qLangId _),
+      "q19_ngram_sim_pairs" -> (qNgramSimPairs _),
+      "q20_media_meta" -> (qMediaMeta _),
+      "q21_stream_daily" -> (qStreamDaily _),
+      "q22_ann_brute" -> (qAnnBrute _),
+      "q23_ann_lsh" -> (qAnnLsh _),
+      "q24_minhash_near_dups" -> (qMinhashNearDups _),
+      "q25_simhash_pairs" -> (qSimhashPairs _),
+      "q26_fingerprint" -> (qFingerprint _),
+      "q27_upsert_suppliers" -> (qUpsertSuppliers _))
+
+  /** Headline subset timed by Bench. */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_dim_join_agg", "q06_top2_per_brand",
+    "q08_match_reverse", "q13_events_enriched", "q14_user_sessions",
+    "q16_token_stats", "q19_ngram_sim_pairs", "q22_ann_brute",
+    "q24_minhash_near_dups")
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

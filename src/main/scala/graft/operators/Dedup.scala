@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale document pipelines.
+  *
+  * The reference's only dedup is the insert-if-absent existence check
+  * (Scraper.py:409-412, SURVEY.md P3/J4); these operators generalize it
+  * to the forms a 100 TB training-data pipeline needs. All are pure
+  * DataFrame transforms:
+  *
+  *  - exact: hash-groupBy on the key — one shuffle, map-side partial agg.
+  *  - n-gram Jaccard: shingle → explode → self-equi-join on shingle →
+  *    per-pair overlap counts. The join key is the shingle, so only
+  *    documents SHARING a shingle ever meet — no cross join. At 100 TB,
+  *    hot shingles are the skew risk: `maxShingleFreq` drops shingles
+  *    shared by more than N docs (stop-shingle filtering), the standard
+  *    scalable mitigation.
+  *  - MinHash-LSH / SimHash: see [[MinHashLSH]] / [[SimHash]].
+  */
+object Dedup {
+
+  /** Tokenize into lowercase whitespace words. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles of `text` (docs with < n words get
+    * an empty set). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Exact duplicate groups by `key`: (key, dup_count, keeper_id) where
+    * keeper is the minimum id — "first write wins", the reference's
+    * insert-if-absent semantics made order-deterministic. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(count(lit(1)).as("dup_count"), min(id).as("keeper_id"))
+
+  /** (doc_id, shingle) posting list + per-doc shingle counts. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxShingleFreq: Int): (DataFrame, DataFrame) = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val rare =
+      if (maxShingleFreq <= 0) post
+      else {
+        val hot = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select("shingle")
+        post.join(hot, Seq("shingle"), "left_anti")
+      }
+    (rare, sizes)
+  }
+
+  /** Pairwise n-gram Jaccard similarity for all document pairs sharing
+    * at least one (non-hot) shingle: (a, b, common, jaccard), a < b.
+    * Jaccard uses the FULL shingle sets (sizes computed before the
+    * hot-shingle drop), so stop-shingle filtering only prunes candidate
+    * generation, not the similarity definition.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, maxShingleFreq: Int = 0): DataFrame = {
+    val (post, sizes) = postings(docs, idCol, textCol, n, maxShingleFreq)
+    val a = post.select(col("shingle"), col("doc_id").as("a"))
+    val b = post.select(col("shingle"), col("doc_id").as("b"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .select("a", "b", "common", "jaccard")
+  }
+}

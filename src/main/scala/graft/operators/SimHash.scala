@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting (Charikar '02; used by Google
+  * for web dedup — Manku et al., WWW'07).
+  *
+  * Each document maps to a 64-bit fingerprint: for every bit position,
+  * sum +1/-1 votes from the xxhash64 of each token; the sign of the sum
+  * is the bit. Similar documents differ in few bits (small Hamming
+  * distance).
+  *
+  * Candidate generation at scale uses the Manku trick: split the 64-bit
+  * fingerprint into `blocks` chunks; fingerprints within Hamming
+  * distance d < blocks must agree on at least one chunk, so an
+  * equi-join per chunk finds all candidates with no cross join — same
+  * scale shape as banded MinHash.
+  *
+  * Verified by ScalaTest (no SQL oracle — xxhash64 has no DuckDB twin).
+  */
+object SimHash {
+
+  /** (doc_id, simhash: bigint). Vote per bit via per-token hashes. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = Dedup.words(col(textCol))
+    val hashes = transform(tokens, t => xxhash64(t))
+    // vote(bit) = sum over tokens of (hash>>bit & 1 ? 1 : -1);
+    // bit set iff vote > 0. Built as a 64-term expression — all
+    // codegen'd arithmetic, no UDF.
+    val fp = (0 until 64).map { bit =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    docs.select(col(idCol).as("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Pairs (a, b, dist) with Hamming distance <= maxDist, via the
+    * chunk-agreement equi-join. */
+  def nearPairs(fps: DataFrame, maxDist: Int, blocks: Int = 4): DataFrame = {
+    val chunkBits = 64 / blocks
+    val chunked = fps.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until blocks).map(i =>
+        shiftrightunsigned(col("simhash"), i * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for document pipelines: token statistics,
+  * quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * These generalize the reference's emotion-scoring enrichment (S4,
+  * Scraper.py:244/323 — POST text to ParallelDots, get a score vector):
+  * same shape (text in, deterministic feature vector out), but computed
+  * in-engine with codegen'd builtins instead of a remote API. All
+  * integer/ratio arithmetic — deterministic and oracle-checkable.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword lists for the language-ID heuristic (tiny on purpose —
+    * a real pipeline plugs in full lists; the OPERATOR is the point). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  private def countIn(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isin(list.map(_.asInstanceOf[Any]): _*)))
+
+  /** Token/char statistics per document:
+    * (id, n_words, n_chars_obs, n_distinct_words, avg_word_len,
+    * stopword_ratio). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    docs.select(
+      col(idCol),
+      size(ws).as("n_words"),
+      length(col(textCol)).as("n_chars_obs"),
+      size(array_distinct(ws)).as("n_distinct_words"),
+      (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / size(ws)).as("avg_word_len"),
+      (countIn(ws, stopwords("en")).cast("double") / size(ws))
+        .as("stopword_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents,
+    * lexical diversity, and a sane stopword rate. The formula is a
+    * deterministic stand-in for a learned quality model (same role as
+    * Gopher/C4 quality rules). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val diversity = size(array_distinct(ws)).cast("double") / nWords
+    val stopRatio = countIn(ws, stopwords("en")).cast("double") / nWords
+    val lengthScore = least(nWords.cast("double") / 64.0, lit(1.0))
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(diversity, 6).as("diversity"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round((lengthScore * 0.4 + diversity * 0.4
+        + least(stopRatio * 4.0, lit(1.0)) * 0.2), 6).as("quality"))
+  }
+
+  /** Language-ID by stopword voting: score per language = matching
+    * stopword count / n_words; predicted = argmax (ties → language name
+    * asc). Output: (id, en_score, de_score, fr_score, es_score,
+    * zh_score, predicted_lang). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(
+      docs.select(col(idCol), ws.as("ws"))) { (d, l) =>
+      d.withColumn(s"${l}_score",
+        countIn(col("ws"), stopwords(l)).cast("double") / size(col("ws")))
+    }
+    // argmax via array_max over (score, lang) structs; ties: lang asc
+    // (struct comparison is lexicographic, so negate nothing — compare
+    // (score, reversed-lang) would be wrong; instead sort desc by score
+    // then asc by lang via array_sort comparator-free trick: max of
+    // (score, lang) picks the LAST lang on ties, so store (score, -ord).
+    val best = array_sort(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"${l}_score").as("s"), lit(langs.size - i).as("ord"),
+        lit(l).as("lang"))
+    }: _*))
+    scored
+      .withColumn("predicted_lang",
+        element_at(best, langs.size).getField("lang"))
+      .drop("ws")
+  }
+
+  /** Rolling polynomial fingerprint over word-level codes — the
+    * document-fingerprinting primitive (content-defined hashing).
+    * code(w) = ascii(first char)·37 + len(w); h = fold (h·31 + code) mod 2^20.
+    * Integer-only → bit-exact in any engine. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val codes = transform(ws, w => ascii(w) * 37 + length(w))
+    docs.select(
+      col(idCol),
+      aggregate(codes, lit(0L),
+        (acc, c) => (acc * 31 + c) % 1048576).as("fingerprint"))
+  }
+}
