@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Dedup / similarity operators against constructed near-duplicate
+  * corpora with known ground truth. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min-id keeper") {
+    val got = Dedup.exact(corpus, $"text", $"doc_id")
+      .filter($"dup_count" > 1)
+      .select("keeper_id", "dup_count").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngram Jaccard finds the near-dup with the right similarity") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)          // identical
+    // doc3 differs in 1 of 40 tokens -> 3 of 38 shingles changed:
+    // common = 35, union = 38 + 38 - 35 = 41
+    assert(math.abs(pairs((1L, 3L)) - 35.0 / 41.0) < 1e-12)
+    assert(!pairs.contains((1L, 4L)))       // no shared shingle
+  }
+
+  test("MinHash LSH surfaces the true near-dups above threshold") {
+    val got = MinHashLSH.nearDuplicates(corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L))
+      && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("SimHash: identical docs get identical fingerprints; near-dups close") {
+    val fps = SimHash.fingerprints(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    val d13 = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    val d14 = java.lang.Long.bitCount(fps(1L) ^ fps(4L))
+    assert(d13 < d14, s"near-dup distance $d13 should beat unrelated $d14")
+    val pairs = SimHash.nearPairs(
+      SimHash.fingerprints(corpus, "doc_id", "text"), maxDist = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("LSH ANN returns true top neighbors for clustered vectors") {
+    // 3 tight clusters; LSH must recover same-cluster neighbors
+    def vec(c: Int, j: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d % 3 == c) 1.0f else 0.0f)
+        + 0.01f * ((j * 7 + d) % 5))
+    val rows = for (c <- 0 until 3; j <- 0 until 4)
+      yield (c * 10L + j, vec(c, j))
+    val df = rows.toDF("qid", "qvec")
+    val corpusDf = df.toDF("cid", "cvec")
+    val brute = Similarity.bruteForceTopK(df, corpusDf, k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(df, corpusDf, dims = 8, nPlanes = 4, k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // rank-1 neighbors from LSH must be same-cluster, and mostly agree
+    // with brute force
+    val agree = brute.keys.count(k => lsh.get(k).contains(brute(k)))
+    assert(agree >= brute.size / 2, s"LSH agreed on $agree/${brute.size}")
+    lsh.foreach { case (q, n) => assert(q / 10 == n / 10,
+      s"query $q matched cross-cluster neighbor $n") }
+  }
+
+  test("brute-force ANN: cosine of identical vectors is 1") {
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
+      .toDF("qid", "qvec")
+    val sim = Similarity.bruteForceTopK(df, df.toDF("cid", "cvec"), 1)
+      .select("sim").as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+}
