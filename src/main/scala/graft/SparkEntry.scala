@@ -239,7 +239,7 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.bruteForceTopK(broadcast(queries), corpus, k = 5)
+    Similarity.bruteForceTopKFast(s, queries, corpus, k = 5)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }

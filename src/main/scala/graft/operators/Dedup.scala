@@ -41,20 +41,42 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(count(lit(1)).as("dup_count"), min(id).as("keeper_id"))
 
-  /** (doc_id, shingle) posting list + per-doc shingle counts. */
+  /** DISTINCT (doc_id, shingle) posting list, built codegen-friendly:
+    * posexplode the words, reassemble n-grams with window `lead`s, then
+    * distinct. The array-building `shingles()` expression is an
+    * interpreted higher-order function — fine for per-row use, ~50×
+    * slower than this shape when the whole corpus is shingled. */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val leads = (1 until n).foldLeft(tokens) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    leads
+      .filter(parts.last.isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Posting list (optionally hot-shingle-pruned) + per-doc distinct
+    * shingle counts. The postings are persisted: the downstream
+    * self-join references them twice and sizes twice — without
+    * persisting, Catalyst recomputes the shingle pipeline four times. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, maxShingleFreq: Int): (DataFrame, DataFrame) = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val post = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val post0 = shinglePostings(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = post0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare =
-      if (maxShingleFreq <= 0) post
+      if (maxShingleFreq <= 0) post0
       else {
-        val hot = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val hot = post0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleFreq).select("shingle")
-        post.join(hot, Seq("shingle"), "left_anti")
+        post0.join(hot, Seq("shingle"), "left_anti")
       }
     (rare, sizes)
   }

@@ -41,21 +41,14 @@ object MinHashLSH {
   }
 
   /** (doc_id, signature: array<bigint> of length k) per document.
-    * Documents with no shingles (fewer than shingleN words) are dropped. */
+    * Documents with no shingles (fewer than shingleN words) are absent.
+    * Long-form computation: one row per (doc, shingle) hash, k `min`
+    * aggregates in one groupBy — whole-stage codegen + map-side partial
+    * aggregation, instead of k interpreted array passes per document. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int, k: Int): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"),
-        Dedup.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val hashes = transform(col("sh"), s => abs(xxhash64(s)) % 2147483647L)
-    val sig = array((0 until k).map { j =>
-      val (a, b) = (coef(2 * j, 17), coef(2 * j + 1, 29))
-      // min over shingles of (a*h + b) mod P; pmod keeps it positive
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }: _*)
-    base.select(col("doc_id"), sig.as("sig"))
-  }
+                 shingleN: Int, k: Int): DataFrame =
+    signaturesFromPostings(
+      Dedup.shinglePostings(docs, idCol, textCol, shingleN), k)
 
   /** Candidate pairs (a < b) from banded LSH over the signatures. */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
@@ -81,16 +74,42 @@ object MinHashLSH {
   }
 
   /** Full pipeline: near-duplicate pairs with exact Jaccard >= threshold.
-    * Output: (a, b, jaccard). */
+    * Output: (a, b, jaccard).
+    *
+    * Exact Jaccard is computed ONLY for LSH candidate pairs (via
+    * array_intersect on the two shingle sets), not for every pair
+    * sharing a shingle — candidates are rare, so this join is tiny
+    * regardless of corpus size. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    val sigs = signatures(docs, idCol, textCol, shingleN, k)
+    val post = Dedup.shinglePostings(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromPostings(post, k)
     val cands = candidatePairs(sigs, bands, k / bands)
-    val exact = Dedup.ngramJaccardPairs(docs, idCol, textCol, shingleN)
-    cands.join(exact, Seq("a", "b"))
+    val shSets = post.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"))
+    cands
+      .join(shSets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shSets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** As `signatures`, over an existing (doc_id, shingle) posting list. */
+  def signaturesFromPostings(post: DataFrame, k: Int): DataFrame = {
+    val hashed = post.withColumn("h", abs(xxhash64(col("shingle"))) % 2147483647L)
+    val minAggs = (0 until k).map { j =>
+      val (a, b) = (coef(2 * j, 17), coef(2 * j + 1, 29))
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
+    }
+    hashed.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 }

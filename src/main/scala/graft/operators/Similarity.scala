@@ -22,26 +22,120 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Left-fold dot product via interpreted higher-order functions —
+    * works for any vector length, but stays outside codegen. Use the
+    * unrolled `dotN` on hot paths when the dimension is known. */
+  def dotHof(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Unrolled dot product over a known dimension: a flat sum of
+    * `GetArrayItem` products, fully inside whole-stage codegen, with
+    * the same left-to-right association as the fold (bit-identical
+    * result). */
+  def dotN(x: Column, y: Column, dims: Int): Column =
+    (0 until dims).map { i =>
+      x.getItem(i).cast("double") * y.getItem(i).cast("double")
+    }.reduce(_ + _)
+
   /** Cosine similarity of two float-array columns, in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotHof(a, b) / sqrt(dotHof(a, a)) / sqrt(dotHof(b, b))
 
   /** Brute-force top-k cosine neighbors.
     * queries: (qid, qvec); corpus: (cid, cvec). Output:
     * (query_id, rank, neighbor_id, sim) — rank 1..k, self-match excluded
-    * by id inequality, ties broken by neighbor id. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = queries.crossJoin(corpus)
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+    * by id inequality, ties broken by neighbor id.
+    *
+    * When `dims` is given, norms are precomputed once per vector and
+    * the per-pair dot product is the unrolled codegen form — the
+    * O(|Q|·|C|) inner loop does exactly one dot product per pair. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dims: Int = -1): DataFrame = {
+    val scored =
+      if (dims > 0) {
+        val q = queries.withColumn("qn", sqrt(dotN(col("qvec"), col("qvec"), dims)))
+        val c = corpus.withColumn("cn", sqrt(dotN(col("cvec"), col("cvec"), dims)))
+        q.crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+            (dotN(col("qvec"), col("cvec"), dims) / col("qn") / col("cn"))
+              .as("sim"))
+      } else {
+        queries.crossJoin(corpus)
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+            cosine(col("qvec"), col("cvec")).as("sim"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Brute-force top-k with a primitive-array kernel: the query side
+    * (a dimension table by definition) is collected and broadcast; each
+    * corpus partition computes dot products in a tight JVM loop and
+    * keeps a per-query top-k, so only |partitions|·|Q|·k candidate rows
+    * leave the map side — the same partial-top-k shape MLlib uses.
+    * Arithmetic is the identical left-to-right double accumulation as
+    * the declarative variants (bit-equal sims).
+    *
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def bruteForceTopKFast(spark: org.apache.spark.sql.SparkSession,
+                         queries: DataFrame, corpus: DataFrame,
+                         k: Int): DataFrame = {
+    import spark.implicits._
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val qRows = queries.select(col("qid"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val qVecs = spark.sparkContext.broadcast(
+      qRows.map { case (id, v) => (id, v, norm(v)) })
+
+    val partials = corpus.select(col("cid"), col("cvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qVecs.value
+        // per-query bounded candidate heaps (ordered worst-first so the
+        // head is the eviction candidate)
+        val ord = Ordering.by[(Long, Double), (Double, Long)] {
+          case (cid, sim) => (-sim, cid)
+        }
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord))
+        it.foreach { case (cid, cv) =>
+          val cn = norm(cv)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn) = qs(qi)
+            if (qid != cid) {
+              var dot = 0.0; var i = 0
+              while (i < cv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+              val sim = dot / qn / cn
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cid, sim))
+              else {
+                val (wid, wsim) = h.head
+                if (sim > wsim || (sim == wsim && cid < wid)) {
+                  h.dequeue(); h.enqueue((cid, sim))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+          heaps(qi).iterator.map { case (cid, sim) => (qid, cid, sim) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    partials.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -72,12 +166,17 @@ object Similarity {
     * fewer than k neighbors — the recall/latency trade). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
               nPlanes: Int, k: Int): DataFrame = {
-    val q = queries.withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
-    val c = corpus.withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
+    val q = queries
+      .withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
+      .withColumn("qn", sqrt(dotN(col("qvec"), col("qvec"), dims)))
+    val c = corpus
+      .withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
+      .withColumn("cn", sqrt(dotN(col("cvec"), col("cvec"), dims)))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        (dotN(col("qvec"), col("cvec"), dims) / col("qn") / col("cn"))
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
