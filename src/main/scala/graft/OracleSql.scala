@@ -109,6 +109,54 @@ object OracleSql {
        |WHERE b.r2 = 1
        |ORDER BY b.strain_id""".stripMargin
 
+  /** Greedy matching-without-replacement as a recursive CTE: one row
+    * per recursion step carrying the accumulated picks list — the SQL
+    * twin of the driver fold. Assumes |strains| >= |episodes| (a pick
+    * always exists), which holds for this data. */
+  private val q09 =
+    s"""WITH RECURSIVE episodes AS ($episodes),
+       |strains AS ($strains),
+       |ep_long AS ($epLong),
+       |st_long AS ($stLong),
+       |ep_top2 AS (
+       |  SELECT episode_id,
+       |    max(CASE WHEN rn = 1 THEN emotion END) AS emo1,
+       |    max(CASE WHEN rn = 2 THEN emotion END) AS emo2
+       |  FROM (SELECT episode_id, emotion,
+       |          row_number() OVER (PARTITION BY episode_id
+       |                             ORDER BY score DESC, emotion ASC) AS rn
+       |        FROM ep_long)
+       |  WHERE rn <= 2 GROUP BY episode_id),
+       |ep_idx AS (
+       |  SELECT episode_id, emo1, emo2,
+       |    row_number() OVER (ORDER BY episode_id) AS i
+       |  FROM ep_top2),
+       |g AS (
+       |  SELECT 0 AS i, CAST([] AS BIGINT[]) AS picks
+       |  UNION ALL
+       |  SELECT g.i + 1,
+       |    list_append(g.picks, (
+       |      SELECT strain_id FROM (
+       |        SELECT s1.strain_id, s1.score AS v1, s2.score AS v2
+       |        FROM st_long s1
+       |        JOIN st_long s2 USING (strain_id)
+       |        JOIN ep_idx e ON e.i = g.i + 1
+       |        WHERE s1.emotion = e.emo1 AND s2.emotion = e.emo2
+       |          AND NOT list_contains(g.picks, s1.strain_id)
+       |        ORDER BY v1 DESC, s1.strain_id ASC LIMIT 100)
+       |      ORDER BY v2 DESC, strain_id ASC LIMIT 1))
+       |  FROM g WHERE g.i < (SELECT count(*) FROM ep_idx)),
+       |final AS (
+       |  SELECT e.episode_id, e.emo1, e.emo2, p.picks[e.i] AS strain_id
+       |  FROM (SELECT picks FROM g
+       |        WHERE i = (SELECT count(*) FROM ep_idx)) p, ep_idx e)
+       |SELECT f.episode_id, f.strain_id,
+       |  s1.score AS score1, s2.score AS score2
+       |FROM final f
+       |JOIN st_long s1 ON s1.strain_id = f.strain_id AND s1.emotion = f.emo1
+       |JOIN st_long s2 ON s2.strain_id = f.strain_id AND s2.emotion = f.emo2
+       |ORDER BY f.episode_id""".stripMargin
+
   private val q10 =
     s"""WITH episodes AS ($episodes),
        |base AS (
@@ -327,6 +375,7 @@ object OracleSql {
     "q06_top2_per_brand" -> q06,
     "q07_unpivot_emotions" -> q07,
     "q08_match_reverse" -> q08,
+    "q09_greedy_match" -> q09,
     "q10_slug_normalize" -> q10,
     "q11_bridge_explode" -> q11,
     "q12_mean_emotion_vector" -> q12,
