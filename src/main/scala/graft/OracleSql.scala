@@ -76,31 +76,38 @@ object OracleSql {
        |${Emotions.longSql("episodes", Seq("episode_id", "episode_name"))}
        |ORDER BY episode_id, emotion""".stripMargin
 
+  /** The two-stage rank-match core (J6, ipynb cell 15 de-correlated),
+    * shared by q08 and q29: CTEs st_top2/pool/best over existing
+    * `st_long`/`ep_long` CTEs. */
+  private val rankMatchCore =
+    """st_top2 AS (
+      |  SELECT strain_id,
+      |    max(CASE WHEN rn = 1 THEN emotion END) AS emo1,
+      |    max(CASE WHEN rn = 2 THEN emotion END) AS emo2
+      |  FROM (SELECT strain_id, emotion, score,
+      |          row_number() OVER (PARTITION BY strain_id
+      |                             ORDER BY score DESC, emotion ASC) AS rn
+      |        FROM st_long)
+      |  WHERE rn <= 2 GROUP BY strain_id),
+      |pool AS (
+      |  SELECT t.strain_id, t.emo1, t.emo2, e.episode_id,
+      |    row_number() OVER (PARTITION BY t.strain_id
+      |                       ORDER BY e.score DESC, e.episode_id ASC) AS r1
+      |  FROM st_top2 t JOIN ep_long e ON e.emotion = t.emo1),
+      |best AS (
+      |  SELECT p.strain_id, p.emo1, p.emo2, p.episode_id,
+      |    row_number() OVER (PARTITION BY p.strain_id
+      |                       ORDER BY e2.score DESC, p.episode_id ASC) AS r2
+      |  FROM (SELECT * FROM pool WHERE r1 <= 100) p
+      |  JOIN ep_long e2 ON e2.emotion = p.emo2 AND e2.episode_id = p.episode_id)"""
+      .stripMargin
+
   private val q08 =
     s"""WITH episodes AS ($episodes),
        |strains AS ($strains),
        |ep_long AS ($epLong),
        |st_long AS ($stLong),
-       |st_top2 AS (
-       |  SELECT strain_id,
-       |    max(CASE WHEN rn = 1 THEN emotion END) AS emo1,
-       |    max(CASE WHEN rn = 2 THEN emotion END) AS emo2
-       |  FROM (SELECT strain_id, emotion, score,
-       |          row_number() OVER (PARTITION BY strain_id
-       |                             ORDER BY score DESC, emotion ASC) AS rn
-       |        FROM st_long)
-       |  WHERE rn <= 2 GROUP BY strain_id),
-       |pool AS (
-       |  SELECT t.strain_id, t.emo1, t.emo2, e.episode_id,
-       |    row_number() OVER (PARTITION BY t.strain_id
-       |                       ORDER BY e.score DESC, e.episode_id ASC) AS r1
-       |  FROM st_top2 t JOIN ep_long e ON e.emotion = t.emo1),
-       |best AS (
-       |  SELECT p.strain_id, p.emo1, p.emo2, p.episode_id,
-       |    row_number() OVER (PARTITION BY p.strain_id
-       |                       ORDER BY e2.score DESC, p.episode_id ASC) AS r2
-       |  FROM (SELECT * FROM pool WHERE r1 <= 100) p
-       |  JOIN ep_long e2 ON e2.emotion = p.emo2 AND e2.episode_id = p.episode_id)
+       |$rankMatchCore
        |SELECT b.strain_id, s.strain_name, b.emo1, b.emo2,
        |       b.episode_id, ep.episode_name
        |FROM best b
@@ -357,6 +364,32 @@ object OracleSql {
       |    (acc, c) -> (acc * 31 + c) % 1048576) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val q28 =
+    s"""WITH scored AS (
+       |${graft.functions.EmotionScore.scoreWideSql("documents", "doc_id", "text")})
+       |SELECT * FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Full text pipeline: score documents with the lexicon scorer, split
+    * into "episodes" (doc_id < 41) and "strains" (the rest), run the
+    * reverse rank-match — the reference's whole cell-15 flow with real
+    * text-derived vectors. */
+  private val q29 = {
+    val scoredSql = graft.functions.EmotionScore
+      .scoreWideSql("documents", "doc_id", "text")
+    val emoCols = Emotions.names.mkString(", ")
+    s"""WITH scored AS ($scoredSql),
+       |ep_wide AS (
+       |  SELECT doc_id AS episode_id, $emoCols FROM scored WHERE doc_id < 41),
+       |st_wide AS (
+       |  SELECT doc_id AS strain_id, $emoCols FROM scored WHERE doc_id >= 41),
+       |ep_long AS (${Emotions.longSql("ep_wide", Seq("episode_id"))}),
+       |st_long AS (${Emotions.longSql("st_wide", Seq("strain_id"))}),
+       |$rankMatchCore
+       |SELECT b.strain_id, b.emo1, b.emo2, b.episode_id
+       |FROM best b WHERE b.r2 = 1
+       |ORDER BY b.strain_id""".stripMargin
+  }
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -390,5 +423,7 @@ object OracleSql {
     "q21_stream_daily" -> q21,
     "q22_ann_brute" -> q22,
     "q26_fingerprint" -> q26,
-    "q27_upsert_suppliers" -> q27)
+    "q27_upsert_suppliers" -> q27,
+    "q28_emotion_scores" -> q28,
+    "q29_text_match_pipeline" -> q29)
 }

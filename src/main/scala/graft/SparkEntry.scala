@@ -284,6 +284,32 @@ object SparkEntry {
     Joins.upsert(sup, incoming, Seq("s_suppkey")).orderBy("s_suppkey")
   }
 
+  /** S4: deterministic lexicon emotion scorer over document text. */
+  private def qEmotionScores(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EmotionScore
+      .scoreWide(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** End-to-end text pipeline: score text → split episodes/strains →
+    * reverse rank-match. The reference's Scraper + cell-15 flow with
+    * real text-derived vectors instead of the remote emotion API. */
+  private def qTextMatchPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.functions.EmotionScore
+      .scoreWide(Tables.documents(s, dir), "doc_id", "text")
+    val epLong = Emotions.toLong(
+      scored.filter(col("doc_id") < 41)
+        .withColumnRenamed("doc_id", "episode_id"),
+      Seq("episode_id")).select("episode_id", "emotion", "score")
+    val stLong = Emotions.toLong(
+      scored.filter(col("doc_id") >= 41)
+        .withColumnRenamed("doc_id", "strain_id"),
+      Seq("strain_id")).select("strain_id", "emotion", "score")
+    val stTop2 = Matching.top2Emotions(stLong, "strain_id")
+    Matching.rankMatch(stTop2, "strain_id", epLong, "episode_id", poolSize = 100)
+      .select("strain_id", "emo1", "emo2", "episode_id")
+      .orderBy("strain_id")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -314,7 +340,9 @@ object SparkEntry {
       "q24_minhash_near_dups" -> (qMinhashNearDups _),
       "q25_simhash_pairs" -> (qSimhashPairs _),
       "q26_fingerprint" -> (qFingerprint _),
-      "q27_upsert_suppliers" -> (qUpsertSuppliers _))
+      "q27_upsert_suppliers" -> (qUpsertSuppliers _),
+      "q28_emotion_scores" -> (qEmotionScores _),
+      "q29_text_match_pipeline" -> (qTextMatchPipeline _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
