@@ -390,6 +390,18 @@ object OracleSql {
        |ORDER BY b.strain_id""".stripMargin
   }
 
+  /** The oracle verifies the RESULT of the JSON round-trip (Spark
+    * builds payloads with concat and parses with from_json); the same
+    * rows derive directly from part columns. */
+  private val q30 =
+    """SELECT flavor, COUNT(*) AS n_strains,
+      |  COUNT(DISTINCT race) AS n_races,
+      |  MIN(strain_id) AS min_strain_id
+      |FROM (SELECT p_partkey AS strain_id, p_brand AS race,
+      |        unnest(string_split(p_type, ' ')) AS flavor
+      |      FROM part)
+      |GROUP BY flavor ORDER BY flavor""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -425,5 +437,6 @@ object OracleSql {
     "q26_fingerprint" -> q26,
     "q27_upsert_suppliers" -> q27,
     "q28_emotion_scores" -> q28,
-    "q29_text_match_pipeline" -> q29)
+    "q29_text_match_pipeline" -> q29,
+    "q30_json_bridge" -> q30)
 }

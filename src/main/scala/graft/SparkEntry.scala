@@ -310,6 +310,22 @@ object SparkEntry {
       .orderBy("strain_id")
   }
 
+  /** S1/R3/J7: JSON-record source → from_json parse → bridge-table
+    * explode, over an in-engine payload built from part rows. */
+  private def qJsonBridge(s: SparkSession, dir: String): DataFrame = {
+    val payloads = graft.sources.JsonSources
+      .partAsStrainJson(Tables.part(s, dir))
+    payloads
+      .select(graft.sources.JsonSources.strainBridge(col("payload")).as("st"))
+      .select(col("st.id").as("strain_id"), col("st.race").as("race"),
+        explode(col("st.flavors")).as("flavor"))
+      .groupBy(col("flavor"))
+      .agg(count(lit(1)).as("n_strains"),
+        countDistinct(col("race")).as("n_races"),
+        min(col("strain_id")).as("min_strain_id"))
+      .orderBy("flavor")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -342,7 +358,8 @@ object SparkEntry {
       "q26_fingerprint" -> (qFingerprint _),
       "q27_upsert_suppliers" -> (qUpsertSuppliers _),
       "q28_emotion_scores" -> (qEmotionScores _),
-      "q29_text_match_pipeline" -> (qTextMatchPipeline _))
+      "q29_text_match_pipeline" -> (qTextMatchPipeline _),
+      "q30_json_bridge" -> (qJsonBridge _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
