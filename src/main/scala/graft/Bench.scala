@@ -20,10 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // JVM/class-loading warmup on the smallest SF so per-query times
-    // measure the plan, not first-touch initialization.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/class-loading warmup: run every headline query once at the
+    // smallest SF so timed runs measure steady-state execution (Spark
+    // machinery JIT'd), not first-touch initialization.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)

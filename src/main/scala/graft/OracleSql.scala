@@ -402,6 +402,14 @@ object OracleSql {
       |      FROM part)
       |GROUP BY flavor ORDER BY flavor""".stripMargin
 
+  /** Salted two-phase aggregation is result-identical to plain GROUP BY
+    * for algebraic aggregates — the oracle is the unsalted query. */
+  private val q31 =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -438,5 +446,6 @@ object OracleSql {
     "q27_upsert_suppliers" -> q27,
     "q28_emotion_scores" -> q28,
     "q29_text_match_pipeline" -> q29,
-    "q30_json_bridge" -> q30)
+    "q30_json_bridge" -> q30,
+    "q31_salted_agg" -> q31)
 }

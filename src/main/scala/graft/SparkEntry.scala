@@ -326,6 +326,17 @@ object SparkEntry {
       .orderBy("flavor")
   }
 
+  /** Skew-aware salted aggregation: results identical to plain groupBy
+    * (decimal-cast sums), execution fans hot keys over many reducers. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    SkewAgg.saltedSumCount(
+      Tables.events(s, dir).withColumn("v", dec6(col("value"))),
+      key = col("event_type"), value = col("v"),
+      saltSource = col("event_id"), salts = 16)
+      .select(col("k").as("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("n"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -359,7 +370,8 @@ object SparkEntry {
       "q27_upsert_suppliers" -> (qUpsertSuppliers _),
       "q28_emotion_scores" -> (qEmotionScores _),
       "q29_text_match_pipeline" -> (qTextMatchPipeline _),
-      "q30_json_bridge" -> (qJsonBridge _))
+      "q30_json_bridge" -> (qJsonBridge _),
+      "q31_salted_agg" -> (qSaltedAgg _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
