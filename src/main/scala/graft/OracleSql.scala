@@ -410,6 +410,21 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Threshold filter on identically-computed doubles: the kernel's
+    * left-to-right double accumulation matches list_aggregate's. */
+  private val q32 =
+    """WITH s AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
+      |SELECT a, b FROM s WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -447,5 +462,6 @@ object OracleSql {
     "q28_emotion_scores" -> q28,
     "q29_text_match_pipeline" -> q29,
     "q30_json_bridge" -> q30,
-    "q31_salted_agg" -> q31)
+    "q31_salted_agg" -> q31,
+    "q32_embedding_dedup" -> q32)
 }

@@ -337,6 +337,15 @@ object SparkEntry {
         col("sum_value").cast("double").as("sum_value"), col("n"))
       .orderBy("event_type")
 
+  /** Embedding-space near-duplicate pairs (exact all-pairs kernel;
+    * the LSH variant q23 is the 100 TB path). Output drops the raw sim
+    * (rank-free threshold set). */
+  private def qEmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(s, Tables.embeddings(s, dir),
+      threshold = 0.4)
+      .select("a", "b")
+      .orderBy("a", "b")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -371,7 +380,8 @@ object SparkEntry {
       "q28_emotion_scores" -> (qEmotionScores _),
       "q29_text_match_pipeline" -> (qTextMatchPipeline _),
       "q30_json_bridge" -> (qJsonBridge _),
-      "q31_salted_agg" -> (qSaltedAgg _))
+      "q31_salted_agg" -> (qSaltedAgg _),
+      "q32_embedding_dedup" -> (qEmbeddingDedup _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -140,6 +140,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** All pairs (a < b) with cosine >= threshold — embedding-space
+    * near-duplicate detection. Same broadcast + mapPartitions kernel as
+    * bruteForceTopKFast: O(n²) dots in tight JVM loops, emitting only
+    * the (rare) above-threshold pairs. Exact; the LSH-bucketed variant
+    * is the 100 TB path (this one is the ground truth / small-n tool).
+    * Output: (a, b, sim). */
+  def cosineNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+                         vectors: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val all = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v, norm(v)) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (aId, av) =>
+          val an = norm(av)
+          corpus.iterator
+            .filter(_._1 > aId)
+            .flatMap { case (bId, bv, bn) =>
+              var dot = 0.0; var i = 0
+              while (i < av.length) { dot += av(i).toDouble * bv(i).toDouble; i += 1 }
+              val sim = dot / an / bn
+              if (sim >= threshold) Some((aId, bId, sim)) else None
+            }
+        }
+      }
+      .toDF("a", "b", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplane component, derived from
     * (plane, dim) by integer hashing — reproducible in any engine. */
   private def planeComponent(plane: Int, dim: Int): Double = {
