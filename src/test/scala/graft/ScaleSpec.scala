@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-shape checks: bucketed co-located joins plan without a
+  * shuffle, stateful streaming matches batch, broadcast thresholds. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: no shuffle exchange in plan") {
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+    // force a merge join (the data is small enough to broadcast, which
+    // would sidestep bucketing entirely)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect() // force planning + execution
+      val planStr = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // final AQE plan only
+      assert(planStr.contains("SortMergeJoin"), s"no SMJ:\n$planStr")
+      // bucketed scans feed the join directly: no exchange on the keys
+      assert(!planStr.contains("Exchange hashpartitioning(o_orderkey")
+        && !planStr.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join inputs were shuffled despite bucketing:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("stateful streaming counts match batch counts") {
+    val streaming = graft.streaming.StatefulCounts
+      .runningUserCounts(spark, sf)
+      .orderBy("user_id").as[(Long, Long)].collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(streaming.toSeq == batch.toSeq)
+  }
+
+  test("small dimension joins broadcast under the default threshold") {
+    val joined = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+    joined.collect()
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+}
