@@ -425,6 +425,33 @@ object OracleSql {
       |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
       |SELECT a, b FROM s WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
 
+  private def urlSql(nameCol: String, idCol: String) =
+    s"""'https://rickandmorty.fandom.com/wiki/' || regexp_replace(
+       |    regexp_replace(
+       |      CASE WHEN $idCol IN (19,25,32,35) THEN $nameCol
+       |           ELSE regexp_replace($nameCol, ':', '', 'g') END,
+       |      ',', '', 'g'), '\\s+', '_', 'g')""".stripMargin
+
+  private val q33 =
+    s"""WITH g9 AS ($q09),
+       |episodes AS ($episodes),
+       |strains AS ($strains)
+       |SELECT t.episode_id, e.episode_name, t.strain_id, s.strain_name,
+       |  ${urlSql("e.episode_name", "t.episode_id")} AS url
+       |FROM (SELECT episode_id, strain_id,
+       |        row_number() OVER (ORDER BY episode_id) AS rn FROM g9) t
+       |JOIN episodes e USING (episode_id)
+       |JOIN strains s USING (strain_id)
+       |WHERE t.rn = 10""".stripMargin
+
+  private val q34 =
+    s"""WITH g8 AS ($q08)
+       |SELECT strain_id, strain_name, episode_id, episode_name,
+       |  ${urlSql("episode_name", "episode_id")} AS url
+       |FROM g8
+       |WHERE strain_name LIKE '%gear%'
+       |ORDER BY strain_id""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -463,5 +490,7 @@ object OracleSql {
     "q29_text_match_pipeline" -> q29,
     "q30_json_bridge" -> q30,
     "q31_salted_agg" -> q31,
-    "q32_embedding_dedup" -> q32)
+    "q32_embedding_dedup" -> q32,
+    "q33_episode_lookup" -> q33,
+    "q34_strain_lookup" -> q34)
 }

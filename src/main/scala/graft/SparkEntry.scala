@@ -346,6 +346,41 @@ object SparkEntry {
       .select("a", "b")
       .orderBy("a", "b")
 
+  /** Cell-14 interactive lookup: "which strain matched episode N?" —
+    * a point lookup over the greedy-match result plus the formatted
+    * wiki URL (F6). N is pinned to the 10th episode for determinism. */
+  private def qEpisodeLookup(s: SparkSession, dir: String): DataFrame = {
+    val eps = Emotions.episodesWide(s, dir).select("episode_id", "episode_name")
+    val strains = Emotions.strainsWide(s, dir).select("strain_id", "strain_name")
+    val picks = qGreedyMatch(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("episode_id"))
+    picks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 10)
+      .join(eps, Seq("episode_id"))
+      .join(strains, Seq("strain_id"))
+      .select(col("episode_id"), col("episode_name"),
+        col("strain_id"), col("strain_name"),
+        Strings.fandomUrl(Strings.slug(
+          Strings.conditionalStrip(col("episode_name"), col("episode_id"),
+            Seq(19, 25, 32, 35)))).as("url"))
+  }
+
+  /** Cell-17 interactive lookup: "which episode matched strains whose
+    * name contains X?" — substring guard (P5), the cell-17 slug
+    * pipeline with its undefined-`name` bug fixed (strip applied
+    * safely), over the reverse-match result. */
+  private def qStrainLookup(s: SparkSession, dir: String): DataFrame =
+    qMatchReverse(s, dir)
+      .filter(col("strain_name").contains("gear"))
+      .select(col("strain_id"), col("strain_name"),
+        col("episode_id"), col("episode_name"),
+        Strings.fandomUrl(Strings.slug(
+          Strings.conditionalStrip(col("episode_name"), col("episode_id"),
+            Seq(19, 25, 32, 35)))).as("url"))
+      .orderBy("strain_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -381,7 +416,9 @@ object SparkEntry {
       "q29_text_match_pipeline" -> (qTextMatchPipeline _),
       "q30_json_bridge" -> (qJsonBridge _),
       "q31_salted_agg" -> (qSaltedAgg _),
-      "q32_embedding_dedup" -> (qEmbeddingDedup _))
+      "q32_embedding_dedup" -> (qEmbeddingDedup _),
+      "q33_episode_lookup" -> (qEpisodeLookup _),
+      "q34_strain_lookup" -> (qStrainLookup _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
