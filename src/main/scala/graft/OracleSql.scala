@@ -452,6 +452,20 @@ object OracleSql {
        |WHERE strain_name LIKE '%gear%'
        |ORDER BY strain_id""".stripMargin
 
+  /** Element-wise centroid: float→decimal(18,9) is deterministic (no
+    * binary double/float sits exactly on a decimal rounding boundary),
+    * decimal sums exact in any order. Spark's posexplode pos is
+    * 0-based; generate_subscripts-style range here is 1-based → -1. */
+  private val q35 =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(*) AS avg_value,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT label, i, embedding[CAST(i AS INTEGER)] AS v
+      |  FROM embeddings, range(1, 65) t(i))
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -492,5 +506,6 @@ object OracleSql {
     "q31_salted_agg" -> q31,
     "q32_embedding_dedup" -> q32,
     "q33_episode_lookup" -> q33,
-    "q34_strain_lookup" -> q34)
+    "q34_strain_lookup" -> q34,
+    "q35_label_centroids" -> q35)
 }

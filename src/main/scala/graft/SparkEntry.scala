@@ -381,6 +381,11 @@ object SparkEntry {
             Seq(19, 25, 32, 35)))).as("url"))
       .orderBy("strain_id")
 
+  /** Per-label embedding centroids (long-form decimal-exact means). */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    VectorMean.centroidsLong(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy("label", "pos")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -418,7 +423,8 @@ object SparkEntry {
       "q31_salted_agg" -> (qSaltedAgg _),
       "q32_embedding_dedup" -> (qEmbeddingDedup _),
       "q33_episode_lookup" -> (qEpisodeLookup _),
-      "q34_strain_lookup" -> (qStrainLookup _))
+      "q34_strain_lookup" -> (qStrainLookup _),
+      "q35_label_centroids" -> (qLabelCentroids _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -38,8 +38,15 @@ object Similarity {
       x.getItem(i).cast("double") * y.getItem(i).cast("double")
     }.reduce(_ + _)
 
-  /** Cosine similarity of two float-array columns, in double. */
+  /** Cosine similarity of two float-array columns, in double — the
+    * native fused-loop Catalyst expression (same left-to-right double
+    * accumulation as the HOF/unrolled forms, bit-identical results). */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftFunctions.cosineSim(a, b)
+
+  /** Interpreted-HOF cosine — kept as the reference implementation the
+    * native expression is tested against. */
+  def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / sqrt(dotHof(a, a)) / sqrt(dotHof(b, b))
 
   /** Brute-force top-k cosine neighbors.
@@ -204,17 +211,12 @@ object Similarity {
     * fewer than k neighbors — the recall/latency trade). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
               nPlanes: Int, k: Int): DataFrame = {
-    val q = queries
-      .withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
-      .withColumn("qn", sqrt(dotN(col("qvec"), col("qvec"), dims)))
-    val c = corpus
-      .withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
-      .withColumn("cn", sqrt(dotN(col("cvec"), col("cvec"), dims)))
+    val q = queries.withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
+    val c = corpus.withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        (dotN(col("qvec"), col("cvec"), dims) / col("qn") / col("cn"))
-          .as("sim"))
+        cosine(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

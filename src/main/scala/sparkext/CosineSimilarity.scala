@@ -1,0 +1,80 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity of two float-array
+  * columns, with `doGenCode` emitting one fused loop (dot product and
+  * both norms in a single pass). Works for any vector length, stays
+  * inside whole-stage codegen, allocates nothing per row.
+  *
+  * Tier (b) of the extension ladder (SURVEY.md §7): the built-in
+  * surface can only express this as interpreted higher-order functions
+  * (`aggregate`/`zip_with`, ~10× slower) or a fixed-dim unrolled sum
+  * that bloats generated code. Accumulation is left-to-right in double,
+  * bit-identical to both of those forms (and to the DuckDB oracle's
+  * list_aggregate).
+  *
+  * Lives under org.apache.spark.sql because Catalyst's extension SPI
+  * (AbstractDataType, ExpressionUtils.column) is private[sql] — the
+  * standard placement for third-party native expressions.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(nx) / math.sqrt(ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / Math.sqrt($nx) / Math.sqrt($ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for graft's native expressions. */
+object GraftFunctions {
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook: registers graft's native expressions
+  * for SQL use (`SELECT cosine_sim(a, b)`). Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

