@@ -466,6 +466,39 @@ object OracleSql {
       |  FROM embeddings, range(1, 65) t(i))
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** session_window(ts, gap): start = first event ts of the session,
+    * end = last event ts + gap. Derived via the lag/sum session-id
+    * assignment. */
+  private val q36 =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessioned AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sessioned GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  private val q37 =
+    """SELECT doc_id,
+      |  CAST(i AS INTEGER) AS frame_idx,
+      |  CAST(i * 64 AS INTEGER) AS byte_offset,
+      |  CAST(ascii(substr(text, CAST(i * 64 + 1 AS INTEGER), 1)) AS INTEGER)
+      |    AS frame_key
+      |FROM documents, range(0, 4) t(i)
+      |WHERE octet_length(encode(text)) = length(text)
+      |  AND i < length(text) // 64
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -507,5 +540,7 @@ object OracleSql {
     "q32_embedding_dedup" -> q32,
     "q33_episode_lookup" -> q33,
     "q34_strain_lookup" -> q34,
-    "q35_label_centroids" -> q35)
+    "q35_label_centroids" -> q35,
+    "q36_session_windows" -> q36,
+    "q37_frame_sample" -> q37)
 }

@@ -386,6 +386,23 @@ object SparkEntry {
     VectorMean.centroidsLong(Tables.embeddings(s, dir), "label", "embedding")
       .orderBy("label", "pos")
 
+  /** Built-in session_window over events — same sessions as q14's
+    * lag/sum formulation, native windowed-aggregation form. */
+  private def qSessionWindows(s: SparkSession, dir: String): DataFrame =
+    Sessions.sessionWindows(Tables.events(s, dir), gapSeconds = 1800)
+      .orderBy("user_id", "session_start")
+
+  /** Multimodal frame sampling (stubbed decode, real fan-out shape):
+    * one row per sampled frame of each ASCII payload. */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val asciiDocs = Tables.documents(s, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    Multimodal.sampleFrames(s,
+      Multimodal.withPayload(asciiDocs, "doc_id", "text"),
+      stride = 64, maxFrames = 4)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -424,7 +441,9 @@ object SparkEntry {
       "q32_embedding_dedup" -> (qEmbeddingDedup _),
       "q33_episode_lookup" -> (qEpisodeLookup _),
       "q34_strain_lookup" -> (qStrainLookup _),
-      "q35_label_centroids" -> (qLabelCentroids _))
+      "q35_label_centroids" -> (qLabelCentroids _),
+      "q36_session_windows" -> (qSessionWindows _),
+      "q37_frame_sample" -> (qFrameSample _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -52,4 +52,53 @@ object Multimodal {
         it.map { case (id, bytes) => extractFeatures(id, bytes) }
       }
   }
+
+  /** A decoded image stand-in: dimensions + a fixed-size feature
+    * vector. A real pipeline gets these from a JPEG/PNG codec; the
+    * stub derives deterministic values from the bytes so the Spark
+    * plumbing (schema, batching, partitioning) is fully exercised. */
+  case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                       features: Array[Float])
+
+  /** STUB image decode + resize + featurize, batched per partition.
+    * `targetSide` mirrors a resize step: the feature grid is computed
+    * at targetSide² resolution regardless of source size. */
+  def decodeResizeFeaturize(spark: SparkSession, payloads: DataFrame,
+                            targetSide: Int): Dataset[ImageMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: codec + resampler initialized once per
+        // partition; stub: pure arithmetic over the payload bytes
+        it.map { case (id, bytes) =>
+          val w = 16 + (math.abs(id) % 16).toInt   // "decoded" dims
+          val h = 16 + (math.abs(id * 7) % 16).toInt
+          val features = Array.tabulate(targetSide * targetSide) { p =>
+            if (bytes.isEmpty) 0.0f
+            else (bytes(p % bytes.length) & 0xff).toFloat / 255.0f
+          }
+          ImageMeta(id, w, h, features)
+        }
+      }
+  }
+
+  /** STUB video frame-sampling: emit one row per sampled "frame"
+    * (every `stride`-th byte offset stands in for a frame boundary) —
+    * the row-explosion shape of real frame extraction, where one input
+    * row fans out to many frame rows. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+                   stride: Int, maxFrames: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.min(maxFrames, math.max(bytes.length / stride, 0))
+        (0 until n).iterator.map { f =>
+          val off = f * stride
+          (id, f, off, bytes(off) & 0xff)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "byte_offset", "frame_key")
+  }
 }

@@ -32,6 +32,19 @@ object Sessions {
       .drop("is_start")
   }
 
+  /** Session windows via Spark's built-in session_window — the same
+    * semantics as `sessionize` expressed as a native windowed groupBy
+    * (and the form that runs unchanged under Structured Streaming).
+    * Output: (user_id, session_start, session_end, n_events) where
+    * session_end = last event + gap. */
+  def sessionWindows(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Per-user session stats: (user_id, n_sessions, n_events,
     * max_session_events). */
   def userSessionStats(events: DataFrame, gapSeconds: Long): DataFrame =

@@ -95,6 +95,32 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // --- Multimodal --------------------------------------------------------
+  test("decodeResizeFeaturize produces fixed-size feature grids per batch") {
+    val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
+    val got = Multimodal.decodeResizeFeaturize(spark,
+      Multimodal.withPayload(docs, "doc_id", "text"), targetSide = 4)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got.size == 2)
+    got.values.foreach { m =>
+      assert(m.features.length == 16)
+      assert(m.width >= 16 && m.width < 32 && m.height >= 16 && m.height < 32)
+      assert(m.features.forall(f => f >= 0.0f && f <= 1.0f))
+    }
+    // deterministic: same input -> same features
+    assert(got(1L).features(0) == 'a'.toInt / 255.0f)
+  }
+
+  test("sampleFrames fans one payload row out to capped frame rows") {
+    val docs = Seq((1L, "a" * 200), (2L, "b" * 10)).toDF("doc_id", "text")
+    val got = Multimodal.sampleFrames(spark,
+      Multimodal.withPayload(docs, "doc_id", "text"),
+      stride = 64, maxFrames = 4)
+      .as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+    assert(got(1L).length == 3) // 200/64 = 3 frames
+    assert(got(1L).map(_._3).sorted.toSeq == Seq(0, 64, 128))
+    assert(!got.contains(2L)) // shorter than one stride -> no frames
+  }
+
   test("media extraction computes real byte-level features") {
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val got = Multimodal.extract(spark,
