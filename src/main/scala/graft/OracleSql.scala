@@ -499,6 +499,33 @@ object OracleSql {
       |  AND i < length(text) // 64
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  private val q38 =
+    """WITH errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |purchases AS (
+      |  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, p.purchase_event_id
+      |FROM errors e ASOF LEFT JOIN purchases p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  private val q39 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val q40 =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -542,5 +569,8 @@ object OracleSql {
     "q34_strain_lookup" -> q34,
     "q35_label_centroids" -> q35,
     "q36_session_windows" -> q36,
-    "q37_frame_sample" -> q37)
+    "q37_frame_sample" -> q37,
+    "q38_asof_purchase" -> q38,
+    "q39_rollup_revenue" -> q39,
+    "q40_running_revenue" -> q40)
 }

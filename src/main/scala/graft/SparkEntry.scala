@@ -403,6 +403,46 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** As-of join: for each error event, the same user's most recent
+    * purchase at-or-before it. */
+  private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    // right side unique per (user, ts): keep the max event_id
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_event_id"))
+    AsOfJoin.asOf(errors, purchases, key = "user_id", ts = "ts",
+      payloadCols = Seq("purchase_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_event_id").as("purchase_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Rollup aggregation (subtotals + grand total). */
+  private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Running (cumulative) revenue per customer over order history. */
+  private def qRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("running_revenue"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -443,7 +483,10 @@ object SparkEntry {
       "q34_strain_lookup" -> (qStrainLookup _),
       "q35_label_centroids" -> (qLabelCentroids _),
       "q36_session_windows" -> (qSessionWindows _),
-      "q37_frame_sample" -> (qFrameSample _))
+      "q37_frame_sample" -> (qFrameSample _),
+      "q38_asof_purchase" -> (qAsofPurchase _),
+      "q39_rollup_revenue" -> (qRollupRevenue _),
+      "q40_running_revenue" -> (qRunningRevenue _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -94,6 +94,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
   }
 
+  // --- As-of join --------------------------------------------------------
+  test("asOf picks most recent right row at-or-before, null when none") {
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 5L), (12L, 2L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, 20L, "r20"), (1L, 100L, "r100"), (2L, 60L, "r60"))
+      .toDF("k", "t", "payload")
+    val got = operators.AsOfJoin.asOf(left, right, "k", "t", Seq("payload"))
+      .select("id", "asof_payload").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(10L).contains("r100")) // tie at t=100 -> inclusive (<=)
+    assert(got(11L).isEmpty)          // no right row at or before t=5
+    assert(got(12L).isEmpty)          // right at t=60 is AFTER t=50
+  }
+
   // --- Multimodal --------------------------------------------------------
   test("decodeResizeFeaturize produces fixed-size feature grids per batch") {
     val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
