@@ -526,6 +526,14 @@ object OracleSql {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  private val q41 =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -572,5 +580,6 @@ object OracleSql {
     "q37_frame_sample" -> q37,
     "q38_asof_purchase" -> q38,
     "q39_rollup_revenue" -> q39,
-    "q40_running_revenue" -> q40)
+    "q40_running_revenue" -> q40,
+    "q41_percentiles" -> q41)
 }

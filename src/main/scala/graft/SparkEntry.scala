@@ -443,6 +443,18 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Exact interpolated percentiles per event type (bit-identical to
+    * DuckDB's quantile_cont — verified empirically). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -486,7 +498,8 @@ object SparkEntry {
       "q37_frame_sample" -> (qFrameSample _),
       "q38_asof_purchase" -> (qAsofPurchase _),
       "q39_rollup_revenue" -> (qRollupRevenue _),
-      "q40_running_revenue" -> (qRunningRevenue _))
+      "q40_running_revenue" -> (qRunningRevenue _),
+      "q41_percentiles" -> (qPercentiles _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
