@@ -534,6 +534,36 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val q42 =
+    """SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS dup_key,
+      |  COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id
+      |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
+  private val q43 =
+    """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin
+
+  private val q44 =
+    s"""WITH strains AS ($strains),
+       |st AS (SELECT strain_id, strain_name FROM strains)
+       |SELECT a.strain_id AS a_id, a.strain_name AS a_name,
+       |       b.strain_id AS b_id, b.strain_name AS b_name,
+       |       CAST(levenshtein(a.strain_name, b.strain_name) AS INTEGER) AS dist
+       |FROM st a JOIN st b ON a.strain_id < b.strain_id
+       |WHERE levenshtein(a.strain_name, b.strain_name) <= 4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private val q45 =
+    """SELECT source,
+      |  COUNT(*) FILTER (WHERE lang = 'de') AS de,
+      |  COUNT(*) FILTER (WHERE lang = 'en') AS en,
+      |  COUNT(*) FILTER (WHERE lang = 'es') AS es,
+      |  COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+      |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -581,5 +611,9 @@ object OracleSql {
     "q38_asof_purchase" -> q38,
     "q39_rollup_revenue" -> q39,
     "q40_running_revenue" -> q40,
-    "q41_percentiles" -> q41)
+    "q41_percentiles" -> q41,
+    "q42_dedup_normalized" -> q42,
+    "q43_hourly_profile" -> q43,
+    "q44_name_similarity" -> q44,
+    "q45_pivot_lang_counts" -> q45)
 }

@@ -455,6 +455,50 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Exact dedup on a NORMALIZED key (lowercase, trimmed, whitespace
+    * collapsed) — the practical form of the reference's insert-if-
+    * absent keyed on cleaned strain names (Scraper.py:402-412). */
+  private def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      Tables.documents(s, dir),
+      regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+      col("doc_id"))
+      .orderBy("keeper_id")
+
+  /** Time-dimension extraction: hourly activity profile. */
+  private def qHourlyProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy("hour_of_day")
+
+  /** Edit-distance name similarity over the strain dimension (fuzzy
+    * matching — the cleanup step a scraped-name pipeline needs). */
+  private def qNameSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val st = Emotions.strainsWide(s, dir).select("strain_id", "strain_name")
+    val a = st.toDF("a_id", "a_name")
+    val b = st.toDF("b_id", "b_name")
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 4)
+      .select("a_id", "a_name", "b_id", "b_name", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Long→wide pivot: document counts per (source, lang). */
+  private def qPivotLangCounts(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    langs.foldLeft(p) { (d, l) =>
+      d.withColumn(l, coalesce(col(l), lit(0L)))
+    }.orderBy("source")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -499,7 +543,11 @@ object SparkEntry {
       "q38_asof_purchase" -> (qAsofPurchase _),
       "q39_rollup_revenue" -> (qRollupRevenue _),
       "q40_running_revenue" -> (qRunningRevenue _),
-      "q41_percentiles" -> (qPercentiles _))
+      "q41_percentiles" -> (qPercentiles _),
+      "q42_dedup_normalized" -> (qDedupNormalized _),
+      "q43_hourly_profile" -> (qHourlyProfile _),
+      "q44_name_similarity" -> (qNameSimilarity _),
+      "q45_pivot_lang_counts" -> (qPivotLangCounts _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -48,6 +48,31 @@ class ScaleSpec extends SparkSpec {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("partitioned parquet writes enable partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf)
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"lang" === "de")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang#") && scan.contains("= de"),
+      s"partition filter not pushed:\n$scan")
+    // only the de partition directory is read
+    val expected = Tables.documents(spark, sf).filter($"lang" === "de").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("shinglePostings (codegen path) equals the array-expression shingles") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val fast = operators.Dedup.shinglePostings(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    val slow = docs
+      .select($"doc_id", explode(operators.Dedup.shingles($"text", 3)).as("shingle"))
+      .distinct().as[(Long, String)].collect().toSet
+    assert(fast == slow)
+  }
+
   test("small dimension joins broadcast under the default threshold") {
     val joined = Tables.customer(spark, sf)
       .join(Tables.nation(spark, sf),
