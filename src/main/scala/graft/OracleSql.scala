@@ -564,6 +564,28 @@ object OracleSql {
       |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Connected components via recursive label walk: every node's
+    * cluster is the min id reachable through the symmetric edge set. */
+  private val q47 =
+    s"""WITH RECURSIVE pairs AS ($q32),
+       |sym AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b AS src, a AS dst FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, w.label FROM sym s JOIN walk w ON w.node = s.dst)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
+  private val q48 =
+    """SELECT e.event_type, CAST(length(e.event_type) AS INTEGER) AS type_weight,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
+      |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -615,5 +637,7 @@ object OracleSql {
     "q42_dedup_normalized" -> q42,
     "q43_hourly_profile" -> q43,
     "q44_name_similarity" -> q44,
-    "q45_pivot_lang_counts" -> q45)
+    "q45_pivot_lang_counts" -> q45,
+    "q47_dup_clusters" -> q47,
+    "q48_salted_join" -> q48)
 }

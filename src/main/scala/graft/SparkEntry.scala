@@ -499,6 +499,43 @@ object SparkEntry {
     }.orderBy("source")
   }
 
+  /** IVF approximate nearest neighbor: k-means coarse quantizer (2
+    * Lloyd iterations, deterministic init) + probed search. Approximate
+    * → rows-only check; recall vs brute force pinned in IvfSpec. */
+  private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("vn", Similarity.l2normalize(col("embedding")))
+    val corpus = emb.select(col("vec_id").as("cid"), col("vn").as("cvec"))
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("vn").as("qvec"))
+    val vectors = emb.select(col("vec_id").as("id"), col("vn").as("vec"))
+    val centroids = IvfIndex.train(s, vectors, k = 8, iters = 2, dims = 64)
+    IvfIndex.search(s, queries, corpus, centroids, nProbe = 3, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Duplicate clusters: connected components over embedding near-dup
+    * edges, min-id canonical per component. */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame =
+    DuplicateClusters.resolve(
+      Similarity.cosineNearDupPairs(s, Tables.embeddings(s, dir), 0.4)
+        .select("a", "b"))
+      .orderBy("doc_id")
+
+  /** Skew-aware salted join (result-identical to the plain equi join). */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")))
+    SkewAgg.saltedJoin(ev, dim, "event_type",
+      saltSource = col("event_id"), salts = 8)
+      .groupBy(col("event_type"), col("type_weight"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -547,7 +584,10 @@ object SparkEntry {
       "q42_dedup_normalized" -> (qDedupNormalized _),
       "q43_hourly_profile" -> (qHourlyProfile _),
       "q44_name_similarity" -> (qNameSimilarity _),
-      "q45_pivot_lang_counts" -> (qPivotLangCounts _))
+      "q45_pivot_lang_counts" -> (qPivotLangCounts _),
+      "q46_ivf_ann" -> (qIvfAnn _),
+      "q47_dup_clusters" -> (qDupClusters _),
+      "q48_salted_join" -> (qSaltedJoin _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * coarse-quantizer index (Jégou et al., IVFADC family): k-means
+  * centroids partition the corpus into lists; a query scores only the
+  * `nProbe` lists whose centroids are nearest.
+  *
+  * Training is a few Lloyd iterations, fully distributed: assign =
+  * argmin-distance join (cross with the tiny centroid set, window
+  * argmin), update = centroidsLong-style mean per cluster.
+  * Deterministic: centroids initialize from the `k` lowest vec_ids.
+  *
+  * Scale shape: corpus stays put; each query joins to its probed
+  * partitions only — the cross product shrinks by ~k/nProbe. At 100 TB
+  * the lists are bucketed/partitioned by centroid id on storage.
+  */
+object IvfIndex {
+
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    // squared L2 via the native cosine building blocks: |a|²+|b|²-2a·b
+    // is fine, but a fused expression keeps one pass; reuse cosine's
+    // dot via zip_with (interpreted) only on the tiny centroid join.
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign each vector to its nearest centroid.
+    * vectors: (id, vec); centroids: (cluster_id, cvec) — tiny,
+    * broadcast. Output: (id, vec, cluster_id). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cluster_id"))
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations (deterministic
+    * init: the k lowest ids). Returns (cluster_id, cvec). */
+  def train(spark: SparkSession, vectors: DataFrame, k: Int,
+            iters: Int, dims: Int): DataFrame = {
+    import spark.implicits._
+    var centroids = vectors.orderBy(col("id")).limit(k)
+      .orderBy(col("id"))
+      .select(col("vec"))
+      .as[Array[Float]].collect().zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq.toDF("cluster_id", "cvec")
+    (0 until iters).foreach { _ =>
+      val assigned = assign(vectors, centroids)
+      val means = VectorMean
+        .centroidsLong(assigned.withColumnRenamed("cluster_id", "label"),
+          "label", "vec")
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("avg_value")))),
+          s => s.getField("avg_value").cast("float")).as("cvec"))
+        .select(col("label").as("cluster_id"), col("cvec"))
+      centroids = means
+    }
+    centroids
+  }
+
+  /** IVF top-k search: probe the `nProbe` nearest centroid lists.
+    * queries: (qid, qvec); corpus: (cid, cvec).
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def search(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+             centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    // corpus partitioned into lists
+    val lists = assign(
+      corpus.select(col("cid").as("id"), col("cvec").as("vec")), centroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        col("cluster_id"))
+    // per query: its nProbe nearest centroids
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cluster_id"))
+    // score only probed lists
+    val scored = probes.join(lists, Seq("cluster_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}

@@ -185,6 +185,15 @@ object Similarity {
       .toDF("a", "b", "sim")
   }
 
+  /** L2-normalize a float-vector column (unit sphere) — cosine ranking
+    * becomes L2 ranking, the precondition for IVF/k-means quantizers
+    * over a cosine metric. */
+  def l2normalize(vec: Column): Column = {
+    val n = sqrt(aggregate(transform(vec, x => x.cast("double") * x),
+      lit(0.0), (acc, v) => acc + v))
+    transform(vec, x => (x.cast("double") / n).cast("float"))
+  }
+
   /** Deterministic pseudo-random hyperplane component, derived from
     * (plane, dim) by integer hashing — reproducible in any engine. */
   private def planeComponent(plane: Int, dim: Int): Double = {

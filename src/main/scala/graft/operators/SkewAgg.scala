@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewAgg {
 
+  /** Skew-aware join: replicate the SMALL side across `salts` copies
+    * and salt the big side's key by a deterministic row hash, so one
+    * hot key's rows spread over `salts` reducers. Result-identical to
+    * the plain equi join. (AQE's skew-join split handles sort-merge
+    * cases at runtime; explicit salting is the portable form and works
+    * for any join type.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltSource: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+    val replicated = small
+      .withColumn("_salt", explode(lit((0 until salts).toArray)))
+    saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-phase sum/count per key, salted by a deterministic row hash. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      saltSource: Column, salts: Int): DataFrame = {
