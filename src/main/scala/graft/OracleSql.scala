@@ -586,6 +586,19 @@ object OracleSql {
       |JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
       |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
 
+  /** The oracle is the plain theta join — same rows as the bucketed
+    * equi-join implementation. */
+  private val q50 =
+    """WITH bands AS (
+      |  SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+      |  FROM range(0, 12) t(i))
+      |SELECT band_id, lo, hi, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS band_revenue
+      |FROM orders JOIN bands
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -639,5 +652,6 @@ object OracleSql {
     "q44_name_similarity" -> q44,
     "q45_pivot_lang_counts" -> q45,
     "q47_dup_clusters" -> q47,
-    "q48_salted_join" -> q48)
+    "q48_salted_join" -> q48,
+    "q50_price_bands" -> q50)
 }

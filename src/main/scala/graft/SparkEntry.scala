@@ -536,6 +536,33 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Sketch-based distinct counting (HLL++): approximate → rows-only
+    * check; the error bound is pinned in IvfSpec. */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02)
+          .as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Range (band) join via bucketed equi-join: orders priced into
+    * deterministic bands. */
+  private def qPriceBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 12).toDF("band_id")
+      .select(col("band_id"),
+        (col("band_id") * 50000.0).as("lo"),
+        ((col("band_id") + 1) * 50000.0).as("hi"))
+    RangeJoin.byBucket(
+      Tables.orders(s, dir), "o_totalprice", bands, "lo", "hi",
+      bucketWidth = 25000.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("band_revenue"))
+      .orderBy("band_id")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -587,7 +614,9 @@ object SparkEntry {
       "q45_pivot_lang_counts" -> (qPivotLangCounts _),
       "q46_ivf_ann" -> (qIvfAnn _),
       "q47_dup_clusters" -> (qDupClusters _),
-      "q48_salted_join" -> (qSaltedJoin _))
+      "q48_salted_join" -> (qSaltedJoin _),
+      "q49_approx_distinct" -> (qApproxDistinct _),
+      "q50_price_bands" -> (qPriceBands _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

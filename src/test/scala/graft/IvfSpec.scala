@@ -40,6 +40,32 @@ class IvfSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("approx_count_distinct is within the configured error bound") {
+    val li = Tables.lineitem(spark, sf)
+    val approx = li.agg(
+      approx_count_distinct($"l_partkey", rsd = 0.02).as("a"))
+      .as[Long].head()
+    val exact = li.select($"l_partkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("bucketed range join equals the theta join") {
+    val bands = spark.range(0, 12).toDF("band_id")
+      .select($"band_id", ($"band_id" * 50000.0).as("lo"),
+        (($"band_id" + 1) * 50000.0).as("hi"))
+    val orders = Tables.orders(spark, sf)
+    val bucketed = operators.RangeJoin
+      .byBucket(orders, "o_totalprice", bands, "lo", "hi", 25000.0)
+      .select("o_orderkey", "band_id")
+      .orderBy("o_orderkey").collect().toSeq
+    val theta = orders.join(bands,
+      $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .select("o_orderkey", "band_id")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(bucketed == theta)
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sf)
     val dim = ev.select($"event_type").distinct()
