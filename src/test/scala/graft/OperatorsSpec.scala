@@ -94,6 +94,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
   }
 
+  // --- Empty-input edges -------------------------------------------------
+  test("operators behave on empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 3)
+      .count() == 0)
+    assert(operators.MinHashLSH.nearDuplicates(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val emptyLong = Seq.empty[(Long, String, Double)]
+      .toDF("episode_id", "emotion", "score")
+    val emptyTop2 = operators.Matching.top2Emotions(emptyLong, "episode_id")
+    val strains = Seq((1L, "happy", 0.5)).toDF("strain_id", "emotion", "score")
+    assert(operators.Matching.greedyMatch(spark, emptyTop2, strains, 10)
+      .count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(operators.DuplicateClusters.resolve(emptyEdges).count() == 0)
+  }
+
   // --- As-of join --------------------------------------------------------
   test("asOf picks most recent right row at-or-before, null when none") {
     val left = Seq((10L, 1L, 100L), (11L, 1L, 5L), (12L, 2L, 50L))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming semantics beyond the synchronous drivers: multi-batch
+  * incremental processing and watermark-gated append mode. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append mode emits a window only after the watermark passes it") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    // batch 1: events in the 10:00 and 10:10 five-minute windows
+    Seq((1L, ts(1)), (2L, ts(3)), (3L, ts(11)))
+      .toDF("event_id", "ts").write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "100")
+      .parquet(dir)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+    val name = "graft_stream_wm"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // watermark after batch1 = 10:11 - 5min = 10:06 → only the
+      // 10:00-10:05 window is final
+      val after1 = spark.table(name).as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      assert(after1.keySet.map(_.toString) == Set("2024-01-01 10:00:00.0"))
+      assert(after1.values.toSeq == Seq(2L))
+
+      // batch 2: a LATE event for the already-finalized 10:00 window
+      // (dropped) and a fresh event advancing the watermark past 10:10
+      Seq((4L, ts(2)), (5L, ts(21)))
+        .toDF("event_id", "ts").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val after2 = spark.table(name).as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      // 10:10 window emitted with only event 3; late event 4 did NOT
+      // reopen the 10:00 window
+      assert(after2.keySet.map(_.toString) ==
+        Set("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"))
+      assert(after2(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+      assert(after2(java.sql.Timestamp.valueOf("2024-01-01 10:10:00")) == 1L)
+    } finally q.stop()
+  }
+}
