@@ -243,7 +243,9 @@ object OracleSql {
        |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
        |    / len(w) AS avg_word_len,
        |  CAST(len(list_filter(w, x -> list_contains($enStop, x))) AS DOUBLE)
-       |    / len(w) AS stopword_ratio
+       |    / len(w) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(lower(text),
+       |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INTEGER) AS n_bpe_tokens
        |FROM ws ORDER BY doc_id""".stripMargin
 
   private val q17 =

@@ -28,9 +28,17 @@ object TextAnalysis {
   private def countIn(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isin(list.map(_.asInstanceOf[Any]): _*)))
 
+  /** GPT2-style pre-tokenizer pattern, simplified to the lookahead-free
+    * subset so Java (Spark) and RE2 (DuckDB and most tokenizer libs)
+    * agree: an optional leading space then a letter run, digit run, or
+    * punctuation run. Counting its matches approximates BPE
+    * pre-tokenization cost — the "how many tokens is this corpus"
+    * estimator a training pipeline budgets with. */
+  val bpeIshPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
   /** Token/char statistics per document:
     * (id, n_words, n_chars_obs, n_distinct_words, avg_word_len,
-    * stopword_ratio). */
+    * stopword_ratio, n_bpe_tokens). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     docs.select(
@@ -41,7 +49,9 @@ object TextAnalysis {
       (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
         / size(ws)).as("avg_word_len"),
       (countIn(ws, stopwords("en")).cast("double") / size(ws))
-        .as("stopword_ratio"))
+        .as("stopword_ratio"),
+      size(regexp_extract_all(lower(col(textCol)), lit(bpeIshPattern), lit(0)))
+        .as("n_bpe_tokens"))
   }
 
   /** Heuristic quality score in [0,1]: rewards mid-length documents,
