@@ -601,6 +601,45 @@ object OracleSql {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 
+  private val q51 =
+    """SELECT event_type,
+      |  CAST(MIN(k) AS INTEGER) AS min_k,
+      |  CAST(MAX(k) AS INTEGER) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(*) FILTER (WHERE k IS NULL) AS n_null
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val q52 =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+       |      / len(w) AS mean_len,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
+       |    len(list_filter(w, x -> list_contains($enStop, x))) AS stop_hits
+       |  FROM ws)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       |  n_words >= 10 AND n_words <= 1000 AS ok_length,
+       |  mean_len >= 2.0 AND mean_len <= 12.0 AS ok_word_len,
+       |  stop_hits >= 1 AS ok_stopwords,
+       |  diversity >= 0.1 AS ok_diversity,
+       |  (n_words >= 10 AND n_words <= 1000)
+       |    AND (mean_len >= 2.0 AND mean_len <= 12.0)
+       |    AND stop_hits >= 1 AND diversity >= 0.1 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private val q53 =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -655,5 +694,8 @@ object OracleSql {
     "q45_pivot_lang_counts" -> q45,
     "q47_dup_clusters" -> q47,
     "q48_salted_join" -> q48,
-    "q50_price_bands" -> q50)
+    "q50_price_bands" -> q50,
+    "q51_events_json_typed" -> q51,
+    "q52_quality_filter" -> q52,
+    "q53_cube_counts" -> q53)
 }

@@ -563,6 +563,37 @@ object SparkEntry {
       .orderBy("band_id")
   }
 
+  /** Typed JSON extraction over the events props column (F9 via
+    * from_json with an explicit schema, not regex). */
+  private def qEventsJsonTyped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("props_t",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("props_t.k")).as("min_k"),
+        max(col("props_t.k")).as("max_k"),
+        sum(col("props_t.k")).cast("bigint").as("sum_k"),
+        count(when(col("props_t.k").isNull, 1)).as("n_null"))
+      .orderBy("event_type")
+
+  /** Gopher-style corpus quality gate: per-rule booleans + keep flag. */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Cube aggregation (all grouping-set combinations). */
+  private def qCubeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -616,7 +647,10 @@ object SparkEntry {
       "q47_dup_clusters" -> (qDupClusters _),
       "q48_salted_join" -> (qSaltedJoin _),
       "q49_approx_distinct" -> (qApproxDistinct _),
-      "q50_price_bands" -> (qPriceBands _))
+      "q50_price_bands" -> (qPriceBands _),
+      "q51_events_json_typed" -> (qEventsJsonTyped _),
+      "q52_quality_filter" -> (qQualityFilter _),
+      "q53_cube_counts" -> (qCubeCounts _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

@@ -100,6 +100,30 @@ object TextAnalysis {
       .drop("ws")
   }
 
+  /** Gopher-style document-quality FILTERS (Rae et al. '21 rules,
+    * simplified to this corpus's features): keep documents whose word
+    * count, mean word length, stopword presence, and lexical diversity
+    * fall in sane bands. Returns per-rule booleans plus the conjunction
+    * — the standard pre-training corpus gate. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val diversity = size(array_distinct(ws)).cast("double") / nWords
+    val stopHits = countIn(ws, stopwords("en"))
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      (nWords >= 10 && nWords <= 1000).as("ok_length"),
+      (meanLen >= 2.0 && meanLen <= 12.0).as("ok_word_len"),
+      (stopHits >= 1).as("ok_stopwords"),
+      (diversity >= 0.1).as("ok_diversity"))
+      .withColumn("keep",
+        col("ok_length") && col("ok_word_len")
+          && col("ok_stopwords") && col("ok_diversity"))
+  }
+
   /** Rolling polynomial fingerprint over word-level codes — the
     * document-fingerprinting primitive (content-defined hashing).
     * code(w) = ascii(first char)·37 + len(w); h = fold (h·31 + code) mod 2^20.
