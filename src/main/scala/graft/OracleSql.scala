@@ -640,6 +640,88 @@ object OracleSql {
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
       .stripMargin
 
+  private val q54 =
+    """SELECT doc_id, lang, source, CAST(sample_rank AS INTEGER) AS sample_rank
+      |FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY (doc_id % 2147483647) * 2654435761 % 2147483647 ASC,
+      |               doc_id ASC) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin
+
+  private val q55 =
+    """SELECT event_id,
+      |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS INTEGER)
+      |    AS n_redacted,
+      |  regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private val q56 =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |       GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term ASC)
+      |      AS term_rank
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score,
+      |  CAST(term_rank AS INTEGER) AS term_rank
+      |FROM scored WHERE term_rank <= 3
+      |ORDER BY doc_id, term_rank""".stripMargin
+
+  private val q57 =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS tokens_before,
+      |  CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 10000) AS BIGINT)
+      |    AS shard_id
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY doc_id""".stripMargin
+
+  private val q58 =
+    s"""WITH ws AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
+       |    CAST(len(list_filter(w, x -> list_contains($enStop, x))) AS DOUBLE)
+       |      / len(w) AS stop_ratio,
+       |    least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS length_score
+       |  FROM ws),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    round(length_score * 0.4 + diversity * 0.4
+       |          + least(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+       |  FROM m),
+       |ranked AS (
+       |  SELECT doc_id, quality,
+       |    row_number() OVER (PARTITION BY text
+       |      ORDER BY quality DESC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY text) AS dup_count
+       |  FROM q)
+       |SELECT doc_id, dup_count, quality FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  private val q59 =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val q60 =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -697,5 +779,12 @@ object OracleSql {
     "q50_price_bands" -> q50,
     "q51_events_json_typed" -> q51,
     "q52_quality_filter" -> q52,
-    "q53_cube_counts" -> q53)
+    "q53_cube_counts" -> q53,
+    "q54_quota_sample" -> q54,
+    "q55_pii_scrub" -> q55,
+    "q56_tfidf_top_terms" -> q56,
+    "q57_shard_packing" -> q57,
+    "q58_dedup_reps" -> q58,
+    "q59_stream_enrich" -> q59,
+    "q60_stream_dedup" -> q60)
 }

@@ -594,6 +594,57 @@ object SparkEntry {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Per-stratum quota sampling — cap every (lang, source) cell at 5
+    * docs, chosen by deterministic scrambled-id order. */
+  private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    Curation.quotaSample(Tables.documents(s, dir), "doc_id",
+        Seq("lang", "source"), n = 5)
+      .select("doc_id", "lang", "source", "sample_rank")
+      .orderBy("doc_id")
+
+  /** PII-style scrub: redact digit runs in the event props payload,
+    * reporting per-row hit counts. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Tables.events(s, dir), "props",
+        pattern = "[0-9]{2,}", token = "<NUM>")
+      .select("event_id", "n_redacted", "redacted")
+      .orderBy("event_id")
+
+  /** TF-IDF top-3 salient terms per document (linear idf). */
+  private def qTfIdfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "term_rank")
+
+  /** Token-budget shard packing per source (n_chars as the budget
+    * unit; 10k per shard). */
+  private def qShardPacking(s: SparkSession, dir: String): DataFrame =
+    Curation.packByTokenBudget(Tables.documents(s, dir),
+        groupCol = "source", orderCol = "doc_id", tokensCol = "n_chars",
+        budget = 10000L)
+      .select("doc_id", "source", "n_chars", "tokens_before", "shard_id")
+      .orderBy("doc_id")
+
+  /** Dedup-representative election: among exact-duplicate texts keep
+    * the highest-quality copy (ties → min doc_id). */
+  private def qDedupReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val joined = docs.select("doc_id", "text").join(quality, Seq("doc_id"))
+    Curation.electRepresentatives(joined, keyCol = "text",
+        idCol = "doc_id", scoreCol = "quality")
+      .select("doc_id", "dup_count", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Streaming stream-static enrichment join (complete mode). */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    EventsStream.enrichedSegmentTotals(s, dir).orderBy("c_mktsegment")
+
+  /** Streaming exact dedup via dropDuplicates state. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    EventsStream.distinctUserTypePairs(s, dir).orderBy("event_type")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -650,7 +701,14 @@ object SparkEntry {
       "q50_price_bands" -> (qPriceBands _),
       "q51_events_json_typed" -> (qEventsJsonTyped _),
       "q52_quality_filter" -> (qQualityFilter _),
-      "q53_cube_counts" -> (qCubeCounts _))
+      "q53_cube_counts" -> (qCubeCounts _),
+      "q54_quota_sample" -> (qQuotaSample _),
+      "q55_pii_scrub" -> (qPiiScrub _),
+      "q56_tfidf_top_terms" -> (qTfIdfTopTerms _),
+      "q57_shard_packing" -> (qShardPacking _),
+      "q58_dedup_reps" -> (qDedupReps _),
+      "q59_stream_enrich" -> (qStreamEnrich _),
+      "q60_stream_dedup" -> (qStreamDedup _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

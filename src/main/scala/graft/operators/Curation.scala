@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: quota sampling, token-budget
+  * shard packing, and duplicate-representative election. These extend
+  * the reference's capability surface (its closest analog is the
+  * 300-strain scrape cap, Scraper.py:364-365 — a crude global quota)
+  * toward what a 100 TB pre-training pipeline actually runs.
+  *
+  * Scale shape: every operator is a window over a BOUNDED partition
+  * (stratum / source / duplicate group) — no global sorts, no driver
+  * state. The only shuffle is the hash partition on the grouping key.
+  */
+object Curation {
+
+  /** Deterministic scrambled ordering key: a fixed odd multiplier over
+    * the id folded into [0, 2^31-1). Reduce-then-multiply keeps the
+    * product < 2^63 for ANY bigint id (Spark 4 ANSI mode makes
+    * overflow an error, and the same expression must run verbatim in
+    * the DuckDB oracle). A keyed hash, not a RNG: sampling is
+    * reproducible across runs, engines, and partitionings. */
+  def scrambleKey(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
+
+  /** Per-stratum quota sampling: keep at most `n` rows from each
+    * stratum, chosen by the scrambled-id order (uniform-ish but fully
+    * deterministic — the curation move "cap every (lang, source) cell
+    * so no domain dominates the training mix").
+    *
+    * One hash shuffle on the strata; WindowGroupLimit prunes each
+    * partition to its top-n BEFORE the exchange, so shuffle volume is
+    * O(strata × n), not O(rows) — survives arbitrarily large strata. */
+  def quotaSample(df: DataFrame, idCol: String, strata: Seq[String],
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(scrambleKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Token-budget shard packing: within each `groupCol` (a natural
+    * corpus partition — source, date, crawl snapshot), lay documents
+    * end-to-end in `orderCol` order and cut a new shard every `budget`
+    * tokens: shard_id = floor(tokens-before-this-doc / budget). The
+    * standard "pack documents into ~equal training shards" step.
+    *
+    * Contiguous first-fit, not bin-packing — deterministic, one pass,
+    * and the per-group running sum is a partition-local window (never
+    * the single-partition global-window trap). */
+  def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tokens_before",
+        sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("shard_id", floor(col("tokens_before") / budget))
+  }
+
+  /** Duplicate-representative election: among rows sharing `keyCol`
+    * (an exact-dup text key or a resolved near-dup cluster id), keep
+    * the one with the highest `scoreCol` (ties → smallest `idCol`).
+    * The curation step after dedup detection: "of these N copies,
+    * which single document enters the corpus?" — by quality, not by
+    * arrival order (contrast the reference's keep-first-seen upsert,
+    * Scraper.py:409-412). */
+  def electRepresentatives(df: DataFrame, keyCol: String, idCol: String,
+                           scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

@@ -124,6 +124,20 @@ object TextAnalysis {
           && col("ok_stopwords") && col("ok_diversity"))
   }
 
+  /** PII-style pattern redaction: replace every match of `pattern`
+    * with `token` and report how many were hit — the scrubbing pass a
+    * training pipeline runs before anything else (emails, phone
+    * numbers, long digit runs). Pure codegen'd regex ops, one
+    * map-only stage: no shuffle, scales linearly with corpus bytes.
+    * The pattern must avoid lookaround so Java regex (Spark) and RE2
+    * (DuckDB et al.) agree. */
+  def redact(df: DataFrame, textCol: String, pattern: String,
+             token: String): DataFrame =
+    df.withColumn("n_redacted",
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(col(textCol), pattern, token))
+
   /** Rolling polynomial fingerprint over word-level codes — the
     * document-fingerprinting primitive (content-defined hashing).
     * code(w) = ascii(first char)·37 + len(w); h = fold (h·31 + code) mod 2^20.

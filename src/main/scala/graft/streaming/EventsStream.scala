@@ -16,6 +16,66 @@ import org.apache.spark.sql.functions._
   */
 object EventsStream {
 
+  /** The event file as a stream, ts normalized to microseconds —
+    * shared plumbing for every streaming query here. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink table. */
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Stream-static enrichment: the event stream joined to the static
+    * customer dimension (broadcast — the dim is small and the join
+    * adds NO stream state), aggregated per market segment. The
+    * streaming twin of the batch dim join (SURVEY.md J1/J3): identical
+    * results, incremental execution. */
+  def enrichedSegmentTotals(spark: SparkSession, dir: String): DataFrame = {
+    val customers = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(spark, dir)
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value_dec"))
+    runToMemory(spark, agg, "graft_stream_enrich", "complete")
+      .select(col("c_mktsegment"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+  }
+
+  /** Streaming exact dedup: distinct (user_id, event_type) pairs via
+    * `dropDuplicates` over the stream (state = one entry per key — the
+    * incremental form of batch DISTINCT; at 100 TB the same code runs
+    * with `dropDuplicatesWithinWatermark` to bound the state store),
+    * then a batch rollup of the emitted pairs. Projecting to exactly
+    * the key columns first makes the surviving row per key unique, so
+    * the result is partition-order independent. */
+  def distinctUserTypePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, pairs, "graft_stream_dedup", "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+  }
+
   /** Daily event counts + value sums per event_type, computed by a
     * streaming query over `<dir>/events.parquet`, returned as a batch
     * DataFrame once the file is fully processed. */

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, TextAnalysis, TfIdf}
+
+/** Curation operators: quota sampling, shard packing, representative
+  * election, TF-IDF, redaction — fixture-pinned semantics plus
+  * partition-count determinism. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    Seq((1L, "a", "s1"), (2L, "a", "s1"), (3L, "a", "s1"),
+        (4L, "a", "s2"), (5L, "b", "s1"), (6L, "b", "s1"))
+      .toDF("doc_id", "lang", "source")
+
+  test("quotaSample caps every stratum and is partition-count invariant") {
+    val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
+    val perStratum = out.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    assert(perStratum.values.forall(_ <= 2))
+    assert(perStratum(("a", "s1")) == 2) // 3 candidates → capped
+    assert(perStratum(("a", "s2")) == 1) // fewer than quota → all kept
+    val once = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val again = Curation
+      .quotaSample(docs.repartition(7), "doc_id", Seq("lang", "source"), 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(once == again, "sample must not depend on partitioning")
+  }
+
+  test("packByTokenBudget cuts shards at the running-total boundary") {
+    val d = Seq((1L, "s", 4000L), (2L, "s", 4000L), (3L, "s", 4000L),
+        (4L, "s", 9000L), (5L, "s", 500L), (6L, "t", 20000L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation
+      .packByTokenBudget(d, "source", "doc_id", "n_chars", 10000L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // s: before = 0, 4000, 8000, 12000, 21000 → shards 0,0,0,1,2
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L,
+      6L -> 0L))
+  }
+
+  test("electRepresentatives keeps the best-scored row, min id on ties") {
+    val d = Seq((1L, "x", 0.5), (2L, "x", 0.9), (3L, "x", 0.9),
+        (4L, "y", 0.1))
+      .toDF("doc_id", "text", "quality")
+    val out = Curation.electRepresentatives(d, "text", "doc_id", "quality")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 3L, 4L -> 1L)) // id 2 beats 3 on the tie
+  }
+
+  test("TfIdf ranks rare terms above ubiquitous ones") {
+    val d = Seq((1L, "rare common common"), (2L, "common common common"),
+        (3L, "common other other"))
+      .toDF("doc_id", "text")
+    val top = TfIdf.topTerms(d, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // doc 1: rare (df=1, score 3) beats common (tf=2, df=3, score 2)
+    assert(top(1L) == "rare")
+    assert(top(3L) == "other")
+    val scored = TfIdf.topTerms(d, "doc_id", "text", 3)
+      .filter($"doc_id" === 1L && $"term" === "rare")
+      .select("score").as[Double].head()
+    assert(scored == 3.0) // tf 1 × N 3 / df 1
+  }
+
+  test("redact replaces every match and counts them") {
+    val d = Seq((1L, "call 415-555-0199 or 650-555-0123"),
+        (2L, "no digits here")).toDF("id", "t")
+    val out = TextAnalysis.redact(d, "t", "[0-9]{3,}", "<NUM>")
+      .select("id", "n_redacted", "redacted")
+      .as[(Long, Int, String)].collect()
+      .map { case (i, n, r) => i -> ((n, r)) }.toMap
+    assert(out(1L) == ((6, "call <NUM>-<NUM>-<NUM> or <NUM>-<NUM>-<NUM>")))
+    assert(out(2L) == ((0, "no digits here")))
+  }
+}

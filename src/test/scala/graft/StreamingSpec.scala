@@ -52,4 +52,58 @@ class StreamingSpec extends SparkSpec {
       assert(after2(java.sql.Timestamp.valueOf("2024-01-01 10:10:00")) == 1L)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink stays idempotent across batches") {
+    // The streaming twin of the reference's insert-if-absent load
+    // (Scraper.py:409-412): each micro-batch is anti-joined against
+    // the sink before appending, so replayed keys never duplicate.
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val sink = Files.createTempDirectory("graft_stream_sink").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    // seed the sink so batch 1 already overlaps it
+    Seq((2L, "b")).toDF("k", "v").write.mode("append").parquet(sink)
+
+    val q = spark.readStream.schema("k LONG, v STRING").parquet(src)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val existing = batch.sparkSession.read.parquet(sink).select("k")
+          graft.operators.Joins
+            .newRows(existing, batch, Seq("k"))
+            .write.mode("append").parquet(sink)
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2 replays key 1 and adds key 3
+      Seq((1L, "a"), (3L, "c")).toDF("k", "v")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup + stream-static join match their batch twins") {
+    val dir = sf
+    val streamed = graft.streaming.EventsStream
+      .distinctUserTypePairs(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+
+    val enriched = graft.streaming.EventsStream
+      .enrichedSegmentTotals(spark, dir)
+      .select("c_mktsegment", "n_events")
+      .as[(String, Long)].collect().toMap
+    val batchJoin = Tables.events(spark, dir)
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(enriched == batchJoin)
+  }
 }
