@@ -1,0 +1,16 @@
+package graft
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    for (n <- args) {
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -47,7 +47,15 @@ object Dedup {
     * interpreted higher-order function — fine for per-row use, ~50×
     * slower than this shape when the whole corpus is shingled. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
+                      n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n).distinct()
+
+  /** As [[shinglePostings]] but WITHOUT the distinct — one row per
+    * shingle OCCURRENCE. Consumers whose math is multiset-invariant
+    * (MinHash: min over a multiset equals min over its set) use this
+    * directly and skip the full-corpus distinct shuffle. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val tokens = docs.select(col(idCol).as("doc_id"),
@@ -59,7 +67,6 @@ object Dedup {
     leads
       .filter(parts.last.isNotNull)
       .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
   }
 
   /** Posting list (optionally hot-shingle-pruned) + per-doc distinct

@@ -48,7 +48,7 @@ object MinHashLSH {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, k: Int): DataFrame =
     signaturesFromPostings(
-      Dedup.shinglePostings(docs, idCol, textCol, shingleN), k)
+      Dedup.shingleRows(docs, idCol, textCol, shingleN), k)
 
   /** Candidate pairs (a < b) from banded LSH over the signatures. */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
@@ -84,12 +84,23 @@ object MinHashLSH {
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    val post = Dedup.shinglePostings(docs, idCol, textCol, shingleN)
+    // occurrence rows, NOT deduped: min-hash is multiset-invariant, so
+    // the corpus-wide distinct shuffle is pure waste here
+    val post = Dedup.shingleRows(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signaturesFromPostings(post, k)
     val cands = candidatePairs(sigs, bands, k / bands)
-    val shSets = post.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize shingle sets ONLY for docs that appear in a candidate
+    // pair (semi-join first): the verify stage costs O(candidates), not
+    // O(corpus) — at web scale candidates are a vanishing fraction.
+    // collect_set dedupes per doc (set semantics for exact Jaccard).
+    val candIds = cands.select(col("a").as("doc_id"))
+      .unionByName(cands.select(col("b").as("doc_id")))
+      .distinct()
+    val shSets = post.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sh"))
     cands
       .join(shSets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(shSets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
