@@ -722,6 +722,18 @@ object OracleSql {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val q61 =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(RANK() OVER (
+      |    ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, n_name)
+      |    AS INTEGER) AS rnk
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY rnk""".stripMargin
+
   private val q27 =
     """SELECT s_suppkey, s_name, s_nationkey,
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS s_acctbal
@@ -786,5 +798,6 @@ object OracleSql {
     "q57_shard_packing" -> q57,
     "q58_dedup_reps" -> q58,
     "q59_stream_enrich" -> q59,
-    "q60_stream_dedup" -> q60)
+    "q60_stream_dedup" -> q60,
+    "q61_sql_surface" -> q61)
 }

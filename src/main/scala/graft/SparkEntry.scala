@@ -637,6 +637,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The pure-SQL surface: the same engine driven through
+    * `spark.sql` over registered views — nation revenue ranking with a
+    * windowed rank over grouped decimal sums. One statement exercises
+    * views, multi-join, grouped agg, and a window, planned by the same
+    * Catalyst pipeline as the DataFrame API (SURVEY.md §3: "SQL
+    * strings shipped to SQLite" becomes spark.sql with identical
+    * semantics to the fluent API). */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(RANK() OVER (
+          ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, n_name)
+          AS INT) AS rnk
+      FROM v_orders
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY rnk""")
+  }
+
   /** Streaming stream-static enrichment join (complete mode). */
   private def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
     EventsStream.enrichedSegmentTotals(s, dir).orderBy("c_mktsegment")
@@ -708,7 +732,8 @@ object SparkEntry {
       "q57_shard_packing" -> (qShardPacking _),
       "q58_dedup_reps" -> (qDedupReps _),
       "q59_stream_enrich" -> (qStreamEnrich _),
-      "q60_stream_dedup" -> (qStreamDedup _))
+      "q60_stream_dedup" -> (qStreamDedup _),
+      "q61_sql_surface" -> (qSqlSurface _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
