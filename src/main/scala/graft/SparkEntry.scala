@@ -637,6 +637,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Approximate quantile sketch (KLL-style, Spark's approx_percentile)
+    * per return flag — the mergeable one-pass alternative to the exact
+    * sort-based percentile (q41) when 100 TB makes exactness pointless.
+    * Rank error is bounded by 1/accuracy (spec-verified against the
+    * exact percentiles); sketch merging is associative, so the partial
+    * aggregation shuffles one sketch per partition, not the data. No
+    * DuckDB twin (sketch internals are engine-specific) → rows-only. */
+  private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)),
+          lit(10000)).as("quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** The pure-SQL surface: the same engine driven through
     * `spark.sql` over registered views — nation revenue ranking with a
     * windowed rank over grouped decimal sums. One statement exercises
@@ -733,7 +749,8 @@ object SparkEntry {
       "q58_dedup_reps" -> (qDedupReps _),
       "q59_stream_enrich" -> (qStreamEnrich _),
       "q60_stream_dedup" -> (qStreamDedup _),
-      "q61_sql_surface" -> (qSqlSurface _))
+      "q61_sql_surface" -> (qSqlSurface _),
+      "q62_approx_quantiles" -> (qApproxQuantiles _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(
