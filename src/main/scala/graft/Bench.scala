@@ -48,7 +48,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout under sbt carries [info] decoration that defeats line
+    // parsers — also drop the bare JSON at a well-known file path
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

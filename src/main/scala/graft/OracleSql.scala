@@ -293,6 +293,9 @@ object OracleSql {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors the Spark stop-shingle pruning exactly: shingles in > 50
+    * docs are dropped from candidate generation AND from the common
+    * count, while per-doc set sizes stay un-pruned. */
   private val q19 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -303,9 +306,13 @@ object OracleSql {
       |  FROM ws WHERE len(w) >= 3),
       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
       |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |rare AS (
+      |  SELECT doc_id, shingle FROM post
+      |  WHERE shingle NOT IN (
+      |    SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) > 50)),
       |pairs AS (
       |  SELECT p1.doc_id AS a, p2.doc_id AS b, COUNT(*) AS common
-      |  FROM post p1 JOIN post p2 USING (shingle)
+      |  FROM rare p1 JOIN rare p2 USING (shingle)
       |  WHERE p1.doc_id < p2.doc_id
       |  GROUP BY p1.doc_id, p2.doc_id)
       |SELECT a, b, common,

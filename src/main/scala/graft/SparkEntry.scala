@@ -210,9 +210,14 @@ object SparkEntry {
     TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** n-gram Jaccard near-dup candidates: top-20 most similar pairs. */
+  /** n-gram Jaccard near-dup candidates: top-20 most similar pairs.
+    * maxShingleFreq caps the posting-list fan-out: shingles shared by
+    * more than 50 docs are dropped from candidate generation (the
+    * standard stop-shingle skew guard — a hot shingle otherwise joins
+    * df² pairs). The oracle mirrors the same pruning predicate. */
   private def qNgramSimPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3)
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+        maxShingleFreq = 50)
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
       .limit(20)
 
@@ -474,15 +479,28 @@ object SparkEntry {
       .orderBy("hour_of_day")
 
   /** Edit-distance name similarity over the strain dimension (fuzzy
-    * matching — the cleanup step a scraped-name pipeline needs). */
+    * matching — the cleanup step a scraped-name pipeline needs).
+    *
+    * Blocked similarity join, NOT a cross join: |len(a)-len(b)| <= d is
+    * necessary for levenshtein <= d, so each left row is exploded into
+    * the 2d+1 candidate lengths and equi-joined on the right row's
+    * exact length — every true pair meets on exactly one key (len(b)),
+    * so the result is identical to the theta join (the oracle stays the
+    * plain formulation) while candidates scale with the length-band
+    * population instead of n². The refine step uses the banded
+    * levenshtein (threshold arg → O(d·n) per pair, early-exit). */
   private def qNameSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val maxDist = 4
     val st = Emotions.strainsWide(s, dir).select("strain_id", "strain_name")
     val a = st.toDF("a_id", "a_name")
+      .withColumn("blk", explode(sequence(
+        length(col("a_name")) - maxDist, length(col("a_name")) + maxDist)))
     val b = st.toDF("b_id", "b_name")
-    a.crossJoin(b)
+      .withColumn("blk", length(col("b_name")))
+    a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 4)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
+      .filter(col("dist") =!= -1)
       .select("a_id", "a_name", "b_id", "b_name", "dist")
       .orderBy("a_id", "b_id")
   }
@@ -651,6 +669,14 @@ object SparkEntry {
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)),
           lit(10000)).as("quantiles"),
         count(lit(1)).as("n"))
+      // flatten the sketch to scalar columns: downstream consumers (and
+      // any row-sorting comparator) want sortable scalars, not arrays
+      .select(col("l_returnflag"),
+        element_at(col("quantiles"), 1).as("p25"),
+        element_at(col("quantiles"), 2).as("p50"),
+        element_at(col("quantiles"), 3).as("p75"),
+        element_at(col("quantiles"), 4).as("p99"),
+        col("n"))
       .orderBy("l_returnflag")
 
   /** The pure-SQL surface: the same engine driven through

@@ -74,7 +74,8 @@ object Dedup {
     * self-join references them twice and sizes twice — without
     * persisting, Catalyst recomputes the shingle pipeline four times. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, maxShingleFreq: Int): (DataFrame, DataFrame) = {
+                       n: Int, maxShingleFreq: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val post0 = shinglePostings(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = post0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -85,7 +86,7 @@ object Dedup {
           .filter(col("df") > maxShingleFreq).select("shingle")
         post0.join(hot, Seq("shingle"), "left_anti")
       }
-    (rare, sizes)
+    (rare, sizes, post0)
   }
 
   /** Pairwise n-gram Jaccard similarity for all document pairs sharing
@@ -96,17 +97,23 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, maxShingleFreq: Int = 0): DataFrame = {
-    val (post, sizes) = postings(docs, idCol, textCol, n, maxShingleFreq)
-    val a = post.select(col("shingle"), col("doc_id").as("a"))
-    val b = post.select(col("shingle"), col("doc_id").as("b"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .select("a", "b", "common", "jaccard")
+    val (post, sizes, cached) = postings(docs, idCol, textCol, n, maxShingleFreq)
+    try {
+      val a = post.select(col("shingle"), col("doc_id").as("a"))
+      val b = post.select(col("shingle"), col("doc_id").as("b"))
+      val common = a.join(b, Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+        .withColumn("jaccard",
+          col("common") / (col("na") + col("nb") - col("common")))
+        .select("a", "b", "common", "jaccard")
+        // materialize the (candidate-bounded) pair set eagerly so the
+        // corpus-sized posting cache can be released right away instead
+        // of accumulating across repeated invocations
+        .localCheckpoint()
+    } finally cached.unpersist(false)
   }
 }

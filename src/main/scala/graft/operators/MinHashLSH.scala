@@ -158,13 +158,22 @@ object MinHashLSH {
     val sigs = signaturesFromPostings(post, k)
     val cands = candidatePairs(sigs, bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cands.select(col("a").as("doc_id"))
-      .unionByName(cands.select(col("b").as("doc_id")))
-      .distinct()
-    val shSets = post.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("sh"))
-    verifyPairs(cands, shSets, threshold)
+    try {
+      val candIds = cands.select(col("a").as("doc_id"))
+        .unionByName(cands.select(col("b").as("doc_id")))
+        .distinct()
+      val shSets = post.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("sh"))
+      // eager localCheckpoint materializes the (small) pair set and cuts
+      // lineage, so the corpus-sized caches can be dropped immediately
+      // instead of living until session end (they would otherwise pile
+      // up across repeated invocations and contend for executor memory)
+      verifyPairs(cands, shSets, threshold).localCheckpoint()
+    } finally {
+      cands.unpersist(false)
+      post.unpersist(false)
+    }
   }
 
   /** The SPARSE-duplicate shape of [[nearDuplicates]] — same output
@@ -195,15 +204,21 @@ object MinHashLSH {
       .select("a", "b")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cands.select(col("a").as("doc_id"))
-      .unionByName(cands.select(col("b").as("doc_id")))
-      .distinct()
-    val candDocs = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("_text"))
-      .join(candIds, Seq("doc_id"), "left_semi")
-    val shSets = shingleSetsKernel(candDocs, "doc_id", "_text", shingleN)
-    verifyPairs(cands, shSets, threshold)
+    try {
+      val candIds = cands.select(col("a").as("doc_id"))
+        .unionByName(cands.select(col("b").as("doc_id")))
+        .distinct()
+      val candDocs = docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("_text"))
+        .join(candIds, Seq("doc_id"), "left_semi")
+      val shSets = shingleSetsKernel(candDocs, "doc_id", "_text", shingleN)
+      // see nearDuplicates: materialize small result, release big caches
+      verifyPairs(cands, shSets, threshold).localCheckpoint()
+    } finally {
+      cands.unpersist(false)
+      inOk.unpersist(false)
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc

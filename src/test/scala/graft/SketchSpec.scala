@@ -15,7 +15,7 @@ class SketchSpec extends SparkSpec {
       .select($"l_returnflag", $"l_extendedprice").cache()
     val accuracy = 10000
     val approx = SparkEntry.queries("q62_approx_quantiles")(spark, sf)
-      .select($"l_returnflag", $"quantiles", $"n")
+      .select($"l_returnflag", array($"p25", $"p50", $"p75", $"p99"), $"n")
       .as[(String, Seq[Double], Long)].collect()
     for ((flag, qs, n) <- approx; (q, p) <- qs.zip(Seq(0.25, 0.5, 0.75, 0.99))) {
       // rank of the returned value among the group's values must be
