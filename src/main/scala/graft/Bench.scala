@@ -20,11 +20,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional subset for local A/B loops, e.g.
+    // SPARK_GRAFT_BENCH_QUERIES=q24_minhash_near_dups,q19_ngram_sim_pairs
+    val benchNames = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(SparkEntry.benchQueries)
+
     // JVM/class-loading warmup: run every headline query once at the
     // smallest SF so timed runs measure steady-state execution (Spark
     // machinery JIT'd), not first-touch initialization.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.benchQueries.foreach { name =>
+    benchNames.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -33,7 +39,7 @@ object Bench {
     // best-of-2 per query: the shared host occasionally stalls a core
     // for tens of seconds; the min of two runs measures the engine, not
     // the neighbor.
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = benchNames.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

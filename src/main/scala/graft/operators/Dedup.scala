@@ -113,7 +113,7 @@ object Dedup {
         // materialize the (candidate-bounded) pair set eagerly so the
         // corpus-sized posting cache can be released right away instead
         // of accumulating across repeated invocations
-        .localCheckpoint()
+        //AB .localCheckpoint()
     } finally cached.unpersist(false)
   }
 }
