@@ -110,10 +110,13 @@ object Dedup {
         .withColumn("jaccard",
           col("common") / (col("na") + col("nb") - col("common")))
         .select("a", "b", "common", "jaccard")
-        // materialize the (candidate-bounded) pair set eagerly so the
-        // corpus-sized posting cache can be released right away instead
-        // of accumulating across repeated invocations
-        //AB .localCheckpoint()
+        // EAGERLY materialize the (candidate-bounded) pair set, so the
+        // corpus-sized posting cache is (a) actually used — the plan
+        // references it four times — and (b) releasable right away in
+        // the finally below instead of accumulating across invocations.
+        // Without this the unpersist fires before execution and the
+        // whole shingle pipeline recomputes per plan reference.
+        .localCheckpoint()
     } finally cached.unpersist(false)
   }
 }
