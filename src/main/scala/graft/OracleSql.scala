@@ -419,20 +419,60 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Threshold filter on identically-computed doubles: the kernel's
-    * left-to-right double accumulation matches list_aggregate's. */
-  private val q32 =
-    """WITH s AS (
-      |  SELECT a.vec_id AS a, b.vec_id AS b,
-      |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-      |    / sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
-      |    / sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
-      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-      |    AS sim
-      |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
-      |SELECT a, b FROM s WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+  /** Banded random-hyperplane LSH near-dup pairs, mirrored exactly:
+    * the hyperplane constants are the engine's own
+    * `Similarity.planeComponent` values emitted as correctly-rounded
+    * double literals, projections/bucket bits accumulate in the same
+    * left-to-right order as the Spark expressions, and only same-band
+    * same-bucket pairs are cosine-verified — identical candidate set,
+    * identical sims, bit-identical hash. */
+  private val lshDims = 64
+  private val lshPlanesPerBand = 4
+  private val lshBands = 8
+
+  /** One band's bucket id (sum of disjoint sign bits == the engine's
+    * bitwise OR) as DuckDB SQL over the `embedding` column. */
+  private def bandBucketSql(band: Int): String = {
+    val bits = (0 until lshPlanesPerBand).map { p =>
+      val plane = band * lshPlanesPerBand + p
+      val cs = (0 until lshDims)
+        .map(d => "CAST('" +
+          java.lang.Double.toString(
+            graft.operators.Similarity.planeComponent(plane, d)) +
+          "' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN list_aggregate(list_transform(range(1, ${lshDims + 1}),
+         |    i -> CAST(embedding[i] AS DOUBLE) * ($cs)[i]), 'sum') >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("(", "\n + ", ")")
+  }
+
+  private def cosineSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a.embedding) + 1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), 'sum')
+       |    / sqrt(list_aggregate(list_transform(range(1, len($a.embedding) + 1),
+       |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)), 'sum'))
+       |    / sqrt(list_aggregate(list_transform(range(1, len($b.embedding) + 1),
+       |        i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), 'sum'))""".stripMargin
+
+  private val q32 = {
+    val bandSelects = (0 until lshBands).map { b =>
+      s"SELECT vec_id, $b AS band, ${bandBucketSql(b)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH banded AS (
+       |$bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |s AS (
+       |  SELECT c.a, c.b, ${cosineSql("ea", "eb")} AS sim
+       |  FROM cands c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b)
+       |SELECT a, b FROM s WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+  }
 
   private def urlSql(nameCol: String, idCol: String) =
     s"""'https://rickandmorty.fandom.com/wiki/' || regexp_replace(
@@ -750,6 +790,65 @@ object OracleSql {
       |FROM supplier WHERE s_nationkey >= 10
       |ORDER BY s_suppkey""".stripMargin
 
+  /** The CSV round-trip's fixed point: the strain list itself (S6/S7 —
+    * the sink+source pair must be lossless for header'd text data). */
+  private val q63 =
+    s"""WITH strains AS ($strains)
+       |SELECT strain_id, strain_name FROM strains
+       |ORDER BY strain_id""".stripMargin
+
+  /** Catalog introspection is engine metadata, so the oracle is the
+    * expected constant: the three registered views and their parquet
+    * schemas (Spark simpleString type names). */
+  private val q64 =
+    """SELECT * FROM (VALUES
+      |  ('cat_nation', 'n_name', 'string'),
+      |  ('cat_nation', 'n_nationkey', 'int'),
+      |  ('cat_nation', 'n_regionkey', 'int'),
+      |  ('cat_region', 'r_name', 'string'),
+      |  ('cat_region', 'r_regionkey', 'int'),
+      |  ('cat_supplier', 's_acctbal', 'double'),
+      |  ('cat_supplier', 's_name', 'string'),
+      |  ('cat_supplier', 's_nationkey', 'int'),
+      |  ('cat_supplier', 's_suppkey', 'bigint'))
+      |  t(table_name, column_name, data_type)
+      |ORDER BY table_name, column_name""".stripMargin
+
+  /** The map-explode result derives directly from part: keys are
+    * 'p<partkey>', races p_brand, flavor counts the p_type word count;
+    * counter ids by key order (binary collation in both engines). */
+  private val q65 =
+    """WITH e AS (
+      |  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS strain_key,
+      |         p_brand AS race,
+      |         len(string_split(p_type, ' ')) AS n_flavors
+      |  FROM part WHERE p_partkey <= 500)
+      |SELECT CAST(row_number() OVER (ORDER BY strain_key) AS INT) AS row_id,
+      |  strain_key, race, CAST(n_flavors AS INT) AS n_flavors
+      |FROM e ORDER BY row_id""".stripMargin
+
+  /** Identical HTML render + regexp paragraph extraction + Python
+    * slices ([3:] and [4:9]) in DuckDB — the oracle exercises the
+    * extraction semantics, not just a round-trip. */
+  private val q66 =
+    """SELECT doc_id,
+      |  CAST(len(ps) AS INT) AS n_paragraphs,
+      |  substr(array_to_string(ps[4:], ' '), 1, 200) AS body_from3,
+      |  substr(array_to_string(ps[5:9], ' '), 1, 200) AS body_4to9
+      |FROM (
+      |  SELECT doc_id,
+      |    regexp_extract_all(
+      |      '<html><body><p class="nav">nav</p><p>hdr</p><p>ad</p>' ||
+      |      array_to_string(list_transform(range(0, nchunks), i ->
+      |        '<p>' || substr(text, CAST(i * 120 + 1 AS INT), 120) || '</p>'), '') ||
+      |      '<p>footer</p></body></html>',
+      |      '(?s)<p[^>]*>(.*?)</p>', 1) AS ps
+      |  FROM (SELECT doc_id, text,
+      |          greatest(CAST(ceil(length(text) / 120.0) AS INT), 1) AS nchunks
+      |        FROM documents
+      |        WHERE octet_length(encode(text)) = length(text)))
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -806,5 +905,9 @@ object OracleSql {
     "q58_dedup_reps" -> q58,
     "q59_stream_enrich" -> q59,
     "q60_stream_dedup" -> q60,
-    "q61_sql_surface" -> q61)
+    "q61_sql_surface" -> q61,
+    "q63_csv_roundtrip" -> q63,
+    "q64_catalog" -> q64,
+    "q65_map_explode" -> q65,
+    "q66_html_extract" -> q66)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.domain.Emotions
 import graft.functions.Strings
 import graft.operators._
+import graft.sources.JsonSources
 import graft.streaming.EventsStream
 
 /** Driver contract (SURVEY.md §7): every implemented operator from the
@@ -342,12 +343,16 @@ object SparkEntry {
         col("sum_value").cast("double").as("sum_value"), col("n"))
       .orderBy("event_type")
 
-  /** Embedding-space near-duplicate pairs (exact all-pairs kernel;
-    * the LSH variant q23 is the 100 TB path). Output drops the raw sim
-    * (rank-free threshold set). */
+  /** Embedding-space near-duplicate pairs via banded random-hyperplane
+    * LSH: candidates meet only through a shared (band, bucket) key, are
+    * deduplicated, then cosine-verified — no cross join, no driver-side
+    * collect (the exact all-pairs kernel survives as DedupSpec's ground
+    * truth; recall vs it is pinned there). The DuckDB oracle applies
+    * the identical banding (the hyperplane constants are emitted as SQL
+    * literals), so the hash check is exact. */
   private def qEmbeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(s, Tables.embeddings(s, dir),
-      threshold = 0.4)
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), dims = 64,
+      planesPerBand = 4, nBands = 8, threshold = 0.4)
       .select("a", "b")
       .orderBy("a", "b")
 
@@ -533,11 +538,13 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** Duplicate clusters: connected components over embedding near-dup
-    * edges, min-id canonical per component. */
+  /** Duplicate clusters: connected components over the LSH-bucketed
+    * near-dup edge set (same scale-safe pair path as q32), min-id
+    * canonical per component. */
   private def qDupClusters(s: SparkSession, dir: String): DataFrame =
     DuplicateClusters.resolve(
-      Similarity.cosineNearDupPairs(s, Tables.embeddings(s, dir), 0.4)
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), dims = 64,
+        planesPerBand = 4, nBands = 8, threshold = 0.4)
         .select("a", "b"))
       .orderBy("doc_id")
 
@@ -711,6 +718,103 @@ object SparkEntry {
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
     EventsStream.distinctUserTypePairs(s, dir).orderBy("event_type")
 
+  /** CSV sink + source round-trip (SURVEY.md S6/S7, the reference's
+    * `to_csv` / header-skipping `open()+readline()` pair,
+    * `Scraper.py:369-371, 394-401`): write the strain list with a
+    * header, read it back with an explicit schema (never inferred — at
+    * 100 TB schema inference is a full extra scan). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val strains = Emotions.strainsWide(s, dir).select("strain_id", "strain_name")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    strains.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("strain_id BIGINT, strain_name STRING")
+      .csv(tmp)
+      .orderBy("strain_id")
+  }
+
+  /** Catalog introspection (SURVEY.md S11, the reference's
+    * `sqlite_master` query, `Scraper.py:445-449`): register views, list
+    * them and their columns through `spark.catalog`. Catalog metadata
+    * is driver-side by nature (like sqlite_master); the row count is
+    * O(tables), never O(data). */
+  private def qCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.region(s, dir).createOrReplaceTempView("cat_region")
+    Tables.nation(s, dir).createOrReplaceTempView("cat_nation")
+    Tables.supplier(s, dir).createOrReplaceTempView("cat_supplier")
+    val tables = s.catalog.listTables()
+      .filter((t: org.apache.spark.sql.catalog.Table) => t.name.startsWith("cat_"))
+      .collect().map(_.name).sorted
+    tables.flatMap { t =>
+      s.catalog.listColumns(t).collect()
+        .map(c => (t, c.name, c.dataType))
+    }.toSeq.toDF("table_name", "column_name", "data_type")
+      .orderBy("table_name", "column_name")
+  }
+
+  /** JSON map → rows (SURVEY.md R3, the reference's
+    * `for key in hello[...]` walk over the map-shaped API payload with
+    * a counter id, `Scraper.py:268-270`): assemble ONE map-shaped
+    * payload covering the catalog (deterministically ordered), parse
+    * with an explicit MapType schema, explode to rows, and assign
+    * counter ids by key order — `row_number`, never
+    * `monotonically_increasing_id` (ids must be deterministic). The
+    * single-payload shape is inherently one row (the reference's one
+    * API response); the per-record parallel form is q30. */
+  private def qMapExplode(s: SparkSession, dir: String): DataFrame = {
+    val entries = JsonSources
+      .partAsStrainJson(Tables.part(s, dir).filter(col("p_partkey") <= 500))
+      .select(concat(lit("\"p"), col("p_partkey"), lit("\": "),
+        col("payload")).as("e"))
+    val payload = entries
+      .agg(concat_ws(",", array_sort(collect_list(col("e")))).as("es"))
+      .select(concat(lit("{"), col("es"), lit("}")).as("j"))
+    val parsed = payload
+      .select(explode(JsonSources.strainMap(col("j")))
+        .as(Seq("strain_key", "st")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("strain_key"))
+    parsed.select(
+      row_number().over(w).cast("int").as("row_id"),
+      col("strain_key"),
+      col("st.race").as("race"),
+      size(col("st.flavors")).as("n_flavors"))
+      .orderBy("row_id")
+  }
+
+  /** HTML paragraph extraction (SURVEY.md S3): deterministically render
+    * each ASCII document as an HTML page (3 boilerplate paragraphs +
+    * 120-char content paragraphs + footer), then extract with the
+    * engine's `find_all('p')` + Python-slice equivalents — `[3:]` (the
+    * transcript-page slice) and `[4:9]` (the strain-page slice). The
+    * DuckDB oracle performs the identical render + regexp extraction,
+    * so the check exercises the extraction itself, not just the
+    * round-trip. */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.HtmlExtract
+    val W = 120
+    val docs = Tables.documents(s, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    val nChunks = greatest(
+      ceil(length(col("text")) / lit(W.toDouble)).cast("int"), lit(1))
+    val contentParas = transform(sequence(lit(0), nChunks - 1),
+      i => concat(lit("<p>"), col("text").substr(i * W + 1, lit(W)),
+        lit("</p>")))
+    val html = concat(
+      lit("<html><body><p class=\"nav\">nav</p><p>hdr</p><p>ad</p>"),
+      concat_ws("", contentParas),
+      lit("<p>footer</p></body></html>"))
+    val paras = HtmlExtract.paragraphs(html)
+    docs.select(
+      col("doc_id"),
+      size(paras).as("n_paragraphs"),
+      substring(concat_ws(" ", HtmlExtract.sliceFrom(paras, 3)), 1, 200)
+        .as("body_from3"),
+      substring(concat_ws(" ", HtmlExtract.sliceRange(paras, 4, 9)), 1, 200)
+        .as("body_4to9"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -776,7 +880,11 @@ object SparkEntry {
       "q59_stream_enrich" -> (qStreamEnrich _),
       "q60_stream_dedup" -> (qStreamDedup _),
       "q61_sql_surface" -> (qSqlSurface _),
-      "q62_approx_quantiles" -> (qApproxQuantiles _))
+      "q62_approx_quantiles" -> (qApproxQuantiles _),
+      "q63_csv_roundtrip" -> (qCsvRoundtrip _),
+      "q64_catalog" -> (qCatalog _),
+      "q65_map_explode" -> (qMapExplode _),
+      "q66_html_extract" -> (qHtmlExtract _))
 
   /** Headline subset timed by Bench. */
   def benchQueries: Seq[String] = Seq(

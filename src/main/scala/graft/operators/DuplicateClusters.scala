@@ -33,11 +33,19 @@ object DuplicateClusters {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val next0 = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Each round references the prior labels twice (next + the
+      // convergence check), so unmaterialized lineage doubles per
+      // iteration and round N would replan an N-deep DAG. Truncate with
+      // an eager localCheckpoint every few rounds (labels are
+      // cluster-assignment-sized, far smaller than the corpus); plain
+      // persist in between keeps the common case cheap.
+      val next =
+        if ((i + 1) % 3 == 0) next0.localCheckpoint()
+        else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old"),
         Seq("node"))
         .filter(col("label") =!= col("old"))
@@ -47,6 +55,11 @@ object DuplicateClusters {
       converged = changed == 0
       i += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // Pin the result to a lineage-free, materialized plan so the edge
+    // cache can be released before the caller consumes the output.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    sym.unpersist()
+    out.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 }

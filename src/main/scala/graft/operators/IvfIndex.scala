@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    // squared L2 via the native cosine building blocks: |a|²+|b|²-2a·b
-    // is fine, but a fused expression keeps one pass; reuse cosine's
-    // dot via zip_with (interpreted) only on the tiny centroid join.
+    // native fused-loop expression (stays inside whole-stage codegen);
+    // the assign step evaluates it for every (vector × centroid) pair,
+    // where the interpreted aggregate/zip_with form was the hot spot.
+    // Bit-identical to the HOF fold (NativeExprSpec).
+    org.apache.spark.sql.graft.GraftFunctions.l2DistSq(a, b)
+
+  /** Interpreted-HOF squared L2 — the reference form the native
+    * expression is spec-tested against. */
+  private[graft] def dist2Hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)

@@ -195,8 +195,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component, derived from
-    * (plane, dim) by integer hashing — reproducible in any engine. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+    * (plane, dim) by integer hashing — reproducible in any engine
+    * (package-visible so the DuckDB oracle can emit the identical
+    * constants as SQL literals). */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xd1b54a32d192ed03L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -205,15 +207,60 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes over a
-    * `dims`-dim vector column. */
-  def lshBucket(vec: Column, dims: Int, nPlanes: Int): Column =
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes starting at
+    * plane index `planeOffset` — the building block for banded LSH,
+    * where band `b` uses planes [b·r, (b+1)·r). */
+  def lshBucketAt(vec: Column, dims: Int, nPlanes: Int, planeOffset: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = (0 until dims).map { d =>
-        vec.getItem(d).cast("double") * planeComponent(p, d)
+        vec.getItem(d).cast("double") * planeComponent(planeOffset + p, d)
       }.reduce(_ + _)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
+
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes over a
+    * `dims`-dim vector column. */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int): Column =
+    lshBucketAt(vec, dims, nPlanes, 0)
+
+  /** Banded random-hyperplane LSH near-duplicate pairs — the
+    * corpus-scale replacement for the exact all-pairs kernel
+    * (`cosineNearDupPairs`). Classic LSH banding (the cosine analogue
+    * of MinHash bands): each vector gets `nBands` bucket ids, one per
+    * disjoint group of `planesPerBand` hyperplanes; two vectors become
+    * a candidate pair iff they share a bucket in ANY band; only
+    * candidates are cosine-verified against `threshold`.
+    *
+    * Scale shape: the corpus never moves — only (vec_id, band, bucket)
+    * triples shuffle for the band-bucket equi-join; candidate pairs
+    * (deduplicated across bands) join back to the vector table by id
+    * for the verify pass. No cross join, no driver-side collect at any
+    * step. Recall is the LSH trade: 1 - (1 - p^r)^b with
+    * p = 1 - θ/π; raise `planesPerBand` as the corpus grows to keep
+    * per-bucket occupancy bounded, add bands to recover recall.
+    *
+    * Output: (a, b, sim) with a < b and sim >= threshold — a subset of
+    * the exact kernel's pairs (superset-recall pinned in DedupSpec). */
+  def lshNearDupPairs(vectors: DataFrame, dims: Int, planesPerBand: Int,
+                      nBands: Int, threshold: Double): DataFrame = {
+    val banded = vectors.select(col("vec_id"),
+      posexplode(array((0 until nBands).map { b =>
+        lshBucketAt(col("embedding"), dims, planesPerBand, b * planesPerBand)
+      }: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = vectors.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val vb = vectors.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    cands.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
 
   /** LSH-bucketed approximate top-k: only same-bucket pairs scored.
     * Same output shape as bruteForceTopK (some queries may return

@@ -72,9 +72,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: squared L2 distance of two float-array
+  * columns — the IVF assign/probe kernel (argmin over centroids), where
+  * the interpreted `aggregate(zip_with(...))` form touches every
+  * (vector × centroid) pair. One fused codegen loop, accumulation
+  * left-to-right in double — bit-identical to the HOF form
+  * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, _+_)` (pinned in
+  * NativeExprSpec). */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_dist_sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for graft's native expressions. */
 object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def l2DistSq(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2DistanceSq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -98,6 +98,36 @@ class DedupSpec extends SparkSpec {
     assert(dense == sparse)
   }
 
+  test("banded-LSH near-dup pairs are a verified subset of the exact kernel") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairs(spark, emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.lshNearDupPairs(emb, dims = 64,
+        planesPerBand = 4, nBands = 8, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision is 1 by construction (candidates are cosine-verified
+    // with the same threshold), so banded ⊆ exact …
+    assert(banded.subsetOf(exact),
+      s"banded emitted non-pairs: ${banded.diff(exact)}")
+    // … and recall is the LSH trade: with r=4, b=8 the theoretical
+    // recall at sim 0.4 (the hardest pairs kept) is 1-(1-p^4)^8 ≈ 0.75
+    // with p = 1 - θ/π ≈ 0.63. Everything is deterministic, so the
+    // floor below is stable; it pins "recalls most pairs" without
+    // overfitting the exact count.
+    assert(exact.isEmpty || banded.size.toDouble / exact.size >= 0.5,
+      s"recall ${banded.size}/${exact.size} below floor")
+  }
+
+  test("duplicate clusters: deep chain converges under checkpointed lineage") {
+    // a 12-node path needs ~11 label-propagation rounds — crosses the
+    // every-3-rounds localCheckpoint boundary several times, so this
+    // pins both convergence and that truncated lineage stays correct
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.DuplicateClusters.resolve(edges, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
       .toDF("qid", "qvec")

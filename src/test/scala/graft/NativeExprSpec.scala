@@ -43,6 +43,22 @@ class NativeExprSpec extends SparkSpec {
     self.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
   }
 
+  test("native l2_dist_sq is bit-identical to the interpreted HOF form") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .crossJoin(emb.select($"vec_id".as("cid"), $"embedding".as("cvec")))
+    val rows = pairs.select(
+      org.apache.spark.sql.graft.GraftFunctions
+        .l2DistSq($"qvec", $"cvec").as("native"),
+      graft.operators.IvfIndex.dist2Hof($"qvec", $"cvec").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n)
+        == java.lang.Double.doubleToLongBits(h), s"$n != $h")
+    }
+  }
+
   test("typed mean-vector aggregator matches long-form centroids") {
     val typed = VectorMean
       .centroidsTyped(spark, vecs, "label", "embedding", dims = 3)
