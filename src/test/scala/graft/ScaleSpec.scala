@@ -73,6 +73,23 @@ class ScaleSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("similarity-pair paths plan as equi-joins: no cartesian, no nested loop") {
+    // the two formerly-quadratic paths: banded-LSH embedding near-dup
+    // (q32/q47) and the length-blocked name-similarity join (q44) —
+    // both must meet through an equi-join key, never a cross product
+    val lsh = operators.Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, sf), dims = 64, planesPerBand = 4,
+      nBands = 8, threshold = 0.4)
+    val q44 = SparkEntry.queries("q44_name_similarity")(spark, sf)
+    Seq("lshNearDupPairs" -> lsh, "q44" -> q44).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+
   test("small dimension joins broadcast under the default threshold") {
     val joined = Tables.customer(spark, sf)
       .join(Tables.nation(spark, sf),
