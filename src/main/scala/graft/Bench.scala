@@ -36,21 +36,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best-of-2 per query: the shared host occasionally stalls a core
-    // for tens of seconds; the min of two runs measures the engine, not
-    // the neighbor.
-    val results = benchNames.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+    // best-of-3 per query, attempts INTERLEAVED round-robin: the shared
+    // host stalls in bursts of seconds-to-tens-of-seconds (observed in
+    // two recorded runs), so three consecutive attempts of one query
+    // can all land inside one stall window — spreading each query's
+    // attempts across the whole run makes the per-query min robust to
+    // bursty contention.
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      benchNames.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) {
+          val t = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        } else best.getOrElseUpdate(name, -1.0)
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
+    val results = benchNames.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
