@@ -250,15 +250,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate cosine top-5 (scale path; no SQL oracle —
-    * verified against brute force in ScalaTest). */
+  /** LSH-bucketed approximate cosine top-5, multi-probe (scale path;
+    * no SQL oracle — recall vs brute force pinned in ScalaTest, and
+    * multi-probe ≥ single-probe recall asserted there too). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.lshTopK(queries, corpus, dims = 64, nPlanes = 8, k = 5)
+    Similarity.lshTopK(queries, corpus, dims = 64, nPlanes = 8, k = 5,
+        nProbes = 4)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }

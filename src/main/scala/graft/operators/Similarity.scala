@@ -195,10 +195,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component, derived from
-    * (plane, dim) by integer hashing — reproducible in any engine
-    * (package-visible so the DuckDB oracle can emit the identical
-    * constants as SQL literals). */
-  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
+    * (plane, dim) by integer hashing — reproducible in any engine.
+    * Public: the DuckDB oracle emits these as SQL literals and the
+    * native `banded_lsh_buckets` expression (in the sparkext package)
+    * rebuilds its hyperplane matrix from the same function. */
+  def planeComponent(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xd1b54a32d192ed03L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -241,12 +242,23 @@ object Similarity {
     *
     * Output: (a, b, sim) with a < b and sim >= threshold — a subset of
     * the exact kernel's pairs (superset-recall pinned in DedupSpec). */
+  /** The banded bucket array via the declarative per-plane expressions
+    * — reference form for the native `banded_lsh_buckets` (the
+    * declarative tree is O(bands·planes·dims) terms and busts janino's
+    * 64 KB method limit at production parameters; the native
+    * expression is the registered path). */
+  def bandedBucketsDeclarative(vec: Column, dims: Int, planesPerBand: Int,
+                               nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      lshBucketAt(vec, dims, planesPerBand, b * planesPerBand)
+    }: _*)
+
   def lshNearDupPairs(vectors: DataFrame, dims: Int, planesPerBand: Int,
                       nBands: Int, threshold: Double): DataFrame = {
     val banded = vectors.select(col("vec_id"),
-      posexplode(array((0 until nBands).map { b =>
-        lshBucketAt(col("embedding"), dims, planesPerBand, b * planesPerBand)
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(org.apache.spark.sql.graft.BandedLshBuckets.column(
+        col("embedding"), dims, planesPerBand, nBands))
+        .as(Seq("band", "bucket")))
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -264,10 +276,25 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: only same-bucket pairs scored.
     * Same output shape as bruteForceTopK (some queries may return
-    * fewer than k neighbors — the recall/latency trade). */
+    * fewer than k neighbors — the recall/latency trade).
+    *
+    * `nProbes` > 0 enables multi-probe (Lv et al., VLDB '07): each
+    * query additionally probes the buckets at Hamming distance 1 from
+    * its own sign pattern (the most-likely-misassigned planes), which
+    * recovers most of the recall of extra hash tables WITHOUT
+    * re-hashing or duplicating the corpus — the query side fans out
+    * ×(nProbes+1), the corpus side is untouched. Probe buckets are
+    * pairwise distinct and each corpus vector lives in exactly one
+    * bucket, so no candidate pair is generated twice (no dedup step
+    * needed). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
-              nPlanes: Int, k: Int): DataFrame = {
-    val q = queries.withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
+              nPlanes: Int, k: Int, nProbes: Int = 0): DataFrame = {
+    val qb = queries.withColumn("bucket0", lshBucket(col("qvec"), dims, nPlanes))
+    val probed = col("bucket0") +: (0 until math.min(nProbes, nPlanes))
+      .map(p => col("bucket0").bitwiseXOR(lit(1L << p)))
+    val q = qb
+      .withColumn("bucket", explode(array(probed: _*)))
+      .select(col("qid"), col("qvec"), col("bucket"))
     val c = corpus.withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))

@@ -98,6 +98,29 @@ class DedupSpec extends SparkSpec {
     assert(dense == sparse)
   }
 
+  test("multi-probe LSH recall dominates single-probe at equal hash bits") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val brute = Similarity.bruteForceTopKFast(spark, queries, corpus, 1)
+      .filter($"rank" === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    def hits(nProbes: Int): Int = {
+      val got = Similarity.lshTopK(queries, corpus, dims = 64, nPlanes = 8,
+          k = 5, nProbes = nProbes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.count { case (q, n) => got.getOrElse(q, Set.empty).contains(n) }
+    }
+    val single = hits(0)
+    val multi = hits(4)
+    // probing Hamming-1 buckets can only widen each query's candidate
+    // set, so recall is monotone in nProbes — and must be non-trivial
+    assert(multi >= single, s"multi-probe hits $multi < single $single")
+    assert(multi > 0, "multi-probe LSH found no true nearest neighbors")
+  }
+
   test("banded-LSH near-dup pairs are a verified subset of the exact kernel") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.cosineNearDupPairs(spark, emb, threshold = 0.4)

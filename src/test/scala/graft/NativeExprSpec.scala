@@ -59,6 +59,17 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("native banded_lsh_buckets is bit-identical to the declarative form") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.select(
+      org.apache.spark.sql.graft.BandedLshBuckets
+        .column($"embedding", 64, 4, 8).as("native"),
+      Similarity.bandedBucketsDeclarative($"embedding", 64, 4, 8).as("decl"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d) => assert(n == d, s"$n != $d") }
+  }
+
   test("typed mean-vector aggregator matches long-form centroids") {
     val typed = VectorMean
       .centroidsTyped(spark, vecs, "label", "embedding", dims = 3)
