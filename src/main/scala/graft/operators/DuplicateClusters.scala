@@ -17,14 +17,28 @@ object DuplicateClusters {
   /** edges: (a, b) with a != b. Output: (doc_id, cluster_id) for every
     * node appearing in an edge, cluster_id = min id in its component. */
   def resolve(edges: DataFrame, maxIters: Int = 10): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    // symmetrize in ONE pass over the edge input: a union of two
+    // selects would scan (and recompute) the upstream pair pipeline
+    // twice — explode duplicates each row instead
+    val sym = edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-    var converged = false
+    // Convergence detector: labels only ever decrease (each node takes
+    // the min of itself and its neighbors), so the label sum strictly
+    // decreases until the fixpoint — one tiny aggregate per round
+    // instead of a join of consecutive label tables. Decimal(38,0) so
+    // corpus-scale id sums cannot overflow (ANSI mode errors on long
+    // overflow rather than wrapping).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // no edges → nothing to do
     var i = 0
     while (!converged && i < maxIters) {
       // each node pulls the min label among its neighbors, then keeps
@@ -46,13 +60,11 @@ object DuplicateClusters {
       val next =
         if ((i + 1) % 3 == 0) next0.localCheckpoint()
         else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"),
-        Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+      val curSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       i += 1
     }
     // Pin the result to a lineage-free, materialized plan so the edge
