@@ -849,6 +849,15 @@ object OracleSql {
       |        WHERE octet_length(encode(text)) = length(text)))
       |ORDER BY doc_id""".stripMargin
 
+  /** The DSv2 source's payloads are deterministic functions of the
+    * key, so the oracle derives the same aggregate from range(). */
+  private val q67 =
+    """SELECT 'R' || CAST(num % 5 AS VARCHAR) AS race,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(num % 3 + 1) AS BIGINT) AS total_flavors
+      |FROM range(1, 42) t(num)
+      |GROUP BY 1 ORDER BY race""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -909,5 +918,6 @@ object OracleSql {
     "q63_csv_roundtrip" -> q63,
     "q64_catalog" -> q64,
     "q65_map_explode" -> q65,
-    "q66_html_extract" -> q66)
+    "q66_html_extract" -> q66,
+    "q67_dsv2_source" -> q67)
 }

@@ -817,6 +817,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DataSource V2 REST-loop connector (SURVEY.md S2's production
+    * form): `spark.read.format(<TableProvider>)` plans one input
+    * partition per key range — the per-key GET loop as a first-class
+    * source with explicit fetch parallelism — then the payloads flow
+    * through the same typed-JSON parse + aggregate as any other
+    * source. The oracle derives identical rows from `range()` (the
+    * payloads are deterministic functions of the key). */
+  private def qDsv2Source(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.StrainApiSource")
+      .option("keys", 41).option("keysPerPartition", 8).load()
+      .select(col("num"), JsonSources.strainBridge(col("payload")).as("st"))
+      .select(col("num"), col("st.race").as("race"),
+        size(col("st.flavors")).as("n_flavors"))
+      .groupBy("race")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_flavors")).cast("bigint").as("total_flavors"))
+      .orderBy("race")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -886,7 +904,8 @@ object SparkEntry {
       "q63_csv_roundtrip" -> (qCsvRoundtrip _),
       "q64_catalog" -> (qCatalog _),
       "q65_map_explode" -> (qMapExplode _),
-      "q66_html_extract" -> (qHtmlExtract _))
+      "q66_html_extract" -> (qHtmlExtract _),
+      "q67_dsv2_source" -> (qDsv2Source _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so
