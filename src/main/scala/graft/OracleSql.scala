@@ -858,6 +858,18 @@ object OracleSql {
       |FROM range(1, 42) t(num)
       |GROUP BY 1 ORDER BY race""".stripMargin
 
+  /** The streaming interval join's append output equals the batch
+    * interval join (watermark + time-bound join → exactly-once emit). */
+  private val q68 =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT e.user_id, COUNT(*) AS n_pairs, MIN(e.event_id) AS first_error_id
+      |FROM e JOIN p ON e.user_id = p.user_id
+      |  AND p.ts >= e.ts - INTERVAL 30 MINUTE AND p.ts <= e.ts
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -919,5 +931,6 @@ object OracleSql {
     "q64_catalog" -> q64,
     "q65_map_explode" -> q65,
     "q66_html_extract" -> q66,
-    "q67_dsv2_source" -> q67)
+    "q67_dsv2_source" -> q67,
+    "q68_stream_interval_join" -> q68)
 }

@@ -835,6 +835,12 @@ object SparkEntry {
         sum(col("n_flavors")).cast("bigint").as("total_flavors"))
       .orderBy("race")
 
+  /** Watermarked stream-stream interval join (append mode — the state
+    * store holds only the watermark horizon per side); result equals
+    * the batch interval join, which the oracle computes directly. */
+  private def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    EventsStream.errorPurchaseIntervalJoin(s, dir).orderBy("user_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -905,7 +911,8 @@ object SparkEntry {
       "q64_catalog" -> (qCatalog _),
       "q65_map_explode" -> (qMapExplode _),
       "q66_html_extract" -> (qHtmlExtract _),
-      "q67_dsv2_source" -> (qDsv2Source _))
+      "q67_dsv2_source" -> (qDsv2Source _),
+      "q68_stream_interval_join" -> (qStreamIntervalJoin _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

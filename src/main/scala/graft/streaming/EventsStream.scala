@@ -76,6 +76,33 @@ object EventsStream {
       .agg(count(lit(1)).as("n_distinct_users"))
   }
 
+  /** Watermarked stream-stream interval self-join: each error event
+    * joined to the same user's purchase events in the preceding 30
+    * minutes. Both sides carry watermarks and the join carries a time
+    * bound, so the state store retains only the watermark horizon per
+    * side (the unbounded-state trap of naive stream-stream joins) and
+    * append mode emits each matched pair exactly once — making the
+    * result identical to the batch interval join, which is what the
+    * DuckDB oracle checks. */
+  def errorPurchaseIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      expr("""e_user = p_user AND
+              p_ts >= e_ts - INTERVAL 30 MINUTES AND p_ts <= e_ts"""))
+    runToMemory(spark, joined, "graft_stream_interval_join", "append")
+      .groupBy(col("e_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("error_id")).as("first_error_id"))
+  }
+
   /** Daily event counts + value sums per event_type, computed by a
     * streaming query over `<dir>/events.parquet`, returned as a batch
     * DataFrame once the file is fully processed. */

@@ -106,4 +106,24 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(enriched == batchJoin)
   }
+
+  test("stream-stream interval join matches its batch twin") {
+    val dir = sf
+    val streamed = graft.streaming.EventsStream
+      .errorPurchaseIntervalJoin(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id".as("e_user"),
+        $"ts".as("e_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val batch = errors.join(purchases,
+        expr("e_user = p_user AND p_ts >= e_ts - INTERVAL 30 MINUTES AND p_ts <= e_ts"))
+      .groupBy($"e_user".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), min($"error_id").as("first_error_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
