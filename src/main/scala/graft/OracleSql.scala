@@ -870,6 +870,26 @@ object OracleSql {
       |  AND p.ts >= e.ts - INTERVAL 30 MINUTE AND p.ts <= e.ts
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
+  /** 5-gram shingles via the q19 construction; docs < 20 are the
+    * benchmark, everything sharing a shingle with them is flagged. */
+  private val q69 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4]))) AS shingle
+      |  FROM ws WHERE len(w) >= 5),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id >= 20 AND shingle IN (SELECT shingle FROM bench))
+      |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+      |LEFT JOIN flagged f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -932,5 +952,6 @@ object OracleSql {
     "q65_map_explode" -> q65,
     "q66_html_extract" -> q66,
     "q67_dsv2_source" -> q67,
-    "q68_stream_interval_join" -> q68)
+    "q68_stream_interval_join" -> q68,
+    "q69_decontaminate" -> q69)
 }

@@ -841,6 +841,18 @@ object SparkEntry {
   private def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
     EventsStream.errorPurchaseIntervalJoin(s, dir).orderBy("user_id")
 
+  /** Benchmark decontamination: docs 0..19 act as the held-out eval
+    * set; every other document sharing a 5-gram with them is flagged
+    * (the training-data hygiene step between dedup and curation). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(
+      corpus = docs.filter(col("doc_id") >= 20),
+      bench = docs.filter(col("doc_id") < 20),
+      idCol = "doc_id", textCol = "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -912,7 +924,8 @@ object SparkEntry {
       "q65_map_explode" -> (qMapExplode _),
       "q66_html_extract" -> (qHtmlExtract _),
       "q67_dsv2_source" -> (qDsv2Source _),
-      "q68_stream_interval_join" -> (qStreamIntervalJoin _))
+      "q68_stream_interval_join" -> (qStreamIntervalJoin _),
+      "q69_decontaminate" -> (qDecontaminate _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

@@ -89,6 +89,26 @@ object Dedup {
     (rare, sizes, post0)
   }
 
+  /** Benchmark decontamination (the GPT-3/Pile-style training-data
+    * hygiene step): flag every corpus document sharing at least one
+    * word n-gram with the evaluation set. Scale shape: the benchmark
+    * shingle set is tiny next to the corpus, so it broadcasts and the
+    * corpus is flagged by a map-side semi-join on the shingle key —
+    * zero corpus shuffle at 100 TB. Output: (doc_id, contaminated). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val benchShingles = shinglePostings(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    val flagged = shinglePostings(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Pairwise n-gram Jaccard similarity for all document pairs sharing
     * at least one (non-hot) shingle: (a, b, common, jaccard), a < b.
     * Jaccard uses the FULL shingle sets (sizes computed before the

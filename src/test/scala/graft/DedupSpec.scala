@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(dense == sparse)
   }
 
+  test("decontamination flags exactly the n-gram-overlapping docs") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 5-gram "beta gamma delta epsilon zeta" → flagged
+      (20L, "x beta gamma delta epsilon zeta y"),
+      // only a 4-gram overlap ("beta gamma delta epsilon") → clean
+      (21L, "beta gamma delta epsilon EXTRA zeta"),
+      // no overlap at all → clean
+      (22L, "one two three four five six"),
+      // too short for any 5-gram → clean
+      (23L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(20L -> true, 21L -> false, 22L -> false, 23L -> false))
+  }
+
   test("multi-probe LSH recall dominates single-probe at equal hash bits") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" % 20 === 0)
