@@ -953,5 +953,7 @@ object OracleSql {
     "q66_html_extract" -> q66,
     "q67_dsv2_source" -> q67,
     "q68_stream_interval_join" -> q68,
-    "q69_decontaminate" -> q69)
+    "q69_decontaminate" -> q69,
+    // q70 is the native-operator twin of q38: same oracle by design
+    "q70_asof_native" -> q38)
 }

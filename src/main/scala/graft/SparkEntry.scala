@@ -432,6 +432,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Same as-of lookup as q38 but through the NATIVE whole-operator
+    * path: custom LogicalPlan + SparkStrategy + sort-merge SparkPlan
+    * (tier (c) of the custom-operator ladder). Shares q38's oracle —
+    * the two forms must agree bit-for-bit. */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_event_id"))
+    org.apache.spark.sql.graft.AsOfJoinNative
+      .asOf(errors, purchases, key = "user_id", ts = "ts",
+        payloadCols = Seq("purchase_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_event_id").as("purchase_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -925,7 +944,8 @@ object SparkEntry {
       "q66_html_extract" -> (qHtmlExtract _),
       "q67_dsv2_source" -> (qDsv2Source _),
       "q68_stream_interval_join" -> (qStreamIntervalJoin _),
-      "q69_decontaminate" -> (qDecontaminate _))
+      "q69_decontaminate" -> (qDecontaminate _),
+      "q70_asof_native" -> (qAsofNative _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so
