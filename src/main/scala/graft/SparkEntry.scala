@@ -563,7 +563,7 @@ object SparkEntry {
     * near-dup edge set (same scale-safe pair path as q32), min-id
     * canonical per component. */
   private def qDupClusters(s: SparkSession, dir: String): DataFrame =
-    DuplicateClusters.resolve(
+    DuplicateClusters.resolveContracted(
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), dims = 64,
         planesPerBand = 4, nBands = 8, threshold = 0.4)
         .select("a", "b"))

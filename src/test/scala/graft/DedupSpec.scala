@@ -169,6 +169,42 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("contracted clusters == iterative resolve on random graphs, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    // mix of chains, stars, singleton edges across a 300-node id space
+    val edges = (
+      (1L until 40L).map(i => (i, i + 1)) ++                 // long chain
+      (0 until 60).map(_ => { val a = rnd.nextInt(300).toLong
+        val b = rnd.nextInt(300).toLong; (a, 300L + b) }) ++ // random bipartite-ish
+      Seq((500L, 501L))                                      // isolated pair
+    ).toDF("a", "b").filter($"a" =!= $"b")
+    val want = operators.DuplicateClusters.resolve(edges, maxIters = 50)
+      .as[(Long, Long)].collect().toMap
+    for (nPart <- Seq(1, 3, 8)) {
+      val got = operators.DuplicateClusters
+        .resolveContracted(edges.repartition(nPart), maxIters = 50)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"contracted mismatch at $nPart partitions")
+    }
+    // force the over-cap fallback (distributed iterative phase 2)
+    val fb = operators.DuplicateClusters
+      .resolveContracted(edges.repartition(5), maxIters = 50, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fb == want, "fallback path mismatch")
+  }
+
+  test("contracted clusters: deep chain split across partitions") {
+    // a 30-node path shuffled over 5 partitions exercises the bridge
+    // edges: many nodes appear in 2+ partitions with different local
+    // roots, and the contracted root graph must still chain to node 1
+    val edges = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).shuffle((1L until 30L).map(i => (i, i + 1)))
+      .toDF("a", "b").repartition(5)
+    val got = operators.DuplicateClusters.resolveContracted(edges, maxIters = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 30L).map(_ -> 1L).toMap)
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
       .toDF("qid", "qvec")
