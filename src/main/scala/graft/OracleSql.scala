@@ -872,6 +872,32 @@ object OracleSql {
 
   /** 5-gram shingles via the q19 construction; docs < 20 are the
     * benchmark, everything sharing a shingle with them is flagged. */
+  // q71: Gopher repetition signals — gram building mirrors the Spark
+  // transform/sequence construction (1-based w[i], space-joined), and
+  // the top-fraction is CAST(max AS DOUBLE)/sum like the Spark side
+  private val q71 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM ws
+      |  UNION ALL
+      |  SELECT doc_id, 2, unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1])) FROM ws
+      |  UNION ALL
+      |  SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM ws),
+      |c AS (
+      |  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN n = 1 THEN cnt END) AS INTEGER) AS n_words,
+      |  CAST(max(CASE WHEN n = 1 THEN cnt END) AS DOUBLE)
+      |    / sum(CASE WHEN n = 1 THEN cnt END) AS top_word_frac,
+      |  CAST(max(CASE WHEN n = 2 THEN cnt END) AS DOUBLE)
+      |    / sum(CASE WHEN n = 2 THEN cnt END) AS top_bigram_frac,
+      |  CAST(max(CASE WHEN n = 3 THEN cnt END) AS DOUBLE)
+      |    / sum(CASE WHEN n = 3 THEN cnt END) AS top_trigram_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -954,6 +980,7 @@ object OracleSql {
     "q67_dsv2_source" -> q67,
     "q68_stream_interval_join" -> q68,
     "q69_decontaminate" -> q69,
+    "q71_repetition_signals" -> q71,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

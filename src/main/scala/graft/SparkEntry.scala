@@ -451,6 +451,12 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Gopher repetition gate inputs: top word/bigram/trigram occurrence
+    * fractions per document. */
+  private def qRepetitionSignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -945,7 +951,8 @@ object SparkEntry {
       "q67_dsv2_source" -> (qDsv2Source _),
       "q68_stream_interval_join" -> (qStreamIntervalJoin _),
       "q69_decontaminate" -> (qDecontaminate _),
-      "q70_asof_native" -> (qAsofNative _))
+      "q70_asof_native" -> (qAsofNative _),
+      "q71_repetition_signals" -> (qRepetitionSignals _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

@@ -148,6 +148,46 @@ object TextAnalysis {
     * document-fingerprinting primitive (content-defined hashing).
     * code(w) = ascii(first char)·37 + len(w); h = fold (h·31 + code) mod 2^20.
     * Integer-only → bit-exact in any engine. */
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of a document's word/bigram/trigram occurrences taken by
+    * its single most frequent gram. High values flag boilerplate and
+    * degenerate generations; training pipelines gate on them alongside
+    * the quality heuristics.
+    *
+    * Shape: ONE explode of per-doc tagged gram arrays, then
+    * (doc, n, gram) counts and a conditional-aggregate rollup — two
+    * hash aggregations with map-side partials, no window, no join;
+    * scales linearly with corpus token count. Output per doc:
+    * (id, n_words, top_word_frac, top_bigram_frac, top_trigram_frac);
+    * the n-gram fracs are null for docs shorter than n words. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    // n-grams as a tagged struct array; sequence() would flip to a
+    // DESCENDING range when size < n, so short docs get an empty array
+    def ngrams(n: Int): Column =
+      when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", (0 until n).map(k =>
+              element_at(col("w"), i + k + 1)): _*).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val grams = docs.select(col(idCol), w.as("w"))
+      .select(col(idCol),
+        explode(concat(ngrams(1), ngrams(2), ngrams(3))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+    def frac(n: Int) =
+      (max(when(col("n") === n, col("cnt"))).cast("double") /
+        sum(when(col("n") === n, col("cnt"))))
+    grams.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 1, col("cnt"))).cast("int").as("n_words"),
+        frac(1).as("top_word_frac"),
+        frac(2).as("top_bigram_frac"),
+        frac(3).as("top_trigram_frac"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val codes = transform(ws, w => ascii(w) * 37 + length(w))

@@ -14,6 +14,22 @@ class CurationSpec extends SparkSpec {
         (4L, "a", "s2"), (5L, "b", "s1"), (6L, "b", "s1"))
       .toDF("doc_id", "lang", "source")
 
+  test("repetitionSignals: hand-computed fractions incl. short-doc nulls") {
+    val d = Seq(
+      (1L, "a a b"),     // words {a:2,b:1}; bigrams {"a a","a b"}; trigram "a a b"
+      (2L, "x"),         // single word: no bigrams/trigrams -> nulls
+      (3L, "c c c c"))   // fully repeated
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .select("doc_id", "n_words", "top_word_frac", "top_bigram_frac",
+        "top_trigram_frac")
+      .as[(Long, Int, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3, Some(2.0 / 3), Some(0.5), Some(1.0))))
+    assert(got(2L) == ((1, Some(1.0), None, None)))
+    assert(got(3L) == ((4, Some(1.0), Some(1.0), Some(1.0))))
+  }
+
   test("quotaSample caps every stratum and is partition-count invariant") {
     val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
     val perStratum = out.groupBy("lang", "source").count()
