@@ -898,6 +898,39 @@ object OracleSql {
       |    / sum(CASE WHEN n = 3 THEN cnt END) AS top_trigram_frac
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // q72: mixture sampling — the scramble mirrors q54's keyed hash and
+  // the keep-rate arithmetic (min via LEAST, double division, the
+  // rate·(2^31-1) threshold) matches the Spark side op-for-op
+  private val q72 =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(lower(text), ' ')) AS n_words
+      |  FROM documents),
+      |t AS (
+      |  SELECT source, sum(n_words) AS grp_tokens FROM d GROUP BY source)
+      |SELECT doc_id, source, CAST(n_words AS INTEGER) AS n_words,
+      |  LEAST(1.0, CAST(800 AS DOUBLE) / grp_tokens) AS keep_rate
+      |FROM d JOIN t USING (source)
+      |WHERE CAST((doc_id % 2147483647) * 2654435761 % 2147483647 AS DOUBLE)
+      |  < LEAST(1.0, CAST(800 AS DOUBLE) / grp_tokens) * 2147483647.0
+      |ORDER BY doc_id""".stripMargin
+
+  // q73: sliding-window chunking — w[a:b] is 1-based inclusive, so
+  // [k*16+1 : k*16+32] is DuckDB's spelling of slice(toks, k*16+1, 32)
+  private val q73 =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // 16)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |  array_to_string(toks[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text,
+      |  CAST(len(toks[chunk_id*16+1 : chunk_id*16+32]) AS INTEGER)
+      |    AS n_chunk_tokens
+      |FROM k ORDER BY doc_id, chunk_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -981,6 +1014,8 @@ object OracleSql {
     "q68_stream_interval_join" -> q68,
     "q69_decontaminate" -> q69,
     "q71_repetition_signals" -> q71,
+    "q72_mixture_sample" -> q72,
+    "q73_chunk_windows" -> q73,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

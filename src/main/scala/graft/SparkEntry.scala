@@ -457,6 +457,22 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Data-mixture downsampling: every source scaled toward an 800-token
+    * budget by a deterministic keyed-hash coin. */
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(
+      Tables.documents(s, dir)
+        .withColumn("n_words", size(split(lower(col("text")), " "))),
+      "doc_id", "source", "n_words", budget = 800L)
+      .select(col("doc_id"), col("source"), col("n_words"), col("keep_rate"))
+      .orderBy("doc_id")
+
+  /** Sliding context-window chunking (window 32 tokens, stride 16). */
+  private def qChunkWindows(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+      w = 32, s = 16)
+      .orderBy("doc_id", "chunk_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -952,7 +968,9 @@ object SparkEntry {
       "q68_stream_interval_join" -> (qStreamIntervalJoin _),
       "q69_decontaminate" -> (qDecontaminate _),
       "q70_asof_native" -> (qAsofNative _),
-      "q71_repetition_signals" -> (qRepetitionSignals _))
+      "q71_repetition_signals" -> (qRepetitionSignals _),
+      "q72_mixture_sample" -> (qMixtureSample _),
+      "q73_chunk_windows" -> (qChunkWindows _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

@@ -41,6 +41,55 @@ object Curation {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Data-mixture downsampling: scale every source toward a per-source
+    * token budget. keep_rate(source) = min(1, budget / source_tokens),
+    * and a document survives iff scrambleKey(id) < rate · (2^31-1) —
+    * the deterministic keyed-hash coin every mixture re-weighting step
+    * uses so reruns, engines, and partitionings agree row-for-row.
+    * Expected kept tokens per source ≈ budget; oversampled sources
+    * shrink, under-budget sources pass through whole.
+    *
+    * Shape: one tiny per-source aggregate broadcast back onto the
+    * corpus — a map-side filter over the documents, no corpus shuffle.
+    * This is the "mix web/books/code at chosen proportions" primitive
+    * scaled by token mass rather than row count. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("grp_tokens"))
+    df.join(broadcast(totals), groupCol)
+      .withColumn("keep_rate",
+        least(lit(1.0), lit(budget).cast("double") / col("grp_tokens")))
+      .filter(scrambleKey(col(idCol)).cast("double")
+        < col("keep_rate") * 2147483647.0)
+  }
+
+  /** Sliding-window chunking: cut each document's token sequence into
+    * overlapping context-window chunks (window `w` tokens, stride `s`)
+    * — the retrieval/pretraining prep step for models with a fixed
+    * context. Chunk k covers tokens [k·s, k·s + w); starts run while
+    * k·s < n_tokens, so tails shorter than the window are kept (and a
+    * doc shorter than one window yields exactly one chunk).
+    *
+    * Map-side only: per-row array build + explode, no shuffle; chunk
+    * count per doc is ceil(n/s), so output scales linearly. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, s: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol), explode(
+        // Column `/` is double division — floor() it back to the
+        // integer chunk-start count (size >= 1, so never negative)
+        transform(sequence(lit(0),
+            floor((size(col("toks")) - 1) / s).cast("int")),
+          k => struct(k.as("chunk_id"),
+            concat_ws(" ", slice(col("toks"), k * s + 1, lit(w))).as("chunk_text"),
+            size(slice(col("toks"), k * s + 1, lit(w))).as("n_chunk_tokens"))))
+        .as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_chunk_tokens"))
+  }
+
   /** Token-budget shard packing: within each `groupCol` (a natural
     * corpus partition — source, date, crawl snapshot), lay documents
     * end-to-end in `orderCol` order and cut a new shard every `budget`

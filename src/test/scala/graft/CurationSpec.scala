@@ -30,6 +30,32 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((4, Some(1.0), Some(1.0), Some(1.0))))
   }
 
+  test("chunkWindows: hand-computed overlapping chunks incl. short tail") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a")).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(d, "doc_id", "text", w = 3, s = 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3), (1L, 2, "t5", 1),
+      (2L, 0, "a", 1)))
+  }
+
+  test("mixtureSample: budget math, determinism, pass-through under budget") {
+    val d = (1L to 200L).map(i =>
+      (i, if (i <= 150) "big" else "small", 10L)).toDF("doc_id", "source", "n_words")
+    // big: 1500 tokens vs budget 500 -> rate 1/3; small: 500 == budget -> rate 1, all kept
+    val out = Curation.mixtureSample(d, "doc_id", "source", "n_words", 500L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val (big, small) = out.partition(_._2 == "big")
+    assert(small.length == 50, "under-budget source must pass through whole")
+    assert(big.length > 20 && big.length < 80, s"~1/3 of 150 expected, got ${big.length}")
+    val again = Curation
+      .mixtureSample(d.repartition(7), "doc_id", "source", "n_words", 500L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == out.map(_._1).sorted.toSeq,
+      "sample must not depend on partitioning")
+  }
+
   test("quotaSample caps every stratum and is partition-count invariant") {
     val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
     val perStratum = out.groupBy("lang", "source").count()
