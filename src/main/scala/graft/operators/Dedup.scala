@@ -41,11 +41,7 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(count(lit(1)).as("dup_count"), min(id).as("keeper_id"))
 
-  /** DISTINCT (doc_id, shingle) posting list, built codegen-friendly:
-    * posexplode the words, reassemble n-grams with window `lead`s, then
-    * distinct. The array-building `shingles()` expression is an
-    * interpreted higher-order function — fine for per-row use, ~50×
-    * slower than this shape when the whole corpus is shingled. */
+  /** DISTINCT (doc_id, shingle) posting list. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
     shingleRows(docs, idCol, textCol, n).distinct()
@@ -53,20 +49,25 @@ object Dedup {
   /** As [[shinglePostings]] but WITHOUT the distinct — one row per
     * shingle OCCURRENCE. Consumers whose math is multiset-invariant
     * (MinHash: min over a multiset equals min over its set) use this
-    * directly and skip the full-corpus distinct shuffle. */
+    * directly and skip the full-corpus distinct shuffle.
+    *
+    * Built MAP-SIDE: per-row transform/sequence n-gram assembly +
+    * explode — zero shuffle. An earlier shape posexploded tokens and
+    * reassembled with window `lead`s on the theory that interpreted
+    * higher-order functions lose to codegen'd windows; A/B at sf0.1
+    * (local[32], best-of-3) says otherwise: 0.29 s map-side vs 0.57 s
+    * window — the per-doc hash shuffle + sort of the whole token
+    * stream costs more than the lambda overhead, and at 100 TB a
+    * token-stream shuffle is exactly the thing to never do. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val leads = (1 until n).foldLeft(tokens) { (d, i) =>
-      d.withColumn(s"w$i", lead(col("w"), i).over(w))
-    }
-    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
-    leads
-      .filter(parts.last.isNotNull)
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", (0 until n).map(k =>
+              element_at(col("w"), i + k + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
   }
 
   /** Posting list (optionally hot-shingle-pruned) + per-doc distinct
