@@ -931,6 +931,35 @@ object OracleSql {
       |    AS n_chunk_tokens
       |FROM k ORDER BY doc_id, chunk_id""".stripMargin
 
+  // q74: SCD-2 intervals — lead() over (key; ts, seq) mirrors the
+  // Spark window exactly; timestamps compare exactly (same parquet)
+  private val q74 =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT event_id, user_id,
+      |  ts AS valid_from,
+      |  COALESCE(lead(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00')
+      |    AS valid_to,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM p
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, version""".stripMargin
+
+  // q75: winsorization — quantile_cont == Spark's exact percentile
+  // (same linear interpolation, pinned by q41); LEAST/GREATEST mirror
+  private val q75 =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS band_lo,
+      |    quantile_cont(value, 0.95) AS band_hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  LEAST(GREATEST(value, band_lo), band_hi) AS value_winsorized
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1016,6 +1045,8 @@ object OracleSql {
     "q71_repetition_signals" -> q71,
     "q72_mixture_sample" -> q72,
     "q73_chunk_windows" -> q73,
+    "q74_scd2_intervals" -> q74,
+    "q75_winsorize" -> q75,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -473,6 +473,27 @@ object SparkEntry {
       w = 32, s = 16)
       .orderBy("doc_id", "chunk_id")
 
+  /** SCD-2 temporal versioning of the purchase change stream: validity
+    * intervals per user with deterministic same-instant tie-break. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    Temporal.scd2Intervals(
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts", seqCol = "event_id")
+      .select(col("event_id"), col("user_id"), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+
+  /** Per-event-type winsorization of `value` into the exact
+    * [p05, p95] band. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Curation.winsorize(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      "event_type", "value", lo = 0.05, hi = 0.95)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value_winsorized"))
+      .orderBy("event_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -970,7 +991,9 @@ object SparkEntry {
       "q70_asof_native" -> (qAsofNative _),
       "q71_repetition_signals" -> (qRepetitionSignals _),
       "q72_mixture_sample" -> (qMixtureSample _),
-      "q73_chunk_windows" -> (qChunkWindows _))
+      "q73_chunk_windows" -> (qChunkWindows _),
+      "q74_scd2_intervals" -> (qScd2 _),
+      "q75_winsorize" -> (qWinsorize _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

@@ -108,6 +108,27 @@ object Curation {
       .withColumn("shard_id", floor(col("tokens_before") / budget))
   }
 
+  /** Per-group winsorization: clamp a numeric column into its group's
+    * [lo, hi] exact-percentile band — the outlier-trimming pass run
+    * before loss-weighting or feature normalization so a handful of
+    * pathological rows can't dominate a statistic.
+    *
+    * Exact `percentile` (not approx) so the DuckDB oracle's
+    * quantile_cont reproduces it bit-for-bit (same linear
+    * interpolation — q41 pins this). Shape: one tiny per-group
+    * percentile aggregate broadcast back onto the fact side; the facts
+    * never shuffle. For corpora where groups are huge, swap in
+    * percentile_approx and lose the oracle, not the shape. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    val bands = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $lo)").as("band_lo"),
+      expr(s"percentile($valueCol, $hi)").as("band_hi"))
+    df.join(broadcast(bands), groupCol)
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("band_lo")), col("band_hi")))
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

@@ -56,6 +56,33 @@ class CurationSpec extends SparkSpec {
       "sample must not depend on partitioning")
   }
 
+  test("winsorize clamps into the group percentile band, identity inside it") {
+    // group g: values 1..10 -> p0=1..p100=10; band [0.1, 0.9] = [1.9, 9.1]
+    val d = (1 to 10).map(i => ("g", i.toLong, i.toDouble)).toDF("grp", "id", "v")
+    val got = Curation.winsorize(d, "grp", "v", 0.1, 0.9)
+      .select("id", "v_winsorized").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.9 && got(2L) == 2.0 && got(9L) == 9.0 && got(10L) == 9.1)
+  }
+
+  test("scd2Intervals: versions, tie-break, and open current interval") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val changes = Seq(
+      (1L, 10L, ts(100)), (2L, 10L, ts(100)), // same instant: seq breaks tie
+      (3L, 10L, ts(200)),
+      (4L, 20L, ts(50))
+    ).toDF("event_id", "user_id", "ts")
+    val sentinel = Timestamp.valueOf("2100-01-01 00:00:00")
+    val got = operators.Temporal.scd2Intervals(changes, "user_id", "ts", "event_id")
+      .select("event_id", "version", "valid_to", "is_current")
+      .as[(Long, Int, Timestamp, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1, ts(100), false))) // closed by the tie row
+    assert(got(2L) == ((2, ts(200), false)))
+    assert(got(3L) == ((3, sentinel, true)))
+    assert(got(4L) == ((1, sentinel, true)))
+  }
+
   test("quotaSample caps every stratum and is partition-count invariant") {
     val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
     val perStratum = out.groupBy("lang", "source").count()
