@@ -960,6 +960,60 @@ object OracleSql {
       |FROM events e JOIN b USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  // q76: z-score — moments from exact DECIMAL(18,6) sums (the q48
+  // convention), then one fixed double-operation order on both sides
+  private val q76 =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n_grp,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))
+      |             * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  (value - s1 / n_grp)
+      |    / sqrt((s2 - s1 * s1 / n_grp) / (n_grp - 1)) AS value_z
+      |FROM events e JOIN s USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
+  // q77: incremental-batch dedup — near-dup side mirrors q19's shingle
+  // and hot-prune conventions, restricted to (corpus a < 400 <= batch b)
+  private val q77 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM ws WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |rare AS (
+      |  SELECT doc_id, shingle FROM post
+      |  WHERE shingle NOT IN (
+      |    SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) > 50)),
+      |pairs AS (
+      |  SELECT p1.doc_id AS a, p2.doc_id AS b, COUNT(*) AS common
+      |  FROM rare p1 JOIN rare p2 USING (shingle)
+      |  WHERE p1.doc_id < 400 AND p2.doc_id >= 400
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT DISTINCT b AS doc_id FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = a
+      |  JOIN sizes sb ON sb.doc_id = b
+      |  WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.6),
+      |ex AS (
+      |  SELECT DISTINCT d2.doc_id
+      |  FROM documents d2 JOIN documents d1
+      |    ON lower(trim(d2.text)) = lower(trim(d1.text))
+      |  WHERE d2.doc_id >= 400 AND d1.doc_id < 400)
+      |SELECT d.doc_id,
+      |  (ex.doc_id IS NOT NULL) AS dup_exact,
+      |  (near.doc_id IS NOT NULL) AS near_dup
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+      |LEFT JOIN ex USING (doc_id)
+      |LEFT JOIN near USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1047,6 +1101,8 @@ object OracleSql {
     "q73_chunk_windows" -> q73,
     "q74_scd2_intervals" -> q74,
     "q75_winsorize" -> q75,
+    "q76_zscore" -> q76,
+    "q77_incremental_dedup" -> q77,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -494,6 +494,27 @@ object SparkEntry {
         col("value_winsorized"))
       .orderBy("event_id")
 
+  /** Per-event-type z-score normalization from exact decimal moments. */
+  private def qZscore(s: SparkSession, dir: String): DataFrame =
+    Curation.zscore(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value_z"))
+      .orderBy("event_id")
+
+  /** Incremental-batch dedup: docs with id >= 400 are "today's batch",
+    * flagged exact/near against the id < 400 corpus. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalFlags(
+      corpus = docs.filter(col("doc_id") < 400),
+      batch = docs.filter(col("doc_id") >= 400),
+      idCol = "doc_id", textCol = "text", n = 3,
+      threshold = 0.6, maxShingleFreq = 50)
+      .orderBy("doc_id")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -993,7 +1014,9 @@ object SparkEntry {
       "q72_mixture_sample" -> (qMixtureSample _),
       "q73_chunk_windows" -> (qChunkWindows _),
       "q74_scd2_intervals" -> (qScd2 _),
-      "q75_winsorize" -> (qWinsorize _))
+      "q75_winsorize" -> (qWinsorize _),
+      "q76_zscore" -> (qZscore _),
+      "q77_incremental_dedup" -> (qIncrementalDedup _))
 
   /** Headline subset timed by Bench. The last three are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths), timed so

@@ -129,6 +129,28 @@ object Curation {
         least(greatest(col(valueCol), col("band_lo")), col("band_hi")))
   }
 
+  /** Per-group z-score normalization — the feature-standardization
+    * pass before loss weighting / embedding comparison. Group moments
+    * come from EXACT decimal sums (Σv, Σv² over DECIMAL(18,6)) so the
+    * result is independent of partition/accumulation order and
+    * bit-reproducible in the DuckDB oracle; the double arithmetic
+    * after the casts follows one fixed operation order on both sides.
+    * Shape: tiny per-group aggregate broadcast onto the facts — the
+    * fact side never shuffles. */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d6 = col(valueCol).cast("decimal(18,6)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_grp"),
+      sum(d6).cast("double").as("s1"),
+      sum(d6 * d6).cast("double").as("s2"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(s"${valueCol}_z",
+        (col(valueCol) - col("s1") / col("n_grp")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n_grp"))
+            / (col("n_grp") - 1)))
+      .drop("n_grp", "s1", "s2")
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

@@ -110,6 +110,61 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Incremental-batch deduplication: flag each NEW document against an
+    * EXISTING corpus — the steady-state form of dedup once a pipeline
+    * runs continuously (full-corpus pair enumeration is a backfill
+    * tool; day N+1 only asks "is this new doc a copy of anything we
+    * already kept?").
+    *
+    * dup_exact: normalized text equality with any corpus doc (hash
+    * semi-join — one shuffle of keys). near_dup: n-gram Jaccard ≥
+    * `threshold` against any corpus doc, candidates generated by the
+    * shared-shingle equi-join (corpus and batch postings meet only on
+    * shingle keys — never a cross join), with the same hot-shingle
+    * candidate pruning convention as [[ngramJaccardPairs]] (sizes stay
+    * pre-prune, so the similarity definition is unchanged).
+    *
+    * At corpus scale the corpus-side postings are the reusable asset:
+    * persist them bucketed by shingle once and every nightly batch
+    * joins against them shuffle-free. Output: one row per batch doc —
+    * (doc_id, dup_exact, near_dup). */
+  def incrementalFlags(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, n: Int, threshold: Double,
+                       maxShingleFreq: Int = 0): DataFrame = {
+    val normKey = lower(trim(col(textCol)))
+    val exact = batch.select(col(idCol).as("doc_id"), normKey.as("k"))
+      .join(corpus.select(normKey.as("k")).distinct(), Seq("k"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("dup_exact", lit(true))
+    val cPost = shinglePostings(corpus, idCol, textCol, n)
+    val bPost = shinglePostings(batch, idCol, textCol, n)
+    val allPost = cPost.unionByName(bPost)
+    def prune(post: DataFrame): DataFrame =
+      if (maxShingleFreq <= 0) post
+      else post.join(
+        allPost.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select("shingle"),
+        Seq("shingle"), "left_anti")
+    val sizes = allPost.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val near = prune(cPost).select(col("shingle"), col("doc_id").as("a"))
+      .join(prune(bPost).select(col("shingle"), col("doc_id").as("b")),
+        Seq("shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .filter(col("common") / (col("na") + col("nb") - col("common"))
+        >= threshold)
+      .select("b").distinct()
+      .withColumnRenamed("b", "doc_id")
+      .withColumn("near_dup", lit(true))
+    batch.select(col(idCol).as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+  }
+
   /** Pairwise n-gram Jaccard similarity for all document pairs sharing
     * at least one (non-hot) shingle: (a, b, common, jaccard), a < b.
     * Jaccard uses the FULL shingle sets (sizes computed before the

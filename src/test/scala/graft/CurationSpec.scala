@@ -83,6 +83,19 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((1, sentinel, true)))
   }
 
+  test("zscore: exact moments give the textbook standardization") {
+    // group g: 2, 4, 6 -> mean 4, sample std 2
+    val d = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0))
+      .toDF("grp", "id", "v")
+    val got = Curation.zscore(d, "grp", "v")
+      .select("id", "v_z").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> -1.0, 2L -> 0.0, 3L -> 1.0))
+    // partition-count invariance: exact decimal sums don't depend on order
+    val again = Curation.zscore(d.repartition(3), "grp", "v")
+      .select("id", "v_z").as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("quotaSample caps every stratum and is partition-count invariant") {
     val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
     val perStratum = out.groupBy("lang", "source").count()

@@ -205,6 +205,24 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 30L).map(_ -> 1L).toMap)
   }
 
+  test("incrementalFlags: exact, near, and clean batch docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA beta gamma delta epsilon zeta "), // exact after norm
+      (11L, "one two three four five seven"),          // near (shares 3 of 4+4-3 trigrams)
+      (12L, "totally different words here entirely"))  // clean
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.incrementalFlags(corpus, batch,
+      "doc_id", "text", n = 3, threshold = 0.4)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((true, true)))  // exact dup is also a near dup
+    assert(got(11L) == ((false, true)))
+    assert(got(12L) == ((false, false)))
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
       .toDF("qid", "qvec")
