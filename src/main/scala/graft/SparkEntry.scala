@@ -1018,15 +1018,16 @@ object SparkEntry {
       "q76_zscore" -> (qZscore _),
       "q77_incremental_dedup" -> (qIncrementalDedup _))
 
-  /** Headline subset timed by Bench. The last three are the round-1
-    * perf-weak set (formerly cartesian/driver-collect paths), timed so
-    * the recorded bench evidences the blocked/bucketed rewrites. */
+  /** Headline subset timed by Bench. q32/q44/q47 are the round-1
+    * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
+    * time the round-4 native as-of operator and the incremental-dedup
+    * steady-state path. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_dim_join_agg", "q06_top2_per_brand",
     "q08_match_reverse", "q13_events_enriched", "q14_user_sessions",
     "q16_token_stats", "q19_ngram_sim_pairs", "q22_ann_brute",
     "q24_minhash_near_dups", "q32_embedding_dedup", "q44_name_similarity",
-    "q47_dup_clusters")
+    "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
