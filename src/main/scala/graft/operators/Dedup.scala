@@ -78,6 +78,15 @@ object Dedup {
                        n: Int, maxShingleFreq: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val post0 = shinglePostings(docs, idCol, textCol, n)
+      // join/count on the 64-bit shingle hash, not the ~(6n)-byte
+      // string: the candidate join and hot-shingle aggregation shuffle
+      // fixed-width longs (~3× fewer bytes at n=3). Distinctness is
+      // taken on the STRINGS first, so per-doc sizes are exact; a
+      // cross-doc hash collision could only merge two different
+      // shingles into one candidate key (P ≈ pairs/2^64 — the oracle
+      // hash-match at sf0.001/0.01 runs the string form and agrees;
+      // for >10^9-shingle corpora move to a 128-bit hash).
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = post0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare =
