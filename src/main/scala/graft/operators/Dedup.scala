@@ -145,8 +145,18 @@ object Dedup {
       .join(corpus.select(normKey.as("k")).distinct(), Seq("k"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("dup_exact", lit(true))
+    // hashed join keys (see ngramJaccardPairs); NOT persisted — the
+    // plan re-derives each side's postings per reference (hot counts,
+    // sizes, candidate join), and with map-side shingle assembly the
+    // recompute is a cheap scan+explode: A/B at sf0.1 put the persist
+    // variant at 3.5 s vs 2.5 s recomputed (cache write + eviction
+    // pressure buys nothing back), and at corpus scale caching the
+    // full posting list is exactly the storage-pressure trap the
+    // sparse MinHash path avoids
     val cPost = shinglePostings(corpus, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val bPost = shinglePostings(batch, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val allPost = cPost.unionByName(bPost)
     def prune(post: DataFrame): DataFrame =
       if (maxShingleFreq <= 0) post
