@@ -1014,6 +1014,22 @@ object OracleSql {
       |LEFT JOIN near USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // q78: stratified split — scramble order (q54 convention) + integer
+  // cut arithmetic (rn·100 ≤ cnt·pct), no float thresholds
+  private val q78 =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id % 2147483647) * 2654435761 % 2147483647 ASC,
+      |               doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn * 100 <= cnt * 80 THEN 'train'
+      |       WHEN rn * 100 <= cnt * 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r ORDER BY doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1103,6 +1119,7 @@ object OracleSql {
     "q75_winsorize" -> q75,
     "q76_zscore" -> q76,
     "q77_incremental_dedup" -> q77,
+    "q78_split" -> q78,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

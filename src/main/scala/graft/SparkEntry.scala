@@ -515,6 +515,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified 80/10/10 split of documents by lang. */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.trainValTestSplit(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      "doc_id", Seq("lang"))
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1016,7 +1023,8 @@ object SparkEntry {
       "q74_scd2_intervals" -> (qScd2 _),
       "q75_winsorize" -> (qWinsorize _),
       "q76_zscore" -> (qZscore _),
-      "q77_incremental_dedup" -> (qIncrementalDedup _))
+      "q77_incremental_dedup" -> (qIncrementalDedup _),
+      "q78_split" -> (qSplit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -151,6 +151,31 @@ object Curation {
       .drop("n_grp", "s1", "s2")
   }
 
+  /** Deterministic stratified train/val/test split with EXACT
+    * per-stratum proportions: rows are ranked inside each stratum by
+    * the scrambled-id order and cut at ⌊n·trainPct⌋ / ⌊n·(trainPct +
+    * valPct)⌋. Purely integer arithmetic (rank·100 ≤ count·pct) so
+    * there is no float-threshold edge to disagree on, and the same
+    * document lands in the same split on every rerun, engine, and
+    * partitioning — the property that keeps eval sets stable across
+    * pipeline versions.
+    *
+    * One hash shuffle on the strata; the rank window is per-stratum. */
+  def trainValTestSplit(df: DataFrame, idCol: String, strata: Seq[String],
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val part = strata.map(col)
+    val w = Window.partitionBy(part: _*)
+      .orderBy(scrambleKey(col(idCol)).asc, col(idCol).asc)
+    val cw = Window.partitionBy(part: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("_rn") * 100 <= col("_cnt") * trainPct, "train")
+          .when(col("_rn") * 100 <= col("_cnt") * (trainPct + valPct), "val")
+          .otherwise("test"))
+      .drop("_rn", "_cnt")
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

@@ -96,6 +96,24 @@ class CurationSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("trainValTestSplit: exact per-stratum proportions, stable under repartition") {
+    val d = (1L to 200L).map(i => (i, if (i <= 100) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Curation.trainValTestSplit(d, "doc_id", Seq("lang"))
+    val byStratum = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    for (l <- Seq("en", "de")) {
+      assert(byStratum((l, "train")) == 80L)
+      assert(byStratum((l, "val")) == 10L)
+      assert(byStratum((l, "test")) == 10L)
+    }
+    val again = Curation.trainValTestSplit(d.repartition(7), "doc_id", Seq("lang"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val once = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == once, "split assignment must not depend on partitioning")
+  }
+
   test("quotaSample caps every stratum and is partition-count invariant") {
     val out = Curation.quotaSample(docs, "doc_id", Seq("lang", "source"), 2)
     val perStratum = out.groupBy("lang", "source").count()
