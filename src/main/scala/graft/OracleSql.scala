@@ -1030,6 +1030,35 @@ object OracleSql {
       |       ELSE 'test' END AS split
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // q79: ExactSubstr duplicated spans — the oracle groups on the raw
+  // 8-token span TEXT where the Spark side groups on xxhash64(span)
+  // (fixed-width shuffle key; collision bound documented in Dedup).
+  // Slice toks[pos : pos+7] is 1-based INCLUSIVE, mirroring Spark's
+  // slice(toks, pos, 8).
+  private val q79 =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks) - 7)) AS pos
+      |  FROM d WHERE len(toks) >= 8),
+      |sp AS (
+      |  SELECT doc_id,
+      |    array_to_string(toks[pos : pos + 7], ' ') AS span
+      |  FROM s),
+      |dup AS (
+      |  SELECT span, 1 AS is_dup FROM sp
+      |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT sp.doc_id,
+      |  count(*) AS n_spans,
+      |  count(dup.is_dup) AS n_dup_spans,
+      |  CAST(count(dup.is_dup) AS DOUBLE) / count(*) AS dup_frac,
+      |  count(dup.is_dup) > 0 AS has_dup
+      |FROM sp LEFT JOIN dup USING (span)
+      |GROUP BY sp.doc_id
+      |ORDER BY sp.doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1120,6 +1149,7 @@ object OracleSql {
     "q76_zscore" -> q76,
     "q77_incremental_dedup" -> q77,
     "q78_split" -> q78,
+    "q79_substring_spans" -> q79,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

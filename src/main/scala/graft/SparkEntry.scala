@@ -525,6 +525,13 @@ object SparkEntry {
       "doc_id", Seq("lang"))
       .orderBy("doc_id")
 
+  /** ExactSubstr-style cross-document duplicated-span summary:
+    * per doc, how many of its 8-token windows also occur verbatim in
+    * another document. */
+  private def qSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1027,7 +1034,8 @@ object SparkEntry {
       "q75_winsorize" -> (qWinsorize _),
       "q76_zscore" -> (qZscore _),
       "q77_incremental_dedup" -> (qIncrementalDedup _),
-      "q78_split" -> (qSplit _))
+      "q78_split" -> (qSplit _),
+      "q79_substring_spans" -> (qSubstringSpans _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

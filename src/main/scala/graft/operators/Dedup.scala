@@ -214,4 +214,44 @@ object Dedup {
         .localCheckpoint()
     } finally cached.unpersist(false)
   }
+
+  /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * length-`w` token window (stride 1) of every document, flagged when
+    * the identical window also occurs in at least one OTHER document.
+    * One summary row per document long enough to have a window:
+    * (doc_id, n_spans, n_dup_spans, dup_frac, has_dup).
+    *
+    * Scale shape: span assembly is map-only (transform/sequence +
+    * explode, same kernel as [[shingleRows]]); the w-token span strings
+    * never cross the wire — spans shuffle ONCE as 64-bit xxhash64 keys,
+    * and the cross-doc frequency table joins back on that same
+    * fixed-width key. The stride-1 w-fold row fan-out is inherent to
+    * ExactSubstr; hashing is what keeps the two shuffles affordable.
+    * Collision bound: P(any two of S distinct spans colliding) <=
+    * S^2/2^65, and a collision only over-flags one span — fine for a
+    * curation signal (the DuckDB oracle groups on the raw span text).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val toks = words(col(textCol))
+    val spans = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+        .as("h"))
+    val dup = spans.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("is_dup")).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+      .withColumn("has_dup", col("n_dup_spans") > 0)
+  }
 }

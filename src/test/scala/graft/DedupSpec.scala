@@ -223,6 +223,29 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) == ((false, false)))
   }
 
+  test("duplicateSpans: cross-doc spans flag, within-doc repeats do not") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")   // 8-token span
+    val docs = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + shared),
+      // within-doc repetition only: the same 8 tokens twice in ONE doc
+      (3L, (1 to 8).map(i => s"r$i").mkString(" ") + " " +
+           (1 to 8).map(i => s"r$i").mkString(" ")),
+      (4L, (1 to 20).map(i => s"u$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    // doc 1: 18 tokens -> 11 windows; exactly one (the first) is shared
+    assert(got(1L) == ((11L, 1L, true)))
+    assert(got(2L) == ((11L, 1L, true)))
+    // doc 3's repeated span occurs twice but in only ONE distinct doc:
+    // duplication is cross-document, so nothing flags
+    assert(got(3L) == ((9L, 0L, false)))
+    assert(got(4L) == ((13L, 0L, false)))
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)))
       .toDF("qid", "qvec")
