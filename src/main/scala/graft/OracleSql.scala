@@ -1059,6 +1059,28 @@ object OracleSql {
       |GROUP BY sp.doc_id
       |ORDER BY sp.doc_id""".stripMargin
 
+  // q80: unigram-LM doc scoring — per-token ln(p) quantized to
+  // DECIMAL(18,9) before the (exact, order-independent) sum; the mean
+  // is ONE double division at the end, mirroring the Spark op order.
+  // The 1e-9 grid absorbs JVM-vs-DuckDB ln() last-ulp noise.
+  private val q80 =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM f),
+      |s AS (
+      |  SELECT t.doc_id,
+      |    ln(CAST(f.cnt AS DOUBLE) / tot.total) AS lnp,
+      |    CAST(ln(CAST(f.cnt AS DOUBLE) / tot.total)
+      |      AS DECIMAL(18,9)) AS lnp9
+      |  FROM t JOIN f USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(lnp9) AS DOUBLE) / count(*) AS mean_logprob,
+      |  min(lnp) AS min_logprob
+      |FROM s GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1150,6 +1172,7 @@ object OracleSql {
     "q77_incremental_dedup" -> q77,
     "q78_split" -> q78,
     "q79_substring_spans" -> q79,
+    "q80_unigram_logprob" -> q80,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

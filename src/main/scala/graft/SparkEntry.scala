@@ -525,6 +525,12 @@ object SparkEntry {
       "doc_id", Seq("lang"))
       .orderBy("doc_id")
 
+  /** Unigram-LM document quality: corpus-fit token frequencies, each
+    * doc scored by mean / min token log-probability (CCNet shape). */
+  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** ExactSubstr-style cross-document duplicated-span summary:
     * per doc, how many of its 8-token windows also occur verbatim in
     * another document. */
@@ -1035,7 +1041,8 @@ object SparkEntry {
       "q76_zscore" -> (qZscore _),
       "q77_incremental_dedup" -> (qIncrementalDedup _),
       "q78_split" -> (qSplit _),
-      "q79_substring_spans" -> (qSubstringSpans _))
+      "q79_substring_spans" -> (qSubstringSpans _),
+      "q80_unigram_logprob" -> (qUnigramLogprob _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -30,6 +30,21 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((4, Some(1.0), Some(1.0), Some(1.0))))
   }
 
+  test("unigramLogProb: hand-computed corpus-LM scores, partition-invariant") {
+    // corpus: tokens a:3, b:2, c:1 -> total 6
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def lnp9(cnt: Int) =
+      BigDecimal(math.log(cnt / 6.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got = TextAnalysis.unigramLogProb(d.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // mirror the operator's op order: exact decimal sum -> ONE double division
+    val exp1 = (lnp9(3) * 2 + lnp9(2)).toDouble / 3
+    val exp2 = (lnp9(3) + lnp9(2) + lnp9(1)).toDouble / 3
+    assert(got(1L) == ((3L, exp1, math.log(2 / 6.0))))
+    assert(got(2L) == ((3L, exp2, math.log(1 / 6.0))))
+  }
+
   test("chunkWindows: hand-computed overlapping chunks incl. short tail") {
     val d = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a")).toDF("doc_id", "text")
     val got = Curation.chunkWindows(d, "doc_id", "text", w = 3, s = 2)
