@@ -1081,6 +1081,134 @@ object OracleSql {
       |FROM s GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // q81: strictly-ordered funnel — each step's CTE keeps users whose
+  // earliest step event is strictly after their step-(k-1) time. All
+  // comparisons at microsecond precision (epoch_us) to mirror Spark's
+  // NANOS→micros read truncation; ONE double division for the rate.
+  private val q81 =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'signup' AND e.t > s2.t GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s3 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t > s3.t
+      |       GROUP BY e.user_id),
+      |c AS (
+      |  SELECT 1 AS step, 'view' AS event_type,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+      |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+      |SELECT step, event_type, n_users,
+      |  CAST(n_users AS DOUBLE) /
+      |    (SELECT n_users FROM c WHERE step = 1) AS frac_of_first
+      |FROM c ORDER BY step""".stripMargin
+
+  // q82: weekly cohort retention. week_offset mirrors Spark's
+  // floor(datediff/7.0) double op order exactly.
+  private val q82 =
+    """WITH f AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+      |SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP)
+      |    AS cohort_week,
+      |  CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+      |    CAST(e.ts AS DATE)) / CAST('7.0' AS DOUBLE)) AS BIGINT)
+      |    AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q83: vocabulary coverage cut — keep predicate is pure integer math
+  // ((cum−cnt)·10 < total·9) so the boundary token is engine-exact.
+  private val q83 =
+    """WITH t AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM f),
+      |r AS (
+      |  SELECT tok, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+      |    sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+      |    total
+      |  FROM f CROSS JOIN tot)
+      |SELECT tok, cnt, CAST(rank AS INTEGER) AS rank,
+      |  CAST(cum_cnt AS DOUBLE) / total AS cum_frac
+      |FROM r WHERE (cum_cnt - cnt) * 10 < total * 9
+      |ORDER BY rank""".stripMargin
+
+  // q84: int8 quantization audit. Per-element double math in ONE fixed
+  // op order (bit-identical across engines); the order-sensitive Σerr²
+  // goes through the DECIMAL(28,15) quantization grid (exact sum), then
+  // ONE double division.
+  private val q84 =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |    list_aggregate(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax,
+      |    CAST(len(embedding) AS INTEGER) AS dim,
+      |    unnest(embedding) AS xf
+      |  FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, amax, dim, CAST(xf AS DOUBLE) AS x FROM base),
+      |err AS (
+      |  SELECT vec_id, amax, dim,
+      |    CASE WHEN amax = CAST('0.0' AS DOUBLE) THEN CAST('0.0' AS DOUBLE)
+      |         ELSE x - greatest(CAST('-127.0' AS DOUBLE),
+      |                 least(CAST('127.0' AS DOUBLE),
+      |                   floor(x / (amax / CAST('127.0' AS DOUBLE))
+      |                     + CAST('0.5' AS DOUBLE))))
+      |               * (amax / CAST('127.0' AS DOUBLE))
+      |    END AS e
+      |  FROM el)
+      |SELECT vec_id, dim, amax,
+      |  CAST(sum(CAST(e * e AS DECIMAL(28,15))) AS DOUBLE) / dim AS mse,
+      |  max(abs(e)) AS max_abs_err
+      |FROM err GROUP BY vec_id, dim, amax
+      |ORDER BY vec_id""".stripMargin
+
+  // q85: BM25 with the log-free idf (N−df+0.5)/(df+0.5) — monotone in
+  // df like the ln form, but engine-exact (house rule, see q56). Score
+  // written in the exact Spark op order; double literals via CAST.
+  private val q85 =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'stream', 'join', 'window')
+      |  GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT t.term, t.doc_id, t.tf, dfq.df, dl.dl,
+      |    ((CAST(c.n_docs - dfq.df AS DOUBLE) + CAST('0.5' AS DOUBLE)) /
+      |       (CAST(dfq.df AS DOUBLE) + CAST('0.5' AS DOUBLE))) *
+      |      (CAST(t.tf AS DOUBLE) * CAST('2.2' AS DOUBLE)) /
+      |      (CAST(t.tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+      |        (CAST('0.25' AS DOUBLE) + CAST('0.75' AS DOUBLE) *
+      |          (CAST(dl.dl AS DOUBLE) / c.avgdl))) AS score
+      |  FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN corpus c),
+      |ranked AS (
+      |  SELECT term, doc_id, tf, df, dl, score,
+      |    row_number() OVER (PARTITION BY term
+      |                       ORDER BY score DESC, doc_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT term, doc_id, tf, df, dl, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM ranked WHERE rnk <= 10 ORDER BY term, rnk""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1173,6 +1301,11 @@ object OracleSql {
     "q78_split" -> q78,
     "q79_substring_spans" -> q79,
     "q80_unigram_logprob" -> q80,
+    "q81_funnel" -> q81,
+    "q82_cohort_retention" -> q82,
+    "q83_vocab_coverage" -> q83,
+    "q84_int8_quant" -> q84,
+    "q85_bm25" -> q85,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -538,6 +538,35 @@ object SparkEntry {
     Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", w = 8)
       .orderBy("doc_id")
 
+  /** Strictly-ordered event funnel: view → click → signup → purchase,
+    * per-step reach and conversion vs step 1. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.reach(Tables.events(s, dir),
+      Seq("view", "click", "signup", "purchase"))
+
+  /** Weekly cohort retention matrix over the event stream. */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    Funnel.cohortRetention(Tables.events(s, dir))
+
+  /** Tokenizer-budget vocabulary cut: smallest frequency-ranked token
+    * prefix covering 90% of corpus token mass. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "doc_id", "text",
+      covNum = 9, covDen = 10)
+      .orderBy("rank")
+
+  /** Int8 embedding-quantization audit: per-vector amax/mse/max-err. */
+  private def qInt8Quant(s: SparkSession, dir: String): DataFrame =
+    Quantization.int8Report(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** BM25 retrieval: top-10 documents per query term. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TfIdf.bm25(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("spark", "stream", "join", "window"),
+      k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("term", "rnk")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1042,7 +1071,12 @@ object SparkEntry {
       "q77_incremental_dedup" -> (qIncrementalDedup _),
       "q78_split" -> (qSplit _),
       "q79_substring_spans" -> (qSubstringSpans _),
-      "q80_unigram_logprob" -> (qUnigramLogprob _))
+      "q80_unigram_logprob" -> (qUnigramLogprob _),
+      "q81_funnel" -> (qFunnel _),
+      "q82_cohort_retention" -> (qCohortRetention _),
+      "q83_vocab_coverage" -> (qVocabCoverage _),
+      "q84_int8_quant" -> (qInt8Quant _),
+      "q85_bm25" -> (qBm25 _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -232,4 +232,45 @@ object TextAnalysis {
         (sum(col("lnp9")).cast("double") / count(lit(1))).as("mean_logprob"),
         min(col("lnp")).as("min_logprob"))
   }
+
+  /** Vocabulary coverage cut: the smallest frequency-ranked token
+    * prefix covering `covNum`/`covDen` of the corpus token mass — the
+    * "what vocabulary do I need for 90% coverage" question every
+    * tokenizer-training run asks. Returns (tok, cnt, rank, cum_frac)
+    * for the kept prefix, rank ascending.
+    *
+    * The keep predicate is pure integer math ((cum − cnt)·covDen <
+    * total·covNum — "mass BEFORE this token is under target"), so the
+    * boundary token is unambiguous in any engine; cum_frac is ONE
+    * double division for reporting.
+    *
+    * Scale shape: one explode + map-side-combined token count (the only
+    * corpus-sized shuffle), then ranking over the DISTINCT-TOKEN table —
+    * orders of magnitude smaller than the corpus (vocabulary grows
+    * ~sub-linearly in corpus size), so the single-partition global
+    * window is bounded by vocabulary, not data. For a trillion-token
+    * corpus with a 100M-type vocabulary you'd range-partition the sort
+    * and two-pass the cumulative sum; at any practical vocab the window
+    * holds.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    covNum: Int, covDen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val freq = docs
+      .select(explode(words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    freq.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .filter((col("cum_cnt") - col("cnt")) * lit(covDen.toLong)
+        < col("total") * lit(covNum.toLong))
+      .select(col("tok"), col("cnt"), col("rank"),
+        (col("cum_cnt").cast("double") / col("total")).as("cum_frac"))
+  }
 }

@@ -42,4 +42,54 @@ object TfIdf {
         Seq(col("score").desc, col("term").asc), k, rankCol = "term_rank")
       .select("doc_id", "term", "tf", "df", "score", "term_rank")
   }
+
+  /** BM25 document ranking for a fixed set of query terms — the
+    * retrieval-side sibling of `topTerms`: instead of "which terms
+    * characterize this doc", "which docs answer this term". Standard
+    * Robertson BM25 with the log-free idf (N − df + 0.5)/(df + 0.5):
+    * a strictly monotone transform of the textbook ln(1 + ·) form, so
+    * rankings are identical while the score stays engine-exact (libm
+    * ln differs in the last ulp across engines; see `topTerms` for the
+    * same house rule).
+    *
+    * Score arithmetic is written in ONE fixed double op order —
+    * idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)) — with avgdl
+    * from an exact long sum and one division, so Spark and DuckDB
+    * hash-match bit-for-bit.
+    *
+    * Scale shape: the term filter prunes the posting build to the
+    * query terms before any shuffle (predicate on the exploded term),
+    * tf is a map-side-combined groupBy, df/avgdl are broadcast
+    * singletons, and the per-term top-k is WindowGroupLimit-pruned.
+    * Nothing scales with corpus size except the one tf aggregation
+    * over matching postings.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double, b: Double,
+           topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    // doc lengths + corpus avgdl (exact long sum, ONE double division)
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df")).cast("double") + lit(0.5d)
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("score",
+        (idf / (col("df").cast("double") + lit(0.5d))) *
+          (col("tf").cast("double") * lit(k1 + 1.0d)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0d - b) + lit(b) * (col("dl").cast("double")
+              / col("avgdl")))))
+    TopK.perGroupTopN(scored, Seq(col("term")),
+        Seq(col("score").desc, col("doc_id").asc), topK, rankCol = "rnk")
+      .select("term", "doc_id", "tf", "df", "dl", "score", "rnk")
+  }
 }
