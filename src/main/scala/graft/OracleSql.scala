@@ -1209,6 +1209,57 @@ object OracleSql {
       |SELECT term, doc_id, tf, df, dl, score, CAST(rnk AS INTEGER) AS rnk
       |FROM ranked WHERE rnk <= 10 ORDER BY term, rnk""".stripMargin
 
+  // q86: cross-source 5-gram overlap matrix. Spark joins on xxhash64
+  // of the shingle; the oracle joins raw shingle text (same accepted
+  // collision rounding as q79). 5-gram assembly mirrors q69's kernel.
+  private val q86 =
+    """WITH ws AS (
+      |  SELECT source, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4])) AS shingle
+      |  FROM ws WHERE len(w) >= 5),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS shared_shingles
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |    AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b, sa.n AS n_a, sb.n AS n_b,
+      |  s.shared_shingles,
+      |  CAST(s.shared_shingles AS DOUBLE) /
+      |    (sa.n + sb.n - s.shared_shingles) AS jaccard
+      |FROM shared s
+      |JOIN sizes sa ON s.source_a = sa.source
+      |JOIN sizes sb ON s.source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // q87: corpus-order 5-gram novelty — first corpus occurrence =
+  // min(doc_id) over documents containing the shingle.
+  private val q87 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4])) AS shingle
+      |  FROM ws WHERE len(w) >= 5),
+      |fo AS (SELECT shingle, min(doc_id) AS first_doc
+      |       FROM sh GROUP BY shingle)
+      |SELECT sh.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / count(*) AS novelty
+      |FROM sh JOIN fo USING (shingle)
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1306,6 +1357,8 @@ object OracleSql {
     "q83_vocab_coverage" -> q83,
     "q84_int8_quant" -> q84,
     "q85_bm25" -> q85,
+    "q86_source_overlap" -> q86,
+    "q87_novelty" -> q87,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

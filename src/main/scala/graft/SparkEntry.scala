@@ -567,6 +567,16 @@ object SparkEntry {
       k1 = 1.2, b = 0.75, topK = 10)
       .orderBy("term", "rnk")
 
+  /** Cross-source 5-gram content-overlap matrix (mirror detection). */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text", n = 5)
+      .orderBy("source_a", "source_b")
+
+  /** Corpus-order 5-gram novelty score per document. */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScores(Tables.documents(s, dir), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1076,7 +1086,9 @@ object SparkEntry {
       "q82_cohort_retention" -> (qCohortRetention _),
       "q83_vocab_coverage" -> (qVocabCoverage _),
       "q84_int8_quant" -> (qInt8Quant _),
-      "q85_bm25" -> (qBm25 _))
+      "q85_bm25" -> (qBm25 _),
+      "q86_source_overlap" -> (qSourceOverlap _),
+      "q87_novelty" -> (qNovelty _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -254,4 +254,75 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans"))
       .withColumn("has_dup", col("n_dup_spans") > 0)
   }
+
+  /** Cross-source content-overlap matrix: for every pair of sources,
+    * how many distinct n-gram shingles they share, plus the Jaccard of
+    * their shingle sets — the "is source B substantially mirroring
+    * source A" report that decides which feeds to drop before
+    * per-document dedup even runs. (Whole-document keys are too
+    * brittle for this: mirrors re-wrap and re-punctuate; shingle sets
+    * survive that.)
+    *
+    * Scale shape: dedup to distinct (source, shingle-hash) first
+    * (map-side combine over fixed-width longs), then the self-join
+    * meets only rows with the SAME key — a shingle shared by s sources
+    * yields s·(s−1)/2 pair rows, bounded by sources², never corpus².
+    * Per-source totals are a tiny broadcast. The DuckDB oracle groups
+    * raw shingle text; xxhash64 collisions are the same accepted
+    * rounding as [[duplicateSpans]].
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    // shingleRows keys its output "doc_id" — here that slot carries
+    // the source name, one shingle row per source occurrence.
+    val keyed = shingleRows(docs.select(col(srcCol), col(textCol)),
+        srcCol, textCol, n)
+      .select(col("doc_id").as("source"), xxhash64(col("shingle")).as("k"))
+      .distinct()
+    val sizes = keyed.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = keyed.select(col("source").as("source_a"), col("k"))
+      .join(keyed.select(col("source").as("source_b"), col("k")), Seq("k"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared_shingles"),
+        (col("shared_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_shingles"))).as("jaccard"))
+  }
+
+  /** Corpus-order n-gram novelty: per document, the fraction of its
+    * DISTINCT n-gram shingles whose first corpus occurrence (minimum
+    * doc_id over all documents containing the shingle) is this
+    * document — "how much text does this doc add that no earlier doc
+    * had". The streaming-curation complement of [[duplicateSpans]]:
+    * that one flags duplication anywhere; this one credits earliest
+    * arrival, the signal used when ingesting feeds in priority order.
+    *
+    * Scale shape: same two fixed-width shuffles as [[duplicateSpans]]
+    * (distinct posting build + min-owner table joined back on the
+    * 64-bit shingle hash); the min() owner aggregation is map-side
+    * partial. Ids must be ingestion-ordered for "first" to mean
+    * "earliest" — at 100 TB that's the batch sequence number, not a
+    * random id.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val post = shingleRows(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    val firstOwner = post.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    post.join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
 }

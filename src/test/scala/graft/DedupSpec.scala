@@ -253,4 +253,33 @@ class DedupSpec extends SparkSpec {
       .select("sim").as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-12)
   }
+
+  test("sourceOverlap counts shared distinct shingles, omits disjoint pairs") {
+    val d = Seq(
+      (1L, "s1", "a b c d e f"), // shingles: "a b c d e", "b c d e f"
+      (2L, "s2", "a b c d e g"), // shares "a b c d e" with s1
+      (3L, "s3", "x y z w v u")) // disjoint from both
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(d, "source", "text", n = 5)
+      .select("source_a", "source_b", "n_a", "n_b", "shared_shingles",
+        "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 2L, 2L, 1L, 1.0 / 3)),
+      "only the sharing pair appears; jaccard = 1/(2+2-1)")
+  }
+
+  test("noveltyScores credits first corpus occurrence by min doc_id") {
+    val d = Seq(
+      (1L, "a b c d e f"), // owns both its shingles
+      (2L, "a b c d e x"), // "a b c d e" first seen in doc 1
+      (3L, "a b"))         // too short: no shingles, no row
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(d, "doc_id", "text", n = 5)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5))))
+  }
 }
