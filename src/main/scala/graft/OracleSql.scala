@@ -1260,6 +1260,51 @@ object OracleSql {
       |FROM sh JOIN fo USING (shingle)
       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
 
+  // q88: ANALYZE-style column profile — the oracle builds the same
+  // long form with UNION ALL; sums through DECIMAL(18,2) (house rule).
+  private val q88 =
+    """WITH p AS (
+      |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount FROM lineitem)
+      |SELECT col_name, count(*) AS n,
+      |  count(*) - count(v) AS n_null,
+      |  count(DISTINCT v) AS ndv,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  // q89: equi-depth histogram from exact interpolated decile
+  // boundaries (quantile_cont == Spark percentile, q41-verified);
+  // bin = 1 + Σ (v > boundary), strict > so ties land low both sides.
+  private val q89 =
+    """WITH b AS (
+      |  SELECT quantile_cont(l_extendedprice, 0.1) AS b1,
+      |         quantile_cont(l_extendedprice, 0.2) AS b2,
+      |         quantile_cont(l_extendedprice, 0.3) AS b3,
+      |         quantile_cont(l_extendedprice, 0.4) AS b4,
+      |         quantile_cont(l_extendedprice, 0.5) AS b5,
+      |         quantile_cont(l_extendedprice, 0.6) AS b6,
+      |         quantile_cont(l_extendedprice, 0.7) AS b7,
+      |         quantile_cont(l_extendedprice, 0.8) AS b8,
+      |         quantile_cont(l_extendedprice, 0.9) AS b9
+      |  FROM lineitem)
+      |SELECT 1 + CAST(l_extendedprice > b1 AS INTEGER)
+      |         + CAST(l_extendedprice > b2 AS INTEGER)
+      |         + CAST(l_extendedprice > b3 AS INTEGER)
+      |         + CAST(l_extendedprice > b4 AS INTEGER)
+      |         + CAST(l_extendedprice > b5 AS INTEGER)
+      |         + CAST(l_extendedprice > b6 AS INTEGER)
+      |         + CAST(l_extendedprice > b7 AS INTEGER)
+      |         + CAST(l_extendedprice > b8 AS INTEGER)
+      |         + CAST(l_extendedprice > b9 AS INTEGER) AS bin,
+      |  count(*) AS n,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem CROSS JOIN b
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1359,6 +1404,8 @@ object OracleSql {
     "q85_bm25" -> q85,
     "q86_source_overlap" -> q86,
     "q87_novelty" -> q87,
+    "q88_column_stats" -> q88,
+    "q89_equidepth_hist" -> q89,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

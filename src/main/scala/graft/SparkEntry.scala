@@ -577,6 +577,17 @@ object SparkEntry {
     Dedup.noveltyScores(Tables.documents(s, dir), "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  /** ANALYZE-style numeric column profile over lineitem (one pass). */
+  private def qColumnStats(s: SparkSession, dir: String): DataFrame =
+    Stats.columnProfile(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_name")
+
+  /** Equi-depth decile histogram of l_extendedprice, sort-free. */
+  private def qEquiDepthHist(s: SparkSession, dir: String): DataFrame =
+    Stats.equiDepthHistogram(Tables.lineitem(s, dir), "l_extendedprice", 10)
+      .orderBy("bin")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1088,7 +1099,9 @@ object SparkEntry {
       "q84_int8_quant" -> (qInt8Quant _),
       "q85_bm25" -> (qBm25 _),
       "q86_source_overlap" -> (qSourceOverlap _),
-      "q87_novelty" -> (qNovelty _))
+      "q87_novelty" -> (qNovelty _),
+      "q88_column_stats" -> (qColumnStats _),
+      "q89_equidepth_hist" -> (qEquiDepthHist _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

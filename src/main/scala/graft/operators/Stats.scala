@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-statistics operators — the ANALYZE-side of an engine: column
+  * profiles for cost-based decisions and equi-depth histograms for
+  * range-selectivity estimation. The reference has no stats surface at
+  * all (SQLite defaults); at 100 TB, stats collection is itself a big
+  * query and must scale like one.
+  */
+object Stats {
+
+  /** ANALYZE-style profile of numeric columns: one output row per
+    * column — (col_name, n, n_null, ndv, min_v, max_v, sum_v). The sum
+    * goes through DECIMAL(18,2) so it is exact and engine-identical
+    * (house money-math rule); min/max/ndv are exact by construction.
+    *
+    * Scale shape: one unpivot (map-side row fan-out ×|columns|) + one
+    * aggregation keyed on col_name. The count-distinct expands to
+    * Spark's standard two-phase (col_name, v) partial — shuffle volume
+    * is O(distinct values), map-side combined. No per-column table
+    * scans: ONE pass over the data regardless of column count.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val long = df.unpivot(
+      Array.empty[Column], cols.map(col(_)).toArray, "col_name", "v")
+    long.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        count_distinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_v"))
+  }
+
+  /** Equi-depth histogram WITHOUT a global sort: exact interpolated
+    * decile boundaries (percentile(), bit-identical to DuckDB's
+    * quantile_cont — the q41-verified equivalence) are computed in one
+    * aggregation, broadcast as a single row, and each value's bin is
+    * 1 + Σ (v > boundary_i) — a map-side comparison fan, then one
+    * groupBy(bin). A value tied with a boundary goes to the lower bin
+    * on both engines (strict >), so ties never split across engines.
+    *
+    * The classic ntile() formulation needs a single-partition global
+    * sort — the thing to never do at corpus scale; this shape is two
+    * aggregations and a 9-double broadcast. Output: (bin, n, lo, hi).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val qs = (1 until buckets).map(i =>
+      expr(s"percentile($valueCol, ${i.toDouble / buckets})").as(s"b$i"))
+    val bounds = df.agg(qs.head, qs.tail: _*)
+    val bin = (1 until buckets).map(i =>
+        when(col(valueCol) > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.select(col(valueCol)).crossJoin(broadcast(bounds))
+      .select(col(valueCol), bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+}
