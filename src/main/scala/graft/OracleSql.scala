@@ -1305,6 +1305,29 @@ object OracleSql {
       |FROM lineitem CROSS JOIN b
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // q90: funnel conversion latency — q81's step chain, then one
+  // aggregation over integer-microsecond latencies (percentile ≡
+  // quantile_cont, the q41-verified equivalence).
+  private val q90 =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'signup' AND e.t > s2.t GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s3 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t > s3.t
+      |       GROUP BY e.user_id),
+      |lat AS (
+      |  SELECT s4.t - s1.t AS lat_us FROM s4 JOIN s1 USING (user_id))
+      |SELECT count(*) AS n_converted,
+      |  quantile_cont(lat_us, 0.5) AS p50_us,
+      |  quantile_cont(lat_us, 0.9) AS p90_us,
+      |  max(lat_us) AS max_us
+      |FROM lat""".stripMargin
+
   private val q69 =
     """WITH ws AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -1406,6 +1429,7 @@ object OracleSql {
     "q87_novelty" -> q87,
     "q88_column_stats" -> q88,
     "q89_equidepth_hist" -> q89,
+    "q90_funnel_latency" -> q90,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

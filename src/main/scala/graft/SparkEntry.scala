@@ -588,6 +588,12 @@ object SparkEntry {
     Stats.equiDepthHistogram(Tables.lineitem(s, dir), "l_extendedprice", 10)
       .orderBy("bin")
 
+  /** Funnel conversion latency: exact p50/p90 microseconds from first
+    * view to earliest ordered purchase, completers only. */
+  private def qFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    Funnel.timeToConvert(Tables.events(s, dir),
+      Seq("view", "click", "signup", "purchase"))
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1101,7 +1107,8 @@ object SparkEntry {
       "q86_source_overlap" -> (qSourceOverlap _),
       "q87_novelty" -> (qNovelty _),
       "q88_column_stats" -> (qColumnStats _),
-      "q89_equidepth_hist" -> (qEquiDepthHist _))
+      "q89_equidepth_hist" -> (qEquiDepthHist _),
+      "q90_funnel_latency" -> (qFunnelLatency _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -27,11 +27,14 @@ object Funnel {
     * frac_of_first) ordered by step. frac_of_first is computed as ONE
     * double division so it hash-matches any engine.
     */
-  def reach(events: DataFrame, steps: Seq[String]): DataFrame = {
+  /** Per-user earliest qualifying timestamp of each funnel step, built
+    * sequentially (step k's frame filters on "after step k−1's
+    * time"). */
+  private def stepFrames(events: DataFrame,
+                         steps: Seq[String]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
-    // Per-user earliest ts of each reached step, built sequentially.
-    val frames: Seq[DataFrame] = steps.tail.scanLeft(
+    steps.tail.scanLeft(
       e.filter(col("event_type") === steps.head)
         .groupBy("user_id").agg(min(col("ts")).as("t"))
     ) { (prev, step) =>
@@ -40,6 +43,10 @@ object Funnel {
         .filter(col("ts") > col("t_prev"))
         .groupBy("user_id").agg(min(col("ts")).as("t"))
     }
+  }
+
+  def reach(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val frames = stepFrames(events, steps)
     val counted = frames.zip(steps).zipWithIndex.map {
       case ((df, step), i) =>
         df.agg(count(lit(1)).as("n_users"))
@@ -54,6 +61,30 @@ object Funnel {
         (col("n_users").cast("double") / col("n_first"))
           .as("frac_of_first"))
       .orderBy("step")
+  }
+
+  /** Conversion latency for funnel completers: microseconds from the
+    * first step-1 event to the earliest qualifying final-step event,
+    * summarized as ONE row (n_converted, p50_us, p90_us, max_us).
+    * Latencies stay integer microseconds until the exact interpolated
+    * percentile (the q41-verified percentile ≡ quantile_cont
+    * equivalence), so nothing is float-order-sensitive.
+    *
+    * Scale shape: the same user_id-keyed step chain as [[reach]], then
+    * one single-row aggregation over the (narrow) completer set.
+    */
+  def timeToConvert(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val frames = stepFrames(events, steps)
+    val first = frames.head
+      .select(col("user_id"), unix_micros(col("t")).as("t0"))
+    val last = frames.last
+      .select(col("user_id"), unix_micros(col("t")).as("t1"))
+    last.join(first, Seq("user_id"))
+      .select((col("t1") - col("t0")).as("lat_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lat_us, 0.5)").as("p50_us"),
+        expr("percentile(lat_us, 0.9)").as("p90_us"),
+        max(col("lat_us")).as("max_us"))
   }
 
   /** Weekly cohort retention: users grouped by the ISO week of their
