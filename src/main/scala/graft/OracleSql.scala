@@ -1346,6 +1346,36 @@ object OracleSql {
       |LEFT JOIN flagged f USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // q91: block-level boilerplate removal — oracle groups the raw
+  // 16-word block TEXT (Spark counts df on xxhash64(block), q79
+  // convention); toks[a : a+15] is 1-based inclusive = 16 elements,
+  // mirroring slice(toks, a, 16); list(... ORDER BY block_id) FILTER
+  // restores original order over surviving blocks, COALESCE('') for
+  // all-boilerplate documents (Spark concat_ws of an empty array).
+  private val q91 =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // 16)) AS block_id
+      |  FROM d),
+      |blocks AS (
+      |  SELECT doc_id, block_id,
+      |    array_to_string(toks[block_id*16+1 : block_id*16+16], ' ') AS btext
+      |  FROM b),
+      |bdf AS (
+      |  SELECT btext, count(DISTINCT doc_id) AS block_df
+      |  FROM blocks GROUP BY btext)
+      |SELECT doc_id,
+      |  count(*) AS n_blocks,
+      |  count(CASE WHEN block_df < 3 THEN 1 END) AS n_kept,
+      |  COALESCE(array_to_string(
+      |    list(btext ORDER BY block_id) FILTER (WHERE block_df < 3),
+      |    ' '), '') AS clean_text
+      |FROM blocks JOIN bdf USING (btext)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1430,6 +1460,7 @@ object OracleSql {
     "q88_column_stats" -> q88,
     "q89_equidepth_hist" -> q89,
     "q90_funnel_latency" -> q90,
+    "q91_block_dedup" -> q91,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -594,6 +594,14 @@ object SparkEntry {
     Funnel.timeToConvert(Tables.events(s, dir),
       Seq("view", "click", "signup", "purchase"))
 
+  /** Block-level boilerplate removal: drop 16-word blocks appearing in
+    * 3+ distinct documents, reassemble the rest (RefinedWeb line-dedup
+    * shape over a newline-free corpus). */
+  private def qBlockDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text",
+      blockLen = 16, maxDf = 3)
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1108,7 +1116,8 @@ object SparkEntry {
       "q87_novelty" -> (qNovelty _),
       "q88_column_stats" -> (qColumnStats _),
       "q89_equidepth_hist" -> (qEquiDepthHist _),
-      "q90_funnel_latency" -> (qFunnelLatency _))
+      "q90_funnel_latency" -> (qFunnelLatency _),
+      "q91_block_dedup" -> (qBlockDedup _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -268,6 +268,40 @@ class DedupSpec extends SparkSpec {
       "only the sharing pair appears; jaccard = 1/(2+2-1)")
   }
 
+  test("blockDedup drops cross-doc boilerplate blocks, keeps order") {
+    // 4-word blocks; "nav nav nav nav" opens docs 1-3 (df=3 -> drop),
+    // each doc keeps its unique tail block in original order.
+    val d = Seq(
+      (1L, "nav nav nav nav one two three four"),
+      (2L, "nav nav nav nav five six seven eight"),
+      (3L, "nav nav nav nav nine ten eleven twelve"),
+      (4L, "nav nav nav nav")) // all boilerplate -> empty clean_text
+      .toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d, "doc_id", "text", blockLen = 4, maxDf = 3)
+      .select("doc_id", "n_blocks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, "one two three four")))
+    assert(got(2L) == ((2L, 1L, "five six seven eight")))
+    assert(got(3L) == ((2L, 1L, "nine ten eleven twelve")))
+    assert(got(4L) == ((1L, 0L, "")), "all-boilerplate doc stays, empty")
+  }
+
+  test("blockDedup reassembles multi-kept blocks in block order") {
+    val d = Seq(
+      (1L, "dup dup dup dup a b c d dup dup dup dup e f g h"),
+      (2L, "dup dup dup dup x y z w"),
+      (3L, "dup dup dup dup p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d, "doc_id", "text", blockLen = 4, maxDf = 2)
+      .filter($"doc_id" === 1L)
+      .select("n_blocks", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+    // doc1 blocks: [dup...] [a b c d] [dup...] [e f g h]; both dup
+    // blocks hit df=3 >= 2 -> dropped; kept blocks keep text order
+    assert(got == ((4L, 2L, "a b c d e f g h")))
+  }
+
   test("noveltyScores credits first corpus occurrence by min doc_id") {
     val d = Seq(
       (1L, "a b c d e f"), // owns both its shingles
