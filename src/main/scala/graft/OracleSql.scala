@@ -1376,6 +1376,26 @@ object OracleSql {
       |FROM blocks JOIN bdf USING (btext)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // q92: SemDeDup within label clusters — cosine via the shared
+  // cosineSql kernel (same left-to-right double op order as the native
+  // expression, q32-pinned); max/count over identically-computed sims;
+  // -2.0 sentinel for vectors with no earlier cluster-mate.
+  private val q92 =
+    s"""WITH p AS (
+       |  SELECT y.vec_id AS b, ${cosineSql("x", "y")} AS sim
+       |  FROM embeddings x JOIN embeddings y
+       |    ON x.label = y.label AND x.vec_id < y.vec_id),
+       |agg AS (
+       |  SELECT b AS vec_id, max(sim) AS max_sim_earlier,
+       |    count(CASE WHEN sim >= 0.30 THEN 1 END) AS n_earlier_dups
+       |  FROM p GROUP BY b)
+       |SELECT e.vec_id, e.label AS cluster,
+       |  COALESCE(max_sim_earlier, -2.0) AS max_sim_earlier,
+       |  COALESCE(n_earlier_dups, 0) AS n_earlier_dups,
+       |  COALESCE(n_earlier_dups, 0) = 0 AS keep
+       |FROM embeddings e LEFT JOIN agg USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1461,6 +1481,7 @@ object OracleSql {
     "q89_equidepth_hist" -> q89,
     "q90_funnel_latency" -> q90,
     "q91_block_dedup" -> q91,
+    "q92_semantic_dedup" -> q92,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

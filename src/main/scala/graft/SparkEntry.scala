@@ -602,6 +602,14 @@ object SparkEntry {
       blockLen = 16, maxDf = 3)
       .orderBy("doc_id")
 
+  /** SemDeDup semantic dedup: within each label cluster, vectors with
+    * an earlier (smaller-id) cluster-mate at cosine >= 0.30 lose their
+    * keep flag. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", tau = 0.30)
+      .orderBy("vec_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1117,7 +1125,8 @@ object SparkEntry {
       "q88_column_stats" -> (qColumnStats _),
       "q89_equidepth_hist" -> (qEquiDepthHist _),
       "q90_funnel_latency" -> (qFunnelLatency _),
-      "q91_block_dedup" -> (qBlockDedup _))
+      "q91_block_dedup" -> (qBlockDedup _),
+      "q92_semantic_dedup" -> (qSemanticDedup _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

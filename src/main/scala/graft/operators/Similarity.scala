@@ -306,4 +306,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): inside
+    * each pre-assigned cluster, compare every vector against the
+    * cluster's EARLIER vectors (smaller id) by cosine; a vector with
+    * any earlier neighbor at or above `tau` is a semantic duplicate
+    * and loses its keep flag — "first arrival represents the
+    * neighborhood". Output, one row per input vector:
+    * (vec_id, cluster, max_sim_earlier, n_earlier_dups, keep), with
+    * max_sim_earlier = −2.0 (below the cosine range) when the vector
+    * has no earlier cluster-mates.
+    *
+    * Scale shape: this is exactly why SemDeDup clusters first — the
+    * quadratic term is bounded per cluster, never corpus-wide. The
+    * pairwise join is an equi-join on the cluster id (one shuffle;
+    * AQE splits a skewed mega-cluster), the per-pair kernel is the
+    * fused-loop native cosine, and the final flag join is a per-id
+    * left join. At corpus scale the cluster column comes from the
+    * k-means/IVF quantizer ([[IvfIndex]] — centroid assign is a
+    * broadcast map-side step); here the embeddings table's curated
+    * `label` column stands in so the oracle can replay the exact
+    * same grouping. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val a = vecs.select(col(clusterCol).as("c"), col(idCol).as("a"),
+      col(vecCol).as("va"))
+    val b = vecs.select(col(clusterCol).as("c"), col(idCol).as("b"),
+      col(vecCol).as("vb"))
+    val agg = a.join(b, Seq("c"))
+      .filter(col("a") < col("b"))
+      .select(col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .groupBy(col("b").as("vec_id"))
+      .agg(max(col("sim")).as("max_sim_earlier"),
+        count(when(col("sim") >= tau, 1)).as("n_earlier_dups"))
+    vecs.select(col(idCol).as("vec_id"), col(clusterCol).as("cluster"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("max_sim_earlier"), lit(-2.0)).as("max_sim_earlier"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        (coalesce(col("n_earlier_dups"), lit(0L)) === 0).as("keep"))
+  }
 }

@@ -302,6 +302,29 @@ class DedupSpec extends SparkSpec {
     assert(got == ((4L, 2L, "a b c d e f g h")))
   }
 
+  test("semanticDedup keeps first arrival, flags later near-vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 10),   // cluster 10 representative
+      (2L, Array(0.99f, 0.1f, 0f), 10), // near doc 1 -> dropped
+      (3L, Array(0f, 1f, 0f), 10),   // orthogonal -> kept
+      (4L, Array(0f, 0f, 1f), 20))   // singleton cluster -> kept
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      "label", tau = 0.9)
+      .select("vec_id", "n_earlier_dups", "keep", "max_sim_earlier")
+      .as[(Long, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((0L, true)), "orthogonal vector is no duplicate")
+    assert(got(4L) == ((0L, true)), "singleton cluster keeps its vector")
+    val sentinel = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      "label", tau = 0.9)
+      .filter($"vec_id" === 1L || $"vec_id" === 4L)
+      .select("max_sim_earlier").as[Double].collect().toSet
+    assert(sentinel == Set(-2.0), "no-earlier-mate sentinel below cosine range")
+  }
+
   test("noveltyScores credits first corpus occurrence by min doc_id") {
     val d = Seq(
       (1L, "a b c d e f"), // owns both its shingles
