@@ -1396,6 +1396,24 @@ object OracleSql {
        |FROM embeddings e LEFT JOIN agg USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  // q93: Efraimidis–Spirakis weighted sample — u mirrors q72's keyed
+  // hash (+1 so u > 0), the E-S key u^(1/w) is quantized to
+  // DECIMAL(18,9) on BOTH sides before ranking (pow() is not
+  // bit-specified across libms; the 1e-9 grid absorbs last-ulp noise,
+  // grid ties break by doc_id).
+  private val q93 =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(pow(
+      |      CAST((doc_id % 2147483647) * 2654435761 % 2147483647 + 1
+      |        AS DOUBLE) / 2147483648.0,
+      |      1.0 / CAST(n_chars AS DOUBLE)) AS DECIMAL(18,9)) AS k
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |  CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS INTEGER)
+      |    AS sample_rank
+      |FROM d ORDER BY k DESC, doc_id ASC LIMIT 100""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1482,6 +1500,7 @@ object OracleSql {
     "q90_funnel_latency" -> q90,
     "q91_block_dedup" -> q91,
     "q92_semantic_dedup" -> q92,
+    "q93_weighted_sample" -> q93,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -610,6 +610,14 @@ object SparkEntry {
       "vec_id", "embedding", "label", tau = 0.30)
       .orderBy("vec_id")
 
+  /** Efraimidis–Spirakis weighted sample: 100 documents drawn with
+    * probability proportional to length, deterministically. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 100)
+      .orderBy("sample_rank")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1126,7 +1134,8 @@ object SparkEntry {
       "q89_equidepth_hist" -> (qEquiDepthHist _),
       "q90_funnel_latency" -> (qFunnelLatency _),
       "q91_block_dedup" -> (qBlockDedup _),
-      "q92_semantic_dedup" -> (qSemanticDedup _))
+      "q92_semantic_dedup" -> (qSemanticDedup _),
+      "q93_weighted_sample" -> (qWeightedSample _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -176,6 +176,36 @@ object Curation {
       .drop("_rn", "_cnt")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * each row draws a deterministic uniform u ∈ (0,1) from its id
+    * ([[scrambleKey]] — a keyed hash, not an RNG, so reruns, engines,
+    * and partitionings agree) and ranks by key = u^(1/w); the top `k`
+    * keys ARE a weighted sample without replacement. The curation move
+    * "pick k documents with probability proportional to length/quality"
+    * made reproducible.
+    *
+    * The key is quantized to DECIMAL(18,9) before ranking (the q80
+    * convention): pow() is not bit-specified across math libraries, and
+    * the 1e-9 grid absorbs last-ulp JVM-vs-oracle noise; grid ties
+    * break by id, deterministic on both sides.
+    *
+    * Scale shape: the keying is map-only; the global top-k compiles to
+    * TakeOrderedAndProject — per-partition top-k heaps, only k rows per
+    * partition ever reach the driver-side merge, never a global sort.
+    * The final rank window orders k rows, not the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (scrambleKey(col(idCol)) + 1).cast("double") / 2147483648.0
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+      .cast("decimal(18,9)")
+    val top = df.withColumn("_key", key)
+      .orderBy(col("_key").desc, col(idCol).asc)
+      .limit(k)
+    top.withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("_key").desc, col(idCol).asc)))
+      .drop("_key")
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

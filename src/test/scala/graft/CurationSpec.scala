@@ -190,4 +190,26 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == ((6, "call <NUM>-<NUM>-<NUM> or <NUM>-<NUM>-<NUM>")))
     assert(out(2L) == ((0, "no digits here")))
   }
+
+  test("weightedSample: k rows, contiguous ranks, partition-invariant") {
+    val d = (1L to 200L).map(i => (i, 10L)).toDF("doc_id", "w")
+    val got = Curation.weightedSample(d, "doc_id", "w", k = 25)
+    val ranks = got.select("sample_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 25))
+    val again = Curation.weightedSample(d.repartition(7), "doc_id", "w", 25)
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect().toSet
+    assert(again ==
+      got.select("doc_id", "sample_rank").as[(Long, Int)].collect().toSet,
+      "sample is a pure function of ids, not of partitioning")
+  }
+
+  test("weightedSample: overwhelming weight dominates the sample") {
+    // u^(1/w) -> 1 as w -> inf: the giant-weight row must be drawn,
+    // and with u quantized it lands at rank 1 (key rounds to 1.0).
+    val d = ((1L to 99L).map(i => (i, 5L)) :+ (100L, 1000000000L))
+      .toDF("doc_id", "w")
+    val top = Curation.weightedSample(d, "doc_id", "w", k = 10)
+      .filter($"sample_rank" === 1).select("doc_id").as[Long].head()
+    assert(top == 100L)
+  }
 }
