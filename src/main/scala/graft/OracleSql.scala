@@ -1414,6 +1414,14 @@ object OracleSql {
       |    AS sample_rank
       |FROM d ORDER BY k DESC, doc_id ASC LIMIT 100""".stripMargin
 
+  // q94: global contiguous ids — the oracle IS the one-partition
+  // window the Spark side refuses to run; (source, doc_id) is a
+  // unique total order, so both spellings agree exactly.
+  private val q94 =
+    """SELECT doc_id, source,
+      |  row_number() OVER (ORDER BY source, doc_id) AS global_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1501,6 +1509,7 @@ object OracleSql {
     "q91_block_dedup" -> q91,
     "q92_semantic_dedup" -> q92,
     "q93_weighted_sample" -> q93,
+    "q94_global_ids" -> q94,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -618,6 +618,15 @@ object SparkEntry {
       "doc_id", "n_chars", k = 100)
       .orderBy("sample_rank")
 
+  /** Contiguous global ids over (source, doc_id) order via range
+    * partitioning + per-partition offsets — never a one-partition
+    * window. */
+  private def qGlobalIds(s: SparkSession, dir: String): DataFrame =
+    Curation.globalRowIds(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      Seq("source", "doc_id"))
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1135,7 +1144,8 @@ object SparkEntry {
       "q90_funnel_latency" -> (qFunnelLatency _),
       "q91_block_dedup" -> (qBlockDedup _),
       "q92_semantic_dedup" -> (qSemanticDedup _),
-      "q93_weighted_sample" -> (qWeightedSample _))
+      "q93_weighted_sample" -> (qWeightedSample _),
+      "q94_global_ids" -> (qGlobalIds _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -206,6 +206,41 @@ object Curation {
       .drop("_key")
   }
 
+  /** Contiguous global row ids in `orderCols` order, WITHOUT the
+    * single-partition window trap: `row_number() OVER (ORDER BY ...)`
+    * with no PARTITION BY collapses the whole dataset onto one task,
+    * which is exactly what cannot happen at corpus scale. Instead:
+    * range-partition on the order columns (a sampled, ordered
+    * partitioning — partition i holds keys strictly below partition
+    * i+1), sort within partitions, then zip indices per partition and
+    * shift each partition by the total count of the partitions before
+    * it (`zipWithIndex` — one tiny count job of one long per
+    * partition, then a map-only assign). Ids start at 1 and are
+    * independent of the partition count: they're a pure function of
+    * the total order, which `orderCols` must make unique.
+    *
+    * The genuine per-partition imperative step (carry a running
+    * counter) is the sanctioned RDD case; everything before it is
+    * declarative. The sorted input is persisted across zipWithIndex's
+    * two passes and eagerly checkpointed out so the cache releases
+    * before return (the q19 convention). */
+  def globalRowIds(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(orderCols.map(col(_).asc): _*)
+      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(
+        ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "global_id", org.apache.spark.sql.types.LongType, nullable = false))
+      val rows = ordered.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      spark.createDataFrame(rows, schema).localCheckpoint()
+    } finally ordered.unpersist(false)
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

@@ -191,6 +191,21 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((0, "no digits here")))
   }
 
+  test("globalRowIds: contiguous, order-correct, partition-invariant") {
+    val d = (1L to 300L).map(i => (i, s"s${i % 7}")).toDF("id", "grp")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.globalRowIds(df, Seq("grp", "id"))
+        .select("id", "global_id").as[(Long, Long)].collect().toMap
+    val got = ids(d)
+    assert(got.values.toSeq.sorted == (1L to 300L),
+      "ids are exactly 1..N, no gaps, no duplicates")
+    val expected = (1L to 300L).sortBy(i => (s"s${i % 7}", i))
+      .zipWithIndex.map { case (i, k) => i -> (k + 1L) }.toMap
+    assert(got == expected, "id order follows the (grp, id) total order")
+    assert(ids(d.repartition(11)) == expected,
+      "pure function of the order columns, not of input partitioning")
+  }
+
   test("weightedSample: k rows, contiguous ranks, partition-invariant") {
     val d = (1L to 200L).map(i => (i, 10L)).toDF("doc_id", "w")
     val got = Curation.weightedSample(d, "doc_id", "w", k = 25)
