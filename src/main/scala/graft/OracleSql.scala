@@ -1422,6 +1422,20 @@ object OracleSql {
       |  row_number() OVER (ORDER BY source, doc_id) AS global_id
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // q95: heavy hitters — the Spark side runs Misra-Gries(k=28)
+  // candidates + exact verify; with threshold cnt·29 > N the sketch
+  // guarantees zero false negatives, so the answer IS the plain
+  // GROUP BY / HAVING heavy-hitter set.
+  private val q95 =
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |t AS (SELECT count(*) AS n_total FROM w)
+      |SELECT word, count(*) AS cnt
+      |FROM w GROUP BY word
+      |HAVING count(*) * 29 > (SELECT n_total FROM t)
+      |ORDER BY word""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1510,6 +1524,7 @@ object OracleSql {
     "q92_semantic_dedup" -> q92,
     "q93_weighted_sample" -> q93,
     "q94_global_ids" -> q94,
+    "q95_heavy_hitters" -> q95,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

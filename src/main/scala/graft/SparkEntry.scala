@@ -627,6 +627,30 @@ object SparkEntry {
       Seq("source", "doc_id"))
       .orderBy("doc_id")
 
+  /** Exact heavy hitters by sketch + verify: a Misra-Gries candidate
+    * pass (native mergeable aggregate, <= k rows cross the wire per
+    * partition), then a broadcast semi-join exact count over just the
+    * candidates. Threshold cnt·(k+1) > N sits exactly on the sketch's
+    * no-false-negative guarantee, so the result equals the plain
+    * GROUP BY / HAVING answer — which is the oracle. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 28
+    def words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+    val cands = words
+      .agg(org.apache.spark.sql.graft.MisraGriesTopK
+        .column(col("word"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.word").as("word"))
+    val totals = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("word"), col("cnt"))
+      .orderBy("word")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1145,7 +1169,8 @@ object SparkEntry {
       "q91_block_dedup" -> (qBlockDedup _),
       "q92_semantic_dedup" -> (qSemanticDedup _),
       "q93_weighted_sample" -> (qWeightedSample _),
-      "q94_global_ids" -> (qGlobalIds _))
+      "q94_global_ids" -> (qGlobalIds _),
+      "q95_heavy_hitters" -> (qHeavyHitters _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

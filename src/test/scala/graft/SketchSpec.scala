@@ -58,4 +58,57 @@ class SketchSpec extends SparkSpec {
     assert(pruned == exact,
       "bloom prefilter must not change the exact join result")
   }
+
+  test("Misra-Gries: no false negatives above N/(k+1), bounded undercount") {
+    // skewed stream: item i (1..20) appears 2^(21-i) times -> N = 2^21-2;
+    // with k = 7 every item over N/8 must surface, estimates undercount
+    // by at most N/8, and estimates never overcount
+    val rows = (1 to 20).flatMap(i =>
+      Seq.fill(1 << (21 - i))(s"item$i"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val k = 7
+    val sketch = rows.toDF("w").repartition(13)
+      .agg(org.apache.spark.sql.graft.MisraGriesTopK.column($"w", k).as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.word", $"e.est").as[(String, Long)].collect().toMap
+    assert(sketch.size <= k, "sketch never holds more than k counters")
+    val bound = n.toDouble / (k + 1)
+    for ((w, c) <- truth if c > bound)
+      assert(sketch.contains(w), s"$w (count $c > $bound) must survive")
+    for ((w, est) <- sketch) {
+      assert(est <= truth(w), s"$w: estimate $est overcounts ${truth(w)}")
+      assert(truth(w) - est <= bound + 1,
+        s"$w: undercount ${truth(w) - est} beyond bound $bound")
+    }
+  }
+
+  test("Misra-Gries merge: guarantee holds under any partitioning") {
+    val rows = (1 to 40).flatMap(i => Seq.fill(i * i)(s"w$i"))
+    val n = rows.size.toLong
+    val k = 5
+    val bound = n.toDouble / (k + 1)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 29)) {
+      val got = rows.toDF("w").repartition(parts)
+        .agg(org.apache.spark.sql.graft.MisraGriesTopK.column($"w", k).as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.word").as[String].collect().toSet
+      for ((w, c) <- truth if c > bound)
+        assert(got.contains(w),
+          s"parts=$parts: $w (count $c > $bound) lost in merge")
+    }
+  }
+
+  test("Misra-Gries sketch+verify equals the exact heavy-hitter set") {
+    val got = SparkEntry.queries("q95_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+    val n = words.count()
+    val exact = words.groupBy("w").count()
+      .filter($"count" * 29 > n)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+  }
 }
