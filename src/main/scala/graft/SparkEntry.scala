@@ -651,6 +651,13 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Compression-ratio quality signal: zlib ratio per document, one
+    * Deflater per partition (rows-only — no SQL twin for zlib). */
+  private def qCompressionRatio(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+      .toDF()
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1170,7 +1177,8 @@ object SparkEntry {
       "q92_semantic_dedup" -> (qSemanticDedup _),
       "q93_weighted_sample" -> (qWeightedSample _),
       "q94_global_ids" -> (qGlobalIds _),
-      "q95_heavy_hitters" -> (qHeavyHitters _))
+      "q95_heavy_hitters" -> (qHeavyHitters _),
+      "q96_compression_ratio" -> (qCompressionRatio _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -273,4 +273,44 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), col("rank"),
         (col("cum_cnt").cast("double") / col("total")).as("cum_frac"))
   }
+
+  /** Per-document compression-ratio stats. */
+  case class CompressionStats(doc_id: Long, n_bytes: Int,
+                              n_compressed: Int, ratio: Double)
+
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb "does
+    * this page deflate suspiciously well" filter): zlib-compress each
+    * document's UTF-8 bytes and report compressed/raw. Highly
+    * repetitive machine-generated text compresses far below prose;
+    * a low ratio is a strong cheap junk signal, computed without any
+    * language model.
+    *
+    * Genuine per-partition imperative work, so `mapPartitions`: ONE
+    * `Deflater` per partition, `reset()` per row — never an allocation
+    * per document, no UDF serialization overhead. zlib output for a
+    * fixed level is deterministic, so reruns agree; the ratio is
+    * engine-specific (no SQL twin), which makes this a rows-only
+    * query by design. Map-only: no shuffle at any scale. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.Dataset[CompressionStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var total = 0
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          CompressionStats(id, in.length, total,
+            if (in.length == 0) 0.0 else total.toDouble / in.length)
+        }
+      }
+  }
 }

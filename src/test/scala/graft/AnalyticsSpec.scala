@@ -92,4 +92,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 2L, score(1.0, 2.0), 2)))
     assert(!got.contains(3L))
   }
+
+  test("compressionRatio: repetition compresses, results partition-stable") {
+    val rep = Array.fill(200)("spam").mkString(" ")
+    val div = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val d = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(d, "doc_id", "text")
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(got(1L).n_bytes == rep.length && got(2L).n_bytes == div.length)
+    assert(got(1L).ratio < 0.1, s"pure repetition: ${got(1L).ratio}")
+    assert(got(2L).ratio > got(1L).ratio * 3,
+      "diverse text must compress far worse than repetition")
+    assert(got.values.forall(c => c.ratio > 0 && c.ratio < 1.2))
+    val again = TextAnalysis.compressionRatio(
+      d.repartition(5), "doc_id", "text")
+      .collect().map(c => c.doc_id -> c.n_compressed).toMap
+    assert(again == got.view.mapValues(_.n_compressed).toMap,
+      "zlib output is deterministic across partitionings")
+  }
 }
