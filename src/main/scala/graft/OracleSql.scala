@@ -1436,6 +1436,17 @@ object OracleSql {
       |HAVING count(*) * 29 > (SELECT n_total FROM t)
       |ORDER BY word""".stripMargin
 
+  // q97: transformWithState per-(user, type) snapshot — all maintained
+  // aggregates are order-independent, so the batch GROUP BY is exact
+  // whatever the stream's arrival/trigger decomposition was.
+  private val q97 =
+    """SELECT user_id, event_type,
+      |  count(*) AS n_events,
+      |  min(event_id) AS min_event_id,
+      |  max(value) AS max_value
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1525,6 +1536,7 @@ object OracleSql {
     "q93_weighted_sample" -> q93,
     "q94_global_ids" -> q94,
     "q95_heavy_hitters" -> q95,
+    "q97_stream_type_stats" -> q97,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

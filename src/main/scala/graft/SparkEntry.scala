@@ -658,6 +658,13 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Spark 4 transformWithState (StatefulProcessor + RocksDB store):
+    * per-user MapState by event type; order-independent aggregates so
+    * the batch GROUP BY is the exact oracle. */
+  private def qStreamTypeStats(s: SparkSession, dir: String): DataFrame =
+    streaming.TypeStats.perTypeStats(s, dir)
+      .orderBy("user_id", "event_type")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1178,7 +1185,8 @@ object SparkEntry {
       "q93_weighted_sample" -> (qWeightedSample _),
       "q94_global_ids" -> (qGlobalIds _),
       "q95_heavy_hitters" -> (qHeavyHitters _),
-      "q96_compression_ratio" -> (qCompressionRatio _))
+      "q96_compression_ratio" -> (qCompressionRatio _),
+      "q97_stream_type_stats" -> (qStreamTypeStats _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

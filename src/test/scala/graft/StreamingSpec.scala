@@ -126,4 +126,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("transformWithState per-type MapState matches its batch twin") {
+    val streamed = streaming.TypeStats.perTypeStats(spark, sf)
+      .select("user_id", "event_type", "n_events", "min_event_id",
+        "max_value")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_event_id"),
+        max($"value").as("max_value"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1).size > 1,
+      "state must span multiple users and event types")
+  }
 }
