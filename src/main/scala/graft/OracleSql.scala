@@ -1447,6 +1447,67 @@ object OracleSql {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // q98: per-source heavy hitters — grouped Misra-Gries(k=24) +
+  // exact verify on the Spark side; cnt·25 > per-source total sits on
+  // the per-group no-false-negative line, so plain grouped
+  // GROUP BY / HAVING is the exact answer.
+  private val q98 =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |t AS (SELECT source, count(*) AS n_total FROM w GROUP BY source)
+      |SELECT w.source, word, count(*) AS cnt
+      |FROM w JOIN t USING (source)
+      |GROUP BY w.source, word, t.n_total
+      |HAVING count(*) * 25 > t.n_total
+      |ORDER BY source, word""".stripMargin
+
+  // q99: Bloom-pruned semi join — the sketch admits no false
+  // negatives, so the pruned plan returns exactly the plain semi join.
+  private val q99 =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT user_id FROM events WHERE event_type = 'click')
+      |ORDER BY c_custkey""".stripMargin
+
+  // q100: duplicated-span removal — q79's grouping on raw span text,
+  // then every covered token position (span start + 0..7) is cut and
+  // the survivors reassemble via the ordered FILTER list (q91
+  // convention). DuckDB positions are 1-based where Spark's are
+  // 0-based; both schemes are internally consistent so the kept token
+  // sequences agree.
+  private val q100 =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks) - 7)) AS pos
+      |  FROM d WHERE len(toks) >= 8),
+      |sp AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(toks[pos : pos + 7], ' ') AS span
+      |  FROM s),
+      |dup AS (
+      |  SELECT span FROM sp
+      |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |rm AS (
+      |  SELECT DISTINCT sp.doc_id, sp.pos + t.off AS p
+      |  FROM sp JOIN dup USING (span)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off) t),
+      |tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    generate_subscripts(toks, 1) AS p
+      |  FROM d)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_tokens,
+      |  CAST(count(rm.p) AS INTEGER) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    list(t.tok ORDER BY t.p) FILTER (WHERE rm.p IS NULL), ' '),
+      |    '') AS clean_text
+      |FROM tok t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.p = rm.p
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -1537,6 +1598,9 @@ object OracleSql {
     "q94_global_ids" -> q94,
     "q95_heavy_hitters" -> q95,
     "q97_stream_type_stats" -> q97,
+    "q98_grouped_heavy_hitters" -> q98,
+    "q99_bloom_prune" -> q99,
+    "q100_span_removal" -> q100,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -665,6 +665,56 @@ object SparkEntry {
     streaming.TypeStats.perTypeStats(s, dir)
       .orderBy("user_id", "event_type")
 
+  /** Grouped heavy hitters: one Misra-Gries sketch PER SOURCE (partial
+    * aggregation per group key), then the same broadcast-candidates
+    * exact verify — per-group frequent tokens at corpus scale without
+    * ever shuffling the full (source, word) count table. */
+  private def qGroupedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 24
+    def words = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+    val cands = words
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graft.MisraGriesTopK
+        .column(col("word"), k).as("sk"))
+      .select(col("source"), explode(col("sk")).as("e"))
+      .select(col("source"), col("e.word").as("word"))
+    val totals = words.groupBy("source").agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cands), Seq("source", "word"), "left_semi")
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("source"), col("word"), col("cnt"))
+      .orderBy("source", "word")
+  }
+
+  /** Bloom-pruned semi join: sketch the clicker ids (kilobytes), probe
+    * customers map-side before the shuffle, exact semi-join refines.
+    * No false negatives -> result equals the plain semi join, which is
+    * the oracle. */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val clickers = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val sketch = org.apache.spark.sql.graft.BloomPrune
+      .sketchBytes(clickers, col("user_id"), expectedItems = 100000L)
+    Tables.customer(s, dir)
+      .filter(org.apache.spark.sql.graft.BloomPrune
+        .mightContain(col("c_custkey"), sketch))
+      .join(clickers.distinct(), col("c_custkey") === col("user_id"),
+        "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** ExactSubstr span removal: cut every token covered by a
+    * cross-document duplicated 8-token window, reassemble the rest. */
+  private def qSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+      w = 8)
+      .orderBy("doc_id")
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1186,7 +1236,10 @@ object SparkEntry {
       "q94_global_ids" -> (qGlobalIds _),
       "q95_heavy_hitters" -> (qHeavyHitters _),
       "q96_compression_ratio" -> (qCompressionRatio _),
-      "q97_stream_type_stats" -> (qStreamTypeStats _))
+      "q97_stream_type_stats" -> (qStreamTypeStats _),
+      "q98_grouped_heavy_hitters" -> (qGroupedHeavyHitters _),
+      "q99_bloom_prune" -> (qBloomPrune _),
+      "q100_span_removal" -> (qSpanRemoval _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

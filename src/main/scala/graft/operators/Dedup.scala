@@ -307,6 +307,56 @@ object Dedup {
           b => b.getField("btext"))).as("clean_text"))
   }
 
+  /** ExactSubstr duplicated-span REMOVAL — the editing counterpart of
+    * [[duplicateSpans]] (which only reports): every token covered by
+    * at least one cross-document duplicated `w`-window is cut, and the
+    * surviving tokens are reassembled in order (Lee et al. 2022 remove
+    * the duplicated substring but keep the rest of the document; this
+    * is that, at window granularity). Documents too short for a window
+    * pass through untouched.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY
+    * input document.
+    *
+    * Scale shape: span assembly and the final per-document token
+    * filter are map-only; spans shuffle once as 64-bit hashes for the
+    * cross-doc frequency table ([[duplicateSpans]]'s two fixed-width
+    * exchanges), and removed positions come back as one explode of
+    * the flagged spans (fan-out w× only on DUPLICATED spans). The
+    * rebuild keys per-document state only — a collect_set of removed
+    * positions joined back to the token array, then a single
+    * index-aware filter lambda. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("toks"))
+    val spans = base.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))
+              .as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.h"))
+    val dup = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val removed = spans.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_list(col("p")).as("rm"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        coalesce(size(col("rm")), lit(0)).as("n_removed"),
+        concat_ws(" ", filter(col("toks"),
+          (t, i) => not(coalesce(
+            array_contains(col("rm"), i), lit(false)))))
+          .as("clean_text"))
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources,
     * how many distinct n-gram shingles they share, plus the Jaccard of
     * their shingle sets — the "is source B substantially mirroring

@@ -325,6 +325,38 @@ class DedupSpec extends SparkSpec {
     assert(sentinel == Set(-2.0), "no-earlier-mate sentinel below cosine range")
   }
 
+  test("removeDuplicateSpans cuts covered tokens, keeps the rest") {
+    // docs 1+2 share the 4-token span "d1 d2 d3 d4"; doc 3 is clean;
+    // doc 4 is too short for any window
+    val d = Seq(
+      (1L, "u1 u2 d1 d2 d3 d4 u3 u4"),
+      (2L, "v1 d1 d2 d3 d4 v2 v3 v4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, "s1 s2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 4)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8, 4, "u1 u2 u3 u4")))
+    assert(got(2L) == ((8, 4, "v1 v2 v3 v4")))
+    assert(got(3L) == ((8, 0, "c1 c2 c3 c4 c5 c6 c7 c8")),
+      "document with no cross-doc span is untouched")
+    assert(got(4L) == ((2, 0, "s1 s2")), "short document passes through")
+  }
+
+  test("removeDuplicateSpans: overlapping dup windows remove the union") {
+    // "a a a a a" in both docs: every window is dup -> whole doc cut
+    val d = Seq((1L, "a a a a a"), (2L, "a a a a a x y z w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 4)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((5, "")), "fully duplicated doc empties out")
+    assert(got(2L) == ((5, "x y z w")))
+  }
+
   test("noveltyScores credits first corpus occurrence by min doc_id") {
     val d = Seq(
       (1L, "a b c d e f"), // owns both its shingles
