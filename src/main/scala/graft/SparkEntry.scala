@@ -1250,7 +1250,9 @@ object SparkEntry {
     "q08_match_reverse", "q13_events_enriched", "q14_user_sessions",
     "q16_token_stats", "q19_ngram_sim_pairs", "q22_ann_brute",
     "q24_minhash_near_dups", "q32_embedding_dedup", "q44_name_similarity",
-    "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup")
+    "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup",
+    "q91_block_dedup", "q92_semantic_dedup", "q95_heavy_hitters",
+    "q100_span_removal")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
