@@ -41,10 +41,18 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(count(lit(1)).as("dup_count"), min(id).as("keeper_id"))
 
-  /** DISTINCT (doc_id, shingle) posting list. */
+  /** DISTINCT (doc_id, shingle) posting list.
+    *
+    * Built entirely MAP-SIDE: distinctness here is per-document (the
+    * doc_id is part of the key), so `array_distinct` inside the per-row
+    * shingle array does the whole job — the corpus-wide `.distinct()`
+    * shuffle an earlier shape paid was pure waste (A/B at sf0.1 cut
+    * q19 from 3.8 s to ~2 s dropping it, and at 100 TB it removes a
+    * full posting-list exchange). */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    shingleRows(docs, idCol, textCol, n).distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
 
   /** As [[shinglePostings]] but WITHOUT the distinct — one row per
     * shingle OCCURRENCE. Consumers whose math is multiset-invariant
@@ -70,13 +78,23 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("shingle"))
   }
 
+  /** Per-doc distinct-shingle counts, computed map-side (`size` of the
+    * per-row distinct array — no aggregation shuffle). Docs with no
+    * shingles are absent, matching the posting-list-groupBy form. */
+  def shingleSizes(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(shingles(col(textCol), n)).as("n_sh"))
+      .filter(col("n_sh") > 0)
+
   /** Posting list (optionally hot-shingle-pruned) + per-doc distinct
-    * shingle counts. The postings are persisted: the downstream
-    * self-join references them twice and sizes twice — without
-    * persisting, Catalyst recomputes the shingle pipeline four times. */
+    * shingle counts. Both are MAP-ONLY pipelines (scan + per-row array
+    * assembly): nothing here is persisted because re-deriving a
+    * shuffle-free branch is cheaper than caching a corpus-sized
+    * posting list (measured — see [[incrementalFlags]]'s A/B note). */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, maxShingleFreq: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val post0 = shinglePostings(docs, idCol, textCol, n)
       // join/count on the 64-bit shingle hash, not the ~(6n)-byte
       // string: the candidate join and hot-shingle aggregation shuffle
@@ -87,8 +105,7 @@ object Dedup {
       // hash-match at sf0.001/0.01 runs the string form and agrees;
       // for >10^9-shingle corpora move to a 128-bit hash).
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = post0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = shingleSizes(docs, idCol, textCol, n)
     val rare =
       if (maxShingleFreq <= 0) post0
       else {
@@ -96,7 +113,7 @@ object Dedup {
           .filter(col("df") > maxShingleFreq).select("shingle")
         post0.join(hot, Seq("shingle"), "left_anti")
       }
-    (rare, sizes, post0)
+    (rare, sizes)
   }
 
   /** Benchmark decontamination (the GPT-3/Pile-style training-data
@@ -152,7 +169,8 @@ object Dedup {
     // variant at 3.5 s vs 2.5 s recomputed (cache write + eviction
     // pressure buys nothing back), and at corpus scale caching the
     // full posting list is exactly the storage-pressure trap the
-    // sparse MinHash path avoids
+    // sparse MinHash path avoids. Postings and per-doc sizes are both
+    // map-only (per-row array_distinct / size — see shinglePostings).
     val cPost = shinglePostings(corpus, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val bPost = shinglePostings(batch, idCol, textCol, n)
@@ -164,13 +182,14 @@ object Dedup {
         allPost.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleFreq).select("shingle"),
         Seq("shingle"), "left_anti")
-    val sizes = allPost.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cSizes = shingleSizes(corpus, idCol, textCol, n)
+    val bSizes = shingleSizes(batch, idCol, textCol, n)
     val near = prune(cPost).select(col("shingle"), col("doc_id").as("a"))
       .join(prune(bPost).select(col("shingle"), col("doc_id").as("b")),
         Seq("shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .join(cSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(bSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       .filter(col("common") / (col("na") + col("nb") - col("common"))
         >= threshold)
       .select("b").distinct()
@@ -192,27 +211,18 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, maxShingleFreq: Int = 0): DataFrame = {
-    val (post, sizes, cached) = postings(docs, idCol, textCol, n, maxShingleFreq)
-    try {
-      val a = post.select(col("shingle"), col("doc_id").as("a"))
-      val b = post.select(col("shingle"), col("doc_id").as("b"))
-      val common = a.join(b, Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-        .withColumn("jaccard",
-          col("common") / (col("na") + col("nb") - col("common")))
-        .select("a", "b", "common", "jaccard")
-        // EAGERLY materialize the (candidate-bounded) pair set, so the
-        // corpus-sized posting cache is (a) actually used — the plan
-        // references it four times — and (b) releasable right away in
-        // the finally below instead of accumulating across invocations.
-        // Without this the unpersist fires before execution and the
-        // whole shingle pipeline recomputes per plan reference.
-        .localCheckpoint()
-    } finally cached.unpersist(false)
+    val (post, sizes) = postings(docs, idCol, textCol, n, maxShingleFreq)
+    val a = post.select(col("shingle"), col("doc_id").as("a"))
+    val b = post.select(col("shingle"), col("doc_id").as("b"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .select("a", "b", "common", "jaccard")
   }
 
   /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,
@@ -321,11 +331,11 @@ object Dedup {
     * Scale shape: span assembly and the final per-document token
     * filter are map-only; spans shuffle once as 64-bit hashes for the
     * cross-doc frequency table ([[duplicateSpans]]'s two fixed-width
-    * exchanges), and removed positions come back as one explode of
-    * the flagged spans (fan-out w× only on DUPLICATED spans). The
-    * rebuild keys per-document state only — a collect_set of removed
-    * positions joined back to the token array, then a single
-    * index-aware filter lambda. */
+    * exchanges). Removed coverage is NOT materialized per position —
+    * the flagged span STARTS come back as one per-doc collect_list
+    * (|flagged| rows, no w× fan-out, no position-distinct shuffle)
+    * and a single index-aware filter lambda tests each token against
+    * the start intervals ([p, p+w-1]) map-side. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            w: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
@@ -341,20 +351,18 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("h")
-    val removed = spans.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
-      .distinct()
+    val flagged = spans.join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id")
-      .agg(collect_list(col("p")).as("rm"))
-    base.join(removed, Seq("doc_id"), "left")
+      .agg(collect_list(col("pos")).as("ps"))
+    val covered = (i: Column) => coalesce(
+      exists(col("ps"), p => i >= p && i <= p + (w - 1)), lit(false))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => not(covered(i))))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        coalesce(size(col("rm")), lit(0)).as("n_removed"),
-        concat_ws(" ", filter(col("toks"),
-          (t, i) => not(coalesce(
-            array_contains(col("rm"), i), lit(false)))))
-          .as("clean_text"))
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   /** Cross-source content-overlap matrix: for every pair of sources,
@@ -375,9 +383,10 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int): DataFrame = {
-    // shingleRows keys its output "doc_id" — here that slot carries
-    // the source name, one shingle row per source occurrence.
-    val keyed = shingleRows(docs.select(col(srcCol), col(textCol)),
+    // shinglePostings keys its output "doc_id" — here that slot carries
+    // the source name; per-row array_distinct pre-shrinks the rows the
+    // cross-doc (source, shingle) distinct below has to shuffle.
+    val keyed = shinglePostings(docs.select(col(srcCol), col(textCol)),
         srcCol, textCol, n)
       .select(col("doc_id").as("source"), xxhash64(col("shingle")).as("k"))
       .distinct()
@@ -406,18 +415,18 @@ object Dedup {
     * that one flags duplication anywhere; this one credits earliest
     * arrival, the signal used when ingesting feeds in priority order.
     *
-    * Scale shape: same two fixed-width shuffles as [[duplicateSpans]]
-    * (distinct posting build + min-owner table joined back on the
-    * 64-bit shingle hash); the min() owner aggregation is map-side
-    * partial. Ids must be ingestion-ordered for "first" to mean
+    * Scale shape: the posting build is map-only (per-row distinct);
+    * the min-owner table aggregates and joins back on the 64-bit
+    * shingle hash — fixed-width shuffles, map-side partial min().
+    * Ids must be ingestion-ordered for "first" to mean
     * "earliest" — at 100 TB that's the batch sequence number, not a
     * random id.
     */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    val post = shingleRows(docs, idCol, textCol, n)
+    // per-doc distinct is map-side (shinglePostings) — no distinct shuffle
+    val post = shinglePostings(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
     val firstOwner = post.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
     post.join(firstOwner, Seq("h"))
       .groupBy("doc_id")
