@@ -635,6 +635,18 @@ object OracleSql {
       |JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
       |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
 
+  /** q49: the HLL++ estimate is engine-specific, so the oracle checks
+    * the exact distinct counts and the VERDICT of the in-query verify
+    * (hll_ok must come out true — estimate within 10% = 5σ at
+    * rsd=0.02). */
+  private val q49 =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n_rows,
+      |  true AS hll_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** The oracle is the plain theta join — same rows as the bucketed
     * equi-join implementation. */
   private val q50 =
@@ -792,6 +804,20 @@ object OracleSql {
 
   /** The CSV round-trip's fixed point: the strain list itself (S6/S7 —
     * the sink+source pair must be lossless for header'd text data). */
+  /** q62: the KLL-style sketch values are engine-specific; the oracle
+    * checks the EXACT interpolated percentiles (quantile_cont ⇄ Spark
+    * percentile, the q41 identity) and the verdict of the in-query
+    * rank-error verify (ok25..ok99 must come out true). */
+  private val q62 =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.50) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99,
+      |  true AS ok25, true AS ok50, true AS ok75, true AS ok99
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   private val q63 =
     s"""WITH strains AS ($strains)
        |SELECT strain_id, strain_name FROM strains
@@ -1553,6 +1579,7 @@ object OracleSql {
     "q45_pivot_lang_counts" -> q45,
     "q47_dup_clusters" -> q47,
     "q48_salted_join" -> q48,
+    "q49_approx_distinct" -> q49,
     "q50_price_bands" -> q50,
     "q51_events_json_typed" -> q51,
     "q52_quality_filter" -> q52,
@@ -1565,6 +1592,7 @@ object OracleSql {
     "q59_stream_enrich" -> q59,
     "q60_stream_dedup" -> q60,
     "q61_sql_surface" -> q61,
+    "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,
     "q64_catalog" -> q64,
     "q65_map_explode" -> q65,
