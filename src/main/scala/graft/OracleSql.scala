@@ -1462,6 +1462,27 @@ object OracleSql {
       |HAVING count(*) * 29 > (SELECT n_total FROM t)
       |ORDER BY word""".stripMargin
 
+  /** q101: the 16-term Morton interleave unrolled to portable SQL bit
+    * ops — generated by the same (i, dim) loop as
+    * `ZOrder.interleaveBits`, so oracle and engine share the bit
+    * placement by construction (bit i of dim k → position i·ndims+k). */
+  private val q101 = {
+    val dims = Seq(
+      "(o_custkey % 256)",
+      "least(255, greatest(0, CAST(floor(o_totalprice / 2500.0) AS BIGINT)))")
+    val z = (for {
+      i <- 0 until 8
+      (x, k) <- dims.zipWithIndex
+    } yield s"((($x >> $i) & 1) << ${i * dims.size + k})").mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT ${dims(0)} AS ck, ${dims(1)} AS pb, ($z) AS zval
+       |  FROM orders)
+       |SELECT zval >> 6 AS z_cell, COUNT(*) AS n_orders,
+       |  MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       |  MIN(pb) AS min_pb, MAX(pb) AS max_pb
+       |FROM b GROUP BY 1 ORDER BY z_cell""".stripMargin
+  }
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1629,6 +1650,7 @@ object OracleSql {
     "q98_grouped_heavy_hitters" -> q98,
     "q99_bloom_prune" -> q99,
     "q100_span_removal" -> q100,
+    "q101_zorder_cells" -> q101,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -715,6 +715,28 @@ object SparkEntry {
       w = 8)
       .orderBy("doc_id")
 
+  /** Z-order (Morton) layout audit: orders keyed by the bit-interleave
+    * of (custkey mod 256, price bucket), aggregated per 64-Z-value cell
+    * with each dimension's min/max extent — the per-file stats a
+    * Z-ordered layout hands to parquet row-group pruning. The layout
+    * itself (`ZOrder.layout` = range exchange + intra-partition sort)
+    * is exercised in ZOrderSpec; this query pins the interleave math
+    * (16-term shift/mask OR fold, bijective — oracle runs the same
+    * unrolled bit expression) and shows the extents staying bounded in
+    * BOTH dimensions inside every cell. */
+  private def qZorderCells(s: SparkSession, dir: String): DataFrame = {
+    val cust = pmod(col("o_custkey"), lit(256L))
+    val price = ZOrder.quantize(col("o_totalprice"), 0.0, 640000.0, 8)
+    val z = ZOrder.interleaveBits(Seq(cust, price), 8)
+    Tables.orders(s, dir)
+      .select(cust.as("ck"), price.as("pb"), z.as("zval"))
+      .groupBy(shiftright(col("zval"), 6).as("z_cell"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("ck").as("min_ck"), max("ck").as("max_ck"),
+        min("pb").as("min_pb"), max("pb").as("max_pb"))
+      .orderBy("z_cell")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1270,7 +1292,8 @@ object SparkEntry {
       "q97_stream_type_stats" -> (qStreamTypeStats _),
       "q98_grouped_heavy_hitters" -> (qGroupedHeavyHitters _),
       "q99_bloom_prune" -> (qBloomPrune _),
-      "q100_span_removal" -> (qSpanRemoval _))
+      "q100_span_removal" -> (qSpanRemoval _),
+      "q101_zorder_cells" -> (qZorderCells _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
