@@ -1483,6 +1483,42 @@ object OracleSql {
        |FROM b GROUP BY 1 ORDER BY z_cell""".stripMargin
   }
 
+  /** q102: 5 PageRank iterations unrolled as CTEs, generated by a loop
+    * so oracle and engine share the exact integer recurrence:
+    * contrib = (rank·w) // out_w summed per dst,
+    * rank' = (15·r0 + 85·Σ) // 100, r0 = 1e9 // |V|. All-bigint, so
+    * partial-sum order is irrelevant and every bit matches. */
+  private val q102 = {
+    val scale = 1000000000L
+    val its = (1 to 5).map { t =>
+      s"""it$t AS (
+         |  SELECT n.node,
+         |    (CAST(15 * (SELECT r0 FROM init) AS BIGINT)
+         |      + 85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM edges e
+         |    JOIN it${t - 1} r ON e.src = r.node
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |init AS (SELECT $scale // COUNT(*) AS r0 FROM nodes),
+       |it0 AS (SELECT node, (SELECT r0 FROM init) AS rank FROM nodes),
+       |$its
+       |SELECT node AS nationkey, rank AS pagerank_scaled
+       |FROM it5 ORDER BY nationkey""".stripMargin
+  }
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1651,6 +1687,7 @@ object OracleSql {
     "q99_bloom_prune" -> q99,
     "q100_span_removal" -> q100,
     "q101_zorder_cells" -> q101,
+    "q102_pagerank" -> q102,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -737,6 +737,28 @@ object SparkEntry {
       .orderBy("z_cell")
   }
 
+  /** PageRank over the nation-level trade graph (supplier nation →
+    * customer nation, weighted by shipped line items): 5 power
+    * iterations of [[PageRank.run]] in exact integer micro-units. Edge
+    * building is the heavy part at scale — lineitem⋈orders is the big
+    * shuffle, supplier/customer are broadcast dims — and each
+    * iteration is two fixed-width shuffles over the (tiny) aggregated
+    * edge list. The oracle replays all 5 iterations as unrolled CTEs:
+    * integer arithmetic makes every bit reproducible. */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.run(edges, iters = 5)
+      .select(col("node").as("nationkey"), col("pagerank_scaled"))
+      .orderBy("nationkey")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1293,7 +1315,8 @@ object SparkEntry {
       "q98_grouped_heavy_hitters" -> (qGroupedHeavyHitters _),
       "q99_bloom_prune" -> (qBloomPrune _),
       "q100_span_removal" -> (qSpanRemoval _),
-      "q101_zorder_cells" -> (qZorderCells _))
+      "q101_zorder_cells" -> (qZorderCells _),
+      "q102_pagerank" -> (qPageRank _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
