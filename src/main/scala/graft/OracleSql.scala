@@ -1519,6 +1519,17 @@ object OracleSql {
        |FROM it5 ORDER BY nationkey""".stripMargin
   }
 
+  /** q103: the CMS estimate is engine-specific; the oracle checks the
+    * exact top-20 counts (deterministic tie-break) and the verdict of
+    * the in-query bound check. */
+  private val q103 =
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents)
+      |SELECT word, COUNT(*) AS exact_cnt, true AS cms_ok
+      |FROM w GROUP BY word
+      |ORDER BY exact_cnt DESC, word ASC LIMIT 20""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1688,6 +1699,7 @@ object OracleSql {
     "q100_span_removal" -> q100,
     "q101_zorder_cells" -> q101,
     "q102_pagerank" -> q102,
+    "q103_cms_verify" -> q103,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -651,6 +651,32 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Count-Min frequency sketch + exact verify: Spark's built-in
+    * mergeable `count_min_sketch` aggregate over the token stream (one
+    * w×d counter grid per partition crosses the wire, never the
+    * tokens), probed for the exact top-20 words via the native
+    * `cms_estimate` expression. The CMS guarantee — est ≥ true and
+    * est ≤ true + eps·N w.h.p. — becomes the oracle-checkable verdict
+    * `cms_ok`; the exact counts come from the verify side, so the
+    * DuckDB twin is a plain GROUP BY + top-k. */
+  private def qCmsVerify(s: SparkSession, dir: String): DataFrame = {
+    def words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+    val sk = words.agg(
+      count_min_sketch(col("word"), lit(0.001), lit(0.99), lit(42)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = words.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word").asc).limit(20)
+    val est = org.apache.spark.sql.graft.CmsEstimate
+      .column(col("sk"), col("word"))
+    top.crossJoin(broadcast(sk))
+      .select(col("word"), col("exact_cnt"),
+        (est >= col("exact_cnt") &&
+          est <= col("exact_cnt") + ceil(lit(0.001) * col("n_total")))
+          .as("cms_ok"))
+      .orderBy(col("exact_cnt").desc, col("word").asc)
+  }
+
   /** Compression-ratio quality signal: zlib ratio per document, one
     * Deflater per partition (rows-only — no SQL twin for zlib). */
   private def qCompressionRatio(s: SparkSession, dir: String): DataFrame =
@@ -1316,7 +1342,8 @@ object SparkEntry {
       "q99_bloom_prune" -> (qBloomPrune _),
       "q100_span_removal" -> (qSpanRemoval _),
       "q101_zorder_cells" -> (qZorderCells _),
-      "q102_pagerank" -> (qPageRank _))
+      "q102_pagerank" -> (qPageRank _),
+      "q103_cms_verify" -> (qCmsVerify _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
