@@ -1530,6 +1530,14 @@ object OracleSql {
       |FROM w GROUP BY word
       |ORDER BY exact_cnt DESC, word ASC LIMIT 20""".stripMargin
 
+  /** q104: the bucketed layout changes the PLAN (no exchange), never
+    * the answer — the oracle is the plain join/agg. */
+  private val q104 =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1700,6 +1708,7 @@ object OracleSql {
     "q101_zorder_cells" -> q101,
     "q102_pagerank" -> q102,
     "q103_cms_verify" -> q103,
+    "q104_bucketed_join" -> q104,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -785,6 +785,30 @@ object SparkEntry {
       .orderBy("nationkey")
   }
 
+  /** Co-located join via BUCKETED tables: both sides are written
+    * bucketed (and per-bucket sorted) on the join key, so the
+    * sort-merge join reads bucket i against bucket i with ZERO
+    * exchange on either side — the "pay the shuffle once at layout
+    * time, join shuffle-free forever after" pattern that carries
+    * nightly 100 TB joins (BucketedJoinSpec pins the no-Exchange
+    * plan). The `merge` hint keeps the demonstration honest at test
+    * SF, where the dimension side would otherwise broadcast. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bkt")
+    Tables.customer(s, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt").hint("merge")
+      .join(s.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1343,7 +1367,8 @@ object SparkEntry {
       "q100_span_removal" -> (qSpanRemoval _),
       "q101_zorder_cells" -> (qZorderCells _),
       "q102_pagerank" -> (qPageRank _),
-      "q103_cms_verify" -> (qCmsVerify _))
+      "q103_cms_verify" -> (qCmsVerify _),
+      "q104_bucketed_join" -> (qBucketedJoin _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
