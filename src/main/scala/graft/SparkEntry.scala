@@ -794,6 +794,16 @@ object SparkEntry {
     * plan). The `merge` hint keeps the demonstration honest at test
     * SF, where the dimension side would otherwise broadcast. */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // a fresh session's in-memory catalog doesn't know about table
+    // directories left by a PREVIOUS run — saveAsTable then refuses the
+    // existing location, so drop both the entry and the directory first
+    Seq("graft_orders_bkt", "graft_customer_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Tables.orders(s, dir).write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("graft_orders_bkt")
