@@ -16,6 +16,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate turns every explode into a redundant
+      // size(...)>0 filter that predicate pushdown then inlines BELOW
+      // the token-binding projections, re-evaluating the per-row
+      // shingle/span lambdas per element — measured 25× on the posting
+      // builders (8.5 s → 0.34 s at sf0.1). The filter only skips rows
+      // explode would drop anyway; excluding the rule is semantics-free.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -25,14 +25,20 @@ object Dedup {
   def words(text: Column): Column = split(lower(text), " ")
 
   /** Distinct word n-gram shingles of `text` (docs with < n words get
-    * an empty set). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+    * an empty set). NOTE for hot paths: this single-expression form
+    * re-evaluates the token split inside the transform lambda (per
+    * element); [[shinglePostings]]/[[shingleSizes]] bind the tokens in
+    * a prior projection instead — prefer those. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(words(text), n)
+
+  /** As [[shingles]] over an already-bound token-array attribute (see
+    * the [[shingleHashArr]] lambda-re-evaluation note). */
+  private def shinglesOf(ws: Column, n: Int): Column =
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
-  }
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
 
   /** Exact duplicate groups by `key`: (key, dup_count, keeper_id) where
     * keeper is the minimum id — "first write wins", the reference's
@@ -51,8 +57,9 @@ object Dedup {
     * full posting-list exchange). */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        explode(shinglesOf(col("w"), n)).as("shingle"))
 
   /** As [[shinglePostings]] but WITHOUT the distinct — one row per
     * shingle OCCURRENCE. Consumers whose math is multiset-invariant
@@ -83,38 +90,77 @@ object Dedup {
     * shingles are absent, matching the posting-list-groupBy form. */
   def shingleSizes(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        size(shingles(col(textCol), n)).as("n_sh"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), size(shinglesOf(col("w"), n)).as("n_sh"))
       .filter(col("n_sh") > 0)
 
-  /** Posting list (optionally hot-shingle-pruned) + per-doc distinct
-    * shingle counts. Both are MAP-ONLY pipelines (scan + per-row array
-    * assembly): nothing here is persisted because re-deriving a
-    * shuffle-free branch is cheaper than caching a corpus-sized
-    * posting list (measured — see [[incrementalFlags]]'s A/B note). */
-  private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, maxShingleFreq: Int)
-      : (DataFrame, DataFrame) = {
-    val post0 = shinglePostings(docs, idCol, textCol, n)
-      // join/count on the 64-bit shingle hash, not the ~(6n)-byte
-      // string: the candidate join and hot-shingle aggregation shuffle
-      // fixed-width longs (~3× fewer bytes at n=3). Distinctness is
-      // taken on the STRINGS first, so per-doc sizes are exact; a
-      // cross-doc hash collision could only merge two different
-      // shingles into one candidate key (P ≈ pairs/2^64 — the oracle
-      // hash-match at sf0.001/0.01 runs the string form and agrees;
-      // for >10^9-shingle corpora move to a 128-bit hash).
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = shingleSizes(docs, idCol, textCol, n)
-    val rare =
-      if (maxShingleFreq <= 0) post0
-      else {
-        val hot = post0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleFreq).select("shingle")
-        post0.join(hot, Seq("shingle"), "left_anti")
-      }
-    (rare, sizes)
-  }
+  /** Per-row array of DISTINCT 64-bit shingle hashes over an ALREADY
+    * BOUND token-array attribute: the (~6n-byte) shingle strings never
+    * materialize as rows at all — assembly (element_at concat, the
+    * [[shingleRows]] kernel, no per-element `slice` copy), hashing,
+    * and per-doc distinct all happen in one map-side expression, and
+    * everything downstream touches fixed-width longs only.
+    *
+    * `w` MUST be a column reference, not the `split(...)` expression:
+    * expressions nested inside a `transform` lambda re-evaluate per
+    * ELEMENT, so an unbound `words(text)` here would re-split the
+    * document once per element_at — measured 6× slower (the
+    * shingleRows A/B); callers bind the tokens in a prior projection
+    * (CollapseProject leaves multi-referenced aliases alone).
+    *
+    * Distinctness is on hashes: a WITHIN-doc collision could shrink
+    * one doc's shingle count by 1 (P ≈ shingles²/2^65 per doc — the
+    * string-form oracle agrees at the test SFs; >10^9-shingle corpora
+    * should move to 128-bit). */
+  private def shingleHashArr(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(w, i + k + 1)): _*)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Bits reserved for the per-doc shingle count in a packed
+    * (doc_id, n_sh) long — doc_id rides the high bits so comparing
+    * packed values compares doc ids (n_sh only tie-breaks, and two
+    * packed values for the SAME doc are identical). Bounds: n_sh <
+    * 2^20 (≈1M distinct shingles ⇒ ~1M-token documents) and
+    * doc_id < 2^43; beyond that move n_sh to a join. */
+  private val SizeBits = 20
+
+  /** DISTINCT (packed doc_id·n_sh, shingle-hash) postings:
+    * [[shinglePostings]] with hashing fused into the row lambda AND
+    * the doc's distinct-shingle count carried IN the id long, so
+    * downstream pair pipelines compute Jaccard without ever joining
+    * back to a per-doc size table — while the bucket collect_list and
+    * the pair shuffle stay primitive fixed-width longs (a struct
+    * carry was A/B'd and lost: wider buffers, slower struct
+    * compares). */
+  def hashedPostingsPacked(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), shingleHashArr(col("w"), n).as("sh"))
+      // bind the packed id BEFORE the explode: projection expressions
+      // riding next to a generator re-evaluate per OUTPUT row, so an
+      // unbound size(sh) here would rebuild the whole shingle array
+      // once per posting row (measured 15× slower — the same
+      // per-element trap as the lambda note above)
+      .select((shiftleft(col("doc_id"), SizeBits) + size(col("sh")))
+          .as("packed"), col("sh"))
+      .select(col("packed"), explode(col("sh")).as("shingle"))
+
+  private def unpackId(p: Column): Column = shiftright(p, SizeBits)
+  private def unpackSize(p: Column): Column =
+    p.bitwiseAND(lit((1L << SizeBits) - 1))
+
+  /** All unordered (a, b) pairs from a per-shingle bucket of packed
+    * ids: flatten of the upper-triangle nested transform — map-side,
+    * no join, primitive longs throughout (packed order = doc order).
+    * Bucket size is capped upstream, so the n²/2 expansion is bounded
+    * per row. */
+  private def bucketPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + 2, size(ds)),
+        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
 
   /** Benchmark decontamination (the GPT-3/Pile-style training-data
     * hygiene step): flag every corpus document sharing at least one
@@ -162,38 +208,39 @@ object Dedup {
       .join(corpus.select(normKey.as("k")).distinct(), Seq("k"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("dup_exact", lit(true))
-    // hashed join keys (see ngramJaccardPairs); NOT persisted — the
-    // plan re-derives each side's postings per reference (hot counts,
-    // sizes, candidate join), and with map-side shingle assembly the
-    // recompute is a cheap scan+explode: A/B at sf0.1 put the persist
-    // variant at 3.5 s vs 2.5 s recomputed (cache write + eviction
-    // pressure buys nothing back), and at corpus scale caching the
-    // full posting list is exactly the storage-pressure trap the
-    // sparse MinHash path avoids. Postings and per-doc sizes are both
-    // map-only (per-row array_distinct / size — see shinglePostings).
-    val cPost = shinglePostings(corpus, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val bPost = shinglePostings(batch, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val allPost = cPost.unionByName(bPost)
-    def prune(post: DataFrame): DataFrame =
-      if (maxShingleFreq <= 0) post
-      else post.join(
-        allPost.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleFreq).select("shingle"),
-        Seq("shingle"), "left_anti")
-    val cSizes = shingleSizes(corpus, idCol, textCol, n)
-    val bSizes = shingleSizes(batch, idCol, textCol, n)
-    val near = prune(cPost).select(col("shingle"), col("doc_id").as("a"))
-      .join(prune(bPost).select(col("shingle"), col("doc_id").as("b")),
-        Seq("shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-      .join(cSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(bSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      .filter(col("common") / (col("na") + col("nb") - col("common"))
+    // One exchange into per-shingle buckets holding BOTH sides'
+    // doc lists (collect_list skips the nulls the side-tag when()
+    // leaves); the hot-shingle prune (combined df > maxShingleFreq)
+    // is a size filter on the same buckets — the old shape re-derived
+    // the union posting list once per side for the anti-join prune and
+    // then paid the corpus×batch equi-join's two exchanges on top.
+    // Candidate pairs expand map-side as the cs × bs cross of each
+    // surviving bucket (bounded by the cap, so no bucket skew).
+    // Postings and per-doc sizes stay map-only and unpersisted:
+    // re-deriving a shuffle-free scan+explode branch is cheaper than
+    // caching a corpus-sized posting list (A/B'd at sf0.1 — persist
+    // variant 3.5 s vs 2.5 s re-derived — and at corpus scale the
+    // cache is pure storage pressure).
+    val cPost = hashedPostingsPacked(corpus, idCol, textCol, n)
+      .withColumn("side", lit(0))
+    val bPost = hashedPostingsPacked(batch, idCol, textCol, n)
+      .withColumn("side", lit(1))
+    val cap = if (maxShingleFreq > 0) maxShingleFreq else Int.MaxValue
+    val buckets = cPost.unionByName(bPost).groupBy("shingle")
+      .agg(
+        collect_list(when(col("side") === 0, col("packed"))).as("cs"),
+        collect_list(when(col("side") === 1, col("packed"))).as("bs"))
+      .filter(size(col("cs")) + size(col("bs")) <= cap &&
+        size(col("cs")) > 0 && size(col("bs")) > 0)
+    val near = buckets
+      .select(explode(flatten(transform(col("cs"), x =>
+        transform(col("bs"), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") /
+        (unpackSize(col("pa")) + unpackSize(col("pb")) - col("common"))
         >= threshold)
-      .select("b").distinct()
-      .withColumnRenamed("b", "doc_id")
+      .select(unpackId(col("pb")).as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     batch.select(col(idCol).as("doc_id"))
       .join(exact, Seq("doc_id"), "left")
@@ -208,21 +255,32 @@ object Dedup {
     * Jaccard uses the FULL shingle sets (sizes computed before the
     * hot-shingle drop), so stop-shingle filtering only prunes candidate
     * generation, not the similarity definition.
-    */
+    *
+    * Shape: ONE exchange of hashed postings into per-shingle buckets
+    * (`collect_list`, bounded by `maxShingleFreq` so no bucket skew),
+    * pair expansion map-side from each bucket's upper triangle, and
+    * the (a, b) count aggregation with each doc's shingle count
+    * CARRIED THROUGH the bucket (one int per posting row) so Jaccard
+    * is computed in the same pass — no join back to a size table, no
+    * anti-join hot filter (the df cap is a size() filter on the same
+    * buckets). The earlier self-equi-join form paid two more
+    * posting-list exchanges plus two size joins; A/B at sf0.1
+    * (local[32], best-of-3, with the InferFiltersFromGenerate
+    * exclusion — see Bench.scala): 1.8 s vs 4.7 s end-to-end. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, maxShingleFreq: Int = 0): DataFrame = {
-    val (post, sizes) = postings(docs, idCol, textCol, n, maxShingleFreq)
-    val a = post.select(col("shingle"), col("doc_id").as("a"))
-    val b = post.select(col("shingle"), col("doc_id").as("b"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .select("a", "b", "common", "jaccard")
+    val cap = if (maxShingleFreq > 0) maxShingleFreq else Int.MaxValue
+    val buckets = hashedPostingsPacked(docs, idCol, textCol, n)
+      .groupBy("shingle").agg(collect_list(col("packed")).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= cap)
+    buckets
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      .agg(count(lit(1)).as("common"))
+      .select(unpackId(col("pa")).as("a"), unpackId(col("pb")).as("b"),
+        col("common"),
+        (col("common") / (unpackSize(col("pa")) + unpackSize(col("pb"))
+          - col("common"))).as("jaccard"))
   }
 
   /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,
