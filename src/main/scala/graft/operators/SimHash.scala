@@ -23,17 +23,22 @@ object SimHash {
 
   /** (doc_id, simhash: bigint). Vote per bit via per-token hashes. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = Dedup.words(col(textCol))
-    val hashes = transform(tokens, t => xxhash64(t))
+    // bind the per-token hash array ONCE: the 64 per-bit aggregates
+    // below each evaluate their argument independently (higher-order
+    // functions are interpreted — no cross-expression CSE), so an
+    // unbound transform(split(...)) here would re-split and re-hash
+    // the document 64× per row
+    val bound = docs.select(col(idCol).as("doc_id"),
+      transform(Dedup.words(col(textCol)), t => xxhash64(t)).as("th"))
     // vote(bit) = sum over tokens of (hash>>bit & 1 ? 1 : -1);
     // bit set iff vote > 0. Built as a 64-term expression — all
-    // codegen'd arithmetic, no UDF.
+    // builtin arithmetic, no UDF.
     val fp = (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(col("th"), lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), bit)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
-    docs.select(col(idCol).as("doc_id"), fp.as("simhash"))
+    bound.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
