@@ -1391,7 +1391,8 @@ object SparkEntry {
     "q24_minhash_near_dups", "q32_embedding_dedup", "q44_name_similarity",
     "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup",
     "q91_block_dedup", "q92_semantic_dedup", "q95_heavy_hitters",
-    "q100_span_removal")
+    "q100_span_removal", "q101_zorder_cells", "q102_pagerank",
+    "q104_bucketed_join")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
