@@ -1538,6 +1538,70 @@ object OracleSql {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q105: one row per expectation with its violation count. */
+  private val q105 =
+    """WITH checks AS (
+      |  SELECT 'o_orderkey_not_null' AS "check",
+      |    COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey_not_null',
+      |    COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice_nonnegative',
+      |    COUNT(*) FILTER (WHERE o_totalprice < 0) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice_upper_bound',
+      |    COUNT(*) FILTER (WHERE o_totalprice > 1000000.0) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus_in_domain',
+      |    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey_unique',
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_custkey_in_customer', COUNT(*) FROM orders
+      |  WHERE o_custkey IS NOT NULL
+      |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |SELECT "check", violations, violations = 0 AS passed
+      |FROM checks ORDER BY "check"""".stripMargin
+
+  /** q106: last-writer-wins CDC fold as a window + anti-join. */
+  private val q106 =
+    """WITH ch AS (
+      |  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+      |    CASE o_orderstatus WHEN 'P' THEN 'D' WHEN 'O' THEN 'I'
+      |         ELSE 'U' END AS op,
+      |    'o' || CAST(o_orderkey AS VARCHAR) AS c_name,
+      |    o_totalprice AS c_acctbal
+      |  FROM orders),
+      |last AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY seq DESC) AS rn FROM ch)
+      |  WHERE rn = 1)
+      |SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM last)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal FROM last WHERE op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q107: triangles of the undirected nation trade graph — counted
+    * once each via the u<v<w edge-triple join. */
+  private val q107 =
+    """WITH e0 AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM e0 WHERE src <> dst)
+      |SELECT COUNT(*) AS n_triangles
+      |FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+      |JOIN e c ON c.u = a.v AND c.v = b.v""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1709,6 +1773,9 @@ object OracleSql {
     "q102_pagerank" -> q102,
     "q103_cms_verify" -> q103,
     "q104_bucketed_join" -> q104,
+    "q105_data_quality" -> q105,
+    "q106_cdc_apply" -> q106,
+    "q107_triangle_count" -> q107,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -771,8 +771,12 @@ object SparkEntry {
     * iteration is two fixed-width shuffles over the (tiny) aggregated
     * edge list. The oracle replays all 5 iterations as unrolled CTEs:
     * integer arithmetic makes every bit reproducible. */
-  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(s, dir)
+  /** Nation-level trade edges (supplier nation → customer nation,
+    * weighted by shipped line items) — the shared graph for
+    * q102/q107. lineitem⋈orders is the big shuffle; supplier/customer
+    * are broadcast dims. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -780,10 +784,11 @@ object SparkEntry {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    PageRank.run(edges, iters = 5)
+
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    PageRank.run(tradeEdges(s, dir), iters = 5)
       .select(col("node").as("nationkey"), col("pagerank_scaled"))
       .orderBy("nationkey")
-  }
 
   /** Co-located join via BUCKETED tables: both sides are written
     * bucketed (and per-bucket sorted) on the join key, so the
@@ -818,6 +823,57 @@ object SparkEntry {
         sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy("c_mktsegment")
   }
+
+  /** Deequ-style data-quality report over orders: every per-row
+    * constraint (not-null, range, domain) fused into ONE conditional-
+    * aggregate scan, plus the uniqueness and referential checks that
+    * genuinely need aggregation/a second table. One row per check:
+    * (check, violations, passed) — the promote-or-quarantine gate a
+    * pipeline runs on each ingested batch. */
+  private def qDataQuality(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val perRow = Expectations.report(orders, Seq(
+      "o_orderkey_not_null" -> col("o_orderkey").isNull,
+      "o_custkey_not_null" -> col("o_custkey").isNull,
+      "o_totalprice_nonnegative" -> (col("o_totalprice") < 0),
+      "o_totalprice_upper_bound" -> (col("o_totalprice") > 1000000.0),
+      "o_orderstatus_in_domain" ->
+        !col("o_orderstatus").isin("O", "F", "P")))
+    val unique = orders
+      .agg((count(lit(1)) - count_distinct(col("o_orderkey")))
+        .as("violations"))
+      .select(lit("o_orderkey_unique").as("check"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+    val ref = Expectations.referential(orders, "o_custkey",
+      Tables.customer(s, dir), "c_custkey", "orders_custkey_in_customer")
+    perRow.unionByName(unique).unionByName(ref).orderBy("check")
+  }
+
+  /** CDC batch apply (MERGE semantics): an ordered I/U/D change stream
+    * derived from orders folds into the customer snapshot —
+    * last-writer-wins per key via one bounded window over the CHANGES;
+    * the snapshot side never shuffles (anti-join on the broadcast
+    * touched-key set + union of surviving payloads). */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val changes = Tables.orders(s, dir).select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "P", "D")
+        .when(col("o_orderstatus") === "O", "I").otherwise("U").as("op"),
+      concat(lit("o"), col("o_orderkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"))
+    Cdc.apply(snapshot, changes, key = "c_custkey", seq = "seq", op = "op")
+      .orderBy("c_custkey")
+  }
+
+  /** Triangle count of the undirected nation trade graph by
+    * degree-ordered orientation — each node's oriented out-degree is
+    * O(√m), so the wedge join never goes quadratic on hub nations. */
+  private def qTriangleCount(s: SparkSession, dir: String): DataFrame =
+    Triangles.count(tradeEdges(s, dir)
+      .select(col("src").as("u"), col("dst").as("v")))
 
   /** Rollup aggregation (subtotals + grand total). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
@@ -1378,7 +1434,10 @@ object SparkEntry {
       "q101_zorder_cells" -> (qZorderCells _),
       "q102_pagerank" -> (qPageRank _),
       "q103_cms_verify" -> (qCmsVerify _),
-      "q104_bucketed_join" -> (qBucketedJoin _))
+      "q104_bucketed_join" -> (qBucketedJoin _),
+      "q105_data_quality" -> (qDataQuality _),
+      "q106_cdc_apply" -> (qCdcApply _),
+      "q107_triangle_count" -> (qTriangleCount _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
