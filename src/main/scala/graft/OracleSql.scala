@@ -1602,6 +1602,116 @@ object OracleSql {
       |FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
       |JOIN e c ON c.u = a.v AND c.v = b.v""".stripMargin
 
+  /** q108: Jaro-Winkler linkage pairs. DuckDB's
+    * `jaro_winkler_similarity` is the rapidfuzz formulation; the
+    * engine's native expression was verified bit-exact against it, so
+    * the raw double survives the hash compare. The first-char block
+    * mirrors the Spark side exactly. */
+  private val q108 =
+    s"""WITH strains AS ($strains),
+       |st AS (SELECT strain_id, strain_name FROM strains)
+       |SELECT a.strain_id AS a_id, a.strain_name AS a_name,
+       |       b.strain_id AS b_id, b.strain_name AS b_name,
+       |       jaro_winkler_similarity(a.strain_name, b.strain_name) AS jw
+       |FROM st a JOIN st b
+       |  ON substr(a.strain_name, 1, 1) = substr(b.strain_name, 1, 1)
+       | AND a.strain_id < b.strain_id
+       |WHERE jaro_winkler_similarity(a.strain_name, b.strain_name) >= 0.85
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q109: BFS levels from nation 0 over each nation's top-3 trade
+    * routes, replayed as a recursive CTE (UNION dedups (node, dist)
+    * pairs, so the walk terminates; MIN picks the first-reach hop). */
+  private val q109 =
+    """WITH RECURSIVE edges AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |heavy AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, ROW_NUMBER() OVER (
+      |      PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+      |    FROM edges)
+      |  WHERE rn <= 3),
+      |walk(node, dist) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+      |  UNION
+      |  SELECT e.dst, w.dist + 1
+      |  FROM walk w JOIN heavy e ON e.src = w.node
+      |  WHERE w.dist < 30)
+      |SELECT node AS nationkey, CAST(MIN(dist) AS INT) AS dist
+      |FROM walk GROUP BY node ORDER BY nationkey""".stripMargin
+
+  /** q110: month date-spine gap fill over sampled customers. */
+  private val q110 =
+    """WITH f AS (SELECT * FROM orders WHERE o_custkey % 100 = 0),
+      |obs AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+      |         COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM f GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS lo,
+      |         MAX(date_trunc('month', o_orderdate)) AS hi
+      |  FROM f GROUP BY 1),
+      |spine AS (
+      |  SELECT o_custkey, UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      |  FROM bounds)
+      |SELECT s.o_custkey, s.month,
+      |       COALESCE(o.n_orders, 0) AS n_orders,
+      |       COALESCE(o.revenue, 0) AS revenue
+      |FROM spine s
+      |LEFT JOIN obs o ON s.o_custkey = o.o_custkey AND s.month = o.month
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q111: trailing 24 h mean purchase value per user — RANGE frame on
+    * the microsecond epoch axis (epoch_us ⇄ unix_micros), decimal-exact
+    * sum ÷ count. */
+  private val q111 =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS win_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / (COUNT(*) OVER w) AS win_avg
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q112: Simpson (collision) token diversity — integer ratio, one
+    * correctly-rounded double division at the end. */
+  private val q112 =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS collision_prob
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q113: top-5 word trigrams per language, ties lexicographic. */
+  private val q113 =
+    """WITH w AS (
+      |  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents),
+      |tri AS (
+      |  SELECT lang, array_to_string(ws[i:i+2], ' ') AS gram
+      |  FROM w, UNNEST(range(1, len(ws) - 1)) t(i)
+      |  WHERE len(ws) >= 3),
+      |cnt AS (SELECT lang, gram, COUNT(*) AS cnt FROM tri GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT lang, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY cnt DESC, gram ASC) AS rank
+      |  FROM cnt)
+      |SELECT lang, gram, cnt, CAST(rank AS INT) AS rank
+      |FROM rk WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1776,6 +1886,12 @@ object OracleSql {
     "q105_data_quality" -> q105,
     "q106_cdc_apply" -> q106,
     "q107_triangle_count" -> q107,
+    "q108_jaro_winkler" -> q108,
+    "q109_bfs_hops" -> q109,
+    "q110_date_spine" -> q110,
+    "q111_trailing_avg" -> q111,
+    "q112_lexical_diversity" -> q112,
+    "q113_lang_trigrams" -> q113,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1327,6 +1327,82 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Jaro-Winkler fuzzy name-linkage pairs — the edit-similarity join
+    * the reference's slug-equality matching is an approximation of
+    * (Scraper.py links scraped and API strain names only on exact
+    * normalized slugs). Native codegen'd [[org.apache.spark.sql.graft.JaroWinkler]]
+    * expression, bit-exact vs DuckDB's `jaro_winkler_similarity`;
+    * first-byte blocking keys (mirrored in the oracle) keep candidates
+    * linear-ish — and the Winkler prefix boost means any pair a
+    * first-char block misses scores structurally lower anyway. */
+  private def qJaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = Emotions.strainsWide(s, dir).select("strain_id", "strain_name")
+    val a = st.toDF("a_id", "a_name")
+      .withColumn("blk", substring(col("a_name"), 1, 1))
+    val b = st.toDF("b_id", "b_name")
+      .withColumn("blk", substring(col("b_name"), 1, 1))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jw", org.apache.spark.sql.graft.JaroWinklerFunctions
+        .jaroWinkler(col("a_name"), col("b_name")))
+      .filter(col("jw") >= 0.85)
+      .select("a_id", "a_name", "b_id", "b_name", "jw")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** BFS hop distances from nation 0 over each nation's top-3
+    * heaviest trade routes (the full digraph is complete at any real
+    * SF, so "primary partners only" is what gives multi-hop
+    * structure — and the per-src top-k prune is itself the scale
+    * guard: frontier fan-out is bounded by k, not by |V|). Exact
+    * integer distances; the oracle replays the frontier walk as a
+    * recursive CTE with UNION-dedup. */
+  private def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val primary = TopK.perGroupTopN(tradeEdges(s, dir), Seq(col("src")),
+        Seq(col("w").desc, col("dst").asc), 3)
+      .select("src", "dst")
+    ShortestPaths.bfs(primary, source = 0L)
+      .select(col("node").as("nationkey"), col("dist"))
+      .orderBy("nationkey")
+  }
+
+  /** Month date-spine gap fill: per sampled customer, the full month
+    * calendar between first and last order, silent months zero-filled. */
+  private def qDateSpine(s: SparkSession, dir: String): DataFrame =
+    Temporal.monthSpine(
+      Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0),
+      keyCol = "o_custkey", tsCol = "o_orderdate",
+      aggs = scala.collection.immutable.ListMap(
+        "n_orders" -> count(lit(1)),
+        "revenue" -> sum(dec2(col("o_totalprice"))).cast("double")))
+      .orderBy("o_custkey", "month")
+
+  /** Trailing 24 h per-user mean purchase value via a RANGE frame on
+    * the microsecond axis (decimal-exact sum ÷ count). */
+  private def qTrailingAvg(s: SparkSession, dir: String): DataFrame =
+    Temporal.trailingAvg(
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts", valueCol = "value",
+      windowSec = 86400L)
+      .select("event_id", "user_id", "win_n", "win_avg")
+      .orderBy("event_id")
+
+  /** Token-level Simpson (collision) diversity per document — the
+    * log-free repetition statistic (exact integer ratio). */
+  private def qLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "sum_sq", "collision_prob")
+      .orderBy("doc_id")
+
+  /** Corpus profile: top-5 word trigrams per language, ties broken
+    * lexicographically (WindowGroupLimit prunes pre-shuffle). */
+  private def qLangTrigrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramsPerGroup(Tables.documents(s, dir), "lang", "text",
+        n = 3, k = 5)
+      .select("lang", "gram", "cnt", "rank")
+      .orderBy("lang", "rank")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1437,7 +1513,13 @@ object SparkEntry {
       "q104_bucketed_join" -> (qBucketedJoin _),
       "q105_data_quality" -> (qDataQuality _),
       "q106_cdc_apply" -> (qCdcApply _),
-      "q107_triangle_count" -> (qTriangleCount _))
+      "q107_triangle_count" -> (qTriangleCount _),
+      "q108_jaro_winkler" -> (qJaroWinklerPairs _),
+      "q109_bfs_hops" -> (qBfsHops _),
+      "q110_date_spine" -> (qDateSpine _),
+      "q111_trailing_avg" -> (qTrailingAvg _),
+      "q112_lexical_diversity" -> (qLexicalDiversity _),
+      "q113_lang_trigrams" -> (qLangTrigrams _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -188,6 +188,55 @@ object TextAnalysis {
         frac(3).as("top_trigram_frac"))
   }
 
+  /** Lexical diversity per document via the Simpson (collision) index
+    * over the token distribution: `collision_prob = Σ cnt²/ n²` — the
+    * probability two independently drawn tokens coincide, i.e. the
+    * exponential of minus the Rényi-2 entropy. Same repetition-quality
+    * family as [[repetitionSignals]], but the statistic is a RATIO OF
+    * INTEGERS (one correctly-rounded double division at the end), so —
+    * unlike a Shannon entropy whose `log` differs across libm
+    * implementations — a SQL oracle reproduces it bit-for-bit.
+    * Map-side: one groupBy (id, token) + one groupBy id, both with
+    * partial aggregation; linear in corpus token count. */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .withColumn("collision_prob",
+        col("sum_sq").cast("double") / (col("n_tokens") * col("n_tokens")))
+
+  /** Corpus-level top word n-grams per group (e.g. per language) — the
+    * "what does this slice of the corpus look like" profiling query a
+    * curation run issues before choosing filters. Two shuffles: the
+    * (group, gram) count with map-side partials, then the per-group
+    * top-k window, which InferWindowGroupLimit prunes to a per-
+    * partition top-k BEFORE the exchange — no full sort of the gram
+    * vocabulary. Ties broken lexicographically so results are total-
+    * ordered and oracle-exact. */
+  def topNgramsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col(textCol))
+    val grams = docs
+      .select(col(groupCol), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(groupCol),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("w"), i + j + 1)): _*))).as("gram"))
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    grams.groupBy(col(groupCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val codes = transform(ws, w => ascii(w) * 37 + length(w))

@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(exprs(0), exprs(1))))
   }
 }

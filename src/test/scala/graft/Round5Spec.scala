@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graft.{JaroWinklerAlgo, JaroWinklerFunctions}
+import graft.operators.{ShortestPaths, Temporal, TextAnalysis}
+
+/** Round-5 operators: Jaro-Winkler native expression, BFS shortest
+  * paths, date-spine gap fill, trailing RANGE-frame average, Simpson
+  * diversity, per-group top n-grams. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerAlgo.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  // --- Jaro-Winkler kernel ----------------------------------------------
+  test("jaro_winkler matches the pinned DuckDB/rapidfuzz semantics") {
+    // classic textbook pair: jaro = (1 + 1 + 5/6)/3, prefix 3
+    val jMartha = (1.0 + 1.0 + 5.0 / 6.0) / 3.0
+    assert(jw("martha", "marhta") == jMartha + 3 * 0.1 * (1.0 - jMartha))
+    // empty input is 0 EVEN when both sides are empty (DuckDB behavior)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // below the 0.7 threshold the prefix boost must NOT apply
+    val noBoost = (1.0 / 2 + 1.0 / 4 + 1.0) / 3.0 // m=1 of l1=2, l2=4
+    assert(jw("ax", "aykz") == noBoost)
+    // transpositions are HALF counts: abcd vs abdc has m=4, t=1
+    val jT = (1.0 + 1.0 + 3.0 / 4.0) / 3.0
+    assert(jw("abcd", "abdc") == jT + 2 * 0.1 * (1.0 - jT))
+  }
+
+  test("jaro_winkler codegen path agrees with the direct kernel") {
+    val pairs = Seq(("martha", "marhta"), ("duane", "dwayne"),
+      ("", ""), ("ax", "aykz"), ("kush", "kash"), ("og kush", "og kusha"))
+      .toDF("a", "b")
+    val got = pairs
+      .withColumn("jw", JaroWinklerFunctions.jaroWinkler($"a", $"b"))
+      .as[(String, String, Double)].collect()
+    got.foreach { case (a, b, v) =>
+      assert(java.lang.Double.doubleToLongBits(v)
+        == java.lang.Double.doubleToLongBits(jw(a, b)), s"($a, $b)")
+    }
+  }
+
+  // --- BFS shortest paths ------------------------------------------------
+  test("bfs returns first-reach hop counts; unreachable nodes absent") {
+    // chain 0→1→2→3 plus a shortcut 0→2 and an unreachable island 7→8
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (7L, 8L))
+      .toDF("src", "dst")
+    val got = ShortestPaths.bfs(edges, source = 0L)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs handles cycles without looping") {
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val got = ShortestPaths.bfs(edges, source = 0L)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
+  // --- month spine gap fill ---------------------------------------------
+  test("monthSpine zero-fills silent months per key") {
+    val df = Seq(
+      (1L, "2024-01-15 00:00:00", 10.0),
+      (1L, "2024-03-02 00:00:00", 20.0),
+      (2L, "2024-02-01 00:00:00", 5.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val got = Temporal.monthSpine(df, "k", "ts",
+      scala.collection.immutable.ListMap(
+        "n" -> count(lit(1)),
+        "rev" -> sum($"v".cast("decimal(18,2)")).cast("double")))
+      .select($"k", date_format($"month", "yyyy-MM").as("m"), $"n", $"rev")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01", 1L, 10.0),
+      (1L, "2024-02", 0L, 0.0), // the gap month, zero-filled
+      (1L, "2024-03", 1L, 20.0),
+      (2L, "2024-02", 1L, 5.0)))
+  }
+
+  // --- trailing RANGE-frame average -------------------------------------
+  test("trailingAvg frame is inclusive of the window boundary") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, 100L, at(0), 10.0),
+      (2L, 100L, at(50), 30.0),   // 50 s after e1: inside a 60 s window
+      (3L, 100L, at(110), 50.0),  // exactly 60 s after e2: still inside
+      (4L, 100L, at(171), 70.0),  // 61 s after e3: e3 only
+      (5L, 200L, at(0), 99.0))    // other key, own frame
+      .toDF("event_id", "user_id", "ts", "value")
+    val byId = Temporal.trailingAvg(df, "user_id", "ts", "value", windowSec = 60)
+      .select("event_id", "win_n", "win_avg")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((1L, 10.0)))
+    assert(byId(2L) == ((2L, 20.0)))
+    assert(byId(3L) == ((2L, 40.0))) // e2+e3; e1 is 110 s back, outside
+    assert(byId(4L) == ((1L, 70.0)))
+    assert(byId(5L) == ((1L, 99.0)))
+  }
+
+  // --- Simpson diversity -------------------------------------------------
+  test("lexicalDiversity is the exact integer collision ratio") {
+    val docs = Seq((1L, "a a b"), (2L, "x y z"), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "sum_sq", "collision_prob")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 2L, 5L, 5.0 / 9.0)))
+    assert(got(2L) == ((3L, 3L, 3L, 3.0 / 9.0)))
+    assert(got(3L) == ((4L, 1L, 16L, 1.0)))
+  }
+
+  // --- per-group top n-grams --------------------------------------------
+  test("topNgramsPerGroup counts within group and breaks ties lexically") {
+    val docs = Seq(
+      ("en", "the cat sat the cat sat"), // "the cat sat" ×2, others ×1
+      ("en", "a b c"),
+      ("de", "x y"))                      // too short for a trigram
+      .toDF("lang", "text")
+    val got = TextAnalysis.topNgramsPerGroup(docs, "lang", "text", n = 3, k = 2)
+      .select("lang", "gram", "cnt", "rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got.exists(r => r == (("en", "the cat sat", 2L, 1))))
+    // rank-2 tie between "a b c", "cat sat the", "sat the cat" → lexical
+    assert(got.exists(r => r == (("en", "a b c", 1L, 2))))
+    assert(!got.exists(_._1 == "de"))
+  }
+}
