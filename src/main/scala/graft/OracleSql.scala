@@ -1712,6 +1712,90 @@ object OracleSql {
       |FROM rk WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** q114: explicit GROUPING SETS with grouping_id tag (DuckDB's
+    * GROUPING(a,b) bit order matches Spark's grouping_id). */
+  private val q114 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  /** q115: per-type deciles under a total order (value, id). */
+  private val q115 =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(ntile(10) OVER (PARTITION BY event_type
+      |                         ORDER BY value, event_id) AS INT) AS decile,
+      |    value
+      |  FROM events)
+      |SELECT event_type, decile, COUNT(*) AS n,
+      |       MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q116: snapshot diff — supplier vs a simulated next-day version;
+    * the full-outer-join delta with null-safe column compare. */
+  private val q116 =
+    """WITH a AS (
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+      |b AS (
+      |  SELECT s_suppkey, s_name, s_nationkey,
+      |    CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 10
+      |         ELSE s_acctbal END AS s_acctbal
+      |  FROM a WHERE s_suppkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+      |  FROM a WHERE s_suppkey % 11 = 0),
+      |j AS (
+      |  SELECT a.s_suppkey AS ak, b.s_suppkey AS bk,
+      |    a.s_name AS a_s_name, a.s_nationkey AS a_s_nationkey,
+      |    a.s_acctbal AS a_s_acctbal,
+      |    b.s_name AS b_s_name, b.s_nationkey AS b_s_nationkey,
+      |    b.s_acctbal AS b_s_acctbal
+      |  FROM a FULL OUTER JOIN b ON a.s_suppkey = b.s_suppkey)
+      |SELECT COALESCE(ak, bk) AS s_suppkey,
+      |  CASE WHEN ak IS NULL THEN 'added'
+      |       WHEN bk IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  a_s_name, a_s_nationkey, a_s_acctbal,
+      |  b_s_name, b_s_nationkey, b_s_acctbal
+      |FROM j
+      |WHERE ak IS NULL OR bk IS NULL
+      |   OR NOT (a_s_name IS NOT DISTINCT FROM b_s_name
+      |       AND a_s_nationkey IS NOT DISTINCT FROM b_s_nationkey
+      |       AND a_s_acctbal IS NOT DISTINCT FROM b_s_acctbal)
+      |ORDER BY s_suppkey, change_type""".stripMargin
+
+  /** q117: MAD robust outliers — exact lower medians (rank (n+1)//2
+    * under (value, id)), never interpolated, so bit-exact. */
+  private val q117 =
+    """WITH v AS (SELECT event_id, event_type, value FROM events),
+      |r1 AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n+1)//2),
+      |d AS (
+      |  SELECT v.event_id, v.event_type, v.value, m.med,
+      |         ABS(v.value - m.med) AS dev
+      |  FROM v JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY dev, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n+1)//2)
+      |SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+      |  CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END AS is_outlier
+      |FROM d JOIN mad m USING (event_type)
+      |ORDER BY d.event_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1892,6 +1976,10 @@ object OracleSql {
     "q111_trailing_avg" -> q111,
     "q112_lexical_diversity" -> q112,
     "q113_lang_trigrams" -> q113,
+    "q114_grouping_sets" -> q114,
+    "q115_value_deciles" -> q115,
+    "q116_snapshot_diff" -> q116,
+    "q117_mad_outliers" -> q117,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1403,6 +1403,61 @@ object SparkEntry {
       .select("lang", "gram", "cnt", "rank")
       .orderBy("lang", "rank")
 
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands of
+    * q39/q53): per-flag and per-status marginals plus the grand total
+    * in one pass, tagged by grouping_id. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Per-type decile profile: ntile(10) under a TOTAL order (value,
+    * then id — ties must not leave bucket assignment to partition
+    * luck), then per-bucket count/min/max. */
+  private def qValueDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .orderBy("event_type", "decile")
+  }
+
+  /** Snapshot diff (inverse of q106's CDC apply): supplier vs a
+    * simulated next-day version (some keys dropped, some balances
+    * bumped, some new keys) → the added/removed/changed delta. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("s_name", "s_nationkey", "s_acctbal")
+    val a = Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val b = a.filter(col("s_suppkey") % 13 =!= 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 7 === 0, col("s_acctbal") + 10)
+          .otherwise(col("s_acctbal")))
+      .unionByName(a.filter(col("s_suppkey") % 11 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000))
+    Cdc.snapshotDiff(a, b, "s_suppkey", cols)
+      .orderBy("s_suppkey", "change_type")
+  }
+
+  /** MAD-based robust outliers per event type — exact lower-median
+    * order statistics (no interpolation), so bit-oracle-able. */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    Stats.madOutliers(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      "event_type", "event_id", "value")
+      .orderBy("event_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1519,7 +1574,11 @@ object SparkEntry {
       "q110_date_spine" -> (qDateSpine _),
       "q111_trailing_avg" -> (qTrailingAvg _),
       "q112_lexical_diversity" -> (qLexicalDiversity _),
-      "q113_lang_trigrams" -> (qLangTrigrams _))
+      "q113_lang_trigrams" -> (qLangTrigrams _),
+      "q114_grouping_sets" -> (qGroupingSets _),
+      "q115_value_deciles" -> (qValueDeciles _),
+      "q116_snapshot_diff" -> (qSnapshotDiff _),
+      "q117_mad_outliers" -> (qMadOutliers _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -36,4 +36,34 @@ object Cdc {
     snapshot.join(broadcast(touched), Seq(key), "left_anti")
       .unionByName(survivors)
   }
+
+  /** Snapshot diff — the inverse of [[apply]]: given two versions of a
+    * table, emit the change set (added / removed / changed per key)
+    * that turns A into B. The audit/reconciliation primitive for
+    * incremental pipelines: diff yesterday's corpus snapshot against
+    * today's to see what a rebuild actually changed.
+    *
+    * One full outer join on the key — the single unavoidable shuffle;
+    * unchanged keys (the overwhelming majority in steady state) are
+    * filtered out POST-join but pre-materialization, so the output is
+    * only the delta. Column comparison is null-safe (`<=>`).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val an = a.select((key +: compareCols).map(c => col(c).as("a_" + c)): _*)
+    val bn = b.select((key +: compareCols).map(c => col(c).as("b_" + c)): _*)
+    val joined = an.join(bn, col("a_" + key) === col("b_" + key), "full_outer")
+    val same = compareCols
+      .map(c => col("a_" + c) <=> col("b_" + c))
+      .reduce(_ && _)
+    joined
+      .withColumn("change_type",
+        when(col("a_" + key).isNull, "added")
+          .when(col("b_" + key).isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn(key, coalesce(col("a_" + key), col("b_" + key)))
+      .select((key +: "change_type" +:
+        (compareCols.map("a_" + _) ++ compareCols.map("b_" + _))).map(col): _*)
+  }
 }

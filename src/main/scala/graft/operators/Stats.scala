@@ -35,6 +35,48 @@ object Stats {
         sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_v"))
   }
 
+  /** MAD-based robust outlier flags per group: deviation from the
+    * group median, scaled by the median absolute deviation — the
+    * outlier rule that, unlike the z-score (q76), a single extreme
+    * value cannot poison, since both center and scale are order
+    * statistics. Used on metric streams before aggregation and on
+    * quality scores before threshold fitting.
+    *
+    * Both medians are the exact LOWER median — the element at rank
+    * `(n+1) div 2` under a total order (value, then id) — NOT an
+    * interpolated quantile: interpolation arithmetic can differ across
+    * engines by a ULP, order statistics cannot, so a SQL oracle
+    * matches bit-for-bit.
+    *
+    * Scale shape: two window passes + two broadcast-sized joins, all
+    * partitioned by the group key; per-group medians are one row each,
+    * so the join sides AQE-broadcast. No global sort. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    def lowerMedian(in: DataFrame, v: String, as: String): DataFrame = {
+      val w = Window.partitionBy(g).orderBy(col(v).asc, col(idCol).asc)
+      val wAll = Window.partitionBy(g)
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // (n+1) div 2: the / is Spark's fractional Divide, exact on
+        // counts < 2^52, so floor() is integer division
+        .filter(col("rn") === floor((col("n") + 1) / 2))
+        .select(g, col(v).as(as))
+    }
+    val base = df.select(g, col(idCol), col(valueCol))
+    val med = lowerMedian(base, valueCol, "med")
+    val dev = base.join(med, groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, groupCol)
+      .withColumn("is_outlier",
+        when(col("dev") > lit(k) * col("mad"), 1).otherwise(0))
+      .select(col(idCol), g, col(valueCol), col("med"), col("mad"),
+        col("is_outlier"))
+  }
+
   /** Equi-depth histogram WITHOUT a global sort: exact interpolated
     * decile boundaries (percentile(), bit-identical to DuckDB's
     * quantile_cont — the q41-verified equivalence) are computed in one

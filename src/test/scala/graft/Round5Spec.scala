@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graft.{JaroWinklerAlgo, JaroWinklerFunctions}
-import graft.operators.{ShortestPaths, Temporal, TextAnalysis}
+import graft.operators.{Cdc, ShortestPaths, Stats, Temporal, TextAnalysis}
 
 /** Round-5 operators: Jaro-Winkler native expression, BFS shortest
   * paths, date-spine gap fill, trailing RANGE-frame average, Simpson
@@ -115,6 +115,48 @@ class Round5Spec extends SparkSpec {
     assert(got(1L) == ((3L, 2L, 5L, 5.0 / 9.0)))
     assert(got(2L) == ((3L, 3L, 3L, 3.0 / 9.0)))
     assert(got(3L) == ((4L, 1L, 16L, 1.0)))
+  }
+
+  // --- snapshot diff -----------------------------------------------------
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "name", "bal")
+    val b = Seq((1L, "x", 10.0), (2L, "y", 25.0), (4L, "w", 40.0))
+      .toDF("k", "name", "bal")
+    val got = Cdc.snapshotDiff(a, b, "k", Seq("name", "bal"))
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("snapshotDiff column compare is null-safe") {
+    val a = Seq((1L, Option.empty[String]), (2L, Some("v")))
+      .toDF("k", "name")
+    val b = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    val got = Cdc.snapshotDiff(a, b, "k", Seq("name"))
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    // key 1: null == null under <=> → unchanged, dropped
+    assert(got == Set((2L, "changed")))
+  }
+
+  // --- MAD outliers ------------------------------------------------------
+  test("madOutliers uses exact lower medians and flags beyond k*MAD") {
+    // group g: values 1,2,3,4,100 → lower median 3, devs 2,1,0,1,97,
+    // MAD = lower median of (0,1,1,2,97) = 1 → outlier iff dev > 3
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("g", 4L, 4.0), ("g", 5L, 100.0))
+      .toDF("grp", "id", "v")
+    val got = Stats.madOutliers(df, "grp", "id", "v")
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Double, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    got.values.foreach { case (_, med, mad, _) =>
+      assert(med == 3.0 && mad == 1.0)
+    }
+    assert(got(5L)._4 == 1)            // dev 97 > 3·1
+    assert(got.filter(_._1 != 5L).values.forall(_._4 == 0))
+    // the single extreme value did NOT move the center or the scale —
+    // the property the z-score lacks
   }
 
   // --- per-group top n-grams --------------------------------------------
