@@ -1796,6 +1796,55 @@ object OracleSql {
       |FROM d JOIN mad m USING (event_type)
       |ORDER BY d.event_id""".stripMargin
 
+  /** q118: exact-phrase hits — the oracle counts aligned token windows
+    * directly (list slice), the engine answers through the positional
+    * inverted index; same semantics, different plan. */
+  private val q118 =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_hits
+      |FROM w, UNNEST(range(1, len(ws) - 1)) t(i)
+      |WHERE len(ws) >= 3
+      |  AND array_to_string(ws[i:i+2], ' ') = 'a slow query'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q119: concurrent sessions — the oracle replays the q36 session
+    * windows then does the quadratic overlap self-join the bucketed
+    * interval join replaces. */
+  private val q119 =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessioned AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, epoch_us(MIN(ts)) AS lo,
+      |         epoch_us(MAX(ts) + INTERVAL 1800 SECOND) AS hi
+      |  FROM sessioned GROUP BY user_id, session_id)
+      |SELECT a.user_id, a.lo AS start_us, COUNT(*) AS n_concurrent
+      |FROM sess a JOIN sess b
+      |  ON a.user_id <> b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q120: skyline — quadratic NOT EXISTS domination check; the engine
+    * answers with the sort-based linear frontier. */
+  private val q120 =
+    """WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part)
+      |SELECT p_partkey, p_retailprice, p_size FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_retailprice <= a.p_retailprice
+      |    AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -1980,6 +2029,9 @@ object OracleSql {
     "q115_value_deciles" -> q115,
     "q116_snapshot_diff" -> q116,
     "q117_mad_outliers" -> q117,
+    "q118_phrase_search" -> q118,
+    "q119_concurrent_sessions" -> q119,
+    "q120_skyline" -> q120,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

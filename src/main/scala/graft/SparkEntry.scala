@@ -1458,6 +1458,42 @@ object SparkEntry {
       "event_type", "event_id", "value")
       .orderBy("event_id")
 
+  /** Exact-phrase search via the positional inverted index: postings
+    * filtered to the phrase's own terms, then |phrase|-1 adjacency
+    * equi-joins on (doc, anchor). */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.phraseHits(Tables.documents(s, dir), "doc_id", "text",
+        "a slow query")
+      .orderBy("doc_id")
+
+  /** Concurrent sessions: for each 30-min-gap session, how many
+    * OTHER-user sessions overlap it in time — the bucketed
+    * interval-overlap join (pair kept only in max(lo_a,lo_b)'s bucket,
+    * so no dedup pass). */
+  private def qConcurrentSessions(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessions.sessionWindows(Tables.events(s, dir), 1800L)
+    def side(p: String) = sess.select(
+      col("user_id").as(p + "user"),
+      unix_micros(col("session_start")).as(p + "lo"),
+      unix_micros(col("session_end")).as(p + "hi"))
+    RangeJoin.intervalOverlapPairs(side("a_"), side("b_"),
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 3600L * 1000000L)
+      .filter(col("a_user") =!= col("b_user"))
+      .groupBy(col("a_user").as("user_id"), col("a_lo").as("start_us"))
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** 2-D skyline of parts (cheapest vs largest): the sort-based
+    * linear frontier; the oracle is the quadratic NOT EXISTS
+    * self-join it replaces. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame =
+    Skyline.frontier2d(
+      Tables.part(s, dir).select("p_partkey", "p_retailprice", "p_size"),
+      "p_retailprice", "p_size")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1578,7 +1614,10 @@ object SparkEntry {
       "q114_grouping_sets" -> (qGroupingSets _),
       "q115_value_deciles" -> (qValueDeciles _),
       "q116_snapshot_diff" -> (qSnapshotDiff _),
-      "q117_mad_outliers" -> (qMadOutliers _))
+      "q117_mad_outliers" -> (qMadOutliers _),
+      "q118_phrase_search" -> (qPhraseSearch _),
+      "q119_concurrent_sessions" -> (qConcurrentSessions _),
+      "q120_skyline" -> (qSkyline _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -1592,7 +1631,7 @@ object SparkEntry {
     "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup",
     "q91_block_dedup", "q92_semantic_dedup", "q95_heavy_hitters",
     "q100_span_removal", "q101_zorder_cells", "q102_pagerank",
-    "q104_bucketed_join")
+    "q104_bucketed_join", "q108_jaro_winkler", "q113_lang_trigrams")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

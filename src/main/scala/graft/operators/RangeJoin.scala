@@ -36,4 +36,31 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join (inclusive ends): pairs (a, b) with
+    * `a.lo <= b.hi AND b.lo <= a.hi`. Same bucketing idea as
+    * [[byBucket]], but both sides are intervals: each expands to the
+    * bucket range it covers, candidates meet on bucket equality, and
+    * the pair is kept ONLY in the bucket containing max(a.lo, b.lo) —
+    * the first bucket where both are live — so no distinct pass is
+    * needed to dedup multi-bucket pairs. Lo/hi are LONGS (e.g. epoch
+    * micros); `bucketWidth` trades interval replication against
+    * candidate density — set it near the typical interval length.
+    *
+    * Callers rename columns to avoid collisions; both inputs must
+    * carry `loCol`/`hiCol` under the given names prefixed a_/b_. */
+  def intervalOverlapPairs(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      bucketWidth: Long): DataFrame = {
+    def buckets(lo: Column, hi: Column): Column =
+      explode(sequence(floor(lo / bucketWidth).cast("long"),
+        floor(hi / bucketWidth).cast("long")))
+    val ab = a.withColumn("_bucket", buckets(col(loA), col(hiA)))
+    val bb = b.withColumn("_bucket", buckets(col(loB), col(hiB)))
+    ab.join(bb, Seq("_bucket"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("_bucket") ===
+        floor(greatest(col(loA), col(loB)) / bucketWidth).cast("long"))
+      .drop("_bucket")
+  }
 }

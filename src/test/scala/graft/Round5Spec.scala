@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graft.{JaroWinklerAlgo, JaroWinklerFunctions}
-import graft.operators.{Cdc, ShortestPaths, Stats, Temporal, TextAnalysis}
+import graft.operators.{Cdc, InvertedIndex, RangeJoin, ShortestPaths, Skyline, Stats, Temporal, TextAnalysis}
 
 /** Round-5 operators: Jaro-Winkler native expression, BFS shortest
   * paths, date-spine gap fill, trailing RANGE-frame average, Simpson
@@ -157,6 +157,60 @@ class Round5Spec extends SparkSpec {
     assert(got.filter(_._1 != 5L).values.forall(_._4 == 0))
     // the single extreme value did NOT move the center or the scale —
     // the property the z-score lacks
+  }
+
+  // --- phrase search -----------------------------------------------------
+  test("phraseHits counts token-adjacent occurrences only") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat"),   // "the cat sat" twice
+      (2L, "the dog cat sat"),              // terms present, not adjacent
+      (3L, "cat the sat"))                  // wrong order
+      .toDF("doc_id", "text")
+    val got = InvertedIndex.phraseHits(docs, "doc_id", "text", "the cat sat")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("phraseHits overlapping occurrences each count") {
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val got = InvertedIndex.phraseHits(docs, "doc_id", "text", "a a")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L))
+  }
+
+  // --- interval overlap join --------------------------------------------
+  test("intervalOverlapPairs matches the quadratic overlap join exactly") {
+    // intervals spanning multiple buckets, touching endpoints, disjoint
+    val iv = Seq((1L, 0L, 150L), (2L, 150L, 200L), (3L, 201L, 300L),
+      (4L, 90L, 1000L), (5L, 2000L, 2100L))
+    val a = iv.toDF("a_id", "a_lo", "a_hi")
+    val b = iv.map { case (i, l, h) => (i, l, h) }.toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapPairs(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 100L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (i, l1, h1) <- iv; (j, l2, h2) <- iv
+      if l1 <= h2 && l2 <= h1
+    } yield (i, j)).toSet
+    assert(got == naive) // incl. the 150-touches-150 inclusive boundary
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 3L)))
+  }
+
+  // --- skyline -----------------------------------------------------------
+  test("frontier2d equals the quadratic domination filter") {
+    val rows = Seq( // (id, price, size)
+      (1L, 10.0, 5), (2L, 10.0, 7), (3L, 12.0, 7), (4L, 12.0, 9),
+      (5L, 15.0, 9), (6L, 15.0, 12), (7L, 8.0, 3), (8L, 10.0, 7))
+    val df = rows.toDF("id", "price", "size")
+    val got = Skyline.frontier2d(df, "price", "size")
+      .select("id").as[Long].collect().toSet
+    val naive = rows.filter { case (_, p, s) =>
+      !rows.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(got == naive)
+    // ties on both dims both survive (2 and 8); dominated same-price (1) out
+    assert(got.contains(2L) && got.contains(8L) && !got.contains(1L))
   }
 
   // --- per-group top n-grams --------------------------------------------
