@@ -1845,6 +1845,43 @@ object OracleSql {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  /** q121: incremental aggregate maintenance — the oracle is the
+    * DIRECT group-by over the whole table; decimal-exact merge means
+    * incremental must equal it bit-for-bit. */
+  private val q121 =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q122: FK orphan counts (one dimension deliberately broken). */
+  private val q122 =
+    """SELECT 'lineitem->orders' AS relationship, COUNT(*) AS n_orphans
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem->part_broken', COUNT(*)
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                  WHERE p.p_partkey % 50 <> 0
+      |                    AND p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'orders->customer', COUNT(*)
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = o.o_custkey)
+      |ORDER BY relationship""".stripMargin
+
+  /** q123: top-20 co-purchased part pairs by shared-order count. */
+  private val q123 =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n_orders
+      |FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, a ASC, b ASC
+      |LIMIT 20""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2032,6 +2069,9 @@ object OracleSql {
     "q118_phrase_search" -> q118,
     "q119_concurrent_sessions" -> q119,
     "q120_skyline" -> q120,
+    "q121_incremental_agg" -> q121,
+    "q122_fk_violations" -> q122,
+    "q123_copurchase" -> q123,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

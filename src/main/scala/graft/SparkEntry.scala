@@ -1494,6 +1494,61 @@ object SparkEntry {
       .select("p_partkey", "p_retailprice", "p_size")
       .orderBy("p_partkey")
 
+  /** Incremental aggregate maintenance: the per-customer rollup
+    * absorbs an appended batch by MERGING AGGREGATE STATES (decimal-
+    * exact, so incremental ≡ direct bit-for-bit) — the oracle computes
+    * the direct GROUP BY over the full table and must agree. */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def agg(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).as("revenue"))
+    IncrementalAgg.merge(
+      agg(o.filter(col("o_orderkey") % 10 =!= 7)),  // standing rollup
+      agg(o.filter(col("o_orderkey") % 10 === 7)),  // today's batch
+      Seq("o_custkey"), Seq("n_orders", "revenue"))
+      .withColumn("revenue", col("revenue").cast("double"))
+      .orderBy("o_custkey")
+  }
+
+  /** Referential-integrity audit: orphan counts per FK relationship
+    * (anti-join aggregates); one dimension is deliberately broken
+    * (every 50th part dropped) to exercise the non-zero path. */
+  private def qFkViolations(s: SparkSession, dir: String): DataFrame = {
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        name: String) =
+      fact.select(col(fk))
+        .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .withColumn("relationship", lit(name))
+    val li = Tables.lineitem(s, dir)
+    orphans(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+        "lineitem->orders")
+      .unionByName(orphans(li, "l_partkey",
+        Tables.part(s, dir).filter(col("p_partkey") % 50 =!= 0), "p_partkey",
+        "lineitem->part_broken"))
+      .unionByName(orphans(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders->customer"))
+      .select("relationship", "n_orphans")
+      .orderBy("relationship")
+  }
+
+  /** Market-basket co-purchase pairs: top-20 part pairs by number of
+    * shared orders — the co-occurrence statistic item-similarity and
+    * item2vec-style training data start from. Per-order fan-out is
+    * bounded by order size (k² for k lineitems); the top-20 compiles
+    * to TakeOrderedAndProject (per-partition heaps, no global sort). */
+  private def qCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.toDF("ok", "a").join(lp.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1617,7 +1672,10 @@ object SparkEntry {
       "q117_mad_outliers" -> (qMadOutliers _),
       "q118_phrase_search" -> (qPhraseSearch _),
       "q119_concurrent_sessions" -> (qConcurrentSessions _),
-      "q120_skyline" -> (qSkyline _))
+      "q120_skyline" -> (qSkyline _),
+      "q121_incremental_agg" -> (qIncrementalAgg _),
+      "q122_fk_violations" -> (qFkViolations _),
+      "q123_copurchase" -> (qCopurchase _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graft.{JaroWinklerAlgo, JaroWinklerFunctions}
-import graft.operators.{Cdc, InvertedIndex, RangeJoin, ShortestPaths, Skyline, Stats, Temporal, TextAnalysis}
+import graft.operators.{Cdc, IncrementalAgg, InvertedIndex, RangeJoin, ShortestPaths, Skyline, Stats, Temporal, TextAnalysis}
 
 /** Round-5 operators: Jaro-Winkler native expression, BFS shortest
   * paths, date-spine gap fill, trailing RANGE-frame average, Simpson
@@ -211,6 +211,38 @@ class Round5Spec extends SparkSpec {
     assert(got == naive)
     // ties on both dims both survive (2 and 8); dominated same-price (1) out
     assert(got.contains(2L) && got.contains(8L) && !got.contains(1L))
+  }
+
+  // --- incremental aggregate merge --------------------------------------
+  test("IncrementalAgg.merge handles disjoint, overlapping and zero keys") {
+    val base = Seq(("a", 2L, BigDecimal("10.50")), ("b", 1L, BigDecimal("5.00")))
+      .toDF("k", "n", "rev")
+    val delta = Seq(("b", 3L, BigDecimal("1.25")), ("c", 1L, BigDecimal("7.00")))
+      .toDF("k", "n", "rev")
+    val got = IncrementalAgg.merge(base, delta, Seq("k"), Seq("n", "rev"))
+      .select($"k", $"n", $"rev".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == Set(("a", 2L), ("b", 4L), ("c", 1L)))
+    val revs = got.map(r => r._1 -> BigDecimal(r._3)).toMap
+    assert(revs("a") == BigDecimal("10.50"))
+    assert(revs("b") == BigDecimal("6.25"))
+    assert(revs("c") == BigDecimal("7.00"))
+  }
+
+  test("incremental merge of decimal aggregates equals direct aggregation") {
+    val rows = (1 to 100).map(i => (i % 7L, BigDecimal(i) / 4))
+    val df = rows.toDF("k", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,2)")).as("s"))
+    val merged = IncrementalAgg.merge(
+      agg(df.filter($"k" =!= 3L)), agg(df.filter($"k" === 3L)),
+      Seq("k"), Seq("n", "s"))
+      .select($"k", $"n", $"s".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = agg(df).select($"k", $"n", $"s".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(merged == direct)
   }
 
   // --- per-group top n-grams --------------------------------------------
