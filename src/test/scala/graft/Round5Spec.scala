@@ -44,6 +44,20 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler algebraic properties on random byte strings") {
+    // pure-JVM kernel — exhaustive-ish randomized check, no Spark job
+    val rnd = new scala.util.Random(42)
+    def rs() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (rs(), rs())
+      val v = jw(a, b)
+      assert(v >= 0.0 && v <= 1.0, s"range: ($a, $b) -> $v")
+      assert(v == jw(b, a), s"symmetry: ($a, $b)") // JW is symmetric
+      if (a.nonEmpty && a == b) assert(v == 1.0)
+      if (a.isEmpty || b.isEmpty) assert(v == 0.0)
+    }
+  }
+
   // --- BFS shortest paths ------------------------------------------------
   test("bfs returns first-reach hop counts; unreachable nodes absent") {
     // chain 0→1→2→3 plus a shortcut 0→2 and an unreachable island 7→8
