@@ -1882,6 +1882,37 @@ object OracleSql {
       |ORDER BY n_orders DESC, a ASC, b ASC
       |LIMIT 20""".stripMargin
 
+  /** q124: rolling 7-day actives — the oracle uses the day-range join
+    * the engine's explode-fan-out form replaces. */
+  private val q124 =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      |wau AS (
+      |  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau7
+      |  FROM days d JOIN du u
+      |    ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |  GROUP BY 1)
+      |SELECT d.day, dau.dau, wau.wau7
+      |FROM days d JOIN dau USING (day) JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** q125: most common 3-step event-type paths per user order. */
+  private val q125 =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |SELECT e1, e2, e3, COUNT(*) AS n
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+      |LIMIT 15""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2072,6 +2103,8 @@ object OracleSql {
     "q121_incremental_agg" -> q121,
     "q122_fk_violations" -> q122,
     "q123_copurchase" -> q123,
+    "q124_rolling_actives" -> q124,
+    "q125_event_paths" -> q125,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

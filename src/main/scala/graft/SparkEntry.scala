@@ -1549,6 +1549,47 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Rolling 7-day active users: TRUE windowed distinct (not a sum of
+    * dailies). Each (day, user) activity row fans out to the ≤7 window
+    * days it contributes to (map-side explode — the bucketed form of
+    * the day-range join), then one distinct-count per window day.
+    * Shuffle volume is 7 × |activity|, never |days| × |users|. */
+  private def qRollingActives(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = du
+      .withColumn("wday",
+        explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+          expr("interval 1 day"))))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct("user_id").as("wau7"))
+    days.join(dau, "day").join(wau, "day")
+      .select("day", "dau", "wau7")
+      .orderBy("day")
+  }
+
+  /** User-journey mining: the 15 most common 3-step event-type paths
+    * under the total per-user order (ts, event_id) — the free-form
+    * sibling of the fixed-sequence funnel (q81). */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(15)
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1675,7 +1716,9 @@ object SparkEntry {
       "q120_skyline" -> (qSkyline _),
       "q121_incremental_agg" -> (qIncrementalAgg _),
       "q122_fk_violations" -> (qFkViolations _),
-      "q123_copurchase" -> (qCopurchase _))
+      "q123_copurchase" -> (qCopurchase _),
+      "q124_rolling_actives" -> (qRollingActives _),
+      "q125_event_paths" -> (qEventPaths _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
