@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graft.{JaroWinklerAlgo, JaroWinklerFunctions}
-import graft.operators.{Cdc, IncrementalAgg, InvertedIndex, RangeJoin, ShortestPaths, Skyline, Stats, Temporal, TextAnalysis}
+import graft.operators.{Cdc, Compaction, IncrementalAgg, InvertedIndex, RangeJoin, ShortestPaths, Skyline, Stats, Temporal, TextAnalysis}
 
 /** Round-5 operators: Jaro-Winkler native expression, BFS shortest
   * paths, date-spine gap fill, trailing RANGE-frame average, Simpson
@@ -257,6 +257,23 @@ class Round5Spec extends SparkSpec {
     val direct = agg(df).select($"k", $"n", $"s".cast("double"))
       .as[(Long, Long, Double)].collect().toSet
     assert(merged == direct)
+  }
+
+  // --- small-file compaction --------------------------------------------
+  test("compact rewrites a fragmented table into fewer files, rows intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$tmp/frag"; val out = s"$tmp/out"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(frag) // 64 tiny files
+    val nFiles = (d: String) => new java.io.File(d)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(nFiles(frag) == 64)
+    val target = Compaction.tableBytes(spark, frag) / 4 // aim for ~4 files
+    val n = Compaction.compact(spark, frag, out, target)
+    assert(n <= 5 && nFiles(out) == n)
+    val a = spark.read.parquet(frag).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(a == b)
   }
 
   // --- per-group top n-grams --------------------------------------------
