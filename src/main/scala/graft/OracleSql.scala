@@ -1913,6 +1913,46 @@ object OracleSql {
       |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
       |LIMIT 15""".stripMargin
 
+  /** q126: anti-entropy repair plan — the oracle is the FULL key-level
+    * diff (q116 family) plus the bucket id; matching it proves the
+    * engine's bucket-fingerprint pruning dropped nothing. */
+  private val q126 =
+    """WITH a AS (SELECT s_suppkey, s_acctbal FROM supplier),
+      |b AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 10
+      |         ELSE s_acctbal END AS s_acctbal
+      |  FROM a WHERE s_suppkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 100000, s_acctbal FROM a WHERE s_suppkey % 11 = 0),
+      |j AS (
+      |  SELECT a.s_suppkey AS ak, b.s_suppkey AS bk,
+      |         a.s_acctbal AS av, b.s_acctbal AS bv
+      |  FROM a FULL OUTER JOIN b ON a.s_suppkey = b.s_suppkey)
+      |SELECT COALESCE(ak, bk) % 16 AS bucket,
+      |  COALESCE(ak, bk) AS s_suppkey,
+      |  CASE WHEN ak IS NULL THEN 'added'
+      |       WHEN bk IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM j
+      |WHERE ak IS NULL OR bk IS NULL OR av IS DISTINCT FROM bv
+      |ORDER BY s_suppkey, change_type""".stripMargin
+
+  /** q127: sliding 1 h / 15 min windows — every event contributes to
+    * exactly 4 epoch-aligned windows; the oracle fans out via
+    * UNNEST(range(0,4)). */
+  private val q127 =
+    """WITH fan AS (
+      |  SELECT event_type, value,
+      |    make_timestamp(CAST((FLOOR(epoch(ts) / 900) - k) * 900000000 AS BIGINT))
+      |      AS win_start
+      |  FROM events, UNNEST(range(0, 4)) t(k))
+      |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM fan GROUP BY 1, 2, 3
+      |ORDER BY win_start, event_type""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2105,6 +2145,8 @@ object OracleSql {
     "q123_copurchase" -> q123,
     "q124_rolling_actives" -> q124,
     "q125_event_paths" -> q125,
+    "q126_anti_entropy" -> q126,
+    "q127_sliding_windows" -> q127,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1590,6 +1590,35 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** Anti-entropy repair plan: bucket-fingerprint comparison finds the
+    * damaged key-space buckets, the detailed diff runs only inside
+    * them. The oracle computes the FULL diff directly — asserting the
+    * stronger claim that bucket pruning lost nothing. */
+  private def qAntiEntropy(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(s, dir).select("s_suppkey", "s_acctbal")
+    val b = a.filter(col("s_suppkey") % 13 =!= 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 7 === 0, col("s_acctbal") + 10)
+          .otherwise(col("s_acctbal")))
+      .unionByName(a.filter(col("s_suppkey") % 11 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000))
+    AntiEntropy.repairPlan(a, b, "s_suppkey", "s_acctbal", nBuckets = 16)
+      .orderBy("s_suppkey", "change_type")
+  }
+
+  /** Sliding-window aggregation in batch: 1 h windows sliding every
+    * 15 min (each event lands in exactly 4 windows — the generator
+    * fan-out the streaming `window()` uses, here oracle-checked). */
+  private def qSlidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1718,7 +1747,9 @@ object SparkEntry {
       "q122_fk_violations" -> (qFkViolations _),
       "q123_copurchase" -> (qCopurchase _),
       "q124_rolling_actives" -> (qRollingActives _),
-      "q125_event_paths" -> (qEventPaths _))
+      "q125_event_paths" -> (qEventPaths _),
+      "q126_anti_entropy" -> (qAntiEntropy _),
+      "q127_sliding_windows" -> (qSlidingWindows _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

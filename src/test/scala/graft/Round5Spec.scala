@@ -259,6 +259,30 @@ class Round5Spec extends SparkSpec {
     assert(merged == direct)
   }
 
+  // --- anti-entropy reconciliation --------------------------------------
+  test("antiEntropy repair plan equals the full snapshot diff") {
+    val a = (1L to 200L).map(k => (k, k * 1.25)).toDF("k", "v")
+    val b = a.filter($"k" % 13 =!= 0)
+      .withColumn("v", when($"k" % 7 === 0, $"v" + 1).otherwise($"v"))
+      .unionByName(a.filter($"k" % 11 === 0).withColumn("k", $"k" + 1000))
+    val plan = graft.operators.AntiEntropy.repairPlan(a, b, "k", "v", 8)
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    val full = Cdc.snapshotDiff(a, b, "k", Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(plan == full && plan.nonEmpty)
+  }
+
+  test("antiEntropy fingerprints localize damage to its bucket") {
+    val a = (1L to 160L).map(k => (k, 1.0)).toDF("k", "v")
+    val b = a.withColumn("v", when($"k" === 40, 2.0).otherwise($"v"))
+    val fa = graft.operators.AntiEntropy.bucketFingerprints(a, "k", "v", 8)
+    val fb = graft.operators.AntiEntropy.bucketFingerprints(b, "k", "v", 8)
+    val damaged = fa.join(fb, Seq("bucket"))
+      .filter(!(fa("fp") <=> fb("fp")) || !(fa("n_rows") <=> fb("n_rows")))
+      .select("bucket").as[Long].collect().toSeq
+    assert(damaged == Seq(40L % 8)) // exactly one bucket flagged
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
