@@ -98,4 +98,47 @@ class ScaleSpec extends SparkSpec {
     assert(joined.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key carrying ~90% of the left side: without AQE the
+    // sort-merge join has one straggler partition; with skew-join
+    // enabled the runtime splits it (plan marks the join skew=true).
+    // Thresholds are lowered so test-sized data crosses them — the
+    // mechanism, not the absolute sizes, is what 100 TB relies on.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 60000).select(
+        when($"id" < 54000, lit(1L)).otherwise($"id").as("k"),
+        concat(lit("payload_"), $"id").as("payload"))
+      val right = spark.range(0, 2000).select(
+        $"id".as("k"), ($"id" * 2).as("r"))
+      val j = left.join(right, "k")
+      // action on the SAME Dataset: a write would plan its own
+      // execution and leave j's AdaptiveSparkPlan unexecuted
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
