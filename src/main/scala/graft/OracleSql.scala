@@ -1953,6 +1953,13 @@ object OracleSql {
       |FROM fan GROUP BY 1, 2, 3
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q128: JSONL round-trip — the oracle reads the ORIGINAL table, so
+    * the written-and-reread lines must be lossless. */
+  private val q128 =
+    """SELECT doc_id, text, lang, source,
+      |  CAST(length(text) AS INT) AS text_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2147,6 +2154,7 @@ object OracleSql {
     "q125_event_paths" -> q125,
     "q126_anti_entropy" -> q126,
     "q127_sliding_windows" -> q127,
+    "q128_jsonl_roundtrip" -> q128,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1619,6 +1619,30 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** JSONL round-trip (the LLM-corpus interchange format): write
+    * documents as line-delimited JSON, read them back with an explicit
+    * schema, recompute a checksum field — oracle sees the original
+    * table, so the round trip must be lossless. */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+    docs.write.mode("overwrite").json(tmp)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+      .json(tmp)
+      .withColumn("text_len", length(col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** First 5 BPE merges learned from the corpus (Sennrich-style, over
+    * the distinct-word frequency table). No SQL oracle — the iterative
+    * rewrite has no relational twin; the merge table is pinned by a
+    * hand-computed fixture in Round5Spec. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    BpeMerges.learn(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy("rank")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1749,7 +1773,9 @@ object SparkEntry {
       "q124_rolling_actives" -> (qRollingActives _),
       "q125_event_paths" -> (qEventPaths _),
       "q126_anti_entropy" -> (qAntiEntropy _),
-      "q127_sliding_windows" -> (qSlidingWindows _))
+      "q127_sliding_windows" -> (qSlidingWindows _),
+      "q128_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+      "q129_bpe_merges" -> (qBpeMerges _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

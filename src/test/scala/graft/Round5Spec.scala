@@ -283,6 +283,48 @@ class Round5Spec extends SparkSpec {
     assert(damaged == Seq(40L % 8)) // exactly one bucket flagged
   }
 
+  // --- BPE merge learning -----------------------------------------------
+  test("BPE merges follow the hand-computed schedule on a fixture") {
+    // corpus: "aaab" x3, "ab" x2
+    // r1: (a,a) appears 2x3=6 > (a,b) 3+2=5      -> merge (a,a), n=6
+    //     "aaab" -> [aa,a,b]; "ab" -> [a,b]
+    // r2: (aa,a) 3, (a,b) 3+2=5                  -> merge (a,b), n=5
+    //     "aaab" -> [aa,ab]; "ab" -> [ab]
+    // r3: (aa,ab) 3                              -> merge (aa,ab), n=3
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.BpeMerges.learn(docs, "doc_id", "text", k = 5)
+      .select("rank", "left", "right", "n")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    // after r3 every word is a single symbol: no pairs remain, so the
+    // learner stops early instead of padding to k
+  }
+
+  test("applyMerge is left-to-right non-overlapping") {
+    import graft.operators.BpeMerges.applyMerge
+    assert(applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(applyMerge(Seq("x"), "a", "a") == Seq("x"))
+    assert(applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+  }
+
+  // --- parquet schema evolution -----------------------------------------
+  test("mergeSchema reads evolving parquet batches as one table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // batch 1 writes (id, a); batch 2 adds column b later
+    spark.range(0, 3).selectExpr("id", "id * 2 AS a")
+      .write.mode("append").parquet(tmp)
+    spark.range(3, 5).selectExpr("id", "id * 2 AS a", "id * 10 AS b")
+      .write.mode("append").parquet(tmp)
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.select("id", "b").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(4L).contains(40L)) // old rows null-fill
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
