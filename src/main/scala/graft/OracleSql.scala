@@ -2155,6 +2155,8 @@ object OracleSql {
     "q126_anti_entropy" -> q126,
     "q127_sliding_windows" -> q127,
     "q128_jsonl_roundtrip" -> q128,
+    // q130 is the streaming twin of q127: same oracle by design
+    "q130_stream_sliding" -> q127,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

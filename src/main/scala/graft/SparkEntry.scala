@@ -1643,6 +1643,20 @@ object SparkEntry {
     BpeMerges.learn(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .orderBy("rank")
 
+  /** Streaming sliding windows — MUST reproduce batch q127 exactly
+    * (the oracle is the same SQL), proving the unified batch/stream
+    * contract holds for overlapping windows too. */
+  private def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    EventsStream.slidingTypeCounts(s, dir)
+      .orderBy("win_start", "event_type")
+
+  /** BPE encode with the learned merges: per-doc token counts after
+    * 5 merges (rows-only; the compression-ratio trend is spec-pinned). */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    BpeMerges.encodedTokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        k = 5)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1775,7 +1789,9 @@ object SparkEntry {
       "q126_anti_entropy" -> (qAntiEntropy _),
       "q127_sliding_windows" -> (qSlidingWindows _),
       "q128_jsonl_roundtrip" -> (qJsonlRoundtrip _),
-      "q129_bpe_merges" -> (qBpeMerges _))
+      "q129_bpe_merges" -> (qBpeMerges _),
+      "q130_stream_sliding" -> (qStreamSliding _),
+      "q131_bpe_encode" -> (qBpeEncode _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -85,4 +85,34 @@ object BpeMerges {
     merges.toSeq.toDF()
       .select(col("rank"), col("left"), col("right"), col("n"))
   }
+
+  /** Encode with a learned merge table: per-document BPE token counts
+    * (the compression the tokenizer will actually achieve — the
+    * train-side twin of serving-side tokenization). The merge list is
+    * k rows in the closure; the encode is one typed map per document,
+    * applying merges in rank order per word. */
+  def encodedTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = learn(docs, idCol, textCol, k)
+      .select("rank", "left", "right")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map { case (_, l, r) => (l, r) }.toSeq
+    docs.select(col(idCol).cast("long"), split(lower(col(textCol)), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        var chars = 0L
+        var toks = 0L
+        ws.filter(_.nonEmpty).foreach { w =>
+          val syms = merges.foldLeft(w.split("").toSeq) {
+            case (acc, (l, r)) => applyMerge(acc, l, r)
+          }
+          chars += w.length
+          toks += syms.length
+        }
+        (id, chars, toks)
+      }
+      .toDF(idCol, "n_chars_tok", "n_bpe_tokens")
+  }
 }

@@ -140,4 +140,22 @@ object EventsStream {
         col("n_events"),
         col("sum_value_dec").cast("double").as("sum_value"))
   }
+
+  /** Sliding windows under streaming: 1 h windows every 15 min — the
+    * incremental twin of the batch q127 (every event updates 4 window
+    * states; the watermark bounds how long each stays live). Complete-
+    * mode memory sink for verification; the driver oracle is the SAME
+    * SQL as q127's, so streaming must reproduce batch exactly. */
+  def slidingTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+    runToMemory(spark, agg, "graft_stream_sliding", "complete")
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
 }

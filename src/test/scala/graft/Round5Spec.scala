@@ -325,6 +325,30 @@ class Round5Spec extends SparkSpec {
     assert(rows(1L).isEmpty && rows(4L).contains(40L)) // old rows null-fill
   }
 
+  // --- plan shapes of the new join paths --------------------------------
+  test("interval-overlap and anti-entropy paths plan as equi-joins") {
+    Seq("q119_concurrent_sessions", "q126_anti_entropy").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+
+  // --- BPE encode --------------------------------------------------------
+  test("BPE encode compresses: tokens strictly below chars, above words") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val got = graft.operators.BpeMerges
+      .encodedTokenCounts(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // after merges (a,a),(a,b),(aa,ab): "aaab" -> 1 token, "ab" -> 1
+    assert(got(1L) == ((10L, 3L))) // 10 chars, 3 words -> 3 tokens
+    assert(got(2L) == ((6L, 2L)))
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
