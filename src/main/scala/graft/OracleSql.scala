@@ -1960,6 +1960,51 @@ object OracleSql {
       |  CAST(length(text) AS INT) AS text_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q132: portable-hash MinHash-LSH — the full sketch pipeline
+    * (polynomial shingle hash, 8 affine permutations, 2×4 bands,
+    * exact-Jaccard verify at θ=0.5) replayed in SQL bit-for-bit. */
+  private val q132 = {
+    val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+    val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
+    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((h * $a + $b) % 1000000007) AS m$j"
+    }.mkString(",\n      |    ")
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+       |  FROM w, UNNEST(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3),
+       |wh AS (
+       |  SELECT doc_id, tok,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM wh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b FROM sig s1 JOIN sig s2
+       |    ON s1.m0=s2.m0 AND s1.m1=s2.m1 AND s1.m2=s2.m2 AND s1.m3=s2.m3
+       |   AND s1.doc_id < s2.doc_id
+       |  UNION
+       |  SELECT s1.doc_id, s2.doc_id FROM sig s1 JOIN sig s2
+       |    ON s1.m4=s2.m4 AND s1.m5=s2.m5 AND s1.m6=s2.m6 AND s1.m7=s2.m7
+       |   AND s1.doc_id < s2.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+       |ix AS (
+       |  SELECT c.a, c.b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.a
+       |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2)
+       |SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni
+       |FROM ix i JOIN sizes sa ON sa.doc_id = i.a
+       |JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE 2 * i.inter >= sa.n + sb.n - i.inter
+       |ORDER BY a, b""".stripMargin
+  }
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2157,6 +2202,7 @@ object OracleSql {
     "q128_jsonl_roundtrip" -> q128,
     // q130 is the streaming twin of q127: same oracle by design
     "q130_stream_sliding" -> q127,
+    "q132_minhash_oracle" -> q132,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

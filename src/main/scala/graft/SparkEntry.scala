@@ -1657,6 +1657,16 @@ object SparkEntry {
         k = 5)
       .orderBy("doc_id")
 
+  /** Portable-hash MinHash-LSH — the ORACLE-CHECKED twin of q24: same
+    * relational shape (map-side shingle hash, 8 min-aggregations,
+    * 2×4 band equi-joins, candidate-only exact-Jaccard verify), but
+    * every hash is a polynomial char fold the DuckDB oracle replays
+    * bit-for-bit. Closes the "sketch pipelines are rows-only" gap. */
+  private def qMinhashOracle(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicatesPortable(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("a", "b")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1791,7 +1801,8 @@ object SparkEntry {
       "q128_jsonl_roundtrip" -> (qJsonlRoundtrip _),
       "q129_bpe_merges" -> (qBpeMerges _),
       "q130_stream_sliding" -> (qStreamSliding _),
-      "q131_bpe_encode" -> (qBpeEncode _))
+      "q131_bpe_encode" -> (qBpeEncode _),
+      "q132_minhash_oracle" -> (qMinhashOracle _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -285,6 +285,71 @@ object MinHashLSH {
       }.toDF("doc_id", "sig")
   }
 
+  /** PORTABLE-hash MinHash over word-token sets — the fully
+    * SQL-oracle-checkable twin of the xxhash64 pipelines: the token
+    * hash is a polynomial char fold mod p (the q26 fingerprint
+    * convention, `list_reduce`-replayable in DuckDB), the k=8
+    * permutations are fixed literal affine maps, bands are 2×4
+    * signature-prefix equi-joins, and verification is the exact
+    * token-set Jaccard as an INTEGER predicate (2·|∩| ≥ |∪| ⇔
+    * J ≥ 0.5). Same relational shape as [[nearDuplicatesSparse]]
+    * (map-side hashing, min-aggregation with partials, band equi-join,
+    * candidate-only verify) — only the mixer is weaker, traded for a
+    * bit-for-bit DuckDB replay.
+    *
+    * @return (a, b, inter, uni) for verified near-duplicate pairs */
+  def nearDuplicatesPortable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val as = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+    val bs = Seq(17L, 29L, 47L, 71L, 89L, 107L, 131L, 151L)
+    // 1e9+7, NOT the 2^61-1 used by the xxhash pipelines: h*a must stay
+    // < 2^63 under ANSI mode with the literal multipliers above
+    val Pp = 1000000007L
+    // 3-word shingle SETS (the q19 granularity — unigram sets are too
+    // coherent on real corpora to discriminate near-dups); the token
+    // array is bound in a projection first (the repo-wide lambda-
+    // binding discipline) so the split runs once per row
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("tok"))
+      .distinct()
+    val hashed = toks.withColumn("h",
+      aggregate(split(col("tok"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(Pp))))
+    val minAggs = (0 until 8).map { j =>
+      min(pmod(col("h") * as(j) + bs(j), lit(Pp))).as(s"m$j")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    def bandPairs(cols: Seq[String]): DataFrame = {
+      val a = sig.select((("doc_id" +: cols)).map(col): _*).toDF(
+        "a" +: cols: _*)
+      val b = sig.select((("doc_id" +: cols)).map(col): _*).toDF(
+        "b" +: cols: _*)
+      a.join(b, cols).filter(col("a") < col("b")).select("a", "b")
+    }
+    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
+      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(toks.toDF("a", "tok"), Seq("a"))
+      .join(toks.toDF("b", "tok"), Seq("b", "tok")) // equi on (b, tok)
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("a", "b", "inter", "uni")
+  }
+
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */
   def signaturesFromPostings(post: DataFrame, k: Int): DataFrame = {
     val hashed = post.withColumn("h", abs(xxhash64(col("shingle"))) % 2147483647L)

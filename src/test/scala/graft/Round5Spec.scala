@@ -349,6 +349,28 @@ class Round5Spec extends SparkSpec {
     assert(got(2L) == ((6L, 2L)))
   }
 
+  // --- portable MinHash vs exact ground truth ---------------------------
+  test("portable MinHash pairs are exact-verified and recall the truth set") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = graft.operators.MinHashLSH
+      .nearDuplicatesPortable(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // exact ground truth: all-pairs trigram-set Jaccard >= 0.5 (corpus
+    // is tiny at this SF, the quadratic check is the point)
+    val sets = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val exact = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      if 2 * inter >= (si.size + sj.size - inter)
+    } yield (i, j)).toSet
+    assert(got.subsetOf(exact)) // precision 1.0: verify step is exact
+    assert(exact.isEmpty || got.size * 10 >= exact.size * 8,
+      s"recall ${got.size}/${exact.size}") // 2×4 banding recall ≥ 0.8 here
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
