@@ -2005,6 +2005,70 @@ object OracleSql {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** q133: portable-hash SimHash — 32-bit count-weighted fingerprints,
+    * Manku 4×8-bit chunk join, exact Hamming verify; bit-for-bit SQL
+    * replay (the q132 convention). */
+  private val q133 =
+    """WITH w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |toks AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS tok,
+      |         CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM w0, UNNEST(range(1, len(ws) - 1)) t(i)
+      |  WHERE len(ws) >= 3 GROUP BY 1, 2),
+      |wh AS (
+      |  SELECT doc_id, w,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) % 4294967296 AS h
+      |  FROM toks),
+      |sums AS (SELECT doc_id,
+      |    SUM(CASE WHEN (h // 1) % 2 = 1 THEN w ELSE -w END) AS s0,
+      |    SUM(CASE WHEN (h // 2) % 2 = 1 THEN w ELSE -w END) AS s1,
+      |    SUM(CASE WHEN (h // 4) % 2 = 1 THEN w ELSE -w END) AS s2,
+      |    SUM(CASE WHEN (h // 8) % 2 = 1 THEN w ELSE -w END) AS s3,
+      |    SUM(CASE WHEN (h // 16) % 2 = 1 THEN w ELSE -w END) AS s4,
+      |    SUM(CASE WHEN (h // 32) % 2 = 1 THEN w ELSE -w END) AS s5,
+      |    SUM(CASE WHEN (h // 64) % 2 = 1 THEN w ELSE -w END) AS s6,
+      |    SUM(CASE WHEN (h // 128) % 2 = 1 THEN w ELSE -w END) AS s7,
+      |    SUM(CASE WHEN (h // 256) % 2 = 1 THEN w ELSE -w END) AS s8,
+      |    SUM(CASE WHEN (h // 512) % 2 = 1 THEN w ELSE -w END) AS s9,
+      |    SUM(CASE WHEN (h // 1024) % 2 = 1 THEN w ELSE -w END) AS s10,
+      |    SUM(CASE WHEN (h // 2048) % 2 = 1 THEN w ELSE -w END) AS s11,
+      |    SUM(CASE WHEN (h // 4096) % 2 = 1 THEN w ELSE -w END) AS s12,
+      |    SUM(CASE WHEN (h // 8192) % 2 = 1 THEN w ELSE -w END) AS s13,
+      |    SUM(CASE WHEN (h // 16384) % 2 = 1 THEN w ELSE -w END) AS s14,
+      |    SUM(CASE WHEN (h // 32768) % 2 = 1 THEN w ELSE -w END) AS s15,
+      |    SUM(CASE WHEN (h // 65536) % 2 = 1 THEN w ELSE -w END) AS s16,
+      |    SUM(CASE WHEN (h // 131072) % 2 = 1 THEN w ELSE -w END) AS s17,
+      |    SUM(CASE WHEN (h // 262144) % 2 = 1 THEN w ELSE -w END) AS s18,
+      |    SUM(CASE WHEN (h // 524288) % 2 = 1 THEN w ELSE -w END) AS s19,
+      |    SUM(CASE WHEN (h // 1048576) % 2 = 1 THEN w ELSE -w END) AS s20,
+      |    SUM(CASE WHEN (h // 2097152) % 2 = 1 THEN w ELSE -w END) AS s21,
+      |    SUM(CASE WHEN (h // 4194304) % 2 = 1 THEN w ELSE -w END) AS s22,
+      |    SUM(CASE WHEN (h // 8388608) % 2 = 1 THEN w ELSE -w END) AS s23,
+      |    SUM(CASE WHEN (h // 16777216) % 2 = 1 THEN w ELSE -w END) AS s24,
+      |    SUM(CASE WHEN (h // 33554432) % 2 = 1 THEN w ELSE -w END) AS s25,
+      |    SUM(CASE WHEN (h // 67108864) % 2 = 1 THEN w ELSE -w END) AS s26,
+      |    SUM(CASE WHEN (h // 134217728) % 2 = 1 THEN w ELSE -w END) AS s27,
+      |    SUM(CASE WHEN (h // 268435456) % 2 = 1 THEN w ELSE -w END) AS s28,
+      |    SUM(CASE WHEN (h // 536870912) % 2 = 1 THEN w ELSE -w END) AS s29,
+      |    SUM(CASE WHEN (h // 1073741824) % 2 = 1 THEN w ELSE -w END) AS s30,
+      |    SUM(CASE WHEN (h // 2147483648) % 2 = 1 THEN w ELSE -w END) AS s31
+      |  FROM wh GROUP BY doc_id),
+      |fp AS (SELECT doc_id, CAST((CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN s16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN s17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN s18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN s19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN s20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN s21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN s22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN s23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN s24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN s25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN s26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN s27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN s28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN s29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN s30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN s31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS fp FROM sums),
+      |chunks AS (
+      |  SELECT doc_id, fp, j,
+      |    (fp // (CASE j WHEN 0 THEN 1 WHEN 1 THEN 256
+      |            WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS c
+      |  FROM fp, UNNEST(range(0, 4)) t(j)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, a.fp AS fpa, b.doc_id AS b, b.fp AS fpb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id)
+      |SELECT a, b, CAST(bit_count(xor(fpa, fpb)) AS INT) AS dist
+      |FROM cand WHERE bit_count(xor(fpa, fpb)) <= 3
+      |ORDER BY a, b""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2203,6 +2267,7 @@ object OracleSql {
     // q130 is the streaming twin of q127: same oracle by design
     "q130_stream_sliding" -> q127,
     "q132_minhash_oracle" -> q132,
+    "q133_simhash_oracle" -> q133,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1667,6 +1667,13 @@ object SparkEntry {
         "doc_id", "text")
       .orderBy("a", "b")
 
+  /** Portable-hash SimHash — the oracle-checked twin of q25 (same
+    * Manku chunk-join shape, integer-portable arithmetic throughout). */
+  private def qSimhashOracle(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)
+      .orderBy("a", "b")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1802,7 +1809,8 @@ object SparkEntry {
       "q129_bpe_merges" -> (qBpeMerges _),
       "q130_stream_sliding" -> (qStreamSliding _),
       "q131_bpe_encode" -> (qBpeEncode _),
-      "q132_minhash_oracle" -> (qMinhashOracle _))
+      "q132_minhash_oracle" -> (qMinhashOracle _),
+      "q133_simhash_oracle" -> (qSimhashOracle _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

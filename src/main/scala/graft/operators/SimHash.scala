@@ -65,4 +65,54 @@ object SimHash {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** PORTABLE-hash SimHash — the SQL-oracle-checkable twin of
+    * [[nearPairs]] (the q132 convention): 32-bit fingerprints from
+    * count-weighted trigram-shingle votes, token hash = polynomial
+    * char fold mod 1e9+7 then mod 2³², Manku 4×8-bit chunk equi-join,
+    * exact `bit_count(xor)` verify. Every step is integer arithmetic
+    * DuckDB replays bit-for-bit.
+    *
+    * @return (a, b, dist) pairs with Hamming distance ≤ maxDist */
+  def nearPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val Pp = 1000000007L
+    val bits = 32
+    // count-weighted trigram shingles, tokenizer shared with q132
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+    val hashed = toks.withColumn("h",
+      aggregate(split(col("tok"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(Pp))) % (1L << bits))
+    val sumAggs = (0 until bits).map { i =>
+      sum(when(expr(s"h div ${1L << i}") % 2 === 1, col("w"))
+        .otherwise(-col("w"))).as(s"s$i")
+    }
+    val fpExpr = (0 until bits).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fps = hashed.groupBy("doc_id")
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
+    val chunks = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(j =>
+        expr(s"fp div ${1L << (8 * j)}") % 256): _*)).as(Seq("j", "c")))
+    val l = chunks.toDF("a", "fpa", "j", "c")
+    val r = chunks.toDF("b", "fpb", "j", "c")
+    l.join(r, Seq("j", "c"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(fpa ^ fpb) AS INT)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }
