@@ -2069,6 +2069,42 @@ object OracleSql {
       |FROM cand WHERE bit_count(xor(fpa, fpb)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  /** q134: RFM quartiles under total order (metric, custkey). */
+  private val q134 =
+    """WITH rfm AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS recency,
+      |    COUNT(*) AS frequency,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey,
+      |  CAST(ntile(4) OVER (ORDER BY recency, o_custkey) AS INT) AS r,
+      |  CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+      |  CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m,
+      |  CAST(ntile(4) OVER (ORDER BY recency, o_custkey) * 100
+      |     + ntile(4) OVER (ORDER BY frequency, o_custkey) * 10
+      |     + ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS rfm_code
+      |FROM rfm ORDER BY o_custkey""".stripMargin
+
+  /** q135: last-touch attribution via ASOF join, 7-day lookback. */
+  private val q135 =
+    """WITH touches AS (
+      |  SELECT user_id, ts, MAX(event_type) AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+      |  GROUP BY 1, 2),
+      |purch AS (
+      |  SELECT event_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.value, p.ts, t.touch_type, t.ts AS touch_ts
+      |  FROM purch p ASOF LEFT JOIN touches t
+      |    ON p.user_id = t.user_id AND p.ts >= t.ts)
+      |SELECT CASE WHEN touch_ts IS NOT NULL
+      |         AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+      |       THEN touch_type ELSE 'none' END AS touch_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2268,6 +2304,8 @@ object OracleSql {
     "q130_stream_sliding" -> q127,
     "q132_minhash_oracle" -> q132,
     "q133_simhash_oracle" -> q133,
+    "q134_rfm_segments" -> q134,
+    "q135_attribution" -> q135,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

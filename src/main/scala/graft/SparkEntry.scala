@@ -1674,6 +1674,51 @@ object SparkEntry {
         maxDist = 3)
       .orderBy("a", "b")
 
+  /** RFM customer segmentation: recency/frequency/monetary quartiles
+    * under total orders (metric, custkey) so tie placement is exact. */
+  private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rfm = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(max("o_orderdate").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice"))).as("monetary"))
+    def q4(c: String) = ntile(4).over(
+      Window.orderBy(col(c).asc, col("o_custkey").asc))
+    rfm
+      .withColumn("r", q4("recency"))
+      .withColumn("f", q4("frequency"))
+      .withColumn("m", q4("monetary"))
+      .select(col("o_custkey"), col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+      .orderBy("o_custkey")
+  }
+
+  /** Last-touch attribution: each purchase attributed to the user's
+    * most recent view/click/signup within 7 days (as-of join; ties at
+    * one instant pre-deduped to the lexicographic max so the carry is
+    * deterministic), then revenue per touch type. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_type")).as("touch_type"))
+      .withColumn("touch_ts", col("ts"))
+    AsOfJoin.asOf(purchases, touches, "user_id", "ts",
+        Seq("touch_type", "touch_ts"))
+      .withColumn("touch_attr",
+        when(col("asof_touch_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_touch_ts"))
+            <= 7L * 86400L * 1000000L,
+          col("asof_touch_type")).otherwise(lit("none")))
+      .groupBy(col("touch_attr").as("touch_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast("double").as("total_value"))
+      .orderBy("touch_type")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1810,7 +1855,9 @@ object SparkEntry {
       "q130_stream_sliding" -> (qStreamSliding _),
       "q131_bpe_encode" -> (qBpeEncode _),
       "q132_minhash_oracle" -> (qMinhashOracle _),
-      "q133_simhash_oracle" -> (qSimhashOracle _))
+      "q133_simhash_oracle" -> (qSimhashOracle _),
+      "q134_rfm_segments" -> (qRfmSegments _),
+      "q135_attribution" -> (qAttribution _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
