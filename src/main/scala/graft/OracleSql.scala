@@ -2105,6 +2105,36 @@ object OracleSql {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q136: grouped exact percentiles (quantile_cont twin). */
+  private val q136 =
+    """SELECT c_mktsegment,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q137: association rules (support/confidence/lift from exact
+    * integer counts; one correctly-rounded division each). */
+  private val q137 =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM lp),
+      |items AS (SELECT pk, COUNT(*) AS n_item FROM lp GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n_ab
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+      |  p.n_ab / (SELECT n_orders FROM n) AS support,
+      |  p.n_ab / ia.n_item AS confidence,
+      |  (p.n_ab * (SELECT n_orders FROM n)) / (ia.n_item * ib.n_item) AS lift
+      |FROM pairs p
+      |JOIN items ia ON ia.pk = p.a
+      |JOIN items ib ON ib.pk = p.b
+      |ORDER BY lift DESC, a ASC, b ASC
+      |LIMIT 20""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2306,6 +2336,8 @@ object OracleSql {
     "q133_simhash_oracle" -> q133,
     "q134_rfm_segments" -> q134,
     "q135_attribution" -> q135,
+    "q136_segment_percentiles" -> q136,
+    "q137_association_rules" -> q137,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1719,6 +1719,44 @@ object SparkEntry {
       .orderBy("touch_type")
   }
 
+  /** Per-segment exact order-price percentiles (the q41-proven
+    * percentile ⇄ quantile_cont bit-equivalence, grouped). */
+  private def qSegmentPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** Association rules over co-purchased part pairs: support /
+    * confidence / lift as correctly-rounded divisions of exact
+    * integer counts; top-20 by lift with total-order tie-breaks. */
+  private def qAssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = lp.select("ok").distinct().count()
+    val itemCounts = lp.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairCounts = lp.toDF("ok", "a").join(lp.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairCounts
+      .join(itemCounts.toDF("a", "n_a"), Seq("a"))
+      .join(itemCounts.toDF("b", "n_b"), Seq("b"))
+      .withColumn("support", col("n_ab") / lit(nOrders))
+      .withColumn("confidence", col("n_ab") / col("n_a"))
+      .withColumn("lift",
+        (col("n_ab") * lit(nOrders)) / (col("n_a") * col("n_b")))
+      .select("a", "b", "n_ab", "n_a", "n_b", "support", "confidence", "lift")
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1857,7 +1895,9 @@ object SparkEntry {
       "q132_minhash_oracle" -> (qMinhashOracle _),
       "q133_simhash_oracle" -> (qSimhashOracle _),
       "q134_rfm_segments" -> (qRfmSegments _),
-      "q135_attribution" -> (qAttribution _))
+      "q135_attribution" -> (qAttribution _),
+      "q136_segment_percentiles" -> (qSegmentPercentiles _),
+      "q137_association_rules" -> (qAssociationRules _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
