@@ -2135,6 +2135,37 @@ object OracleSql {
       |ORDER BY lift DESC, a ASC, b ASC
       |LIMIT 20""".stripMargin
 
+  /** q138: right-to-erasure cascade audit (FK walk counts). */
+  private val q138 =
+    """SELECT 'customer' AS table_name,
+      |  (SELECT COUNT(*) FROM customer) AS n_before,
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 37 = 0) AS n_removed,
+      |  (SELECT COUNT(*) FROM customer)
+      |    - (SELECT COUNT(*) FROM customer WHERE c_custkey % 37 = 0) AS n_after
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey % 37 = 0),
+      |  (SELECT COUNT(*) FROM orders)
+      |    - (SELECT COUNT(*) FROM orders WHERE o_custkey % 37 = 0)
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem l WHERE EXISTS (
+      |     SELECT 1 FROM orders o
+      |     WHERE o.o_orderkey = l.l_orderkey AND o.o_custkey % 37 = 0)),
+      |  (SELECT COUNT(*) FROM lineitem)
+      |    - (SELECT COUNT(*) FROM lineitem l WHERE EXISTS (
+      |       SELECT 1 FROM orders o
+      |       WHERE o.o_orderkey = l.l_orderkey AND o.o_custkey % 37 = 0))
+      |UNION ALL
+      |SELECT 'events',
+      |  (SELECT COUNT(*) FROM events),
+      |  (SELECT COUNT(*) FROM events WHERE user_id % 37 = 0),
+      |  (SELECT COUNT(*) FROM events)
+      |    - (SELECT COUNT(*) FROM events WHERE user_id % 37 = 0)
+      |ORDER BY table_name""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2338,6 +2369,7 @@ object OracleSql {
     "q135_attribution" -> q135,
     "q136_segment_percentiles" -> q136,
     "q137_association_rules" -> q137,
+    "q138_cascade_delete" -> q138,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1757,6 +1757,32 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Right-to-erasure cascade audit: for a deletion cohort (every
+    * 37th customer), the rows each table loses — including the
+    * lineitem cascade THROUGH orders (semi-join on the deleted
+    * orders' keys, the FK walk a compliance pipeline must do). */
+  private def qCascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val del = col("o_custkey") % 37 === 0
+    val customers = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val deletedOrders = orders.filter(del).select("o_orderkey")
+    val li = Tables.lineitem(s, dir)
+    def row(name: String, before: DataFrame, removed: DataFrame) =
+      before.agg(count(lit(1)).as("n_before"))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .withColumn("table_name", lit(name))
+    row("customer", customers, customers.filter(col("c_custkey") % 37 === 0))
+      .unionByName(row("orders", orders, orders.filter(del)))
+      .unionByName(row("lineitem", li,
+        li.join(deletedOrders, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")))
+      .unionByName(row("events", Tables.events(s, dir),
+        Tables.events(s, dir).filter(col("user_id") % 37 === 0)))
+      .withColumn("n_after", col("n_before") - col("n_removed"))
+      .select("table_name", "n_before", "n_removed", "n_after")
+      .orderBy("table_name")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1897,7 +1923,8 @@ object SparkEntry {
       "q134_rfm_segments" -> (qRfmSegments _),
       "q135_attribution" -> (qAttribution _),
       "q136_segment_percentiles" -> (qSegmentPercentiles _),
-      "q137_association_rules" -> (qAssociationRules _))
+      "q137_association_rules" -> (qAssociationRules _),
+      "q138_cascade_delete" -> (qCascadeDelete _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
