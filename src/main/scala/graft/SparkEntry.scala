@@ -1675,19 +1675,22 @@ object SparkEntry {
       .orderBy("a", "b")
 
   /** RFM customer segmentation: recency/frequency/monetary quartiles
-    * under total orders (metric, custkey) so tie placement is exact. */
+    * under total orders (metric, custkey) so tie placement is exact.
+    * Quartiles come from [[Curation.scalableNtile]] — bit-identical to
+    * the window `ntile(4)` the oracle uses, but computed via range
+    * partition + closed-form bucket math instead of the
+    * single-partition global window. */
   private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rfm = Tables.orders(s, dir).groupBy("o_custkey")
       .agg(max("o_orderdate").as("recency"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("o_totalprice"))).as("monetary"))
-    def q4(c: String) = ntile(4).over(
-      Window.orderBy(col(c).asc, col("o_custkey").asc))
-    rfm
-      .withColumn("r", q4("recency"))
-      .withColumn("f", q4("frequency"))
-      .withColumn("m", q4("monetary"))
+    val bucketed = Seq(
+      ("recency", "r"), ("frequency", "f"), ("monetary", "m"))
+      .foldLeft(rfm) { case (d, (metric, out)) =>
+        Curation.scalableNtile(d, Seq(metric, "o_custkey"), 4, out)
+      }
+    bucketed
       .select(col("o_custkey"), col("r"), col("f"), col("m"),
         (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
       .orderBy("o_custkey")

@@ -241,6 +241,29 @@ object Curation {
     } finally ordered.unpersist(false)
   }
 
+  /** Scalable global ntile: SQL's `ntile(k) OVER (ORDER BY ...)` —
+    * without the single-partition window that global ORDER BY
+    * normally plans. Rides [[globalRowIds]] (range partition +
+    * per-partition zipWithIndex) and computes the bucket from the
+    * 1-based global id in closed form: with n = q·k + r, the first r
+    * buckets hold q+1 rows. Bit-identical to the window ntile
+    * (spec-pinned), but every stage is partition-parallel.
+    */
+  def scalableNtile(df: DataFrame, orderCols: Seq[String], k: Int,
+      outCol: String): DataFrame = {
+    val withId = globalRowIds(df, orderCols)
+    val n = withId.count() // materialized by globalRowIds; cheap scalar
+    val q = n / k
+    val r = n % k
+    val i = col("global_id")
+    val bucket =
+      when(i <= lit(r * (q + 1)),
+        floor((i - 1) / lit(q + 1)))
+        .otherwise(lit(r) + floor((i - lit(r * (q + 1)) - 1) /
+          lit(math.max(q, 1L))))
+    withId.withColumn(outCol, (bucket + 1).cast("int")).drop("global_id")
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

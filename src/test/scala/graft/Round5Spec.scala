@@ -371,6 +371,29 @@ class Round5Spec extends SparkSpec {
       s"recall ${got.size}/${exact.size}") // 2×4 banding recall ≥ 0.8 here
   }
 
+  // --- scalable ntile ----------------------------------------------------
+  test("scalableNtile is bit-identical to the window ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // n = 10, k = 4: uneven buckets (3,3,2,2) — the closed form must
+    // reproduce ntile's first-r-buckets-get-one-extra rule; ties in v
+    // broken by id in both forms
+    val df = Seq(5, 3, 3, 8, 1, 9, 7, 3, 2, 6).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val viaWindow = df.withColumn("nt",
+      ntile(4).over(Window.orderBy($"v".asc, $"id".asc)))
+      .select("id", "nt").as[(Long, Int)].collect().toMap
+    val viaScalable = graft.operators.Curation
+      .scalableNtile(df, Seq("v", "id"), 4, "nt")
+      .select("id", "nt").as[(Long, Int)].collect().toMap
+    assert(viaScalable == viaWindow)
+    // also k > n: every row its own bucket prefix
+    val tiny = Seq((1L, 10), (2L, 20)).toDF("id", "v")
+    val sc = graft.operators.Curation
+      .scalableNtile(tiny, Seq("v", "id"), 4, "nt")
+      .select("id", "nt").as[(Long, Int)].collect().toMap
+    assert(sc == Map(1L -> 1, 2L -> 2))
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
