@@ -2166,6 +2166,10 @@ object OracleSql {
       |    - (SELECT COUNT(*) FROM events WHERE user_id % 37 = 0)
       |ORDER BY table_name""".stripMargin
 
+  /** q139: DSv2 sink round-trip — oracle reads the original table. */
+  private val q139 =
+    """SELECT s_suppkey AS k, s_name AS v FROM supplier ORDER BY k"""
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2370,6 +2374,7 @@ object OracleSql {
     "q136_segment_percentiles" -> q136,
     "q137_association_rules" -> q137,
     "q138_cascade_delete" -> q138,
+    "q139_dsv2_sink" -> q139,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

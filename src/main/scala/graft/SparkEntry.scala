@@ -1786,6 +1786,21 @@ object SparkEntry {
       .orderBy("table_name")
   }
 
+  /** DSv2 sink round-trip (the write-side S2 production form): rows
+    * go out through the two-phase-commit connector and come back in;
+    * the oracle reads the ORIGINAL table, so the sink must be
+    * lossless and atomic. */
+  private def qDsv2Sink(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k"), col("s_name").as("v"))
+      .write.format("graft.sources.v2.RecordApiSink")
+      .option("path", tmp).mode("append").save()
+    s.read.schema("k LONG, v STRING")
+      .option("pathGlobFilter", "*.jsonl").json(tmp)
+      .orderBy("k")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1927,7 +1942,8 @@ object SparkEntry {
       "q135_attribution" -> (qAttribution _),
       "q136_segment_percentiles" -> (qSegmentPercentiles _),
       "q137_association_rules" -> (qAssociationRules _),
-      "q138_cascade_delete" -> (qCascadeDelete _))
+      "q138_cascade_delete" -> (qCascadeDelete _),
+      "q139_dsv2_sink" -> (qDsv2Sink _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

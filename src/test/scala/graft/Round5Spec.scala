@@ -394,6 +394,26 @@ class Round5Spec extends SparkSpec {
     assert(sc == Map(1L -> 1, 2L -> 2))
   }
 
+  // --- DSv2 sink ---------------------------------------------------------
+  test("DSv2 sink two-phase commit: atomic flip, lossless round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = spark.range(0, 200)
+      .selectExpr("id AS k", "concat('v \"x\"\n', id) AS v")
+    df.repartition(4).write
+      .format("graft.sources.v2.RecordApiSink")
+      .option("path", tmp).mode("append").save()
+    val files = new java.io.File(tmp).listFiles.map(_.getName).toSet
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.startsWith("_tmp")), s"uncommitted temps: $files")
+    assert(files.count(_.endsWith(".jsonl")) == 4) // one per partition
+    val back = spark.read
+      .schema("k LONG, v STRING")
+      .option("pathGlobFilter", "*.jsonl").json(tmp)
+      .as[(Long, String)].collect().toSet
+    val orig = df.as[(Long, String)].collect().toSet
+    assert(back == orig) // JSON escaping (quotes, newline) lossless
+  }
+
   // --- small-file compaction --------------------------------------------
   test("compact rewrites a fragmented table into fewer files, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
