@@ -2170,6 +2170,56 @@ object OracleSql {
   private val q139 =
     """SELECT s_suppkey AS k, s_name AS v FROM supplier ORDER BY k"""
 
+  /** q140: ship-latency percentiles per priority (exact ints). */
+  private val q140 =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5) AS p50,
+      |  quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9) AS p90,
+      |  MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q141: LTV cohort triangle (first-order-month x months-since). */
+  private val q141 =
+    """WITH o AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         date_trunc('month', o_orderdate) AS month
+      |  FROM orders),
+      |cohorts AS (
+      |  SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY 1)
+      |SELECT c.cohort_month,
+      |  CAST(datediff('month', c.cohort_month, o.month) AS INT) AS m_since,
+      |  COUNT(DISTINCT o.o_custkey) AS n_active,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q142: daily bounce rate over 30-min-gap session windows. */
+  private val q142 =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessioned AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, session_id, MIN(ts) AS session_start,
+      |         COUNT(*) AS n_events
+      |  FROM sessioned GROUP BY 1, 2)
+      |SELECT date_trunc('day', session_start) AS day,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / COUNT(*)
+      |    AS bounce_rate
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2375,6 +2425,9 @@ object OracleSql {
     "q137_association_rules" -> q137,
     "q138_cascade_delete" -> q138,
     "q139_dsv2_sink" -> q139,
+    "q140_ship_latency" -> q140,
+    "q141_ltv_cohorts" -> q141,
+    "q142_bounce_rate" -> q142,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

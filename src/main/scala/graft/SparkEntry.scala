@@ -1801,6 +1801,48 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** Ship-latency distribution per order priority: integer day deltas,
+    * exact percentiles (the q41 convention). */
+  private def qShipLatency(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("lat_days"), lit(0.5)).as("p50"),
+        percentile(col("lat_days"), lit(0.9)).as("p90"),
+        max(col("lat_days")).as("max_days"))
+      .orderBy("o_orderpriority")
+
+  /** LTV cohort triangle: first-order-month cohorts × months-since,
+    * distinct actives and decimal-exact revenue per cell. */
+  private def qLtvCohorts(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+    val cohorts = o.groupBy("o_custkey")
+      .agg(min(col("month")).as("cohort_month"))
+    o.join(cohorts, "o_custkey")
+      .withColumn("m_since",
+        months_between(col("month"), col("cohort_month")).cast("int"))
+      .groupBy("cohort_month", "m_since")
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("cohort_month", "m_since")
+  }
+
+  /** Daily bounce rate: share of 30-min-gap sessions with exactly one
+    * event — one correctly-rounded division of exact counts. */
+  private def qBounceRate(s: SparkSession, dir: String): DataFrame =
+    Sessions.sessionWindows(Tables.events(s, dir), 1800L)
+      .withColumn("day", date_trunc("day", col("session_start")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_rate", col("n_bounce") / col("n_sessions"))
+      .orderBy("day")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1943,7 +1985,10 @@ object SparkEntry {
       "q136_segment_percentiles" -> (qSegmentPercentiles _),
       "q137_association_rules" -> (qAssociationRules _),
       "q138_cascade_delete" -> (qCascadeDelete _),
-      "q139_dsv2_sink" -> (qDsv2Sink _))
+      "q139_dsv2_sink" -> (qDsv2Sink _),
+      "q140_ship_latency" -> (qShipLatency _),
+      "q141_ltv_cohorts" -> (qLtvCohorts _),
+      "q142_bounce_rate" -> (qBounceRate _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
