@@ -2220,6 +2220,55 @@ object OracleSql {
       |    AS bounce_rate
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q143: trade-graph degree/reciprocity profile. */
+  private val q143 =
+    """WITH e AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |outd AS (SELECT src AS nationkey, COUNT(*) AS out_deg,
+      |                CAST(SUM(w) AS BIGINT) AS out_vol FROM e GROUP BY 1),
+      |ind AS (SELECT dst AS nationkey, COUNT(*) AS in_deg,
+      |               CAST(SUM(w) AS BIGINT) AS in_vol FROM e GROUP BY 1),
+      |recip AS (
+      |  SELECT a.src AS nationkey, COUNT(*) AS n_reciprocal
+      |  FROM e a WHERE EXISTS (
+      |    SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+      |  GROUP BY 1)
+      |SELECT COALESCE(o.nationkey, i.nationkey, r.nationkey) AS nationkey,
+      |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_vol, 0) AS out_vol,
+      |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_vol, 0) AS in_vol,
+      |  COALESCE(n_reciprocal, 0) AS n_reciprocal
+      |FROM outd o
+      |FULL OUTER JOIN ind i ON o.nationkey = i.nationkey
+      |FULL OUTER JOIN recip r ON COALESCE(o.nationkey, i.nationkey) = r.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** q144: ABC / Pareto classes from decimal-exact cumulative shares. */
+  private val q144 =
+    """WITH rev AS (
+      |  SELECT l_partkey AS p_partkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(revenue) AS total FROM rev),
+      |c AS (
+      |  SELECT p_partkey, revenue,
+      |    SUM(revenue) OVER (ORDER BY revenue DESC, p_partkey ASC
+      |                       ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM rev)
+      |SELECT p_partkey, CAST(revenue AS DOUBLE) AS revenue,
+      |  CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+      |    AS cum_share,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+      |         <= 0.5 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+      |         <= 0.8 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c ORDER BY p_partkey""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2428,6 +2477,8 @@ object OracleSql {
     "q140_ship_latency" -> q140,
     "q141_ltv_cohorts" -> q141,
     "q142_bounce_rate" -> q142,
+    "q143_degree_profile" -> q143,
+    "q144_abc_analysis" -> q144,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

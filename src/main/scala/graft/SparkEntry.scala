@@ -1843,6 +1843,51 @@ object SparkEntry {
       .withColumn("bounce_rate", col("n_bounce") / col("n_sessions"))
       .orderBy("day")
 
+  /** Trade-graph degree profile: per nation out/in degree, trade
+    * volume, and whether each partner edge is reciprocated. */
+  private def qDegreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir)
+    val outd = e.groupBy(col("src").as("nationkey"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_vol"))
+    val ind = e.groupBy(col("dst").as("nationkey"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_vol"))
+    val recip = e.select("src", "dst")
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("nationkey"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    outd.join(ind, Seq("nationkey"), "full_outer")
+      .join(recip, Seq("nationkey"), "full_outer")
+      .na.fill(0L)
+      .orderBy("nationkey")
+  }
+
+  /** ABC (Pareto) analysis: parts ranked by revenue, classed by
+    * cumulative share (A < 50%, B < 80%, C rest). The running share
+    * is a division of decimal-exact cumulative and total revenue. */
+  private def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single-partition window over the PART dimension (bounded, the
+    // dimension not the fact table); at a larger dimension use the
+    // scalableNtile/globalRowIds machinery instead
+    rev
+      .withColumn("cum", sum(col("revenue")).over(w))
+      .crossJoin(broadcast(rev.agg(sum(col("revenue")).as("total"))))
+      .withColumn("cum_share",
+        col("cum").cast("double") / col("total").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.5, "A")
+          .when(col("cum_share") <= 0.8, "B").otherwise("C"))
+      .select(col("p_partkey"), col("revenue").cast("double").as("revenue"),
+        col("cum_share"), col("abc_class"))
+      .orderBy("p_partkey")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1988,7 +2033,9 @@ object SparkEntry {
       "q139_dsv2_sink" -> (qDsv2Sink _),
       "q140_ship_latency" -> (qShipLatency _),
       "q141_ltv_cohorts" -> (qLtvCohorts _),
-      "q142_bounce_rate" -> (qBounceRate _))
+      "q142_bounce_rate" -> (qBounceRate _),
+      "q143_degree_profile" -> (qDegreeProfile _),
+      "q144_abc_analysis" -> (qAbcAnalysis _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
