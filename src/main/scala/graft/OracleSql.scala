@@ -2269,6 +2269,34 @@ object OracleSql {
       |       ELSE 'C' END AS abc_class
       |FROM c ORDER BY p_partkey""".stripMargin
 
+  /** q145: supplier-market HHI from exact integer cents. */
+  private val q145 =
+    """WITH rev AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) AS BIGINT)
+      |      AS c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS total_rev,
+      |  CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+      |    / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+      |       * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)) AS hhi
+      |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q146: monthly order-priority mix (exact count shares). */
+  private val q146 =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT month, CAST(SUM(n) AS BIGINT) AS n_month
+      |        FROM m GROUP BY 1)
+      |SELECT m.month, m.o_orderpriority, m.n, t.n_month,
+      |       m.n / t.n_month AS share
+      |FROM m JOIN tot t ON m.month = t.month
+      |ORDER BY m.month, m.o_orderpriority""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2479,6 +2507,8 @@ object OracleSql {
     "q142_bounce_rate" -> q142,
     "q143_degree_profile" -> q143,
     "q144_abc_analysis" -> q144,
+    "q145_concentration_hhi" -> q145,
+    "q146_priority_mix" -> q146,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

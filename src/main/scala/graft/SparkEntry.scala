@@ -1888,6 +1888,48 @@ object SparkEntry {
       .orderBy("p_partkey")
   }
 
+  /** Supplier-market concentration per nation: Herfindahl index from
+    * decimal-exact revenue sums (Σ share² as a ratio of exact decimal
+    * aggregates — one correctly-rounded division per term). */
+  private def qConcentrationHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey", "s_suppkey")
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+    // exact integer DOLLARS (floored): Σc² and (Σc)² are bigint-exact
+    // (a double Σ(x²) would be partial-sum-order dependent); floor()
+    // explicitly — decimal→bigint CAST truncates in Spark but rounds
+    // in DuckDB. Bound: per-supplier revenue < ~$3e9 keeps c² < 2^63.
+    rev.select(col("s_nationkey"),
+        floor(col("rev")).cast("long").as("c"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c")).as("total_c"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        col("total_c").cast("double").as("total_rev"),
+        (col("sum_sq").cast("double") /
+          (col("total_c").cast("double") * col("total_c").cast("double")))
+          .as("hhi"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Order-priority mix by month: the drift report a pipeline watches
+    * for distribution shift (share = exact count ratio per cell). */
+  private def qPriorityMix(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy("month").agg(sum(col("n")).as("n_month"))
+    m.join(tot, "month")
+      .withColumn("share", col("n") / col("n_month"))
+      .select("month", "o_orderpriority", "n", "n_month", "share")
+      .orderBy("month", "o_orderpriority")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2035,7 +2077,9 @@ object SparkEntry {
       "q141_ltv_cohorts" -> (qLtvCohorts _),
       "q142_bounce_rate" -> (qBounceRate _),
       "q143_degree_profile" -> (qDegreeProfile _),
-      "q144_abc_analysis" -> (qAbcAnalysis _))
+      "q144_abc_analysis" -> (qAbcAnalysis _),
+      "q145_concentration_hhi" -> (qConcentrationHhi _),
+      "q146_priority_mix" -> (qPriorityMix _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
