@@ -2297,6 +2297,116 @@ object OracleSql {
       |FROM m JOIN tot t ON m.month = t.month
       |ORDER BY m.month, m.o_orderpriority""".stripMargin
 
+  /** q147: the EXHAUSTIVE shared-token Jaccard join — deliberately
+    * not prefix-filtered, so equality with Spark's PPJoin-style
+    * prefix path proves the filter lossless on real data. */
+  private val q147 =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(ws) AS tok FROM t WHERE len(ws) > 0),
+      |cand AS (
+      |  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+      |  FROM p p1 JOIN p p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id),
+      |v AS (
+      |  SELECT a, b,
+      |    len(list_intersect(ta.ws, tb.ws)) AS common,
+      |    len(ta.ws) AS sza, len(tb.ws) AS szb
+      |  FROM cand
+      |  JOIN t ta ON ta.doc_id = cand.a
+      |  JOIN t tb ON tb.doc_id = cand.b)
+      |SELECT a, b, CAST(common AS INTEGER) AS common,
+      |  common / (sza + szb - common) AS jaccard
+      |FROM v WHERE common * 10 >= (sza + szb - common) * 9
+      |ORDER BY a, b""".stripMargin
+
+  /** q148: identical ordered left-fold — list_reduce inits with the
+    * first element exactly like Spark's aggregate(slice(2..), x1). */
+  private val q148 =
+    """SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+      |  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+      |    (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q149: grouped mode, lexicographic tie-break. */
+  private val q149 =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n_modal
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n_modal,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY n_modal DESC, event_type ASC) AS rk
+      |  FROM c)
+      |SELECT user_id, event_type AS modal_type, n_modal
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  /** q150: OLS from exact integer moment sums; only the final
+    * slope/intercept combination is double, in the same expression
+    * order as the Spark side. */
+  private val q150 =
+    """WITH pts AS (
+      |  SELECT s_nationkey,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |m AS (
+      |  SELECT s_nationkey, count(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY 1),
+      |sl AS (
+      |  SELECT s_nationkey, n, sx, sy,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |  FROM m)
+      |SELECT s_nationkey, n, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS icept_cents
+      |FROM sl ORDER BY s_nationkey""".stripMargin
+
+  /** q151: per-user day spine + linear interpolation; the lerp is the
+    * identical double expression as the Spark side over decimal-exact
+    * daily sums. */
+  private val q151 =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(day), max(day),
+      |      INTERVAL 1 DAY)) AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.v,
+      |    last_value(d.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |      ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+      |      IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |      ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS pd,
+      |    first_value(d.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |      ORDER BY s.day ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+      |      IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |      ORDER BY s.day ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) *
+      |         (date_diff('day', pd, day) / date_diff('day', pd, nd))
+      |  END AS v_filled,
+      |  v IS NULL AS is_gap
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2509,6 +2619,11 @@ object OracleSql {
     "q144_abc_analysis" -> q144,
     "q145_concentration_hhi" -> q145,
     "q146_priority_mix" -> q146,
+    "q147_prefix_jaccard" -> q147,
+    "q148_ewma" -> q148,
+    "q149_group_mode" -> q149,
+    "q150_regression" -> q150,
+    "q151_gap_fill" -> q151,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

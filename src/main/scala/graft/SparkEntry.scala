@@ -1930,6 +1930,123 @@ object SparkEntry {
       .orderBy("month", "o_orderpriority")
   }
 
+  /** Prefix-filtered set-similarity self-join (PPJoin candidate
+    * scheme) over distinct-word sets: candidates come only from each
+    * document's rarest-token prefix, never from hot shared tokens —
+    * the lossless fix for the posting-list skew that caps
+    * [[graft.operators.Dedup.ngramJaccardPairs]]. Oracle is the
+    * EXHAUSTIVE shared-token join: equality proves the filter lossless
+    * on real data, not just by the theorem. */
+  private def qPrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", thresholdNum = 9, thresholdDen = 10)
+      .orderBy("a", "b")
+
+  /** Per-user EWMA (α = 1/4) of event values in time order — the
+    * decayed-engagement feature a curation pipeline scores users with.
+    * Exactness convention: BOTH engines left-fold the same ordered
+    * list with first-element init and the identical `acc·0.75 +
+    * x·0.25` expression (α and 1−α are binary-exact), so the doubles
+    * match bit-for-bit — the portable-sketch convention applied to
+    * ordered folds. Scale: per-user state only; the fold is the
+    * mapGroups shape with no corpus-wide ordering. */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+      .select(col("user_id"), size(col("xs")).as("n_events"),
+        aggregate(slice(col("xs"), lit(2), size(col("xs"))),
+          element_at(col("xs"), 1).getField("value"),
+          (acc, e) => acc * lit(0.75) + e.getField("value") * lit(0.25))
+          .as("ewma"))
+      .orderBy("user_id")
+
+  /** Modal event type per user with a deterministic lexicographic
+    * tie-break — grouped mode via the same window-group-limit shape
+    * as q06 (WindowGroupLimit prunes to one row per user pre-shuffle). */
+  private def qGroupMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n_modal"))
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("n_modal").desc, col("event_type").asc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"),
+        col("n_modal"))
+      .orderBy("user_id")
+  }
+
+  /** Per-nation OLS of line price on quantity from EXACT integer
+    * moment sums: x in quantity-hundredths, y in cents (both
+    * bigint-exact), n/Σx/Σy/Σx²/Σxy aggregate exactly, and only the
+    * final slope/intercept divisions happen in double — one
+    * correctly-rounded expression, identical in both engines. The
+    * unit scaling cancels, so slope reads directly as $/unit;
+    * intercept is in cents. Scale: one broadcast dim join + one
+    * grouped agg with map-side partials — the moments are mergeable,
+    * so this is the distributed-regression shape (no iteration). */
+  private def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("x"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("y"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope",
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+      .withColumn("icept_cents",
+        (d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")))
+      .select("s_nationkey", "n", "slope", "icept_cents")
+      .orderBy("s_nationkey")
+  }
+
+  /** Per-user daily gap-fill with linear interpolation: build each
+    * user's own day spine (first..last active day), left-join the
+    * observed daily sums, and lerp interior gaps between the
+    * bracketing observed days. Exactness: daily sums are
+    * decimal-exact before the one cast to double; the lerp
+    * `prev + (next − prev)·(k/gap)` is the identical double
+    * expression in both engines. Spine endpoints are observed days,
+    * so every gap is interior — no extrapolation branch. Scale:
+    * spine explode is per-user bounded, both windows shuffle once on
+    * user_id; no global sort. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val vDay = when(col("v").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(vDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(vDay, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")) /
+              datediff(col("nd"), col("pd")))).as("v_filled"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2079,7 +2196,12 @@ object SparkEntry {
       "q143_degree_profile" -> (qDegreeProfile _),
       "q144_abc_analysis" -> (qAbcAnalysis _),
       "q145_concentration_hhi" -> (qConcentrationHhi _),
-      "q146_priority_mix" -> (qPriorityMix _))
+      "q146_priority_mix" -> (qPriorityMix _),
+      "q147_prefix_jaccard" -> (qPrefixJaccard _),
+      "q148_ewma" -> (qEwma _),
+      "q149_group_mode" -> (qGroupMode _),
+      "q150_regression" -> (qRegression _),
+      "q151_gap_fill" -> (qGapFill _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

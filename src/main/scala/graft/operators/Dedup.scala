@@ -283,6 +283,88 @@ object Dedup {
           - col("common"))).as("jaccard"))
   }
 
+  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin
+    * candidate-generation scheme, Chaudhuri et al. ICDE'06 / Xiao et
+    * al. WWW'08): all document pairs whose DISTINCT-word Jaccard is ≥
+    * `threshold`, with candidates generated from each document's
+    * PREFIX — its (|s| − ⌈t·|s|⌉ + 1) globally-rarest tokens — instead
+    * of from every shared token.
+    *
+    * Why this beats the all-shared-token join ([[ngramJaccardPairs]]'s
+    * shape) at corpus scale: a pair sharing only FREQUENT tokens can
+    * never reach the threshold, and the prefix theorem makes that
+    * precise — if J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so the common
+    * tokens cannot all hide in the ⌈t·|x|⌉ − 1 most-frequent suffix
+    * of either set; the two prefixes must intersect. Joining ONLY on
+    * prefix tokens is therefore LOSSLESS for the threshold — and the
+    * posting lists that drive candidate generation are the RARE-token
+    * lists, exactly the short ones. The hot tokens that explode the
+    * naive join's buckets are the ones the prefix filter skips.
+    *
+    * Shape: one df-count aggregation over tokens, a per-doc rank
+    * window (shuffle by doc), the prefix self-equi-join on token
+    * (shuffle by rare token — bounded buckets), then an exact verify
+    * computing |x∩y| from the candidates' bound token arrays
+    * (map-side `array_intersect` after one pair-keyed join; sets are
+    * document-sized, never corpus-sized). A length filter
+    * (t·|x| ≤ |y|) prunes candidates before the verify join — pairs
+    * failing it cannot pass the threshold.
+    *
+    * The threshold is a RATIONAL num/den and every pruning predicate
+    * is integer arithmetic: the naive `ceil(0.6 * sz)` is a trap —
+    * 0.6·5 in binary floating point is 3.0000000000000004, so its
+    * ceil is 4, the prefix comes out one token SHORT of the lossless
+    * bound, and a qualifying pair can silently vanish. Exact form:
+    * ⌈(num·sz)/den⌉ = (num·sz + den − 1) div den.
+    *
+    * Output: (a, b, common, jaccard), a < b, jaccard ≥ num/den —
+    * identical to the exhaustive shared-token join, which is the
+    * oracle. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "tok")
+    // ceil(num·n / den) in exact integer arithmetic
+    def ceilFrac(n: Column): Column =
+      floor((n * thresholdNum + (thresholdDen - 1)) / thresholdDen)
+        .cast("int")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(words(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val post = toks.select(col("doc_id"), size(col("ws")).as("sz"),
+      explode(col("ws")).as("tok"))
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    // global rarity order (df, tok) is a TOTAL order, so every doc
+    // ranks its tokens consistently — the prefix theorem needs that
+    val prefix = post.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceilFrac(col("sz")) + 1)
+      .select(col("tok"), col("doc_id"), col("sz"))
+    // length filter: J ≥ t forces t·|x| ≤ |y| both ways (num·sz_a ≤
+    // den·sz_b in integers) — prunes before the verify join
+    val cand = prefix.select(col("tok"), col("doc_id").as("a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("b"),
+        col("sz").as("sz_b")), Seq("tok"))
+      .filter(col("a") < col("b") &&
+        col("sz_a") * thresholdNum <= col("sz_b") * thresholdDen &&
+        col("sz_b") * thresholdNum <= col("sz_a") * thresholdDen)
+      .select("a", "b").distinct()
+    cand
+      .join(toks.select(col("doc_id").as("a"), col("ws").as("ws_a")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("ws").as("ws_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ws_a"), col("ws_b"))).as("common"),
+        size(col("ws_a")).as("sz_a"), size(col("ws_b")).as("sz_b"))
+      // exact integer form of common/(sz_a+sz_b-common) ≥ num/den
+      .filter(col("common") * thresholdDen >=
+        (col("sz_a") + col("sz_b") - col("common")) * thresholdNum)
+      .select(col("a"), col("b"), col("common"),
+        (col("common") / (col("sz_a") + col("sz_b") - col("common")))
+          .as("jaccard"))
+  }
+
   /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
     * length-`w` token window (stride 1) of every document, flagged when
