@@ -337,20 +337,29 @@ object Dedup {
     val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
     // global rarity order (df, tok) is a TOTAL order, so every doc
     // ranks its tokens consistently — the prefix theorem needs that
+    // ONE prefix derivation feeding a per-token bucket expansion (the
+    // [[bucketPairs]] upper triangle, map-side) — a prefix-vs-prefix
+    // self-join would re-run the df count and rank window once per
+    // side. Prefix buckets are the RARE-token posting lists by
+    // construction, so no bucket cap is needed.
     val prefix = post.join(dfreq, Seq("tok"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceilFrac(col("sz")) + 1)
-      .select(col("tok"), col("doc_id"), col("sz"))
+      .select(col("tok"),
+        (shiftleft(col("doc_id"), SizeBits) + col("sz")).as("packed"))
     // length filter: J ≥ t forces t·|x| ≤ |y| both ways (num·sz_a ≤
-    // den·sz_b in integers) — prunes before the verify join
-    val cand = prefix.select(col("tok"), col("doc_id").as("a"),
-        col("sz").as("sz_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("b"),
-        col("sz").as("sz_b")), Seq("tok"))
-      .filter(col("a") < col("b") &&
-        col("sz_a") * thresholdNum <= col("sz_b") * thresholdDen &&
-        col("sz_b") * thresholdNum <= col("sz_a") * thresholdDen)
-      .select("a", "b").distinct()
+    // den·sz_b in integers) — prunes before the distinct and the
+    // verify join, straight off the packed sizes
+    val cand = prefix.groupBy("tok")
+      .agg(collect_list(col("packed")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .filter(unpackSize(col("p.a")) * thresholdNum <=
+          unpackSize(col("p.b")) * thresholdDen &&
+        unpackSize(col("p.b")) * thresholdNum <=
+          unpackSize(col("p.a")) * thresholdDen)
+      .select(unpackId(col("p.a")).as("a"), unpackId(col("p.b")).as("b"))
+      .distinct()
     cand
       .join(toks.select(col("doc_id").as("a"), col("ws").as("ws_a")), Seq("a"))
       .join(toks.select(col("doc_id").as("b"), col("ws").as("ws_b")), Seq("b"))
