@@ -2407,6 +2407,111 @@ object OracleSql {
       |  v IS NULL AS is_gap
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  /** q152: stupid-backoff bigram scores; lnp9 decimal quantization
+    * before the per-doc sum (q80's convention). */
+  private val q152 =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |trans AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM base, unnest(generate_series(1, len(w) - 1)) AS g(i)
+      |  WHERE len(w) >= 2),
+      |uc AS (
+      |  SELECT tok, count(*) AS cnt FROM (
+      |    SELECT unnest(w) AS tok FROM base WHERE doc_id % 2 = 0)
+      |  GROUP BY tok),
+      |lmstats AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    count(*) AS vocab FROM uc),
+      |bi AS (
+      |  SELECT w1, w2, count(*) AS cb FROM trans
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(CASE WHEN bi.cb IS NOT NULL
+      |      THEN ln(CAST(bi.cb AS DOUBLE) / u1.cnt)
+      |      ELSE ln(0.4 * (COALESCE(u2.cnt, 0) + 1)
+      |              / (s.total + s.vocab + 1)) END
+      |      AS DECIMAL(18,9)) AS lp9
+      |  FROM trans t
+      |  LEFT JOIN uc u1 ON t.w1 = u1.tok
+      |  LEFT JOIN uc u2 ON t.w2 = u2.tok
+      |  LEFT JOIN bi ON t.w1 = bi.w1 AND t.w2 = bi.w2
+      |  CROSS JOIN lmstats s)
+      |SELECT doc_id, count(*) AS n_trans,
+      |  CAST(sum(lp9) AS DOUBLE) / count(*) AS mean_lp,
+      |  CAST(sum(lp9) AS DOUBLE) / count(*) < -3.5 AS flagged
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q153: PSI over 10 equal-width reference bins, Laplace-smoothed
+    * shares, lnp9-quantized terms. */
+  private val q153 =
+    """WITH ref AS (
+      |  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |cur AS (
+      |  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+      |rb AS (
+      |  SELECT least(10, greatest(1,
+      |    CAST(floor((value - lo) / (hi - lo) * 10) AS INTEGER) + 1))
+      |    AS bin, count(*) AS n_ref
+      |  FROM ref CROSS JOIN b GROUP BY 1),
+      |cb AS (
+      |  SELECT least(10, greatest(1,
+      |    CAST(floor((value - lo) / (hi - lo) * 10) AS INTEGER) + 1))
+      |    AS bin, count(*) AS n_cur
+      |  FROM cur CROSS JOIN b GROUP BY 1),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER) AS bin),
+      |j AS (
+      |  SELECT s.bin, COALESCE(rb.n_ref, 0) AS n_ref,
+      |    COALESCE(cb.n_cur, 0) AS n_cur
+      |  FROM spine s LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+      |terms AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE) / (tr + 10) AS p_ref,
+      |    CAST(n_cur + 1 AS DOUBLE) / (tc + 10) AS p_cur,
+      |    CAST((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+      |          - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+      |      * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+      |           / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)))
+      |      AS DECIMAL(18,9)) AS term9
+      |  FROM j CROSS JOIN t)
+      |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+      |  CAST(term9 AS DOUBLE) AS psi_term,
+      |  CAST(sum(term9) OVER () AS DOUBLE) AS psi_total
+      |FROM terms ORDER BY bin""".stripMargin
+
+  /** q154: per-source unigram KL vs the corpus mixture; support(s) ⊆
+    * support(corpus) so every term is finite without smoothing. */
+  private val q154 =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |bysrc AS (
+      |  SELECT source, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+      |st AS (
+      |  SELECT source, CAST(sum(cs) AS BIGINT) AS ns, count(*) AS vocab
+      |  FROM bysrc GROUP BY 1),
+      |corpus AS (SELECT tok, count(*) AS cc FROM toks GROUP BY 1),
+      |ct AS (SELECT sum(cc) AS nc FROM corpus),
+      |terms AS (
+      |  SELECT b.source, st.ns, st.vocab,
+      |    CAST((CAST(b.cs AS DOUBLE) / st.ns)
+      |      * ln((CAST(b.cs AS DOUBLE) / st.ns)
+      |           / (CAST(c.cc AS DOUBLE) / ct.nc))
+      |      AS DECIMAL(18,9)) AS term9
+      |  FROM bysrc b
+      |  JOIN st USING (source)
+      |  JOIN corpus c USING (tok)
+      |  CROSS JOIN ct)
+      |SELECT source, ns AS n_tokens, vocab,
+      |  CAST(sum(term9) AS DOUBLE) AS kl
+      |FROM terms GROUP BY source, ns, vocab
+      |ORDER BY source""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2624,6 +2729,9 @@ object OracleSql {
     "q149_group_mode" -> q149,
     "q150_regression" -> q150,
     "q151_gap_fill" -> q151,
+    "q152_perplexity_filter" -> q152,
+    "q153_psi_drift" -> q153,
+    "q154_kl_source_drift" -> q154,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2047,6 +2047,35 @@ object SparkEntry {
       .orderBy("user_id", "day")
   }
 
+  /** Stupid-backoff bigram LM perplexity gate (CCNet shape): LM
+    * trained on the even-doc_id half as the "trusted reference",
+    * every document scored against it — odd docs genuinely exercise
+    * the unseen-bigram backoff path. */
+  private def qPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    operators.TextAnalysis.stupidBackoff(docs,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        flagBelow = -3.5)
+      .orderBy("doc_id")
+  }
+
+  /** Population Stability Index of the event-value distribution,
+    * first half-month (reference) vs second (current). */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    operators.Stats.psi(ev.filter(col("ts") < cut),
+        ev.filter(col("ts") >= cut), "value", buckets = 10)
+      .orderBy("bin")
+  }
+
+  /** Per-source unigram KL divergence from the corpus mixture — the
+    * feed-drift report for corpus composition monitoring. */
+  private def qKlSourceDrift(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.sourceKlDrift(Tables.documents(s, dir),
+        "source", "text")
+      .orderBy("source")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2201,7 +2230,10 @@ object SparkEntry {
       "q148_ewma" -> (qEwma _),
       "q149_group_mode" -> (qGroupMode _),
       "q150_regression" -> (qRegression _),
-      "q151_gap_fill" -> (qGapFill _))
+      "q151_gap_fill" -> (qGapFill _),
+      "q152_perplexity_filter" -> (qPerplexityFilter _),
+      "q153_psi_drift" -> (qPsiDrift _),
+      "q154_kl_source_drift" -> (qKlSourceDrift _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

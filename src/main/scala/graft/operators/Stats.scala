@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-statistics operators — the ANALYZE-side of an engine: column
@@ -104,5 +105,63 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
+  }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * sample of `valueCol` — the standard model-monitoring drift score
+    * (PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur); < 0.1 stable,
+    * > 0.25 action). Bins are `buckets` equal-width cells over the
+    * REFERENCE min..max (current values clamp into the edge bins, the
+    * convention that makes out-of-range drift visible in the tails);
+    * both shares are Laplace-smoothed ((n_b + 1)/(n + buckets)) so
+    * empty bins stay finite deterministically — no epsilon constants.
+    *
+    * Output: one row per bin — (bin, n_ref, n_cur, p_ref, p_cur,
+    * psi_term, psi_total), psi_total repeated per row (the window sum
+    * of DECIMAL(18,9)-quantized terms — exact, order-free, and
+    * ln-ulp-proof, the lnp9 convention).
+    *
+    * Scale shape: one min/max aggregate over the reference, a 1-row
+    * broadcast, one map-side bin assignment + count per side — the
+    * whole score costs two scans and two `buckets`-row aggregations;
+    * nothing corpus-sized shuffles. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val bounds = ref.agg(min(col(valueCol)).as("lo"),
+      max(col(valueCol)).as("hi"))
+    // identical double expression in the DuckDB twin; clamp via
+    // least/greatest keeps every value in [1, buckets]
+    def binOf(v: Column): Column = least(lit(buckets),
+      greatest(lit(1),
+        (floor((v - col("lo")) / (col("hi") - col("lo")) * buckets)
+          .cast("int") + 1)))
+    def binned(df: DataFrame, as: String): DataFrame =
+      df.select(col(valueCol)).crossJoin(broadcast(bounds))
+        .groupBy(binOf(col(valueCol)).as("bin"))
+        .agg(count(lit(1)).as(as))
+    val spine = ref.sparkSession.range(1, buckets + 1)
+      .select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"))
+    val p = (col("n_ref") + 1).cast("double") / (col("tr") + buckets)
+    val q = (col("n_cur") + 1).cast("double") / (col("tc") + buckets)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        ((p - q) * log(p / q)).cast("decimal(18,9)").as("term9"))
+      .withColumn("psi_total", sum(col("term9")).over(w).cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("term9").cast("double").as("psi_term"),
+        col("psi_total"))
   }
 }

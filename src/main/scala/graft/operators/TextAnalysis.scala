@@ -265,6 +265,107 @@ object TextAnalysis {
     * JVM-vs-DuckDB `ln` last-ulp differences (measured: 13 per 200k
     * random inputs differ by 1 ulp; 0 of the corpus's values differ).
     */
+  /** Bigram language-model score per document under STUPID BACKOFF
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — the non-normalized backoff built for exactly this
+    * setting: corpus-scale counts, no held-out tuning), with the LM
+    * trained on a REFERENCE corpus `lm` and scored over `docs` — the
+    * CCNet shape (LM from a trusted corpus, score the crawl; scoring
+    * a corpus against itself makes every bigram "seen" and the
+    * backoff dead code). Each transition scores ln(c(w1,w2)/c(w1))
+    * when the LM saw the bigram, else backs off to the add-one
+    * unigram: ln(0.4·(c(w2)+1)/(N+V+1)) — add-one keeps OOV tokens
+    * finite with no epsilon constants (c = 0 for OOV), and V+1 is
+    * the vocab plus the OOV type.
+    *
+    * Output: (doc_id, n_trans, mean_lp, flagged) for every doc with
+    * ≥ 1 transition; flagged = mean_lp < `flagBelow`.
+    *
+    * Scale shape: transitions assemble map-side (the shingleRows
+    * kernel at n=2, words kept separate); bigram and unigram count
+    * tables shuffle on fixed-width token keys with map-side partials;
+    * the scoring joins are token-keyed equi-joins (broadcast at test
+    * SF, shuffle joins at corpus scale — never a cross join). Per-term
+    * scores quantize to DECIMAL(18,9) before the per-doc sum
+    * ([[unigramLogProb]]'s oracle-exactness convention: the sum is
+    * exact and order-free, and the quantization absorbs JVM-vs-DuckDB
+    * ln() last-ulp differences). */
+  def stupidBackoff(docs: DataFrame, lm: DataFrame, idCol: String,
+                    textCol: String, flagBelow: Double): DataFrame = {
+    def transitions(d: DataFrame): DataFrame = {
+      val base = d.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("w"))
+      base.filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("w1"),
+              element_at(col("w"), i + 2).as("w2")))).as("t"))
+        .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    }
+    val uni = lm.select(explode(words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val bi = transitions(lm).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val lmStats = uni.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vocab"))
+    // identical double expression order in the DuckDB twin:
+    // seen:    ln(cb / c1)
+    // unseen:  ln(0.4 * (c2+1) / (total+vocab+1))
+    val lnp = when(col("cb").isNotNull,
+        log(col("cb").cast("double") / col("c1")))
+      .otherwise(log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + 1) /
+        (col("total") + col("vocab") + 1)))
+    transitions(docs)
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("c1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("c2")),
+        Seq("w2"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .crossJoin(lmStats)
+      .select(col("doc_id"), lnp.cast("decimal(18,9)").as("lp9"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"),
+        (sum(col("lp9")).cast("double") / count(lit(1))).as("mean_lp"))
+      .withColumn("flagged", col("mean_lp") < flagBelow)
+  }
+
+  /** Per-source unigram KL divergence from the corpus-wide
+    * distribution: KL(p_source ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
+    * over the source's own support (support(s) ⊆ support(c) by
+    * construction, so no smoothing is needed and every term is
+    * finite). The standard "which feed drifted away from the mixture"
+    * report a corpus-composition dashboard runs per ingest.
+    *
+    * Output: (source, n_tokens, vocab, kl), kl ≥ 0.
+    *
+    * Scale shape: one (source, token) count shuffle with map-side
+    * partials, one corpus-token count shuffle, an equi-join on token,
+    * and a per-source sum of DECIMAL(18,9)-quantized terms (the
+    * [[unigramLogProb]] convention — order-free exact sums, ln ulp
+    * absorbed). Sources × vocab bounds the join, never corpus². */
+  def sourceKlDrift(docs: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+        explode(words(col(textCol))).as("tok"))
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("cs")).as("ns"),
+      count(lit(1)).as("vocab"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val corpTot = corpus.agg(sum(col("cc")).as("nc"))
+    // term = (cs/ns) * ln( (cs/ns) / (cc/nc) ) — identical shape in SQL
+    val ps = col("cs").cast("double") / col("ns")
+    val pc = col("cc").cast("double") / col("nc")
+    bySrc
+      .join(broadcast(srcTot), Seq("source"))
+      .join(corpus, Seq("tok"))
+      .crossJoin(corpTot)
+      .select(col("source"), col("ns"), col("vocab"),
+        (ps * log(ps / pc)).cast("decimal(18,9)").as("term9"))
+      .groupBy("source", "ns", "vocab")
+      .agg(sum(col("term9")).cast("double").as("kl"))
+      .select(col("source"), col("ns").as("n_tokens"), col("vocab"),
+        col("kl"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(words(col(textCol))).as("tok"))
