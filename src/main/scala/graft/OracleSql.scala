@@ -2512,6 +2512,84 @@ object OracleSql {
       |FROM terms GROUP BY source, ns, vocab
       |ORDER BY source""".stripMargin
 
+  /** q155: session Markov transitions — q14's sessionization, lead()
+    * within (user, session), exact count-ratio probabilities. */
+  private val q155 =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessioned AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_start) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts ASC, event_id ASC) AS to_type
+      |  FROM sessioned),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.n_from,
+      |  c.n / t.n_from AS prob
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q156: Kaplan-Meier product-limit curve; running sum of
+    * DECIMAL(18,9)-quantized ln(1−d/n) factors (lnp9 as a cumulative
+    * window), survival re-exponentiated and quantized to 6 dp. */
+  private val q156 =
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN su USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+      |  GROUP BY 1),
+      |mx AS (SELECT max(date_trunc('day', ts)) AS max_day FROM events),
+      |subjects AS (
+      |  SELECT CASE WHEN pu.p_ts IS NOT NULL
+      |    THEN date_diff('day', date_trunc('day', su.s_ts),
+      |                   date_trunc('day', pu.p_ts))
+      |    ELSE date_diff('day', date_trunc('day', su.s_ts), mx.max_day)
+      |    END AS dur,
+      |    pu.p_ts IS NOT NULL AS converted
+      |  FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx),
+      |bydur AS (
+      |  SELECT dur AS t, count(*) AS n_at,
+      |    count(*) FILTER (WHERE converted) AS d
+      |  FROM subjects GROUP BY 1),
+      |risked AS (
+      |  SELECT t, d,
+      |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      |  FROM bydur),
+      |curve AS (
+      |  SELECT t, n_risk, d,
+      |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS hit_zero,
+      |    CAST(SUM(CASE WHEN d < n_risk
+      |        THEN CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+      |          AS DECIMAL(18,9)) END) OVER (ORDER BY t ASC
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ln_sum
+      |  FROM risked WHERE d > 0)
+      |SELECT t, n_risk, d AS n_events,
+      |  CASE WHEN hit_zero = 0 THEN ln_sum END AS ln_surv,
+      |  CASE WHEN hit_zero = 1 THEN 0.0
+      |       ELSE CAST(CAST(exp(ln_sum) AS DECIMAL(9,6)) AS DOUBLE)
+      |  END AS surv
+      |FROM curve ORDER BY t""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2732,6 +2810,8 @@ object OracleSql {
     "q152_perplexity_filter" -> q152,
     "q153_psi_drift" -> q153,
     "q154_kl_source_drift" -> q154,
+    "q155_markov_transitions" -> q155,
+    "q156_kaplan_meier" -> q156,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

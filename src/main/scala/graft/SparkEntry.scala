@@ -2076,6 +2076,53 @@ object SparkEntry {
         "source", "text")
       .orderBy("source")
 
+  /** Within-session Markov transition matrix over event types:
+    * (from, to, n, prob) — the behavioral fingerprint a product
+    * analytics stack derives from the same sessionization as q14.
+    * prob is the exact count ratio per from-state. */
+  private def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val tr = operators.Sessions.sessionize(Tables.events(s, dir), 1800)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    tr.join(tot, Seq("from_type"))
+      .withColumn("prob", col("n") / col("n_from"))
+      .select("from_type", "to_type", "n", "n_from", "prob")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Kaplan-Meier survival curve for signup → first purchase, right-
+    * censored at the last observed day: the time-to-conversion curve
+    * with the correct treatment of users who never converted (q81's
+    * funnel counts them out; KM keeps them at risk). */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val day = (c: Column) => date_trunc("day", c)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(su, Seq("user_id"))
+      .filter(col("p_ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min(col("p_ts")).as("p_ts"))
+    val maxDay = ev.agg(max(day(col("ts"))).as("max_day"))
+    val subjects = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p_ts").isNotNull,
+            datediff(day(col("p_ts")), day(col("s_ts"))))
+          .otherwise(datediff(col("max_day"), day(col("s_ts"))))
+          .as("dur"),
+        col("p_ts").isNotNull.as("converted"))
+    operators.Temporal.kaplanMeier(subjects, "dur", "converted")
+      .orderBy("t")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2233,7 +2280,9 @@ object SparkEntry {
       "q151_gap_fill" -> (qGapFill _),
       "q152_perplexity_filter" -> (qPerplexityFilter _),
       "q153_psi_drift" -> (qPsiDrift _),
-      "q154_kl_source_drift" -> (qKlSourceDrift _))
+      "q154_kl_source_drift" -> (qKlSourceDrift _),
+      "q155_markov_transitions" -> (qMarkovTransitions _),
+      "q156_kaplan_meier" -> (qKaplanMeier _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -90,4 +90,60 @@ object Temporal {
         sum(col(valueCol).cast("decimal(18,4)")).over(w).cast("double") /
           col("win_n"))
   }
+
+  /** Kaplan-Meier product-limit estimator over right-censored
+    * durations: one row per event time t with the number at risk,
+    * events at t, and the survival curve. Input: `subjects` with an
+    * integer duration column and a boolean event column (false =
+    * censored). Convention: subjects censored AT t still count as at
+    * risk at t (n_risk(t) = #{dur ≥ t}); curve rows exist only at
+    * event times, the standard product-limit support.
+    *
+    * Exactness: d(t) and n(t) are exact counts; each factor
+    * ln(1 − d/n) quantizes to DECIMAL(18,9) and the RUNNING SUM of
+    * quantized logs is exact and order-free (the lnp9 convention
+    * lifted from per-group sums to a cumulative window), so ln_surv
+    * is hash-gradable. `surv` re-exponentiates and rounds to
+    * DECIMAL(9,6) — the same quantize-absorbs-ulp argument, applied
+    * to exp's last ulp.
+    *
+    * The curve CAN reach exactly zero: at the last event time every
+    * remaining subject may convert (d = n_risk), where the factor is
+    * 0 and its log undefined — a silent correctness trap, since SQL
+    * SUM skips the NULL that ln(0) paths produce (and DuckDB throws).
+    * Zero is handled explicitly: from the first d = n_risk time on,
+    * ln_surv is NULL and surv is 0.0 in both engines.
+    *
+    * Scale shape: two aggregations over the subjects table (per-dur
+    * counts; event-time counts), a cumulative window over the
+    * DISTINCT-duration axis (bounded by the time domain, not the
+    * subject count), and one sorted curve window. Nothing
+    * subject × time ever materializes. */
+  def kaplanMeier(subjects: DataFrame, durCol: String, eventCol: String)
+      : DataFrame = {
+    val byDur = subjects.groupBy(col(durCol).as("t"))
+      .agg(count(lit(1)).as("n_at"),
+        count(when(col(eventCol), 1)).as("d"))
+    // n_risk(t) = Σ n_at over dur ≥ t: cumulative sum descending the
+    // duration axis — |distinct durations| rows, not |subjects|
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCurve = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnTerm = when(col("d") < col("n_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_risk"))
+        .cast("decimal(18,9)"))
+    byDur
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("hit_zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCurve))
+      .withColumn("ln_surv", when(col("hit_zero") === 0,
+        sum(lnTerm).over(wCurve).cast("double")))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("ln_surv"),
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(exp(col("ln_surv")).cast("decimal(9,6)")
+            .cast("double")).as("surv"))
+  }
 }

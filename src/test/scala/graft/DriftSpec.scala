@@ -51,6 +51,41 @@ class DriftSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Double]("kl") == 0.0)
   }
 
+  test("kaplan-meier matches the hand-computed product-limit curve") {
+    // subjects: events at t=1 (2 of 4 at risk), t=2 (1 of 2);
+    // censored at t=1 (1) and t=3 (0 events -> no curve row)
+    val subjects = Seq(
+      (1, true), (1, true), (1, false), (2, true), (3, false))
+      .toDF("dur", "converted")
+    val got = operators.Temporal.kaplanMeier(subjects, "dur", "converted")
+      .orderBy("t").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1, 5L, 2L), (2, 2L, 1L)))
+    // the engine sums DECIMALS exactly, then casts once — mirror that
+    def d9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)
+    val t1 = d9(math.log(1.0 - 2.0 / 5.0))
+    val t2 = d9(math.log(1.0 - 1.0 / 2.0))
+    assert(got.map(_.getDouble(3)).toSeq ==
+      Seq(t1.toDouble, (t1 + t2).toDouble))
+    // survival: S(1) = 3/5, S(2) = 3/10 (to 6 dp through exp∘ln)
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.6, 0.3))
+  }
+
+  test("kaplan-meier reaches exact zero when the last cohort fully converts") {
+    // t=1: n_risk=3, d=1 -> S=2/3; t=2: n_risk=1, d=1 -> factor 0,
+    // ln undefined: ln_surv NULL, surv exactly 0.0 (not a NULL-skip)
+    val subjects = Seq((1, true), (1, false), (2, true))
+      .toDF("dur", "converted")
+    val got = operators.Temporal.kaplanMeier(subjects, "dur", "converted")
+      .orderBy("t").collect()
+    assert(got.length == 2)
+    val last = got(1)
+    assert(last.getInt(0) == 2 && last.getLong(1) == 1L)
+    assert(last.isNullAt(3) && last.getDouble(4) == 0.0)
+    assert(!got(0).isNullAt(3) && got(0).getDouble(4) == 0.666667)
+  }
+
   test("kl drift is positive for a skewed source") {
     val docs = Seq(
       ("s1", "a a a a b"), ("s2", "b b b b a")).toDF("source", "text")
