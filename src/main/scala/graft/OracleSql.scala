@@ -2297,13 +2297,19 @@ object OracleSql {
       |FROM m JOIN tot t ON m.month = t.month
       |ORDER BY m.month, m.o_orderpriority""".stripMargin
 
-  /** q147: the EXHAUSTIVE shared-token Jaccard join — deliberately
-    * not prefix-filtered, so equality with Spark's PPJoin-style
-    * prefix path proves the filter lossless on real data. */
+  /** q147: the EXHAUSTIVE shared-shingle Jaccard join (q19's 3-gram
+    * sets, no rarity cap, no limit) — deliberately not
+    * prefix-filtered, so equality with Spark's PPJoin-style prefix
+    * path proves the filter lossless on real data. */
   private val q147 =
-    """WITH t AS (
-      |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
       |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ws
+      |  FROM ws WHERE len(w) >= 3),
       |p AS (SELECT doc_id, unnest(ws) AS tok FROM t WHERE len(ws) > 0),
       |cand AS (
       |  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
@@ -2317,7 +2323,7 @@ object OracleSql {
       |  JOIN t tb ON tb.doc_id = cand.b)
       |SELECT a, b, CAST(common AS INTEGER) AS common,
       |  common / (sza + szb - common) AS jaccard
-      |FROM v WHERE common * 10 >= (sza + szb - common) * 9
+      |FROM v WHERE common * 5 >= (sza + szb - common) * 3
       |ORDER BY a, b""".stripMargin
 
   /** q148: identical ordered left-fold — list_reduce inits with the
@@ -2590,6 +2596,78 @@ object OracleSql {
       |  END AS surv
       |FROM curve ORDER BY t""".stripMargin
 
+  /** q157: ECDF over exact-cent keys; cumulative window on the
+    * distinct-value axis, one double division per distinct value. */
+  private val q157 =
+    """WITH v AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS bal_cents
+      |  FROM customer),
+      |c AS (SELECT bal_cents, count(*) AS n_at FROM v GROUP BY 1),
+      |t AS (SELECT count(*) AS n_total FROM v),
+      |cum AS (
+      |  SELECT bal_cents,
+      |    CAST(SUM(n_at) OVER (ORDER BY bal_cents ASC
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.n_total AS ecdf
+      |  FROM c CROSS JOIN t)
+      |SELECT v.c_custkey, v.c_nationkey, v.bal_cents, cum.ecdf
+      |FROM v JOIN cum USING (bal_cents)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q158: revenue-weighted median balance — integer cumulative-weight
+    * crossing, lower-median convention. */
+  private val q158 =
+    """WITH w AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS wt
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+      |    wt
+      |  FROM supplier JOIN w ON s_suppkey = l_suppkey),
+      |bv AS (
+      |  SELECT s_nationkey, bal, CAST(SUM(wt) AS BIGINT) AS w_at,
+      |    count(*) AS n_at
+      |  FROM s GROUP BY 1, 2),
+      |c AS (
+      |  SELECT s_nationkey, bal,
+      |    CAST(SUM(w_at) OVER (PARTITION BY s_nationkey ORDER BY bal ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+      |    CAST(SUM(w_at) OVER (PARTITION BY s_nationkey) AS BIGINT)
+      |      AS total_w,
+      |    CAST(SUM(n_at) OVER (PARTITION BY s_nationkey) AS BIGINT) AS n
+      |  FROM bv)
+      |SELECT s_nationkey, n, total_w, MIN(bal) AS wmedian_bal
+      |FROM c WHERE cum_w * 2 >= total_w
+      |GROUP BY s_nationkey, n, total_w
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** q159: reproducible ε-DP counts — portable-PRF uniforms, Laplace
+    * inversion, lnp9 quantization (seed 20240813, ε = 1). */
+  private val q159 =
+    """WITH c AS (
+      |  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+      |h AS (
+      |  SELECT c_nationkey, n,
+      |    ((c_nationkey % 1000000007) * CAST(48271 AS BIGINT)
+      |      + 20240813) % 1000000007 AS h1
+      |  FROM c),
+      |h2t AS (
+      |  SELECT c_nationkey, n,
+      |    (h1 * CAST(16807 AS BIGINT) + 12345) % 1000000007 AS h2
+      |  FROM h),
+      |u AS (
+      |  SELECT c_nationkey, n,
+      |    (CAST(h2 AS DOUBLE) + 0.5) / 1000000007 AS u FROM h2t)
+      |SELECT c_nationkey, n,
+      |  CAST(CAST(n + (-1.0 * sign(u - 0.5)
+      |      * ln(1.0 - 2.0 * abs(u - 0.5)))
+      |    AS DECIMAL(18,9)) AS DOUBLE) AS released
+      |FROM u ORDER BY c_nationkey""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2812,6 +2890,9 @@ object OracleSql {
     "q154_kl_source_drift" -> q154,
     "q155_markov_transitions" -> q155,
     "q156_kaplan_meier" -> q156,
+    "q157_ecdf_transform" -> q157,
+    "q158_weighted_median" -> q158,
+    "q159_dp_counts" -> q159,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -1931,15 +1931,15 @@ object SparkEntry {
   }
 
   /** Prefix-filtered set-similarity self-join (PPJoin candidate
-    * scheme) over distinct-word sets: candidates come only from each
-    * document's rarest-token prefix, never from hot shared tokens —
-    * the lossless fix for the posting-list skew that caps
-    * [[graft.operators.Dedup.ngramJaccardPairs]]. Oracle is the
-    * EXHAUSTIVE shared-token join: equality proves the filter lossless
-    * on real data, not just by the theorem. */
+    * scheme) over the same 3-gram shingle sets as q19: candidates
+    * come only from each document's rarest-shingle prefix, never from
+    * hot shared shingles — the LOSSLESS alternative to q19's
+    * maxShingleFreq cap. Oracle is the EXHAUSTIVE shared-shingle
+    * join: equality proves the filter lossless on real data, not just
+    * by the theorem. */
   private def qPrefixJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.prefixJaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", thresholdNum = 9, thresholdDen = 10)
+        "doc_id", "text", n = 3, thresholdNum = 3, thresholdDen = 5)
       .orderBy("a", "b")
 
   /** Per-user EWMA (α = 1/4) of event values in time order — the
@@ -2123,6 +2123,42 @@ object SparkEntry {
       .orderBy("t")
   }
 
+  /** Empirical-CDF transform of customer balances (exact cents keys):
+    * the probability-integral-transform / quantile-normalization
+    * primitive. */
+  private def qEcdfTransform(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.ecdfTransform(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+          (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents")),
+        "bal_cents")
+      .select("c_custkey", "c_nationkey", "bal_cents", "ecdf")
+      .orderBy("c_custkey")
+
+  /** Revenue-weighted median supplier balance per nation — the robust
+    * center when rows carry mass; integer 2·cum ≥ total test, no FP
+    * boundary. Suppliers with no lineitems carry zero weight and are
+    * excluded by the weight join. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.lineitem(s, dir).groupBy(col("l_suppkey"))
+      .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("wt"))
+    val df = Tables.supplier(s, dir)
+      .join(w, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_nationkey"),
+        (dec2(col("s_acctbal")) * 100).cast("long").as("bal"), col("wt"))
+    operators.Stats.weightedMedian(df, "s_nationkey", "bal", "wt")
+      .withColumnRenamed("wmedian", "wmedian_bal")
+      .orderBy("s_nationkey")
+  }
+
+  /** ε-DP noisy customer counts per nation with REPRODUCIBLE noise
+    * from the portable polynomial PRF (q132 convention) — the
+    * replayable-release form of a DP aggregate, oracle-checkable
+    * bit-for-bit. */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    operators.Privacy.noisyCounts(Tables.customer(s, dir), "c_nationkey",
+        epsilon = 1.0, seed = 20240813L)
+      .orderBy("c_nationkey")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2282,7 +2318,10 @@ object SparkEntry {
       "q153_psi_drift" -> (qPsiDrift _),
       "q154_kl_source_drift" -> (qKlSourceDrift _),
       "q155_markov_transitions" -> (qMarkovTransitions _),
-      "q156_kaplan_meier" -> (qKaplanMeier _))
+      "q156_kaplan_meier" -> (qKaplanMeier _),
+      "q157_ecdf_transform" -> (qEcdfTransform _),
+      "q158_weighted_median" -> (qWeightedMedian _),
+      "q159_dp_counts" -> (qDpCounts _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -2296,7 +2335,8 @@ object SparkEntry {
     "q47_dup_clusters", "q70_asof_native", "q77_incremental_dedup",
     "q91_block_dedup", "q92_semantic_dedup", "q95_heavy_hitters",
     "q100_span_removal", "q101_zorder_cells", "q102_pagerank",
-    "q104_bucketed_join", "q108_jaro_winkler", "q113_lang_trigrams")
+    "q104_bucketed_join", "q108_jaro_winkler", "q113_lang_trigrams",
+    "q147_prefix_jaccard", "q152_perplexity_filter")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

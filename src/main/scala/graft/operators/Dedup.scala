@@ -285,10 +285,10 @@ object Dedup {
 
   /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin
     * candidate-generation scheme, Chaudhuri et al. ICDE'06 / Xiao et
-    * al. WWW'08): all document pairs whose DISTINCT-word Jaccard is ≥
-    * `threshold`, with candidates generated from each document's
-    * PREFIX — its (|s| − ⌈t·|s|⌉ + 1) globally-rarest tokens — instead
-    * of from every shared token.
+    * al. WWW'08): all document pairs whose distinct n-gram-shingle
+    * Jaccard (word sets at n = 1) is ≥ `threshold`, with candidates
+    * generated from each document's PREFIX — its (|s| − ⌈t·|s|⌉ + 1)
+    * globally-rarest tokens — instead of from every shared token.
     *
     * Why this beats the all-shared-token join ([[ngramJaccardPairs]]'s
     * shape) at corpus scale: a pair sharing only FREQUENT tokens can
@@ -317,20 +317,33 @@ object Dedup {
     * bound, and a qualifying pair can silently vanish. Exact form:
     * ⌈(num·sz)/den⌉ = (num·sz + den − 1) div den.
     *
+    * The token-set choice matters for candidate volume: on a
+    * templated corpus, distinct WORD sets saturate (every pair is
+    * 0.9-similar and the true result is inherently quadratic), while
+    * n-gram shingle sets keep similarity discriminative — the prefix
+    * filter then prunes candidates instead of enumerating the corpus.
+    * The filter is lossless either way; pick the token granularity
+    * that matches the question.
+    *
     * Output: (a, b, common, jaccard), a < b, jaccard ≥ num/den —
     * identical to the exhaustive shared-token join, which is the
     * oracle. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                         n: Int, thresholdNum: Int,
+                         thresholdDen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "tok")
     // ceil(num·n / den) in exact integer arithmetic
-    def ceilFrac(n: Column): Column =
-      floor((n * thresholdNum + (thresholdDen - 1)) / thresholdDen)
+    def ceilFrac(c: Column): Column =
+      floor((c * thresholdNum + (thresholdDen - 1)) / thresholdDen)
         .cast("int")
+    // bind tokens BEFORE the shingle transform (the shingleHashArr
+    // lambda-re-evaluation note: unbound words() re-splits per element)
     val toks = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(words(col(textCol))).as("ws"))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w0"))
+      .select(col("doc_id"),
+        (if (n <= 1) array_distinct(col("w0"))
+         else shinglesOf(col("w0"), n)).as("ws"))
       .filter(size(col("ws")) > 0)
     val post = toks.select(col("doc_id"), size(col("ws")).as("sz"),
       explode(col("ws")).as("tok"))

@@ -31,8 +31,20 @@ object PageRank {
 
   /** @param edges (src: long, dst: long, w: long) pre-aggregated edge
     *              weights, w > 0
+    * @param cpEvery truncate lineage every this many iterations.
+    *   `ranks` is referenced ONCE per round (the contribution join),
+    *   so un-checkpointed lineage grows LINEARLY, not doubling — a
+    *   small stride keeps analysis bounded while skipping most of the
+    *   per-round materialization jobs (each localCheckpoint is a full
+    *   job — pure scheduling on a small graph, a cluster-wide block
+    *   write at scale). A/B at sf0.1 (local[32], best-of-3): stride 1
+    *   = 4.36 s, stride 3 = 4.03 s, same bits — the q102 wall clock is
+    *   dominated by the 4-table EDGE BUILD each attempt re-runs, not
+    *   by iteration overhead; at corpus scale the saved per-round
+    *   block writes are the part that matters.
     * @return (node, pagerank_scaled) — integer rank in `scale` units */
-  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L): DataFrame = {
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+          cpEvery: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -44,7 +56,7 @@ object PageRank {
         val n = nodes.count() // one tiny action: |V| is a scalar input
         val r0 = scale / n
         var ranks = nodes.withColumn("rank", lit(r0)).localCheckpoint()
-        for (_ <- 1 to iters) {
+        for (i <- 1 to iters) {
           val contrib = e
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outw, "src")
@@ -55,7 +67,7 @@ object PageRank {
             .select(col("node"),
               expr(s"(CAST(${15L * r0} AS BIGINT) + " +
                 "85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
-            .localCheckpoint()
+          if (i % cpEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
         }
         ranks.select(col("node"), col("rank").as("pagerank_scaled"))
       } finally nodes.unpersist(false)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differentially-private aggregate release with REPRODUCIBLE noise.
+  *
+  * Production DP releases need an audit trail: the same release job
+  * re-run over the same snapshot must publish the same numbers, so the
+  * noise is drawn from a keyed PRF of the release key, not from an
+  * ambient RNG (the deterministic-noise practice of DP deployments
+  * with replayable pipelines). Here the PRF is the repo's PORTABLE
+  * polynomial hash (the q132/q26 convention: exact bigint arithmetic
+  * mod 1e9+7, replayable in any SQL engine), so the entire release —
+  * counts, uniforms, Laplace inversion — is oracle-checkable
+  * bit-for-bit.
+  *
+  * Laplace inversion: u ∈ (0,1) from the PRF, centered t = u − 0.5,
+  * noise = −b·sign(t)·ln(1 − 2·|t|) with b = sensitivity/ε (count
+  * queries: sensitivity 1). Released value quantizes to DECIMAL(18,9)
+  * — the lnp9 convention absorbing ln's last ulp across engines.
+  *
+  * Privacy note: reusing one key's noise across re-releases does not
+  * degrade ε (same query, same answer); composing DIFFERENT releases
+  * still composes ε as usual. The seed must stay secret from the
+  * analyst for the guarantee to hold — it plays the role of the DP
+  * curator's RNG state.
+  *
+  * Scale shape: noise is a per-GROUP scalar expression over the
+  * already-aggregated counts — zero extra shuffles on top of the
+  * underlying groupBy.
+  */
+object Privacy {
+
+  private val P = 1000000007L
+
+  /** Keyed PRF → uniform in (0, 1): two rounds of (a·x + b) mod p
+    * over the group key and seed, then (h + 0.5) / p — exactly
+    * representable arithmetic until the final division, identical in
+    * any engine with 64-bit integers. */
+  private def uniform(key: Column, seed: Long): Column = {
+    val h1 = (key % P * 48271L + seed) % P
+    val h2 = (h1 * 16807L + 12345L) % P
+    (h2.cast("double") + 0.5) / P
+  }
+
+  /** ε-DP noisy COUNT per group: (group, n, released) where released
+    * = n + Laplace(1/ε) noise, DECIMAL(18,9)-quantized (returned as
+    * double). `n` is carried for the oracle/spec; a real release
+    * would drop it. */
+  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                  seed: Long): DataFrame = {
+    val u = uniform(col(groupCol).cast("long"), seed)
+    val t = u - 0.5
+    // sign(t) * ln(1 - 2|t|): identical left-assoc shape in the twin
+    val noise = (lit(-1.0 / epsilon) * signum(t) *
+      log(lit(1.0) - lit(2.0) * abs(t)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("released",
+        (col("n") + noise).cast("decimal(18,9)").cast("double"))
+  }
+}

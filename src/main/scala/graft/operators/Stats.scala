@@ -107,6 +107,65 @@ object Stats {
         max(col(valueCol)).as("hi"))
   }
 
+  /** Empirical-CDF transform (probability integral transform): maps
+    * every row's `valueCol` to F(v) = #{values ≤ v} / N over the WHOLE
+    * table — the quantile-normalization primitive (two tables pushed
+    * through their own ECDFs become comparable rank-space features).
+    * Values must be exact (integers / decimal cents), so grouping is
+    * collision-free and F is an exact count ratio — one double
+    * division per DISTINCT value.
+    *
+    * Output: input columns + ecdf.
+    *
+    * Scale shape: one distinct-value aggregation (map-side combine),
+    * a cumulative window over the DISTINCT-VALUE axis — bounded by
+    * the value domain, not the row count (the [[equiDepthHistogram]]
+    * / vocabCoverage argument; range-partition the axis beyond ~10⁸
+    * distinct values) — and an equi-join back on the value. The raw
+    * table is never globally sorted. */
+  def ecdfTransform(df: DataFrame, valueCol: String): DataFrame = {
+    val wCum = Window.orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n_at"))
+    val cum = counts
+      .withColumn("cum", sum(col("n_at")).over(wCum))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      .select(col(valueCol), (col("cum").cast("double") / col("n_total"))
+        .as("ecdf"))
+    df.join(cum, Seq(valueCol))
+  }
+
+  /** Per-group WEIGHTED median: the smallest value whose cumulative
+    * weight reaches half the group's total — exact integer weights,
+    * integer 2·cum ≥ total test (no floating-point boundary), lower
+    * median convention. The robust-center statistic when rows carry
+    * mass (revenue-weighted balance, token-weighted score).
+    *
+    * Output: (group, n, total_w, wmedian).
+    *
+    * Scale shape: one (group, value) pre-aggregation, a per-group
+    * cumulative window over the group's distinct values, and a
+    * min-over-qualifying aggregation — never a global sort, never a
+    * collect. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("w_at"), count(lit(1)).as("n_at"))
+    byVal
+      .withColumn("cum_w", sum(col("w_at")).over(wCum))
+      .withColumn("total_w",
+        sum(col("w_at")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("n",
+        sum(col("n_at")).over(Window.partitionBy(col(groupCol))))
+      .filter(col("cum_w") * 2 >= col("total_w"))
+      .groupBy(col(groupCol), col("n"), col("total_w"))
+      .agg(min(col(valueCol)).as("wmedian"))
+      .select(col(groupCol), col("n"), col("total_w"), col("wmedian"))
+  }
+
   /** Population Stability Index between a REFERENCE and a CURRENT
     * sample of `valueCol` — the standard model-monitoring drift score
     * (PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur); < 0.1 stable,

@@ -24,7 +24,7 @@ class PrefixJoinSpec extends SparkSpec {
   private def run(docs: Seq[(Long, String)], num: Int, den: Int)
       : Set[(Long, Long, Int)] =
     Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"),
-        "doc_id", "text", num, den)
+        "doc_id", "text", 1, num, den)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
   test("prefix filter is lossless vs the exhaustive join") {
