@@ -301,14 +301,21 @@ object Dedup {
     * lists, exactly the short ones. The hot tokens that explode the
     * naive join's buckets are the ones the prefix filter skips.
     *
-    * Shape: one df-count aggregation over tokens, a per-doc rank
-    * window (shuffle by doc), the prefix self-equi-join on token
-    * (shuffle by rare token — bounded buckets), then an exact verify
-    * computing |x∩y| from the candidates' bound token arrays
-    * (map-side `array_intersect` after one pair-keyed join; sets are
-    * document-sized, never corpus-sized). A length filter
-    * (t·|x| ≤ |y|) prunes candidates before the verify join — pairs
-    * failing it cannot pass the threshold.
+    * Shape — SINGLE-SCAN, derived entirely from one posting explode:
+    * the full posting buckets (`groupBy tok`) yield df as the bucket
+    * SIZE, so there is no separate df-count join (an earlier shape
+    * joined postings to a df table and Catalyst broadcast the whole
+    * exploded posting list — a driver OOM at corpus scale); the
+    * per-doc rarity order is a map-side `array_sort` of the collected
+    * (df, tok) structs followed by a `slice` prefix (replacing a
+    * rank window over the joined posting stream); the prefix
+    * self-join is the bucket upper-triangle on rare tokens; and the
+    * exact verify `array_intersect`s the per-doc token arrays
+    * REBUILT from the same per-doc aggregation, so the document text
+    * is scanned and shingled exactly once in the whole plan (the
+    * old shape re-scanned and re-shingled it four times). A length
+    * filter (t·|x| ≤ |y|) prunes candidates before the verify join —
+    * pairs failing it cannot pass the threshold.
     *
     * The threshold is a RATIONAL num/den and every pruning predicate
     * is integer arithmetic: the naive `ceil(0.6 * sz)` is a trap —
@@ -331,35 +338,46 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, thresholdNum: Int,
                          thresholdDen: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("df", "tok")
     // ceil(num·n / den) in exact integer arithmetic
     def ceilFrac(c: Column): Column =
       floor((c * thresholdNum + (thresholdDen - 1)) / thresholdDen)
         .cast("int")
     // bind tokens BEFORE the shingle transform (the shingleHashArr
-    // lambda-re-evaluation note: unbound words() re-splits per element)
-    val toks = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w0"))
-      .select(col("doc_id"),
-        (if (n <= 1) array_distinct(col("w0"))
-         else shinglesOf(col("w0"), n)).as("ws"))
-      .filter(size(col("ws")) > 0)
-    val post = toks.select(col("doc_id"), size(col("ws")).as("sz"),
-      explode(col("ws")).as("tok"))
-    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    // lambda-re-evaluation note: unbound words() re-splits per element).
+    // Shingles live as 64-bit hashes end to end — the string form was
+    // A/B'd 10× slower (UTF8String concat + copy per shingle), and the
+    // exact-Jaccard verify is collision-safe in the same sense as
+    // [[shingleHashArr]]'s note.
+    // NO size(ws)>0 filter here: explode drops empty shingle arrays by
+    // itself, and an explicit filter gets predicate-pushed BELOW the
+    // shingle-binding projection, inlining (= re-evaluating) the whole
+    // shingle transform into the filter — measured 12× on this stage.
+    val post = hashedPostingsPacked(docs, idCol, textCol, n)
+      .withColumnRenamed("shingle", "tok")
+    // full posting buckets: df IS the bucket size — no df-count join
+    // (and no chance of Catalyst broadcasting an exploded posting
+    // stream, which the joined shape invited)
+    val postDf = post.groupBy("tok")
+      .agg(collect_list(col("packed")).as("ds"))
+      .select(col("tok"), size(col("ds")).as("df"),
+        explode(col("ds")).as("packed"))
     // global rarity order (df, tok) is a TOTAL order, so every doc
     // ranks its tokens consistently — the prefix theorem needs that
     // ONE prefix derivation feeding a per-token bucket expansion (the
     // [[bucketPairs]] upper triangle, map-side) — a prefix-vs-prefix
-    // self-join would re-run the df count and rank window once per
-    // side. Prefix buckets are the RARE-token posting lists by
-    // construction, so no bucket cap is needed.
-    val prefix = post.join(dfreq, Seq("tok"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceilFrac(col("sz")) + 1)
-      .select(col("tok"),
-        (shiftleft(col("doc_id"), SizeBits) + col("sz")).as("packed"))
+    // self-join would re-run the whole derivation once per side.
+    // Prefix buckets are the RARE-token posting lists by construction,
+    // so no bucket cap is needed. The per-doc (df, tok) struct array
+    // sorts map-side (struct order = (df, tok) lexicographic); this
+    // same aggregation also rebuilds each doc's full token set for
+    // the verify stage, so the text is never re-scanned.
+    val perDoc = postDf.groupBy("packed")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+    val sz = unpackSize(col("packed"))
+    val prefix = perDoc.select(col("packed"),
+      explode(transform(
+        slice(col("ts"), lit(1), sz - ceilFrac(sz) + 1),
+        t => t.getField("tok"))).as("tok"))
     // length filter: J ≥ t forces t·|x| ≤ |y| both ways (num·sz_a ≤
     // den·sz_b in integers) — prunes before the distinct and the
     // verify join, straight off the packed sizes
@@ -371,12 +389,20 @@ object Dedup {
           unpackSize(col("p.b")) * thresholdDen &&
         unpackSize(col("p.b")) * thresholdNum <=
           unpackSize(col("p.a")) * thresholdDen)
-      .select(unpackId(col("p.a")).as("a"), unpackId(col("p.b")).as("b"))
+      .select(col("p.a").as("pa"), col("p.b").as("pb"))
       .distinct()
+    // verify against the per-doc token arrays REBUILT from the same
+    // per-doc aggregation (map-side transform of the sorted structs) —
+    // joins are on the packed long key, and under AQE the shuffle
+    // feeding perDoc is computed once and reused by all three readers
+    val docSets = perDoc.select(col("packed"),
+      transform(col("ts"), t => t.getField("tok")).as("ws"))
     cand
-      .join(toks.select(col("doc_id").as("a"), col("ws").as("ws_a")), Seq("a"))
-      .join(toks.select(col("doc_id").as("b"), col("ws").as("ws_b")), Seq("b"))
-      .select(col("a"), col("b"),
+      .join(docSets.select(col("packed").as("pa"), col("ws").as("ws_a")),
+        Seq("pa"))
+      .join(docSets.select(col("packed").as("pb"), col("ws").as("ws_b")),
+        Seq("pb"))
+      .select(unpackId(col("pa")).as("a"), unpackId(col("pb")).as("b"),
         size(array_intersect(col("ws_a"), col("ws_b"))).as("common"),
         size(col("ws_a")).as("sz_a"), size(col("ws_b")).as("sz_b"))
       // exact integer form of common/(sz_a+sz_b-common) ≥ num/den
