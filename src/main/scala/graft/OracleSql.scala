@@ -2668,6 +2668,93 @@ object OracleSql {
       |    AS DECIMAL(18,9)) AS DOUBLE) AS released
       |FROM u ORDER BY c_nationkey""".stripMargin
 
+  /** q160: exhaustive DIRECTIONAL shared-shingle containment join —
+    * not prefix-filtered, so equality with Spark's one-sided-prefix
+    * path proves that filter lossless (the q147 convention, with
+    * a ≠ b instead of a < b and |a| as the denominator). */
+  private val q160 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ws
+      |  FROM ws WHERE len(w) >= 3),
+      |p AS (SELECT doc_id, unnest(ws) AS tok FROM t WHERE len(ws) > 0),
+      |cand AS (
+      |  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+      |  FROM p p1 JOIN p p2 ON p1.tok = p2.tok AND p1.doc_id <> p2.doc_id),
+      |v AS (
+      |  SELECT a, b,
+      |    len(list_intersect(ta.ws, tb.ws)) AS common,
+      |    len(ta.ws) AS sza
+      |  FROM cand
+      |  JOIN t ta ON ta.doc_id = cand.a
+      |  JOIN t tb ON tb.doc_id = cand.b)
+      |SELECT a, b, CAST(common AS INTEGER) AS common,
+      |  common / sza AS containment
+      |FROM v WHERE common * 5 >= sza * 4
+      |ORDER BY a, b""".stripMargin
+
+  private val q161 =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_kband,
+      |  count(*) AS class_size,
+      |  count(*) >= 5 AS k_anonymous
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  private val q162 =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_sort(list_intersect(
+      |      list_distinct(string_split(lower(text), ' ')),
+      |      ['dup', 'slow', 'skew'])) AS hs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_hits,
+      |  coalesce(array_to_string(hs, ','), '') AS matched,
+      |  len(hs) > 0 AS flagged
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** q163: q22's brute-force cosine scorer with the hard-negative
+    * label inequality; identical left-to-right double accumulation. */
+  private val q163 =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neg_label,
+      |    list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM q CROSS JOIN embeddings c
+      |  WHERE c.vec_id != q.qid AND c.label != q.ql)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  neg_label
+      |FROM (
+      |  SELECT query_id, neighbor_id, neg_label,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val q164 =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS INTEGER) AS round
+      |  FROM documents)
+      |SELECT doc_id, source, round,
+      |  row_number() OVER (ORDER BY round, source) AS global_pos
+      |FROM r ORDER BY global_pos""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2893,6 +2980,11 @@ object OracleSql {
     "q157_ecdf_transform" -> q157,
     "q158_weighted_median" -> q158,
     "q159_dp_counts" -> q159,
+    "q160_containment" -> q160,
+    "q161_k_anonymity" -> q161,
+    "q162_blocklist" -> q162,
+    "q163_hard_negatives" -> q163,
+    "q164_interleave" -> q164,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

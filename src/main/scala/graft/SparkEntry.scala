@@ -2159,6 +2159,62 @@ object SparkEntry {
         epsilon = 1.0, seed = 20240813L)
       .orderBy("c_nationkey")
 
+  /** Directional containment near-dup over 3-gram shingle sets at
+    * C ≥ 4/5 — catches a short document quoted inside a longer one,
+    * which Jaccard misses by construction (|a∩b|/|a∪b| is dragged
+    * down by the big doc's size). One-sided prefix filter; oracle is
+    * the exhaustive shared-shingle join, proving the filter lossless
+    * on real data (the q147 convention, directional). */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.containmentPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, thresholdNum = 4, thresholdDen = 5)
+      .orderBy("a", "b")
+
+  /** k-anonymity audit of a customer release generalized to
+    * (nation, market segment, account-balance kilobucket): per
+    * equivalence class, its size and whether it clears k = 5. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    operators.Privacy.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey" -> col("c_nationkey"),
+          "c_mktsegment" -> col("c_mktsegment"),
+          "acct_kband" -> floor(col("c_acctbal") / 1000).cast("long")),
+        k = 5)
+      .orderBy("c_nationkey", "c_mktsegment", "acct_kband")
+
+  /** Blocklist screen over the documents table: matched terms
+    * (sorted, comma-joined), hit count, flag. Map-only — the list is
+    * a literal array, so the corpus never shuffles. */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.blocklistFlag(Tables.documents(s, dir),
+        "doc_id", "text", Seq("dup", "slow", "skew"))
+      .orderBy("doc_id")
+
+  /** Hard-negative mining for every 20th vector: top-5 nearest
+    * neighbors restricted to a DIFFERENT label (the contrastive
+    * negatives a retriever trains against). Brute-force kernel with
+    * the label inequality fused into the scan. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val corpus = emb.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"), col("label").as("clabel"))
+    operators.Similarity.hardNegatives(s, queries, corpus, k = 5)
+      .select("query_id", "rank", "neighbor_id", "neg_label")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Round-robin interleave of the documents corpus across sources:
+    * per-source round number plus the scalable global training-order
+    * position (globalRowIds, not a single-partition window). */
+  private def qInterleave(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.interleaveOrder(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id")
+      .select("doc_id", "source", "round", "global_pos")
+      .orderBy("global_pos")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2321,7 +2377,12 @@ object SparkEntry {
       "q156_kaplan_meier" -> (qKaplanMeier _),
       "q157_ecdf_transform" -> (qEcdfTransform _),
       "q158_weighted_median" -> (qWeightedMedian _),
-      "q159_dp_counts" -> (qDpCounts _))
+      "q159_dp_counts" -> (qDpCounts _),
+      "q160_containment" -> (qContainment _),
+      "q161_k_anonymity" -> (qKAnonymity _),
+      "q162_blocklist" -> (qBlocklist _),
+      "q163_hard_negatives" -> (qHardNegatives _),
+      "q164_interleave" -> (qInterleave _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -264,6 +264,52 @@ object Curation {
     withId.withColumn(outCol, (bucket + 1).cast("int")).drop("global_id")
   }
 
+  /** Blocklist screen: per document, the sorted distinct blocklist
+    * terms it contains (as one comma-joined string — scalar output,
+    * the driver-comparator convention) plus hit count and flag. The
+    * unsafe-content / licensing-string screen every curation pipeline
+    * runs before training.
+    *
+    * Scale shape: the blocklist is a LITERAL array, so the whole
+    * screen is one map-side `array_intersect` against the per-row
+    * distinct word set — zero shuffles, zero joins, and the corpus
+    * never moves. (For blocklists too big for a literal, the same
+    * screen is the broadcast semi-join of [[Dedup.decontaminate]].) */
+  def blocklistFlag(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    val hits = array_sort(array_intersect(
+      array_distinct(split(lower(col(textCol)), " ")),
+      array(terms.map(t => lit(t.toLowerCase)): _*)))
+    docs.select(col(idCol), hits.as("hs"))
+      .select(col(idCol), size(col("hs")).as("n_hits"),
+        concat_ws(",", col("hs")).as("matched"))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
+  /** Deterministic round-robin interleave across sources: the
+    * training-order schedule that spreads every source evenly through
+    * the epoch instead of concatenating corpora (mixing order shapes
+    * early-training gradients; round-robin is the canonical
+    * degenerate-free default). Row r of source s lands at global
+    * position rank((r, s)) in (round, source) lexicographic order —
+    * i.e. round 1 of every source first, then round 2, sources
+    * alternating within each round.
+    *
+    * Scale shape: the per-source round number is a partitioned
+    * window (shuffle by source); the global position rides
+    * [[globalRowIds]] (range-partition + per-partition zipWithIndex),
+    * NOT a single-partition global window — the same machinery as
+    * [[scalableNtile]], so every stage stays partition-parallel at
+    * corpus scale. */
+  def interleaveOrder(df: DataFrame, sourceCol: String,
+                      idCol: String): DataFrame = {
+    val byRound = df
+      .withColumn("round", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
+    globalRowIds(byRound, Seq("round", sourceCol))
+      .withColumnRenamed("global_id", "global_pos")
+  }
+
   /** Duplicate-representative election: among rows sharing `keyCol`
     * (an exact-dup text key or a resolved near-dup cluster id), keep
     * the one with the highest `scoreCol` (ties → smallest `idCol`).

@@ -413,6 +413,83 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** DIRECTIONAL containment join: every ordered pair (a → b), a ≠ b,
+    * with C(a,b) = |a∩b| / |a| ≥ num/den over word n-gram shingle
+    * sets — the quote/subset-duplication detector (a short document
+    * wholly contained in a longer one has Jaccard far below any
+    * useful threshold but containment ≈ 1, so a Jaccard pass misses
+    * exactly the plagiarism/quotation case this catches).
+    *
+    * Prefix filter, one-sided: if C(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉,
+    * so a's (|a| − ⌈t·|a|⌉ + 1) globally-rarest tokens must hit b —
+    * but b needs NO prefix (any token of b counts toward the overlap
+    * wherever it ranks in b's own order). Candidates therefore come
+    * from a-PREFIX × b-FULL bucket products: hot tokens stay cheap
+    * because few documents hold a hot token inside their rare-token
+    * prefix, so the prefix side of a hot bucket is short even when
+    * the full side is long. A length filter (num·|a| ≤ den·|b| ⟺
+    * ⌈t·|a|⌉ ≤ |b|) prunes impossible pairs before the distinct.
+    *
+    * Shape: same single-scan derivation as [[prefixJaccardPairs]] —
+    * one posting explode, df from the bucket size, per-doc rarity
+    * sort map-side, and ONE aggregation emitting both the full
+    * bucket and its prefix-marked subset (posexplode position <
+    * prefix length ⇒ in prefix; `collect_list` over a `when` drops
+    * the non-prefix nulls), so the candidate product is a map-side
+    * nested transform over one grouped row. Verify rebuilds both
+    * token sets from the same per-doc aggregation.
+    *
+    * Output: (a, b, common, containment), a ≠ b, both directions
+    * possible — identical to the exhaustive shared-token join. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdNum: Int,
+                       thresholdDen: Int): DataFrame = {
+    def ceilFrac(c: Column): Column =
+      floor((c * thresholdNum + (thresholdDen - 1)) / thresholdDen)
+        .cast("int")
+    val post = hashedPostingsPacked(docs, idCol, textCol, n)
+      .withColumnRenamed("shingle", "tok")
+    val postDf = post.groupBy("tok")
+      .agg(collect_list(col("packed")).as("ds"))
+      .select(col("tok"), size(col("ds")).as("df"),
+        explode(col("ds")).as("packed"))
+    val perDoc = postDf.groupBy("packed")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+    val sz = unpackSize(col("packed"))
+    // (tok, packed, inpfx): posexplode position against the prefix bound
+    val flagged = perDoc
+      .select(col("packed"), sz.as("sz"),
+        posexplode(col("ts")).as(Seq("pos", "t")))
+      .select(col("t").getField("tok").as("tok"), col("packed"),
+        (col("pos") < col("sz") - ceilFrac(col("sz")) + 1).as("inpfx"))
+    val cand = flagged.groupBy("tok")
+      .agg(collect_list(when(col("inpfx"), col("packed"))).as("pxs"),
+        collect_list(col("packed")).as("all"))
+      .filter(size(col("pxs")) >= 1 && size(col("all")) >= 2)
+      .select(explode(flatten(transform(col("pxs"), x =>
+        filter(transform(col("all"), y =>
+            struct(x.as("pa"), y.as("pb"))),
+          p => p.getField("pa") =!= p.getField("pb") &&
+            unpackSize(p.getField("pa")) * thresholdNum <=
+              unpackSize(p.getField("pb")) * thresholdDen)))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .distinct()
+    val docSets = perDoc.select(col("packed"),
+      transform(col("ts"), t => t.getField("tok")).as("ws"))
+    cand
+      .join(docSets.select(col("packed").as("pa"), col("ws").as("ws_a")),
+        Seq("pa"))
+      .join(docSets.select(col("packed").as("pb"), col("ws").as("ws_b")),
+        Seq("pb"))
+      .select(unpackId(col("pa")).as("a"), unpackId(col("pb")).as("b"),
+        size(array_intersect(col("ws_a"), col("ws_b"))).as("common"),
+        size(col("ws_a")).as("sz_a"))
+      // exact integer form of common/sz_a ≥ num/den
+      .filter(col("common") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("a"), col("b"), col("common"),
+        (col("common") / col("sz_a")).as("containment"))
+  }
+
   /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
     * length-`w` token window (stride 1) of every document, flagged when

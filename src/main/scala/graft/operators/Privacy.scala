@@ -60,4 +60,27 @@ object Privacy {
       .withColumn("released",
         (col("n") + noise).cast("decimal(18,9)").cast("double"))
   }
+
+  /** k-anonymity audit over a set of quasi-identifier expressions:
+    * one row per equivalence class with its size and whether it meets
+    * the k threshold — the pre-release check that decides which
+    * classes need suppression or generalization before a dataset
+    * ships (Sweeney's k-anonymity, the standard PII-release gate).
+    *
+    * Quasi-identifiers are EXPRESSIONS, not just columns, because
+    * generalization IS expression choice: auditing `floor(acctbal /
+    * 1000)` instead of `acctbal` evaluates the coarsened release
+    * directly — re-run the audit per generalization ladder rung until
+    * every class passes.
+    *
+    * Scale shape: one hash-partial groupBy on the quasi tuple — the
+    * cheapest possible full-table audit; no windows, no joins. The
+    * violating-row total is `sum(class_size) filter (class_size < k)`
+    * downstream if needed — kept out of here so the per-class frame
+    * stays one-pass. */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)],
+                 k: Int): DataFrame =
+    df.groupBy(quasi.map { case (name, e) => e.as(name) }: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_anonymous", col("class_size") >= k)
 }

@@ -147,6 +147,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most
+    * cosine-similar corpus vectors carrying a DIFFERENT label — the
+    * contrastive-training data builder (negatives that are near the
+    * query in embedding space but semantically wrong are the ones
+    * that move a retriever's gradients; random negatives are too easy
+    * to teach anything).
+    *
+    * Same broadcast + per-partition bounded-heap kernel as
+    * [[bruteForceTopKFast]] — queries are a dimension table, the
+    * corpus never moves, only |partitions|·|Q|·k candidates leave the
+    * map side — with the label inequality fused into the scan loop so
+    * excluded candidates never enter a heap. Tie-break (sim, then
+    * smaller cid) matches the declarative variants bit-for-bit.
+    *
+    * Output: (query_id, rank, neighbor_id, neg_label, sim). */
+  def hardNegatives(spark: org.apache.spark.sql.SparkSession,
+                    queries: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    import spark.implicits._
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val qRows = queries.select(col("qid"), col("qvec"), col("qlabel"))
+      .as[(Long, Array[Float], Int)].collect()
+    val qVecs = spark.sparkContext.broadcast(
+      qRows.map { case (id, v, l) => (id, v, norm(v), l) })
+    val partials = corpus.select(col("cid"), col("cvec"), col("clabel"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val qs = qVecs.value
+        val ord = Ordering.by[(Long, Int, Double), (Double, Long)] {
+          case (cid, _, sim) => (-sim, cid)
+        }
+        val heaps = qs.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Long, Int, Double)]()(ord))
+        it.foreach { case (cid, cv, cl) =>
+          val cn = norm(cv)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn, ql) = qs(qi)
+            if (qid != cid && ql != cl) {
+              var dot = 0.0; var i = 0
+              while (i < cv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+              val sim = dot / qn / cn
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cid, cl, sim))
+              else {
+                val (wid, _, wsim) = h.head
+                if (sim > wsim || (sim == wsim && cid < wid)) {
+                  h.dequeue(); h.enqueue((cid, cl, sim))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _, _, _), qi) =>
+          heaps(qi).iterator.map { case (cid, cl, sim) => (qid, cid, cl, sim) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "neg_label", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neg_label", "sim")
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding-space
     * near-duplicate detection. Same broadcast + mapPartitions kernel as
     * bruteForceTopKFast: O(n²) dots in tight JVM loops, emitting only

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Privacy, Similarity}
+
+/** Containment join, k-anonymity audit, blocklist screen,
+  * hard-negative mining, round-robin interleave (q160–q164). */
+class CurationPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- containment
+
+  /** Exhaustive directional word-set containment — the oracle the
+    * one-sided prefix filter must reproduce exactly. */
+  private def exhaustiveContainment(docs: Seq[(Long, String)],
+      num: Int, den: Int): Set[(Long, Long, Int)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").toSet }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      common = (sa & sb).size
+      if common * den >= sa.size * num
+    } yield (a, b, common)).toSet
+  }
+
+  private def runContainment(docs: Seq[(Long, String)], num: Int,
+      den: Int): Set[(Long, Long, Int)] =
+    Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 1, num, den)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("containment prefix filter is lossless vs the exhaustive join") {
+    val docs = Seq(
+      1L -> "a b c d",                  // fully inside 2 and 3
+      2L -> "a b c d e f g h",
+      3L -> "a b c d x y z w q r",
+      4L -> "m n o p",                  // disjoint
+      5L -> "a b")                      // inside 1, 2, 3
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5), (1, 1)))
+      assert(runContainment(docs, num, den) ==
+        exhaustiveContainment(docs, num, den), s"threshold $num/$den")
+  }
+
+  test("containment is directional where Jaccard is not") {
+    // 5 ⊂ 2: C(5,2) = 1 but C(2,5) = 2/8 — only one direction at 4/5
+    val docs = Seq(2L -> "a b c d e f g h", 5L -> "a b")
+    val got = runContainment(docs, 4, 5)
+    assert(got.contains((5L, 2L, 2)))
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 5L })
+  }
+
+  // ---------------------------------------------------- k-anonymity
+
+  test("kAnonymity classes and threshold flags") {
+    val df = Seq(
+      ("us", 30), ("us", 31), ("us", 39),
+      ("de", 30), ("de", 35),
+      ("fr", 41)).toDF("country", "age")
+    val out = Privacy.kAnonymity(df,
+        Seq("country" -> col("country"),
+          "decade" -> (col("age") / 10).cast("int")),
+        k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      ("us", 3, 3L, true), ("de", 3, 2L, false), ("fr", 4, 1L, false)))
+  }
+
+  // ---------------------------------------------------- blocklist
+
+  test("blocklistFlag: sorted matches, scalar columns, empty string when clean") {
+    val docs = Seq(
+      (1L, "the skew and the spill"),
+      (2L, "clean text only"),
+      (3L, "Spill SKEW spill")).toDF("doc_id", "text")
+    val out = Curation.blocklistFlag(docs, "doc_id", "text",
+        Seq("spill", "skew"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, "skew,spill", true),
+      (2L, 0, "", false),
+      (3L, 2, "skew,spill", true)))
+  }
+
+  // ---------------------------------------------------- hard negatives
+
+  test("hardNegatives matches a label-filtered brute force") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 1), (3L, Array(0f, 1f), 1),
+      (4L, Array(0.7f, 0.3f), 2), (5L, Array(-1f, 0f), 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val corpus = df.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"), col("label").as("clabel"))
+    val got = Similarity.hardNegatives(spark, queries, corpus, k = 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // brute force: candidates with label != 0, cosine vs (1,0):
+    //   2 -> 0.970, 4 -> 0.919, 3 -> 0.0  ⇒ top-2 = [2, 4]
+    assert(got.toSeq == Seq((0L, 1, 2L, 1), (0L, 2, 4L, 2)))
+  }
+
+  // ---------------------------------------------------- interleave
+
+  test("interleaveOrder is a round-robin permutation") {
+    val docs = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"), (13L, "a"),
+      (20L, "b"), (21L, "b"),
+      (30L, "c")).toDF("doc_id", "source")
+    val out = Curation.interleaveOrder(docs, "source", "doc_id")
+      .select("doc_id", "source", "round", "global_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).sortBy(_._4)
+    // positions are exactly 1..n
+    assert(out.map(_._4).toSeq == (1L to 7L))
+    // (round, source) is the global order: round 1 of every source
+    // first, sources alphabetical within a round
+    assert(out.map(t => (t._3, t._2)).toSeq ==
+      Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+        (3, "a"), (4, "a")))
+    // within a source, rounds follow doc_id order
+    assert(out.filter(_._2 == "a").sortBy(_._3).map(_._1).toSeq ==
+      Seq(10L, 11L, 12L, 13L))
+  }
+}
