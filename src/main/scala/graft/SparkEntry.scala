@@ -2397,7 +2397,8 @@ object SparkEntry {
     "q91_block_dedup", "q92_semantic_dedup", "q95_heavy_hitters",
     "q100_span_removal", "q101_zorder_cells", "q102_pagerank",
     "q104_bucketed_join", "q108_jaro_winkler", "q113_lang_trigrams",
-    "q147_prefix_jaccard", "q152_perplexity_filter")
+    "q147_prefix_jaccard", "q152_perplexity_filter",
+    "q160_containment", "q163_hard_negatives")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

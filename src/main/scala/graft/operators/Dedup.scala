@@ -371,8 +371,17 @@ object Dedup {
     // sorts map-side (struct order = (df, tok) lexicographic); this
     // same aggregation also rebuilds each doc's full token set for
     // the verify stage, so the text is never re-scanned.
+    // perDoc feeds THREE consumers (prefix derivation + both verify
+    // sides); without materialization each one re-runs the scan,
+    // shingle hashing, and both shuffles — the differently-pruned
+    // subtrees don't canonicalize equal, so ReuseExchange never fires
+    // (measured 3 independent parquet scans in the final plan).
+    // localCheckpoint (the globalRowIds convention) pins the doc-sized
+    // aggregation once; at corpus scale that one materialization
+    // replaces three full posting passes.
     val perDoc = postDf.groupBy("packed")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .localCheckpoint()
     val sz = unpackSize(col("packed"))
     val prefix = perDoc.select(col("packed"),
       explode(transform(
@@ -453,8 +462,17 @@ object Dedup {
       .agg(collect_list(col("packed")).as("ds"))
       .select(col("tok"), size(col("ds")).as("df"),
         explode(col("ds")).as("packed"))
+    // perDoc feeds THREE consumers (prefix derivation + both verify
+    // sides); without materialization each one re-runs the scan,
+    // shingle hashing, and both shuffles — the differently-pruned
+    // subtrees don't canonicalize equal, so ReuseExchange never fires
+    // (measured 3 independent parquet scans in the final plan).
+    // localCheckpoint (the globalRowIds convention) pins the doc-sized
+    // aggregation once; at corpus scale that one materialization
+    // replaces three full posting passes.
     val perDoc = postDf.groupBy("packed")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .localCheckpoint()
     val sz = unpackSize(col("packed"))
     // (tok, packed, inpfx): posexplode position against the prefix bound
     val flagged = perDoc
