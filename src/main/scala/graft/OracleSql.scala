@@ -2755,6 +2755,67 @@ object OracleSql {
       |  row_number() OVER (ORDER BY round, source) AS global_pos
       |FROM r ORDER BY global_pos""".stripMargin
 
+  /** q165: NDCG@10 — identical ordered left-fold over (rank, rel)
+    * structs, log2 spelled ln/ln (the q148/q22 accumulation
+    * conventions). */
+  private val q165 =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rel,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY value DESC, event_id ASC) AS pr,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY rel DESC, event_id ASC) AS ir
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id,
+      |    list_aggregate(list_transform(
+      |      list(struct_pack(rk := pr, rel := rel) ORDER BY pr)
+      |        FILTER (WHERE pr <= 10),
+      |      x -> CAST(x.rel AS DOUBLE)
+      |        / (ln(CAST(x.rk AS DOUBLE) + 1.0) / ln(2.0))), 'sum') AS dcg,
+      |    list_aggregate(list_transform(
+      |      list(struct_pack(rk := ir, rel := rel) ORDER BY ir)
+      |        FILTER (WHERE ir <= 10),
+      |      x -> CAST(x.rel AS DOUBLE)
+      |        / (ln(CAST(x.rk AS DOUBLE) + 1.0) / ln(2.0))), 'sum') AS idcg
+      |  FROM r GROUP BY user_id),
+      |q9 AS (
+      |  SELECT user_id,
+      |    CAST(CAST(dcg AS DECIMAL(18,9)) AS DOUBLE) AS dcg,
+      |    CAST(CAST(idcg AS DECIMAL(18,9)) AS DOUBLE) AS idcg
+      |  FROM g)
+      |SELECT user_id, dcg, idcg,
+      |  CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+      |FROM q9 ORDER BY user_id""".stripMargin
+
+  /** q166: grouped Mann–Whitney AUC — the doubled-rank tie average
+    * keeps every sum integer; one double division at the end. */
+  private val q166 =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_totalprice AS s,
+      |    (o_orderstatus = 'F') AS lbl FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, lbl,
+      |    2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY s ASC)
+      |      + count(*) OVER (PARTITION BY o_orderpriority, s) - 1 AS r2
+      |  FROM o),
+      |a AS (
+      |  SELECT o_orderpriority,
+      |    CAST(sum(CASE WHEN lbl THEN r2 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |  FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / CAST(2 * n_pos * n_neg AS DOUBLE)
+      |  END AS auc
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -2985,6 +3046,8 @@ object OracleSql {
     "q162_blocklist" -> q162,
     "q163_hard_negatives" -> q163,
     "q164_interleave" -> q164,
+    "q165_ndcg" -> q165,
+    "q166_roc_auc" -> q166,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2215,6 +2215,27 @@ object SparkEntry {
       .select("doc_id", "source", "round", "global_pos")
       .orderBy("global_pos")
 
+  /** NDCG@10 of value-ordered event ranking per user, relevance =
+    * purchase events — "does engagement value predict conversion".
+    * Ordered-fold DCG (q148 convention) so the doubles are
+    * oracle-exact. */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame =
+    operators.Metrics.ndcgAtK(
+        Tables.events(s, dir).withColumn("rel",
+          when(col("event_type") === "purchase", 1).otherwise(0)),
+        "user_id", "event_id", "value", "rel", k = 10)
+      .orderBy("user_id")
+
+  /** Per-priority ROC-AUC of order price as a finished-status
+    * classifier — the grouped Mann–Whitney rank-sum with integer tie
+    * averaging. */
+  private def qRocAuc(s: SparkSession, dir: String): DataFrame =
+    operators.Metrics.rocAuc(
+        Tables.orders(s, dir).withColumn("is_f",
+          col("o_orderstatus") === "F"),
+        "o_orderpriority", "o_totalprice", "is_f")
+      .orderBy("o_orderpriority")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2382,7 +2403,9 @@ object SparkEntry {
       "q161_k_anonymity" -> (qKAnonymity _),
       "q162_blocklist" -> (qBlocklist _),
       "q163_hard_negatives" -> (qHardNegatives _),
-      "q164_interleave" -> (qInterleave _))
+      "q164_interleave" -> (qInterleave _),
+      "q165_ndcg" -> (qNdcg _),
+      "q166_roc_auc" -> (qRocAuc _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

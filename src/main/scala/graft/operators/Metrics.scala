@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model-evaluation metrics — the offline-eval half of a
+  * training pipeline (rank a candidate list, score a classifier)
+  * computed as grouped window + fold shapes so a 100 TB eval table
+  * needs exactly one shuffle per metric.
+  *
+  * Exactness conventions: every sum that feeds a published number is
+  * either pure INTEGER arithmetic (AUC's rank-sum — ties handled in
+  * the doubled-rank domain so nothing ever halves early) or a
+  * deterministically ORDERED left fold over a per-group sorted array
+  * (NDCG's discounted gains — the q148 ordered-fold convention), so
+  * partial-aggregation order cannot perturb a bit and a SQL oracle
+  * reproduces both metrics exactly. */
+object Metrics {
+
+  /** NDCG@k per group: predicted ranking = `score` descending (ties →
+    * smaller `id` first), gain = `rel` (≥ 0 integer), discount
+    * 1/log2(rank+1). IDCG@k takes the best k relevances of the WHOLE
+    * group, not of the predicted top-k. Groups with no relevant item
+    * get ndcg = 0.
+    *
+    * Shape: two row_number windows over the same group exchange (one
+    * sort by predicted order, one by ideal order), a `rank ≤ k`
+    * filter BEFORE the aggregation (only ≤ 2k rows per group survive
+    * the shuffle into the fold), then one groupBy folding the two
+    * sorted (rank, rel) arrays left-to-right: aggregate(…, 0.0, acc +
+    * rel / (ln(rank+1)/ln 2)) — log2 spelled as ln/ln so the oracle's
+    * arithmetic is token-identical. Both discounted sums quantize to
+    * DECIMAL(18,9) before publication (the lnp9 convention): JVM
+    * StrictMath.log and libm log disagree by 1 ulp on some arguments
+    * (measured at ln 3), and the quantization absorbs it; the ndcg
+    * ratio divides the QUANTIZED terms so its inputs are bit-identical
+    * across engines.
+    *
+    * Output: (group, dcg, idcg, ndcg). */
+  def ndcgAtK(df: DataFrame, groupCol: String, idCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    val wPred = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wIdeal = Window.partitionBy(col(groupCol))
+      .orderBy(col(relCol).desc, col(idCol).asc)
+    def fold(xs: Column): Column =
+      aggregate(xs, lit(0.0), (acc, x) =>
+        acc + x.getField("rel").cast("double") /
+          (log(x.getField("rk").cast("double") + 1.0) / log(lit(2.0))))
+    df
+      .withColumn("_pr", row_number().over(wPred))
+      .withColumn("_ir", row_number().over(wIdeal))
+      .filter(col("_pr") <= k || col("_ir") <= k)
+      .groupBy(col(groupCol))
+      .agg(
+        array_sort(collect_list(when(col("_pr") <= k,
+          struct(col("_pr").as("rk"), col(relCol).as("rel"))))).as("ps"),
+        array_sort(collect_list(when(col("_ir") <= k,
+          struct(col("_ir").as("rk"), col(relCol).as("rel"))))).as("is"))
+      .select(col(groupCol),
+        fold(col("ps")).cast("decimal(18,9)").cast("double").as("dcg"),
+        fold(col("is")).cast("decimal(18,9)").cast("double").as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+  }
+
+  /** ROC-AUC per group by the Mann–Whitney rank-sum, ties averaged —
+    * the probability a random positive outscores a random negative.
+    *
+    * Tie handling stays INTEGER: with rmin = min-rank of a score tie
+    * (ascending `rank()`) and tc = tie size, the average rank is
+    * (2·rmin + tc − 1)/2 — so Σ_pos doubled-average-ranks S2 =
+    * Σ_pos (2·rmin + tc − 1) is an exact bigint, and
+    * AUC = (S2 − np·(np+1)) / (2·np·nn) divides two exact integers
+    * once at the end (U-statistic with both halvings folded into the
+    * single division). Groups with no positives or no negatives get
+    * NULL (AUC undefined).
+    *
+    * Shape: rank() + tie-count windows over one group exchange, then
+    * a grouped integer sum — one shuffle end to end.
+    *
+    * Output: (group, n_pos, n_neg, auc). */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String): DataFrame = {
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    val wTie = Window.partitionBy(col(groupCol), col(scoreCol))
+    val lbl = col(labelCol).cast("boolean")
+    df
+      .withColumn("_r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(lbl, col("_r2"))).as("s2"),
+        sum(when(lbl, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!lbl, 1L).otherwise(0L)).as("n_neg"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Privacy, Similarity}
+import graft.operators.{Curation, Dedup, Metrics, Privacy, Similarity}
 
 /** Containment join, k-anonymity audit, blocklist screen,
   * hard-negative mining, round-robin interleave (q160–q164). */
@@ -126,5 +126,52 @@ class CurationPrivacySpec extends SparkSpec {
     // within a source, rounds follow doc_id order
     assert(out.filter(_._2 == "a").sortBy(_._3).map(_._1).toSeq ==
       Seq(10L, 11L, 12L, 13L))
+  }
+
+  // ---------------------------------------------------- eval metrics
+
+  test("ndcgAtK: hand-computed DCG, ideal from the full group, no-rel group") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val df = Seq(
+      // group 1: rels at predicted ranks 1 and 3 of [1,2,3]; one
+      // relevant row (id 14, low score) pushed OUT of the top-3 cut,
+      // so IDCG@3 sees three relevant rows
+      (1L, 10L, 9.0, 1), (1L, 11L, 8.0, 0), (1L, 12L, 7.0, 1),
+      (1L, 13L, 6.0, 0), (1L, 14L, 5.0, 1),
+      // group 2: nothing relevant
+      (2L, 20L, 9.0, 0), (2L, 21L, 8.0, 0))
+      .toDF("g", "id", "score", "rel")
+    val out = Metrics.ndcgAtK(df, "g", "id", "score", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg1 = q9(1.0 / log2(2.0) + 1.0 / log2(4.0))
+    val idcg1 = q9(1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0))
+    assert(out(1L)._1 == dcg1)
+    assert(out(1L)._2 == idcg1)
+    assert(out(1L)._3 == dcg1 / idcg1)
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("rocAuc: perfect, inverted, tied, and degenerate groups") {
+    val df = Seq(
+      // g=a: positives strictly above negatives -> AUC 1
+      ("a", 4.0, true), ("a", 3.0, true), ("a", 2.0, false), ("a", 1.0, false),
+      // g=b: positives strictly below -> AUC 0
+      ("b", 1.0, true), ("b", 2.0, false),
+      // g=c: all scores tied -> AUC 1/2
+      ("c", 5.0, true), ("c", 5.0, false), ("c", 5.0, false),
+      // g=d: no negatives -> undefined
+      ("d", 1.0, true))
+      .toDF("g", "score", "label")
+    val out = Metrics.rocAuc(df, "g", "score", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, 2L, Some(1.0))))
+    assert(out("b") == ((1L, 1L, Some(0.0))))
+    assert(out("c") == ((1L, 2L, Some(0.5))))
+    assert(out("d") == ((1L, 0L, None)))
   }
 }
