@@ -2816,6 +2816,58 @@ object OracleSql {
       |  END AS auc
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  /** q167: calibration bins — decimal-exact score sums, confidence by
+    * linearity from the exact mean (no normalized double is summed). */
+  private val q167 =
+    """WITH st AS (
+      |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      |  FROM orders),
+      |b AS (
+      |  SELECT
+      |    CASE WHEN mx > mn THEN CAST(least(
+      |      floor(((o_totalprice - mn) / (mx - mn)) * 10), 9) AS INTEGER)
+      |    ELSE 0 END AS bin,
+      |    o_totalprice, (o_orderstatus = 'F') AS lbl
+      |  FROM orders CROSS JOIN st),
+      |g AS (
+      |  SELECT bin, count(*) AS n,
+      |    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ssum
+      |  FROM b GROUP BY bin)
+      |SELECT bin, n, n_pos,
+      |  CAST(ssum AS DOUBLE) / n AS mean_score,
+      |  CAST(n_pos AS DOUBLE) / n AS acc,
+      |  (CAST(ssum AS DOUBLE) / n - mn) / (mx - mn) AS conf,
+      |  CAST(n_pos AS DOUBLE) / n
+      |    - (CAST(ssum AS DOUBLE) / n - mn) / (mx - mn) AS gap
+      |FROM g CROSS JOIN st ORDER BY bin""".stripMargin
+
+  /** q168: the join-delta oracle is full(∪)⋈full(∪) EXCEPT ALL
+    * base⋈base — the identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB checked
+    * from the definition, not by mirroring the three terms. */
+  private val q168 =
+    """WITH a0 AS (
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0),
+      |da AS (
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
+      |b0 AS (
+      |  SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+      |db AS (
+      |  SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 5 = 0),
+      |fa AS (SELECT * FROM a0 UNION ALL SELECT * FROM da),
+      |fb AS (SELECT * FROM b0 UNION ALL SELECT * FROM db),
+      |full_j AS (
+      |  SELECT fa.o_orderkey, fa.o_custkey, fb.l_linenumber, fb.l_quantity
+      |  FROM fa JOIN fb ON fa.o_orderkey = fb.o_orderkey),
+      |base_j AS (
+      |  SELECT a0.o_orderkey, a0.o_custkey, b0.l_linenumber, b0.l_quantity
+      |  FROM a0 JOIN b0 ON a0.o_orderkey = b0.o_orderkey)
+      |SELECT * FROM (
+      |  SELECT * FROM full_j EXCEPT ALL SELECT * FROM base_j)
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3048,6 +3100,8 @@ object OracleSql {
     "q164_interleave" -> q164,
     "q165_ndcg" -> q165,
     "q166_roc_auc" -> q166,
+    "q167_calibration" -> q167,
+    "q168_join_delta" -> q168,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

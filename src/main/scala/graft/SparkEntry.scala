@@ -2236,6 +2236,34 @@ object SparkEntry {
         "o_orderpriority", "o_totalprice", "is_f")
       .orderBy("o_orderpriority")
 
+  /** Reliability-diagram bins of order price as a finished-status
+    * classifier: 10 equal-width bins over min-max-normalized price,
+    * per-bin accuracy vs confidence (decimal-exact score sums). */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    operators.Metrics.calibrationBins(
+        Tables.orders(s, dir).withColumn("is_f",
+          col("o_orderstatus") === "F"),
+        "o_totalprice", "is_f", bins = 10)
+      .orderBy("bin")
+
+  /** Delta-join maintenance: the insert-delta of orders ⋈ lineitem
+    * from disjoint base/delta splits — three delta-sized joins, no
+    * full recompute. Oracle computes full(∪)⋈full(∪) EXCEPT ALL
+    * base⋈base, proving the bag-algebra identity on real data. */
+  private def qJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    operators.IncrementalAgg.joinDelta(
+        o.filter(col("o_orderkey") % 7 =!= 0),
+        o.filter(col("o_orderkey") % 7 === 0),
+        l.filter(col("o_orderkey") % 5 =!= 0),
+        l.filter(col("o_orderkey") % 5 === 0),
+        "o_orderkey")
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2405,7 +2433,9 @@ object SparkEntry {
       "q163_hard_negatives" -> (qHardNegatives _),
       "q164_interleave" -> (qInterleave _),
       "q165_ndcg" -> (qNdcg _),
-      "q166_roc_auc" -> (qRocAuc _))
+      "q166_roc_auc" -> (qRocAuc _),
+      "q167_calibration" -> (qCalibration _),
+      "q168_join_delta" -> (qJoinDelta _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

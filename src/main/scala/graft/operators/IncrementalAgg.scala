@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** Delta-join maintenance: the insert-delta of A ⋈ B given the base
+    * relations and their insert deltas, WITHOUT recomputing the full
+    * join — Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (the standard bag-algebra
+    * derivative of ⋈ for insert-only deltas; deletes ride the same
+    * identity with anti-join application downstream, see [[Cdc]]).
+    *
+    * Why this is THE incremental shape at 100 TB: the three terms
+    * touch each base table once against a DELTA-sized side, so with
+    * day-sized deltas every join broadcasts the delta and the nightly
+    * maintenance cost is two base scans — versus a full base⋈base
+    * shuffle for recompute. (A and B here are the PRE-delta bases;
+    * feeding post-delta frames double-counts the ΔA⋈ΔB term.)
+    *
+    * Output: the delta rows of the join, keyed like an inner join of
+    * the given frames on `key`. */
+  def joinDelta(baseA: DataFrame, deltaA: DataFrame,
+                baseB: DataFrame, deltaB: DataFrame,
+                key: String): DataFrame =
+    deltaA.join(baseB, key)
+      .unionByName(baseA.join(deltaB, key))
+      .unionByName(deltaA.join(deltaB, key))
+
+
   /** Merge two aggregate states with identical schemas:
     * (keys..., measures...) where every measure is additive.
     * Missing keys on either side count as zero. */

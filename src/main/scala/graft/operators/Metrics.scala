@@ -65,6 +65,45 @@ object Metrics {
         when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
   }
 
+  /** Calibration (reliability-diagram) bins: equal-width bins over
+    * min-max-normalized scores, each reporting size, positive
+    * fraction (accuracy), mean normalized score (confidence), and
+    * their gap — the per-bin terms of expected calibration error
+    * (weight by n/Σn and sum |gap| downstream for the ECE scalar).
+    *
+    * Exactness: the per-bin score mean sums DECIMAL(18,2)-cast scores
+    * (order-free exact decimal arithmetic — a double sum would vary
+    * with partial-aggregation order), and confidence derives from
+    * that exact mean by linearity: mean((s−mn)/(mx−mn)) =
+    * (mean(s)−mn)/(mx−mn), so no normalized double is ever summed.
+    * acc = n_pos/n divides exact integers. min/max are scalar
+    * aggregates broadcast back over the table (one tiny frame — the
+    * normalization constants), so binning itself is map-side.
+    *
+    * Output: (bin, n, n_pos, mean_score, acc, conf, gap). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int): DataFrame = {
+    val stats = df.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+    val lbl = col(labelCol).cast("boolean")
+    df.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(floor(((col(scoreCol) - col("mn")) /
+              (col("mx") - col("mn"))) * bins), lit(bins - 1)))
+          .otherwise(lit(0)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(lbl, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast("decimal(18,2)")).as("ssum"),
+        first(col("mn")).as("mn"), first(col("mx")).as("mx"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("ssum").cast("double") / col("n")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n")).as("acc"),
+        ((col("ssum").cast("double") / col("n") - col("mn")) /
+          (col("mx") - col("mn"))).as("conf"))
+      .withColumn("gap", col("acc") - col("conf"))
+  }
+
   /** ROC-AUC per group by the Mann–Whitney rank-sum, ties averaged —
     * the probability a random positive outscores a random negative.
     *

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Metrics, Privacy, Similarity}
+import graft.operators.{Curation, Dedup, IncrementalAgg, Metrics, Privacy, Similarity}
 
 /** Containment join, k-anonymity audit, blocklist screen,
   * hard-negative mining, round-robin interleave (q160–q164). */
@@ -173,5 +173,41 @@ class CurationPrivacySpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, Some(0.0))))
     assert(out("c") == ((1L, 2L, Some(0.5))))
     assert(out("d") == ((1L, 0L, None)))
+  }
+
+  test("calibrationBins: edges, max-in-last-bin, exact means") {
+    // scores 0..10 over bins=5 -> width 2; score 10 lands in bin 4
+    val df = (0 to 10).map(i => (i.toDouble, i >= 8)).toDF("s", "lbl")
+    val out = Metrics.calibrationBins(df, "s", "lbl", bins = 5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet == Set(0, 1, 2, 3, 4))
+    // bin 4 holds scores 8, 9, 10 (max closes into the last bin)
+    assert(out(4)._1 == 3L && out(4)._2 == 3L)
+    assert(out(4)._3 == 9.0)          // exact decimal mean
+    assert(out(4)._4 == 1.0)          // acc
+    assert(out(4)._5 == 0.9)          // conf = (9-0)/(10-0)
+    assert(out(0) == ((2L, 0L, 0.5, 0.0, 0.05)))
+  }
+
+  test("joinDelta equals full-join minus base-join (bag semantics)") {
+    val o = (1L to 40L).map(k => (k, k * 10)).toDF("k", "a")
+    val l = (1L to 40L).flatMap(k => (1 to (k % 3).toInt + 1)
+      .map(i => (k, i))).toDF("k", "b")
+    val (aBase, aDelta) = (o.filter($"k" % 7 =!= 0), o.filter($"k" % 7 === 0))
+    val (bBase, bDelta) = (l.filter($"k" % 5 =!= 0), l.filter($"k" % 5 === 0))
+    val delta = IncrementalAgg.joinDelta(aBase, aDelta, bBase, bDelta, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val full = o.join(l, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val base = aBase.join(bBase, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = full.groupBy(identity).view.mapValues(_.length).toMap
+      .map { case (k, n) => k -> (n - base.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(delta == expected)
   }
 }
