@@ -2868,6 +2868,42 @@ object OracleSql {
       |  SELECT * FROM full_j EXCEPT ALL SELECT * FROM base_j)
       |ORDER BY o_orderkey, l_linenumber""".stripMargin
 
+  private val q169 =
+    """SELECT c_nationkey, c_mktsegment,
+      |  count(*) AS class_size,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+      |    AS BIGINT) AS n_sensitive,
+      |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+      |    AS l_diverse
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q170: quantile normalization — integer rank matching onto the
+    * pooled order (// is bigint division; no float positions). */
+  private val q170 =
+    """WITH t AS (
+      |  SELECT event_id, event_type, value FROM events),
+      |ranked AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS BIGINT) AS rg,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng
+      |  FROM t),
+      |pooled AS (
+      |  SELECT value AS norm_value,
+      |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+      |      AS gid
+      |  FROM t),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t)
+      |SELECT event_id, event_type, ranked.value, norm_value
+      |FROM ranked CROSS JOIN n
+      |JOIN pooled ON pooled.gid =
+      |  CASE WHEN ng > 1
+      |    THEN 1 + (2 * (rg - 1) * (nn - 1) + (ng - 1)) // (2 * (ng - 1))
+      |    ELSE 1 + nn // 2 END
+      |ORDER BY event_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3102,6 +3138,8 @@ object OracleSql {
     "q166_roc_auc" -> q166,
     "q167_calibration" -> q167,
     "q168_join_delta" -> q168,
+    "q169_l_diversity" -> q169,
+    "q170_quantile_norm" -> q170,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

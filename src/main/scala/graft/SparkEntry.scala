@@ -2264,6 +2264,27 @@ object SparkEntry {
       .orderBy("o_orderkey", "l_linenumber")
   }
 
+  /** l-diversity audit on the q161 release: a class can clear k = 5
+    * yet hold one distinct market value — sensitive attribute here is
+    * the account-balance kilobucket, quasi-identifiers coarsened to
+    * (nation, segment). */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    operators.Privacy.lDiversity(Tables.customer(s, dir),
+        Seq("c_nationkey" -> col("c_nationkey"),
+          "c_mktsegment" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000).cast("long"), l = 3)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Quantile normalization of event values across event types: each
+    * type's distribution maps onto the pooled one by exact integer
+    * rank matching — the cross-source feature equalizer. */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.quantileNormalize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "event_id", "value")
+      .select("event_id", "event_type", "value", "norm_value")
+      .orderBy("event_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2435,7 +2456,9 @@ object SparkEntry {
       "q165_ndcg" -> (qNdcg _),
       "q166_roc_auc" -> (qRocAuc _),
       "q167_calibration" -> (qCalibration _),
-      "q168_join_delta" -> (qJoinDelta _))
+      "q168_join_delta" -> (qJoinDelta _),
+      "q169_l_diversity" -> (qLDiversity _),
+      "q170_quantile_norm" -> (qQuantileNorm _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

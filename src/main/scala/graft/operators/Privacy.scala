@@ -83,4 +83,18 @@ object Privacy {
     df.groupBy(quasi.map { case (name, e) => e.as(name) }: _*)
       .agg(count(lit(1)).as("class_size"))
       .withColumn("k_anonymous", col("class_size") >= k)
+
+  /** l-diversity audit — k-anonymity's companion check (Machanavajjhala
+    * et al. 2007): a class can clear k yet leak the sensitive value
+    * outright if all its rows share one. Per equivalence class:
+    * size, DISTINCT sensitive values, and the l threshold flag.
+    * Same single hash-groupBy shape as [[kAnonymity]]; the distinct
+    * count is a partial-aggregating count(DISTINCT) on the class key,
+    * so the audit still costs one shuffle. */
+  def lDiversity(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: Column, l: Int): DataFrame =
+    df.groupBy(quasi.map { case (name, e) => e.as(name) }: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
 }

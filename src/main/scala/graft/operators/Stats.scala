@@ -223,4 +223,52 @@ object Stats {
         col("p_cur"), col("term9").cast("double").as("psi_term"),
         col("psi_total"))
   }
+
+  /** Quantile normalization across groups: each row's value maps to
+    * the POOLED distribution's value at the same within-group
+    * quantile position — the batch-effect remover (microarray
+    * heritage, now the standard cross-source feature equalizer: after
+    * it, every source's feature distribution IS the pooled one, so no
+    * source dominates a scale-sensitive model input).
+    *
+    * Position matching is EXACT INTEGER arithmetic end to end: with
+    * within-group rank r of n_g and pooled size N, the target pooled
+    * index is 1 + round((r−1)·(N−1)/(n_g−1)) computed as
+    * ⌊(2·(r−1)·(N−1) + (n_g−1)) / (2·(n_g−1))⌋ (round-half-up without
+    * ever leaving bigints; singleton groups take the pooled median
+    * 1 + ⌊N/2⌋). Values are never interpolated — the normalized value
+    * is an actual pooled observation, so no float arithmetic exists
+    * to drift. Bound: (r−1)·(N−1) < 2^63 ⇒ N ≲ 3·10^9 rows; shard
+    * the normalization by feature beyond that.
+    *
+    * Shape: one within-group rank window (shuffle by group), the
+    * pooled order via [[Curation.globalRowIds]] (range partition +
+    * zipWithIndex — never a single-partition window), and one
+    * equi-join on the computed index. Ranks tie-break on `id`, so
+    * the map is deterministic under any partitioning.
+    *
+    * Output: input columns + norm_value. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("_rg", row_number().over(wg).cast("long"))
+      .withColumn("_ng", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+    val pooled = Curation.globalRowIds(
+        df.select(col(valueCol), col(idCol)), Seq(valueCol, idCol))
+      .select(col("global_id").as("_gid"),
+        col(valueCol).as("norm_value"))
+    val n = pooled.count() // materialized by globalRowIds; cheap scalar
+    // `div`, not `/`: Spark's `/` on bigints is DOUBLE division, and
+    // doubles lose rank arithmetic exactness past 2^53
+    val idx = when(col("_ng") > 1,
+      lit(1) + expr(s"(2 * (_rg - 1) * ${n - 1}L + (_ng - 1)) " +
+        s"div (2 * (_ng - 1))"))
+      .otherwise(lit(1 + n / 2))
+    ranked.withColumn("_gid", idx.cast("long"))
+      .join(pooled, Seq("_gid"))
+      .drop("_gid", "_rg", "_ng")
+  }
 }

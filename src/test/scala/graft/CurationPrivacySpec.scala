@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, IncrementalAgg, Metrics, Privacy, Similarity}
+import graft.operators.{Curation, Dedup, IncrementalAgg, Metrics, Privacy, Similarity, Stats}
 
 /** Containment join, k-anonymity audit, blocklist screen,
   * hard-negative mining, round-robin interleave (q160–q164). */
@@ -209,5 +209,37 @@ class CurationPrivacySpec extends SparkSpec {
       .map { case (k, n) => k -> (n - base.getOrElse(k, 0)) }
       .filter(_._2 > 0)
     assert(delta == expected)
+  }
+
+  test("lDiversity: a k-passing class can still fail l") {
+    val df = Seq(
+      ("us", "flu"), ("us", "flu"), ("us", "flu"),   // 3 rows, 1 value
+      ("de", "flu"), ("de", "cold"), ("de", "hiv"))  // 3 rows, 3 values
+      .toDF("zip", "diag")
+    val out = Privacy.lDiversity(df, Seq("zip" -> $"zip"), $"diag", l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("us") == ((3L, 1L, false)))
+    assert(out("de") == ((3L, 3L, true)))
+  }
+
+  test("quantileNormalize: hand-checked mapping and identity on one group") {
+    // groups: a = {10, 20, 30}, b = {100, 200, 300}; pooled sorted =
+    // [10, 20, 30, 100, 200, 300]; each rank r of 3 maps to pooled
+    // index 1 + round((r-1)*5/2) = 1, 4((2.5 half-up)), 6
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0), (5L, "b", 200.0), (6L, "b", 300.0))
+      .toDF("id", "g", "v")
+    val out = Stats.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 100.0, 3L -> 300.0,
+      4L -> 10.0, 5L -> 100.0, 6L -> 300.0))
+    // a single group normalizes onto itself: norm_value == value
+    val one = Seq((1L, "x", 5.0), (2L, "x", 1.0), (3L, "x", 9.0))
+      .toDF("id", "g", "v")
+    val idOut = Stats.quantileNormalize(one, "g", "id", "v")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(idOut.forall { case (v, nv) => v == nv })
   }
 }
