@@ -2904,6 +2904,42 @@ object OracleSql {
       |    ELSE 1 + nn // 2 END
       |ORDER BY event_id""".stripMargin
 
+  private val q171 =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      |  FROM c)
+      |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+      |  (cum - n_tokens) // 512 AS start_w,
+      |  (cum - 1) // 512 AS end_w,
+      |  (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q172: max-cosine decontamination — q22's accumulation shape,
+    * grouped max over the small eval set. */
+  private val q172 =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |c AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+      |scored AS (
+      |  SELECT c.vec_id,
+      |    list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM c CROSS JOIN q)
+      |SELECT vec_id, max(sim) AS max_sim, max(sim) >= 0.95 AS contaminated
+      |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3140,6 +3176,8 @@ object OracleSql {
     "q168_join_delta" -> q168,
     "q169_l_diversity" -> q169,
     "q170_quantile_norm" -> q170,
+    "q171_context_pack" -> q171,
+    "q172_semantic_decontam" -> q172,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

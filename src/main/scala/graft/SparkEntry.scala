@@ -2285,6 +2285,29 @@ object SparkEntry {
       .select("event_id", "event_type", "value", "norm_value")
       .orderBy("event_id")
 
+  /** GPT-style context packing over the documents corpus: 512-token
+    * windows, per-doc window span and boundary-straddle flag — the
+    * packing-efficiency audit, off a scalable two-phase prefix scan
+    * (no single-partition window). */
+  private def qContextPack(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.contextPack(Tables.documents(s, dir),
+        "doc_id", "text", budget = 512)
+      .select("doc_id", "n_tokens", "cum", "start_w", "end_w", "straddles")
+      .orderBy("doc_id")
+
+  /** Semantic benchmark decontamination: corpus vectors flagged by
+    * max cosine ≥ 0.95 against the held-out eval vectors (every 50th
+    * id); map-only broadcast kernel, true max reported. */
+  private def qSemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    operators.Similarity.decontaminateByEmbedding(s, corpus, bench, 0.95)
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2458,7 +2481,9 @@ object SparkEntry {
       "q167_calibration" -> (qCalibration _),
       "q168_join_delta" -> (qJoinDelta _),
       "q169_l_diversity" -> (qLDiversity _),
-      "q170_quantile_norm" -> (qQuantileNorm _))
+      "q170_quantile_norm" -> (qQuantileNorm _),
+      "q171_context_pack" -> (qContextPack _),
+      "q172_semantic_decontam" -> (qSemanticDecontaminate _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

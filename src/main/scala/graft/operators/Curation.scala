@@ -241,6 +241,63 @@ object Curation {
     } finally ordered.unpersist(false)
   }
 
+  /** Scalable GLOBAL running sum of a bigint column in `orderCol`
+    * order — `sum() OVER (ORDER BY …)` without the single-partition
+    * window: range-partition by the (unique) order key, per-partition
+    * running sums in one pass, then add the collected partition
+    * totals as offsets (the classic two-phase prefix scan; the
+    * driver sees #partitions longs, nothing more). The same
+    * sanctioned-RDD shape as [[globalRowIds]], with the cache
+    * released behind an eager checkpoint.
+    *
+    * The order key must be UNIQUE: rows sharing a key could land on
+    * either side of a range boundary, and their within-tie prefix
+    * order would then depend on the range sampler. */
+  def globalCumsum(df: DataFrame, orderCol: String,
+                   valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vi = ordered.schema.fieldIndex(valueCol)
+      val partSums = ordered.rdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          var s = 0L; it.foreach(r => s += r.getLong(vi))
+          Iterator((pi, s))
+        }.collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pi) = sum before pi
+      val schema = org.apache.spark.sql.types.StructType(
+        ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "cum", org.apache.spark.sql.types.LongType, nullable = false))
+      val rows = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+        var s = offsets(pi)
+        it.map { r => s += r.getLong(vi)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s) }
+      }
+      spark.createDataFrame(rows, schema).localCheckpoint()
+    } finally ordered.unpersist(false)
+  }
+
+  /** GPT-style context packing: concatenate the corpus in `idCol`
+    * order and split into fixed `budget`-token context windows; per
+    * document report its token count, running end position, first
+    * and last window, and whether it straddles a window boundary
+    * (the packing-efficiency signal — straddling docs get truncated
+    * or bridged by attention masking, so curation tracks the rate).
+    * Pure integer arithmetic off the [[globalCumsum]] prefix scan:
+    * start_w = (cum − n) div B, end_w = (cum − 1) div B. */
+  def contextPack(docs: DataFrame, idCol: String, textCol: String,
+                  budget: Int): DataFrame = {
+    val counted = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    globalCumsum(counted, idCol, "n_tokens")
+      .withColumn("start_w", expr(s"(cum - n_tokens) div $budget"))
+      .withColumn("end_w", expr(s"(cum - 1) div $budget"))
+      .withColumn("straddles", col("start_w") =!= col("end_w"))
+  }
+
   /** Scalable global ntile: SQL's `ntile(k) OVER (ORDER BY ...)` —
     * without the single-partition window that global ORDER BY
     * normally plans. Rides [[globalRowIds]] (range partition +

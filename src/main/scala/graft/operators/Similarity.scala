@@ -217,6 +217,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "neg_label", "sim")
   }
 
+  /** Semantic benchmark decontamination: flag every corpus vector
+    * whose max cosine against the (small) evaluation-set vectors
+    * reaches `threshold` — the embedding-space cousin of
+    * [[Dedup.decontaminate]]'s n-gram screen, catching paraphrased
+    * benchmark leakage that exact shingles miss.
+    *
+    * MAP-ONLY at corpus scale: the eval set is a dimension table by
+    * definition, so it broadcasts whole and each corpus partition
+    * computes its max similarity in a tight JVM loop — the corpus
+    * never shuffles at all. The loop deliberately has NO
+    * early-exit-at-threshold: max_sim must be the TRUE maximum for
+    * every row (it is the score an auditor sorts by, and the
+    * SQL oracle computes it), and the eval scan is |bench| dot
+    * products per row either way. Output: (vec_id, max_sim,
+    * contaminated). */
+  def decontaminateByEmbedding(spark: org.apache.spark.sql.SparkSession,
+                               corpus: DataFrame, bench: DataFrame,
+                               threshold: Double): DataFrame = {
+    import spark.implicits._
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bRows = bench.select(col("qid"), col("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val bVecs = spark.sparkContext.broadcast(
+      bRows.map { case (_, v) => (v, norm(v)) })
+    corpus.select(col("cid"), col("cvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bs = bVecs.value
+        it.map { case (cid, cv) =>
+          val cn = norm(cv)
+          var best = Double.NegativeInfinity
+          var bi = 0
+          while (bi < bs.length) {
+            val (qv, qn) = bs(bi)
+            var dot = 0.0; var i = 0
+            while (i < cv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+            val sim = dot / qn / cn
+            if (sim > best) best = sim
+            bi += 1
+          }
+          (cid, best, best >= threshold)
+        }
+      }
+      .toDF("vec_id", "max_sim", "contaminated")
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding-space
     * near-duplicate detection. Same broadcast + mapPartitions kernel as
     * bruteForceTopKFast: O(n²) dots in tight JVM loops, emitting only

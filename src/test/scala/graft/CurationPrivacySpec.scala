@@ -242,4 +242,37 @@ class CurationPrivacySpec extends SparkSpec {
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(idOut.forall { case (v, nv) => v == nv })
   }
+
+  test("globalCumsum equals a sequential scan; contextPack windows/straddles") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens, cum 3
+      (2L, "d e f g h i"),      // 6, cum 9  -> straddles the 8-boundary
+      (3L, "j k"),              // 2, cum 11
+      (4L, "l m n o p"))        // 5, cum 16 -> ends exactly at 2*8
+      .toDF("doc_id", "text")
+    val out = Curation.contextPack(docs, "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 0L, 0L, false),
+      (2L, 6L, 9L, 0L, 1L, true),
+      (3L, 2L, 11L, 1L, 1L, false),
+      (4L, 5L, 16L, 1L, 1L, false)))
+  }
+
+  test("decontaminateByEmbedding: true max, threshold flag, map-only") {
+    val bench = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),      // exact benchmark copy -> sim 1
+      (2L, Array(0.6f, 0.8f)),  // max sim 0.8 (vs (0,1))
+      (3L, Array(-1f, 0f)))     // max sim 0 (vs (0,1))
+      .toDF("cid", "cvec")
+    val out = Similarity.decontaminateByEmbedding(spark, corpus, bench, 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 1.0, true)))
+    assert(math.abs(out(1)._2 - 0.8) < 1e-6 && !out(1)._3)
+    assert(out(2)._2 == 0.0 && !out(2)._3)
+  }
 }
