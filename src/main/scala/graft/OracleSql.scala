@@ -2940,6 +2940,38 @@ object OracleSql {
       |SELECT vec_id, max(sim) AS max_sim, max(sim) >= 0.95 AS contaminated
       |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** q173: the composed pipeline replayed as CTE stages — keeper
+    * election restricted to quality-passing docs (stage order), the
+    * packing scan only over kept docs. */
+  private val q173 =
+    """WITH base AS (
+      |  SELECT doc_id, lower(text) AS nt,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+      |      ['dup'])) > 0 AS blocked
+      |  FROM documents),
+      |keepers AS (
+      |  SELECT nt, min(doc_id) AS keeper FROM base
+      |  WHERE n_tokens >= 40 GROUP BY nt),
+      |judged AS (
+      |  SELECT b.doc_id, b.n_tokens,
+      |    CASE WHEN b.n_tokens < 40 THEN 'short'
+      |         WHEN b.doc_id <> k.keeper THEN 'duplicate'
+      |         WHEN b.blocked THEN 'blocked'
+      |         ELSE 'kept' END AS disposition
+      |  FROM base b LEFT JOIN keepers k ON b.nt = k.nt),
+      |kept AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      |  FROM judged WHERE disposition = 'kept'),
+      |spans AS (
+      |  SELECT doc_id, (cum - n_tokens) // 512 AS start_w,
+      |    (cum - 1) // 512 AS end_w
+      |  FROM kept)
+      |SELECT j.doc_id, j.disposition, j.n_tokens, s.start_w, s.end_w
+      |FROM judged j LEFT JOIN spans s ON j.doc_id = s.doc_id
+      |ORDER BY j.doc_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3178,6 +3210,7 @@ object OracleSql {
     "q170_quantile_norm" -> q170,
     "q171_context_pack" -> q171,
     "q172_semantic_decontam" -> q172,
+    "q173_corpus_pipeline" -> q173,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

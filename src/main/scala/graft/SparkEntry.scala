@@ -2308,6 +2308,16 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** The composed corpus-curation user story: quality gate (≥ 40
+    * tokens) → exact dedup (min-id keeper) → blocklist ('dup') →
+    * 512-token context packing, one audit row per input doc with
+    * its disposition and (for kept docs) window span. */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.corpusPipeline(Tables.documents(s, dir),
+        "doc_id", "text", minTokens = 40, blocklist = Seq("dup"),
+        budget = 512)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2483,7 +2493,8 @@ object SparkEntry {
       "q169_l_diversity" -> (qLDiversity _),
       "q170_quantile_norm" -> (qQuantileNorm _),
       "q171_context_pack" -> (qContextPack _),
-      "q172_semantic_decontam" -> (qSemanticDecontaminate _))
+      "q172_semantic_decontam" -> (qSemanticDecontaminate _),
+      "q173_corpus_pipeline" -> (qCorpusPipeline _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -298,6 +298,58 @@ object Curation {
       .withColumn("straddles", col("start_w") =!= col("end_w"))
   }
 
+  /** End-to-end corpus curation — the composed "user story" the
+    * individual operators exist for: quality-gate → exact-dedup →
+    * blocklist → context-pack, emitting one row per INPUT document
+    * with its disposition, so the audit trail ("why is doc X not in
+    * the training set?") is a first-class output rather than a diff
+    * of intermediate frames.
+    *
+    * Disposition precedence (first failure wins, mirroring pipeline
+    * stage order): 'short' (token count < minTokens), 'duplicate'
+    * (not the min-id owner of its normalized text), 'blocked'
+    * (contains a blocklist term), else 'kept'. Kept docs get their
+    * [[contextPack]] window span; dropped docs carry NULL spans.
+    *
+    * Scale shape = the union of its parts, nothing more: one map
+    * pass for tokens/blocklist, one hash groupBy for the dedup
+    * keeper (normalized-text xxhash64, min doc_id — first-write-wins
+    * made order-deterministic), the two-phase prefix scan for
+    * packing over the kept subset, and a final left join of spans
+    * back onto the audit frame. */
+  def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, blocklist: Seq[String],
+                     budget: Int): DataFrame = {
+    val norm = lower(col(textCol))
+    val base = docs.select(col(idCol), col(textCol),
+      size(split(norm, " ")).cast("long").as("n_tokens"),
+      xxhash64(norm).as("_nk"),
+      (size(array_intersect(array_distinct(split(norm, " ")),
+        array(blocklist.map(t => lit(t.toLowerCase)): _*))) > 0)
+        .as("_blocked"))
+    // keeper election happens AFTER the quality gate (stage order):
+    // a short copy cannot suppress a surviving twin. Blocked docs DO
+    // compete (dedup precedes the blocklist stage), so a duplicate of
+    // a later-blocked keeper still reads 'duplicate' — exactly what a
+    // sequential pipeline would have done.
+    val keepers = base.filter(col("n_tokens") >= minTokens)
+      .groupBy("_nk").agg(min(col(idCol)).as("_keeper"))
+    val judged = base.join(keepers, Seq("_nk"), "left")
+      .withColumn("disposition",
+        when(col("n_tokens") < minTokens, lit("short"))
+          .when(col(idCol) =!= col("_keeper"), lit("duplicate"))
+          .when(col("_blocked"), lit("blocked"))
+          .otherwise(lit("kept")))
+    val packed = contextPack(
+        judged.filter(col("disposition") === "kept")
+          .select(col(idCol), col(textCol)),
+        idCol, textCol, budget)
+      .select(col(idCol), col("start_w"), col("end_w"))
+    judged.join(packed, Seq(idCol), "left")
+      .select(col(idCol), col("disposition"), col("n_tokens"),
+        col("start_w"), col("end_w"))
+  }
+
   /** Scalable global ntile: SQL's `ntile(k) OVER (ORDER BY ...)` —
     * without the single-partition window that global ORDER BY
     * normally plans. Rides [[globalRowIds]] (range partition +

@@ -275,4 +275,30 @@ class CurationPrivacySpec extends SparkSpec {
     assert(math.abs(out(1)._2 - 0.8) < 1e-6 && !out(1)._3)
     assert(out(2)._2 == 0.0 && !out(2)._3)
   }
+
+  test("corpusPipeline: dispositions, stage order, packing only over kept") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // kept (6 tokens), windows over budget 4
+      (2L, "a b c d e f"),        // duplicate of 1
+      (3L, "x y"),                // short
+      (4L, "x y"),                // short too — must NOT make 3 a keeper-loser
+      (5L, "bad w1 w2 w3 w4"),    // blocked (5 tokens)
+      (6L, "p q r s t"))          // kept (5 tokens)
+      .toDF("doc_id", "text")
+    val out = Curation.corpusPipeline(docs, "doc_id", "text",
+        minTokens = 4, blocklist = Seq("bad"), budget = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+    assert(out(1L)._1 == "kept")
+    assert(out(2L)._1 == "duplicate")
+    assert(out(3L)._1 == "short" && out(4L)._1 == "short")
+    assert(out(5L)._1 == "blocked")
+    assert(out(6L)._1 == "kept")
+    // packing covers ONLY kept docs: doc 1 spans windows 0-1 (tokens
+    // 1-6 of budget 4), doc 6 spans 1-2 (tokens 7-11)
+    assert(out(1L)._2 == Some((0L, 1L)))
+    assert(out(6L)._2 == Some((1L, 2L)))
+    assert(out(2L)._2.isEmpty && out(5L)._2.isEmpty)
+  }
 }
