@@ -49,6 +49,24 @@ class CurationPrivacySpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 2L && b == 5L })
   }
 
+  test("containment losslessness holds on randomized corpora") {
+    // 40 docs over a 12-letter alphabet, sizes 1-8 — hot tokens and
+    // subset relations arise constantly at this density
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = ('a' to 'l').map(_.toString)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(8)
+        id -> Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+          .distinct.mkString(" ")
+      }
+      for ((num, den) <- Seq((1, 2), (4, 5)))
+        assert(runContainment(docs, num, den) ==
+          exhaustiveContainment(docs, num, den),
+          s"trial $trial threshold $num/$den")
+    }
+  }
+
   // ---------------------------------------------------- k-anonymity
 
   test("kAnonymity classes and threshold flags") {
@@ -241,6 +259,21 @@ class CurationPrivacySpec extends SparkSpec {
     val idOut = Stats.quantileNormalize(one, "g", "id", "v")
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(idOut.forall { case (v, nv) => v == nv })
+  }
+
+  test("quantileNormalize preserves within-group rank order (randomized)") {
+    val rnd = new scala.util.Random(42L)
+    val df = (1L to 120L).map(i =>
+      (i, s"g${i % 4}", math.floor(rnd.nextDouble() * 50) / 2))
+      .toDF("id", "g", "v")
+    val out = Stats.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0),
+        r.getDouble(3)))
+    assert(out.length == 120)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
   }
 
   test("globalCumsum equals a sequential scan; contextPack windows/straddles") {
