@@ -2972,6 +2972,35 @@ object OracleSql {
       |FROM judged j LEFT JOIN spans s ON j.doc_id = s.doc_id
       |ORDER BY j.doc_id""".stripMargin
 
+  /** q174: Benford audit — digit from the integer-string (log10-free),
+    * shares and chi-square terms lnp9-quantized. */
+  private val q174 =
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    count(*) AS n_obs
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |spine AS (SELECT unnest(range(1, 10)) AS digit),
+      |j AS (
+      |  SELECT spine.digit, coalesce(n_obs, 0) AS n_obs
+      |  FROM spine LEFT JOIN c ON spine.digit = c.digit),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM j),
+      |e AS (
+      |  SELECT digit, n_obs, n,
+      |    CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0)
+      |      AS DECIMAL(18,9)) AS DOUBLE) AS exp_share
+      |  FROM j CROSS JOIN t),
+      |terms AS (
+      |  SELECT digit, n_obs, exp_share,
+      |    CAST(n_obs AS DOUBLE) / n AS obs_share,
+      |    CAST((n_obs - n * exp_share) * (n_obs - n * exp_share)
+      |      / (n * exp_share) AS DECIMAL(18,9)) AS term9
+      |  FROM e)
+      |SELECT digit, n_obs, exp_share, obs_share,
+      |  CAST(term9 AS DOUBLE) AS chi2_term,
+      |  CAST(sum(term9) OVER () AS DOUBLE) AS chi2_total
+      |FROM terms ORDER BY digit""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3211,6 +3240,7 @@ object OracleSql {
     "q171_context_pack" -> q171,
     "q172_semantic_decontam" -> q172,
     "q173_corpus_pipeline" -> q173,
+    "q174_benford" -> q174,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2318,6 +2318,13 @@ object SparkEntry {
         budget = 512)
       .orderBy("doc_id")
 
+  /** Benford first-digit audit of order prices — the data-quality
+    * screen for financial-shaped columns; digit from the
+    * integer-string, shares lnp9-quantized. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.benford(Tables.orders(s, dir), "o_totalprice")
+      .orderBy("digit")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2494,7 +2501,8 @@ object SparkEntry {
       "q170_quantile_norm" -> (qQuantileNorm _),
       "q171_context_pack" -> (qContextPack _),
       "q172_semantic_decontam" -> (qSemanticDecontaminate _),
-      "q173_corpus_pipeline" -> (qCorpusPipeline _))
+      "q173_corpus_pipeline" -> (qCorpusPipeline _),
+      "q174_benford" -> (qBenford _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

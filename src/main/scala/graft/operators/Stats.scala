@@ -224,6 +224,56 @@ object Stats {
         col("psi_total"))
   }
 
+  /** Benford's-law audit: observed vs expected first-significant-digit
+    * distribution of a positive numeric column, with the chi-square
+    * statistic — the classic fabricated-data / unit-mixup screen for
+    * financial-shaped columns (a price feed that fails Benford hard
+    * usually means duplicated rows, capped values, or a synthetic
+    * source; the per-digit gaps say which).
+    *
+    * The first digit comes from the INTEGER-STRING of floor(value) —
+    * never from log10 (whose 1-ulp engine differences flip the digit
+    * at powers of ten) and never from decimal string formatting of
+    * doubles (engine-dependent). Expected shares log10(1 + 1/d) and
+    * the per-digit chi-square terms quantize to DECIMAL(18,9) (the
+    * lnp9 convention), so the window total is exact and order-free.
+    * Rows with value < 1 are excluded (no first significant digit in
+    * the integer domain).
+    *
+    * Output: (digit, n_obs, exp_share, obs_share, chi2_term,
+    * chi2_total) — chi2_total repeated per row, the PSI convention. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val digit = substring(
+      floor(col(valueCol)).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.filter(col(valueCol) >= 1)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val joined = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = joined.agg(sum(col("n_obs")).as("n"))
+    val expShare = (log(lit(1.0) + lit(1.0) / col("digit")) /
+      log(lit(10.0))).cast("decimal(18,9)").cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expShare.as("exp_share"),
+        (col("n_obs").cast("double") / col("n")).as("obs_share"),
+        col("n"))
+      .withColumn("chi2_term",
+        (((col("n_obs") - col("n") * col("exp_share")) *
+          (col("n_obs") - col("n") * col("exp_share"))) /
+          (col("n") * col("exp_share"))).cast("decimal(18,9)"))
+      .withColumn("chi2_total",
+        sum(col("chi2_term")).over(w).cast("double"))
+      .select(col("digit"), col("n_obs"), col("exp_share"),
+        col("obs_share"), col("chi2_term").cast("double").as("chi2_term"),
+        col("chi2_total"))
+  }
+
   /** Quantile normalization across groups: each row's value maps to
     * the POOLED distribution's value at the same within-group
     * quantile position — the batch-effect remover (microarray

@@ -146,6 +146,21 @@ class CurationPrivacySpec extends SparkSpec {
       Seq(10L, 11L, 12L, 13L))
   }
 
+  test("benford: digit extraction, spine zeros, chi2 total") {
+    val df = Seq(1.0, 19.5, 25.0, 3.99, 99.0, 541.0, 0.5).toDF("v")
+    val out = Stats.benford(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // 0.5 excluded; digits: 1->{1,19.5}, 2->{25}, 3->{3.99}, 5->{541}, 9->{99}
+    assert(out.keySet == (1 to 9).toSet)
+    assert(out(1)._1 == 2L && out(2)._1 == 1L && out(3)._1 == 1L &&
+      out(5)._1 == 1L && out(9)._1 == 1L)
+    assert(out(4)._1 == 0L && out(6)._1 == 0L)
+    val total = out.values.map(_._2).sum
+    assert(out.values.forall(v => math.abs(v._3 - total) < 1e-9))
+  }
+
   // ---------------------------------------------------- eval metrics
 
   test("ndcgAtK: hand-computed DCG, ideal from the full group, no-rel group") {
