@@ -1515,7 +1515,7 @@ object OracleSql {
        |init AS (SELECT $scale // COUNT(*) AS r0 FROM nodes),
        |it0 AS (SELECT node, (SELECT r0 FROM init) AS rank FROM nodes),
        |$its
-       |SELECT node AS nationkey, rank AS pagerank_scaled
+       |SELECT node AS nationkey, CAST(rank AS BIGINT) AS pagerank_scaled
        |FROM it5 ORDER BY nationkey""".stripMargin
   }
 
@@ -2914,8 +2914,8 @@ object OracleSql {
       |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
       |  FROM c)
       |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
-      |  (cum - n_tokens) // 512 AS start_w,
-      |  (cum - 1) // 512 AS end_w,
+      |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_w,
+      |  CAST((cum - 1) // 512 AS BIGINT) AS end_w,
       |  (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
       |FROM r ORDER BY doc_id""".stripMargin
 
@@ -3000,6 +3000,117 @@ object OracleSql {
       |  CAST(term9 AS DOUBLE) AS chi2_term,
       |  CAST(sum(term9) OVER () AS DOUBLE) AS chi2_total
       |FROM terms ORDER BY digit""".stripMargin
+
+  /** q175: portable hyperplane LSH — fixed-point-quantized vectors
+    * (floor(x·2^16): exact because multiplying by a power of two never
+    * rounds), the plane-sign matrix emitted as VALUES literals from
+    * the same Scala PRF the Spark plan uses, bucket = signed-projection
+    * sign bits, ranking by integer dot product. Bit-for-bit replay of
+    * `Similarity.lshPortableTopK` — buckets, candidates, AND ranks. */
+  private val q175 = {
+    val dims = 64; val nPlanes = 8
+    val signRows = (0 until nPlanes).map { p =>
+      val lst = (0 until dims)
+        .map(d => graft.operators.Similarity.portablePlaneSign(p, d))
+        .mkString("[", ", ", "]")
+      s"($p, ${1L << p}, $lst)"
+    }.mkString(",\n  ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |signs(p, pw, s) AS (VALUES
+       |  $signRows),
+       |proj AS (
+       |  SELECT v.vec_id, sg.pw,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> v.q[i] * sg.s[i]), 'sum') AS BIGINT) AS pr
+       |  FROM qv v CROSS JOIN signs sg),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |bj AS (SELECT v.vec_id, v.q, b.bucket FROM qv v JOIN bkt b USING (vec_id)),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> q.q[i] * c.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM bj q JOIN bj c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 20 = 0)
+       |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank,
+       |  cid AS neighbor_id, idot
+       |FROM (SELECT qid, cid, idot,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY idot DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q176: portable IVF — both Lloyd iterations unrolled as CTE pairs
+    * (the q102 unrolled-iteration pattern): assign = integer-L2 argmin
+    * vs the current centroid table, update = per-dim floor(sum/n)
+    * (division in double; sums < 2^53, so the floor is engine-exact).
+    * Init = the 4 lowest vec_ids in id order, exactly the Spark seed.
+    * Search probes the 2 nearest lists and ranks by integer dot. */
+  private val q176 = {
+    val dims = 64; val k = 4
+    def assignCte(cent: String, out: String): String =
+      s"""d_$out AS (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS (SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
+       |${assignCte("c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("c2", "lists")},
+       |dq AS (
+       |  SELECT v.vec_id, v.q, c.cl,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+       |  FROM qv v CROSS JOIN c2 c WHERE v.vec_id % 20 = 0),
+       |probes AS (
+       |  SELECT vec_id AS qid, q AS qq, cl FROM (
+       |    SELECT vec_id, q, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM dq)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid, l.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> p.qq[i] * l.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM probes p JOIN lists l ON p.cl = l.cl AND l.vec_id <> p.qid)
+       |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank,
+       |  cid AS neighbor_id, idot
+       |FROM (SELECT qid, cid, idot,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY idot DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
@@ -3241,6 +3352,8 @@ object OracleSql {
     "q172_semantic_decontam" -> q172,
     "q173_corpus_pipeline" -> q173,
     "q174_benford" -> q174,
+    "q175_lsh_oracle" -> q175,
+    "q176_ivf_oracle" -> q176,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

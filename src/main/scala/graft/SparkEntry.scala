@@ -2325,6 +2325,32 @@ object SparkEntry {
     operators.Stats.benford(Tables.orders(s, dir), "o_totalprice")
       .orderBy("digit")
 
+  /** Portable-arithmetic hyperplane LSH — the oracle-checked twin of
+    * q23 (the q132 convention applied to ANN): fixed-point-quantized
+    * vectors, PRF-literal planes, integer dot-product ranking, so the
+    * DuckDB oracle replays bucketing AND ranking bit-for-bit. */
+  private def qLshOracle(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshPortableTopK(Tables.embeddings(s, dir), dims = 64,
+        nPlanes = 8, k = 5, queryMod = 20)
+      .orderBy("query_id", "rank")
+
+  /** Portable-arithmetic IVF — the oracle-checked twin of q46: integer
+    * Lloyd training (2 iterations, k=4, floor-mean updates), integer
+    * probed search (nProbe=2, top-5 by integer dot). The DuckDB oracle
+    * unrolls both iterations as CTEs (the q102 pattern). */
+  private def qIvfOracle(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantize16(col("embedding")).as("q"))
+    val centroids = IvfIndex.trainPortable(s,
+      qv.select(col("vec_id").as("id"), col("q")), k = 4, iters = 2)
+    IvfIndex.searchPortable(
+      qv.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq")),
+      qv.select(col("vec_id").as("cid"), col("q").as("cq")),
+      centroids, nProbe = 2, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2502,7 +2528,9 @@ object SparkEntry {
       "q171_context_pack" -> (qContextPack _),
       "q172_semantic_decontam" -> (qSemanticDecontaminate _),
       "q173_corpus_pipeline" -> (qCorpusPipeline _),
-      "q174_benford" -> (qBenford _))
+      "q174_benford" -> (qBenford _),
+      "q175_lsh_oracle" -> (qLshOracle _),
+      "q176_ivf_oracle" -> (qIvfOracle _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

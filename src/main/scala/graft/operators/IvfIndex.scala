@@ -102,4 +102,85 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  // --- portable (oracle-replayable) IVF ---------------------------------
+
+  /** Integer squared L2 between two quantized vectors. Magnitude bound:
+    * per-dim diff < 2^18 after [[Similarity.quantize16]], squared
+    * < 2^36, ×64 dims < 2^42 — well inside long (and ANSI-safe). */
+  private def intDist2(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Portable Lloyd assignment: nearest centroid by INTEGER squared L2
+    * (ties to the lower cluster id). vectors: (id, q); centroids:
+    * (cluster_id, c) — both quantized-long arrays. */
+  def assignPortable(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", intDist2(col("q"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("q"), col("cluster_id"))
+  }
+
+  /** Portable Lloyd training — the oracle-replayable twin of [[train]]:
+    * quantized integer vectors, integer distances, and centroid means
+    * as `floor(sum / n)` where the division runs in double (sums stay
+    * < 2^53, so the quotient and its floor are engine-exact). Init is
+    * the k lowest ids, cluster ids assigned in id order — the same
+    * deterministic seed the float path uses. Per-iteration driver
+    * traffic: the k seed vectors once, nothing after.
+    * vectors: (id, q). Returns (cluster_id, c). */
+  def trainPortable(spark: SparkSession, vectors: DataFrame, k: Int,
+                    iters: Int): DataFrame = {
+    import spark.implicits._
+    var centroids = vectors.orderBy(col("id")).limit(k)
+      .orderBy(col("id")).select(col("q"))
+      .as[Seq[Long]].collect().zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("cluster_id", "c")
+    (0 until iters).foreach { _ =>
+      centroids = assignPortable(vectors, centroids)
+        .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("c"))
+    }
+    centroids
+  }
+
+  /** Portable IVF top-k search — integer end to end: probe the
+    * `nProbe` centroids nearest by integer L2, rank candidates by
+    * integer dot product (ties to the lower neighbor id). Same
+    * relational shape as [[search]]: corpus assigned once, queries
+    * fan out only to probed lists, WindowGroupLimit caps the rank.
+    * Output: (query_id, rank, neighbor_id, idot). */
+  def searchPortable(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val lists = assignPortable(
+      corpus.select(col("cid").as("id"), col("cq").as("q")), centroids)
+      .select(col("id").as("cid"), col("q").as("cq"), col("cluster_id"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", intDist2(col("qq"), col("c")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qq"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id").asc)
+    probes.join(lists, Seq("cluster_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        Similarity.intDot(col("qq"), col("cq")).as("idot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "idot")
+  }
 }

@@ -80,9 +80,16 @@ object Metrics {
     * aggregates broadcast back over the table (one tiny frame — the
     * normalization constants), so binning itself is map-side.
     *
+    * `scoreScale` sets the decimal quantization of each summed score:
+    * 2 suits money-valued scores (exact at cents), 18 suits the
+    * canonical calibration input (probabilities in [0,1], where a
+    * 0.01 quantum would bias conf/gap by up to 0.005 — material next
+    * to typical ECE magnitudes). Precision is fixed at 38 so the sum
+    * never narrows.
+    *
     * Output: (bin, n, n_pos, mean_score, acc, conf, gap). */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
-                      bins: Int): DataFrame = {
+                      bins: Int, scoreScale: Int = 2): DataFrame = {
     val stats = df.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
     val lbl = col(labelCol).cast("boolean")
     df.crossJoin(broadcast(stats))
@@ -94,7 +101,7 @@ object Metrics {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(when(lbl, 1L).otherwise(0L)).as("n_pos"),
-        sum(col(scoreCol).cast("decimal(18,2)")).as("ssum"),
+        sum(col(scoreCol).cast(s"decimal(38,$scoreScale)")).as("ssum"),
         first(col("mn")).as("mn"), first(col("mx")).as("mx"))
       .select(col("bin"), col("n"), col("n_pos"),
         (col("ssum").cast("double") / col("n")).as("mean_score"),
@@ -127,7 +134,10 @@ object Metrics {
     val lbl = col(labelCol).cast("boolean")
     df
       .withColumn("_r2",
-        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+        // rank() is IntegerType; double it in LONG so groups past 2^30
+        // rows can't wrap before the later promotion.
+        lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTie) - 1)
       .groupBy(col(groupCol))
       .agg(
         sum(when(lbl, col("_r2"))).as("s2"),

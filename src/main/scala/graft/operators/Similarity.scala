@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default ceiling for the broadcast-side collects below. The
+    * kernels' contract is "the collected side is a dimension table"
+    * (an eval/query set); the cap turns a corpus-sized misuse into an
+    * immediate, actionable error instead of a driver OOM. */
+  val MaxBroadcastRows: Int = 200000
+
+  /** Driver-side collect with an explicit bound: fetch at most
+    * `maxRows + 1` rows (the limit is pushed into the scan, so the
+    * full side is never materialized) and fail loudly past the cap. */
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+                                maxRows: Int, what: String): Array[T] = {
+    val got = ds.limit(maxRows + 1).collect()
+    require(got.length <= maxRows,
+      s"$what exceeds $maxRows rows; this kernel collects and broadcasts " +
+        s"the whole $what side by contract (dimension-table-sized query/" +
+        "eval sets). Use the LSH/IVF paths for corpus-scale inputs, or " +
+        "raise maxRows explicitly if the side genuinely fits the driver.")
+    got
+  }
+
   /** Left-fold dot product via interpreted higher-order functions —
     * works for any vector length, but stays outside codegen. Use the
     * unrolled `dotN` on hot paths when the dimension is known. */
@@ -92,15 +112,15 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, sim). */
   def bruteForceTopKFast(spark: org.apache.spark.sql.SparkSession,
                          queries: DataFrame, corpus: DataFrame,
-                         k: Int): DataFrame = {
+                         k: Int, maxQueries: Int = MaxBroadcastRows): DataFrame = {
     import spark.implicits._
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
-    val qRows = queries.select(col("qid"), col("qvec"))
-      .as[(Long, Array[Float])].collect()
+    val qRows = collectBounded(queries.select(col("qid"), col("qvec"))
+      .as[(Long, Array[Float])], maxQueries, "query set")
     val qVecs = spark.sparkContext.broadcast(
       qRows.map { case (id, v) => (id, v, norm(v)) })
 
@@ -164,15 +184,16 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, neg_label, sim). */
   def hardNegatives(spark: org.apache.spark.sql.SparkSession,
                     queries: DataFrame, corpus: DataFrame,
-                    k: Int): DataFrame = {
+                    k: Int, maxQueries: Int = MaxBroadcastRows): DataFrame = {
     import spark.implicits._
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
-    val qRows = queries.select(col("qid"), col("qvec"), col("qlabel"))
-      .as[(Long, Array[Float], Int)].collect()
+    val qRows = collectBounded(
+      queries.select(col("qid"), col("qvec"), col("qlabel"))
+        .as[(Long, Array[Float], Int)], maxQueries, "query set")
     val qVecs = spark.sparkContext.broadcast(
       qRows.map { case (id, v, l) => (id, v, norm(v), l) })
     val partials = corpus.select(col("cid"), col("cvec"), col("clabel"))
@@ -234,34 +255,44 @@ object Similarity {
     * contaminated). */
   def decontaminateByEmbedding(spark: org.apache.spark.sql.SparkSession,
                                corpus: DataFrame, bench: DataFrame,
-                               threshold: Double): DataFrame = {
+                               threshold: Double,
+                               maxBench: Int = MaxBroadcastRows): DataFrame = {
     import spark.implicits._
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
-    val bRows = bench.select(col("qid"), col("qvec"))
-      .as[(Long, Array[Float])].collect()
+    val bRows = collectBounded(bench.select(col("qid"), col("qvec"))
+      .as[(Long, Array[Float])], maxBench, "bench set")
+    // Zero-norm bench vectors carry no direction — cosine against them
+    // is 0/0 — so they are dropped from the broadcast rather than
+    // allowed to poison every row's max_sim with NaN.
     val bVecs = spark.sparkContext.broadcast(
-      bRows.map { case (_, v) => (v, norm(v)) })
+      bRows.map { case (_, v) => (v, norm(v)) }.filter(_._2 > 0.0))
     corpus.select(col("cid"), col("cvec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val bs = bVecs.value
         it.map { case (cid, cv) =>
           val cn = norm(cv)
-          var best = Double.NegativeInfinity
-          var bi = 0
-          while (bi < bs.length) {
-            val (qv, qn) = bs(bi)
-            var dot = 0.0; var i = 0
-            while (i < cv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
-            val sim = dot / qn / cn
-            if (sim > best) best = sim
-            bi += 1
+          // Empty/zero-norm-only bench, or a zero-norm corpus vector:
+          // max cosine is undefined → null max_sim, not contaminated
+          // (rather than -Inf or NaN leaking into the audit column).
+          if (bs.isEmpty || cn == 0.0) (cid, Option.empty[Double], false)
+          else {
+            var best = Double.NegativeInfinity
+            var bi = 0
+            while (bi < bs.length) {
+              val (qv, qn) = bs(bi)
+              var dot = 0.0; var i = 0
+              while (i < cv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+              val sim = dot / qn / cn
+              if (sim > best) best = sim
+              bi += 1
+            }
+            (cid, Some(best), best >= threshold)
           }
-          (cid, best, best >= threshold)
         }
       }
       .toDF("vec_id", "max_sim", "contaminated")
@@ -465,5 +496,81 @@ object Similarity {
         coalesce(col("max_sim_earlier"), lit(-2.0)).as("max_sim_earlier"),
         coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
         (coalesce(col("n_earlier_dups"), lit(0L)) === 0).as("keep"))
+  }
+
+  // --- portable (oracle-replayable) hyperplane LSH ----------------------
+
+  /** Fixed-point quantization of a float-vector column: each component
+    * becomes `floor(x * 2^16)` as a long. Multiplying a float-valued
+    * double by a power of two is EXACT in IEEE arithmetic, and floor of
+    * an exact double is engine-independent — so the quantized integer
+    * vector is bit-identical in Spark and DuckDB, and every similarity
+    * computed from it (integer dot products, integer L2) is
+    * order-free exact. The portability primitive behind the
+    * q132/q133-convention ANN oracles. */
+  def quantize16(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 65536).cast("long"))
+
+  /** Integer dot product of two quantized vectors (long overflow-safe
+    * for |component| < 2^23 at 64 dims — far above the quantized
+    * embedding range). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Portable pseudo-random sign for hyperplane `p`, dimension `d` —
+    * a two-round affine PRF mod 1e9+7 (the q132 multiplier family),
+    * evaluated at PLAN BUILD TIME in Scala and emitted as literals
+    * into both the Spark plan and the DuckDB oracle SQL, so the two
+    * engines share the plane matrix by construction. */
+  def portablePlaneSign(p: Int, d: Int): Int = {
+    val h = ((p.toLong * 1000003L + d.toLong * 7919L) % 1000000007L *
+      131L + 17L) % 1000000007L
+    if (h % 2 == 1) 1 else -1
+  }
+
+  /** Portable sign-pattern LSH bucket over a quantized vector: bit `p`
+    * set iff the plane-`p` signed integer projection is >= 0. Pure
+    * integer arithmetic end to end. */
+  def portableLshBucket(qvec: Column, dims: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val signs = array((0 until dims).map(d =>
+        lit(portablePlaneSign(p, d).toLong)): _*)
+      val proj = aggregate(zip_with(qvec, signs, (x, s) => x * s),
+        lit(0L), _ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Portable-arithmetic LSH top-k — the ORACLE-CHECKED twin of the
+    * float [[lshTopK]] path (q23): same relational shape (one bucket
+    * pass over the corpus, bucket equi-join, per-query windowed top-k)
+    * but quantized integer vectors, PRF-literal planes, and an integer
+    * dot-product ranking key, so DuckDB replays bucket assignment AND
+    * neighbor ranking bit-for-bit. Queries = rows with
+    * `vec_id % queryMod == 0` (the q23 convention); self-matches
+    * excluded; ties broken by neighbor id.
+    *
+    * Scale shape: identical to lshTopK — the corpus is hashed once,
+    * candidates come only from shared buckets (no cross join), and the
+    * top-k filter compiles to WindowGroupLimit partials.
+    *
+    * Output: (query_id, rank, neighbor_id, idot). */
+  def lshPortableTopK(vectors: DataFrame, dims: Int, nPlanes: Int,
+                      k: Int, queryMod: Int): DataFrame = {
+    val bk = vectors
+      .select(col("vec_id"), quantize16(col("embedding")).as("q"))
+      .withColumn("bucket", portableLshBucket(col("q"), dims, nPlanes))
+    val queries = bk.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("bucket"))
+    val corpus = bk
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("idot").desc, col("cid").asc)
+    queries.join(corpus, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("idot", intDot(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("idot"))
   }
 }

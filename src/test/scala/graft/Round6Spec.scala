@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Metrics, Similarity}
+
+/** Round-6 hardening: broadcast-collect row caps fail loudly,
+  * decontamination degrades to null (not -Inf/NaN) on empty/zero-norm
+  * inputs, AUC rank-doubling stays in long, calibration decimal scale
+  * is parameterizable for probability-valued scores. */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- broadcast-side row-cap guards ------------------------------------
+  test("bruteForceTopKFast rejects an over-cap query side loudly") {
+    val queries = (1L to 20L).map(i => (i, Array(1f, 0f))).toDF("qid", "qvec")
+    val corpus = Seq((100L, Array(1f, 1f))).toDF("cid", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKFast(spark, queries, corpus, k = 1,
+        maxQueries = 10).collect()
+    }
+    assert(e.getMessage.contains("broadcast"))
+    // at the cap it still runs
+    assert(Similarity.bruteForceTopKFast(spark, queries, corpus, k = 1,
+      maxQueries = 20).count() == 20)
+  }
+
+  test("hardNegatives and decontaminateByEmbedding enforce their caps") {
+    val q = (1L to 5L).map(i => (i, Array(1f, 0f), (i % 2).toInt))
+      .toDF("qid", "qvec", "qlabel")
+    val c = Seq((9L, Array(1f, 0f), 1)).toDF("cid", "cvec", "clabel")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(spark, q, c, k = 1, maxQueries = 4).collect()
+    }
+    val bench = (1L to 5L).map(i => (i, Array(1f, 0f))).toDF("qid", "qvec")
+    intercept[IllegalArgumentException] {
+      Similarity.decontaminateByEmbedding(spark,
+        c.select($"cid", $"cvec"), bench, 0.9, maxBench = 4).collect()
+    }
+  }
+
+  // --- decontamination degenerate inputs --------------------------------
+  test("decontaminateByEmbedding: empty bench -> null max_sim, no flags") {
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("cid", "cvec")
+    val bench = Seq.empty[(Long, Array[Float])].toDF("qid", "qvec")
+    val out = Similarity.decontaminateByEmbedding(spark, corpus, bench, 0.5)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
+  }
+
+  test("decontaminateByEmbedding: zero-norm vectors never produce NaN") {
+    val bench = Seq((100L, Array(0f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Array(0f, 2f)),   // sim 1 vs the non-degenerate bench vector
+      (2L, Array(0f, 0f)))   // zero-norm corpus row -> null, unflagged
+      .toDF("cid", "cvec")
+    val out = Similarity.decontaminateByEmbedding(spark, corpus, bench, 0.9)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, Some(1.0), true)))
+    assert(out(1) == ((2L, None, false)))
+    // all-zero-norm bench behaves exactly like an empty bench
+    val zb = Seq((100L, Array(0f, 0f))).toDF("qid", "qvec")
+    val out2 = Similarity.decontaminateByEmbedding(spark,
+      corpus.filter($"cid" === 1L), zb, 0.5).collect()
+    assert(out2.head.isNullAt(1) && !out2.head.getBoolean(2))
+  }
+
+  // --- AUC long-domain rank doubling ------------------------------------
+  test("rocAuc doubled rank is computed in long (column dtype)") {
+    val df = Seq(("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, true))
+      .toDF("grp", "score", "lbl")
+    val out = Metrics.rocAuc(df, "grp", "score", "lbl")
+    val auc = out.collect().head.getAs[Double]("auc")
+    // positives at ranks 1 and 3 vs one negative: U = 1 of 2 -> 0.5
+    assert(auc == 0.5)
+    // the s2 feeding column must be LongType end to end (no int wrap)
+    val r2Type = df.withColumn("_r2",
+        lit(2L) * org.apache.spark.sql.functions.rank()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"grp").orderBy($"score")).cast("long"))
+      .schema("_r2").dataType
+    assert(r2Type == org.apache.spark.sql.types.LongType)
+  }
+
+  // --- calibration decimal scale ----------------------------------------
+  test("calibrationBins scoreScale=18 keeps probability precision") {
+    // scores quantized at 0.01 would bias this mean by ~0.005
+    val df = Seq((0.105, true), (0.115, false), (0.125, true), (0.135, false))
+      .toDF("p", "y")
+    val out = Metrics.calibrationBins(df, "p", "y", bins = 1, scoreScale = 18)
+      .collect().head
+    assert(out.getAs[Double]("mean_score") == 0.12)
+    // the default scale still matches the registered money-query shape
+    val money = Metrics.calibrationBins(df, "p", "y", bins = 1)
+      .collect().head
+    // at scale 2: 0.11 + 0.12 + 0.13 + 0.14 = 0.50 -> mean 0.125
+    assert(money.getAs[Double]("mean_score") == 0.125)
+  }
+}
