@@ -441,18 +441,23 @@ object Dedup {
     *
     * Shape: same single-scan derivation as [[prefixJaccardPairs]] —
     * one posting explode, df from the bucket size, per-doc rarity
-    * sort map-side, and ONE aggregation emitting both the full
-    * bucket and its prefix-marked subset (posexplode position <
-    * prefix length ⇒ in prefix; `collect_list` over a `when` drops
-    * the non-prefix nulls), so the candidate product is a map-side
-    * nested transform over one grouped row. Verify rebuilds both
-    * token sets from the same per-doc aggregation.
+    * sort map-side, and the candidate product built from an
+    * a-prefix aggregation joined against CHUNKED full-posting
+    * buckets: a token whose document frequency exceeds `chunkCap`
+    * is hash-salted into ⌈df/chunkCap⌉ sub-buckets, so no
+    * aggregation buffer ever holds more than ~chunkCap postings —
+    * one hot shingle on a Zipfian corpus becomes many bounded rows
+    * instead of one near-corpus-sized array. The prefix side (small
+    * by the rarity argument above) is replicated once per chunk;
+    * the union over a token's chunks covers exactly the token's
+    * full posting list, so the candidate set is unchanged. Verify
+    * rebuilds both token sets from the same per-doc aggregation.
     *
     * Output: (a, b, common, containment), a ≠ b, both directions
     * possible — identical to the exhaustive shared-token join. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, thresholdNum: Int,
-                       thresholdDen: Int): DataFrame = {
+                       thresholdDen: Int, chunkCap: Int = 4096): DataFrame = {
     def ceilFrac(c: Column): Column =
       floor((c * thresholdNum + (thresholdDen - 1)) / thresholdDen)
         .cast("int")
@@ -473,25 +478,8 @@ object Dedup {
     val perDoc = postDf.groupBy("packed")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .localCheckpoint()
-    val sz = unpackSize(col("packed"))
-    // (tok, packed, inpfx): posexplode position against the prefix bound
-    val flagged = perDoc
-      .select(col("packed"), sz.as("sz"),
-        posexplode(col("ts")).as(Seq("pos", "t")))
-      .select(col("t").getField("tok").as("tok"), col("packed"),
-        (col("pos") < col("sz") - ceilFrac(col("sz")) + 1).as("inpfx"))
-    val cand = flagged.groupBy("tok")
-      .agg(collect_list(when(col("inpfx"), col("packed"))).as("pxs"),
-        collect_list(col("packed")).as("all"))
-      .filter(size(col("pxs")) >= 1 && size(col("all")) >= 2)
-      .select(explode(flatten(transform(col("pxs"), x =>
-        filter(transform(col("all"), y =>
-            struct(x.as("pa"), y.as("pb"))),
-          p => p.getField("pa") =!= p.getField("pb") &&
-            unpackSize(p.getField("pa")) * thresholdNum <=
-              unpackSize(p.getField("pb")) * thresholdDen)))).as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .distinct()
+    val cand = containmentCandidates(perDoc, ceilFrac,
+      thresholdNum, thresholdDen, chunkCap)
     val docSets = perDoc.select(col("packed"),
       transform(col("ts"), t => t.getField("tok")).as("ws"))
     cand
@@ -506,6 +494,53 @@ object Dedup {
       .filter(col("common") * thresholdDen >= col("sz_a") * thresholdNum)
       .select(col("a"), col("b"), col("common"),
         (col("common") / col("sz_a")).as("containment"))
+  }
+
+  /** The chunked posting buckets behind [[containmentPairs]]'s
+    * candidate stage, exposed for the skew spec: (tok, chunk, bucket)
+    * where every bucket holds the postings hash-salted into
+    * ⌈df/chunkCap⌉ sub-buckets. Deterministic (xxhash64 on the packed
+    * id), so occupancy is reproducible. */
+  private[graft] def chunkedPostings(flagged: DataFrame,
+                                     chunkCap: Int): DataFrame =
+    flagged
+      .withColumn("chunk",
+        pmod(xxhash64(col("packed")),
+          greatest(lit(1L),
+            ceil(col("df").cast("double") / chunkCap).cast("long"))))
+      .groupBy(col("tok"), col("chunk"))
+      .agg(collect_list(col("packed")).as("bucket"))
+
+  /** Candidate (pa, pb) pairs for the containment join: a-prefix
+    * postings crossed with the token's CHUNKED full posting buckets.
+    * Bounded buffers by construction — the prefix aggregation is
+    * small by the rarity argument, and no full-side bucket exceeds
+    * ~chunkCap postings (hash-salted, not worst-case-exact, but the
+    * expected occupancy is chunkCap and the tail is binomial). */
+  private def containmentCandidates(perDoc: DataFrame,
+                                    ceilFrac: Column => Column,
+                                    thresholdNum: Int, thresholdDen: Int,
+                                    chunkCap: Int): DataFrame = {
+    val sz = unpackSize(col("packed"))
+    // (tok, df, packed, inpfx): posexplode position vs the prefix bound
+    val flagged = perDoc
+      .select(col("packed"), sz.as("sz"),
+        posexplode(col("ts")).as(Seq("pos", "t")))
+      .select(col("t").getField("tok").as("tok"),
+        col("t").getField("df").as("df"), col("packed"),
+        (col("pos") < col("sz") - ceilFrac(col("sz")) + 1).as("inpfx"))
+    val pfx = flagged.filter(col("inpfx") && col("df") >= 2)
+      .groupBy("tok").agg(collect_list(col("packed")).as("pxs"))
+    chunkedPostings(flagged.filter(col("df") >= 2), chunkCap)
+      .join(pfx, Seq("tok"))
+      .select(explode(flatten(transform(col("pxs"), x =>
+        filter(transform(col("bucket"), y =>
+            struct(x.as("pa"), y.as("pb"))),
+          p => p.getField("pa") =!= p.getField("pb") &&
+            unpackSize(p.getField("pa")) * thresholdNum <=
+              unpackSize(p.getField("pb")) * thresholdDen)))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .distinct()
   }
 
   /** ExactSubstr-style duplicated-span detection (Lee et al. 2022,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Metrics, Similarity}
+import graft.operators.{Dedup, Metrics, Similarity}
 
 /** Round-6 hardening: broadcast-collect row caps fail loudly,
   * decontamination degrades to null (not -Inf/NaN) on empty/zero-norm
@@ -84,6 +84,44 @@ class Round6Spec extends SparkSpec {
             .partitionBy($"grp").orderBy($"score")).cast("long"))
       .schema("_r2").dataType
     assert(r2Type == org.apache.spark.sql.types.LongType)
+  }
+
+  // --- containment hot-token chunking -----------------------------------
+  test("containment pairs identical under a pathological hot token " +
+      "whatever the chunk cap") {
+    // 40 docs all sharing the shingle "hot"; several real containments
+    val docs: Seq[(Long, String)] =
+      (1L to 40L).map(i => i -> s"hot u$i v$i w$i x$i") ++ Seq(
+        101L -> "hot a b c",
+        102L -> "hot a b c d e f g",
+        103L -> "a b")
+    def run(cap: Int): Set[(Long, Long, Int)] =
+      Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 1, 1, 2, chunkCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = run(4096)
+    assert(full.contains((101L, 102L, 4)))        // "hot a b c" ⊂ 102
+    assert(run(2) == full)                        // heavy chunking: lossless
+    assert(run(7) == full)
+  }
+
+  test("chunked posting buckets are bounded for a hot token") {
+    // one token with df=1000 against cap 50: every hash-salted bucket
+    // stays far below the unchunked 1000-element array (deterministic —
+    // xxhash64 salting — so this asserts a reproducible occupancy)
+    val flagged = (1L to 1000L).map(p => ("hot", 1000, p))
+      .toDF("tok", "df", "packed")
+    val sizes = Dedup.chunkedPostings(flagged, 50)
+      .select(size($"bucket").as("n")).collect().map(_.getInt(0))
+    assert(sizes.sum == 1000)
+    assert(sizes.length == 20)                    // ceil(1000/50) chunks
+    assert(sizes.max <= 150, s"max bucket ${sizes.max}")
+    // a small token is untouched: single chunk, intact bucket
+    val small = Seq(("t", 3, 1L), ("t", 3, 2L), ("t", 3, 3L))
+      .toDF("tok", "df", "packed")
+    val one = Dedup.chunkedPostings(small, 50).collect()
+    assert(one.length == 1 &&
+      one.head.getSeq[Long](one.head.fieldIndex("bucket")).size == 3)
   }
 
   // --- calibration decimal scale ----------------------------------------
