@@ -3112,6 +3112,85 @@ object OracleSql {
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q177/q178: the oracle is NOT a recomputation — DuckDB cannot read
+    * SQLite here (no extension in the zero-egress sandbox) — but the
+    * expected values themselves, extracted from the reference's
+    * read-only `510FinalProject.db` with an independent reader and
+    * frozen as literals. A hash match therefore proves the engine's
+    * native SQLite scan decodes every table (q177: counts, integer
+    * sums incl. rowid aliases, text lengths, quantized REAL sums) and
+    * row-level content (q178: all 41 episode rows) correctly. */
+  private val q177 =
+    """SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(id_sum AS BIGINT) AS id_sum,
+      |  CAST(text_len AS BIGINT) AS text_len,
+      |  CAST(real_q AS BIGINT) AS real_q
+      |FROM (VALUES
+      |  ('emotion_table', 6, 21, 29, 0),
+      |  ('episode_emotion_table', 41, 861, 0, 41861),
+      |  ('episode_table', 41, 861, 895, 0),
+      |  ('strain_flavor_table', 48, 1176, 300, 0),
+      |  ('strain_id_table', 0, 0, 0, 0),
+      |  ('strain_medical_table', 15, 120, 135, 0),
+      |  ('strain_neg_table', 5, 15, 37, 0),
+      |  ('strain_pos_table', 13, 91, 92, 0),
+      |  ('strain_race_table', 3, 6, 18, 0),
+      |  ('strain_review_table', 278, 278, 2038, 77029),
+      |  ('strain_to_negative_table', 4674, 5278016, 35838, 0),
+      |  ('strain_to_positive_table', 9286, 10251212, 65096, 0),
+      |  ('test_table', 0, 0, 0, 0)
+      |) t(tbl, n_rows, id_sum, text_len, real_q)
+      |ORDER BY tbl""".stripMargin
+
+  private val q178 =
+    """SELECT CAST(episode_id AS BIGINT) AS episode_id, episode_name,
+      |  CAST(happy_q AS BIGINT) AS happy_q,
+      |  CAST(excited_q AS BIGINT) AS excited_q
+      |FROM (VALUES
+      |  (1, 'Pilot', 99, 95),
+      |  (2, 'Lawnmower Dog', 24, 503),
+      |  (3, 'Anatomy Park', 160, 197),
+      |  (4, 'M. Night Shaym-Aliens!', 46, 246),
+      |  (5, 'Meeseeks and Destroy', 138, 188),
+      |  (6, 'Rick Potion #9', 330, 307),
+      |  (7, 'Raising Gazorpazorp', 197, 197),
+      |  (8, 'Rixty Minutes', 37, 149),
+      |  (9, 'Something Ricked This Way Comes', 112, 224),
+      |  (10, 'Close Rick-counters of the Rick Kind', 136, 183),
+      |  (11, 'Ricksy Business', 258, 260),
+      |  (12, 'A Rickle in Time', 58, 125),
+      |  (13, 'Mortynight Run', 49, 153),
+      |  (14, 'Auto Erotic Assimilation', 272, 469),
+      |  (15, 'Total Rickall', 420, 199),
+      |  (16, 'Get Schwifty', 84, 89),
+      |  (17, 'The Ricks Must Be Crazy', 118, 313),
+      |  (18, 'Big Trouble in Little Sanchez', 204, 412),
+      |  (19, 'Interdimensional Cable 2: Tempting Fate', 134, 121),
+      |  (20, 'Look Who''s Purging Now', 252, 364),
+      |  (21, 'The Wedding Squanchers', 448, 210),
+      |  (22, 'The Rickshank Rickdemption', 318, 188),
+      |  (23, 'Rickmancing the Stone', 334, 270),
+      |  (24, 'Pickle Rick', 179, 225),
+      |  (25, 'Vindicators 3: The Return of Worldender', 372, 304),
+      |  (26, 'The Whirly Dirly Conspiracy', 79, 97),
+      |  (27, 'Rest and Ricklaxation', 76, 92),
+      |  (28, 'The Ricklantis Mixup', 84, 165),
+      |  (29, 'Morty''s Mind Blowers', 106, 166),
+      |  (30, 'The ABC''s of Beth', 65, 141),
+      |  (31, 'The Rickchurian Mortydate', 108, 160),
+      |  (32, 'Edge of Tomorty: Rick Die Rickpeat', 70, 105),
+      |  (33, 'The Old Man and the Seat', 63, 70),
+      |  (34, 'One Crew Over the Crewcoo''s Morty', 345, 317),
+      |  (35, 'Claw and Hoarder: Special Ricktim''s Morty', 122, 239),
+      |  (36, 'Rattlestar Ricklactica', 49, 124),
+      |  (37, 'Never Ricking Morty', 223, 210),
+      |  (38, 'Promortyus', 85, 116),
+      |  (39, 'The Vat of Acid Episode', 102, 175),
+      |  (40, 'Childrick of Mort', 129, 182),
+      |  (41, 'Star Mort Rickturn of the Jerri', 95, 145)
+      |) t(episode_id, episode_name, happy_q, excited_q)
+      |ORDER BY episode_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3354,6 +3433,8 @@ object OracleSql {
     "q174_benford" -> q174,
     "q175_lsh_oracle" -> q175,
     "q176_ivf_oracle" -> q176,
+    "q177_sqlite_scan" -> q177,
+    "q178_sqlite_join" -> q178,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2325,6 +2325,60 @@ object SparkEntry {
     operators.Stats.benford(Tables.orders(s, dir), "o_totalprice")
       .orderBy("digit")
 
+  private def sqliteTable(s: SparkSession, table: String): DataFrame =
+    s.read.format("graft.sources.sqlite.SqliteSource")
+      .option("path", graft.sources.sqlite.SqliteSource.referenceDbPath)
+      .option("table", table).load()
+
+  /** S5 closure: scan the reference's REAL SQLite warehouse
+    * (`510FinalProject.db`, Scraper.py:247-251) through the native
+    * DSv2 reader and emit a per-table summary — row count, sum of the
+    * first integer-affinity column (rowid aliases included), total
+    * text length, and the 1/1024-quantized sum of every REAL column.
+    * The oracle pins the independently-extracted expected values, so
+    * a hash match proves correct ingestion of every table. */
+  private def qSqliteScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val tables = Seq("emotion_table", "episode_emotion_table",
+      "episode_table", "strain_flavor_table", "strain_id_table",
+      "strain_medical_table", "strain_neg_table", "strain_pos_table",
+      "strain_race_table", "strain_review_table",
+      "strain_to_negative_table", "strain_to_positive_table", "test_table")
+    tables.map { t =>
+      val df = sqliteTable(s, t)
+      val longs = df.schema.fields.filter(_.dataType == LongType).map(_.name)
+      val texts = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      val reals = df.schema.fields.filter(_.dataType == DoubleType).map(_.name)
+      val idSum = longs.headOption.map(c => sum(col(c))).getOrElse(lit(0L))
+      val textLen =
+        if (texts.isEmpty) lit(0L)
+        else texts.map(c => sum(length(col(c)).cast("long"))).reduce(_ + _)
+      val realQ =
+        if (reals.isEmpty) lit(0L)
+        else reals.map(c => sum(floor(col(c) * 1024))).reduce(_ + _)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(idSum, lit(0L)).cast("long").as("id_sum"),
+        coalesce(textLen, lit(0L)).cast("long").as("text_len"),
+        coalesce(realQ, lit(0L)).cast("long").as("real_q"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("id_sum"),
+          col("text_len"), col("real_q"))
+    }.reduce(_ unionAll _).orderBy("tbl")
+  }
+
+  /** Row-level ingestion proof: the reference's episode dimension
+    * joined to its wide emotion fact INSIDE the engine, emotion scores
+    * 1/1024-quantized (floor(x·1024) of the stored double is
+    * engine-exact); the oracle carries all 41 expected rows as
+    * literals extracted independently of the reader under test. */
+  private def qSqliteJoin(s: SparkSession, dir: String): DataFrame =
+    sqliteTable(s, "episode_table")
+      .join(sqliteTable(s, "episode_emotion_table"), Seq("episode_id"))
+      .select(col("episode_id"), col("episode_name"),
+        floor(col("happy") * 1024).as("happy_q"),
+        floor(col("excited") * 1024).as("excited_q"))
+      .orderBy("episode_id")
+
   /** Portable-arithmetic hyperplane LSH — the oracle-checked twin of
     * q23 (the q132 convention applied to ANN): fixed-point-quantized
     * vectors, PRF-literal planes, integer dot-product ranking, so the
@@ -2530,7 +2584,9 @@ object SparkEntry {
       "q173_corpus_pipeline" -> (qCorpusPipeline _),
       "q174_benford" -> (qBenford _),
       "q175_lsh_oracle" -> (qLshOracle _),
-      "q176_ivf_oracle" -> (qIvfOracle _))
+      "q176_ivf_oracle" -> (qIvfOracle _),
+      "q177_sqlite_scan" -> (qSqliteScan _),
+      "q178_sqlite_join" -> (qSqliteJoin _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
