@@ -3112,6 +3112,79 @@ object OracleSql {
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q129/q131: BPE learning replayed in SQL. Each of the 5 rounds is
+    * an unrolled CTE pair — pair counts over the distinct-word vocab,
+    * lexicographic argmax, then the merge applied to every word via
+    * `list_reduce` over a unit-separator-joined accumulator string.
+    * The left fold IS Sennrich's left-to-right non-overlapping scan:
+    * a token formed this round equals `left||right` and can never
+    * equal `left` again (right is non-empty), so greedy
+    * merge-with-last is exact. q131 extends the chain: the final
+    * vocab's symbol counts joined back to per-document words. */
+  private def bpeRewrite(m: String): String = {
+    def sp(a: String) = s"string_split($a, chr(31))"
+    // NB: no continuation line may start with "||" — this snippet is
+    // interpolated through two more stripMargin passes that would eat
+    // the operator's leading pipes.
+    s"""string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+       |      CASE WHEN acc = '' THEN x
+       |        WHEN array_extract(${sp("acc")}, -1) = $m."left" AND x = $m."right"
+       |        THEN CASE WHEN len(${sp("acc")}) = 1
+       |          THEN $m."left" || $m."right"
+       |          ELSE array_to_string(list_slice(${sp("acc")}, 1,
+       |            len(${sp("acc")}) - 1), chr(31)) || chr(31) ||
+       |            $m."left" || $m."right" END
+       |        ELSE acc || chr(31) || x END), chr(31))""".stripMargin
+  }
+
+  private def bpeRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM v${i - 1}, UNNEST(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT $i AS rank, l AS "left", r AS "right", n
+         |  FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT word, freq, ${bpeRewrite(s"m$i")} AS syms
+         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+
+  private val bpeVocabCte =
+    """w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT UNNEST(string_split(lower(text), ' ')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |v0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w)""".stripMargin
+
+  private val q129 =
+    s"""WITH $bpeVocabCte,
+       |${bpeRoundCtes(5)}
+       |SELECT rank, "left", "right", n FROM (
+       |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
+       |  UNION ALL SELECT * FROM m5)
+       |ORDER BY rank""".stripMargin
+
+  private val q131 =
+    s"""WITH $bpeVocabCte,
+       |${bpeRoundCtes(5)},
+       |dwf AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> ''),
+       |j AS (
+       |  SELECT w.doc_id, len(w.word) AS nc, len(e.syms) AS nt
+       |  FROM dwf w JOIN v5 e USING (word))
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(SUM(j.nc), 0) AS BIGINT) AS n_chars_tok,
+       |  CAST(COALESCE(SUM(j.nt), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** q177/q178: the oracle is NOT a recomputation — DuckDB cannot read
     * SQLite here (no extension in the zero-egress sandbox) — but the
     * expected values themselves, extracted from the reference's
@@ -3354,6 +3427,12 @@ object OracleSql {
     "q93_weighted_sample" -> q93,
     "q94_global_ids" -> q94,
     "q95_heavy_hitters" -> q95,
+    // q96_compression_ratio: intentionally ABSENT (rows-only check).
+    // The signal is DEFLATE output size (java.util.zip.Deflater level
+    // 6); DuckDB has no zlib surface, and any reimplementation would
+    // pin zlib's exact match/lazy-evaluation heuristics rather than
+    // the operator's logic. Determinism + per-partition Deflater
+    // reuse are spec-pinned instead (TextAnalysisSpec).
     "q97_stream_type_stats" -> q97,
     "q98_grouped_heavy_hitters" -> q98,
     "q99_bloom_prune" -> q99,
@@ -3435,6 +3514,8 @@ object OracleSql {
     "q176_ivf_oracle" -> q176,
     "q177_sqlite_scan" -> q177,
     "q178_sqlite_join" -> q178,
+    "q129_bpe_merges" -> q129,
+    "q131_bpe_encode" -> q131,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }
