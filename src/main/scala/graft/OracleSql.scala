@@ -3264,6 +3264,59 @@ object OracleSql {
       |) t(episode_id, episode_name, happy_q, excited_q)
       |ORDER BY episode_id""".stripMargin
 
+  /** q179: URL canonicalization replay — same deterministic raw-URL
+    * synthesis from (doc_id, source), same regex field extraction,
+    * list filter/sort of query params, and reassembly. Patterns kept
+    * RE2-simple so Java regex and DuckDB RE2 agree. */
+  private val q179 =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |    source || '.example.com/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) || '?' ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |      THEN 'b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+      |      ELSE 'a=' || CAST(doc_id % 3 AS VARCHAR) || '&b=' || CAST(doc_id % 4 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=x' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(nofrag,
+      |      '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\.', '') AS host,
+      |    regexp_replace(regexp_extract(nofrag,
+      |      '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path0,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(nofrag, '\?([^#]*)', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))),
+      |      '&') AS q
+      |  FROM nf),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    'http://' || host || (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+      |  FROM parts)
+      |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+      |  MIN(doc_id) AS min_id
+      |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  /** q180: PRF pseudonym replay — the same two affine bijections mod
+    * 1e9+7 as Privacy.pseudonym, token left-padded to 10 digits. */
+  private val q180 =
+    """WITH c AS (
+      |  SELECT c_custkey AS ck,
+      |    'user_' || lpad(CAST(
+      |      (((c_custkey % 1000000007) * 48271 + 7) % 1000000007
+      |        * 16807 + 12345) % 1000000007 AS VARCHAR), 10, '0') AS pseud
+      |  FROM customer)
+      |SELECT pseud, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders o JOIN c ON o.o_custkey = c.ck
+      |GROUP BY pseud ORDER BY pseud""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3516,6 +3569,8 @@ object OracleSql {
     "q178_sqlite_join" -> q178,
     "q129_bpe_merges" -> q129,
     "q131_bpe_encode" -> q131,
+    "q179_url_dedup" -> q179,
+    "q180_pseudonymize" -> q180,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

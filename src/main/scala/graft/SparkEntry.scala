@@ -2379,6 +2379,55 @@ object SparkEntry {
         floor(col("excited") * 1024).as("excited_q"))
       .orderBy("episode_id")
 
+  /** Deterministic raw-URL synthesis for q179 (the StrainApi
+    * zero-egress convention: the INPUT is synthesized from the row
+    * key so the oracle can derive the same strings; the OPERATOR —
+    * canonicalization — is the real thing). Variants exercised:
+    * scheme http/https, www prefix, trailing slash, scrambled query
+    * param order, utm tracking params, fragments. */
+  private def synthUrl(docId: Column, source: Column): Column = {
+    val scheme = when(docId % 3 === 0, "https").otherwise("http")
+    val www = when(docId % 2 === 0, "www.").otherwise("")
+    val trail = when(docId % 11 === 0, "/").otherwise("")
+    val a = concat(lit("a="), (docId % 3).cast("string"))
+    val b = concat(lit("b="), (docId % 4).cast("string"))
+    val params = when(docId % 5 === 0, concat(b, lit("&"), a))
+      .otherwise(concat(a, lit("&"), b))
+    val tracking = when(docId % 2 === 0, "&utm_source=x").otherwise("")
+    val frag = when(docId % 7 === 0, "#frag").otherwise("")
+    concat(scheme, lit("://"), www, source, lit(".example.com/a/"),
+      (docId % 50).cast("string"), trail, lit("?"), params, tracking, frag)
+  }
+
+  /** URL-level dedup over canonical URLs (crawl-pipeline step zero):
+    * synthesize messy raw URLs deterministically, canonicalize with
+    * [[operators.UrlOps.canonicalize]], group. The oracle replays both
+    * halves with the same regex/list primitives. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    operators.UrlOps.urlDedupGroups(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          synthUrl(col("doc_id"), col("source")).as("url")),
+      "doc_id", "url")
+      .orderBy("canon_url")
+
+  /** PRF pseudonymization with referential integrity: customers
+    * tokenized (raw key DROPPED from the release), orders joined on
+    * the original key BEFORE the projection, so the output proves the
+    * pseudonym preserves the join while never exposing c_custkey. */
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("ck"),
+        graft.operators.Privacy.pseudonym(col("c_custkey"), "user_", 7L)
+          .as("pseud"))
+    Tables.orders(s, dir)
+      .join(cust, col("o_custkey") === col("ck"))
+      .groupBy("pseud")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+      .orderBy("pseud")
+  }
+
   /** Portable-arithmetic hyperplane LSH — the oracle-checked twin of
     * q23 (the q132 convention applied to ANN): fixed-point-quantized
     * vectors, PRF-literal planes, integer dot-product ranking, so the
@@ -2586,7 +2635,9 @@ object SparkEntry {
       "q175_lsh_oracle" -> (qLshOracle _),
       "q176_ivf_oracle" -> (qIvfOracle _),
       "q177_sqlite_scan" -> (qSqliteScan _),
-      "q178_sqlite_join" -> (qSqliteJoin _))
+      "q178_sqlite_join" -> (qSqliteJoin _),
+      "q179_url_dedup" -> (qUrlDedup _),
+      "q180_pseudonymize" -> (qPseudonymize _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -61,6 +61,23 @@ object Privacy {
         (col("n") + noise).cast("decimal(18,9)").cast("double"))
   }
 
+  /** Deterministic keyed pseudonym for an integer identifier — the
+    * tokenization step of a PII release (stable across runs and
+    * tables, so referential integrity survives: pseudonymize the key
+    * on BOTH sides of a join and the join still works, while the raw
+    * key never appears in the output). The two affine rounds mod the
+    * prime are each bijections of Z_p (48271 and 16807 are invertible
+    * mod p), so distinct keys below p can never collide. Portable
+    * arithmetic end to end — the DuckDB oracle replays tokens
+    * bit-for-bit. NOT encryption: reversal is trivial with the
+    * constants; the operator models linkable de-identification
+    * (the GDPR "pseudonymisation" tier), not secrecy — swap the PRF
+    * for keyed SipHash/HMAC when the mapping itself is sensitive. */
+  def pseudonym(key: Column, prefix: String, seed: Long): Column = {
+    val token = ((key % P * 48271L + seed) % P * 16807L + 12345L) % P
+    concat(lit(prefix), lpad(token.cast("string"), 10, "0"))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier expressions:
     * one row per equivalence class with its size and whether it meets
     * the k threshold — the pre-release check that decides which

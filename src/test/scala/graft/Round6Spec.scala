@@ -124,6 +124,46 @@ class Round6Spec extends SparkSpec {
       one.head.getSeq[Long](one.head.fieldIndex("bucket")).size == 3)
   }
 
+  // --- URL canonicalization ---------------------------------------------
+  test("canonicalize: tracking, fragments, www, slashes, param order") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // tracking stripped, params sorted, fragment dropped
+      ("https://www.Ex.com/a/1/?b=2&utm_source=x&a=1#frag",
+        "http://ex.com/a/1?a=1&b=2"),
+      // empty path -> "/", gclid dropped, empty query dropped
+      ("http://site.org?gclid=zz", "http://site.org/"),
+      // already canonical is a fixed point
+      ("http://ex.com/a/1?a=1&b=2", "http://ex.com/a/1?a=1&b=2"))
+    val out = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalize($"url").as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+    // idempotence on the synthesized corpus shapes
+    val urls = Seq("https://www.s.example.com/a/3/?b=1&a=2&utm_source=x#frag")
+      .toDF("url").select(UrlOps.canonicalize($"url").as("c1"))
+      .select($"c1", UrlOps.canonicalize($"c1").as("c2")).collect().head
+    assert(urls.getString(0) == urls.getString(1))
+  }
+
+  // --- PRF pseudonymization ---------------------------------------------
+  test("pseudonym: injective, stable, key never leaks") {
+    import graft.operators.Privacy
+    val ids = (1L to 2000L).toDF("id")
+      .select($"id", Privacy.pseudonym($"id", "user_", 7L).as("p"))
+    assert(ids.select("p").distinct().count() == 2000)   // bijection mod p
+    val one = ids.filter($"id" === 42L).collect().head.getString(1)
+    assert(one.startsWith("user_") && one.length == 15)  // 10-digit pad
+    // stable across evaluations
+    val again = (42L to 42L).toDF("id")
+      .select(Privacy.pseudonym($"id", "user_", 7L)).collect().head.getString(0)
+    assert(again == one)
+    // different seed -> different token space
+    val otherSeed = (42L to 42L).toDF("id")
+      .select(Privacy.pseudonym($"id", "user_", 8L)).collect().head.getString(0)
+    assert(otherSeed != one)
+  }
+
   // --- calibration decimal scale ----------------------------------------
   test("calibrationBins scoreScale=18 keeps probability precision") {
     // scores quantized at 0.01 would bias this mean by ~0.005
