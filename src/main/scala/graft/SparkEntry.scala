@@ -2653,7 +2653,9 @@ object SparkEntry {
     "q100_span_removal", "q101_zorder_cells", "q102_pagerank",
     "q104_bucketed_join", "q108_jaro_winkler", "q113_lang_trigrams",
     "q147_prefix_jaccard", "q152_perplexity_filter",
-    "q160_containment", "q163_hard_negatives")
+    "q160_containment", "q163_hard_negatives",
+    "q129_bpe_merges", "q175_lsh_oracle", "q176_ivf_oracle",
+    "q179_url_dedup")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
