@@ -91,8 +91,10 @@ object IvfIndex {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qvec"), col("cluster_id"))
-    // score only probed lists
-    val scored = probes.join(lists, Seq("cluster_id"))
+    // score only probed lists; the probe side is eval-set-sized by the
+    // kernel contract, so broadcast it — the corpus-sized lists never
+    // shuffle for this join (a plain equi-join would SMJ both sides)
+    val scored = lists.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
@@ -175,7 +177,9 @@ object IvfIndex {
       .select(col("qid"), col("qq"), col("cluster_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("idot").desc, col("neighbor_id").asc)
-    probes.join(lists, Seq("cluster_id"))
+    // broadcast the eval-set-sized probe side (same rationale as
+    // [[search]]): the corpus-sized lists stay put
+    lists.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         Similarity.intDot(col("qq"), col("cq")).as("idot"))
