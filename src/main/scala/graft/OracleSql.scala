@@ -3317,6 +3317,62 @@ object OracleSql {
       |FROM orders o JOIN c ON o.o_custkey = c.ck
       |GROUP BY pseud ORDER BY pseud""".stripMargin
 
+  /** q181: hashed linear scorer replay — the polynomial char fold mod
+    * 1e9+7, bucket %64, PRF weight in [-8, 8], per-doc integer sum.
+    * All integer, so the logit is exact in any engine. */
+  private val q181 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+      |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+      |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(w, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+      |      % 64 * 1000003 + 12345) % 1000000007 % 17 - 8))) AS BIGINT) AS logit,
+      |  list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+      |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(w, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+      |      % 64 * 1000003 + 12345) % 1000000007 % 17 - 8))) >= 0 AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q182: matryoshka audit replay — two q22-convention float-cosine
+    * top-5 passes (full 64 dims and the first 16), neighbor-set
+    * intersection per query. The cosine folds are left-associative in
+    * both engines, so the float sims (and therefore the rank sets)
+    * are bit-identical. */
+  private val q182 = {
+    def cosTop(dims: String, out: String): String =
+      s"""${out}_s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    list_aggregate(list_transform(range(1, $dims),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+         |    / sqrt(list_aggregate(list_transform(range(1, $dims),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+         |    / sqrt(list_aggregate(list_transform(range(1, $dims),
+         |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+         |    AS sim
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+         |$out AS (
+         |  SELECT qid, list_sort(list(cid)) AS ids FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM ${out}_s)
+         |  WHERE rn <= 5 GROUP BY qid)""".stripMargin
+    s"""WITH ${cosTop("65", "fk")},
+       |${cosTop("17", "tk")}
+       |SELECT fk.qid AS query_id,
+       |  CAST(len(list_intersect(fk.ids, tk.ids)) AS INTEGER) AS n_common,
+       |  len(list_intersect(fk.ids, tk.ids)) / 5.0 AS recall
+       |FROM fk JOIN tk ON fk.qid = tk.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3571,6 +3627,8 @@ object OracleSql {
     "q131_bpe_encode" -> q131,
     "q179_url_dedup" -> q179,
     "q180_pseudonymize" -> q180,
+    "q181_linear_scorer" -> q181,
+    "q182_matryoshka" -> q182,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

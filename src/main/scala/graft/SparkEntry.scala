@@ -2428,6 +2428,21 @@ object SparkEntry {
       .orderBy("pseud")
   }
 
+  /** FastText-shaped hashed linear quality scorer — zero-shuffle
+    * map-side inference, integer weights (PRF stand-ins; learned
+    * weights are a literal swap), DuckDB-exact. */
+  private def qLinearScorer(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.linearScore(Tables.documents(s, dir),
+        "doc_id", "text", buckets = 64)
+      .orderBy("doc_id")
+
+  /** Matryoshka truncation audit: overlap@5 between full-dim and
+    * 16-dim brute-force neighborhoods per query vector. */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
+        truncDims = 16, k = 5, queryMod = 20)
+      .orderBy("query_id")
+
   /** Portable-arithmetic hyperplane LSH — the oracle-checked twin of
     * q23 (the q132 convention applied to ANN): fixed-point-quantized
     * vectors, PRF-literal planes, integer dot-product ranking, so the
@@ -2637,7 +2652,9 @@ object SparkEntry {
       "q177_sqlite_scan" -> (qSqliteScan _),
       "q178_sqlite_join" -> (qSqliteJoin _),
       "q179_url_dedup" -> (qUrlDedup _),
-      "q180_pseudonymize" -> (qPseudonymize _))
+      "q180_pseudonymize" -> (qPseudonymize _),
+      "q181_linear_scorer" -> (qLinearScorer _),
+      "q182_matryoshka" -> (qMatryoshka _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -540,6 +540,42 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022): how much of
+    * the full-dimension top-k neighborhood survives when embeddings
+    * are truncated to their first `truncDims` components — THE
+    * decision metric for serving truncated vectors (memory/latency ÷
+    * 4 if recall holds). Truncation needs no renormalization for
+    * RANKING (cosine order is scale-free per vector), so the trunc
+    * pass is the same kernel over `slice(vec, 1, truncDims)`.
+    *
+    * Scale shape: two brute-force passes sharing the q22 shape
+    * (query-side broadcast by AQE, WindowGroupLimit rank partials),
+    * joined per query on the (k-element) neighbor sets — the
+    * quadratic term is the audit's point (run it on an eval slice,
+    * not the corpus; the LSH/IVF paths serve production).
+    *
+    * Output: (query_id, n_common, recall) with recall = n_common/k. */
+  def matryoshkaRecall(vectors: DataFrame, truncDims: Int, k: Int,
+                       queryMod: Int): DataFrame = {
+    val q = vectors.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = vectors.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def topSet(qe: Column, ce: Column, tag: String): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid").asc)
+      q.crossJoin(c).filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), cosine(qe, ce).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("qid").agg(sort_array(collect_list(col("cid"))).as(tag))
+    }
+    topSet(col("qv"), col("cv"), "full_k")
+      .join(topSet(slice(col("qv"), 1, truncDims),
+        slice(col("cv"), 1, truncDims), "trunc_k"), Seq("qid"))
+      .select(col("qid").as("query_id"),
+        size(array_intersect(col("full_k"), col("trunc_k"))).as("n_common"))
+      .withColumn("recall", col("n_common") / lit(k.toDouble))
+  }
+
   /** Portable-arithmetic LSH top-k — the ORACLE-CHECKED twin of the
     * float [[lshTopK]] path (q23): same relational shape (one bucket
     * pass over the corpus, bucket equi-join, per-query windowed top-k)

@@ -463,4 +463,38 @@ object TextAnalysis {
         }
       }
   }
+
+  /** FastText-shaped linear text classifier INFERENCE at corpus scale:
+    * each word hashes to one of `buckets` feature slots (the portable
+    * polynomial char fold), every slot carries a fixed integer weight
+    * from a keyed PRF, and the document logit is the plain sum of its
+    * words' weights. This is the inference half of the quality-
+    * classifier gate every production corpus runs (fastText / logreg
+    * over hashed n-grams); training happens offline, the corpus-wide
+    * pass is exactly this map-side fold. Weights here are PRF-derived
+    * stand-ins (zero-egress — no model artifact), which keeps every
+    * arithmetic step integer and the DuckDB oracle bit-exact; swapping
+    * in learned weights is a literal-array change.
+    *
+    * Scale shape: ZERO shuffles — tokenize, hash, weight, and sum are
+    * one nested higher-order expression per row; the gate is a
+    * map-side filter, the cheapest possible full-corpus pass.
+    *
+    * Output: (doc_id, n_toks, logit, keep = logit >= 0). */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    val P = 1000000007L
+    def weight(w: Column): Column = {
+      val h = aggregate(split(w, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+      pmod(pmod(h, lit(buckets.toLong)) * 1000003L + 12345L, lit(P)) % 17L - 8L
+    }
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), " "), w => w =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        aggregate(transform(col("toks"), weight _), lit(0L), _ + _)
+          .as("logit"))
+      .withColumn("keep", col("logit") >= 0)
+  }
 }

@@ -164,6 +164,48 @@ class Round6Spec extends SparkSpec {
     assert(otherSeed != one)
   }
 
+  // --- hashed linear scorer ---------------------------------------------
+  test("linearScore: zero-shuffle integer logit, empty docs score 0") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "  "),
+      (4L, "hello hello")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearScore(docs, "doc_id", "text", buckets = 64)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // empty / whitespace-only docs: no tokens, logit 0, kept
+    assert(out(1).getInt(1) == 0 && out(1).getLong(2) == 0L)
+    assert(out(2).getInt(1) == 0 && out(2).getLong(2) == 0L)
+    // the logit is additive over occurrences: "hello hello" = 2×"hello"
+    val hh = out(3).getLong(2)
+    val hOnly = TextAnalysis.linearScore(
+      Seq((9L, "hello")).toDF("doc_id", "text"), "doc_id", "text", 64)
+      .collect().head.getLong(2)
+    assert(hh == 2 * hOnly)
+    // keep flag is exactly logit >= 0
+    assert(out.forall(r => r.getBoolean(3) == (r.getLong(2) >= 0)))
+    // no shuffle in the plan: map-side only
+    val plan = TextAnalysis.linearScore(docs, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  // --- matryoshka truncation audit --------------------------------------
+  test("matryoshkaRecall: full-width truncation is a perfect-recall " +
+      "fixed point; narrow truncation stays in [0,1]") {
+    import graft.operators.Similarity
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 19).toFloat - 9f))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.matryoshkaRecall(vecs, truncDims = 8, k = 3,
+      queryMod = 10).collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_.getAs[Double]("recall") == 1.0))
+    val narrow = Similarity.matryoshkaRecall(vecs, truncDims = 2, k = 3,
+      queryMod = 10).collect()
+    assert(narrow.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
+  }
+
   // --- calibration decimal scale ----------------------------------------
   test("calibrationBins scoreScale=18 keeps probability precision") {
     // scores quantized at 0.01 would bias this mean by ~0.005
