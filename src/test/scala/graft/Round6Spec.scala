@@ -206,6 +206,55 @@ class Round6Spec extends SparkSpec {
       val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
   }
 
+  // --- randomized invariants for the round-6 operators -------------------
+  test("canonicalize is idempotent over randomized messy URLs") {
+    val rnd = new scala.util.Random(606L)
+    val urls = (1 to 200).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "http" else "https"
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = s"h${rnd.nextInt(20)}.example.org"
+      val path = (0 until rnd.nextInt(3)).map(_ => s"p${rnd.nextInt(9)}")
+        .mkString("/", "/", if (rnd.nextBoolean()) "/" else "")
+      val params = new scala.util.Random(rnd.nextLong()).shuffle(List(
+        s"z=${rnd.nextInt(5)}", s"a=${rnd.nextInt(5)}",
+        "utm_campaign=c", "fbclid=f").take(1 + rnd.nextInt(4)))
+      val frag = if (rnd.nextBoolean()) "#x" else ""
+      s"$scheme://$www$host$path?${params.mkString("&")}$frag"
+    }
+    val once = urls.toDF("u")
+      .select(graft.operators.UrlOps.canonicalize($"u").as("c1"))
+    val twice = once
+      .select($"c1", graft.operators.UrlOps.canonicalize($"c1").as("c2"))
+      .collect()
+    assert(twice.forall(r => r.getString(0) == r.getString(1)))
+    // canonical forms never retain tracking params or fragments
+    assert(twice.forall { r =>
+      val c = r.getString(0)
+      !c.contains("utm_") && !c.contains("fbclid") && !c.contains("#")
+    })
+  }
+
+  test("containment pairs are chunk-cap invariant on random corpora") {
+    val rnd = new scala.util.Random(607L)
+    (1 to 3).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "hot")
+      val docs = (1L to 30L).map { i =>
+        val n = 2 + rnd.nextInt(6)
+        // every doc carries the hot token => one pathological bucket
+        val ws = "hot" +: Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        (i, ws.mkString(" "))
+      }
+      def run(cap: Int) =
+        graft.operators.Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+            "doc_id", "text", 1, 1, 2, chunkCap = cap)
+          .select("a", "b", "common").as[(Long, Long, Int)]
+          .collect().toSet
+      val ref = run(4096)
+      assert(run(3) == ref, s"trial $trial: cap=3 diverged")
+      assert(run(1) == ref, s"trial $trial: cap=1 diverged")
+    }
+  }
+
   // --- calibration decimal scale ----------------------------------------
   test("calibrationBins scoreScale=18 keeps probability precision") {
     // scores quantized at 0.01 would bias this mean by ~0.005
