@@ -3147,8 +3147,12 @@ object OracleSql {
          |  SELECT $i AS rank, l AS "left", r AS "right", n
          |  FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
          |v$i AS (
+         |  -- LEFT JOIN, not CROSS: an exhausted round (empty m$i) must
+         |  -- pass the vocabulary through unchanged (the engine's learn
+         |  -- loop early-stops), not wipe it; NULL left/right make every
+         |  -- lambda comparison fall to the rebuild-unchanged branch
          |  SELECT word, freq, ${bpeRewrite(s"m$i")} AS syms
-         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+         |  FROM v${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
 
   private val bpeVocabCte =

@@ -2349,18 +2349,19 @@ object SparkEntry {
       val longs = df.schema.fields.filter(_.dataType == LongType).map(_.name)
       val texts = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       val reals = df.schema.fields.filter(_.dataType == DoubleType).map(_.name)
-      val idSum = longs.headOption.map(c => sum(col(c))).getOrElse(lit(0L))
-      val textLen =
-        if (texts.isEmpty) lit(0L)
-        else texts.map(c => sum(length(col(c)).cast("long"))).reduce(_ + _)
-      val realQ =
-        if (reals.isEmpty) lit(0L)
-        else reals.map(c => sum(floor(col(c) * 1024))).reduce(_ + _)
+      // each per-column sum gets its OWN coalesce: one all-NULL column
+      // must not null out (and thereby zero) the whole total
+      def sumOf(cs: Seq[Column]): Column =
+        if (cs.isEmpty) lit(0L)
+        else cs.map(c => coalesce(sum(c), lit(0L))).reduce(_ + _)
+      val idSum = sumOf(longs.headOption.map(c => col(c)).toSeq)
+      val textLen = sumOf(texts.map(c => length(col(c)).cast("long")))
+      val realQ = sumOf(reals.map(c => floor(col(c) * 1024)))
       df.agg(
         count(lit(1)).as("n_rows"),
-        coalesce(idSum, lit(0L)).cast("long").as("id_sum"),
-        coalesce(textLen, lit(0L)).cast("long").as("text_len"),
-        coalesce(realQ, lit(0L)).cast("long").as("real_q"))
+        idSum.cast("long").as("id_sum"),
+        textLen.cast("long").as("text_len"),
+        realQ.cast("long").as("real_q"))
         .select(lit(t).as("tbl"), col("n_rows"), col("id_sum"),
           col("text_len"), col("real_q"))
     }.reduce(_ unionAll _).orderBy("tbl")

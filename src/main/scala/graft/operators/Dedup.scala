@@ -500,23 +500,28 @@ object Dedup {
     * candidate stage, exposed for the skew spec: (tok, chunk, bucket)
     * where every bucket holds the postings hash-salted into
     * ⌈df/chunkCap⌉ sub-buckets. Deterministic (xxhash64 on the packed
-    * id), so occupancy is reproducible. */
-  private[graft] def chunkedPostings(flagged: DataFrame,
-                                     chunkCap: Int): DataFrame =
+    * id + `salt`), so occupancy is reproducible; the prefix and full
+    * sides use different salts so their chunk assignments are
+    * independent. */
+  private[graft] def chunkedPostings(flagged: DataFrame, chunkCap: Int,
+                                     salt: Int = 0): DataFrame =
     flagged
       .withColumn("chunk",
-        pmod(xxhash64(col("packed")),
+        pmod(xxhash64(col("packed"), lit(salt)),
           greatest(lit(1L),
             ceil(col("df").cast("double") / chunkCap).cast("long"))))
       .groupBy(col("tok"), col("chunk"))
       .agg(collect_list(col("packed")).as("bucket"))
 
   /** Candidate (pa, pb) pairs for the containment join: a-prefix
-    * postings crossed with the token's CHUNKED full posting buckets.
-    * Bounded buffers by construction — the prefix aggregation is
-    * small by the rarity argument, and no full-side bucket exceeds
-    * ~chunkCap postings (hash-salted, not worst-case-exact, but the
-    * expected occupancy is chunkCap and the tail is binomial). */
+    * postings crossed with the token's full posting list, BOTH sides
+    * chunked. The full side is always hot when the token is hot; the
+    * prefix side is usually tiny (few docs rank a hot token among
+    * their rarest) but has its own pathology — a flood of one-token
+    * documents puts every one of them in its own prefix — so both
+    * aggregations are capped at ~chunkCap. Coverage is exact: each
+    * (prefix doc, posting doc) pair lands in exactly one
+    * (pchunk × chunk) bucket product per token. */
   private def containmentCandidates(perDoc: DataFrame,
                                     ceilFrac: Column => Column,
                                     thresholdNum: Int, thresholdDen: Int,
@@ -529,8 +534,9 @@ object Dedup {
       .select(col("t").getField("tok").as("tok"),
         col("t").getField("df").as("df"), col("packed"),
         (col("pos") < col("sz") - ceilFrac(col("sz")) + 1).as("inpfx"))
-    val pfx = flagged.filter(col("inpfx") && col("df") >= 2)
-      .groupBy("tok").agg(collect_list(col("packed")).as("pxs"))
+    val pfx = chunkedPostings(
+      flagged.filter(col("inpfx") && col("df") >= 2), chunkCap, salt = 1)
+      .select(col("tok"), col("bucket").as("pxs"))
     chunkedPostings(flagged.filter(col("df") >= 2), chunkCap)
       .join(pfx, Seq("tok"))
       .select(explode(flatten(transform(col("pxs"), x =>

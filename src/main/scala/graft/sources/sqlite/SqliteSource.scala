@@ -27,8 +27,14 @@ case class SqliteColumn(name: String, affinity: Char, rowidAlias: Boolean) {
 object SqliteSchema {
   /** Column list from a CREATE TABLE statement — names, affinities,
     * rowid-alias flags. Handles the reference dump's quirks (lowercase
-    * `real`, missing spaces after commas); table-level constraint
-    * clauses are skipped. */
+    * `real`, missing spaces after commas), quoted identifiers
+    * (including embedded spaces), and BOTH rowid-alias spellings:
+    * a column typed exactly INTEGER with a column-level PRIMARY KEY
+    * (not DESC), or named by a table-level `PRIMARY KEY (col)` —
+    * the two forms §"ROWIDs and the INTEGER PRIMARY KEY" defines.
+    * A column typed `INT` (or any other INT-affinity spelling that is
+    * not the literal word INTEGER) is NOT an alias: its stored values
+    * are real. */
   def parseCreate(sql: String): Seq[SqliteColumn] = {
     val open = sql.indexOf('(')
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
@@ -44,14 +50,35 @@ object SqliteSchema {
     defs += body.substring(start)
     val constraintKw =
       Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    // identifier + the text after it, honoring "..."/[...]/`...` quoting
+    def splitName(d: String): (String, String) = d.head match {
+      case '"' | '`' =>
+        val close = d.indexOf(d.head, 1)
+        (d.substring(1, close), d.substring(close + 1))
+      case '[' =>
+        val close = d.indexOf(']', 1)
+        (d.substring(1, close), d.substring(close + 1))
+      case _ =>
+        val name = d.takeWhile(c => !c.isWhitespace)
+        (name, d.drop(name.length))
+    }
+    // table-level `PRIMARY KEY (col)` names a rowid alias when that
+    // column's type is exactly INTEGER
+    val tablePk: Option[String] = defs.map(_.trim).collectFirst {
+      case d if d.toUpperCase.startsWith("PRIMARY") =>
+        val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+        splitName(inner.trim)._1
+    }
     defs.toSeq.map(_.trim).filter(_.nonEmpty).flatMap { d =>
-      val name = d.takeWhile(c => !c.isWhitespace).stripPrefix("\"")
-        .stripSuffix("\"").stripPrefix("[").stripSuffix("]")
-        .stripPrefix("`").stripSuffix("`")
+      val (name, after) = splitName(d)
       if (constraintKw.contains(name.toUpperCase)) None
       else {
-        val rest = d.drop(name.length).trim.toUpperCase
+        val rest = after.trim.toUpperCase
         val typ = rest.takeWhile(c => !",(".contains(c))
+          .split("\\s+").takeWhile(w =>
+            !Set("PRIMARY", "NOT", "NULL", "UNIQUE", "DEFAULT", "CHECK",
+              "REFERENCES", "COLLATE", "GENERATED", "AS").contains(w))
+          .mkString(" ")
         val aff =
           if (typ.contains("INT")) 'i'
           else if (typ.contains("CHAR") || typ.contains("CLOB") ||
@@ -60,8 +87,11 @@ object SqliteSchema {
           else if (typ.contains("REAL") || typ.contains("FLOA") ||
             typ.contains("DOUB")) 'r'
           else 'n'
+        val integerExactly = typ == "INTEGER"
+        val columnPk =
+          rest.contains("PRIMARY KEY") && !rest.contains("PRIMARY KEY DESC")
         Some(SqliteColumn(name, aff,
-          aff == 'i' && rest.contains("PRIMARY KEY")))
+          integerExactly && (columnPk || tablePk.contains(name))))
       }
     }
   }
@@ -88,7 +118,7 @@ object SqliteSchema {
 class SqliteSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, table) = SqliteSource.pathTable(options)
-    val db = SqliteFile(path)
+    val db = SqliteFileCache.get(path)
     val (_, sql) = db.tables(table)
     SqliteSchema.toStruct(SqliteSchema.parseCreate(sql))
   }
@@ -117,7 +147,7 @@ object SqliteSource {
 
 class SqliteTable(path: String, table: String)
     extends Table with SupportsRead {
-  private val db = SqliteFile(path)
+  private val db = SqliteFileCache.get(path)
   private val (root, createSql) = db.tables(table)
   private val cols = SqliteSchema.parseCreate(createSql)
 
@@ -155,7 +185,7 @@ class SqliteReaderFactory extends PartitionReaderFactory {
     val sp = p.asInstanceOf[SqliteSubtreePartition]
     val picked = sp.required.map(n => sp.cols.indexWhere(_.name == n))
     new PartitionReader[InternalRow] {
-      private val it = SqliteFile(sp.path).scanSubtree(sp.page)
+      private val it = SqliteFileCache.get(sp.path).scanSubtree(sp.page)
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
@@ -189,8 +219,29 @@ object SqliteReaderFactory {
     case (s: String, 't') => UTF8String.fromString(s)
     case (v: Long, 't') => UTF8String.fromString(v.toString)
     case (d: Double, 't') => UTF8String.fromString(d.toString)
+    // TEXT affinity stores blobs unchanged — surface the bytes as a
+    // string rather than silently nulling a legal stored value
+    case (b: Array[Byte], 't') => UTF8String.fromBytes(b)
     case (b: Array[Byte], 'b') => b
     case (other, 'b') => other.toString.getBytes("UTF-8")
+    // remaining combinations (blob under INTEGER/REAL affinity) have
+    // no faithful numeric reading; null is the documented fallback
     case _ => null
+  }
+}
+
+/** Process-level cache of decoded db files: every subtree partition
+  * of every scan on an executor shares ONE in-memory copy per (path,
+  * mtime) instead of re-reading the file per task — a 50-partition
+  * scan of one shard costs one file read per executor, not fifty.
+  * Entries are invalidated by mtime (SQLite files are immutable
+  * export artifacts in this pipeline, but a rewritten shard must not
+  * serve stale pages). */
+object SqliteFileCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), SqliteFile]()
+  def get(path: String): SqliteFile = {
+    val mtime = new java.io.File(path).lastModified()
+    cache.computeIfAbsent((path, mtime), _ => SqliteFile(path))
   }
 }
