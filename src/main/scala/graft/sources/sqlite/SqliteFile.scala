@@ -40,26 +40,30 @@ final class SqliteFile(bytes: Array[Byte]) {
   private def u32(off: Int): Long =
     (u8(off).toLong << 24) | (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
 
-  /** Big-endian signed integer of `len` ∈ {1,2,3,4,6,8} bytes. */
-  private def sint(off: Int, len: Int): Long = {
-    var v: Long = if ((bytes(off) & 0x80) != 0) -1L else 0L
+  /** Big-endian signed (sign-extended) integer of `len` ∈ {1,2,3,4,6,8}
+    * bytes read from `arr` — the one copy of this logic, shared by the
+    * record decoder's serial types 1–6. */
+  private def sintOf(arr: Array[Byte], off: Int, len: Int): Long = {
+    var v: Long = if ((arr(off) & 0x80) != 0) -1L else 0L
     var i = 0
-    while (i < len) { v = (v << 8) | u8(off + i); i += 1 }
+    while (i < len) { v = (v << 8) | (arr(off + i) & 0xff); i += 1 }
     v
   }
 
-  /** Varint: up to 9 bytes, 7 bits each except all 8 of the ninth.
-    * Returns (value, bytesConsumed). */
-  private def varint(off: Int): (Long, Int) = {
+  /** Varint over `arr`: up to 9 bytes, 7 bits each except all 8 of the
+    * ninth. Returns (value, bytesConsumed). */
+  private def varintOf(arr: Array[Byte], off: Int): (Long, Int) = {
     var v = 0L; var i = 0
     while (i < 8) {
-      val b = u8(off + i)
+      val b = arr(off + i) & 0xff
       v = (v << 7) | (b & 0x7f)
       i += 1
       if ((b & 0x80) == 0) return (v, i)
     }
-    ((v << 8) | u8(off + 8), 9)
+    ((v << 8) | (arr(off + 8) & 0xff), 9)
   }
+
+  private def varint(off: Int): (Long, Int) = varintOf(bytes, off)
 
   /** Byte offset of page `pageNo` (1-based). */
   private def pageOff(pageNo: Int): Int = (pageNo - 1) * pageSize
@@ -139,20 +143,10 @@ final class SqliteFile(bytes: Array[Byte]) {
   /** Record format: varint header size, serial-type varints, then the
     * values back to back. */
   private def decodeRecord(rec: Array[Byte]): IndexedSeq[Any] = {
-    def v(off: Int): (Long, Int) = {   // varint over the record copy
-      var x = 0L; var i = 0
-      while (i < 8) {
-        val b = rec(off + i) & 0xff
-        x = (x << 7) | (b & 0x7f)
-        i += 1
-        if ((b & 0x80) == 0) return (x, i)
-      }
-      ((x << 8) | (rec(off + 8) & 0xff), 9)
-    }
-    val (hdrLen, n0) = v(0)
+    val (hdrLen, n0) = varintOf(rec, 0)
     val types = Vector.newBuilder[Long]
     var o = n0
-    while (o < hdrLen) { val (t, n) = v(o); types += t; o += n }
+    while (o < hdrLen) { val (t, n) = varintOf(rec, o); types += t; o += n }
     var body = hdrLen.toInt
     types.result().map { t =>
       val (value, size) = decodeValue(rec, body, t)
@@ -166,16 +160,10 @@ final class SqliteFile(bytes: Array[Byte]) {
       case 0 => (null, 0)
       case 1 | 2 | 3 | 4 =>
         val len = t.toInt
-        var v: Long = if ((rec(off) & 0x80) != 0) -1L else 0L
-        var i = 0
-        while (i < len) { v = (v << 8) | (rec(off + i) & 0xff); i += 1 }
-        (v, len)
+        (sintOf(rec, off, len), len)
       case 5 | 6 =>
         val len = if (t == 5) 6 else 8
-        var v: Long = if ((rec(off) & 0x80) != 0) -1L else 0L
-        var i = 0
-        while (i < len) { v = (v << 8) | (rec(off + i) & 0xff); i += 1 }
-        (v, len)
+        (sintOf(rec, off, len), len)
       case 7 =>
         var bits = 0L; var i = 0
         while (i < 8) { bits = (bits << 8) | (rec(off + i) & 0xff); i += 1 }
