@@ -3377,6 +3377,153 @@ object OracleSql {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q183: PII scrub replay — same deterministic injection from
+    * doc_id, same three ordered regex passes ('g' flag = Spark's
+    * replace-all), counts via regexp_extract_all on the exact text
+    * each pass scanned. Patterns are RE2-simple so Java and RE2
+    * match identical spans. */
+  private val q183 =
+    """WITH u AS (
+      |  SELECT doc_id, text ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN ' mail user' ||
+      |      CAST(doc_id % 100 AS VARCHAR) || '@box' ||
+      |      CAST(doc_id % 10 AS VARCHAR) || '.example.org' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+      |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |      CAST((doc_id * 3) % 256 AS VARCHAR) || '.' ||
+      |      CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END) AS t0
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, t0,
+      |  regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+      |    '<EMAIL>', 'g') AS t1 FROM u),
+      |p2 AS (SELECT doc_id, t0, t1,
+      |  regexp_replace(t1, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS t2
+      |  FROM p1)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t0,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(t1,
+      |    '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+      |  CAST(len(regexp_extract_all(t2,
+      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_ips,
+      |  regexp_replace(t2, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+      |    '<IP>', 'g') AS clean_text
+      |FROM p2 ORDER BY doc_id""".stripMargin
+
+  /** q184: fixed-stride chunk replay — DuckDB's inclusive 1-based
+    * list slice mirrors Spark's slice(arr, start, width); floor `//`
+    * and Spark's floor(int/int-as-double) agree on the -1 edge, and
+    * greatest(…, 0) keeps empty docs at exactly one empty chunk in
+    * both engines. */
+  private val q184 =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, greatest((len(toks) - 1) // 6, 0)))
+      |      AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |  CAST(chunk_id * 6 AS INTEGER) AS chunk_start,
+      |  CAST(len(toks[chunk_id*6+1 : chunk_id*6+8]) AS INTEGER)
+      |    AS n_chunk_toks,
+      |  array_to_string(toks[chunk_id*6+1 : chunk_id*6+8], ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q185: RRF replay — the q181 logit fold ranks quality, n_chars
+    * ranks brevity; row_number over each total order, then the pure
+    * integer 10¹² // (60 + rank) fusion. CAST ranks to INTEGER
+    * (Spark int) and the fused sum to BIGINT (DuckDB // → HUGEINT). */
+  private val q185 =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, w ->
+      |        (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(string_split(w, ''),
+      |              c -> CAST(unicode(c) AS BIGINT))),
+      |          (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+      |          % 64 * 1000003 + 12345) % 1000000007 % 17 - 8)))
+      |      AS BIGINT) AS logit
+      |  FROM t),
+      |a AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY -logit, doc_id) AS INTEGER) AS rank_a FROM s),
+      |b AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY n_chars, doc_id) AS INTEGER) AS rank_b FROM s)
+      |SELECT a.doc_id, rank_a, rank_b,
+      |  CAST(1000000000000 // (60 + rank_a) +
+      |    1000000000000 // (60 + rank_b) AS BIGINT) AS rrf_scaled
+      |FROM a JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY rrf_scaled DESC, a.doc_id""".stripMargin
+
+  /** q186: paragraph first-owner dedup replay — q91's block kernel,
+    * ownership by row_number over (doc_id, para_id) per raw paragraph
+    * text (the engine elects over xxhash64; grouping raw text here
+    * also proves the hash collision-free at this SF). */
+  private val q186 =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // 8)) AS para_id
+      |  FROM d),
+      |paras AS (
+      |  SELECT doc_id, para_id,
+      |    array_to_string(toks[para_id*8+1 : para_id*8+8], ' ') AS ptext
+      |  FROM b),
+      |own AS (
+      |  SELECT doc_id, para_id, ptext,
+      |    row_number() OVER (PARTITION BY ptext
+      |      ORDER BY doc_id, para_id) AS rn
+      |  FROM paras)
+      |SELECT doc_id,
+      |  count(*) AS n_paras,
+      |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+      |  COALESCE(array_to_string(
+      |    list(ptext ORDER BY para_id) FILTER (WHERE rn = 1),
+      |    ' '), '') AS clean_text
+      |FROM own GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q187: DSIR replay — q181's char-fold bucket per token, one
+    * grouped count for (raw, target), the Laplace integer ratio, and
+    * a per-doc sum. Everything BIGINT; `//` outputs re-cast. */
+  private val q187 =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS w
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, source,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(w, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) % 64 AS f
+      |  FROM t),
+      |feats AS (
+      |  SELECT f,
+      |    CAST(((count(CASE WHEN source = 'src0' THEN 1 END) + 1)
+      |      * 1000000) // (count(*) + 1) AS BIGINT) AS w_scaled
+      |  FROM tb GROUP BY f),
+      |d AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_toks,
+      |    CAST(sum(w_scaled) AS BIGINT) AS score_scaled
+      |  FROM tb JOIN feats USING (f) GROUP BY doc_id)
+      |SELECT doc_id, n_toks, score_scaled,
+      |  CAST(score_scaled // n_toks AS BIGINT) AS avg_w_scaled
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // q97: transformWithState per-(user, type) snapshot — all maintained
   // aggregates are order-independent, so the batch GROUP BY is exact
   // whatever the stream's arrival/trigger decomposition was.
@@ -3633,6 +3780,11 @@ object OracleSql {
     "q180_pseudonymize" -> q180,
     "q181_linear_scorer" -> q181,
     "q182_matryoshka" -> q182,
+    "q183_pii_typed" -> q183,
+    "q184_token_chunks" -> q184,
+    "q185_rrf_fusion" -> q185,
+    "q186_paragraph_dedup" -> q186,
+    "q187_dsir_weights" -> q187,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2444,6 +2444,75 @@ object SparkEntry {
         truncDims = 16, k = 5, queryMod = 20)
       .orderBy("query_id")
 
+  /** Deterministic PII injection for q183 (the synthUrl convention:
+    * the INPUT is synthesized from the row key so the oracle derives
+    * identical strings; the OPERATOR — regex scrub — is the real
+    * thing). Roughly a third of docs get an email, a quarter a phone,
+    * a fifth an IPv4; moduli overlap so some docs carry all three. */
+  private def synthPii(docId: Column, text: Column): Column = {
+    val email = when(docId % 3 === 0,
+      concat(lit(" mail user"), (docId % 100).cast("string"),
+        lit("@box"), (docId % 10).cast("string"), lit(".example.org")))
+      .otherwise("")
+    val phone = when(docId % 4 === 0,
+      concat(lit(" call 555-"),
+        lpad((docId % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((docId * 7) % 10000).cast("string"), 4, "0")))
+      .otherwise("")
+    val ip = when(docId % 5 === 0,
+      concat(lit(" from 10."), (docId % 256).cast("string"), lit("."),
+        ((docId * 3) % 256).cast("string"), lit("."),
+        ((docId * 13) % 256).cast("string")))
+      .otherwise("")
+    concat(text, email, phone, ip)
+  }
+
+  /** Typed PII scrub over deterministically-injected emails/phones/
+    * IPs: per-category mask tokens + counts (contrast q55's single
+    * digit-run redaction); oracle replays both the synthesis and the
+    * three ordered regex passes. */
+  private def qPiiTyped(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.piiScrub(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          synthPii(col("doc_id"), col("text")).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Fixed-stride token chunking (RAG sharding): 8-token windows
+    * every 6 tokens — overlapping context, shorter tail chunk. */
+  private def qTokenChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.tokenChunks(Tables.documents(s, dir),
+        "doc_id", "text", width = 8, stride = 6)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Reciprocal-rank fusion of two document rankings — quality logit
+    * descending (negated key) ⊕ brevity (n_chars ascending) — in
+    * exact integer fixed point. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = operators.TextAnalysis.linearScore(docs, "doc_id", "text",
+        buckets = 64)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    operators.Metrics.rrfFusion(scored, "doc_id",
+        -col("logit"), col("n_chars").cast("long"), k = 60)
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+  }
+
+  /** Paragraph-level first-owner dedup: 8-token paragraphs, global
+    * first occurrence survives, text rebuilt from survivors. */
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.paragraphDedup(Tables.documents(s, dir),
+        "doc_id", "text", paraLen = 8)
+      .orderBy("doc_id")
+
+  /** DSIR importance weights: hashed-unigram target-vs-raw ratios
+    * (target = source 'src0'), integer fixed point throughout. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.dsirWeights(Tables.documents(s, dir),
+        "doc_id", "text", col("source") === "src0", buckets = 64)
+      .orderBy("doc_id")
+
   /** Portable-arithmetic hyperplane LSH — the oracle-checked twin of
     * q23 (the q132 convention applied to ANN): fixed-point-quantized
     * vectors, PRF-literal planes, integer dot-product ranking, so the
@@ -2655,7 +2724,12 @@ object SparkEntry {
       "q179_url_dedup" -> (qUrlDedup _),
       "q180_pseudonymize" -> (qPseudonymize _),
       "q181_linear_scorer" -> (qLinearScorer _),
-      "q182_matryoshka" -> (qMatryoshka _))
+      "q182_matryoshka" -> (qMatryoshka _),
+      "q183_pii_typed" -> (qPiiTyped _),
+      "q184_token_chunks" -> (qTokenChunks _),
+      "q185_rrf_fusion" -> (qRrfFusion _),
+      "q186_paragraph_dedup" -> (qParagraphDedup _),
+      "q187_dsir_weights" -> (qDsirWeights _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -2673,7 +2747,7 @@ object SparkEntry {
     "q147_prefix_jaccard", "q152_perplexity_filter",
     "q160_containment", "q163_hard_negatives",
     "q129_bpe_merges", "q175_lsh_oracle", "q176_ivf_oracle",
-    "q179_url_dedup")
+    "q179_url_dedup", "q186_paragraph_dedup", "q187_dsir_weights")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

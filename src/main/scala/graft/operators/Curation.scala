@@ -436,4 +436,85 @@ object Curation {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Fixed-stride token chunking (the RAG / context-window sharding
+    * step): cut each document's whitespace tokens into windows of
+    * `width` tokens starting every `stride` tokens (width > stride ⇒
+    * overlapping context, width < stride ⇒ gapped sampling). A chunk
+    * is emitted for every start index inside the document, so the
+    * tail is covered by a (possibly shorter) final chunk; an empty
+    * document yields one empty chunk, keeping the per-document row
+    * contract total.
+    *
+    * Output: (doc_id, chunk_id, chunk_start, n_chunk_toks,
+    * chunk_text) — chunk_start = chunk_id · stride in token units.
+    *
+    * Scale shape: map-only (sequence + explode + slice — the
+    * [[Dedup.shingleRows]] kernel with a stride), no shuffle;
+    * ~n/stride output rows per n-token document. */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+                  width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1,
+      s"tokenChunks needs width/stride >= 1, got width=$width stride=$stride")
+    val toks = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(floor((size(col("toks")) - 1) / stride).cast("int"),
+            lit(0)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).cast("int").as("chunk_start"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(width))
+          .as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("ctoks")).as("n_chunk_toks"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", restated in
+    * exact integer arithmetic): hashed-unigram counts in a TARGET
+    * slice vs the RAW corpus give per-feature importance ratios, and
+    * each document scores the sum of its tokens' ratios — the signal
+    * for "pick raw-corpus documents that look like the target
+    * domain". Ratios are Laplace-smoothed and fixed-point scaled,
+    * w(f) = ((n_target(f)+1) · 10⁶) DIV (n_raw(f)+1), all BIGINT
+    * (safe while per-feature counts stay < ~9·10¹² — hold buckets
+    * accordingly at scale), so the score is exact in any engine; the
+    * hash is the [[TextAnalysis.linearScore]] polynomial char fold
+    * mod 1e9+7, SQL-replayable.
+    *
+    * Output: (doc_id, n_toks, score_scaled, avg_w_scaled).
+    *
+    * Scale shape: one token explode feeding a BOUNDED feature
+    * aggregation (≤ `buckets` rows, broadcast back — no second big
+    * shuffle) and one map-side-combined per-doc sum. The target flag
+    * rides the token rows, so target and raw counts come out of the
+    * same single aggregation. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int): DataFrame = {
+    val P = 1000000007L
+    def bucket(w: Column): Column = {
+      val h = aggregate(split(w, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+      pmod(h, lit(buckets.toLong))
+    }
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(filter(split(lower(col(textCol)), " "), w => w =!= ""))
+          .as("w"))
+      .select(col("doc_id"), col("is_t"), bucket(col("w")).as("f"))
+    val feats = toks.groupBy("f")
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("is_t"), 1)).as("n_t"))
+      .select(col("f"),
+        expr("CAST(((n_t + 1) * 1000000) DIV (n_raw + 1) AS BIGINT)")
+          .as("w_scaled"))
+    toks.join(broadcast(feats), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("w_scaled")).as("score_scaled"))
+      .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
+        col("score_scaled"),
+        expr("CAST(score_scaled DIV n_toks AS BIGINT)").as("avg_w_scaled"))
+  }
 }

@@ -760,4 +760,57 @@ object Dedup {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles"))
   }
+
+  /** Paragraph-level first-owner dedup (the Dolma/Lee-et-al. "dedupe
+    * at paragraph granularity, keep the first occurrence" pass): cut
+    * each document into consecutive non-overlapping `paraLen`-word
+    * paragraphs (positional boundaries — this corpus has no newlines,
+    * the [[blockDedup]] framing), elect the GLOBAL first occurrence
+    * of every distinct paragraph text (lexicographic min of (doc_id,
+    * para_id)), drop every later copy, and reassemble survivors in
+    * original order. Contrast [[blockDedup]], which drops by document
+    * frequency (boilerplate removal — the first copy dies too): here
+    * exactly one copy of every distinct paragraph survives, so the
+    * corpus keeps its full deduplicated paragraph mass.
+    *
+    * Output: one row per input document — (doc_id, n_paras, n_kept,
+    * clean_text); a fully-deduplicated document stays in the output
+    * with clean_text = ''.
+    *
+    * Scale shape: paragraph assembly is map-only; ownership
+    * aggregates min(struct(doc_id, para_id)) over the paragraph HASH
+    * (one fixed-width shuffle — paragraph text never crosses the wire
+    * for election), and the verdict joins back on that same key.
+    * Reassembly is the [[blockDedup]] per-document array_sort — no
+    * global sort, no driver state. Hash-collision bound as
+    * [[duplicateSpans]]: a cross-doc xxhash64 collision could only
+    * over-drop one paragraph; the DuckDB oracle groups the raw text
+    * and agrees at test SFs. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paraLen: Int): DataFrame = {
+    val toks = words(col(textCol))
+    val paras = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1) / paraLen).cast("int")),
+          k => struct(k.as("para_id"),
+            concat_ws(" ",
+              slice(col("toks"), k * paraLen + 1, lit(paraLen)))
+              .as("ptext")))).as("p"))
+      .select(col("doc_id"), col("p.para_id"), col("p.ptext"),
+        xxhash64(col("p.ptext")).as("h"))
+    val owners = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_id"))).as("own"))
+    paras.join(owners, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("own.doc_id") &&
+        col("para_id") === col("own.para_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("para_id"), col("ptext"))))),
+          p => p.getField("ptext"))).as("clean_text"))
+  }
 }

@@ -149,4 +149,33 @@ object Metrics {
             (lit(2) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    * GLOBAL rankings — the hybrid-retrieval merge (lexical rank ⊕
+    * vector rank) that needs no score calibration, only rank
+    * positions. Both orderings sort ASCENDING on their key with the
+    * id as tie-break (negate a score to rank descending), so each is
+    * a total order; the fused score is exact integer fixed point,
+    * rrf_scaled = Σᵢ 10¹² DIV (k + rankᵢ(d)) — no float division, so
+    * any SQL engine replays it bit-for-bit.
+    *
+    * Output: (id, rank_a, rank_b, rrf_scaled).
+    *
+    * Scale shape: each ranking is [[Curation.globalRowIds]] — the
+    * range-partition + zipWithIndex global ordinal, NOT a
+    * single-partition window — then one equi-join on the id. */
+  def rrfFusion(df: DataFrame, idCol: String, keyA: Column, keyB: Column,
+                k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), keyA.as("ka"), keyB.as("kb"))
+    val ra = Curation.globalRowIds(
+        base.select(col("id"), col("ka")), Seq("ka", "id"))
+      .select(col("id"), col("global_id").cast("int").as("rank_a"))
+    val rb = Curation.globalRowIds(
+        base.select(col("id"), col("kb")), Seq("kb", "id"))
+      .select(col("id"), col("global_id").cast("int").as("rank_b"))
+    ra.join(rb, Seq("id"))
+      .select(col("id").as(idCol), col("rank_a"), col("rank_b"),
+        expr(s"CAST(1000000000000 DIV ($k + rank_a) + " +
+          s"1000000000000 DIV ($k + rank_b) AS BIGINT)").as("rrf_scaled"))
+  }
 }

@@ -497,4 +497,35 @@ object TextAnalysis {
           .as("logit"))
       .withColumn("keep", col("logit") >= 0)
   }
+
+  /** PII scrubbing (the Dolma/CCNet release step): replace emails,
+    * NANP-style phone numbers, and IPv4 addresses with typed mask
+    * tokens and count what was cut, so downstream stages can gate on
+    * residual-PII density. Patterns are deliberately RE2-simple (no
+    * lookaround, no backreferences) so Java regex and an RE2-based
+    * SQL engine match identical spans; emails are masked FIRST so a
+    * digit-bearing mail domain can never be re-matched as a phone or
+    * IP fragment, then phones before IPs (disjoint anyway — dashes vs
+    * dots — but the order is part of the contract).
+    *
+    * Output: (doc_id, n_emails, n_phones, n_ips, clean_text) — counts
+    * are taken against the text each pattern actually scans (original
+    * for emails, email-masked for phones, phone-masked for IPs), i.e.
+    * exactly what the replace pass saw.
+    *
+    * Scale shape: map-only — three codegen'd regexp passes per row,
+    * no shuffle, no UDF. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, phone, "<PHONE>")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t0, lit(email)).as("n_emails"),
+      regexp_count(t1, lit(phone)).as("n_phones"),
+      regexp_count(t2, lit(ip)).as("n_ips"),
+      regexp_replace(t2, ip, "<IP>").as("clean_text"))
+  }
 }
