@@ -19,17 +19,29 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read natively. Read it as nanos-since-epoch
-    * (legacy conf) and truncate to microseconds — the same floor
-    * division DuckDB applies, so both engines see identical
-    * microsecond timestamps. */
+  /** Fixture generations have stored events.ts two ways: parquet
+    * TIMESTAMP(NANOS) — which Spark 4 only reads via the legacy
+    * nanos-as-long conf, so it arrives as a bigint to truncate — and
+    * native TIMESTAMP(MICROS) isAdjustedToUTC=false, which arrives as
+    * TIMESTAMP_NTZ. Normalize both to session-TZ microsecond
+    * timestamps (the session TZ is pinned to UTC everywhere, so the
+    * NTZ→LTZ cast is value-preserving and the output parquet type
+    * stays the same across fixture generations; the nanos path floor-
+    * divides exactly as DuckDB's nanos read does). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")

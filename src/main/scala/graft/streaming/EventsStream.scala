@@ -21,11 +21,11 @@ object EventsStream {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
@@ -107,17 +107,16 @@ object EventsStream {
     * streaming query over `<dir>/events.parquet`, returned as a batch
     * DataFrame once the file is fully processed. */
   def dailyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    // ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate to
-    // micros — identical to the batch reader (see Tables.readEvents).
+    // ts normalization identical to the batch reader (Tables.normalizeEventTs)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory: stream the sf dir with
     // a glob pinned to the events file
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
