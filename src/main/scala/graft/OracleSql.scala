@@ -3596,6 +3596,285 @@ object OracleSql {
       |FROM tok t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.p = rm.p
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** q188: PR-curve replay — the q181 logit fold feeds a per-distinct-
+    * score aggregation, then a descending cumulative window (CAST to
+    * BIGINT: DuckDB windowed SUM returns HUGEINT — the q102 lesson)
+    * and ppm integer division. */
+  private val q188 =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, (n_chars >= 400) AS gold,
+      |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+      |      (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(w, ''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |        (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+      |        % 64 * 1000003 + 12345) % 1000000007 % 17 - 8))) AS BIGINT)
+      |      AS logit
+      |  FROM t),
+      |s AS (
+      |  SELECT logit AS thr, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(coalesce(sum(CASE WHEN gold THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS np
+      |  FROM g GROUP BY 1),
+      |c AS (
+      |  SELECT thr,
+      |    CAST(sum(n) OVER w AS BIGINT) AS scanned,
+      |    CAST(sum(np) OVER w AS BIGINT) AS tp
+      |  FROM s
+      |  WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)),
+      |p AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN gold THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS p_all FROM g)
+      |SELECT thr, tp, scanned - tp AS fp, p_all - tp AS fn,
+      |  CAST(1000000 * tp // scanned AS BIGINT) AS prec_ppm,
+      |  CASE WHEN p_all > 0 THEN CAST(1000000 * tp // p_all AS BIGINT)
+      |    END AS rec_ppm,
+      |  CAST(2000000 * tp // (scanned + p_all) AS BIGINT) AS f1_ppm
+      |FROM c, p ORDER BY thr DESC""".stripMargin
+
+  /** q189: Cohen's kappa replay — integer confusion-cell arithmetic;
+    * the fixed point divides MAGNITUDES only so DuckDB's floor //
+    * agrees with Spark's truncating DIV on the (possibly negative)
+    * numerator. */
+  private val q189 =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 250 THEN 'short'
+      |         WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS la,
+      |    CASE WHEN len(list_filter(string_split(lower(text), ' '),
+      |             w -> w <> '')) < 45 THEN 'short'
+      |         WHEN len(list_filter(string_split(lower(text), ' '),
+      |             w -> w <> '')) < 70 THEN 'mid' ELSE 'long' END AS lb
+      |  FROM documents),
+      |cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+      |          FROM r GROUP BY 1, 2),
+      |m AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0) AS BIGINT)
+      |      AS d
+      |  FROM cells),
+      |sx AS (
+      |  SELECT CAST(coalesce(sum(x.ra * y.cb), 0) AS BIGINT) AS s
+      |  FROM (SELECT la AS l, CAST(sum(c) AS BIGINT) AS ra
+      |        FROM cells GROUP BY 1) x
+      |  JOIN (SELECT lb AS l, CAST(sum(c) AS BIGINT) AS cb
+      |        FROM cells GROUP BY 1) y USING (l))
+      |SELECT n, d, s,
+      |  CAST(1000000 * d // n AS BIGINT) AS po_ppm,
+      |  CAST(1000000 * s // (n * n) AS BIGINT) AS pe_ppm,
+      |  CASE WHEN n * n = s THEN CAST(1000000 AS BIGINT)
+      |       WHEN n * d - s >= 0
+      |         THEN CAST(1000000 * (n * d - s) // (n * n - s) AS BIGINT)
+      |       ELSE CAST(-(1000000 * (s - n * d) // (n * n - s)) AS BIGINT)
+      |  END AS kappa_ppm
+      |FROM m, sx""".stripMargin
+
+  /** q190: α-sampling replay — exact isqrt (float seed ±1-corrected in
+    * integer comparisons), largest-remainder apportionment over the
+    * bounded per-source frame, scramble-order application (q78's key). */
+  private val q190 =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY 1),
+      |i1 AS (SELECT source, n_rows,
+      |         CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS a
+      |       FROM c),
+      |i2 AS (SELECT source, n_rows,
+      |         a - CASE WHEN a * a > n_rows THEN 1 ELSE 0 END AS dn
+      |       FROM i1),
+      |i3 AS (SELECT source, n_rows,
+      |         dn + CASE WHEN (dn + 1) * (dn + 1) <= n_rows THEN 1 ELSE 0
+      |              END AS w
+      |       FROM i2),
+      |q1 AS (SELECT source, w, CAST(sum(w) OVER () AS BIGINT) AS wsum
+      |       FROM i3),
+      |q2 AS (SELECT source, w, wsum,
+      |         CAST(150 * w // wsum AS BIGINT) AS base,
+      |         row_number() OVER (ORDER BY (150 * w) % wsum DESC,
+      |           source ASC) AS rem_rank
+      |       FROM q1),
+      |q3 AS (SELECT source,
+      |         base + CASE WHEN rem_rank <=
+      |             150 - CAST(sum(base) OVER () AS BIGINT)
+      |           THEN 1 ELSE 0 END AS quota
+      |       FROM q2),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id % 2147483647) * 2654435761 % 2147483647 ASC,
+      |               doc_id ASC) AS samp_rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.source,
+      |  CAST(r.samp_rank AS INTEGER) AS samp_rank,
+      |  CAST(q3.quota AS BIGINT) AS quota
+      |FROM r JOIN q3 USING (source)
+      |WHERE r.samp_rank <= q3.quota
+      |ORDER BY source, samp_rank""".stripMargin
+
+  /** q191: unigram-entropy replay — identical ordered left fold over
+    * the SORTED distinct-token list (list_reduce with 0.0 init, the
+    * q148 convention), sum quantized to DECIMAL(18,9) (lnp9). */
+  private val q191 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, toks,
+      |        list_sort(list_distinct(toks)) AS dts FROM t),
+      |e AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INTEGER) AS n_toks,
+      |    CAST(len(dts) AS INTEGER) AS n_distinct,
+      |    CAST(list_reduce(list_prepend(0.0,
+      |      list_transform(
+      |        list_transform(dts, x ->
+      |          len(list_filter(toks, t2 -> t2 = x)) / (1.0 * len(toks))),
+      |        r -> -r * ln(r))),
+      |      (acc, x) -> acc + x) AS DECIMAL(18,9)) AS ent9
+      |  FROM d)
+      |SELECT doc_id, n_toks, n_distinct, ent9,
+      |  ent9 < 2.5 AS low_entropy
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  /** q192: split-leakage replay — q147's exhaustive lossless pair join
+    * composed with q78's split assignment; cross-split pairs only. */
+  private val q192 =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ws
+      |  FROM ws WHERE len(w) >= 3),
+      |pp AS (SELECT doc_id, unnest(ws) AS tok FROM t WHERE len(ws) > 0),
+      |cand AS (
+      |  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+      |  FROM pp p1 JOIN pp p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id),
+      |v AS (
+      |  SELECT a, b,
+      |    len(list_intersect(ta.ws, tb.ws)) AS common,
+      |    len(ta.ws) AS sza, len(tb.ws) AS szb
+      |  FROM cand
+      |  JOIN t ta ON ta.doc_id = cand.a
+      |  JOIN t tb ON tb.doc_id = cand.b),
+      |pr AS (
+      |  SELECT a, b, common, sza, szb FROM v
+      |  WHERE common * 5 >= (sza + szb - common) * 3),
+      |r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id % 2147483647) * 2654435761 % 2147483647 ASC,
+      |               doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN rn * 100 <= cnt * 80 THEN 'train'
+      |         WHEN rn * 100 <= cnt * 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM r)
+      |SELECT pr.a, pr.b, CAST(pr.common AS INTEGER) AS common,
+      |  pr.common / (pr.sza + pr.szb - pr.common) AS jaccard,
+      |  sa.split AS split_a, sb.split AS split_b,
+      |  (sa.split = 'train' OR sb.split = 'train') AS leaks_train
+      |FROM pr
+      |JOIN sp sa ON sa.doc_id = pr.a
+      |JOIN sp sb ON sb.doc_id = pr.b
+      |WHERE sa.split <> sb.split
+      |ORDER BY a, b""".stripMargin
+
+  /** q193: zone-map replay — file_id off a row_number over the unique
+    * layout key (Spark's globalRowIds total order), grouped min/max
+    * zone stats, both layouts unioned. */
+  private val q193 = {
+    def audit(keyExpr: String, tag: String): String =
+      s"""SELECT '$tag' AS layout,
+         |  CAST((row_number() OVER (ORDER BY $keyExpr ASC) - 1) // 500
+         |    AS BIGINT) AS file_id,
+         |  o_custkey AS v
+         |FROM orders""".stripMargin
+    s"""WITH na AS (${audit("o_orderkey", "natural")}),
+       |cl AS (${audit("o_custkey * 1000000000 + o_orderkey", "clustered")}),
+       |u AS (SELECT * FROM na UNION ALL SELECT * FROM cl)
+       |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(v) AS min_v, max(v) AS max_v,
+       |  (max(v) < 100 OR min(v) > 300) AS pruned,
+       |  CAST(coalesce(sum(CASE WHEN v BETWEEN 100 AND 300 THEN 1 ELSE 0
+       |    END), 0) AS BIGINT) AS n_match,
+       |  layout
+       |FROM u GROUP BY layout, file_id
+       |ORDER BY layout, file_id""".stripMargin
+  }
+
+  /** q194: stratified k-fold replay — q78's scramble order, fold =
+    * (rn − 1) mod 5. */
+  private val q194 =
+    """SELECT doc_id, lang,
+      |  CAST((row_number() OVER (PARTITION BY lang
+      |    ORDER BY (doc_id % 2147483647) * 2654435761 % 2147483647 ASC,
+      |             doc_id ASC) - 1) % 5 AS INTEGER) AS fold
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q195: Bradley–Terry replay — monthly nation-revenue contests
+    * (exact decimal compares), then both MM iterations unrolled as
+    * CTEs in the same 10⁶/10¹² integer fixed point (the q102/q176
+    * unrolled-iteration pattern); both engines clamp denominators to
+    * ≥ 1 and floor-divide non-negative operands. */
+  private val q195 =
+    """WITH rev AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    date_trunc('month', o.o_orderdate) AS m,
+      |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |con AS (
+      |  SELECT
+      |    CASE WHEN x.rev > y.rev THEN x.nk
+      |         WHEN y.rev > x.rev THEN y.nk
+      |         ELSE least(x.nk, y.nk) END AS winner,
+      |    CASE WHEN x.rev > y.rev THEN y.nk
+      |         WHEN y.rev > x.rev THEN x.nk
+      |         ELSE greatest(x.nk, y.nk) END AS loser
+      |  FROM rev x JOIN rev y ON x.m = y.m AND x.nk < y.nk),
+      |e0 AS (SELECT winner AS u, loser AS v FROM con
+      |       UNION ALL SELECT loser, winner FROM con),
+      |e AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n
+      |      FROM e0 GROUP BY 1, 2),
+      |wn AS (SELECT winner AS u, CAST(count(*) AS BIGINT) AS w
+      |       FROM con GROUP BY 1),
+      |tot AS (SELECT u, CAST(sum(n) AS BIGINT) AS n_all
+      |        FROM e GROUP BY 1),
+      |p0 AS (SELECT t.u, coalesce(wn.w, 0) AS w, t.n_all AS n,
+      |         CAST(1000000 AS BIGINT) AS p
+      |       FROM tot t LEFT JOIN wn USING (u)),
+      |d1 AS (
+      |  SELECT e.u,
+      |    CAST(sum(e.n * 1000000000000 // greatest(pu.p + pv.p, 1))
+      |      AS BIGINT) AS d
+      |  FROM e JOIN p0 pu ON pu.u = e.u JOIN p0 pv ON pv.u = e.v
+      |  GROUP BY 1),
+      |p1 AS (SELECT p0.u, p0.w, p0.n,
+      |         CAST(p0.w * 1000000000000 // greatest(d1.d, 1) AS BIGINT)
+      |           AS p
+      |       FROM p0 JOIN d1 USING (u)),
+      |d2 AS (
+      |  SELECT e.u,
+      |    CAST(sum(e.n * 1000000000000 // greatest(pu.p + pv.p, 1))
+      |      AS BIGINT) AS d
+      |  FROM e JOIN p1 pu ON pu.u = e.u JOIN p1 pv ON pv.u = e.v
+      |  GROUP BY 1),
+      |p2 AS (SELECT p1.u, p1.w, p1.n,
+      |         CAST(p1.w * 1000000000000 // greatest(d2.d, 1) AS BIGINT)
+      |           AS p
+      |       FROM p1 JOIN d2 USING (u))
+      |SELECT u AS nationkey, w, n, p
+      |FROM p2 ORDER BY p DESC, nationkey""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -3785,6 +4064,14 @@ object OracleSql {
     "q185_rrf_fusion" -> q185,
     "q186_paragraph_dedup" -> q186,
     "q187_dsir_weights" -> q187,
+    "q188_pr_curve" -> q188,
+    "q189_cohen_kappa" -> q189,
+    "q190_alpha_sample" -> q190,
+    "q191_token_entropy" -> q191,
+    "q192_split_leakage" -> q192,
+    "q193_zone_maps" -> q193,
+    "q194_stratified_kfold" -> q194,
+    "q195_bradley_terry" -> q195,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

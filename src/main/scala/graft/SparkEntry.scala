@@ -2539,6 +2539,106 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Precision-recall threshold sweep of the hashed linear scorer's
+    * integer logits against a length-based gold label — the curve a
+    * quality-filter threshold gets picked from. */
+  private def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = operators.TextAnalysis.linearScore(docs, "doc_id", "text",
+        buckets = 64)
+      .join(docs.select(col("doc_id"), (col("n_chars") >= 400).as("gold")),
+        Seq("doc_id"))
+    operators.Metrics.prCurve(scored, "logit", "gold")
+      .orderBy(col("thr").desc)
+  }
+
+  /** Cohen's kappa between two deterministic length raters (char
+    * bands vs whitespace-token bands) — the labeling-QA agreement
+    * check, exact integer throughout. */
+  private def qCohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(filter(split(lower(col("text")), " "), w => w =!= ""))
+    val rated = Tables.documents(s, dir).select(
+      when(col("n_chars") < 250, "short")
+        .when(col("n_chars") < 400, "mid").otherwise("long").as("rater_a"),
+      when(nToks < 45, "short")
+        .when(nToks < 70, "mid").otherwise("long").as("rater_b"))
+    operators.Metrics.cohenKappa(rated, "rater_a", "rater_b")
+  }
+
+  /** Temperature-scaled (α = 1/2) source sampling: a 150-document
+    * budget apportioned by exact largest remainder over isqrt counts,
+    * applied in scrambled-key order. */
+  private def qAlphaSample(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.alphaQuotaSample(Tables.documents(s, dir),
+        "doc_id", "source", budget = 150L)
+      .select(col("doc_id"), col("source"), col("samp_rank"), col("quota"))
+      .orderBy("source", "samp_rank")
+
+  /** Per-document unigram Shannon entropy with a low-entropy junk
+    * flag (< 2.5 nats ≈ the corpus p05 — repetitive/template text). */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tokenEntropy(Tables.documents(s, dir),
+        "doc_id", "text", lowBelow = 2.5)
+      .orderBy("doc_id")
+
+  /** Split-leakage audit: q147's lossless near-dup pairs that straddle
+    * the per-lang 80/10/10 split — the memorization-hygiene check. */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.splitLeakage(Tables.documents(s, dir),
+        "doc_id", "text", strata = Seq("lang"), n = 3,
+        thresholdNum = 3, thresholdDen = 5)
+      .orderBy("a", "b")
+
+  /** Zone-map data-skipping audit over orders, natural (orderkey)
+    * layout vs custkey-clustered layout, same 500-row files and the
+    * same custkey-band predicate — the delta is the layout's value. */
+  private def qZoneMaps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val natural = operators.ZOrder.zoneMapAudit(
+      orders.select(col("o_orderkey").as("k"), col("o_custkey")),
+      "k", "o_custkey", rowsPerFile = 500L, lo = 100L, hi = 300L)
+      .withColumn("layout", lit("natural"))
+    // unique clustered sort key: custkey in the high bits, orderkey low
+    val clustered = operators.ZOrder.zoneMapAudit(
+      orders.select((col("o_custkey") * 1000000000L + col("o_orderkey"))
+        .as("k"), col("o_custkey")),
+      "k", "o_custkey", rowsPerFile = 500L, lo = 100L, hi = 300L)
+      .withColumn("layout", lit("clustered"))
+    natural.unionByName(clustered).orderBy("layout", "file_id")
+  }
+
+  /** Stratified 5-fold cross-validation assignment over (lang)
+    * strata, deterministic scrambled-key round-robin. */
+  private def qStratifiedKfold(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.stratifiedKFold(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("lang"), k = 5)
+      .orderBy("doc_id")
+
+  /** Bradley–Terry nation strengths from monthly revenue head-to-head
+    * contests (2 integer MM iterations, the q102 unrolled-oracle
+    * pattern): which nations consistently out-sell which. */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val contests = rev.as("x").join(rev.as("y"),
+        col("x.m") === col("y.m") && col("x.nk") < col("y.nk"))
+      .select(
+        when(col("x.rev") > col("y.rev"), col("x.nk"))
+          .when(col("y.rev") > col("x.rev"), col("y.nk"))
+          .otherwise(least(col("x.nk"), col("y.nk"))).as("winner"),
+        when(col("x.rev") > col("y.rev"), col("y.nk"))
+          .when(col("y.rev") > col("x.rev"), col("x.nk"))
+          .otherwise(greatest(col("x.nk"), col("y.nk"))).as("loser"))
+    operators.BradleyTerry.strengths(contests, "winner", "loser", iters = 2)
+      .withColumnRenamed("player", "nationkey")
+      .orderBy(col("p").desc, col("nationkey"))
+  }
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2729,7 +2829,15 @@ object SparkEntry {
       "q184_token_chunks" -> (qTokenChunks _),
       "q185_rrf_fusion" -> (qRrfFusion _),
       "q186_paragraph_dedup" -> (qParagraphDedup _),
-      "q187_dsir_weights" -> (qDsirWeights _))
+      "q187_dsir_weights" -> (qDsirWeights _),
+      "q188_pr_curve" -> (qPrCurve _),
+      "q189_cohen_kappa" -> (qCohenKappa _),
+      "q190_alpha_sample" -> (qAlphaSample _),
+      "q191_token_entropy" -> (qTokenEntropy _),
+      "q192_split_leakage" -> (qSplitLeakage _),
+      "q193_zone_maps" -> (qZoneMaps _),
+      "q194_stratified_kfold" -> (qStratifiedKfold _),
+      "q195_bradley_terry" -> (qBradleyTerry _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

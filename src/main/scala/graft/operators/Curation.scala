@@ -254,27 +254,45 @@ object Curation {
     * either side of a range boundary, and their within-tie prefix
     * order would then depend on the range sampler. */
   def globalCumsum(df: DataFrame, orderCol: String,
-                   valueCol: String): DataFrame = {
+                   valueCol: String): DataFrame =
+    globalCumsums(df, orderCol, Seq(valueCol -> "cum"))
+
+  /** [[globalCumsum]] over SEVERAL bigint columns in one pass — the
+    * same two-phase prefix scan, carrying one running counter per
+    * value column (a PR-curve sweep needs cumulative n AND n_pos in
+    * the same order; two separate scans would sort twice). Each
+    * `(valueCol, outName)` pair appends `outName` holding the running
+    * sum of `valueCol`; the driver sees #partitions × #cols longs. */
+  def globalCumsums(df: DataFrame, orderCol: String,
+                    cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val ordered = df
       .repartitionByRange(col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val vi = ordered.schema.fieldIndex(valueCol)
+      val vis = cols.map { case (v, _) => ordered.schema.fieldIndex(v) }.toArray
+      val nc = vis.length
       val partSums = ordered.rdd
         .mapPartitionsWithIndex { (pi, it) =>
-          var s = 0L; it.foreach(r => s += r.getLong(vi))
+          val s = new Array[Long](nc)
+          it.foreach { r =>
+            var c = 0; while (c < nc) { s(c) += r.getLong(vis(c)); c += 1 } }
           Iterator((pi, s))
         }.collect().sortBy(_._1).map(_._2)
-      val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pi) = sum before pi
+      // offsets(pi)(c) = sum of column c strictly before partition pi
+      val offsets = partSums.scanLeft(new Array[Long](nc)) { (acc, p) =>
+        Array.tabulate(nc)(c => acc(c) + p(c))
+      }
       val schema = org.apache.spark.sql.types.StructType(
-        ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
-          "cum", org.apache.spark.sql.types.LongType, nullable = false))
+        ordered.schema.fields ++ cols.map { case (_, out) =>
+          org.apache.spark.sql.types.StructField(
+            out, org.apache.spark.sql.types.LongType, nullable = false) })
       val rows = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
-        var s = offsets(pi)
-        it.map { r => s += r.getLong(vi)
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s) }
+        val s = offsets(pi).clone()
+        it.map { r =>
+          var c = 0; while (c < nc) { s(c) += r.getLong(vis(c)); c += 1 }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ s) }
       }
       spark.createDataFrame(rows, schema).localCheckpoint()
     } finally ordered.unpersist(false)
@@ -516,5 +534,131 @@ object Curation {
       .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
         col("score_scaled"),
         expr("CAST(score_scaled DIV n_toks AS BIGINT)").as("avg_w_scaled"))
+  }
+
+  /** Exact integer square root, isqrt(n) = ⌊√n⌋ for n ≥ 0: seed with
+    * the double sqrt, then correct ±1 in INTEGER comparisons — the
+    * float seed is within 1 of the truth for any bigint, and the
+    * correction makes the result engine-independent (a bare
+    * floor(sqrt(n)) can land on either side of a perfect square
+    * depending on the libm rounding of sqrt). The +1 probe squares
+    * isqrt(n)+1, so n must stay below ~2⁶³ − 6·10⁹ (ANSI overflow
+    * otherwise) — row counts never get there. */
+  def isqrt(n: Column): Column = {
+    val a = floor(sqrt(n.cast("double"))).cast("long")
+    val down = a - when(a * a > n, 1L).otherwise(0L)
+    down + when((down + 1) * (down + 1) <= n, 1L).otherwise(0L)
+  }
+
+  /** Temperature-scaled source sampling (the multilingual α-sampling
+    * move, α = 1/2): a corpus-wide budget of `budget` documents is
+    * apportioned across sources with weight w_i = isqrt(n_i) — up-
+    * weighting small sources relative to proportional sampling, the
+    * standard fix for head-domain dominance in a training mix — and
+    * each source then keeps its quota's worth of documents in
+    * [[scrambleKey]] order.
+    *
+    * The apportionment is EXACT largest-remainder (Hamilton): base_i
+    * = ⌊B·w_i / W⌋, and the leftover B − Σ base_i goes one-each to
+    * the largest remainders (B·w_i mod W), ties to the smaller
+    * source name — so Σ quota_i = min(B, achievable) with no float
+    * rounding, bit-reproducible in any engine. A source with fewer
+    * rows than its quota keeps everything (quota is a cap, not a
+    * target; the shortfall is NOT redistributed — one pass, as a
+    * production mixer runs it).
+    *
+    * Scale shape: per-source counts are one map-side-combined
+    * aggregate (≤ #sources rows); the apportionment windows run over
+    * that bounded frame; the quota table broadcasts back. The
+    * per-group quota is data-dependent, so the rank window first
+    * filters on the LITERAL bound `budget` (quota ≤ budget always) —
+    * that constant limit is what WindowGroupLimit prunes on, capping
+    * each group's surviving rows at `budget` before the exact
+    * per-source `quota` filter lands.
+    *
+    * Output: kept rows as (id, group, samp_rank, quota). */
+  def alphaQuotaSample(df: DataFrame, idCol: String, groupCol: String,
+                       budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("w", isqrt(col("n_rows")))
+    // Bounded frame (one row per source): global windows are fine here.
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy()
+      .orderBy(pmod(lit(budget) * col("w"), col("wsum")).desc,
+        col(groupCol).asc)
+    val quotas = counts
+      .withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("base",
+        expr(s"CAST($budget * w DIV wsum AS BIGINT)"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rem_rank", row_number().over(wRem))
+      .withColumn("quota",
+        col("base") + when(col("rem_rank") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("quota"))
+    val wGrp = Window.partitionBy(col(groupCol))
+      .orderBy(scrambleKey(col(idCol)).asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .withColumn("samp_rank", row_number().over(wGrp))
+      .filter(col("samp_rank") <= budget) // literal → WindowGroupLimit
+      .join(broadcast(quotas), groupCol :: Nil)
+      .filter(col("samp_rank") <= col("quota"))
+  }
+
+  /** Stratified k-fold assignment (cross-validation prep): within
+    * each stratum, rows ordered by the [[scrambleKey]] deterministic
+    * shuffle take folds round-robin, fold = (rank − 1) mod k — so
+    * every stratum's rows split across folds as evenly as integers
+    * allow (fold sizes within a stratum differ by ≤ 1), and the
+    * assignment is reproducible across runs, engines, and
+    * partitionings.
+    *
+    * Scale shape: one hash shuffle on the strata and a per-stratum
+    * row_number — no global ordering, no driver state.
+    *
+    * Output: input columns + fold ∈ [0, k). */
+  def stratifiedKFold(df: DataFrame, idCol: String, strata: Seq[String],
+                      k: Int): DataFrame = {
+    require(k >= 2, s"stratifiedKFold needs k >= 2, got $k")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(scrambleKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("fold",
+      pmod(row_number().over(w) - 1, lit(k)).cast("int"))
+  }
+
+  /** Train/test split-leakage audit — the eval-hygiene pass run after
+    * any random split: near-duplicate document pairs that STRADDLE a
+    * [[trainValTestSplit]] boundary are exactly the pairs that let a
+    * model "memorize" its way to inflated held-out numbers. Composes
+    * the split assignment with the lossless prefix-filtered Jaccard
+    * join ([[Dedup.prefixJaccardPairs]], q147's kernel) and keeps the
+    * cross-split pairs; `leaks_train` marks the actionable subset
+    * (one side trains, the other evaluates → drop the eval side or
+    * re-split).
+    *
+    * Scale shape: the pair join is the q147 bucketed kernel (no
+    * all-pairs); the surviving pair set is FAR smaller than the
+    * corpus, so each split-label join broadcasts the pair side and
+    * streams the corpus-sized split table — two broadcast joins, no
+    * corpus shuffle beyond what the kernel already does.
+    *
+    * Output: (a, b, common, jaccard, split_a, split_b, leaks_train),
+    * cross-split pairs only. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   strata: Seq[String], n: Int,
+                   thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val splits = trainValTestSplit(docs, idCol, strata)
+      .select(col(idCol).cast("long").as("sid"), col("split"))
+    val pairs = graft.operators.Dedup.prefixJaccardPairs(
+      docs, idCol, textCol, n, thresholdNum, thresholdDen)
+    broadcast(pairs)
+      .join(splits.select(col("sid").as("a"), col("split").as("split_a")),
+        Seq("a"))
+      .join(splits.select(col("sid").as("b"), col("split").as("split_b")),
+        Seq("b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .withColumn("leaks_train",
+        col("split_a") === "train" || col("split_b") === "train")
   }
 }

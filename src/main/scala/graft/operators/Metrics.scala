@@ -178,4 +178,80 @@ object Metrics {
         expr(s"CAST(1000000000000 DIV ($k + rank_a) + " +
           s"1000000000000 DIV ($k + rank_b) AS BIGINT)").as("rrf_scaled"))
   }
+
+  /** Precision-recall curve by full threshold sweep: one row per
+    * DISTINCT score, reporting the confusion counts and P/R/F1 of
+    * the classifier "positive iff score ≥ thr". The sweep is how a
+    * quality-filter threshold is actually chosen (pick the operating
+    * point, read off the kept-volume/precision trade), and every
+    * number is exact: counts are bigints off one aggregation, and
+    * the ratios publish as parts-per-million integer fixed point
+    * (10⁶·x DIV y), so any engine replays the curve bit-for-bit.
+    *
+    * Shape: groupBy(score) collapses the corpus to ≤ #distinct-score
+    * rows (one shuffle, map-side combined); the descending cumulative
+    * TP/scanned counts ride ONE [[Curation.globalCumsums]] two-phase
+    * prefix scan over that collapsed frame (both counters in the
+    * same pass — no single-partition window, no second sort); the
+    * positive total joins back as a broadcast scalar.
+    *
+    * Output: (thr, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm),
+    * descending thr ⇔ ascending scan order. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("boolean")
+    val perScore = df.groupBy(col(scoreCol).cast("long").as("thr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lbl, 1L).otherwise(0L)).as("np"))
+      .withColumn("neg_thr", -col("thr"))
+    val swept = Curation.globalCumsums(perScore, "neg_thr",
+      Seq("n" -> "scanned", "np" -> "tp"))
+    val totals = df.agg(sum(when(lbl, 1L).otherwise(0L)).as("p_all"))
+    swept.crossJoin(broadcast(totals))
+      .select(col("thr"), col("tp"),
+        (col("scanned") - col("tp")).as("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        expr("CAST(1000000 * tp DIV scanned AS BIGINT)").as("prec_ppm"),
+        when(col("p_all") > 0,
+          expr("CAST(1000000 * tp DIV p_all AS BIGINT)")).as("rec_ppm"),
+        expr("CAST(2000000 * tp DIV (scanned + p_all) AS BIGINT)")
+          .as("f1_ppm"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * (annotator-vs-annotator, or classifier-vs-gold in a labeling
+    * QA pass). Exact integer throughout: with N pairs, D agreeing,
+    * and S = Σ_l rowTotal(l)·colTotal(l), kappa = (N·D − S)/(N² − S)
+    * — the po/pe definition with both denominators cleared — and the
+    * published fixed point rounds toward zero on BOTH engines by
+    * dividing magnitudes only (DuckDB's // floors, Spark's DIV
+    * truncates; they agree on non-negatives, so the sign is applied
+    * after the DIV). Exact while N·max(D, S/N) < 2⁶³ — ~3·10⁹ rows;
+    * shard the confusion matrix beyond that.
+    *
+    * Shape: one groupBy(labelA, labelB) shuffle collapses the corpus
+    * to ≤ |labels|² cells; marginals, S, and kappa all derive from
+    * that bounded frame.
+    *
+    * Output: one row (n, d, s, po_ppm, pe_ppm, kappa_ppm). */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val cells = df.groupBy(col(raterA).as("la"), col(raterB).as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy("la").agg(sum(col("c")).as("ra"))
+    val cb = cells.groupBy("lb").agg(sum(col("c")).as("cb"))
+    val sRow = ra.join(cb, col("la") === col("lb"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("s"))
+    cells.agg(sum(col("c")).as("n"),
+        coalesce(sum(when(col("la") === col("lb"), col("c"))), lit(0L))
+          .as("d"))
+      .crossJoin(sRow)
+      .select(col("n"), col("d"), col("s"),
+        expr("CAST(1000000 * d DIV n AS BIGINT)").as("po_ppm"),
+        expr("CAST(1000000 * s DIV (n * n) AS BIGINT)").as("pe_ppm"),
+        when(col("n") * col("n") === col("s"), lit(1000000L))
+          .otherwise(expr(
+            """CAST(CASE WHEN n * d - s >= 0
+              |  THEN 1000000 * (n * d - s) DIV (n * n - s)
+              |  ELSE -(1000000 * (s - n * d) DIV (n * n - s)) END
+              |AS BIGINT)""".stripMargin)).as("kappa_ppm"))
+  }
 }

@@ -528,4 +528,43 @@ object TextAnalysis {
       regexp_count(t2, lit(ip)).as("n_ips"),
       regexp_replace(t2, ip, "<IP>").as("clean_text"))
   }
+
+  /** Per-document unigram Shannon entropy (nats) — the low-entropy
+    * side catches repetitive junk (keyword stuffing, template spam,
+    * "buy buy buy"), complementing [[repetitionSignals]]'s n-gram
+    * view with a distribution-level scalar. H = Σ_w −(c_w/N)·ln(c_w/N)
+    * over the document's distinct tokens.
+    *
+    * Exactness follows the q148/q165 ordered-fold convention: the
+    * terms fold left-to-right over the SORTED distinct-token list
+    * (both engines fold the identical sequence) and the sum quantizes
+    * to DECIMAL(18,9) at publication (ent9), absorbing libm-vs-JVM ln
+    * ulps. The `low_entropy` flag compares ent9 — already quantized,
+    * so the threshold cut is bit-stable too.
+    *
+    * Scale shape: map-only — per-row HOFs (distinct, sort, counted
+    * fold), no shuffle, no UDF. The fold is O(distinct × n) per doc;
+    * for pathological vocabulary-heavy docs cap upstream by length
+    * (the Gopher gates), not here.
+    *
+    * Output: (doc_id, n_toks, n_distinct, ent9, low_entropy). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String,
+                   lowBelow: Double): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        array_sort(array_distinct(col("toks"))).as("dts"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(col("dts")).as("n_distinct"),
+        aggregate(
+          transform(col("dts"), d => {
+            val c = size(filter(col("toks"), t => t === d)).cast("double")
+            val n = size(col("toks")).cast("double")
+            -(c / n) * log(c / n)
+          }),
+          lit(0.0), (acc, x) => acc + x)
+          .cast("decimal(18,9)").as("ent9"))
+      .withColumn("low_entropy", col("ent9") < lowBelow)
+  }
 }

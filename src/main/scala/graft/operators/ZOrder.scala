@@ -62,4 +62,39 @@ object ZOrder {
   def layout(df: DataFrame, zCol: Column, numPartitions: Int): DataFrame =
     df.repartitionByRange(numPartitions, zCol.asc)
       .sortWithinPartitions(zCol.asc)
+
+  /** Zone-map (min/max data-skipping) audit: model the table as files
+    * of `rowsPerFile` consecutive rows in `layoutCol` order, compute
+    * each file's zone map over `valueCol`, and report what the
+    * predicate `valueCol BETWEEN lo AND hi` would skip — plus the
+    * false-positive rows (scanned but non-matching) that measure how
+    * well the layout clusters the value. Run it once on the natural
+    * order and once on a Z-ordered/sorted layout and the delta IS the
+    * layout's skipping value; at corpus scale this is the audit that
+    * justifies an OPTIMIZE pass before buying it.
+    *
+    * Exact and engine-portable: file_id = (rank − 1) DIV rowsPerFile
+    * off a deterministic total order (layoutCol must be unique), all
+    * counts integer.
+    *
+    * Scale shape: one range exchange for the file assignment (the
+    * [[Curation.globalRowIds]] two-phase scan — no single-partition
+    * window), then one hash aggregation per file; output is one row
+    * per file, ≤ rows/rowsPerFile.
+    *
+    * Output: (file_id, n_rows, min_v, max_v, pruned, n_match). */
+  def zoneMapAudit(df: DataFrame, layoutCol: String, valueCol: String,
+                   rowsPerFile: Long, lo: Long, hi: Long): DataFrame =
+    Curation.globalRowIds(
+        df.select(col(layoutCol).as("k"), col(valueCol).cast("long").as("v")),
+        Seq("k"))
+      .select(expr(s"CAST((global_id - 1) DIV $rowsPerFile AS BIGINT)")
+        .as("file_id"), col("v"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(when(col("v").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("pruned", col("max_v") < lo || col("min_v") > hi)
+      .select(col("file_id"), col("n_rows"), col("min_v"), col("max_v"),
+        col("pruned"), col("n_match"))
 }

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BradleyTerry, Curation, Metrics, TextAnalysis, ZOrder}
+
+/** Round-6 additions: PR-curve sweep, Cohen's kappa, α-sampling
+  * apportionment, unigram entropy, stratified k-fold, zone-map audit,
+  * Bradley–Terry strengths — each checked against hand-computed
+  * fixtures plus its structural invariants. */
+class Round6cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- prCurve ----------------------------------------------------------
+  test("prCurve: exact confusion counts and ppm ratios on a fixture") {
+    // scores: 3 (pos), 2 (pos, neg), 1 (neg)  -> thresholds 3, 2, 1
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    val rows = Metrics.prCurve(df, "score", "label")
+      .orderBy(desc("thr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // thr=3: tp=1 fp=0 fn=1 prec=1e6 rec=5e5
+    assert(rows(0) == ((3L, 1L, 0L, 1L, 1000000L, 500000L)))
+    // thr=2: tp=2 fp=1 fn=0 prec=666666 rec=1e6
+    assert(rows(1) == ((2L, 2L, 1L, 0L, 666666L, 1000000L)))
+    // thr=1: tp=2 fp=2 fn=0 prec=500000 rec=1e6
+    assert(rows(2) == ((1L, 2L, 2L, 0L, 500000L, 1000000L)))
+    // f1 at thr=2: 2*2e6/(3+2) = 800000
+    val f1 = Metrics.prCurve(df, "score", "label")
+      .filter($"thr" === 2).select("f1_ppm").as[Long].head()
+    assert(f1 == 800000L)
+  }
+
+  test("prCurve: tp monotone non-decreasing as the threshold drops") {
+    val df = Tables.documents(spark, sf).limit(200)
+      .select((xxhash64($"text") % 7).as("score"), ($"n_chars" > 300).as("label"))
+    val tps = Metrics.prCurve(df, "score", "label")
+      .orderBy(desc("thr")).select("tp").as[Long].collect()
+    assert(tps.zip(tps.tail).forall { case (a, b) => a <= b })
+  }
+
+  // --- cohenKappa -------------------------------------------------------
+  test("cohenKappa: perfect agreement gives kappa 1e6, disagreement < 0") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    assert(Metrics.cohenKappa(perfect, "ra", "rb")
+      .select("kappa_ppm").as[Long].head() == 1000000L)
+    // systematic disagreement: po = 0 < pe -> negative kappa
+    val swapped = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
+      .toDF("ra", "rb")
+    assert(Metrics.cohenKappa(swapped, "ra", "rb")
+      .select("kappa_ppm").as[Long].head() < 0L)
+  }
+
+  test("cohenKappa: hand-computed 2x2 value") {
+    // cells: (a,a)=3 (a,b)=1 (b,a)=1 (b,b)=5 -> N=10 D=8
+    // S = rowA*colA + rowB*colB = 4*4 + 6*6 = 52
+    // kappa = (10*8-52)/(100-52) = 28/48 -> ppm 583333
+    val df = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(5)(("b", "b"))).toDF("ra", "rb")
+    val r = Metrics.cohenKappa(df, "ra", "rb").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L && r.getLong(2) == 52L)
+    assert(r.getLong(5) == 583333L)
+  }
+
+  // --- isqrt + alphaQuotaSample ----------------------------------------
+  test("isqrt is exact on and around perfect squares") {
+    val df = spark.range(0, 2000).select($"id",
+      Curation.isqrt($"id").as("r"))
+    assert(df.filter($"r" * $"r" > $"id" ||
+      ($"r" + 1) * ($"r" + 1) <= $"id").count() == 0)
+    // a large value near a perfect square
+    val big = Seq(999999999999999999L, 4611686014132420609L).toDF("id")
+      .select(Curation.isqrt($"id").as("r"), $"id")
+    assert(big.filter($"r" * $"r" > $"id").count() == 0)
+  }
+
+  test("alphaQuotaSample: quotas apportion the exact budget, caps hold") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.alphaQuotaSample(docs, "doc_id", "source", 150L)
+    // every source has >= quota rows here, so kept == budget exactly
+    assert(out.count() == 150L)
+    // within each source the kept ranks are 1..quota (contiguous)
+    val bad = out.groupBy("source")
+      .agg(max("samp_rank").as("mx"), count(lit(1)).as("n"),
+        first("quota").as("q"))
+      .filter($"mx" =!= $"n" || $"n" =!= $"q")
+    assert(bad.count() == 0)
+  }
+
+  // --- tokenEntropy -----------------------------------------------------
+  test("tokenEntropy: constant text is zero entropy, uniform is ln k") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "")).toDF("id", "t")
+    val out = TextAnalysis.tokenEntropy(df, "id", "t", lowBelow = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getDecimal(3).doubleValue() == 0.0)
+    assert(out(0).getBoolean(4)) // 0 < 0.5 -> low-entropy junk
+    assert(math.abs(out(1).getDecimal(3).doubleValue() - math.log(4)) < 1e-9)
+    assert(!out(1).getBoolean(4))
+    assert(out(2).getInt(1) == 0 && out(2).getDecimal(3).doubleValue() == 0.0)
+  }
+
+  // --- stratifiedKFold --------------------------------------------------
+  test("stratifiedKFold: balanced within strata, folds cover [0,k)") {
+    val out = Curation.stratifiedKFold(
+      Tables.documents(spark, sf).select($"doc_id", $"lang"),
+      "doc_id", Seq("lang"), k = 5)
+    val sizes = out.groupBy("lang", "fold").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter($"spread" > 1).count() == 0)
+    assert(out.filter($"fold" < 0 || $"fold" >= 5).count() == 0)
+  }
+
+  // --- zoneMapAudit -----------------------------------------------------
+  test("zoneMapAudit: fixture zone maps, pruning, and match counts") {
+    val df = spark.range(1, 101).select($"id".as("k"), $"id".as("v"))
+    val out = ZOrder.zoneMapAudit(df, "k", "v", rowsPerFile = 10L,
+        lo = 15L, hi = 25L)
+      .orderBy("file_id").collect()
+    assert(out.length == 10)
+    // file 0 holds 1..10 (pruned), file 1 holds 11..20 (6 matches),
+    // file 2 holds 21..30 (5 matches), rest pruned
+    assert(out(0).getBoolean(4) && out(0).getLong(5) == 0)
+    assert(!out(1).getBoolean(4) && out(1).getLong(5) == 6)
+    assert(!out(2).getBoolean(4) && out(2).getLong(5) == 5)
+    assert(out.drop(3).forall(_.getBoolean(4)))
+    assert(out.map(_.getLong(1)).forall(_ == 10L))
+  }
+
+  test("zoneMapAudit: clustered layout prunes more than natural") {
+    val orders = Tables.orders(spark, sf)
+    def pruned(key: org.apache.spark.sql.Column): Long =
+      ZOrder.zoneMapAudit(orders.select(key.as("k"), $"o_custkey"),
+        "k", "o_custkey", 500L, 100L, 300L)
+        .filter($"pruned").count()
+    val natural = pruned($"o_orderkey")
+    val clustered = pruned($"o_custkey" * 1000000000L + $"o_orderkey")
+    assert(clustered > natural)
+  }
+
+  // --- BradleyTerry -----------------------------------------------------
+  test("BradleyTerry: hand-computed two-iteration fixed point") {
+    // A beats B twice, B beats C twice, A beats C twice
+    val contests = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("A", "C")).toDF("w", "l")
+    val out = BradleyTerry.strengths(contests, "w", "l", iters = 2)
+      .orderBy("player").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == (("A", 4L, 4L, 2400000L)))
+    assert(out(1) == (("B", 2L, 4L, 750000L)))
+    assert(out(2) == (("C", 0L, 4L, 0L)))
+  }
+
+  test("BradleyTerry: transitive dominance orders strengths") {
+    val contests = (1 to 5).flatMap(i => (i + 1 to 5).flatMap(j =>
+      Seq.fill(3)((s"p$i", s"p$j")))).toDF("w", "l")
+    val ps = BradleyTerry.strengths(contests, "w", "l", iters = 3)
+      .orderBy("player").select("p").as[Long].collect()
+    assert(ps.zip(ps.tail).forall { case (hi, lo) => hi > lo })
+  }
+
+  // --- globalCumsums ----------------------------------------------------
+  test("globalCumsums: both counters agree with single-column scans") {
+    val df = Tables.documents(spark, sf)
+      .select($"doc_id", lit(1L).as("one"), $"n_chars")
+    val multi = Curation.globalCumsums(df, "doc_id",
+      Seq("one" -> "c1", "n_chars" -> "c2"))
+    val s1 = Curation.globalCumsum(df, "doc_id", "one")
+      .select($"doc_id", $"cum".as("c1"))
+    val s2 = Curation.globalCumsum(df, "doc_id", "n_chars")
+      .select($"doc_id", $"cum".as("c2"))
+    val joined = multi.select($"doc_id", $"c1", $"c2").as("m")
+      .join(s1.as("a"), "doc_id").join(s2.as("b"), "doc_id")
+    assert(joined.filter($"m.c1" =!= $"a.c1" || $"m.c2" =!= $"b.c2")
+      .count() == 0)
+  }
+
+  // --- splitLeakage -----------------------------------------------------
+  test("splitLeakage pairs are exactly the cross-split near-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val leaks = Curation.splitLeakage(docs, "doc_id", "text",
+      Seq("lang"), n = 3, thresholdNum = 3, thresholdDen = 5)
+    val pairs = graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id",
+      "text", 3, 3, 5).select($"a", $"b")
+    val splits = Curation.trainValTestSplit(docs, "doc_id", Seq("lang"))
+      .select($"doc_id", $"split")
+    val expected = pairs
+      .join(splits.select($"doc_id".as("a"), $"split".as("sa")), Seq("a"))
+      .join(splits.select($"doc_id".as("b"), $"split".as("sb")), Seq("b"))
+      .filter($"sa" =!= $"sb")
+    assert(leaks.count() == expected.count())
+    assert(leaks.select("a", "b").except(expected.select("a", "b"))
+      .count() == 0)
+    assert(leaks.filter($"split_a" === $"split_b").count() == 0)
+  }
+}
