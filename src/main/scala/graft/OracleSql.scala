@@ -3875,6 +3875,85 @@ object OracleSql {
       |SELECT u AS nationkey, w, n, p
       |FROM p2 ORDER BY p DESC, nationkey""".stripMargin
 
+  /** q196: PMI collocation replay — bigram/unigram counts, T over ALL
+    * bigrams (pre-floor), one identically-spelled double ln quantized
+    * to DECIMAL(18,9) (lnp9). */
+  private val q196 =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |  FROM base WHERE len(w) >= 2),
+      |bi0 AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM s GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(c12) AS BIGINT) AS t_bi FROM bi0),
+      |bi AS (SELECT * FROM bi0 WHERE c12 >= 5),
+      |u AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(w) AS tok FROM base) GROUP BY 1)
+      |SELECT b.w1, b.w2, b.c12,
+      |  CAST(ln((CAST(b.c12 AS DOUBLE) * CAST(t.t_bi AS DOUBLE)) /
+      |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+      |    AS DECIMAL(18,9)) AS pmi9
+      |FROM bi b
+      |JOIN u u1 ON u1.tok = b.w1
+      |JOIN u u2 ON u2.tok = b.w2, t
+      |ORDER BY pmi9 DESC, w1, w2 LIMIT 40""".stripMargin
+
+  /** q197: hapax / Good–Turing unseen-mass replay — exact integer
+    * counts, ppm floor division. */
+  private val q197 =
+    """WITH u AS (
+      |  SELECT source AS grp,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM u GROUP BY 1, 2),
+      |g AS (
+      |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_hapax
+      |  FROM c GROUP BY 1)
+      |SELECT grp AS source, n_tokens, vocab, n_hapax,
+      |  CAST(1000000 * n_hapax // n_tokens AS BIGINT) AS unseen_mass_ppm,
+      |  CAST(1000000 * n_hapax // vocab AS BIGINT) AS hapax_share_ppm
+      |FROM g ORDER BY source""".stripMargin
+
+  /** q198: Markov next-event eval replay — lead() transitions in
+    * (epoch_us, id) order, argmax model on train users (uid % 5 ≠ 0),
+    * exact-integer accuracy on the holdout. */
+  private val q198 =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |tr AS (SELECT user_id AS uid, event_type AS cur, next_type
+      |       FROM e WHERE next_type IS NOT NULL),
+      |m0 AS (
+      |  SELECT cur, next_type, CAST(count(*) AS BIGINT) AS n_train
+      |  FROM tr WHERE uid % 5 <> 0 GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cur, next_type AS pred FROM (
+      |    SELECT cur, next_type,
+      |      row_number() OVER (PARTITION BY cur
+      |        ORDER BY n_train DESC, next_type ASC) AS rk
+      |    FROM m0) WHERE rk = 1),
+      |a AS (
+      |  SELECT t.cur AS event_type, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(coalesce(sum(CASE WHEN t.next_type = m.pred THEN 1
+      |      ELSE 0 END), 0) AS BIGINT) AS n_hits
+      |  FROM (SELECT * FROM tr WHERE uid % 5 = 0) t
+      |  JOIN m ON m.cur = t.cur GROUP BY 1)
+      |SELECT event_type, n_test, n_hits,
+      |  CAST(1000000 * n_hits // n_test AS BIGINT) AS acc_ppm
+      |FROM a ORDER BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4072,6 +4151,9 @@ object OracleSql {
     "q193_zone_maps" -> q193,
     "q194_stratified_kfold" -> q194,
     "q195_bradley_terry" -> q195,
+    "q196_pmi_collocations" -> q196,
+    "q197_hapax_mass" -> q197,
+    "q198_markov_eval" -> q198,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2639,6 +2639,27 @@ object SparkEntry {
       .orderBy(col("p").desc, col("nationkey"))
   }
 
+  /** Top-40 PMI collocations over the corpus (min pair count 5) —
+    * multi-word-expression mining for tokenizer/phrase decisions. */
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.pmiCollocations(Tables.documents(s, dir),
+      "doc_id", "text", minCount = 5, topK = 40)
+
+  /** Good–Turing unseen-vocabulary mass per source (hapax counts,
+    * exact ppm) — the open-vocabulary / diversity signal. */
+  private def qHapaxMass(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.hapaxMass(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** Markov next-event top-1 accuracy on held-out users (user % 5 = 0)
+    * — the sequence-model baseline eval with a disjoint train split. */
+  private def qMarkovEval(s: SparkSession, dir: String): DataFrame =
+    operators.Metrics.markovNextEventEval(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2837,7 +2858,10 @@ object SparkEntry {
       "q192_split_leakage" -> (qSplitLeakage _),
       "q193_zone_maps" -> (qZoneMaps _),
       "q194_stratified_kfold" -> (qStratifiedKfold _),
-      "q195_bradley_terry" -> (qBradleyTerry _))
+      "q195_bradley_terry" -> (qBradleyTerry _),
+      "q196_pmi_collocations" -> (qPmiCollocations _),
+      "q197_hapax_mass" -> (qHapaxMass _),
+      "q198_markov_eval" -> (qMarkovEval _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -2855,7 +2879,8 @@ object SparkEntry {
     "q147_prefix_jaccard", "q152_perplexity_filter",
     "q160_containment", "q163_hard_negatives",
     "q129_bpe_merges", "q175_lsh_oracle", "q176_ivf_oracle",
-    "q179_url_dedup", "q186_paragraph_dedup", "q187_dsir_weights")
+    "q179_url_dedup", "q186_paragraph_dedup", "q187_dsir_weights",
+    "q188_pr_curve", "q195_bradley_terry")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -254,4 +254,51 @@ object Metrics {
               |  ELSE -(1000000 * (s - n * d) DIV (n * n - s)) END
               |AS BIGINT)""".stripMargin)).as("kappa_ppm"))
   }
+
+  /** First-order Markov next-event prediction, trained and evaluated
+    * on DISJOINT user populations — the minimal instance of the
+    * train/eval split discipline every sequence model needs: fit
+    * argmax transition targets on training users' event streams,
+    * score top-1 accuracy on held-out users' actual transitions. The
+    * accuracy is the baseline any sequence model must beat; per-state
+    * rows expose WHERE the baseline is already strong.
+    *
+    * Determinism: transitions order by (ts, id) — a total order per
+    * user; the argmax target ties-break by target name; accuracy is
+    * exact-integer ppm. The holdout is the keyed split user % 5 = 0
+    * (a fixed hash-style rule, engine-replayable).
+    *
+    * Scale shape: one window exchange per user stream builds the
+    * transitions; the model aggregation is bounded by |states|²; the
+    * model joins back BROADCAST (tiny); one grouped integer sum per
+    * state. WindowGroupLimit prunes the argmax rank.
+    *
+    * Output per state: (event_type, n_test, n_hits, acc_ppm). */
+  def markovNextEventEval(events: DataFrame, userCol: String,
+                          typeCol: String, tsCol: String,
+                          idCol: String): DataFrame = {
+    val wSeq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val trans = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(wSeq))
+      .filter(col("next_type").isNotNull)
+      .select(col(userCol).as("uid"), col(typeCol).as("cur"),
+        col("next_type"))
+    val train = trans.filter(pmod(col("uid"), lit(5)) =!= 0)
+    val test = trans.filter(pmod(col("uid"), lit(5)) === 0)
+    val wArg = Window.partitionBy(col("cur"))
+      .orderBy(col("n_train").desc, col("next_type").asc)
+    val model = train.groupBy("cur", "next_type")
+      .agg(count(lit(1)).as("n_train"))
+      .withColumn("rk", row_number().over(wArg))
+      .filter(col("rk") === 1)
+      .select(col("cur"), col("next_type").as("pred"))
+    test.join(broadcast(model), Seq("cur"))
+      .groupBy(col("cur").as("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("pred"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("event_type"), col("n_test"), col("n_hits"),
+        expr("CAST(1000000 * n_hits DIV n_test AS BIGINT)").as("acc_ppm"))
+  }
 }

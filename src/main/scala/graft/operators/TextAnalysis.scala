@@ -567,4 +567,82 @@ object TextAnalysis {
           .cast("decimal(18,9)").as("ent9"))
       .withColumn("low_entropy", col("ent9") < lowBelow)
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * adjacent word pairs whose joint frequency beats the independence
+    * expectation, PMI = ln(c₁₂·T / (c₁·c₂)) — the corpus-level
+    * multi-word-expression miner ("new york", "machine learning")
+    * that feeds tokenizer vocab decisions and phrase-aware dedup.
+    * `minCount` kills the low-count PMI explosion (a hapax pair has
+    * spuriously maximal PMI); output is the global top-`topK` by
+    * (pmi9 DESC, w1, w2).
+    *
+    * Exactness: counts are exact bigints off two aggregations; the
+    * single ln evaluates on an identically-spelled double expression
+    * in both engines ((c₁₂·T)/(c₁·c₂) with each count cast up front)
+    * and quantizes to DECIMAL(18,9) — the lnp9 convention.
+    *
+    * Scale shape: bigram assembly is map-only; both count
+    * aggregations are map-side combined and bounded by vocab/bigram
+    * cardinality, not corpus rows; T is a one-row broadcast; the two
+    * unigram-count joins hash on the word; the final top-k is
+    * TakeOrderedAndProject (per-partition heaps), never a global
+    * sort. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Int, topK: Int): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    val biAll = base.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // T counts ALL bigrams — the independence model normalizes over
+    // the corpus, not over the pairs that survive the count floor
+    val total = biAll.agg(sum(col("c12")).as("t_bi"))
+    val bi = biAll.filter(col("c12") >= minCount)
+    val uni = base.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        log((col("c12").cast("double") * col("t_bi").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")))
+          .cast("decimal(18,9)").as("pmi9"))
+      .orderBy(col("pmi9").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Hapax-legomena mass per group — the Good–Turing estimate of
+    * UNSEEN vocabulary probability (p₀ ≈ n₁/N, Gale & Sampson 1995):
+    * how much of a source's token stream is words seen exactly once,
+    * i.e. how open its vocabulary still is. High hapax share ⇒ the
+    * corpus slice keeps producing novel types (diverse, or noisy);
+    * near zero ⇒ closed/templated vocabulary. Published as exact ppm
+    * integer fixed point.
+    *
+    * Output per group: (group, n_tokens, vocab, n_hapax,
+    * unseen_mass_ppm = 10⁶·n₁ DIV N, hapax_share_ppm = 10⁶·n₁ DIV
+    * vocab).
+    *
+    * Scale shape: one (group, token) aggregation (map-side combined,
+    * bounded by group-vocab cardinality) then a per-group rollup —
+    * two shuffles end to end, nothing corpus-sized after the first. */
+  def hapaxMass(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(filter(words(col(textCol)), w => w =!= "")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        expr("CAST(1000000 * n_hapax DIV n_tokens AS BIGINT)")
+          .as("unseen_mass_ppm"),
+        expr("CAST(1000000 * n_hapax DIV vocab AS BIGINT)")
+          .as("hapax_share_ppm"))
 }

@@ -174,6 +174,57 @@ class Round6cSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // --- pmiCollocations --------------------------------------------------
+  test("pmiCollocations: hand-computed PMI ordering and values") {
+    // bigrams: (a,b)x2 (b,a)x1 (c,d)x1 -> T=4; unigrams a=2 b=2 c=1 d=1
+    val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("id", "t")
+    val out = TextAnalysis.pmiCollocations(df, "id", "t",
+      minCount = 1, topK = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDecimal(3).doubleValue()))
+    assert(out.map(_._1).toSeq ==
+      Seq(("c", "d"), ("a", "b"), ("b", "a")))
+    assert(math.abs(out(0)._3 - math.log(4)) < 1e-9)  // ln(1*4/(1*1))
+    assert(math.abs(out(1)._3 - math.log(2)) < 1e-9)  // ln(2*4/(2*2))
+    assert(out(2)._3 == 0.0)                          // ln(1*4/(2*2))
+    // count floor kills the hapax-pair PMI explosion
+    assert(TextAnalysis.pmiCollocations(df, "id", "t", 2, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+  }
+
+  // --- hapaxMass --------------------------------------------------------
+  test("hapaxMass: exact hapax counts and ppm ratios") {
+    val df = Seq((1L, "a a b", "g1"), (2L, "x y z", "g2"))
+      .toDF("id", "t", "src")
+    val out = TextAnalysis.hapaxMass(df, "id", "t", "src")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out(0) == (("g1", 3L, 2L, 1L, 333333L, 500000L)))
+    assert(out(1) == (("g2", 3L, 3L, 3L, 1000000L, 1000000L)))
+  }
+
+  // --- markovNextEventEval ----------------------------------------------
+  test("markovNextEventEval: argmax model, holdout accuracy") {
+    // train users 1,2 (uid%5!=0): A->B twice, A->C once  => pred(A)=B
+    // test user 5: A->B (hit), then B->? none; plus A->C (miss)
+    val ev = Seq(
+      (1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "A", 3L, 3L),
+      (1L, "B", 4L, 4L),
+      (2L, "A", 1L, 5L), (2L, "C", 2L, 6L),
+      (5L, "A", 1L, 7L), (5L, "B", 2L, 8L), (5L, "A", 3L, 9L),
+      (5L, "C", 4L, 10L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Metrics.markovNextEventEval(ev, "user_id", "event_type",
+      "ts", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // test-user transitions: A->B, B->A, A->C; model: A->B, B->A? train
+    // has B->A (user1: B@2 -> A@3). pred(B)=A. So A: 2 tests 1 hit,
+    // B: 1 test 1 hit.
+    assert(out.toSet == Set(("A", 2L, 1L, 500000L), ("B", 1L, 1L, 1000000L)))
+  }
+
   // --- splitLeakage -----------------------------------------------------
   test("splitLeakage pairs are exactly the cross-split near-dup pairs") {
     val docs = Tables.documents(spark, sf)
