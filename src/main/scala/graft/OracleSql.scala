@@ -3954,6 +3954,79 @@ object OracleSql {
       |  CAST(1000000 * n_hits // n_test AS BIGINT) AS acc_ppm
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** q199: label-propagation replay — q102's trade-edge CTE, top-3
+    * sparsification, symmetrize+dedup, both synchronous rounds
+    * unrolled with the (count DESC, label ASC) argmax. */
+  private val q199 = {
+    def round(prev: String, out: String): String =
+      s"""${out}n AS (
+         |  SELECT und.u, l.label, CAST(count(*) AS BIGINT) AS n
+         |  FROM und JOIN $prev l ON l.node = und.v
+         |  GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT u AS node, label FROM (
+         |    SELECT u, label, row_number() OVER (PARTITION BY u
+         |      ORDER BY n DESC, label ASC) AS rk
+         |    FROM ${out}n) WHERE rk = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rk
+       |    FROM edges) WHERE rk <= 3),
+       |und AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM sparse
+       |    UNION ALL SELECT dst, src FROM sparse)
+       |  WHERE u <> v),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")}
+       |SELECT node AS nationkey, label AS community
+       |FROM l2 ORDER BY nationkey""".stripMargin
+  }
+
+  /** q200: Poisson-bootstrap replay — the Privacy-PRF uniform with
+    * the replicate folded into the key, the identical Poisson(1)
+    * inverse-CDF double-literal ladder, decimal-exact weighted sums. */
+  private val q200 =
+    """WITH rep AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    unnest(generate_series(0, 31)) AS b
+      |  FROM orders),
+      |h AS (
+      |  SELECT b, x,
+      |    ((((id % 1000000007) * 1009 + b) % 1000000007 * 48271
+      |      + 20240813) % 1000000007 * 16807 + 12345) % 1000000007 AS h2
+      |  FROM rep),
+      |wt AS (
+      |  SELECT b, x,
+      |    CASE WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.36787944117144233 THEN 0
+      |         WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.7357588823428847 THEN 1
+      |         WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.9196986029286058 THEN 2
+      |         WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.9810118431238462 THEN 3
+      |         WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.9963401531726563 THEN 4
+      |         WHEN (CAST(h2 AS DOUBLE) + 0.5) / 1000000007
+      |           < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM h)
+      |SELECT CAST(b AS INTEGER) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CAST(CAST(sum(w * x) AS DECIMAL(38,2)) AS DOUBLE) /
+      |    CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean
+      |FROM wt GROUP BY b ORDER BY b""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4154,6 +4227,8 @@ object OracleSql {
     "q196_pmi_collocations" -> q196,
     "q197_hapax_mass" -> q197,
     "q198_markov_eval" -> q198,
+    "q199_label_prop" -> q199,
+    "q200_bootstrap_means" -> q200,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2660,6 +2660,28 @@ object SparkEntry {
         "user_id", "event_type", "ts", "event_id")
       .orderBy("event_type")
 
+  /** Label-propagation communities over the k-NN-sparsified trade
+    * graph (top-3 out-edges per nation by volume, 2 synchronous
+    * rounds, ties to smallest label). */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("w").desc, col("dst").asc)
+    val sparse = tradeEdges(s, dir)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("src", "dst")
+    operators.LabelProp.run(sparse, iters = 2)
+      .select(col("node").as("nationkey"), col("label").as("community"))
+      .orderBy("nationkey")
+  }
+
+  /** Poisson-bootstrap replicate means of the order value (B = 32,
+    * PRF weights) — the one-pass distributed bootstrap. */
+  private def qBootstrapMeans(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.bootstrapMeans(Tables.orders(s, dir),
+        "o_orderkey", "o_totalprice", b = 32, seed = 20240813L)
+      .orderBy("b")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2861,7 +2883,9 @@ object SparkEntry {
       "q195_bradley_terry" -> (qBradleyTerry _),
       "q196_pmi_collocations" -> (qPmiCollocations _),
       "q197_hapax_mass" -> (qHapaxMass _),
-      "q198_markov_eval" -> (qMarkovEval _))
+      "q198_markov_eval" -> (qMarkovEval _),
+      "q199_label_prop" -> (qLabelProp _),
+      "q200_bootstrap_means" -> (qBootstrapMeans _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

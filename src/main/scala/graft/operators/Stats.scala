@@ -321,4 +321,57 @@ object Stats {
       .join(pooled, Seq("_gid"))
       .drop("_gid", "_rg", "_ng")
   }
+
+  /** Poisson bootstrap of a mean (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the Google reformulation
+    * of the bootstrap that works on one pass of distributed data):
+    * instead of resampling n rows B times, every row draws an
+    * independent Poisson(1) weight per replicate; replicate b's mean
+    * is Σw·x / Σw. The replicate-mean spread IS the sampling
+    * distribution of the estimator — percentile it downstream for
+    * the CI.
+    *
+    * Engine-exact determinism: the per-(row, replicate) weight comes
+    * from the house PRF (two affine rounds mod 1e9+7, the
+    * Privacy.uniform construction with the replicate folded into the
+    * key) pushed through the Poisson(1) inverse CDF as a fixed CASE
+    * ladder of full-precision double literals — both engines parse
+    * the identical literals, compare the identical uniform, and get
+    * the identical integer weight. Sums are decimal(18,2)-exact
+    * (order-free), so every replicate mean replays bit-for-bit.
+    *
+    * Scale shape: one map-side explode of B replicate ids per row
+    * (output bounded at B rows after the map-side-combined
+    * aggregation — the ×B work is the bootstrap's inherent cost, but
+    * it is one pass, no resampled copies of the data ever
+    * materialize). B is a small constant (32–200 in practice).
+    *
+    * Output: (b, n_eff, mean) — one row per replicate. */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     b: Int, seed: Long): DataFrame = {
+    require(b >= 2, s"bootstrapMeans needs b >= 2 replicates, got $b")
+    val P = 1000000007L
+    val rep = df.select(col(idCol).cast("long").as("id"),
+        col(valueCol).cast("decimal(18,2)").as("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val key = pmod(pmod(col("id"), lit(P)) * 1009L + col("b"), lit(P))
+    val h1 = pmod(key * 48271L + seed, lit(P))
+    val h2 = pmod(h1 * 16807L + 12345L, lit(P))
+    val u = (h2.cast("double") + 0.5) / P
+    // Poisson(1) CDF: P(X<=k) for k = 0..5; >5 truncates to 6 (mass 6e-5)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    rep.withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("x")).as("wsum"))
+      .select(col("b"), col("n_eff"),
+        (col("wsum").cast("double") / col("n_eff").cast("double"))
+          .as("mean"))
+  }
 }

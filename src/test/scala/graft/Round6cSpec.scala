@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BradleyTerry, Curation, Metrics, TextAnalysis, ZOrder}
+import graft.operators.{BradleyTerry, Curation, Metrics, Stats, TextAnalysis, ZOrder}
 
 /** Round-6 additions: PR-curve sweep, Cohen's kappa, α-sampling
   * apportionment, unigram entropy, stratified k-fold, zone-map audit,
@@ -223,6 +223,53 @@ class Round6cSpec extends SparkSpec {
     // has B->A (user1: B@2 -> A@3). pred(B)=A. So A: 2 tests 1 hit,
     // B: 1 test 1 hit.
     assert(out.toSet == Set(("A", 2L, 1L, 500000L), ("B", 1L, 1L, 1000000L)))
+  }
+
+  // --- LabelProp --------------------------------------------------------
+  test("LabelProp: hand-traced two-round synchronous labels") {
+    // two triangles bridged by 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.LabelProp.run(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 1->2 2->1 3->1 4->3 5->4 6->4
+    // round 2: 1->1 2->1 3->1 4->4 5->3 6->3
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // symmetrization: feeding both directions changes nothing
+    val both = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst")))
+    val out2 = graft.operators.LabelProp.run(both, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
+  test("LabelProp: a clique converges to its smallest label") {
+    val clique = (1L to 4L).flatMap(i => (i + 1 to 4L).map(j => (i, j)))
+      .toDF("src", "dst")
+    val out = graft.operators.LabelProp.run(clique, iters = 3)
+      .select("label").as[Long].collect()
+    assert(out.forall(_ == 1L))
+  }
+
+  // --- bootstrapMeans ---------------------------------------------------
+  test("bootstrapMeans: constant values give the constant mean exactly") {
+    val df = spark.range(1, 2001).select($"id", lit(10.0).as("v"))
+    val out = Stats.bootstrapMeans(df, "id", "v", b = 8, seed = 7L)
+    assert(out.count() == 8)
+    assert(out.filter($"mean" =!= 10.0).count() == 0)
+    // Poisson(1) weights: n_eff concentrates near n (±5 sigma = ±224)
+    assert(out.filter(abs($"n_eff" - 2000) > 224).count() == 0)
+  }
+
+  test("bootstrapMeans: seed-deterministic, seed-sensitive") {
+    val df = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+    def run(seed: Long) = Stats.bootstrapMeans(df, "o_orderkey",
+      "o_totalprice", b = 4, seed = seed).orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(1L) == run(1L))
+    assert(run(1L) != run(2L))
   }
 
   // --- splitLeakage -----------------------------------------------------
