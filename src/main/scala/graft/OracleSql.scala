@@ -4027,6 +4027,47 @@ object OracleSql {
       |    CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean
       |FROM wt GROUP BY b ORDER BY b""".stripMargin
 
+  /** q201: Welch t-test replay — exact decimal moments (Σx, Σx²) then
+    * the identical double expressions for mean/var/t/df; t9/df9
+    * DECIMAL(18,9)-quantized (lnp9). */
+  private val q201 =
+    """WITH d AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    o_orderpriority = '1-URGENT' AS arm
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    sum(CASE WHEN arm THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
+      |      AS sx_a,
+      |    sum(CASE WHEN NOT arm THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
+      |      AS sx_b,
+      |    sum(CASE WHEN arm THEN CAST(x * x AS DECIMAL(38,4))
+      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS sx2_a,
+      |    sum(CASE WHEN NOT arm THEN CAST(x * x AS DECIMAL(38,4))
+      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS sx2_b
+      |  FROM d),
+      |e AS (
+      |  SELECT n_a, n_b,
+      |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    (CAST(sx2_a AS DOUBLE) - CAST(sx_a AS DOUBLE) *
+      |      CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+      |      (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS se2a,
+      |    (CAST(sx2_b AS DOUBLE) - CAST(sx_b AS DOUBLE) *
+      |      CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |      (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS se2b
+      |  FROM m)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  CAST((mean_a - mean_b) / sqrt(se2a + se2b) AS DECIMAL(18,9))
+      |    AS t9,
+      |  CAST(((se2a + se2b) * (se2a + se2b)) /
+      |    (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0) +
+      |     se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0))
+      |    AS DECIMAL(18,9)) AS df9
+      |FROM e""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4229,6 +4270,7 @@ object OracleSql {
     "q198_markov_eval" -> q198,
     "q199_label_prop" -> q199,
     "q200_bootstrap_means" -> q200,
+    "q201_welch_ttest" -> q201,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2682,6 +2682,16 @@ object SparkEntry {
         "o_orderkey", "o_totalprice", b = 32, seed = 20240813L)
       .orderBy("b")
 
+  /** Welch's t-test: urgent vs low-priority order values — the A/B
+    * significance readout as one exact-moment aggregation. */
+  private def qWelchTtest(s: SparkSession, dir: String): DataFrame =
+    operators.Metrics.welchTTest(
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("arm"),
+          col("o_totalprice")),
+      "arm", "o_totalprice")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2885,7 +2895,8 @@ object SparkEntry {
       "q197_hapax_mass" -> (qHapaxMass _),
       "q198_markov_eval" -> (qMarkovEval _),
       "q199_label_prop" -> (qLabelProp _),
-      "q200_bootstrap_means" -> (qBootstrapMeans _))
+      "q200_bootstrap_means" -> (qBootstrapMeans _),
+      "q201_welch_ttest" -> (qWelchTtest _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

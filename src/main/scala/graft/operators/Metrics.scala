@@ -301,4 +301,55 @@ object Metrics {
       .select(col("event_type"), col("n_test"), col("n_hits"),
         expr("CAST(1000000 * n_hits DIV n_test AS BIGINT)").as("acc_ppm"))
   }
+
+  /** Welch's unequal-variance t-test between two arms — the A/B
+    * significance primitive (experiment readouts, filter-change
+    * impact checks) as one distributed aggregation. `armCol` must be
+    * boolean (true = arm A).
+    *
+    * Exactness: per-arm moments are ORDER-FREE exact decimals — Σx at
+    * DECIMAL(38,2), Σx² at DECIMAL(38,4) (both sums of exactly-
+    * representable products, so partial-aggregation order cannot
+    * perturb them) — and every double derives from those exact sums
+    * by the identical expression in both engines: mean = Σx/n, var =
+    * (Σx² − Σx²/n… spelled (sx2 − sx·sx/n)/(n−1)), t = Δmean/√(v₁/n₁
+    * + v₂/n₂), Welch–Satterthwaite df. t and df publish DECIMAL(18,9)-
+    * quantized (the lnp9 convention absorbing sqrt/division last-ulp
+    * skew).
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus
+    * (conditional sums per arm); everything after runs on a one-row
+    * frame. The cheapest possible full-data test.
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b, t9, df9). */
+  def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
+    val arm = col(armCol)
+    val x = col(valueCol).cast("decimal(18,2)")
+    val x2 = (x * x).cast("decimal(38,4)")
+    def stats(p: Column, suf: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(p, x).otherwise(lit(0).cast("decimal(18,2)")))
+        .as(s"sx_$suf"),
+      sum(when(p, x2).otherwise(lit(0).cast("decimal(38,4)")))
+        .as(s"sx2_$suf"))
+    val agg = df.agg((stats(arm, "a") ++ stats(!arm, "b")).head,
+      (stats(arm, "a") ++ stats(!arm, "b")).tail: _*)
+    def mean(s: String) =
+      col(s"sx_$s").cast("double") / col(s"n_$s").cast("double")
+    def vr(s: String) =
+      (col(s"sx2_$s").cast("double") -
+        col(s"sx_$s").cast("double") * col(s"sx_$s").cast("double") /
+          col(s"n_$s").cast("double")) /
+        (col(s"n_$s").cast("double") - 1.0)
+    val se2a = vr("a") / col("n_a").cast("double")
+    val se2b = vr("b") / col("n_b").cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      mean("a").as("mean_a"), mean("b").as("mean_b"),
+      ((mean("a") - mean("b")) / sqrt(se2a + se2b))
+        .cast("decimal(18,9)").as("t9"),
+      (((se2a + se2b) * (se2a + se2b)) /
+        (se2a * se2a / (col("n_a").cast("double") - 1.0) +
+          se2b * se2b / (col("n_b").cast("double") - 1.0)))
+        .cast("decimal(18,9)").as("df9"))
+  }
 }

@@ -272,6 +272,19 @@ class Round6cSpec extends SparkSpec {
     assert(run(1L) != run(2L))
   }
 
+  // --- welchTTest -------------------------------------------------------
+  test("welchTTest: hand-computed t statistic and Satterthwaite df") {
+    // A = [1,2,3] (mean 2, var 1), B = [2,4] (mean 3, var 2)
+    // se2a = 1/3, se2b = 1; t = -1/sqrt(4/3); df = (4/3)^2/(1/18 + 1)
+    val df = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 4.0)).toDF("arm", "v")
+    val r = Metrics.welchTTest(df, "arm", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0)
+    assert(math.abs(r.getDecimal(4).doubleValue() + 0.866025404) < 1e-8)
+    assert(math.abs(r.getDecimal(5).doubleValue() - 1.684210526) < 1e-8)
+  }
+
   // --- splitLeakage -----------------------------------------------------
   test("splitLeakage pairs are exactly the cross-split near-dup pairs") {
     val docs = Tables.documents(spark, sf)
