@@ -4068,6 +4068,48 @@ object OracleSql {
       |    AS DECIMAL(18,9)) AS df9
       |FROM e""".stripMargin
 
+  /** q202: content-defined chunking replay — q181's char-fold token
+    * hashes, the 4-token rolling fold mod 1e9+7, boundaries at 0 mod
+    * 8, list-slice chunk extraction. */
+  private val q202 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(toks, w ->
+      |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(w, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)) AS th
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      CASE WHEN len(toks) >= 4 THEN
+      |        list_filter(range(4, len(toks) + 1), e ->
+      |          ((((th[e-3] * 33 + th[e-2]) % 1000000007 * 33
+      |            + th[e-1]) % 1000000007 * 33
+      |            + th[e]) % 1000000007) % 8 = 0)
+      |      ELSE CAST([] AS BIGINT[]) END) AS starts
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, toks, starts,
+      |    unnest(generate_series(1, len(starts))) AS i
+      |  FROM b)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
+      |  CAST(starts[i] AS INTEGER) AS start_tok,
+      |  CAST((CASE WHEN i < len(starts) THEN starts[i+1]
+      |        ELSE len(toks) END) - starts[i] AS INTEGER) AS n_chunk_toks,
+      |  array_to_string(toks[starts[i]+1 :
+      |    CASE WHEN i < len(starts) THEN starts[i+1] ELSE len(toks) END],
+      |    ' ') AS chunk_text
+      |FROM c
+      |WHERE (CASE WHEN i < len(starts) THEN starts[i+1]
+      |       ELSE len(toks) END) - starts[i] > 0
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4271,6 +4313,7 @@ object OracleSql {
     "q199_label_prop" -> q199,
     "q200_bootstrap_means" -> q200,
     "q201_welch_ttest" -> q201,
+    "q202_content_chunks" -> q202,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2692,6 +2692,14 @@ object SparkEntry {
           col("o_totalprice")),
       "arm", "o_totalprice")
 
+  /** Content-defined chunking (rolling-hash boundaries, ~8-token
+    * chunks) — the insertion-resilient chunking fixed-stride q184
+    * cannot give. */
+  private def qContentChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.contentChunks(Tables.documents(s, dir),
+        "doc_id", "text", window = 4, avgLen = 8)
+      .orderBy("doc_id", "chunk_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2896,7 +2904,8 @@ object SparkEntry {
       "q198_markov_eval" -> (qMarkovEval _),
       "q199_label_prop" -> (qLabelProp _),
       "q200_bootstrap_means" -> (qBootstrapMeans _),
-      "q201_welch_ttest" -> (qWelchTtest _))
+      "q201_welch_ttest" -> (qWelchTtest _),
+      "q202_content_chunks" -> (qContentChunks _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

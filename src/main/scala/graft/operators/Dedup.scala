@@ -813,4 +813,71 @@ object Dedup {
             when(col("kept"), struct(col("para_id"), col("ptext"))))),
           p => p.getField("ptext"))).as("clean_text"))
   }
+
+  /** Content-defined chunking (the Rabin/LBFS rolling-boundary move,
+    * restated over word tokens): a chunk boundary falls after token i
+    * whenever the rolling hash of the trailing `window` tokens hits 0
+    * mod `avgLen` — so boundaries are decided by LOCAL content, and an
+    * insertion near the start re-synchronizes after one window instead
+    * of shifting every downstream boundary the way fixed-stride
+    * chunking (q184) does. That re-sync is the point: chunk-level
+    * dedup/caching over edited or near-duplicate documents keeps
+    * matching on the unchanged tail.
+    *
+    * Portable hashing (the q181 convention, NOT xxhash64 — the hash
+    * VALUE decides boundaries here, so the oracle must replay it):
+    * token hash = char fold (acc·31 + ascii) mod 1e9+7, window hash =
+    * token-hash fold (acc·33 + t) mod 1e9+7. Expected chunk length ≈
+    * `avgLen` tokens; documents shorter than `window` form one chunk.
+    *
+    * Scale shape: map-only — token hashing, the rolling-boundary
+    * filter, and the start/end slicing are all per-row HOFs; explode
+    * emits ~n/avgLen rows per n-token document; no shuffle, no UDF.
+    *
+    * Output: (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text);
+    * chunk texts concatenate back to the document (coverage is exact,
+    * spec-pinned). */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, avgLen: Int): DataFrame = {
+    require(window >= 1 && avgLen >= 2,
+      s"contentChunks needs window >= 1, avgLen >= 2; got $window/$avgLen")
+    val P = 1000000007L
+    def tokHash(w: Column): Column =
+      aggregate(split(w, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    def winHash(th: Column, e: Column): Column =
+      (0 until window).foldLeft(lit(0L)) { (acc, k) =>
+        pmod(acc * 33 + element_at(th, e - (window - 1 - k)), lit(P))
+      }
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        transform(col("toks"), tokHash _).as("th"))
+      .select(col("doc_id"), col("toks"),
+        // boundary END positions (1-based): rolling hash of the
+        // trailing window is 0 mod avgLen. The n >= window guard is a
+        // CASE branch, not a lambda conjunct: sequence() DESCENDS when
+        // stop < start, and ANSI element_at throws past the array end.
+        concat(array(lit(0)),
+          when(size(col("toks")) >= window,
+            filter(sequence(lit(window), size(col("toks"))),
+              e => pmod(winHash(col("th"), e), lit(avgLen.toLong)) === 0))
+            .otherwise(array().cast("array<int>")))
+          .as("starts"))
+      .select(col("doc_id"), col("toks"), col("starts"),
+        explode(sequence(lit(1), size(col("starts")))).as("i"))
+      .select(col("doc_id"), (col("i") - 1).as("chunk_id"),
+        element_at(col("starts"), col("i")).as("start_tok"),
+        (when(col("i") < size(col("starts")),
+          element_at(col("starts"), col("i") + 1))
+          .otherwise(size(col("toks"))) -
+          element_at(col("starts"), col("i"))).as("n_chunk_toks"),
+        concat_ws(" ", slice(col("toks"),
+          element_at(col("starts"), col("i")) + 1,
+          when(col("i") < size(col("starts")),
+            element_at(col("starts"), col("i") + 1))
+            .otherwise(size(col("toks"))) -
+            element_at(col("starts"), col("i")))).as("chunk_text"))
+      .filter(col("n_chunk_toks") > 0)
+  }
 }

@@ -285,6 +285,43 @@ class Round6cSpec extends SparkSpec {
     assert(math.abs(r.getDecimal(5).doubleValue() - 1.684210526) < 1e-8)
   }
 
+  // --- contentChunks ----------------------------------------------------
+  test("contentChunks: exact coverage — chunks reassemble every doc") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = graft.operators.Dedup.contentChunks(docs, "doc_id",
+      "text", window = 4, avgLen = 8)
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_toks").as("n_sum"),
+        concat_ws(" ", array_sort(collect_list(
+          struct($"chunk_id", $"chunk_text"))).getField("chunk_text"))
+          .as("joined"))
+    val orig = docs.select($"doc_id",
+      concat_ws(" ", filter(split(lower($"text"), " "), w => w =!= ""))
+        .as("t"))
+    val bad = rebuilt.join(orig, "doc_id")
+      .filter($"joined" =!= $"t" ||
+        $"n_sum" =!= size(split($"t", " ")))
+    assert(bad.count() == 0)
+  }
+
+  test("contentChunks: short doc is one chunk; insertion re-syncs") {
+    val short = Seq((1L, "a b")).toDF("id", "t")
+    val sc = graft.operators.Dedup.contentChunks(short, "id", "t", 4, 8)
+      .collect()
+    assert(sc.length == 1 && sc(0).getString(4) == "a b")
+    // a long doc vs the same doc with one token prepended: boundaries
+    // re-synchronize after one window, so almost all chunks survive
+    val base = (0 until 200).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val pair = Seq((1L, base), (2L, "zzz " + base)).toDF("id", "t")
+    val byDoc = graft.operators.Dedup.contentChunks(pair, "id", "t", 4, 8)
+      .select($"doc_id", $"chunk_text").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet }
+    val common = byDoc(1L).intersect(byDoc(2L))
+    assert(common.size >= byDoc(1L).size - 2,
+      s"resync failed: ${byDoc(1L).size} original, ${common.size} common")
+  }
+
   // --- splitLeakage -----------------------------------------------------
   test("splitLeakage pairs are exactly the cross-split near-dup pairs") {
     val docs = Tables.documents(spark, sf)
