@@ -322,6 +322,24 @@ class Round6cSpec extends SparkSpec {
       s"resync failed: ${byDoc(1L).size} original, ${common.size} common")
   }
 
+  // --- plan shapes ------------------------------------------------------
+  test("q190 rank window prunes via WindowGroupLimit on the budget") {
+    val df = SparkEntry.queries("q190_alpha_sample")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
+  test("q192/q195/q199 plan no cartesian products") {
+    Seq("q192_split_leakage", "q195_bradley_terry", "q199_label_prop")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("CartesianProduct"), s"$name plans a cartesian")
+      }
+  }
+
   // --- splitLeakage -----------------------------------------------------
   test("splitLeakage pairs are exactly the cross-split near-dup pairs") {
     val docs = Tables.documents(spark, sf)
