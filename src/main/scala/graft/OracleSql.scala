@@ -4110,6 +4110,32 @@ object OracleSql {
       |       ELSE len(toks) END) - starts[i] > 0
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q203: reciprocal-NN replay — the q182 float-cosine convention
+    * (left-associative fold, bit-identical sims) restricted to the
+    * eval subset on BOTH sides, top-1 per vector, mutual join. */
+  private val q203 =
+    """WITH s AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, 65),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, 65),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM embeddings q CROSS JOIN embeddings c
+      |  WHERE q.vec_id % 20 = 0 AND c.vec_id % 20 = 0
+      |    AND c.vec_id <> q.vec_id),
+      |t AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, cid ASC) AS rn
+      |    FROM s) WHERE rn = 1)
+      |SELECT x.qid AS a, x.cid AS b
+      |FROM t x JOIN t y ON x.qid = y.cid AND x.cid = y.qid
+      |WHERE x.qid < x.cid
+      |ORDER BY a""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4314,6 +4340,7 @@ object OracleSql {
     "q200_bootstrap_means" -> q200,
     "q201_welch_ttest" -> q201,
     "q202_content_chunks" -> q202,
+    "q203_mutual_nn" -> q203,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

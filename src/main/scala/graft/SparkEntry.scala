@@ -2700,6 +2700,15 @@ object SparkEntry {
         "doc_id", "text", window = 4, avgLen = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Reciprocal nearest-neighbor pairs within the eval vector subset
+    * — the hub-resistant semantic-dedup/bitext pairing criterion. */
+  private def qMutualNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopOne(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding")
+      .select(col("a"), col("b"))
+      .orderBy("a")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2905,7 +2914,8 @@ object SparkEntry {
       "q199_label_prop" -> (qLabelProp _),
       "q200_bootstrap_means" -> (qBootstrapMeans _),
       "q201_welch_ttest" -> (qWelchTtest _),
-      "q202_content_chunks" -> (qContentChunks _))
+      "q202_content_chunks" -> (qContentChunks _),
+      "q203_mutual_nn" -> (qMutualNn _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

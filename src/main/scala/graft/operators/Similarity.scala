@@ -167,6 +167,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Mutual nearest-neighbor pairs within a vector set: (a, b) where
+    * b is a's cosine top-1 AND a is b's — the reciprocal-NN criterion
+    * that semantic-dedup and bitext-mining pipelines prefer over
+    * one-directional top-1 (a hub vector is many points' nearest
+    * neighbor without being near any of them; mutuality kills hubs).
+    *
+    * Rides the [[bruteForceTopKFast]] kernel (k = 1, set vs itself,
+    * self-pairs excluded in the scan loop), then one self-equi-join
+    * of the tiny top-1 table on the reversed pair; a < b dedups the
+    * two directions.
+    *
+    * Output: (a, b, sim), a < b. The set must satisfy the kernel's
+    * broadcast bound — it is the eval-set/cluster-representative
+    * regime, same contract as the other broadcast kernels here. */
+  def mutualTopOne(spark: org.apache.spark.sql.SparkSession,
+                   vecs: DataFrame, idCol: String, vecCol: String,
+                   maxRows: Int = MaxBroadcastRows): DataFrame = {
+    val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val top1 = bruteForceTopKFast(spark, q, c, k = 1, maxRows)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("sim"))
+    top1.as("x").join(top1.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("a"), col("x.b").as("b"),
+        col("x.sim").as("sim"))
+  }
+
   /** Hard-negative mining: for each query vector, the top-k most
     * cosine-similar corpus vectors carrying a DIFFERENT label — the
     * contrastive-training data builder (negatives that are near the

@@ -322,6 +322,32 @@ class Round6cSpec extends SparkSpec {
       s"resync failed: ${byDoc(1L).size} original, ${common.size} common")
   }
 
+  // --- mutualTopOne -----------------------------------------------------
+  test("mutualTopOne: reciprocal pairs only, hub vectors excluded") {
+    // 1<->2 and 3<->4 are mutual; 5 points at 2 but 2 points at 1
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.99f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mutualTopOne(spark, vecs,
+        "vec_id", "embedding")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("mutualTopOne pairs are a symmetric subset of directed top-1") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" % 20 === 0)
+    val top1 = graft.operators.Similarity.bruteForceTopKFast(spark,
+        emb.select($"vec_id".as("qid"), $"embedding".as("qvec")),
+        emb.select($"vec_id".as("cid"), $"embedding".as("cvec")), k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val mutual = graft.operators.Similarity.mutualTopOne(spark, emb,
+        "vec_id", "embedding")
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(mutual.forall { case (a, b) =>
+      top1(a) == b && top1(b) == a && a < b })
+  }
+
   // --- plan shapes ------------------------------------------------------
   test("q190 rank window prunes via WindowGroupLimit on the budget") {
     val df = SparkEntry.queries("q190_alpha_sample")(spark, sf)
