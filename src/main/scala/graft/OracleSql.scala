@@ -4136,6 +4136,51 @@ object OracleSql {
       |WHERE x.qid < x.cid
       |ORDER BY a""".stripMargin
 
+  /** q204: vocab-growth replay — first-occurrence histogram, then the
+    * cumulative window (CAST BIGINT — the q102 HUGEINT lesson). */
+  private val q204 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT tok, min(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1),
+      |nt AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT)
+      |         AS new_types FROM f GROUP BY 1),
+      |p AS (
+      |  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+      |  FROM t LEFT JOIN nt USING (doc_id))
+      |SELECT doc_id, n_toks, new_types,
+      |  CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(sum(new_types) OVER w AS BIGINT) AS cum_vocab
+      |FROM p WINDOW w AS (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q205: burstiness replay — exact integer VMR; numerator ≥ 0 by
+    * Cauchy–Schwarz so // matches Spark's DIV. */
+  private val q205 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |pd AS (
+      |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |a AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(c) AS BIGINT) AS total,
+      |    CAST(sum(c * c) AS BIGINT) AS s2,
+      |    CAST(max(c) AS BIGINT) AS max_in_doc
+      |  FROM pd GROUP BY 1)
+      |SELECT tok, df, total, max_in_doc,
+      |  CAST(1000000 * (n.n_docs * s2 - total * total)
+      |    // (n.n_docs * total) AS BIGINT) AS vmr_ppm
+      |FROM a, n WHERE df >= 5
+      |ORDER BY vmr_ppm DESC, tok LIMIT 30""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4341,6 +4386,8 @@ object OracleSql {
     "q201_welch_ttest" -> q201,
     "q202_content_chunks" -> q202,
     "q203_mutual_nn" -> q203,
+    "q204_vocab_growth" -> q204,
+    "q205_burstiness" -> q205,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

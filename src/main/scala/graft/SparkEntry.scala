@@ -2709,6 +2709,19 @@ object SparkEntry {
       .select(col("a"), col("b"))
       .orderBy("a")
 
+  /** Heaps-law vocabulary-growth curve in doc_id order — is the
+    * corpus still discovering types, or saturated? */
+  private def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.vocabGrowth(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Top-30 burstiest tokens (exact integer VMR, df ≥ 5) — topical/
+    * template terms vs Poisson-scattered glue. */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.burstiness(Tables.documents(s, dir),
+      "doc_id", "text", minDf = 5, topK = 30)
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2915,7 +2928,9 @@ object SparkEntry {
       "q200_bootstrap_means" -> (qBootstrapMeans _),
       "q201_welch_ttest" -> (qWelchTtest _),
       "q202_content_chunks" -> (qContentChunks _),
-      "q203_mutual_nn" -> (qMutualNn _))
+      "q203_mutual_nn" -> (qMutualNn _),
+      "q204_vocab_growth" -> (qVocabGrowth _),
+      "q205_burstiness" -> (qBurstiness _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

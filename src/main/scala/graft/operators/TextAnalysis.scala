@@ -631,6 +631,78 @@ object TextAnalysis {
     * Scale shape: one (group, token) aggregation (map-side combined,
     * bounded by group-vocab cardinality) then a per-group rollup —
     * two shuffles end to end, nothing corpus-sized after the first. */
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct types
+    * vs cumulative tokens in corpus (doc_id) order — the diagnostic
+    * that says whether a crawl is still discovering vocabulary or has
+    * saturated (flattening curve ⇒ more of the same; the classic
+    * basis for "how much more data is worth collecting").
+    *
+    * The naive form (cumulative COUNT DISTINCT) is intractable at
+    * scale; this restates it exactly: a type enters the vocabulary at
+    * its FIRST document, so cum_vocab(d) = #tokens whose min(doc_id)
+    * ≤ d — one vocab-bounded aggregation for the first-occurrence
+    * histogram, then ONE two-phase prefix scan ([[Curation
+    * .globalCumsums]]) carrying token mass and new-type counts
+    * together. All integer exact.
+    *
+    * Output per document, in id order: (doc_id, n_toks, new_types,
+    * cum_tokens, cum_vocab). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("toks"))
+    val firsts = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val perDoc = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(firsts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("new_types"))
+    Curation.globalCumsums(perDoc, "doc_id",
+      Seq("n_toks" -> "cum_tokens", "new_types" -> "cum_vocab"))
+  }
+
+  /** Token burstiness (Church & Gale 1995): exact variance-to-mean
+    * ratio of a token's per-document counts over the WHOLE corpus
+    * (zeros included) — VMR ≈ 1 is Poisson scatter (function words),
+    * VMR ≫ 1 means the token clumps into few documents (topical/
+    * template terms). The signal separates content-bearing vocabulary
+    * from glue without any model.
+    *
+    * Exact integer fixed point: with N docs, C total occurrences, S =
+    * Σ_d c_d², VMR = var/mean = (N·S − C²)/(N·C), published as
+    * vmr_ppm = 10⁶·(N·S − C²) DIV (N·C) — numerator ≥ 0 by
+    * Cauchy-Schwarz, so floor division agrees across engines. Bounds:
+    * N·S and 10⁶·(N·S − C²) must stay < 2⁶³ — shard or rescale past
+    * ~10⁹ doc-occurrences per token.
+    *
+    * Shape: one (token, doc) count aggregation, one vocab-bounded
+    * rollup, a one-row N broadcast, and a TakeOrderedAndProject
+    * top-k. Output: top-`topK` by (vmr_ppm DESC, tok) among tokens
+    * in ≥ `minDf` docs: (tok, df, total, max_in_doc, vmr_ppm). */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Int, topK: Int): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("toks"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val perDoc = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("s2"), max(col("c")).as("max_in_doc"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("df"), col("total"), col("max_in_doc"),
+        expr("CAST(1000000 * (n_docs * s2 - total * total) " +
+          "DIV (n_docs * total) AS BIGINT)").as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("tok"))
+      .limit(topK)
+  }
+
   def hapaxMass(docs: DataFrame, idCol: String, textCol: String,
                 groupCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

@@ -348,6 +348,38 @@ class Round6cSpec extends SparkSpec {
       top1(a) == b && top1(b) == a && a < b })
   }
 
+  // --- vocabGrowth ------------------------------------------------------
+  test("vocabGrowth: hand-computed curve; endpoints match corpus totals") {
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d")).toDF("id", "t")
+    val out = TextAnalysis.vocabGrowth(df, "id", "t")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 3L, 2L), (2L, 2L, 1L, 5L, 3L),
+      (3L, 3L, 1L, 8L, 4L)))
+    // corpus endpoints: the curve ends at (total tokens, total types)
+    val docs = Tables.documents(spark, sf)
+    val last = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
+      .orderBy(desc("doc_id")).limit(1).collect().head
+    val toks = docs.select(explode(
+      filter(split(lower($"text"), " "), w => w =!= "")).as("w"))
+    assert(last.getLong(3) == toks.count())
+    assert(last.getLong(4) == toks.distinct().count())
+  }
+
+  // --- burstiness -------------------------------------------------------
+  test("burstiness: clumped token VMR exact, scattered token VMR zero") {
+    // x: 4 occurrences in 1 of 4 docs -> VMR (4*16-16)/(4*4) = 3
+    // y: 1 occurrence in each doc -> VMR 0
+    val df = Seq((1L, "x x x x y"), (2L, "y"), (3L, "y"), (4L, "y"))
+      .toDF("id", "t")
+    val out = TextAnalysis.burstiness(df, "id", "t", minDf = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("x", 1L, 4L, 4L, 3000000L),
+      ("y", 4L, 4L, 1L, 0L)))
+  }
+
   // --- plan shapes ------------------------------------------------------
   test("q190 rank window prunes via WindowGroupLimit on the budget") {
     val df = SparkEntry.queries("q190_alpha_sample")(spark, sf)
