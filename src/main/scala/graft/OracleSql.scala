@@ -4181,6 +4181,54 @@ object OracleSql {
       |FROM a, n WHERE df >= 5
       |ORDER BY vmr_ppm DESC, tok LIMIT 30""".stripMargin
 
+  /** q206: trending-token replay — integer midpoint split, one-pass
+    * half-tagged counts, smoothed integer odds. */
+  private val q206 =
+    """WITH ids AS (
+      |  SELECT CAST((min(doc_id) + max(doc_id)) // 2 AS BIGINT) AS mid
+      |  FROM documents),
+      |tg AS (
+      |  SELECT d.doc_id > ids.mid AS recent,
+      |    unnest(list_filter(string_split(lower(d.text), ' '),
+      |      w -> w <> '')) AS tok
+      |  FROM documents d, ids),
+      |c AS (
+      |  SELECT tok,
+      |    CAST(coalesce(sum(CASE WHEN NOT recent THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS c_old,
+      |    CAST(coalesce(sum(CASE WHEN recent THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS c_new
+      |  FROM tg GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
+      |        CAST(sum(c_new) AS BIGINT) AS t_new FROM c)
+      |SELECT tok, c_old, c_new,
+      |  CAST(1000000 * (c_new + 1) * t.t_old
+      |    // ((c_old + 1) * t.t_new) AS BIGINT) AS trend_ppm
+      |FROM c, t WHERE c_new >= 5
+      |ORDER BY trend_ppm DESC, tok LIMIT 30""".stripMargin
+
+  /** q207: kNN-outlier replay — the q203 float-cosine CTE, rank-5 row
+    * per query, threshold flag on the bit-replayed sim. */
+  private val q207 =
+    """WITH s AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+      |    / sqrt(list_aggregate(list_transform(range(1, 65),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+      |    / sqrt(list_aggregate(list_transform(range(1, 65),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+      |    AS sim
+      |  FROM embeddings q CROSS JOIN embeddings c
+      |  WHERE q.vec_id % 20 = 0 AND c.vec_id % 20 = 0
+      |    AND c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT qid, sim, row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, cid ASC) AS rn
+      |  FROM s)
+      |SELECT qid AS query_id, sim AS sim_k, sim < 0.35 AS outlier
+      |FROM r WHERE rn = 5 ORDER BY query_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4388,6 +4436,8 @@ object OracleSql {
     "q203_mutual_nn" -> q203,
     "q204_vocab_growth" -> q204,
     "q205_burstiness" -> q205,
+    "q206_trending_tokens" -> q206,
+    "q207_knn_outliers" -> q207,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2722,6 +2722,20 @@ object SparkEntry {
     operators.TextAnalysis.burstiness(Tables.documents(s, dir),
       "doc_id", "text", minDf = 5, topK = 30)
 
+  /** Top-30 trending tokens between the old and recent corpus halves
+    * — names the vocabulary behind a drift alarm. */
+  private def qTrendingTokens(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.trendingTokens(Tables.documents(s, dir),
+      "doc_id", "text", minNew = 5, topK = 30)
+
+  /** kNN-distance embedding outliers (5th-NN cosine < 0.35) over the
+    * eval vector subset — surfacing junk/novel vectors. */
+  private def qKnnOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnOutliers(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, maxSim = 0.35)
+      .orderBy("query_id")
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2930,7 +2944,9 @@ object SparkEntry {
       "q202_content_chunks" -> (qContentChunks _),
       "q203_mutual_nn" -> (qMutualNn _),
       "q204_vocab_growth" -> (qVocabGrowth _),
-      "q205_burstiness" -> (qBurstiness _))
+      "q205_burstiness" -> (qBurstiness _),
+      "q206_trending_tokens" -> (qTrendingTokens _),
+      "q207_knn_outliers" -> (qKnnOutliers _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -196,6 +196,31 @@ object Similarity {
         col("x.sim").as("sim"))
   }
 
+  /** Embedding-space outliers by k-th-nearest-neighbor distance: a
+    * vector whose k-th NN is still far away sits in empty space —
+    * encoder garbage, corrupted inputs, or genuinely novel content;
+    * either way the curation pipeline wants them surfaced before
+    * they skew clustering/sampling. The standard kNN-distance
+    * outlier score, over the same broadcast kernel as
+    * [[bruteForceTopKFast]] (set vs itself, rank-k row kept).
+    *
+    * `maxSim` is the flag threshold on the k-th neighbor's COSINE
+    * (not distance): sim_k < maxSim ⇒ outlier. Float sims follow the
+    * q182 bit-replay convention, so the flag is engine-exact.
+    *
+    * Output: (query_id, sim_k, outlier). */
+  def knnOutliers(spark: org.apache.spark.sql.SparkSession,
+                  vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, maxSim: Double,
+                  maxRows: Int = MaxBroadcastRows): DataFrame = {
+    val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    bruteForceTopKFast(spark, q, c, k = k, maxRows)
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("sim").as("sim_k"),
+        (col("sim") < maxSim).as("outlier"))
+  }
+
   /** Hard-negative mining: for each query vector, the top-k most
     * cosine-similar corpus vectors carrying a DIFFERENT label — the
     * contrastive-training data builder (negatives that are near the

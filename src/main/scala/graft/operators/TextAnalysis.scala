@@ -703,6 +703,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Trending tokens: the largest relative-rate shifts between the
+    * old half and the recent half of the corpus (split at the exact
+    * integer midpoint of the id range) — the drift monitor that names
+    * WHICH vocabulary moved when q154's KL score says something did.
+    * Laplace-smoothed exact integer odds: trend_ppm = 10⁶·(c_new+1)·
+    * T_old DIV ((c_old+1)·T_new), where T_old/T_new are the halves'
+    * token masses — >10⁶ means over-represented recently. A `minNew`
+    * floor keeps noise tokens out. Exact while 10⁶·(c_new+1)·T_old <
+    * 2⁶³ — shard by token range or drop to ‰ scaling past ~10¹²
+    * token-mass products.
+    *
+    * Shape: one token aggregation with the half flag fused (so old
+    * and new counts come out of a single vocab-bounded pass), scalar
+    * totals broadcast, TakeOrderedAndProject top-k.
+    *
+    * Output: top-`topK` by (trend_ppm DESC, tok): (tok, c_old, c_new,
+    * trend_ppm). */
+  def trendingTokens(docs: DataFrame, idCol: String, textCol: String,
+                     minNew: Int, topK: Int): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    val ids = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .select(expr("CAST((lo + hi) DIV 2 AS BIGINT)").as("mid"))
+    val tagged = docs.crossJoin(broadcast(ids))
+      .select((col(idCol) > col("mid")).as("recent"),
+        explode(toks).as("tok"))
+    val counts = tagged.groupBy("tok")
+      .agg(sum(when(!col("recent"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("recent"), 1L).otherwise(0L)).as("c_new"))
+    val totals = counts.agg(sum(col("c_old")).as("t_old"),
+      sum(col("c_new")).as("t_new"))
+    counts.filter(col("c_new") >= minNew)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"), col("c_old"), col("c_new"),
+        expr("CAST(1000000 * (c_new + 1) * t_old " +
+          "DIV ((c_old + 1) * t_new) AS BIGINT)").as("trend_ppm"))
+      .orderBy(col("trend_ppm").desc, col("tok"))
+      .limit(topK)
+  }
+
   def hapaxMass(docs: DataFrame, idCol: String, textCol: String,
                 groupCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

@@ -380,6 +380,31 @@ class Round6cSpec extends SparkSpec {
       ("y", 4L, 4L, 1L, 0L)))
   }
 
+  // --- trendingTokens ---------------------------------------------------
+  test("trendingTokens: hand-computed smoothed odds over the id split") {
+    // mid = (1+4) div 2 = 2: old = {1,2} (T=4), new = {3,4} (T=5)
+    // b: old 1, new 4 -> 1e6*5*4/(2*5) = 2e6; c: old 0, new 1 -> 1.6e6
+    val df = Seq((1L, "a a b"), (2L, "a"), (3L, "b b b"), (4L, "b c"))
+      .toDF("id", "t")
+    val out = TextAnalysis.trendingTokens(df, "id", "t",
+      minNew = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("b", 1L, 4L, 2000000L),
+      ("c", 0L, 1L, 1600000L)))
+  }
+
+  // --- knnOutliers ------------------------------------------------------
+  test("knnOutliers flags the isolated vector, not the cluster") {
+    val vecs = ((1 to 6).map(i => (i.toLong, Array(1f, i / 100f))) :+
+      (7L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.knnOutliers(spark, vecs,
+        "vec_id", "embedding",
+        k = 2, maxSim = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(7L))
+    assert((1L to 6L).forall(!out(_)))
+  }
+
   // --- plan shapes ------------------------------------------------------
   test("q190 rank window prunes via WindowGroupLimit on the budget") {
     val df = SparkEntry.queries("q190_alpha_sample")(spark, sf)
