@@ -3596,11 +3596,13 @@ object OracleSql {
       |FROM tok t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.p = rm.p
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
-  /** q188: PR-curve replay — the q181 logit fold feeds a per-distinct-
-    * score aggregation, then a descending cumulative window (CAST to
-    * BIGINT: DuckDB windowed SUM returns HUGEINT — the q102 lesson)
-    * and ppm integer division. */
-  private val q188 =
+  /** q188/q208 shared body: PR-curve replay — the q181 logit fold
+    * feeds a per-distinct-score aggregation, then a descending
+    * cumulative window (CAST to BIGINT: DuckDB windowed SUM returns
+    * HUGEINT — the q102 lesson) and ppm integer division. q188 keeps
+    * the full sweep; q208 keeps the argmax-F1 row (ties → stricter
+    * threshold). */
+  private val prCurveBody =
     """WITH t AS (
       |  SELECT doc_id, n_chars,
       |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
@@ -3634,7 +3636,9 @@ object OracleSql {
       |  CASE WHEN p_all > 0 THEN CAST(1000000 * tp // p_all AS BIGINT)
       |    END AS rec_ppm,
       |  CAST(2000000 * tp // (scanned + p_all) AS BIGINT) AS f1_ppm
-      |FROM c, p ORDER BY thr DESC""".stripMargin
+      |FROM c, p""".stripMargin
+  private val q188 = prCurveBody + "\nORDER BY thr DESC"
+  private val q208 = prCurveBody + "\nORDER BY f1_ppm DESC, thr DESC LIMIT 1"
 
   /** q189: Cohen's kappa replay — integer confusion-cell arithmetic;
     * the fixed point divides MAGNITUDES only so DuckDB's floor //
@@ -4229,6 +4233,57 @@ object OracleSql {
       |SELECT qid AS query_id, sim AS sim_k, sim < 0.35 AS outlier
       |FROM r WHERE rn = 5 ORDER BY query_id""".stripMargin
 
+  /** q209: dedup-impact replay — exact stage groups the RAW lowercased
+    * text where Spark groups its xxhash64 (the q186 collision
+    * convention); the paragraph stage is q186's CTE body over the
+    * stage-1 survivors; each report row is a scalar aggregate. */
+  private val q209 =
+    """WITH base AS (
+      |  SELECT doc_id, text AS t,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |raw AS (
+      |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS tokens
+      |  FROM base),
+      |k1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY lower(t)),
+      |s1b AS (SELECT b.* FROM base b JOIN k1 USING (doc_id)),
+      |s1 AS (
+      |  SELECT '1_exact' AS stage, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS tokens
+      |  FROM s1b),
+      |d AS (SELECT doc_id, string_split(lower(t), ' ') AS toks FROM s1b),
+      |b2 AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // 8)) AS para_id
+      |  FROM d),
+      |paras AS (
+      |  SELECT doc_id, para_id,
+      |    array_to_string(toks[para_id*8+1 : para_id*8+8], ' ') AS ptext
+      |  FROM b2),
+      |own AS (
+      |  SELECT doc_id, para_id, ptext,
+      |    row_number() OVER (PARTITION BY ptext
+      |      ORDER BY doc_id, para_id) AS rn
+      |  FROM paras),
+      |pd AS (
+      |  SELECT doc_id,
+      |    count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+      |    COALESCE(array_to_string(
+      |      list(ptext ORDER BY para_id) FILTER (WHERE rn = 1),
+      |      ' '), '') AS clean_text
+      |  FROM own GROUP BY doc_id),
+      |s2 AS (
+      |  SELECT '2_paragraph' AS stage,
+      |    CAST(coalesce(sum(CASE WHEN n_kept > 0 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS docs,
+      |    CAST(sum(len(list_filter(string_split(clean_text, ' '),
+      |      w -> w <> ''))) AS BIGINT) AS tokens
+      |  FROM pd)
+      |SELECT * FROM raw UNION ALL SELECT * FROM s1
+      |UNION ALL SELECT * FROM s2 ORDER BY stage""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4438,6 +4493,8 @@ object OracleSql {
     "q205_burstiness" -> q205,
     "q206_trending_tokens" -> q206,
     "q207_knn_outliers" -> q207,
+    "q208_best_f1" -> q208,
+    "q209_dedup_impact" -> q209,
     // q70 is the native-operator twin of q38: same oracle by design
     "q70_asof_native" -> q38)
 }

@@ -2736,6 +2736,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, maxSim = 0.35)
       .orderBy("query_id")
 
+  /** The q188 sweep's argmax-F1 operating point — the one-row answer
+    * "set the filter threshold here". */
+  private def qBestF1(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = operators.TextAnalysis.linearScore(docs, "doc_id", "text",
+        buckets = 64)
+      .join(docs.select(col("doc_id"), (col("n_chars") >= 400).as("gold")),
+        Seq("doc_id"))
+    operators.Metrics.bestF1Threshold(scored, "logit", "gold")
+  }
+
+  /** Per-stage dedup mass ledger: raw → exact → paragraph, docs and
+    * tokens surviving each stage. */
+  private def qDedupImpact(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.dedupImpact(Tables.documents(s, dir),
+      "doc_id", "text", paraLen = 8)
+
   // ------------------------------------------------------------ registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2946,7 +2963,9 @@ object SparkEntry {
       "q204_vocab_growth" -> (qVocabGrowth _),
       "q205_burstiness" -> (qBurstiness _),
       "q206_trending_tokens" -> (qTrendingTokens _),
-      "q207_knn_outliers" -> (qKnnOutliers _))
+      "q207_knn_outliers" -> (qKnnOutliers _),
+      "q208_best_f1" -> (qBestF1 _),
+      "q209_dedup_impact" -> (qDedupImpact _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -814,6 +814,49 @@ object Dedup {
           p => p.getField("ptext"))).as("clean_text"))
   }
 
+  /** Dedup-impact report: the per-stage mass ledger an ops team reads
+    * after a curation run — how many documents and tokens survive (a)
+    * exact whole-text dedup and then (b) paragraph-level first-owner
+    * dedup ([[paragraphDedup]]) — so the cost/benefit of each stage
+    * is a number, not a belief. Stage rows: 0_raw, 1_exact (min-id
+    * keeper per distinct lowercased text), 2_paragraph (docs = those
+    * still carrying ≥1 kept paragraph; tokens = reassembled
+    * clean-text mass).
+    *
+    * Scale shape: stage 1 ships only (xxhash64, doc_id) through its
+    * shuffle (the [[paragraphDedup]] fixed-width-election convention
+    * — the oracle groups the raw text, proving hash-collision-free at
+    * test SFs) and rejoins survivors by a LEFT SEMI on the id; stage
+    * 2 is the paragraphDedup kernel unchanged; every report row is a
+    * scalar aggregate.
+    *
+    * Output: (stage, docs, tokens), 3 rows. */
+  def dedupImpact(docs: DataFrame, idCol: String, textCol: String,
+                  paraLen: Int): DataFrame = {
+    def ntoks(t: Column): Column =
+      size(filter(words(t), w => w =!= "")).cast("long")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("t"))
+      .withColumn("n_toks", ntoks(col("t")))
+    val raw = base.agg(count(lit(1)).as("docs"),
+        sum(col("n_toks")).as("tokens"))
+      .select(lit("0_raw").as("stage"), col("docs"), col("tokens"))
+    val keepIds = base.groupBy(xxhash64(lower(col("t"))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val surv1 = base.join(keepIds.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val s1 = surv1.agg(count(lit(1)).as("docs"),
+        sum(col("n_toks")).as("tokens"))
+      .select(lit("1_exact").as("stage"), col("docs"), col("tokens"))
+    val pd = paragraphDedup(surv1.select(col("doc_id"), col("t")),
+      "doc_id", "t", paraLen)
+    val s2 = pd.agg(
+        sum(when(col("n_kept") > 0, 1L).otherwise(0L)).as("docs"),
+        sum(ntoks(col("clean_text"))).as("tokens"))
+      .select(lit("2_paragraph").as("stage"), col("docs"), col("tokens"))
+    raw.unionByName(s1).unionByName(s2).orderBy("stage")
+  }
+
   /** Content-defined chunking (the Rabin/LBFS rolling-boundary move,
     * restated over word tokens): a chunk boundary falls after token i
     * whenever the rolling hash of the trailing `window` tokens hits 0

@@ -217,6 +217,17 @@ object Metrics {
           .as("f1_ppm"))
   }
 
+  /** The [[prCurve]] sweep collapsed to its argmax-F1 operating point
+    * — the row a quality-filter threshold actually gets set from.
+    * Ties break toward the HIGHER (stricter) threshold: when two
+    * operating points trade equally, keep less. One extra
+    * TakeOrderedAndProject over the ≤ #distinct-score sweep frame. */
+  def bestF1Threshold(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame =
+    prCurve(df, scoreCol, labelCol)
+      .orderBy(col("f1_ppm").desc, col("thr").desc)
+      .limit(1)
+
   /** Cohen's kappa — chance-corrected agreement between two labelers
     * (annotator-vs-annotator, or classifier-vs-gold in a labeling
     * QA pass). Exact integer throughout: with N pairs, D agreeing,

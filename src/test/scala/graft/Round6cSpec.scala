@@ -405,6 +405,29 @@ class Round6cSpec extends SparkSpec {
     assert((1L to 6L).forall(!out(_)))
   }
 
+  // --- bestF1Threshold --------------------------------------------------
+  test("bestF1Threshold picks the argmax-F1 row of the sweep") {
+    // f1: thr3 -> 666666, thr2 -> 800000, thr1 -> 666666
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    val r = Metrics.bestF1Threshold(df, "score", "label").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 2L && r.head.getLong(6) == 800000L)
+  }
+
+  // --- dedupImpact ------------------------------------------------------
+  test("dedupImpact: hand-computed three-stage mass ledger") {
+    // doc2 is an exact dup of doc1; doc3's second paragraph repeats
+    // its first
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"),
+      (3L, "a b c d e f g h a b c d e f g h")).toDF("id", "t")
+    val out = graft.operators.Dedup.dedupImpact(df, "id", "t", paraLen = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("0_raw", 3L, 20L), ("1_exact", 2L, 18L),
+      ("2_paragraph", 2L, 10L)))
+  }
+
   // --- plan shapes ------------------------------------------------------
   test("q190 rank window prunes via WindowGroupLimit on the budget") {
     val df = SparkEntry.queries("q190_alpha_sample")(spark, sf)
