@@ -76,6 +76,28 @@ object EventsStream {
       .agg(count(lit(1)).as("n_distinct_users"))
   }
 
+  /** The bounded-state form of [[distinctUserTypePairs]]:
+    * `dropDuplicatesWithinWatermark` keys state to the watermark
+    * horizon instead of retaining one entry per key forever — the
+    * shape a 100 TB/day stream actually deploys (a key's state
+    * evicts once the watermark passes its event time; duplicates
+    * separated by more than the watermark re-emit, which is the
+    * documented contract of the operator). Driven synchronously over
+    * the fixture the file arrives as one batch, so no state evicts
+    * mid-run and the result equals the exact dedup — which is what
+    * the spec pins against the batch twin. */
+  def distinctPairsWithinWatermark(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val pairs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(spark, pairs, "graft_stream_dedup_wm", "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+  }
+
   /** Watermarked stream-stream interval self-join: each error event
     * joined to the same user's purchase events in the preceding 30
     * minutes. Both sides carry watermarks and the join carries a time

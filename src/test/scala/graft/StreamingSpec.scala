@@ -107,6 +107,19 @@ class StreamingSpec extends SparkSpec {
     assert(enriched == batchJoin)
   }
 
+  test("dropDuplicatesWithinWatermark dedup matches the batch twin") {
+    // synchronous single-batch drive: no state evicts mid-run, so the
+    // watermark-bounded dedup must equal the exact one
+    val streamed = graft.streaming.EventsStream
+      .distinctPairsWithinWatermark(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val dir = sf
     val streamed = graft.streaming.EventsStream
