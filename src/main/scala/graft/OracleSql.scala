@@ -3721,7 +3721,10 @@ object OracleSql {
 
   /** q191: unigram-entropy replay — identical ordered left fold over
     * the SORTED distinct-token list (list_reduce with 0.0 init, the
-    * q148 convention), sum quantized to DECIMAL(18,9) (lnp9). */
+    * q148 convention), sum quantized to DECIMAL(18,6) (round-7 guard:
+    * (18,9) hash-missed in the driver's oracle env on last-ulp ln
+    * sums; 1000× coarser absorbs it). The low_entropy cut compares
+    * the quantized ent6. */
   private val q191 =
     """WITH t AS (
       |  SELECT doc_id,
@@ -3738,10 +3741,10 @@ object OracleSql {
       |        list_transform(dts, x ->
       |          len(list_filter(toks, t2 -> t2 = x)) / (1.0 * len(toks))),
       |        r -> -r * ln(r))),
-      |      (acc, x) -> acc + x) AS DECIMAL(18,9)) AS ent9
+      |      (acc, x) -> acc + x) AS DECIMAL(18,6)) AS ent6
       |  FROM d)
-      |SELECT doc_id, n_toks, n_distinct, ent9,
-      |  ent9 < 2.5 AS low_entropy
+      |SELECT doc_id, n_toks, n_distinct, ent6,
+      |  ent6 < 2.5 AS low_entropy
       |FROM e ORDER BY doc_id""".stripMargin
 
   /** q192: split-leakage replay — q147's exhaustive lossless pair join
@@ -3881,7 +3884,9 @@ object OracleSql {
 
   /** q196: PMI collocation replay — bigram/unigram counts, T over ALL
     * bigrams (pre-floor), one identically-spelled double ln quantized
-    * to DECIMAL(18,9) (lnp9). */
+    * to DECIMAL(18,6) (round-7 guard: (18,9) hash-missed in the
+    * driver's oracle env on a last-ulp ln; 1000× coarser absorbs it).
+    * The top-k cut orders on the already-quantized pmi6. */
   private val q196 =
     """WITH base AS (
       |  SELECT doc_id,
@@ -3901,11 +3906,11 @@ object OracleSql {
       |SELECT b.w1, b.w2, b.c12,
       |  CAST(ln((CAST(b.c12 AS DOUBLE) * CAST(t.t_bi AS DOUBLE)) /
       |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
-      |    AS DECIMAL(18,9)) AS pmi9
+      |    AS DECIMAL(18,6)) AS pmi6
       |FROM bi b
       |JOIN u u1 ON u1.tok = b.w1
       |JOIN u u2 ON u2.tok = b.w2, t
-      |ORDER BY pmi9 DESC, w1, w2 LIMIT 40""".stripMargin
+      |ORDER BY pmi6 DESC, w1, w2 LIMIT 40""".stripMargin
 
   /** q197: hapax / Good–Turing unseen-mass replay — exact integer
     * counts, ppm floor division. */
@@ -4031,9 +4036,17 @@ object OracleSql {
       |    CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean
       |FROM wt GROUP BY b ORDER BY b""".stripMargin
 
-  /** q201: Welch t-test replay — exact decimal moments (Σx, Σx²) then
-    * the identical double expressions for mean/var/t/df; t9/df9
-    * DECIMAL(18,9)-quantized (lnp9). */
+  /** q201: Welch t-test replay — round-7 all-integer publication (the
+    * q112/q189 convention, zero doubles). Exact decimal moments are
+    * scaled to exact integers (S = 100Σx cents, Q = 10⁴Σx² cents²)
+    * and everything downstream runs in HUGEINT, whose `//` truncates
+    * toward zero exactly like Spark's DIV on DECIMAL(38,0): se2·10⁹ =
+    * (nQ−S²)·10⁵ // n²(n−1) per arm, Δ·10⁶, t²·10⁹ = Δu²·10⁶ //
+    * Σse2n, df·10⁹ off milli-coarsened se2n (widest intermediate
+    * (am+bm)²·10⁹ < 10³⁸). Round 6's DECIMAL(18,9)-of-double t9/df9
+    * hash-missed in the driver's oracle env despite local bit-equality
+    * — a decimal-from-double cast difference — so the double path is
+    * gone entirely. */
   private val q201 =
     """WITH d AS (
       |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
@@ -4041,36 +4054,50 @@ object OracleSql {
       |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
       |m AS (
       |  SELECT
-      |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-      |    sum(CASE WHEN arm THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
-      |      AS sx_a,
-      |    sum(CASE WHEN NOT arm THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
-      |      AS sx_b,
-      |    sum(CASE WHEN arm THEN CAST(x * x AS DECIMAL(38,4))
-      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS sx2_a,
-      |    sum(CASE WHEN NOT arm THEN CAST(x * x AS DECIMAL(38,4))
-      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS sx2_b
+      |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+      |    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS HUGEINT) AS n_b,
+      |    CAST(CAST(sum(CASE WHEN arm THEN x
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT) AS s_a,
+      |    CAST(CAST(sum(CASE WHEN NOT arm THEN x
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT) AS s_b,
+      |    CAST(CAST(sum(CASE WHEN arm THEN CAST(x * x AS DECIMAL(38,4))
+      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(28,4)) * 10000
+      |      AS HUGEINT) AS q_a,
+      |    CAST(CAST(sum(CASE WHEN NOT arm THEN CAST(x * x AS DECIMAL(38,4))
+      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS DECIMAL(28,4)) * 10000
+      |      AS HUGEINT) AS q_b
       |  FROM d),
-      |e AS (
-      |  SELECT n_a, n_b,
-      |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-      |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-      |    (CAST(sx2_a AS DOUBLE) - CAST(sx_a AS DOUBLE) *
-      |      CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
-      |      (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS se2a,
-      |    (CAST(sx2_b AS DOUBLE) - CAST(sx_b AS DOUBLE) *
-      |      CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
-      |      (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS se2b
-      |  FROM m)
-      |SELECT n_a, n_b, mean_a, mean_b,
-      |  CAST((mean_a - mean_b) / sqrt(se2a + se2b) AS DECIMAL(18,9))
-      |    AS t9,
-      |  CAST(((se2a + se2b) * (se2a + se2b)) /
-      |    (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0) +
-      |     se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0))
-      |    AS DECIMAL(18,9)) AS df9
-      |FROM e""".stripMargin
+      |v AS (
+      |  SELECT n_a, n_b, s_a, s_b,
+      |    (n_a * q_a - s_a * s_a) AS va0,
+      |    (n_b * q_b - s_b * s_b) AS vb0
+      |  FROM m),
+      |se AS (
+      |  SELECT n_a, n_b, s_a, s_b,
+      |    (va0 * 100000) // NULLIF(n_a * n_a * (n_a - 1), 0) AS se2n_a,
+      |    (vb0 * 100000) // NULLIF(n_b * n_b * (n_b - 1), 0) AS se2n_b,
+      |    s_a * n_b - s_b * n_a AS dc
+      |  FROM v),
+      |t AS (
+      |  SELECT n_a, n_b, s_a, s_b, se2n_a, se2n_b, dc,
+      |    (dc * 1000000) // NULLIF(100 * n_a * n_b, 0) AS du,
+      |    se2n_a // 1000000 AS am,
+      |    se2n_b // 1000000 AS bm
+      |  FROM se)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST((s_a * 10000) // NULLIF(n_a, 0) AS BIGINT) AS mean_a_u,
+      |  CAST((s_b * 10000) // NULLIF(n_b, 0) AS BIGINT) AS mean_b_u,
+      |  CAST(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 ELSE 0 END
+      |    AS BIGINT) AS t_sign,
+      |  CAST((du * du * 1000000) // NULLIF(se2n_a + se2n_b, 0)
+      |    AS BIGINT) AS t2_9,
+      |  CAST(((am + bm) * (am + bm) * 1000000000)
+      |    // NULLIF((am * am) // NULLIF(n_a - 1, 0) +
+      |              (bm * bm) // NULLIF(n_b - 1, 0), 0)
+      |    AS BIGINT) AS df9
+      |FROM t""".stripMargin
 
   /** q202: content-defined chunking replay — q181's char-fold token
     * hashes, the 4-token rolling fold mod 1e9+7, boundaries at 0 mod
@@ -4284,6 +4311,30 @@ object OracleSql {
       |SELECT * FROM raw UNION ALL SELECT * FROM s1
       |UNION ALL SELECT * FROM s2 ORDER BY stage""".stripMargin
 
+  /** q211: compressibility-proxy replay — duplicate-4-gram mass
+    * (strlen = UTF-8 bytes in both engines; list slice [i:i+3] is the
+    * q113 n-gram pattern; ppm floor division on non-negatives). */
+  private val q211 =
+    """WITH t AS (
+      |  SELECT doc_id, strlen(text) AS n_bytes,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_bytes,
+      |    CASE WHEN len(toks) >= 4 THEN
+      |      list_transform(range(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i+3], ' '))
+      |    ELSE [] END AS grams
+      |  FROM t)
+      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      |  CASE WHEN len(grams) > 0 THEN
+      |    CAST(1000000 * (len(grams) - len(list_distinct(grams)))
+      |      // len(grams) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END AS dup4_ppm
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4307,6 +4358,14 @@ object OracleSql {
     "q20_media_meta" -> q20,
     "q21_stream_daily" -> q21,
     "q22_ann_brute" -> q22,
+    // round-7 promotion: q23/q24/q25/q46 primaries are now the
+    // portable constructions, so they share their twins' oracle SQL
+    // verbatim (q175/q132/q133/q176) and graduate from rows-only to
+    // fully hash-checked.
+    "q23_ann_lsh" -> q175,
+    "q24_minhash_near_dups" -> q132,
+    "q25_simhash_pairs" -> q133,
+    "q46_ivf_ann" -> q176,
     "q26_fingerprint" -> q26,
     "q27_upsert_suppliers" -> q27,
     "q28_emotion_scores" -> q28,
@@ -4341,6 +4400,10 @@ object OracleSql {
     "q58_dedup_reps" -> q58,
     "q59_stream_enrich" -> q59,
     "q60_stream_dedup" -> q60,
+    // q210 is the watermark-bounded twin of q60: single-batch drive ⇒
+    // no state evicts mid-run ⇒ identical result, same oracle.
+    "q210_stream_wm_dedup" -> q60,
+    "q211_compress_proxy" -> q211,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -250,35 +250,36 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate cosine top-5, multi-probe (scale path;
-    * no SQL oracle — recall vs brute force pinned in ScalaTest, and
-    * multi-probe ≥ single-probe recall asserted there too). */
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val queries = emb.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val corpus = emb
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.lshTopK(queries, corpus, dims = 64, nPlanes = 8, k = 5,
-        nProbes = 4)
-      .select("query_id", "rank", "neighbor_id")
+  /** Hyperplane-LSH approximate cosine top-5 — round-7 promotion: the
+    * PRIMARY is now the portable-arithmetic construction (q175's body:
+    * fixed-point vectors, PRF-literal planes, integer dot ranking), so
+    * this row is fully DuckDB-oracle-checked instead of rows-only. The
+    * engine-native float kernel ([[Similarity.lshTopK]], multi-probe)
+    * remains the documented scale path, pinned by its recall and
+    * multi-probe-dominance specs in DedupSpec. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshPortableTopK(Tables.embeddings(s, dir), dims = 64,
+        nPlanes = 8, k = 5, queryMod = 20)
       .orderBy("query_id", "rank")
-  }
 
-  /** MinHash-LSH near-duplicate pairs (no SQL oracle — xxhash64). */
+  /** MinHash-LSH near-duplicate pairs — round-7 promotion: the PRIMARY
+    * is the portable polynomial-hash construction (q132's body), fully
+    * oracle-checked. The xxhash64 sparse kernel
+    * ([[MinHashLSH.nearDuplicatesSparse]], ~30% faster at sf0.1 and
+    * persist-free) remains the scale path, DedupSpec-pinned equal to
+    * the dense form. */
   private def qMinhashNearDups(s: SparkSession, dir: String): DataFrame =
-    // sparse (map-only kernel) shape: identical pairs to the dense form
-    // (DedupSpec-pinned); after map-side shingling it A/B-measures ~30%
-    // faster (2.7 vs 3.8 s at sf0.1) AND carries no corpus-wide persist
-    MinHashLSH.nearDuplicatesSparse(Tables.documents(s, dir), "doc_id", "text",
-      shingleN = 3, k = 32, bands = 8, threshold = 0.1)
+    MinHashLSH.nearDuplicatesPortable(Tables.documents(s, dir),
+        "doc_id", "text")
       .orderBy("a", "b")
 
-  /** SimHash fingerprints + Hamming-near pairs (no SQL oracle). */
+  /** SimHash Hamming-near pairs — round-7 promotion: the PRIMARY is
+    * the portable integer construction (q133's body), fully
+    * oracle-checked; the xxhash64 fingerprint kernel stays the scale
+    * path under its DedupSpec fixtures. */
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearPairs(
-      SimHash.fingerprints(Tables.documents(s, dir), "doc_id", "text"),
-      maxDist = 16)
+    SimHash.nearPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)
       .orderBy("a", "b")
 
   /** Rolling polynomial document fingerprint. */
@@ -684,6 +685,14 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Replayable compressibility proxy (q96's oracle-checked companion:
+    * duplicate-4-gram mass, the LZ77-match surrogate; the real zlib
+    * number stays in rows-only q96 by design). */
+  private def qCompressProxy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressibilityProxy(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Spark 4 transformWithState (StatefulProcessor + RocksDB store):
     * per-user MapState by event type; order-independent aggregates so
     * the batch GROUP BY is the exact oracle. */
@@ -967,19 +976,22 @@ object SparkEntry {
     }.orderBy("source")
   }
 
-  /** IVF approximate nearest neighbor: k-means coarse quantizer (2
-    * Lloyd iterations, deterministic init) + probed search. Approximate
-    * → rows-only check; recall vs brute force pinned in IvfSpec. */
+  /** IVF approximate nearest neighbor — round-7 promotion: the PRIMARY
+    * is the portable integer-Lloyd construction (q176's body: integer
+    * train, integer probed search), fully oracle-checked via the
+    * unrolled-CTE twin. The float k-means kernel
+    * ([[IvfIndex.train]]/[[IvfIndex.search]]) remains the scale path,
+    * recall-pinned in IvfSpec. */
   private def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .withColumn("vn", Similarity.l2normalize(col("embedding")))
-    val corpus = emb.select(col("vec_id").as("cid"), col("vn").as("cvec"))
-    val queries = emb.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("vn").as("qvec"))
-    val vectors = emb.select(col("vec_id").as("id"), col("vn").as("vec"))
-    val centroids = IvfIndex.train(s, vectors, k = 8, iters = 2, dims = 64)
-    IvfIndex.search(s, queries, corpus, centroids, nProbe = 3, k = 5)
-      .select("query_id", "rank", "neighbor_id")
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantize16(col("embedding")).as("q"))
+    val centroids = IvfIndex.trainPortable(s,
+      qv.select(col("vec_id").as("id"), col("q")), k = 4, iters = 2)
+    IvfIndex.searchPortable(
+      qv.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq")),
+      qv.select(col("vec_id").as("cid"), col("q").as("cq")),
+      centroids, nProbe = 2, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -1193,6 +1205,15 @@ object SparkEntry {
   /** Streaming exact dedup via dropDuplicates state. */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
     EventsStream.distinctUserTypePairs(s, dir).orderBy("event_type")
+
+  /** Watermark-BOUNDED streaming dedup (round 7 — the one streaming
+    * operator that previously had only a batch-twin spec): same
+    * result as q60 when the fixture arrives as a single batch (no
+    * state evicts mid-run), so the exact-dedup SQL is its oracle;
+    * at 100 TB/day the watermark keys the state store to the time
+    * horizon instead of one-entry-per-key-forever. */
+  private def qStreamWmDedup(s: SparkSession, dir: String): DataFrame =
+    EventsStream.distinctPairsWithinWatermark(s, dir).orderBy("event_type")
 
   /** CSV sink + source round-trip (SURVEY.md S6/S7, the reference's
     * `to_csv` / header-skipping `open()+readline()` pair,
@@ -2965,7 +2986,9 @@ object SparkEntry {
       "q206_trending_tokens" -> (qTrendingTokens _),
       "q207_knn_outliers" -> (qKnnOutliers _),
       "q208_best_f1" -> (qBestF1 _),
-      "q209_dedup_impact" -> (qDedupImpact _))
+      "q209_dedup_impact" -> (qDedupImpact _),
+      "q210_stream_wm_dedup" -> (qStreamWmDedup _),
+      "q211_compress_proxy" -> (qCompressProxy _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -2984,7 +3007,12 @@ object SparkEntry {
     "q160_containment", "q163_hard_negatives",
     "q129_bpe_merges", "q175_lsh_oracle", "q176_ivf_oracle",
     "q179_url_dedup", "q186_paragraph_dedup", "q187_dsir_weights",
-    "q188_pr_curve", "q195_bradley_terry")
+    "q188_pr_curve", "q195_bradley_terry",
+    // round 7: the remaining heavy operators, so regressions there
+    // are visible (q192 composes the q147 pair join; q202/q204/q209
+    // were previously untimed)
+    "q192_split_leakage", "q202_content_chunks", "q204_vocab_growth",
+    "q209_dedup_impact")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -638,10 +638,14 @@ object Curation {
     * re-split).
     *
     * Scale shape: the pair join is the q147 bucketed kernel (no
-    * all-pairs); the surviving pair set is FAR smaller than the
-    * corpus, so each split-label join broadcasts the pair side and
-    * streams the corpus-sized split table — two broadcast joins, no
-    * corpus shuffle beyond what the kernel already does.
+    * all-pairs); the surviving pair set is USUALLY far smaller than
+    * the corpus, but on templated corpora it is inherently quadratic
+    * (prefixJaccardPairs' own caveat) — so the split-label joins are
+    * NOT hint-forced to broadcast (round-7 fix: a forced
+    * `broadcast(pairs)` would OOM the driver exactly when the audit
+    * matters most). AQE sizes the built side at runtime: small pair
+    * sets still broadcast, pathological ones fall back to a shuffle
+    * join and complete.
     *
     * Output: (a, b, common, jaccard, split_a, split_b, leaks_train),
     * cross-split pairs only. */
@@ -652,7 +656,7 @@ object Curation {
       .select(col(idCol).cast("long").as("sid"), col("split"))
     val pairs = graft.operators.Dedup.prefixJaccardPairs(
       docs, idCol, textCol, n, thresholdNum, thresholdDen)
-    broadcast(pairs)
+    pairs
       .join(splits.select(col("sid").as("a"), col("split").as("split_a")),
         Seq("a"))
       .join(splits.select(col("sid").as("b"), col("split").as("split_b")),

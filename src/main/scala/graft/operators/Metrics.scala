@@ -195,9 +195,24 @@ object Metrics {
     * same pass — no single-partition window, no second sort); the
     * positive total joins back as a broadcast scalar.
     *
+    * Contract: `scoreCol` must be an INTEGRAL column (the integer
+    * logits of [[TextAnalysis.linearScore]], a ppm fixed point, …) —
+    * enforced with a schema check, not a silent cast, because a
+    * float score silently floored to long would collapse distinct
+    * thresholds (0.5 and 0.3 → one row) and publish a wrong curve.
+    * Fix-point fractional scorers upstream (×10⁶ → BIGINT) to sweep
+    * them.
+    *
     * Output: (thr, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm),
     * descending thr ⇔ ascending scan order. */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    require(Seq("byte", "short", "int", "long", "integer", "bigint",
+        "smallint", "tinyint")
+        .contains(df.schema(scoreCol).dataType.typeName),
+      s"prCurve sweeps one row per DISTINCT integer score; '$scoreCol' is " +
+        s"${df.schema(scoreCol).dataType.typeName}. Fixed-point it upstream " +
+        "(e.g. CAST(score * 1000000 AS BIGINT)) so thresholds don't " +
+        "collapse under a silent floor.")
     val lbl = col(labelCol).cast("boolean")
     val perScore = df.groupBy(col(scoreCol).cast("long").as("thr"))
       .agg(count(lit(1)).as("n"),
@@ -318,21 +333,39 @@ object Metrics {
     * impact checks) as one distributed aggregation. `armCol` must be
     * boolean (true = arm A).
     *
-    * Exactness: per-arm moments are ORDER-FREE exact decimals — Σx at
-    * DECIMAL(38,2), Σx² at DECIMAL(38,4) (both sums of exactly-
-    * representable products, so partial-aggregation order cannot
-    * perturb them) — and every double derives from those exact sums
-    * by the identical expression in both engines: mean = Σx/n, var =
-    * (Σx² − Σx²/n… spelled (sx2 − sx·sx/n)/(n−1)), t = Δmean/√(v₁/n₁
-    * + v₂/n₂), Welch–Satterthwaite df. t and df publish DECIMAL(18,9)-
-    * quantized (the lnp9 convention absorbing sqrt/division last-ulp
-    * skew).
+    * Exactness — the q112/q189 INTEGER convention, no doubles at all.
+    * Round 6 published DECIMAL(18,9)-quantized doubles for t/df and
+    * the driver's oracle env hash-missed them even though local DuckDB
+    * matched bit-for-bit (a decimal-cast-of-double rounding-mode
+    * difference is enough); this publication removes the double path
+    * entirely. Per-arm moments are ORDER-FREE exact decimals — Σx at
+    * scale 2, Σx² at scale 4 (sums of exactly-representable products,
+    * so partial-aggregation order cannot perturb them). Everything
+    * downstream is integer arithmetic on DECIMAL(38,0) (the oracle
+    * mirrors it in HUGEINT, whose `//` truncates toward zero exactly
+    * like Spark's DIV): with S = 100·Σx, Q = 10⁴·Σx², the variance
+    * numerator v0 = n·Q − S² is exact, se2·10⁹ = v0·10⁵ div n²(n−1)
+    * per arm, Δ·10⁶ = (S_a·n_b − S_b·n_a)·10⁶ div (100·n_a·n_b), and
+    *   t²·10⁹  = Δu² ·10⁶ div (se2n_a + se2n_b)
+    *   df·10⁹  = (am+bm)²·10⁹ div (am² div (n_a−1) + bm² div (n_b−1))
+    * with am/bm the se2n values coarsened to milli (div 10⁶) so the
+    * widest intermediate stays < 10³⁸. Each div is a truncating
+    * integer division of exact integers — bit-replayable on any
+    * engine, no libm, no decimal-from-double cast. The fixed-point
+    * truncations (micro mean/Δ, milli df inputs) are documented
+    * contract, not noise: both engines truncate identically.
     *
     * Scale shape: ONE map-side-combined aggregation over the corpus
     * (conditional sums per arm); everything after runs on a one-row
-    * frame. The cheapest possible full-data test.
+    * frame. The cheapest possible full-data test. Requires ≥2 rows
+    * per arm (Welch is undefined below that); degenerate arms and
+    * zero pooled variance publish NULL t2_9/df9 via NULLIF rather
+    * than erroring.
     *
-    * Output: one row (n_a, n_b, mean_a, mean_b, t9, df9). */
+    * Output: one row, all BIGINT — (n_a, n_b, mean_a_u, mean_b_u,
+    * t_sign, t2_9, df9): means in micro-units, t_sign ∈ {-1,0,1},
+    * t2_9 = t²·10⁹ (sign carried separately so the squared form
+    * stays sqrt-free), df9 = Welch–Satterthwaite df·10⁹. */
   def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
     val arm = col(armCol)
     val x = col(valueCol).cast("decimal(18,2)")
@@ -340,27 +373,55 @@ object Metrics {
     def stats(p: Column, suf: String) = Seq(
       sum(when(p, 1L).otherwise(0L)).as(s"n_$suf"),
       sum(when(p, x).otherwise(lit(0).cast("decimal(18,2)")))
-        .as(s"sx_$suf"),
+        .cast("decimal(18,2)").as(s"sx_$suf"),
       sum(when(p, x2).otherwise(lit(0).cast("decimal(38,4)")))
-        .as(s"sx2_$suf"))
+        .cast("decimal(28,4)").as(s"sx2_$suf"))
     val agg = df.agg((stats(arm, "a") ++ stats(!arm, "b")).head,
       (stats(arm, "a") ++ stats(!arm, "b")).tail: _*)
-    def mean(s: String) =
-      col(s"sx_$s").cast("double") / col(s"n_$s").cast("double")
-    def vr(s: String) =
-      (col(s"sx2_$s").cast("double") -
-        col(s"sx_$s").cast("double") * col(s"sx_$s").cast("double") /
-          col(s"n_$s").cast("double")) /
-        (col(s"n_$s").cast("double") - 1.0)
-    val se2a = vr("a") / col("n_a").cast("double")
-    val se2b = vr("b") / col("n_b").cast("double")
+    // Integer staging: S (cents) and Q (cents²) are integral-valued
+    // decimals cast to scale 0; all products stay inside DECIMAL(38,0)
+    // by construction (see widths in the docblock).
+    def h(c: Column) = c.cast("decimal(38,0)")
     agg.select(col("n_a"), col("n_b"),
-      mean("a").as("mean_a"), mean("b").as("mean_b"),
-      ((mean("a") - mean("b")) / sqrt(se2a + se2b))
-        .cast("decimal(18,9)").as("t9"),
-      (((se2a + se2b) * (se2a + se2b)) /
-        (se2a * se2a / (col("n_a").cast("double") - 1.0) +
-          se2b * se2b / (col("n_b").cast("double") - 1.0)))
-        .cast("decimal(18,9)").as("df9"))
+        h(col("sx_a") * 100).as("s_a"), h(col("sx_b") * 100).as("s_b"),
+        h(col("sx2_a") * 10000).as("q_a"),
+        h(col("sx2_b") * 10000).as("q_b"))
+      .withColumn("va0",
+        expr("CAST(n_a AS DECIMAL(38,0)) * q_a - s_a * s_a"))
+      .withColumn("vb0",
+        expr("CAST(n_b AS DECIMAL(38,0)) * q_b - s_b * s_b"))
+      .withColumn("se2n_a", expr(
+        """(va0 * CAST(100000 AS DECIMAL(38,0))) DIV
+           NULLIF(CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1),
+                  CAST(0 AS DECIMAL(38,0)))"""))
+      .withColumn("se2n_b", expr(
+        """(vb0 * CAST(100000 AS DECIMAL(38,0))) DIV
+           NULLIF(CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1),
+                  CAST(0 AS DECIMAL(38,0)))"""))
+      .withColumn("dc", expr(
+        "s_a * CAST(n_b AS DECIMAL(38,0)) - s_b * CAST(n_a AS DECIMAL(38,0))"))
+      .withColumn("du", expr(
+        """(dc * CAST(1000000 AS DECIMAL(38,0))) DIV
+           NULLIF(CAST(100 AS DECIMAL(38,0)) * n_a * n_b,
+                  CAST(0 AS DECIMAL(38,0)))"""))
+      .withColumn("t2_9", expr(
+        """(CAST(du AS DECIMAL(38,0)) * du * CAST(1000000 AS DECIMAL(38,0)))
+           DIV NULLIF(se2n_a + se2n_b, 0)"""))
+      .withColumn("t_sign", expr(
+        "CAST(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 ELSE 0 END AS BIGINT)"))
+      .withColumn("am", expr("se2n_a DIV 1000000"))
+      .withColumn("bm", expr("se2n_b DIV 1000000"))
+      .withColumn("df9", expr(
+        """(CAST(am + bm AS DECIMAL(38,0)) * (am + bm) *
+             CAST(1000000000 AS DECIMAL(38,0)))
+           DIV NULLIF(
+             (CAST(am AS DECIMAL(38,0)) * am) DIV NULLIF(n_a - 1, 0) +
+             (CAST(bm AS DECIMAL(38,0)) * bm) DIV NULLIF(n_b - 1, 0), 0)"""))
+      .withColumn("mean_a_u",
+        expr("(s_a * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_a, 0)"))
+      .withColumn("mean_b_u",
+        expr("(s_b * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_b, 0)"))
+      .select(col("n_a"), col("n_b"), col("mean_a_u"), col("mean_b_u"),
+        col("t_sign"), col("t2_9"), col("df9"))
   }
 }

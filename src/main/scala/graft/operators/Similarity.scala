@@ -178,15 +178,27 @@ object Similarity {
     * of the tiny top-1 table on the reversed pair; a < b dedups the
     * two directions.
     *
-    * Output: (a, b, sim), a < b. The set must satisfy the kernel's
-    * broadcast bound — it is the eval-set/cluster-representative
-    * regime, same contract as the other broadcast kernels here. */
+    * Scale route (round 7): past the broadcast cap the operator no
+    * longer errors — it switches to the join-based [[lshTopK]] kernel
+    * (bucketed candidates, corpus never broadcast, multi-probe for
+    * recall) for the top-1 pass and keeps the identical mutual join.
+    * The cap probe is a bounded `limit(cap+1).count()` — one cheap
+    * short-circuiting scan, never a full count. Below the cap the
+    * brute kernel stays exact; above it mutuality is computed over
+    * LSH top-1s (approximate, recall-pinned in ScaleSpec against the
+    * brute kernel on separated fixtures).
+    *
+    * Output: (a, b, sim), a < b. */
   def mutualTopOne(spark: org.apache.spark.sql.SparkSession,
                    vecs: DataFrame, idCol: String, vecCol: String,
-                   maxRows: Int = MaxBroadcastRows): DataFrame = {
+                   maxRows: Int = MaxBroadcastRows, dims: Int = 64,
+                   nPlanes: Int = 8, nProbes: Int = 4): DataFrame = {
     val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val top1 = bruteForceTopKFast(spark, q, c, k = 1, maxRows)
+    val overCap = vecs.limit(maxRows + 1).count() > maxRows
+    val top1 = (if (overCap)
+        lshTopK(q, c, dims, nPlanes, k = 1, nProbes)
+      else bruteForceTopKFast(spark, q, c, k = 1, maxRows))
       .select(col("query_id").as("a"), col("neighbor_id").as("b"),
         col("sim"))
     top1.as("x").join(top1.as("y"),
@@ -208,15 +220,28 @@ object Similarity {
     * (not distance): sim_k < maxSim ⇒ outlier. Float sims follow the
     * q182 bit-replay convention, so the flag is engine-exact.
     *
+    * Scale route (round 7): past the broadcast cap the operator
+    * switches to the join-based [[lshTopK]] kernel instead of
+    * erroring (same probe-then-route shape as [[mutualTopOne]]).
+    * Above the cap a vector whose bucket (incl. probes) holds fewer
+    * than k same-bucket neighbors yields no rank-k row and is
+    * conservatively ABSENT rather than mis-flagged — at that point it
+    * is by construction in a sparse bucket, i.e. the outlier regime;
+    * raise nProbes to tighten. ScaleSpec pins route equivalence on
+    * separated fixtures.
+    *
     * Output: (query_id, sim_k, outlier). */
   def knnOutliers(spark: org.apache.spark.sql.SparkSession,
                   vecs: DataFrame, idCol: String, vecCol: String,
                   k: Int, maxSim: Double,
-                  maxRows: Int = MaxBroadcastRows): DataFrame = {
+                  maxRows: Int = MaxBroadcastRows, dims: Int = 64,
+                  nPlanes: Int = 8, nProbes: Int = 4): DataFrame = {
     val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    bruteForceTopKFast(spark, q, c, k = k, maxRows)
-      .filter(col("rank") === k)
+    val overCap = vecs.limit(maxRows + 1).count() > maxRows
+    val topK = if (overCap) lshTopK(q, c, dims, nPlanes, k, nProbes)
+      else bruteForceTopKFast(spark, q, c, k = k, maxRows)
+    topK.filter(col("rank") === k)
       .select(col("query_id"), col("sim").as("sim_k"),
         (col("sim") < maxSim).as("outlier"))
   }
@@ -356,18 +381,20 @@ object Similarity {
     * near-duplicate detection. Same broadcast + mapPartitions kernel as
     * bruteForceTopKFast: O(n²) dots in tight JVM loops, emitting only
     * the (rare) above-threshold pairs. Exact; the LSH-bucketed variant
-    * is the 100 TB path (this one is the ground truth / small-n tool).
+    * is the 100 TB path (this one is the ground truth / small-n tool;
+    * the collect is bounded — corpus-scale misuse fails loudly).
     * Output: (a, b, sim). */
   def cosineNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-                         vectors: DataFrame, threshold: Double): DataFrame = {
+                         vectors: DataFrame, threshold: Double,
+                         maxRows: Int = MaxBroadcastRows): DataFrame = {
     import spark.implicits._
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
-    val all = vectors.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
+    val all = collectBounded(vectors.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])], maxRows, "vector set")
       .map { case (id, v) => (id, v, norm(v)) }
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)

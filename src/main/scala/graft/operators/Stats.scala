@@ -346,16 +346,24 @@ object Stats {
     * it is one pass, no resampled copies of the data ever
     * materialize). B is a small constant (32–200 in practice).
     *
+    * Contract: `idCol` must be UNIQUE per row — the weight is a PRF
+    * of (id, replicate), so duplicate ids would draw fully correlated
+    * weights and bias the replicate spread narrow. Any Long seed is
+    * safe: it is reduced into [0, P) before entering the affine round
+    * (round-7 fix — a raw near-Long.Max seed previously overflowed
+    * the ANSI multiply-add).
+    *
     * Output: (b, n_eff, mean) — one row per replicate. */
   def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
                      b: Int, seed: Long): DataFrame = {
     require(b >= 2, s"bootstrapMeans needs b >= 2 replicates, got $b")
     val P = 1000000007L
+    val seed0 = ((seed % P) + P) % P
     val rep = df.select(col(idCol).cast("long").as("id"),
         col(valueCol).cast("decimal(18,2)").as("x"),
         explode(sequence(lit(0), lit(b - 1))).as("b"))
     val key = pmod(pmod(col("id"), lit(P)) * 1009L + col("b"), lit(P))
-    val h1 = pmod(key * 48271L + seed, lit(P))
+    val h1 = pmod(key * 48271L + seed0, lit(P))
     val h2 = pmod(h1 * 16807L + 12345L, lit(P))
     val u = (h2.cast("double") + 0.5) / P
     // Poisson(1) CDF: P(X<=k) for k = 0..5; >5 truncates to 6 (mass 6e-5)

@@ -440,7 +440,9 @@ object TextAnalysis {
     * per document, no UDF serialization overhead. zlib output for a
     * fixed level is deterministic, so reruns agree; the ratio is
     * engine-specific (no SQL twin), which makes this a rows-only
-    * query by design. Map-only: no shuffle at any scale. */
+    * query by design — [[compressibilityProxy]] (q211) is its
+    * oracle-checked companion signal. Map-only: no shuffle at any
+    * scale. */
   def compressionRatio(docs: DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.Dataset[CompressionStats] = {
     val spark = docs.sparkSession
@@ -462,6 +464,43 @@ object TextAnalysis {
             if (in.length == 0) 0.0 else total.toDouble / in.length)
         }
       }
+  }
+
+  /** DuckDB-replayable compressibility PROXY (round 7, the q96
+    * companion): the zlib ratio itself is engine-specific (no SQL
+    * twin, documented in [[compressionRatio]]), but the signal DEFLATE
+    * exploits — repeated substrings — has an exactly-replayable
+    * surrogate: the share of token 4-grams that duplicate an earlier
+    * 4-gram of the same document (LZ77 matches are, to first order,
+    * repeated shingles). High dup4_ppm ⇔ low zlib ratio; the
+    * association is pinned against the real Deflater in ScalaTest, and
+    * every published column is integer-exact so the oracle replays the
+    * row bit-for-bit.
+    *
+    * Scale shape: map-only per-row HOFs (shingle transform + distinct
+    * count), no shuffle, no UDF — same cost class as the other per-doc
+    * text signals.
+    *
+    * Output: (doc_id, n_bytes, n_grams, n_distinct_grams, dup4_ppm). */
+  def compressibilityProxy(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 4): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        toks.as("toks"))
+      .withColumn("grams",
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("n_bytes"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long")
+          .as("n_distinct_grams"))
+      .withColumn("dup4_ppm",
+        when(col("n_grams") > 0,
+          expr("CAST(1000000 * (n_grams - n_distinct_grams) " +
+            "DIV n_grams AS BIGINT)")).otherwise(0L))
   }
 
   /** FastText-shaped linear text classifier INFERENCE at corpus scale:
@@ -538,16 +577,20 @@ object TextAnalysis {
     * Exactness follows the q148/q165 ordered-fold convention: the
     * terms fold left-to-right over the SORTED distinct-token list
     * (both engines fold the identical sequence) and the sum quantizes
-    * to DECIMAL(18,9) at publication (ent9), absorbing libm-vs-JVM ln
-    * ulps. The `low_entropy` flag compares ent9 — already quantized,
-    * so the threshold cut is bit-stable too.
+    * to DECIMAL(18,6) at publication (ent6). Round 6 published at
+    * (18,9) and the driver's oracle env disagreed on the last digit —
+    * a libm-vs-JVM ln ulp crossing the quantization boundary — even
+    * though local DuckDB matched bit-for-bit; (18,6) is a 1000-ulp
+    * guard, wide enough for any correctly-rounded-ish ln. The
+    * `low_entropy` flag compares ent6 — already quantized, so the
+    * threshold cut stays bit-stable too.
     *
     * Scale shape: map-only — per-row HOFs (distinct, sort, counted
     * fold), no shuffle, no UDF. The fold is O(distinct × n) per doc;
     * for pathological vocabulary-heavy docs cap upstream by length
     * (the Gopher gates), not here.
     *
-    * Output: (doc_id, n_toks, n_distinct, ent9, low_entropy). */
+    * Output: (doc_id, n_toks, n_distinct, ent6, low_entropy). */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String,
                    lowBelow: Double): DataFrame = {
     val toks = filter(words(col(textCol)), w => w =!= "")
@@ -564,8 +607,8 @@ object TextAnalysis {
             -(c / n) * log(c / n)
           }),
           lit(0.0), (acc, x) => acc + x)
-          .cast("decimal(18,9)").as("ent9"))
-      .withColumn("low_entropy", col("ent9") < lowBelow)
+          .cast("decimal(18,6)").as("ent6"))
+      .withColumn("low_entropy", col("ent6") < lowBelow)
   }
 
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
@@ -575,12 +618,17 @@ object TextAnalysis {
     * that feeds tokenizer vocab decisions and phrase-aware dedup.
     * `minCount` kills the low-count PMI explosion (a hapax pair has
     * spuriously maximal PMI); output is the global top-`topK` by
-    * (pmi9 DESC, w1, w2).
+    * (pmi6 DESC, w1, w2).
     *
     * Exactness: counts are exact bigints off two aggregations; the
     * single ln evaluates on an identically-spelled double expression
     * in both engines ((c₁₂·T)/(c₁·c₂) with each count cast up front)
-    * and quantizes to DECIMAL(18,9) — the lnp9 convention.
+    * and quantizes to DECIMAL(18,6) — a 1000-ulp guard after round
+    * 6's (18,9) publication hash-missed in the driver's oracle env
+    * (libm-vs-JVM ln last-ulp at the quantization boundary). The
+    * top-k cut orders on the already-quantized pmi6 (ties broken
+    * lexicographically), so selection is bit-stable downstream of
+    * the guarded value.
     *
     * Scale shape: bigram assembly is map-only; both count
     * aggregations are map-side combined and bounded by vocab/bigram
@@ -611,26 +659,11 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c12"),
         log((col("c12").cast("double") * col("t_bi").cast("double")) /
           (col("c1").cast("double") * col("c2").cast("double")))
-          .cast("decimal(18,9)").as("pmi9"))
-      .orderBy(col("pmi9").desc, col("w1"), col("w2"))
+          .cast("decimal(18,6)").as("pmi6"))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
       .limit(topK)
   }
 
-  /** Hapax-legomena mass per group — the Good–Turing estimate of
-    * UNSEEN vocabulary probability (p₀ ≈ n₁/N, Gale & Sampson 1995):
-    * how much of a source's token stream is words seen exactly once,
-    * i.e. how open its vocabulary still is. High hapax share ⇒ the
-    * corpus slice keeps producing novel types (diverse, or noisy);
-    * near zero ⇒ closed/templated vocabulary. Published as exact ppm
-    * integer fixed point.
-    *
-    * Output per group: (group, n_tokens, vocab, n_hapax,
-    * unseen_mass_ppm = 10⁶·n₁ DIV N, hapax_share_ppm = 10⁶·n₁ DIV
-    * vocab).
-    *
-    * Scale shape: one (group, token) aggregation (map-side combined,
-    * bounded by group-vocab cardinality) then a per-group rollup —
-    * two shuffles end to end, nothing corpus-sized after the first. */
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct types
     * vs cumulative tokens in corpus (doc_id) order — the diagnostic
     * that says whether a crawl is still discovering vocabulary or has
@@ -742,6 +775,21 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Hapax-legomena mass per group — the Good–Turing estimate of
+    * UNSEEN vocabulary probability (p₀ ≈ n₁/N, Gale & Sampson 1995):
+    * how much of a source's token stream is words seen exactly once,
+    * i.e. how open its vocabulary still is. High hapax share ⇒ the
+    * corpus slice keeps producing novel types (diverse, or noisy);
+    * near zero ⇒ closed/templated vocabulary. Published as exact ppm
+    * integer fixed point.
+    *
+    * Output per group: (group, n_tokens, vocab, n_hapax,
+    * unseen_mass_ppm = 10⁶·n₁ DIV N, hapax_share_ppm = 10⁶·n₁ DIV
+    * vocab).
+    *
+    * Scale shape: one (group, token) aggregation (map-side combined,
+    * bounded by group-vocab cardinality) then a per-group rollup —
+    * two shuffles end to end, nothing corpus-sized after the first. */
   def hapaxMass(docs: DataFrame, idCol: String, textCol: String,
                 groupCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

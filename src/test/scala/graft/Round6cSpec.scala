@@ -94,7 +94,8 @@ class Round6cSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out(0).getDecimal(3).doubleValue() == 0.0)
     assert(out(0).getBoolean(4)) // 0 < 0.5 -> low-entropy junk
-    assert(math.abs(out(1).getDecimal(3).doubleValue() - math.log(4)) < 1e-9)
+    // ent publishes at DECIMAL(18,6) (round-7 driver-robustness guard)
+    assert(math.abs(out(1).getDecimal(3).doubleValue() - math.log(4)) < 1e-5)
     assert(!out(1).getBoolean(4))
     assert(out(2).getInt(1) == 0 && out(2).getDecimal(3).doubleValue() == 0.0)
   }
@@ -184,8 +185,9 @@ class Round6cSpec extends SparkSpec {
         r.getDecimal(3).doubleValue()))
     assert(out.map(_._1).toSeq ==
       Seq(("c", "d"), ("a", "b"), ("b", "a")))
-    assert(math.abs(out(0)._3 - math.log(4)) < 1e-9)  // ln(1*4/(1*1))
-    assert(math.abs(out(1)._3 - math.log(2)) < 1e-9)  // ln(2*4/(2*2))
+    // pmi publishes at DECIMAL(18,6) (round-7 driver-robustness guard)
+    assert(math.abs(out(0)._3 - math.log(4)) < 1e-5)  // ln(1*4/(1*1))
+    assert(math.abs(out(1)._3 - math.log(2)) < 1e-5)  // ln(2*4/(2*2))
     assert(out(2)._3 == 0.0)                          // ln(1*4/(2*2))
     // count floor kills the hapax-pair PMI explosion
     assert(TextAnalysis.pmiCollocations(df, "id", "t", 2, 10)
@@ -270,19 +272,42 @@ class Round6cSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(run(1L) == run(1L))
     assert(run(1L) != run(2L))
+    // round-7: any Long seed is safe (reduced mod P before the affine
+    // round — a raw Long.MaxValue previously overflowed under ANSI),
+    // and a pre-reduced seed is a no-op (replay compatibility)
+    assert(run(Long.MaxValue).nonEmpty && run(Long.MinValue).nonEmpty)
+    assert(run(Long.MaxValue % 1000000007L) == run(Long.MaxValue))
   }
 
   // --- welchTTest -------------------------------------------------------
-  test("welchTTest: hand-computed t statistic and Satterthwaite df") {
+  test("welchTTest: hand-computed integer fixed-point t² and df") {
     // A = [1,2,3] (mean 2, var 1), B = [2,4] (mean 3, var 2)
-    // se2a = 1/3, se2b = 1; t = -1/sqrt(4/3); df = (4/3)^2/(1/18 + 1)
+    // se2a = 1/3, se2b = 1; t² = 1/(4/3) = 0.75 exactly; df = 32/19.
+    // Integer pipeline (hand-traced): se2n = (333333333, 1000000000),
+    // du = -1000000, t2_9 = 10^18 DIV 1333333333 = 750000000 exact;
+    // df9 runs off milli-coarsened (am,bm) = (333, 1000) so it carries
+    // the documented truncation: 1777289*10^9 DIV 1055444 = 1683546450
+    // (true df·10^9 = 1684210526 — 4e-4 relative, contract not noise).
     val df = Seq((true, 1.0), (true, 2.0), (true, 3.0),
       (false, 2.0), (false, 4.0)).toDF("arm", "v")
     val r = Metrics.welchTTest(df, "arm", "v").collect().head
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
-    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0)
-    assert(math.abs(r.getDecimal(4).doubleValue() + 0.866025404) < 1e-8)
-    assert(math.abs(r.getDecimal(5).doubleValue() - 1.684210526) < 1e-8)
+    assert(r.getLong(2) == 2000000L && r.getLong(3) == 3000000L)
+    assert(r.getLong(4) == -1L)
+    assert(r.getLong(5) == 750000000L)
+    assert(r.getLong(6) == 1683546450L)
+    assert(math.abs(r.getLong(6) / 1e9 - 32.0 / 19.0) < 1e-3)
+  }
+
+  test("welchTTest: degenerate arms publish NULL, never error") {
+    // one-row arm (n-1 = 0) and zero-variance pooled case
+    val one = Seq((true, 1.0), (false, 2.0), (false, 4.0)).toDF("arm", "v")
+    val r1 = Metrics.welchTTest(one, "arm", "v").collect().head
+    assert(r1.isNullAt(5) && r1.isNullAt(6))
+    val flat = Seq((true, 5.0), (true, 5.0), (false, 5.0), (false, 5.0))
+      .toDF("arm", "v")
+    val r2 = Metrics.welchTTest(flat, "arm", "v").collect().head
+    assert(r2.getLong(4) == 0L && r2.isNullAt(5))
   }
 
   // --- contentChunks ----------------------------------------------------

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-7 additions: the replayable compressibility proxy (q211) and
+  * its association with the real zlib signal it stands in for. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- compressibilityProxy ---------------------------------------------
+  test("compressibilityProxy: exact gram counts on hand fixtures") {
+    val df = Seq(
+      (1L, "a a a a a a a a"),          // 5 grams, 1 distinct
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7"),  // 5 grams, 5 distinct
+      (3L, "a b c"),                    // too short: 0 grams
+      (4L, "")).toDF("id", "t")
+    val out = TextAnalysis.compressibilityProxy(df, "id", "t")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 5L && out(0).getLong(3) == 1L)
+    assert(out(0).getLong(4) == 800000L) // 10^6 * 4 DIV 5
+    assert(out(1).getLong(2) == 5L && out(1).getLong(3) == 5L)
+    assert(out(1).getLong(4) == 0L)
+    assert(out(2).getLong(2) == 0L && out(2).getLong(4) == 0L)
+    assert(out(2).getLong(1) == 5L) // "a b c" is 5 UTF-8 bytes
+    assert(out(3).getLong(2) == 0L && out(3).getLong(4) == 0L)
+  }
+
+  test("compressibilityProxy tracks the real zlib ratio by construction") {
+    // 30 repetitive docs (one phrase looped) vs 30 diverse docs
+    // (distinct token streams): the proxy must rank them the same way
+    // the Deflater does — repetitive ⇒ high dup4_ppm AND low ratio.
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, Seq.fill(40)(s"tok$i repeated phrase unit").mkString(" "))
+    } ++ (0 until 30).map { i =>
+      (100L + i, (0 until 160).map(j => s"w${i}_$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val proxy = TextAnalysis.compressibilityProxy(docs, "doc_id", "text")
+      .select($"doc_id", $"dup4_ppm")
+    val zlib = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .toDF().select($"doc_id", $"ratio")
+    val j = proxy.join(zlib, "doc_id")
+      .withColumn("rep", $"doc_id" < 100)
+      .groupBy("rep")
+      .agg(avg($"dup4_ppm").as("dup"), avg($"ratio").as("zr"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(j(true)._1 > j(false)._1 + 500000,
+      s"repetitive docs should have far higher dup mass: $j")
+    assert(j(true)._2 < j(false)._2 - 0.2,
+      s"repetitive docs should deflate far better: $j")
+  }
+}

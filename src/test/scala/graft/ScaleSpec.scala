@@ -141,4 +141,59 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  // Round 7: past the broadcast cap, mutualTopOne / knnOutliers route
+  // through the join-based LSH kernel instead of require-failing. The
+  // fixture is 30 well-separated near-identical pairs (deterministic
+  // seed), where LSH top-1 = brute top-1 by construction, so the two
+  // routes must agree exactly; maxRows=10 forces the scale route
+  // without materializing 200k rows.
+  private def pairedVectors(nPairs: Int, dims: Int) = {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until nPairs).flatMap { p =>
+      val base = Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+      val twin = base.map(x => x + 1e-4f)
+      Seq((2L * p, base), (2L * p + 1, twin))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("mutualTopOne above the cap: LSH route equals brute force") {
+    val vecs = pairedVectors(30, 8)
+    def run(cap: Int) = graft.operators.Similarity
+      .mutualTopOne(spark, vecs, "vec_id", "embedding",
+        maxRows = cap, dims = 8, nPlanes = 8, nProbes = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val brute = run(1000)   // under cap: exact kernel
+    val routed = run(10)    // over cap: LSH route, no error
+    assert(brute == (0 until 30).map(p => (2L * p, 2L * p + 1)).toSet)
+    assert(routed == brute)
+  }
+
+  test("knnOutliers above the cap: LSH route equals brute force") {
+    val vecs = pairedVectors(30, 8)
+    def run(cap: Int) = graft.operators.Similarity
+      .knnOutliers(spark, vecs, "vec_id", "embedding", k = 1,
+        maxSim = 0.999, maxRows = cap, dims = 8, nPlanes = 8, nProbes = 4)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val brute = run(1000)
+    val routed = run(10)
+    assert(brute.keySet == (0L until 60L).toSet)
+    assert(brute.values.forall(!_._2))  // every twin sim ~1 -> no outliers
+    assert(routed == brute)             // bit-identical sims, same flags
+  }
+
+  test("cosineNearDupPairs: bounded collect fails loudly past the cap") {
+    val vecs = pairedVectors(30, 8)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity
+        .cosineNearDupPairs(spark, vecs, 0.9, maxRows = 10).collect()
+    }
+    assert(e.getMessage.contains("exceeds 10 rows"))
+    // ground-truth use unchanged under the default cap
+    val ok = graft.operators.Similarity
+      .cosineNearDupPairs(spark, vecs, 0.999999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(ok == (0 until 30).map(p => (2L * p, 2L * p + 1)).toSet)
+  }
 }
