@@ -874,8 +874,21 @@ object Dedup {
     * `avgLen` tokens; documents shorter than `window` form one chunk.
     *
     * Scale shape: map-only — token hashing, the rolling-boundary
-    * filter, and the start/end slicing are all per-row HOFs; explode
+    * scan, and the start/end slicing are all per-row HOFs; explode
     * emits ~n/avgLen rows per n-token document; no shuffle, no UDF.
+    * The boundary scan rides the native fused expression
+    * ([[org.apache.spark.sql.graft.ContentChunkStarts]]): token
+    * char-fold hashes + rolling window walk in one O(n·window) loop
+    * inside whole-stage codegen. Round-7 fix: the original
+    * per-position winHash referenced the token-hash array 4×, and
+    * CollapseProject inlined the whole `transform(toks, tokHash)`
+    * into every boundary position — re-running the O(n·chars) token
+    * hashing per candidate, O(n²) per doc (110 s at sf0.1 once q202
+    * joined the bench headliners). A struct-state aggregate() fixed
+    * the asymptotics (5.7 s) but its per-element ring concat/slice
+    * allocations still dominated; the native kernel closes it
+    * (~1.4 s), bit-equal to the declarative reference below
+    * (NativeExprSpec).
     *
     * Output: (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text);
     * chunk texts concatenate back to the document (coverage is exact,
@@ -884,28 +897,12 @@ object Dedup {
                     window: Int, avgLen: Int): DataFrame = {
     require(window >= 1 && avgLen >= 2,
       s"contentChunks needs window >= 1, avgLen >= 2; got $window/$avgLen")
-    val P = 1000000007L
-    def tokHash(w: Column): Column =
-      aggregate(split(w, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
     val toks = filter(words(col(textCol)), w => w =!= "")
-    def winHash(th: Column, e: Column): Column =
-      (0 until window).foldLeft(lit(0L)) { (acc, k) =>
-        pmod(acc * 33 + element_at(th, e - (window - 1 - k)), lit(P))
-      }
     docs.select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),
-        transform(col("toks"), tokHash _).as("th"))
-      .select(col("doc_id"), col("toks"),
-        // boundary END positions (1-based): rolling hash of the
-        // trailing window is 0 mod avgLen. The n >= window guard is a
-        // CASE branch, not a lambda conjunct: sequence() DESCENDS when
-        // stop < start, and ANSI element_at throws past the array end.
         concat(array(lit(0)),
-          when(size(col("toks")) >= window,
-            filter(sequence(lit(window), size(col("toks"))),
-              e => pmod(winHash(col("th"), e), lit(avgLen.toLong)) === 0))
-            .otherwise(array().cast("array<int>")))
+          org.apache.spark.sql.graft.ContentChunkStarts
+            .column(col("toks"), window, avgLen))
           .as("starts"))
       .select(col("doc_id"), col("toks"), col("starts"),
         explode(sequence(lit(1), size(col("starts")))).as("i"))
@@ -922,5 +919,45 @@ object Dedup {
             .otherwise(size(col("toks"))) -
             element_at(col("starts"), col("i")))).as("chunk_text"))
       .filter(col("n_chunk_toks") > 0)
+  }
+
+  /** Declarative REFERENCE form of the q202 boundary scan — the
+    * arithmetic the DuckDB oracle replays, kept as the bit-equality
+    * pin for the native [[org.apache.spark.sql.graft
+    * .ContentChunkStarts]] kernel (the BandedLshBuckets precedent:
+    * the registered path is native, the reference form keeps it
+    * honest in NativeExprSpec). One aggregate() pass carrying (ring
+    * of trailing window−1 token hashes, position, boundary list) as
+    * struct state, so the token-hash array appears exactly once in
+    * the expression tree and CollapseProject cannot duplicate the
+    * char folds. */
+  def contentChunkBoundariesDeclarative(toks: Column, window: Int,
+                                        avgLen: Int): Column = {
+    val P = 1000000007L
+    def tokHash(w: Column): Column =
+      aggregate(split(w, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+    val zero = struct(
+      array().cast("array<bigint>").as("ring"),
+      lit(0).as("pos"),
+      array().cast("array<int>").as("starts"))
+    aggregate(
+      transform(toks, tokHash _), zero,
+      (acc, h) => {
+        val pos = (acc.getField("pos") + 1).as("pos")
+        val r3 = concat(acc.getField("ring"), array(h))
+        val win = aggregate(r3, lit(0L),
+          (a, t) => pmod(a * 33 + t, lit(P)))
+        val hit = size(r3) === window &&
+          pmod(win, lit(avgLen.toLong)) === 0
+        struct(
+          when(size(r3) >= window, slice(r3, 2, window - 1))
+            .otherwise(r3).as("ring"),
+          pos,
+          when(hit, concat(acc.getField("starts"),
+              array(acc.getField("pos") + 1)))
+            .otherwise(acc.getField("starts")).as("starts"))
+      },
+      acc => acc.getField("starts"))
   }
 }

@@ -70,6 +70,25 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, d) => assert(n == d, s"$n != $d") }
   }
 
+  test("native content_chunk_starts is bit-identical to the declarative scan") {
+    // real multilingual corpus text + adversarial edges (short docs,
+    // exact-window docs, repeated tokens)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (100001L, "a"), (100002L, "a b c d"), (100003L, ""),
+        (100004L, "x x x x x x x x x x x x")).toDF("doc_id", "text"))
+    val toks = filter(split(lower($"text"), " "), w => w =!= "")
+    val both = docs.select($"doc_id",
+      org.apache.spark.sql.graft.ContentChunkStarts.column(toks, 4, 8)
+        .as("native"),
+      graft.operators.Dedup.contentChunkBoundariesDeclarative(toks, 4, 8)
+        .as("ref"))
+    val bad = both.filter(not($"native" <=> $"ref"))
+    assert(bad.count() == 0,
+      bad.take(3).mkString("; "))
+  }
+
   test("typed mean-vector aggregator matches long-form centroids") {
     val typed = VectorMean
       .centroidsTyped(spark, vecs, "label", "embedding", dims = 3)
