@@ -26,6 +26,20 @@ class Round7Spec extends SparkSpec {
     assert(out(3).getLong(2) == 0L && out(3).getLong(4) == 0L)
   }
 
+  // --- prCurve integer-score contract -----------------------------------
+  test("prCurve rejects fractional score columns instead of flooring them") {
+    val df = Seq((0.5, true), (0.3, false)).toDF("score", "gold")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Metrics.prCurve(df, "score", "gold")
+    }
+    assert(e.getMessage.contains("DISTINCT integer score"))
+    // fixed-pointing upstream is the documented route
+    val fixed = df.select(($"score" * 1000000).cast("long").as("score"),
+      $"gold")
+    assert(graft.operators.Metrics.prCurve(fixed, "score", "gold")
+      .count() == 2)
+  }
+
   test("compressibilityProxy tracks the real zlib ratio by construction") {
     // 30 repetitive docs (one phrase looped) vs 30 diverse docs
     // (distinct token streams): the proxy must rank them the same way
