@@ -144,4 +144,76 @@ class PropertiesSpec extends SparkSpec {
       .orderBy("b").select("mean").as[Double].collect()
     assert(m1.map(_ * 2).toSeq == m2.toSeq)
   }
+
+  // Round-7: the integer-fixed-point Welch publication tracks the
+  // textbook double computation within its documented truncation
+  // budget on random two-arm samples (t²·10⁹ to ~1e-6 relative from
+  // the micro-Δ truncation; df·10⁹ to ~1e-3 from the milli se2n
+  // coarsening), and the published integers are partition-invariant.
+  test("welchTTest fixed points track the double reference on random arms") {
+    val sample = for {
+      na <- Gen.choose(3, 40); nb <- Gen.choose(3, 40)
+      as <- Gen.listOfN(na, Gen.choose(1, 50000))
+      bs <- Gen.listOfN(nb, Gen.choose(1, 50000))
+    } yield (as.map(_ / 100.0), bs.map(_ / 100.0))
+    check("welch", Prop.forAll(sample) { case (as, bs) =>
+      val va = as.map(x => (true, x)); val vb = bs.map(x => (false, x))
+      val df = (va ++ vb).toDF("arm", "v")
+      val r = graft.operators.Metrics.welchTTest(df, "arm", "v")
+        .collect().head
+      // double reference
+      def mv(xs: Seq[Double]) = {
+        val n = xs.length.toDouble; val m = xs.sum / n
+        (m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+      }
+      val (ma, va2) = mv(as); val (mb, vb2) = mv(bs)
+      val se2 = va2 / as.length + vb2 / bs.length
+      val okDegenerate = se2 == 0.0 && r.isNullAt(5)
+      okDegenerate || {
+        val t2 = (ma - mb) * (ma - mb) / se2
+        val seA = va2 / as.length; val seB = vb2 / bs.length
+        val dfRef = se2 * se2 /
+          (seA * seA / (as.length - 1) + seB * seB / (bs.length - 1))
+        val t2got = r.getLong(5) / 1e9
+        val dfGot = r.getLong(6) / 1e9
+        math.abs(t2got - t2) <= 1e-4 * (1 + t2) &&
+          math.abs(dfGot - dfRef) <= 5e-3 * (1 + dfRef) &&
+          r.getLong(4) == math.signum(ma - mb).toLong
+      }
+    }, n = 15)
+  }
+
+  test("welchTTest integers are partition-invariant") {
+    val df = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(($"o_orderpriority" === "1-URGENT").as("arm"),
+        $"o_totalprice".as("v"))
+    def run(parts: Int) = graft.operators.Metrics
+      .welchTTest(df.repartition(parts), "arm", "v")
+      .collect().head.toSeq
+    assert(run(2) == run(13))
+  }
+
+  // Round-7: the native chunk-boundary kernel equals the declarative
+  // scan on random unicode token streams (not just the corpus) —
+  // mixed ASCII/CJK/astral tokens, degenerate repeats, short docs.
+  test("content_chunk_starts equals declarative scan on random unicode") {
+    val tok = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      Gen.nonEmptyListOf(Gen.oneOf('中', '文', '語', 'é', 'ß')).map(_.mkString),
+      Gen.const("😀x"), // astral: surrogate pair + ascii
+      Gen.const("a"))
+    val doc = Gen.listOfN(30, tok).map(_.mkString(" "))
+    check("chunkStarts", Prop.forAll(Gen.listOfN(6, doc)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val toksCol = filter(split(lower($"t"), " "), w => w =!= "")
+      val both = df.select(
+        org.apache.spark.sql.graft.ContentChunkStarts
+          .column(toksCol, 4, 8).as("native"),
+        graft.operators.Dedup
+          .contentChunkBoundariesDeclarative(toksCol, 4, 8).as("ref"))
+      both.filter(not($"native" <=> $"ref")).count() == 0
+    }, n = 10)
+  }
 }
