@@ -4335,6 +4335,43 @@ object OracleSql {
       |  ELSE CAST(0 AS BIGINT) END AS dup4_ppm
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** q212: quality-canonical election replay — q132's portable MinHash
+    * pair construction as a CTE, the q47 recursive min-label walk for
+    * components, the q188 integer-logit fragment for quality, then one
+    * window rank per cluster (logit DESC, doc_id ASC). */
+  private val q212 =
+    s"""WITH RECURSIVE pr AS ($q132),
+       |sym AS (
+       |  SELECT a AS src, b AS dst FROM pr
+       |  UNION SELECT b AS src, a AS dst FROM pr),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, w.label FROM sym s JOIN walk w ON w.node = s.dst),
+       |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       |       FROM walk GROUP BY node),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+       |      (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(w, ''),
+       |            c -> CAST(unicode(c) AS BIGINT))),
+       |        (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+       |        % 64 * 1000003 + 12345) % 1000000007 % 17 - 8))) AS BIGINT)
+       |      AS logit
+       |  FROM t),
+       |r AS (
+       |  SELECT c.doc_id, c.cluster_id, g.logit,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY g.logit DESC, c.doc_id ASC) AS rn
+       |  FROM cl c JOIN g USING (doc_id))
+       |SELECT doc_id, cluster_id, logit, rn = 1 AS keep
+       |FROM r ORDER BY cluster_id, doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4404,6 +4441,7 @@ object OracleSql {
     // no state evicts mid-run ⇒ identical result, same oracle.
     "q210_stream_wm_dedup" -> q60,
     "q211_compress_proxy" -> q211,
+    "q212_canonical_quality" -> q212,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -685,6 +685,20 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Quality-aware canonical election over document near-dup clusters:
+    * portable MinHash pairs → connected components → keep the
+    * best-logit member per cluster (min doc_id tie-break) — dedup
+    * that keeps the BEST copy, not an arbitrary one. */
+  private def qCanonicalByQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = DuplicateClusters.resolveContracted(
+      MinHashLSH.nearDuplicatesPortable(docs, "doc_id", "text")
+        .select("a", "b"))
+    DuplicateClusters.canonicalByQuality(clusters,
+        TextAnalysis.linearScore(docs, "doc_id", "text", buckets = 64))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Replayable compressibility proxy (q96's oracle-checked companion:
     * duplicate-4-gram mass, the LZ77-match surrogate; the real zlib
     * number stays in rows-only q96 by design). */
@@ -2988,7 +3002,8 @@ object SparkEntry {
       "q208_best_f1" -> (qBestF1 _),
       "q209_dedup_impact" -> (qDedupImpact _),
       "q210_stream_wm_dedup" -> (qStreamWmDedup _),
-      "q211_compress_proxy" -> (qCompressProxy _))
+      "q211_compress_proxy" -> (qCompressProxy _),
+      "q212_canonical_quality" -> (qCanonicalByQuality _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

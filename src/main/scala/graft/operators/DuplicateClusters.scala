@@ -181,4 +181,34 @@ object DuplicateClusters {
     pairs.unpersist()
     out
   }
+
+  /** Quality-aware canonical election inside duplicate clusters (round
+    * 7): near-dup dedup should keep the BEST copy of each cluster, not
+    * an arbitrary one — the CCNet/RefinedWeb convention where the
+    * cluster survivor is chosen by a quality score and min-id is only
+    * the tie-break. Composes a `(doc_id, cluster_id)` cluster map
+    * (e.g. [[resolveContracted]] over portable MinHash pairs) with a
+    * per-doc score table; the member with rank 1 under
+    * (score DESC, doc_id ASC) keeps its cluster.
+    *
+    * Scale shape: one equi-join on the id plus one bounded-group
+    * window (clusters are near-dup components — tiny and shallow), so
+    * WindowGroupLimit semantics apply and nothing corpus-sized sorts
+    * globally. Deterministic: the score is integer (linearScore
+    * logits in the registered query) and the tie-break is total.
+    *
+    * Output: (doc_id, cluster_id, <scoreCol>, keep) — one row per
+    * clustered doc; singletons never reach the cluster map and are
+    * implicitly kept upstream. */
+  def canonicalByQuality(clusters: DataFrame, scores: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "logit"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("rn") === 1)
+      .drop("rn")
+  }
 }

@@ -26,6 +26,36 @@ class Round7Spec extends SparkSpec {
     assert(out(3).getLong(2) == 0L && out(3).getLong(4) == 0L)
   }
 
+  // --- canonicalByQuality -----------------------------------------------
+  test("canonicalByQuality keeps the best-score member, min-id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, -2L), (11L, -2L))
+      .toDF("doc_id", "logit")
+    val out = graft.operators.DuplicateClusters
+      .canonicalByQuality(clusters, scores)
+      .orderBy("doc_id")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSeq
+    // cluster 1: docs 2 and 3 tie at 9 -> min id 2 keeps; cluster 10:
+    // tie at -2 -> min id 10 keeps
+    assert(out == Seq(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false))
+  }
+
+  test("canonicalByQuality: exactly one keeper per cluster on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = graft.operators.DuplicateClusters.resolveContracted(
+      graft.operators.MinHashLSH
+        .nearDuplicatesPortable(docs, "doc_id", "text").select("a", "b"))
+    val out = graft.operators.DuplicateClusters.canonicalByQuality(clusters,
+      graft.operators.TextAnalysis.linearScore(docs, "doc_id", "text", 64))
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum(when($"keep", 1L).otherwise(0L)).as("keepers"),
+        count(lit(1)).as("members"))
+    assert(perCluster.filter($"keepers" =!= 1L).count() == 0)
+    assert(perCluster.filter($"members" < 2).count() == 0) // no singletons
+  }
+
   // --- prCurve integer-score contract -----------------------------------
   test("prCurve rejects fractional score columns instead of flooring them") {
     val df = Seq((0.5, true), (0.3, false)).toDF("score", "gold")
