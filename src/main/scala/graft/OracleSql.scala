@@ -4372,6 +4372,40 @@ object OracleSql {
        |SELECT doc_id, cluster_id, logit, rn = 1 AS keep
        |FROM r ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** q213: benchmark-decontamination replay — distinct 8-gram posting
+    * lists (the q132 slicing pattern), benchmark side = doc_id % 97,
+    * self-matches excluded, ppm floor division on non-negatives. */
+  private val q213 =
+    """WITH b AS (
+      |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+      |    string_split(lower(text), ' ') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
+      |  FROM b, UNNEST(range(1, len(ws) - 6)) t(i)
+      |  WHERE len(ws) >= 8),
+      |bg AS (
+      |  SELECT g.shingle, g.doc_id AS bench_doc
+      |  FROM g JOIN b USING (doc_id) WHERE b.is_bench),
+      |hit AS (
+      |  SELECT DISTINCT c.doc_id, c.shingle
+      |  FROM g c JOIN bg ON c.shingle = bg.shingle
+      |   AND c.doc_id <> bg.bench_doc),
+      |hc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      |       FROM hit GROUP BY 1),
+      |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |       FROM g GROUP BY 1)
+      |SELECT b.doc_id, b.is_bench,
+      |  coalesce(tc.n_grams, 0) AS n_grams,
+      |  coalesce(hc.n_contaminated, 0) AS n_contaminated,
+      |  CASE WHEN coalesce(tc.n_grams, 0) > 0
+      |    THEN CAST(1000000 * coalesce(hc.n_contaminated, 0) // tc.n_grams
+      |         AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS contam_ppm,
+      |  NOT b.is_bench AND coalesce(hc.n_contaminated, 0) >= 1 AS flagged
+      |FROM b LEFT JOIN tc USING (doc_id) LEFT JOIN hc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4442,6 +4476,7 @@ object OracleSql {
     "q210_stream_wm_dedup" -> q60,
     "q211_compress_proxy" -> q211,
     "q212_canonical_quality" -> q212,
+    "q213_benchmark_decontam" -> q213,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -699,6 +699,14 @@ object SparkEntry {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Benchmark 8-gram decontamination: every 97th doc stands in as the
+    * eval set; non-benchmark docs sharing any 8-gram get flagged —
+    * the GPT-3-style pre-training hygiene report. */
+  private def qBenchmarkDecontam(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.benchmarkNgramContamination(Tables.documents(s, dir),
+        "doc_id", "text", col("doc_id") % 97 === 0, n = 8)
+      .orderBy("doc_id")
+
   /** Replayable compressibility proxy (q96's oracle-checked companion:
     * duplicate-4-gram mass, the LZ77-match surrogate; the real zlib
     * number stays in rows-only q96 by design). */
@@ -3003,7 +3011,8 @@ object SparkEntry {
       "q209_dedup_impact" -> (qDedupImpact _),
       "q210_stream_wm_dedup" -> (qStreamWmDedup _),
       "q211_compress_proxy" -> (qCompressProxy _),
-      "q212_canonical_quality" -> (qCanonicalByQuality _))
+      "q212_canonical_quality" -> (qCanonicalByQuality _),
+      "q213_benchmark_decontam" -> (qBenchmarkDecontam _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -921,6 +921,57 @@ object Dedup {
       .filter(col("n_chunk_toks") > 0)
   }
 
+  /** Benchmark n-gram decontamination (the GPT-3 appendix-C rule,
+    * Brown et al. 2020, restated distributionally): a training
+    * document is contaminated when it shares an n-gram with any
+    * EVAL-SET document — the pre-training hygiene pass that keeps
+    * benchmark answers out of the corpus. Complements the in-repo
+    * decontamination family: q69/q172 catch *semantic* overlap in
+    * embedding space, q100/ExactSubstr removes literal spans vs a
+    * standing corpus; this one is the n-gram-vs-benchmark SET check
+    * every LLM data pipeline runs before training. `benchPred` marks
+    * the benchmark members inside the corpus frame (an external eval
+    * table plugs in the same way); a doc never contaminates itself.
+    *
+    * Counting is per DISTINCT shingle (the [[shinglePostings]] set
+    * semantics), so a repeated leaked n-gram counts once and
+    * contam_ppm is a set-overlap share.
+    *
+    * Scale shape: the posting build is the map-side q19 shape; the
+    * benchmark posting list is eval-set-sized, so its equi-join
+    * broadcasts (AQE-sized, not hint-forced); one distinct + two
+    * bounded aggregations after. Grams join as STRINGS here for
+    * oracle exactness — at 100 TB swap the join key for the packed
+    * 64-bit shingle hash (the q147 kernel's lossless-at-test-SF
+    * convention) and keep everything else.
+    *
+    * Output: (doc_id, is_bench, n_grams, n_contaminated, contam_ppm,
+    * flagged) — flagged = non-benchmark doc sharing ≥1 n-gram. */
+  def benchmarkNgramContamination(docs: DataFrame, idCol: String,
+      textCol: String, benchPred: Column, n: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      benchPred.as("is_bench"), col(textCol).as("t"))
+    val posts = shinglePostings(base, "doc_id", "t", n)
+    val bench = posts.join(
+        base.filter(col("is_bench")).select(col("doc_id").as("bench_doc")),
+        col("doc_id") === col("bench_doc"))
+      .select(col("shingle"), col("bench_doc"))
+    val hits = posts.as("c").join(bench.as("b"),
+        col("c.shingle") === col("b.shingle") &&
+          col("c.doc_id") =!= col("b.bench_doc"))
+      .select(col("c.doc_id").as("doc_id"), col("c.shingle")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    val totals = posts.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    base.select(col("doc_id"), col("is_bench"))
+      .join(totals, Seq("doc_id"), "left").na.fill(0L, Seq("n_grams"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contam_ppm", expr(
+        """CAST(CASE WHEN n_grams > 0
+           THEN 1000000 * n_contaminated DIV n_grams
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+      .withColumn("flagged", !col("is_bench") && col("n_contaminated") >= 1)
+  }
+
   /** Declarative REFERENCE form of the q202 boundary scan — the
     * arithmetic the DuckDB oracle replays, kept as the bit-equality
     * pin for the native [[org.apache.spark.sql.graft

@@ -56,6 +56,32 @@ class Round7Spec extends SparkSpec {
     assert(perCluster.filter($"members" < 2).count() == 0) // no singletons
   }
 
+  // --- benchmarkNgramContamination ---------------------------------------
+  test("benchmarkNgramContamination: leaked 4-gram flags, self never does") {
+    // doc 0 is the benchmark; doc 1 shares its "a b c d"; doc 2 shares
+    // nothing; doc 3 is an exact copy of the benchmark doc
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "x y a b c d z"),
+      (2L, "p q r s t u v"),
+      (3L, "a b c d e f")).toDF("id", "t")
+    val out = graft.operators.Dedup.benchmarkNgramContamination(
+        docs, "id", "t", col("id") === 0, n = 4)
+      .orderBy("doc_id").collect()
+    // benchmark doc itself: contaminated grams from OTHER bench docs
+    // only (none) -> 0, never flagged
+    assert(out(0).getBoolean(1) && out(0).getLong(3) == 0L
+      && !out(0).getBoolean(5))
+    // doc 1: one shared 4-gram of its 4 -> 250000 ppm, flagged
+    assert(!out(1).getBoolean(1) && out(1).getLong(2) == 4L
+      && out(1).getLong(3) == 1L && out(1).getLong(4) == 250000L
+      && out(1).getBoolean(5))
+    // doc 2: clean
+    assert(out(2).getLong(3) == 0L && !out(2).getBoolean(5))
+    // doc 3: full overlap -> 1000000 ppm, flagged
+    assert(out(3).getLong(4) == 1000000L && out(3).getBoolean(5))
+  }
+
   // --- prCurve integer-score contract -----------------------------------
   test("prCurve rejects fractional score columns instead of flooring them") {
     val df = Seq((0.5, true), (0.3, false)).toDF("score", "gold")
