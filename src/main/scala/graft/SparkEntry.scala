@@ -3036,7 +3036,8 @@ object SparkEntry {
     // are visible (q192 composes the q147 pair join; q202/q204/q209
     // were previously untimed)
     "q192_split_leakage", "q202_content_chunks", "q204_vocab_growth",
-    "q209_dedup_impact")
+    "q209_dedup_impact", "q212_canonical_quality",
+    "q213_benchmark_decontam")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
