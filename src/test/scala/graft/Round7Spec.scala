@@ -82,6 +82,17 @@ class Round7Spec extends SparkSpec {
     assert(out(3).getLong(4) == 1000000L && out(3).getBoolean(5))
   }
 
+  // --- plan shape of the round-7 composites -------------------------------
+  test("q212/q213 plan no cartesian products") {
+    Seq("q212_canonical_quality", "q213_benchmark_decontam")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("CartesianProduct"), s"$name plans a cartesian")
+      }
+  }
+
   // --- prCurve integer-score contract -----------------------------------
   test("prCurve rejects fractional score columns instead of flooring them") {
     val df = Seq((0.5, true), (0.3, false)).toDF("score", "gold")
