@@ -3719,12 +3719,13 @@ object OracleSql {
       |WHERE r.samp_rank <= q3.quota
       |ORDER BY source, samp_rank""".stripMargin
 
-  /** q191: unigram-entropy replay — identical ordered left fold over
-    * the SORTED distinct-token list (list_reduce with 0.0 init, the
-    * q148 convention), sum quantized to DECIMAL(18,6) (round-7 guard:
-    * (18,9) hash-missed in the driver's oracle env on last-ulp ln
-    * sums; 1000× coarser absorbs it). The low_entropy cut compares
-    * the quantized ent6. */
+  /** q191: lexical-diversity replay (round 8, all-integer — the q201
+    * convention; the rounds-6/7 entropy publications hash-missed at
+    * BOTH (18,9) and (18,6) because double→DECIMAL cast semantics
+    * differ by engine, so the double is gone entirely): exact BIGINT
+    * Σc² over the distinct-token list, truncating `//` for ttr_ppm
+    * (BIGINT // BIGINT is integer division in DuckDB), and the
+    * low_diversity cut is an integer comparison. */
   private val q191 =
     """WITH t AS (
       |  SELECT doc_id,
@@ -3734,17 +3735,21 @@ object OracleSql {
       |        list_sort(list_distinct(toks)) AS dts FROM t),
       |e AS (
       |  SELECT doc_id,
-      |    CAST(len(toks) AS INTEGER) AS n_toks,
-      |    CAST(len(dts) AS INTEGER) AS n_distinct,
-      |    CAST(list_reduce(list_prepend(0.0,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(dts) AS BIGINT) AS n_distinct,
+      |    CAST(coalesce(list_sum(
       |      list_transform(
       |        list_transform(dts, x ->
-      |          len(list_filter(toks, t2 -> t2 = x)) / (1.0 * len(toks))),
-      |        r -> -r * ln(r))),
-      |      (acc, x) -> acc + x) AS DECIMAL(18,6)) AS ent6
+      |          CAST(len(list_filter(toks, t2 -> t2 = x)) AS BIGINT)),
+      |        c -> c * c)), 0) AS BIGINT) AS simpson_c2
       |  FROM d)
-      |SELECT doc_id, n_toks, n_distinct, ent6,
-      |  ent6 < 2.5 AS low_entropy
+      |SELECT doc_id, n_toks, n_distinct,
+      |  CAST(CASE WHEN n_toks > 0
+      |    THEN 1000000 * n_distinct // n_toks
+      |    ELSE 0 END AS BIGINT) AS ttr_ppm,
+      |  simpson_c2,
+      |  n_toks > 0 AND simpson_c2 * 12 >= n_toks * n_toks
+      |    AS low_diversity
       |FROM e ORDER BY doc_id""".stripMargin
 
   /** q192: split-leakage replay — q147's exhaustive lossless pair join
@@ -3882,11 +3887,12 @@ object OracleSql {
       |SELECT u AS nationkey, w, n, p
       |FROM p2 ORDER BY p DESC, nationkey""".stripMargin
 
-  /** q196: PMI collocation replay — bigram/unigram counts, T over ALL
-    * bigrams (pre-floor), one identically-spelled double ln quantized
-    * to DECIMAL(18,6) (round-7 guard: (18,9) hash-missed in the
-    * driver's oracle env on a last-ulp ln; 1000× coarser absorbs it).
-    * The top-k cut orders on the already-quantized pmi6. */
+  /** q196: PMI collocation replay (round 8, all-integer — ln is
+    * monotone so ranking by PMI ≡ ranking by the exact rational
+    * c₁₂·T/(c₁·c₂); rounds 6/7's ln-quantized publications
+    * hash-missed at both (18,9) and (18,6) — double→DECIMAL cast
+    * semantics, not an ln ulp). HUGEINT staging; `//` truncates
+    * toward zero exactly like Spark's DIV. */
   private val q196 =
     """WITH base AS (
       |  SELECT doc_id,
@@ -3904,13 +3910,12 @@ object OracleSql {
       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
       |  FROM (SELECT unnest(w) AS tok FROM base) GROUP BY 1)
       |SELECT b.w1, b.w2, b.c12,
-      |  CAST(ln((CAST(b.c12 AS DOUBLE) * CAST(t.t_bi AS DOUBLE)) /
-      |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
-      |    AS DECIMAL(18,6)) AS pmi6
+      |  CAST((CAST(b.c12 AS HUGEINT) * t.t_bi * 1000000) //
+      |    (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS ratio_ppm
       |FROM bi b
       |JOIN u u1 ON u1.tok = b.w1
       |JOIN u u2 ON u2.tok = b.w2, t
-      |ORDER BY pmi6 DESC, w1, w2 LIMIT 40""".stripMargin
+      |ORDER BY ratio_ppm DESC, w1, w2 LIMIT 40""".stripMargin
 
   /** q197: hapax / Good–Turing unseen-mass replay — exact integer
     * counts, ppm floor division. */

@@ -2617,11 +2617,16 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("samp_rank"), col("quota"))
       .orderBy("source", "samp_rank")
 
-  /** Per-document unigram Shannon entropy with a low-entropy junk
-    * flag (< 2.5 nats ≈ the corpus p05 — repetitive/template text). */
+  /** Per-document lexical diversity with a low-diversity junk flag
+    * (Simpson effective vocabulary ≤ 12 ≈ the old 2.5-nat entropy
+    * cut). Round 8: all-integer publication ([[operators.TextAnalysis
+    * .tokenDiversity]]) — the entropy value itself stays an
+    * engine-API column ([[operators.TextAnalysis.tokenEntropy]])
+    * because a double→DECIMAL cast is not driver-hashable (two rounds
+    * of failed guard widening, see the operator docblocks). */
   private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
-    operators.TextAnalysis.tokenEntropy(Tables.documents(s, dir),
-        "doc_id", "text", lowBelow = 2.5)
+    operators.TextAnalysis.tokenDiversity(Tables.documents(s, dir),
+        "doc_id", "text", maxEffVocab = 12)
       .orderBy("doc_id")
 
   /** Split-leakage audit: q147's lossless near-dup pairs that straddle

@@ -574,16 +574,20 @@ object TextAnalysis {
     * view with a distribution-level scalar. H = Σ_w −(c_w/N)·ln(c_w/N)
     * over the document's distinct tokens.
     *
-    * Exactness follows the q148/q165 ordered-fold convention: the
-    * terms fold left-to-right over the SORTED distinct-token list
-    * (both engines fold the identical sequence) and the sum quantizes
-    * to DECIMAL(18,6) at publication (ent6). Round 6 published at
-    * (18,9) and the driver's oracle env disagreed on the last digit —
-    * a libm-vs-JVM ln ulp crossing the quantization boundary — even
-    * though local DuckDB matched bit-for-bit; (18,6) is a 1000-ulp
-    * guard, wide enough for any correctly-rounded-ish ln. The
-    * `low_entropy` flag compares ent6 — already quantized, so the
-    * threshold cut stays bit-stable too.
+    * Exactness: the terms fold left-to-right over the SORTED
+    * distinct-token list (both engines fold the identical sequence)
+    * and the sum quantizes to DECIMAL(18,6) at publication (ent6).
+    * DRIVER-PORTABILITY WARNING (round-8 post-mortem): this column is
+    * ENGINE-LOCAL, not oracle-hashable. Rounds 6 and 7 published it
+    * quantized at (18,9) then (18,6) and the driver's DuckDB
+    * hash-missed BOTH, while local DuckDB matched bit-for-bit — a
+    * 1000× coarser guard failing kills the "last-ulp ln" theory; the
+    * divergence is the double→DECIMAL cast path itself (engines
+    * differ in double→decimal rounding semantics), so NO decimal
+    * guard width is provably safe. Do not re-try guard widening.
+    * The oracle-hashed registration (q191) publishes the all-integer
+    * [[tokenDiversity]] surface instead; this operator remains the
+    * engine API for callers who want the entropy value in nats.
     *
     * Scale shape: map-only — per-row HOFs (distinct, sort, counted
     * fold), no shuffle, no UDF. The fold is O(distinct × n) per doc;
@@ -611,6 +615,53 @@ object TextAnalysis {
       .withColumn("low_entropy", col("ent6") < lowBelow)
   }
 
+  /** All-integer lexical-diversity surface — the oracle-hashable twin
+    * of [[tokenEntropy]] (round 8, the q201 convention: zero doubles
+    * anywhere in the published row, so the driver hash cannot be
+    * perturbed by cross-engine libm or double→DECIMAL cast
+    * semantics). Same junk signal, exact arithmetic:
+    *
+    *  - `ttr_ppm`  = 10⁶·n_distinct DIV n_toks — type/token ratio in
+    *    ppm (truncating integer division, identical on HUGEINT).
+    *  - `simpson_c2` = Σ_w c_w² — the Simpson-concentration numerator;
+    *    λ = Σc²/N² is the probability two random tokens coincide, and
+    *    1/λ is the "effective vocabulary". Exact BIGINT.
+    *  - `low_diversity` = N > 0 ∧ maxEffVocab·Σc² ≥ N² — i.e.
+    *    effective vocabulary ≤ `maxEffVocab` (default 12 ≈ e^2.5, the
+    *    same cut the entropy flag drew at 2.5 nats) — an integer
+    *    comparison of exact integers, bit-stable everywhere. Empty
+    *    docs flag false here (length gates own that regime).
+    *
+    * Scale shape: identical to [[tokenEntropy]] — map-only per-row
+    * HOFs (distinct, counted fold), no shuffle, no UDF; O(distinct×n)
+    * per doc, capped upstream by the Gopher length gates.
+    *
+    * Output: (doc_id, n_toks, n_distinct, ttr_ppm, simpson_c2,
+    * low_diversity) — BIGINTs + one boolean. */
+  def tokenDiversity(docs: DataFrame, idCol: String, textCol: String,
+                     maxEffVocab: Int = 12): DataFrame = {
+    val toks = filter(words(col(textCol)), w => w =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        array_sort(array_distinct(col("toks"))).as("dts"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("dts")).cast("long").as("n_distinct"),
+        aggregate(
+          transform(col("dts"),
+            d => size(filter(col("toks"), t => t === d)).cast("long")),
+          lit(0L), (acc, c) => acc + c * c).as("simpson_c2"))
+      .withColumn("ttr_ppm", expr(
+        """CAST(CASE WHEN n_toks > 0
+           THEN 1000000 * n_distinct DIV n_toks
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+      .withColumn("low_diversity",
+        col("n_toks") > 0 &&
+          col("simpson_c2") * maxEffVocab >= col("n_toks") * col("n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        col("ttr_ppm"), col("simpson_c2"), col("low_diversity"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * adjacent word pairs whose joint frequency beats the independence
     * expectation, PMI = ln(c₁₂·T / (c₁·c₂)) — the corpus-level
@@ -618,17 +669,24 @@ object TextAnalysis {
     * that feeds tokenizer vocab decisions and phrase-aware dedup.
     * `minCount` kills the low-count PMI explosion (a hapax pair has
     * spuriously maximal PMI); output is the global top-`topK` by
-    * (pmi6 DESC, w1, w2).
+    * (ratio_ppm DESC, w1, w2).
     *
-    * Exactness: counts are exact bigints off two aggregations; the
-    * single ln evaluates on an identically-spelled double expression
-    * in both engines ((c₁₂·T)/(c₁·c₂) with each count cast up front)
-    * and quantizes to DECIMAL(18,6) — a 1000-ulp guard after round
-    * 6's (18,9) publication hash-missed in the driver's oracle env
-    * (libm-vs-JVM ln last-ulp at the quantization boundary). The
-    * top-k cut orders on the already-quantized pmi6 (ties broken
-    * lexicographically), so selection is bit-stable downstream of
-    * the guarded value.
+    * Exactness (round 8, the q201 all-integer convention): ln is
+    * MONOTONE, so ranking by PMI = ln(c₁₂·T/(c₁·c₂)) is ranking by
+    * the exact rational c₁₂·T/(c₁·c₂) — no logarithm needs to exist
+    * anywhere in the published row. We publish
+    * `ratio_ppm = (c₁₂·T·10⁶) DIV (c₁·c₂)` — truncating integer
+    * division of exact integers staged in DECIMAL(38,0) (the oracle
+    * mirrors in HUGEINT, whose `//` truncates identically) — and the
+    * top-k orders on (ratio_ppm DESC, w1, w2). Rounds 6–7 published
+    * an ln quantized at (18,9) then (18,6) and the driver's DuckDB
+    * hash-missed BOTH while local DuckDB was bit-green: the failure
+    * is double→DECIMAL cast semantics, not an ln ulp, so no guard
+    * width fixes it — only removing the double does. Callers who
+    * want nats take ln(ratio_ppm)−ln(10⁶) themselves. Range
+    * contract: c₁₂·T·10⁶ must fit DECIMAL(38,0) (T ≤ 10¹⁵ is safe)
+    * and ratio_ppm ≤ Long.MaxValue (ratio ≤ T/minCount, so any
+    * minCount ≥ 1 at T ≤ 10¹² is safe; e^PMI rarely exceeds 10⁹).
     *
     * Scale shape: bigram assembly is map-only; both count
     * aggregations are map-side combined and bounded by vocab/bigram
@@ -657,10 +715,10 @@ object TextAnalysis {
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
-        log((col("c12").cast("double") * col("t_bi").cast("double")) /
-          (col("c1").cast("double") * col("c2").cast("double")))
-          .cast("decimal(18,6)").as("pmi6"))
-      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+        expr("""CAST((CAST(c12 AS DECIMAL(38,0)) * t_bi * 1000000)
+               DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""")
+          .as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("w1"), col("w2"))
       .limit(topK)
   }
 

@@ -100,6 +100,30 @@ class Round6cSpec extends SparkSpec {
     assert(out(2).getInt(1) == 0 && out(2).getDecimal(3).doubleValue() == 0.0)
   }
 
+  // --- tokenDiversity (round 8: the oracle-hashable integer twin) -------
+  test("tokenDiversity: exact integer TTR / Simpson and the flag cut") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "")).toDF("id", "t")
+    val out = TextAnalysis.tokenDiversity(df, "id", "t", maxEffVocab = 12)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // constant doc: N=4, V=1, ttr=250000, Σc²=16, 12·16 ≥ 16 -> flagged
+    assert(out(0) == ((4L, 1L, 250000L, 16L, true)))
+    // uniform doc: N=4, V=4, ttr=1e6, Σc²=4, 12·4 ≥ 16 -> ALSO flagged
+    // (effective vocab 4 ≤ 12 — short docs concentrate; the corpus
+    // cut only separates at realistic lengths)
+    assert(out(1) == ((4L, 4L, 1000000L, 4L, true)))
+    // empty doc: all zeros, flag false (length gates own that regime)
+    assert(out(2) == ((0L, 0L, 0L, 0L, false)))
+    // realistic split: 30 distinct tokens ⇒ eff vocab 30 > 12, clean
+    val prose = (1 to 30).map(i => s"w$i").mkString(" ")
+    val junk = "spam " * 30
+    val out2 = TextAnalysis.tokenDiversity(
+        Seq((1L, prose), (2L, junk)).toDF("id", "t"), "id", "t")
+      .orderBy("doc_id").collect()
+    assert(!out2(0).getBoolean(5) && out2(1).getBoolean(5))
+  }
+
   // --- stratifiedKFold --------------------------------------------------
   test("stratifiedKFold: balanced within strata, folds cover [0,k)") {
     val out = Curation.stratifiedKFold(
@@ -182,13 +206,14 @@ class Round6cSpec extends SparkSpec {
     val out = TextAnalysis.pmiCollocations(df, "id", "t",
       minCount = 1, topK = 10).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
-        r.getDecimal(3).doubleValue()))
+        r.getLong(3)))
     assert(out.map(_._1).toSeq ==
       Seq(("c", "d"), ("a", "b"), ("b", "a")))
-    // pmi publishes at DECIMAL(18,6) (round-7 driver-robustness guard)
-    assert(math.abs(out(0)._3 - math.log(4)) < 1e-5)  // ln(1*4/(1*1))
-    assert(math.abs(out(1)._3 - math.log(2)) < 1e-5)  // ln(2*4/(2*2))
-    assert(out(2)._3 == 0.0)                          // ln(1*4/(2*2))
+    // round 8: integer ratio_ppm = c12*T*1e6 DIV (c1*c2); ln is
+    // monotone so the ranking is the PMI ranking, zero doubles
+    assert(out(0)._3 == 4000000L)  // 1*4/(1*1) = 4
+    assert(out(1)._3 == 2000000L)  // 2*4/(2*2) = 2
+    assert(out(2)._3 == 1000000L)  // 1*4/(2*2) = 1
     // count floor kills the hapax-pair PMI explosion
     assert(TextAnalysis.pmiCollocations(df, "id", "t", 2, 10)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
