@@ -4316,6 +4316,43 @@ object OracleSql {
       |SELECT * FROM raw UNION ALL SELECT * FROM s1
       |UNION ALL SELECT * FROM s2 ORDER BY stage""".stripMargin
 
+  /** q96: per-source compressibility rollup replay (round 8 — the
+    * registration's hashable surface; the raw zlib ratio stays an
+    * engine API, see COVERAGE.md). Same per-doc 4-gram kernel as
+    * q211, then one integer aggregation by source; dup4_ppm is
+    * mass-weighted (Σdup // Σgrams on BIGINTs). */
+  private val q96n =
+    """WITH t AS (
+      |  SELECT doc_id, source, strlen(text) AS n_bytes,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, n_bytes,
+      |    CASE WHEN len(toks) >= 4 THEN
+      |      list_transform(range(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i+3], ' '))
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |d AS (
+      |  SELECT doc_id, source, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |    CAST(len(grams) AS BIGINT) AS n_grams,
+      |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      |    CASE WHEN len(grams) > 0 THEN
+      |      CAST(1000000 * (len(grams) - len(list_distinct(grams)))
+      |        // len(grams) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS dup4_ppm
+      |  FROM g)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+      |  CAST(sum(n_grams - n_distinct_grams) AS BIGINT) AS sum_dup_grams,
+      |  CAST(CASE WHEN sum(n_grams) > 0
+      |    THEN 1000000 * sum(n_grams - n_distinct_grams) // sum(n_grams)
+      |    ELSE 0 END AS BIGINT) AS dup4_ppm,
+      |  CAST(coalesce(sum(CASE WHEN dup4_ppm >= 250000 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS high_dup_docs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** q211: compressibility-proxy replay — duplicate-4-gram mass
     * (strlen = UTF-8 bytes in both engines; list slice [i:i+3] is the
     * q113 n-gram pattern; ppm floor division on non-negatives). */
@@ -4516,12 +4553,13 @@ object OracleSql {
     "q93_weighted_sample" -> q93,
     "q94_global_ids" -> q94,
     "q95_heavy_hitters" -> q95,
-    // q96_compression_ratio: intentionally ABSENT (rows-only check).
-    // The signal is DEFLATE output size (java.util.zip.Deflater level
-    // 6); DuckDB has no zlib surface, and any reimplementation would
-    // pin zlib's exact match/lazy-evaluation heuristics rather than
-    // the operator's logic. Determinism + per-partition Deflater
-    // reuse are spec-pinned instead (TextAnalysisSpec).
+    // q96 (round 8): registration swapped to the per-source
+    // compressibility rollup so the row oracle-hashes. The raw zlib
+    // DEFLATE rows can never hash (DuckDB has no zlib surface, and a
+    // reimplementation would pin zlib's match heuristics, not the
+    // operator); compressionRatio stays the engine API, Deflater-
+    // pinned in ScalaTest. Decision recorded in COVERAGE.md.
+    "q96_compression_ratio" -> q96n,
     "q97_stream_type_stats" -> q97,
     "q98_grouped_heavy_hitters" -> q98,
     "q99_bloom_prune" -> q99,

@@ -680,10 +680,16 @@ object SparkEntry {
 
   /** Compression-ratio quality signal: zlib ratio per document, one
     * Deflater per partition (rows-only — no SQL twin for zlib). */
+  /** Round 8: q96 now publishes the per-source compressibility rollup
+    * (all-integer, oracle-hashable) instead of the raw zlib rows —
+    * DuckDB has no DEFLATE, so the zlib ratio can never be
+    * oracle-hashed at any quantization; it stays the engine API
+    * ([[operators.TextAnalysis.compressionRatio]]), Deflater-pinned in
+    * ScalaTest. Decision recorded in COVERAGE.md. */
   private def qCompressionRatio(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
-      .toDF()
-      .orderBy("doc_id")
+    TextAnalysis.compressibilityBySource(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+      .orderBy("source")
 
   /** Quality-aware canonical election over document near-dup clusters:
     * portable MinHash pairs → connected components → keep the

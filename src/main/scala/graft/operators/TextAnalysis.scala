@@ -439,10 +439,12 @@ object TextAnalysis {
     * `Deflater` per partition, `reset()` per row — never an allocation
     * per document, no UDF serialization overhead. zlib output for a
     * fixed level is deterministic, so reruns agree; the ratio is
-    * engine-specific (no SQL twin), which makes this a rows-only
-    * query by design — [[compressibilityProxy]] (q211) is its
-    * oracle-checked companion signal. Map-only: no shuffle at any
-    * scale. */
+    * engine-specific (DuckDB has no DEFLATE, so no SQL twin exists at
+    * any quantization), which keeps this an ENGINE API rather than a
+    * driver-hashed registration (round 8: q96 now publishes the
+    * all-integer [[compressibilityBySource]] rollup; the per-doc
+    * proxy is q211; this operator stays Deflater-pinned in ScalaTest).
+    * Map-only: no shuffle at any scale. */
   def compressionRatio(docs: DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.Dataset[CompressionStats] = {
     val spark = docs.sparkSession
@@ -483,25 +485,75 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_bytes, n_grams, n_distinct_grams, dup4_ppm). */
   def compressibilityProxy(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 4): DataFrame = {
+                           n: Int = 4): DataFrame =
+    proxyPerDoc(docs, idCol, textCol, n, Nil)
+
+  /** Shared per-doc kernel for [[compressibilityProxy]] /
+    * [[compressibilityBySource]]: the duplicate-n-gram integer columns
+    * plus caller-supplied carried columns (kept out of the heavy
+    * select so CollapseProject has nothing expensive to duplicate). */
+  private def proxyPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, extra: Seq[(String, Column)]): DataFrame = {
     val toks = filter(words(col(textCol)), w => w =!= "")
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(Seq(col(idCol).cast("long").as("doc_id"),
         octet_length(col(textCol)).cast("long").as("n_bytes"),
-        toks.as("toks"))
+        toks.as("toks")) ++ extra.map { case (a, c) => c.as(a) }: _*)
       .withColumn("grams",
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
           .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("n_bytes"),
+      .select(Seq(col("doc_id"), col("n_bytes"),
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long")
-          .as("n_distinct_grams"))
+          .as("n_distinct_grams")) ++ extra.map(e => col(e._1)): _*)
       .withColumn("dup4_ppm",
         when(col("n_grams") > 0,
           expr("CAST(1000000 * (n_grams - n_distinct_grams) " +
             "DIV n_grams AS BIGINT)")).otherwise(0L))
   }
+
+  /** Per-SOURCE compressibility rollup (round 8 — the q96
+    * registration's oracle-hashable surface): corpus-level
+    * duplicate-4-gram mass per source, the "which feed is sending us
+    * machine-generated sludge" triage view that the per-doc q211 rows
+    * roll up into. The real zlib number ([[compressionRatio]]) is
+    * engine-specific — DuckDB has no DEFLATE, so it can never be
+    * oracle-hashed at ANY quantization; it remains the engine API,
+    * association-pinned against `java.util.zip.Deflater` in ScalaTest,
+    * while the driver-checked registration publishes this all-integer
+    * twin (decision recorded in COVERAGE.md).
+    *
+    * `dup4_ppm` here is mass-weighted (Σdup DIV Σgrams, NOT the mean
+    * of per-doc ratios — big docs count for their size), and
+    * `high_dup_docs` counts docs whose per-doc dup share clears
+    * `flagPpm` (default 25% — the "suspiciously compressible" bar).
+    *
+    * Scale shape: the per-doc kernel is map-only; the rollup is one
+    * map-side-combined aggregation keyed by source (source cardinality
+    * ≪ corpus). No join — the source rides through the kernel select.
+    *
+    * Output: (source, n_docs, sum_bytes, sum_grams, sum_dup_grams,
+    * dup4_ppm, high_dup_docs) — all BIGINT. */
+  def compressibilityBySource(docs: DataFrame, idCol: String,
+                              textCol: String, srcCol: String,
+                              n: Int = 4, flagPpm: Long = 250000L)
+      : DataFrame =
+    proxyPerDoc(docs, idCol, textCol, n, Seq("src" -> col(srcCol)))
+      .groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_grams") - col("n_distinct_grams")).as("sum_dup_grams"),
+        sum(when(col("dup4_ppm") >= flagPpm, 1L).otherwise(0L))
+          .as("high_dup_docs"))
+      .withColumn("dup4_ppm", expr(
+        """CAST(CASE WHEN sum_grams > 0
+           THEN 1000000 * sum_dup_grams DIV sum_grams
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+      .select(col("source"), col("n_docs"), col("sum_bytes"),
+        col("sum_grams"), col("sum_dup_grams"), col("dup4_ppm"),
+        col("high_dup_docs"))
 
   /** FastText-shaped linear text classifier INFERENCE at corpus scale:
     * each word hashes to one of `buckets` feature slots (the portable
