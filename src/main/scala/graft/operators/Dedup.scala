@@ -937,13 +937,23 @@ object Dedup {
     * semantics), so a repeated leaked n-gram counts once and
     * contam_ppm is a set-overlap share.
     *
-    * Scale shape: the posting build is the map-side q19 shape; the
-    * benchmark posting list is eval-set-sized, so its equi-join
-    * broadcasts (AQE-sized, not hint-forced); one distinct + two
-    * bounded aggregations after. Grams join as STRINGS here for
-    * oracle exactness — at 100 TB swap the join key for the packed
-    * 64-bit shingle hash (the q147 kernel's lossless-at-test-SF
-    * convention) and keep everything else.
+    * Scale shape (round-8 restructure — the advisory flagged the old
+    * form's TRIPLE scan of the corpus posting list): the corpus-wide
+    * tokenize+shingle pipeline now runs EXACTLY ONCE. The benchmark
+    * side derives its postings from the pre-filtered base (only eval
+    * docs tokenize — eval-set-sized work) and collapses to ONE row per
+    * shingle (count + min bench doc), so the contamination test is a
+    * single left equi-join of the corpus postings against that tiny
+    * frame (AQE broadcasts it) followed by ONE aggregation producing
+    * n_grams and n_contaminated together — no second posting scan, no
+    * corpus-wide distinct (the postings are already set-semantic per
+    * doc, and the collapsed bench frame can't fan rows out). Self-hits
+    * are excluded arithmetically: a shingle contaminates doc d iff a
+    * bench doc ≠ d carries it, i.e. n_bench ≥ 2 ∨ min_bench ≠ d.
+    * Grams join as STRINGS here for oracle exactness — at 100 TB swap
+    * the join key for the packed 64-bit shingle hash (the q147
+    * kernel's lossless-at-test-SF convention) and keep everything
+    * else.
     *
     * Output: (doc_id, is_bench, n_grams, n_contaminated, contam_ppm,
     * flagged) — flagged = non-benchmark doc sharing ≥1 n-gram. */
@@ -952,19 +962,19 @@ object Dedup {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       benchPred.as("is_bench"), col(textCol).as("t"))
     val posts = shinglePostings(base, "doc_id", "t", n)
-    val bench = posts.join(
-        base.filter(col("is_bench")).select(col("doc_id").as("bench_doc")),
-        col("doc_id") === col("bench_doc"))
-      .select(col("shingle"), col("bench_doc"))
-    val hits = posts.as("c").join(bench.as("b"),
-        col("c.shingle") === col("b.shingle") &&
-          col("c.doc_id") =!= col("b.bench_doc"))
-      .select(col("c.doc_id").as("doc_id"), col("c.shingle")).distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    val totals = posts.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val benchInfo = shinglePostings(
+        base.filter(col("is_bench")), "doc_id", "t", n)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_bench"), min(col("doc_id")).as("min_bench"))
+    val perDoc = posts.join(benchInfo, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_bench").isNotNull &&
+            (col("n_bench") >= 2 || col("min_bench") =!= col("doc_id")),
+          1L).otherwise(0L)).as("n_contaminated"))
     base.select(col("doc_id"), col("is_bench"))
-      .join(totals, Seq("doc_id"), "left").na.fill(0L, Seq("n_grams"))
-      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_contaminated"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_contaminated"))
       .withColumn("contam_ppm", expr(
         """CAST(CASE WHEN n_grams > 0
            THEN 1000000 * n_contaminated DIV n_grams

@@ -197,6 +197,14 @@ object DuplicateClusters {
     * globally. Deterministic: the score is integer (linearScore
     * logits in the registered query) and the tie-break is total.
     *
+    * Missing scores (round-8 advisory fix): the score join is LEFT —
+    * a cluster member absent from the score frame keeps its row with
+    * a NULL score and sorts LAST in the election (desc_nulls_last),
+    * so it loses to any scored member but can still be the keeper of
+    * an all-unscored cluster (min doc_id). The one-keeper-per-cluster
+    * invariant holds regardless of score coverage; the old inner join
+    * silently dropped unscored members and could elect nobody.
+    *
     * Output: (doc_id, cluster_id, <scoreCol>, keep) — one row per
     * clustered doc; singletons never reach the cluster map and are
     * implicitly kept upstream. */
@@ -205,8 +213,9 @@ object DuplicateClusters {
                          scoreCol: String = "logit"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    clusters.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    clusters.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol),
+        "left")
       .withColumn("rn", row_number().over(w))
       .withColumn("keep", col("rn") === 1)
       .drop("rn")

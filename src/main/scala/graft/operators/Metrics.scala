@@ -362,6 +362,23 @@ object Metrics {
     * zero pooled variance publish NULL t2_9/df9 via NULLIF rather
     * than erroring.
     *
+    * VALUE-RANGE CONTRACT (round-8 advisory fix — enforced, not just
+    * documented): Spark's DIV lands intermediates in LongType, so
+    * extreme inputs could overflow se2n/du/mean/t²/df in Spark while
+    * the HUGEINT oracle succeeds — a silent-divergence window with
+    * ANSI off, an anonymous mid-DIV error with it. In-plan guards on
+    * the one-row frame fail LOUDLY with a named error instead; each
+    * condition is exactly "this quotient fits a Long" (margin-rounded
+    * to 9.2e18), so there are NO false trips on in-range data:
+    * va0 ≤ 9.2e13·n_a²(n_a−1) and the b twin (⇒ se2n fits),
+    * |s_a| ≤ 4.6e14·n_a and the b twin (⇒ means and du fit),
+    * n_a+n_b ≤ 9e9 (⇒ df·10⁹ fits — arms past nine billion rows
+    * need a different df scaling anyway), and du² ≤
+    * 9.2e12·(se2n_a+se2n_b) (⇒ t2_9 fits; |t| ≲ 96 000, breached
+    * only by near-zero pooled variance under a wide mean gap). The
+    * Σx² accumulator itself is capped at DECIMAL(28,4) (10²⁴), which
+    * ANSI-errors on its own far past these guards.
+    *
     * Output: one row, all BIGINT — (n_a, n_b, mean_a_u, mean_b_u,
     * t_sign, t2_9, df9): means in micro-units, t_sign ∈ {-1,0,1},
     * t2_9 = t²·10⁹ (sign carried separately so the squared form
@@ -382,6 +399,13 @@ object Metrics {
     // decimals cast to scale 0; all products stay inside DECIMAL(38,0)
     // by construction (see widths in the docblock).
     def h(c: Column) = c.cast("decimal(38,0)")
+    // Wrap a DIV-to-Long with the range-contract check (rng_ok below)
+    def grd(inner: String): String =
+      s"""CASE WHEN NOT rng_ok
+          THEN CAST(raise_error(concat('welchTTest: inputs exceed the ',
+            'exact-Long staging range (see the value-range contract ',
+            'in the docblock)')) AS BIGINT)
+          ELSE $inner END"""
     agg.select(col("n_a"), col("n_b"),
         h(col("sx_a") * 100).as("s_a"), h(col("sx_b") * 100).as("s_b"),
         h(col("sx2_a") * 10000).as("q_a"),
@@ -390,23 +414,54 @@ object Metrics {
         expr("CAST(n_a AS DECIMAL(38,0)) * q_a - s_a * s_a"))
       .withColumn("vb0",
         expr("CAST(n_b AS DECIMAL(38,0)) * q_b - s_b * s_b"))
-      .withColumn("se2n_a", expr(
+      // Value-range guard (round-8 advisory fix): Spark's DIV lands in
+      // LongType, so extreme inputs can overflow se2n/du/mean/t² in
+      // Spark while the HUGEINT oracle sails on — a silent divergence
+      // window with ANSI off, an anonymous mid-DIV error with it. Each
+      // condition below is EXACTLY the negation of "that quotient fits
+      // a Long" (va0·10⁵ ≤ 2⁶³ − 1 times the divisor, etc., rounded
+      // down to 9.2e18 for a margin), evaluated on the one-row
+      // aggregate frame (zero distributed cost); every hazardous DIV
+      // is wrapped so the FIRST thing to fire in either ANSI mode is
+      // the named contract error, never a silent null.
+      .withColumn("rng_ok", expr(
+        """CAST(n_a AS DECIMAL(38,0)) + n_b <=
+             CAST(9000000000 AS DECIMAL(38,0)) AND
+           va0 <= CAST(92000000000000 AS DECIMAL(38,0))
+             * n_a * n_a * (n_a - 1) AND
+           vb0 <= CAST(92000000000000 AS DECIMAL(38,0))
+             * n_b * n_b * (n_b - 1) AND
+           abs(s_a) <= CAST(460000000000000 AS DECIMAL(38,0)) * n_a AND
+           abs(s_b) <= CAST(460000000000000 AS DECIMAL(38,0)) * n_b"""))
+      .withColumn("se2n_a", expr(grd(
         """(va0 * CAST(100000 AS DECIMAL(38,0))) DIV
            NULLIF(CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1),
-                  CAST(0 AS DECIMAL(38,0)))"""))
-      .withColumn("se2n_b", expr(
+                  CAST(0 AS DECIMAL(38,0)))""")))
+      .withColumn("se2n_b", expr(grd(
         """(vb0 * CAST(100000 AS DECIMAL(38,0))) DIV
            NULLIF(CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1),
-                  CAST(0 AS DECIMAL(38,0)))"""))
+                  CAST(0 AS DECIMAL(38,0)))""")))
       .withColumn("dc", expr(
         "s_a * CAST(n_b AS DECIMAL(38,0)) - s_b * CAST(n_a AS DECIMAL(38,0))"))
-      .withColumn("du", expr(
+      .withColumn("du", expr(grd(
         """(dc * CAST(1000000 AS DECIMAL(38,0))) DIV
            NULLIF(CAST(100 AS DECIMAL(38,0)) * n_a * n_b,
-                  CAST(0 AS DECIMAL(38,0)))"""))
+                  CAST(0 AS DECIMAL(38,0)))""")))
+      // Second guard: t2_9 = du²·10⁶ DIV Σse2n fits a Long iff
+      // du² ≤ 9.2e12·Σse2n (|t| ≲ 96 000 — only near-zero pooled
+      // variance with a wide mean gap can breach it). Same loud-fail
+      // convention; a NULL Σse2n short-circuits the WHEN to the
+      // (NULL-publishing) ELSE branch.
       .withColumn("t2_9", expr(
-        """(CAST(du AS DECIMAL(38,0)) * du * CAST(1000000 AS DECIMAL(38,0)))
-           DIV NULLIF(se2n_a + se2n_b, 0)"""))
+        """CASE WHEN CAST(du AS DECIMAL(38,0)) * du >
+             CAST(9200000000000 AS DECIMAL(38,0)) *
+             NULLIF(se2n_a + se2n_b, 0)
+           THEN CAST(raise_error(concat('welchTTest: t^2 exceeds the ',
+             'exact-Long staging range (du^2 > 9.2e12 * pooled se2n)'))
+             AS BIGINT)
+           ELSE (CAST(du AS DECIMAL(38,0)) * du *
+             CAST(1000000 AS DECIMAL(38,0)))
+             DIV NULLIF(se2n_a + se2n_b, 0) END"""))
       .withColumn("t_sign", expr(
         "CAST(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 ELSE 0 END AS BIGINT)"))
       .withColumn("am", expr("se2n_a DIV 1000000"))
@@ -417,10 +472,10 @@ object Metrics {
            DIV NULLIF(
              (CAST(am AS DECIMAL(38,0)) * am) DIV NULLIF(n_a - 1, 0) +
              (CAST(bm AS DECIMAL(38,0)) * bm) DIV NULLIF(n_b - 1, 0), 0)"""))
-      .withColumn("mean_a_u",
-        expr("(s_a * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_a, 0)"))
-      .withColumn("mean_b_u",
-        expr("(s_b * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_b, 0)"))
+      .withColumn("mean_a_u", expr(grd(
+        "(s_a * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_a, 0)")))
+      .withColumn("mean_b_u", expr(grd(
+        "(s_b * CAST(10000 AS DECIMAL(38,0))) DIV NULLIF(n_b, 0)")))
       .select(col("n_a"), col("n_b"), col("mean_a_u"), col("mean_b_u"),
         col("t_sign"), col("t2_9"), col("df9"))
   }

@@ -42,6 +42,30 @@ object Similarity {
     got
   }
 
+  /** Probe-then-route shared by [[mutualTopOne]] / [[knnOutliers]]
+    * (round-8 fix for the advisory's eager-count note): the exact
+    * broadcast kernel's OWN bounded collect is the cap probe — under
+    * the cap that collect is the one the kernel needs anyway, so
+    * construction runs the upstream pipeline exactly once instead of
+    * paying a separate `limit(cap+1).count()` job first; past the cap
+    * the collect fails at `maxRows + 1` fetched rows (limit pushed
+    * into the scan) and the operator falls back to the LSH join
+    * kernel. Construction is still eager by nature — the broadcast
+    * kernel materializes its collected side when the DataFrame is
+    * BUILT, not when it is first executed — which is the documented
+    * cost of the exact path. */
+  private def routeTopK(spark: org.apache.spark.sql.SparkSession,
+                        q: DataFrame, c: DataFrame, k: Int, maxRows: Int,
+                        dims: Int, nPlanes: Int, nProbes: Int): DataFrame =
+    try bruteForceTopKFast(spark, q, c, k, maxRows)
+    catch {
+      // collectBounded's cap require — the only IllegalArgumentException
+      // on the kernel's construction path
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("exceeds") =>
+        lshTopK(q, c, dims, nPlanes, k, nProbes)
+    }
+
   /** Left-fold dot product via interpreted higher-order functions —
     * works for any vector length, but stays outside codegen. Use the
     * unrolled `dotN` on hot paths when the dimension is known. */
@@ -182,8 +206,9 @@ object Similarity {
     * longer errors — it switches to the join-based [[lshTopK]] kernel
     * (bucketed candidates, corpus never broadcast, multi-probe for
     * recall) for the top-1 pass and keeps the identical mutual join.
-    * The cap probe is a bounded `limit(cap+1).count()` — one cheap
-    * short-circuiting scan, never a full count. Below the cap the
+    * The cap probe is the brute kernel's own bounded collect
+    * ([[routeTopK]], round 8) — one upstream execution in the common
+    * under-cap case, never a separate count job. Below the cap the
     * brute kernel stays exact; above it mutuality is computed over
     * LSH top-1s (approximate, recall-pinned in ScaleSpec against the
     * brute kernel on separated fixtures).
@@ -195,10 +220,8 @@ object Similarity {
                    nPlanes: Int = 8, nProbes: Int = 4): DataFrame = {
     val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val overCap = vecs.limit(maxRows + 1).count() > maxRows
-    val top1 = (if (overCap)
-        lshTopK(q, c, dims, nPlanes, k = 1, nProbes)
-      else bruteForceTopKFast(spark, q, c, k = 1, maxRows))
+    val top1 = routeTopK(spark, q, c, k = 1, maxRows, dims, nPlanes,
+        nProbes)
       .select(col("query_id").as("a"), col("neighbor_id").as("b"),
         col("sim"))
     top1.as("x").join(top1.as("y"),
@@ -238,9 +261,7 @@ object Similarity {
                   nPlanes: Int = 8, nProbes: Int = 4): DataFrame = {
     val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = vecs.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val overCap = vecs.limit(maxRows + 1).count() > maxRows
-    val topK = if (overCap) lshTopK(q, c, dims, nPlanes, k, nProbes)
-      else bruteForceTopKFast(spark, q, c, k = k, maxRows)
+    val topK = routeTopK(spark, q, c, k, maxRows, dims, nPlanes, nProbes)
     topK.filter(col("rank") === k)
       .select(col("query_id"), col("sim").as("sim_k"),
         (col("sim") < maxSim).as("outlier"))

@@ -24,4 +24,70 @@ class Round8Spec extends SparkSpec {
     assert(out(0) == (("s1", 2L, 38L, 10L, 4L, 400000L, 1L)))
     assert(out(1) == (("s2", 1L, 5L, 0L, 0L, 0L, 0L)))
   }
+
+  // --- canonicalByQuality: missing scores lose ties, never vanish -------
+  test("canonicalByQuality: unscored members kept, lose to any score") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // doc 2 unscored; cluster 10 entirely unscored
+    val scores = Seq((1L, -5L)).toDF("doc_id", "logit")
+    val out = graft.operators.DuplicateClusters
+      .canonicalByQuality(clusters, scores)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    // every member still present; scored doc 1 beats unscored doc 2
+    // even at logit -5; all-unscored cluster 10 elects min id
+    assert(out.toSeq == Seq((1L, true), (2L, false),
+      (10L, true), (11L, false)))
+    // one-keeper-per-cluster invariant under partial coverage
+    val keepers = graft.operators.DuplicateClusters
+      .canonicalByQuality(clusters, scores)
+      .filter(col("keep")).groupBy("cluster_id").count()
+      .filter(col("count") =!= 1).count()
+    assert(keepers == 0)
+  }
+
+  // --- welchTTest range guards ------------------------------------------
+  test("welchTTest: out-of-contract inputs fail loudly, not silently") {
+    // q_a+q_b blows the 1.8e14 exact-Long staging cap with a tiny arm
+    // (the advisory's window) while staying inside the Σx²
+    // accumulator's own (28,4) range, so the guard — not a bare ANSI
+    // cast overflow — is what fires
+    val wide = Seq((true, 9.0e6), (true, -9.0e6),
+      (false, 9.0e6), (false, 8.0e6)).toDF("arm", "v")
+    val e = intercept[Exception] {
+      graft.operators.Metrics.welchTTest(wide, "arm", "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("welchTTest")))
+    // and an in-contract frame still publishes (regression guard)
+    val ok = Seq((true, 10.0), (true, 12.0), (false, 9.0), (false, 8.5))
+      .toDF("arm", "v")
+    val row = graft.operators.Metrics.welchTTest(ok, "arm", "v").collect()
+    assert(row.length == 1 && !row(0).isNullAt(5))
+  }
+
+  // --- benchmarkNgramContamination: restructured single-pass form -------
+  test("benchmark decontam: self-exclusion and bench-vs-bench hits") {
+    // docs 0 and 97 are bench ("% 97"); 1 shares a 3-gram with 0;
+    // 2 shares nothing; 0 and 97 share one 3-gram with each other
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),
+      (97L, "alpha beta gamma zeta"),
+      (1L, "x alpha beta gamma y"),
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.benchmarkNgramContamination(
+        df, "doc_id", "text", col("doc_id") % 97 === 0, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    // doc 0: 2 grams, "alpha beta gamma" also in doc 97 -> 1 hit, but
+    // is_bench so never flagged; doc 97 symmetric
+    assert(out(0) == ((0L, true, 2L, 1L, false)))
+    assert(out(1) == ((1L, false, 3L, 1L, true)))
+    assert(out(2) == ((2L, false, 3L, 0L, false)))
+    assert(out(3) == ((97L, true, 2L, 1L, false)))
+  }
 }
