@@ -4448,6 +4448,49 @@ object OracleSql {
       |FROM b LEFT JOIN tc USING (doc_id) LEFT JOIN hc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q214: image-decode replay WITHOUT images — the engine renders a
+    * closed-form pattern (w = 8 + id mod 9, h = 8 + 3·id mod 9;
+    * r = (7x+id) mod 256, g = (11y+2·id) mod 256,
+    * b = (x+y+3·id) mod 256) into real BMP/PNG bytes and decodes them
+    * back; the oracle computes the identical integer stats directly
+    * from the formula (cross join against 0..15 coordinate ranges,
+    * nearest-neighbor index t·dim//4 for the 4×4 resize, integer
+    * 77/150/29 luma with //256). A hash match proves the codec
+    * round-trip recovered every pixel byte-exactly. */
+  private val q214 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 9 AS w,
+      |    8 + (3 * doc_id) % 9 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM((7 * x.v + i.doc_id) % 256) AS BIGINT) AS sum_r,
+      |    CAST(SUM((11 * y.v + 2 * i.doc_id) % 256) AS BIGINT) AS sum_g,
+      |    CAST(SUM((x.v + y.v + 3 * i.doc_id) % 256) AS BIGINT) AS sum_b
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 16)) x ON x.v < i.w
+      |  JOIN (SELECT range AS v FROM range(0, 16)) y ON y.v < i.h
+      |  GROUP BY i.doc_id),
+      |rl AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(
+      |      (  77 * ((7 * ((tx.v * i.w) // 4) + i.doc_id) % 256)
+      |       + 150 * ((11 * ((ty.v * i.h) // 4) + 2 * i.doc_id) % 256)
+      |       +  29 * (((tx.v * i.w) // 4 + (ty.v * i.h) // 4
+      |                 + 3 * i.doc_id) % 256)
+      |      ) // 256) AS BIGINT) AS resized_luma_sum
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+      |  px.sum_r, px.sum_g, px.sum_b, rl.resized_luma_sum,
+      |  TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4519,6 +4562,7 @@ object OracleSql {
     "q211_compress_proxy" -> q211,
     "q212_canonical_quality" -> q212,
     "q213_benchmark_decontam" -> q213,
+    "q214_image_pixels" -> q214,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -419,6 +419,25 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Round-8: REAL image-container decode, oracle-checked. Every doc
+    * renders a closed-form pattern raster encoded into genuine BMP
+    * (even ids) / PNG (odd ids) bytes in-engine, then the pure-JVM
+    * decoder ([[graft.functions.ImageCodec]]) recovers the pixels and
+    * publishes all-integer stats; DuckDB replays the same stats from
+    * the pattern formula with no image support, so a hash match is a
+    * byte-exact proof of both container walks (header arithmetic,
+    * zlib inflate, PNG unfiltering) on every row. Map-only. */
+  private def qImagePixels(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticImagePayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3023,7 +3042,8 @@ object SparkEntry {
       "q210_stream_wm_dedup" -> (qStreamWmDedup _),
       "q211_compress_proxy" -> (qCompressProxy _),
       "q212_canonical_quality" -> (qCanonicalByQuality _),
-      "q213_benchmark_decontam" -> (qBenchmarkDecontam _))
+      "q213_benchmark_decontam" -> (qBenchmarkDecontam _),
+      "q214_image_pixels" -> (qImagePixels _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3048,7 +3068,9 @@ object SparkEntry {
     // were previously untimed)
     "q192_split_leakage", "q202_content_chunks", "q204_vocab_growth",
     "q209_dedup_impact", "q212_canonical_quality",
-    "q213_benchmark_decontam")
+    "q213_benchmark_decontam",
+    // round 8: the real BMP/PNG encode→decode path
+    "q214_image_pixels")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column plus typed metadata, processed in batches via
   * `mapPartitions` — the Scala analogue of a batched decode UDF.
   *
-  * The real decode step (JPEG/audio codec) is STUBBED — those native
-  * libs are absent here — but everything Spark-level is real: the
-  * binary column, the schema, the per-partition batch iteration, and
-  * deterministic byte-level feature extraction. Swapping
-  * `extractFeatures` for a codec call is a one-function change.
+  * Decode status (round 8): BMP and PNG decode are REAL — the
+  * from-scratch pure-JVM [[graft.functions.ImageCodec]] (format
+  * headers + java.util.zip inflate, no native libs) — so
+  * [[decodeResizeFeaturize]] and [[imagePixelStats]] produce exact
+  * pixels for those containers. Formats that genuinely need native
+  * codecs (JPEG, audio, video) still fall back to the deterministic
+  * byte-level stand-in, clearly marked below; swapping that arm for
+  * a codec call is a one-function change.
   *
   * Scale notes: binary payloads ride columnar Parquet; mapPartitions
   * keeps one decoder instance per partition (not per row); output is a
@@ -60,27 +63,122 @@ object Multimodal {
   case class ImageMeta(doc_id: Long, width: Int, height: Int,
                        features: Array[Float])
 
-  /** STUB image decode + resize + featurize, batched per partition.
-    * `targetSide` mirrors a resize step: the feature grid is computed
-    * at targetSide² resolution regardless of source size. */
+  /** Image decode + resize + featurize, batched per partition.
+    * `targetSide` is the resize: the feature grid is targetSide²
+    * regardless of source size (nearest-neighbor, integer luma).
+    *
+    * BMP/PNG payloads decode for REAL via
+    * [[graft.functions.ImageCodec]]; other formats (JPEG needs a
+    * native codec this environment lacks) take the documented
+    * deterministic byte-arithmetic STAND-IN arm so mixed corpora
+    * degrade per row, never per job. */
   def decodeResizeFeaturize(spark: SparkSession, payloads: DataFrame,
                             targetSide: Int): Dataset[ImageMeta] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real pipeline: codec + resampler initialized once per
-        // partition; stub: pure arithmetic over the payload bytes
         it.map { case (id, bytes) =>
-          val w = 16 + (math.abs(id) % 16).toInt   // "decoded" dims
-          val h = 16 + (math.abs(id * 7) % 16).toInt
-          val features = Array.tabulate(targetSide * targetSide) { p =>
-            if (bytes.isEmpty) 0.0f
-            else (bytes(p % bytes.length) & 0xff).toFloat / 255.0f
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              val small = graft.functions.ImageCodec
+                .resizeNearest(img, targetSide)
+              val features = Array.tabulate(targetSide * targetSide) { p =>
+                graft.functions.ImageCodec.luma(small.rgb(p)) / 255.0f }
+              ImageMeta(id, img.width, img.height, features)
+            case None =>
+              // STAND-IN arm (non-BMP/PNG): deterministic arithmetic
+              // in place of the native codec this sandbox lacks
+              val w = 16 + (math.abs(id) % 16).toInt
+              val h = 16 + (math.abs(id * 7) % 16).toInt
+              val features = Array.tabulate(targetSide * targetSide) { p =>
+                if (bytes.isEmpty) 0.0f
+                else (bytes(p % bytes.length) & 0xff).toFloat / 255.0f
+              }
+              ImageMeta(id, w, h, features)
           }
-          ImageMeta(id, w, h, features)
         }
       }
+  }
+
+  /** All-integer pixel statistics from REAL container decode — the
+    * oracle-hashable proof that the BMP/PNG path recovers exact
+    * pixels. Per payload: decoded dims, per-channel pixel sums, and
+    * the luma sum of the nearest-neighbor `side`×`side` resize
+    * (integer 77/150/29 luma). Undecodable payloads keep their row
+    * with decoded=false and zero stats (audit-friendly: the corpus
+    * count never changes).
+    *
+    * Scale shape: map-only mapPartitions (one decoder per partition,
+    * not per row), narrow output, no shuffle; 100-TB form is
+    * identical — decode is embarrassingly parallel and the stats
+    * are per-row. */
+  def imagePixelStats(spark: SparkSession, payloads: DataFrame,
+                      side: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val px = img.rgb(i)
+                sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
+                sb += px & 0xff; i += 1
+              }
+              val small = graft.functions.ImageCodec.resizeNearest(img, side)
+              var lum = 0L
+              var j = 0
+              while (j < small.rgb.length) {
+                lum += graft.functions.ImageCodec.luma(small.rgb(j)); j += 1 }
+              (id, img.width, img.height, sr, sg, sb, lum, true)
+            case None => (id, 0, 0, 0L, 0L, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "resized_luma_sum", "decoded")
+  }
+
+  /** Deterministic REAL-container payload builder for the q214
+    * registered query: every doc renders a pattern raster
+    * (w = 8 + id mod 9, h = 8 + 3·id mod 9; r = (7x+id) mod 256,
+    * g = (11y+2·id) mod 256, b = (x+y+3·id) mod 256) and encodes it
+    * into genuine image bytes — BMP for even ids, PNG (zlib IDAT)
+    * for odd — so the decode path downstream exercises both format
+    * walks on every run. The pattern is closed-form in (id, x, y),
+    * which is what lets DuckDB replay [[imagePixelStats]] without any
+    * image support: the oracle computes the same sums directly from
+    * the formula, and a hash match proves byte-exact codec recovery.
+    *
+    * Scale shape: map-only; the encoder is per-row compute. */
+  def syntheticImagePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (3 * id) % 9).toInt
+          val rgb = Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val r = ((7 * x + id) % 256).toInt
+            val g = ((11 * y + 2 * id) % 256).toInt
+            val b = ((x + y + 3 * id) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val img = graft.functions.ImageCodec.Image(w, h, rgb)
+          val bytes =
+            if (id % 2 == 0) graft.functions.ImageCodec.encodeBmp24(img)
+            else graft.functions.ImageCodec.encodePng(img)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** STUB video frame-sampling: emit one row per sampled "frame"

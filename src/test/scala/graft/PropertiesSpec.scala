@@ -216,4 +216,75 @@ class PropertiesSpec extends SparkSpec {
       both.filter(not($"native" <=> $"ref")).count() == 0
     }, n = 10)
   }
+
+  // Round-8 (VERDICT #6): the q212 election is the brute-force argmax
+  // under (score DESC nulls last, doc_id ASC) on random clusterings
+  // with PARTIAL score coverage, and elects exactly one keeper per
+  // cluster regardless of coverage (the left-join fix's invariant).
+  test("canonicalByQuality elects the argmax keeper on random clusters") {
+    val scenario = for {
+      nDocs <- Gen.choose(5, 40)
+      nClusters <- Gen.choose(1, 8)
+      cids <- Gen.listOfN(nDocs, Gen.choose(1, nClusters))
+      // ~1/3 of members unscored; ties likely (small score range)
+      scored <- Gen.listOfN(nDocs, Gen.frequency(
+        2 -> Gen.choose(0L, 5L).map(Some(_)), 1 -> Gen.const(None)))
+    } yield (cids.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) },
+      scored.zipWithIndex.collect { case (Some(s), i) => (i.toLong, s) })
+    check("election", Prop.forAll(scenario) { case (members, scores) =>
+      val clusters = members.toDF("doc_id", "cluster_id")
+      val scoreDf = scores.toDF("doc_id", "logit")
+      val out = graft.operators.DuplicateClusters
+        .canonicalByQuality(clusters, scoreDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      val scoreMap = scores.toMap
+      val byCluster = members.groupBy(_._2)
+      val keepers = out.filter(_._3).map(r => r._2 -> r._1).toMap
+      out.length == members.length &&
+        byCluster.forall { case (cid, ms) =>
+          val expect = ms.map(_._1).sortBy(d =>
+            (scoreMap.get(d).map(-_).getOrElse(Long.MaxValue), d)).head
+          keepers.get(cid).contains(expect) &&
+            out.count(r => r._2 == cid && r._3) == 1
+        }
+    }, n = 15)
+  }
+
+  // Round-8 (VERDICT #6): q213's per-doc contamination count equals
+  // the brute-force set intersection |G_d ∩ ∪_{bench b≠d} G_b| on
+  // random corpora (tiny vocab so cross-doc collisions are common),
+  // including the self-exclusion arithmetic.
+  test("benchmarkNgramContamination equals brute-force set intersection") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val doc = Gen.choose(0, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val scenario = for {
+      nDocs <- Gen.choose(3, 12)
+      texts <- Gen.listOfN(nDocs, doc)
+      bench <- Gen.listOfN(nDocs, Gen.prob(0.4))
+    } yield texts.zip(bench).zipWithIndex.map { case ((t, b), i) =>
+      (i.toLong, t, b) }
+    val n = 2
+    check("decontam", Prop.forAll(scenario) { rows =>
+      val df = rows.toDF("doc_id", "t", "is_b")
+      val out = graft.operators.Dedup
+        .benchmarkNgramContamination(df, "doc_id", "t", $"is_b", n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+      def grams(t: String): Set[String] = {
+        val w = t.toLowerCase.split(" ", -1).toSeq // mirror split(lower, " ")
+        if (w.length < n) Set.empty
+        else w.sliding(n).map(_.mkString(" ")).toSet
+      }
+      rows.forall { case (id, t, isB) =>
+        val g = grams(t)
+        val leaked = rows.filter { case (b, _, bb) => bb && b != id }
+          .flatMap(r => grams(r._2)).toSet
+        val contaminated = g.intersect(leaked).size.toLong
+        val (nG, nC, flagged) = out(id)
+        nG == g.size.toLong && nC == contaminated &&
+          flagged == (!isB && contaminated >= 1)
+      }
+    }, n = 12)
+  }
 }
