@@ -4491,6 +4491,44 @@ object OracleSql {
       |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q215: WAV-decode replay WITHOUT audio — same scheme as q214: the
+    * engine encodes s(i) = (17i + 3·id) mod 2001 − 1000 (n = 64 +
+    * id mod 65 mono samples at 8000 + (id mod 5)·1000 Hz) into real
+    * RIFF PCM bytes and decodes them back; the oracle computes the
+    * identical integer stats from the formula, with LAG over the
+    * sample index for the strict sign-flip zero-crossings. */
+  private val q215 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    64 + doc_id % 65 AS n,
+      |    8000 + (doc_id % 5) * 1000 AS sr
+      |  FROM documents),
+      |s AS (
+      |  SELECT i.doc_id, t.v AS si,
+      |    ((17 * t.v + 3 * i.doc_id) % 2001) - 1000 AS s
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 129)) t ON t.v < i.n),
+      |sl AS (
+      |  SELECT doc_id, si, s,
+      |    LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      |  FROM s),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+      |    CAST(MAX(ABS(s)) AS BIGINT) AS max_abs,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |  FROM sl GROUP BY doc_id)
+      |SELECT i.doc_id,
+      |  CAST(i.sr AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(i.n AS BIGINT) AS n_samples,
+      |  CAST((1000 * i.n) // i.sr AS BIGINT) AS dur_ms,
+      |  agg.sum_abs, agg.max_abs, agg.zero_crossings,
+      |  TRUE AS decoded
+      |FROM ids i JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4563,6 +4601,7 @@ object OracleSql {
     "q212_canonical_quality" -> q212,
     "q213_benchmark_decontam" -> q213,
     "q214_image_pixels" -> q214,
+    "q215_audio_pcm" -> q215,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -438,6 +438,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
+    * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
+    * into genuine WAV bytes in-engine, decoded back distributed, and
+    * published as all-integer PCM stats DuckDB replays from the
+    * formula (lag for the zero-crossings). Map-only. */
+  private def qAudioPcm(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticAudioPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.audioPcmStats(s, payloads)
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("dur_ms"), col("sum_abs"), col("max_abs"),
+        col("zero_crossings"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3043,7 +3060,8 @@ object SparkEntry {
       "q211_compress_proxy" -> (qCompressProxy _),
       "q212_canonical_quality" -> (qCanonicalByQuality _),
       "q213_benchmark_decontam" -> (qBenchmarkDecontam _),
-      "q214_image_pixels" -> (qImagePixels _))
+      "q214_image_pixels" -> (qImagePixels _),
+      "q215_audio_pcm" -> (qAudioPcm _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -181,6 +181,66 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** All-integer PCM statistics from REAL WAV decode
+    * ([[graft.functions.AudioCodec]]) — the audio twin of
+    * [[imagePixelStats]]: per payload the decoded format meta
+    * (rate, channels, integer-ms duration) and exact sample stats
+    * (Σ|s|, max|s|, strict sign-flip zero-crossing count over the
+    * interleaved stream). Undecodable payloads keep their row with
+    * decoded=false. Map-only mapPartitions, no shuffle; the 100-TB
+    * shape is identical (decode is embarrassingly parallel). */
+  def audioPcmStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.AudioCodec.decodeWav(bytes) match {
+            case Some(wav) =>
+              var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+              var i = 0
+              while (i < wav.samples.length) {
+                val s = wav.samples(i)
+                val a = math.abs(s).toLong
+                sumAbs += a; if (a > maxAbs) maxAbs = a
+                if (i > 0 && s.toLong * wav.samples(i - 1) < 0) zc += 1
+                i += 1
+              }
+              val durMs = 1000L * wav.nFrames / wav.sampleRate
+              (id, wav.sampleRate, wav.channels,
+                wav.samples.length.toLong, durMs, sumAbs, maxAbs, zc, true)
+            case None => (id, 0, 0, 0L, 0L, 0L, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "dur_ms",
+        "sum_abs", "max_abs", "zero_crossings", "decoded")
+  }
+
+  /** Deterministic REAL-WAV payload builder for the q215 registered
+    * query: per doc a mono 16-bit PCM sawtooth-ish waveform
+    * (n = 64 + id mod 65 samples, s(i) = (17i + 3·id) mod 2001 − 1000,
+    * rate = 8000 + (id mod 5)·1000) encoded into genuine RIFF bytes.
+    * Closed-form in (id, i), so DuckDB replays [[audioPcmStats]]
+    * without any audio support — a hash match proves byte-exact PCM
+    * recovery through the chunk walk. Map-only. */
+  def syntheticAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 65).toInt
+          val rate = (8000 + (id % 5) * 1000).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((17L * i + 3 * id) % 2001 - 1000).toInt)
+          (id, graft.functions.AudioCodec.encodeWavPcm16(rate, 1, samples))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** STUB video frame-sampling: emit one row per sampled "frame"
     * (every `stride`-th byte offset stands in for a frame boundary) —
     * the row-explosion shape of real frame extraction, where one input
