@@ -4529,6 +4529,41 @@ object OracleSql {
       |FROM ids i JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q216: animated-GIF frame replay WITHOUT GIF support — the engine
+    * LZW-encodes formula index rasters ((x + 3y + 5f + id) mod 64
+    * over palette ((4i+1) mod 256, (2i+7) mod 256, (5i+3) mod 256))
+    * into real GIF89a bytes and decodes one row per frame; the
+    * oracle computes identical per-frame channel sums from the
+    * formula over (frame, x, y) coordinate ranges. */
+  private val q216 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    6 + doc_id % 6 AS w,
+      |    6 + (2 * doc_id) % 6 AS h,
+      |    2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT i.doc_id, i.w, i.h, f.v AS frame_idx
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 5)) f ON f.v < i.nf),
+      |px AS (
+      |  SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+      |    (x.v + 3 * y.v + 5 * fr.frame_idx + fr.doc_id) % 64 AS idx
+      |  FROM fr
+      |  JOIN (SELECT range AS v FROM range(0, 11)) x ON x.v < fr.w
+      |  JOIN (SELECT range AS v FROM range(0, 11)) y ON y.v < fr.h)
+      |SELECT doc_id,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(4 + frame_idx AS BIGINT) AS delay_cs,
+      |  CAST(SUM((4 * idx + 1) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((2 * idx + 7) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((5 * idx + 3) % 256) AS BIGINT) AS sum_b
+      |FROM px
+      |GROUP BY doc_id, frame_idx, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4602,6 +4637,7 @@ object OracleSql {
     "q213_benchmark_decontam" -> q213,
     "q214_image_pixels" -> q214,
     "q215_audio_pcm" -> q215,
+    "q216_gif_frames" -> q216,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -455,6 +455,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8: REAL animated-GIF multi-frame decode, oracle-checked —
+    * the video arm: closed-form palette rasters encoded into genuine
+    * GIF89a bytes in-engine (variable-width LZW, graphic-control
+    * delays), decoded back distributed with one row per frame, and
+    * published as all-integer per-frame stats DuckDB replays from
+    * the formula. Map-only flatMap fan-out. */
+  private def qGifFrames(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticGifPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.gifFrameStats(s, payloads)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("delay_cs").cast("long").as("delay_cs"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3061,7 +3080,8 @@ object SparkEntry {
       "q212_canonical_quality" -> (qCanonicalByQuality _),
       "q213_benchmark_decontam" -> (qBenchmarkDecontam _),
       "q214_image_pixels" -> (qImagePixels _),
-      "q215_audio_pcm" -> (qAudioPcm _))
+      "q215_audio_pcm" -> (qAudioPcm _),
+      "q216_gif_frames" -> (qGifFrames _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

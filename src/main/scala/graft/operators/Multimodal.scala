@@ -241,10 +241,76 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Real multi-frame extraction from animated GIF
+    * ([[graft.functions.GifCodec]]) — one output row PER DECODED
+    * FRAME (the genuine fan-out shape of video frame sampling), with
+    * the frame's rect, graphic-control delay, and exact per-channel
+    * pixel sums over its own raster. Undecodable payloads contribute
+    * zero rows (the per-payload count audit is [[extract]]'s job).
+    * Map-only flatMap, no shuffle; 100-TB shape identical. */
+  def gifFrameStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.GifCodec.decodeGif(bytes) match {
+          case Some(gif) =>
+            gif.frames.iterator.zipWithIndex.map { case (fr, i) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < fr.rgb.length) {
+                val px = fr.rgb(p)
+                sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
+                sb += px & 0xff; p += 1
+              }
+              (id, i, fr.width, fr.height, fr.delayCs, sr, sg, sb)
+            }
+          case None => Iterator.empty
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "delay_cs",
+        "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic REAL animated-GIF payload builder for q216: per
+    * doc, 2 + id mod 4 full frames of (6 + id mod 6)×(6 + 2·id mod 6)
+    * pixels over a formula palette (pal(i) = ((4i+1) mod 256,
+    * (2i+7) mod 256, (5i+3) mod 256)); frame f's index raster is
+    * (x + 3y + 5f + id) mod 64 and its delay 4 + f cs. Closed-form
+    * in (id, f, x, y), so DuckDB replays [[gifFrameStats]] with no
+    * GIF support — a hash match proves the LZW walk recovered every
+    * palette index exactly. Map-only. */
+  def syntheticGifPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(256)(i =>
+      (((4 * i + 1) % 256) << 16) | (((2 * i + 7) % 256) << 8) |
+        ((5 * i + 3) % 256))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (6 + id % 6).toInt
+          val h = (6 + (2 * id) % 6).toInt
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val idx = Array.tabulate(w * h) { p =>
+              val x = p % w; val y = p / w
+              ((x + 3 * y + 5 * f + id) % 64).toByte
+            }
+            (4 + f, idx)
+          }
+          (id, graft.functions.GifCodec.encodeGif(w, h, palette, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** STUB video frame-sampling: emit one row per sampled "frame"
     * (every `stride`-th byte offset stands in for a frame boundary) —
-    * the row-explosion shape of real frame extraction, where one input
-    * row fans out to many frame rows. */
+    * the row-explosion shape of real frame extraction over payloads
+    * whose container needs a native codec; for animated GIF the REAL
+    * path is [[gifFrameStats]]. */
   def sampleFrames(spark: SparkSession, payloads: DataFrame,
                    stride: Int, maxFrames: Int): DataFrame = {
     import spark.implicits._
