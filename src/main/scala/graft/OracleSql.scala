@@ -4564,6 +4564,71 @@ object OracleSql {
       |GROUP BY doc_id, frame_idx, w, h
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q217: framed-energy replay — frames of 16 samples at hop 8 over
+    * the q215 waveform formula; energy = Σs², active iff
+    * mean-square > 333000 (energy > 333000·16, integer compare). */
+  private val q217 =
+    """WITH ids AS (
+      |  SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+      |fr AS (
+      |  SELECT i.doc_id, i.n, f.v AS frame_idx
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 15)) f
+      |    ON f.v <= (i.n - 16) // 8),
+      |e AS (
+      |  SELECT fr.doc_id, fr.frame_idx,
+      |    CAST(SUM(
+      |      (((17 * (8 * fr.frame_idx + j.v) + 3 * fr.doc_id) % 2001)
+      |        - 1000)
+      |      * (((17 * (8 * fr.frame_idx + j.v) + 3 * fr.doc_id) % 2001)
+      |        - 1000)) AS BIGINT) AS energy
+      |  FROM fr
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 16)) j
+      |  GROUP BY fr.doc_id, fr.frame_idx)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, energy,
+      |  energy > 333000 * 16 AS active
+      |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** q218: dHash replay — 9×8 nearest resize of the q214 pattern
+    * (sx = x·w//9, sy = y·h//8), integer 77/150/29 luma, bit
+    * k = 8y+x set iff gray(x+1,y) > gray(x,y); published as two
+    * unsigned 32-bit halves via BIGINT shifts (no 2⁶³ term), plus
+    * the per-hash group size. */
+  private val q218 =
+    """WITH ids AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3 * doc_id) % 9 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT i.doc_id, x.v AS x, y.v AS y,
+      |    (  77 * ((7 * ((x.v * i.w) // 9) + i.doc_id) % 256)
+      |     + 150 * ((11 * ((y.v * i.h) // 8) + 2 * i.doc_id) % 256)
+      |     +  29 * (((x.v * i.w) // 9 + (y.v * i.h) // 8
+      |               + 3 * i.doc_id) % 256)) // 256 AS gray
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 9)) x
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 8)) y),
+      |bits AS (
+      |  SELECT a.doc_id, a.y * 8 + a.x AS k,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b
+      |    ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+      |  WHERE a.x < 8),
+      |hx AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN k >= 32
+      |      THEN CAST(bit AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
+      |      AS dhash_hi,
+      |    CAST(SUM(CASE WHEN k < 32
+      |      THEN CAST(bit AS BIGINT) << k ELSE 0 END) AS BIGINT)
+      |      AS dhash_lo
+      |  FROM bits GROUP BY doc_id),
+      |cnt AS (
+      |  SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS dup_count
+      |  FROM hx GROUP BY dhash_hi, dhash_lo)
+      |SELECT hx.doc_id, hx.dhash_hi, hx.dhash_lo, cnt.dup_count
+      |FROM hx JOIN cnt USING (dhash_hi, dhash_lo)
+      |ORDER BY hx.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4638,6 +4703,8 @@ object OracleSql {
     "q214_image_pixels" -> q214,
     "q215_audio_pcm" -> q215,
     "q216_gif_frames" -> q216,
+    "q217_audio_frames" -> q217,
+    "q218_image_dhash" -> q218,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

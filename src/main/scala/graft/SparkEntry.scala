@@ -474,6 +474,40 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Round-8: VAD-style framed PCM energy over the real WAV decode —
+    * one row per 16-sample frame at hop 8, exact integer Σs² and the
+    * mean-square activity flag; the front-end shape of speech-data
+    * silence trimming. Oracle replays from the waveform formula. */
+  private def qAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticAudioPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.audioFrameEnergy(s, payloads,
+        frameLen = 16, hop = 8, thr = 333000L)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("energy"), col("active"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Round-8: perceptual image dedup over the real decode — dHash
+    * (9×8 nearest resize, integer luma, adjacent-gray compare)
+    * published as two unsigned 32-bit halves, plus the exact-dedup
+    * group size per hash (map-side-combined groupBy, the
+    * `Dedup.exact` shape). All integers; DuckDB replays the hash
+    * bit-by-bit from the q214 pattern formula. */
+  private def qImageDHash(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticImagePayloads(
+      Tables.documents(s, dir), "doc_id")
+    val hashes = Multimodal.imageDHash(s, payloads)
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    val counts = hashes.groupBy("dhash_hi", "dhash_lo")
+      .agg(count(lit(1)).as("dup_count"))
+    hashes.join(counts, Seq("dhash_hi", "dhash_lo"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        col("dup_count"))
+      .orderBy("doc_id")
+  }
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3081,7 +3115,9 @@ object SparkEntry {
       "q213_benchmark_decontam" -> (qBenchmarkDecontam _),
       "q214_image_pixels" -> (qImagePixels _),
       "q215_audio_pcm" -> (qAudioPcm _),
-      "q216_gif_frames" -> (qGifFrames _))
+      "q216_gif_frames" -> (qGifFrames _),
+      "q217_audio_frames" -> (qAudioFrames _),
+      "q218_image_dhash" -> (qImageDHash _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

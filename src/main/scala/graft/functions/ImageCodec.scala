@@ -315,19 +315,23 @@ object ImageCodec {
   /** Nearest-neighbor resize to side×side — source index
     * floor(t·src/side), the standard integer mapping; deterministic,
     * so oracle SQL can replay it with integer division. */
-  def resizeNearest(img: Image, side: Int): Image = {
-    val out = new Array[Int](side * side)
+  def resizeNearest(img: Image, side: Int): Image =
+    resizeNearest(img, side, side)
+
+  /** Non-square variant (dHash wants 9×8). */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    val out = new Array[Int](w * h)
     var y = 0
-    while (y < side) {
-      val sy = y * img.height / side
+    while (y < h) {
+      val sy = y * img.height / h
       var x = 0
-      while (x < side) {
-        out(y * side + x) = img(x * img.width / side, sy)
+      while (x < w) {
+        out(y * w + x) = img(x * img.width / w, sy)
         x += 1
       }
       y += 1
     }
-    Image(side, side, out)
+    Image(w, h, out)
   }
 
   /** Integer luma (the 77/150/29 >> 8 fixed-point BT.601 weights —

@@ -241,6 +241,79 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** VAD-style framed energy over REAL decoded PCM — the shape of
+    * every speech-pipeline front end (silence trimming, speech-ratio
+    * quality gates): frames of `frameLen` samples at `hop` hop, one
+    * output row per frame with its exact integer energy Σs² and an
+    * activity flag (energy > thr·frameLen, i.e. mean-square > thr —
+    * a pure integer compare, oracle-replayable). Docs shorter than
+    * one frame contribute zero rows. Map-only flatMap fan-out; at
+    * 100 TB the downstream trim is a per-doc filter+regroup, never a
+    * global shuffle of samples. */
+  def audioFrameEnergy(spark: SparkSession, payloads: DataFrame,
+                       frameLen: Int, hop: Int, thr: Long): DataFrame = {
+    import spark.implicits._
+    require(frameLen > 0 && hop > 0)
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.AudioCodec.decodeWav(bytes) match {
+          case Some(wav) if wav.samples.length >= frameLen =>
+            val nF = (wav.samples.length - frameLen) / hop + 1
+            (0 until nF).iterator.map { f =>
+              var e = 0L
+              var j = 0
+              while (j < frameLen) {
+                val s = wav.samples(f * hop + j).toLong
+                e += s * s; j += 1
+              }
+              (id, f, e, e > thr * frameLen)
+            }
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("doc_id", "frame_idx", "energy", "active")
+  }
+
+  /** Difference-hash (dHash) over REAL decoded pixels — the standard
+    * perceptual fingerprint for image-level dedup in multimodal
+    * training corpora: nearest-resize to 9×8, integer luma, bit
+    * k = 8y+x set iff gray(x+1,y) > gray(x,y). Published as two
+    * unsigned 32-bit halves (BIGINT-safe on both engines: no 2⁶³
+    * term ever materializes). Deterministic integers end-to-end, so
+    * the whole hash is oracle-replayable; duplicate grouping is then
+    * a plain groupBy on the halves (map-side combined), exactly the
+    * exact-dedup shape of `Dedup.exact`. Undecodable payloads keep
+    * their row with decoded=false and zero hash. */
+  def imageDHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              val g9 = graft.functions.ImageCodec.resizeNearest(img, 9, 8)
+              val gray = g9.rgb.map(graft.functions.ImageCodec.luma)
+              var hash = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (gray(y * 9 + x + 1) > gray(y * 9 + x))
+                    hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, hash >>> 32, hash & 0xffffffffL, true)
+            case None => (id, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo", "decoded")
+  }
+
   /** Real multi-frame extraction from animated GIF
     * ([[graft.functions.GifCodec]]) — one output row PER DECODED
     * FRAME (the genuine fan-out shape of video frame sampling), with

@@ -90,4 +90,64 @@ class Round8Spec extends SparkSpec {
     assert(out(2) == ((2L, false, 3L, 0L, false)))
     assert(out(3) == ((97L, true, 2L, 1L, false)))
   }
+
+  // --- audioFrameEnergy: frame arithmetic + VAD semantics ---------------
+  test("audioFrameEnergy: frame count, exact energies, silence inactive") {
+    import graft.functions.AudioCodec
+    // doc 1: 40 samples alternating ±2000 (loud); doc 2: 20 samples of
+    // ±1 (near-silence); doc 3: 10 samples (shorter than one frame)
+    val loud = Array.tabulate(40)(i => if (i % 2 == 0) 2000 else -2000)
+    val quiet = Array.tabulate(20)(i => if (i % 2 == 0) 1 else -1)
+    val payloads = Seq(
+      (1L, AudioCodec.encodeWavPcm16(8000, 1, loud)),
+      (2L, AudioCodec.encodeWavPcm16(8000, 1, quiet)),
+      (3L, AudioCodec.encodeWavPcm16(8000, 1, Array.fill(10)(5)))
+    ).toDF("doc_id", "payload")
+    val out = graft.operators.Multimodal
+      .audioFrameEnergy(spark, payloads, frameLen = 16, hop = 8,
+        thr = 333000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // doc 1: (40-16)/8+1 = 4 frames, each 16·2000² = 64e6, active
+    assert(out.keys.count(_._1 == 1L) == 4)
+    (0 until 4).foreach(f => assert(out((1L, f)) == ((64000000L, true))))
+    // doc 2: 1 frame of 16·1 = 16, inactive
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(out((2L, 0)) == ((16L, false)))
+    // doc 3: shorter than a frame -> zero rows
+    assert(!out.keys.exists(_._1 == 3L))
+  }
+
+  // --- imageDHash: reference bits + uniform-brightness invariance -------
+  test("imageDHash: matches a reference computation and shrugs off brightness") {
+    import graft.functions.ImageCodec
+    val rnd = new scala.util.Random(108)
+    val img = ImageCodec.Image(20, 15,
+      Array.fill(300)((rnd.nextInt(128) << 16) | (rnd.nextInt(128) << 8) |
+        rnd.nextInt(128))) // channels < 128: +0x40 can never carry
+    def refHash(im: ImageCodec.Image): (Long, Long) = {
+      val small = ImageCodec.resizeNearest(im, 9, 8)
+      val gray = small.rgb.map(ImageCodec.luma)
+      var hash = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gray(y * 9 + x + 1) > gray(y * 9 + x)) hash |= 1L << (y * 8 + x)
+      (hash >>> 32, hash & 0xffffffffL)
+    }
+    val payloads = Seq(
+      (1L, ImageCodec.encodePng(img)),
+      (2L, ImageCodec.encodeBmp24(img)),
+      // +64 on every channel: all pairwise gray comparisons unchanged
+      (3L, ImageCodec.encodePng(ImageCodec.Image(img.width, img.height,
+        img.rgb.map(px => px + 0x404040)))),
+      (4L, "not an image".getBytes.padTo(64, 0.toByte))
+    ).toDF("doc_id", "payload")
+    val out = graft.operators.Multimodal.imageDHash(spark, payloads)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val (hi, lo) = refHash(img)
+    assert(out(1L) == ((hi, lo, true)))
+    assert(out(2L) == ((hi, lo, true)))  // same pixels, other container
+    assert(out(3L)._1 == hi && out(3L)._2 == lo) // brightness-invariant
+    assert(out(4L) == ((0L, 0L, false)))
+  }
 }
