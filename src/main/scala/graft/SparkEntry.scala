@@ -500,11 +500,14 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id")
     val hashes = Multimodal.imageDHash(s, payloads)
       .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
-    val counts = hashes.groupBy("dhash_hi", "dhash_lo")
-      .agg(count(lit(1)).as("dup_count"))
-    hashes.join(counts, Seq("dhash_hi", "dhash_lo"))
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-        col("dup_count"))
+    // group size via a window, NOT groupBy + self-join: the join form
+    // evaluates the decode+hash subtree twice (.explain showed the
+    // MapPartitions pipeline under both the broadcast and aggregate
+    // sides), and at scale the decode IS the cost — one pass + one
+    // hash-key exchange beats a second full decode.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dhash_hi", "dhash_lo")
+    hashes.withColumn("dup_count", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
 
@@ -3143,8 +3146,9 @@ object SparkEntry {
     "q192_split_leakage", "q202_content_chunks", "q204_vocab_growth",
     "q209_dedup_impact", "q212_canonical_quality",
     "q213_benchmark_decontam",
-    // round 8: the real BMP/PNG encode→decode path
-    "q214_image_pixels")
+    // round 8: the real codec paths — image encode→decode, the GIF
+    // LZW multi-frame walk, and decode→dHash→window dedup
+    "q214_image_pixels", "q216_gif_frames", "q218_image_dhash")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

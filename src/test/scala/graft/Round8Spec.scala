@@ -150,4 +150,24 @@ class Round8Spec extends SparkSpec {
     assert(out(3L)._1 == hi && out(3L)._2 == lo) // brightness-invariant
     assert(out(4L) == ((0L, 0L, false)))
   }
+
+  // --- plan shapes: decode runs ONCE; codec queries stay map-only -------
+  test("q218 plans one decode pass; q214-217 plan no pre-sort exchange") {
+    // q218's dup_count is a window, not groupBy+self-join: the join
+    // form evaluated the decode+hash MapPartitions pipeline twice
+    // (broadcast + aggregate sides). Two MapPartitions = encode +
+    // decode, exactly once each.
+    val q218 = SparkEntry.queries("q218_image_dhash")(spark, sf)
+    val plan218 = q218.queryExecution.executedPlan.toString
+    assert("MapPartitions".r.findAllIn(plan218).length == 2,
+      "decode pipeline duplicated")
+    // the pure codec queries: single Exchange (the published ORDER BY)
+    for (name <- Seq("q214_image_pixels", "q215_audio_pcm",
+        "q216_gif_frames", "q217_audio_frames")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length <= 1,
+        s"$name shuffles before the publication sort")
+    }
+  }
 }
