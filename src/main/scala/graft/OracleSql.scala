@@ -4629,6 +4629,36 @@ object OracleSql {
       |FROM hx JOIN cnt USING (dhash_hi, dhash_lo)
       |ORDER BY hx.doc_id""".stripMargin
 
+  /** q219: sorted-neighborhood replay — ROW_NUMBER over the squashed
+    * prefix key (the oracle MAY use the single-partition window the
+    * engine avoids; the ordinal is the same total order), pairs by
+    * position distance < w, truncating `//` for jacc_ppm. */
+  private val q219 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+      |           1, 16) AS k,
+      |    list_distinct(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks,
+      |    ROW_NUMBER() OVER (ORDER BY k, doc_id) AS pos
+      |  FROM t),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.pos AS pos_a, b.pos AS pos_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+      |      AS uni
+      |  FROM p a JOIN p b ON b.pos > a.pos AND b.pos < a.pos + 5)
+      |SELECT a_id, b_id, pos_a, pos_b,
+      |  CAST(CASE WHEN uni > 0 THEN 1000000 * inter // uni
+      |    ELSE 0 END AS BIGINT) AS jacc_ppm,
+      |  (CASE WHEN uni > 0 THEN 1000000 * inter // uni
+      |    ELSE 0 END) >= 600000 AS is_dup
+      |FROM pr ORDER BY a_id, b_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4705,6 +4735,7 @@ object OracleSql {
     "q216_gif_frames" -> q216,
     "q217_audio_frames" -> q217,
     "q218_image_dhash" -> q218,
+    "q219_sorted_neighborhood" -> q219,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

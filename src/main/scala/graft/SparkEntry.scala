@@ -511,6 +511,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8: sorted-neighborhood dedup — global sort on the squashed
+    * text prefix via the range-partition+zipWithIndex ordinal (no
+    * single-partition window), in-window pairs via the ordinal band
+    * self-join, exact integer token-Jaccard verify. The classic SNM
+    * candidate generator, complementing shingle blocking (q19/q91)
+    * for near-dups that share a prefix but no rare shingle. */
+  private def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
+        "doc_id", "text", window = 5, keyLen = 16,
+        minJaccardPpm = 600000L)
+      .orderBy("a_id", "b_id")
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3120,7 +3132,8 @@ object SparkEntry {
       "q215_audio_pcm" -> (qAudioPcm _),
       "q216_gif_frames" -> (qGifFrames _),
       "q217_audio_frames" -> (qAudioFrames _),
-      "q218_image_dhash" -> (qImageDHash _))
+      "q218_image_dhash" -> (qImageDHash _),
+      "q219_sorted_neighborhood" -> (qSortedNeighborhood _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

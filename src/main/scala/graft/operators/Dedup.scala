@@ -1021,4 +1021,75 @@ object Dedup {
       },
       acc => acc.getField("starts"))
   }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the
+    * corpus by a cheap blocking key, slide a window of `window` rows
+    * over the GLOBAL sorted order, and emit only pairs whose positions
+    * fall inside one window — O(n·w) candidates instead of the O(n²)
+    * all-pairs or the unbounded hot-block blowup of pure key blocking.
+    * The classic complement to shingle blocking (q19/q91): near-dups
+    * with a shared prefix land adjacent after the sort even when they
+    * share no rare shingle.
+    *
+    * Distributed shape — the two classic traps and their fixes:
+    *  1. global order: `row_number() OVER (ORDER BY key)` collapses to
+    *     one task; [[Curation.globalRowIds]] instead range-partitions
+    *     on the key, sorts within partitions, and shifts per-partition
+    *     ordinals by the preceding partitions' counts — the order is a
+    *     pure function of (key, id), independent of partition count.
+    *  2. window pairs across partition boundaries: rather than
+    *     special-casing each range boundary's last w−1 rows, pair
+    *     generation is a BAND SELF-JOIN on the ordinal: bucket =
+    *     (pos−1) div w, the higher-pos side claims buckets
+    *     {bucket, bucket−1}, equi-join on the claim, filter
+    *     0 < Δpos < w. Any in-window pair spans at most adjacent
+    *     buckets, and the two claims are distinct, so every pair
+    *     surfaces exactly once — shuffle-parallel on the bucket key,
+    *     no boundary bookkeeping, ≤ 2 replicas of each row.
+    *
+    * Verification is exact set-Jaccard over distinct tokens in ppm
+    * (all-integer: `inter·10⁶ DIV union`, the q201 convention).
+    *
+    * Key: first `keyLen` chars of the lowercased alnum-squashed text —
+    * the standard "smash punctuation, sort, neighbors collide" SNM key.
+    * Multi-pass SNM (several keys, union of pairs) composes by calling
+    * this per key and unioning.
+    *
+    * Output: (a_id, b_id, pos_a, pos_b, jacc_ppm, is_dup), one row per
+    * in-window ordered pair a.pos < b.pos. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int,
+                              keyLen: Int = 16,
+                              minJaccardPpm: Long = 600000L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val keyed = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      substring(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""),
+        1, keyLen).as("snm_key"),
+      array_distinct(filter(words(col(textCol)), w => w =!= ""))
+        .as("toks"))
+    val pos = Curation.globalRowIds(keyed, Seq("snm_key", "doc_id"))
+      .select(col("doc_id"), col("toks"), col("global_id").as("pos"),
+        // integer DIV, not `/` (double division loses exactness past
+        // 2^53 ordinals — real at corpus scale)
+        expr(s"(global_id - 1) DIV $window").as("bucket"))
+    val a = pos.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+      col("pos").as("pos_a"), col("bucket").as("claim"))
+    val b = pos.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+      col("pos").as("pos_b"),
+      explode(array(col("bucket"), col("bucket") - 1)).as("claim"))
+      .filter(col("claim") >= 0)
+    a.join(b, Seq("claim"))
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") < col("pos_a") + window)
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jacc_ppm", expr(
+        """CAST(CASE WHEN uni > 0 THEN 1000000 * inter DIV uni
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+      .withColumn("is_dup", col("jacc_ppm") >= minJaccardPpm)
+      .select(col("a_id"), col("b_id"), col("pos_a"), col("pos_b"),
+        col("jacc_ppm"), col("is_dup"))
+  }
 }

@@ -170,4 +170,61 @@ class Round8Spec extends SparkSpec {
         s"$name shuffles before the publication sort")
     }
   }
+
+  // --- sorted-neighborhood dedup (q219) ---------------------------------
+  test("sortedNeighborhoodPairs: exact window pairs on a known order") {
+    // keys sort as: d4(''), d2('aaa'), d1('abc'), d3('abd'), d5('zzz')
+    // → positions 1..5. window=3 pairs: Δpos ∈ {1,2}.
+    val docs = Seq(
+      (1L, "abc x y"), (2L, "aaa x y"), (3L, "abd x y"),
+      (4L, "!!!"), (5L, "zzz q r")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", window = 3)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs == Set((4L, 2L), (4L, 1L), (2L, 1L), (2L, 3L),
+      (1L, 3L), (1L, 5L), (3L, 5L)))
+    // positions are the global order, not ids
+    val posOf = out.flatMap(t => Seq(t._1 -> t._3, t._2 -> t._4)).toMap
+    assert(posOf == Map(4L -> 1L, 2L -> 2L, 1L -> 3L, 3L -> 4L, 5L -> 5L))
+  }
+
+  test("sortedNeighborhoodPairs: band join ≡ brute-force window; " +
+      "partition-invariant; integer jaccard") {
+    val docs = Tables.documents(spark, sf).limit(80)
+    val w = 4
+    val out = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", window = w)
+    // brute force: single-partition row_number (test-only), all pairs
+    val keyed = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+        1, 16).as("k"),
+      array_distinct(split(lower(col("text")), " ")).as("toks"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.coalesce(1)
+      .withColumn("pos", row_number().over(win).cast("long"))
+    val brute = ranked.as("a").join(ranked.as("b"),
+        col("b.pos") > col("a.pos") && col("b.pos") < col("a.pos") + w)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // repartition invariance: ordinal is a pure function of the order
+    val got2 = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs.repartition(7), "doc_id", "text",
+        window = w)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == brute)
+    // jaccard of a doc with itself would be 1e6; sanity: all in range
+    val jac = out.select("jacc_ppm").collect().map(_.getLong(0))
+    assert(jac.forall(j => j >= 0 && j <= 1000000))
+    // no cartesian anywhere (band join is equi on the bucket claim)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
 }
