@@ -4659,6 +4659,64 @@ object OracleSql {
       |    ELSE 0 END) >= 600000 AS is_dup
       |FROM pr ORDER BY a_id, b_id""".stripMargin
 
+  /** q220: Unicode-script profile replay — per-codepoint class counts
+    * (unicode(c) ↔ Spark ascii(c), the q212 pairing), GREATEST for
+    * the dominant count, CASE chain in canonical class order for the
+    * tie-break, truncating `//` for the ppm share. */
+  private val q220 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(text, ''),
+      |      c -> c <> ''), c -> unicode(c)) AS cps
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(cps) AS BIGINT) AS n_chars,
+      |    CAST(len(list_filter(cps, p -> (p BETWEEN 65 AND 90)
+      |      OR (p BETWEEN 97 AND 122))) AS BIGINT) AS latin,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 48 AND 57))
+      |      AS BIGINT) AS digit,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 880 AND 1023))
+      |      AS BIGINT) AS greek,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 1024 AND 1279))
+      |      AS BIGINT) AS cyrillic,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 1536 AND 1791))
+      |      AS BIGINT) AS arabic,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 2304 AND 2431))
+      |      AS BIGINT) AS devanagari,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 12352 AND 12543))
+      |      AS BIGINT) AS kana,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 19968 AND 40959))
+      |      AS BIGINT) AS cjk,
+      |    CAST(len(list_filter(cps, p -> p BETWEEN 44032 AND 55203))
+      |      AS BIGINT) AS hangul,
+      |    CAST(len(list_filter(cps, p -> p = 32
+      |      OR (p BETWEEN 9 AND 13))) AS BIGINT) AS space
+      |  FROM t),
+      |d AS (
+      |  SELECT *,
+      |    n_chars - latin - digit - greek - cyrillic - arabic
+      |      - devanagari - kana - cjk - hangul - space AS other,
+      |    latin + greek + cyrillic + arabic + devanagari + kana
+      |      + cjk + hangul AS ltrs,
+      |    GREATEST(latin, greek, cyrillic, arabic, devanagari, kana,
+      |      cjk, hangul) AS mx
+      |  FROM c)
+      |SELECT doc_id, n_chars, latin, digit, greek, cyrillic, arabic,
+      |  devanagari, kana, cjk, hangul, space, other,
+      |  CASE WHEN ltrs = 0 THEN 'none'
+      |    WHEN latin = mx THEN 'latin'
+      |    WHEN greek = mx THEN 'greek'
+      |    WHEN cyrillic = mx THEN 'cyrillic'
+      |    WHEN arabic = mx THEN 'arabic'
+      |    WHEN devanagari = mx THEN 'devanagari'
+      |    WHEN kana = mx THEN 'kana'
+      |    WHEN cjk = mx THEN 'cjk'
+      |    ELSE 'hangul' END AS dominant_script,
+      |  CAST(CASE WHEN ltrs = 0 THEN 0
+      |    ELSE 1000000 * mx // ltrs END AS BIGINT) AS dominant_ppm
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4736,6 +4794,7 @@ object OracleSql {
     "q217_audio_frames" -> q217,
     "q218_image_dhash" -> q218,
     "q219_sorted_neighborhood" -> q219,
+    "q220_script_profile" -> q220,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

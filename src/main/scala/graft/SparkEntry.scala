@@ -523,6 +523,15 @@ object SparkEntry {
         minJaccardPpm = 600000L)
       .orderBy("a_id", "b_id")
 
+  /** Round-8: Unicode-script profile — per-doc character counts by
+    * script block, dominant letter script with canonical tie-break,
+    * integer ppm share. The writing-system-level langid companion
+    * (q18 sees words; this sees bytes). Map-only, single aggregate
+    * pass over an int-array histogram. */
+  private def qScriptProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3133,7 +3142,8 @@ object SparkEntry {
       "q216_gif_frames" -> (qGifFrames _),
       "q217_audio_frames" -> (qAudioFrames _),
       "q218_image_dhash" -> (qImageDHash _),
-      "q219_sorted_neighborhood" -> (qSortedNeighborhood _))
+      "q219_sorted_neighborhood" -> (qSortedNeighborhood _),
+      "q220_script_profile" -> (qScriptProfile _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -914,4 +914,107 @@ object TextAnalysis {
           .as("unseen_mass_ppm"),
         expr("CAST(1000000 * n_hapax DIV vocab AS BIGINT)")
           .as("hapax_share_ppm"))
+
+  /** Unicode-script classes for [[scriptProfile]], in canonical
+    * (tie-break) order: a dominant-script tie resolves to the EARLIER
+    * entry. BMP ranges only — see the astral-plane note below. */
+  private val scriptClasses: Seq[(String, Int, Int)] = Seq(
+    // (name, lo, hi) inclusive codepoint ranges; latin checks two
+    // ranges (handled specially), the rest are single blocks
+    ("greek",      0x0370, 0x03FF),
+    ("cyrillic",   0x0400, 0x04FF),
+    ("arabic",     0x0600, 0x06FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("kana",       0x3040, 0x30FF),
+    ("cjk",        0x4E00, 0x9FFF),
+    ("hangul",     0xAC00, 0xD7A3))
+
+  /** Per-document Unicode-script profile — the script-level companion
+    * to the stopword [[langId]]: character counts per script block
+    * (Latin, Greek, Cyrillic, Arabic, Devanagari, Kana, CJK, Hangul)
+    * plus digits/whitespace/other, the dominant letter script, and
+    * its ppm share of all letter characters. The standard multilingual
+    * curation signal: routing docs to per-script tokenizers, flagging
+    * mixed-script spam (Cyrillic lookalikes in Latin text), and
+    * auditing a corpus's claimed language mix against its bytes —
+    * n-gram langid (q18) sees words, this sees writing systems, and
+    * disagreement between the two is itself a quality signal.
+    *
+    * Exactness: all-integer (counts, truncating ppm division); the
+    * dominant-script argmax tie-breaks to the canonical class order
+    * via a single array_sort over (−count, order) structs (the q18
+    * argmax pattern). `dominant_script = 'none'` when a document has
+    * no letter characters at all.
+    *
+    * Astral-plane contract: classification is per UTF-16 unit on the
+    * Spark side (split("") yields surrogate halves) and per codepoint
+    * in engines with real codepoint iteration — both land astral
+    * chars in `other`, but with multiplicity 2 vs 1. BMP text (all
+    * the listed scripts) is engine-exact; corpora with substantial
+    * astral content (emoji walls) should gate on `other` share, not
+    * its exact count.
+    *
+    * Scale shape: map-only — one split + one codepoint transform per
+    * row, counters folded in ONE aggregate pass over an int-array
+    * accumulator (the class histogram), so the char array appears
+    * once in the plan and CollapseProject cannot re-evaluate the
+    * per-char lambda per class (the q202 lesson). No shuffle, no UDF.
+    *
+    * Output: (doc_id, n_chars, latin, digit, greek, cyrillic, arabic,
+    * devanagari, kana, cjk, hangul, space, other, dominant_script,
+    * dominant_ppm). */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val nClasses = 11 // latin, digit, 7 blocks, space, other
+    // class index per codepoint: 0 latin, 1 digit, 2..8 blocks in
+    // scriptClasses order, 9 space, 10 other
+    def classOf(cp: Column): Column = {
+      val blocks = scriptClasses.zipWithIndex.foldRight(lit(10): Column) {
+        case (((_, lo, hi), i), rest) =>
+          when(cp >= lo && cp <= hi, lit(i + 2)).otherwise(rest)
+      }
+      when((cp >= 65 && cp <= 90) || (cp >= 97 && cp <= 122), 0)
+        .when(cp >= 48 && cp <= 57, 1)
+        .when(cp === 32 || (cp >= 9 && cp <= 13), 9)
+        .otherwise(blocks)
+    }
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    val zero = array((0 until nClasses).map(_ => lit(0L)): _*)
+    val hist = aggregate(
+      transform(chars, c => classOf(ascii(c))),
+      zero,
+      (acc, cls) => transform(acc,
+        (v, i) => when(i === cls, v + 1L).otherwise(v)))
+    val letterNames = "latin" +: scriptClasses.map(_._1)
+    val counted = docs.select(col(idCol).as("doc_id"), hist.as("h"))
+      .select(col("doc_id"),
+        aggregate(col("h"), lit(0L), (a, x) => a + x).as("n_chars"),
+        element_at(col("h"), 1).as("latin"),
+        element_at(col("h"), 2).as("digit"),
+        element_at(col("h"), 3).as("greek"),
+        element_at(col("h"), 4).as("cyrillic"),
+        element_at(col("h"), 5).as("arabic"),
+        element_at(col("h"), 6).as("devanagari"),
+        element_at(col("h"), 7).as("kana"),
+        element_at(col("h"), 8).as("cjk"),
+        element_at(col("h"), 9).as("hangul"),
+        element_at(col("h"), 10).as("space"),
+        element_at(col("h"), 11).as("other"))
+    // dominant letter script: max count, ties to canonical order
+    val best = array_sort(array(letterNames.zipWithIndex.map {
+      case (n, i) => struct((-col(n)).as("neg"), lit(i).as("ord"),
+        lit(n).as("name"))
+    }: _*))
+    val top = element_at(best, 1)
+    val letters = letterNames.map(col).reduce(_ + _)
+    counted
+      .withColumn("dominant_script",
+        when(letters === 0, "none").otherwise(top.getField("name")))
+      .withColumn("_top", -top.getField("neg"))
+      .withColumn("_letters", letters)
+      .withColumn("dominant_ppm",
+        when(col("_letters") === 0, 0L).otherwise(
+          expr("CAST(1000000 * _top DIV _letters AS BIGINT)")))
+      .drop("_top", "_letters")
+  }
 }

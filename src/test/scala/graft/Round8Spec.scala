@@ -227,4 +227,39 @@ class Round8Spec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString
       .contains("CartesianProduct"))
   }
+
+  // --- Unicode-script profile (q220) ------------------------------------
+  test("scriptProfile: real multi-script text, dominance, ties, none") {
+    val docs = Seq(
+      (1L, "hello мир"),              // 5 latin, 3 cyrillic, 1 space
+      (2L, "漢字漢 abc"),             // 3 cjk, 3 latin → tie: latin wins
+      (3L, "12345 !!"),               // no letters at all
+      (4L, "ΑΒΓαβγ"),                 // 6 greek
+      (5L, "カタカナです 42")          // 4 katakana + 2 hiragana = 6 kana
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[Long]("latin") == 5 &&
+      row(0).getAs[Long]("cyrillic") == 3 &&
+      row(0).getAs[Long]("space") == 1 &&
+      row(0).getAs[String]("dominant_script") == "latin" &&
+      row(0).getAs[Long]("dominant_ppm") == 625000L) // 5/8
+    assert(row(1).getAs[Long]("cjk") == 3 &&
+      row(1).getAs[Long]("latin") == 3 &&
+      row(1).getAs[String]("dominant_script") == "latin") // canonical tie
+    assert(row(2).getAs[String]("dominant_script") == "none" &&
+      row(2).getAs[Long]("dominant_ppm") == 0L &&
+      row(2).getAs[Long]("digit") == 5 &&
+      row(2).getAs[Long]("other") == 2)
+    assert(row(3).getAs[String]("dominant_script") == "greek" &&
+      row(3).getAs[Long]("dominant_ppm") == 1000000L)
+    assert(row(4).getAs[Long]("kana") == 6 &&
+      row(4).getAs[String]("dominant_script") == "kana" &&
+      row(4).getAs[Long]("n_chars") == 9)
+    // map-only: no exchange other than the (absent here) publication sort
+    val plan = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "script profile must be map-only")
+  }
 }
