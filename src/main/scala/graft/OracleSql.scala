@@ -3971,7 +3971,10 @@ object OracleSql {
   /** q199: label-propagation replay — q102's trade-edge CTE, top-3
     * sparsification, symmetrize+dedup, both synchronous rounds
     * unrolled with the (count DESC, label ASC) argmax. */
-  private val q199 = {
+  /** Shared CTE prefix for q199/q221: the sparsified trade graph, its
+    * symmetrized edge set, and two unrolled label-propagation rounds
+    * ending in `l2` (node, label). */
+  private val lpaCtes = {
     def round(prev: String, out: String): String =
       s"""${out}n AS (
          |  SELECT und.u, l.label, CAST(count(*) AS BIGINT) AS n
@@ -3982,7 +3985,7 @@ object OracleSql {
          |    SELECT u, label, row_number() OVER (PARTITION BY u
          |      ORDER BY n DESC, label ASC) AS rk
          |    FROM ${out}n) WHERE rk = 1)""".stripMargin
-    s"""WITH edges AS (
+    s"""edges AS (
        |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
        |  FROM lineitem
        |  JOIN supplier ON l_suppkey = s_suppkey
@@ -4001,10 +4004,13 @@ object OracleSql {
        |  WHERE u <> v),
        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
        |${round("l0", "l1")},
-       |${round("l1", "l2")}
+       |${round("l1", "l2")}""".stripMargin
+  }
+
+  private val q199 =
+    s"""WITH $lpaCtes
        |SELECT node AS nationkey, label AS community
        |FROM l2 ORDER BY nationkey""".stripMargin
-  }
 
   /** q200: Poisson-bootstrap replay — the Privacy-PRF uniform with
     * the replicate folded into the key, the identical Poisson(1)
@@ -4717,6 +4723,37 @@ object OracleSql {
       |    ELSE 1000000 * mx // ltrs END AS BIGINT) AS dominant_ppm
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** q221: Newman modularity of the q199 communities — canonical
+    * (u<v) edge set for m and intra-counts, degrees from the
+    * symmetric set, exact-integer q_num = 4·m·e_c − d_c² and
+    * q_den = 4m² (HUGEINT-free: the engine enforces m ≤ 10⁸). */
+  private val q221 =
+    s"""WITH $lpaCtes,
+       |ce AS (SELECT u, v FROM und WHERE u < v),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+       |deg AS (
+       |  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY u),
+       |dc AS (
+       |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+       |  FROM l2 l JOIN deg d USING (node) GROUP BY l.label),
+       |ic AS (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM ce
+       |  JOIN l2 la ON la.node = ce.u
+       |  JOIN l2 lb ON lb.node = ce.v
+       |  WHERE la.label = lb.label
+       |  GROUP BY la.label)
+       |SELECT dc.label AS community, dc.n_nodes,
+       |  CAST(COALESCE(ic.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  dc.degree_sum,
+       |  CAST(4 * mm.m * COALESCE(ic.intra_edges, 0)
+       |    - dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num,
+       |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+       |FROM dc LEFT JOIN ic USING (label) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4795,6 +4832,7 @@ object OracleSql {
     "q218_image_dhash" -> q218,
     "q219_sorted_neighborhood" -> q219,
     "q220_script_profile" -> q220,
+    "q221_modularity" -> q221,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

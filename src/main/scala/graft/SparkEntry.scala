@@ -2842,6 +2842,22 @@ object SparkEntry {
       .orderBy("nationkey")
   }
 
+  /** Round-8: Newman modularity of the q199 communities over the same
+    * sparsified trade graph — exact-integer per-community q_num/q_den
+    * (Q = Σ q_num / q_den), the "did the clustering cut the graph
+    * well" audit. */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("w").desc, col("dst").asc)
+    val sparse = tradeEdges(s, dir)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("src", "dst")
+    operators.LabelProp.modularity(sparse,
+        operators.LabelProp.run(sparse, iters = 2))
+      .orderBy("community")
+  }
+
   /** Poisson-bootstrap replicate means of the order value (B = 32,
     * PRF weights) — the one-pass distributed bootstrap. */
   private def qBootstrapMeans(s: SparkSession, dir: String): DataFrame =
@@ -3143,7 +3159,8 @@ object SparkEntry {
       "q217_audio_frames" -> (qAudioFrames _),
       "q218_image_dhash" -> (qImageDHash _),
       "q219_sorted_neighborhood" -> (qSortedNeighborhood _),
-      "q220_script_profile" -> (qScriptProfile _))
+      "q220_script_profile" -> (qScriptProfile _),
+      "q221_modularity" -> (qModularity _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -262,4 +262,37 @@ class Round8Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "script profile must be map-only")
   }
+
+  // --- Newman modularity (q221) -----------------------------------------
+  test("modularity: two bridged triangles give the textbook 70/196") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; m=7
+    // per community: e_c=3, d_c=7 → q_num = 4·7·3 − 49 = 35 each,
+    // q_den = 196, Q = 70/196 ≈ 0.357
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val out = graft.operators.LabelProp.modularity(edges, labels)
+      .orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, 7L, 35L, 196L),
+      (4L, 3L, 3L, 7L, 35L, 196L)))
+    // reversed/duplicated directed edges canonicalize to the same graph
+    val noisy = edges.unionAll(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).unionAll(edges)
+    val out2 = graft.operators.LabelProp.modularity(noisy, labels)
+      .orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(out2.toSeq == Seq((1L, 35L, 196L), (4L, 35L, 196L)))
+    // a community with zero intra edges contributes −d_c²
+    val lab2 = Seq((1L, 1L), (2L, 2L), (3L, 3L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val solo = graft.operators.LabelProp.modularity(edges, lab2)
+      .orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    // node 1: e=0, d=2 → −4; node 2: −4; node 3: e=0, d=3 → −9
+    assert(solo.toSeq == Seq((1L, 0L, -4L), (2L, 0L, -4L),
+      (3L, 0L, -9L), (4L, 3L, 35L)))
+  }
 }
