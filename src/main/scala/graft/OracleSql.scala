@@ -4754,6 +4754,47 @@ object OracleSql {
        |FROM dc LEFT JOIN ic USING (label) CROSS JOIN mm
        |ORDER BY community""".stripMargin
 
+  /** q222: ZCR + silence-trim replay from the q215 synthetic waveform
+    * smp(i) = ((17i + 3·id) % 2001) − 1000, n = 64 + id%65, rate =
+    * 8000 + (id%5)·1000; silence = |smp| < 100, truncating `//` for
+    * zcr_ppm, all-silent docs report lead = n, trail = 0. */
+  private val q222 =
+    """WITH ids AS (
+      |  SELECT doc_id, 64 + doc_id % 65 AS n,
+      |    8000 + (doc_id % 5) * 1000 AS rate
+      |  FROM documents),
+      |s AS (
+      |  SELECT i.doc_id, i.n, i.rate, v.v AS idx,
+      |    ((17 * v.v + 3 * i.doc_id) % 2001) - 1000 AS smp
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 129)) v ON v.v < i.n),
+      |zc AS (
+      |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS zero_crossings
+      |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+      |  WHERE (a.smp < 0) <> (b.smp < 0)
+      |  GROUP BY a.doc_id),
+      |act AS (
+      |  SELECT doc_id, MIN(idx) AS first_a, MAX(idx) AS last_a
+      |  FROM s WHERE abs(smp) >= 100 GROUP BY doc_id)
+      |SELECT i.doc_id, CAST(i.n AS BIGINT) AS n_samples,
+      |  CAST(i.rate AS BIGINT) AS sample_rate,
+      |  COALESCE(zc.zero_crossings, 0) AS zero_crossings,
+      |  CAST(CASE WHEN i.n >= 2
+      |    THEN 1000000 * COALESCE(zc.zero_crossings, 0) // (i.n - 1)
+      |    ELSE 0 END AS BIGINT) AS zcr_ppm,
+      |  CAST(CASE WHEN act.first_a IS NULL THEN i.n
+      |    ELSE act.first_a END AS BIGINT) AS lead_silence,
+      |  CAST(CASE WHEN act.first_a IS NULL THEN 0
+      |    ELSE i.n - 1 - act.last_a END AS BIGINT) AS trail_silence,
+      |  CAST(CASE WHEN act.first_a IS NULL THEN 0
+      |    ELSE act.last_a - act.first_a + 1 END AS BIGINT)
+      |    AS active_span,
+      |  TRUE AS decoded
+      |FROM ids i
+      |LEFT JOIN zc USING (doc_id)
+      |LEFT JOIN act ON act.doc_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4833,6 +4874,7 @@ object OracleSql {
     "q219_sorted_neighborhood" -> q219,
     "q220_script_profile" -> q220,
     "q221_modularity" -> q221,
+    "q222_audio_zcr" -> q222,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -489,6 +489,17 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Round-8: ZCR + silence-trim bounds over the real WAV decode —
+    * the voiced/fricative discriminator and the trim step's actual
+    * consumable (first/last non-silent sample bounds), all-integer,
+    * replayed by the oracle from the synthetic waveform formula. */
+  private def qAudioZcr(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticAudioPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.audioSilenceProfile(s, payloads, silenceThr = 100)
+      .orderBy("doc_id")
+  }
+
   /** Round-8: perceptual image dedup over the real decode — dHash
     * (9×8 nearest resize, integer luma, adjacent-gray compare)
     * published as two unsigned 32-bit halves, plus the exact-dedup
@@ -3160,7 +3171,8 @@ object SparkEntry {
       "q218_image_dhash" -> (qImageDHash _),
       "q219_sorted_neighborhood" -> (qSortedNeighborhood _),
       "q220_script_profile" -> (qScriptProfile _),
-      "q221_modularity" -> (qModularity _))
+      "q221_modularity" -> (qModularity _),
+      "q222_audio_zcr" -> (qAudioZcr _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

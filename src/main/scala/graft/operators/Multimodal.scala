@@ -275,6 +275,66 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "energy", "active")
   }
 
+  /** Per-document zero-crossing rate + silence-trim bounds over REAL
+    * decoded PCM — the other half of the classic VAD front end next
+    * to [[audioFrameEnergy]]'s energy: ZCR separates voiced (low
+    * ZCR) from fricative/noise (high ZCR) content, and the
+    * lead/trail silence bounds are what an audio-corpus trim step
+    * actually consumes. All-integer: crossing = sign change between
+    * adjacent samples ((s[i−1] < 0) ≠ (s[i] < 0)), `zcr_ppm` =
+    * 10⁶·crossings DIV (n−1); a sample is silent iff |s| < thr,
+    * `lead_silence`/`trail_silence` are the bounds of the first/last
+    * non-silent sample, and an all-silent doc reports lead = n,
+    * trail = 0, active_span = 0.
+    *
+    * Map-only mapPartitions over the codec (one decode per payload,
+    * one linear pass per doc); undecodable payloads keep their row
+    * with decoded = false and zeros. 100-TB shape: no shuffle — the
+    * downstream trim is a per-doc byte-slice, never a sample
+    * exchange. */
+  def audioSilenceProfile(spark: SparkSession, payloads: DataFrame,
+                          silenceThr: Int): DataFrame = {
+    import spark.implicits._
+    require(silenceThr > 0)
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.AudioCodec.decodeWav(bytes) match {
+            case Some(wav) =>
+              val s = wav.samples
+              val n = s.length
+              var zc = 0L
+              var i = 1
+              while (i < n) {
+                if ((s(i - 1) < 0) != (s(i) < 0)) zc += 1
+                i += 1
+              }
+              var firstA = -1; var lastA = -1
+              i = 0
+              while (i < n) {
+                if (math.abs(s(i)) >= silenceThr) {
+                  if (firstA < 0) firstA = i
+                  lastA = i
+                }
+                i += 1
+              }
+              val (lead, trail, span) =
+                if (firstA < 0) (n.toLong, 0L, 0L)
+                else (firstA.toLong, (n - 1 - lastA).toLong,
+                  (lastA - firstA + 1).toLong)
+              val zcrPpm = if (n >= 2) 1000000L * zc / (n - 1) else 0L
+              (id, n.toLong, wav.sampleRate.toLong, zc, zcrPpm,
+                lead, trail, span, true)
+            case None => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "zero_crossings",
+        "zcr_ppm", "lead_silence", "trail_silence", "active_span",
+        "decoded")
+  }
+
   /** Difference-hash (dHash) over REAL decoded pixels — the standard
     * perceptual fingerprint for image-level dedup in multimodal
     * training corpora: nearest-resize to 9×8, integer luma, bit

@@ -295,4 +295,25 @@ class Round8Spec extends SparkSpec {
     assert(solo.toSeq == Seq((1L, 0L, -4L), (2L, 0L, -4L),
       (3L, 0L, -9L), (4L, 3L, 35L)))
   }
+
+  // --- audio ZCR + silence trim (q222) ----------------------------------
+  test("audioSilenceProfile: crossings, trim bounds, all-silent, junk") {
+    val wav1 = graft.functions.AudioCodec.encodeWavPcm16(8000, 1,
+      Array(0, 50, -50, 200, 0, -300, 20, 0))
+    val wav2 = graft.functions.AudioCodec.encodeWavPcm16(16000, 1,
+      Array(0, 10, -20))
+    val payloads = Seq((1L, wav1), (2L, wav2),
+      (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = graft.operators.Multimodal
+      .audioSilenceProfile(spark, payloads, silenceThr = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    // signs FFTFFTFF → 4 crossings; |s|>=100 at idx 3,5 → lead 3,
+    // trail 2, span 3; zcr_ppm = 4e6 DIV 7
+    assert(out(0) == ((8L, 8000L, 4L, 571428L, 3L, 2L, 3L, true)))
+    // all-silent: lead = n, trail 0, span 0; one crossing over 2 steps
+    assert(out(1) == ((3L, 16000L, 1L, 500000L, 3L, 0L, 0L, true)))
+    assert(out(2) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
 }
