@@ -4795,6 +4795,72 @@ object OracleSql {
       |LEFT JOIN act ON act.doc_id = i.doc_id
       |ORDER BY i.doc_id""".stripMargin
 
+  /** q223: suffix-rank replay — the oracle MAY use the one-shot
+    * dense_rank over full list-valued suffixes (lexicographic list
+    * compare ≡ the engine's pairwise-rank order); the engine builds
+    * the same permutation by distributed prefix doubling. */
+  private val q223 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+      |      AS ws
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, u.i, ws[u.i:] AS suf
+      |  FROM t, UNNEST(range(1, len(ws) + 1)) u(i)),
+      |r AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS off,
+      |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS sa_rank
+      |  FROM p)
+      |SELECT doc_id, off, sa_rank FROM r
+      |WHERE (doc_id + off) % 17 = 0
+      |ORDER BY doc_id, off""".stripMargin
+
+  /** q224: repeated-span replay — dup = tie groups (exact length),
+    * adj = LCP between min-(doc,off) representatives of adjacent
+    * ranks over 64-token capped slices, via the q212 stopped-fold. */
+  private val q224 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+      |      AS ws
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, ws[u.i:] AS suf,
+      |    CAST(len(ws) - u.i + 1 AS BIGINT) AS suf_len,
+      |    ws[u.i:u.i + 63] AS csuf
+      |  FROM t, UNNEST(range(1, len(ws) + 1)) u(i)),
+      |r AS (
+      |  SELECT doc_id, off, suf_len, csuf,
+      |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS sa_rank
+      |  FROM p),
+      |g AS (
+      |  SELECT sa_rank, doc_id, off, suf_len, csuf,
+      |    CAST(count(*) OVER (PARTITION BY sa_rank) AS BIGINT)
+      |      AS n_occurrences,
+      |    row_number() OVER (PARTITION BY sa_rank
+      |      ORDER BY doc_id, off) AS rn
+      |  FROM r),
+      |rep AS (SELECT * FROM g WHERE rn = 1),
+      |dup AS (
+      |  SELECT sa_rank, 'dup' AS kind, suf_len AS span,
+      |    n_occurrences, doc_id, off
+      |  FROM rep WHERE n_occurrences >= 2),
+      |adj AS (
+      |  SELECT a.sa_rank, 'adj' AS kind,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        range(1, least(len(a.csuf), len(b.csuf)) + 1)),
+      |      (acc, j) -> CASE WHEN acc = j - 1
+      |        AND a.csuf[CAST(j AS INTEGER)] = b.csuf[CAST(j AS INTEGER)]
+      |        THEN j ELSE acc END) AS BIGINT) AS span,
+      |    CAST(2 AS BIGINT) AS n_occurrences, a.doc_id, a.off
+      |  FROM rep a JOIN rep b ON b.sa_rank = a.sa_rank + 1)
+      |SELECT * FROM (
+      |  SELECT * FROM dup UNION ALL SELECT * FROM adj)
+      |WHERE span >= 2
+      |ORDER BY span DESC, sa_rank ASC, kind ASC LIMIT 25""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4875,6 +4941,8 @@ object OracleSql {
     "q220_script_profile" -> q220,
     "q221_modularity" -> q221,
     "q222_audio_zcr" -> q222,
+    "q223_suffix_ranks" -> q223,
+    "q224_repeated_spans" -> q224,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

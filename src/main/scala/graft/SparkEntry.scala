@@ -500,6 +500,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8 flagship: distributed token suffix array by prefix
+    * doubling (the Lee et al. ExactSubstr infrastructure) — dense
+    * suffix ranks, published on the (doc_id+off) % 17 == 0 sample
+    * (the full array is corpus-sized by construction; the sample is
+    * a deterministic witness of the whole permutation). */
+  private def qSuffixRanks(s: SparkSession, dir: String): DataFrame =
+    operators.SuffixArray.tokenSuffixRanks(
+        Tables.documents(s, dir), "doc_id", "text")
+      .filter((col("doc_id") + col("off")) % 17 === 0)
+      .orderBy("doc_id", "off")
+
+  /** Round-8: longest repeated token spans mined from the suffix
+    * array — whole-suffix tie groups (exact span) + adjacent-rank
+    * LCP (capped fold), top-25 by span. */
+  private def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    operators.SuffixArray.repeatedSpans(
+        Tables.documents(s, dir), "doc_id", "text",
+        minSpan = 2, topK = 25, maxSpan = 64)
+
   /** Round-8: perceptual image dedup over the real decode — dHash
     * (9×8 nearest resize, integer luma, adjacent-gray compare)
     * published as two unsigned 32-bit halves, plus the exact-dedup
@@ -3172,7 +3191,9 @@ object SparkEntry {
       "q219_sorted_neighborhood" -> (qSortedNeighborhood _),
       "q220_script_profile" -> (qScriptProfile _),
       "q221_modularity" -> (qModularity _),
-      "q222_audio_zcr" -> (qAudioZcr _))
+      "q222_audio_zcr" -> (qAudioZcr _),
+      "q223_suffix_ranks" -> (qSuffixRanks _),
+      "q224_repeated_spans" -> (qRepeatedSpans _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3200,7 +3221,10 @@ object SparkEntry {
     "q213_benchmark_decontam",
     // round 8: the real codec paths — image encode→decode, the GIF
     // LZW multi-frame walk, and decode→dHash→window dedup
-    "q214_image_pixels", "q216_gif_frames", "q218_image_dhash")
+    "q214_image_pixels", "q216_gif_frames", "q218_image_dhash",
+    // round 8: the suffix-array flagship (q224 runs the full prefix
+    // doubling; q223's cost is its prefix, so one timer suffices)
+    "q224_repeated_spans")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

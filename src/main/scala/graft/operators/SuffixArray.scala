@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix array over token sequences by prefix doubling —
+  * the real infrastructure behind suffix-based training-data dedup
+  * (Lee et al. 2022 build a suffix array to find verbatim repeats;
+  * [[Dedup.exactSubstrSpans]] is the q100 span REMOVER, this is the
+  * corpus-scale span FINDER). Distributed prefix doubling is the
+  * classic formulation (Flick & Aluru, SC'15): rank every suffix by
+  * its first token, then repeatedly re-rank by the pair
+  * (rank_k(p), rank_k(p+k)) so the sorted prefix length doubles per
+  * round — O(log maxDocLen) rounds of pure relational algebra, no
+  * single machine ever holds the corpus.
+  *
+  * Granularity is TOKENS, not characters: the dedup family (q19/q100/
+  * q147/q213) is token-shingle based, token suffixes are ~5× fewer
+  * positions than characters, and "longest repeated token span" is
+  * the signal a text pipeline acts on.
+  *
+  * Suffixes are PER-DOCUMENT (suffix = tokens from offset to the
+  * document's end, 1-based offsets, no cross-doc concatenation) —
+  * identical to the concatenated-with-sentinels formulation for
+  * finding repeats, without the artificial cross-doc spans. Equal
+  * suffixes in different documents KEEP EQUAL RANKS (dense ranks,
+  * ties preserved): a tie group of size ≥ 2 is precisely a verbatim
+  * whole-suffix repeat.
+  *
+  * Scale shape, per round: one equi-join on (doc_id, off) to fetch
+  * the k-shifted partner rank, one distinct over rank pairs, one
+  * [[Curation.globalRowIds]] ordinal over the distinct pairs (the
+  * range-partition + zipWithIndex dense rank — NO single-partition
+  * `dense_rank() OVER (ORDER BY ...)`), one join back. Lineage is
+  * truncated every round with localCheckpoint (the PageRank
+  * convention); the one driver scalar per round is the early-exit
+  * count (all ranks unique ⇒ done before maxLen).
+  */
+object SuffixArray {
+
+  /** Dense lexicographic rank of every token suffix.
+    *
+    * Output: (doc_id, off, sa_rank) — off is the 1-based token
+    * offset; sa_rank is the dense rank of the suffix among ALL
+    * suffixes of ALL documents (ties = identical suffixes). Empty
+    * documents contribute no rows. */
+  def tokenSuffixRanks(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        filter(Dedup.words(col(textCol)), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint()
+    val n = toks.agg(sum(size(col("ws")))).head.getLong(0)
+    val maxLen = toks.agg(max(size(col("ws")))).head.getInt(0)
+
+    // positions + first-token dense rank (ordinal over distinct tokens)
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("off0", "tok")))
+      .select(col("doc_id"), (col("off0") + 1).as("off"), col("tok"))
+    val tok0 = pos.select(col("tok")).distinct()
+    val tokRank = Curation.globalRowIds(tok0, Seq("tok"))
+      .select(col("tok"), col("global_id").as("rank"))
+    var cur = pos.join(tokRank, "tok")
+      .select(col("doc_id"), col("off").cast("long").as("off"),
+        col("rank"))
+      .localCheckpoint()
+
+    var k = 1L
+    var done = false
+    while (k < maxLen && !done) {
+      // partner rank: rank of the suffix starting k tokens later
+      // (missing ⇒ 0, which sorts before every real rank ⇒ shorter
+      // suffix is the lexicographic prefix case)
+      val shifted = cur.select(col("doc_id"),
+        (col("off") - k).as("off"), col("rank").as("rk2"))
+      val paired = cur.join(shifted, Seq("doc_id", "off"), "left")
+        .na.fill(0L, Seq("rk2"))
+      val pairs = paired.select(col("rank").as("r1"), col("rk2"))
+        .distinct()
+      val ranked = Curation.globalRowIds(pairs, Seq("r1", "rk2"))
+        .select(col("r1"), col("rk2"), col("global_id").as("nrank"))
+      val next = paired
+        .join(ranked, paired("rank") === ranked("r1")
+          && paired("rk2") === ranked("rk2"))
+        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
+        .localCheckpoint()
+      cur = next
+      k *= 2
+      // early exit: every pair distinct ⇒ every rank now unique.
+      // Only worth an action if another round would otherwise run.
+      if (k < maxLen) done = ranked.count() == n
+    }
+    cur.select(col("doc_id"), col("off"), col("rank").as("sa_rank"))
+  }
+
+  /** Longest repeated token spans from the suffix ranks — the output
+    * an ExactSubstr-style dedup pass consumes. Two candidate kinds:
+    *
+    *  - `dup`: a rank tie group of size ≥ 2 is a verbatim WHOLE-
+    *    SUFFIX repeat; span length = the suffix length, occurrence
+    *    count = group size.
+    *  - `adj`: adjacent ranks r, r+1 in suffix order share their
+    *    longest common prefix — the classic LCP-array entry,
+    *    computed between each group's representative (min
+    *    (doc_id, off)) with a stopped fold over the token arrays.
+    *
+    * Scale contract: the adj compare window is CAPPED at `maxSpan`
+    * tokens — only `slice(ws, off, maxSpan)` is ever materialized per
+    * rank, so total state is O(#ranks · maxSpan), never the O(Σ L²)
+    * of full suffix copies (a 1k-token doc would otherwise
+    * materialize ~1M tokens of slices). Adjacent LCPs ≥ maxSpan
+    * report exactly maxSpan; `dup` spans are exact at any length
+    * (pure arithmetic, no materialization). Downstream dedup
+    * thresholds ("remove spans ≥ 50 tokens") only need the capped
+    * comparison, which is why the cap is semantics-free in practice.
+    *
+    * Top-`topK` rows by (span desc, sa_rank asc, kind asc), span ≥
+    * `minSpan`. Representatives bound the adjacent-join fan-out to
+    * one row per rank (tie groups never cross-product).
+    *
+    * Output: (sa_rank, kind, span, n_occurrences, doc_id, off). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    minSpan: Int, topK: Int,
+                    maxSpan: Int = 64): DataFrame = {
+    require(minSpan >= 1 && maxSpan >= minSpan && topK >= 1)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        filter(Dedup.words(col(textCol)), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint()
+    val ranks = tokenSuffixRanks(docs, idCol, textCol)
+
+    // representative (min doc, then min off) + group size per rank
+    val grp = ranks.groupBy("sa_rank")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("off"))).as("rep"))
+      .select(col("sa_rank"), col("n_occurrences"),
+        col("rep.doc_id").as("doc_id"), col("rep.off").as("off"))
+    val withSuf = grp.join(toks, "doc_id")
+      .select(col("sa_rank"), col("n_occurrences"), col("doc_id"),
+        col("off"),
+        (size(col("ws")).cast("long") - col("off") + 1L).as("suf_len"),
+        slice(col("ws"), col("off").cast("int"), lit(maxSpan)).as("suf"))
+      .localCheckpoint()
+
+    val dup = withSuf.filter(col("n_occurrences") >= 2)
+      .select(col("sa_rank"), lit("dup").as("kind"),
+        col("suf_len").as("span"),
+        col("n_occurrences"), col("doc_id"), col("off"))
+
+    // adjacent-rank LCP via a stopped fold: acc advances only while
+    // every previous token matched, so the fold is exact-prefix
+    val nxt = withSuf.select((col("sa_rank") - 1).as("sa_rank"),
+      col("suf").as("suf_b"))
+    val lcp = aggregate(
+      sequence(lit(1), least(size(col("suf")), size(col("suf_b")))),
+      lit(0),
+      (acc, j) => when(acc === j - 1 &&
+        element_at(col("suf"), j) === element_at(col("suf_b"), j), j)
+        .otherwise(acc))
+    val adj = withSuf.join(nxt, "sa_rank")
+      .select(col("sa_rank"), lit("adj").as("kind"),
+        lcp.cast("long").as("span"),
+        lit(2L).as("n_occurrences"), col("doc_id"), col("off"))
+
+    dup.unionByName(adj)
+      .filter(col("span") >= minSpan)
+      .orderBy(col("span").desc, col("sa_rank").asc, col("kind").asc)
+      .limit(topK)
+  }
+}

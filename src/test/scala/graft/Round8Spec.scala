@@ -316,4 +316,71 @@ class Round8Spec extends SparkSpec {
     assert(out(1) == ((3L, 16000L, 1L, 500000L, 3L, 0L, 0L, true)))
     assert(out(2) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
   }
+
+  // --- distributed suffix array (q223/q224) -----------------------------
+  test("tokenSuffixRanks: prefix doubling ≡ local suffix sort; " +
+      "ties preserved; partition-invariant") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val got = graft.operators.SuffixArray
+      .tokenSuffixRanks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // brute force: collect tokens, rank suffixes by Seq lexicographic
+    val toks = docs.select(col("doc_id"),
+        split(lower(col("text")), " ").as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val sufs = toks.flatMap { case (id, ws) =>
+      (1 to ws.length).map(i => ((id, i.toLong), ws.drop(i - 1)))
+    }
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits
+      .seqOrdering(Ordering.String)
+    val sorted = sufs.map(_._2).distinct.sorted
+    val rankOf = sorted.zipWithIndex.map { case (s, i) => s -> (i + 1L) }
+      .toMap
+    val expect = sufs.map { case (key, s) => key -> rankOf(s) }.toMap
+    assert(got == expect)
+    // partition invariance
+    val got2 = graft.operators.SuffixArray
+      .tokenSuffixRanks(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 == expect)
+  }
+
+  test("repeatedSpans: verbatim repeat found with exact span and count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a sentence then the quick brown fox jumps over a fence"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SuffixArray
+      .repeatedSpans(docs, "doc_id", "text", minSpan = 2, topK = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // longest shared span: "the quick brown fox jumps over" (6 tokens)
+    // — an adj LCP between the two suffixes starting at it
+    val top = out.head
+    assert(top._1 == "adj" && top._2 == 6L)
+    // its representative is doc 1 off 1 or doc 2 off 4 (rank order
+    // decides which is 'a'); both start the same 6-token run
+    assert((top._4, top._5) == ((1L, 1L)) || (top._4, top._5) == ((2L, 4L)))
+    // no dup rows: no two suffixes are exactly equal in this fixture
+    assert(out.forall(_._1 == "adj"))
+  }
+
+  test("repeatedSpans: equal whole suffixes appear as dup tie groups") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common tail tokens"),
+      (2L, "totally different start common tail tokens")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SuffixArray
+      .repeatedSpans(docs, "doc_id", "text", minSpan = 2, topK = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // "common tail tokens" (3), "tail tokens" (2) are equal suffixes
+    // in both docs → dup groups of size 2 with exact spans
+    assert(out.contains(("dup", 3L, 2L)))
+    assert(out.contains(("dup", 2L, 2L)))
+  }
 }
