@@ -4861,6 +4861,43 @@ object OracleSql {
       |WHERE span >= 2
       |ORDER BY span DESC, sa_rank ASC, kind ASC LIMIT 25""".stripMargin
 
+  /** q225: Fellegi–Sunter replay — nation-blocked pairs, three
+    * agreement fields (IEEE floor bands compare bit-identically on
+    * the shared parquet doubles; no cross-engine casts), integer
+    * milli weights, total-order top-100. */
+  private val q225 =
+    """WITH c AS (
+      |  SELECT c_custkey AS a_id, c_nationkey AS nk,
+      |    right(c_name, 2) AS nt,
+      |    floor(c_acctbal / 1000.0) AS kb,
+      |    floor(c_acctbal / 100.0) AS hb
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey AS b_id, s_nationkey AS nk,
+      |    right(s_name, 2) AS nt,
+      |    floor(s_acctbal / 1000.0) AS kb,
+      |    floor(s_acctbal / 100.0) AS hb
+      |  FROM supplier),
+      |p AS (
+      |  SELECT a_id, b_id,
+      |    COALESCE(c.nt = s.nt, FALSE) AS agree_name_tail,
+      |    COALESCE(c.kb = s.kb, FALSE) AS agree_acct_kband,
+      |    COALESCE(c.hb = s.hb, FALSE) AS agree_acct_hband
+      |  FROM c JOIN s USING (nk)),
+      |sc AS (
+      |  SELECT *, CAST(
+      |    (CASE WHEN agree_name_tail THEN 2400 ELSE -300 END) +
+      |    (CASE WHEN agree_acct_kband THEN 1200 ELSE -600 END) +
+      |    (CASE WHEN agree_acct_hband THEN 800 ELSE -100 END)
+      |    AS BIGINT) AS score_milli
+      |  FROM p)
+      |SELECT a_id, b_id, agree_name_tail, agree_acct_kband,
+      |  agree_acct_hband, score_milli,
+      |  CASE WHEN score_milli >= 2000 THEN 'match'
+      |       WHEN score_milli >= 0 THEN 'possible'
+      |       ELSE 'non_match' END AS decision
+      |FROM sc ORDER BY score_milli DESC, a_id, b_id LIMIT 100""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4943,6 +4980,7 @@ object OracleSql {
     "q222_audio_zcr" -> q222,
     "q223_suffix_ranks" -> q223,
     "q224_repeated_spans" -> q224,
+    "q225_record_linkage" -> q225,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -519,6 +519,32 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minSpan = 2, topK = 25, maxSpan = 64)
 
+  /** Round-8: Fellegi–Sunter record linkage customer↔supplier —
+    * nation-blocked candidate pairs, three agreement fields (name
+    * tail digits, acctbal thousand- and hundred-bands via pure IEEE
+    * floor — no cross-engine casts), integer milli log-odds weights,
+    * two-threshold decision; top-100 by (score, ids). */
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").as("nk"),
+      substring(col("c_name"), -2, 2).as("name_tail"),
+      floor(col("c_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("c_acctbal") / 100.0).as("acct_hband"))
+    val supp = Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_nationkey").as("nk"),
+      substring(col("s_name"), -2, 2).as("name_tail"),
+      floor(col("s_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("s_acctbal") / 100.0).as("acct_hband"))
+    operators.RecordLinkage.fellegiSunter(
+        cust, "c_custkey", supp, "s_suppkey", Seq("nk"),
+        Seq(operators.RecordLinkage.Field("name_tail", 2400L, -300L),
+          operators.RecordLinkage.Field("acct_kband", 1200L, -600L),
+          operators.RecordLinkage.Field("acct_hband", 800L, -100L)),
+        upperMilli = 2000L, lowerMilli = 0L)
+      .orderBy(col("score_milli").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
   /** Round-8: perceptual image dedup over the real decode — dHash
     * (9×8 nearest resize, integer luma, adjacent-gray compare)
     * published as two unsigned 32-bit halves, plus the exact-dedup
@@ -3193,7 +3219,8 @@ object SparkEntry {
       "q221_modularity" -> (qModularity _),
       "q222_audio_zcr" -> (qAudioZcr _),
       "q223_suffix_ranks" -> (qSuffixRanks _),
-      "q224_repeated_spans" -> (qRepeatedSpans _))
+      "q224_repeated_spans" -> (qRepeatedSpans _),
+      "q225_record_linkage" -> (qRecordLinkage _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -383,4 +383,31 @@ class Round8Spec extends SparkSpec {
     assert(out.contains(("dup", 3L, 2L)))
     assert(out.contains(("dup", 2L, 2L)))
   }
+
+  // --- Fellegi–Sunter record linkage (q225) -----------------------------
+  test("fellegiSunter: blocked pairs, weights, nulls disagree, thresholds") {
+    import graft.operators.RecordLinkage.{Field, fellegiSunter}
+    val a = Seq((1L, 10L, Some("x"), 5L), (2L, 10L, None, 7L),
+      (3L, 20L, Some("y"), 5L)).toDF("id", "blk", "f1", "f2")
+    val b = Seq((101L, 10L, Some("x"), 5L), (102L, 10L, Some("z"), 7L),
+      (103L, 30L, Some("y"), 5L)).toDF("id", "blk", "f1", "f2")
+    val out = fellegiSunter(a, "id", b, "id", Seq("blk"),
+        Seq(Field("f1", 1000L, -500L), Field("f2", 600L, -200L)),
+        upperMilli = 1200L, lowerMilli = 0L)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getString(5)))
+    // block 10: pairs (1,101) (1,102) (2,101) (2,102); block 20/30: none
+    assert(out.length == 4)
+    assert(out(0) == ((1L, 101L, true, true, 1600L, "match")))
+    assert(out(1) == ((1L, 102L, false, false, -700L, "non_match")))
+    // null f1 on a-side: disagrees even against a real value
+    assert(out(2) == ((2L, 101L, false, false, -700L, "non_match")))
+    assert(out(3) == ((2L, 102L, false, true, 100L, "possible")))
+    // plan: blocked equi-join only — no cartesian
+    val plan = fellegiSunter(a, "id", b, "id", Seq("blk"),
+        Seq(Field("f1", 1L, 0L)), 1L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
