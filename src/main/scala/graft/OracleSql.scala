@@ -4898,6 +4898,97 @@ object OracleSql {
       |       ELSE 'non_match' END AS decision
       |FROM sc ORDER BY score_milli DESC, a_id, b_id LIMIT 100""".stripMargin
 
+  /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
+    * rows (8×8 dims), seed codebook from the 4 lowest ids, two
+    * unrolled Lloyd rounds per subspace (subspace is a data dimension
+    * — the q176 pattern generalized), and the final encoding `enc`
+    * (id, s, code, d2). */
+  private val pqCtes = {
+    def assignCte(cent: String, out: String): String =
+      s"""d_$out AS (
+         |  SELECT sub.id, sub.s, sub.v8, c.code,
+         |    CAST(list_aggregate(list_transform(range(1, 9),
+         |      i -> (sub.v8[i] - c.cvec[i]) * (sub.v8[i] - c.cvec[i])),
+         |      'sum') AS BIGINT) AS d2
+         |  FROM subs sub JOIN $cent c ON c.s = sub.s),
+         |$out AS (
+         |  SELECT id, s, v8, code, d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+         |      ORDER BY d2, code) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT s, code, t.d,
+         |    CAST(FLOOR(CAST(SUM(v8[t.d]) AS DOUBLE) / COUNT(*))
+         |      AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, 9)) t(d)
+         |  GROUP BY s, code, t.d),
+         |$out AS (
+         |  SELECT s, code, list(cv ORDER BY d) AS cvec
+         |  FROM m_$out GROUP BY s, code)""".stripMargin
+    s"""qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id AS id, t.s, q[t.s*8+1 : t.s*8+8] AS v8
+       |  FROM qv, UNNEST(range(0, 8)) t(s)),
+       |seed AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |      AS code
+       |  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 4)),
+       |c0 AS (
+       |  SELECT sub.s, seed.code, sub.v8 AS cvec
+       |  FROM subs sub JOIN seed ON sub.id = seed.vec_id),
+       |${assignCte("c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("c2", "enc")}""".stripMargin
+  }
+
+  /** q226: PQ codes + exact integer quantization error. */
+  private val q226 =
+    s"""WITH $pqCtes
+       |SELECT id AS vec_id,
+       |  MAX(CASE WHEN s = 0 THEN code END) AS code_0,
+       |  MAX(CASE WHEN s = 1 THEN code END) AS code_1,
+       |  MAX(CASE WHEN s = 2 THEN code END) AS code_2,
+       |  MAX(CASE WHEN s = 3 THEN code END) AS code_3,
+       |  MAX(CASE WHEN s = 4 THEN code END) AS code_4,
+       |  MAX(CASE WHEN s = 5 THEN code END) AS code_5,
+       |  MAX(CASE WHEN s = 6 THEN code END) AS code_6,
+       |  MAX(CASE WHEN s = 7 THEN code END) AS code_7,
+       |  CAST(SUM(d2) AS BIGINT) AS qerr
+       |FROM enc GROUP BY id ORDER BY vec_id""".stripMargin
+
+  /** q227: PQ ADC top-5 — per-(query, subspace, code) partial
+    * distances joined to the corpus codes, summed, ranked. */
+  private val q227 =
+    s"""WITH $pqCtes,
+       |lut AS (
+       |  SELECT qs.id AS qid, qs.s, c.code,
+       |    CAST(list_aggregate(list_transform(range(1, 9),
+       |      i -> (qs.v8[i] - c.cvec[i]) * (qs.v8[i] - c.cvec[i])),
+       |      'sum') AS BIGINT) AS pd2
+       |  FROM subs qs JOIN c2 c ON c.s = qs.s
+       |  WHERE qs.id % 20 = 0),
+       |adc AS (
+       |  SELECT l.qid AS query_id, e.id AS neighbor_id,
+       |    CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+       |  WHERE l.qid <> e.id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+       |  adc_d2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+       |      FROM adc)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -4981,6 +5072,8 @@ object OracleSql {
     "q223_suffix_ranks" -> q223,
     "q224_repeated_spans" -> q224,
     "q225_record_linkage" -> q225,
+    "q226_pq_codes" -> q226,
+    "q227_pq_adc" -> q227,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -545,6 +545,36 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** Round-8: product quantization — per-subspace portable-integer
+    * Lloyd codebooks (8 subspaces × 8 dims, k=4, 2 iterations), every
+    * vector encoded as 8 codes + its exact integer quantization
+    * error. The embedding-compression step a 100 TB vector corpus
+    * takes before indexing. */
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.quantize16(col("embedding")).as("q"))
+    val cb = operators.Quantization.pqTrain(qv, subspaces = 8,
+      subDim = 8, k = 4, iters = 2)
+    operators.Quantization.pqCodes(qv, cb, subspaces = 8, subDim = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** Round-8: PQ ADC search — asymmetric distances from real query
+    * subvectors to coded centroids, top-5 per query (vec_id % 20
+    * probes, the q175/q176 eval-set convention). */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.quantize16(col("embedding")).as("q"))
+    val cb = operators.Quantization.pqTrain(qv, subspaces = 8,
+      subDim = 8, k = 4, iters = 2)
+    operators.Quantization.pqAdcTopK(
+        qv.filter(col("id") % 20 === 0).select(col("id").as("qid"),
+          col("q")),
+        qv, cb, subspaces = 8, subDim = 8, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-8: perceptual image dedup over the real decode — dHash
     * (9×8 nearest resize, integer luma, adjacent-gray compare)
     * published as two unsigned 32-bit halves, plus the exact-dedup
@@ -3220,7 +3250,9 @@ object SparkEntry {
       "q222_audio_zcr" -> (qAudioZcr _),
       "q223_suffix_ranks" -> (qSuffixRanks _),
       "q224_repeated_spans" -> (qRepeatedSpans _),
-      "q225_record_linkage" -> (qRecordLinkage _))
+      "q225_record_linkage" -> (qRecordLinkage _),
+      "q226_pq_codes" -> (qPqCodes _),
+      "q227_pq_adc" -> (qPqAdc _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

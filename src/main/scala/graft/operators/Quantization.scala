@@ -52,4 +52,138 @@ object Quantization {
         max(abs(col("err"))).as("max_abs_err"))
       .select("vec_id", "dim", "amax", "mse", "max_abs_err")
   }
+
+  // --- product quantization (Jégou et al. 2011) -------------------------
+  //
+  // The standard embedding-compression index: split each vector into S
+  // subspaces, learn a tiny per-subspace codebook by Lloyd iterations,
+  // store each vector as S small codes (here 8 codes ≈ 8 bytes instead
+  // of 256 float bytes), and answer queries by ADC — summing per-
+  // subspace distances between the query's subvectors and the CODED
+  // centroids, never touching the original vectors.
+  //
+  // Portable-arithmetic convention (the q132/q176 family): vectors are
+  // quantize16 longs, distances are exact integer L2, centroid updates
+  // are floor(sum/n) with sums < 2^53, init = the k lowest ids'
+  // subvectors per subspace — every step replayable by the oracle with
+  // the Lloyd iterations unrolled as CTEs.
+  //
+  // Scale shape: training/assign joins each (id, subspace) row against
+  // the BROADCAST S·k-row codebook (32 rows here) with a per-(id,s)
+  // window argmin; the update is a map-side-combined groupBy on
+  // (s, cid, pos). Encoding is the same assign; ADC joins the exploded
+  // code table to the broadcast codebook and sums S rows per (query,
+  // neighbor) pair — queries fan out, the corpus never re-materializes
+  // its float vectors. Empty clusters drop out of the update (the
+  // trainPortable convention, mirrored by the oracle).
+
+  /** Explode quantized vectors into per-subspace rows.
+    * vecs: (id, q[S·subDim]). Output: (id, s, v8). */
+  private def subRows(vecs: DataFrame, subspaces: Int,
+                      subDim: Int): DataFrame =
+    vecs.select(col("id"),
+        explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("q"), s * subDim + 1, subDim).as("v8"))): _*))
+          .as("sub"))
+      .select(col("id"), col("sub.s").as("s"), col("sub.v8").as("v8"))
+
+  private def subDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Nearest codebook entry per (id, subspace): ties to the lower
+    * code. subs: (id, s, v8); codebook: (s, code, cvec). */
+  private def assignSubs(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("s"))
+      .orderBy(col("d2").asc, col("code").asc)
+    subs.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", subDist2(col("v8"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("s"), col("v8"), col("code"), col("d2"))
+  }
+
+  /** Train per-subspace PQ codebooks: `iters` Lloyd rounds, k codes
+    * per subspace, deterministic init from the k lowest ids.
+    * vecs: (id, q). Returns (s, code, cvec). */
+  def pqTrain(vecs: DataFrame, subspaces: Int, subDim: Int, k: Int,
+              iters: Int): DataFrame = {
+    require(subspaces >= 1 && subDim >= 1 && k >= 1 && iters >= 0)
+    val subs = subRows(vecs, subspaces, subDim).localCheckpoint()
+    // seed: the k lowest ids' subvectors, code = rank of the id among
+    // the seeds (collected — k·S rows, the sanctioned k-bounded pull)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val seedIds = vecs.select(col("id")).orderBy(col("id")).limit(k)
+      .as[Long].collect().sorted
+    val seedDf = seedIds.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toSeq.toDF("id", "code")
+    var codebook = subs.join(broadcast(seedDf), "id")
+      .select(col("s"), col("code"), col("v8").as("cvec"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      codebook = assignSubs(subs, codebook)
+        .select(col("s"), col("code"),
+          posexplode(col("v8")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          st => st.getField("cv")).as("cvec"))
+        .localCheckpoint()
+    }
+    codebook
+  }
+
+  /** Encode every vector as S codes + report the exact integer
+    * quantization error. vecs: (id, q); codebook from [[pqTrain]].
+    * Output: (id, code_0 … code_{S−1}, qerr) — qerr = Σ_s ‖v8_s −
+    * cvec(s, code_s)‖² in quantize16 units². */
+  def pqCodes(vecs: DataFrame, codebook: DataFrame, subspaces: Int,
+              subDim: Int): DataFrame = {
+    // one aggregation: codes gathered in subspace order + the error
+    // sum, so the assign join is planned exactly once
+    assignSubs(subRows(vecs, subspaces, subDim), codebook)
+      .groupBy(col("id"))
+      .agg(sum(col("d2")).as("qerr"),
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          st => st.getField("code")).as("codes"))
+      .select(col("id") +:
+        (0 until subspaces).map(s =>
+          element_at(col("codes"), s + 1).as(s"code_$s")) :+
+        col("qerr"): _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k: distance from a
+    * query's REAL subvectors to each corpus vector's CODED centroids.
+    * queries: (qid, q); corpus: (id, q) — encoded internally (a
+    * stored-code table composes the same way); codebook: (s, code,
+    * cvec). Output: (query_id, rank, neighbor_id, adc_d2). */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+                codebook: DataFrame, subspaces: Int, subDim: Int,
+                k: Int): DataFrame = {
+    val codes = assignSubs(subRows(corpus, subspaces, subDim), codebook)
+      .select(col("id"), col("s"), col("code"))
+    val qsubs = subRows(queries.select(col("qid").as("id"), col("q")),
+        subspaces, subDim)
+      .select(col("id").as("qid"), col("s"), col("v8").as("qv8"))
+    // per-(query, s, code) partial distances: tiny (|Q|·S·k rows)
+    val lut = qsubs.join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        subDist2(col("qv8"), col("cvec")).as("pd2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+  }
 }

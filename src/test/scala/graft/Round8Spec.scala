@@ -410,4 +410,61 @@ class Round8Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // --- product quantization (q226/q227) ---------------------------------
+  test("pq: separable clusters recover their centroids; qerr exact") {
+    import graft.operators.Quantization
+    // 2 subspaces × 2 dims, k=2, seeds (ids 1,2) in DIFFERENT
+    // clusters per subspace so Lloyd separates and the floor-means
+    // are hand-computable.
+    val vecs = Seq(
+      (1L, Seq(0L, 2L, 100L, 100L)),
+      (2L, Seq(102L, 98L, 0L, 2L)),
+      (3L, Seq(2L, 0L, 98L, 102L)),
+      (4L, Seq(100L, 100L, 2L, 0L))
+    ).toDF("id", "q")
+    val cb = Quantization.pqTrain(vecs, subspaces = 2, subDim = 2,
+      k = 2, iters = 2)
+    val cbMap = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    // subspace 0: {1,3} → (1,1); {2,4} → (101,99)
+    // subspace 1: {1,3} → (99,101); {2,4} → (1,1)
+    assert(cbMap((0, 0L)) == Seq(1L, 1L))
+    assert(cbMap((0, 1L)) == Seq(101L, 99L))
+    assert(cbMap((1, 0L)) == Seq(99L, 101L))
+    assert(cbMap((1, 1L)) == Seq(1L, 1L))
+    val codes = Quantization.pqCodes(vecs, cb, 2, 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every vector sits 2 units² off each subspace centroid → qerr 4
+    assert(codes.toSeq == Seq((1L, 0L, 0L, 4L), (2L, 1L, 1L, 4L),
+      (3L, 0L, 0L, 4L), (4L, 1L, 1L, 4L)))
+  }
+
+  test("pq ADC distance equals exact distance to the reconstruction") {
+    import graft.operators.Quantization
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.quantize16(col("embedding")).as("q"))
+      .limit(60).localCheckpoint()
+    val cb = Quantization.pqTrain(qv, 8, 8, k = 4, iters = 2)
+    val adc = Quantization.pqAdcTopK(
+      qv.filter(col("id") % 10 === 0).select(col("id").as("qid"),
+        col("q")), qv, cb, 8, 8, k = 3)
+    // reconstruction: codes → concatenated centroids, exact L2 from
+    // the query's real q — must equal adc_d2 row for row
+    val codes = Quantization.pqCodes(qv, cb, 8, 8)
+    val cbm = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val qm = qv.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cm = codes.collect().map(r => r.getLong(0) ->
+      (0 until 8).map(s => r.getLong(1 + s))).toMap
+    adc.collect().foreach { r =>
+      val (qid, nid, d2) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val rec = (0 until 8).flatMap(s => cbm((s, cm(nid)(s))))
+      val exact = qm(qid).zip(rec).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+      assert(d2 == exact, s"ADC mismatch for ($qid,$nid)")
+    }
+  }
 }
