@@ -4600,8 +4600,10 @@ object OracleSql {
     * k = 8y+x set iff gray(x+1,y) > gray(x,y); published as two
     * unsigned 32-bit halves via BIGINT shifts (no 2⁶³ term), plus
     * the per-hash group size. */
-  private val q218 =
-    """WITH ids AS (
+  /** Shared CTE prefix for q218/q228: the synthetic-image dHash
+    * replay ending in `hx` (doc_id, dhash_hi, dhash_lo). */
+  private val dhashCtes =
+    """ids AS (
       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3 * doc_id) % 9 AS h
       |  FROM documents),
       |g AS (
@@ -4627,13 +4629,48 @@ object OracleSql {
       |    CAST(SUM(CASE WHEN k < 32
       |      THEN CAST(bit AS BIGINT) << k ELSE 0 END) AS BIGINT)
       |      AS dhash_lo
-      |  FROM bits GROUP BY doc_id),
-      |cnt AS (
-      |  SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS dup_count
-      |  FROM hx GROUP BY dhash_hi, dhash_lo)
-      |SELECT hx.doc_id, hx.dhash_hi, hx.dhash_lo, cnt.dup_count
-      |FROM hx JOIN cnt USING (dhash_hi, dhash_lo)
-      |ORDER BY hx.doc_id""".stripMargin
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val q218 =
+    s"""WITH $dhashCtes,
+       |cnt AS (
+       |  SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS dup_count
+       |  FROM hx GROUP BY dhash_hi, dhash_lo)
+       |SELECT hx.doc_id, hx.dhash_hi, hx.dhash_lo, cnt.dup_count
+       |FROM hx JOIN cnt USING (dhash_hi, dhash_lo)
+       |ORDER BY hx.doc_id""".stripMargin
+
+  /** q228: banded-dHash image near-dup replay — distinct hashes with
+    * group sizes, four 16-bit bands, equi-join per band, exact
+    * bit_count(xor) Hamming over the halves. */
+  private val q228 =
+    s"""WITH $dhashCtes,
+       |dh AS (
+       |  SELECT dhash_hi AS hi, dhash_lo AS lo,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(min(doc_id) AS BIGINT) AS rep
+       |  FROM hx GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT hi, lo, n, rep, b.i AS band_idx,
+       |    CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+       |             WHEN 2 THEN lo // 65536 ELSE lo % 65536 END
+       |      AS band_val
+       |  FROM dh, UNNEST(range(0, 4)) b(i)),
+       |cand AS (
+       |  SELECT DISTINCT
+       |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b,
+       |    a.rep AS rep_a, b.rep AS rep_b, a.n AS n_a, b.n AS n_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  WHERE a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo))
+       |SELECT hi_a, lo_a, hi_b, lo_b, rep_a, rep_b, n_a, n_b,
+       |  CAST(bit_count(xor(hi_a, hi_b))
+       |     + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming,
+       |  (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))) <= 3
+       |    AS is_near
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+       |ORDER BY rep_a, rep_b""".stripMargin
 
   /** q219: sorted-neighborhood replay — ROW_NUMBER over the squashed
     * prefix key (the oracle MAY use the single-partition window the
@@ -5074,6 +5111,7 @@ object OracleSql {
     "q225_record_linkage" -> q225,
     "q226_pq_codes" -> q226,
     "q227_pq_adc" -> q227,
+    "q228_image_neardup" -> q228,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -618,6 +618,17 @@ object SparkEntry {
     TextAnalysis.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Round-8: near-duplicate image pairs — banded dHash Hamming
+    * blocking over DISTINCT hashes (exact groups collapse first;
+    * their sizes multiply analytically in n_a·n_b), exact
+    * bit_count(xor) verify. */
+  private def qImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticImagePayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imageNearDupPairs(Multimodal.imageDHash(s, payloads))
+      .orderBy("rep_a", "rep_b")
+  }
+
   /** As-of join: for each error event, the same user's most recent
     * purchase at-or-before it. */
   private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -3252,7 +3263,8 @@ object SparkEntry {
       "q224_repeated_spans" -> (qRepeatedSpans _),
       "q225_record_linkage" -> (qRecordLinkage _),
       "q226_pq_codes" -> (qPqCodes _),
-      "q227_pq_adc" -> (qPqAdc _))
+      "q227_pq_adc" -> (qPqAdc _),
+      "q228_image_neardup" -> (qImageNearDup _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

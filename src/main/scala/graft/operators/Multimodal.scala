@@ -374,6 +374,54 @@ object Multimodal {
       .toDF("doc_id", "dhash_hi", "dhash_lo", "decoded")
   }
 
+  /** Near-duplicate IMAGE pairs by banded dHash Hamming blocking —
+    * the [[SimHash.nearPairs]] recipe applied to the perceptual hash:
+    * work on DISTINCT hashes (exact-equal images already collapse to
+    * one row each with its group size — pairing members would square
+    * the hot groups, the q218 302-member group being Exhibit A),
+    * split the 64-bit hash into four 16-bit bands, equi-join on
+    * (band_idx, band_value) — pigeonhole: any pair within Hamming ≤ 3
+    * shares at least one intact band — and verify with exact
+    * `bit_count(xor)` over the two 32-bit halves.
+    *
+    * Scale shape: distinct-hash dedup first (map-side-combined
+    * groupBy), then the band join shuffles 4 rows per DISTINCT hash —
+    * candidate volume is per-band-bucket bounded, never corpus²; the
+    * group sizes multiply analytically in the published (n_a, n_b).
+    *
+    * Output: (hi_a, lo_a, hi_b, lo_b, rep_a, rep_b, n_a, n_b,
+    * hamming, is_near) for pairs with hamming ≤ maxPublish;
+    * is_near = hamming ≤ nearDist. */
+  def imageNearDupPairs(hashes: DataFrame, nearDist: Int = 3,
+                        maxPublish: Int = 6): DataFrame = {
+    val distinctH = hashes.filter(col("decoded"))
+      .groupBy(col("dhash_hi").as("hi"), col("dhash_lo").as("lo"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+    val bands = distinctH.select(col("hi"), col("lo"), col("n"),
+      col("rep"),
+      posexplode(array(
+        expr("hi DIV 65536"), expr("hi % 65536"),
+        expr("lo DIV 65536"), expr("lo % 65536")))
+        .as(Seq("band_idx", "band_val")))
+    val l = bands.select(col("band_idx"), col("band_val"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"),
+      col("n").as("n_a"), col("rep").as("rep_a"))
+    val r = bands.select(col("band_idx"), col("band_val"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"),
+      col("n").as("n_b"), col("rep").as("rep_b"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("hi_a") < col("hi_b") ||
+        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
+      .select("hi_a", "lo_a", "hi_b", "lo_b", "rep_a", "rep_b",
+        "n_a", "n_b")
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+          .cast("long"))
+      .filter(col("hamming") <= maxPublish)
+      .withColumn("is_near", col("hamming") <= nearDist)
+  }
+
   /** Real multi-frame extraction from animated GIF
     * ([[graft.functions.GifCodec]]) — one output row PER DECODED
     * FRAME (the genuine fan-out shape of video frame sampling), with

@@ -467,4 +467,45 @@ class Round8Spec extends SparkSpec {
       assert(d2 == exact, s"ADC mismatch for ($qid,$nid)")
     }
   }
+
+  // --- banded dHash image near-dup (q228) -------------------------------
+  test("imageNearDupPairs: pigeonhole recall at ham<=3, exact counts") {
+    def row(id: Long, hi: Long, lo: Long) = (id, hi, lo, true)
+    val hashes = Seq(
+      row(1, 0x00010002L, 0x00030004L),
+      row(2, 0x00010002L, 0x00030004L),   // exact dup of 1 → same hash
+      row(3, 0x00010002L, 0x00030005L),   // ham 1 from hash(1)
+      row(4, 0x00110002L, 0x00030104L),   // ham 2 (two bands touched)
+      row(5, 0x80018002L, 0x80038004L),   // ham 4, all four bands differ
+      (6L, 0L, 0L, false)                  // undecoded: excluded
+    ).toDF("doc_id", "dhash_hi", "dhash_lo", "decoded")
+    val out = graft.operators.Multimodal.imageNearDupPairs(hashes)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)), (r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getBoolean(9)))).toMap
+    // distinct hashes: h1(n=2, rep=1), h3, h4, h5 — pairs by rep
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val hs = Map(1L -> (0x00010002L, 0x00030004L),
+      3L -> (0x00010002L, 0x00030005L), 4L -> (0x00110002L, 0x00030104L),
+      5L -> (0x80018002L, 0x80038004L))
+    // pigeonhole: every ham<=3 pair MUST be in the result
+    for (a <- hs.keys; b <- hs.keys if a < b) {
+      val d = ham(hs(a), hs(b))
+      val key = (hs(a)._1, hs(a)._2, hs(b)._1, hs(b)._2)
+      if (d <= 3) assert(out.contains(key), s"missing ham-$d pair $a-$b")
+      out.get(key).foreach { v =>
+        assert(v._5 == d, "hamming exact")
+        assert(v._6 == (d <= 3), "is_near flag")
+      }
+    }
+    // the exact-dup group collapsed: pair (h1,h3) carries n_a=2
+    val p13 = out((0x00010002L, 0x00030004L, 0x00010002L, 0x00030005L))
+    assert(p13._1 == 1L && p13._2 == 3L) // reps
+    assert((p13._3, p13._4) == ((2L, 1L)))
+    // hash 5 differs in ALL bands from hash 1 → no shared band → absent
+    assert(!out.contains((0x00010002L, 0x00030004L, 0x80018002L,
+      0x80038004L)))
+  }
 }
