@@ -5026,6 +5026,42 @@ object OracleSql {
        |      FROM adc)
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q229: farthest-point k-center replay — k−1 unrolled greedy
+    * rounds, each a min-distance-to-centers aggregate and a
+    * (md DESC, vec_id ASC) LIMIT 1 argmax. */
+  private val q229 = {
+    def d2(a: String, b: String) =
+      s"CAST(list_aggregate(list_transform(range(1, 65), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum') AS BIGINT)"
+    val steps = (1 until 8).map { r =>
+      s"""s$r AS (
+         |  SELECT v.vec_id, v.q, MIN(${d2("v.q", "c.q")}) AS md
+         |  FROM qv v CROSS JOIN cents$r c GROUP BY v.vec_id, v.q),
+         |p$r AS (
+         |  SELECT $r AS rank, vec_id, q, md FROM s$r
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |cents${r + 1} AS (
+         |  SELECT rank, vec_id, q FROM cents$r
+         |  UNION ALL SELECT rank, vec_id, q FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val pUnion = (1 until 8).map(r =>
+      s"SELECT CAST(rank AS INTEGER) AS rank, vec_id, " +
+        s"CAST(md AS BIGINT) AS mind2 FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+       |cents1 AS (SELECT 0 AS rank, vec_id, q FROM c0),
+       |$steps
+       |SELECT CAST(0 AS INTEGER) AS rank, vec_id,
+       |  CAST(0 AS BIGINT) AS mind2 FROM c0
+       |UNION ALL $pUnion
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5112,6 +5148,7 @@ object OracleSql {
     "q226_pq_codes" -> q226,
     "q227_pq_adc" -> q227,
     "q228_image_neardup" -> q228,
+    "q229_coreset" -> q229,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

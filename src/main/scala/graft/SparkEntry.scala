@@ -618,6 +618,16 @@ object SparkEntry {
     TextAnalysis.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Round-8: farthest-point k-center coreset (k=8) over quantized
+    * embeddings — the deterministic diversity sampler (Gonzalez
+    * 2-approx); publishes the selection order and the non-increasing
+    * coverage-radius sequence. */
+  private def qCoreset(s: SparkSession, dir: String): DataFrame =
+    operators.Coreset.farthestPointSample(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+          Similarity.quantize16(col("embedding")).as("q")), k = 8)
+      .orderBy("rank")
+
   /** Round-8: near-duplicate image pairs — banded dHash Hamming
     * blocking over DISTINCT hashes (exact groups collapse first;
     * their sizes multiply analytically in n_a·n_b), exact
@@ -3264,7 +3274,8 @@ object SparkEntry {
       "q225_record_linkage" -> (qRecordLinkage _),
       "q226_pq_codes" -> (qPqCodes _),
       "q227_pq_adc" -> (qPqAdc _),
-      "q228_image_neardup" -> (qImageNearDup _))
+      "q228_image_neardup" -> (qImageNearDup _),
+      "q229_coreset" -> (qCoreset _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

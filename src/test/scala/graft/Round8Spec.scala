@@ -508,4 +508,36 @@ class Round8Spec extends SparkSpec {
     assert(!out.contains((0x00010002L, 0x00030004L, 0x80018002L,
       0x80038004L)))
   }
+
+  // --- farthest-point coreset (q229) ------------------------------------
+  test("farthestPointSample: greedy ≡ brute force, radii non-increasing") {
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.quantize16(col("embedding")).as("q"))
+      .limit(50).localCheckpoint()
+    val k = 6
+    val out = graft.operators.Coreset.farthestPointSample(qv, k)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // brute-force replay on the driver
+    val all = qv.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1)
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector(all.head)
+    var expect = Vector((0, all.head._1, 0L))
+    (1 until k).foreach { r =>
+      val best = all.map { case (id, v) =>
+        (id, centers.map(c => d2(v, c._2)).min)
+      }.minBy { case (id, md) => (-md, id) }
+      centers :+= all.find(_._1 == best._1).get
+      expect :+= ((r, best._1, best._2))
+    }
+    assert(out.toSeq == expect)
+    // coverage radius never increases after the seed row
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+    // the chosen ids are distinct
+    assert(out.map(_._2).distinct.length == k)
+  }
 }
