@@ -5062,6 +5062,47 @@ object OracleSql {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q230: JL audit replay — the portablePlaneSign PRF evaluated
+    * inline in SQL (same affine two-round formula the Scala side
+    * emits as literals), projected sums per (vec, j), consecutive-id
+    * probe pairs, truncating `DIV` for ratio_milli. */
+  private val q230 =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |sj AS (
+      |  SELECT j.v AS j, d.v AS d,
+      |    CASE WHEN ((j.v * 1000003 + d.v * 7919) % 1000000007
+      |      * 131 + 17) % 1000000007 % 2 = 1
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT range AS v FROM range(0, 16)) j
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 64)) d),
+      |y AS (
+      |  SELECT v.vec_id, sj.j,
+      |    CAST(SUM(sj.s * v.q[sj.d + 1]) AS BIGINT) AS yj
+      |  FROM qv v CROSS JOIN sj GROUP BY v.vec_id, sj.j),
+      |yv AS (
+      |  SELECT vec_id, list(yj ORDER BY j) AS y FROM y GROUP BY vec_id),
+      |p AS (
+      |  SELECT q.vec_id, q.q, yv.y FROM qv q JOIN yv USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), 'sum')
+      |      AS BIGINT) AS d2_orig,
+      |    CAST(list_aggregate(list_transform(range(1, 17),
+      |      i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])), 'sum')
+      |      AS BIGINT) AS d2_proj
+      |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 3 = 0)
+      |SELECT a_id, b_id, d2_orig, d2_proj,
+      |  CAST(CASE WHEN d2_orig > 0
+      |    THEN 1000 * d2_proj // (16 * d2_orig)
+      |    ELSE 0 END AS BIGINT) AS ratio_milli
+      |FROM pairs ORDER BY a_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5149,6 +5190,7 @@ object OracleSql {
     "q227_pq_adc" -> q227,
     "q228_image_neardup" -> q228,
     "q229_coreset" -> q229,
+    "q230_jl_audit" -> q230,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

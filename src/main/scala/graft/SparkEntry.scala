@@ -628,6 +628,17 @@ object SparkEntry {
           Similarity.quantize16(col("embedding")).as("q")), k = 8)
       .orderBy("rank")
 
+  /** Round-8: JL ±1 projection distance-preservation audit — 64→16
+    * dims via the portable PRF sign matrix, exact integer distances
+    * on consecutive-id probe pairs, ratio_milli ≈ 1000 when the
+    * projection is safe. */
+  private def qJlAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistanceAudit(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+          Similarity.quantize16(col("embedding")).as("q")),
+        dims = 64, projDims = 16, pairMod = 3)
+      .orderBy("a_id")
+
   /** Round-8: near-duplicate image pairs — banded dHash Hamming
     * blocking over DISTINCT hashes (exact groups collapse first;
     * their sizes multiply analytically in n_a·n_b), exact
@@ -3275,7 +3286,8 @@ object SparkEntry {
       "q226_pq_codes" -> (qPqCodes _),
       "q227_pq_adc" -> (qPqAdc _),
       "q228_image_neardup" -> (qImageNearDup _),
-      "q229_coreset" -> (qCoreset _))
+      "q229_coreset" -> (qCoreset _),
+      "q230_jl_audit" -> (qJlAudit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

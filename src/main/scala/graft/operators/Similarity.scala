@@ -711,4 +711,53 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"),
         col("cid").as("neighbor_id"), col("idot"))
   }
+
+  /** Johnson–Lindenstrauss ±1 random projection + distance-
+    * preservation audit — the dimensionality-reduction sanity gate a
+    * pipeline runs before swapping 64-dim embeddings for a cheaper
+    * `projDims`-dim sketch: project with the [[portablePlaneSign]]
+    * PRF sign matrix (Achlioptas 2003: ±1 entries suffice for JL),
+    * then, on a deterministic sample of vector pairs, publish the
+    * exact integer distances before/after and the preservation ratio.
+    *
+    * For ±1 signs E‖y_a − y_b‖² = projDims · ‖x_a − x_b‖², so
+    * `ratio_milli = 1000·d2_proj DIV (projDims·d2_orig)` concentrates
+    * around 1000; systematic drift or heavy tails mean the projection
+    * is unsafe at the chosen dims. Overflow headroom: |y_j| <
+    * dims·2¹⁷ = 2²³ for quantize16 inputs, so d2_proj < projDims·2⁴⁶
+    * and 1000·d2_proj < 2⁶⁰ — ANSI-safe.
+    *
+    * The audited pairs are consecutive ids (anchor % pairMod == 0,
+    * partner = anchor+1) — an unbiased deterministic probe that needs
+    * ONE equi-join, no pair explosion.
+    *
+    * Scale shape: projection is map-only (sign literals inlined, one
+    * fold per projected dim); the audit join is a hash equi-join on
+    * the derived partner id. Output: (a_id, b_id, d2_orig, d2_proj,
+    * ratio_milli). */
+  def jlDistanceAudit(vecs: DataFrame, dims: Int, projDims: Int,
+                      pairMod: Int): DataFrame = {
+    require(dims >= 1 && projDims >= 1 && pairMod >= 1)
+    val proj = array((0 until projDims).map { j =>
+      val signs = array((0 until dims).map(d =>
+        lit(portablePlaneSign(j, d).toLong)): _*)
+      aggregate(zip_with(col("q"), signs, (x, s) => x * s), lit(0L), _ + _)
+    }: _*)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val p = vecs.select(col("id"), col("q"), proj.as("y"))
+    val a = p.filter(col("id") % pairMod === 0)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"),
+        col("q").as("qa"), col("y").as("ya"))
+    val b = p.select(col("id").as("b_id"), col("q").as("qb"),
+      col("y").as("yb"))
+    a.join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        d2(col("qa"), col("qb")).as("d2_orig"),
+        d2(col("ya"), col("yb")).as("d2_proj"))
+      .withColumn("ratio_milli", expr(
+        s"""CAST(CASE WHEN d2_orig > 0
+           THEN 1000 * d2_proj DIV ($projDims * d2_orig)
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+  }
 }

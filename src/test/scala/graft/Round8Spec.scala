@@ -540,4 +540,37 @@ class Round8Spec extends SparkSpec {
     // the chosen ids are distinct
     assert(out.map(_._2).distinct.length == k)
   }
+
+  // --- JL projection audit (q230) ---------------------------------------
+  test("jlDistanceAudit: exact projection math, concentration, identity") {
+    import graft.operators.Similarity
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+      .limit(60).localCheckpoint()
+    val out = Similarity.jlDistanceAudit(qv, 64, 16, pairMod = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // replay one pair by hand with the same PRF signs
+    val qm = qv.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (aId, bId, d2o, d2p, ratio) = out.minBy(_._1)
+    def proj(v: Seq[Long]): Seq[Long] = (0 until 16).map { j =>
+      (0 until 64).map(d =>
+        Similarity.portablePlaneSign(j, d).toLong * v(d)).sum
+    }
+    val d2oExp = qm(aId).zip(qm(bId)).map { case (x, y) =>
+      (x - y) * (x - y) }.sum
+    val d2pExp = proj(qm(aId)).zip(proj(qm(bId))).map { case (x, y) =>
+      (x - y) * (x - y) }.sum
+    assert((d2o, d2p) == ((d2oExp, d2pExp)))
+    assert(ratio == (if (d2oExp > 0) 1000 * d2pExp / (16 * d2oExp) else 0L))
+    // JL concentration: the median ratio is near 1000 (±1 projections
+    // concentrate; a systematic bug would shift everything)
+    val ratios = out.map(_._5).sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 500 && median < 1800, s"median ratio $median")
+    // identical vectors project identically: d2_orig 0 → d2_proj 0
+    out.filter(_._3 == 0L).foreach(p => assert(p._4 == 0L))
+  }
 }
