@@ -5103,6 +5103,40 @@ object OracleSql {
       |    ELSE 0 END AS BIGINT) AS ratio_milli
       |FROM pairs ORDER BY a_id""".stripMargin
 
+  /** q231: Luhn scan replay — the synthetic digit-run construction,
+    * regex candidates, and the mod-10 right-aligned-parity sum as a
+    * per-position transform (terms are independent, so transform+sum
+    * ≡ the Spark fold). */
+  private val q231 =
+    """WITH s AS (
+      |  SELECT doc_id, text || ' txn ' ||
+      |    lpad(CAST((doc_id * 86243) % 100000000000000 AS VARCHAR),
+      |      14, '0') || CAST(doc_id % 10 AS VARCHAR) AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(t, '[0-9]{13,19}') AS cands
+      |  FROM s),
+      |v AS (
+      |  SELECT doc_id,
+      |    CAST(len(cands) AS BIGINT) AS n_candidates,
+      |    CAST(len(list_filter(cands, x ->
+      |      list_sum(list_transform(range(1, length(x) + 1), i ->
+      |        CASE WHEN (length(x) - i + 1) % 2 = 0
+      |          THEN CASE
+      |            WHEN (unicode(substr(x, CAST(i AS INTEGER), 1)) - 48)
+      |              * 2 > 9
+      |            THEN (unicode(substr(x, CAST(i AS INTEGER), 1)) - 48)
+      |              * 2 - 9
+      |            ELSE (unicode(substr(x, CAST(i AS INTEGER), 1)) - 48)
+      |              * 2 END
+      |          ELSE unicode(substr(x, CAST(i AS INTEGER), 1)) - 48
+      |        END)) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+      |  FROM c)
+      |SELECT doc_id, n_candidates, n_luhn_valid,
+      |  n_luhn_valid > 0 AS has_pan
+      |FROM v ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5191,6 +5225,7 @@ object OracleSql {
     "q228_image_neardup" -> q228,
     "q229_coreset" -> q229,
     "q230_jl_audit" -> q230,
+    "q231_luhn_scan" -> q231,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

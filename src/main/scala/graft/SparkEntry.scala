@@ -639,6 +639,20 @@ object SparkEntry {
         dims = 64, projDims = 16, pairMod = 3)
       .orderBy("a_id")
 
+  /** Round-8: Luhn payment-card PII scan — deterministic card-shaped
+    * digit runs appended per doc (the synthetic-payload convention;
+    * ~1/10 carry a valid check digit), regex candidates + exact
+    * mod-10 fold validation. */
+  private def qLuhnScan(s: SparkSession, dir: String): DataFrame = {
+    val synth = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" txn "),
+        lpad(((col("doc_id") * 86243L) % 100000000000000L)
+          .cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string")).as("text"))
+    operators.Privacy.luhnScan(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Round-8: near-duplicate image pairs — banded dHash Hamming
     * blocking over DISTINCT hashes (exact groups collapse first;
     * their sizes multiply analytically in n_a·n_b), exact
@@ -3287,7 +3301,8 @@ object SparkEntry {
       "q227_pq_adc" -> (qPqAdc _),
       "q228_image_neardup" -> (qImageNearDup _),
       "q229_coreset" -> (qCoreset _),
-      "q230_jl_audit" -> (qJlAudit _))
+      "q230_jl_audit" -> (qJlAudit _),
+      "q231_luhn_scan" -> (qLuhnScan _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

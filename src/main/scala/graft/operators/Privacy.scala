@@ -114,4 +114,45 @@ object Privacy {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(sensitive).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
+
+  /** Luhn checksum validity of one digit string (mod-10, Luhn 1954) —
+    * the check that separates a random digit run from a plausible
+    * payment-card number, which is what turns a "13–19 digits" regex
+    * from a false-positive firehose into a usable PII detector.
+    * Folds left over positions with right-aligned parity: doubling
+    * applies to every second digit FROM THE RIGHT. Pure integer
+    * HOFs, oracle-replayable. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(1), n), lit(0),
+      (acc, i) => {
+        val d = ascii(substring(digits, i, lit(1))) - 48
+        // position from the right; double at even offsets
+        val fromRight = n - i + 1
+        acc + when(fromRight % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    sum % 10 === 0
+  }
+
+  /** Scan documents for payment-card-shaped PII: extract contiguous
+    * 13–19 digit runs, validate each with [[luhnValid]], report
+    * counts — the high-precision companion to [[TextAnalysis
+    * .piiScrub]]'s pattern masks (a masking pass would replace
+    * exactly the valid runs). Map-only: one regexp extraction + one
+    * integer fold per candidate, no shuffle, no UDF.
+    *
+    * Output: (doc_id, n_candidates, n_luhn_valid, has_pan). */
+  def luhnScan(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("[0-9]{13,19}"),
+      lit(0))
+    docs.select(col(idCol).as("doc_id"), cands.as("cands"))
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        size(filter(col("cands"), c => luhnValid(c))).cast("long")
+          .as("n_luhn_valid"))
+      .withColumn("has_pan", col("n_luhn_valid") > 0)
+  }
 }

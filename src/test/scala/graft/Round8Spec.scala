@@ -573,4 +573,36 @@ class Round8Spec extends SparkSpec {
     // identical vectors project identically: d2_orig 0 → d2_proj 0
     out.filter(_._3 == 0L).foreach(p => assert(p._4 == 0L))
   }
+
+  // --- Luhn PII scan (q231) ---------------------------------------------
+  test("luhnScan: known card numbers validate, off-by-one fails, counts") {
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 now"),      // valid Visa test PAN
+      (2L, "pay with 4532015112830367 now"),      // check digit off by 1
+      (3L, "two: 4532015112830366 and 379254132582832"), // AmEx-ish 15d
+      (4L, "short 123456789012 run"),             // 12 digits: no match
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Privacy.luhnScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out(0) == ((1L, 1L, true)))
+    assert(out(1) == ((1L, 0L, false)))
+    // 379254132582832: compute expected validity with a reference Luhn
+    def luhn(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val expected3 = 1L + (if (luhn("379254132582832")) 1L else 0L)
+    assert(out(2) == ((2L, expected3, true)))
+    assert(out(3) == ((0L, 0L, false)))
+    assert(out(4) == ((0L, 0L, false)))
+    // plan: map-only
+    val plan = graft.operators.Privacy.luhnScan(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
