@@ -5137,6 +5137,46 @@ object OracleSql {
       |  n_luhn_valid > 0 AS has_pan
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** q232: Hilbert-cell replay — the xy2d walk UNROLLED as 8 chained
+    * CTEs of plain scalar CASE arithmetic (the q102 convention).
+    * Deliberately NOT a list_reduce struct fold: DuckDB v1.0's
+    * vectorized lambda evaluation returned batch-size-dependent
+    * results for that shape (single-row probe: 3; same point inside
+    * a multi-row batch: 2) — scalar column arithmetic has no such
+    * failure mode on any engine version. */
+  private val q232 = {
+    def level(prev: String, out: String, s: Long): String =
+      s"""$out AS (
+         |  SELECT ck, pb,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+         |    ELSE y END AS y,
+         |    d + $s * $s * (
+         |      CASE WHEN (x & $s) = 0 AND (y & $s) = 0 THEN 0
+         |           WHEN (x & $s) = 0 THEN 1
+         |           WHEN (y & $s) = 0 THEN 3
+         |           ELSE 2 END) AS d
+         |  FROM $prev)""".stripMargin
+    val levels = (0 until 8).map { i =>
+      level(if (i == 0) "l0" else s"l$i", s"l${i + 1}", 1L << (7 - i))
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT CAST(o_custkey % 256 AS BIGINT) AS ck,
+       |    least(255, greatest(0,
+       |      CAST(floor(o_totalprice / 2500.0) AS BIGINT))) AS pb
+       |  FROM orders),
+       |l0 AS (SELECT ck, pb, ck AS x, pb AS y, CAST(0 AS BIGINT) AS d
+       |       FROM b),
+       |$levels
+       |SELECT d >> 6 AS h_cell, COUNT(*) AS n_orders,
+       |  MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       |  MIN(pb) AS min_pb, MAX(pb) AS max_pb
+       |FROM l8 GROUP BY 1 ORDER BY h_cell""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5226,6 +5266,7 @@ object OracleSql {
     "q229_coreset" -> q229,
     "q230_jl_audit" -> q230,
     "q231_luhn_scan" -> q231,
+    "q232_hilbert_cells" -> q232,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -653,6 +653,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8: Hilbert-curve cells — the q101 rollup on the Hilbert
+    * index instead of Z-order (adjacent cells are always spatially
+    * adjacent; no quadrant-seam jumps), completing the layout
+    * family. */
+  private def qHilbertCells(s: SparkSession, dir: String): DataFrame = {
+    val cust = pmod(col("o_custkey"), lit(256L))
+    val price = ZOrder.quantize(col("o_totalprice"), 0.0, 640000.0, 8)
+    val h = ZOrder.hilbertIndex(cust, price, 8)
+    Tables.orders(s, dir)
+      .select(cust.as("ck"), price.as("pb"), h.as("hval"))
+      .groupBy(shiftright(col("hval"), 6).as("h_cell"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("ck").as("min_ck"), max("ck").as("max_ck"),
+        min("pb").as("min_pb"), max("pb").as("max_pb"))
+      .orderBy("h_cell")
+  }
+
   /** Round-8: near-duplicate image pairs — banded dHash Hamming
     * blocking over DISTINCT hashes (exact groups collapse first;
     * their sizes multiply analytically in n_a·n_b), exact
@@ -3302,7 +3319,8 @@ object SparkEntry {
       "q228_image_neardup" -> (qImageNearDup _),
       "q229_coreset" -> (qCoreset _),
       "q230_jl_audit" -> (qJlAudit _),
-      "q231_luhn_scan" -> (qLuhnScan _))
+      "q231_luhn_scan" -> (qLuhnScan _),
+      "q232_hilbert_cells" -> (qHilbertCells _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -605,4 +605,42 @@ class Round8Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  // --- Hilbert curve (q232) ---------------------------------------------
+  test("hilbertIndex: bijection and unit-step adjacency on the 16x16 grid") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .withColumn("h",
+        graft.operators.ZOrder.hilbertIndex(col("x"), col("y"), 4))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .toMap
+    // bijection onto [0, 256)
+    assert(got.keySet == (0L until 256L).toSet)
+    // the defining Hilbert property: consecutive indices are adjacent
+    (0L until 255L).foreach { d =>
+      val (ax, ay) = got(d); val (bx, by) = got(d + 1)
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1,
+        s"cells $d and ${d + 1} not adjacent")
+    }
+    // matches the imperative reference walk
+    def ref(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    pts.foreach { case (x, y) =>
+      assert(got.exists { case (d, p) => p == ((x, y)) &&
+        d == ref(16, x.toInt, y.toInt) })
+    }
+  }
 }
