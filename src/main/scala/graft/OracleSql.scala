@@ -5177,6 +5177,35 @@ object OracleSql {
        |FROM l8 GROUP BY 1 ORDER BY h_cell""".stripMargin
   }
 
+  /** q233: HLL register replay — the same affine PRF, register split,
+    * and 24-bit threshold-cascade rank, grouped MAX. */
+  private val q233 = {
+    val cascade = (1 to 24).map(r =>
+      s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
+    s"""WITH h0 AS (
+       |  SELECT l_returnflag,
+       |    (CAST(l_partkey AS BIGINT) * 1000003 + 12345)
+       |      % 1000000007 AS h1
+       |  FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag,
+       |    (h1 * h1 + 17) % 1000000007 AS hv
+       |  FROM h0),
+       |b AS (
+       |  SELECT l_returnflag, hv % 64 AS register, hv // 64 AS w
+       |  FROM h),
+       |r AS (
+       |  SELECT l_returnflag, register,
+       |    CASE
+       |      $cascade
+       |      ELSE 25 END AS rho
+       |  FROM b)
+       |SELECT l_returnflag, CAST(register AS BIGINT) AS register,
+       |  CAST(MAX(rho) AS BIGINT) AS max_rho
+       |FROM r GROUP BY 1, 2
+       |ORDER BY l_returnflag, register""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5267,6 +5296,7 @@ object OracleSql {
     "q230_jl_audit" -> q230,
     "q231_luhn_scan" -> q231,
     "q232_hilbert_cells" -> q232,
+    "q233_hll_registers" -> q233,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -653,6 +653,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8: portable HLL register state — the mergeable sketch the
+    * built-in HLL++ of q49 keeps private, rebuilt with the PRF hash
+    * so every register is oracle-replayable; grouped on the q49
+    * domain (distinct parts per returnflag). */
+  private def qHllRegisters(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllRegisters(Tables.lineitem(s, dir),
+        "l_returnflag", "l_partkey", m = 64)
+      .select(col("grp").as("l_returnflag"), col("register"),
+        col("max_rho"))
+      .orderBy("l_returnflag", "register")
+
   /** Round-8: Hilbert-curve cells — the q101 rollup on the Hilbert
     * index instead of Z-order (adjacent cells are always spatially
     * adjacent; no quadrant-seam jumps), completing the layout
@@ -3320,7 +3331,8 @@ object SparkEntry {
       "q229_coreset" -> (qCoreset _),
       "q230_jl_audit" -> (qJlAudit _),
       "q231_luhn_scan" -> (qLuhnScan _),
-      "q232_hilbert_cells" -> (qHilbertCells _))
+      "q232_hilbert_cells" -> (qHilbertCells _),
+      "q233_hll_registers" -> (qHllRegisters _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

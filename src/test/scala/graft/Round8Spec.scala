@@ -643,4 +643,55 @@ class Round8Spec extends SparkSpec {
         d == ref(16, x.toInt, y.toInt) })
     }
   }
+
+  // --- portable HLL registers (q233) ------------------------------------
+  test("hllRegisters: hand-checked ranks, mergeability, usable estimate") {
+    import graft.operators.Sketches
+    // hand-check: key k → h = (k·1000003 + 12345) mod 1e9+7
+    def refReg(k: Long): (Long, Long) = {
+      val h1 = (k * 1000003L + 12345L) % 1000000007L
+      val h = (h1 * h1 + 17L) % 1000000007L
+      val w = h / 64
+      val rho = if (w == 0) 25L
+        else (1 to 24).find(r => w >= (1L << (24 - r))).get.toLong
+      (h % 64, rho)
+    }
+    val keys = Seq(0L, 1L, 7L, 123456L, 999999937L)
+    val df = keys.map(k => ("g", k)).toDF("grp", "key")
+    val out = Sketches.hllRegisters(df, "grp", "key")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val expect = keys.map(refReg).groupBy(_._1)
+      .map { case (reg, rs) => reg -> rs.map(_._2).max }
+    assert(out == expect)
+    // mergeability: registers over a union = elementwise max of parts
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("grp"),
+        col("l_partkey").as("key")).localCheckpoint()
+    val whole = Sketches.hllRegisters(li, "grp", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val p1 = Sketches.hllRegisters(li.filter(col("key") % 2 === 0),
+      "grp", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p2 = Sketches.hllRegisters(li.filter(col("key") % 2 =!= 0),
+      "grp", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (p1.keySet ++ p2.keySet).map { k =>
+      k -> math.max(p1.getOrElse(k, 0L), p2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole)
+    // the registers carry a usable cardinality signal: the raw HLL
+    // estimate from the registers lands within 25% of exact
+    val exact = li.select("grp", "key").distinct()
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      val regs = (0 until 64).map(r =>
+        whole.getOrElse((g, r.toLong), 0L))
+      val z = regs.map(r => math.pow(2.0, -r.toDouble)).sum
+      val est = 0.709 * 64 * 64 / z
+      assert(math.abs(est - n) <= 0.25 * n,
+        s"group $g: est $est vs exact $n")
+    }
+  }
 }
