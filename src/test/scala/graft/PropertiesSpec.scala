@@ -287,4 +287,136 @@ class PropertiesSpec extends SparkSpec {
       }
     }, n = 12)
   }
+
+  // --- Round-8 operator invariants --------------------------------------
+
+  test("sorted-neighborhood pairs equal the brute-force window (random)") {
+    val scenario = for {
+      nDocs <- Gen.choose(2, 14)
+      texts <- Gen.listOfN(nDocs, phrase)
+      w <- Gen.choose(2, 5)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, w)
+    check("snm", Prop.forAll(scenario) { case (rows, w) =>
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .sortedNeighborhoodPairs(df, "doc_id", "text", window = w)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val keyed = rows.map { case (id, t) =>
+        (id, t.toLowerCase.replaceAll("[^a-z0-9]", "").take(16))
+      }.sortBy { case (id, k) => (k, id) }
+      val expect = (for {
+        i <- keyed.indices; j <- (i + 1) until math.min(i + w, keyed.size)
+      } yield (keyed(i)._1, keyed(j)._1)).toSet
+      got == expect
+    }, n = 12)
+  }
+
+  test("suffix ranks equal the local suffix sort (random corpora)") {
+    val scenario = for {
+      nDocs <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nDocs,
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "ba", "aa"))
+          .map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    implicit val ord: Ordering[Seq[String]] =
+      Ordering.Implicits.seqOrdering(Ordering.String)
+    check("suffix", Prop.forAll(scenario) { rows =>
+      val got = graft.operators.SuffixArray
+        .tokenSuffixRanks(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val sufs = rows.flatMap { case (id, t) =>
+        val ws = t.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
+        (1 to ws.length).map(i => ((id, i.toLong), ws.drop(i - 1)))
+      }
+      val rankOf = sufs.map(_._2).distinct.sorted.zipWithIndex
+        .map { case (s, i) => s -> (i + 1L) }.toMap
+      got == sufs.map { case (k, s) => k -> rankOf(s) }.toMap
+    }, n = 10)
+  }
+
+  test("hilbert index is a bijection with unit steps at any width") {
+    check("hilbert", Prop.forAll(Gen.choose(1, 5)) { bits =>
+      val n = 1 << bits
+      val pts = for (x <- 0 until n; y <- 0 until n)
+        yield (x.toLong, y.toLong)
+      val got = pts.toDF("x", "y")
+        .withColumn("h", graft.operators.ZOrder
+          .hilbertIndex(col("x"), col("y"), bits))
+        .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+        .toMap
+      got.keySet == (0L until n.toLong * n).toSet &&
+        (0L until n.toLong * n - 1).forall { d =>
+          val (ax, ay) = got(d); val (bx, by) = got(d + 1)
+          math.abs(ax - bx) + math.abs(ay - by) == 1
+        }
+    }, n = 5)
+  }
+
+  test("luhn detects every single-digit corruption") {
+    val pan = for {
+      len <- Gen.choose(13, 19)
+      ds <- Gen.listOfN(len - 1, Gen.choose(0, 9))
+    } yield {
+      // compute the valid check digit for ds
+      val sum = ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      (ds :+ ((10 - sum % 10) % 10)).mkString
+    }
+    val scenario = for {
+      p <- pan
+      pos <- Gen.choose(0, p.length - 1)
+      delta <- Gen.choose(1, 9)
+    } yield (p, pos, delta)
+    check("luhn", Prop.forAll(scenario) { case (p, pos, delta) =>
+      val corrupted = p.updated(pos,
+        (((p(pos) - '0') + delta) % 10 + '0').toChar)
+      val out = Seq((1L, p), (2L, corrupted)).toDF("s", "t")
+        .select(col("s"),
+          graft.operators.Privacy.luhnValid(col("t")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      out(1L) && !out(2L)
+    }, n = 30)
+  }
+
+  test("modularity matches the brute-force Q on random graphs") {
+    val scenario = for {
+      nNodes <- Gen.choose(3, 9)
+      edges <- Gen.nonEmptyListOf(for {
+        a <- Gen.choose(0, nNodes - 1); b <- Gen.choose(0, nNodes - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+      labels <- Gen.listOfN(nNodes, Gen.choose(0L, 2L))
+    } yield (edges, labels.zipWithIndex.map { case (l, i) =>
+      (i.toLong, l) })
+    check("modularity", Prop.forAll(scenario) { case (edges, labels) =>
+      val out = graft.operators.LabelProp.modularity(
+          edges.toDF("src", "dst"), labels.toDF("node", "label"))
+        .collect().map(r => (r.getLong(4), r.getLong(5)))
+      val ce = edges.flatMap { case (a, b) =>
+        if (a == b) None
+        else Some((math.min(a, b), math.max(a, b)))
+      }.distinct
+      val m = ce.size.toLong
+      val labOf = labels.toMap
+      val deg = ce.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val byC = labOf.values.toSeq.distinct.map { c =>
+        val members = labOf.filter(_._2 == c).keySet
+          .filter(deg.contains)
+        val e = ce.count { case (a, b) =>
+          members(a) && members(b) }.toLong
+        val d = members.toSeq.map(deg).sum
+        (4 * m * e - d * d, 4 * m * m)
+      }.filter { case (_, _) => true }
+      // compare the summed Q numerators (communities with no
+      // edge-bearing members are absent from the operator output)
+      val gotSum = out.map(_._1).sum
+      val expSum = byC.filter { case (qn, _) => true }
+        .map(_._1).sum
+      gotSum == expSum && out.forall(_._2 == 4 * m * m)
+    }, n = 12)
+  }
 }
