@@ -5206,6 +5206,22 @@ object OracleSql {
        |ORDER BY l_returnflag, register""".stripMargin
   }
 
+  /** q234: confusable-skeleton replay — the same paired fold table
+    * (shared Scala literals), translate + per-char membership count. */
+  private val q234 = {
+    val conf = TextAnalysis.confusables
+    val lat = TextAnalysis.latinFor
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ''), c ->
+       |    list_contains(string_split('$conf', ''), c)))
+       |    AS BIGINT) AS n_confusables,
+       |  translate(text, '$conf', '$lat') AS skeleton,
+       |  len(list_filter(string_split(text, ''), c ->
+       |    list_contains(string_split('$conf', ''), c))) > 0
+       |    AND regexp_matches(text, '[A-Za-z]') AS suspicious
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5297,6 +5313,7 @@ object OracleSql {
     "q231_luhn_scan" -> q231,
     "q232_hilbert_cells" -> q232,
     "q233_hll_registers" -> q233,
+    "q234_confusables" -> q234,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

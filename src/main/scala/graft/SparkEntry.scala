@@ -664,6 +664,14 @@ object SparkEntry {
         col("max_rho"))
       .orderBy("l_returnflag", "register")
 
+  /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
+    * homoglyphs folded to Latin, per-doc confusable count, the
+    * spliced-script suspicion flag. */
+  private def qConfusables(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.confusableSkeleton(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Round-8: Hilbert-curve cells — the q101 rollup on the Hilbert
     * index instead of Z-order (adjacent cells are always spatially
     * adjacent; no quadrant-seam jumps), completing the layout
@@ -3332,7 +3340,8 @@ object SparkEntry {
       "q230_jl_audit" -> (qJlAudit _),
       "q231_luhn_scan" -> (qLuhnScan _),
       "q232_hilbert_cells" -> (qHilbertCells _),
-      "q233_hll_registers" -> (qHllRegisters _))
+      "q233_hll_registers" -> (qHllRegisters _),
+      "q234_confusables" -> (qConfusables _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

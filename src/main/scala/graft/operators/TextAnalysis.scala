@@ -915,6 +915,44 @@ object TextAnalysis {
         expr("CAST(1000000 * n_hapax DIV vocab AS BIGINT)")
           .as("hapax_share_ppm"))
 
+  /** Cyrillic/Greek → Latin homoglyph map (a curated core of UTS #39's
+    * confusables table: the letters that render identically to Latin
+    * in most fonts). Order is paired: confusables(i) folds to
+    * latinFor(i). */
+  private[graft] val confusables =
+    "аеорсхуіѕԁοασνΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  private[graft] val latinFor =
+    "aeopcxyisdoasvabezhikmnoptyx"
+
+  /** Confusable-skeleton fold (UTS #39 spoof detection, the working
+    * core): map Cyrillic/Greek homoglyphs onto their Latin twins and
+    * flag documents whose text CHANGES under the fold while also
+    * containing real Latin letters — the "pаypаl" attack shape
+    * (Cyrillic а inside a Latin word), which [[scriptProfile]] sees
+    * only as "document has two scripts" and legitimate bilingual text
+    * triggers constantly; the skeleton test is per-character and
+    * catches the splice exactly. The skeleton is also the right
+    * JOIN KEY for spoof-aware dedup: spoofed and clean variants
+    * collide after folding.
+    *
+    * Scale shape: map-only — one translate (codegen'd char map), one
+    * per-char membership count, no shuffle, no UDF.
+    *
+    * Output: (doc_id, n_confusables, skeleton, suspicious). */
+  def confusableSkeleton(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val confSet = confusables.map(_.toString)
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(t, ""), c => c.isInCollection(confSet)))
+          .cast("long").as("n_confusables"),
+        translate(t, confusables, latinFor).as("skeleton"),
+        (t.rlike("[A-Za-z]")).as("has_latin"))
+      .withColumn("suspicious",
+        col("n_confusables") > 0 && col("has_latin"))
+      .select("doc_id", "n_confusables", "skeleton", "suspicious")
+  }
+
   /** Unicode-script classes for [[scriptProfile]], in canonical
     * (tie-break) order: a dominant-script tie resolves to the EARLIER
     * entry. BMP ranges only — see the astral-plane note below. */

@@ -694,4 +694,27 @@ class Round8Spec extends SparkSpec {
         s"group $g: est $est vs exact $n")
     }
   }
+
+  // --- confusable skeleton (q234) ---------------------------------------
+  test("confusableSkeleton: the paypal splice, clean Cyrillic, skeleton join") {
+    val docs = Seq(
+      (1L, "pay with pаypаl today"),  // Cyrillic а spliced
+      (2L, "привет мир"),
+        // "привет мир": pure Cyrillic, has confusables (е,р,и?) but no
+        // Latin letters → NOT suspicious
+      (3L, "pay with paypal today"),            // clean Latin
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.confusableSkeleton(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out(0)._1 == 2L && out(0)._3 == true)
+    // spoofed text folds onto the clean skeleton — the dedup join key
+    assert(out(0)._2 == "pay with paypal today")
+    assert(out(0)._2 == out(2)._2)
+    // pure-Cyrillic doc: е/р are confusable but no Latin → clean
+    assert(out(1)._1 > 0L && out(1)._3 == false)
+    assert(out(2) == ((0L, "pay with paypal today", false)))
+    assert(out(3) == ((0L, "", false)))
+  }
 }
