@@ -5222,6 +5222,31 @@ object OracleSql {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q235: padding-audit replay — ROW_NUMBER over (len, doc_id),
+    * batch = (pos−1)//32, exact integer waste per batch. */
+  private val q235 =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS BIGINT) AS len
+      |  FROM documents),
+      |p AS (
+      |  SELECT len,
+      |    (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 32 AS batch
+      |  FROM l),
+      |b AS (
+      |  SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(max(len) AS BIGINT) AS max_len,
+      |    CAST(sum(len) AS BIGINT) AS sum_len
+      |  FROM p GROUP BY batch)
+      |SELECT CAST(batch AS BIGINT) AS batch, n_docs, max_len, sum_len,
+      |  n_docs * max_len - sum_len AS padding,
+      |  CAST(CASE WHEN n_docs * max_len > 0
+      |    THEN 1000000 * (n_docs * max_len - sum_len)
+      |      // (n_docs * max_len)
+      |    ELSE 0 END AS BIGINT) AS padding_ppm
+      |FROM b ORDER BY batch""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5314,6 +5339,7 @@ object OracleSql {
     "q232_hilbert_cells" -> q232,
     "q233_hll_registers" -> q233,
     "q234_confusables" -> q234,
+    "q235_padding_audit" -> q235,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

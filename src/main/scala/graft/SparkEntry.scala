@@ -672,6 +672,13 @@ object SparkEntry {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Round-8: length-sorted batching padding audit — per-batch exact
+    * integer padding waste under the sorted loader (batch 32). */
+  private def qPaddingAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.paddingAudit(Tables.documents(s, dir),
+        "doc_id", "text", batchSize = 32)
+      .orderBy("batch")
+
   /** Round-8: Hilbert-curve cells — the q101 rollup on the Hilbert
     * index instead of Z-order (adjacent cells are always spatially
     * adjacent; no quadrant-seam jumps), completing the layout
@@ -3341,7 +3348,8 @@ object SparkEntry {
       "q231_luhn_scan" -> (qLuhnScan _),
       "q232_hilbert_cells" -> (qHilbertCells _),
       "q233_hll_registers" -> (qHllRegisters _),
-      "q234_confusables" -> (qConfusables _))
+      "q234_confusables" -> (qConfusables _),
+      "q235_padding_audit" -> (qPaddingAudit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -717,4 +717,26 @@ class Round8Spec extends SparkSpec {
     assert(out(2) == ((0L, "pay with paypal today", false)))
     assert(out(3) == ((0L, "", false)))
   }
+
+  // --- padding audit (q235) ---------------------------------------------
+  test("paddingAudit: exact waste per sorted batch, ragged tail") {
+    // lengths: 1,1,2,3,5 words → sorted batches of 2: [1,1] [2,3] [5]
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a b"), (4L, "a b c"),
+      (5L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .paddingAudit(docs, "doc_id", "text", batchSize = 2)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 2L, 0L, 0L),          // [1,1]: zero waste
+      (1L, 2L, 3L, 5L, 1L, 166666L),     // [2,3]: 1 pad of 6 slots
+      (2L, 1L, 5L, 5L, 0L, 0L)))         // ragged [5]: zero waste
+    // sorted batching never wastes more than arrival order: total
+    // padding is minimal for contiguous batches of a sorted sequence
+    val total = out.map(_._5).sum
+    assert(total == 1L)
+  }
 }
