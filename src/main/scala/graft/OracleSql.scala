@@ -5247,6 +5247,55 @@ object OracleSql {
       |    ELSE 0 END AS BIGINT) AS padding_ppm
       |FROM b ORDER BY batch""".stripMargin
 
+  /** q236: HITS replay — both ppm power iterations unrolled as CTEs
+    * (join-sum on one endpoint, left-join zero-fill, truncating
+    * sum-normalization), the q102 convention. */
+  private val q236 = {
+    def round(i: Int, prevH: String): String =
+      s"""a${i}r AS (
+         |  SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS a
+         |  FROM edges e JOIN $prevH p ON p.node = e.src
+         |  GROUP BY e.dst),
+         |a${i}f AS (
+         |  SELECT n.node, COALESCE(a${i}r.a, 0) AS a
+         |  FROM nodes n LEFT JOIN a${i}r USING (node)),
+         |a$i AS (
+         |  SELECT node, CAST(CASE WHEN t.t > 0
+         |    THEN 1000000 * a // t.t ELSE 0 END AS BIGINT) AS a
+         |  FROM a${i}f, (SELECT SUM(a) AS t FROM a${i}f) t),
+         |h${i}r AS (
+         |  SELECT e.src AS node, CAST(SUM(q.a) AS BIGINT) AS h
+         |  FROM edges e JOIN a$i q ON q.node = e.dst
+         |  GROUP BY e.src),
+         |h${i}f AS (
+         |  SELECT n.node, COALESCE(h${i}r.h, 0) AS h
+         |  FROM nodes n LEFT JOIN h${i}r USING (node)),
+         |h$i AS (
+         |  SELECT node, CAST(CASE WHEN t.t > 0
+         |    THEN 1000000 * h // t.t ELSE 0 END AS BIGINT) AS h
+         |  FROM h${i}f, (SELECT SUM(h) AS t FROM h${i}f) t)"""
+        .stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION SELECT dst FROM edges)),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${round(1, "h0")},
+       |${round(2, "h1")}
+       |SELECT n.node AS nationkey, a2.a AS authority_ppm,
+       |  h2.h AS hub_ppm
+       |FROM nodes n
+       |JOIN a2 ON a2.node = n.node
+       |JOIN h2 ON h2.node = n.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5340,6 +5389,7 @@ object OracleSql {
     "q233_hll_registers" -> q233,
     "q234_confusables" -> q234,
     "q235_padding_audit" -> q235,
+    "q236_hits" -> q236,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -679,6 +679,15 @@ object SparkEntry {
         "doc_id", "text", batchSize = 32)
       .orderBy("batch")
 
+  /** Round-8: HITS hubs & authorities over the directed trade graph —
+    * 2 integer-ppm power iterations, sum-normalized; the good-pointer
+    * vs good-target split PageRank can't express. */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    PageRank.hits(tradeEdges(s, dir).select("src", "dst"), iters = 2)
+      .select(col("node").as("nationkey"), col("authority_ppm"),
+        col("hub_ppm"))
+      .orderBy("nationkey")
+
   /** Round-8: Hilbert-curve cells — the q101 rollup on the Hilbert
     * index instead of Z-order (adjacent cells are always spatially
     * adjacent; no quadrant-seam jumps), completing the layout
@@ -3349,7 +3358,8 @@ object SparkEntry {
       "q232_hilbert_cells" -> (qHilbertCells _),
       "q233_hll_registers" -> (qHllRegisters _),
       "q234_confusables" -> (qConfusables _),
-      "q235_padding_audit" -> (qPaddingAudit _))
+      "q235_padding_audit" -> (qPaddingAudit _),
+      "q236_hits" -> (qHits _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

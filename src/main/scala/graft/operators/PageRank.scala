@@ -73,4 +73,60 @@ object PageRank {
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the directed-graph
+    * complement to [[run]]: PageRank scores "endorsed-ness" in one
+    * number, HITS separates GOOD POINTERS (hubs) from GOOD TARGETS
+    * (authorities) — for a crawl corpus, the link-farm/directory-page
+    * discriminator PageRank cannot express.
+    *
+    * Power iteration in exact integer ppm: a_{t+1}(v) = Σ_{u→v}
+    * h_t(u), then normalize `1e6·a DIV Σa` (truncating — the sum, not
+    * L2, so arithmetic stays in bigints; the fixed point direction is
+    * identical, only the scale convention differs); h likewise from
+    * the fresh authorities. Every step is replayable by the oracle
+    * with the iterations unrolled as CTEs (the q102 convention).
+    *
+    * Scale shape per iteration: two hash shuffles (join on one edge
+    * endpoint + aggregate on the other) and two one-row sums
+    * broadcast back for the normalization — the PageRank exchange
+    * pattern plus the norm scalar. Lineage truncated per round.
+    * Nodes with no in-edges get authority 0; no out-edges ⇒ hub 0
+    * (rows retained via the node frame left join).
+    *
+    * Output: (node, authority_ppm, hub_ppm). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      var hubs = nodes.withColumn("h", lit(1000000L))
+      var auths = nodes.withColumn("a", lit(0L))
+      def normalized(df: DataFrame, c: String): DataFrame = {
+        val total = df.agg(sum(col(c)).as("t"))
+        df.crossJoin(broadcast(total))
+          .select(col("node"),
+            when(col("t") > 0, expr(s"1000000 * $c DIV t"))
+              .otherwise(0L).as(c))
+      }
+      for (_ <- 1 to iters) {
+        val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+        auths = normalized(
+          nodes.join(aRaw, Seq("node"), "left").na.fill(0L, Seq("a")),
+          "a").localCheckpoint()
+        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+        hubs = normalized(
+          nodes.join(hRaw, Seq("node"), "left").na.fill(0L, Seq("h")),
+          "h").localCheckpoint()
+      }
+      auths.join(hubs, "node")
+        .select(col("node"), col("a").as("authority_ppm"),
+          col("h").as("hub_ppm"))
+    } finally e.unpersist(false)
+  }
 }

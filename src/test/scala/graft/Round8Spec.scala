@@ -739,4 +739,30 @@ class Round8Spec extends SparkSpec {
     val total = out.map(_._5).sum
     assert(total == 1L)
   }
+
+  // --- HITS (q236) ------------------------------------------------------
+  test("hits: star graph separates the hub from the authorities") {
+    // node 0 points at 1,2,3; nothing points back: 0 is the only hub,
+    // 1-3 are equal authorities, and hub/authority sets are disjoint
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val out = graft.operators.PageRank.hits(edges, iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == ((0L, 0L, 1000000L)))          // pure hub
+    assert(out(1) == ((1L, 333333L, 0L)))           // equal authorities
+    assert(out(2) == ((2L, 333333L, 0L)))
+    assert(out(3) == ((3L, 333333L, 0L)))
+    // a co-citation graph: 0 and 4 both point at {1,2}; adding a
+    // stray edge 4->9 makes 4 a broader hub but splits its weight
+    val edges2 = Seq((0L, 1L), (0L, 2L), (4L, 1L), (4L, 2L), (4L, 9L))
+      .toDF("src", "dst")
+    val out2 = graft.operators.PageRank.hits(edges2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // 1 and 2 tie as authorities and beat 9 (endorsed by both hubs)
+    assert(out2(1L)._1 == out2(2L)._1 && out2(1L)._1 > out2(9L)._1)
+    // both pure hubs, zero authority
+    assert(out2(0L)._1 == 0L && out2(4L)._1 == 0L)
+    assert(out2(0L)._2 > 0L && out2(4L)._2 > 0L)
+  }
 }
