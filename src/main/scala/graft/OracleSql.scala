@@ -5296,6 +5296,47 @@ object OracleSql {
        |ORDER BY nationkey""".stripMargin
   }
 
+  /** q237: data-card replay — one aggregate row unpivoted by UNION
+    * ALL of literal-metric selects. */
+  private val q237 =
+    """WITH t AS (
+      |  SELECT
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS BIGINT) AS n_toks,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    lang, source, lower(text) AS norm
+      |  FROM documents),
+      |a AS (
+      |  SELECT
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_empty_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(count(DISTINCT norm) AS BIGINT) AS distinct_texts,
+      |    CAST(max(n_toks) AS BIGINT) AS max_tokens,
+      |    CAST(min(n_toks) AS BIGINT) AS min_tokens
+      |  FROM t)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+      |  UNION ALL SELECT 'n_sources', n_sources FROM a
+      |  UNION ALL SELECT 'n_langs', n_langs FROM a
+      |  UNION ALL SELECT 'n_empty_docs', n_empty_docs FROM a
+      |  UNION ALL SELECT 'total_tokens', total_tokens FROM a
+      |  UNION ALL SELECT 'total_chars', total_chars FROM a
+      |  UNION ALL SELECT 'distinct_texts', distinct_texts FROM a
+      |  UNION ALL SELECT 'max_tokens', max_tokens FROM a
+      |  UNION ALL SELECT 'min_tokens', min_tokens FROM a
+      |  UNION ALL SELECT 'exact_dup_docs', n_docs - distinct_texts
+      |    FROM a
+      |  UNION ALL SELECT 'mean_tokens_ppm',
+      |    CAST(CASE WHEN n_docs > 0
+      |      THEN 1000000 * total_tokens // n_docs
+      |      ELSE 0 END AS BIGINT) FROM a)
+      |ORDER BY metric""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -5390,6 +5431,7 @@ object OracleSql {
     "q234_confusables" -> q234,
     "q235_padding_audit" -> q235,
     "q236_hits" -> q236,
+    "q237_corpus_report" -> q237,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -679,6 +679,14 @@ object SparkEntry {
         "doc_id", "text", batchSize = 32)
       .orderBy("batch")
 
+  /** Round-8: corpus data card — one-pass exact-integer release
+    * report (sizes, breadth, dup mass, token stats) as a long
+    * (metric, value) frame. */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.corpusReport(Tables.documents(s, dir),
+        "doc_id", "text", "lang", "source")
+      .orderBy("metric")
+
   /** Round-8: HITS hubs & authorities over the directed trade graph —
     * 2 integer-ppm power iterations, sum-normalized; the good-pointer
     * vs good-target split PageRank can't express. */
@@ -3359,7 +3367,8 @@ object SparkEntry {
       "q233_hll_registers" -> (qHllRegisters _),
       "q234_confusables" -> (qConfusables _),
       "q235_padding_audit" -> (qPaddingAudit _),
-      "q236_hits" -> (qHits _))
+      "q236_hits" -> (qHits _),
+      "q237_corpus_report" -> (qCorpusReport _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

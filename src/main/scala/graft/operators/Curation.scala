@@ -206,6 +206,58 @@ object Curation {
       .drop("_key")
   }
 
+  /** One-pass corpus data card — the summary table a dataset release
+    * ships (Gebru et al.'s datasheets, Dolma/ROOTS-style reports):
+    * corpus size, source/language breadth, emptiness, exact-dup mass,
+    * token totals and extremes, all as EXACT integers in one long
+    * (metric, value) frame so it lands in any dashboard unpivoted.
+    *
+    * Scale shape: ONE aggregation over a single map-only derivation
+    * pass (token counts bound once, distinct counts as partial
+    * aggregates) then a literal unpivot of the 1-row result — no
+    * joins, no windows, one shuffle.
+    *
+    * Output: (metric, value) — n_docs, n_sources, n_langs,
+    * n_empty_docs, total_tokens, total_chars, distinct_texts,
+    * exact_dup_docs (= n_docs − distinct normalized texts),
+    * mean_tokens_ppm, max_tokens, min_tokens. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String): DataFrame = {
+    val t = docs.select(
+      size(filter(split(lower(col(textCol)), " "), w => w =!= ""))
+        .cast("long").as("n_toks"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      col(langCol).as("lang"), col(sourceCol).as("source"),
+      lower(col(textCol)).as("norm"))
+    val agg = t.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("n_toks") === 0, 1L).otherwise(0L))
+        .as("n_empty_docs"),
+      sum(col("n_toks")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("norm")).as("distinct_texts"),
+      max(col("n_toks")).as("max_tokens"),
+      min(col("n_toks")).as("min_tokens"))
+    val metrics = Seq(
+      "n_docs", "n_sources", "n_langs", "n_empty_docs",
+      "total_tokens", "total_chars", "distinct_texts", "max_tokens",
+      "min_tokens")
+    agg
+      .withColumn("exact_dup_docs",
+        col("n_docs") - col("distinct_texts"))
+      .withColumn("mean_tokens_ppm", expr(
+        """CAST(CASE WHEN n_docs > 0
+           THEN 1000000 * total_tokens DIV n_docs
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
+      .select(explode(array(
+        (metrics ++ Seq("exact_dup_docs", "mean_tokens_ppm")).map(m =>
+          struct(lit(m).as("metric"), col(m).cast("long").as("value"))
+        ): _*)).as("kv"))
+      .select(col("kv.metric"), col("kv.value"))
+  }
+
   /** Length-sorted batching padding audit — the "how much GPU time is
     * padding" readout that decides a training loader's batching
     * strategy: sort documents by token length (globally — the

@@ -765,4 +765,29 @@ class Round8Spec extends SparkSpec {
     assert(out2(0L)._1 == 0L && out2(4L)._1 == 0L)
     assert(out2(0L)._2 > 0L && out2(4L)._2 > 0L)
   }
+
+  // --- corpus data card (q237) ------------------------------------------
+  test("corpusReport: exact counts on a crafted corpus") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s2"),     // exact dup of 1
+      (3L, "A b C", "de", "s1"),     // dup after lowercasing
+      (4L, "", "en", "s1"),          // empty
+      (5L, "x y", "fr", "s3")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Curation
+      .corpusReport(docs, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "n_docs" -> 5L, "n_sources" -> 3L, "n_langs" -> 3L,
+      "n_empty_docs" -> 1L, "total_tokens" -> 11L,
+      "total_chars" -> 18L, "distinct_texts" -> 3L,
+      "exact_dup_docs" -> 2L, "max_tokens" -> 3L, "min_tokens" -> 0L,
+      "mean_tokens_ppm" -> 2200000L))
+    // one shuffle only: single aggregation, no joins/windows
+    val plan = graft.operators.Curation
+      .corpusReport(docs, "doc_id", "text", "lang", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+  }
 }
