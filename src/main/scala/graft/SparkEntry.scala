@@ -3398,8 +3398,10 @@ object SparkEntry {
     // LZW multi-frame walk, and decode→dHash→window dedup
     "q214_image_pixels", "q216_gif_frames", "q218_image_dhash",
     // round 8: the suffix-array flagship (q224 runs the full prefix
-    // doubling; q223's cost is its prefix, so one timer suffices)
-    "q224_repeated_spans")
+    // doubling; q223's cost is its prefix, so one timer suffices),
+    // plus the two other multi-stage round-8 operators worth watching
+    // (SNM's global-ordinal machinery; PQ's two Lloyd rounds)
+    "q224_repeated_spans", "q219_sorted_neighborhood", "q226_pq_codes")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
