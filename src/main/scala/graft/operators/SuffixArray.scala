@@ -38,6 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
+  /** Tokenize + drop empties, lineage-truncated — the ONE corpus scan
+    * both [[tokenSuffixRanks]] and [[repeatedSpans]] iterate from.
+    * Output: (doc_id long, ws array<string>), every ws non-empty. */
+  private[graft] def tokenized(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        filter(Dedup.words(col(textCol)), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint()
+
   /** Dense lexicographic rank of every token suffix.
     *
     * Output: (doc_id, off, sa_rank) — off is the 1-based token
@@ -45,13 +55,24 @@ object SuffixArray {
     * suffixes of ALL documents (ties = identical suffixes). Empty
     * documents contribute no rows. */
   def tokenSuffixRanks(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        filter(Dedup.words(col(textCol)), w => w =!= "").as("ws"))
-      .filter(size(col("ws")) > 0)
-      .localCheckpoint()
-    val n = toks.agg(sum(size(col("ws")))).head.getLong(0)
-    val maxLen = toks.agg(max(size(col("ws")))).head.getInt(0)
+                       textCol: String): DataFrame =
+    tokenSuffixRanks(tokenized(docs, idCol, textCol))
+
+  /** Pre-tokenized entry point (round-9 advice: [[repeatedSpans]] was
+    * re-running the tokenize + checkpoint pass [[tokenSuffixRanks]]
+    * had already paid — at sf0.1 a full redundant corpus scan inside
+    * the most expensive bench query). `toks` must be
+    * (doc_id long, ws array<string>) with every ws non-empty, and is
+    * iterated over O(log maxLen) rounds — pass a checkpointed/cached
+    * frame ([[tokenized]] does this). */
+  def tokenSuffixRanks(toks: DataFrame): DataFrame = {
+    // one fused job for both driver scalars (they were two separate
+    // aggregation jobs over the same checkpointed frame)
+    val dims = toks
+      .agg(sum(size(col("ws"))).as("n"), max(size(col("ws"))).as("m"))
+      .head
+    val n = dims.getLong(0)
+    val maxLen = dims.getInt(1)
 
     // positions + first-token dense rank (ordinal over distinct tokens)
     val pos = toks.select(col("doc_id"),
@@ -123,11 +144,8 @@ object SuffixArray {
                     minSpan: Int, topK: Int,
                     maxSpan: Int = 64): DataFrame = {
     require(minSpan >= 1 && maxSpan >= minSpan && topK >= 1)
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        filter(Dedup.words(col(textCol)), w => w =!= "").as("ws"))
-      .filter(size(col("ws")) > 0)
-      .localCheckpoint()
-    val ranks = tokenSuffixRanks(docs, idCol, textCol)
+    val toks = tokenized(docs, idCol, textCol)
+    val ranks = tokenSuffixRanks(toks)
 
     // representative (min doc, then min off) + group size per rank
     val grp = ranks.groupBy("sa_rank")
