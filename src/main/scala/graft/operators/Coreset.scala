@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * (centers inlined as literals — no join, no shuffle) and one
   * TakeOrdered(1) argmax. k rounds total; nothing corpus-sized ever
   * moves. Recomputing min-distance from scratch each round costs
-  * O(k²)·n distance evals instead of a checkpointed O(k)·n running
-  * minimum — for coreset-sized k the constant is tiny and the
-  * stateless form needs no lineage management.
+  * O(k²)·n distance evals; [[farthestPointSampleCarry]] is the
+  * checkpointed O(k)·n running-minimum twin for large k — for
+  * coreset-sized k the stateless form wins on having no lineage
+  * management.
   *
   * Output: (rank, vec_id, mind2) — rank 0 is the seed (mind2 = 0);
   * mind2 is the chosen point's distance² to the nearest prior center
@@ -36,25 +37,79 @@ object Coreset {
     aggregate(zip_with(q, array(center.map(lit): _*),
       (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
-  /** vecs: (id, q) with q an array<long> (quantize16). */
+  /** vecs: (id, q) with q an array<long> (quantize16).
+    *
+    * Fewer than k rows come back when the greedy argmax hits
+    * mind2 = 0 — every remaining point coincides with a chosen
+    * center, so further rounds would only re-select duplicates
+    * (round-9 advice guard; same early stop as [[farthestPointSampleCarry]]). */
   def farthestPointSample(vecs: DataFrame, k: Int): DataFrame = {
-    require(k >= 1)
+    require(k >= 1, s"farthestPointSample: k must be >= 1, got $k")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val seed = vecs.orderBy(col("id")).limit(1)
-      .select(col("id"), col("q")).head()
+    val seedRows = vecs.orderBy(col("id")).limit(1)
+      .select(col("id"), col("q")).collect()
+    require(seedRows.nonEmpty,
+      "farthestPointSample: input has no vectors (empty frame)")
+    val seed = seedRows.head
     var centers =
       Vector((0, seed.getLong(0), seed.getSeq[Long](1), 0L))
-    (1 until k).foreach { r =>
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
       val dists = centers.map(c => d2Lit(col("q"), c._3))
       val mind = if (dists.size == 1) dists.head else least(dists: _*)
       val next = vecs.select(col("id"), col("q"), mind.as("md"))
         .orderBy(col("md").desc, col("id").asc)
         .limit(1).head()
-      centers = centers :+
-        ((r, next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+      if (next.getLong(2) == 0L) exhausted = true
+      else {
+        centers = centers :+
+          ((r, next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+        r += 1
+      }
     }
-    centers.map { case (r, id, _, md) => (r, id, md) }
+    centers.map { case (rk, id, _, md) => (rk, id, md) }
       .toDF("rank", "vec_id", "mind2")
+  }
+
+  /** Running-minimum form (round-9 advisory #8): identical output to
+    * [[farthestPointSample]], but the min-distance-to-centers is
+    * CARRIED between rounds — each round updates md with ONE distance
+    * eval against only the newly-picked center (`least(md, d2_new)`)
+    * and checkpoints, so total work is O(k)·n distance evals instead
+    * of the stateless form's O(k²)·n. The right form once k stops
+    * being coreset-tiny (hundreds of exemplars over a 100 TB corpus);
+    * the stateless form stays the default because it needs no lineage
+    * management. Equality of the two forms is spec-pinned. */
+  def farthestPointSampleCarry(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"farthestPointSampleCarry: k must be >= 1, got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val seedRows = vecs.orderBy(col("id")).limit(1)
+      .select(col("id"), col("q")).collect()
+    require(seedRows.nonEmpty,
+      "farthestPointSampleCarry: input has no vectors (empty frame)")
+    val seed = seedRows.head
+    var picked = Vector((0, seed.getLong(0), 0L))
+    var cur = vecs.select(col("id"), col("q"),
+        d2Lit(col("q"), seed.getSeq[Long](1)).as("md"))
+      .localCheckpoint()
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val next = cur.orderBy(col("md").desc, col("id").asc)
+        .limit(1).head()
+      if (next.getLong(2) == 0L) exhausted = true
+      else {
+        picked = picked :+ ((r, next.getLong(0), next.getLong(2)))
+        cur = cur.select(col("id"), col("q"),
+            least(col("md"), d2Lit(col("q"), next.getSeq[Long](1)))
+              .as("md"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    picked.toDF("rank", "vec_id", "mind2")
   }
 }

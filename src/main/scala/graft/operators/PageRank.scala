@@ -87,6 +87,14 @@ object PageRank {
     * the fresh authorities. Every step is replayable by the oracle
     * with the iterations unrolled as CTEs (the q102 convention).
     *
+    * Overflow contract (matching [[run]]'s rank·w bound): scores are
+    * normalized to ≤ 1e6 after every half-step, so a raw per-node sum
+    * is at most in-degree·1e6 and the `1000000 * a` staging must stay
+    * under 2^63 — i.e. max in-degree (and out-degree) below ~9.2e6.
+    * Past that, pre-scale the normalization through DECIMAL or lower
+    * the ppm base; under ANSI mode the overflow errors rather than
+    * wrapping, so the bound is loud.
+    *
     * Scale shape per iteration: two hash shuffles (join on one edge
     * endpoint + aggregate on the other) and two one-row sums
     * broadcast back for the normalization — the PageRank exchange

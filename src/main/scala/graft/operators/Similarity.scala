@@ -28,17 +28,28 @@ object Similarity {
     * immediate, actionable error instead of a driver OOM. */
   val MaxBroadcastRows: Int = 200000
 
+  /** Thrown by [[collectBounded]] when a broadcast-contract side
+    * overflows its cap. A DEDICATED type (round-9 advice): the router
+    * below used to match `IllegalArgumentException` by message
+    * substring ("exceeds"), which would also swallow unrelated
+    * `require` failures from eager upstream construction (e.g.
+    * LabelProp.modularity's bound check) and silently downgrade the
+    * exact path to LSH. Catching this type catches ONLY the cap. */
+  private[graft] final class BroadcastCapExceeded(msg: String)
+    extends RuntimeException(msg)
+
   /** Driver-side collect with an explicit bound: fetch at most
     * `maxRows + 1` rows (the limit is pushed into the scan, so the
     * full side is never materialized) and fail loudly past the cap. */
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
                                 maxRows: Int, what: String): Array[T] = {
     val got = ds.limit(maxRows + 1).collect()
-    require(got.length <= maxRows,
-      s"$what exceeds $maxRows rows; this kernel collects and broadcasts " +
-        s"the whole $what side by contract (dimension-table-sized query/" +
-        "eval sets). Use the LSH/IVF paths for corpus-scale inputs, or " +
-        "raise maxRows explicitly if the side genuinely fits the driver.")
+    if (got.length > maxRows)
+      throw new BroadcastCapExceeded(
+        s"$what exceeds $maxRows rows; this kernel collects and broadcasts " +
+          s"the whole $what side by contract (dimension-table-sized query/" +
+          "eval sets). Use the LSH/IVF paths for corpus-scale inputs, or " +
+          "raise maxRows explicitly if the side genuinely fits the driver.")
     got
   }
 
@@ -59,10 +70,7 @@ object Similarity {
                         dims: Int, nPlanes: Int, nProbes: Int): DataFrame =
     try bruteForceTopKFast(spark, q, c, k, maxRows)
     catch {
-      // collectBounded's cap require — the only IllegalArgumentException
-      // on the kernel's construction path
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("exceeds") =>
+      case _: BroadcastCapExceeded =>
         lshTopK(q, c, dims, nPlanes, k, nProbes)
     }
 

@@ -23,4 +23,39 @@ class Round9Spec extends SparkSpec {
       .collect().map(key).toSet
     assert(viaDocs == viaToks && viaDocs.nonEmpty)
   }
+
+  // --- coreset: carry form + guards (advice + advisory #8) --------------
+  test("coreset: running-minimum carry form ≡ stateless form") {
+    val qv = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      graft.operators.Similarity.quantize16(col("embedding")).as("q"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val stateless = rows(graft.operators.Coreset.farthestPointSample(qv, 6))
+    val carry = rows(graft.operators.Coreset.farthestPointSampleCarry(qv, 6))
+    assert(stateless == carry && stateless.size == 6)
+  }
+
+  test("coreset: duplicate-only remainder stops early; empty input errors") {
+    // 4 rows, 3 distinct vectors: id 3 duplicates id 1 — both forms
+    // must stop at 3 centers instead of re-selecting a covered point
+    val dup = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(100L, 0L)),
+      (3L, Seq(0L, 0L)), (4L, Seq(0L, 80L))).toDF("id", "q")
+    val a = graft.operators.Coreset.farthestPointSample(dup, 4).collect()
+    val b = graft.operators.Coreset.farthestPointSampleCarry(dup, 4).collect()
+    assert(a.length == 3 && b.length == 3)
+    assert(a.map(_.getLong(1)).toSet == Set(1L, 2L, 4L))
+    assert(a.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("id", "q")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Coreset.farthestPointSample(empty, 2)
+    }
+    assert(e1.getMessage.contains("no vectors"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Coreset.farthestPointSampleCarry(empty, 2)
+    }
+    assert(e2.getMessage.contains("no vectors"))
+  }
 }

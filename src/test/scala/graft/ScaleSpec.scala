@@ -185,7 +185,9 @@ class ScaleSpec extends SparkSpec {
 
   test("cosineNearDupPairs: bounded collect fails loudly past the cap") {
     val vecs = pairedVectors(30, 8)
-    val e = intercept[IllegalArgumentException] {
+    // round 9: the cap now throws a dedicated type, so the router can
+    // never confuse it with an unrelated require failure
+    val e = intercept[graft.operators.Similarity.BroadcastCapExceeded] {
       graft.operators.Similarity
         .cosineNearDupPairs(spark, vecs, 0.9, maxRows = 10).collect()
     }
