@@ -161,26 +161,118 @@ object Quantization {
     * query's REAL subvectors to each corpus vector's CODED centroids.
     * queries: (qid, q); corpus: (id, q) — encoded internally (a
     * stored-code table composes the same way); codebook: (s, code,
-    * cvec). Output: (query_id, rank, neighbor_id, adc_d2). */
+    * cvec). Output: (query_id, rank, neighbor_id, adc_d2).
+    *
+    * Route (round-9 advisory #7, the routeTopK convention): the
+    * |Q|·S·k LUT is broadcast only while it fits `maxLutRows` —
+    * probed with a bounded count (limit pushed into the scan, one
+    * tiny job; there is no driver collect here whose failure could
+    * serve as the probe). Past the cap the LUT stays distributed and
+    * the join runs SALTED: (s, code) alone has only S·k distinct
+    * values, so an unsalted shuffle join would land everything on
+    * S·k reducers — instead the LUT side gets salt = qid mod P and
+    * the corpus codes replicate P ways, the standard small-key-space
+    * skew treatment. Identical output, spec-pinned. */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
                 codebook: DataFrame, subspaces: Int, subDim: Int,
-                k: Int): DataFrame = {
+                k: Int,
+                maxLutRows: Int = Similarity.MaxBroadcastRows): DataFrame = {
     val codes = assignSubs(subRows(corpus, subspaces, subDim), codebook)
       .select(col("id"), col("s"), col("code"))
     val qsubs = subRows(queries.select(col("qid").as("id"), col("q")),
         subspaces, subDim)
       .select(col("id").as("qid"), col("s"), col("v8").as("qv8"))
-    // per-(query, s, code) partial distances: tiny (|Q|·S·k rows)
+    // per-(query, s, code) partial distances: |Q|·S·k rows
     val lut = qsubs.join(broadcast(codebook), Seq("s"))
       .select(col("qid"), col("s"), col("code"),
         subDist2(col("qv8"), col("cvec")).as("pd2"))
+    val underCap = lut.limit(maxLutRows + 1).count() <= maxLutRows
+    val joined =
+      if (underCap) codes.join(broadcast(lut), Seq("s", "code"))
+      else {
+        val p = 32
+        val salted = lut.withColumn("salt",
+          pmod(col("qid"), lit(p.toLong)).cast("int"))
+        codes.withColumn("salt",
+            explode(sequence(lit(0), lit(p - 1))))
+          .join(salted, Seq("s", "code", "salt"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    codes.join(broadcast(lut), Seq("s", "code"))
+    joined
       .filter(col("qid") =!= col("id"))
       .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV) — the composite index: IVF coarse
+    * cells bound WHICH corpus vectors a query scores ([[IvfIndex]]'s
+    * probed lists), PQ-ADC bounds HOW each candidate is scored
+    * (coded centroids, never the original vectors). This is the
+    * standard billion-scale ANN serving shape: search cost drops by
+    * ~nProbe/#cells relative to full ADC, storage stays S codes per
+    * vector.
+    *
+    * queries: (qid, q); corpus: (id, q); coarse: (cluster_id, c) from
+    * [[IvfIndex.trainPortable]]; codebook: (s, code, cvec) from
+    * [[pqTrain]]. All quantize16 integer arithmetic — every step
+    * (cell assign, probe argmin, LUT, ADC sum) replays in the oracle.
+    *
+    * Scale shape: the corpus is assigned to cells and PQ-encoded once
+    * (broadcast coarse/codebook joins, window argmin per id); the
+    * probe LUT (|Q|·nProbe·S·k rows, query-side-sized by the eval-set
+    * contract) broadcasts against the corpus codes on (cluster_id, s,
+    * code) — corpus rows fan out only to the queries that probed
+    * their cell. Codes in unprobed cells are filtered by the join
+    * itself, which is the entire IVFADC win.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_d2). */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+                 coarse: DataFrame, codebook: DataFrame,
+                 subspaces: Int, subDim: Int, nProbe: Int,
+                 k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1)
+    // corpus side: coarse cell + PQ codes per vector, one pass each
+    val cells = IvfIndex.assignPortable(
+        corpus.select(col("id"), col("q")), coarse)
+      .select(col("id"), col("cluster_id"))
+    val codes = assignSubs(subRows(corpus, subspaces, subDim), codebook)
+      .select(col("id"), col("s"), col("code"))
+      .join(cells, "id")
+    // query side: nProbe nearest coarse centroids by integer L2
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("cd2", subDist2(col("q"), col("c")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cluster_id"))
+    // probe-scoped LUT: (qid, cluster_id, s, code, pd2)
+    val qsubs = subRows(queries.select(col("qid").as("id"), col("q")),
+        subspaces, subDim)
+      .select(col("id").as("qid"), col("s"), col("v8").as("qv8"))
+    val lut = qsubs.join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        subDist2(col("qv8"), col("cvec")).as("pd2"))
+      .join(probes, Seq("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("cluster_id", "s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      // a candidate seen via one probed cell contributes all S
+      // subspaces exactly once: (cluster_id, s, code) matches one
+      // LUT row per (qid, s) because cluster_id is functionally
+      // determined by id and the probe pair (qid, cluster_id) is
+      // unique — so the sum is the plain ADC distance
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
