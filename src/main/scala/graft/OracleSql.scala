@@ -4853,11 +4853,13 @@ object OracleSql {
       |WHERE (doc_id + off) % 17 = 0
       |ORDER BY doc_id, off""".stripMargin
 
-  /** q224: repeated-span replay — dup = tie groups (exact length),
-    * adj = LCP between min-(doc,off) representatives of adjacent
-    * ranks over 64-token capped slices, via the q212 stopped-fold. */
-  private val q224 =
-    """WITH t AS (
+  /** Shared q224/q240 span-mining chain: tokenize, capped suffixes,
+    * dense suffix ranks, rank-group representatives, dup + adj span
+    * candidates. dup = tie groups (exact length), adj = LCP between
+    * min-(doc,off) representatives of adjacent ranks over 64-token
+    * capped slices, via the q212 stopped-fold. */
+  private val saMineCtes =
+    """t AS (
       |  SELECT doc_id,
       |    list_filter(string_split(lower(text), ' '), w -> w <> '')
       |      AS ws
@@ -4892,11 +4894,62 @@ object OracleSql {
       |        AND a.csuf[CAST(j AS INTEGER)] = b.csuf[CAST(j AS INTEGER)]
       |        THEN j ELSE acc END) AS BIGINT) AS span,
       |    CAST(2 AS BIGINT) AS n_occurrences, a.doc_id, a.off
-      |  FROM rep a JOIN rep b ON b.sa_rank = a.sa_rank + 1)
+      |  FROM rep a JOIN rep b ON b.sa_rank = a.sa_rank + 1)""".stripMargin
+
+  /** q224: repeated-span replay over [[saMineCtes]]. */
+  private val q224 =
+    s"""WITH $saMineCtes
       |SELECT * FROM (
       |  SELECT * FROM dup UNION ALL SELECT * FROM adj)
       |WHERE span >= 2
       |ORDER BY span DESC, sa_rank ASC, kind ASC LIMIT 25""".stripMargin
+
+  /** q240: mined-span removal replay — the q224 chain as a `mined`
+    * CTE, span text from the representative location, per-length
+    * window generation, raw-text matching (the engine matches
+    * xxhash64 of the same text), covered-index expansion, and
+    * order-preserving reassembly. */
+  private val q240 =
+    s"""WITH $saMineCtes,
+      |mined AS (
+      |  SELECT * FROM (
+      |    SELECT * FROM dup UNION ALL SELECT * FROM adj)
+      |  WHERE span >= 2
+      |  ORDER BY span DESC, sa_rank ASC, kind ASC LIMIT 25),
+      |sp AS (
+      |  SELECT DISTINCT
+      |    array_to_string(t.ws[CAST(m.off AS INTEGER) :
+      |      CAST(m.off + m.span - 1 AS INTEGER)], ' ') AS stext,
+      |    CAST(m.span AS INTEGER) AS len
+      |  FROM mined m JOIN t ON t.doc_id = m.doc_id),
+      |lens AS (SELECT DISTINCT len FROM sp),
+      |wnd AS (
+      |  SELECT t.doc_id, CAST(u.i AS INTEGER) AS pos0, l.len,
+      |    array_to_string(t.ws[CAST(u.i + 1 AS INTEGER) :
+      |      CAST(u.i + l.len AS INTEGER)], ' ') AS wtext
+      |  FROM t CROSS JOIN lens l,
+      |    UNNEST(range(0, len(t.ws) - l.len + 1)) u(i)
+      |  WHERE len(t.ws) >= l.len),
+      |fl AS (
+      |  SELECT DISTINCT w.doc_id, w.pos0, w.len
+      |  FROM wnd w JOIN sp ON sp.len = w.len AND sp.stext = w.wtext),
+      |covp AS (
+      |  SELECT DISTINCT fl.doc_id, u.i AS idx
+      |  FROM fl, UNNEST(range(fl.pos0, fl.pos0 + fl.len)) u(i)),
+      |tok AS (
+      |  SELECT t.doc_id, u.i AS idx,
+      |    t.ws[CAST(u.i + 1 AS INTEGER)] AS w
+      |  FROM t, UNNEST(range(0, len(t.ws))) u(i))
+      |SELECT tok.doc_id,
+      |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+      |  CAST(COUNT(covp.idx) AS INTEGER) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    list(tok.w ORDER BY tok.idx) FILTER (WHERE covp.idx IS NULL),
+      |    ' '), '') AS clean_text
+      |FROM tok LEFT JOIN covp
+      |  ON covp.doc_id = tok.doc_id AND covp.idx = tok.idx
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
 
   /** q225: Fellegi–Sunter replay — nation-blocked pairs, three
     * agreement fields (IEEE floor bands compare bit-identically on
@@ -5592,6 +5645,7 @@ object OracleSql {
     "q237_corpus_report" -> q237,
     "q238_ivfadc" -> q238,
     "q239_em_fit" -> q239,
+    "q240_mined_span_removal" -> q240,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

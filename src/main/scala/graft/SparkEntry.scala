@@ -519,6 +519,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minSpan = 2, topK = 25, maxSpan = 64)
 
+  /** Round-9: the Lee et al. 2022 end-to-end — q224's suffix-array
+    * span mining feeding span REMOVAL in one pipeline (one tokenized
+    * corpus scan shared; the topK-bounded mined span set broadcasts
+    * to the removal semi join). */
+  private def qMinedSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    operators.SuffixArray.minedSpanRemoval(
+        Tables.documents(s, dir), "doc_id", "text",
+        minSpan = 2, topK = 25, maxSpan = 64)
+      .orderBy("doc_id")
+
   /** Round-8: Fellegi–Sunter record linkage customer↔supplier —
     * nation-blocked candidate pairs, three agreement fields (name
     * tail digits, acctbal thousand- and hundred-bands via pure IEEE
@@ -3411,7 +3421,8 @@ object SparkEntry {
       "q236_hits" -> (qHits _),
       "q237_corpus_report" -> (qCorpusReport _),
       "q238_ivfadc" -> (qIvfAdc _),
-      "q239_em_fit" -> (qEmFit _))
+      "q239_em_fit" -> (qEmFit _),
+      "q240_mined_span_removal" -> (qMinedSpanRemoval _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

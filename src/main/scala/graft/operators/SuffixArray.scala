@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed suffix array over token sequences by prefix doubling —
@@ -142,9 +142,15 @@ object SuffixArray {
     * Output: (sa_rank, kind, span, n_occurrences, doc_id, off). */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     minSpan: Int, topK: Int,
-                    maxSpan: Int = 64): DataFrame = {
+                    maxSpan: Int = 64): DataFrame =
+    repeatedSpans(tokenized(docs, idCol, textCol), minSpan, topK, maxSpan)
+
+  /** Pre-tokenized entry point (the [[tokenSuffixRanks]] convention):
+    * `toks` = (doc_id, ws) from [[tokenized]], shared with any other
+    * consumer of the same corpus scan. */
+  def repeatedSpans(toks: DataFrame, minSpan: Int, topK: Int,
+                    maxSpan: Int): DataFrame = {
     require(minSpan >= 1 && maxSpan >= minSpan && topK >= 1)
-    val toks = tokenized(docs, idCol, textCol)
     val ranks = tokenSuffixRanks(toks)
 
     // representative (min doc, then min off) + group size per rank
@@ -184,5 +190,70 @@ object SuffixArray {
       .filter(col("span") >= minSpan)
       .orderBy(col("span").desc, col("sa_rank").asc, col("kind").asc)
       .limit(topK)
+  }
+
+  /** The Lee et al. 2022 end-to-end: mine the corpus-wide repeated
+    * spans from the suffix array ([[repeatedSpans]]), then CUT every
+    * occurrence of every mined span from every document and reassemble
+    * — find globally, remove locally, in one pipeline
+    * ([[Dedup.removeDuplicateSpans]] is the fixed-window cousin; this
+    * one removes exactly the spans the suffix array surfaced, at their
+    * exact lengths).
+    *
+    * Scale shape: ONE tokenized corpus scan feeds mining and removal
+    * (the round-9 shared-scan convention). The mined span set is
+    * topK-bounded by construction, so its token text and the distinct
+    * length set BROADCAST to the removal side: window generation is a
+    * map-only explode per (doc, mined length) — O(Σ tokens · |lens|)
+    * with |lens| ≤ topK — pruned immediately by the broadcast semi
+    * join on the 64-bit span hash; flagged starts come back as one
+    * per-doc collect_list and a single index-aware filter lambda cuts
+    * covered tokens map-side (the [[Dedup.removeDuplicateSpans]]
+    * kernel, generalized to per-span lengths). Nothing corpus-sized
+    * ever shuffles except the flagged-window starts.
+    *
+    * Hash convention as [[Dedup.duplicateSpans]]: spans compare as
+    * xxhash64 of the space-joined token text; the oracle compares raw
+    * text (a collision could only over-remove one window; the engines
+    * agree at test SFs).
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) for every
+    * document with ≥ 1 token after the [[tokenized]] empty-token
+    * filter. */
+  def minedSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                       minSpan: Int, topK: Int,
+                       maxSpan: Int = 64): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
+    // span token text from the representative location (topK-bounded,
+    // so it broadcasts — the corpus-sized toks never shuffles here)
+    val sp = broadcast(mined).join(toks, "doc_id")
+      .select(xxhash64(concat_ws(" ",
+          slice(col("ws"), col("off").cast("int"),
+            col("span").cast("int")))).as("h"),
+        col("span").cast("int").as("len"))
+      .distinct()
+    val lens = sp.select("len").distinct()
+    val windows = toks.crossJoin(broadcast(lens))
+      .filter(size(col("ws")) >= col("len"))
+      .select(col("doc_id"), col("len"), explode(
+        transform(sequence(lit(0), size(col("ws")) - col("len")),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ",
+              slice(col("ws"), i + 1, col("len")))).as("h"))))
+        .as("wd"))
+      .select(col("doc_id"), col("wd.pos"), col("len"), col("wd.h"))
+    val flagged = windows.join(broadcast(sp), Seq("h", "len"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("len"))).as("ps"))
+    val covered = (i: Column) => coalesce(
+      exists(col("ps"), p => i >= p.getField("pos") &&
+        i < p.getField("pos") + p.getField("len")), lit(false))
+    toks.join(flagged, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("ws"), (t, i) => not(covered(i))))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 }

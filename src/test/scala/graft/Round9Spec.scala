@@ -163,6 +163,40 @@ class Round9Spec extends SparkSpec {
       s"IVFADC recall@5 not above random: $hit/${truth.size}")
   }
 
+  // --- SA → span-removal pipeline (advisory #4) -------------------------
+  test("minedSpanRemoval: a planted repeated phrase is cut from every " +
+      "occurrence; unaffected docs pass through") {
+    val phrase = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, s"alpha $phrase beta"),
+      (2L, s"$phrase gamma delta epsilon"),
+      (3L, s"zeta eta theta $phrase"),
+      (4L, "iota kappa lambda mu nu xi omicron pi rho sigma"),
+      (5L, "tau upsilon phi chi psi omega one two three four"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.SuffixArray
+      .minedSpanRemoval(docs, "doc_id", "text",
+        minSpan = 3, topK = 10, maxSpan = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // the 6-token phrase repeats in docs 1-3 and must be mined + cut
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (_, removed, clean) = out(id)
+      assert(removed >= 6, s"doc $id removed only $removed")
+      assert(!clean.contains("lorem") && !clean.contains("consectetur"),
+        s"doc $id still contains the planted phrase: $clean")
+    }
+    // docs without any repeat are untouched
+    assert(out(4L) == ((10, 0,
+      "iota kappa lambda mu nu xi omicron pi rho sigma")))
+    assert(out(5L)._2 == 0)
+    // totals consistent everywhere
+    out.values.foreach { case (n, rm, clean) =>
+      val keptLen = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(n - rm == keptLen)
+    }
+  }
+
   // --- Fellegi–Sunter EM fitting (advisory #3) --------------------------
   test("emFit: EM recovers a planted match/non-match mixture " +
       "(scalacheck over well-separated parameter draws)") {
