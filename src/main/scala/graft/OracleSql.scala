@@ -4497,6 +4497,56 @@ object OracleSql {
       |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q241: mixed-profile image replay — q214's scheme with a per-
+    * profile branch: ids with doc_id % 4 = 3 carry 8-bit grayscale
+    * PNGs (raster v = (7x+11y+id) mod 256, luma of a gray pixel is
+    * exactly v since (77+150+29)v >> 8 = v), everything else the
+    * standard rgb formula regardless of container (BMP, truecolor
+    * PNG, or paletted PNG — the PLTE indirection is lossless). */
+  private val q241 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 9 AS w,
+      |    8 + (3 * doc_id) % 9 AS h,
+      |    doc_id % 4 AS prof
+      |  FROM documents),
+      |px AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(CASE WHEN i.prof = 3
+      |      THEN (7 * x.v + 11 * y.v + i.doc_id) % 256
+      |      ELSE (7 * x.v + i.doc_id) % 256 END) AS BIGINT) AS sum_r,
+      |    CAST(SUM(CASE WHEN i.prof = 3
+      |      THEN (7 * x.v + 11 * y.v + i.doc_id) % 256
+      |      ELSE (11 * y.v + 2 * i.doc_id) % 256 END) AS BIGINT) AS sum_g,
+      |    CAST(SUM(CASE WHEN i.prof = 3
+      |      THEN (7 * x.v + 11 * y.v + i.doc_id) % 256
+      |      ELSE (x.v + y.v + 3 * i.doc_id) % 256 END) AS BIGINT) AS sum_b
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 16)) x ON x.v < i.w
+      |  JOIN (SELECT range AS v FROM range(0, 16)) y ON y.v < i.h
+      |  GROUP BY i.doc_id),
+      |rl AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(CASE WHEN i.prof = 3
+      |      THEN (7 * ((tx.v * i.w) // 4) + 11 * ((ty.v * i.h) // 4)
+      |            + i.doc_id) % 256
+      |      ELSE
+      |      (  77 * ((7 * ((tx.v * i.w) // 4) + i.doc_id) % 256)
+      |       + 150 * ((11 * ((ty.v * i.h) // 4) + 2 * i.doc_id) % 256)
+      |       +  29 * (((tx.v * i.w) // 4 + (ty.v * i.h) // 4
+      |                 + 3 * i.doc_id) % 256)
+      |      ) // 256 END) AS BIGINT) AS resized_luma_sum
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+      |  px.sum_r, px.sum_g, px.sum_b, rl.resized_luma_sum,
+      |  TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q215: WAV-decode replay WITHOUT audio — same scheme as q214: the
     * engine encodes s(i) = (17i + 3·id) mod 2001 − 1000 (n = 64 +
     * id mod 65 mono samples at 8000 + (id mod 5)·1000 Hz) into real
@@ -5646,6 +5696,7 @@ object OracleSql {
     "q238_ivfadc" -> q238,
     "q239_em_fit" -> q239,
     "q240_mined_span_removal" -> q240,
+    "q241_png_profiles" -> q241,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

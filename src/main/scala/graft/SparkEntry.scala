@@ -438,6 +438,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-9: the broadened real-crawl PNG profiles through the same
+    * decode→stats kernel as q214 — payloads rotate BMP / truecolor
+    * PNG / PALETTED PNG (PLTE indirection) / 8-bit GRAYSCALE PNG by
+    * id mod 4; the oracle replays per-profile closed forms, so a hash
+    * match proves byte-exact recovery through the palette lookup and
+    * the gray expansion on every row. */
+  private def qPngProfiles(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticMixedImagePayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
     * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
     * into genuine WAV bytes in-engine, decoded back distributed, and
@@ -3422,7 +3439,8 @@ object SparkEntry {
       "q237_corpus_report" -> (qCorpusReport _),
       "q238_ivfadc" -> (qIvfAdc _),
       "q239_em_fit" -> (qEmFit _),
-      "q240_mined_span_removal" -> (qMinedSpanRemoval _))
+      "q240_mined_span_removal" -> (qMinedSpanRemoval _),
+      "q241_png_profiles" -> (qPngProfiles _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

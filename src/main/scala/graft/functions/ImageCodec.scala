@@ -124,20 +124,28 @@ object ImageCodec {
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
-  /** 8-bit-depth non-interlaced PNG, color types 0 (gray), 2 (RGB)
-    * and 6 (RGBA): signature check, chunk walk (IDAT segments
-    * concatenated — encoders may split them arbitrarily), one
-    * Inflater pass, then per-scanline unfiltering with all five RFC
-    * 2083 filters. Chunk CRCs are NOT verified (zlib's own adler32
-    * already guards the pixel stream; CRC checking doubles the byte
-    * walks for corruption classes that can't silently produce valid
-    * inflate output). */
+  /** Non-interlaced PNG over the real-crawl profile set (round-9
+    * broadening of the original 8-bit 0/2/6 decoder): color types
+    * 0 (gray, bit depths 1/2/4/8), 2 (RGB, 8), 3 (paletted via PLTE,
+    * bit depths 1/2/4/8), 4 (gray+alpha, 8) and 6 (RGBA, 8) —
+    * signature check, chunk walk (IDAT segments concatenated —
+    * encoders may split them arbitrarily), one Inflater pass, then
+    * per-scanline unfiltering with all five RFC 2083 filters (filter
+    * bpp = ceil(bits-per-pixel / 8) per the spec's sub-byte rule).
+    * Sub-byte samples unpack MSB-first; gray depths scale by
+    * 255/(2^d−1) (= ×255/×85/×17); alpha is decoded then dropped
+    * (color-plane stats, the type-6 convention). 16-bit depths and
+    * Adam7 interlace remain out of profile and return None. Chunk
+    * CRCs are NOT verified (zlib's own adler32 already guards the
+    * pixel stream; CRC checking doubles the byte walks for corruption
+    * classes that can't silently produce valid inflate output). */
   def decodePng(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 45) return None
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
     var off = 8
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var bitDepth = 0
+    var palette: Array[Int] = null
     var idat = Array.emptyByteArray
     var idatLen = 0
     var sawEnd = false
@@ -149,14 +157,27 @@ object ImageCodec {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
-          val bitDepth = bytes(off + 16) & 0xff
+          bitDepth = bytes(off + 16) & 0xff
           colorType = bytes(off + 17) & 0xff
           val interlace = bytes(off + 20) & 0xff
-          if (bitDepth != 8 || interlace != 0 ||
-              (colorType != 0 && colorType != 2 && colorType != 6))
-            return None
+          val profileOk = (colorType, bitDepth) match {
+            case (0, 1 | 2 | 4 | 8) => true
+            case (2, 8)             => true
+            case (3, 1 | 2 | 4 | 8) => true
+            case (4, 8)             => true
+            case (6, 8)             => true
+            case _                  => false
+          }
+          if (!profileOk || interlace != 0) return None
           if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024)
             return None
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return None
+          palette = Array.tabulate(len / 3) { j =>
+            ((bytes(off + 8 + j * 3) & 0xff) << 16) |
+              ((bytes(off + 9 + j * 3) & 0xff) << 8) |
+              (bytes(off + 10 + j * 3) & 0xff)
+          }
         case "IDAT" =>
           if (idat.length < idatLen + len) {
             val grown = new Array[Byte](math.max(idatLen + len, idat.length * 2 + 64))
@@ -171,8 +192,13 @@ object ImageCodec {
       off += 12 + len
     }
     if (w == 0 || colorType < 0 || idatLen == 0) return None
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
-    val stride = w * bpp
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    val bitsPerPx = channels * bitDepth
+    val stride = (w * bitsPerPx + 7) / 8
+    val bpp = math.max(1, bitsPerPx / 8) // filter distance, RFC 2083
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new Inflater()
     try {
@@ -227,15 +253,32 @@ object ImageCodec {
           }
         case _ => return None
       }
+      // sub-byte sample extraction, MSB-first (RFC 2083 §2.3); gray
+      // scaling 255/(2^d−1) is exactly ×255/×85/×17 at d=1/2/4
+      def sub(x: Int): Int = {
+        val bitIdx = x * bitDepth
+        val shift = 8 - bitDepth - (bitIdx & 7)
+        (cur(bitIdx >> 3) >> shift) & ((1 << bitDepth) - 1)
+      }
+      val grayScale = bitDepth match {
+        case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+      }
       var x = 0
       val rowBase = y * w
       while (x < w) {
         val px = colorType match {
           case 0 =>
-            val v = cur(x) & 0xff; (v << 16) | (v << 8) | v
+            val v = (if (bitDepth == 8) cur(x) & 0xff else sub(x)) * grayScale
+            (v << 16) | (v << 8) | v
           case 2 =>
             ((cur(x * 3) & 0xff) << 16) | ((cur(x * 3 + 1) & 0xff) << 8) |
               (cur(x * 3 + 2) & 0xff)
+          case 3 =>
+            val idx = if (bitDepth == 8) cur(x) & 0xff else sub(x)
+            if (idx >= palette.length) return None
+            palette(idx)
+          case 4 =>
+            val v = cur(x * 2) & 0xff; (v << 16) | (v << 8) | v
           case _ =>
             ((cur(x * 4) & 0xff) << 16) | ((cur(x * 4 + 1) & 0xff) << 8) |
               (cur(x * 4 + 2) & 0xff)
@@ -270,6 +313,16 @@ object ImageCodec {
       }
       y += 1
     }
+    pngFromRaw(img.width, img.height, bitDepth = 8, colorType = 2,
+      raw = raw, plte = None)
+  }
+
+  /** Shared PNG container writer: deflate `raw` (filtered scanlines)
+    * into a single IDAT and emit sig/IHDR/(PLTE)/IDAT/IEND with chunk
+    * CRCs. */
+  private def pngFromRaw(w: Int, h: Int, bitDepth: Int, colorType: Int,
+                         raw: Array[Byte],
+                         plte: Option[Array[Int]]): Array[Byte] = {
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()
     val comp = new java.io.ByteArrayOutputStream()
@@ -289,15 +342,94 @@ object ImageCodec {
       out.write(be(crc.getValue.toInt), 0, 4)
     }
     val ihdr = new Array[Byte](13)
-    ihdr(0) = (img.width >> 24).toByte; ihdr(1) = (img.width >> 16).toByte
-    ihdr(2) = (img.width >> 8).toByte; ihdr(3) = img.width.toByte
-    ihdr(4) = (img.height >> 24).toByte; ihdr(5) = (img.height >> 16).toByte
-    ihdr(6) = (img.height >> 8).toByte; ihdr(7) = img.height.toByte
-    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
     chunk("IHDR", ihdr)
+    plte.foreach { pal =>
+      val data = new Array[Byte](pal.length * 3)
+      var j = 0
+      while (j < pal.length) {
+        data(j * 3) = (pal(j) >> 16).toByte
+        data(j * 3 + 1) = (pal(j) >> 8).toByte
+        data(j * 3 + 2) = pal(j).toByte
+        j += 1
+      }
+      chunk("PLTE", data)
+    }
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Pack per-pixel sample values (one channel, `bitDepth` bits each,
+    * MSB-first within each byte, rows byte-aligned, filter 0 per row)
+    * into the raw scanline buffer [[pngFromRaw]] wants. */
+  private def packScanlines(vals: Array[Int], w: Int, h: Int,
+                            bitDepth: Int): Array[Byte] = {
+    val stride = (w * bitDepth + 7) / 8
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val v = vals(y * w + x) & ((1 << bitDepth) - 1)
+        val bitIdx = x * bitDepth
+        val shift = 8 - bitDepth - (bitIdx & 7)
+        val o = base + 1 + (bitIdx >> 3)
+        raw(o) = (raw(o) | (v << shift)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
+  /** Color-type-3 (paletted) PNG at bit depth 1/2/4/8 — the
+    * real-crawl profile [[decodePng]] gained in round 9; fixture-side
+    * twin. `indices` are palette positions per pixel, row-major. */
+  def encodePngPaletted(indices: Array[Int], palette: Array[Int],
+                        w: Int, h: Int, bitDepth: Int): Array[Byte] = {
+    require(Set(1, 2, 4, 8)(bitDepth) && palette.nonEmpty &&
+      palette.length <= (1 << bitDepth) && indices.length == w * h)
+    pngFromRaw(w, h, bitDepth, colorType = 3,
+      raw = packScanlines(indices, w, h, bitDepth), plte = Some(palette))
+  }
+
+  /** Color-type-0 (grayscale) PNG at bit depth 1/2/4/8. `values` are
+    * RAW samples (0 .. 2^d−1); the decoder scales them to 8-bit by
+    * 255/(2^d−1). */
+  def encodePngGray(values: Array[Int], w: Int, h: Int,
+                    bitDepth: Int): Array[Byte] = {
+    require(Set(1, 2, 4, 8)(bitDepth) && values.length == w * h)
+    pngFromRaw(w, h, bitDepth, colorType = 0,
+      raw = packScanlines(values, w, h, bitDepth), plte = None)
+  }
+
+  /** Color-type-4 (gray+alpha, 8-bit) PNG — alpha is carried in the
+    * container and dropped by [[decodePng]] (color-plane stats). */
+  def encodePngGrayAlpha(values: Array[Int], alphas: Array[Int],
+                         w: Int, h: Int): Array[Byte] = {
+    require(values.length == w * h && alphas.length == w * h)
+    val stride = w * 2
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      raw(base) = 0
+      var x = 0
+      while (x < w) {
+        raw(base + 1 + x * 2) = values(y * w + x).toByte
+        raw(base + 2 + x * 2) = alphas(y * w + x).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngFromRaw(w, h, bitDepth = 8, colorType = 4, raw = raw, plte = None)
   }
 
   // ----------------------------------------------------------- raster ops

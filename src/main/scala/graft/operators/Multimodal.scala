@@ -181,6 +181,57 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-9 mixed-profile twin of [[syntheticImagePayloads]] for the
+    * q241 registered query: the same closed-form rasters, rotated
+    * through FOUR real container profiles by id mod 4 — BMP (0),
+    * truecolor PNG (1), PALETTED PNG with a first-occurrence PLTE
+    * (2), and 8-bit GRAYSCALE PNG (3, raster v = (7x+11y+id) mod 256
+    * since color type 0 can only carry r=g=b) — so the round-9
+    * real-crawl PNG profiles are exercised with full oracle strength:
+    * DuckDB replays the stats from the per-profile formula, and a
+    * hash match proves byte-exact recovery through the PLTE indirection
+    * and the gray expansion. Map-only. */
+  def syntheticMixedImagePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (3 * id) % 9).toInt
+          val bytes = (id % 4) match {
+            case 3 =>
+              val vals = Array.tabulate(w * h) { p =>
+                val x = p % w; val y = p / w
+                ((7 * x + 11 * y + id) % 256).toInt
+              }
+              graft.functions.ImageCodec.encodePngGray(vals, w, h, 8)
+            case m =>
+              val rgb = Array.tabulate(w * h) { p =>
+                val x = p % w; val y = p / w
+                val r = ((7 * x + id) % 256).toInt
+                val g = ((11 * y + 2 * id) % 256).toInt
+                val b = ((x + y + 3 * id) % 256).toInt
+                (r << 16) | (g << 8) | b
+              }
+              val img = graft.functions.ImageCodec.Image(w, h, rgb)
+              if (m == 0) graft.functions.ImageCodec.encodeBmp24(img)
+              else if (m == 1) graft.functions.ImageCodec.encodePng(img)
+              else {
+                // first-occurrence palette (≤ w·h ≤ 256 entries)
+                val order = scala.collection.mutable.LinkedHashMap[Int, Int]()
+                val idx = rgb.map(c => order.getOrElseUpdate(c, order.size))
+                graft.functions.ImageCodec.encodePngPaletted(
+                  idx, order.keys.toArray, w, h, bitDepth = 8)
+              }
+          }
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** All-integer PCM statistics from REAL WAV decode
     * ([[graft.functions.AudioCodec]]) — the audio twin of
     * [[imagePixelStats]]: per payload the decoded format meta

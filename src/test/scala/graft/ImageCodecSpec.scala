@@ -249,4 +249,91 @@ class ImageCodecSpec extends SparkSpec {
       assert(row.getLong(6) == lum && row.getBoolean(7))
     }
   }
+
+  // --- round-9 real-crawl PNG profiles: paletted + grayscale ------------
+
+  test("PNG paletted (PLTE): round-trip at bit depths 1/2/4/8") {
+    val rnd = new scala.util.Random(91)
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val nColors = 1 << depth
+      val palette = Array.fill(math.min(nColors, 11) max 2)(
+        rnd.nextInt(1 << 24))
+      val (w, h) = (7, 5) // odd width exercises sub-byte row padding
+      val indices = Array.fill(w * h)(rnd.nextInt(palette.length))
+      val bytes = ImageCodec.encodePngPaletted(indices, palette, w, h, depth)
+      val img = ImageCodec.decodePng(bytes).get
+      assert(img.width == w && img.height == h)
+      for (p <- 0 until w * h)
+        assert(img.rgb(p) == palette(indices(p)), s"depth $depth px $p")
+    }
+  }
+
+  test("PNG grayscale: sub-byte depths scale by 255/(2^d-1); " +
+      "gray+alpha drops alpha") {
+    val rnd = new scala.util.Random(92)
+    for ((depth, scale) <- Seq((1, 255), (2, 85), (4, 17), (8, 1))) {
+      val (w, h) = (9, 4)
+      val vals = Array.fill(w * h)(rnd.nextInt(1 << depth))
+      val img = ImageCodec.decodePng(
+        ImageCodec.encodePngGray(vals, w, h, depth)).get
+      for (p <- 0 until w * h) {
+        val v = vals(p) * scale
+        assert(img.rgb(p) == ((v << 16) | (v << 8) | v),
+          s"depth $depth px $p")
+      }
+    }
+    val (w, h) = (5, 3)
+    val vals = Array.fill(w * h)(rnd.nextInt(256))
+    val alphas = Array.fill(w * h)(rnd.nextInt(256))
+    val img = ImageCodec.decodePng(
+      ImageCodec.encodePngGrayAlpha(vals, alphas, w, h)).get
+    for (p <- 0 until w * h) {
+      val v = vals(p)
+      assert(img.rgb(p) == ((v << 16) | (v << 8) | v))
+    }
+  }
+
+  test("cross-implementation: ImageIO paletted/gray PNGs decode " +
+      "identically, and ImageIO reads our paletted/gray bytes") {
+    val rnd = new scala.util.Random(93)
+    // ImageIO TYPE_BYTE_INDEXED writes a real PLTE PNG
+    val pal = Array.tabulate(16)(j =>
+      (j * 17 << 16) | ((j * 13 % 256) << 8) | (j * 7 % 256))
+    val cm = new java.awt.image.IndexColorModel(4, pal.length,
+      pal.map(p => ((p >> 16) & 0xff).toByte),
+      pal.map(p => ((p >> 8) & 0xff).toByte),
+      pal.map(p => (p & 0xff).toByte))
+    val biIdx = new BufferedImage(11, 6,
+      BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 6; x <- 0 until 11)
+      biIdx.setRGB(x, y, pal(rnd.nextInt(pal.length)))
+    val gotIdx = ImageCodec.decode(imageioBytes(biIdx, "png")).get
+    for (y <- 0 until 6; x <- 0 until 11)
+      assert(gotIdx(x, y) == (biIdx.getRGB(x, y) & 0xffffff),
+        s"indexed ($x,$y)")
+    // ImageIO TYPE_BYTE_GRAY writes a real color-type-0 PNG. Compare
+    // RAW raster samples (set/getRGB on TYPE_BYTE_GRAY routes through
+    // an sRGB↔linear conversion that never reaches the PNG bytes —
+    // the container carries the raster samples verbatim).
+    val biGray = new BufferedImage(8, 7, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 8)
+      biGray.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val gotGray = ImageCodec.decode(imageioBytes(biGray, "png")).get
+    for (y <- 0 until 7; x <- 0 until 8) {
+      val v = biGray.getRaster.getSample(x, y, 0)
+      assert(gotGray(x, y) == ((v << 16) | (v << 8) | v),
+        s"gray ($x,$y)")
+    }
+    // …and the reverse direction on our new encoders
+    val indices = Array.fill(10 * 5)(rnd.nextInt(pal.length))
+    val ours = ImageCodec.encodePngPaletted(indices, pal, 10, 5, 4)
+    val back = ImageIO.read(new ByteArrayInputStream(ours))
+    for (y <- 0 until 5; x <- 0 until 10)
+      assert((back.getRGB(x, y) & 0xffffff) == pal(indices(y * 10 + x)))
+    val gvals = Array.fill(6 * 6)(rnd.nextInt(256))
+    val oursG = ImageCodec.encodePngGray(gvals, 6, 6, 8)
+    val backG = ImageIO.read(new ByteArrayInputStream(oursG))
+    for (y <- 0 until 6; x <- 0 until 6) // raw samples, as above
+      assert(backG.getRaster.getSample(x, y, 0) == gvals(y * 6 + x))
+  }
 }
