@@ -5197,6 +5197,125 @@ object OracleSql {
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q242: residual-IVFADC replay — the q238 coarse chain, then the
+    * PQ chain retargeted at the RESIDUAL frame (rv = q − centroid of
+    * the assigned cell), per-probe query residuals, and the ADC join
+    * through (cell, subspace, code). */
+  private val q242 = {
+    val dims = 64
+    def cAssign(cent: String, out: String): String =
+      s"""d_$out AS (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def cMean(assigned: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS (SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    def rAssign(cent: String, out: String): String =
+      s"""d_$out AS (
+         |  SELECT sub.id, sub.s, sub.v8, c.code,
+         |    CAST(list_aggregate(list_transform(range(1, 9),
+         |      i -> (sub.v8[i] - c.cvec[i]) * (sub.v8[i] - c.cvec[i])),
+         |      'sum') AS BIGINT) AS d2
+         |  FROM rsubs sub JOIN $cent c ON c.s = sub.s),
+         |$out AS (
+         |  SELECT id, s, v8, code, d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+         |      ORDER BY d2, code) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def rMean(assigned: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT s, code, t.d,
+         |    CAST(FLOOR(CAST(SUM(v8[t.d]) AS DOUBLE) / COUNT(*))
+         |      AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, 9)) t(d)
+         |  GROUP BY s, code, t.d),
+         |$out AS (
+         |  SELECT s, code, list(cv ORDER BY d) AS cvec
+         |  FROM m_$out GROUP BY s, code)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cg0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+       |${cAssign("cg0", "cga0")},
+       |${cMean("cga0", "cg1")},
+       |${cAssign("cg1", "cga1")},
+       |${cMean("cga1", "cg2")},
+       |${cAssign("cg2", "cells")},
+       |rv AS (
+       |  SELECT ce.vec_id AS id, ce.cl,
+       |    list_transform(range(1, ${dims + 1}), i -> ce.q[i] - g.c[i])
+       |      AS q
+       |  FROM cells ce JOIN cg2 g ON g.cl = ce.cl),
+       |rsubs AS (
+       |  SELECT id, t.s, q[t.s*8+1 : t.s*8+8] AS v8
+       |  FROM rv, UNNEST(range(0, 8)) t(s)),
+       |rseed AS (
+       |  SELECT id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS code
+       |  FROM (SELECT id FROM rv ORDER BY id LIMIT 4)),
+       |rc0 AS (
+       |  SELECT sub.s, rseed.code, sub.v8 AS cvec
+       |  FROM rsubs sub JOIN rseed ON sub.id = rseed.id),
+       |${rAssign("rc0", "ra0")},
+       |${rMean("ra0", "rc1")},
+       |${rAssign("rc1", "ra1")},
+       |${rMean("ra1", "rc2")},
+       |${rAssign("rc2", "renc")},
+       |dprobe AS (
+       |  SELECT v.vec_id AS qid, c.cl, v.q, c.c,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum')
+       |      AS BIGINT) AS cd2
+       |  FROM qv v CROSS JOIN cg2 c WHERE v.vec_id % 20 = 0),
+       |probes AS (
+       |  SELECT qid, cl,
+       |    list_transform(range(1, ${dims + 1}), i -> q[i] - c[i]) AS rq
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cd2, cl) AS rn
+       |        FROM dprobe)
+       |  WHERE rn <= 2),
+       |qrsubs AS (
+       |  SELECT qid, cl, t.s, rq[t.s*8+1 : t.s*8+8] AS v8
+       |  FROM probes, UNNEST(range(0, 8)) t(s)),
+       |lut AS (
+       |  SELECT qs.qid, qs.cl, qs.s, c.code,
+       |    CAST(list_aggregate(list_transform(range(1, 9),
+       |      i -> (qs.v8[i] - c.cvec[i]) * (qs.v8[i] - c.cvec[i])),
+       |      'sum') AS BIGINT) AS pd2
+       |  FROM qrsubs qs JOIN rc2 c ON c.s = qs.s),
+       |adc AS (
+       |  SELECT l.qid AS query_id, e.id AS neighbor_id,
+       |    CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM renc e
+       |  JOIN rv ON rv.id = e.id
+       |  JOIN lut l ON l.cl = rv.cl AND l.s = e.s AND l.code = e.code
+       |  WHERE l.qid <> e.id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+       |  adc_d2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+       |      FROM adc)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q239: Fellegi–Sunter EM replay — the q225 comparison CTEs
     * aggregated to 2^3 pattern counts, then 3 unrolled EM rounds:
     * per-pattern posteriors as fixed-order double products (bit-
@@ -5697,6 +5816,7 @@ object OracleSql {
     "q239_em_fit" -> q239,
     "q240_mined_span_removal" -> q240,
     "q241_png_profiles" -> q241,
+    "q242_ivfadc_residual" -> q242,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

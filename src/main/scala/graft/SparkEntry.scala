@@ -643,6 +643,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Round-9: IVFADC with RESIDUAL encoding — the full Jégou 2011 §IV
+    * form: the PQ codebook trains on x − centroid(cell(x)) and each
+    * probed cell scores against the query's per-cell residual, so the
+    * code budget resolves within-cell displacement (q238 is the
+    * raw-vector composition; this is the production index). */
+  private def qIvfAdcResidual(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.quantize16(col("embedding")).as("q"))
+    val coarse = operators.IvfIndex.trainPortable(s, qv, k = 4, iters = 2)
+    operators.Quantization.ivfAdcResidualTopK(
+        qv.filter(col("id") % 20 === 0).select(col("id").as("qid"),
+          col("q")),
+        qv, coarse, subspaces = 8, subDim = 8, pqK = 4, pqIters = 2,
+        nProbe = 2, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-8: perceptual image dedup over the real decode — dHash
     * (9×8 nearest resize, integer luma, adjacent-gray compare)
     * published as two unsigned 32-bit halves, plus the exact-dedup
@@ -3440,7 +3457,8 @@ object SparkEntry {
       "q238_ivfadc" -> (qIvfAdc _),
       "q239_em_fit" -> (qEmFit _),
       "q240_mined_span_removal" -> (qMinedSpanRemoval _),
-      "q241_png_profiles" -> (qPngProfiles _))
+      "q241_png_profiles" -> (qPngProfiles _),
+      "q242_ivfadc_residual" -> (qIvfAdcResidual _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3473,7 +3491,16 @@ object SparkEntry {
     // doubling; q223's cost is its prefix, so one timer suffices),
     // plus the two other multi-stage round-8 operators worth watching
     // (SNM's global-ordinal machinery; PQ's two Lloyd rounds)
-    "q224_repeated_spans", "q219_sorted_neighborhood", "q226_pq_codes")
+    "q224_repeated_spans", "q219_sorted_neighborhood", "q226_pq_codes",
+    // round 9: the remaining round-8 multi-stage operators (record
+    // linkage's blocked join, ADC's LUT join, the two iterative graph
+    // kernels) so regressions in those families hit the gate…
+    "q225_record_linkage", "q227_pq_adc", "q221_modularity", "q236_hits",
+    // …and the round-9 additions: the IVFADC composite, pattern-table
+    // EM, the SA→removal pipeline (q224's mining plus the broadcast
+    // removal pass), and the mixed-profile codec walk
+    "q238_ivfadc", "q239_em_fit", "q240_mined_span_removal",
+    "q241_png_profiles", "q242_ivfadc_residual")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -332,6 +332,78 @@ object Curation {
     } finally ordered.unpersist(false)
   }
 
+  /** GLOBAL dense ranks in `orderCols` order over rows whose keys MAY
+    * tie (ties share a rank; ranks are 1..#distinct with no gaps) —
+    * `dense_rank() OVER (ORDER BY …)` without the single-partition
+    * window, and without the distinct → [[globalRowIds]] → join-back
+    * detour the suffix-array rounds used to take (three extra
+    * corpus-sized exchanges per round). Two-phase, one exchange:
+    * range-partition + sort on the keys, then (1) a stats pass
+    * collecting per-partition (first key, last key, #distinct) — one
+    * tiny row per partition — so the driver can compute each
+    * partition's rank base, SPLICING tie groups that straddle a range
+    * boundary (equal keys may land on both sides of a cut; the
+    * continuation must not open a new rank); (2) a map pass carrying
+    * a running dense counter from the partition's base. Output ranks
+    * are a pure function of the total order — deterministic under any
+    * partitioning, which the partition-invariance specs rely on.
+    *
+    * Returns (ranked frame with a `global_rank` column, #distinct
+    * keys) — the count is a free by-product the prefix-doubling
+    * early-exit needs (it used to be a separate count job per round).
+    * Eagerly checkpointed; cache released (the globalRowIds
+    * convention). */
+  private[graft] def globalDenseRanksWithCount(
+      df: DataFrame, orderCols: Seq[String]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(orderCols.map(col(_).asc): _*)
+      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyIdx = orderCols.map(ordered.schema.fieldIndex).toArray
+      val stats = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var first: Seq[Any] = null
+        var last: Seq[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyIdx.toSeq.map(r.get)
+          if (first == null) first = k
+          if (k != last) { n += 1; last = k }
+        }
+        Iterator.single((pid, first, last, n))
+      }.collect().sortBy(_._1)
+      // driver: rank base per partition; a partition whose first key
+      // equals the nearest non-empty predecessor's last key continues
+      // that tie group instead of opening a new rank
+      val bases = new Array[Long](stats.length)
+      var runningBase = 0L
+      var prevLast: Seq[Any] = null
+      stats.foreach { case (pid, first, last, n) =>
+        val continues = first != null && first == prevLast
+        bases(pid) = if (continues) runningBase - 1 else runningBase
+        runningBase = bases(pid) + n
+        if (last != null) prevLast = last
+      }
+      val total = runningBase
+      val schema = org.apache.spark.sql.types.StructType(
+        ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "global_rank", org.apache.spark.sql.types.LongType,
+          nullable = false))
+      val basesB = spark.sparkContext.broadcast(bases)
+      val rows = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var dense = basesB.value(pid)
+        var prev: Seq[Any] = null
+        it.map { r =>
+          val k = keyIdx.toSeq.map(r.get)
+          if (k != prev) { dense += 1; prev = k }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dense)
+        }
+      }
+      (spark.createDataFrame(rows, schema).localCheckpoint(), total)
+    } finally ordered.unpersist(false)
+  }
+
   /** Scalable GLOBAL running sum of a bigint column in `orderCol`
     * order — `sum() OVER (ORDER BY …)` without the single-partition
     * window: range-partition by the (unique) order key, per-partition

@@ -232,6 +232,73 @@ object Quantization {
     * itself, which is the entire IVFADC win.
     *
     * Output: (query_id, rank, neighbor_id, adc_d2). */
+  /** IVFADC with RESIDUAL encoding — the full Jégou 2011 §IV index
+    * (q238's [[ivfAdcTopK]] scores raw-vector codes within probed
+    * cells; production IVFADC quantizes the residual x − centroid(x),
+    * which concentrates the PQ codebook's resolution on the
+    * within-cell displacement and is why the composite beats plain
+    * ADC at equal code budget). Everything integer: residuals are
+    * differences of quantize16 longs, the PQ is [[pqTrain]] run on
+    * the residual frame, and the per-probe query residual
+    * q − centroid(probed cell) gives a LUT of |Q|·nProbe·S·k rows.
+    *
+    * Scale shape as [[ivfAdcTopK]], plus: the residual projection is
+    * one broadcast join against the k-row coarse table (map-side),
+    * and the LUT join key (cluster_id, s, code) again filters
+    * unprobed cells inside the join. Trains the PQ internally —
+    * callers hold only the coarse table (the serving split: coarse
+    * lives with the router, codes with the data).
+    *
+    * Output: (query_id, rank, neighbor_id, adc_d2). */
+  def ivfAdcResidualTopK(queries: DataFrame, corpus: DataFrame,
+                         coarse: DataFrame, subspaces: Int, subDim: Int,
+                         pqK: Int, pqIters: Int, nProbe: Int,
+                         k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1)
+    val cells = IvfIndex.assignPortable(
+      corpus.select(col("id"), col("q")), coarse)
+    val resid = cells.join(broadcast(coarse), "cluster_id")
+      .select(col("id"), col("cluster_id"),
+        zip_with(col("q"), col("c"), (x, y) => x - y).as("q"))
+      .localCheckpoint() // pqTrain iterates over it
+    val cb = pqTrain(resid.select(col("id"), col("q")),
+      subspaces, subDim, pqK, pqIters)
+    val codes = assignSubs(
+        subRows(resid.select(col("id"), col("q")), subspaces, subDim), cb)
+      .select(col("id"), col("s"), col("code"))
+      .join(resid.select(col("id"), col("cluster_id")), "id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("cd2", subDist2(col("q"), col("c")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cluster_id"),
+        zip_with(col("q"), col("c"), (x, y) => x - y).as("rq"))
+    val qsubs = probes.select(col("qid"), col("cluster_id"),
+        explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("rq"), s * subDim + 1, subDim).as("qv8"))): _*))
+          .as("sub"))
+      .select(col("qid"), col("cluster_id"),
+        col("sub.s").as("s"), col("sub.qv8").as("qv8"))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("qid"), col("cluster_id"), col("s"), col("code"),
+        subDist2(col("qv8"), col("cvec")).as("pd2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("cluster_id", "s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+  }
+
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
                  coarse: DataFrame, codebook: DataFrame,
                  subspaces: Int, subDim: Int, nProbe: Int,

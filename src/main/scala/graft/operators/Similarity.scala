@@ -35,8 +35,12 @@ object Similarity {
     * `require` failures from eager upstream construction (e.g.
     * LabelProp.modularity's bound check) and silently downgrade the
     * exact path to LSH. Catching this type catches ONLY the cap. */
+  // extends IllegalArgumentException: the cap is an argument-contract
+  // violation and callers (Round6Spec's loud-failure pins) match on
+  // that supertype; routeTopK still catches the EXACT type, so an
+  // unrelated require's IAE can't be mistaken for the cap signal
   private[graft] final class BroadcastCapExceeded(msg: String)
-    extends RuntimeException(msg)
+    extends IllegalArgumentException(msg)
 
   /** Driver-side collect with an explicit bound: fetch at most
     * `maxRows + 1` rows (the limit is pushed into the scan, so the

@@ -74,42 +74,39 @@ object SuffixArray {
     val n = dims.getLong(0)
     val maxLen = dims.getInt(1)
 
-    // positions + first-token dense rank (ordinal over distinct tokens)
+    // Round shape (round-9 rework — from ~6 exchanges per round to 2):
+    // the partner rank is a per-document lead(rank, k) window (offsets
+    // are contiguous 1..L per doc, so lead ≡ the (doc_id, off+k)
+    // self-join it replaces, at one exchange instead of two), and the
+    // dense re-rank runs DIRECTLY on the position rows via
+    // globalDenseRanksWithCount — no pairs-distinct, no globalRowIds
+    // over the distinct pairs, no corpus-sized join-back, and the
+    // early-exit distinct count comes back as a free by-product
+    // instead of a per-round count job.
     val pos = toks.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("off0", "tok")))
-      .select(col("doc_id"), (col("off0") + 1).as("off"), col("tok"))
-    val tok0 = pos.select(col("tok")).distinct()
-    val tokRank = Curation.globalRowIds(tok0, Seq("tok"))
-      .select(col("tok"), col("global_id").as("rank"))
-    var cur = pos.join(tokRank, "tok")
-      .select(col("doc_id"), col("off").cast("long").as("off"),
-        col("rank"))
-      .localCheckpoint()
+      .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
+        col("tok"))
+    val (r0, _) = Curation.globalDenseRanksWithCount(pos, Seq("tok"))
+    var cur = r0.select(col("doc_id"), col("off"),
+      col("global_rank").as("rank"))
 
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("off"))
     var k = 1L
     var done = false
     while (k < maxLen && !done) {
       // partner rank: rank of the suffix starting k tokens later
       // (missing ⇒ 0, which sorts before every real rank ⇒ shorter
       // suffix is the lexicographic prefix case)
-      val shifted = cur.select(col("doc_id"),
-        (col("off") - k).as("off"), col("rank").as("rk2"))
-      val paired = cur.join(shifted, Seq("doc_id", "off"), "left")
-        .na.fill(0L, Seq("rk2"))
-      val pairs = paired.select(col("rank").as("r1"), col("rk2"))
-        .distinct()
-      val ranked = Curation.globalRowIds(pairs, Seq("r1", "rk2"))
-        .select(col("r1"), col("rk2"), col("global_id").as("nrank"))
-      val next = paired
-        .join(ranked, paired("rank") === ranked("r1")
-          && paired("rk2") === ranked("rk2"))
-        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
-        .localCheckpoint()
-      cur = next
+      val paired = cur.withColumn("rk2",
+        coalesce(lead(col("rank"), k.toInt).over(wDoc), lit(0L)))
+      val (ranked, distinct) =
+        Curation.globalDenseRanksWithCount(paired, Seq("rank", "rk2"))
+      cur = ranked.select(col("doc_id"), col("off"),
+        col("global_rank").as("rank"))
       k *= 2
-      // early exit: every pair distinct ⇒ every rank now unique.
-      // Only worth an action if another round would otherwise run.
-      if (k < maxLen) done = ranked.count() == n
+      done = distinct == n // all pairs distinct ⇒ every rank unique
     }
     cur.select(col("doc_id"), col("off"), col("rank").as("sa_rank"))
   }

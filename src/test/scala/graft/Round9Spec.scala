@@ -163,6 +163,36 @@ class Round9Spec extends SparkSpec {
       s"IVFADC recall@5 not above random: $hit/${truth.size}")
   }
 
+  // --- globalDenseRanksWithCount (the round-9 suffix-array kernel) ------
+  test("globalDenseRanksWithCount: equals driver dense_rank under any " +
+      "partitioning, splices boundary ties, returns the distinct count") {
+    val rnd = new scala.util.Random(94)
+    // heavy ties force tie groups to straddle range-partition cuts
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, (rnd.nextInt(7).toLong, rnd.nextInt(3).toLong)))
+    val expectRank = rows.map(_._2).distinct.sorted
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.map { case (id, (a, b)) => (id, a, b) }
+        .toDF("id", "a", "b").repartition(parts)
+      val (ranked, n) = graft.operators.Curation
+        .globalDenseRanksWithCount(df, Seq("a", "b"))
+      assert(n == expectRank.size.toLong, s"parts=$parts count")
+      val got = ranked.select("id", "global_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, k) =>
+        assert(got(id) == expectRank(k), s"parts=$parts id=$id")
+      }
+    }
+    // all-distinct keys degenerate to globalRowIds semantics
+    val uniq = Seq.tabulate(50)(i => (i.toLong, i.toLong)).toDF("id", "a")
+    val (r2, n2) = graft.operators.Curation
+      .globalDenseRanksWithCount(uniq, Seq("a"))
+    assert(n2 == 50L)
+    assert(r2.select("a", "global_rank").collect()
+      .forall(r => r.getLong(0) + 1 == r.getLong(1)))
+  }
+
   // --- SA → span-removal pipeline (advisory #4) -------------------------
   test("minedSpanRemoval: a planted repeated phrase is cut from every " +
       "occurrence; unaffected docs pass through") {
