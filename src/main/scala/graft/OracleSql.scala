@@ -5559,6 +5559,27 @@ object OracleSql {
 
   /** q233: HLL register replay — the same affine PRF, register split,
     * and 24-bit threshold-cascade rank, grouped MAX. */
+  /** q243: count-min register replay — the q233 PRF family with
+    * per-row affine constants, one quadratic round per sketch row,
+    * exact bucket counts. */
+  private val q243 =
+    """WITH k AS (
+      |  SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS k
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT l_returnflag, j.v AS sketch_row,
+      |    ((((k * (1000003 + 97 * j.v) + (12345 + 1013 * j.v))
+      |        % 1000000007)
+      |      * ((k * (1000003 + 97 * j.v) + (12345 + 1013 * j.v))
+      |        % 1000000007)
+      |      + (17 + 29 * j.v)) % 1000000007) % 64 AS bucket
+      |  FROM k CROSS JOIN (SELECT range AS v FROM range(0, 4)) j)
+      |SELECT l_returnflag, CAST(sketch_row AS INTEGER) AS sketch_row,
+      |  CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM e GROUP BY 1, 2, 3
+      |ORDER BY l_returnflag, sketch_row, bucket""".stripMargin
+
   private val q233 = {
     val cascade = (1 to 24).map(r =>
       s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
@@ -5817,6 +5838,7 @@ object OracleSql {
     "q240_mined_span_removal" -> q240,
     "q241_png_profiles" -> q241,
     "q242_ivfadc_residual" -> q242,
+    "q243_cm_registers" -> q243,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

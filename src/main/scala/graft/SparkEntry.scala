@@ -749,6 +749,16 @@ object SparkEntry {
         col("max_rho"))
       .orderBy("l_returnflag", "register")
 
+  /** Round-9: count-min registers — the frequency twin of q233's HLL
+    * state: per-returnflag CM sketch of part keys, the mergeable
+    * sum-registers a 100 TB frequency service ships between stages. */
+  private def qCmRegisters(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.cmRegisters(Tables.lineitem(s, dir),
+        "l_returnflag", "l_partkey", depth = 4, width = 64)
+      .select(col("grp").as("l_returnflag"), col("sketch_row"),
+        col("bucket"), col("cnt"))
+      .orderBy("l_returnflag", "sketch_row", "bucket")
+
   /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
     * homoglyphs folded to Latin, per-doc confusable count, the
     * spliced-script suspicion flag. */
@@ -3458,7 +3468,8 @@ object SparkEntry {
       "q239_em_fit" -> (qEmFit _),
       "q240_mined_span_removal" -> (qMinedSpanRemoval _),
       "q241_png_profiles" -> (qPngProfiles _),
-      "q242_ivfadc_residual" -> (qIvfAdcResidual _))
+      "q242_ivfadc_residual" -> (qIvfAdcResidual _),
+      "q243_cm_registers" -> (qCmRegisters _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -62,4 +62,40 @@ object Sketches {
       .groupBy(col("grp"), col("register"))
       .agg(max(col("rho")).cast("long").as("max_rho"))
   }
+
+  /** Per-group COUNT-MIN sketch registers (Cormode & Muthukrishnan
+    * 2005) — the frequency twin of [[hllRegisters]], same stance:
+    * publish the CANONICAL mergeable state (CM sketches merge by
+    * elementwise SUM; estimates are min over rows of
+    * counter(j, h_j(key)), one-sided: always ≥ the true count), built
+    * from the quadratic PRF family so every register is
+    * integer-exact and oracle-replayable. Per-row hash constants
+    * derive affinely from the row index j (a_j = 1000003+97j,
+    * b_j = 12345+1013j, c_j = 17+29j) — each row keeps the quadratic
+    * round that [[hllRegisters]] showed is what breaks arithmetic-
+    * progression artifacts on sequential keys.
+    *
+    * Scale shape: the depth-fold fan-out is map-only (explode of a
+    * d-element array), and the single exchange is a map-side-combined
+    * groupBy((group, row, bucket)) count — partials are at most
+    * d·width rows per partition regardless of input size, the
+    * mergeable-sketch exchange. Register bound: counts ≤ group size
+    * (long). Output: (grp, sketch_row, bucket, cnt); empty buckets
+    * are absent (implicit 0, the sparse convention). */
+  def cmRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                  depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CM shape: $depth x $width")
+    val P = 1000000007L
+    val rows = df
+      .select(col(groupCol).as("grp"), col(keyCol).cast("long").as("k"))
+      .select(col("grp"), explode(array((0 until depth).map { j =>
+        val h1 = pmod(col("k") * (1000003L + 97L * j) +
+          (12345L + 1013L * j), lit(P))
+        struct(lit(j).as("sketch_row"),
+          (pmod(h1 * h1 + (17L + 29L * j), lit(P)) % width).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("grp"), col("rb.sketch_row"), col("rb.bucket"))
+    rows.groupBy("grp", "sketch_row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

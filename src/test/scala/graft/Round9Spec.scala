@@ -227,6 +227,44 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // --- count-min sketch registers ---------------------------------------
+  test("cmRegisters: point estimates dominate exact counts within the " +
+      "CM bound, and registers merge by elementwise sum") {
+    // deterministic skewed stream: key i repeats (i % 10) + 1 times
+    val rows = (1 to 120).flatMap(i =>
+      Seq.fill(i % 10 + 1)(("s", i.toLong)))
+    val exact = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    val df = rows.toDF("g", "k")
+    def regMap(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.cmRegisters(d, "g", "k", depth = 4,
+          width = 64)
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val reg = regMap(df)
+    val P = 1000000007L
+    def bucket(j: Int, k: Long): Long = {
+      val h1 = Math.floorMod(k * (1000003L + 97L * j) +
+        (12345L + 1013L * j), P)
+      Math.floorMod(h1 * h1 + (17L + 29L * j), P) % 64
+    }
+    def est(k: Long): Long =
+      (0 until 4).map(j => reg.getOrElse((j, bucket(j, k)), 0L)).min
+    exact.foreach { case (k, c) =>
+      val e = est(k)
+      assert(e >= c, s"CM underestimated key $k: $e < $c")
+      assert(e - c <= 3 * n / 64, s"CM excess too large for $k: ${e - c}")
+    }
+    // mergeability: registers of two disjoint halves sum to the whole
+    val (h1rows, h2rows) = rows.splitAt(rows.size / 2)
+    val m1 = regMap(h1rows.toDF("g", "k"))
+    val m2 = regMap(h2rows.toDF("g", "k"))
+    (m1.keySet ++ m2.keySet).foreach { key =>
+      assert(m1.getOrElse(key, 0L) + m2.getOrElse(key, 0L) ==
+        reg.getOrElse(key, 0L), s"merge mismatch at $key")
+    }
+  }
+
   // --- Fellegi–Sunter EM fitting (advisory #3) --------------------------
   test("emFit: EM recovers a planted match/non-match mixture " +
       "(scalacheck over well-separated parameter draws)") {
