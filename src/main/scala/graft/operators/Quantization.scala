@@ -327,7 +327,9 @@ object Quantization {
     val lut = qsubs.join(broadcast(codebook), Seq("s"))
       .select(col("qid"), col("s"), col("code"),
         subDist2(col("qv8"), col("cvec")).as("pd2"))
-      .join(probes, Seq("qid"))
+      // both sides are eval-set-sized; the hint keeps the LUT build
+      // free of sort-merge exchanges (it feeds a broadcast anyway)
+      .join(broadcast(probes), Seq("qid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("neighbor_id").asc)

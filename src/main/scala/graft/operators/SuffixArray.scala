@@ -221,7 +221,12 @@ object SuffixArray {
                        minSpan: Int, topK: Int,
                        maxSpan: Int = 64): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
+    // topK rows; checkpointed so the sp and lens branches below don't
+    // each re-derive the mining tail (the heavy prefix is already
+    // checkpoint-cut inside repeatedSpans, but the dup/adj/top-k tail
+    // showed up twice in the q240 plan)
     val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
+      .localCheckpoint()
     // span token text from the representative location (topK-bounded,
     // so it broadcasts — the corpus-sized toks never shuffles here)
     val sp = broadcast(mined).join(toks, "doc_id")
