@@ -5559,6 +5559,64 @@ object OracleSql {
 
   /** q233: HLL register replay — the same affine PRF, register split,
     * and 24-bit threshold-cascade rank, grouped MAX. */
+  /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
+    * join-on-existence lags (calendar gaps drop out of both sums),
+    * ppm DIV publication. */
+  private val q244 =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d.event_type, d.day, d.x, s.x AS x_season, p.x AS x_prev
+      |  FROM d
+      |  LEFT JOIN d s ON s.event_type = d.event_type
+      |    AND s.day = d.day - 7
+      |  LEFT JOIN d p ON p.event_type = d.event_type
+      |    AND p.day = d.day - 1)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(COUNT(x_season) AS BIGINT) AS n_seasonal,
+      |  CAST(COUNT(x_prev) AS BIGINT) AS n_naive,
+      |  CAST(SUM(ABS(x - x_season)) AS BIGINT) AS seasonal_abs_err,
+      |  CAST(SUM(ABS(x - x_prev)) AS BIGINT) AS naive_abs_err,
+      |  CAST(CASE WHEN SUM(ABS(x - x_prev)) > 0 AND COUNT(x_season) > 0
+      |    THEN 1000000 * SUM(ABS(x - x_season)) * COUNT(x_prev)
+      |         // (COUNT(x_season) * SUM(ABS(x - x_prev)))
+      |    ELSE NULL END AS BIGINT) AS mase_ppm
+      |FROM j GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q245: CUSUM drift replay — per-type prefix sums of (x − floor
+    * mean) with running extrema windows, integer alarms. */
+  private val q245 =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |k AS (
+      |  SELECT event_type, SUM(x) // COUNT(*) AS k
+      |  FROM d GROUP BY event_type),
+      |c AS (
+      |  SELECT d.event_type, d.day, d.x, k.k,
+      |    SUM(d.x - k.k) OVER w AS p
+      |  FROM d JOIN k USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT event_type, day, x, k,
+      |    p - MIN(p) OVER w AS cusum_pos,
+      |    MAX(p) OVER w - p AS cusum_neg
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, CAST(day AS BIGINT) AS day, x,
+      |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+      |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+      |  cusum_pos > 4 * greatest(k, 1) AS alarm_pos,
+      |  cusum_neg > 4 * greatest(k, 1) AS alarm_neg
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   /** q243: count-min register replay — the q233 PRF family with
     * per-row affine constants, one quadratic round per sketch row,
     * exact bucket counts. */
@@ -5839,6 +5897,8 @@ object OracleSql {
     "q241_png_profiles" -> q241,
     "q242_ivfadc_residual" -> q242,
     "q243_cm_registers" -> q243,
+    "q244_seasonal_mase" -> q244,
+    "q245_cusum_drift" -> q245,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -759,6 +759,24 @@ object SparkEntry {
         col("bucket"), col("cnt"))
       .orderBy("l_returnflag", "sketch_row", "bucket")
 
+  /** Round-9: seasonal-naive forecast audit (Hyndman–Koehler MASE in
+    * ppm) over per-type daily event volumes — the corpus-drift
+    * telemetry a continuously-crawled pipeline runs per source. */
+  private def qSeasonalMase(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.seasonalNaiveAudit(Tables.events(s, dir),
+        "event_type", "ts", period = 7)
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type")
+
+  /** Round-9: two-sided CUSUM drift statistic per event type — Page's
+    * cumulative-sum level-shift detector on the daily-count axis,
+    * all-integer (prefix sums of x − floor-mean, running extrema). */
+  private def qCusumDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.cusumDrift(Tables.events(s, dir),
+        "event_type", "ts", hFactor = 4)
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type", "day")
+
   /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
     * homoglyphs folded to Latin, per-doc confusable count, the
     * spliced-script suspicion flag. */
@@ -3469,7 +3487,9 @@ object SparkEntry {
       "q240_mined_span_removal" -> (qMinedSpanRemoval _),
       "q241_png_profiles" -> (qPngProfiles _),
       "q242_ivfadc_residual" -> (qIvfAdcResidual _),
-      "q243_cm_registers" -> (qCmRegisters _))
+      "q243_cm_registers" -> (qCmRegisters _),
+      "q244_seasonal_mase" -> (qSeasonalMase _),
+      "q245_cusum_drift" -> (qCusumDrift _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -146,4 +146,92 @@ object Temporal {
           .otherwise(exp(col("ln_surv")).cast("decimal(9,6)")
             .cast("double")).as("surv"))
   }
+
+  // --- corpus-drift monitoring (round 9) --------------------------------
+  //
+  // A continuously-crawled training corpus needs the same health
+  // telemetry a metrics pipeline has: is today's volume per source in
+  // line with its weekly rhythm (seasonal-naive MASE, Hyndman &
+  // Koehler 2006), and has the level drifted persistently (two-sided
+  // CUSUM, Page 1954)? Both are all-integer on the count axis — days
+  // are integer epoch-day ordinals (unix_micros DIV 86400000000, the
+  // microsecond-axis convention), errors are |count − count| longs,
+  // and ratios publish as ppm DIVs — so DuckDB replays them exactly.
+  //
+  // Scale shape: one map-side-combined groupBy to (group, day)
+  // counts; everything after runs on per-group day series whose
+  // length is CALENDAR-bounded (365 rows/group/year), not corpus-
+  // bounded — per-group windows are the right tool and no global
+  // sort exists. At 100 TB the daily rollup is the only pass that
+  // touches raw events.
+
+  /** Seasonal-naive forecast audit per group: for every day with a
+    * same-group day exactly `period` back, |x_t − x_{t−period}|;
+    * for every day with a previous day, |x_t − x_{t−1}| (the naive
+    * scale term). MASE in ppm = 1e6 · (seasonal mean) / (naive mean),
+    * integer-floored; NULL when a denominator is empty. Missing days
+    * drop out of both sums (join-on-existence, not row-lag, so
+    * calendar gaps can't misalign the season).
+    *
+    * Output: (group, n_days, n_seasonal, n_naive, seasonal_abs_err,
+    * naive_abs_err, mase_ppm). */
+  def seasonalNaiveAudit(events: DataFrame, groupCol: String,
+                         tsCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val daily = events.select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+    val lagS = daily.select(col("grp"), (col("day") + period).as("day"),
+      col("x").as("x_season"))
+    val lagN = daily.select(col("grp"), (col("day") + 1).as("day"),
+      col("x").as("x_prev"))
+    daily
+      .join(lagS, Seq("grp", "day"), "left")
+      .join(lagN, Seq("grp", "day"), "left")
+      .groupBy(col("grp").as("group"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("x_season")).as("n_seasonal"),
+        count(col("x_prev")).as("n_naive"),
+        sum(abs(col("x") - col("x_season"))).as("seasonal_abs_err"),
+        sum(abs(col("x") - col("x_prev"))).as("naive_abs_err"))
+      .withColumn("mase_ppm", expr(
+        """CASE WHEN naive_abs_err > 0 AND n_seasonal > 0
+             THEN 1000000 * seasonal_abs_err * n_naive
+                  DIV (n_seasonal * naive_abs_err)
+             ELSE CAST(NULL AS BIGINT) END"""))
+  }
+
+  /** Two-sided CUSUM drift statistic per group over daily counts:
+    * target k = floor(total/n_days) per group, P_t = Σ(x−k) in day
+    * order, S⁺ = P − min_{≤t}P (upward drift), S⁻ = max_{≤t}P − P
+    * (downward), alarms at h = hFactor·max(k,1). Day gaps simply
+    * contribute no row (the statistic carries across them — CUSUM on
+    * the observed sequence). Per-group windows only; series length is
+    * calendar-bounded.
+    *
+    * Output: (group, day, x, cusum_pos, cusum_neg, alarm_pos,
+    * alarm_neg). */
+  def cusumDrift(events: DataFrame, groupCol: String, tsCol: String,
+                 hFactor: Int = 4): DataFrame = {
+    require(hFactor >= 1)
+    val daily = events.select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+    val kTbl = daily.groupBy("grp")
+      .agg(expr("sum(x) DIV count(1)").as("k")) // exact integer mean floor
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    daily.join(broadcast(kTbl), "grp")
+      .withColumn("p", sum(col("x") - col("k")).over(w))
+      .withColumn("cusum_pos", col("p") - min(col("p")).over(w))
+      .withColumn("cusum_neg", max(col("p")).over(w) - col("p"))
+      .withColumn("h", lit(hFactor) * greatest(col("k"), lit(1L)))
+      .select(col("grp").as("group"), col("day"), col("x"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > col("h")).as("alarm_pos"),
+        (col("cusum_neg") > col("h")).as("alarm_neg"))
+  }
 }
