@@ -5559,6 +5559,275 @@ object OracleSql {
 
   /** q233: HLL register replay — the same affine PRF, register split,
     * and 24-bit threshold-cascade rank, grouped MAX. */
+  /** Quadratic-PRF Bloom bit as SQL text — the q243 constant schedule
+    * with a caller-chosen modulus; `k` is a SQL expression for the
+    * BIGINT key, `j` the fixed hash-row index. Generated by the same
+    * (a, b, c) schedule as `Sketches.bloomBit`, so oracle and engine
+    * share the arithmetic by construction. */
+  private def bloomBitSql(k: String, j: Int, mBits: Int): String = {
+    val a = 1000003L + 97L * j
+    val b = 12345L + 1013L * j
+    val c = 17L + 29L * j
+    s"(((($k * $a + $b) % 1000000007) * (($k * $a + $b) % 1000000007)" +
+      s" + $c) % 1000000007) % $mBits"
+  }
+
+  /** q246: Bloom register replay — the q243 PRF family folded to bit
+    * positions, DISTINCT per group (union-mergeable state). */
+  private val q246 = {
+    val bits = (0 until 3)
+      .map(j => bloomBitSql("k", j, 512)).mkString(",\n      |    ")
+    s"""WITH k AS (
+       |  SELECT o_orderpriority, CAST(o_custkey AS BIGINT) AS k
+       |  FROM orders),
+       |e AS (
+       |  SELECT o_orderpriority, unnest([
+       |    $bits]) AS bit
+       |  FROM k)
+       |SELECT o_orderpriority, CAST(bit AS BIGINT) AS bit
+       |FROM e GROUP BY 1, 2
+       |ORDER BY o_orderpriority, bit""".stripMargin
+  }
+
+  /** q247: Bloom semi-join reduction replay — build-side distinct
+    * bits, per-probe-row 3-bit membership, exact-match check only on
+    * candidates (no false negatives, so that equals the full
+    * semi-join). */
+  private val q247 = {
+    val buildBits = (0 until 3)
+      .map(j => bloomBitSql("k", j, 16384)).mkString(",\n      |    ")
+    val passPred = (0 until 3)
+      .map(j => s"(${bloomBitSql("k", j, 16384)}) IN (SELECT bit FROM bits)")
+      .mkString("\n      |    AND ")
+    s"""WITH b AS (
+       |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+       |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |bits AS (
+       |  SELECT DISTINCT unnest([
+       |    $buildBits]) AS bit
+       |  FROM b),
+       |p AS (
+       |  SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS k
+       |  FROM lineitem),
+       |pp AS (
+       |  SELECT l_returnflag, k,
+       |    $passPred AS pass
+       |  FROM p)
+       |SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_candidates,
+       |  CAST(SUM(CASE WHEN pass AND k IN (SELECT k FROM b)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN pass AND k NOT IN (SELECT k FROM b)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM pp GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q248: k-core peeling replay — the 3 parallel-peel rounds
+    * unrolled as CTEs (the q102 convention): per round, induced
+    * degrees over the survivor set, HAVING deg >= k. */
+  private val q248 = {
+    val rounds = (1 to 3).map { t =>
+      s"""a$t AS (
+         |  SELECT src AS node, COUNT(*) AS deg FROM und
+         |  WHERE src IN (SELECT node FROM a${t - 1})
+         |    AND dst IN (SELECT node FROM a${t - 1})
+         |  GROUP BY src HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH te AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |t AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM te),
+       |strong AS (
+       |  SELECT src, dst FROM te, t WHERE w * ne > tw),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM strong
+       |    UNION ALL SELECT dst AS src, src AS dst FROM strong)
+       |  WHERE src <> dst),
+       |n AS (SELECT DISTINCT src AS node FROM und),
+       |a0 AS (SELECT node FROM n),
+       |$rounds,
+       |d AS (
+       |  SELECT src AS node, COUNT(*) AS deg FROM und
+       |  WHERE src IN (SELECT node FROM a3)
+       |    AND dst IN (SELECT node FROM a3)
+       |  GROUP BY src)
+       |SELECT CAST(n.node AS BIGINT) AS nationkey,
+       |  d.deg IS NOT NULL AS in_core,
+       |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree
+       |FROM n LEFT JOIN d ON n.node = d.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  /** Winnowing replay pieces (q249/q250) — the q202 portable hash
+    * family: per-token char fold, then a k-gram fold generated for
+    * fixed k so oracle and engine share the arithmetic by
+    * construction; window mins over gram slices, short documents
+    * degrade to their single overall min. */
+  private def winnowFpsSql(k: Int, w: Int): String = {
+    // gram at gram-index e (1-based over th positions k..len):
+    // fold acc*33 + t over th[e-k+1..e], acc starts 0 => first term th
+    val gram = (2 to k).foldLeft(s"th[e - ${k - 1}]") { (acc, i) =>
+      s"($acc * 33 + th[e - ${k - i}]) % 1000000007"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, w ->
+       |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |        (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)) AS th
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) >= $k THEN
+       |      list_transform(range($k, len(th) + 1), e -> $gram)
+       |    ELSE CAST([] AS BIGINT[]) END AS gs
+       |  FROM h),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(gs) >= $w THEN
+       |      list_transform(range(1, len(gs) - $w + 2),
+       |        i -> list_aggregate(gs[i:i + ${w - 1}], 'min'))
+       |    WHEN len(gs) > 0 THEN [list_aggregate(gs, 'min')]
+       |    ELSE CAST([] AS BIGINT[]) END AS mins
+       |  FROM g),
+       |f AS (
+       |  SELECT DISTINCT doc_id, fingerprint FROM (
+       |    SELECT doc_id, unnest(mins) AS fingerprint FROM m))""".stripMargin
+  }
+
+  /** q249: winnowing fingerprint selection replay (k=3, w=4). */
+  private val q249 =
+    s"""${winnowFpsSql(3, 4)}
+       |SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint
+       |FROM f ORDER BY doc_id, fingerprint""".stripMargin
+
+  /** q250: winnowing-overlap pair replay (k=4, w=8, >= 2 shared). */
+  private val q250 =
+    s"""${winnowFpsSql(4, 8)}
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM f a JOIN f b ON a.fingerprint = b.fingerprint
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q251: CM join-size estimate replay — both register builds via
+    * the shared PRF bucket (fixed-j branches of the q243 arithmetic),
+    * per-row inner products re-anchored on the full row domain, MIN
+    * fold, exact join count alongside. */
+  private val q251 = {
+    def cmRows(src: String): String = (0 until 4).map(j =>
+      s"SELECT $j AS sketch_row, ${bloomBitSql("k", j, 64)} AS bucket" +
+        s" FROM $src").mkString("\n      |    UNION ALL ")
+    s"""WITH ka AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+       |kb AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k FROM part
+       |  WHERE p_size > 25),
+       |ca AS (
+       |  SELECT sketch_row, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+       |  FROM (${cmRows("ka")}) GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT sketch_row, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM (${cmRows("kb")}) GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT ca.sketch_row, SUM(ca.ca * cb.cb) AS prod
+       |  FROM ca JOIN cb ON ca.sketch_row = cb.sketch_row
+       |    AND ca.bucket = cb.bucket
+       |  GROUP BY 1),
+       |f AS (
+       |  SELECT r.v AS sketch_row, COALESCE(pr.prod, 0) AS prod
+       |  FROM (SELECT range AS v FROM range(0, 4)) r
+       |  LEFT JOIN pr ON pr.sketch_row = r.v),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+       |  FROM ka JOIN kb ON ka.k = kb.k)
+       |SELECT CAST(MIN(prod) AS BIGINT) AS est_join_size,
+       |  (SELECT exact_join_size FROM ex) AS exact_join_size,
+       |  CAST(CASE WHEN (SELECT exact_join_size FROM ex) > 0
+       |    THEN 1000000 * MIN(prod) // (SELECT exact_join_size FROM ex)
+       |    ELSE 0 END AS BIGINT) AS over_ppm
+       |FROM f""".stripMargin
+  }
+
+  /** q252: SCD2 interval replay — run detection via lag over the
+    * (date, orderkey) order, lead() over the collapsed runs. */
+  private val q252 =
+    """WITH l AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    row_number() OVER w AS rn,
+      |    lag(o_orderpriority) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)),
+      |ch AS (
+      |  SELECT * FROM l
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+      |i AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM ch)
+      |SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM i ORDER BY o_custkey, valid_from""".stripMargin
+
+  /** q253: TextRank replay — candidate filter, window-2 adjacency,
+    * symmetrized edge counts, then the q102 PageRank recurrence
+    * unrolled for 3 iterations; top-25 with word tie-break. */
+  private val q253 = {
+    val scale = 1000000000L
+    val its = (1 to 3).map { t =>
+      s"""it$t AS (
+         |  SELECT n.node,
+         |    (CAST(15 * (SELECT r0 FROM init) AS BIGINT)
+         |      + 85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM edges e
+         |    JOIN it${t - 1} r ON e.src = r.node
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT list_filter(string_split(lower(text), ' '),
+       |    x -> regexp_matches(x, '^[a-z]{4,}$$')) AS f
+       |  FROM documents),
+       |adj AS (
+       |  SELECT f[i] AS a, f[i + 1] AS b
+       |  FROM (SELECT f, unnest(generate_series(1, len(f) - 1)) AS i
+       |        FROM d WHERE len(f) >= 2)
+       |  WHERE f[i] <> f[i + 1]),
+       |edges AS (
+       |  SELECT a AS src, b AS dst, COUNT(*) AS w FROM (
+       |    SELECT a, b FROM adj
+       |    UNION ALL SELECT b AS a, a AS b FROM adj)
+       |  GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |init AS (SELECT $scale // COUNT(*) AS r0 FROM nodes),
+       |it0 AS (SELECT node, (SELECT r0 FROM init) AS rank FROM nodes),
+       |$its
+       |SELECT node AS word, CAST(rank AS BIGINT) AS pagerank_scaled,
+       |  CAST(row_number() OVER (ORDER BY rank DESC, node ASC)
+       |    AS INTEGER) AS kw_rank
+       |FROM it3 ORDER BY rank DESC, node ASC LIMIT 25""".stripMargin
+  }
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -5899,6 +6168,14 @@ object OracleSql {
     "q243_cm_registers" -> q243,
     "q244_seasonal_mase" -> q244,
     "q245_cusum_drift" -> q245,
+    "q246_bloom_registers" -> q246,
+    "q247_bloom_reduce" -> q247,
+    "q248_kcore" -> q248,
+    "q249_winnow_fps" -> q249,
+    "q250_winnow_pairs" -> q250,
+    "q251_cm_join_size" -> q251,
+    "q252_scd2_intervals" -> q252,
+    "q253_textrank" -> q253,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -777,6 +777,89 @@ object SparkEntry {
       .withColumnRenamed("group", "event_type")
       .orderBy("event_type", "day")
 
+  /** Round-9: Bloom-filter registers — the membership twin of
+    * q233/q243: per-priority Bloom bits over customer keys, the
+    * union-mergeable state a distributed membership service ships. */
+  private def qBloomRegisters(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.bloomRegisters(Tables.orders(s, dir),
+        "o_orderpriority", "o_custkey", mBits = 512, depth = 3)
+      .select(col("grp").as("o_orderpriority"), col("bit"))
+      .orderBy("o_orderpriority", "bit")
+
+  /** Round-9: Bloom semi-join reduction audit — urgent-order keys
+    * packed into a 16384-bit filter prune lineitem map-side; the
+    * audit frame exposes probe/candidate/match/false-positive counts
+    * per returnflag, so the Bloom arithmetic itself is oracle-checked
+    * (the runtime-filter pattern, hand-rolled portably). */
+  private def qBloomReduce(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.bloomSemiReduceStats(
+        Tables.lineitem(s, dir), "l_orderkey", "l_returnflag",
+        Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        "o_orderkey", mBits = 16384, depth = 3)
+      .select(col("grp").as("l_returnflag"), col("n_probe"),
+        col("n_candidates"), col("n_matched"), col("n_false_pos"))
+      .orderBy("l_returnflag")
+
+  /** Round-9: k-core decomposition — bounded-round parallel peeling
+    * (k = 3, 3 rounds) over the ABOVE-MEAN nation trade graph (the
+    * mean filter sparsifies the dense trade clique so peeling has
+    * structure to find at every SF); the dense-community prefilter of
+    * the graph family. */
+  private def qKCore(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir)
+    val tot = e.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
+    val strong = e.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") > col("tw"))
+      .select("src", "dst")
+    operators.KCore.peel(strong, k = 3, rounds = 3)
+      .withColumnRenamed("node", "nationkey")
+      .orderBy("nationkey")
+  }
+
+  /** Round-9: winnowing fingerprints (MOSS) — per-doc window-min
+    * k-gram hash selection, ~2/(w+1) of full posting density with the
+    * any-(w+k−1)-token-run coverage guarantee; map-only. */
+  private def qWinnowFps(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, w = 4)
+      .orderBy("doc_id", "fingerprint")
+
+  /** Round-9: winnowing-overlap near-dup pairs — the MOSS match step
+    * over a sparser selection (k=4, w=8): shared-fingerprint counts
+    * per pair, ≥ 2 shared selections to surface. */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 4, w = 8, minShared = 2)
+      .orderBy("a_id", "b_id")
+
+  /** Round-9: count-min join-size estimation — the planner-side
+    * cardinality primitive: |lineitem ⋈ part(p_size>25)| estimated as
+    * the min-over-rows inner product of two CM sketches, published
+    * next to the exact count so the one-sidedness is oracle-pinned. */
+  private def qCmJoinSize(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.cmJoinSizeEstimate(
+      Tables.lineitem(s, dir), "l_partkey",
+      Tables.part(s, dir).filter(col("p_size") > 25), "p_partkey",
+      depth = 4, width = 64)
+
+  /** Round-9: SCD type-2 validity intervals — per-customer order
+    * priority history collapsed to runs with [valid_from, valid_to)
+    * and the is_current flag (Kimball SCD2; orderkey tie-break). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    operators.Cdc.scd2Intervals(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderpriority")),
+        "o_custkey", Seq("o_orderdate", "o_orderkey"),
+        Seq("o_orderpriority"))
+      .orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+  /** Round-9: TextRank keywords — corpus co-occurrence graph (window
+    * 2 over ^[a-z]{4,}$ candidates) through the integer-exact
+    * PageRank kernel, top-25 by rank. */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRankKeywords(Tables.documents(s, dir),
+      "doc_id", "text", iters = 3, topK = 25)
+
   /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
     * homoglyphs folded to Latin, per-doc confusable count, the
     * spliced-script suspicion flag. */
@@ -3489,7 +3572,15 @@ object SparkEntry {
       "q242_ivfadc_residual" -> (qIvfAdcResidual _),
       "q243_cm_registers" -> (qCmRegisters _),
       "q244_seasonal_mase" -> (qSeasonalMase _),
-      "q245_cusum_drift" -> (qCusumDrift _))
+      "q245_cusum_drift" -> (qCusumDrift _),
+      "q246_bloom_registers" -> (qBloomRegisters _),
+      "q247_bloom_reduce" -> (qBloomReduce _),
+      "q248_kcore" -> (qKCore _),
+      "q249_winnow_fps" -> (qWinnowFps _),
+      "q250_winnow_pairs" -> (qWinnowPairs _),
+      "q251_cm_join_size" -> (qCmJoinSize _),
+      "q252_scd2_intervals" -> (qScd2 _),
+      "q253_textrank" -> (qTextRank _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -66,4 +66,43 @@ object Cdc {
       .select((key +: "change_type" +:
         (compareCols.map("a_" + _) ++ compareCols.map("b_" + _))).map(col): _*)
   }
+
+  /** SCD type-2 interval build (Kimball's slowly-changing-dimension
+    * type 2): fold an ordered per-key change log into VALIDITY
+    * INTERVALS — one row per run of equal attribute values, carrying
+    * [valid_from, valid_to) and the is_current flag. [[apply]] keeps
+    * only the latest state; this keeps the full history in the shape
+    * warehouse dimensions (and as-of joins) consume.
+    *
+    * Run collapse is null-safe (`<=>`) across ALL `attrs`: a row
+    * opens a new interval iff it is the key's first row or any
+    * tracked attribute differs from the previous row. `seqCols` must
+    * totally order rows within a key (pass a tie-breaker column —
+    * nondeterministic input order is the classic silent SCD2 bug);
+    * valid_from/valid_to take the FIRST seq column's value.
+    *
+    * Scale shape: one hash shuffle on the key; both window passes
+    * (run detection, then lead() over the collapsed runs) and the
+    * filter between them preserve that partitioning, so Catalyst
+    * plans a single Exchange. Per-key groups are bounded by a key's
+    * change count — no global sort. */
+  def scd2Intervals(changes: DataFrame, key: String, seqCols: Seq[String],
+                    attrs: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty && attrs.nonEmpty,
+      "scd2Intervals needs >= 1 seq column and >= 1 tracked attribute")
+    val w = Window.partitionBy(col(key)).orderBy(seqCols.map(col): _*)
+    val opens = changes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_chg",
+        col("_rn") === 1 ||
+          attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+            .reduce(_ || _))
+      .filter(col("_chg"))
+    opens
+      .withColumn("valid_from", col(seqCols.head))
+      .withColumn("valid_to", lead(col(seqCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((key +: attrs).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

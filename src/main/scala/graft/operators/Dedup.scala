@@ -1092,4 +1092,106 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("pos_a"), col("pos_b"),
         col("jacc_ppm"), col("is_dup"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): per document, hash every k-gram of tokens, then
+    * keep the MINIMUM hash of each sliding window of `w` consecutive
+    * gram hashes. The guarantee that makes this the standard
+    * local-fingerprinting scheme: any shared run of at least w+k−1
+    * tokens between two documents yields at least one SHARED
+    * fingerprint, while the expected density of selected hashes is
+    * only ~2/(w+1) — position-robust overlap detection at a fraction
+    * of full-posting cost (the complement to [[shinglePostings]]'s
+    * exhaustive set semantics).
+    *
+    * Portable hashing (the q181/q202 convention — the hash VALUE
+    * decides the selection, so the oracle must replay it): token hash
+    * = char fold (acc·31 + codepoint) mod 1e9+7; k-gram hash =
+    * token-hash fold (acc·33 + t) mod 1e9+7. Documents with fewer
+    * grams than `w` contribute their single overall-min fingerprint
+    * (the standard short-document degenerate window); documents with
+    * fewer than k tokens have no grams and no fingerprints.
+    *
+    * Scale shape: MAP-ONLY — one aggregate() pass per document
+    * carrying (token ring of k−1, gram ring of w−1, emitted mins,
+    * running min) as struct state, so the token-hash array appears
+    * exactly once in the expression tree and CollapseProject cannot
+    * re-inline the char folds per window position (the q202 O(n²)
+    * trap, avoided the same way). O(n·(k+w)) per n-token document,
+    * then array_distinct + explode; no shuffle, no UDF.
+    *
+    * Output: (doc_id, fingerprint) — the per-document DISTINCT
+    * fingerprint set, one row per selected hash. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1; got $k/$w")
+    val P = 1000000007L
+    def tokHash(wd: Column): Column =
+      aggregate(split(wd, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+    val toks = filter(words(col(textCol)), t => t =!= "")
+    val zero = struct(
+      array().cast("array<bigint>").as("tring"),
+      array().cast("array<bigint>").as("gring"),
+      array().cast("array<bigint>").as("mins"),
+      lit(null).cast("bigint").as("gmin"))
+    val folded = aggregate(
+      transform(toks, tokHash _), zero,
+      (acc, h) => {
+        val tring = acc.getField("tring")
+        val haveGram = size(tring) === (k - 1)
+        val gram = aggregate(concat(tring, array(h)), lit(0L),
+          (a, t) => pmod(a * 33 + t, lit(P)))
+        val gring = acc.getField("gring")
+        val windowFull = haveGram && (size(gring) === (w - 1))
+        val tringNew = when(size(tring) < k - 1, concat(tring, array(h)))
+          .otherwise(concat(slice(tring, 2, k - 1), array(h)))
+        val gringNew = when(!haveGram, gring)
+          .when(size(gring) < w - 1, concat(gring, array(gram)))
+          .otherwise(concat(slice(gring, 2, w - 1), array(gram)))
+        struct(
+          tringNew.as("tring"),
+          gringNew.as("gring"),
+          when(windowFull,
+            concat(acc.getField("mins"),
+              array(array_min(concat(gring, array(gram))))))
+            .otherwise(acc.getField("mins")).as("mins"),
+          when(haveGram, least(acc.getField("gmin"), gram))
+            .otherwise(acc.getField("gmin")).as("gmin"))
+      },
+      acc => when(size(acc.getField("mins")) > 0,
+          array_distinct(acc.getField("mins")))
+        .when(acc.getField("gmin").isNotNull, array(acc.getField("gmin")))
+        .otherwise(array().cast("array<bigint>")))
+    docs.select(col(idCol).cast("long").as("doc_id"), folded.as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+  }
+
+  /** Winnowing-overlap near-dup pairs — the MOSS match step: join the
+    * [[winnowFingerprints]] table with itself on the fingerprint,
+    * count shared selections per ordered pair, keep pairs with at
+    * least `minShared`. Because winnowing guarantees a selected hash
+    * inside every w+k−1-token shared run, pairs sharing long literal
+    * runs always surface while unrelated documents share only by
+    * (rare) hash coincidence.
+    *
+    * Scale shape: the fingerprint table is already ~2/(w+1)-dense
+    * (winnowing IS the sparsifier), so the per-fingerprint posting
+    * buckets the equi-join fans out are small; hot-fingerprint
+    * chunking (the [[containmentPairs]] convention) applies unchanged
+    * past that. One equi-join + one pair aggregation.
+    *
+    * Output: (a_id, b_id, n_shared), a_id < b_id. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4,
+                         minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint() // one map-only scan feeds both join sides
+    fps.select(col("doc_id").as("a_id"), col("fingerprint"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fingerprint")),
+        Seq("fingerprint"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

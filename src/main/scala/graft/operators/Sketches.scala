@@ -63,6 +63,104 @@ object Sketches {
       .agg(max(col("rho")).cast("long").as("max_rho"))
   }
 
+  /** Shared quadratic-PRF bit position for the Bloom family: row-j
+    * hash of an integral key, folded to [0, mBits). Same affine-then-
+    * quadratic shape (and per-row constant schedule) as
+    * [[cmRegisters]] — one PRF family across the sketch suite keeps
+    * the oracle replay uniform. */
+  private[operators] def bloomBit(k: Column, j: Int, mBits: Int): Column = {
+    val P = 1000000007L
+    val h1 = pmod(k * (1000003L + 97L * j) + (12345L + 1013L * j), lit(P))
+    pmod(h1 * h1 + (17L + 29L * j), lit(P)) % mBits
+  }
+
+  /** Per-group BLOOM filter registers (Bloom 1970) — the membership
+    * twin of [[hllRegisters]]/[[cmRegisters]]: publish the canonical
+    * mergeable state (Bloom filters merge by bitwise OR = set union
+    * of the published bit positions; membership test = all `depth`
+    * bits present, one-sided: no false negatives), built from the
+    * quadratic PRF family so every bit is integer-exact and
+    * oracle-replayable.
+    *
+    * Scale shape: map-only depth-fold explode, then ONE map-side-
+    * combined DISTINCT on (group, bit) — partials are at most mBits
+    * rows per partition regardless of input size, the mergeable-
+    * sketch exchange. Sparse convention: unset bits are absent rows.
+    * Output: (grp, bit), one row per set bit. */
+  def bloomRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                     mBits: Int = 512, depth: Int = 3): DataFrame = {
+    require(mBits >= 2 && depth >= 1, s"bad Bloom shape: $depth x $mBits")
+    df.select(col(groupCol).as("grp"), col(keyCol).cast("long").as("k"))
+      .select(col("grp"), explode(array((0 until depth).map(j =>
+        bloomBit(col("k"), j, mBits)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Bloom-filter semi-join reduction — the runtime-filter pattern
+    * (Spark's own InjectRuntimeFilter / the classic semi-join
+    * reduction of Bernstein & Chiu 1981) hand-rolled portably: build
+    * a Bloom filter over the (small, filtered) build side's keys,
+    * prune the probe side MAP-SIDE with it, and only the surviving
+    * candidates pay the exact semi-join. Published as an audit frame
+    * so the Bloom arithmetic itself is oracle-checked: per group,
+    * probe rows / Bloom candidates / exact matches / false positives.
+    *
+    * Correctness lean: Bloom filters have NO false negatives, so the
+    * exact join over candidates equals the exact join over the full
+    * probe side — the reduction changes cost, never the answer
+    * (BloomReduceSpec pins this against the unfiltered join).
+    *
+    * Scale shape: the build side collapses to mBits/64 packed 64-bit
+    * words via one bounded aggregation (≤ mBits/64 rows cross the
+    * wire); the word array ships as a broadcast-sized literal — the
+    * same state Spark's runtime filter ships — so the probe-side
+    * membership test is MAP-ONLY (no join, no shuffle on the 100 TB
+    * side); only candidates (a false-positive-rate fraction of the
+    * probe) enter the exact semi-join, whose build side AQE
+    * broadcasts. Driver state is mBits/64 longs by construction
+    * (4096 bits = 64 longs), documented at the collect site. */
+  def bloomSemiReduceStats(probe: DataFrame, probeKey: String,
+      grpCol: String, build: DataFrame, buildKey: String,
+      mBits: Int = 16384, depth: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0 && depth >= 1,
+      s"bad Bloom shape: $depth x $mBits")
+    val keys = build.select(col(buildKey).cast("long").as("k")).distinct()
+    val nWords = mBits / 64
+    // bounded collect: exactly <= nWords rows (one per packed word),
+    // independent of build-side cardinality — the runtime-filter state
+    val packed = keys
+      .select(explode(array((0 until depth).map(j =>
+        bloomBit(col("k"), j, mBits)): _*)).as("bit"))
+      .distinct()
+      .groupBy(expr("bit DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))")
+        .as("bits"))
+      .collect()
+    val words = Array.fill(nWords)(0L)
+    packed.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wordsLit = typedLit(words.toSeq)
+    val probeP = probe
+      .select(col(grpCol).as("grp"), col(probeKey).cast("long").as("k"))
+      .withColumn("bits", array((0 until depth).map(j =>
+        bloomBit(col("k"), j, mBits)): _*))
+      .withColumn("pass", (0 until depth).map { j =>
+        element_at(wordsLit, expr(s"CAST(bits[$j] DIV 64 AS INT)") + 1)
+          .bitwiseAND(expr(
+            s"shiftleft(CAST(1 AS BIGINT), CAST(bits[$j] % 64 AS INT))"))
+          .=!=(0L)
+      }.reduce(_ && _))
+      .drop("bits")
+    val perGrp = probeP.groupBy("grp")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(col("pass").cast("long")).as("n_candidates"))
+    val matched = probeP.filter(col("pass"))
+      .join(keys, Seq("k"), "left_semi")
+      .groupBy("grp").agg(count(lit(1)).as("n_matched"))
+    perGrp.join(matched, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_matched"))
+  }
+
   /** Per-group COUNT-MIN sketch registers (Cormode & Muthukrishnan
     * 2005) — the frequency twin of [[hllRegisters]], same stance:
     * publish the CANONICAL mergeable state (CM sketches merge by
@@ -97,5 +195,57 @@ object Sketches {
       .select(col("grp"), col("rb.sketch_row"), col("rb.bucket"))
     rows.groupBy("grp", "sketch_row", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min JOIN-SIZE estimation (Alon–Gibbons–Matias–Szegedy by
+    * way of Cormode & Muthukrishnan §4.2; Rusu & Dobra 2007 survey):
+    * |A ⋈ B on key| = Σ_k f_A(k)·f_B(k), the inner product of the two
+    * frequency vectors — estimated per sketch row as the inner
+    * product of the two rows' counters, Σ_b cA[j,b]·cB[j,b], and
+    * combined by MIN over rows (each row over-estimates by hash
+    * collisions, never under-estimates). The cardinality-estimation
+    * primitive a cost-based planner runs BEFORE a 100 TB join: two
+    * sketch scans instead of the join itself.
+    *
+    * Published as an audit row: (est_join_size, exact_join_size,
+    * over_ppm) — the exact side is computed too (test-SF-affordable)
+    * so the oracle pins the one-sided-ness. All-integer; counter
+    * products stay in bigints for any side below ~3e9 rows per key
+    * domain (document the bound at bigger scales).
+    *
+    * Scale shape: the two [[cmRegisters]] builds are mergeable-sketch
+    * exchanges (≤ depth·width partials per partition); the sketch
+    * join is depth·width × depth·width at most — constant-size — and
+    * the MIN fold is over `depth` rows. The exact count pays one real
+    * equi-join (drop it in production; it exists here to publish the
+    * audit). */
+  def cmJoinSizeEstimate(a: DataFrame, aKey: String,
+                         b: DataFrame, bKey: String,
+                         depth: Int = 4, width: Int = 64): DataFrame = {
+    val cA = cmRegisters(a.select(col(aKey)).withColumn("g", lit(0)),
+      "g", aKey, depth, width)
+      .select(col("sketch_row"), col("bucket"), col("cnt").as("ca"))
+    val cB = cmRegisters(b.select(col(bKey)).withColumn("g", lit(0)),
+      "g", bKey, depth, width)
+      .select(col("sketch_row"), col("bucket"), col("cnt").as("cb"))
+    // per-row inner products; a row with zero overlapping buckets has
+    // inner product 0, so re-anchor on the full row domain
+    val rowDom = a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("sketch_row"))
+    val perRow = rowDom.join(
+        cA.join(cB, Seq("sketch_row", "bucket"))
+          .groupBy("sketch_row")
+          .agg(sum(col("ca") * col("cb")).as("prod")),
+        Seq("sketch_row"), "left")
+      .na.fill(0L, Seq("prod"))
+    val exact = a.select(col(aKey).cast("long").as("k"))
+      .join(b.select(col(bKey).cast("long").as("k")), Seq("k"))
+      .agg(count(lit(1)).as("exact_join_size"))
+    perRow.agg(min(col("prod")).as("est_join_size"))
+      .crossJoin(broadcast(exact))
+      .withColumn("over_ppm", expr(
+        """CAST(CASE WHEN exact_join_size > 0
+           THEN 1000000 * est_join_size DIV exact_join_size
+           ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
   }
 }

@@ -1055,4 +1055,53 @@ object TextAnalysis {
           expr("CAST(1000000 * _top DIV _letters AS BIGINT)")))
       .drop("_top", "_letters")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — unsupervised
+    * corpus-level keyword ranking: build the word co-occurrence graph
+    * (adjacent CANDIDATE tokens, window 2 — the paper's default after
+    * its POS filter, stated here as the portable `^[a-z]{4,}$` gate),
+    * symmetrize it, and run the repo's integer-exact [[PageRank]] power
+    * iteration over it. Words that many distinct well-connected words
+    * sit next to rank highest — the curation-side keyword/topic signal
+    * that needs no labels and no model.
+    *
+    * Determinism: candidate filtering, adjacency, and edge weights are
+    * exact counts; ranks are [[PageRank.run]]'s bigint recurrence, so
+    * the oracle unrolls the iterations as CTEs (the q102 convention)
+    * and matches every bit. Ties in the final top-k break on the word.
+    *
+    * Scale shape: adjacency extraction is MAP-ONLY (one zip of each
+    * doc's filtered token array with its own tail, exploded); the edge
+    * aggregation is one map-side-combined groupBy over (src, dst) —
+    * vocabulary-sized, tiny next to the corpus; each PageRank round is
+    * the fixed two-exchange pattern over that edge list; the top-k is
+    * TakeOrderedAndProject (per-partition heads + k-row driver merge),
+    * never a global sort.
+    *
+    * Output: (word, pagerank_scaled, kw_rank), top `topK` by rank desc
+    * then word asc. */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       iters: Int = 3, topK: Int = 25): DataFrame = {
+    val cand = filter(words(col(textCol)),
+      t => t.rlike("^[a-z]{4,}$"))
+    val adj = docs
+      .select(cand.as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("f"), 1, size(col("f")) - 1).as("x"),
+        slice(col("f"), 2, size(col("f")) - 1).as("y"))).as("p"))
+      .select(col("p.x").as("a"), col("p.y").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = adj
+      .union(adj.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.run(edges, iters)
+      .select(col("node").as("word"), col("pagerank_scaled"))
+      .orderBy(col("pagerank_scaled").desc, col("word").asc)
+      .limit(topK)
+      .withColumn("kw_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pagerank_scaled").desc, col("word").asc)))
+  }
 }
