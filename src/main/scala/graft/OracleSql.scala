@@ -5781,7 +5781,8 @@ object OracleSql {
       |    lead(o_orderdate) OVER (PARTITION BY o_custkey
       |      ORDER BY o_orderdate, o_orderkey) AS valid_to
       |  FROM ch)
-      |SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+      |SELECT o_custkey, o_orderpriority, valid_from,
+      |  COALESCE(valid_to, DATE '2100-01-01') AS valid_to,
       |  valid_to IS NULL AS is_current
       |FROM i ORDER BY o_custkey, valid_from""".stripMargin
 
@@ -6174,7 +6175,7 @@ object OracleSql {
     "q249_winnow_fps" -> q249,
     "q250_winnow_pairs" -> q250,
     "q251_cm_join_size" -> q251,
-    "q252_scd2_intervals" -> q252,
+    "q252_scd2_runs" -> q252,
     "q253_textrank" -> q253,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,

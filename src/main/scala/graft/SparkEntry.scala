@@ -842,15 +842,21 @@ object SparkEntry {
       Tables.part(s, dir).filter(col("p_size") > 25), "p_partkey",
       depth = 4, width = 64)
 
-  /** Round-9: SCD type-2 validity intervals — per-customer order
-    * priority history collapsed to runs with [valid_from, valid_to)
-    * and the is_current flag (Kimball SCD2; orderkey tie-break). */
-  private def qScd2(s: SparkSession, dir: String): DataFrame =
+  /** Round-9: run-collapsed SCD type-2 intervals — unlike q74's
+    * every-change-is-a-version form, this opens an interval ONLY when
+    * a tracked attribute actually changes (the Kimball semantics):
+    * per-customer order-priority runs with [valid_from, valid_to) and
+    * the is_current flag; orderkey tie-break. */
+  private def qScd2Runs(s: SparkSession, dir: String): DataFrame =
     operators.Cdc.scd2Intervals(
         Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
           col("o_orderkey"), col("o_orderpriority")),
         "o_custkey", Seq("o_orderdate", "o_orderkey"),
         Seq("o_orderpriority"))
+      // q74's open-end sentinel convention (NULL timestamps don't
+      // hash-compare across engines)
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("2100-01-01").cast("date")))
       .orderBy("o_custkey", "valid_from", "o_orderpriority")
 
   /** Round-9: TextRank keywords — corpus co-occurrence graph (window
@@ -3579,7 +3585,7 @@ object SparkEntry {
       "q249_winnow_fps" -> (qWinnowFps _),
       "q250_winnow_pairs" -> (qWinnowPairs _),
       "q251_cm_join_size" -> (qCmJoinSize _),
-      "q252_scd2_intervals" -> (qScd2 _),
+      "q252_scd2_runs" -> (qScd2Runs _),
       "q253_textrank" -> (qTextRank _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1

@@ -73,6 +73,9 @@ object Cdc {
     * [valid_from, valid_to) and the is_current flag. [[apply]] keeps
     * only the latest state; this keeps the full history in the shape
     * warehouse dimensions (and as-of joins) consume.
+    * [[Temporal.scd2Intervals]] versions EVERY change row; this
+    * variant collapses runs first — no-op updates (the common case in
+    * a wide CDC feed) open no interval.
     *
     * Run collapse is null-safe (`<=>`) across ALL `attrs`: a row
     * opens a new interval iff it is the key's first row or any

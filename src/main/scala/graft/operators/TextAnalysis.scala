@@ -1088,8 +1088,8 @@ object TextAnalysis {
       .select(cand.as("f"))
       .filter(size(col("f")) >= 2)
       .select(explode(arrays_zip(
-        slice(col("f"), 1, size(col("f")) - 1).as("x"),
-        slice(col("f"), 2, size(col("f")) - 1).as("y"))).as("p"))
+        slice(col("f"), lit(1), size(col("f")) - 1).as("x"),
+        slice(col("f"), lit(2), size(col("f")) - 1).as("y"))).as("p"))
       .select(col("p.x").as("a"), col("p.y").as("b"))
       .filter(col("a") =!= col("b"))
     val edges = adj

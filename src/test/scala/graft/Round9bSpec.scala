@@ -140,4 +140,55 @@ class Round9bSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  // --- CM join-size estimation -------------------------------------------
+  test("cmJoinSizeEstimate: one-sided (est >= exact) and exact when " +
+      "the sketch is collision-free") {
+    val li = Tables.lineitem(spark, sf)
+    val pt = Tables.part(spark, sf).filter(col("p_size") > 25)
+    val row = graft.operators.Sketches
+      .cmJoinSizeEstimate(li, "l_partkey", pt, "p_partkey").head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(exact > 0 && est >= exact) // CM inner product never undershoots
+    // one key each side, wide sketch: no collisions possible -> exact
+    val a = Seq(7L, 7L, 7L).toDF("k")
+    val b = Seq(7L, 7L).toDF("k")
+    val small = graft.operators.Sketches
+      .cmJoinSizeEstimate(a, "k", b, "k", depth = 4, width = 64).head()
+    assert(small.getLong(0) == 6L && small.getLong(1) == 6L)
+    assert(small.getLong(2) == 1000000L)
+  }
+
+  // --- run-collapsed SCD2 -------------------------------------------------
+  test("scd2Intervals: no-op updates open no interval; intervals tile") {
+    val log = Seq(
+      (1L, 1, "A"), (1L, 2, "A"), (1L, 3, "B"), (1L, 4, "B"), (1L, 5, "A"),
+      (2L, 1, "X")).toDF("key", "seq", "v")
+    val out = graft.operators.Cdc
+      .scd2Intervals(log, "key", Seq("seq"), Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "A", 1, Some(3), false),
+      (1L, "B", 3, Some(5), false),
+      (1L, "A", 5, None, true),
+      (2L, "X", 1, None, true)))
+  }
+
+  // --- TextRank ------------------------------------------------------------
+  test("textRankKeywords: the hub word outranks the leaves") {
+    // star graph: "central" is adjacent to every other candidate word
+    val docs = Seq(
+      (1L, "central alpha central beta central gamma"),
+      (2L, "central delta central epsilon")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .textRankKeywords(docs, "doc_id", "text", iters = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.head._1 == "central" && out.head._3 == 1)
+    assert(out.map(_._3).toSeq == (1 to out.length).toSeq)
+    // ranks are non-increasing in kw_rank order
+    assert(out.sliding(2).forall(p => p.head._2 >= p.last._2))
+  }
 }
