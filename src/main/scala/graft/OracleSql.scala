@@ -5829,6 +5829,136 @@ object OracleSql {
        |FROM it3 ORDER BY rank DESC, node ASC LIMIT 25""".stripMargin
   }
 
+  /** q254: personalized PageRank replay — q102's trade edges, the
+    * teleport vector concentrated on the in-graph region-0 nations;
+    * 5 iterations unrolled with a per-node base b(v) = scale // |S|
+    * for seeds and 0 elsewhere (init ranks ARE the base). */
+  private val q254 = {
+    val scale = 1000000000L
+    val its = (1 to 5).map { t =>
+      s"""it$t AS (
+         |  SELECT n.node,
+         |    (CAST(15 * n.b AS BIGINT)
+         |      + 85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100 AS rank
+         |  FROM base n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM edges e
+         |    JOIN it${t - 1} r ON e.src = r.node
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |inseeds AS (
+       |  SELECT DISTINCT n_nationkey AS node FROM nation
+       |  WHERE n_regionkey = 0
+       |    AND n_nationkey IN (SELECT node FROM nodes)),
+       |base AS (
+       |  SELECT n.node,
+       |    CASE WHEN i.node IS NOT NULL
+       |      THEN $scale // (SELECT COUNT(*) FROM inseeds)
+       |      ELSE CAST(0 AS BIGINT) END AS b
+       |  FROM nodes n LEFT JOIN inseeds i ON n.node = i.node),
+       |it0 AS (SELECT node, b AS rank FROM base),
+       |$its
+       |SELECT node AS nationkey, CAST(rank AS BIGINT) AS ppr_scaled
+       |FROM it5 ORDER BY nationkey""".stripMargin
+  }
+
+  /** q255: greedy max-coverage replay — distinct word-bigram universe
+    * (the q253 positional-pairing idiom), then the 4 rounds unrolled
+    * as CTEs: each round anti-joins the covered set and takes the
+    * (gain DESC, doc_id ASC) argmax; covered_total is the running sum
+    * of gains (exact — a gain counts only new bigrams). */
+  private val q255 = {
+    val rounds = (2 to 4).map { r =>
+      s"""g$r AS (
+         |  SELECT t.doc_id, COUNT(*) AS gain
+         |  FROM toks t LEFT JOIN c${r - 1} c ON t.token = c.token
+         |  WHERE c.token IS NULL GROUP BY t.doc_id),
+         |p$r AS (
+         |  SELECT doc_id, gain FROM g$r
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |c$r AS (
+         |  SELECT token FROM c${r - 1}
+         |  UNION
+         |  SELECT t.token FROM toks t JOIN p$r USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS f
+       |  FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, f[i] || ' ' || f[i + 1] AS token
+       |  FROM (SELECT doc_id, f,
+       |          unnest(generate_series(1, len(f) - 1)) AS i
+       |        FROM d WHERE len(f) >= 2)),
+       |p1 AS (
+       |  SELECT doc_id, COUNT(*) AS gain FROM toks GROUP BY doc_id
+       |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+       |c1 AS (SELECT t.token FROM toks t JOIN p1 USING (doc_id)),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1 AS pick_round, doc_id, gain,
+       |    gain AS covered_total FROM p1
+       |  UNION ALL
+       |  SELECT 2, doc_id, gain,
+       |    (SELECT gain FROM p1) + gain FROM p2
+       |  UNION ALL
+       |  SELECT 3, doc_id, gain,
+       |    (SELECT gain FROM p1) + (SELECT gain FROM p2)
+       |      + gain FROM p3
+       |  UNION ALL
+       |  SELECT 4, doc_id, gain,
+       |    (SELECT gain FROM p1) + (SELECT gain FROM p2)
+       |      + (SELECT gain FROM p3) + gain FROM p4)
+       |ORDER BY pick_round""".stripMargin
+  }
+
+  /** q256: baseline-JPEG replay — the fixture is DC-only grayscale,
+    * so every pixel of block (bx, by) is exactly
+    * 2·(((5bx + 7by + 3id) mod 64) − 32) + 128 (IDCT of a lone F00
+    * with quantizer 16); the stats are block sums and the 4×4
+    * nearest-neighbor resample of that formula (gray luma is the
+    * value itself: (77+150+29)v >> 8 = v). */
+  private val q256 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 3 AS wb,
+      |    1 + (doc_id // 3) % 3 AS hb
+      |  FROM documents),
+      |px AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(64 * (2 * (((5 * bx.v + 7 * byy.v + 3 * i.doc_id)
+      |      % 64) - 32) + 128)) AS BIGINT) AS s
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 3)) bx ON bx.v < i.wb
+      |  JOIN (SELECT range AS v FROM range(0, 3)) byy ON byy.v < i.hb
+      |  GROUP BY i.doc_id),
+      |rl AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(2 * (((5 * ((tx.v * (8 * i.wb)) // 4 // 8)
+      |      + 7 * ((ty.v * (8 * i.hb)) // 4 // 8)
+      |      + 3 * i.doc_id) % 64) - 32) + 128) AS BIGINT) AS rls
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(8 * i.wb AS BIGINT) AS width,
+      |  CAST(8 * i.hb AS BIGINT) AS height,
+      |  px.s AS sum_r, px.s AS sum_g, px.s AS sum_b,
+      |  rl.rls AS resized_luma_sum, TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -6177,6 +6307,9 @@ object OracleSql {
     "q251_cm_join_size" -> q251,
     "q252_scd2_runs" -> q252,
     "q253_textrank" -> q253,
+    "q254_personalized_pr" -> q254,
+    "q255_max_coverage" -> q255,
+    "q256_jpeg_pixels" -> q256,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -455,6 +455,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-9: REAL baseline JPEG decode, oracle-checked — DC-only
+    * grayscale JPEGs (marker walk, canonical Huffman with ±63 DC
+    * swings, dequant, IDCT, level shift) through the same
+    * decode→stats kernel as q214; the closed-form flat-block
+    * reconstruction (pixel = 2·dc + 128) is what lets DuckDB replay
+    * the stats with zero image support. */
+  private def qJpegPixels(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticJpegPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
     * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
     * into genuine WAV bytes in-engine, decoded back distributed, and
@@ -865,6 +882,29 @@ object SparkEntry {
   private def qTextRank(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textRankKeywords(Tables.documents(s, dir),
       "doc_id", "text", iters = 3, topK = 25)
+
+  /** Round-9: personalized PageRank — teleport mass concentrated on
+    * the region-0 nations as the seed set; relevance-to-these-nodes
+    * over the trade graph (q102's edges) instead of global
+    * centrality. Same integer recurrence; nodes unreachable from the
+    * seeds settle at 0. */
+  private def qPersonalizedPr(s: SparkSession, dir: String): DataFrame =
+    PageRank.personalized(tradeEdges(s, dir),
+        Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey").as("node")),
+        iters = 5)
+      .select(col("node").as("nationkey"), col("ppr_scaled"))
+      .orderBy("nationkey")
+
+  /** Round-9: greedy max-coverage — 4 documents selected to maximize
+    * distinct word-BIGRAM coverage (the (1−1/e) submodular greedy);
+    * the lexical-breadth seed-corpus selector. Bigrams because the
+    * synthetic corpus has a ~31-word vocabulary — unigram coverage
+    * saturates after one pick. */
+  private def qMaxCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.greedyMaxCoverage(Tables.documents(s, dir),
+        "doc_id", "text", n = 2, k = 4)
+      .orderBy("pick_round")
 
   /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
     * homoglyphs folded to Latin, per-doc confusable count, the
@@ -3586,7 +3626,10 @@ object SparkEntry {
       "q250_winnow_pairs" -> (qWinnowPairs _),
       "q251_cm_join_size" -> (qCmJoinSize _),
       "q252_scd2_runs" -> (qScd2Runs _),
-      "q253_textrank" -> (qTextRank _))
+      "q253_textrank" -> (qTextRank _),
+      "q254_personalized_pr" -> (qPersonalizedPr _),
+      "q255_max_coverage" -> (qMaxCoverage _),
+      "q256_jpeg_pixels" -> (qJpegPixels _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

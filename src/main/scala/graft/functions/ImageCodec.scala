@@ -442,6 +442,9 @@ object ImageCodec {
       decodeBmp(bytes)
     else if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P')
       decodePng(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decodeJpeg(bytes)
     else None
 
   /** Nearest-neighbor resize to side×side — source index

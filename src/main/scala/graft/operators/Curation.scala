@@ -828,4 +828,67 @@ object Curation {
       .withColumn("leaks_train",
         col("split_a") === "train" || col("split_b") === "train")
   }
+
+  /** Greedy maximum-coverage selection (Nemhauser–Wolsey–Fisher 1978):
+    * pick k documents that together cover the most DISTINCT word
+    * n-gram shingles — each round selects the document adding the
+    * most not-yet-covered shingles. Coverage is a monotone submodular
+    * objective, so this greedy is the classic (1 − 1/e)-approximation;
+    * it's the standard "small seed corpus with maximal vocabulary
+    * breadth" selector for tokenizer training and eval-set
+    * construction — the lexical counterpart of the embedding-space
+    * [[graft.operators.Coreset]]. The shingle order n is the coverage
+    * granularity knob (n = 1 is plain vocabulary coverage; small-
+    * vocabulary corpora need n ≥ 2 for the objective to discriminate).
+    *
+    * Scale shape: the covered-token set lives as a DATAFRAME (never
+    * on the driver — vocabularies are corpus-sized); each of the k
+    * rounds is one anti-join + groupBy + TakeOrdered(1). The only
+    * driver state is the k picked (doc, gain) rows — the sanctioned
+    * k-bounded loop (BPE / Coreset convention), with lineage cut on
+    * the growing covered set each round. Ties on the argmax break to
+    * the smaller doc id, so every pick is oracle-replayable with the
+    * rounds unrolled as CTEs.
+    *
+    * Early stop: a round whose best gain would be 0 (or an exhausted
+    * corpus) ends the selection — further picks could only add
+    * fully-covered documents. Output: (pick_round, doc_id, gain,
+    * covered_total) where covered_total is the running distinct-token
+    * coverage (Σ gains — exact, since a gain counts only new tokens). */
+  def greedyMaxCoverage(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"greedyMaxCoverage: k must be >= 1, got $k")
+    require(n >= 1, s"greedyMaxCoverage: n must be >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.operators.Dedup.shingles(col(textCol), n))
+          .as("token"))
+      // shingles() is array_distinct per doc — (doc_id, token) is
+      // already duplicate-free, no cross-doc distinct shuffle needed
+      .localCheckpoint()
+    var covered = spark.emptyDataset[String].toDF("token")
+    var picks = Vector.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val best = toks.join(covered, Seq("token"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val doc = best.head.getLong(0)
+        val gain = best.head.getLong(1)
+        total += gain
+        picks :+= ((r, doc, gain, total))
+        covered = covered
+          .union(toks.filter(col("doc_id") === doc).select("token"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    picks.toDF("pick_round", "doc_id", "gain", "covered_total")
+  }
 }

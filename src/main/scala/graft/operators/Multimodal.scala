@@ -232,6 +232,45 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-9 BASELINE JPEG payloads for the q256 registered query —
+    * the last real-crawl image profile
+    * ([[graft.functions.JpegCodec]]): DC-only grayscale JPEGs whose
+    * decoded pixels are closed-form in (id, bx, by). Dimensions are
+    * whole MCU grids (w = 8·(1 + id mod 3), h = 8·(1 + (id div 3)
+    * mod 3)); block (bx, by) carries quantized DC
+    * dc = ((5·bx + 7·by + 3·id) mod 64) − 32 with DC quantizer 16,
+    * so the flat reconstruction is EXACT: every pixel of the block is
+    * 2·dc + 128 (IDCT of a lone F00 = F00/8; 16·dc/8 = 2·dc — no
+    * clamp, range [64, 190]). The oracle replays
+    * [[imagePixelStats]] from that formula, and a hash match proves
+    * the whole walk — marker parse, canonical Huffman, DC prediction,
+    * dequant, IDCT, level shift — recovered every byte. The Huffman
+    * path is NOT trivially flat: DC diffs swing ±63 across the block
+    * raster, exercising categories 0..6 and EXTEND on every image.
+    * Map-only, the q214 scale shape. */
+  def syntheticJpegPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (1 + id % 3).toInt
+          val hB = (1 + (id / 3) % 3).toInt
+          val quant = Array.fill(64)(16)
+          val blocks = Array.tabulate(wB * hB) { b =>
+            val bx = b % wB; val by = b / wB
+            val z = new Array[Int](64)
+            z(0) = (((5 * bx + 7 * by + 3 * id) % 64) - 32).toInt
+            z
+          }
+          (id, graft.functions.JpegCodec.encodeJpegGray(
+            blocks, wB * 8, hB * 8, quant))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** All-integer PCM statistics from REAL WAV decode
     * ([[graft.functions.AudioCodec]]) — the audio twin of
     * [[imagePixelStats]]: per payload the decoded format meta

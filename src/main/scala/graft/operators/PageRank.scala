@@ -74,6 +74,62 @@ object PageRank {
     } finally e.unpersist(false)
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random-walk-with-
+    * restart of Tong et al. 2006) — [[run]] with the teleport mass
+    * concentrated on a SEED SET instead of spread uniformly: the
+    * relevance-to-these-nodes score behind graph-based
+    * recommendation, related-entity expansion, and seed-anchored
+    * crawl prioritization. Same integer recurrence with a per-node
+    * base: rank' = (15·b(v) + 85·Σ contrib) div 100, where b(v) =
+    * scale div |S| for seeds and 0 elsewhere; initial ranks ARE the
+    * teleport vector. Nodes unreachable from the seeds settle at 0 —
+    * the locality that distinguishes PPR from global PageRank.
+    *
+    * Scale shape: identical to [[run]] (two exchanges per round,
+    * lineage cut per stride); the seed frame joins once into the node
+    * frame up front. Same rank·w < 2^63 overflow contract.
+    *
+    * @param seeds one column `node`; seeds absent from the graph are
+    *              ignored (|S| counts only present seeds)
+    * @return (node, ppr_scaled) */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   scale: Long = 1000000000L, cpEvery: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outw = e.groupBy("src").agg(sum("w").as("ow"))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val flagged = nodes.join(
+          seeds.select(col("node")).distinct().withColumn("_s", lit(1)),
+          Seq("node"), "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nS = flagged.filter(col("_s").isNotNull).count()
+        require(nS >= 1, "personalized PageRank needs >= 1 seed in-graph")
+        val base = flagged.select(col("node"),
+          when(col("_s").isNotNull, lit(scale / nS))
+            .otherwise(lit(0L)).as("b"))
+          .localCheckpoint()
+        var ranks = base.select(col("node"), col("b").as("rank"))
+        for (i <- 1 to iters) {
+          val contrib = e
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(col("dst").as("node"),
+              expr("(rank * w) div ow").as("c"))
+            .groupBy("node").agg(sum("c").as("s"))
+          ranks = base.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              expr("(15 * b + 85 * coalesce(s, CAST(0 AS BIGINT))) " +
+                "div 100").as("rank"))
+          if (i % cpEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+        }
+        ranks.select(col("node"), col("rank").as("ppr_scaled"))
+      } finally flagged.unpersist(false)
+    } finally e.unpersist(false)
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — the directed-graph
     * complement to [[run]]: PageRank scores "endorsed-ness" in one
     * number, HITS separates GOOD POINTERS (hubs) from GOOD TARGETS

@@ -191,4 +191,74 @@ class Round9bSpec extends SparkSpec {
     // ranks are non-increasing in kw_rank order
     assert(out.sliding(2).forall(p => p.head._2 >= p.last._2))
   }
+
+  // --- personalized PageRank ----------------------------------------------
+  test("personalized: mass localizes at the seeds; unreachable nodes " +
+      "settle at 0; uniform seed set over all nodes equals global PR") {
+    // two components: 1->2->3 (cycle back 3->1) and isolated 4->5
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val ppr = graft.operators.PageRank
+      .personalized(edges, seeds, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nodes 4,5 are unreachable from seed 1 -> exactly 0
+    assert(ppr(4L) == 0L && ppr(5L) == 0L)
+    // reachable component holds all the mass; seed outranks nothing
+    // here (cycle equalizes) but every score is positive
+    assert(Seq(1L, 2L, 3L).forall(n => ppr(n) > 0L))
+    // seeding EVERY node uniformly reproduces global PageRank exactly:
+    // b(v) = scale/|V| = r0, the same recurrence as run()
+    val all = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val uni = graft.operators.PageRank.personalized(edges, all, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val glob = graft.operators.PageRank.run(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uni == glob)
+  }
+
+  test("personalized: requires at least one in-graph seed") {
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val none = Seq(99L).toDF("node") // not in the graph
+    intercept[IllegalArgumentException] {
+      graft.operators.PageRank.personalized(edges, none, iters = 2)
+    }
+  }
+
+  // --- greedy max-coverage --------------------------------------------------
+  test("greedyMaxCoverage: picks the superset doc first, then the " +
+      "disjoint one; gains are non-increasing and totals accumulate") {
+    // doc 1 covers bigrams of "a b c d"; doc 2 is a subset ("a b c");
+    // doc 3 is disjoint ("x y z"); doc 4 duplicates doc 3
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y z"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .greedyMaxCoverage(docs, "doc_id", "text", n = 2, k = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pick 1: doc 1 (3 bigrams); pick 2: doc 3 (2 new, id tie-break
+    // beats doc 4); pick 3: gain 0 -> early stop, only 2 rows
+    assert(out.toSeq == Seq((1, 1L, 3L, 3L), (2, 3L, 2L, 5L)))
+  }
+
+  test("greedyMaxCoverage: covered_total matches distinct-union size " +
+      "on the sf fixture") {
+    val docs = Tables.documents(spark, sf)
+    val picks = graft.operators.Curation
+      .greedyMaxCoverage(docs, "doc_id", "text", n = 2, k = 3)
+      .collect()
+    assert(picks.length == 3)
+    val ids = picks.map(_.getLong(1))
+    val unionSize = docs
+      .filter(col("doc_id").isin(ids: _*))
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 2)))
+      .distinct().count()
+    assert(picks.last.getLong(3) == unionSize)
+    // gains non-increasing (submodularity of the greedy trace)
+    val gains = picks.map(_.getLong(2)).toSeq
+    assert(gains.sliding(2).forall(p => p.head >= p.last))
+  }
 }
