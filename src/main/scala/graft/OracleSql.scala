@@ -5959,6 +5959,133 @@ object OracleSql {
       |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q257: the ORC layout changes the CONTAINER, never the answer —
+    * the oracle is the plain projection (the q63/q104 convention). */
+  private val q257 =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** q258: LOO target-encoding replay — category stats once, the
+    * self-excluded ppm mean per (category, own flag); DuckDB SUM is
+    * HUGEINT, so the published column is cast back to BIGINT. */
+  private val q258 =
+    """WITH s AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_cat,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS sum_t
+      |  FROM orders GROUP BY 1)
+      |SELECT DISTINCT o.o_orderpriority,
+      |  CAST(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS t_f,
+      |  s.n_cat,
+      |  CAST(CASE WHEN s.n_cat > 1 THEN
+      |    (1000000 * (s.sum_t
+      |      - CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END))
+      |    // (s.n_cat - 1) END AS BIGINT) AS loo_ppm
+      |FROM orders o JOIN s USING (o_orderpriority)
+      |ORDER BY o_orderpriority, t_f""".stripMargin
+
+  /** q259: hashing-trick replay — the portable char-fold token hash
+    * (the winnowing idiom), bucket = h mod 64, sign from the next
+    * base-64 digit's parity. */
+  private val q259 =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      x -> x <> '')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+      |  FROM toks)
+      |SELECT doc_id, h % 64 AS bucket,
+      |  CAST(SUM(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS val,
+      |  COUNT(*) AS n_tokens
+      |FROM h GROUP BY 1, 2
+      |ORDER BY doc_id, bucket""".stripMargin
+
+  /** q260: BLEU-2 replay — even/odd document pairing, per-side n-gram
+    * occurrence counts, clipped-min intersection join, integer ppm
+    * precisions. */
+  private val q260 =
+    """WITH pairs AS (
+      |  SELECT e.doc_id // 2 AS pair_id, e.text AS hyp, o.text AS ref
+      |  FROM documents e JOIN documents o ON o.doc_id = e.doc_id + 1
+      |  WHERE e.doc_id % 2 = 0),
+      |t AS (
+      |  SELECT pair_id,
+      |    list_filter(string_split(lower(hyp), ' '), x -> x <> '') AS hw,
+      |    list_filter(string_split(lower(ref), ' '), x -> x <> '') AS rw
+      |  FROM pairs),
+      |h1 AS (SELECT pair_id, unnest(hw) AS g FROM t),
+      |r1 AS (SELECT pair_id, unnest(rw) AS g FROM t),
+      |h2 AS (SELECT pair_id,
+      |    unnest(list_transform(range(1, len(hw)),
+      |      i -> hw[i] || ' ' || hw[i + 1])) AS g FROM t),
+      |r2 AS (SELECT pair_id,
+      |    unnest(list_transform(range(1, len(rw)),
+      |      i -> rw[i] || ' ' || rw[i + 1])) AS g FROM t),
+      |m1 AS (
+      |  SELECT a.pair_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+      |  FROM (SELECT pair_id, g, COUNT(*) AS c FROM h1 GROUP BY 1, 2) a
+      |  JOIN (SELECT pair_id, g, COUNT(*) AS c FROM r1 GROUP BY 1, 2) b
+      |    USING (pair_id, g)
+      |  GROUP BY 1),
+      |m2 AS (
+      |  SELECT a.pair_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+      |  FROM (SELECT pair_id, g, COUNT(*) AS c FROM h2 GROUP BY 1, 2) a
+      |  JOIN (SELECT pair_id, g, COUNT(*) AS c FROM r2 GROUP BY 1, 2) b
+      |    USING (pair_id, g)
+      |  GROUP BY 1)
+      |SELECT t.pair_id,
+      |  CAST(len(t.hw) AS BIGINT) AS hyp_len,
+      |  CAST(len(t.rw) AS BIGINT) AS ref_len,
+      |  COALESCE(m1.m, CAST(0 AS BIGINT)) AS match1,
+      |  CAST(len(t.hw) AS BIGINT) AS total1,
+      |  CAST(CASE WHEN len(t.hw) > 0 THEN
+      |    (1000000 * COALESCE(m1.m, 0)) // len(t.hw) END AS BIGINT)
+      |    AS p1_ppm,
+      |  COALESCE(m2.m, CAST(0 AS BIGINT)) AS match2,
+      |  CAST(GREATEST(len(t.hw) - 1, 0) AS BIGINT) AS total2,
+      |  CAST(CASE WHEN len(t.hw) - 1 > 0 THEN
+      |    (1000000 * COALESCE(m2.m, 0)) // (len(t.hw) - 1) END
+      |    AS BIGINT) AS p2_ppm
+      |FROM t LEFT JOIN m1 USING (pair_id) LEFT JOIN m2 USING (pair_id)
+      |ORDER BY pair_id""".stripMargin
+
+  /** q261: bounded Bellman-Ford replay — 4 relaxation rounds
+    * unrolled, each round = previous frame UNION ALL the one-edge
+    * relaxations, MIN per node. */
+  private val q261 = {
+    val its = (1 to 4).map { t =>
+      s"""d$t AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.dist + e.cost AS dist
+         |    FROM edges e JOIN d${t - 1} r ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst,
+       |    1 + (1000000 // COUNT(*)) AS cost
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |seeds AS (
+       |  SELECT DISTINCT n_nationkey AS node FROM nation
+       |  WHERE n_regionkey = 0),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$its
+       |SELECT node AS nationkey, CAST(dist AS BIGINT) AS dist
+       |FROM d4 ORDER BY nationkey""".stripMargin
+  }
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -6310,6 +6437,11 @@ object OracleSql {
     "q254_personalized_pr" -> q254,
     "q255_max_coverage" -> q255,
     "q256_jpeg_pixels" -> q256,
+    "q257_orc_roundtrip" -> q257,
+    "q258_loo_encoding" -> q258,
+    "q259_feature_hash" -> q259,
+    "q260_bleu_pairs" -> q260,
+    "q261_sssp" -> q261,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

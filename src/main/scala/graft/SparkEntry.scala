@@ -906,6 +906,75 @@ object SparkEntry {
         "doc_id", "text", n = 2, k = 4)
       .orderBy("pick_round")
 
+  /** Round-9: ORC source/sink round trip — the q63 CSV pattern over
+    * the other columnar container Spark ships natively; completes
+    * the format matrix (parquet / CSV / JSONL / ORC / SQLite). */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    nation.write.mode("overwrite").orc(tmp)
+    s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .orc(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  /** Round-9: leave-one-out target encoding of order priority against
+    * the order-failed flag — the encoding depends only on (category,
+    * own target), so the per-row frame collapses to an exact
+    * |cats|×2 rollup. */
+  private def qLooEncoding(s: SparkSession, dir: String): DataFrame =
+    operators.Features.looTargetEncode(
+        Tables.orders(s, dir).withColumn("t_f",
+          (col("o_orderstatus") === "F").cast("int")),
+        "o_orderpriority", "t_f")
+      .select(col("o_orderpriority"), col("t_f").cast("long").as("t_f"),
+        col("n_cat"), col("loo_ppm"))
+      .distinct()
+      .orderBy("o_orderpriority", "t_f")
+
+  /** Round-9: hashing-trick vectorization of the corpus into 64
+    * signed buckets — the fixed-memory featurizer; portable char-fold
+    * token hash so DuckDB replays every bucket and sign. */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    operators.Features.featureHash(Tables.documents(s, dir),
+        "doc_id", "text", dim = 64)
+      .orderBy("doc_id", "bucket")
+
+  /** Round-9: per-pair BLEU-2 sufficient statistics — even documents
+    * as hypotheses against their odd successors as references
+    * (deterministic pairing); clipped n-gram matches and integer ppm
+    * precisions. */
+  private def qBleuPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = d.select(expr("doc_id div 2").as("pid"),
+        col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("pid"), col("text").as("hyp"))
+      .join(d.select(expr("(doc_id - 1) div 2").as("pid"),
+          col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("pid"), col("text").as("ref")),
+        Seq("pid"))
+    operators.Metrics.bleuPairs(pairs, "pid", "hyp", "ref")
+      .orderBy("pair_id")
+  }
+
+  /** Round-9: bounded Bellman-Ford shortest paths over the trade
+    * graph — inverse-volume integer costs (heavily-traded routes are
+    * cheap), region-0 nations as the multi-source set, 4 relaxation
+    * rounds; the oracle unrolls the rounds as CTEs. */
+  private def qSssp(s: SparkSession, dir: String): DataFrame =
+    operators.ShortestPaths.sssp(
+        tradeEdges(s, dir)
+          .select(col("src"), col("dst"),
+            expr("1 + (1000000 div w)").as("cost")),
+        Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey").as("node")),
+        iters = 4)
+      .select(col("node").as("nationkey"), col("dist"))
+      .orderBy("nationkey")
+
   /** Round-8: confusable-skeleton spoof fold (UTS #39 core) —
     * homoglyphs folded to Latin, per-doc confusable count, the
     * spliced-script suspicion flag. */
@@ -3629,7 +3698,12 @@ object SparkEntry {
       "q253_textrank" -> (qTextRank _),
       "q254_personalized_pr" -> (qPersonalizedPr _),
       "q255_max_coverage" -> (qMaxCoverage _),
-      "q256_jpeg_pixels" -> (qJpegPixels _))
+      "q256_jpeg_pixels" -> (qJpegPixels _),
+      "q257_orc_roundtrip" -> (qOrcRoundtrip _),
+      "q258_loo_encoding" -> (qLooEncoding _),
+      "q259_feature_hash" -> (qFeatureHash _),
+      "q260_bleu_pairs" -> (qBleuPairs _),
+      "q261_sssp" -> (qSssp _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -479,4 +479,61 @@ object Metrics {
       .select(col("n_a"), col("n_b"), col("mean_a_u"), col("mean_b_u"),
         col("t_sign"), col("t2_9"), col("df9"))
   }
+
+  /** Per-pair BLEU-2 components (Papineni et al. 2002): for each
+    * (hypothesis, reference) text pair the clipped n-gram matches
+    * m_n = Σ_g min(count_hyp(g), count_ref(g)) and totals for
+    * n = 1, 2, plus exact integer ppm precisions — the generation-
+    * eval metric a distillation / synthetic-data pipeline runs over
+    * millions of (model output, gold) pairs. The exp/log geometric
+    * mean and brevity penalty are driver-side scalar cosmetics over
+    * these sufficient statistics; the published components keep
+    * everything integer-exact and oracle-replayable (the same
+    * publish-the-sufficient-statistics stance as Welch/q201).
+    *
+    * Scale shape: per n one explode + count groupBy per side and one
+    * equi-join on (pair, gram) — clipped matches only exist for
+    * grams present in BOTH sides, so the join is the intersection,
+    * never a cross. All shuffles key on (pair_id, gram): skew-free
+    * for normal corpora. Totals are pure per-row arithmetic.
+    *
+    * Output: (pair_id, hyp_len, ref_len, match1, total1, p1_ppm,
+    * match2, total2, p2_ppm); p_n is NULL when the hypothesis has no
+    * n-grams. */
+  def bleuPairs(pairs: DataFrame, idCol: String, hypCol: String,
+                refCol: String): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")
+    // NON-distinct n-grams (BLEU clips on occurrence counts)
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+    val base = pairs.select(col(idCol).cast("long").as("pair_id"),
+        toks(col(hypCol)).as("hw"), toks(col(refCol)).as("rw"))
+      .localCheckpoint()
+    def clipped(n: Int): DataFrame = {
+      def side(c: String, out: String) = base
+        .select(col("pair_id"), explode(grams(col(c), n)).as("g"))
+        .groupBy("pair_id", "g").agg(count(lit(1)).as(out))
+      side("hw", "ch").join(side("rw", "cr"), Seq("pair_id", "g"))
+        .groupBy("pair_id")
+        .agg(sum(least(col("ch"), col("cr"))).as(s"match$n"))
+    }
+    base.select(col("pair_id"),
+        size(col("hw")).cast("long").as("hyp_len"),
+        size(col("rw")).cast("long").as("ref_len"))
+      .join(clipped(1), Seq("pair_id"), "left")
+      .join(clipped(2), Seq("pair_id"), "left")
+      .withColumn("match1", coalesce(col("match1"), lit(0L)))
+      .withColumn("match2", coalesce(col("match2"), lit(0L)))
+      .withColumn("total1", col("hyp_len"))
+      .withColumn("total2", greatest(col("hyp_len") - 1, lit(0L)))
+      .withColumn("p1_ppm", when(col("total1") > 0,
+        expr("(1000000 * match1) div total1")))
+      .withColumn("p2_ppm", when(col("total2") > 0,
+        expr("(1000000 * match2) div total2")))
+      .select("pair_id", "hyp_len", "ref_len", "match1", "total1",
+        "p1_ppm", "match2", "total2", "p2_ppm")
+  }
 }

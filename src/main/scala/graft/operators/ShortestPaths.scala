@@ -56,4 +56,50 @@ object ShortestPaths {
       visited.withColumn("dist", col("dist").cast("int"))
     } finally e.unpersist()
   }
+
+  /** WEIGHTED multi-source shortest paths: bounded-round Bellman-Ford
+    * relaxation as iterated join/min (the vertex-centric SSSP loop of
+    * Pregel, Malewicz et al. 2010). Each round relaxes every edge
+    * once — dist'(v) = min(dist(v), min over in-edges
+    * (dist(u) + cost(u,v))) — so after k rounds every shortest path
+    * of at most k hops is exact: the bounded-iteration convention
+    * this engine uses for all fixed-point graph ops (PageRank /
+    * label-prop / k-core), a deterministic k-round prefix the oracle
+    * unrolls as CTEs rather than an unbounded convergence loop.
+    * [[bfs]] is the unit-cost frontier-optimized special case; this
+    * one carries the whole dist frame because weighted relaxation can
+    * IMPROVE already-settled nodes.
+    *
+    * Scale shape: per round ONE equi-join (edges ⋈ dist on src) +
+    * one groupBy-min — the two exchanges of a PageRank round; lineage
+    * cut every `cpEvery` rounds. All-integer costs keep min-folds
+    * order-independent and exact. Unreached nodes simply have no row
+    * (no +∞ sentinels to overflow).
+    *
+    * @param edges   (src, dst, cost) — cost a non-negative integer
+    *                column; path sums must stay < 2^63
+    * @param sources one column `node`; dist 0, kept even if absent
+    *                from the graph (an isolated source is still at 0)
+    * @return (node, dist) for every node reached within `iters` hops */
+  def sssp(edges: DataFrame, sources: DataFrame, iters: Int,
+           cpEvery: Int = 3): DataFrame = {
+    require(iters >= 1, s"sssp: iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"),
+        col("cost").cast("long").as("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = sources.select(col("node")).distinct()
+        .select(col("node"), lit(0L).as("dist"))
+      for (i <- 1 to iters) {
+        val relaxed = e
+          .join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            (col("dist") + col("cost")).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+        if (i % cpEvery == 0 && i < iters) dist = dist.localCheckpoint()
+      }
+      dist
+    } finally e.unpersist(false)
+  }
 }

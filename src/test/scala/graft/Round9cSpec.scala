@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-3 additions: feature-engineering operators (LOO
+  * target encoding, hashing-trick vectorizer), BLEU-2 pair stats, and
+  * weighted bounded Bellman-Ford. */
+class Round9cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- LOO target encoding ------------------------------------------------
+  test("looTargetEncode: self-exclusion is exact; singletons get NULL") {
+    val df = Seq(
+      ("a", 1), ("a", 0), ("a", 1), // cat a: sum 2 of 3
+      ("b", 1)) // singleton
+      .toDF("cat", "t")
+    val out = graft.operators.Features.looTargetEncode(df, "cat", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    // a,t=1: (2-1)*1e6/2 = 500000; a,t=0: (2-0)*1e6/2 = 1000000
+    assert(out == Set(
+      ("a", 1, 3L, Some(500000L)),
+      ("a", 0, 3L, Some(1000000L)),
+      ("a", 1, 3L, Some(500000L)),
+      ("b", 1, 1L, None)))
+  }
+
+  // --- feature hashing ----------------------------------------------------
+  test("featureHash: occurrences accumulate signed in one bucket; " +
+      "bucket/sign follow the portable char fold") {
+    val P = 1000000007L
+    def fold(w: String): Long =
+      w.foldLeft(0L)((acc, c) => ((acc * 31 + c.toInt) % P + P) % P)
+    val docs = Seq((1L, "spark spark table")).toDF("doc_id", "text")
+    val out = graft.operators.Features.featureHash(docs, "doc_id", "text", 64)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def entry(w: String, n: Long) = {
+      val h = fold(w)
+      (h % 64, (1L - 2L * ((h / 64) % 2)) * n, n)
+    }
+    assert(out == Set(entry("spark", 2), entry("table", 1)))
+  }
+
+  test("featureHash: signed collisions may cancel but count survives") {
+    // sanity on the fixture: every (doc,bucket) row has n_tokens >= |val|
+    val out = graft.operators.Features.featureHash(
+      Tables.documents(spark, sf), "doc_id", "text", 64)
+    assert(out.filter(abs(col("val")) > col("n_tokens")).isEmpty)
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 64).isEmpty)
+  }
+
+  // --- BLEU pairs ---------------------------------------------------------
+  test("bleuPairs: identity scores 1e6, disjoint scores 0, repeats clip") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"), // identical
+      (2L, "x y", "p q r"), // disjoint
+      (3L, "a a a b", "a b b")) // hyp has 3 a's, ref only 1 -> clip
+      .toDF("pid", "hyp", "ref")
+    val out = graft.operators.Metrics.bleuPairs(pairs, "pid", "hyp", "ref")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6), r.getLong(7),
+        Option(r.get(8)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == ((4L, 4L, Some(1000000L), 3L, 3L, Some(1000000L))))
+    assert(out(2L) == ((0L, 2L, Some(0L), 0L, 1L, Some(0L))))
+    // clip: match1 = min(3,1) for 'a' + min(1,2) for 'b' = 2 of 4
+    // bigrams: hyp {a a, a a, a b}, ref {a b, b b} -> match2 = 1 of 3
+    assert(out(3L) == ((2L, 4L, Some(500000L), 1L, 3L, Some(333333L))))
+  }
+
+  // --- weighted SSSP ------------------------------------------------------
+  test("sssp: a cheap 2-hop path beats an expensive direct edge; " +
+      "hop bound truncates; unreached nodes are absent") {
+    val edges = Seq(
+      (1L, 2L, 10L), // direct but expensive
+      (1L, 3L, 1L), (3L, 2L, 2L), // cheaper via 3
+      (2L, 4L, 1L), (4L, 5L, 1L), // deeper chain
+      (9L, 9L, 1L)) // disconnected self-loop
+      .toDF("src", "dst", "cost")
+    val src = Seq(1L).toDF("node")
+    def run(k: Int) = graft.operators.ShortestPaths.sssp(edges, src, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val d3 = run(3)
+    assert(d3(1L) == 0L && d3(3L) == 1L && d3(2L) == 3L && d3(4L) == 4L)
+    assert(!d3.contains(9L)) // unreachable
+    // 3 edges reach 5 only via the expensive direct hop: 10+1+1
+    assert(d3(5L) == 12L)
+    val d4 = run(4)
+    assert(d4(5L) == 5L) // the 4-edge cheap route improves it
+    assert(!run(2).contains(5L)) // needs >= 3 edges
+    // 2 rounds: node 2 already improved via 3 (both paths fit in 2 hops)
+    assert(run(2)(2L) == 3L)
+  }
+
+  test("sssp: multi-source takes the per-node minimum over sources") {
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 2L)).toDF("src", "dst", "cost")
+    val d = graft.operators.ShortestPaths
+      .sssp(edges, Seq(1L, 2L).toDF("node"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d(3L) == 2L && d(1L) == 0L && d(2L) == 0L)
+  }
+}
