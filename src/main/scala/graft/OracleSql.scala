@@ -6086,6 +6086,100 @@ object OracleSql {
        |FROM d4 ORDER BY nationkey""".stripMargin
   }
 
+  /** q262: HyperBall replay — per-node self-seeded HLL registers
+    * (the q233 arithmetic with m = 16 over the node id), 3 merge
+    * rounds unrolled (register-wise MAX along out-edges), then the
+    * per-(node, t) sufficient statistics: set-register count, the
+    * inverse-power sum with 2^25 for unset registers, and the
+    * alpha-free milli estimate. */
+  private val q262 = {
+    val cascade = (1 to 24).map(r =>
+      s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
+    val merges = (1 to 3).map { t =>
+      s"""r$t AS (
+         |  SELECT grp, register, MAX(max_rho) AS max_rho FROM (
+         |    SELECT grp, register, max_rho FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS grp, r.register, r.max_rho
+         |    FROM edges e JOIN r${t - 1} r ON r.grp = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val stats = (0 to 3).map { t =>
+      s"""SELECT nationkey, $t AS t, n_regs_set, inv_sum,
+         |  8589934592000 // inv_sum AS raw_est_milli FROM (
+         |  SELECT grp AS nationkey,
+         |    COUNT(*) AS n_regs_set,
+         |    CAST((16 - COUNT(*)) * 33554432
+         |      + SUM(CAST(1 AS BIGINT) << (25 - max_rho))
+         |      AS BIGINT) AS inv_sum
+         |  FROM r$t GROUP BY grp)""".stripMargin
+    }.mkString("\n      |UNION ALL\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h AS (
+       |  SELECT node,
+       |    (((CAST(node AS BIGINT) * 1000003 + 12345) % 1000000007)
+       |      * ((CAST(node AS BIGINT) * 1000003 + 12345) % 1000000007)
+       |      + 17) % 1000000007 AS hv
+       |  FROM nodes),
+       |b AS (SELECT node, hv % 16 AS register, hv // 16 AS w FROM h),
+       |r0 AS (
+       |  SELECT node AS grp, register,
+       |    CAST(CASE
+       |      $cascade
+       |      ELSE 25 END AS BIGINT) AS max_rho
+       |  FROM b),
+       |$merges
+       |SELECT nationkey, CAST(t AS INTEGER) AS t,
+       |  n_regs_set, inv_sum, raw_est_milli FROM (
+       |$stats)
+       |ORDER BY nationkey, t""".stripMargin
+  }
+
+  /** q263: deterministic-walk replay — dense out-edge ranking by dst,
+    * 4 steps unrolled, each picking rank (h1² + 17 mod P) mod outdeg
+    * with h1 = (walk_id·1000003 + step·97 + 12345) mod P. */
+  private val q263 = {
+    val steps = (1 to 4).map { s =>
+      val h1 = s"((CAST(w.walk_id AS BIGINT) * 1000003 " +
+        s"+ ${s * 97 + 12345}) % 1000000007)"
+      s"""w$s AS (
+         |  SELECT w.walk_id, r.dst AS cur
+         |  FROM w${s - 1} w
+         |  JOIN odeg o ON o.src = w.cur
+         |  JOIN ranked r ON r.src = w.cur
+         |    AND r.rnk = (($h1 * $h1 + 17) % 1000000007) % o.odeg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val emit = (0 to 4).map(s =>
+      s"SELECT walk_id, $s AS step, cur AS node FROM w$s")
+      .mkString("\n      |UNION ALL\n      |")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |ranked AS (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+       |  FROM edges),
+       |odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |w0 AS (SELECT node AS walk_id, node AS cur FROM nodes),
+       |$steps
+       |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+       |$emit)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -6442,6 +6536,8 @@ object OracleSql {
     "q259_feature_hash" -> q259,
     "q260_bleu_pairs" -> q260,
     "q261_sssp" -> q261,
+    "q262_hyperball" -> q262,
+    "q263_random_walks" -> q263,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -960,6 +960,27 @@ object SparkEntry {
       .orderBy("pair_id")
   }
 
+  /** Round-9: HyperBall over the trade graph — per-nation ball-size
+    * sketch estimates at radii 0..3 (seed-self HLL registers merged
+    * along out-edges per round); the distance-distribution machinery
+    * published as exact integer sufficient statistics. */
+  private def qHyperBall(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hyperBall(
+        tradeEdges(s, dir).select("src", "dst"), rounds = 3, m = 16)
+      .select(col("node").as("nationkey"), col("t"),
+        col("n_regs_set"), col("inv_sum"), col("raw_est_milli"))
+      .orderBy("nationkey", "t")
+
+  /** Round-9: deterministic PRF random walks over the trade graph —
+    * the DeepWalk corpus generator, 4 steps from every nation;
+    * reproducible step choice (quadratic PRF over walk id and step)
+    * so the oracle replays every hop. */
+  private def qRandomWalks(s: SparkSession, dir: String): DataFrame =
+    operators.RandomWalks.deterministicWalks(
+        tradeEdges(s, dir).select("src", "dst"), len = 4)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy("walk_id", "step")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3703,7 +3724,9 @@ object SparkEntry {
       "q258_loo_encoding" -> (qLooEncoding _),
       "q259_feature_hash" -> (qFeatureHash _),
       "q260_bleu_pairs" -> (qBleuPairs _),
-      "q261_sssp" -> (qSssp _))
+      "q261_sssp" -> (qSssp _),
+      "q262_hyperball" -> (qHyperBall _),
+      "q263_random_walks" -> (qRandomWalks _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3745,7 +3768,12 @@ object SparkEntry {
     // EM, the SA→removal pipeline (q224's mining plus the broadcast
     // removal pass), and the mixed-profile codec walk
     "q238_ivfadc", "q239_em_fit", "q240_mined_span_removal",
-    "q241_png_profiles", "q242_ivfadc_residual")
+    "q241_png_profiles", "q242_ivfadc_residual",
+    // round-9 session 3: the new iterative/graph and corpus-wide
+    // shapes (personalized PR, Bellman-Ford, JPEG decode walk, the
+    // hashing-trick groupBy, BLEU's per-n gram joins)
+    "q254_personalized_pr", "q256_jpeg_pixels", "q259_feature_hash",
+    "q260_bleu_pairs", "q261_sssp")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

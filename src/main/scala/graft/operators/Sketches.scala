@@ -248,4 +248,60 @@ object Sketches {
            THEN 1000000 * est_join_size DIV exact_join_size
            ELSE CAST(0 AS BIGINT) END AS BIGINT)"""))
   }
+
+  /** HyperBall (Boldi & Vigna 2013) — per-node BALL-SIZE estimates at
+    * every radius t ≤ `rounds`, the trillion-edge
+    * distance-distribution algorithm: give each node an HLL counter
+    * seeded with itself ([[hllRegisters]] state), then t times merge
+    * each node's counter with its out-neighbors' (register-wise MAX —
+    * the HLL union). c_t(v) then estimates |{u : dist(v,u) ≤ t}|,
+    * from which neighborhood functions, effective diameter, and
+    * harmonic centrality all fall out — graph distance metrics
+    * WITHOUT any all-pairs computation.
+    *
+    * Scale shape: per round ONE equi-join (registers ⋈ edges on the
+    * neighbor end) + one groupBy-MAX on (node, register) — state is
+    * |V|·m rows regardless of edge count, the mergeable-sketch
+    * exchange; lineage cut each round. Published per (node, t) as
+    * exact sufficient statistics (the q233/q201 stance): n_regs_set,
+    * the integer inverse-power sum Σ 2^(25−rho) (unset registers
+    * contribute 2^25), and the alpha-free raw harmonic estimate
+    * m²·2^25·1000 DIV inv_sum in milli units — callers multiply the
+    * standard alpha_m bias constant; the oracle replays every bit.
+    *
+    * @param edges (src, dst) directed; balls follow OUT-edges
+    * @return (node, t, n_regs_set, inv_sum, raw_est_milli) for
+    *         t = 0..rounds */
+  def hyperBall(edges: DataFrame, rounds: Int, m: Int = 16): DataFrame = {
+    require(rounds >= 1, s"hyperBall: rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var regs = hllRegisters(
+      nodes.select(col("node").as("grp"), col("node").as("key")),
+      "grp", "key", m).localCheckpoint()
+    def stats(t: Int): DataFrame = regs.groupBy(col("grp").as("node"))
+      .agg(count(lit(1)).as("n_regs_set"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(25 - max_rho AS INT))")).as("set_sum"))
+      .select(col("node"), lit(t).as("t"), col("n_regs_set"),
+        ((lit(m.toLong) - col("n_regs_set")) * (1L << 25)
+          + col("set_sum")).as("inv_sum"))
+      .withColumn("raw_est_milli",
+        // single pre-multiplied literal: a "a * b" SQL string with
+        // both factors int-sized would multiply as INT and overflow
+        expr(s"${m.toLong * m * 1000 * (1L << 25)} div inv_sum"))
+    var out = stats(0)
+    for (t <- 1 to rounds) {
+      val fromNbrs = e
+        .join(regs.withColumnRenamed("grp", "dst"), "dst")
+        .select(col("src").as("grp"), col("register"), col("max_rho"))
+      regs = regs.union(fromNbrs)
+        .groupBy("grp", "register").agg(max("max_rho").as("max_rho"))
+        .localCheckpoint()
+      out = out.unionByName(stats(t))
+    }
+    out
+  }
 }

@@ -103,4 +103,63 @@ class Round9cSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(d(3L) == 2L && d(1L) == 0L && d(2L) == 0L)
   }
+
+  // --- HyperBall ----------------------------------------------------------
+  test("hyperBall: balls grow along the chain, the sink never grows, " +
+      "and saturation matches the exact reachable-set registers") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = graft.operators.Sketches.hyperBall(edges, rounds = 3, m = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // radius 0: every node's counter holds only itself
+    for (n <- 1L to 3L) assert(out((n, 0))._1 == 1L)
+    // the sink (node 3, no out-edges) is identical at every radius
+    for (t <- 1 to 3) assert(out((3L, t)) == out((3L, 0)))
+    // coverage is monotone: inv_sum never increases with t
+    for (n <- 1L to 3L; t <- 1 to 3)
+      assert(out((n, t))._2 <= out((n, t - 1))._2, s"node $n t $t")
+    // past the diameter nothing changes
+    assert(out((1L, 3)) == out((1L, 2)))
+    // saturation exactness: node 1's t=2 registers are the HLL state
+    // of its exact reachable set {1,2,3}
+    val exact = graft.operators.Sketches.hllRegisters(
+        Seq((0, 1L), (0, 2L), (0, 3L)).toDF("g", "k"), "g", "k", m = 16)
+      .agg(count(lit(1)), sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(25 - max_rho AS INT))")))
+      .head()
+    val expInv = (16L - exact.getLong(0)) * (1L << 25) + exact.getLong(1)
+    assert(out((1L, 2))._1 == exact.getLong(0) &&
+      out((1L, 2))._2 == expInv)
+  }
+
+  // --- deterministic random walks ------------------------------------------
+  test("deterministicWalks: steps follow the PRF replay; sinks stop; " +
+      "walks are reproducible") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    def run() = graft.operators.RandomWalks
+      .deterministicWalks(edges, len = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val out = run()
+    // independent replay: ranked out-neighbors by dst, PRF pick
+    val P = 1000000007L
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L))
+    def walk(id: Long): Seq[(Long, Int, Long)] = {
+      var cur = id
+      (0, id) +: (1 to 4).flatMap { s =>
+        nbrs.get(cur) match {
+          case None => None
+          case Some(ns) =>
+            val h1 = (id * 1000003L + s * 97L + 12345L) % P
+            cur = ns(((h1 * h1 + 17L) % P % ns.size).toInt)
+            Some((s, cur))
+        }
+      }
+    }.map { case (s, n) => (id, s, n) }
+    assert(out.toSeq == Seq(1L, 2L, 3L).flatMap(walk))
+    // node 3 is a sink: its walk is just the start row
+    assert(out.count(_._1 == 3L) == 1)
+    assert(run().toSeq == out.toSeq) // reproducible
+  }
 }
