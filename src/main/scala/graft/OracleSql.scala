@@ -6180,6 +6180,50 @@ object OracleSql {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** q264: MMR replay — quantize16 vectors (the q229 idiom), vec 0 as
+    * the query, 5 argmax rounds unrolled: round 1 scores λ·rel, later
+    * rounds subtract (1000−λ)·max-dot against the selected set. */
+  private val q264 = {
+    def dot(a: String, b: String) =
+      s"CAST(list_aggregate(list_transform(range(1, 65), " +
+        s"i -> $a[i] * $b[i]), 'sum') AS BIGINT)"
+    val rounds = (2 to 5).map { r =>
+      s"""g$r AS (
+         |  SELECT c.vec_id, c.q, c.rel,
+         |    700 * c.rel - 300 * MAX(${dot("c.q", "s.q")}) AS score
+         |  FROM rel c CROSS JOIN sel${r - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY c.vec_id, c.q, c.rel),
+         |p$r AS (
+         |  SELECT vec_id, q, rel, score FROM g$r
+         |  ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |sel$r AS (
+         |  SELECT vec_id, q FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id, q FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val emit = (1 to 5).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, CAST(score AS BIGINT) " +
+        s"AS score_milli FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qry AS (SELECT q FROM qv WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT c.vec_id, c.q, ${dot("c.q", "y.q")} AS rel
+       |  FROM qv c CROSS JOIN qry y WHERE c.vec_id <> 0),
+       |p1 AS (
+       |  SELECT vec_id, q, rel, 700 * rel AS score FROM rel
+       |  ORDER BY score DESC, vec_id ASC LIMIT 1),
+       |sel1 AS (SELECT vec_id, q FROM p1),
+       |$rounds
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, score_milli
+       |FROM ($emit)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -6538,6 +6582,7 @@ object OracleSql {
     "q261_sssp" -> q261,
     "q262_hyperball" -> q262,
     "q263_random_walks" -> q263,
+    "q264_mmr_select" -> q264,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

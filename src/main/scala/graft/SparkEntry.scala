@@ -981,6 +981,22 @@ object SparkEntry {
       .select(col("walk_id"), col("step"), col("node"))
       .orderBy("walk_id", "step")
 
+  /** Round-9: MMR diverse retrieval — 5 picks against vec 0 as the
+    * query, λ = 0.7 in milli units; relevance-aware diversity with
+    * all-integer quantized dots, the third pole beside the coreset
+    * (pure spread) and SemDeDup (pure redundancy). */
+  private def qMmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+    // the query vector is ONE driver-held row (k-bounded convention)
+    val query = qv.filter(col("id") === 0).select("q")
+      .head().getSeq[Long](0)
+    operators.Coreset.mmrSelect(qv.filter(col("id") =!= 0), query,
+        k = 5, lambdaMilli = 700L)
+      .orderBy("rank")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3726,7 +3742,8 @@ object SparkEntry {
       "q260_bleu_pairs" -> (qBleuPairs _),
       "q261_sssp" -> (qSssp _),
       "q262_hyperball" -> (qHyperBall _),
-      "q263_random_walks" -> (qRandomWalks _))
+      "q263_random_walks" -> (qRandomWalks _),
+      "q264_mmr_select" -> (qMmrSelect _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -112,4 +112,73 @@ object Coreset {
     }
     picked.toDF("rank", "vec_id", "mind2")
   }
+
+  private def dotLit(q: Column, other: Seq[Long]): Column =
+    aggregate(zip_with(q, array(other.map(lit): _*),
+      (x, y) => x * y), lit(0L), _ + _)
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998) — the relevance-AWARE diversity pick: k rounds of
+    * argmax_d [λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)], where rel is
+    * the dot product against a fixed query vector and sim the dot
+    * against already-selected items. The third pole of the selection
+    * triangle: [[farthestPointSample]] is pure spread, SemDeDup pure
+    * redundancy removal, MMR trades query relevance off against
+    * redundancy — the standard diverse-retrieval / diverse-context
+    * reranker in a RAG or eval-harness pipeline.
+    *
+    * Portable arithmetic: quantize16 integer vectors, exact integer
+    * dots, λ in milli units → score_milli = λ·rel − (1000−λ)·maxsim
+    * (first pick has no diversity term: score = λ·rel). |dot| ≤
+    * dim·2³² keeps λ·rel < 2⁶³ for any sane dim. Argmax ties break to
+    * the smaller id; the oracle unrolls the k rounds as CTEs (the
+    * q229 pattern).
+    *
+    * Scale shape: the selected set is k driver-held vectors inlined
+    * as literals (the sanctioned k-bounded state); each round is ONE
+    * map-only pass + TakeOrdered(1) — the [[farthestPointSample]]
+    * shape with max-sim instead of min-dist.
+    *
+    * Output: (rank 1..k, vec_id, rel, score_milli). Fewer than k rows
+    * when candidates run out. */
+  def mmrSelect(vecs: DataFrame, queryVec: Seq[Long], k: Int,
+                lambdaMilli: Long = 700L): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"mmrSelect: lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val scored = vecs.select(col("id"), col("q"),
+        dotLit(col("q"), queryVec).as("rel"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Int, Long, Seq[Long], Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val score =
+        if (selected.isEmpty) col("rel") * lambdaMilli
+        else {
+          val sims = selected.map(s => dotLit(col("q"), s._3))
+          val maxSim =
+            if (sims.size == 1) sims.head else greatest(sims: _*)
+          col("rel") * lambdaMilli - maxSim * (1000L - lambdaMilli)
+        }
+      val taken = selected.map(_._2)
+      val cand = (if (taken.isEmpty) scored
+        else scored.filter(!col("id").isin(taken: _*)))
+        .select(col("id"), col("q"), col("rel"),
+          score.as("score_milli"))
+        .orderBy(col("score_milli").desc, col("id").asc)
+        .limit(1).collect()
+      if (cand.isEmpty) done = true
+      else {
+        val row = cand.head
+        selected = selected :+ ((r, row.getLong(0),
+          row.getSeq[Long](1), row.getLong(2), row.getLong(3)))
+        r += 1
+      }
+    }
+    selected.map { case (rk, id, _, rel, sc) => (rk, id, rel, sc) }
+      .toDF("rank", "vec_id", "rel", "score_milli")
+  }
 }

@@ -162,4 +162,37 @@ class Round9cSpec extends SparkSpec {
     assert(out.count(_._1 == 3L) == 1)
     assert(run().toSeq == out.toSeq) // reproducible
   }
+
+  // --- MMR selection --------------------------------------------------------
+  test("mmrSelect: relevance ranks first, diversity penalizes " +
+      "redundancy, exhaustion stops early") {
+    val vecs = Seq(
+      (1L, Seq(10L, 0L)), // identical to the query: rel 100
+      (2L, Seq(9L, 1L)), // near the query: rel 90
+      (3L, Seq(0L, 10L))) // orthogonal: rel 0
+      .toDF("id", "q")
+    val out = graft.operators.Coreset
+      .mmrSelect(vecs, Seq(10L, 0L), k = 5, lambdaMilli = 700L)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: 700·rel -> id1 at 70000
+    // round 2: id2 = 700·90 − 300·dot([9,1],[10,0]) = 63000 − 27000;
+    //          id3 = 0 − 0 -> id2 wins at 36000
+    // round 3: id3 = 0 − 300·max(0, 10) = −3000 (sim to id2 is 10)
+    // round 4: no candidates left -> 3 rows
+    assert(out.toSeq == Seq(
+      (1, 1L, 100L, 70000L),
+      (2, 2L, 90L, 36000L),
+      (3, 3L, 0L, -3000L)))
+  }
+
+  test("mmrSelect: lambda 1000 is pure relevance order") {
+    val vecs = Seq(
+      (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
+      .toDF("id", "q")
+    val out = graft.operators.Coreset
+      .mmrSelect(vecs, Seq(1L, 0L), k = 3, lambdaMilli = 1000L)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(out == Seq(2L, 3L, 1L))
+  }
 }
