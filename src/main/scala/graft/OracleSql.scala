@@ -6224,6 +6224,69 @@ object OracleSql {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q265: color-JPEG replay — q256's block grid with a per-parity
+    * branch: even ids flat gray (r=g=b=2·dc+128), odd ids flat
+    * Y/Cb/Cr planes through the decoder's 16-bit fixed-point BT.601
+    * (BIGINT arithmetic >> 16 — DuckDB's >> floors like Java's;
+    * its // truncates and would be wrong on negative chroma terms),
+    * clamps included. Gray luma falls out of the same 77/150/29 >> 8
+    * formula since r=g=b. */
+  private val q265 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 3 AS wb,
+      |    1 + (doc_id // 3) % 3 AS hb,
+      |    doc_id % 2 AS prof
+      |  FROM documents),
+      |raw AS (
+      |  SELECT i.doc_id, bx.v AS bx, byy.v AS byy, i.wb, i.hb, i.prof,
+      |    2 * (((5 * bx.v + 7 * byy.v + 3 * i.doc_id) % 64) - 32)
+      |      + 128 AS yv,
+      |    2 * (((3 * bx.v + 11 * byy.v + i.doc_id) % 64) - 32) AS cb2,
+      |    2 * (((7 * bx.v + 5 * byy.v + 2 * i.doc_id) % 64) - 32) AS cr2
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 3)) bx ON bx.v < i.wb
+      |  JOIN (SELECT range AS v FROM range(0, 3)) byy ON byy.v < i.hb),
+      |blk AS (
+      |  SELECT doc_id, bx, byy, wb, hb,
+      |    CASE WHEN prof = 0 THEN yv
+      |      ELSE LEAST(255, GREATEST(0, yv +
+      |        (CAST(91881 * cr2 + 32768 AS BIGINT) >> 16))) END AS r,
+      |    CASE WHEN prof = 0 THEN yv
+      |      ELSE LEAST(255, GREATEST(0, yv -
+      |        (CAST(22554 * cb2 + 46802 * cr2 + 32768 AS BIGINT)
+      |          >> 16))) END AS g,
+      |    CASE WHEN prof = 0 THEN yv
+      |      ELSE LEAST(255, GREATEST(0, yv +
+      |        (CAST(116130 * cb2 + 32768 AS BIGINT) >> 16))) END AS b
+      |  FROM raw),
+      |lm AS (
+      |  SELECT doc_id, bx, byy, wb, hb, r, g, b,
+      |    (CAST(77 * r + 150 * g + 29 * b AS BIGINT) >> 8) AS luma
+      |  FROM blk),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+      |    CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+      |    CAST(SUM(64 * b) AS BIGINT) AS sum_b
+      |  FROM lm GROUP BY doc_id),
+      |rl AS (
+      |  SELECT i.doc_id, CAST(SUM(l.luma) AS BIGINT) AS rls
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  JOIN lm l ON l.doc_id = i.doc_id
+      |    AND l.bx = ((tx.v * (8 * i.wb)) // 4) // 8
+      |    AND l.byy = ((ty.v * (8 * i.hb)) // 4) // 8
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(8 * i.wb AS BIGINT) AS width,
+      |  CAST(8 * i.hb AS BIGINT) AS height,
+      |  px.sum_r, px.sum_g, px.sum_b,
+      |  rl.rls AS resized_luma_sum, TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q244: seasonal-naive MASE replay — integer epoch-day rollup,
     * join-on-existence lags (calendar gaps drop out of both sums),
     * ppm DIV publication. */
@@ -6583,6 +6646,7 @@ object OracleSql {
     "q262_hyperball" -> q262,
     "q263_random_walks" -> q263,
     "q264_mmr_select" -> q264,
+    "q265_jpeg_color" -> q265,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

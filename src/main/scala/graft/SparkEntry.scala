@@ -472,6 +472,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-9: the COLOR JPEG walk through the driver gate — even ids
+    * grayscale, odd ids 3-component 4:4:4 with flat Y/Cb/Cr planes;
+    * the oracle replays the decoder's fixed-point BT.601 (BIGINT
+    * arithmetic >> 16, clamps included), so a hash match pins the
+    * interleaved-component decode and the color conversion
+    * bit-for-bit. */
+  private def qJpegColor(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticMixedJpegPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
     * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
     * into genuine WAV bytes in-engine, decoded back distributed, and
@@ -3743,7 +3760,8 @@ object SparkEntry {
       "q261_sssp" -> (qSssp _),
       "q262_hyperball" -> (qHyperBall _),
       "q263_random_walks" -> (qRandomWalks _),
-      "q264_mmr_select" -> (qMmrSelect _))
+      "q264_mmr_select" -> (qMmrSelect _),
+      "q265_jpeg_color" -> (qJpegColor _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

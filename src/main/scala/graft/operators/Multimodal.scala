@@ -271,6 +271,50 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-9 COLOR twin of [[syntheticJpegPayloads]] for the q265
+    * registered query: even ids carry the grayscale profile, odd ids
+    * a 3-component 4:4:4 DC-only JPEG — per block the quantized DCs
+    * are dcY = ((5bx+7by+3id) mod 64)−32, dcCb = ((3bx+11by+id) mod
+    * 64)−32, dcCr = ((7bx+5by+2id) mod 64)−32, so the decoded planes
+    * are flat Y/Cb/Cr = 2·dc+128 and the RGB output follows the
+    * decoder's 16-bit fixed-point BT.601 exactly (arithmetic >> 16,
+    * replayable in SQL as BIGINT >>) — clamps INCLUDED, since chroma
+    * swings push r/b outside [0,255] on purpose. A hash match proves
+    * the full color walk: three interleaved components, per-component
+    * DC prediction, the fixed-point conversion. Map-only. */
+  def syntheticMixedJpegPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (1 + id % 3).toInt
+          val hB = (1 + (id / 3) % 3).toInt
+          val quant = Array.fill(64)(16)
+          def blocks(f: (Int, Int) => Long): Array[Array[Int]] =
+            Array.tabulate(wB * hB) { b =>
+              val z = new Array[Int](64)
+              z(0) = ((f(b % wB, b / wB) % 64) - 32).toInt
+              z
+            }
+          val bytes =
+            if (id % 2 == 0)
+              graft.functions.JpegCodec.encodeJpegGray(
+                blocks((bx, by) => 5 * bx + 7 * by + 3 * id),
+                wB * 8, hB * 8, quant)
+            else
+              graft.functions.JpegCodec.encodeJpegColor444(
+                blocks((bx, by) => 5 * bx + 7 * by + 3 * id),
+                blocks((bx, by) => 3 * bx + 11 * by + id),
+                blocks((bx, by) => 7 * bx + 5 * by + 2 * id),
+                wB * 8, hB * 8, quant)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** All-integer PCM statistics from REAL WAV decode
     * ([[graft.functions.AudioCodec]]) — the audio twin of
     * [[imagePixelStats]]: per payload the decoded format meta

@@ -174,6 +174,27 @@ class JpegCodecSpec extends SparkSpec {
     assert(img.isDefined && (img.get.rgb(0) & 0xff) == 2 * -7 + 128)
   }
 
+  test("syntheticMixedJpegPayloads: odd ids decode as color with the " +
+      "fixed-point conversion, even ids stay gray") {
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    val docs = Seq(2L, 3L).toDF("doc_id")
+    val imgs = Multimodal.syntheticMixedJpegPayloads(docs, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ImageCodec.decode(r.getAs[Array[Byte]](1)).get).toMap
+    val gray = imgs(2L) // block (0,0): dc = (3*2) % 64 - 32 = -26
+    assert((gray(0, 0) & 0xff) == 2 * -26 + 128)
+    assert(((gray(0, 0) >> 16) & 0xff) == (gray(0, 0) & 0xff))
+    val color = imgs(3L) // block (0,0) of id 3
+    val yv = 2 * ((9 % 64) - 32) + 128
+    val cb2 = 2 * ((3 % 64) - 32)
+    val cr2 = 2 * ((6 % 64) - 32)
+    val er = clamp(yv + ((91881 * cr2 + 32768) >> 16))
+    val eg = clamp(yv - ((22554 * cb2 + 46802 * cr2 + 32768) >> 16))
+    val eb = clamp(yv + ((116130 * cb2 + 32768) >> 16))
+    assert(color(0, 0) == ((er << 16) | (eg << 8) | eb))
+  }
+
   test("syntheticJpegPayloads: decoded stats equal the closed form") {
     val docs = Tables.documents(spark, sf).limit(40)
     val stats = Multimodal.imagePixelStats(spark,
