@@ -5038,6 +5038,59 @@ object OracleSql {
       |       ELSE 'non_match' END AS decision
       |FROM sc ORDER BY score_milli DESC, a_id, b_id LIMIT 100""".stripMargin
 
+  /** q266: entity-resolution replay — the q225 scoring CTEs (no
+    * LIMIT), match-decision edges with even/odd key encoding, exact
+    * connected components via the q47 recursive walk, then the
+    * per-cluster membership rollup. */
+  private val q266 =
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey AS a_id, c_nationkey AS nk,
+      |    right(c_name, 2) AS nt,
+      |    floor(c_acctbal / 1000.0) AS kb,
+      |    floor(c_acctbal / 100.0) AS hb
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey AS b_id, s_nationkey AS nk,
+      |    right(s_name, 2) AS nt,
+      |    floor(s_acctbal / 1000.0) AS kb,
+      |    floor(s_acctbal / 100.0) AS hb
+      |  FROM supplier),
+      |sc AS (
+      |  SELECT a_id, b_id,
+      |    (CASE WHEN COALESCE(c.nt = s.nt, FALSE)
+      |       THEN 2400 ELSE -300 END) +
+      |    (CASE WHEN COALESCE(c.kb = s.kb, FALSE)
+      |       THEN 1200 ELSE -600 END) +
+      |    (CASE WHEN COALESCE(c.hb = s.hb, FALSE)
+      |       THEN 800 ELSE -100 END) AS score_milli
+      |  FROM c JOIN s USING (nk)),
+      |e AS (
+      |  SELECT CAST(a_id * 2 AS BIGINT) AS a,
+      |    CAST(b_id * 2 + 1 AS BIGINT) AS b
+      |  FROM sc WHERE score_milli >= 2000),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM e
+      |  UNION SELECT b AS src, a AS dst FROM e),
+      |walk(node, label) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT w.node, s2.dst FROM sym s2 JOIN walk w ON s2.src = w.label),
+      |comp AS (
+      |  SELECT node, MIN(label) AS cluster_id
+      |  FROM walk GROUP BY node)
+      |SELECT cluster_id,
+      |  COUNT(*) AS n_members,
+      |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_cust,
+      |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_supp,
+      |  CAST(MIN(CASE WHEN node % 2 = 0 THEN node // 2 END)
+      |    AS BIGINT) AS rep_custkey,
+      |  CAST(MIN(CASE WHEN node % 2 = 1 THEN (node - 1) // 2 END)
+      |    AS BIGINT) AS rep_suppkey
+      |FROM comp GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6647,6 +6700,7 @@ object OracleSql {
     "q263_random_walks" -> q263,
     "q264_mmr_select" -> q264,
     "q265_jpeg_color" -> q265,
+    "q266_er_pipeline" -> q266,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -1014,6 +1014,45 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Round-9: end-to-end entity resolution — the q225 Fellegi-Sunter
+    * scorer's MATCH decisions become edges (customers even-encoded,
+    * suppliers odd, so the two key spaces stay disjoint), resolved
+    * into connected components with per-cluster membership and
+    * min-key representatives: linkage pairs → entities, the pipeline
+    * a master-data/dedup system actually ships. */
+  private def qErPipeline(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").as("nk"),
+      substring(col("c_name"), -2, 2).as("name_tail"),
+      floor(col("c_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("c_acctbal") / 100.0).as("acct_hband"))
+    val supp = Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_nationkey").as("nk"),
+      substring(col("s_name"), -2, 2).as("name_tail"),
+      floor(col("s_acctbal") / 1000.0).as("acct_kband"),
+      floor(col("s_acctbal") / 100.0).as("acct_hband"))
+    val edges = operators.RecordLinkage.fellegiSunter(
+        cust, "c_custkey", supp, "s_suppkey", Seq("nk"),
+        Seq(operators.RecordLinkage.Field("name_tail", 2400L, -300L),
+          operators.RecordLinkage.Field("acct_kband", 1200L, -600L),
+          operators.RecordLinkage.Field("acct_hband", 800L, -100L)),
+        upperMilli = 2000L, lowerMilli = 0L)
+      .filter(col("decision") === "match")
+      .select((col("a_id") * 2).as("a"), (col("b_id") * 2 + 1).as("b"))
+    operators.DuplicateClusters.resolve(edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_cust"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_supp"),
+        min(expr("CASE WHEN doc_id % 2 = 0 THEN doc_id div 2 END"))
+          .as("rep_custkey"),
+        min(expr("CASE WHEN doc_id % 2 = 1 THEN (doc_id - 1) div 2 END"))
+          .as("rep_suppkey"))
+      .orderBy("cluster_id")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3761,7 +3800,8 @@ object SparkEntry {
       "q262_hyperball" -> (qHyperBall _),
       "q263_random_walks" -> (qRandomWalks _),
       "q264_mmr_select" -> (qMmrSelect _),
-      "q265_jpeg_color" -> (qJpegColor _))
+      "q265_jpeg_color" -> (qJpegColor _),
+      "q266_er_pipeline" -> (qErPipeline _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -186,6 +186,26 @@ class Round9cSpec extends SparkSpec {
       (3, 3L, 0L, -3000L)))
   }
 
+  // --- ER pipeline ---------------------------------------------------------
+  test("er pipeline: clusters are bipartite-consistent on the fixture") {
+    // sf0.001's customer/supplier tables are too small to produce any
+    // match-decision pair; the driver's sf0.01 scale does
+    val out = SparkEntry.queries("q266_er_pipeline")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (members, nc, ns) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(members == nc + ns)
+      // a match edge always links one customer and one supplier, so
+      // every component has both sides represented
+      assert(nc >= 1 && ns >= 1)
+      assert(!r.isNullAt(4) && !r.isNullAt(5))
+      // the cluster label is the component's minimum encoded key
+      val minEnc = math.min(r.getLong(4) * 2, r.getLong(5) * 2 + 1)
+      assert(r.getLong(0) <= minEnc)
+    }
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
