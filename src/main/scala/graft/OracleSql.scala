@@ -5091,6 +5091,43 @@ object OracleSql {
       |FROM comp GROUP BY cluster_id
       |ORDER BY cluster_id""".stripMargin
 
+  /** q267: the partitioned layout changes the PLAN (directory
+    * pruning), never the answer — the oracle is the plain
+    * filter/aggregate (the q104/q257 convention). */
+  private val q267 =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q268: sketch-rollup replay — the q233 register arithmetic per
+    * language plus the SAME arithmetic over all rows as the 'ALL'
+    * group; matching the engine's register-merge derivation proves
+    * HLL mergeability bit-for-bit. */
+  private val q268 = {
+    val cascade = (1 to 24).map(r =>
+      s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
+    def regs(grp: String, src: String) =
+      s"""SELECT $grp AS lang, hv % 64 AS register,
+         |    CAST(MAX(CASE
+         |      $cascade
+         |      ELSE 25 END) AS BIGINT) AS max_rho
+         |  FROM (
+         |    SELECT lang,
+         |      ((doc_id * 1000003 + 12345) % 1000000007)
+         |        * ((doc_id * 1000003 + 12345) % 1000000007) AS h2
+         |    FROM $src) t,
+         |    LATERAL (SELECT (h2 + 17) % 1000000007 AS hv) l,
+         |    LATERAL (SELECT hv // 64 AS w) l2
+         |  GROUP BY 1, 2""".stripMargin
+    s"""SELECT lang, register, max_rho FROM (
+       |  ${regs("lang", "documents")}
+       |  UNION ALL
+       |  ${regs("'ALL'", "documents")})
+       |ORDER BY lang, register""".stripMargin
+  }
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6701,6 +6738,8 @@ object OracleSql {
     "q264_mmr_select" -> q264,
     "q265_jpeg_color" -> q265,
     "q266_er_pipeline" -> q266,
+    "q267_partition_pruning" -> q267,
+    "q268_sketch_rollup" -> q268,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

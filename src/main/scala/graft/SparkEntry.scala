@@ -1053,6 +1053,43 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** Round-9: partition-pruned layout — orders written PARTITIONED BY
+    * priority, then a single-priority aggregate whose scan reads ONE
+    * directory (PartitionFilters, zero data-file touch elsewhere);
+    * the pay-the-layout-once pattern that carries selective queries
+    * at 100 TB (the q104 bucketing story for filters instead of
+    * joins). The layout changes the PLAN, never the answer. */
+  private def qPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part_prune").toString
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Round-9: sketch shard→global rollup — per-language HLL registers
+    * PLUS the global sketch derived by merging the per-language
+    * REGISTERS (max per register), never re-reading the data: the
+    * mergeability contract that lets 1000 shards publish sketches and
+    * a coordinator fold them. The oracle computes the global row from
+    * the raw data directly — their equality IS the merge property,
+    * hash-checked. */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val perLang = operators.Sketches.hllRegisters(
+      Tables.documents(s, dir), "lang", "doc_id", m = 64)
+    val global = perLang.groupBy("register")
+      .agg(max("max_rho").as("max_rho"))
+      .select(lit("ALL").as("grp"), col("register"), col("max_rho"))
+    perLang.unionByName(global)
+      .select(col("grp").as("lang"), col("register"), col("max_rho"))
+      .orderBy("lang", "register")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3801,7 +3838,9 @@ object SparkEntry {
       "q263_random_walks" -> (qRandomWalks _),
       "q264_mmr_select" -> (qMmrSelect _),
       "q265_jpeg_color" -> (qJpegColor _),
-      "q266_er_pipeline" -> (qErPipeline _))
+      "q266_er_pipeline" -> (qErPipeline _),
+      "q267_partition_pruning" -> (qPartitionPruning _),
+      "q268_sketch_rollup" -> (qSketchRollup _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -206,6 +206,48 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // --- partition pruning ----------------------------------------------------
+  test("partition pruning: the scan touches only the filtered " +
+      "priority's directory") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(tmp)
+    val pruned = spark.read.parquet(tmp)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning), not a data filter
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.exists(
+      _.toString.contains("1-URGENT")))
+    assert(scan.relation.partitionSchema.fieldNames
+      .contains("o_orderpriority"))
+    // and the pruned count matches the plain filter
+    assert(pruned.count() ==
+      Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  // --- sketch rollup --------------------------------------------------------
+  test("hll registers merge: max-per-register over shards equals the " +
+      "whole-data sketch") {
+    val docs = Tables.documents(spark, sf)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.hllRegisters(
+          df.withColumn("g", lit("x")), "g", "doc_id", m = 64)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val whole = regs(docs)
+    val a = regs(docs.filter(col("doc_id") % 2 === 0))
+    val b = regs(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
