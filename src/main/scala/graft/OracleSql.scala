@@ -5128,6 +5128,62 @@ object OracleSql {
        |ORDER BY lang, register""".stripMargin
   }
 
+  /** q269: Viterbi-segmentation replay — the substring vocabulary
+    * (overlap counts, single chars unconditionally kept), then the 12
+    * DP rounds unrolled: round p extends entries at pos = p by every
+    * vocab piece matching substr(word, p+1, ·), argmax per (word,
+    * pos) with (best DESC, path ASC) — the engine's exact
+    * tie-breaking. */
+  private val q269 = {
+    val rounds = (0 until 12).map { p =>
+      // AS MATERIALIZED: each round references the previous one TWICE
+      // (carry + extend) — inlined CTEs would replay the whole prefix
+      // 2^12 times
+      s"""st${p + 1} AS MATERIALIZED (
+         |  SELECT word, pos, best, path FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word, pos
+         |      ORDER BY best DESC, path ASC) AS rn
+         |    FROM (
+         |      SELECT word, pos, best, path FROM st$p
+         |      UNION ALL
+         |      SELECT c.word, $p + len(v.piece) AS pos,
+         |        c.best + v.score AS best,
+         |        c.path || '|' || v.piece AS path
+         |      FROM st$p c JOIN vocab v
+         |        ON c.pos = $p
+         |        AND v.piece = substr(c.word, ${p + 1}, len(v.piece))))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM documents),
+       |starts AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM toks),
+       |sub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM starts
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, COUNT(*) AS cnt,
+       |    CAST(COUNT(*) * len(piece) * len(piece) AS BIGINT) AS score
+       |  FROM sub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |words AS (
+       |  SELECT DISTINCT tok AS word FROM toks WHERE len(tok) <= 12),
+       |st0 AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best, '' AS path
+       |  FROM words),
+       |$rounds
+       |SELECT word, best AS best_score,
+       |  CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS n_pieces,
+       |  substr(path, 2) AS segments
+       |FROM st12 WHERE pos = len(word)
+       |ORDER BY word""".stripMargin
+  }
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6740,6 +6796,7 @@ object OracleSql {
     "q266_er_pipeline" -> q266,
     "q267_partition_pruning" -> q267,
     "q268_sketch_rollup" -> q268,
+    "q269_unigram_segment" -> q269,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

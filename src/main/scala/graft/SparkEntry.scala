@@ -1090,6 +1090,19 @@ object SparkEntry {
       .orderBy("lang", "register")
   }
 
+  /** Round-9: unigram-LM subword segmentation — in-corpus piece
+    * vocabulary (substring counts, len ≤ 4), then per-word Viterbi
+    * for the max-score piece sequence; the global-optimum tokenizer
+    * beside BPE's greedy encode (q131). */
+  private def qUnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = operators.UnigramSegment.pieceVocab(docs, "text")
+    operators.UnigramSegment.viterbiSegment(docs, "text", vocab)
+      .select(col("word"), col("best_score"),
+        col("n_pieces").cast("long").as("n_pieces"), col("segments"))
+      .orderBy("word")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3840,7 +3853,8 @@ object SparkEntry {
       "q265_jpeg_color" -> (qJpegColor _),
       "q266_er_pipeline" -> (qErPipeline _),
       "q267_partition_pruning" -> (qPartitionPruning _),
-      "q268_sketch_rollup" -> (qSketchRollup _))
+      "q268_sketch_rollup" -> (qSketchRollup _),
+      "q269_unigram_segment" -> (qUnigramSegment _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

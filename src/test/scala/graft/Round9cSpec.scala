@@ -248,6 +248,48 @@ class Round9cSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  // --- unigram segmentation -------------------------------------------------
+  test("viterbiSegment: finds the global optimum a greedy longest-" +
+      "match would miss; ties break to the smaller path") {
+    val docs = Seq("abcd ab").toDF("text") // words to segment
+    val vocab = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L),
+      ("ab", 10L), ("bcd", 100L))
+      .toDF("piece", "score")
+    val out = graft.operators.UnigramSegment
+      .viterbiSegment(docs, "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    // greedy left-to-right longest match takes ab|c|d = 12;
+    // Viterbi finds a|bcd = 101
+    assert(out("abcd") == ((101L, 2, "a|bcd")))
+    // 'ab': paths ab (10) and a|b (2) — score decides; with score tie
+    // the smaller path string wins (see next assertion)
+    assert(out("ab") == ((10L, 1, "ab")))
+    val tieV = Seq(("a", 5L), ("b", 5L), ("ab", 10L))
+      .toDF("piece", "score")
+    val tie = graft.operators.UnigramSegment
+      .viterbiSegment(Seq("ab").toDF("text"), "text", tieV)
+      .collect().head
+    assert(tie.getString(3) == "ab") // "ab" < "a|b" lexicographically
+  }
+
+  test("pieceVocab: overlap counts, singleton chars survive the " +
+      "threshold, rare long pieces don't") {
+    val v = graft.operators.UnigramSegment
+      .pieceVocab(Seq("aaa").toDF("text"), "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // a: 3 overlapping occurrences; aa: 2; aaa: 1 -> dropped (len>1, cnt<2)
+    assert(v == Set(("a", 3L, 3L), ("aa", 2L, 8L)))
+  }
+
+  test("viterbiSegment: a word with no covering pieces yields no row") {
+    val out = graft.operators.UnigramSegment.viterbiSegment(
+      Seq("xy").toDF("text"), "text",
+      Seq(("x", 1L)).toDF("piece", "score"))
+    assert(out.isEmpty)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
