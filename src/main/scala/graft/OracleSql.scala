@@ -5184,6 +5184,16 @@ object OracleSql {
        |ORDER BY word""".stripMargin
   }
 
+  /** q270: schema-evolution replay — the merged read is the union of
+    * the two batches with NULL for the pre-evolution column. */
+  private val q270 =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(CASE WHEN n_nationkey >= 12 THEN n_regionkey
+      |       ELSE -1 END AS BIGINT) AS n_regionkey,
+      |  CAST(CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END
+      |    AS BIGINT) AS batch
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6797,6 +6807,7 @@ object OracleSql {
     "q267_partition_pruning" -> q267,
     "q268_sketch_rollup" -> q268,
     "q269_unigram_segment" -> q269,
+    "q270_schema_evolution" -> q270,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

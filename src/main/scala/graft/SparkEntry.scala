@@ -1103,6 +1103,33 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Round-9: parquet schema evolution — two batches written with
+    * DIFFERENT schemas (v2 adds a column), read back as one dataset
+    * via mergeSchema; pre-evolution rows surface NULL for the new
+    * column. The append-only data-lake reality: schemas drift across
+    * months of batches and the reader must union them losslessly. */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    val nation = Tables.nation(s, dir)
+    nation.filter(col("n_nationkey") < 12)
+      .select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    nation.filter(col("n_nationkey") >= 12)
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")) // the evolved column
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        // q74's sentinel convention: NULLs don't hash-compare across
+        // engines, so the absent pre-evolution values publish as -1
+        coalesce(col("n_regionkey").cast("long"), lit(-1L))
+          .as("n_regionkey"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("n_nationkey")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3854,7 +3881,8 @@ object SparkEntry {
       "q266_er_pipeline" -> (qErPipeline _),
       "q267_partition_pruning" -> (qPartitionPruning _),
       "q268_sketch_rollup" -> (qSketchRollup _),
-      "q269_unigram_segment" -> (qUnigramSegment _))
+      "q269_unigram_segment" -> (qUnigramSegment _),
+      "q270_schema_evolution" -> (qSchemaEvolution _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3901,7 +3929,13 @@ object SparkEntry {
     // shapes (personalized PR, Bellman-Ford, JPEG decode walk, the
     // hashing-trick groupBy, BLEU's per-n gram joins)
     "q254_personalized_pr", "q256_jpeg_pixels", "q259_feature_hash",
-    "q260_bleu_pairs", "q261_sssp")
+    "q260_bleu_pairs", "q261_sssp",
+    // round-9 session 3 (cont.): the sketch-merge graph walk, the PRF
+    // walk corpus, the k-round driver loops (max-coverage, MMR, the
+    // Viterbi DP), the ER composite, and the color codec path
+    "q255_max_coverage", "q262_hyperball", "q263_random_walks",
+    "q264_mmr_select", "q265_jpeg_color", "q266_er_pipeline",
+    "q269_unigram_segment")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
