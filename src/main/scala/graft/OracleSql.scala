@@ -5194,6 +5194,18 @@ object OracleSql {
       |    AS BIGINT) AS batch
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** q271: the MV rewrite changes the PLAN (base scan → MV
+    * re-aggregate), never the answer — the oracle is the plain base
+    * rollup (the q104/q257/q267 layout convention). */
+  private val q271 =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS min_total,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS max_total
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6808,6 +6820,7 @@ object OracleSql {
     "q268_sketch_rollup" -> q268,
     "q269_unigram_segment" -> q269,
     "q270_schema_evolution" -> q270,
+    "q271_mv_rewrite" -> q271,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -1130,6 +1130,40 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  /** Round-9: materialized-view rewrite — a 2-D pre-aggregate MV is
+    * built and registered, then the ORIGINAL rollup query (group by
+    * one dimension over the BASE table) runs; the optimizer rule
+    * redirects it to re-aggregate the MV (sum-of-counts,
+    * min-of-mins, max-of-maxes) and the base scan vanishes from the
+    * plan (MvRewriteSpec pins that). The answer never changes — the
+    * oracle aggregates the base directly. */
+  private def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mv").toString
+    val base = Tables.orders(s, dir)
+    base.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        min(dec2(col("o_totalprice"))).as("min_total"),
+        max(dec2(col("o_totalprice"))).as("max_total"))
+      .write.mode("overwrite").parquet(tmp)
+    org.apache.spark.sql.graft.MvRewrite.clear()
+    org.apache.spark.sql.graft.MvRewrite.register(
+      base, dims = Seq("o_orderpriority", "o_orderstatus"),
+      mv = s.read.parquet(tmp),
+      minCols = Seq(dec2(col("o_totalprice")) -> "min_total"),
+      maxCols = Seq(dec2(col("o_totalprice")) -> "max_total"),
+      countCol = Some("cnt"))
+    // the original query, written against the BASE table
+    base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min(dec2(col("o_totalprice"))).as("min_total"),
+        max(dec2(col("o_totalprice"))).as("max_total"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("min_total").cast("double").as("min_total"),
+        col("max_total").cast("double").as("max_total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3882,7 +3916,8 @@ object SparkEntry {
       "q267_partition_pruning" -> (qPartitionPruning _),
       "q268_sketch_rollup" -> (qSketchRollup _),
       "q269_unigram_segment" -> (qUnigramSegment _),
-      "q270_schema_evolution" -> (qSchemaEvolution _))
+      "q270_schema_evolution" -> (qSchemaEvolution _),
+      "q271_mv_rewrite" -> (qMvRewrite _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
