@@ -5206,6 +5206,32 @@ object OracleSql {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q272: streaming HLL replay — identical arithmetic to q233 over
+    * the events stream's (event_type, user_id); the stream's
+    * complete-mode state must equal this batch computation exactly
+    * (order-free max). */
+  private val q272 = {
+    val cascade = (1 to 24).map(r =>
+      s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
+    s"""WITH h0 AS (
+       |  SELECT event_type,
+       |    (CAST(user_id AS BIGINT) * 1000003 + 12345)
+       |      % 1000000007 AS h1
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, (h1 * h1 + 17) % 1000000007 AS hv
+       |  FROM h0),
+       |b AS (
+       |  SELECT event_type, hv % 64 AS register, hv // 64 AS w
+       |  FROM h)
+       |SELECT event_type, CAST(register AS BIGINT) AS register,
+       |  CAST(MAX(CASE
+       |      $cascade
+       |      ELSE 25 END) AS BIGINT) AS max_rho
+       |FROM b GROUP BY 1, 2
+       |ORDER BY event_type, register""".stripMargin
+  }
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6821,6 +6847,7 @@ object OracleSql {
     "q269_unigram_segment" -> q269,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
+    "q272_stream_hll" -> q272,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -1164,6 +1164,14 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Round-9: STREAMING HLL register maintenance — the q233 register
+    * kernel under a streaming groupBy-max (complete mode); stream
+    * state equals the batch sketch by construction (order-free max),
+    * so the batch arithmetic is a full-strength oracle. */
+  private def qStreamHll(s: SparkSession, dir: String): DataFrame =
+    streaming.StreamSketch.hllPerType(s, dir)
+      .orderBy("event_type", "register")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3917,7 +3925,8 @@ object SparkEntry {
       "q268_sketch_rollup" -> (qSketchRollup _),
       "q269_unigram_segment" -> (qUnigramSegment _),
       "q270_schema_evolution" -> (qSchemaEvolution _),
-      "q271_mv_rewrite" -> (qMvRewrite _))
+      "q271_mv_rewrite" -> (qMvRewrite _),
+      "q272_stream_hll" -> (qStreamHll _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

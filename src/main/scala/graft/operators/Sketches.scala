@@ -43,8 +43,13 @@ object Sketches {
     * Output: (group, register, max_rho) — registers with no key
     * hashed to them are absent (their ρ is the implicit 0; consumers
     * treat missing as zero, exactly how sparse HLL is stored). */
-  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
-                   m: Int = 64): DataFrame = {
+  /** Pre-aggregation register rows (grp, register, rho) — the pure
+    * per-row half of [[hllRegisters]], shared with the STREAMING
+    * register maintenance (q272: the same exprs run under a streaming
+    * groupBy-max, so batch and stream sketch states are identical by
+    * construction). */
+  def hllRegisterRows(df: DataFrame, groupCol: String, keyCol: String,
+                      m: Int): DataFrame = {
     require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of 2: $m")
     val P = 1000000007L
     val h1 = pmod(col(keyCol).cast("long") * 1000003L + 12345L, lit(P))
@@ -59,9 +64,13 @@ object Sketches {
         when(col("w") >= (1L << (budget - r)), r).otherwise(rest)
     }
     bound.select(col("grp"), col("register"), rho.as("rho"))
+  }
+
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   m: Int = 64): DataFrame =
+    hllRegisterRows(df, groupCol, keyCol, m)
       .groupBy(col("grp"), col("register"))
       .agg(max(col("rho")).cast("long").as("max_rho"))
-  }
 
   /** Shared quadratic-PRF bit position for the Bloom family: row-j
     * hash of an integral key, folded to [0, mBits). Same affine-then-

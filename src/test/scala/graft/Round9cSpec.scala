@@ -290,6 +290,18 @@ class Round9cSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  // --- streaming sketch maintenance ----------------------------------------
+  test("streaming HLL registers equal the batch sketch of the same rows") {
+    val stream = graft.streaming.StreamSketch.hllPerType(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Sketches.hllRegisters(
+        Tables.events(spark, sf), "event_type", "user_id", m = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
