@@ -5232,6 +5232,64 @@ object OracleSql {
        |ORDER BY event_type, register""".stripMargin
   }
 
+  /** q273: 4:2:0 JPEG replay — two grids: flat Y per 8×8 block, flat
+    * chroma per 16×16 MCU (mx = bx//2, my = by//2 — replication
+    * upsampling makes each Y block single-colored), then the q265
+    * fixed-point conversion with clamps. */
+  private val q273 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    2 * (1 + doc_id % 2) AS wb,
+      |    2 * (1 + (doc_id // 2) % 2) AS hb
+      |  FROM documents),
+      |raw AS (
+      |  SELECT i.doc_id, bx.v AS bx, byy.v AS byy, i.wb, i.hb,
+      |    2 * (((5 * bx.v + 7 * byy.v + 3 * i.doc_id) % 64) - 32)
+      |      + 128 AS yv,
+      |    2 * (((3 * (bx.v // 2) + 11 * (byy.v // 2) + i.doc_id)
+      |      % 64) - 32) AS cb2,
+      |    2 * (((7 * (bx.v // 2) + 5 * (byy.v // 2) + 2 * i.doc_id)
+      |      % 64) - 32) AS cr2
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 4)) bx ON bx.v < i.wb
+      |  JOIN (SELECT range AS v FROM range(0, 4)) byy ON byy.v < i.hb),
+      |blk AS (
+      |  SELECT doc_id, bx, byy, wb, hb,
+      |    LEAST(255, GREATEST(0, yv +
+      |      (CAST(91881 * cr2 + 32768 AS BIGINT) >> 16))) AS r,
+      |    LEAST(255, GREATEST(0, yv -
+      |      (CAST(22554 * cb2 + 46802 * cr2 + 32768 AS BIGINT)
+      |        >> 16))) AS g,
+      |    LEAST(255, GREATEST(0, yv +
+      |      (CAST(116130 * cb2 + 32768 AS BIGINT) >> 16))) AS b
+      |  FROM raw),
+      |lm AS (
+      |  SELECT doc_id, bx, byy, wb, hb, r, g, b,
+      |    (CAST(77 * r + 150 * g + 29 * b AS BIGINT) >> 8) AS luma
+      |  FROM blk),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+      |    CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+      |    CAST(SUM(64 * b) AS BIGINT) AS sum_b
+      |  FROM lm GROUP BY doc_id),
+      |rl AS (
+      |  SELECT i.doc_id, CAST(SUM(l.luma) AS BIGINT) AS rls
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  JOIN lm l ON l.doc_id = i.doc_id
+      |    AND l.bx = ((tx.v * (8 * i.wb)) // 4) // 8
+      |    AND l.byy = ((ty.v * (8 * i.hb)) // 4) // 8
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(8 * i.wb AS BIGINT) AS width,
+      |  CAST(8 * i.hb AS BIGINT) AS height,
+      |  px.sum_r, px.sum_g, px.sum_b,
+      |  rl.rls AS resized_luma_sum, TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6848,6 +6906,7 @@ object OracleSql {
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,
+    "q273_jpeg_420" -> q273,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -489,6 +489,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-9: the 4:2:0 JPEG walk through the driver gate — the
+    * dominant real-crawl profile (2×2 Y + subsampled chroma per MCU);
+    * the oracle replays the two-grid closed form through the
+    * replication upsampling and fixed-point conversion. */
+  private def qJpeg420(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticJpeg420Payloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
     * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
     * into genuine WAV bytes in-engine, decoded back distributed, and
@@ -3926,7 +3941,8 @@ object SparkEntry {
       "q269_unigram_segment" -> (qUnigramSegment _),
       "q270_schema_evolution" -> (qSchemaEvolution _),
       "q271_mv_rewrite" -> (qMvRewrite _),
-      "q272_stream_hll" -> (qStreamHll _))
+      "q272_stream_hll" -> (qStreamHll _),
+      "q273_jpeg_420" -> (qJpeg420 _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

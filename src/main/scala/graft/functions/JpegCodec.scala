@@ -13,9 +13,10 @@ package graft.functions
   *    DHT (canonical code reconstruction per Annex C), DRI, SOF0,
   *    SOS, RSTn, EOI;
   *  - baseline sequential DCT only (SOF0), 8-bit precision, 1 or 3
-  *    components, 4:4:4 sampling (all factors 1×1). Progressive
-  *    (SOF2), arithmetic coding, and subsampled chroma return None —
-  *    the no-throw degrade-per-row contract of [[ImageCodec.decode]];
+  *    components, sampling factors 1–2 per axis (4:4:4, 4:2:2,
+  *    4:4:0, 4:2:0 — chroma upsampled by replication). Progressive
+  *    (SOF2) and arithmetic coding return None — the no-throw
+  *    degrade-per-row contract of [[ImageCodec.decode]];
   *  - entropy decode: byte-stuffing-aware bit reader (FF 00), DC
   *    category + EXTEND, AC run/size with ZRL and EOB, restart-marker
   *    resync with DC-predictor reset;
@@ -221,7 +222,9 @@ object JpegCodec {
     val acTab = new Array[HuffTable](4)
     var w = 0; var h = 0
     var nComp = 0
-    var compQ: Array[Int] = null // quant table id per component
+    var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null // quant table id per component
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var restartInterval = 0
@@ -286,13 +289,26 @@ object JpegCodec {
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
             if (w.toLong * h > 64L * 1024 * 1024) return None
             compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               val samp = bytes(seg + 7 + 3 * c) & 0xff
-              if (samp != 0x11) return None // 4:4:4 only
+              val hi = samp >> 4
+              val vi = samp & 0x0f
+              // factors 1 and 2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 —
+              // the real-crawl profiles; chroma must not outsample luma
+              if (hi < 1 || hi > 2 || vi < 1 || vi > 2) return None
+              // single-component scans are non-interleaved: MCU = one
+              // block, sampling factors are irrelevant (T.81 A.2.2)
+              compH(c) = if (nComp == 1) 1 else hi
+              compV(c) = if (nComp == 1) 1 else vi
               compQ(c) = bytes(seg + 8 + 3 * c) & 0xff
               c += 1
             }
+            if (nComp == 3 &&
+                (compH(1) > compH(0) || compV(1) > compV(0) ||
+                 compH(2) > compH(0) || compV(2) > compV(0))) return None
           case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
               (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
             return None // extended/progressive/lossless/arithmetic
@@ -324,84 +340,102 @@ object JpegCodec {
           acTab(compAc(c)) == null) return None
       c += 1
     }
-    val wB = (w + 7) / 8
-    val hB = (h + 7) / 8
-    // per-component spatial planes, full padded MCU grid
-    val planes = Array.fill(nComp)(new Array[Int](wB * 8 * hB * 8))
+    val hmax = compH.max
+    val vmax = compV.max
+    val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component spatial planes at COMPONENT resolution (full
+    // padded MCU grid); chroma upsamples at conversion time
+    val planeW = Array.tabulate(nComp)(c => mcuCols * compH(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * mcuRows * compV(c) * 8))
     val r = new BitReader(bytes, sosOff)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val spat = new Array[Double](64)
     var mcu = 0
-    val nMcu = wB * hB
+    val nMcu = mcuCols * mcuRows
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         if (!r.resync()) return None
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % wB
-      val by = mcu / wB
+      val mx = mcu % mcuCols
+      val my = mcu / mcuCols
       c = 0
       while (c < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        val qt = quant(compQ(c))
-        val t = decodeHuff(r, dcTab(compDc(c)))
-        if (t < 0 || t > 11) return None
-        val diffBits = r.receive(t)
-        if (diffBits == Int.MinValue) return None
-        pred(c) += extend(diffBits, t)
-        coef(0) = pred(c) * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeHuff(r, acTab(compAc(c)))
-          if (rs < 0) return None
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += run
-            if (k > 63) return None
-            val vBits = r.receive(size)
-            if (vBits == Int.MinValue) return None
-            val nat = Zigzag(k)
-            coef(nat) = extend(vBits, size) * qt(nat)
-            k += 1
+        // data units of component c in this MCU: vi rows x hi cols
+        var bu = 0
+        val nUnits = compH(c) * compV(c)
+        while (bu < nUnits) {
+          val bx2 = bu % compH(c)
+          val by2 = bu / compH(c)
+          java.util.Arrays.fill(coef, 0)
+          val qt = quant(compQ(c))
+          val t = decodeHuff(r, dcTab(compDc(c)))
+          if (t < 0 || t > 11) return None
+          val diffBits = r.receive(t)
+          if (diffBits == Int.MinValue) return None
+          pred(c) += extend(diffBits, t)
+          coef(0) = pred(c) * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff(r, acTab(compAc(c)))
+            if (rs < 0) return None
+            val run = rs >> 4
+            val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += run
+              if (k > 63) return None
+              val vBits = r.receive(size)
+              if (vBits == Int.MinValue) return None
+              val nat = Zigzag(k)
+              coef(nat) = extend(vBits, size) * qt(nat)
+              k += 1
+            }
           }
-        }
-        idct(coef, spat)
-        val plane = planes(c)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            plane((by * 8 + y) * (wB * 8) + bx * 8 + x) =
-              clamp255(math.round(spat(y * 8 + x)).toInt + 128)
-            x += 1
+          idct(coef, spat)
+          val plane = planes(c)
+          val pw = planeW(c)
+          val baseRow = (my * compV(c) + by2) * 8
+          val baseCol = (mx * compH(c) + bx2) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              plane((baseRow + y) * pw + baseCol + x) =
+                clamp255(math.round(spat(y * 8 + x)).toInt + 128)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          bu += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // crop to (w, h) and convert to packed RGB
+    // crop to (w, h), upsample chroma by replication (x·hi/hmax,
+    // y·vi/vmax — nearest), convert to packed RGB
     val rgb = new Array[Int](w * h)
-    val stride = wB * 8
+    def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * compV(c) / vmax) * planeW(c) + x * compH(c) / hmax)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val px =
           if (nComp == 1) {
-            val v = planes(0)(y * stride + x)
+            val v = sample(0, x, y)
             (v << 16) | (v << 8) | v
           } else {
-            val yy = planes(0)(y * stride + x)
-            val cb = planes(1)(y * stride + x) - 128
-            val cr = planes(2)(y * stride + x) - 128
+            val yy = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
             val rr = clamp255(yy + ((91881 * cr + 32768) >> 16))
             val gg = clamp255(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
             val bb = clamp255(yy + ((116130 * cb + 32768) >> 16))
@@ -508,7 +542,8 @@ object JpegCodec {
 
   private def headerSegs(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
                          nComp: Int, quantZig: Array[Int],
-                         restartInterval: Int): Unit = {
+                         restartInterval: Int,
+                         samp: Array[Int] = null): Unit = {
     out.write(0xff); out.write(0xd8) // SOI
     val dqt = new Array[Byte](65)
     dqt(0) = 0x00 // Pq=0, Tq=0
@@ -536,7 +571,7 @@ object JpegCodec {
     sof(5) = nComp.toByte
     for (c <- 0 until nComp) {
       sof(6 + 3 * c) = (c + 1).toByte
-      sof(7 + 3 * c) = 0x11
+      sof(7 + 3 * c) = (if (samp == null) 0x11 else samp(c)).toByte
       sof(8 + 3 * c) = 0x00
     }
     writeSeg(out, 0xc0, sof)
@@ -579,6 +614,39 @@ object JpegCodec {
     }
     bw.flushOnes()
     out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 4:2:0 baseline JPEG — the dominant real-crawl profile: each MCU
+    * carries FOUR Y data units (2×2) plus one Cb and one Cr covering
+    * the same 16×16 area. yZig indexed [mcu·4 + by·2 + bx] (the T.81
+    * interleave order), cb/cr one block per MCU. */
+  def encodeJpeg420(yZig: Array[Array[Int]], cbZig: Array[Array[Int]],
+                    crZig: Array[Array[Int]], w: Int, h: Int,
+                    quantZig: Array[Int]): Array[Byte] = {
+    val mcuCols = (w + 15) / 16
+    val mcuRows = (h + 15) / 16
+    val nMcu = mcuCols * mcuRows
+    require(yZig.length == nMcu * 4 && cbZig.length == nMcu &&
+      crZig.length == nMcu,
+      s"need ${nMcu * 4} Y and $nMcu chroma blocks for ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    headerSegs(out, w, h, nComp = 3, quantZig, restartInterval = 0,
+      samp = Array(0x22, 0x11, 0x11))
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](3)
+    var i = 0
+    while (i < nMcu) {
+      var u = 0
+      while (u < 4) {
+        pred(0) = encodeBlock(bw, yZig(i * 4 + u), pred(0)); u += 1
+      }
+      pred(1) = encodeBlock(bw, cbZig(i), pred(1))
+      pred(2) = encodeBlock(bw, crZig(i), pred(2))
+      i += 1
+    }
+    bw.flushOnes()
+    out.write(0xff); out.write(0xd9)
     out.toByteArray
   }
 

@@ -315,6 +315,50 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-9 4:2:0 twin for the q273 registered query — the dominant
+    * real-crawl JPEG profile: every doc a 16-multiple raster
+    * (w = 16·(1 + id mod 2), h = 16·(1 + (id div 2) mod 2)) with
+    * per-8×8-block flat Y (dcY = ((5bx+7by+3id) mod 64)−32) and
+    * per-16×16-MCU flat chroma (dcCb = ((3mx+11my+id) mod 64)−32,
+    * dcCr = ((7mx+5my+2id) mod 64)−32). Replication upsampling keeps
+    * the decode closed-form: each Y block lies in exactly one chroma
+    * MCU, so r/g/b are constant per 8×8 block and DuckDB replays the
+    * stats from the two-grid formula. A hash match pins the
+    * interleaved 2×2+1+1 MCU walk and the chroma upsampling. */
+  def syntheticJpeg420Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mcuW = (1 + id % 2).toInt
+          val mcuH = (1 + (id / 2) % 2).toInt
+          val quant = Array.fill(64)(16)
+          def blk(dc: Long): Array[Int] = {
+            val z = new Array[Int](64)
+            z(0) = ((dc % 64) - 32).toInt
+            z
+          }
+          val yB = Array.tabulate(mcuW * mcuH * 4) { i =>
+            val mcu = i / 4; val u = i % 4
+            val bx = (mcu % mcuW) * 2 + u % 2
+            val by = (mcu / mcuW) * 2 + u / 2
+            blk(5 * bx + 7 * by + 3 * id)
+          }
+          val cbB = Array.tabulate(mcuW * mcuH) { m =>
+            blk(3 * (m % mcuW) + 11 * (m / mcuW) + id)
+          }
+          val crB = Array.tabulate(mcuW * mcuH) { m =>
+            blk(7 * (m % mcuW) + 5 * (m / mcuW) + 2 * id)
+          }
+          (id, graft.functions.JpegCodec.encodeJpeg420(
+            yB, cbB, crB, mcuW * 16, mcuH * 16, quant))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** All-integer PCM statistics from REAL WAV decode
     * ([[graft.functions.AudioCodec]]) — the audio twin of
     * [[imagePixelStats]]: per payload the decoded format meta

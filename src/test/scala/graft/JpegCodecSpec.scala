@@ -174,6 +174,51 @@ class JpegCodecSpec extends SparkSpec {
     assert(img.isDefined && (img.get.rgb(0) & 0xff) == 2 * -7 + 128)
   }
 
+  test("4:2:0: DC-only round trip is exact — Y per 8x8 block, chroma " +
+      "replicated per 16x16 MCU") {
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    // 32x16 = 2 MCUs; Y blocks (bx,by) in a 4x2 grid
+    def dcY(bx: Int, by: Int) = (5 * bx + 7 * by) % 64 - 32
+    def dcCb(mx: Int) = (3 * mx + 5) % 64 - 32
+    def dcCr(mx: Int) = (7 * mx + 11) % 64 - 32
+    val yBlocks = Array.tabulate(2 * 4) { i =>
+      val mcu = i / 4; val u = i % 4
+      dcBlock(dcY(mcu * 2 + u % 2, u / 2))
+    }
+    val cb = Array.tabulate(2)(mx => dcBlock(dcCb(mx)))
+    val cr = Array.tabulate(2)(mx => dcBlock(dcCr(mx)))
+    val bytes = JpegCodec.encodeJpeg420(yBlocks, cb, cr, 32, 16, flatQ)
+    val img = JpegCodec.decodeJpeg(bytes).get
+    assert(img.width == 32 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val yy = 2 * dcY(x / 8, y / 8) + 128
+      val cb2 = 2 * dcCb(x / 16)
+      val cr2 = 2 * dcCr(x / 16)
+      val er = clamp(yy + ((91881 * cr2 + 32768) >> 16))
+      val eg = clamp(yy - ((22554 * cb2 + 46802 * cr2 + 32768) >> 16))
+      val eb = clamp(yy + ((116130 * cb2 + 32768) >> 16))
+      assert(img(x, y) == ((er << 16) | (eg << 8) | eb), s"($x,$y)")
+    }
+  }
+
+  test("we decode ImageIO's default color JPEG (a real 4:2:0 stream " +
+      "from another encoder)") {
+    val bi = new BufferedImage(32, 32, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 32)
+      bi.setRGB(x, y, 0x6090C0) // constant color: subsampling-lossless
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(bi, "jpg", bos)
+    val img = JpegCodec.decodeJpeg(bos.toByteArray)
+    assert(img.isDefined, "ImageIO default color JPEG should decode")
+    assert(img.get.width == 32 && img.get.height == 32)
+    // constant image: every pixel within quantization error of source
+    img.get.rgb.foreach { p =>
+      assert(math.abs(((p >> 16) & 0xff) - 0x60) <= 6 &&
+        math.abs(((p >> 8) & 0xff) - 0x90) <= 6 &&
+        math.abs((p & 0xff) - 0xC0) <= 6, f"pixel $p%06x")
+    }
+  }
+
   test("syntheticMixedJpegPayloads: odd ids decode as color with the " +
       "fixed-point conversion, even ids stay gray") {
     def clamp(v: Int) = math.max(0, math.min(255, v))
