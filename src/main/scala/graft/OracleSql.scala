@@ -5290,6 +5290,61 @@ object OracleSql {
       |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q274: chi-square replay — presence sets, the three margins, and
+    * the χ²·1e6 formula in HUGEINT (the BIGINT chain overflows at
+    * N⁵·1e6); degenerate margins publish the −1 sentinel. */
+  private val q274 =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, lang, t AS token FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |ncls AS (
+      |  SELECT lang, COUNT(DISTINCT doc_id) AS n_cls
+      |  FROM pres GROUP BY lang),
+      |ntok AS (
+      |  SELECT token, COUNT(DISTINCT doc_id) AS n_tok
+      |  FROM pres GROUP BY token),
+      |aa AS (
+      |  SELECT token, lang, COUNT(*) AS a
+      |  FROM pres GROUP BY token, lang),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT aa.token, aa.lang, aa.a, ncls.n_cls, ntok.n_tok,
+      |  nd.n_docs,
+      |  COALESCE(CAST(CASE WHEN ntok.n_tok > 0
+      |      AND ntok.n_tok < nd.n_docs
+      |      AND ncls.n_cls > 0 AND ncls.n_cls < nd.n_docs THEN
+      |    (CAST(nd.n_docs AS HUGEINT)
+      |      * (CAST(aa.a AS HUGEINT)
+      |           * (nd.n_docs - ntok.n_tok - ncls.n_cls + aa.a)
+      |         - CAST(ntok.n_tok - aa.a AS HUGEINT)
+      |           * (ncls.n_cls - aa.a))
+      |      * (CAST(aa.a AS HUGEINT)
+      |           * (nd.n_docs - ntok.n_tok - ncls.n_cls + aa.a)
+      |         - CAST(ntok.n_tok - aa.a AS HUGEINT)
+      |           * (ncls.n_cls - aa.a))
+      |      * 1000000)
+      |    // (CAST(ntok.n_tok AS HUGEINT) * (nd.n_docs - ntok.n_tok)
+      |        * ncls.n_cls * (nd.n_docs - ncls.n_cls))
+      |  END AS BIGINT), -1) AS chi2_micro
+      |FROM aa JOIN ncls USING (lang) JOIN ntok USING (token)
+      |CROSS JOIN nd
+      |ORDER BY token, lang""".stripMargin
+
+  /** q275: exact-median replay — lower median at rank (n+1)//2 via a
+    * ROW_NUMBER subquery (the engine's bisection must land on the
+    * same value). */
+  private val q275 =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS c
+      |  FROM orders),
+      |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+      |SELECT t.n, r.c AS median_cents
+      |FROM r, t WHERE r.rn = (t.n + 1) // 2""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6907,6 +6962,8 @@ object OracleSql {
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,
     "q273_jpeg_420" -> q273,
+    "q274_chi2_terms" -> q274,
+    "q275_exact_median" -> q275,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

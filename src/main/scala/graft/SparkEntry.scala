@@ -1187,6 +1187,31 @@ object SparkEntry {
     streaming.StreamSketch.hllPerType(s, dir)
       .orderBy("event_type", "register")
 
+  /** Round-9: chi-square term–class association — per (token, lang)
+    * the 2×2 presence table and exact-integer χ²·1e6 (DECIMAL(38)
+    * arithmetic); the classic supervised feature-selection ranking.
+    * Degenerate margins publish the −1 sentinel (q74 convention). */
+  private def qChi2Terms(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.chi2Terms(Tables.documents(s, dir),
+        "doc_id", "text", "lang")
+      .select(col("token"), col("cls").as("lang"), col("a"),
+        col("n_cls"), col("n_tok"), col("n_docs"),
+        coalesce(col("chi2_micro"), lit(-1L)).as("chi2_micro"))
+      .orderBy("token", "lang")
+
+  /** Round-9: exact global median without a global sort — bounded
+    * histogram bisection over order totals in cents (2–3 full scans,
+    * one ≤4096-row driver histogram per round); the "median of
+    * 100 TB" answer a single-partition window can't give. */
+  private def qExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(s, dir)
+      .select((dec2(col("o_totalprice")) * 100).cast("long")
+        .as("cents"))
+    val (n, med) = operators.Stats.exactMedian(vals, "cents")
+    import s.implicits._
+    Seq((n, med)).toDF("n", "median_cents")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3942,7 +3967,9 @@ object SparkEntry {
       "q270_schema_evolution" -> (qSchemaEvolution _),
       "q271_mv_rewrite" -> (qMvRewrite _),
       "q272_stream_hll" -> (qStreamHll _),
-      "q273_jpeg_420" -> (qJpeg420 _))
+      "q273_jpeg_420" -> (qJpeg420 _),
+      "q274_chi2_terms" -> (qChi2Terms _),
+      "q275_exact_median" -> (qExactMedian _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -3995,7 +4022,11 @@ object SparkEntry {
     // Viterbi DP), the ER composite, and the color codec path
     "q255_max_coverage", "q262_hyperball", "q263_random_walks",
     "q264_mmr_select", "q265_jpeg_color", "q266_er_pipeline",
-    "q269_unigram_segment")
+    "q269_unigram_segment",
+    // round-9 session 3 (close): the MV-rewrite demo (MV build + the
+    // redirected rollup), streaming register maintenance, and the
+    // subsampled-JPEG walk
+    "q271_mv_rewrite", "q272_stream_hll", "q273_jpeg_420")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -391,4 +391,107 @@ object Stats {
         (col("wsum").cast("double") / col("n_eff").cast("double"))
           .as("mean"))
   }
+
+  /** EXACT k-th order statistic of a LONG column without a global
+    * sort — bounded histogram bisection (the classic two-phase exact
+    * quantile at scale): each round buckets the current value range
+    * into ≤ `fanout` equal-width cells with ONE aggregation, collects
+    * the (≤ fanout-row) histogram, and descends into the cell
+    * containing rank k; when the range has ≤ fanout distinct values
+    * the exact per-value histogram resolves the answer. O(log_fanout
+    * range) full scans — 2–3 passes for any practical domain — and
+    * driver state is one fanout-row histogram per round (the
+    * sanctioned bounded collect). Lower-rank convention: k = 1 is the
+    * minimum; median is k = (n+1)/2.
+    *
+    * Complements [[weightedMedian]], which is exact per GROUP via a
+    * bounded-partition window — this one is the GLOBAL statistic,
+    * where a window would mean a single-partition sort of everything. */
+  def exactKth(df: DataFrame, valueCol: String, k: Long,
+               fanout: Int = 4096): Long = {
+    require(k >= 1, s"exactKth: k must be >= 1, got $k")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .localCheckpoint()
+    val mm = vals.agg(min("v"), max("v"), count(lit(1))).head()
+    require(!mm.isNullAt(0), "exactKth: empty input")
+    require(k <= mm.getLong(2), s"exactKth: k=$k > n=${mm.getLong(2)}")
+    var lo = mm.getLong(0)
+    var hi = mm.getLong(1)
+    var kk = k
+    while (lo < hi) {
+      // ceil width so fanout cells always cover [lo, hi]
+      val width = ((hi - lo) + fanout) / fanout
+      val hist = vals.filter(col("v") >= lo && col("v") <= hi)
+        // integer div (`/` on Columns is floating-point)
+        .groupBy(expr(s"(v - $lo) div $width").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var i = 0
+      var found = false
+      while (i < hist.length && !found) {
+        if (acc + hist(i)._2 >= kk) {
+          kk -= acc
+          lo = lo + hist(i)._1 * width
+          hi = math.min(hi, lo + width - 1)
+          found = true
+        } else { acc += hist(i)._2; i += 1 }
+      }
+      assert(found, "exactKth: rank fell outside the histogram")
+    }
+    lo
+  }
+
+  /** Exact global lower median via [[exactKth]]. */
+  def exactMedian(df: DataFrame, valueCol: String): (Long, Long) = {
+    val n = df.count()
+    (n, exactKth(df, valueCol, (n + 1) / 2))
+  }
+
+  /** Chi-square term–class association (the classic feature-selection
+    * statistic, e.g. Yang & Pedersen 1997): for every (token, class)
+    * the 2×2 presence table (a = class docs containing the token,
+    * b/c/d the complements) and the χ² score
+    * N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), published as exact
+    * integer micro units through DECIMAL(38,0) arithmetic. Overflow
+    * contract (the HITS convention): N⁵ must fit DECIMAL(38) — exact
+    * up to ~4·10⁷ documents; beyond that run the double-precision
+    * twin (the ranking is insensitive to last-ulp error at that N).
+    *
+    * Scale shape: one distinct-presence explode + two tiny aggregates
+    * (per-class doc counts, per-token doc counts) joined back —
+    * broadcast dims, no window. Degenerate tokens (in every doc or
+    * only one class's universe edge) keep their row with NULL score
+    * when a margin is 0.
+    *
+    * Output: (token, cls, a, n_cls, n_tok, n_docs, chi2_micro). */
+  def chi2Terms(docs: DataFrame, idCol: String, textCol: String,
+                classCol: String): DataFrame = {
+    val pres = docs.select(col(idCol).as("doc"), col(classCol).as("cls"),
+        explode(array_distinct(
+          filter(split(lower(col(textCol)), " "), t => t =!= "")))
+          .as("token"))
+      .localCheckpoint()
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val byCls = pres.select(col("doc"), col("cls")).distinct()
+      .groupBy("cls").agg(count(lit(1)).as("n_cls"))
+    val byTok = pres.select(col("doc"), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("n_tok"))
+    pres.groupBy(col("token"), col("cls")).agg(count(lit(1)).as("a"))
+      .join(broadcast(byCls), Seq("cls"))
+      .join(byTok, Seq("token"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("chi2_micro", expr(
+        """CAST(CASE WHEN n_tok > 0 AND n_tok < n_docs
+          |  AND n_cls > 0 AND n_cls < n_docs THEN
+          |  (CAST(n_docs AS DECIMAL(38,0))
+          |    * (CAST(a AS DECIMAL(38,0)) * (n_docs - n_tok - n_cls + a)
+          |       - CAST(n_tok - a AS DECIMAL(38,0)) * (n_cls - a))
+          |    * (CAST(a AS DECIMAL(38,0)) * (n_docs - n_tok - n_cls + a)
+          |       - CAST(n_tok - a AS DECIMAL(38,0)) * (n_cls - a))
+          |    * 1000000)
+          |  DIV (CAST(n_tok AS DECIMAL(38,0)) * (n_docs - n_tok)
+          |       * n_cls * (n_docs - n_cls))
+          |END AS BIGINT)""".stripMargin))
+  }
 }

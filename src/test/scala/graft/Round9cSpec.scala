@@ -302,6 +302,39 @@ class Round9cSpec extends SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  // --- exact k-th / median --------------------------------------------------
+  test("exactKth: equals the sorted order for every rank, across " +
+      "rounds, negatives, and duplicates") {
+    val xs = Seq(5L, -17L, 5L, 0L, 99999L, -17L, 42L, 7L, 7L, 123456789L)
+    val df = xs.toDF("v")
+    val sorted = xs.sorted
+    for (k <- 1 to xs.size)
+      assert(graft.operators.Stats.exactKth(df, "v", k, fanout = 4)
+        == sorted(k - 1), s"k=$k")
+    val (n, med) = graft.operators.Stats.exactMedian(df, "v")
+    assert(n == 10L && med == sorted(4)) // lower median, rank (10+1)/2=5
+  }
+
+  // --- chi-square term association -----------------------------------------
+  test("chi2Terms: perfect class predictor scores N*1e6, independent " +
+      "token scores 0, universal token degenerates to NULL") {
+    val docs = Seq(
+      (1L, "x y common", "a"), (2L, "x common", "a"),
+      (3L, "y common z", "b"), (4L, "common z", "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Stats
+      .chi2Terms(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(6)).map(_.asInstanceOf[Long])).toMap
+    // 'x' occurs in both class-a docs and nowhere else: chi2 = N
+    assert(out(("x", "a")) == Some(4000000L))
+    // 'y' occurs once in each class: ad = bc -> 0
+    assert(out(("y", "a")) == Some(0L) && out(("y", "b")) == Some(0L))
+    // 'common' is in every doc: margin degenerate -> NULL
+    assert(out(("common", "a")).isEmpty && out(("common", "b")).isEmpty)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
