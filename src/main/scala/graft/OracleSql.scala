@@ -5345,6 +5345,43 @@ object OracleSql {
       |SELECT t.n, r.c AS median_cents
       |FROM r, t WHERE r.rn = (t.n + 1) // 2""".stripMargin
 
+  /** q276: sequential-pair replay — per-(user, type) extrema, the
+    * existence test min_ts(a) < max_ts(b), one count per pair. */
+  private val q276 =
+    """WITH ext AS (
+      |  SELECT user_id, event_type AS t,
+      |    MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      |  FROM events GROUP BY 1, 2),
+      |ns AS (SELECT COUNT(DISTINCT user_id) AS n FROM ext)
+      |SELECT a.t AS type_a, b.t AS type_b,
+      |  COUNT(*) AS n_subjects,
+      |  CAST((1000000 * COUNT(*)) // (SELECT n FROM ns) AS BIGINT)
+      |    AS support_ppm
+      |FROM ext a JOIN ext b
+      |  ON a.user_id = b.user_id AND a.min_ts < b.max_ts
+      |GROUP BY 1, 2
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** q277: fairness-rate replay — per-segment ppm floors and signed
+    * gaps against the overall floor. */
+  private val q277 =
+    """WITH seg AS (
+      |  SELECT o_orderpriority AS segment, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pos
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST((1000000 * SUM(n_pos)) // SUM(n) AS BIGINT)
+      |    AS overall_ppm
+      |  FROM seg)
+      |SELECT s.segment, s.n, s.n_pos,
+      |  CAST((1000000 * s.n_pos) // s.n AS BIGINT) AS rate_ppm,
+      |  t.overall_ppm,
+      |  CAST((1000000 * s.n_pos) // s.n - t.overall_ppm AS BIGINT)
+      |    AS gap_ppm
+      |FROM seg s CROSS JOIN tot t
+      |ORDER BY segment""".stripMargin
+
   /** Shared CTE prefix for q226/q227: quantize16 vectors, per-subspace
     * rows (8×8 dims), seed codebook from the 4 lowest ids, two
     * unrolled Lloyd rounds per subspace (subspace is a data dimension
@@ -6964,6 +7001,8 @@ object OracleSql {
     "q273_jpeg_420" -> q273,
     "q274_chi2_terms" -> q274,
     "q275_exact_median" -> q275,
+    "q276_seq_pairs" -> q276,
+    "q277_fairness_audit" -> q277,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -1212,6 +1212,25 @@ object SparkEntry {
     Seq((n, med)).toDF("n", "median_cents")
   }
 
+  /** Round-9: sequential co-occurrence pairs — per ordered event-type
+    * pair, how many users fired a strictly before b (decided from
+    * per-(user, type) extrema alone); the length-2 sequential-pattern
+    * support table. */
+  private def qSeqPairs(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.seqPairs(Tables.events(s, dir),
+        "user_id", "event_type", "ts")
+      .orderBy("type_a", "type_b")
+
+  /** Round-9: group-fairness rate audit — per-priority order-failed
+    * rates in exact ppm with gaps to the overall rate; the
+    * demographic-parity screen beside the privacy gates. */
+  private def qFairnessAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.fairnessRates(Tables.orders(s, dir),
+        "o_orderpriority", col("o_orderstatus") === "F")
+      .select(col("segment"), col("n"), col("n_pos"), col("rate_ppm"),
+        col("overall_ppm"), col("gap_ppm"))
+      .orderBy("segment")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3969,7 +3988,9 @@ object SparkEntry {
       "q272_stream_hll" -> (qStreamHll _),
       "q273_jpeg_420" -> (qJpeg420 _),
       "q274_chi2_terms" -> (qChi2Terms _),
-      "q275_exact_median" -> (qExactMedian _))
+      "q275_exact_median" -> (qExactMedian _),
+      "q276_seq_pairs" -> (qSeqPairs _),
+      "q277_fairness_audit" -> (qFairnessAudit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

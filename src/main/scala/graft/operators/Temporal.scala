@@ -234,4 +234,58 @@ object Temporal {
         (col("cusum_pos") > col("h")).as("alarm_pos"),
         (col("cusum_neg") > col("h")).as("alarm_neg"))
   }
+
+  /** Sequential co-occurrence pairs — the length-2 core of sequential
+    * pattern mining (the "a happens before b" support table behind
+    * PrefixSpan-style funnels and Markov priors): for every ordered
+    * type pair (a, b), how many subjects have SOME a-occurrence
+    * strictly before SOME b-occurrence. Existence is decidable from
+    * per-(subject, type) extrema alone — min_ts(a) < max_ts(b) — so
+    * the full event stream reduces to one tiny per-subject frame
+    * before any pairing happens.
+    *
+    * Scale shape: one groupBy to per-(subject, type) extrema (≤
+    * |subjects|·|types| rows regardless of event volume), a
+    * per-subject self-join bounded by |types|² per subject, then one
+    * count per pair. Self-pairs (a, a) count subjects with ≥ 2
+    * occurrences at distinct timestamps.
+    *
+    * Output: (type_a, type_b, n_subjects, support_ppm) with
+    * support = n_subjects / total subjects. */
+  def seqPairs(events: DataFrame, subjectCol: String, typeCol: String,
+               tsCol: String): DataFrame = {
+    val ext = events.groupBy(col(subjectCol).as("subj"),
+        col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
+      .localCheckpoint()
+    val nSubj = ext.select("subj").distinct().count()
+    ext.as("a").join(ext.as("b"), col("a.subj") === col("b.subj"))
+      .filter(col("a.min_ts") < col("b.max_ts"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_subjects"))
+      .withColumn("support_ppm",
+        expr(s"(1000000 * n_subjects) div $nSubj"))
+  }
+
+  /** Group-fairness rate audit (the demographic-parity numbers of a
+    * model/data audit): per segment the positive rate in exact ppm,
+    * plus the gap to the OVERALL rate — the first-order
+    * disparate-impact screen a training-data pipeline runs per
+    * release (alongside the k-anonymity/l-diversity privacy gates).
+    * All-integer: rates are ppm DIV floors, gaps are signed
+    * differences of those floors.
+    *
+    * Output: (segment, n, n_pos, rate_ppm, overall_ppm, gap_ppm). */
+  def fairnessRates(df: DataFrame, segmentCol: String,
+                    positive: Column): DataFrame = {
+    val seg = df.groupBy(col(segmentCol).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(positive.cast("long")).as("n_pos"))
+    val tot = seg.agg(sum("n").as("nt"), sum("n_pos").as("npt")).head()
+    val overall = 1000000L * tot.getLong(1) / tot.getLong(0)
+    seg
+      .withColumn("rate_ppm", expr("(1000000 * n_pos) div n"))
+      .withColumn("overall_ppm", lit(overall))
+      .withColumn("gap_ppm", col("rate_ppm") - col("overall_ppm"))
+  }
 }

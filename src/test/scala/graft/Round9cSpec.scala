@@ -335,6 +335,39 @@ class Round9cSpec extends SparkSpec {
     assert(out(("common", "a")).isEmpty && out(("common", "b")).isEmpty)
   }
 
+  // --- sequential pairs / fairness -----------------------------------------
+  test("seqPairs: strict before-ness from extrema; self-pairs need " +
+      "two distinct timestamps") {
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), // a before b
+      (2L, "b", 1L), (2L, "a", 2L), // b before a
+      (3L, "a", 1L), (3L, "a", 3L)) // a twice
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Temporal
+      .seqPairs(ev, "user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", "b")) == ((1L, 333333L)))
+    assert(out(("b", "a")) == ((1L, 333333L)))
+    assert(out(("a", "a")) == ((1L, 333333L))) // only user 3
+    assert(!out.contains(("b", "b"))) // no user saw b twice
+  }
+
+  test("fairnessRates: ppm floors and signed gaps are exact") {
+    val df = Seq(("x", 1), ("x", 1), ("x", 0), ("y", 0), ("y", 1))
+      .toDF("seg", "pos")
+    val out = graft.operators.Temporal
+      .fairnessRates(df, "seg", col("pos") === 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // overall: 3 of 5 = 600000
+    assert(out("x") == ((3L, 2L, 666666L, 600000L, 66666L)))
+    assert(out("y") == ((2L, 1L, 500000L, 600000L, -100000L)))
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
