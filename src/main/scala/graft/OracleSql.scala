@@ -6436,7 +6436,9 @@ object OracleSql {
     * per-(node, t) sufficient statistics: set-register count, the
     * inverse-power sum with 2^25 for unset registers, and the
     * alpha-free milli estimate. */
-  private val q262 = {
+  /** Shared q262/q278 CTE prefix: edges + register build + 3 merge
+    * rounds + the per-(node, t) stats union as `hb`. */
+  private def hyperBallCtes: String = {
     val cascade = (1 to 24).map(r =>
       s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
     val merges = (1 to 3).map { t =>
@@ -6479,17 +6481,35 @@ object OracleSql {
        |      $cascade
        |      ELSE 25 END AS BIGINT) AS max_rho
        |  FROM b),
-       |$merges
-       |SELECT nationkey, CAST(t AS INTEGER) AS t,
-       |  n_regs_set, inv_sum, raw_est_milli FROM (
-       |$stats)
-       |ORDER BY nationkey, t""".stripMargin
+       |$merges,
+       |hb AS (
+       |$stats)""".stripMargin
   }
+
+  private val q262 =
+    s"""$hyperBallCtes
+       |SELECT nationkey, CAST(t AS INTEGER) AS t,
+       |  n_regs_set, inv_sum, raw_est_milli FROM hb
+       |ORDER BY nationkey, t""".stripMargin
+
+  /** q278: harmonic centrality from the HyperBall stats — per-radius
+    * ball-size deltas (clamped at 0) weighted by 1/t, summed. */
+  private val q278 =
+    s"""$hyperBallCtes
+       |SELECT a.nationkey AS node,
+       |  CAST(SUM(GREATEST(a.raw_est_milli - p.raw_est_milli, 0) // a.t)
+       |    AS BIGINT) AS harmonic_milli
+       |FROM hb a JOIN hb p
+       |  ON p.nationkey = a.nationkey AND p.t = a.t - 1
+       |GROUP BY a.nationkey
+       |ORDER BY node""".stripMargin
 
   /** q263: deterministic-walk replay — dense out-edge ranking by dst,
     * 4 steps unrolled, each picking rank (h1² + 17 mod P) mod outdeg
     * with h1 = (walk_id·1000003 + step·97 + 12345) mod P. */
-  private val q263 = {
+  /** Shared q263/q279 CTE prefix: ranked edges + 4 PRF walk steps +
+    * the emitted corpus as `walks(walk_id, step, node)`. */
+  private def walkCtes: String = {
     val steps = (1 to 4).map { s =>
       val h1 = s"((CAST(w.walk_id AS BIGINT) * 1000003 " +
         s"+ ${s * 97 + 12345}) % 1000000007)"
@@ -6518,11 +6538,104 @@ object OracleSql {
        |nodes AS (
        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |w0 AS (SELECT node AS walk_id, node AS cur FROM nodes),
-       |$steps
-       |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
-       |$emit)
-       |ORDER BY walk_id, step""".stripMargin
+       |$steps,
+       |walks AS (
+       |$emit)""".stripMargin
   }
+
+  private val q263 =
+    s"""$walkCtes
+       |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM walks
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** q280: dedup-recall replay — the exhaustive exact-Jaccard pair
+    * set (2·inter ≥ union on distinct 3-gram shingles) and the q132
+    * banded-candidate chain, both from one shared token CTE; counts
+    * and ppm floors. */
+  private val q280 = {
+    val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+    val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
+    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((h * $a + $b) % 1000000007) AS m$j"
+    }.mkString(",\n      |    ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - 2)) AS i
+       |        FROM w WHERE len(ws) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i
+       |  FROM toks ta JOIN toks tb
+       |    ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT x.a, x.b FROM inter x
+       |  JOIN sizes sa ON sa.doc_id = x.a
+       |  JOIN sizes sb ON sb.doc_id = x.b
+       |  WHERE 2 * x.i >= sa.n + sb.n - x.i),
+       |wh AS (
+       |  SELECT doc_id, tok,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM wh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b FROM sig s1 JOIN sig s2
+       |    ON s1.m0=s2.m0 AND s1.m1=s2.m1 AND s1.m2=s2.m2 AND s1.m3=s2.m3
+       |   AND s1.doc_id < s2.doc_id
+       |  UNION
+       |  SELECT s1.doc_id, s2.doc_id FROM sig s1 JOIN sig s2
+       |    ON s1.m4=s2.m4 AND s1.m5=s2.m5 AND s1.m6=s2.m6 AND s1.m7=s2.m7
+       |   AND s1.doc_id < s2.doc_id),
+       |lsh AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN inter x ON x.a = c.a AND x.b = c.b
+       |  JOIN sizes sa ON sa.doc_id = c.a
+       |  JOIN sizes sb ON sb.doc_id = c.b
+       |  WHERE 2 * x.i >= sa.n + sb.n - x.i),
+       |counts AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM exact) AS n_exact,
+       |    (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       |    (SELECT COUNT(*) FROM exact e JOIN lsh l
+       |       ON e.a = l.a AND e.b = l.b) AS n_both)
+       |SELECT n_exact, n_lsh, n_both,
+       |  CAST(CASE WHEN n_exact > 0
+       |    THEN (1000000 * n_both) // n_exact ELSE -1 END AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(CASE WHEN n_lsh > 0
+       |    THEN (1000000 * n_both) // n_lsh ELSE -1 END AS BIGINT)
+       |    AS precision_ppm
+       |FROM counts""".stripMargin
+  }
+
+  /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
+    * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
+  private val q279 =
+    s"""$walkCtes,
+       |pairs AS (
+       |  SELECT a.node AS w1, b.node AS w2
+       |  FROM walks a JOIN walks b
+       |    ON a.walk_id = b.walk_id AND b.step = a.step + 1),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS t_bi FROM c12),
+       |uni AS (SELECT node, COUNT(*) AS c FROM walks GROUP BY node)
+       |SELECT c12.w1, c12.w2, c12.c12,
+       |  CAST((c12.c12 * tot.t_bi * 1000000)
+       |    // (u1.c * u2.c) AS BIGINT) AS ratio_ppm
+       |FROM c12
+       |JOIN uni u1 ON u1.node = c12.w1
+       |JOIN uni u2 ON u2.node = c12.w2
+       |CROSS JOIN tot
+       |ORDER BY w1, w2""".stripMargin
 
   /** q264: MMR replay — quantize16 vectors (the q229 idiom), vec 0 as
     * the query, 5 argmax rounds unrolled: round 1 scores λ·rel, later
@@ -7003,6 +7116,9 @@ object OracleSql {
     "q275_exact_median" -> q275,
     "q276_seq_pairs" -> q276,
     "q277_fairness_audit" -> q277,
+    "q278_harmonic_centrality" -> q278,
+    "q279_walk_pmi" -> q279,
+    "q280_dedup_recall" -> q280,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

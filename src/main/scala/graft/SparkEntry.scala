@@ -1231,6 +1231,51 @@ object SparkEntry {
         col("overall_ppm"), col("gap_ppm"))
       .orderBy("segment")
 
+  /** Round-9: harmonic centrality from HyperBall — Σ 1/d via
+    * per-radius ball-size deltas; centrality at graph scale without
+    * an SSSP per node. */
+  private def qHarmonicCentrality(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.harmonicCentrality(
+        tradeEdges(s, dir).select("src", "dst"), rounds = 3, m = 16)
+      .select(col("node"), col("harmonic_milli"))
+      .orderBy("node")
+
+  /** Round-9: walk-corpus skip-gram PMI — the DeepWalk pipeline end
+    * to end: deterministic walks, window-1 pairs, q196's log-free
+    * integer PMI; the association table a factorization embedding
+    * trains on. */
+  private def qWalkPmi(s: SparkSession, dir: String): DataFrame =
+    operators.RandomWalks.walkPmi(
+        tradeEdges(s, dir).select("src", "dst"), len = 4)
+      .orderBy("w1", "w2")
+
+  /** Round-9: dedup-quality audit — the banded portable-MinHash
+    * kernel (q132) measured against the EXHAUSTIVE exact-Jaccard
+    * ground truth (no frequency cap) at the same ≥ 1/2 threshold:
+    * published recall/precision ppm. Post-verified LSH is a subset
+    * of the truth, so precision must come out 1e6 — the audit's
+    * built-in self-check; recall is the banding loss. */
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+      .localCheckpoint()
+    val lsh = MinHashLSH.nearDuplicatesPortable(docs, "doc_id", "text")
+      .select("a", "b")
+      .localCheckpoint()
+    val both = exact.join(lsh, Seq("a", "b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        expr("""CAST(CASE WHEN n_exact > 0
+          THEN (1000000 * n_both) div n_exact ELSE -1 END AS BIGINT)""")
+          .as("recall_ppm"),
+        expr("""CAST(CASE WHEN n_lsh > 0
+          THEN (1000000 * n_both) div n_lsh ELSE -1 END AS BIGINT)""")
+          .as("precision_ppm"))
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -3990,7 +4035,10 @@ object SparkEntry {
       "q274_chi2_terms" -> (qChi2Terms _),
       "q275_exact_median" -> (qExactMedian _),
       "q276_seq_pairs" -> (qSeqPairs _),
-      "q277_fairness_audit" -> (qFairnessAudit _))
+      "q277_fairness_audit" -> (qFairnessAudit _),
+      "q278_harmonic_centrality" -> (qHarmonicCentrality _),
+      "q279_walk_pmi" -> (qWalkPmi _),
+      "q280_dedup_recall" -> (qDedupRecall _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -63,4 +63,33 @@ object RandomWalks {
     }
     out
   }
+
+  /** Skip-gram PMI over the walk corpus — the DeepWalk pipeline's
+    * second half: adjacent (window-1) node pairs from
+    * [[deterministicWalks]], counted and scored with the q196 PMI
+    * convention (ratio_ppm = c₁₂·T·10⁶ DIV (c₁·c₂), the log-free
+    * integer publication — PMI in nats is ln(ratio)−ln(10⁶)). The
+    * resulting association table is exactly what a factorization-
+    * based node embedding (LINE / NetMF) trains on.
+    *
+    * Scale shape: the pair derivation is one self-join of the walk
+    * frame on (walk_id, step+1) — walk frames are |V|·(len+1) rows;
+    * counts are map-side-combined groupBys. */
+  def walkPmi(edges: DataFrame, len: Int): DataFrame = {
+    val walks = deterministicWalks(edges, len).localCheckpoint()
+    val pairs = walks.as("a")
+      .join(walks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("b.step") === col("a.step") + 1)
+      .select(col("a.node").as("w1"), col("b.node").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val total = c12.agg(sum("c12").as("t_bi"))
+    val uni = walks.groupBy(col("node")).agg(count(lit(1)).as("c"))
+    c12
+      .join(uni.select(col("node").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("node").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(c12 * t_bi * 1000000) div (c1 * c2)").as("ratio_ppm"))
+  }
 }

@@ -281,6 +281,31 @@ object Sketches {
     * @param edges (src, dst) directed; balls follow OUT-edges
     * @return (node, t, n_regs_set, inv_sum, raw_est_milli) for
     *         t = 0..rounds */
+  /** Harmonic-centrality estimates from [[hyperBall]] (Boldi & Vigna
+    * 2014): harmonic(v) = Σ_{u≠v} 1/d(v,u) ≈ Σ_t (|ball_t| −
+    * |ball_{t−1}|)/t — the ball-size DELTAS at each radius weighted
+    * by 1/t. Published in milli units from the raw (alpha-free)
+    * HyperBall estimates: the standard centrality-at-scale derivation
+    * that never runs an SSSP per node. Negative deltas (estimator
+    * jitter between radii) clamp to 0 — ball sizes are monotone in
+    * truth, so the clamp only removes noise.
+    *
+    * Output: (node, harmonic_milli) — exact integer arithmetic over
+    * the q262-published sufficient statistics. */
+  def harmonicCentrality(edges: DataFrame, rounds: Int,
+                         m: Int = 16): DataFrame = {
+    val hb = hyperBall(edges, rounds, m)
+      .select(col("node"), col("t"), col("raw_est_milli"))
+    val prev = hb.select(col("node"), (col("t") + 1).as("t"),
+      col("raw_est_milli").as("prev_milli"))
+    hb.join(prev, Seq("node", "t"))
+      .select(col("node"), col("t"),
+        greatest(col("raw_est_milli") - col("prev_milli"), lit(0L))
+          .as("delta_milli"))
+      .groupBy("node")
+      .agg(sum(expr("delta_milli div t")).as("harmonic_milli"))
+  }
+
   def hyperBall(edges: DataFrame, rounds: Int, m: Int = 16): DataFrame = {
     require(rounds >= 1, s"hyperBall: rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst")).distinct()

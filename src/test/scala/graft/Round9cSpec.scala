@@ -368,6 +368,53 @@ class Round9cSpec extends SparkSpec {
     assert(out("y") == ((2L, 1L, 500000L, 600000L, -100000L)))
   }
 
+  // --- harmonic centrality / walk PMI / dedup recall -----------------------
+  test("harmonicCentrality: clamped 1/t-weighted ball deltas; chain " +
+      "head outranks the sink") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val hc = graft.operators.Sketches
+      .harmonicCentrality(edges, rounds = 3, m = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent re-derivation from the hyperBall stats
+    val hb = graft.operators.Sketches.hyperBall(edges, rounds = 3, m = 16)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(4)))
+      .toMap
+    val exp = Seq(1L, 2L, 3L).map { n =>
+      n -> (1 to 3).map(t =>
+        math.max(hb((n, t)) - hb((n, t - 1)), 0L) / t).sum
+    }.toMap
+    assert(hc == exp)
+    assert(hc(1L) > hc(3L)) // head reaches 2 nodes, sink reaches none
+    assert(hc(3L) == 0L)
+  }
+
+  test("walkPmi: pair and unigram counts match an independent replay " +
+      "of the walk corpus") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val walks = graft.operators.RandomWalks
+      .deterministicWalks(edges, len = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalk = walks.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val expPairs = byWalk.values.toSeq
+      .flatMap(p => p.zip(p.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = graft.operators.RandomWalks.walkPmi(edges, len = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == expPairs)
+  }
+
+  test("dedup recall audit: verified LSH pairs are a subset of the " +
+      "exact truth (precision is exactly 1e6 or the empty sentinel)") {
+    val row = SparkEntry.queries("q280_dedup_recall")(spark, sf).head()
+    val (ne, nl, nb) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nb <= ne && nb <= nl)
+    assert(nb == nl) // post-verified LSH never emits a non-duplicate
+    assert(row.getLong(4) == (if (nl > 0) 1000000L else -1L))
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
