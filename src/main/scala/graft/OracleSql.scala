@@ -6617,6 +6617,33 @@ object OracleSql {
        |FROM counts""".stripMargin
   }
 
+  /** q281: outer stream-join replay — the batch left join restricted
+    * to the resolved region (e_ts ≤ max(ts) − 2 h), where streaming
+    * eviction has certainly emitted every null row. */
+  private val q281 =
+    """WITH e AS (
+      |  SELECT event_id AS error_id, user_id AS eu, ts AS e_ts
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id AS pu, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (
+      |  SELECT LEAST(
+      |    (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+      |    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+      |    - INTERVAL 2 HOUR AS cutoff),
+      |j AS (
+      |  SELECT e.eu, e.error_id, p.purchase_id
+      |  FROM e LEFT JOIN p ON e.eu = p.pu
+      |    AND p.p_ts >= e.e_ts - INTERVAL 30 MINUTE
+      |    AND p.p_ts <= e.e_ts
+      |  WHERE e.e_ts <= (SELECT cutoff FROM mx))
+      |SELECT eu AS user_id, COUNT(*) AS n_rows,
+      |  COUNT(purchase_id) AS n_matched,
+      |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unmatched
+      |FROM j GROUP BY eu ORDER BY user_id""".stripMargin
+
   /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
     * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
   private val q279 =
@@ -7119,6 +7146,7 @@ object OracleSql {
     "q278_harmonic_centrality" -> q278,
     "q279_walk_pmi" -> q279,
     "q280_dedup_recall" -> q280,
+    "q281_stream_outer_join" -> q281,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

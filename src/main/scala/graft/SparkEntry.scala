@@ -1276,6 +1276,14 @@ object SparkEntry {
           .as("precision_ppm"))
   }
 
+  /** Round-9: LEFT OUTER watermarked stream-stream join — unmatched
+    * errors emit null rows at watermark eviction; the query publishes
+    * the RESOLVED region (e_ts ≤ max − 2·delay), where the batch left
+    * join under the same cutoff is exact. */
+  private def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streaming.EventsStream.errorPurchaseOuterJoin(s, dir)
+      .orderBy("user_id")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4038,7 +4046,8 @@ object SparkEntry {
       "q277_fairness_audit" -> (qFairnessAudit _),
       "q278_harmonic_centrality" -> (qHarmonicCentrality _),
       "q279_walk_pmi" -> (qWalkPmi _),
-      "q280_dedup_recall" -> (qDedupRecall _))
+      "q280_dedup_recall" -> (qDedupRecall _),
+      "q281_stream_outer_join" -> (qStreamOuterJoin _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -125,6 +125,54 @@ object EventsStream {
         min(col("error_id")).as("first_error_id"))
   }
 
+  /** LEFT OUTER watermarked stream-stream join — the half of the
+    * stream-join surface [[errorPurchaseIntervalJoin]] doesn't cover:
+    * unmatched left rows must ALSO emit (with nulls), which only
+    * happens once the watermark evicts their state. On a finite
+    * replay the tail of the stream never gets evicted (no later data
+    * advances the watermark past it), so the DETERMINISTIC portion is
+    * the RESOLVED REGION: rows with e_ts ≤ max(ts) − 2·delay have
+    * certainly either matched or emitted their null row before the
+    * drive ended. The query publishes exactly that region, and the
+    * batch left join under the same cutoff is a full-strength oracle
+    * — the honest contract for auditing outer-join completeness on a
+    * replayed stream.
+    *
+    * Output per user: rows in the resolved region, matched pairs,
+    * unmatched (null-emitted) errors. */
+  def errorPurchaseOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      expr("""e_user = p_user AND
+              p_ts >= e_ts - INTERVAL 30 MINUTES AND p_ts <= e_ts"""),
+      "leftOuter")
+    val raw = runToMemory(spark, joined, "graft_stream_outer_join",
+      "append")
+    // the JOIN's watermark is the MIN across both inputs — the side
+    // that ends earlier governs eviction, so the resolved-region
+    // cutoff must use the smaller per-side max
+    val batchEv = graft.Tables.events(spark, dir)
+    val sideMax = batchEv
+      .filter(col("event_type").isin("error", "purchase"))
+      .groupBy("event_type").agg(max(col("ts")).as("mx"))
+      .agg(min(col("mx"))).head().getTimestamp(0).toInstant
+    val cutoff = sideMax.minusSeconds(2 * 3600)
+    raw.filter(col("e_ts") <= lit(java.sql.Timestamp.from(cutoff)))
+      .groupBy(col("e_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+  }
+
   /** Daily event counts + value sums per event_type, computed by a
     * streaming query over `<dir>/events.parquet`, returned as a batch
     * DataFrame once the file is fully processed. */

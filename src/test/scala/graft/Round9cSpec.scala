@@ -415,6 +415,41 @@ class Round9cSpec extends SparkSpec {
     assert(row.getLong(4) == (if (nl > 0) 1000000L else -1L))
   }
 
+  // --- outer stream-stream join --------------------------------------------
+  test("stream outer join: resolved region equals the batch left join; " +
+      "null rows actually emit") {
+    val out = graft.streaming.EventsStream
+      .errorPurchaseOuterJoin(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+    val cutoff = ev
+      .filter(col("event_type").isin("error", "purchase"))
+      .groupBy("event_type").agg(max(col("ts")).as("mx"))
+      .agg(min(col("mx"))).head().getTimestamp(0).toInstant
+      .minusSeconds(2 * 3600)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("eu"),
+        col("ts").as("e_ts"))
+      .filter(col("e_ts") <= lit(java.sql.Timestamp.from(cutoff)))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"))
+    val batch = e.join(p,
+        col("eu") === col("pu") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("e_ts"), "left")
+      .groupBy(col("eu"))
+      .agg(count(lit(1)).as("n"), count(col("purchase_id")).as("m"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("u"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == batch && out.nonEmpty)
+    assert(out.values.map(_._3).sum > 0L) // nulls emitted
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
