@@ -6644,6 +6644,28 @@ object OracleSql {
       |    AS BIGINT) AS n_unmatched
       |FROM j GROUP BY eu ORDER BY user_id""".stripMargin
 
+  /** q282: lagged cross-stats replay — the q244 epoch-day rollup,
+    * 8 shifted copies, join-on-existence sums in BIGINT casts. */
+  private val q282 =
+    """WITH d AS (
+      |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT grp AS grp_b, k.v AS lag, day - k.v AS day, x AS y
+      |  FROM d CROSS JOIN (SELECT range AS v FROM range(0, 8)) k)
+      |SELECT a.grp AS type_a, l.grp_b AS type_b,
+      |  CAST(l.lag AS INTEGER) AS lag,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(a.x) AS BIGINT) AS sum_x,
+      |  CAST(SUM(l.y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(a.x * l.y) AS BIGINT) AS sum_xy,
+      |  CAST(SUM(a.x * a.x) AS BIGINT) AS sum_x2,
+      |  CAST(SUM(l.y * l.y) AS BIGINT) AS sum_y2
+      |FROM d a JOIN l ON a.day = l.day
+      |GROUP BY 1, 2, 3
+      |ORDER BY type_a, type_b, lag""".stripMargin
+
   /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
     * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
   private val q279 =
@@ -7147,6 +7169,7 @@ object OracleSql {
     "q279_walk_pmi" -> q279,
     "q280_dedup_recall" -> q280,
     "q281_stream_outer_join" -> q281,
+    "q282_lagged_xcorr" -> q282,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

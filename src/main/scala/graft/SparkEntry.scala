@@ -1284,6 +1284,15 @@ object SparkEntry {
     streaming.EventsStream.errorPurchaseOuterJoin(s, dir)
       .orderBy("user_id")
 
+  /** Round-9: lagged cross-correlation sufficient stats between daily
+    * event-type series (lags 0..7) — the lead/lag telemetry screen;
+    * Pearson r at each lag is one division from the published exact
+    * sums. */
+  private def qLaggedXcorr(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.laggedCrossStats(Tables.events(s, dir),
+        "event_type", "ts", maxLag = 7)
+      .orderBy("type_a", "type_b", "lag")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4047,7 +4056,8 @@ object SparkEntry {
       "q278_harmonic_centrality" -> (qHarmonicCentrality _),
       "q279_walk_pmi" -> (qWalkPmi _),
       "q280_dedup_recall" -> (qDedupRecall _),
-      "q281_stream_outer_join" -> (qStreamOuterJoin _))
+      "q281_stream_outer_join" -> (qStreamOuterJoin _),
+      "q282_lagged_xcorr" -> (qLaggedXcorr _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -235,6 +235,46 @@ object Temporal {
         (col("cusum_neg") > col("h")).as("alarm_neg"))
   }
 
+  /** Lagged cross-correlation SUFFICIENT STATISTICS between the daily
+    * count series of every series pair — the lead/lag screen behind
+    * "does activity in a precede activity in b?" telemetry questions:
+    * for each (a, b, lag k) the join-on-existence overlap of x_t
+    * (series a) with y_{t+k} (series b) and the exact integer sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) from which Pearson r at that lag is
+    * one division downstream — the publish-the-sufficient-statistics
+    * stance of Welch/q201 (r itself needs a square root, the one
+    * operation the engines may round apart). Calendar gaps drop out
+    * of both series symmetrically (the q244 join-on-existence
+    * convention).
+    *
+    * Scale shape: ONE daily rollup (map-side combined), then per lag
+    * an equi-join of the tiny (group, day) frame against its shifted
+    * self — |groups|·|days| rows throughout, never event volume.
+    *
+    * Output: (type_a, type_b, lag, n, sum_x, sum_y, sum_xy, sum_x2,
+    * sum_y2). */
+  def laggedCrossStats(events: DataFrame, groupCol: String,
+                       tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val daily = events.select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val lagged = daily.select(col("grp").as("grp_b"),
+        explode(array((0 to maxLag).map(lit): _*)).as("lag"),
+        col("day"), col("x").as("y"))
+      .select(col("grp_b"), col("lag"),
+        (col("day") - col("lag")).as("day"), col("y"))
+    daily.join(lagged, Seq("day"))
+      .groupBy(col("grp").as("type_a"), col("grp_b").as("type_b"),
+        col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+  }
+
   /** Sequential co-occurrence pairs — the length-2 core of sequential
     * pattern mining (the "a happens before b" support table behind
     * PrefixSpan-style funnels and Markov priors): for every ordered

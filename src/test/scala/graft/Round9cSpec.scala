@@ -450,6 +450,33 @@ class Round9cSpec extends SparkSpec {
     assert(out.values.map(_._3).sum > 0L) // nulls emitted
   }
 
+  // --- lagged cross-correlation --------------------------------------------
+  test("laggedCrossStats: lag 0 self-pairs are symmetric sums; a " +
+      "planted 1-day lead shows full overlap at lag 1") {
+    // series A fires on days 0,1,2; series B on days 1,2,3 (A leads by 1)
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq(
+      ("A", t(0)), ("A", t(1)), ("A", t(1)), ("A", t(2)),
+      ("B", t(1)), ("B", t(2)), ("B", t(3)), ("B", t(3)))
+      .toDF("event_type", "ts")
+    val out = graft.operators.Temporal
+      .laggedCrossStats(ev, "event_type", "ts", maxLag = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(6))).toMap
+    // A daily: d0=1, d1=2, d2=1; B daily: d1=1, d2=1, d3=2
+    // (A,A,0): n=3, sum_xy = 1+4+1 = 6
+    assert(out(("A", "A", 0)) == ((3L, 6L)))
+    // (A,B,0): overlap d1,d2 -> n=2, xy = 2*1 + 1*1 = 3
+    assert(out(("A", "B", 0)) == ((2L, 3L)))
+    // (A,B,1): x_t vs y_{t+1}: overlap d0,d1,d2 -> n=3,
+    // xy = 1*1 + 2*1 + 1*2 = 5 (the planted lead: FULL overlap)
+    assert(out(("A", "B", 1)) == ((3L, 5L)))
+    // (B,A,1): y=x_{t+1} of A: B days 1,2,3 vs A days 2,3,4 ->
+    // overlap d1(d2 of A): 1*1, d2(d3 of A): none... A has no d3
+    assert(out(("B", "A", 1)) == ((1L, 1L)))
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
