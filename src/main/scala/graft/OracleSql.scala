@@ -6666,6 +6666,69 @@ object OracleSql {
       |GROUP BY 1, 2, 3
       |ORDER BY type_a, type_b, lag""".stripMargin
 
+  /** q283: HLL-accuracy replay — q233's register arithmetic at
+    * m = 16, the per-group stats, exact distincts, and the
+    * alpha-corrected estimate with signed truncating err_ppm (both
+    * engines' integer division truncates toward zero). */
+  private val q283 = {
+    val cascade = (1 to 24).map(r =>
+      s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString("\n      |      ")
+    s"""WITH h0 AS (
+       |  SELECT l_returnflag,
+       |    (CAST(l_partkey AS BIGINT) * 1000003 + 12345)
+       |      % 1000000007 AS h1
+       |  FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag, (h1 * h1 + 17) % 1000000007 AS hv
+       |  FROM h0),
+       |b AS (
+       |  SELECT l_returnflag, hv % 16 AS register, hv // 16 AS w
+       |  FROM h),
+       |r AS (
+       |  SELECT l_returnflag, register,
+       |    MAX(CASE
+       |      $cascade
+       |      ELSE 25 END) AS max_rho
+       |  FROM b GROUP BY 1, 2),
+       |st AS (
+       |  SELECT l_returnflag,
+       |    COUNT(*) AS n_regs_set,
+       |    CAST((16 - COUNT(*)) * 33554432
+       |      + SUM(CAST(1 AS BIGINT) << (25 - max_rho))
+       |      AS BIGINT) AS inv_sum
+       |  FROM r GROUP BY 1),
+       |ex AS (
+       |  SELECT l_returnflag,
+       |    COUNT(DISTINCT l_partkey) AS exact_distinct
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ex.l_returnflag, ex.exact_distinct,
+       |  st.n_regs_set, st.inv_sum,
+       |  8589934592000 // st.inv_sum AS raw_est_milli,
+       |  CAST((673 * (8589934592000 // st.inv_sum)) // 1000000
+       |    AS BIGINT) AS est,
+       |  CAST((1000000 *
+       |    ((673 * (8589934592000 // st.inv_sum)) // 1000000
+       |      - ex.exact_distinct)) // ex.exact_distinct AS BIGINT)
+       |    AS err_ppm
+       |FROM ex JOIN st USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q284: cumulative-distinct replay — first-appearance days, daily
+    * new counts, a per-group running sum. */
+  private val q284 =
+    """WITH f AS (
+      |  SELECT event_type AS grp, user_id AS ent,
+      |    MIN(epoch_us(ts) // 86400000000) AS first_day
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT grp, first_day AS day, COUNT(*) AS n_new
+      |  FROM f GROUP BY 1, 2)
+      |SELECT grp, day, n_new,
+      |  CAST(SUM(n_new) OVER (PARTITION BY grp ORDER BY day)
+      |    AS BIGINT) AS cum_distinct
+      |FROM p ORDER BY grp, day""".stripMargin
+
   /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
     * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
   private val q279 =
@@ -7170,6 +7233,8 @@ object OracleSql {
     "q280_dedup_recall" -> q280,
     "q281_stream_outer_join" -> q281,
     "q282_lagged_xcorr" -> q282,
+    "q283_hll_accuracy" -> q283,
+    "q284_cumulative_distinct" -> q284,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

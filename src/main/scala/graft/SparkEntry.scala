@@ -1293,6 +1293,26 @@ object SparkEntry {
         "event_type", "ts", maxLag = 7)
       .orderBy("type_a", "type_b", "lag")
 
+  /** Round-9: portable-HLL accuracy audit — per returnflag the exact
+    * distinct part count beside the register-derived estimate and its
+    * signed ppm error; the estimator-trust gate closing the sketch
+    * family (state q233, mergeability q268, accuracy here). */
+  private def qHllAccuracy(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllAccuracy(Tables.lineitem(s, dir),
+        "l_returnflag", "l_partkey", m = 16)
+      .select(col("grp").as("l_returnflag"), col("exact_distinct"),
+        col("n_regs_set"), col("inv_sum"), col("raw_est_milli"),
+        col("est"), col("err_ppm"))
+      .orderBy("l_returnflag")
+
+  /** Round-9: cumulative distinct users per event type over days —
+    * growth curves from first-appearance counts, no running distinct
+    * set. */
+  private def qCumulativeDistinct(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.cumulativeDistinct(Tables.events(s, dir),
+        "event_type", "user_id", "ts")
+      .orderBy("grp", "day")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4057,7 +4077,9 @@ object SparkEntry {
       "q279_walk_pmi" -> (qWalkPmi _),
       "q280_dedup_recall" -> (qDedupRecall _),
       "q281_stream_outer_join" -> (qStreamOuterJoin _),
-      "q282_lagged_xcorr" -> (qLaggedXcorr _))
+      "q282_lagged_xcorr" -> (qLaggedXcorr _),
+      "q283_hll_accuracy" -> (qHllAccuracy _),
+      "q284_cumulative_distinct" -> (qCumulativeDistinct _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -281,6 +281,40 @@ object Sketches {
     * @param edges (src, dst) directed; balls follow OUT-edges
     * @return (node, t, n_regs_set, inv_sum, raw_est_milli) for
     *         t = 0..rounds */
+  /** Accuracy audit of the portable HLL itself — per group the EXACT
+    * distinct count beside the register-derived raw harmonic estimate
+    * (m²·2^25·1000 DIV inv_sum, alpha-free milli units) and the
+    * signed error of the alpha-corrected estimate in ppm of truth
+    * (alpha_16 = 0.673 → est = 673·raw_milli/1000² at m = 16; the
+    * division chain stays integer DIV throughout). The closing audit
+    * of the sketch family: q233 publishes the state, q268 proves
+    * mergeability, this row quantifies the estimator the state
+    * implies — the per-release sanity gate before anyone trusts
+    * sketch-derived dashboards.
+    *
+    * Output: (grp, exact_distinct, n_regs_set, inv_sum,
+    * raw_est_milli, est, err_ppm). */
+  def hllAccuracy(df: DataFrame, groupCol: String, keyCol: String,
+                  m: Int = 16): DataFrame = {
+    require(m == 16, "alpha constant below is m = 16's (0.673)")
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    val stats = hllRegisters(df, groupCol, keyCol, m)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_regs_set"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(25 - max_rho AS INT))")).as("set_sum"))
+      .select(col("grp"), col("n_regs_set"),
+        ((lit(m.toLong) - col("n_regs_set")) * (1L << 25)
+          + col("set_sum")).as("inv_sum"))
+      .withColumn("raw_est_milli",
+        expr(s"${m.toLong * m * 1000 * (1L << 25)} div inv_sum"))
+    exact.join(stats, Seq("grp"))
+      .withColumn("est", expr("(673 * raw_est_milli) div 1000000"))
+      .withColumn("err_ppm", expr(
+        "(1000000 * (est - exact_distinct)) div exact_distinct"))
+  }
+
   /** Harmonic-centrality estimates from [[hyperBall]] (Boldi & Vigna
     * 2014): harmonic(v) = Σ_{u≠v} 1/d(v,u) ≈ Σ_t (|ball_t| −
     * |ball_{t−1}|)/t — the ball-size DELTAS at each radius weighted

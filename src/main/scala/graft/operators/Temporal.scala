@@ -275,6 +275,30 @@ object Temporal {
         sum(col("y") * col("y")).as("sum_y2"))
   }
 
+  /** Cumulative distinct-entity counts per group over days — "unique
+    * users seen so far" growth curves, computed WITHOUT carrying a
+    * running distinct set: an entity contributes to the cumulative
+    * count from its FIRST day onward, so the curve is the cumulative
+    * sum of per-day first-appearance counts — one groupBy-min per
+    * (group, entity), one daily rollup, one bounded-partition window.
+    * The same first-occurrence trick as vocab growth (q204), lifted
+    * to entities per group.
+    *
+    * Output: (grp, day, n_new, cum_distinct). */
+  def cumulativeDistinct(events: DataFrame, groupCol: String,
+                         entityCol: String, tsCol: String): DataFrame = {
+    val first = events.select(col(groupCol).as("grp"),
+        col(entityCol).as("ent"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "ent").agg(min("day").as("first_day"))
+    val perDay = first.groupBy(col("grp"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    perDay.withColumn("cum_distinct",
+      sum(col("n_new")).over(Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Sequential co-occurrence pairs — the length-2 core of sequential
     * pattern mining (the "a happens before b" support table behind
     * PrefixSpan-style funnels and Markov priors): for every ordered

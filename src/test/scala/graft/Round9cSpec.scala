@@ -477,6 +477,40 @@ class Round9cSpec extends SparkSpec {
     assert(out(("B", "A", 1)) == ((1L, 1L)))
   }
 
+  // --- HLL accuracy / cumulative distinct ----------------------------------
+  test("hllAccuracy: estimate within the m=16 error regime on the " +
+      "fixture; err sign matches est vs exact") {
+    val out = graft.operators.Sketches.hllAccuracy(
+        Tables.lineitem(spark, sf), "l_returnflag", "l_partkey")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (exact, est, err) = (r.getLong(1), r.getLong(5), r.getLong(6))
+      // 1/sqrt(16) ~ 26% standard error; 3 sigma bound
+      assert(math.abs(est - exact) <= math.max(3, (exact * 78) / 100),
+        s"est $est vs exact $exact")
+      assert((err >= 0) == (est >= exact))
+    }
+  }
+
+  test("cumulativeDistinct: curves are the running sum of first " +
+      "appearances and end at the exact distinct count") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq(
+      ("A", 1L, t(0)), ("A", 1L, t(5)), // user 1 repeats: counts once
+      ("A", 2L, t(1)), ("A", 3L, t(1)), ("B", 1L, t(2)))
+      .toDF("event_type", "user_id", "ts")
+    val out = graft.operators.Temporal
+      .cumulativeDistinct(ev, "event_type", "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("A", 0L)) == ((1L, 1L)))
+    assert(out(("A", 1L)) == ((2L, 3L)))
+    assert(!out.contains(("A", 5L))) // repeat adds no first-appearance
+    assert(out(("B", 2L)) == ((1L, 1L)))
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
