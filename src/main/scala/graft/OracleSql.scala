@@ -3047,6 +3047,59 @@ object OracleSql {
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q285: multi-probe LSH replay — q175's bucket chain with the
+    * query side expanded to its own bucket plus the nPlanes
+    * Hamming-1 flips (xor with each plane weight). */
+  private val q285 = {
+    val dims = 64; val nPlanes = 8
+    val signRows = (0 until nPlanes).map { p =>
+      val lst = (0 until dims)
+        .map(d => graft.operators.Similarity.portablePlaneSign(p, d))
+        .mkString("[", ", ", "]")
+      s"($p, ${1L << p}, $lst)"
+    }.mkString(",\n  ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |signs(p, pw, s) AS (VALUES
+       |  $signRows),
+       |proj AS (
+       |  SELECT v.vec_id, sg.pw,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> v.q[i] * sg.s[i]), 'sum') AS BIGINT) AS pr
+       |  FROM qv v CROSS JOIN signs sg),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN pw ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |bj AS (
+       |  SELECT v.vec_id, v.q, b.bucket
+       |  FROM qv v JOIN bkt b USING (vec_id)),
+       |pr AS (
+       |  SELECT vec_id, q, bucket AS probe FROM bj
+       |  WHERE vec_id % 20 = 0
+       |  UNION ALL
+       |  SELECT b.vec_id, b.q, xor(b.bucket, sg.pw) AS probe
+       |  FROM bj b CROSS JOIN signs sg
+       |  WHERE b.vec_id % 20 = 0),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> p.q[i] * c.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM pr p JOIN bj c ON c.bucket = p.probe
+       |    AND c.vec_id <> p.vec_id)
+       |SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank,
+       |  cid AS neighbor_id, idot
+       |FROM (SELECT qid, cid, idot,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY idot DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q176: portable IVF — both Lloyd iterations unrolled as CTE pairs
     * (the q102 unrolled-iteration pattern): assign = integer-L2 argmin
     * vs the current centroid table, update = per-dim floor(sum/n)
@@ -7235,6 +7288,7 @@ object OracleSql {
     "q282_lagged_xcorr" -> q282,
     "q283_hll_accuracy" -> q283,
     "q284_cumulative_distinct" -> q284,
+    "q285_lsh_multiprobe" -> q285,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -1313,6 +1313,14 @@ object SparkEntry {
         "event_type", "user_id", "ts")
       .orderBy("grp", "day")
 
+  /** Round-9: multi-probe LSH (q175's kernel + Hamming-1 bucket
+    * probes) — the recall lever that doesn't grow the index;
+    * supersets the single-probe candidates by construction. */
+  private def qLshMultiProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshMultiProbeTopK(Tables.embeddings(s, dir), dims = 64,
+        nPlanes = 8, k = 5, queryMod = 20)
+      .orderBy("query_id", "rank")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4079,7 +4087,8 @@ object SparkEntry {
       "q281_stream_outer_join" -> (qStreamOuterJoin _),
       "q282_lagged_xcorr" -> (qLaggedXcorr _),
       "q283_hll_accuracy" -> (qHllAccuracy _),
-      "q284_cumulative_distinct" -> (qCumulativeDistinct _))
+      "q284_cumulative_distinct" -> (qCumulativeDistinct _),
+      "q285_lsh_multiprobe" -> (qLshMultiProbe _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

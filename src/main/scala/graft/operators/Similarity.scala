@@ -724,6 +724,44 @@ object Similarity {
         col("cid").as("neighbor_id"), col("idot"))
   }
 
+  /** MULTI-PROBE variant of [[lshPortableTopK]] (Lv et al. VLDB 2007):
+    * each query searches its own hyperplane bucket PLUS the nPlanes
+    * buckets at Hamming distance 1 (one sign flipped) — the buckets a
+    * near-boundary neighbor most likely fell into. Multi-probe is THE
+    * standard recall lever that does not multiply index size: same
+    * single bucketed layout, (1 + nPlanes)× probe work per query,
+    * recall strictly ≥ the single-probe kernel by construction
+    * (probe sets are supersets; spec-pinned). Buckets partition the
+    * corpus, so the probe union introduces no duplicate candidates.
+    *
+    * Scale shape: identical to the single-probe kernel — one
+    * equi-join on the bucket key, with the query side exploded
+    * (1 + nPlanes)×; the window stays per-query bounded. */
+  def lshMultiProbeTopK(vectors: DataFrame, dims: Int, nPlanes: Int,
+                        k: Int, queryMod: Int): DataFrame = {
+    val bk = vectors
+      .select(col("vec_id"), quantize16(col("embedding")).as("q"))
+      .withColumn("bucket", portableLshBucket(col("q"), dims, nPlanes))
+    val probes = array(
+      (col("bucket") +:
+        (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val queries = bk.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        explode(probes).as("bucket"))
+    val corpus = bk
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("idot").desc, col("cid").asc)
+    queries.join(corpus, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("idot", intDot(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("idot"))
+  }
+
   /** Johnson–Lindenstrauss ±1 random projection + distance-
     * preservation audit — the dimensionality-reduction sanity gate a
     * pipeline runs before swapping 64-dim embeddings for a cheaper

@@ -511,6 +511,25 @@ class Round9cSpec extends SparkSpec {
     assert(out(("B", 2L)) == ((1L, 1L)))
   }
 
+  // --- multi-probe LSH ------------------------------------------------------
+  test("lshMultiProbeTopK: candidates superset the single-probe " +
+      "kernel, so per-rank scores never get worse") {
+    val vecs = Tables.embeddings(spark, sf)
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val single = ranks(graft.operators.Similarity
+      .lshPortableTopK(vecs, 64, 8, 5, 20))
+    val multi = ranks(graft.operators.Similarity
+      .lshMultiProbeTopK(vecs, 64, 8, 5, 20))
+    assert(multi.nonEmpty)
+    // every (query, rank) present in single is present in multi with
+    // an idot at least as large (probe supersets)
+    single.foreach { case (qr, dot) =>
+      assert(multi.contains(qr) && multi(qr) >= dot, s"$qr")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
