@@ -5531,7 +5531,9 @@ object OracleSql {
     * the q226/q227 PQ chain: corpus assigned to coarse cells, queries
     * probe their 2 nearest cells, the ADC LUT joins the corpus codes
     * only through probed (cell, subspace, code) keys. */
-  private val q238 = {
+  /** Shared q238/q286 chain: coarse Lloyd + PQ + probes + LUT +
+    * the ADC aggregate as `adc`. */
+  private def ivfAdcCtes: String = {
     val dims = 64
     def cAssign(cent: String, out: String): String =
       s"""d_$out AS (
@@ -5585,14 +5587,43 @@ object OracleSql {
        |  JOIN cells ce ON ce.vec_id = e.id
        |  JOIN lut l ON l.cl = ce.cl AND l.s = e.s AND l.code = e.code
        |  WHERE l.qid <> e.id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val q238 =
+    s"""$ivfAdcCtes
        |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
        |  adc_d2
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
        |      FROM adc)
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** q286: ADC shortlist + exact re-rank replay — the q238 chain's
+    * top-15 by ADC distance, re-scored with the exact integer L2 and
+    * re-ranked to 5. */
+  private val q286 =
+    s"""$ivfAdcCtes,
+       |short AS (
+       |  SELECT query_id, neighbor_id, adc_d2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+       |        FROM adc)
+       |  WHERE rn <= 15),
+       |ex AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adc_d2,
+       |    CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), 'sum')
+       |      AS BIGINT) AS exact_d2
+       |  FROM short s
+       |  JOIN qv a ON a.vec_id = s.query_id
+       |  JOIN qv b ON b.vec_id = s.neighbor_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+       |  exact_d2, adc_d2
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY exact_d2 ASC, neighbor_id ASC) AS rn
+       |      FROM ex)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q242: residual-IVFADC replay — the q238 coarse chain, then the
     * PQ chain retargeted at the RESIDUAL frame (rv = q − centroid of
@@ -7289,6 +7320,7 @@ object OracleSql {
     "q283_hll_accuracy" -> q283,
     "q284_cumulative_distinct" -> q284,
     "q285_lsh_multiprobe" -> q285,
+    "q286_adc_rerank" -> q286,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

@@ -692,6 +692,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Round-9: ADC shortlist + exact re-rank — the production serving
+    * pattern: the compressed index shortlists 15 candidates, only
+    * those pay a full-precision distance, rank by exact L2. */
+  private def qAdcRerank(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Similarity.quantize16(col("embedding")).as("q"))
+    val cb = operators.Quantization.pqTrain(qv, subspaces = 8,
+      subDim = 8, k = 4, iters = 2)
+    val coarse = operators.IvfIndex.trainPortable(s, qv, k = 4, iters = 2)
+    operators.Quantization.adcRerankTopK(
+        qv.filter(col("id") % 20 === 0).select(col("id").as("qid"),
+          col("q")),
+        qv, coarse, cb, subspaces = 8, subDim = 8, nProbe = 2,
+        shortlist = 15, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-9: IVFADC with RESIDUAL encoding — the full Jégou 2011 §IV
     * form: the PQ codebook trains on x − centroid(cell(x)) and each
     * probed cell scores against the query's per-cell residual, so the
@@ -4088,7 +4105,8 @@ object SparkEntry {
       "q282_lagged_xcorr" -> (qLaggedXcorr _),
       "q283_hll_accuracy" -> (qHllAccuracy _),
       "q284_cumulative_distinct" -> (qCumulativeDistinct _),
-      "q285_lsh_multiprobe" -> (qLshMultiProbe _))
+      "q285_lsh_multiprobe" -> (qLshMultiProbe _),
+      "q286_adc_rerank" -> (qAdcRerank _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

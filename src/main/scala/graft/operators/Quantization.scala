@@ -347,4 +347,38 @@ object Quantization {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc_d2"))
   }
+
+  /** ADC shortlist + EXACT re-rank — the production ANN serving
+    * pattern (Jégou 2011 §V.A): the compressed-domain index returns a
+    * `shortlist`-sized candidate set cheaply, then only those few
+    * candidates pay a full-precision distance, fixing the
+    * quantization error exactly where ranking happens. The shortlist
+    * is per-query bounded, so the exact re-score joins touch
+    * |queries|·shortlist full vectors — never the corpus.
+    *
+    * Output: (query_id, rank, neighbor_id, exact_d2, adc_d2) with
+    * rank by exact_d2 (ties to the smaller id). */
+  def adcRerankTopK(queries: DataFrame, corpus: DataFrame,
+                    coarse: DataFrame, codebook: DataFrame,
+                    subspaces: Int, subDim: Int, nProbe: Int,
+                    shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val sl = ivfAdcTopK(queries, corpus, coarse, codebook,
+      subspaces, subDim, nProbe, shortlist)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+    sl.join(queries.select(col("qid").as("query_id"), col("q").as("qq")),
+        Seq("query_id"))
+      .join(corpus.select(col("id").as("neighbor_id"),
+        col("q").as("cq")), Seq("neighbor_id"))
+      .withColumn("exact_d2", d2(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("exact_d2"), col("adc_d2"))
+  }
 }

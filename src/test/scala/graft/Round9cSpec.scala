@@ -530,6 +530,40 @@ class Round9cSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  // --- ADC re-rank ----------------------------------------------------------
+  test("adcRerankTopK: results come from the ADC shortlist, ordered " +
+      "by independently-recomputed exact distance") {
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.quantize16(col("embedding")).as("q"))
+    val cb = graft.operators.Quantization.pqTrain(qv, 8, 8, 4, 2)
+    val coarse = graft.operators.IvfIndex.trainPortable(spark, qv, 4, 2)
+    val queries = qv.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("q"))
+    val sl = graft.operators.Quantization
+      .ivfAdcTopK(queries, qv, coarse, cb, 8, 8, 2, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = graft.operators.Quantization
+      .adcRerankTopK(queries, qv, coarse, cb, 8, 8, 2, 15, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rr.nonEmpty)
+    rr.foreach { case (q, _, n, _) => assert(sl.contains((q, n))) }
+    // per query, exact_d2 nondecreasing in rank
+    rr.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall(p => p.head <= p.last))
+    }
+    // exact_d2 matches an independent recomputation
+    val vecs = qv.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rr.foreach { case (q, _, n, d2) =>
+      val exp = vecs(q).zip(vecs(n))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d2 == exp)
+    }
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
