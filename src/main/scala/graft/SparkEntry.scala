@@ -4163,7 +4163,10 @@ object SparkEntry {
     // round-9 session 3 (close): the MV-rewrite demo (MV build + the
     // redirected rollup), streaming register maintenance, and the
     // subsampled-JPEG walk
-    "q271_mv_rewrite", "q272_stream_hll", "q273_jpeg_420")
+    "q271_mv_rewrite", "q272_stream_hll", "q273_jpeg_420",
+    // round-9 session 3 (cont.): the double-kernel dedup audit and the
+    // IVFADC + exact-rerank serving chain
+    "q280_dedup_recall", "q286_adc_rerank")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
