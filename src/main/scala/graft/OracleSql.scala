@@ -6813,6 +6813,63 @@ object OracleSql {
       |    AS BIGINT) AS cum_distinct
       |FROM p ORDER BY grp, day""".stripMargin
 
+  /** q287: exact KS replay — per-value rollup, cumulative window over
+    * distinct values, max |cumA·nB − cumB·nA|. */
+  private val q287 =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v,
+      |    CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |r AS (
+      |  SELECT grp, v, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - a) AS BIGINT) AS cb
+      |  FROM b GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, v,
+      |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+      |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b
+      |  FROM r)
+      |SELECT grp AS o_orderpriority, n_a, n_b,
+      |  CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN (1000 * MAX(ABS(cum_a * n_b - cum_b * n_a)))
+      |      // (n_a * n_b)
+      |    ELSE -1 END AS BIGINT) AS ks_milli
+      |FROM c GROUP BY grp, n_a, n_b
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q288: Theil-Sen replay — daily rollup, pairwise slopes, lower
+    * median under the (double slope, num, den) ordering; published
+    * numbers all integer (both engines' integer division truncates). */
+  private val q288 =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT i.event_type AS grp, (j.x - i.x) AS num,
+      |    (j.day - i.day) AS den
+      |  FROM d i JOIN d j
+      |    ON i.event_type = j.event_type AND i.day < j.day),
+      |r AS (
+      |  SELECT grp, num, den,
+      |    ROW_NUMBER() OVER (PARTITION BY grp
+      |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+      |        num, den) AS rn,
+      |    COUNT(*) OVER (PARTITION BY grp) AS n_pairs
+      |  FROM p)
+      |SELECT grp AS event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  num AS slope_num, den AS slope_den,
+      |  CAST((1000 * num) // den AS BIGINT) AS slope_milli
+      |FROM r WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
     * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
   private val q279 =
@@ -7321,6 +7378,8 @@ object OracleSql {
     "q284_cumulative_distinct" -> q284,
     "q285_lsh_multiprobe" -> q285,
     "q286_adc_rerank" -> q286,
+    "q287_ks_drift" -> q287,
+    "q288_theil_sen" -> q288,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

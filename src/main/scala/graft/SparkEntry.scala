@@ -1338,6 +1338,32 @@ object SparkEntry {
         nPlanes = 8, k = 5, queryMod = 20)
       .orderBy("query_id", "rank")
 
+  /** Round-9: exact two-sample KS drift — per priority, early orders
+    * (before 1995) vs late, over total-price cents; the
+    * integer-exact distribution-shift test beside PSI. */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.ksDrift(
+        Tables.orders(s, dir).withColumn("cents",
+          (dec2(col("o_totalprice")) * 100).cast("long")),
+        "o_orderpriority", "cents", year(col("o_orderdate")) < 1995)
+      .select(col("grp").as("o_orderpriority"), col("n_a"), col("n_b"),
+        col("ks_num"), col("ks_milli"))
+      .orderBy("o_orderpriority")
+
+  /** Round-9: Theil-Sen robust trend per event type — the median
+    * pairwise slope of the daily count series (29% breakdown),
+    * published as the exact rational + milli floor. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    operators.Stats.theilSen(daily, "event_type", "day", "x")
+      .select(col("grp").as("event_type"), col("n_pairs"),
+        col("slope_num"), col("slope_den"), col("slope_milli"))
+      .orderBy("event_type")
+  }
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4106,7 +4132,9 @@ object SparkEntry {
       "q283_hll_accuracy" -> (qHllAccuracy _),
       "q284_cumulative_distinct" -> (qCumulativeDistinct _),
       "q285_lsh_multiprobe" -> (qLshMultiProbe _),
-      "q286_adc_rerank" -> (qAdcRerank _))
+      "q286_adc_rerank" -> (qAdcRerank _),
+      "q287_ks_drift" -> (qKsDrift _),
+      "q288_theil_sen" -> (qTheilSen _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

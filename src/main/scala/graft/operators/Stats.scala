@@ -448,6 +448,82 @@ object Stats {
     (n, exactKth(df, valueCol, (n + 1) / 2))
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov statistic per group — the
+    * distribution-drift test beside PSI (q153): for samples A and B
+    * of an integer-valued column, KS = max over values of
+    * |ECDF_A − ECDF_B|, computed EXACTLY as max |cumA·nB − cumB·nA|
+    * over the per-value rollup (evaluating after all ties of a value,
+    * the correct ECDF convention) and published as the integer
+    * numerator with ks_milli = 1000·num DIV (nA·nB). No doubles
+    * anywhere — the drift number is bit-stable across engines.
+    *
+    * Scale shape: one groupBy (group, value) rollup, then a
+    * cumulative window over the group's DISTINCT VALUES (bounded by
+    * value cardinality, not row count) and one max aggregate.
+    *
+    * Output: (grp, n_a, n_b, ks_num, ks_milli). */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              inA: Column): DataFrame = {
+    val byVal = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"),
+        inA.cast("long").as("a"))
+      .groupBy("grp", "v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    byVal
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("ks_num"))
+      .withColumn("ks_milli", expr(
+        """CAST(CASE WHEN n_a > 0 AND n_b > 0
+          |THEN (1000 * ks_num) div (n_a * n_b)
+          |ELSE -1 END AS BIGINT)""".stripMargin))
+      .select("grp", "n_a", "n_b", "ks_num", "ks_milli")
+  }
+
+  /** Theil-Sen robust slope per group (the median of all pairwise
+    * slopes — 29% breakdown vs OLS's zero, Sen 1968): for bounded
+    * per-group series (daily rollups), every pair x_i < x_j yields
+    * slope (y_j − y_i)/(x_j − x_i); the LOWER MEDIAN pair under the
+    * (double-valued slope, num, den) ordering is published as the
+    * exact rational (num, den) plus slope_milli = 1000·num DIV den.
+    * The double key only ORDERS (IEEE division is engine-identical);
+    * every published number is integer.
+    *
+    * Scale shape: the pair join is per-group O(n²) — the bounded-
+    * series contract (daily/weekly rollups, not raw events; the
+    * caller rolls up first, exactly like [[ksDrift]]'s value-
+    * cardinality bound). One self-join + one per-group window.
+    *
+    * Output: (grp, n_pairs, slope_num, slope_den, slope_milli). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = pts.as("i").join(pts.as("j"),
+        col("i.grp") === col("j.grp") && col("i.x") < col("j.x"))
+      .select(col("i.grp").as("grp"),
+        (col("j.y") - col("i.y")).as("num"),
+        (col("j.x") - col("i.x")).as("den"))
+    val w = Window.partitionBy("grp")
+      .orderBy((col("num").cast("double") / col("den").cast("double")).asc,
+        col("num").asc, col("den").asc)
+    val wAll = Window.partitionBy("grp")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("grp"), col("n_pairs"),
+        col("num").as("slope_num"), col("den").as("slope_den"),
+        expr("(1000 * num) div den").as("slope_milli"))
+  }
+
   /** Chi-square term–class association (the classic feature-selection
     * statistic, e.g. Yang & Pedersen 1997): for every (token, class)
     * the 2×2 presence table (a = class docs containing the token,

@@ -564,6 +564,38 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // --- KS drift / Theil-Sen ------------------------------------------------
+  test("ksDrift: identical samples score 0; disjoint supports score " +
+      "the full n_a*n_b; ties evaluate after the value") {
+    val df = Seq(
+      // group "same": A and B identical -> KS 0
+      ("same", 1L, 1), ("same", 2L, 1), ("same", 1L, 0), ("same", 2L, 0),
+      // group "disj": A all below B -> KS = nA*nB
+      ("disj", 1L, 1), ("disj", 2L, 1), ("disj", 10L, 0))
+      .toDF("g", "v", "a")
+    val out = graft.operators.Stats
+      .ksDrift(df, "g", "v", col("a") === 1)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("same") == ((2L, 2L, 0L, 0L)))
+    assert(out("disj") == ((2L, 1L, 2L, 1000L)))
+  }
+
+  test("theilSen: robust to one outlier point; exact rational median") {
+    // y = 2x line with one wild outlier at x=10
+    val df = Seq(
+      ("t", 0L, 0L), ("t", 1L, 2L), ("t", 2L, 4L), ("t", 3L, 6L),
+      ("t", 10L, 1000L))
+      .toDF("g", "x", "y")
+    val r = graft.operators.Stats.theilSen(df, "g", "x", "y").head()
+    // 10 pairs; 6 clean pairs all slope 2; outlier pairs larger ->
+    // lower median (rank 5) lands on slope 2 (pairs sorted by slope)
+    assert(r.getLong(1) == 10L)
+    assert(r.getLong(2).toDouble / r.getLong(3) == 2.0)
+    assert(r.getLong(4) == 2000L)
+  }
+
   test("mmrSelect: lambda 1000 is pure relevance order") {
     val vecs = Seq(
       (1L, Seq(1L, 0L)), (2L, Seq(5L, 0L)), (3L, Seq(3L, 0L)))
