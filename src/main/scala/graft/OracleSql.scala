@@ -6870,6 +6870,45 @@ object OracleSql {
       |FROM r WHERE rn = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q289: seasonal-anomaly replay — weekday floor-mean profile,
+    * residuals, two lower medians via ROW_NUMBER (2·rn ≥ n), the
+    * 3×MAD flag. */
+  private val q289 =
+    """WITH d AS (
+      |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT grp, day, x, (day + 4) % 7 AS dow FROM d),
+      |prof AS (
+      |  SELECT grp, dow, CAST(SUM(x) // COUNT(*) AS BIGINT) AS expected
+      |  FROM dd GROUP BY 1, 2),
+      |r AS (
+      |  SELECT dd.grp, dd.day, dd.x, p.expected,
+      |    dd.x - p.expected AS resid
+      |  FROM dd JOIN prof p USING (grp, dow)),
+      |med AS (
+      |  SELECT grp, MIN(resid) AS resid_med FROM (
+      |    SELECT grp, resid,
+      |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY resid) AS rn,
+      |      COUNT(*) OVER (PARTITION BY grp) AS n
+      |    FROM r)
+      |  WHERE 2 * rn >= n GROUP BY grp),
+      |a AS (
+      |  SELECT r.grp, r.day, r.x, r.expected, r.resid, m.resid_med,
+      |    ABS(r.resid - m.resid_med) AS absdev
+      |  FROM r JOIN med m USING (grp)),
+      |mad AS (
+      |  SELECT grp, MIN(absdev) AS mad FROM (
+      |    SELECT grp, absdev,
+      |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY absdev) AS rn,
+      |      COUNT(*) OVER (PARTITION BY grp) AS n
+      |    FROM a)
+      |  WHERE 2 * rn >= n GROUP BY grp)
+      |SELECT a.grp, a.day, a.x, a.expected, a.resid, a.resid_med,
+      |  md.mad, a.absdev > 3 * md.mad AS is_anomaly
+      |FROM a JOIN mad md USING (grp)
+      |ORDER BY grp, day""".stripMargin
+
   /** q279: walk-corpus skip-gram PMI replay — adjacent pairs via the
     * (walk_id, step+1) self-join, q196's ratio_ppm publication. */
   private val q279 =
@@ -7380,6 +7419,7 @@ object OracleSql {
     "q286_adc_rerank" -> q286,
     "q287_ks_drift" -> q287,
     "q288_theil_sen" -> q288,
+    "q289_seasonal_anomalies" -> q289,
     "q61_sql_surface" -> q61,
     "q62_approx_quantiles" -> q62,
     "q63_csv_roundtrip" -> q63,

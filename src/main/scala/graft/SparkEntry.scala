@@ -1364,6 +1364,14 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Round-9: seasonal-residual anomaly flags — weekday-profile
+    * residuals thresholded at 3×MAD, all-integer (floor means, lower
+    * medians); the composed detector behind ops alerting. */
+  private def qSeasonalAnomalies(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.seasonalAnomalies(Tables.events(s, dir),
+        "event_type", "ts", k = 3)
+      .orderBy("grp", "day")
+
   /** Round-9: bounded Bellman-Ford shortest paths over the trade
     * graph — inverse-volume integer costs (heavily-traded routes are
     * cheap), region-0 nations as the multi-source set, 4 relaxation
@@ -4134,7 +4142,8 @@ object SparkEntry {
       "q285_lsh_multiprobe" -> (qLshMultiProbe _),
       "q286_adc_rerank" -> (qAdcRerank _),
       "q287_ks_drift" -> (qKsDrift _),
-      "q288_theil_sen" -> (qTheilSen _))
+      "q288_theil_sen" -> (qTheilSen _),
+      "q289_seasonal_anomalies" -> (qSeasonalAnomalies _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -299,6 +299,56 @@ object Temporal {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Seasonal-residual anomaly flags — the composed detector ops
+    * teams actually run: per (group, day) the residual against the
+    * group's WEEKDAY profile (floor-mean, integer DIV), then a
+    * robust threshold from the residual distribution's MAD (median
+    * absolute deviation around the residual median — both lower
+    * medians over bounded per-group frames), flagging
+    * |resid − med| > k·MAD. Exact integer end to end: profile means
+    * are DIV floors, medians come from cumulative-count windows
+    * (the [[graft.operators.Stats.weightedMedian]] shape), and the
+    * flag compares integers — bit-stable across engines.
+    *
+    * Scale shape: one daily rollup, one 7-row profile join, two
+    * bounded-partition windows for the medians — |groups|·|days|
+    * rows throughout.
+    *
+    * Output: (grp, day, x, expected, resid, resid_med, mad,
+    * is_anomaly). */
+  def seasonalAnomalies(events: DataFrame, groupCol: String,
+                        tsCol: String, k: Int = 3): DataFrame = {
+    val daily = events.select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7))) // epoch day 0 = Thu
+    val profile = daily.groupBy("grp", "dow")
+      .agg(expr("sum(x) div count(1)").as("expected"))
+    val resid = daily.join(profile, Seq("grp", "dow"))
+      .withColumn("resid", col("x") - col("expected"))
+    def lowerMedian(df: DataFrame, valCol: String,
+                    out: String): DataFrame = {
+      val wCum = Window.partitionBy("grp").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("grp")
+      // 2·rank ≥ n selects ranks ≥ ceil(n/2); min over them = the
+      // LOWER median (rank floor((n+1)/2)) for both parities
+      df.withColumn("_rn", count(lit(1)).over(wCum))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .filter(col("_rn") * 2 >= col("_n"))
+        .groupBy("grp").agg(min(col(valCol)).as(out))
+    }
+    val med = lowerMedian(resid, "resid", "resid_med")
+    val withMed = resid.join(med, Seq("grp"))
+      .withColumn("absdev", abs(col("resid") - col("resid_med")))
+    val mad = lowerMedian(withMed, "absdev", "mad")
+    withMed.join(mad, Seq("grp"))
+      .withColumn("is_anomaly",
+        col("absdev") > lit(k.toLong) * col("mad"))
+      .select("grp", "day", "x", "expected", "resid", "resid_med",
+        "mad", "is_anomaly")
+  }
+
   /** Sequential co-occurrence pairs — the length-2 core of sequential
     * pattern mining (the "a happens before b" support table behind
     * PrefixSpan-style funnels and Markov priors): for every ordered

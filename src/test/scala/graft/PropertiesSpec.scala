@@ -419,4 +419,77 @@ class PropertiesSpec extends SparkSpec {
       gotSum == expSum && out.forall(_._2 == 4 * m * m)
     }, n = 12)
   }
+
+  // --- round-9 session-3 operators -----------------------------------------
+
+  test("exactKth equals the in-memory sort for random lists and ranks") {
+    val lists = Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))
+    check("exactKth", Prop.forAll(lists) { xs =>
+      val df = xs.toDF("v")
+      val sorted = xs.sorted
+      val k = 1 + (math.abs(xs.map(_.toInt).sum) % xs.size)
+      graft.operators.Stats.exactKth(df, "v", k, fanout = 7) ==
+        sorted(k - 1)
+    }, n = 12)
+  }
+
+  test("featureHash conserves occurrence mass: sum of n_tokens = " +
+      "token count, |val| <= n_tokens per bucket") {
+    check("featureHash", Prop.forAll(phrase) { p =>
+      val docs = Seq((1L, p)).toDF("doc_id", "text")
+      val rows = graft.operators.Features
+        .featureHash(docs, "doc_id", "text", 16)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      val nToks = p.split(" ").count(_.nonEmpty)
+      rows.map(_._2).sum == nToks &&
+        rows.forall { case (v, n) => math.abs(v) <= n }
+    }, n = 10)
+  }
+
+  test("bleuPairs: identity pairs always score full precision") {
+    check("bleu-identity", Prop.forAll(phrase) { p =>
+      val pairs = Seq((1L, p, p)).toDF("pid", "hyp", "ref")
+      val r = graft.operators.Metrics
+        .bleuPairs(pairs, "pid", "hyp", "ref").head()
+      r.getLong(3) == r.getLong(4) && // match1 = total1
+        (r.getLong(4) == 0L || r.getLong(5) == 1000000L)
+    }, n = 10)
+  }
+
+  test("sssp distances satisfy the relaxation inequality on every " +
+      "kept edge: d(v) <= d(u) + cost within the hop bound") {
+    val edges = Gen.nonEmptyListOf(for {
+      s <- Gen.chooseNum(1L, 6L); d <- Gen.chooseNum(1L, 6L)
+      c <- Gen.chooseNum(1L, 9L)
+    } yield (s, d, c))
+    check("sssp", Prop.forAll(edges) { es =>
+      val df = es.toDF("src", "dst", "cost")
+      val iters = 6
+      val dist = graft.operators.ShortestPaths
+        .sssp(df, Seq(1L).toDF("node"), iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // after |V| rounds the fixpoint holds: every edge relaxed
+      es.forall { case (s, d, c) =>
+        dist.get(s).forall(ds =>
+          dist.get(d).exists(dd => dd <= ds + c))
+      } && dist.get(1L).contains(0L)
+    }, n = 12)
+  }
+
+  test("ksDrift is symmetric in the sample labels") {
+    val vals = Gen.nonEmptyListOf(for {
+      v <- Gen.chooseNum(0L, 20L); a <- Gen.oneOf(0, 1)
+    } yield (v, a))
+    check("ks-sym", Prop.forAll(vals) { xs =>
+      // both labels must be present for the statistic to be defined
+      val has = xs.map(_._2).toSet.size == 2
+      !has || {
+        val df = xs.map { case (v, a) => ("g", v, a) }.toDF("g", "v", "a")
+        def ks(flag: Int) = graft.operators.Stats
+          .ksDrift(df, "g", "v", col("a") === flag)
+          .head().getLong(3)
+        ks(1) == ks(0) // |ECDF_A - ECDF_B| is label-symmetric
+      }
+    }, n = 10)
+  }
 }
