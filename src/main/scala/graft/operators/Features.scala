@@ -60,14 +60,15 @@ object Features {
   def featureHash(docs: DataFrame, idCol: String, textCol: String,
                   dim: Int): DataFrame = {
     require(dim >= 2, s"featureHash: dim must be >= 2, got $dim")
-    val P = 1000000007L
-    def tokHash(w: Column): Column =
-      aggregate(split(w, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+    // the native codegen'd fold — bit-equal to the declarative
+    // aggregate/split idiom (NativeExprSpec pins it), zero per-token
+    // array allocation on the hot path
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
           .as("tok"))
-      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.CharFoldHash.column(col("tok"))
+          .as("h"))
       .select(col("doc_id"), (col("h") % dim).as("bucket"),
         // integer div, not `/` (which is floating-point in Column math)
         (lit(1L) - lit(2L) * expr(s"(h div $dim) % 2")).as("sign"))

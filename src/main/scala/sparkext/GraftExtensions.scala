@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_fold_hash"),
+      new ExpressionInfo(classOf[CharFoldHash].getName, "char_fold_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharFoldHash(exprs(0))))
   }
 }

@@ -104,4 +104,41 @@ class NativeExprSpec extends SparkSpec {
       assert(math.abs(v - long(k)) < 1e-12, s"$k: $v vs ${long(k)}")
     }
   }
+
+  test("native char_fold_hash is bit-identical to the declarative " +
+      "aggregate/split fold, multi-byte code points included") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val strs = (1 to 200).map { _ =>
+      val n = rnd.nextInt(12)
+      (1 to n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => rnd.nextInt(10).toString
+          case 2 => "é" // 2-byte UTF-8
+          case _ => new String(Character.toChars(0x1F600)) // surrogate pair
+        }
+      }.mkString
+    }.filter(_.nonEmpty) :+ "spark" :+ "a"
+    val df = strs.toDF("s")
+    val P = 1000000007L
+    val declarative = df.select(
+      aggregate(split(col("s"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(P))).as("h"))
+      .as[Long].collect().toSeq
+    val native = df.select(
+      org.apache.spark.sql.graft.CharFoldHash.column(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(native == declarative)
+    // and via the SQL registration (the shared test session isn't
+    // built with the extension — the cosine_sim test's convention)
+    df.createOrReplaceTempView("cfh_strs")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_fold_hash",
+      exprs => org.apache.spark.sql.graft.CharFoldHash(exprs(0)),
+      "built-in")
+    val viaSql = spark.sql("SELECT char_fold_hash(s) FROM cfh_strs")
+      .as[Long].collect().toSeq
+    assert(viaSql == declarative)
+  }
 }
