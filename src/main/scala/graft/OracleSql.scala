@@ -7388,6 +7388,9 @@ object OracleSql {
     "q255_max_coverage" -> q255,
     "q256_jpeg_pixels" -> q256,
     "q257_orc_roundtrip" -> q257,
+    "q290_xml_roundtrip" -> q257,
+    // q290 shares q257's oracle by design: same projection, the
+    // container (XML vs ORC) never changes the answer
     "q258_loo_encoding" -> q258,
     "q259_feature_hash" -> q259,
     "q260_bleu_pairs" -> q260,

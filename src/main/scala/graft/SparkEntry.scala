@@ -968,6 +968,22 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  /** Round-9: XML source/sink round trip — Spark 4's upstreamed XML
+    * support through the q63/q257 pattern; completes the container
+    * matrix alongside parquet / CSV / JSONL / ORC / SQLite. */
+  private def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_xml_rt").toString + "/out"
+    nation.write.format("xml")
+      .option("rootTag", "nations").option("rowTag", "nation").save(tmp)
+    s.read.format("xml").option("rowTag", "nation")
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .load(tmp)
+      .orderBy("n_nationkey")
+  }
+
   /** Round-9: leave-one-out target encoding of order priority against
     * the order-failed flag — the encoding depends only on (category,
     * own target), so the per-row frame collapses to an exact
@@ -4143,7 +4159,8 @@ object SparkEntry {
       "q286_adc_rerank" -> (qAdcRerank _),
       "q287_ks_drift" -> (qKsDrift _),
       "q288_theil_sen" -> (qTheilSen _),
-      "q289_seasonal_anomalies" -> (qSeasonalAnomalies _))
+      "q289_seasonal_anomalies" -> (qSeasonalAnomalies _),
+      "q290_xml_roundtrip" -> (qXmlRoundtrip _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
