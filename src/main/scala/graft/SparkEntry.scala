@@ -1202,7 +1202,7 @@ object SparkEntry {
       maxCols = Seq(dec2(col("o_totalprice")) -> "max_total"),
       countCol = Some("cnt"))
     // the original query, written against the BASE table
-    base.groupBy("o_orderpriority")
+    val out = base.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         min(dec2(col("o_totalprice"))).as("min_total"),
         max(dec2(col("o_totalprice"))).as("max_total"))
@@ -1210,6 +1210,14 @@ object SparkEntry {
         col("min_total").cast("double").as("min_total"),
         col("max_total").cast("double").as("max_total"))
       .orderBy("o_orderpriority")
+      // materialize WHILE the registration is live, then disarm: the
+      // rule must not stay armed for the rest of the session (a later
+      // same-shape aggregate over the same orders path would silently
+      // read this temp-dir MV), and results must not depend on
+      // registration order
+      .localCheckpoint()
+    org.apache.spark.sql.graft.MvRewrite.clear()
+    out
   }
 
   /** Round-9: STREAMING HLL register maintenance — the q233 register

@@ -213,8 +213,21 @@ object JpegCodec {
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
   /** Baseline JPEG → packed-RGB raster; None on anything outside the
-    * supported profile (see object doc) or corrupt bytes. */
-  def decodeJpeg(bytes: Array[Byte]): Option[Image] = {
+    * supported profile (see object doc) or corrupt bytes.
+    *
+    * The no-throw degrade-per-row contract of `ImageCodec.decode` is
+    * enforced two ways: explicit range checks on every table id and
+    * declared segment length below, plus a belt-and-braces catch of
+    * index faults here — a crafted in-bounds-length segment must yield
+    * `decoded=false`, never kill the Spark task. */
+  def decodeJpeg(bytes: Array[Byte]): Option[Image] =
+    try decodeJpegBody(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  private def decodeJpegBody(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
         (bytes(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4) // natural-order dequant tables
@@ -249,6 +262,10 @@ object JpegCodec {
               val pq = (bytes(p) & 0xff) >> 4
               val tq = bytes(p) & 0x0f
               if (tq > 3 || pq > 1) return None
+              // declared segment length must cover the 64-entry payload
+              // (8- or 16-bit per entry) — a short length would otherwise
+              // read past segEnd into the next segment or off the file
+              if (p + 1 + (if (pq == 0) 64 else 128) > segEnd) return None
               val t = new Array[Int](64)
               p += 1
               var z = 0
@@ -282,11 +299,12 @@ object JpegCodec {
               p += 17 + n
             }
           case 0xc0 => // SOF0 baseline
-            if ((bytes(seg) & 0xff) != 8) return None
+            if (seg + 6 > segEnd || (bytes(seg) & 0xff) != 8) return None
             h = be16(bytes, seg + 1)
             w = be16(bytes, seg + 3)
             nComp = bytes(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (seg + 6 + 3 * nComp > segEnd) return None
             if (w.toLong * h > 64L * 1024 * 1024) return None
             compQ = new Array[Int](nComp)
             compH = new Array[Int](nComp)
@@ -304,6 +322,7 @@ object JpegCodec {
               compH(c) = if (nComp == 1) 1 else hi
               compV(c) = if (nComp == 1) 1 else vi
               compQ(c) = bytes(seg + 8 + 3 * c) & 0xff
+              if (compQ(c) > 3) return None // Tq indexes quant(4)
               c += 1
             }
             if (nComp == 3 &&
@@ -315,14 +334,18 @@ object JpegCodec {
           case 0xdd =>
             restartInterval = be16(bytes, seg)
           case 0xda => // SOS
+            if (seg + 1 > segEnd) return None
             val ns = bytes(seg) & 0xff
             if (ns != nComp) return None
+            // header = ns byte + 2 bytes/component + Ss/Se/AhAl trailer
+            if (seg + 1 + 2 * ns + 3 > segEnd) return None
             compDc = new Array[Int](nComp)
             compAc = new Array[Int](nComp)
             var c = 0
             while (c < ns) {
               val td = (bytes(seg + 2 + 2 * c) & 0xff) >> 4
               val ta = bytes(seg + 2 + 2 * c) & 0x0f
+              if (td > 3 || ta > 3) return None // Td/Ta index dcTab/acTab(4)
               compDc(c) = td; compAc(c) = ta
               c += 1
             }

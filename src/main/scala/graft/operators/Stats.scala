@@ -418,9 +418,20 @@ object Stats {
     var lo = mm.getLong(0)
     var hi = mm.getLong(1)
     var kk = k
+    // when min/max span more than half the 64-bit domain (sentinels
+    // mixed with real data), hi - lo itself overflows; one extra pass
+    // bisecting on the sign bit makes every later range fit: within
+    // negatives hi - lo <= -1 - Long.Min = Long.Max, within
+    // non-negatives lo >= 0 so hi - lo <= hi
+    if (lo < 0 && hi > Long.MaxValue + lo) {
+      val neg = vals.filter(col("v") < 0).count()
+      if (kk <= neg) hi = -1L else { kk -= neg; lo = 0L }
+    }
     while (lo < hi) {
-      // ceil width so fanout cells always cover [lo, hi]
-      val width = ((hi - lo) + fanout) / fanout
+      // ceil width so fanout cells always cover [lo, hi]; written as
+      // div-then-+1 (same value for any hi - lo >= 0) so the addition
+      // cannot overflow near Long.MaxValue
+      val width = (hi - lo) / fanout + 1
       val hist = vals.filter(col("v") >= lo && col("v") <= hi)
         // integer div (`/` on Columns is floating-point)
         .groupBy(expr(s"(v - $lo) div $width").as("cell"))

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -159,7 +159,26 @@ object MvRewrite {
               Sum(mvAttr(m, col).getOrElse(return None))))
           case _ => None
         }
-        inner.map(e => Alias(e, name)(exprId = al.exprId))
+        inner.map { e =>
+          // the alias keeps the ORIGINAL exprId, so it must also keep
+          // the original dataType/nullability — parents bound to the
+          // attribute would otherwise see a different type
+          // mid-optimization: Sum over an already-widened decimal MV
+          // column re-widens precision, and Count(*) -> Sum(cnt) swaps
+          // a non-nullable long for a nullable one. Cast back (lossless:
+          // same logical total, narrower only by the spurious
+          // re-widening) and re-assert non-nullability (sound: grouping
+          // is non-empty, so every group has >= 1 MV row with a
+          // non-null cnt).
+          val retyped =
+            if (e.dataType != ae.dataType)
+              Cast(e, ae.dataType, Option(conf.sessionLocalTimeZone))
+            else e
+          val renulled =
+            if (!ae.nullable && retyped.nullable) KnownNotNull(retyped)
+            else retyped
+          Alias(renulled, name)(exprId = al.exprId)
+        }
       case _ => None
     }
 

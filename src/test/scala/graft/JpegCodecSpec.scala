@@ -168,6 +168,37 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegCodec.decodeJpeg(Array[Byte]()).isEmpty)
   }
 
+  test("no-throw contract: crafted in-bounds-length corruption and " +
+      "exhaustive single-byte fuzz degrade to None, never throw") {
+    val good = JpegCodec.encodeJpegGray(
+      Array(dcBlock(5), dcBlock(-9)), 16, 8, flatQ)
+    def marker(m: Int): Int = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m).get
+    // SOS Td/Ta nibbles forced to 0xF: table ids would index 4-element
+    // arrays out of bounds without the range check
+    val sos = marker(0xda)
+    // FFDA len(2) Ns Cs1 TdTa1 — TdTa of the first component is sos+6
+    val badSos = good.clone(); badSos(sos + 6) = 0xff.toByte
+    assert(JpegCodec.decodeJpeg(badSos).isEmpty)
+    // SOF0 Tq byte (quant-table id) forced past 3
+    // FFC0 len(2) P h(2) w(2) Nf Cid1 HV1 Tq1 — Tq1 is sof+12
+    val sof = marker(0xc0)
+    val badTq = good.clone(); badTq(sof + 12) = 0x07.toByte
+    assert(JpegCodec.decodeJpeg(badTq).isEmpty)
+    // DQT declared length shrunk below its 64-entry payload: the table
+    // loop must not read past the (in-bounds) segment end
+    val dqt = marker(0xdb)
+    val badDqt = good.clone()
+    badDqt(dqt + 2) = 0; badDqt(dqt + 3) = 0x10
+    assert(JpegCodec.decodeJpeg(badDqt).isEmpty)
+    // every single-byte mutation of the whole stream: decode may
+    // succeed or reject, but must never throw (kills the Spark task)
+    for (i <- good.indices; v <- Seq(0x00, 0xff, 0x3c)) {
+      val fuzz = good.clone(); fuzz(i) = v.toByte
+      JpegCodec.decodeJpeg(fuzz) // must not throw
+    }
+  }
+
   test("ImageCodec.decode dispatches FFD8 to the JPEG walk") {
     val bytes = JpegCodec.encodeJpegGray(Array(dcBlock(-7)), 8, 8, flatQ)
     val img = ImageCodec.decode(bytes)

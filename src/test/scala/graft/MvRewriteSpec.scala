@@ -79,6 +79,41 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.clear()
   }
 
+  test("rewrite preserves output dataType and nullability under the " +
+      "kept exprId: decimal sum does not re-widen, count(*) stays " +
+      "non-nullable") {
+    val base = Tables.orders(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mv_spec_ty").toString
+    base.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).as("sum_total"))
+      .write.mode("overwrite").parquet(tmp)
+    MvRewrite.clear()
+    MvRewrite.register(base,
+      dims = Seq("o_orderpriority", "o_orderstatus"),
+      mv = spark.read.parquet(tmp),
+      sumCols = Seq(dec2(col("o_totalprice")) -> "sum_total"),
+      countCol = Some("cnt"))
+    def query() = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).as("s"))
+      .orderBy("o_orderpriority")
+    val rewritten = query()
+    assert(scanPaths(rewritten).forall(_.contains(tmp)),
+      "decimal-sum rollup should rewrite to the MV")
+    // optimizedPlan schema is what parents bound to the exprId see
+    val rwFields = rewritten.queryExecution.optimizedPlan.schema.fields
+    val viaMv = rewritten.collect().map(_.toSeq).toSeq
+    MvRewrite.clear()
+    val direct = query()
+    val dFields = direct.queryExecution.optimizedPlan.schema.fields
+    assert(rwFields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      dFields.map(f => (f.name, f.dataType, f.nullable)).toSeq,
+      s"schema drift: ${rwFields.toSeq} vs ${dFields.toSeq}")
+    assert(viaMv == direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("a filtered base does not match (the MV cannot answer it)") {
     val (base, tmp) = setup()
     val filtered = base.filter(col("o_orderkey") > 100)

@@ -315,6 +315,18 @@ class Round9cSpec extends SparkSpec {
     assert(n == 10L && med == sorted(4)) // lower median, rank (10+1)/2=5
   }
 
+  test("exactKth: min/max spanning more than half the 64-bit domain " +
+      "(sentinel values mixed with real data) stays exact — the " +
+      "sign-bit bisection prevents silent Long overflow") {
+    val xs = Seq(Long.MinValue, Long.MinValue + 3, -5L, 0L, 7L,
+      Long.MaxValue - 2, Long.MaxValue)
+    val df = xs.toDF("v")
+    val sorted = xs.sorted
+    for (k <- 1 to xs.size)
+      assert(graft.operators.Stats.exactKth(df, "v", k, fanout = 4)
+        == sorted(k - 1), s"k=$k")
+  }
+
   // --- chi-square term association -----------------------------------------
   test("chi2Terms: perfect class predictor scores N*1e6, independent " +
       "token scores 0, universal token degenerates to NULL") {
