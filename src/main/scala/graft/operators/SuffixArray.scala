@@ -199,20 +199,32 @@ object SuffixArray {
     *
     * Scale shape: ONE tokenized corpus scan feeds mining and removal
     * (the round-9 shared-scan convention). The mined span set is
-    * topK-bounded by construction, so its token text and the distinct
-    * length set BROADCAST to the removal side: window generation is a
-    * map-only explode per (doc, mined length) — O(Σ tokens · |lens|)
-    * with |lens| ≤ topK — pruned immediately by the broadcast semi
-    * join on the 64-bit span hash; flagged starts come back as one
-    * per-doc collect_list and a single index-aware filter lambda cuts
-    * covered tokens map-side (the [[Dedup.removeDuplicateSpans]]
-    * kernel, generalized to per-span lengths). Nothing corpus-sized
-    * ever shuffles except the flagged-window starts.
+    * topK-bounded by construction, so its fingerprints and distinct
+    * length set BROADCAST to the removal side; flagged starts come
+    * back as one per-doc collect_list and a single index-aware filter
+    * lambda cuts covered tokens map-side (the
+    * [[Dedup.removeDuplicateSpans]] kernel, generalized to per-span
+    * lengths). Nothing corpus-sized ever shuffles except the token
+    * rows of the one fingerprint pass and the flagged-window starts.
     *
-    * Hash convention as [[Dedup.duplicateSpans]]: spans compare as
-    * xxhash64 of the space-joined token text; the oracle compares raw
-    * text (a collision could only over-remove one window; the engines
-    * agree at test SFs).
+    * Window matching (round-10 rework — the r9 #1 efficiency flag):
+    * candidate windows used to hash as
+    * `xxhash64(concat_ws(slice(ws, i+1, len)))` — every position
+    * re-materialized a len-token slice, O(Σ tokens · |lens| · len)
+    * character work. Now a Rabin–Karp polynomial fingerprint is
+    * computed from ONE per-token prefix-sum pass, O(1) per (position,
+    * len): with per-token hash t_j and V_j = Σ_{i≤j} t_i·B^(maxLen−i)
+    * mod M (a cumulative window sum over per-doc token rows), the
+    * window [s, s+len−1] fingerprints as
+    * (V_e − V_{s−1})·B^e ≡ B^maxLen·polyhash(window) (mod M) —
+    * position-independent, so equal token spans collide exactly. Two
+    * independent (B, M) pairs with M < 2^31 (ANSI-safe products
+    * < 2^62) pack into one 62-bit join key, keeping the false-match
+    * probability at the old xxhash64's negligible level; the mined
+    * side folds the same polynomial over its (topK-bounded) slices.
+    * The oracle compares raw text, so the fingerprint is
+    * engine-internal. Driver state: one B^j table of maxDocLen
+    * longs — bounded by the longest single document, not the corpus.
     *
     * Output: (doc_id, n_tokens, n_removed, clean_text) for every
     * document with ≥ 1 token after the [[tokenized]] empty-token
@@ -227,35 +239,119 @@ object SuffixArray {
     // showed up twice in the q240 plan)
     val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
       .localCheckpoint()
-    // span token text from the representative location (topK-bounded,
-    // so it broadcasts — the corpus-sized toks never shuffles here)
-    val sp = broadcast(mined).join(toks, "doc_id")
-      .select(xxhash64(concat_ws(" ",
-          slice(col("ws"), col("off").cast("int"),
-            col("span").cast("int")))).as("h"),
-        col("span").cast("int").as("len"))
-      .distinct()
-    val lens = sp.select("len").distinct()
-    val windows = toks.crossJoin(broadcast(lens))
-      .filter(size(col("ws")) >= col("len"))
-      .select(col("doc_id"), col("len"), explode(
-        transform(sequence(lit(0), size(col("ws")) - col("len")),
-          i => struct(i.as("pos"),
-            xxhash64(concat_ws(" ",
-              slice(col("ws"), i + 1, col("len")))).as("h"))))
-        .as("wd"))
-      .select(col("doc_id"), col("wd.pos"), col("len"), col("wd.h"))
+    val maxLen = toks.agg(max(size(col("ws")))).head.getInt(0)
+    // mined span fingerprints (topK-bounded, broadcast) and the
+    // distinct length set (bounded driver collect, the house rule)
+    val sp = spanFingerprints(mined, toks, maxLen).localCheckpoint()
+    val lensArr = sp.select("len").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val output = (flagged: DataFrame) => {
+      val covered = (i: Column) => coalesce(
+        exists(col("ps"), p => i >= p.getField("pos") &&
+          i < p.getField("pos") + p.getField("len")), lit(false))
+      toks.join(flagged, Seq("doc_id"), "left")
+        .withColumn("kept", filter(col("ws"), (t, i) => not(covered(i))))
+        .select(col("doc_id"),
+          size(col("ws")).as("n_tokens"),
+          (size(col("ws")) - size(col("kept"))).as("n_removed"),
+          concat_ws(" ", col("kept")).as("clean_text"))
+    }
+    if (lensArr.isEmpty) // nothing mined: no doc has a covered token
+      return output(toks.select(col("doc_id")).limit(0)
+        .withColumn("ps", array().cast("array<struct<pos:int,len:int>>")))
+    val windows = windowFingerprints(toks, lensArr, maxLen)
     val flagged = windows.join(broadcast(sp), Seq("h", "len"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("len"))).as("ps"))
-    val covered = (i: Column) => coalesce(
-      exists(col("ps"), p => i >= p.getField("pos") &&
-        i < p.getField("pos") + p.getField("len")), lit(false))
-    toks.join(flagged, Seq("doc_id"), "left")
-      .withColumn("kept", filter(col("ws"), (t, i) => not(covered(i))))
-      .select(col("doc_id"),
-        size(col("ws")).as("n_tokens"),
-        (size(col("ws")) - size(col("kept"))).as("n_removed"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+    output(flagged)
+  }
+
+  // Rabin–Karp double-modulus parameters: M < 2^31 keeps every
+  // product below 2^62 (Spark 4 ANSI overflow-safe); the two packed
+  // residues give ~62-bit fingerprints
+  private val M1 = 2147483629L; private val B1 = 1000003L
+  private val M2 = 2147483587L; private val B2 = 4000037L
+
+  private def powTable(b: Long, m: Long, maxLen: Int): Array[Long] = {
+    val a = new Array[Long](maxLen + 1)
+    a(0) = 1L
+    var i = 1
+    while (i <= maxLen) { a(i) = a(i - 1) * b % m; i += 1 }
+    a
+  }
+
+  /** Canonical fingerprint B^maxLen·polyhash(span) for each mined
+    * span, folded over the (topK-bounded) representative slice.
+    * Output: (h, len) distinct. */
+  private[graft] def spanFingerprints(mined: DataFrame, toks: DataFrame,
+                                      maxLen: Int): DataFrame = {
+    val pw1 = typedlit(powTable(B1, M1, maxLen).toSeq)
+    val pw2 = typedlit(powTable(B2, M2, maxLen).toSeq)
+    def fold(b: Long, m: Long) = aggregate(
+      slice(col("ws"), col("off").cast("int"), col("span").cast("int")),
+      lit(0L),
+      (acc, t) => pmod(acc * b + pmod(xxhash64(t), lit(m)), lit(m)))
+    broadcast(mined).join(toks, "doc_id")
+      .select(
+        (pmod(fold(B1, M1) * element_at(pw1, lit(maxLen + 1)), lit(M1))
+          * M2 +
+         pmod(fold(B2, M2) * element_at(pw2, lit(maxLen + 1)), lit(M2)))
+          .as("h"),
+        col("span").cast("int").as("len"))
+      .distinct()
+  }
+
+  /** All candidate-window fingerprints for every mined length, from
+    * ONE prefix-sum pass over per-doc token rows (one exchange on
+    * doc_id; every lead/lag/cumsum shares that sort). Output:
+    * (doc_id, pos [0-based start], len, h) with h the same canonical
+    * B^maxLen·polyhash as [[spanFingerprints]]. */
+  private[graft] def windowFingerprints(toks: DataFrame, lensArr: Seq[Int],
+                                        maxLen: Int): DataFrame = {
+    val pw1 = typedlit(powTable(B1, M1, maxLen).toSeq)
+    val pw2 = typedlit(powTable(B2, M2, maxLen).toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j")
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    // u_j = t_j · B^(maxLen − j); the cumulative sum stays < 2^31·maxLen
+    val tokRows = toks
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        posexplode(col("ws")).as(Seq("j0", "tok")))
+      .select(col("doc_id"), col("n"), (col("j0") + 1).as("j"),
+        pmod(pmod(xxhash64(col("tok")), lit(M1)) *
+          element_at(pw1, lit(maxLen) - col("j0")), lit(M1))
+          .as("u1"),
+        pmod(pmod(xxhash64(col("tok")), lit(M2)) *
+          element_at(pw2, lit(maxLen) - col("j0")), lit(M2))
+          .as("u2"))
+    var withV = tokRows
+      .withColumn("V1", pmod(sum(col("u1")).over(wCum), lit(M1)))
+      .withColumn("V2", pmod(sum(col("u2")).over(wCum), lit(M2)))
+      .withColumn("vp1", lag(col("V1"), 1, 0L).over(w))
+      .withColumn("vp2", lag(col("V2"), 1, 0L).over(w))
+    for (len <- lensArr) {
+      val (ve1, ve2) =
+        if (len == 1) (col("V1"), col("V2"))
+        else (lead(col("V1"), len - 1).over(w),
+              lead(col("V2"), len - 1).over(w))
+      withV = withV.withColumn(s"ve1_$len", ve1)
+        .withColumn(s"ve2_$len", ve2)
+    }
+    val cands = array(lensArr.map { len =>
+      val e = col("j") + lit(len - 1) // 1-based window end
+      val c1 = pmod(pmod(col(s"ve1_$len") - col("vp1"), lit(M1)) *
+        element_at(pw1, e + 1), lit(M1))
+      val c2 = pmod(pmod(col(s"ve2_$len") - col("vp2"), lit(M2)) *
+        element_at(pw2, e + 1), lit(M2))
+      struct(lit(len).as("len"),
+        when(e <= col("n"), c1 * M2 + c2).as("h"))
+    }: _*)
+    withV.select(col("doc_id"), (col("j") - 1).as("pos"),
+        explode(cands).as("wd"))
+      .filter(col("wd.h").isNotNull)
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("wd.len").as("len"), col("wd.h").as("h"))
   }
 }
