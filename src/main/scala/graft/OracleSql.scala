@@ -7391,6 +7391,10 @@ object OracleSql {
     "q290_xml_roundtrip" -> q257,
     // q290 shares q257's oracle by design: same projection, the
     // container (XML vs ORC) never changes the answer
+    "q291_jpeg_progressive" -> q256,
+    // q291 shares q256's oracle by design: same DC closed form, the
+    // scan structure (progressive vs baseline) never changes the
+    // reconstruction
     "q258_loo_encoding" -> q258,
     "q259_feature_hash" -> q259,
     "q260_bleu_pairs" -> q260,

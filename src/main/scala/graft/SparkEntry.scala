@@ -472,6 +472,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-10: PROGRESSIVE (SOF2) JPEG through the driver gate — the
+    * q256 block grid re-encoded as a five-scan Annex G script (DC
+    * successive approximation + split-band AC scans with EOB runs);
+    * the closed form is identical, so a hash match proves the
+    * multi-scan coefficient accumulation reconstructs bit-for-bit
+    * what the baseline walk would. */
+  private def qJpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticProgressiveJpegPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-9: the COLOR JPEG walk through the driver gate — even ids
     * grayscale, odd ids 3-component 4:4:4 with flat Y/Cb/Cr planes;
     * the oracle replays the decoder's fixed-point BT.601 (BIGINT
@@ -4168,7 +4185,8 @@ object SparkEntry {
       "q287_ks_drift" -> (qKsDrift _),
       "q288_theil_sen" -> (qTheilSen _),
       "q289_seasonal_anomalies" -> (qSeasonalAnomalies _),
-      "q290_xml_roundtrip" -> (qXmlRoundtrip _))
+      "q290_xml_roundtrip" -> (qXmlRoundtrip _),
+      "q291_jpeg_progressive" -> (qJpegProgressive _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

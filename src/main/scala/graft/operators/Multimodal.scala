@@ -271,6 +271,39 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-10 PROGRESSIVE twin of [[syntheticJpegPayloads]] for the
+    * q291 registered query — same block grid and closed form
+    * (pixel = 2·dc + 128), but encoded as SOF2 with the full Annex G
+    * scan script (DC first at Al=1, DC refinement, two split AC-first
+    * scans whose bands are all-zero here so they entropy-code as pure
+    * EOB runs, and an AC refinement pass): a hash match proves the
+    * multi-scan accumulation — two-pass DC successive approximation
+    * included — reconstructs bit-for-bit what the baseline walk would.
+    * Map-only, the q214 scale shape. */
+  def syntheticProgressiveJpegPayloads(docs: DataFrame,
+                                       idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (1 + id % 3).toInt
+          val hB = (1 + (id / 3) % 3).toInt
+          val quant = Array.fill(64)(16)
+          val blocks = Array.tabulate(wB * hB) { b =>
+            val bx = b % wB; val by = b / wB
+            val z = new Array[Int](64)
+            z(0) = (((5 * bx + 7 * by + 3 * id) % 64) - 32).toInt
+            z
+          }
+          (id, graft.functions.JpegCodec.encodeJpegGrayProgressive(
+            blocks, wB * 8, hB * 8, quant))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Round-9 COLOR twin of [[syntheticJpegPayloads]] for the q265
     * registered query: even ids carry the grayscale profile, odd ids
     * a 3-component 4:4:4 DC-only JPEG — per block the quantized DCs
