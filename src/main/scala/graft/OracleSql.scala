@@ -5187,26 +5187,31 @@ object OracleSql {
     * vocab piece matching substr(word, p+1, ·), argmax per (word,
     * pos) with (best DESC, path ASC) — the engine's exact
     * tie-breaking. */
-  private val q269 = {
-    val rounds = (0 until 12).map { p =>
+  /** The 12 unrolled Viterbi rounds over a named state/vocab pair —
+    * shared by q269 (one DP) and q293 (a DP per EM round). */
+  private def viterbiRounds(st: String, vocab: String): String =
+    (0 until 12).map { p =>
       // AS MATERIALIZED: each round references the previous one TWICE
       // (carry + extend) — inlined CTEs would replay the whole prefix
       // 2^12 times
-      s"""st${p + 1} AS MATERIALIZED (
+      s"""$st${p + 1} AS MATERIALIZED (
          |  SELECT word, pos, best, path FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word, pos
          |      ORDER BY best DESC, path ASC) AS rn
          |    FROM (
-         |      SELECT word, pos, best, path FROM st$p
+         |      SELECT word, pos, best, path FROM $st$p
          |      UNION ALL
          |      SELECT c.word, $p + len(v.piece) AS pos,
          |        c.best + v.score AS best,
          |        c.path || '|' || v.piece AS path
-         |      FROM st$p c JOIN vocab v
+         |      FROM $st$p c JOIN $vocab v
          |        ON c.pos = $p
          |        AND v.piece = substr(c.word, ${p + 1}, len(v.piece))))
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+
+  private val q269 = {
+    val rounds = viterbiRounds("st", "vocab")
     s"""WITH toks AS (
        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
        |    x -> x <> '')) AS tok
@@ -5234,6 +5239,72 @@ object OracleSql {
        |  CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS n_pieces,
        |  substr(path, 2) AS segments
        |FROM st12 WHERE pos = len(word)
+       |ORDER BY word""".stripMargin
+  }
+
+  /** q293: EM-with-pruning replay — the q269 vocabulary seeds a first
+    * Viterbi DP (sa*), piece usages weighted by word occurrence
+    * counts form the M-step (re-score usage·len², prune the bottom
+    * 200‰ of multi-char pieces by (usage, piece) ascending, keep
+    * every single char), and the refined vocabulary drives the
+    * second DP (sb*) whose segmentation is the answer. */
+  private val q293 = {
+    val dpA = viterbiRounds("sa", "vocab")
+    val dpB = viterbiRounds("sb", "v1")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM documents),
+       |starts AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM toks),
+       |sub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM starts
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, COUNT(*) AS cnt,
+       |    CAST(COUNT(*) * len(piece) * len(piece) AS BIGINT) AS score
+       |  FROM sub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |wc AS MATERIALIZED (
+       |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS w_cnt
+       |  FROM toks WHERE len(tok) <= 12 GROUP BY tok),
+       |sa0 AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best, '' AS path
+       |  FROM wc),
+       |$dpA,
+       |segA AS (
+       |  SELECT word, path FROM sa12 WHERE pos = len(word)),
+       |pu AS MATERIALIZED (
+       |  SELECT u.piece, CAST(SUM(w.w_cnt) AS BIGINT) AS u_cnt
+       |  FROM (SELECT word, unnest(string_split(substr(path, 2), '|'))
+       |          AS piece FROM segA) u
+       |  JOIN wc w USING (word)
+       |  GROUP BY u.piece),
+       |multi AS (SELECT * FROM pu WHERE len(piece) > 1),
+       |kept AS (
+       |  SELECT piece, u_cnt FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY u_cnt ASC, piece ASC)
+       |      AS rid FROM multi)
+       |  WHERE rid > (SELECT COUNT(*) * 200 // 1000 FROM multi)),
+       |v1 AS MATERIALIZED (
+       |  SELECT piece, CAST(u_cnt * len(piece) * len(piece) AS BIGINT)
+       |    AS score
+       |  FROM kept
+       |  UNION ALL
+       |  SELECT s.piece, CAST(COALESCE(u.u_cnt, 0) AS BIGINT) AS score
+       |  FROM (SELECT piece FROM vocab WHERE len(piece) = 1) s
+       |  LEFT JOIN pu u USING (piece)),
+       |sb0 AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best, '' AS path
+       |  FROM wc),
+       |$dpB
+       |SELECT word, best AS best_score,
+       |  CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS n_pieces,
+       |  substr(path, 2) AS segments
+       |FROM sb12 WHERE pos = len(word)
        |ORDER BY word""".stripMargin
   }
 
@@ -6728,6 +6799,41 @@ object OracleSql {
       |    AS BIGINT) AS n_unmatched
       |FROM j GROUP BY eu ORDER BY user_id""".stripMargin
 
+  /** q292: full-outer stream-join replay — the batch FULL join
+    * restricted to the per-side resolved region (e_ts for
+    * error-bearing rows, p_ts for purchase-only rows, both ≤
+    * min-side max(ts) − 2 h), where streaming eviction has certainly
+    * emitted every null row on both sides. */
+  private val q292 =
+    """WITH e AS (
+      |  SELECT event_id AS error_id, user_id AS eu, ts AS e_ts
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id AS pu, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (
+      |  SELECT LEAST(
+      |    (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+      |    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+      |    - INTERVAL 2 HOUR AS cutoff),
+      |j AS (
+      |  SELECT e.eu, p.pu, e.error_id, p.purchase_id, e.e_ts, p.p_ts
+      |  FROM e FULL JOIN p ON e.eu = p.pu
+      |    AND p.p_ts >= e.e_ts - INTERVAL 30 MINUTE
+      |    AND p.p_ts <= e.e_ts)
+      |SELECT COALESCE(eu, pu) AS user_id, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN error_id IS NOT NULL
+      |    AND purchase_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_err_unmatched,
+      |  CAST(SUM(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purch_unmatched
+      |FROM j
+      |WHERE (e_ts IS NOT NULL AND e_ts <= (SELECT cutoff FROM mx))
+      |   OR (e_ts IS NULL AND p_ts <= (SELECT cutoff FROM mx))
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** q282: lagged cross-stats replay — the q244 epoch-day rollup,
     * 8 shifted copies, join-on-existence sums in BIGINT casts. */
   private val q282 =
@@ -7407,6 +7513,7 @@ object OracleSql {
     "q267_partition_pruning" -> q267,
     "q268_sketch_rollup" -> q268,
     "q269_unigram_segment" -> q269,
+    "q293_unigram_em" -> q293,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,
@@ -7419,6 +7526,7 @@ object OracleSql {
     "q279_walk_pmi" -> q279,
     "q280_dedup_recall" -> q280,
     "q281_stream_outer_join" -> q281,
+    "q292_stream_full_outer" -> q292,
     "q282_lagged_xcorr" -> q282,
     "q283_hll_accuracy" -> q283,
     "q284_cumulative_distinct" -> q284,

@@ -1155,6 +1155,18 @@ object SparkEntry {
       .orderBy("lang", "register")
   }
 
+  /** Round-10: unigram-LM vocabulary by EM-with-pruning (Kudo 2018 in
+    * the hard-E-step integer form) — the q269 seed vocabulary, one
+    * Viterbi E-step whose piece usages are weighted by word
+    * occurrence counts, an M-step that re-scores usage·len² and
+    * prunes the bottom 20 % of multi-char pieces, then the final
+    * segmentation against the refined vocabulary. */
+  private def qUnigramEm(s: SparkSession, dir: String): DataFrame =
+    operators.UnigramSegment.emSegment(Tables.documents(s, dir), "text")
+      .select(col("word"), col("best_score"),
+        col("n_pieces").cast("long").as("n_pieces"), col("segments"))
+      .orderBy("word")
+
   /** Round-9: unigram-LM subword segmentation — in-corpus piece
     * vocabulary (substring counts, len ≤ 4), then per-word Viterbi
     * for the max-score piece sequence; the global-optimum tokenizer
@@ -1340,6 +1352,14 @@ object SparkEntry {
     * join under the same cutoff is exact. */
   private def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame =
     streaming.EventsStream.errorPurchaseOuterJoin(s, dir)
+      .orderBy("user_id")
+
+  /** Round-10: FULL OUTER watermarked stream-stream join — the
+    * last cell of the stream-join matrix (inner q68, left q281);
+    * both sides' null-padded eviction rows under the q281
+    * resolved-region contract, checked by the batch full join. */
+  private def qStreamFullOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streaming.EventsStream.errorPurchaseFullOuterJoin(s, dir)
       .orderBy("user_id")
 
   /** Round-9: lagged cross-correlation sufficient stats between daily
@@ -4186,7 +4206,9 @@ object SparkEntry {
       "q288_theil_sen" -> (qTheilSen _),
       "q289_seasonal_anomalies" -> (qSeasonalAnomalies _),
       "q290_xml_roundtrip" -> (qXmlRoundtrip _),
-      "q291_jpeg_progressive" -> (qJpegProgressive _))
+      "q291_jpeg_progressive" -> (qJpegProgressive _),
+      "q292_stream_full_outer" -> (qStreamFullOuterJoin _),
+      "q293_unigram_em" -> (qUnigramEm _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4246,7 +4268,16 @@ object SparkEntry {
     "q271_mv_rewrite", "q272_stream_hll", "q273_jpeg_420",
     // round-9 session 3 (cont.): the double-kernel dedup audit and the
     // IVFADC + exact-rerank serving chain
-    "q280_dedup_recall", "q286_adc_rerank")
+    "q280_dedup_recall", "q286_adc_rerank",
+    // round 10: tripwires for the round-9 families the gate didn't
+    // yet time (count-min, k-core peeling, TextRank's iterative
+    // walk, partition-pruned layout, histogram-bisection median)…
+    "q243_cm_registers", "q248_kcore", "q253_textrank",
+    "q267_partition_pruning", "q275_exact_median",
+    // …and the round-10 additions: progressive JPEG, the full-outer
+    // stream join, and the double-DP EM tokenizer
+    "q291_jpeg_progressive", "q292_stream_full_outer",
+    "q293_unigram_em")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

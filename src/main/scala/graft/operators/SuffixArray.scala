@@ -240,11 +240,16 @@ object SuffixArray {
     val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
       .localCheckpoint()
     val maxLen = toks.agg(max(size(col("ws")))).head.getInt(0)
-    // mined span fingerprints (topK-bounded, broadcast) and the
-    // distinct length set (bounded driver collect, the house rule)
-    val sp = spanFingerprints(mined, toks, maxLen).localCheckpoint()
-    val lensArr = sp.select("len").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // mined span fingerprints: ≤ topK distinct (h, len) rows — a
+    // sanctioned bounded collect, so matching inlines as a literal
+    // per-length hash set INSIDE the window-fingerprint expression
+    // (no broadcast-side exchange, no semi join, and the explode
+    // emits ONLY matching windows instead of every candidate)
+    val keep = spanFingerprints(mined, toks, maxLen)
+      .collect()
+      .groupBy(_.getInt(1))
+      .map { case (len, rs) => len -> rs.map(_.getLong(0)) }
+    val lensArr = keep.keys.toSeq.sorted
     val output = (flagged: DataFrame) => {
       val covered = (i: Column) => coalesce(
         exists(col("ps"), p => i >= p.getField("pos") &&
@@ -259,8 +264,8 @@ object SuffixArray {
     if (lensArr.isEmpty) // nothing mined: no doc has a covered token
       return output(toks.select(col("doc_id")).limit(0)
         .withColumn("ps", array().cast("array<struct<pos:int,len:int>>")))
-    val windows = windowFingerprints(toks, lensArr, maxLen)
-    val flagged = windows.join(broadcast(sp), Seq("h", "len"), "left_semi")
+    val windows = windowFingerprints(toks, lensArr, maxLen, keep)
+    val flagged = windows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("len"))).as("ps"))
     output(flagged)
@@ -305,9 +310,15 @@ object SuffixArray {
     * ONE prefix-sum pass over per-doc token rows (one exchange on
     * doc_id; every lead/lag/cumsum shares that sort). Output:
     * (doc_id, pos [0-based start], len, h) with h the same canonical
-    * B^maxLen·polyhash as [[spanFingerprints]]. */
+    * B^maxLen·polyhash as [[spanFingerprints]]. When `keep` supplies
+    * a per-length literal hash set (topK-bounded by construction),
+    * membership is tested inside the fingerprint expression and only
+    * MATCHING windows are emitted — the whole candidate stream
+    * collapses map-side. */
   private[graft] def windowFingerprints(toks: DataFrame, lensArr: Seq[Int],
-                                        maxLen: Int): DataFrame = {
+                                        maxLen: Int,
+                                        keep: Map[Int, Array[Long]] =
+                                          Map.empty): DataFrame = {
     val pw1 = typedlit(powTable(B1, M1, maxLen).toSeq)
     val pw2 = typedlit(powTable(B2, M2, maxLen).toSeq)
     val w = org.apache.spark.sql.expressions.Window
@@ -345,8 +356,13 @@ object SuffixArray {
         element_at(pw1, e + 1), lit(M1))
       val c2 = pmod(pmod(col(s"ve2_$len") - col("vp2"), lit(M2)) *
         element_at(pw2, e + 1), lit(M2))
-      struct(lit(len).as("len"),
-        when(e <= col("n"), c1 * M2 + c2).as("h"))
+      val h = c1 * M2 + c2
+      val valid = keep.get(len) match {
+        case Some(hs) =>
+          e <= col("n") && array_contains(typedlit(hs.toSeq), h)
+        case None => e <= col("n")
+      }
+      struct(lit(len).as("len"), when(valid, h).as("h"))
     }: _*)
     withV.select(col("doc_id"), (col("j") - 1).as("pos"),
         explode(cands).as("wd"))

@@ -99,4 +99,80 @@ object UnigramSegment {
         (size(split(col("path"), "\\|")) - 1).as("n_pieces"),
         substring(col("path"), 2, 10000).as("segments"))
   }
+
+  /** Kudo-2018-style EM vocabulary refinement WITH PRUNING — the
+    * other half of the unigram-LM tokenizer ([[pieceVocab]] seeds,
+    * this loop re-estimates and shrinks). Per EM round:
+    *
+    *  - E-step (HARD/Viterbi, the log-free q239 stance: Kudo's
+    *    forward–backward expectations become argmax-path usage
+    *    counts, keeping every quantity integer-exact and
+    *    oracle-replayable): segment every distinct word with the
+    *    current scores and weight each used piece by the word's
+    *    corpus occurrence count;
+    *  - M-step: re-score pieces as usage·len(piece)² (the q269
+    *    objective family, counts now model-consistent instead of raw
+    *    substring frequencies) and PRUNE the bottom prunePermille‰
+    *    of multi-char pieces by (usage asc, piece asc) — Kudo's
+    *    drop-bottom-p% step. Unused multi-char pieces drop
+    *    implicitly; single-char pieces are NEVER pruned, so every
+    *    word stays segmentable.
+    *
+    * `emRounds` deterministic rounds (unrolled — the PageRank/q239
+    * convention, no convergence test). Scale shape: each E-step is
+    * the [[viterbiSegment]] bounded-round DP over DISTINCT words; the
+    * M-step is one groupBy over path pieces plus a
+    * [[Curation.globalRowIds]] rank over the (vocabulary-sized,
+    * corpus-independent) candidate set — no single-partition window;
+    * the only driver scalar per round is the candidate count that
+    * fixes the prune cutoff.
+    *
+    * Output: the refined vocabulary (piece, score). */
+  def emVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+              minCount: Long = 2L, cap: Int = 12, emRounds: Int = 1,
+              prunePermille: Int = 200): DataFrame = {
+    val words = docs.select(
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("word"))
+      .filter(length(col("word")) <= cap)
+      .groupBy("word").agg(count(lit(1)).as("w_cnt"))
+      .localCheckpoint()
+    var vocab = pieceVocab(docs, textCol, maxPieceLen, minCount)
+      .select("piece", "score").localCheckpoint()
+    val singles = vocab.filter(length(col("piece")) === 1)
+      .select("piece").localCheckpoint()
+    for (_ <- 0 until emRounds) {
+      val seg = viterbiSegment(words.select(col("word").as("text")),
+        "text", vocab, maxPieceLen, cap)
+      val usage = seg.join(words, "word")
+        .select(explode(split(col("segments"), "\\|")).as("piece"),
+          col("w_cnt"))
+        .groupBy("piece").agg(sum(col("w_cnt")).as("usage"))
+        .localCheckpoint()
+      val multi = usage.filter(length(col("piece")) > 1)
+      val nPrune = multi.count() * prunePermille / 1000
+      val kept = Curation.globalRowIds(multi, Seq("usage", "piece"))
+        .filter(col("global_id") > nPrune)
+        .select("piece", "usage")
+      val singleUsage = singles.join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+      vocab = kept.unionByName(singleUsage)
+        .select(col("piece"),
+          (col("usage") * length(col("piece")) * length(col("piece")))
+            .as("score"))
+        .localCheckpoint()
+    }
+    vocab
+  }
+
+  /** [[viterbiSegment]] against the [[emVocab]]-refined vocabulary —
+    * the end-to-end unigram-LM tokenizer (seed → EM-with-pruning →
+    * segment). */
+  def emSegment(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                minCount: Long = 2L, cap: Int = 12, emRounds: Int = 1,
+                prunePermille: Int = 200): DataFrame =
+    viterbiSegment(docs, textCol,
+      emVocab(docs, textCol, maxPieceLen, minCount, cap, emRounds,
+        prunePermille),
+      maxPieceLen, cap)
 }

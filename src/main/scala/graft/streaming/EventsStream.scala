@@ -173,6 +173,55 @@ object EventsStream {
           .as("n_unmatched"))
   }
 
+  /** FULL OUTER watermarked stream-stream join — completes the
+    * stream-join matrix ([[errorPurchaseIntervalJoin]] inner,
+    * [[errorPurchaseOuterJoin]] left): BOTH sides emit null-padded
+    * rows on watermark eviction. Same resolved-region contract as
+    * q281, applied per side: a row is deterministic once ITS
+    * timestamp — e_ts for error-bearing rows, p_ts for
+    * purchase-only rows — is ≤ min-side max(ts) − 2·delay; the batch
+    * full join under the same per-side cutoff is a full-strength
+    * oracle.
+    *
+    * Output per user (either side): resolved rows, matched pairs,
+    * null-emitted errors, null-emitted purchases. */
+  def errorPurchaseFullOuterJoin(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      expr("""e_user = p_user AND
+              p_ts >= e_ts - INTERVAL 30 MINUTES AND p_ts <= e_ts"""),
+      "fullOuter")
+    val raw = runToMemory(spark, joined, "graft_stream_full_outer_join",
+      "append")
+    val batchEv = graft.Tables.events(spark, dir)
+    val sideMax = batchEv
+      .filter(col("event_type").isin("error", "purchase"))
+      .groupBy("event_type").agg(max(col("ts")).as("mx"))
+      .agg(min(col("mx"))).head().getTimestamp(0).toInstant
+    val cutoffTs = lit(java.sql.Timestamp.from(
+      sideMax.minusSeconds(2 * 3600)))
+    raw.filter(
+        (col("e_ts").isNotNull && col("e_ts") <= cutoffTs) ||
+        (col("e_ts").isNull && col("p_ts") <= cutoffTs))
+      .groupBy(coalesce(col("e_user"), col("p_user")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("error_id").isNotNull &&
+          col("purchase_id").isNotNull, 1)).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_err_unmatched"),
+        sum(when(col("error_id").isNull, 1L).otherwise(0L))
+          .as("n_purch_unmatched"))
+  }
+
   /** Daily event counts + value sums per event_type, computed by a
     * streaming query over `<dir>/events.parquet`, returned as a batch
     * DataFrame once the file is fully processed. */

@@ -83,6 +83,44 @@ class Round10Spec extends SparkSpec {
     assert(out(3L) == ((8, 0, "unique text with no repeats at all here")))
   }
 
+  // --- unigram-LM EM vocabulary (q293) --------------------------------------
+
+  test("emVocab: prunes the bottom multi-char pieces by usage, keeps " +
+      "every single char, and emSegment still segments every word") {
+    // 10 words; 'abcd' dominates usage, rare pieces get pruned
+    val docs = Seq((1L, "abcd abcd abcd abcd zq zq xv abcd abcd pppp"))
+      .toDF("doc_id", "text")
+    val vocab = operators.UnigramSegment
+      .emVocab(docs, "text", emRounds = 1, prunePermille = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every single char of the corpus survives
+    for (c <- "abcdzqxvp")
+      assert(vocab.contains(c.toString), s"single char $c pruned")
+    // the dominant piece survives with usage-weighted score:
+    // 'abcd' used 6 times, len 4 -> score 96
+    assert(vocab.get("abcd").contains(96L))
+    val seg = operators.UnigramSegment
+      .emSegment(docs, "text", emRounds = 1, prunePermille = 500)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // all four distinct words segment (singles guarantee coverage)
+    assert(seg.keySet == Set("abcd", "zq", "xv", "pppp"))
+    assert(seg("abcd") == "abcd")
+  }
+
+  test("emVocab: a piece the E-step never uses is dropped even when " +
+      "the seed vocabulary contained it") {
+    // seed vocab contains 'ab', 'bc', 'abc' (all count >= 2); Viterbi
+    // prefers 'abc' (score 2*9=18 beats ab+c / a+bc), so 'ab'/'bc'
+    // have usage 0 and must vanish from the refined vocabulary
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val vocab = operators.UnigramSegment
+      .emVocab(docs, "text", emRounds = 1, prunePermille = 0)
+      .collect().map(r => r.getString(0)).toSet
+    assert(vocab.contains("abc"))
+    assert(!vocab.contains("ab") && !vocab.contains("bc"),
+      "unused multi-char pieces must drop out of the EM vocabulary")
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")

@@ -140,6 +140,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("full-outer stream-stream join emits BOTH sides' null rows in " +
+      "the resolved region and matches its batch twin") {
+    val out = graft.streaming.EventsStream
+      .errorPurchaseFullOuterJoin(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out.nonEmpty)
+    // the full-outer surface: at least one null-emitted error AND at
+    // least one null-emitted purchase somewhere (the left join could
+    // never produce the latter)
+    assert(out.exists(_._4 > 0), "expected an unmatched error row")
+    assert(out.exists(_._5 > 0), "expected an unmatched purchase row")
+    // batch twin under the same per-side cutoff
+    val ev = Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id".as("e_user"),
+        $"ts".as("e_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+    val cutoff = ev.filter($"event_type".isin("error", "purchase"))
+      .groupBy("event_type").agg(max($"ts").as("mx"))
+      .agg(min($"mx")).head().getTimestamp(0).toInstant
+      .minusSeconds(2 * 3600)
+    val cutoffTs = lit(java.sql.Timestamp.from(cutoff))
+    val batch = errors.join(purchases,
+        expr("e_user = p_user AND p_ts >= e_ts - INTERVAL 30 MINUTES " +
+          "AND p_ts <= e_ts"), "fullOuter")
+      .filter(($"e_ts".isNotNull && $"e_ts" <= cutoffTs) ||
+        ($"e_ts".isNull && $"p_ts" <= cutoffTs))
+      .groupBy(coalesce($"e_user", $"p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"error_id".isNotNull && $"purchase_id".isNotNull, 1))
+          .as("n_matched"),
+        sum(when($"purchase_id".isNull, 1L).otherwise(0L))
+          .as("n_err_unmatched"),
+        sum(when($"error_id".isNull, 1L).otherwise(0L))
+          .as("n_purch_unmatched"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == batch)
+  }
+
   test("transformWithState per-type MapState matches its batch twin") {
     val streamed = streaming.TypeStats.perTypeStats(spark, sf)
       .select("user_id", "event_type", "n_events", "min_event_id",
