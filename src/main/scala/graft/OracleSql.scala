@@ -4698,6 +4698,41 @@ object OracleSql {
       |  energy > 333000 * 16 AS active
       |FROM e ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q296: resampling replay — the q217 waveform closed form
+    * s(k) = ((17k + 3·id) % 2001) − 1000, rate 8000 + (id%5)·1000,
+    * linearly interpolated to 10 kHz with the same div/mod
+    * arithmetic (DuckDB // and Scala / both truncate toward zero, so
+    * negative samples replay bit-exactly). */
+  private val q296 =
+    """WITH ids AS (
+      |  SELECT doc_id, 64 + doc_id % 65 AS n,
+      |    8000 + (doc_id % 5) * 1000 AS rate
+      |  FROM documents),
+      |pos AS (
+      |  SELECT i.doc_id, i.n, i.rate, u.i AS oi,
+      |    (u.i * i.rate) // 10000 AS j,
+      |    (u.i * i.rate) % 10000 AS r
+      |  FROM ids i,
+      |    UNNEST(range(0, ((i.n - 1) * 10000) // i.rate + 1)) u(i)),
+      |v AS (
+      |  SELECT doc_id, n, rate,
+      |    CASE WHEN r = 0
+      |      THEN ((17 * j + 3 * doc_id) % 2001) - 1000
+      |      ELSE ((((17 * j + 3 * doc_id) % 2001) - 1000)
+      |              * (10000 - r)
+      |            + (((17 * (j + 1) + 3 * doc_id) % 2001) - 1000) * r)
+      |           // 10000 END AS s
+      |  FROM pos)
+      |SELECT doc_id,
+      |  CAST(rate AS BIGINT) AS src_rate,
+      |  CAST(10000 AS BIGINT) AS dst_rate,
+      |  CAST(n AS BIGINT) AS n_in,
+      |  CAST(COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(SUM(s) AS BIGINT) AS sum_out,
+      |  CAST(SUM(s * s) AS BIGINT) AS energy_out
+      |FROM v GROUP BY doc_id, rate, n
+      |ORDER BY doc_id""".stripMargin
+
   /** q218: dHash replay — 9×8 nearest resize of the q214 pattern
     * (sx = x·w//9, sy = y·h//8), integer 77/150/29 luma, bit
     * k = 8y+x set iff gray(x+1,y) > gray(x,y); published as two
@@ -5307,6 +5342,72 @@ object OracleSql {
        |FROM sb12 WHERE pos = len(word)
        |ORDER BY word""".stripMargin
   }
+
+  /** q297: backoff-support replay — position rows with their
+    * (uni, bi, tri) grams, three grouped counts, highest resolving
+    * order with count ≥ 2, per-doc histogram + floor milli score. */
+  private val q297 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+      |      AS w
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    w[u.i] AS uni,
+      |    CASE WHEN u.i >= 2
+      |      THEN w[u.i - 1] || ' ' || w[u.i] END AS bi,
+      |    CASE WHEN u.i >= 3
+      |      THEN w[u.i - 2] || ' ' || w[u.i - 1] || ' ' || w[u.i] END
+      |      AS tri
+      |  FROM t, UNNEST(range(1, len(w) + 1)) u(i)
+      |  WHERE len(w) >= 1),
+      |c1 AS (SELECT uni, COUNT(*) AS c1 FROM pos GROUP BY uni),
+      |c2 AS (SELECT bi, COUNT(*) AS c2 FROM pos
+      |       WHERE bi IS NOT NULL GROUP BY bi),
+      |c3 AS (SELECT tri, COUNT(*) AS c3 FROM pos
+      |       WHERE tri IS NOT NULL GROUP BY tri),
+      |lv AS (
+      |  SELECT p.doc_id,
+      |    CASE WHEN COALESCE(c3.c3, 0) >= 2 THEN 3
+      |         WHEN COALESCE(c2.c2, 0) >= 2 THEN 2
+      |         WHEN c1.c1 >= 2 THEN 1 ELSE 0 END AS lvl
+      |  FROM pos p
+      |  LEFT JOIN c3 ON c3.tri = p.tri
+      |  LEFT JOIN c2 ON c2.bi = p.bi
+      |  JOIN c1 ON c1.uni = p.uni)
+      |SELECT doc_id, COUNT(*) AS n_pos,
+      |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tri,
+      |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bi,
+      |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_uni,
+      |  CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unk,
+      |  CAST((3000 * SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END)
+      |      + 2000 * SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)
+      |      + 1000 * SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS support_milli
+      |FROM lv GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q294: Aho–Corasick replay — every (pattern, start) position
+    * tested by brute force; overlapping occurrences count, exactly
+    * the automaton's all-matches output. */
+  private val q294 =
+    """WITH pats AS (
+      |  SELECT unnest(['a', 'ta', 'tab', 'able', 'scan', 'an',
+      |    'data', 'at', 'row', 'order']) AS pattern)
+      |SELECT d.doc_id, p.pattern,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matches
+      |FROM documents d
+      |CROSS JOIN pats p,
+      |  UNNEST(range(1, len(lower(d.text)) - len(p.pattern) + 2)) u(s)
+      |WHERE substr(lower(d.text), CAST(u.s AS INTEGER),
+      |  len(p.pattern)) = p.pattern
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, pattern""".stripMargin
 
   /** q270: schema-evolution replay — the merged read is the union of
     * the two batches with NULL for the pre-evolution column. */
@@ -6921,6 +7022,40 @@ object OracleSql {
 
   /** q287: exact KS replay — per-value rollup, cumulative window over
     * distinct values, max |cumA·nB − cumB·nA|. */
+  /** q295: Mann–Whitney replay — q287's per-value (ca, cb) rollup,
+    * cumulative-below-B window, doubled-U sum, identity-derived u2_b,
+    * floor AUC ppm. */
+  private val q295 =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v,
+      |    CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |r AS (
+      |  SELECT grp, v, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - a) AS BIGINT) AS cb
+      |  FROM b GROUP BY 1, 2),
+      |w AS (
+      |  SELECT grp, v, ca, cb,
+      |    COALESCE(SUM(cb) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS cbp,
+      |    SUM(ca) OVER (PARTITION BY grp) AS n_a,
+      |    SUM(cb) OVER (PARTITION BY grp) AS n_b
+      |  FROM r)
+      |SELECT grp AS o_orderpriority,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(SUM(ca * (2 * cbp + cb)) AS BIGINT) AS u2_a,
+      |  CAST(2 * n_a * n_b - SUM(ca * (2 * cbp + cb)) AS BIGINT)
+      |    AS u2_b,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN (1000000 * SUM(ca * (2 * cbp + cb)))
+      |      // (2 * n_a * n_b)
+      |    ELSE -1 END AS BIGINT) AS auc_ppm
+      |FROM w GROUP BY grp, n_a, n_b
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val q287 =
     """WITH b AS (
       |  SELECT o_orderpriority AS grp,
@@ -7514,6 +7649,10 @@ object OracleSql {
     "q268_sketch_rollup" -> q268,
     "q269_unigram_segment" -> q269,
     "q293_unigram_em" -> q293,
+    "q294_pattern_scan" -> q294,
+    "q295_mann_whitney" -> q295,
+    "q296_audio_resample" -> q296,
+    "q297_backoff_support" -> q297,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -572,6 +572,18 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Round-10: linear PCM resampling to 10 kHz over the real WAV
+    * decode — the mixed-rate 8–12 kHz fixture corpus exercises both
+    * up- and down-sampling; Σv/Σv² pin every interpolated value and
+    * the oracle replays the div/mod interpolation from the waveform
+    * closed form. */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticAudioPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.audioResampleStats(s, payloads, dstRate = 10000)
+      .orderBy("doc_id")
+  }
+
   /** Round-8: ZCR + silence-trim bounds over the real WAV decode —
     * the voiced/fricative discriminator and the trim step's actual
     * consumable (first/last non-silent sample bounds), all-integer,
@@ -1167,6 +1179,29 @@ object SparkEntry {
         col("n_pieces").cast("long").as("n_pieces"), col("segments"))
       .orderBy("word")
 
+  /** Round-10: trigram-backoff support histogram — per document the
+    * count of positions resolving at trigram/bigram/unigram level
+    * (corpus count ≥ 2) or unk, plus the integer familiarity score;
+    * the Katz-branching signal beside q148's smoothed log-probs. */
+  private def qBackoffSupport(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.backoffSupport(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Round-10: Aho–Corasick multi-pattern scan — one automaton pass
+    * counts every (overlapping) occurrence of a 10-pattern lexicon
+    * over every document: the blocklist/PII-lexicon scanner, O(len +
+    * matches) per row instead of K contains-scans. The pattern set
+    * deliberately nests (a ⊂ ta ⊂ tab, able/at/an overlap inside
+    * table/data/scan) so failure links and merged outputs are load-
+    * bearing, not decorative. */
+  private def qPatternScan(s: SparkSession, dir: String): DataFrame =
+    operators.PatternScan.scanCounts(Tables.documents(s, dir),
+        "doc_id", "text",
+        Seq("a", "ta", "tab", "able", "scan", "an", "data", "at",
+          "row", "order"))
+      .orderBy("doc_id", "pattern")
+
   /** Round-9: unigram-LM subword segmentation — in-corpus piece
     * vocabulary (substring counts, len ≤ 4), then per-word Viterbi
     * for the max-score piece sequence; the global-optimum tokenizer
@@ -1409,6 +1444,19 @@ object SparkEntry {
         "o_orderpriority", "cents", year(col("o_orderdate")) < 1995)
       .select(col("grp").as("o_orderpriority"), col("n_a"), col("n_b"),
         col("ks_num"), col("ks_milli"))
+      .orderBy("o_orderpriority")
+
+  /** Round-10: exact Mann–Whitney U beside the q287 KS test — same
+    * inputs (order totals in cents, pre/post-1995 split per
+    * priority), doubled-U integers with the 2·n_a·n_b identity and
+    * the AUC effect size in ppm. */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mannWhitneyU(
+        Tables.orders(s, dir).withColumn("cents",
+          (dec2(col("o_totalprice")) * 100).cast("long")),
+        "o_orderpriority", "cents", year(col("o_orderdate")) < 1995)
+      .select(col("grp").as("o_orderpriority"), col("n_a"), col("n_b"),
+        col("u2_a"), col("u2_b"), col("auc_ppm"))
       .orderBy("o_orderpriority")
 
   /** Round-9: Theil-Sen robust trend per event type — the median
@@ -4208,7 +4256,11 @@ object SparkEntry {
       "q290_xml_roundtrip" -> (qXmlRoundtrip _),
       "q291_jpeg_progressive" -> (qJpegProgressive _),
       "q292_stream_full_outer" -> (qStreamFullOuterJoin _),
-      "q293_unigram_em" -> (qUnigramEm _))
+      "q293_unigram_em" -> (qUnigramEm _),
+      "q294_pattern_scan" -> (qPatternScan _),
+      "q295_mann_whitney" -> (qMannWhitney _),
+      "q296_audio_resample" -> (qAudioResample _),
+      "q297_backoff_support" -> (qBackoffSupport _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

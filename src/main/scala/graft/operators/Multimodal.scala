@@ -400,6 +400,54 @@ object Multimodal {
     * interleaved stream). Undecodable payloads keep their row with
     * decoded=false. Map-only mapPartitions, no shuffle; the 100-TB
     * shape is identical (decode is embarrassingly parallel). */
+  /** Linear-interpolation PCM resampling over the REAL WAV decode —
+    * the rate-normalization step every ASR corpus pays before
+    * feature extraction (mixed-rate crawls → one model rate).
+    * Channel 0 of each file is resampled to `dstRate`: output i maps
+    * to source position i·srcRate/dstRate; with j = num div dstRate
+    * and r = num mod dstRate the sample is s[j] when r = 0, else the
+    * weighted average (s[j]·(dstRate−r) + s[j+1]·r) div dstRate —
+    * ALL integer (Scala `/` and DuckDB `//` both truncate toward
+    * zero, so the negative-sample case replays bit-exactly). Output
+    * length floor((n−1)·dstRate/srcRate)+1 never indexes past the
+    * last frame. Published stats (Σv, Σv²) pin every interpolated
+    * value; map-only, the q214 scale shape. */
+  def audioResampleStats(spark: SparkSession, payloads: DataFrame,
+                         dstRate: Int): DataFrame = {
+    import spark.implicits._
+    require(dstRate > 0)
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.AudioCodec.decodeWav(bytes) match {
+          case Some(wav) if wav.nFrames >= 1 =>
+            val n = wav.nFrames
+            val ch = wav.channels
+            def s(k: Int): Long = wav.samples(k * ch).toLong
+            val nOut = ((n - 1).toLong * dstRate / wav.sampleRate).toInt + 1
+            var i = 0
+            var sum = 0L
+            var energy = 0L
+            while (i < nOut) {
+              val num = i.toLong * wav.sampleRate
+              val j = (num / dstRate).toInt
+              val r = num % dstRate
+              val v =
+                if (r == 0L) s(j)
+                else (s(j) * (dstRate - r) + s(j + 1) * r) / dstRate
+              sum += v
+              energy += v * v
+              i += 1
+            }
+            Iterator.single((id, wav.sampleRate.toLong, dstRate.toLong,
+              n.toLong, nOut.toLong, sum, energy))
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("doc_id", "src_rate", "dst_rate", "n_in", "n_out",
+        "sum_out", "energy_out")
+  }
+
   def audioPcmStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -498,6 +498,48 @@ object Stats {
       .select("grp", "n_a", "n_b", "ks_num", "ks_milli")
   }
 
+  /** EXACT Mann–Whitney U per group — the rank-sum drift test beside
+    * [[ksDrift]] (KS sees shape shifts, U sees stochastic dominance;
+    * a drift screen wants both). From the same per-value (ca, cb)
+    * rollup: U_A = Σ_v ca(v)·#{B < v} + ca(v)·cb(v)/2 (ties count
+    * half). The tie term halves, so the PUBLISHED statistic is
+    * doubled — u2_a = 2·U_A stays integer-exact — with the identity
+    * u2_a + u2_b = 2·n_a·n_b as the built-in invariant. The effect
+    * size ships as auc_ppm = 10⁶·U_A/(n_a·n_b) (the probability a
+    * random A exceeds a random B — the AUC), floor-divided; −1
+    * sentinel on a degenerate side (the q74 convention).
+    *
+    * Scale shape identical to [[ksDrift]]: one groupBy (grp, value)
+    * rollup, a cumulative window over the group's DISTINCT VALUES
+    * (bounded by value cardinality), one sum.
+    *
+    * Output: (grp, n_a, n_b, u2_a, u2_b, auc_ppm). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   inA: Column): DataFrame = {
+    val byVal = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"),
+        inA.cast("long").as("a"))
+      .groupBy("grp", "v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val wPrev = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("grp")
+    byVal
+      .withColumn("cbp", coalesce(sum(col("cb")).over(wPrev), lit(0L)))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(sum(col("ca") * (lit(2L) * col("cbp") + col("cb")))
+        .as("u2_a"))
+      .withColumn("u2_b",
+        lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+      .withColumn("auc_ppm", expr(
+        """CAST(CASE WHEN n_a > 0 AND n_b > 0
+          |THEN (1000000 * u2_a) div (2 * n_a * n_b)
+          |ELSE -1 END AS BIGINT)""".stripMargin))
+      .select("grp", "n_a", "n_b", "u2_a", "u2_b", "auc_ppm")
+  }
+
   /** Theil-Sen robust slope per group (the median of all pairwise
     * slopes — 29% breakdown vs OLS's zero, Sen 1968): for bounded
     * per-group series (daily rollups), every pair x_i < x_j yields

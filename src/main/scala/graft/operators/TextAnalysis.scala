@@ -328,6 +328,64 @@ object TextAnalysis {
       .withColumn("flagged", col("mean_lp") < flagBelow)
   }
 
+  /** Trigram-backoff SUPPORT histogram per document — the
+    * integer-exact face of n-gram LM familiarity ([[stupidBackoff]]
+    * publishes smoothed log-probs; this publishes the backoff LEVEL
+    * each position resolves at, the quantity Katz backoff actually
+    * branches on): position i resolves at the highest order
+    * o ≤ min(i, 3) whose corpus-wide gram count ≥ `minCount`
+    * (every gram occurs once in its own document, so minCount = 2
+    * means "seen elsewhere too"); positions resolving nowhere are
+    * `unk` (singleton words). support_milli =
+    * (3000·n_tri + 2000·n_bi + 1000·n_uni) div n_pos — a bounded
+    * [0, 3000] familiarity score, fully integer.
+    *
+    * Scale shape: one explode to position rows carrying their
+    * (uni, bi, tri) gram keys, three grouped counts over the same
+    * frame, three equi-joins back (map-side combined counts; the
+    * classic LM-scoring join topology), one per-doc rollup. */
+  def backoffSupport(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 2L): DataFrame = {
+    val pos = docs.select(col(idCol).cast("long").as("doc_id"),
+        filter(words(col(textCol)), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w"))),
+        i => struct(
+          element_at(col("w"), i).as("uni"),
+          when(i >= 2, concat_ws(" ",
+            element_at(col("w"), i - 1),
+            element_at(col("w"), i))).as("bi"),
+          when(i >= 3, concat_ws(" ",
+            element_at(col("w"), i - 2),
+            element_at(col("w"), i - 1),
+            element_at(col("w"), i))).as("tri")))).as("g"))
+      .select(col("doc_id"), col("g.uni").as("uni"),
+        col("g.bi").as("bi"), col("g.tri").as("tri"))
+      .localCheckpoint() // one corpus scan feeds counts AND scoring
+    val c1 = pos.groupBy("uni").agg(count(lit(1)).as("c1"))
+    val c2 = pos.filter(col("bi").isNotNull)
+      .groupBy("bi").agg(count(lit(1)).as("c2"))
+    val c3 = pos.filter(col("tri").isNotNull)
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    val lvl = when(coalesce(col("c3"), lit(0L)) >= minCount, 3)
+      .when(coalesce(col("c2"), lit(0L)) >= minCount, 2)
+      .when(col("c1") >= minCount, 1)
+      .otherwise(0)
+    pos.join(c3, Seq("tri"), "left")
+      .join(c2, Seq("bi"), "left")
+      .join(c1, Seq("uni"))
+      .select(col("doc_id"), lvl.as("lvl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_unk"))
+      .withColumn("support_milli", expr(
+        "(3000 * n_tri + 2000 * n_bi + 1000 * n_uni) div n_pos"))
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide
     * distribution: KL(p_source ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
     * over the source's own support (support(s) ⊆ support(c) by

@@ -83,6 +83,143 @@ class Round10Spec extends SparkSpec {
     assert(out(3L) == ((8, 0, "unique text with no repeats at all here")))
   }
 
+  // --- Aho–Corasick pattern scan (q294) -------------------------------------
+
+  private def bruteCount(text: String, pat: String): Int =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length))
+
+  test("Aho–Corasick: counts equal brute force on nested, " +
+      "overlapping, and fail-link-crossing pattern sets") {
+    val pats = Seq("a", "aa", "aaa", "ab", "bc", "abc", "cab", "x")
+    val auto = operators.PatternScan.compile(pats)
+    val texts = Seq("aaaa", "abcabcab", "cabcab", "bcbcbc", "",
+      "aabbaabcaaa", "xxx", "zzz")
+    for (t <- texts) {
+      val got = operators.PatternScan.countMatches(t, auto)
+      for ((p, i) <- pats.zipWithIndex)
+        assert(got(i) == bruteCount(t, p), s"pattern '$p' over '$t'")
+    }
+    // the canonical overlap check: 'aa' in 'aaaa' -> 3
+    assert(operators.PatternScan
+      .countMatches("aaaa", auto)(pats.indexOf("aa")) == 3)
+  }
+
+  test("scanCounts: DataFrame pass equals per-row brute force and " +
+      "emits only matched patterns") {
+    val docs = Seq((1L, "the table holds data"), (2L, "no hits here"),
+      (3L, "Scan SCAN scan")).toDF("doc_id", "text")
+    val pats = Seq("ta", "tab", "able", "scan", "data", "q")
+    val out = operators.PatternScan
+      .scanCounts(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val texts = Map(1L -> "the table holds data", 2L -> "no hits here",
+      3L -> "scan scan scan")
+    val expected = (for {
+      (id, t) <- texts.toSeq; p <- pats
+      n = bruteCount(t, p) if n > 0
+    } yield (id, p) -> n.toLong).toMap
+    assert(out == expected)
+    assert(out((3L, "scan")) == 3L) // case folding applied
+  }
+
+  // --- trigram backoff support (q297) ---------------------------------------
+
+  test("backoffSupport: positions resolve at the highest order with " +
+      "corpus count >= 2, singletons are unk, score floors to milli") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis
+      .backoffSupport(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 1: pos1 'a' uni-cnt 2 -> uni; pos2 bi 'a b' cnt 2 -> bi;
+    // pos3 tri 'a b c' cnt 2 -> tri; pos4 tri 'b c d' cnt 1, bi
+    // 'c d' cnt 1, uni 'd' cnt 1 -> unk
+    assert(out(1L) == ((4L, 1L, 1L, 1L, 1L,
+      (3000L + 2000L + 1000L) / 4)))
+    assert(out(2L) == out(1L)) // symmetric twin
+    // doc 3: single singleton word -> unk
+    assert(out(3L) == ((1L, 0L, 0L, 0L, 1L, 0L)))
+  }
+
+  // --- PCM linear resampling (q296) -----------------------------------------
+
+  test("audioResampleStats: identity rate is a no-op, 2x upsample " +
+      "hits exact midpoints, and stats equal a brute-force resample") {
+    import graft.functions.AudioCodec
+    def payload(id: Long, rate: Int, samples: Array[Int]) =
+      Seq((id, AudioCodec.encodeWavPcm16(rate, 1, samples)))
+        .toDF("doc_id", "payload")
+    val s1 = Array(100, -200, 300, -400, 500)
+    // identity: same rate -> r always 0, output = input
+    val idOut = operators.Multimodal
+      .audioResampleStats(spark, payload(1L, 10000, s1), 10000)
+      .collect()(0)
+    assert(idOut.getLong(3) == 5 && idOut.getLong(4) == 5)
+    assert(idOut.getLong(5) == s1.map(_.toLong).sum)
+    assert(idOut.getLong(6) == s1.map(v => v.toLong * v).sum)
+    // 2x upsample: odd outputs are exact midpoints (truncated)
+    val up = operators.Multimodal
+      .audioResampleStats(spark, payload(2L, 5000, s1), 10000)
+      .collect()(0)
+    val expected = Array(100L, -50L, -200L, 50L, 300L, -50L, -400L,
+      50L, 500L)
+    assert(up.getLong(4) == 9)
+    assert(up.getLong(5) == expected.sum)
+    assert(up.getLong(6) == expected.map(v => v * v).sum)
+    // brute force at an awkward ratio (down 3:2), negatives included
+    val s2 = Array.tabulate(31)(k => (17 * k % 2001) - 1000)
+    val dn = operators.Multimodal
+      .audioResampleStats(spark, payload(3L, 15000, s2), 10000)
+      .collect()(0)
+    val nOut = ((s2.length - 1) * 10000L / 15000L + 1).toInt
+    val brute = (0 until nOut).map { i =>
+      val num = i * 15000L
+      val j = (num / 10000).toInt
+      val r = num % 10000
+      if (r == 0) s2(j).toLong
+      else (s2(j) * (10000 - r) + s2(j + 1) * r) / 10000
+    }
+    assert(dn.getLong(4) == nOut)
+    assert(dn.getLong(5) == brute.sum)
+    assert(dn.getLong(6) == brute.map(v => v * v).sum)
+  }
+
+  // --- exact Mann–Whitney U (q295) ------------------------------------------
+
+  test("mannWhitneyU: doubled-U equals the pairwise brute force " +
+      "(ties half), the 2·nA·nB identity holds, AUC floors to ppm") {
+    // group g: A = {1, 3, 3, 7}, B = {2, 3, 5}; pairwise 2·U_A =
+    // 2·#(a>b) + #(a=b)
+    val rows = Seq(
+      ("g", 1L, true), ("g", 3L, true), ("g", 3L, true), ("g", 7L, true),
+      ("g", 2L, false), ("g", 3L, false), ("g", 5L, false),
+      ("h", 10L, true), ("h", 20L, false))
+    val df = rows.toDF("grp", "v", "a")
+    def brute(as: Seq[Long], bs: Seq[Long]): Long =
+      (for (x <- as; y <- bs)
+        yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+    val out = operators.Stats
+      .mannWhitneyU(df, "grp", "v", col("a"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val gA = rows.filter(r => r._1 == "g" && r._3).map(_._2)
+    val gB = rows.filter(r => r._1 == "g" && !r._3).map(_._2)
+    val u2g = brute(gA, gB)
+    assert(out("g") == ((4L, 3L, u2g, 2L * 4 * 3 - u2g,
+      1000000L * u2g / (2 * 4 * 3))))
+    assert(out("h") == ((1L, 1L, 0L, 2L, 0L)))
+    // invariant across groups: u2_a + u2_b = 2 n_a n_b
+    for ((_, (na, nb, u2a, u2b, _)) <- out)
+      assert(u2a + u2b == 2 * na * nb)
+  }
+
   // --- unigram-LM EM vocabulary (q293) --------------------------------------
 
   test("emVocab: prunes the bottom multi-char pieces by usage, keeps " +
