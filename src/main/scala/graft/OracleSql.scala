@@ -5343,6 +5343,97 @@ object OracleSql {
        |ORDER BY word""".stripMargin
   }
 
+  /** q300: PAV replay — binned (n, pos) sufficient statistics, then
+    * 24 leftmost-merge rounds (each merges the first adjacent
+    * strict-violation pair by cross-multiplied rate compare; PAV's
+    * fitted values are the unique isotonic optimum, so any correct
+    * merge order matches the engine's stack form), and the
+    * block-pooled floor ppm per original bin. */
+  private val q300 = {
+    val rounds = (0 until 24).map { r =>
+      s"""v$r AS (
+         |  SELECT MIN(a.ord) AS vo FROM b$r a
+         |  JOIN b$r b ON b.ord = a.ord + 1
+         |  WHERE a.pos * b.n > b.pos * a.n),
+         |b${r + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN v.vo IS NOT NULL AND b.ord > v.vo
+         |         THEN b.ord - 1 ELSE b.ord END AS ord,
+         |    b.lo, COALESCE(nx.hi, b.hi) AS hi,
+         |    b.n + COALESCE(nx.n, 0) AS n,
+         |    b.pos + COALESCE(nx.pos, 0) AS pos
+         |  FROM b$r b
+         |  CROSS JOIN v$r v
+         |  LEFT JOIN b$r nx ON b.ord = v.vo AND nx.ord = b.ord + 1
+         |  WHERE v.vo IS NULL OR b.ord <> v.vo + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bins AS MATERIALIZED (
+       |  SELECT CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM customer GROUP BY 1),
+       |b0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT)
+       |      AS ord,
+       |    bin AS lo, bin AS hi, n, pos
+       |  FROM bins),
+       |$rounds
+       |SELECT bn.bin, bn.n, bn.pos,
+       |  CAST((1000000 * bk.pos) // bk.n AS BIGINT) AS cal_ppm
+       |FROM bins bn JOIN b24 bk ON bn.bin BETWEEN bk.lo AND bk.hi
+       |ORDER BY bin""".stripMargin
+  }
+
+  /** q299: codec-matrix replay — the compression codec changes the
+    * FILE BYTES, never the answer: the oracle is the plain nation
+    * projection crossed with the codec names (the q257/q290
+    * container convention). */
+  private val q299 =
+    """SELECT c.codec, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation CROSS JOIN (SELECT unnest(
+      |  ['gzip', 'lz4', 'snappy', 'zstd']) AS codec) c
+      |ORDER BY codec, n_nationkey""".stripMargin
+
+  /** q298: PCA replay — quantize16 embeddings, the full D×D gram by
+    * grouped sum (HUGEINT), 8 materialized power-iteration rounds
+    * with the truncating v′ = w·2¹⁶ // max|w| renormalization
+    * (HUGEINT // and BigInt / both truncate toward zero), then the
+    * per-vector integer projection. */
+  private val q298 = {
+    val dims = 64
+    val rounds = 8
+    val roundCtes = (0 until rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT g.i, SUM(g.g * v.v) AS w
+         |  FROM gram g JOIN v$r v ON v.i = g.j
+         |  GROUP BY g.i),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT i, (w * 65536) // (SELECT MAX(ABS(w)) FROM w$r) AS v
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |gram AS MATERIALIZED (
+       |  SELECT t.i, t.j, SUM(q[t.i + 1] * q[t.j + 1]) AS g
+       |  FROM qv, (SELECT a.range AS i, b.range AS j
+       |            FROM range(0, $dims) a, range(0, $dims) b) t
+       |  GROUP BY t.i, t.j),
+       |v0 AS (
+       |  SELECT range AS i, CAST(65536 AS HUGEINT) AS v
+       |  FROM range(0, $dims)),
+       |$roundCtes
+       |SELECT qv.vec_id, CAST(qv.label AS BIGINT) AS label,
+       |  CAST(SUM(qv.q[v.i + 1] * CAST(v.v AS BIGINT)) AS BIGINT)
+       |    AS proj
+       |FROM qv CROSS JOIN v$rounds v
+       |GROUP BY qv.vec_id, qv.label
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q297: backoff-support replay — position rows with their
     * (uni, bi, tri) grams, three grouped counts, highest resolving
     * order with count ≥ 2, per-doc histogram + floor milli score. */
@@ -7653,6 +7744,9 @@ object OracleSql {
     "q295_mann_whitney" -> q295,
     "q296_audio_resample" -> q296,
     "q297_backoff_support" -> q297,
+    "q298_pca_power" -> q298,
+    "q299_codec_matrix" -> q299,
+    "q300_isotonic" -> q300,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -1179,6 +1179,52 @@ object SparkEntry {
         col("n_pieces").cast("long").as("n_pieces"), col("segments"))
       .orderBy("word")
 
+  /** Round-10: isotonic (PAV) calibration — acctbal bands as the
+    * score, BUILDING-segment membership as the outcome; the fitted
+    * monotone rate curve publishes as exact floor ppm. Corpus work is
+    * ONE groupBy to ≤ 22 bins; PAV runs on the driver over that
+    * bounded table (the codebook convention). */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame =
+    operators.Calibration.isotonicCalibrate(
+        Tables.customer(s, dir).withColumn("sband",
+          floor(col("c_acctbal") / 500.0).cast("long")),
+        "sband", col("c_mktsegment") === "BUILDING")
+      .orderBy("bin")
+
+  /** Round-10: parquet compression-codec matrix — the same relation
+    * written under zstd/snappy/gzip/lz4 and read back identically;
+    * completes the layout family (q63 CSV, q257 ORC, q290 XML, q267
+    * partitions, q104 buckets): at 100 TB the codec choice is a
+    * scan-cost/storage dial that must NEVER change answers, which is
+    * exactly what the shared-oracle hash check pins. */
+  private def qCodecMatrix(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_codec").toString
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    val codecs = Seq("gzip", "lz4", "snappy", "zstd")
+    codecs.foreach(c => n.write.mode("overwrite")
+      .option("compression", c).parquet(s"$tmp/$c"))
+    codecs.map(c => s.read.parquet(s"$tmp/$c")
+        .withColumn("codec", lit(c)))
+      .reduce(_.unionByName(_))
+      .select(col("codec"), col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      .orderBy("codec", "n_nationkey")
+  }
+
+  /** Round-10: distributed PCA top component — ONE gram-matrix
+    * aggregation (D² keys), a bounded driver power iteration in
+    * BigInt (8 fixed rounds, truncating renormalization), and a
+    * map-only projection of every quantized embedding; the oracle
+    * replays the identical integer eigen-iteration. */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame =
+    operators.Pca.topComponentProjections(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        dims = 64)
+      .orderBy("vec_id")
+
   /** Round-10: trigram-backoff support histogram — per document the
     * count of positions resolving at trigram/bigram/unigram level
     * (corpus count ≥ 2) or unk, plus the integer familiarity score;
@@ -4260,7 +4306,10 @@ object SparkEntry {
       "q294_pattern_scan" -> (qPatternScan _),
       "q295_mann_whitney" -> (qMannWhitney _),
       "q296_audio_resample" -> (qAudioResample _),
-      "q297_backoff_support" -> (qBackoffSupport _))
+      "q297_backoff_support" -> (qBackoffSupport _),
+      "q298_pca_power" -> (qPcaPower _),
+      "q299_codec_matrix" -> (qCodecMatrix _),
+      "q300_isotonic" -> (qIsotonic _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

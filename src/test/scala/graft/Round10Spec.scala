@@ -124,6 +124,92 @@ class Round10Spec extends SparkSpec {
     assert(out((3L, "scan")) == 3L) // case folding applied
   }
 
+  // --- isotonic PAV calibration (q300) --------------------------------------
+
+  test("isotonicCalibrate: matches the independent minimax formula " +
+      "cal(k) = max_{i<=k} min_{j>=k} avg(i..j), stays monotone, and " +
+      "preserves already-monotone inputs") {
+    // per-bin (n, pos): rates 0.2, 0.5, 0.3, 0.6, 0.1 — two pools
+    val rows = Seq(
+      (0L, 10, 2), (1L, 10, 5), (2L, 10, 3), (3L, 10, 6), (4L, 10, 1))
+    val df = rows.flatMap { case (b, n, pos) =>
+      (0 until n).map(i => (b, i < pos))
+    }.toDF("bin", "y")
+    val out = operators.Calibration
+      .isotonicCalibrate(df, "bin", col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent O(n^3) minimax form of the isotonic fit
+    def avgPpm(i: Int, j: Int): Double = {
+      val p = (i to j).map(rows(_)._3).sum.toDouble
+      val n = (i to j).map(rows(_)._2).sum.toDouble
+      1e6 * p / n
+    }
+    val minimax = rows.indices.map { k =>
+      (0 to k).map(i =>
+        (k until rows.length).map(j => avgPpm(i, j)).min).max
+    }
+    for (k <- rows.indices)
+      assert(out(k.toLong)._3 == math.floor(minimax(k)).toLong,
+        s"bin $k: ${out(k.toLong)._3} vs minimax ${minimax(k)}")
+    // monotone
+    val cals = rows.indices.map(k => out(k.toLong)._3)
+    assert(cals == cals.sorted)
+    // per-bin raw stats pass through
+    assert(out(1L) == ((10L, 5L, cals(1))))
+    // already-monotone input is untouched
+    val mono = Seq((0L, 4, 1), (1L, 4, 2), (2L, 4, 3))
+    val dfm = mono.flatMap { case (b, n, pos) =>
+      (0 until n).map(i => (b, i < pos))
+    }.toDF("bin", "y")
+    val outm = operators.Calibration
+      .isotonicCalibrate(dfm, "bin", col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(outm == Map(0L -> 250000L, 1L -> 500000L, 2L -> 750000L))
+  }
+
+  // --- distributed PCA top component (q298) ---------------------------------
+
+  test("PCA power iteration: recovers the dominant axis of an " +
+      "anisotropic cloud and matches an in-memory replica exactly") {
+    val dims = 4
+    // variance concentrated on axis 0 (amplitude 8x the noise axes)
+    val vecs = (0 until 40).map { k =>
+      val main = if (k % 2 == 0) 0.8f else -0.8f
+      (k.toLong, Array(main + 0.01f * (k % 5),
+        0.05f * ((k % 3) - 1), 0.03f * ((k % 7) - 3),
+        0.02f * ((k % 4) - 2)), k % 2)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = operators.Pca
+      .topComponentProjections(df, "vec_id", "embedding", "label", dims)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // in-memory replica of the exact integer pipeline
+    val q = vecs.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble * 65536).toLong)
+    }.toMap
+    val g = Array.ofDim[BigInt](dims, dims)
+    for (i <- 0 until dims; j <- 0 until dims)
+      g(i)(j) = q.values.map(v => BigInt(v(i)) * v(j)).sum
+    var ev = Array.fill(dims)(BigInt(65536))
+    for (_ <- 0 until 8) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => g(i)(j) * ev(j)).sum)
+      val s = w.map(_.abs).max
+      ev = w.map(x => x * 65536 / s)
+    }
+    val expected = q.map { case (id, v) =>
+      id -> v.indices.map(d => v(d) * ev(d).toLong).sum
+    }
+    assert(out == expected)
+    // the dominant axis orders the projections: sign of proj tracks
+    // the sign of coordinate 0 for every vector
+    for ((id, v, _) <- vecs)
+      assert((out(id) > 0) == (v(0) > 0) ||
+        math.signum(ev(0).toLong) == -1 &&
+        (out(id) < 0) == (v(0) > 0), s"vec $id")
+  }
+
   // --- trigram backoff support (q297) ---------------------------------------
 
   test("backoffSupport: positions resolve at the highest order with " +
