@@ -5384,6 +5384,42 @@ object OracleSql {
        |ORDER BY bin""".stripMargin
   }
 
+  /** q301: pixel-level JPEG ENCODER replay — the q256 grid, but the
+    * engine is handed raw pixels and runs forward DCT + quantization
+    * itself; the fixture (block-constant EVEN v = 2·((5bx+7by+3id)
+    * mod 112) + 16) makes the round trip exact, so the oracle is the
+    * same closed form evaluated on v directly. */
+  private val q301 =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 3 AS wb,
+      |    1 + (doc_id // 3) % 3 AS hb
+      |  FROM documents),
+      |px AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(64 * (2 * ((5 * bx.v + 7 * byy.v + 3 * i.doc_id)
+      |      % 112) + 16)) AS BIGINT) AS s
+      |  FROM ids i
+      |  JOIN (SELECT range AS v FROM range(0, 3)) bx ON bx.v < i.wb
+      |  JOIN (SELECT range AS v FROM range(0, 3)) byy ON byy.v < i.hb
+      |  GROUP BY i.doc_id),
+      |rl AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM(2 * ((5 * ((tx.v * (8 * i.wb)) // 4 // 8)
+      |      + 7 * ((ty.v * (8 * i.hb)) // 4 // 8)
+      |      + 3 * i.doc_id) % 112) + 16) AS BIGINT) AS rls
+      |  FROM ids i
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) tx
+      |  CROSS JOIN (SELECT range AS v FROM range(0, 4)) ty
+      |  GROUP BY i.doc_id)
+      |SELECT i.doc_id,
+      |  CAST(8 * i.wb AS BIGINT) AS width,
+      |  CAST(8 * i.hb AS BIGINT) AS height,
+      |  px.s AS sum_r, px.s AS sum_g, px.s AS sum_b,
+      |  rl.rls AS resized_luma_sum, TRUE AS decoded
+      |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q299: codec-matrix replay — the compression codec changes the
     * FILE BYTES, never the answer: the oracle is the plain nation
     * projection crossed with the codec names (the q257/q290
@@ -7747,6 +7783,7 @@ object OracleSql {
     "q298_pca_power" -> q298,
     "q299_codec_matrix" -> q299,
     "q300_isotonic" -> q300,
+    "q301_jpeg_encode" -> q301,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -489,6 +489,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-10: the PIXEL-LEVEL JPEG ENCODER through the driver gate —
+    * the engine receives raw rasters (block-constant even values) and
+    * runs the full forward path in-engine: level shift, separable
+    * forward DCT, quantization, zigzag, canonical-Huffman entropy
+    * coding — then decodes its own stream back through the q256
+    * kernel. The fixture's round trip is exact by construction
+    * (F00 = 8·(v−128), AC → 0, even v), so a hash match pins the
+    * encoder arithmetic end to end, not just the decoder. */
+  private def qJpegEncode(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticEncodedJpegPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.imagePixelStats(s, payloads, side = 4)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("resized_luma_sum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Round-9: the COLOR JPEG walk through the driver gate — even ids
     * grayscale, odd ids 3-component 4:4:4 with flat Y/Cb/Cr planes;
     * the oracle replays the decoder's fixed-point BT.601 (BIGINT
@@ -4309,7 +4328,8 @@ object SparkEntry {
       "q297_backoff_support" -> (qBackoffSupport _),
       "q298_pca_power" -> (qPcaPower _),
       "q299_codec_matrix" -> (qCodecMatrix _),
-      "q300_isotonic" -> (qIsotonic _))
+      "q300_isotonic" -> (qIsotonic _),
+      "q301_jpeg_encode" -> (qJpegEncode _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4376,9 +4396,11 @@ object SparkEntry {
     "q243_cm_registers", "q248_kcore", "q253_textrank",
     "q267_partition_pruning", "q275_exact_median",
     // …and the round-10 additions: progressive JPEG, the full-outer
-    // stream join, and the double-DP EM tokenizer
+    // stream join, the double-DP EM tokenizer, the automaton scan,
+    // the 3-join LM support pass, and the gram-matrix PCA
     "q291_jpeg_progressive", "q292_stream_full_outer",
-    "q293_unigram_em")
+    "q293_unigram_em", "q294_pattern_scan", "q297_backoff_support",
+    "q298_pca_power", "q301_jpeg_encode")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1264,6 +1264,88 @@ object JpegCodec {
 
   /** Grayscale baseline JPEG from quantized ZIGZAG-order coefficient
     * blocks (raster block order, ceil(w/8)·ceil(h/8) blocks). */
+  /** Separable 2-D forward DCT (type II) of one raw 8×8 sample block
+    * (natural order, 0..255), then quantization (`Math.round`, i.e.
+    * floor(x + 0.5) — the closed forms the oracle replays depend on
+    * that exact rounding) and zigzag reorder: the encoder-side inverse
+    * of [[idct]]. A constant block v yields exactly F00 = 8·(v − 128)
+    * and all-zero AC (the DC sum is 64 integer adds and a ×1/8, both
+    * exact in doubles; AC sums cancel to ~1e-13 and quantize to 0). */
+  def fdctQuantZig(pixels: Array[Int], quantZig: Array[Int]): Array[Int] = {
+    require(pixels.length == 64 && quantZig.length == 64,
+      "need an 8x8 sample block and a 64-entry zigzag quant table")
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // 1-D over x for each row y, into tmp(u, y)
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          s += (pixels(y * 8 + x) - 128) * CosT(u * 8 + x)
+          x += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        tmp(u * 8 + y) = 0.5 * cu * s
+        y += 1
+      }
+      u += 1
+    }
+    val out = new Array[Int](64)
+    var z = 0
+    while (z < 64) {
+      val n = Zigzag(z)
+      val uu = n % 8
+      val vv = n / 8
+      var s = 0.0
+      var y = 0
+      while (y < 8) {
+        s += tmp(uu * 8 + y) * CosT(vv * 8 + y)
+        y += 1
+      }
+      val cv = if (vv == 0) InvSqrt2 else 1.0
+      out(z) = Math.round(0.5 * cv * s / quantZig(z)).toInt
+      z += 1
+    }
+    out
+  }
+
+  /** Full pixel-level grayscale encode: tile the raster into 8×8
+    * blocks (edge-replicated padding, the T.81 recommendation), run
+    * [[fdctQuantZig]] per block, entropy-code via [[encodeJpegGray]].
+    * With the flat quant table the q301 fixtures use, a block-constant
+    * even-valued image round-trips bit-exact through [[decodeJpeg]]. */
+  def encodeJpegGrayPixels(gray: Array[Int], w: Int, h: Int,
+                           quantZig: Array[Int],
+                           restartInterval: Int = 0): Array[Byte] = {
+    require(gray.length == w * h, s"need $w*$h samples, got ${gray.length}")
+    val wB = (w + 7) / 8
+    val hB = (h + 7) / 8
+    val blocks = new Array[Array[Int]](wB * hB)
+    val px = new Array[Int](64)
+    var by = 0
+    while (by < hB) {
+      var bx = 0
+      while (bx < wB) {
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, w - 1)
+            px(y * 8 + x) = gray(sy * w + sx)
+            x += 1
+          }
+          y += 1
+        }
+        blocks(by * wB + bx) = fdctQuantZig(px, quantZig)
+        bx += 1
+      }
+      by += 1
+    }
+    encodeJpegGray(blocks, w, h, quantZig, restartInterval)
+  }
+
   def encodeJpegGray(blocksZig: Array[Array[Int]], w: Int, h: Int,
                      quantZig: Array[Int],
                      restartInterval: Int = 0): Array[Byte] = {

@@ -304,6 +304,51 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Round-10 PIXEL-LEVEL encoder twin of [[syntheticJpegPayloads]]
+    * for the q301 registered query: here the engine is handed RAW
+    * PIXELS, not coefficients — block (bx, by) is the constant even
+    * value v = 2·((5·bx + 7·by + 3·id) mod 112) + 16 ∈ [16, 238], and
+    * the full forward path runs in-engine (level shift, separable
+    * forward DCT, quantization at flat 16, zigzag, canonical-Huffman
+    * entropy coding) before the usual decode→stats kernel. The round
+    * trip is EXACT by construction: F00 = 8·(v−128) exactly, AC
+    * quantizes to 0, DC = round((v−128)/2) = (v−128)/2 for even v, so
+    * the decoded pixel is 2·dc + 128 = v — the oracle replays the
+    * stats from the v formula, and a hash match pins the ENCODER
+    * (FDCT + quantizer + bit writer) as much as the decoder.
+    * Map-only, the q214 scale shape. */
+  def syntheticEncodedJpegPayloads(docs: DataFrame,
+                                   idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (1 + id % 3).toInt
+          val hB = (1 + (id / 3) % 3).toInt
+          val w = wB * 8
+          val h = hB * 8
+          val quant = Array.fill(64)(16)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = 2 * (((5 * (x / 8) + 7 * (y / 8) + 3 * id) % 112)
+                .toInt) + 16
+              gray(y * w + x) = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, graft.functions.JpegCodec.encodeJpegGrayPixels(
+            gray, w, h, quant))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Round-9 COLOR twin of [[syntheticJpegPayloads]] for the q265
     * registered query: even ids carry the grayscale profile, odd ids
     * a 3-component 4:4:4 DC-only JPEG — per block the quantized DCs
