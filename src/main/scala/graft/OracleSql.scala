@@ -5420,6 +5420,37 @@ object OracleSql {
       |FROM ids i JOIN px USING (doc_id) JOIN rl USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q302: Kneser–Ney replay — bigram-type counts, the three
+    * marginals (left totals + distinct successors, continuation
+    * counts, type total), then the SAME two composed floors the
+    * engine publishes (cont_ppm quantized first). */
+  private val q302 =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(lower(text), ' '),
+      |    w -> w <> '') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT w[u.i] AS w1, w[u.i + 1] AS w2, COUNT(*) AS cb
+      |  FROM t, UNNEST(range(1, len(w))) u(i)
+      |  WHERE len(w) >= 2
+      |  GROUP BY 1, 2),
+      |lft AS (
+      |  SELECT w1, SUM(cb) AS c1, COUNT(*) AS n1l FROM bi GROUP BY w1),
+      |cont AS (
+      |  SELECT w2, COUNT(*) AS contc FROM bi GROUP BY w2),
+      |tot AS (SELECT COUNT(*) AS ntot FROM bi)
+      |SELECT b.w1, b.w2, b.cb, l.c1, l.n1l,
+      |  (1000000 * c.contc) // t2.ntot AS cont_ppm,
+      |  (1000000 * greatest(4 * b.cb - 3, 0)) // (4 * l.c1)
+      |    + (3 * l.n1l * ((1000000 * c.contc) // t2.ntot))
+      |      // (4 * l.c1) AS kn_ppm
+      |FROM bi b
+      |JOIN lft l USING (w1)
+      |JOIN cont c USING (w2)
+      |CROSS JOIN tot t2
+      |WHERE b.cb >= 5
+      |ORDER BY w1, w2""".stripMargin
+
   /** q299: codec-matrix replay — the compression codec changes the
     * FILE BYTES, never the answer: the oracle is the plain nation
     * projection crossed with the codec names (the q257/q290
@@ -7784,6 +7815,7 @@ object OracleSql {
     "q299_codec_matrix" -> q299,
     "q300_isotonic" -> q300,
     "q301_jpeg_encode" -> q301,
+    "q302_kneser_ney" -> q302,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

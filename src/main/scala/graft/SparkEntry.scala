@@ -1253,6 +1253,15 @@ object SparkEntry {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Round-10: interpolated Kneser–Ney bigram scores — the standard
+    * LM smoothing (absolute discount + continuation-count backoff) in
+    * the engine's composed-floor fixed point: beside q80's raw
+    * unigram log-probs, q148's stupid backoff, and q297's support
+    * histogram, this is the estimator a production n-gram LM actually
+    * ships. Exact integer replay, D = 3/4. */
+  private def qKnBigrams(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.knBigrams(Tables.documents(s, dir), "text")
+
   /** Round-10: Aho–Corasick multi-pattern scan — one automaton pass
     * counts every (overlapping) occurrence of a 10-pattern lexicon
     * over every document: the blocklist/PII-lexicon scanner, O(len +
@@ -4329,7 +4338,8 @@ object SparkEntry {
       "q298_pca_power" -> (qPcaPower _),
       "q299_codec_matrix" -> (qCodecMatrix _),
       "q300_isotonic" -> (qIsotonic _),
-      "q301_jpeg_encode" -> (qJpegEncode _))
+      "q301_jpeg_encode" -> (qJpegEncode _),
+      "q302_kneser_ney" -> (qKnBigrams _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

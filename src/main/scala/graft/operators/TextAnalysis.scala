@@ -386,6 +386,65 @@ object TextAnalysis {
         "(3000 * n_tri + 2000 * n_bi + 1000 * n_uni) div n_pos"))
   }
 
+  /** Interpolated Kneser–Ney bigram scores (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) in the engine's log-free
+    * fixed-point convention, discount D = 3/4 exact:
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * where c(w1·) is w1's left-context token total, N1+(w1·) its
+    * distinct-successor count, N1+(·w2) the CONTINUATION count (how
+    * many distinct lefts precede w2 — KN's defining quantity: "York"
+    * is frequent but follows almost nothing except "New"), and
+    * N1+(··) the distinct-bigram-type total. Published as the
+    * composed-floor fixed point
+    *
+    *   cont_ppm = (10^6·N1+(·w2)) div N1+(··)
+    *   kn_ppm   = (10^6·max(4c−3, 0)) div (4·c(w1·))
+    *            + (3·N1+(w1·)·cont_ppm) div (4·c(w1·))
+    *
+    * — the continuation probability quantized FIRST, then each addend
+    * floor-divided separately, so every intermediate stays well under
+    * 2^63 at any corpus size (a single joint floor would need
+    * c·N1+·10^6-scale products that overflow on a 100 TB corpus).
+    * DuckDB replays the same two floors, so the match is exact, not
+    * tolerance-based.
+    *
+    * Scale shape: ONE bigram-type shuffle (groupBy (w1, w2)), then
+    * three re-aggregations of that type table (by w1, by w2, global
+    * — all far smaller than the corpus), two equi-joins back on the
+    * type table, one broadcast of the one-row total. No corpus²
+    * anywhere; the output is capped by `minCb`. */
+  def knBigrams(docs: DataFrame, textCol: String,
+                minCb: Long = 5L): DataFrame = {
+    val cb = docs
+      .select(filter(words(col(textCol)), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // one corpus shuffle feeds all four marginals
+    val left = cb.groupBy("w1")
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1l"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("contc"))
+    val ntot = cb.agg(count(lit(1)).as("ntot"))
+    cb.filter(col("cb") >= minCb)
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("cont_ppm",
+        expr("(1000000 * contc) div ntot"))
+      .withColumn("kn_ppm",
+        expr("(1000000 * greatest(4 * cb - 3, 0)) div (4 * c1)" +
+          " + (3 * n1l * cont_ppm) div (4 * c1)"))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"),
+        col("n1l"), col("cont_ppm"), col("kn_ppm"))
+      .orderBy("w1", "w2")
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide
     * distribution: KL(p_source ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
     * over the source's own support (support(s) ⊆ support(c) by

@@ -344,6 +344,35 @@ class Round10Spec extends SparkSpec {
       "unused multi-char pieces must drop out of the EM vocabulary")
   }
 
+  test("knBigrams: discounted term + continuation backoff match the " +
+      "hand-computed closed form, and the continuation count — not " +
+      "raw frequency — drives the backoff term") {
+    // corpus: "a b" x5, "c b" x1, "a d" x3  (as separate docs)
+    val docs = (Seq.fill(5)("a b") ++ Seq("c b") ++ Seq.fill(3)("a d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.knBigrams(docs, "text", minCb = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // types: (a,b) cb=5, (c,b) cb=1, (a,d) cb=3; ntot=3
+    // cont(b)=2 -> cont_ppm = 666666; cont(d)=1 -> 333333
+    // left a: c1=8, n1l=2; left c: c1=1, n1l=1
+    val (cbAB, c1AB, n1lAB, contAB, knAB) = out(("a", "b"))
+    assert((cbAB, c1AB, n1lAB, contAB) == (5L, 8L, 2L, 666666L))
+    // kn = (1e6*17)//32 + (3*2*666666)//32 = 531250 + 124999 = 656249
+    assert(knAB == 656249L)
+    val (_, _, _, contCB, knCB) = out(("c", "b"))
+    // kn(c,b) = (1e6*1)//4 + (3*1*666666)//4 = 250000 + 499999
+    assert((contCB, knCB) == (666666L, 749999L))
+    val (_, _, _, contAD, knAD) = out(("a", "d"))
+    // kn(a,d) = (1e6*9)//32 + (3*2*333333)//32 = 281250 + 62499
+    assert((contAD, knAD) == (333333L, 343749L))
+    // probability-mass sanity: P(b|a) + P(d|a) ~ 1 (floors only lose)
+    assert(knAB + knAD <= 1000000L && knAB + knAD >= 999990L)
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
