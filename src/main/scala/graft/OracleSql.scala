@@ -5451,6 +5451,50 @@ object OracleSql {
       |WHERE b.cb >= 5
       |ORDER BY w1, w2""".stripMargin
 
+  /** q303: t-closeness replay — global ppm histogram, per-class ppm
+    * histogram over ALL global bins (absent bins = 0), windowed
+    * cumulative differences, Σ|cum| over the first m−1 bins, the
+    * same composed floors as the engine. */
+  private val q303 =
+    """WITH b AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sbin
+      |  FROM customer),
+      |g AS (SELECT sbin, COUNT(*) AS nj FROM b GROUP BY sbin),
+      |gt AS (SELECT SUM(nj) AS n_total, COUNT(*) AS m FROM g),
+      |gp AS (SELECT g.sbin, gt.m,
+      |         (1000000 * g.nj) // gt.n_total AS q_ppm
+      |       FROM g CROSS JOIN gt),
+      |cb AS (SELECT c_nationkey, c_mktsegment, sbin, COUNT(*) AS gj
+      |       FROM b GROUP BY 1, 2, 3),
+      |ct AS (SELECT c_nationkey, c_mktsegment, SUM(gj) AS class_size
+      |       FROM cb GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT ct.c_nationkey, ct.c_mktsegment, ct.class_size,
+      |    gp.sbin, gp.m, gp.q_ppm,
+      |    (1000000 * COALESCE(cb.gj, 0)) // ct.class_size AS p_ppm
+      |  FROM ct CROSS JOIN gp
+      |  LEFT JOIN cb ON cb.c_nationkey = ct.c_nationkey
+      |    AND cb.c_mktsegment = ct.c_mktsegment
+      |    AND cb.sbin = gp.sbin),
+      |cm AS (
+      |  SELECT c_nationkey, c_mktsegment, class_size, m,
+      |    SUM(p_ppm - q_ppm) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY sbin) AS cum,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY sbin) AS rk
+      |  FROM fl)
+      |SELECT c_nationkey, c_mktsegment, class_size,
+      |  CASE WHEN m > 1 THEN SUM(ABS(cum)) // (m - 1)
+      |       ELSE 0 END AS emd_ppm,
+      |  (CASE WHEN m > 1 THEN SUM(ABS(cum)) // (m - 1)
+      |        ELSE 0 END) <= 250000 AS t_close
+      |FROM cm WHERE rk < m
+      |GROUP BY c_nationkey, c_mktsegment, class_size, m
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** q299: codec-matrix replay — the compression codec changes the
     * FILE BYTES, never the answer: the oracle is the plain nation
     * projection crossed with the codec names (the q257/q290
@@ -7816,6 +7860,7 @@ object OracleSql {
     "q300_isotonic" -> q300,
     "q301_jpeg_encode" -> q301,
     "q302_kneser_ney" -> q302,
+    "q303_t_closeness" -> q303,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

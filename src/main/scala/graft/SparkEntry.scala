@@ -3441,6 +3441,18 @@ object SparkEntry {
         k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "acct_kband")
 
+  /** Round-10: t-closeness audit — the anonymity ladder's third rung
+    * (after q161 k-anonymity and q169 l-diversity): per
+    * (nation, segment) class, the quantized 1-D earth-mover distance
+    * between its account-balance-band distribution and the table's,
+    * flagged at t = 0.25. Exact integer replay. */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    operators.Privacy.tCloseness(Tables.customer(s, dir),
+        Seq("c_nationkey" -> col("c_nationkey"),
+          "c_mktsegment" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / 2000).cast("long"), tPpm = 250000L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Blocklist screen over the documents table: matched terms
     * (sorted, comma-joined), hit count, flag. Map-only — the list is
     * a literal array, so the corpus never shuffles. */
@@ -4339,7 +4351,8 @@ object SparkEntry {
       "q299_codec_matrix" -> (qCodecMatrix _),
       "q300_isotonic" -> (qIsotonic _),
       "q301_jpeg_encode" -> (qJpegEncode _),
-      "q302_kneser_ney" -> (qKnBigrams _))
+      "q302_kneser_ney" -> (qKnBigrams _),
+      "q303_t_closeness" -> (qTCloseness _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -115,6 +115,64 @@ object Privacy {
         countDistinct(sensitive).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
 
+  /** t-closeness audit — the third rung of the anonymity ladder (Li,
+    * Li & Venkatasubramanian 2007) after [[kAnonymity]] and
+    * [[lDiversity]]: a class can clear both k and l yet still leak by
+    * its sensitive-value DISTRIBUTION skewing far from the table's
+    * (all-high-earners classes, say). For an ORDERED sensitive
+    * attribute the paper's distance is the 1-D earth mover's:
+    * EMD = (1/(m−1))·Σ_{i<m} |Σ_{j≤i} (p_j − q_j)| over the m ordered
+    * bins, class distribution p vs global q.
+    *
+    * Published in the engine's quantized-integer form: per-bin masses
+    * are floored to ppm FIRST (p_ppm = (10^6·g_j) div G, likewise q
+    * over the global total), then emd_ppm = (Σ_{i<m} |cum_i|) div
+    * (m−1) — every intermediate is ≤ 10^6·m regardless of table
+    * size (the unquantized cross products g_j·N overflow 2^63 on a
+    * 100 TB table), and DuckDB replays the same floors exactly.
+    *
+    * Scale shape: one groupBy for the global histogram (m rows,
+    * broadcast), one groupBy on (class, bin), a broadcast expansion
+    * to all m bins per class (so absent bins contribute their full
+    * deficit — skipping them understates EMD), and a per-class
+    * window over the m bins (bounded partitions — never a global
+    * window). */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitiveBin: Column, tPpm: Long): DataFrame = {
+    val qCols = quasi.map { case (name, e) => e.as(name) }
+    val qNames = quasi.map(_._1)
+    val binned = df.select(qCols :+ sensitiveBin.as("sbin"): _*)
+    val global = binned.groupBy("sbin")
+      .agg(count(lit(1)).as("nj"))
+    val gtot = global.agg(sum(col("nj")).as("n_total"),
+      count(lit(1)).as("m"))
+    val globalPpm = global.crossJoin(broadcast(gtot))
+      .select(col("sbin"), col("m"),
+        expr("(1000000 * nj) div n_total").as("q_ppm"))
+    val classBin = binned.groupBy(qNames.map(col) :+ col("sbin"): _*)
+      .agg(count(lit(1)).as("gj"))
+    val classTot = classBin.groupBy(qNames.map(col): _*)
+      .agg(sum(col("gj")).as("class_size"))
+    // every class x every global bin; absent bins carry gj = 0
+    val full = classTot.crossJoin(broadcast(globalPpm))
+      .join(classBin, qNames :+ "sbin", "left")
+      .withColumn("p_ppm",
+        expr("(1000000 * coalesce(gj, 0)) div class_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qNames.map(col): _*).orderBy(col("sbin"))
+    full
+      .withColumn("cum", sum(col("p_ppm") - col("q_ppm")).over(w))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") < col("m")) // Σ over the first m-1 cumuls
+      .groupBy(qNames.map(col) :+ col("class_size") :+ col("m"): _*)
+      .agg(sum(abs(col("cum"))).as("cum_abs"))
+      .withColumn("emd_ppm", // degenerate single-bin table: EMD = 0
+        expr("CASE WHEN m > 1 THEN cum_abs div (m - 1) ELSE 0 END"))
+      .withColumn("t_close", col("emd_ppm") <= tPpm)
+      .select(qNames.map(col) :+ col("class_size") :+
+        col("emd_ppm") :+ col("t_close"): _*)
+  }
+
   /** Luhn checksum validity of one digit string (mod-10, Luhn 1954) —
     * the check that separates a random digit run from a plausible
     * payment-card number, which is what turns a "13–19 digits" regex

@@ -373,6 +373,26 @@ class Round10Spec extends SparkSpec {
     assert(knAB + knAD <= 1000000L && knAB + knAD >= 999990L)
   }
 
+  test("tCloseness: quantized 1-D EMD matches the hand closed form, " +
+      "absent bins contribute their full deficit, uniform class = 0") {
+    val rows = Seq(
+      ("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 2L), ("B", 2L), ("B", 1L),
+      ("C", 0L), ("C", 1L), ("C", 2L))
+      .toDF("grp", "sbin")
+    val out = operators.Privacy.tCloseness(rows,
+        Seq("grp" -> col("grp")), col("sbin"), tPpm = 250000L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    // global: 3/3/3 of 9 -> q_ppm 333333 each, m = 3
+    // A: p = (666666, 333333, 0); cums 333333, 333333 -> emd 333333
+    assert(out("A") == ((3L, 333333L, false)))
+    assert(out("B") == ((3L, 333333L, false)))
+    // C mirrors the global distribution exactly -> 0
+    assert(out("C") == ((3L, 0L, true)))
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
