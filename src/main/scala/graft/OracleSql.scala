@@ -5451,6 +5451,35 @@ object OracleSql {
       |WHERE b.cb >= 5
       |ORDER BY w1, w2""".stripMargin
 
+  /** q304: pitch-autocorrelation replay — the q215 waveform closed
+    * form s(i) = (17i + 3·id) mod 2001 − 1000 over the first 64
+    * samples, R(τ) by lag self-join, argmax with smallest-lag ties. */
+  private val q304 =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |lags AS (SELECT range AS lag FROM range(2, 32)),
+      |sm AS (
+      |  SELECT i.doc_id, t.range AS t,
+      |    CAST((17 * t.range + 3 * i.doc_id) % 2001 - 1000 AS BIGINT)
+      |      AS v
+      |  FROM ids i, range(0, 64) t),
+      |r AS (
+      |  SELECT a.doc_id, l.lag, SUM(a.v * b.v) AS rr
+      |  FROM lags l
+      |  JOIN sm a ON a.t < 64 - l.lag
+      |  JOIN sm b ON b.doc_id = a.doc_id AND b.t = a.t + l.lag
+      |  GROUP BY 1, 2),
+      |r0 AS (SELECT doc_id, SUM(v * v) AS r0 FROM sm GROUP BY 1),
+      |best AS (
+      |  SELECT doc_id, lag AS best_lag, rr AS r_best,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY rr DESC, lag) AS rn
+      |  FROM r)
+      |SELECT b.doc_id, CAST(b.best_lag AS BIGINT) AS best_lag,
+      |  b.r_best, r0.r0
+      |FROM best b JOIN r0 USING (doc_id)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** q303: t-closeness replay — global ppm histogram, per-class ppm
     * histogram over ALL global bins (absent bins = 0), windowed
     * cumulative differences, Σ|cum| over the first m−1 bins, the
@@ -7861,6 +7890,7 @@ object OracleSql {
     "q301_jpeg_encode" -> q301,
     "q302_kneser_ney" -> q302,
     "q303_t_closeness" -> q303,
+    "q304_pitch_autocorr" -> q304,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -540,6 +540,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-10: autocorrelation pitch probe over REAL decoded PCM —
+    * the time-domain pitch detector every speech front end starts
+    * from: per doc, the R-maximizing lag in [2, 31] over the first
+    * 64 samples, with R(0) for voicing strength. All-integer; the
+    * oracle replays the q215 waveform closed form with a lag
+    * self-join. */
+  private def qPitchAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.syntheticAudioPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.pitchAutocorr(s, payloads)
+      .select(col("doc_id"), col("best_lag").cast("long").as("best_lag"),
+        col("r_best"), col("r0"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8: REAL WAV (RIFF PCM) decode, oracle-checked — the audio
     * twin of [[qImagePixels]]: closed-form 16-bit waveforms encoded
     * into genuine WAV bytes in-engine, decoded back distributed, and
@@ -4352,7 +4367,8 @@ object SparkEntry {
       "q300_isotonic" -> (qIsotonic _),
       "q301_jpeg_encode" -> (qJpegEncode _),
       "q302_kneser_ney" -> (qKnBigrams _),
-      "q303_t_closeness" -> (qTCloseness _))
+      "q303_t_closeness" -> (qTCloseness _),
+      "q304_pitch_autocorr" -> (qPitchAutocorr _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

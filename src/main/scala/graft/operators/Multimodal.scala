@@ -579,6 +579,52 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "energy", "active")
   }
 
+  /** Autocorrelation pitch probe over REAL decoded PCM — the
+    * classic time-domain pitch detector (argmax of the short-time
+    * autocorrelation over a lag band, the core of RAPT/YIN-family
+    * front ends before their refinements): over the first `frameLen`
+    * samples, R(τ) = Σ_{t<frameLen−τ} s(t)·s(t+τ) for τ ∈ [minLag,
+    * maxLag]; the detected lag is the R-maximizing τ (ties → smallest
+    * τ — a fixed tie order keeps the result partition-invariant), and
+    * R(0) = Σ s² anchors a voicing strength comparison downstream.
+    * All-integer (exact 64-bit sums of 16-bit products — no overflow
+    * below ~2^33 samples/frame), so DuckDB replays it from the q215
+    * waveform closed form with a lag self-join. Docs shorter than
+    * `frameLen` contribute no row. Map-only, the q215 scale shape:
+    * the corpus never shuffles, one row out per payload. */
+  def pitchAutocorr(spark: SparkSession, payloads: DataFrame,
+                    frameLen: Int = 64, minLag: Int = 2,
+                    maxLag: Int = 31): DataFrame = {
+    import spark.implicits._
+    require(0 < minLag && minLag <= maxLag && maxLag < frameLen)
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.AudioCodec.decodeWav(bytes) match {
+          case Some(wav) if wav.samples.length >= frameLen =>
+            val s = wav.samples
+            var r0 = 0L
+            var t = 0
+            while (t < frameLen) { r0 += s(t).toLong * s(t); t += 1 }
+            var bestLag = minLag
+            var bestR = Long.MinValue
+            var lag = minLag
+            while (lag <= maxLag) {
+              var r = 0L
+              var u = 0
+              while (u < frameLen - lag) {
+                r += s(u).toLong * s(u + lag); u += 1
+              }
+              if (r > bestR) { bestR = r; bestLag = lag }
+              lag += 1
+            }
+            Iterator.single((id, bestLag, bestR, r0))
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("doc_id", "best_lag", "r_best", "r0")
+  }
+
   /** Per-document zero-crossing rate + silence-trim bounds over REAL
     * decoded PCM — the other half of the classic VAD front end next
     * to [[audioFrameEnergy]]'s energy: ZCR separates voiced (low

@@ -393,6 +393,27 @@ class Round10Spec extends SparkSpec {
     assert(out("C") == ((3L, 0L, true)))
   }
 
+  test("pitchAutocorr: a periodic waveform is detected at its true " +
+      "period, R(0) is the frame energy, short docs yield no row") {
+    val period = 10
+    val wave = Array.tabulate(80)(i =>
+      (3000 * math.sin(2 * math.Pi * i / period)).toInt)
+    val payloads = Seq(
+      (1L, functions.AudioCodec.encodeWavPcm16(8000, 1, wave)),
+      (2L, functions.AudioCodec.encodeWavPcm16(8000, 1,
+        Array.tabulate(20)(i => i * 50)))) // < frameLen, no row
+      .toDF("doc_id", "payload")
+    val rows = operators.Multimodal.pitchAutocorr(spark, payloads)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 1 && rows.head._1 == 1L)
+    assert(rows.head._2 == period,
+      s"expected lag $period, got ${rows.head._2}")
+    val r0 = wave.take(64).map(s => s.toLong * s).sum
+    assert(rows.head._4 == r0)
+    assert(rows.head._3 <= r0, "R(lag) can never exceed R(0)")
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
