@@ -5245,6 +5245,60 @@ object OracleSql {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  /** Greedy (MaxMatch) rounds for q305: one state row per word; each
+    * round extends unfinished words by the LONGEST vocabulary piece
+    * matching at the cursor (row_number by len desc — the substring
+    * at a fixed (pos, len) is unique, so no tie order is needed) and
+    * carries finished words through. */
+  private def greedyRounds(st: String, vocab: String): String =
+    (0 until 12).map { p =>
+      s"""$st${p + 1} AS MATERIALIZED (
+         |  SELECT word, pos, path FROM (
+         |    SELECT word, pos, path, 1 AS rn FROM $st$p
+         |    WHERE pos = len(word)
+         |    UNION ALL
+         |    SELECT word, pos, path, rn FROM (
+         |      SELECT c.word, c.pos + len(v.piece) AS pos,
+         |        c.path || '|' || v.piece AS path,
+         |        ROW_NUMBER() OVER (PARTITION BY c.word
+         |          ORDER BY len(v.piece) DESC) AS rn
+         |      FROM $st$p c JOIN $vocab v
+         |        ON c.pos < len(c.word)
+         |        AND v.piece = substr(c.word, c.pos + 1, len(v.piece))))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** q305: greedy longest-match replay — the q269 vocabulary, then
+    * 12 MaxMatch rounds instead of the Viterbi frontier. */
+  private val q305 = {
+    val rounds = greedyRounds("gr", "vocab")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM documents),
+       |starts AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM toks),
+       |sub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM starts
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM sub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |words AS (
+       |  SELECT DISTINCT tok AS word FROM toks WHERE len(tok) <= 12),
+       |gr0 AS (
+       |  SELECT word, 0 AS pos, '' AS path FROM words),
+       |$rounds
+       |SELECT word,
+       |  CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS n_pieces,
+       |  substr(path, 2) AS segments
+       |FROM gr12 WHERE pos = len(word)
+       |ORDER BY word""".stripMargin
+  }
+
   private val q269 = {
     val rounds = viterbiRounds("st", "vocab")
     s"""WITH toks AS (
@@ -7891,6 +7945,7 @@ object OracleSql {
     "q302_kneser_ney" -> q302,
     "q303_t_closeness" -> q303,
     "q304_pitch_autocorr" -> q304,
+    "q305_greedy_segment" -> q305,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -1304,6 +1304,20 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Round-10: GREEDY longest-match segmentation (the WordPiece/BERT
+    * inference rule) against the same piece vocabulary q269
+    * optimizes over — the production-tokenizer counterpart to
+    * Viterbi's global optimum; the two disagree exactly where
+    * lookahead pays. */
+  private def qGreedySegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = operators.UnigramSegment.pieceVocab(docs, "text")
+    operators.UnigramSegment.greedySegment(docs, "text", vocab)
+      .select(col("word"),
+        col("n_pieces").cast("long").as("n_pieces"), col("segments"))
+      .orderBy("word")
+  }
+
   /** Round-9: parquet schema evolution — two batches written with
     * DIFFERENT schemas (v2 adds a column), read back as one dataset
     * via mergeSchema; pre-evolution rows surface NULL for the new
@@ -4368,7 +4382,8 @@ object SparkEntry {
       "q301_jpeg_encode" -> (qJpegEncode _),
       "q302_kneser_ney" -> (qKnBigrams _),
       "q303_t_closeness" -> (qTCloseness _),
-      "q304_pitch_autocorr" -> (qPitchAutocorr _))
+      "q304_pitch_autocorr" -> (qPitchAutocorr _),
+      "q305_greedy_segment" -> (qGreedySegment _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -100,6 +100,61 @@ object UnigramSegment {
         substring(col("path"), 2, 10000).as("segments"))
   }
 
+  /** GREEDY longest-match-first segmentation (MaxMatch — the
+    * WordPiece/BERT INFERENCE rule, Devlin et al. 2019 §4.1 /
+    * Song et al. 2021's LinMaxMatch baseline) against the same piece
+    * vocabulary [[viterbiSegment]] optimizes over: at each position
+    * take the LONGEST vocabulary piece and advance — no lookahead, no
+    * scores. The deliberate contrast with q269: greedy is what
+    * production tokenizers ship for O(n) inference, Viterbi is the
+    * training-time global optimum, and the two disagree exactly where
+    * the unigram objective says greedy is suboptimal (pinned by
+    * spec). Single-char pieces are always in [[pieceVocab]], so every
+    * word segments — no UNK path needed here.
+    *
+    * Scale shape: the same bounded-round relational loop as
+    * [[viterbiSegment]], but the state is ONE row per word (greedy
+    * keeps no frontier): each of the `cap` rounds extends unfinished
+    * words by their longest matching piece (one vocabulary join, one
+    * row_number over the per-word candidate set — bounded partitions)
+    * and carries finished words through. */
+  def greedySegment(docs: DataFrame, textCol: String, vocab: DataFrame,
+                    maxPieceLen: Int = 4, cap: Int = 12): DataFrame = {
+    val words = docs.select(
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("word"))
+      .distinct()
+      .filter(length(col("word")) <= cap)
+    val voc = vocab.select(col("piece")).localCheckpoint()
+    val byWord = Window.partitionBy("word")
+      .orderBy(length(col("piece")).desc)
+    var state = words.select(col("word"), lit(0).as("pos"),
+      lit("").as("path"))
+    for (_ <- 0 until cap) {
+      val fin = state.filter(col("pos") === length(col("word")))
+      val cands = (1 to maxPieceLen).map(l =>
+        struct(lit(l).as("l"),
+          expr(s"substring(word, pos + 1, $l)").as("piece")))
+      val ext = state.filter(col("pos") < length(col("word")))
+        .select(col("word"), col("pos"), col("path"),
+          explode(array(cands: _*)).as("c"))
+        .filter(length(col("c.piece")) === col("c.l"))
+        .select(col("word"), col("pos"), col("path"),
+          col("c.piece").as("piece"))
+        .join(voc, Seq("piece"))
+        .withColumn("rn", row_number().over(byWord))
+        .filter(col("rn") === 1)
+        .select(col("word"),
+          (col("pos") + length(col("piece"))).as("pos"),
+          concat(col("path"), lit("|"), col("piece")).as("path"))
+      state = fin.unionByName(ext).localCheckpoint()
+    }
+    state.filter(col("pos") === length(col("word")))
+      .select(col("word"),
+        (size(split(col("path"), "\\|")) - 1).as("n_pieces"),
+        substring(col("path"), 2, 10000).as("segments"))
+  }
+
   /** Kudo-2018-style EM vocabulary refinement WITH PRUNING — the
     * other half of the unigram-LM tokenizer ([[pieceVocab]] seeds,
     * this loop re-estimates and shrinks). Per EM round:

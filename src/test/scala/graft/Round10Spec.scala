@@ -414,6 +414,24 @@ class Round10Spec extends SparkSpec {
     assert(rows.head._3 <= r0, "R(lag) can never exceed R(0)")
   }
 
+  test("greedySegment: takes the longest match at every cursor, and " +
+      "disagrees with Viterbi exactly where lookahead pays") {
+    // counts: ab=2, bc=5 (multi-char kept), abc=1 (dropped);
+    // scores: ab=8, bc=20, a=2, c=5
+    val docs = Seq((1L, "abc ab bc bc bc bc")).toDF("doc_id", "text")
+    val vocab = operators.UnigramSegment.pieceVocab(docs, "text")
+    val g = operators.UnigramSegment.greedySegment(docs, "text", vocab)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(g("abc") == "ab|c", "greedy must take 'ab' first, blind " +
+      "to the better a|bc split")
+    assert(g("ab") == "ab" && g("bc") == "bc")
+    val v = operators.UnigramSegment
+      .viterbiSegment(docs, "text", vocab)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(v("abc") == "a|bc", "Viterbi sees score(a)+score(bc)=22 " +
+      "beats score(ab)+score(c)=13")
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
