@@ -5534,6 +5534,25 @@ object OracleSql {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q306: Borůvka MSF oracle BY THEOREM, not replay — the engine's
+    * per-nation graph contains the (acctbal, custkey)-sorted chain,
+    * and on a line metric the minimum spanning forest weight
+    * telescopes to max − min (consecutive gaps), with n − 1 edges for
+    * each connected (= per-nation) piece. The SQL therefore never
+    * runs a graph algorithm: any engine mistake — a cycle from
+    * incomplete contraction, a non-minimal pick, a lost component —
+    * breaks the count or the sum. */
+  private val q306 =
+    """SELECT c_nationkey,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS n_edges,
+      |  CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT))
+      |     - MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS msf_weight
+      |FROM customer
+      |GROUP BY c_nationkey
+      |HAVING COUNT(*) >= 2
+      |ORDER BY c_nationkey""".stripMargin
+
   /** q303: t-closeness replay — global ppm histogram, per-class ppm
     * histogram over ALL global bins (absent bins = 0), windowed
     * cumulative differences, Σ|cum| over the first m−1 bins, the
@@ -7946,6 +7965,7 @@ object OracleSql {
     "q303_t_closeness" -> q303,
     "q304_pitch_autocorr" -> q304,
     "q305_greedy_segment" -> q305,
+    "q306_boruvka_msf" -> q306,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

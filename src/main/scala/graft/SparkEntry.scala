@@ -3470,6 +3470,48 @@ object SparkEntry {
         k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "acct_kband")
 
+  /** Round-10: distributed minimum spanning forest (Borůvka) over the
+    * per-nation sorted-neighborhood balance graph — each customer
+    * linked to its 3 successors by (acctbal, custkey) with
+    * |balance gap| cents as the weight. The oracle is a THEOREM, not
+    * a replay: the graph contains the sorted chain, and on a line
+    * metric the MSF weight is exactly max − min per nation (sum of
+    * consecutive gaps telescopes), with n − 1 edges — so a match
+    * proves the general algorithm (min-edge picks, hooking, pointer
+    * jumping) found a true MSF on real data, while the algorithm
+    * itself never gets to assume the line structure. */
+  private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey").as("c_nationkey"),
+        // acctbal is a DOUBLE: x*100 lands within 1e-9 of the cent
+        // integer, so an explicit round (NOT a truncating cast, which
+        // loses a cent whenever fp lands below) matches DuckDB's
+        round(col("c_acctbal") * 100).cast("long").as("balc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(col("balc"), col("ck"))
+    val withLeads = cust.select(col("c_nationkey"), col("ck"),
+      col("balc"),
+      lead(col("ck"), 1).over(w).as("ck1"),
+      lead(col("balc"), 1).over(w).as("b1"),
+      lead(col("ck"), 2).over(w).as("ck2"),
+      lead(col("balc"), 2).over(w).as("b2"),
+      lead(col("ck"), 3).over(w).as("ck3"),
+      lead(col("balc"), 3).over(w).as("b3"))
+    val edges = (1 to 3).map(k =>
+        withLeads.filter(col(s"ck$k").isNotNull)
+          .select(col("ck").as("u"), col(s"ck$k").as("v"),
+            abs(col(s"b$k") - col("balc")).as("w")))
+      .reduce(_ unionByName _)
+    val picked = operators.Mst.boruvkaMsf(edges)
+    picked
+      .join(cust.select(col("ck").as("u"), col("c_nationkey")),
+        Seq("u"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("msf_weight"))
+      .orderBy("c_nationkey")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4383,7 +4425,8 @@ object SparkEntry {
       "q302_kneser_ney" -> (qKnBigrams _),
       "q303_t_closeness" -> (qTCloseness _),
       "q304_pitch_autocorr" -> (qPitchAutocorr _),
-      "q305_greedy_segment" -> (qGreedySegment _))
+      "q305_greedy_segment" -> (qGreedySegment _),
+      "q306_boruvka_msf" -> (qBoruvkaMst _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -432,6 +432,57 @@ class Round10Spec extends SparkSpec {
       "beats score(ab)+score(c)=13")
   }
 
+  private def kruskal(edges: Seq[(Long, Long, Long)])
+      : (Int, Long) = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var picked = 0
+    var weight = 0L
+    for ((u, v, w) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(ru) = rv; picked += 1; weight += w }
+    }
+    (picked, weight)
+  }
+
+  test("boruvkaMsf equals Kruskal (weight is MSF-unique even under " +
+      "ties) on random graphs with duplicate weights and " +
+      "disconnected pieces") {
+    val rnd = new scala.util.Random(306)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 6
+      val edges = (for {
+        u <- 0 until n; v <- u + 1 until n
+        if rnd.nextInt(100) < 18 // sparse -> usually disconnected
+      } yield (u.toLong, v.toLong, (1 + rnd.nextInt(6)).toLong))
+      if (edges.nonEmpty) {
+        val got = operators.Mst
+          .boruvkaMsf(edges.toDF("u", "v", "w"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2)))
+        val (expN, expW) = kruskal(edges)
+        assert(got.length == expN, s"trial $trial edge count")
+        assert(got.map(_._3).sum == expW, s"trial $trial weight")
+        // picked edges must be a subset of the input
+        val in = edges.map(e => (e._1, e._2, e._3)).toSet
+        assert(got.forall(in.contains), s"trial $trial membership")
+      }
+    }
+  }
+
+  test("boruvkaMsf: monotone path graph — the worst case for hook " +
+      "chains (every pick points left) — is recovered exactly") {
+    val edges = (0 until 40).map(i =>
+      (i.toLong, (i + 1).toLong, (i + 1).toLong))
+    val got = operators.Mst.boruvkaMsf(edges.toDF("u", "v", "w"))
+      .collect()
+    assert(got.length == 40)
+    assert(got.map(_.getLong(2)).sum == (1 to 40).map(_.toLong).sum)
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
