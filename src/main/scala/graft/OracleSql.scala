@@ -5534,6 +5534,50 @@ object OracleSql {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q307: BWT-runs replay — sentinel-extended token lists, the
+    * q223 list-sort suffix order, prior token with the off = 1
+    * rotation wrap to the sentinel, LAG-based run counts in both
+    * suffix and text order. */
+  private val q307 =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_append(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> ''), chr(1)) AS ws
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '),
+      |    w -> w <> '')) > 0),
+      |p AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, ws[u.i:] AS suf,
+      |    ws
+      |  FROM t, UNNEST(range(1, len(ws) + 1)) u(i)),
+      |b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN off = 1 THEN ws[len(ws)]
+      |         ELSE ws[off - 1] END AS btok,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf) AS j
+      |  FROM p),
+      |br AS (
+      |  SELECT doc_id, COUNT(*) AS n_pos,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> btok
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bwt_runs
+      |  FROM (SELECT doc_id, btok,
+      |          LAG(btok) OVER (PARTITION BY doc_id ORDER BY j)
+      |            AS prev
+      |        FROM b)
+      |  GROUP BY doc_id),
+      |rr AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> tok
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS raw_runs
+      |  FROM (SELECT doc_id, ws[u.i] AS tok,
+      |          LAG(ws[u.i]) OVER (PARTITION BY doc_id
+      |            ORDER BY u.i) AS prev
+      |        FROM t, UNNEST(range(1, len(ws) + 1)) u(i))
+      |  GROUP BY doc_id)
+      |SELECT br.doc_id, br.n_pos, br.bwt_runs, rr.raw_runs
+      |FROM br JOIN rr USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q306: Borůvka MSF oracle BY THEOREM, not replay — the engine's
     * per-nation graph contains the (acctbal, custkey)-sorted chain,
     * and on a line metric the minimum spanning forest weight
@@ -7966,6 +8010,7 @@ object OracleSql {
     "q304_pitch_autocorr" -> q304,
     "q305_greedy_segment" -> q305,
     "q306_boruvka_msf" -> q306,
+    "q307_bwt_runs" -> q307,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

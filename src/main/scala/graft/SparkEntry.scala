@@ -1304,6 +1304,17 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Round-10: Burrows–Wheeler run profile — the bzip2-family
+    * compressibility probe built on the SAME distributed suffix
+    * array as q223/q224: per doc, run counts of the token-level BWT
+    * vs the raw order (equal contexts group, repetitive text
+    * collapses). Oracle replays the q223 list-sort convention plus
+    * the rotation wrap. */
+  private def qBwtRuns(s: SparkSession, dir: String): DataFrame =
+    operators.SuffixArray.bwtRuns(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Round-10: GREEDY longest-match segmentation (the WordPiece/BERT
     * inference rule) against the same piece vocabulary q269
     * optimizes over — the production-tokenizer counterpart to
@@ -4426,7 +4437,8 @@ object SparkEntry {
       "q303_t_closeness" -> (qTCloseness _),
       "q304_pitch_autocorr" -> (qPitchAutocorr _),
       "q305_greedy_segment" -> (qGreedySegment _),
-      "q306_boruvka_msf" -> (qBoruvkaMst _))
+      "q306_boruvka_msf" -> (qBoruvkaMst _),
+      "q307_bwt_runs" -> (qBwtRuns _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -111,6 +111,81 @@ object SuffixArray {
     cur.select(col("doc_id"), col("off"), col("rank").as("sa_rank"))
   }
 
+  /** Per-document Burrows–Wheeler transform (Burrows & Wheeler 1994)
+    * at token granularity, derived from the SAME distributed suffix
+    * array the dedup family builds (BWT[j] = the token preceding the
+    * j-th suffix in suffix order; a sentinel token (U+0001) — binary-
+    * smallest in both UTF-8 orders — closes the rotation, so off = 1
+    * wraps to it). Output: (doc_id, j, btok), j the 1-based per-doc
+    * suffix-order position over the sentinel-extended sequence.
+    *
+    * Scale shape: sentinel append is a map; the prior-token column is
+    * a per-doc lag (bounded partitions), NOT a join that ships token
+    * arrays per suffix row; the only exchange beyond
+    * [[tokenSuffixRanks]] is the co-partitioned (doc_id, off) join of
+    * ranks to positions. Within-doc ranks are strictly unique (two
+    * suffixes of one sentinel-terminated doc can never be equal), so
+    * the per-doc row_number is deterministic. */
+  def bwt(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bwt(sentinelToks(docs, idCol, textCol))
+
+  /** Sentinel-extended tokenization shared by [[bwt]] and [[bwtRuns]]
+    * — ONE corpus scan (the q224 lesson). */
+  private def sentinelToks(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        concat(col("ws"), array(lit("\u0001"))).as("ws"))
+      .localCheckpoint()
+
+  private def bwt(toks: DataFrame): DataFrame = {
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("off")
+    val prior = toks.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("off0", "tok")))
+      .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
+        col("tok"))
+      .withColumn("btok",
+        coalesce(lag(col("tok"), 1).over(wOff), lit("\u0001")))
+      .select(col("doc_id"), col("off"), col("btok"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sa_rank")
+    tokenSuffixRanks(toks)
+      .withColumn("j", row_number().over(wRank).cast("long"))
+      .join(prior, Seq("doc_id", "off"))
+      .select(col("doc_id"), col("j"), col("btok"))
+  }
+
+  /** Run-length profile of the [[bwt]] against the raw token order —
+    * the classic bzip2-family compressibility probe: BWT groups equal
+    * contexts, so repetitive text collapses into long runs (fewer
+    * runs = more compressible). Output per doc: (doc_id, n_pos,
+    * bwt_runs, raw_runs), runs counted over the sentinel-extended
+    * sequence in suffix order vs text order. One per-doc lag each —
+    * bounded windows, no extra corpus shuffle. */
+  def bwtRuns(docs: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val toks = sentinelToks(docs, idCol, textCol)
+    val wj = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j")
+    val bwtRunFlags = bwt(toks)
+      .withColumn("prev", lag(col("btok"), 1).over(wj))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("prev").isNull || col("prev") =!= col("btok"),
+          1L).otherwise(0L)).as("bwt_runs"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("off")
+    val rawRuns = toks
+      .select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("off", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(wOff))
+      .groupBy("doc_id")
+      .agg(sum(when(col("prev").isNull || col("prev") =!= col("tok"),
+        1L).otherwise(0L)).as("raw_runs"))
+    bwtRunFlags.join(rawRuns, Seq("doc_id"))
+  }
+
   /** Longest repeated token spans from the suffix ranks — the output
     * an ExactSubstr-style dedup pass consumes. Two candidate kinds:
     *

@@ -483,6 +483,39 @@ class Round10Spec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == (1 to 40).map(_.toLong).sum)
   }
 
+  test("bwt: the textbook banana transform — token-level " +
+      "'b a n a n a' + sentinel gives a n n b <s> a a, and the run " +
+      "profile collapses the grouped contexts") {
+    val docs = Seq((1L, "b a n a n a")).toDF("doc_id", "text")
+    val b = operators.SuffixArray.bwt(docs, "doc_id", "text")
+      .orderBy("j").collect().map(_.getString(2))
+    assert(b.toSeq ==
+      Seq("a", "n", "n", "b", "\u0001", "a", "a"))
+    val runs = operators.SuffixArray.bwtRuns(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(runs.toSeq == Seq((7L, 5L, 7L)))
+  }
+
+  test("bwtRuns: a highly repetitive doc compresses (bwt_runs well " +
+      "under raw_runs) and a permutation invariant holds — the BWT " +
+      "is a permutation of the sentinel-extended tokens") {
+    val docs = Seq(
+      (1L, Seq.fill(30)("ab cd").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val runs = operators.SuffixArray.bwtRuns(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val (n1, bwt1, raw1) = runs(1L)
+    assert(n1 == 61 && raw1 == 61, "alternating tokens: every raw " +
+      "position is a run boundary")
+    assert(bwt1 <= 6, s"repetitive text must collapse, got $bwt1")
+    val b = operators.SuffixArray.bwt(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2L).collect().map(_.getString(2))
+    assert(b.sorted.toSeq ==
+      ((1 to 40).map(i => s"w$i") :+ "\u0001").sorted)
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
