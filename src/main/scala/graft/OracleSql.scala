@@ -5578,6 +5578,65 @@ object OracleSql {
       |FROM br JOIN rr USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q308: Luby-MIS replay — the q306 balance graph symmetrized, then
+    * 24 fixed-PRF rounds (active-neighbor key minimum, local winners
+    * selected, closed neighborhoods dropped), arithmetic identical to
+    * the engine's `Mis.key`. Early engine exit is safe: rounds after
+    * activity dies are no-ops on both sides. */
+  private def misKey(x: String, r: Int): String =
+    s"((((($x % 1000003) * ($x % 1000003)) * ${r + 1}" +
+      s" + 31 * $x + 7 * $r) % 1000003) * 10000000 + $x)"
+
+  private val q308 = {
+    val rounds = (0 until 24).map { r =>
+      s"""nb$r AS MATERIALIZED (
+         |  SELECT e.u AS node, MIN(${misKey("e.v", r)}) AS nmin
+         |  FROM sym e
+         |  JOIN act$r a ON a.node = e.u
+         |  JOIN act$r b ON b.node = e.v
+         |  GROUP BY e.u),
+         |sel$r AS MATERIALIZED (
+         |  SELECT a.node FROM act$r a
+         |  LEFT JOIN nb$r n USING (node)
+         |  WHERE n.nmin IS NULL OR ${misKey("a.node", r)} < n.nmin),
+         |act${r + 1} AS MATERIALIZED (
+         |  SELECT a.node FROM act$r a
+         |  WHERE a.node NOT IN (SELECT node FROM sel$r)
+         |    AND a.node NOT IN (SELECT e.v FROM sym e
+         |      JOIN sel$r s ON s.node = e.u))""".stripMargin
+    }.mkString(",\n")
+    val misUnion = (0 until 24)
+      .map(r => s"SELECT node FROM sel$r").mkString(" UNION ")
+    s"""WITH cust AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS ck, c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+       |  FROM customer),
+       |ld AS (
+       |  SELECT c_nationkey, ck, balc,
+       |    LEAD(ck, 1) OVER w AS ck1,
+       |    LEAD(ck, 2) OVER w AS ck2,
+       |    LEAD(ck, 3) OVER w AS ck3
+       |  FROM cust
+       |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY balc, ck)),
+       |e0 AS (
+       |  SELECT ck AS u, ck1 AS v FROM ld WHERE ck1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT ck, ck2 FROM ld WHERE ck2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT ck, ck3 FROM ld WHERE ck3 IS NOT NULL),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0)
+       |  WHERE u <> v),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+       |act0 AS (SELECT node FROM nodes),
+       |$rounds
+       |SELECT n.node, (m.node IS NOT NULL) AS in_mis
+       |FROM nodes n
+       |LEFT JOIN ($misUnion) m ON m.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** q306: Borůvka MSF oracle BY THEOREM, not replay — the engine's
     * per-nation graph contains the (acctbal, custkey)-sorted chain,
     * and on a line metric the minimum spanning forest weight
@@ -8011,6 +8070,7 @@ object OracleSql {
     "q305_greedy_segment" -> q305,
     "q306_boruvka_msf" -> q306,
     "q307_bwt_runs" -> q307,
+    "q308_luby_mis" -> q308,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

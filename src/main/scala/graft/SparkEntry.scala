@@ -3491,7 +3491,13 @@ object SparkEntry {
     * proves the general algorithm (min-edge picks, hooking, pointer
     * jumping) found a true MSF on real data, while the algorithm
     * itself never gets to assume the line structure. */
-  private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q306/q308: the per-nation sorted-neighborhood balance
+    * graph — each customer linked to its 3 successors by
+    * (acctbal cents, custkey), |gap| as the weight. Per-nation
+    * window: partitions are nation-sized (range-partitionable at
+    * scale), never global. */
+  private def balanceNeighborEdges(s: SparkSession,
+                                   dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("ck"),
         col("c_nationkey").as("c_nationkey"),
@@ -3509,12 +3515,18 @@ object SparkEntry {
       lead(col("balc"), 2).over(w).as("b2"),
       lead(col("ck"), 3).over(w).as("ck3"),
       lead(col("balc"), 3).over(w).as("b3"))
-    val edges = (1 to 3).map(k =>
+    (1 to 3).map(k =>
         withLeads.filter(col(s"ck$k").isNotNull)
           .select(col("ck").as("u"), col(s"ck$k").as("v"),
             abs(col(s"b$k") - col("balc")).as("w")))
       .reduce(_ unionByName _)
-    val picked = operators.Mst.boruvkaMsf(edges)
+  }
+
+  private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey").as("c_nationkey"))
+    val picked = operators.Mst.boruvkaMsf(balanceNeighborEdges(s, dir))
     picked
       .join(cust.select(col("ck").as("u"), col("c_nationkey")),
         Seq("u"))
@@ -3522,6 +3534,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("msf_weight"))
       .orderBy("c_nationkey")
   }
+
+  /** Round-10: Luby's maximal independent set over the q306 balance
+    * graph — the canonical parallel symmetry-breaking primitive
+    * (Luby 1986): per fixed-PRF round, local priority minima join the
+    * set and knock out their neighborhoods. Deterministic 24-round
+    * unroll; DuckDB replays the PRF arithmetic and rounds verbatim. */
+  private def qLubyMis(s: SparkSession, dir: String): DataFrame =
+    operators.Mis.lubyMis(
+        balanceNeighborEdges(s, dir).select("u", "v"))
+      .orderBy("node")
 
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
@@ -4438,7 +4460,8 @@ object SparkEntry {
       "q304_pitch_autocorr" -> (qPitchAutocorr _),
       "q305_greedy_segment" -> (qGreedySegment _),
       "q306_boruvka_msf" -> (qBoruvkaMst _),
-      "q307_bwt_runs" -> (qBwtRuns _))
+      "q307_bwt_runs" -> (qBwtRuns _),
+      "q308_luby_mis" -> (qLubyMis _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

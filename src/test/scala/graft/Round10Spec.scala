@@ -516,6 +516,40 @@ class Round10Spec extends SparkSpec {
       ((1 to 40).map(i => s"w$i") :+ "\u0001").sorted)
   }
 
+  test("lubyMis: independence and maximality hold on random graphs, " +
+      "a clique selects exactly one node, a star selects center xor " +
+      "all leaves") {
+    val rnd = new scala.util.Random(308)
+    def check(edges: Seq[(Long, Long)]): Map[Long, Boolean] = {
+      val out = operators.Mis.lubyMis(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val sym = edges.flatMap(e => Seq(e, e.swap)).toSet
+      // independence: no edge inside the set
+      for ((u, v) <- sym if out(u) && out(v))
+        fail(s"edge ($u,$v) inside the MIS")
+      // maximality: every outside node has an inside neighbor
+      for ((n, in) <- out if !in)
+        assert(sym.exists { case (a, b) => a == n && out(b) },
+          s"node $n outside with no MIS neighbor")
+      out
+    }
+    for (trial <- 1 to 3) {
+      val n = 20 + 7 * trial
+      val edges = for {
+        u <- 0 until n; v <- u + 1 until n
+        if rnd.nextInt(100) < 15
+      } yield (u.toLong, v.toLong)
+      if (edges.nonEmpty) check(edges)
+    }
+    val clique = for (u <- 0 until 8; v <- u + 1 until 8)
+      yield (u.toLong, v.toLong)
+    assert(check(clique).values.count(identity) == 1)
+    val star = (1 to 9).map(i => (0L, i.toLong))
+    val s = check(star)
+    assert(if (s(0L)) (1 to 9).forall(i => !s(i.toLong))
+           else (1 to 9).forall(i => s(i.toLong)))
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
