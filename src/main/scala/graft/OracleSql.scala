@@ -5578,6 +5578,44 @@ object OracleSql {
       |FROM br JOIN rr USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q309: LSA-topic replay — raw term-count weights, then four
+    * weighted-HITS rounds (term sum, L1 ppm renorm, doc sum, renorm),
+    * truncating division throughout. */
+  private val q309 = {
+    val iters = (1 to 4).map { i =>
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT tok, SUM(w * h) AS a
+         |  FROM e JOIN h${i - 1} USING (doc_id) GROUP BY tok),
+         |a${i}t AS (SELECT SUM(a) AS t FROM a${i}raw),
+         |a$i AS MATERIALIZED (
+         |  SELECT tok, CASE WHEN t.t > 0 THEN (1000000 * a) // t.t
+         |    ELSE 0 END AS a
+         |  FROM a${i}raw, a${i}t t),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT doc_id, SUM(w * a) AS h
+         |  FROM e JOIN a$i USING (tok) GROUP BY doc_id),
+         |h${i}t AS (SELECT SUM(h) AS t FROM h${i}raw),
+         |h$i AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN t.t > 0 THEN (1000000 * h) // t.t
+         |    ELSE 0 END AS h
+         |  FROM h${i}raw, h${i}t t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split(lower(text), ' '),
+       |        x -> x <> '')) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id, tok, tf AS w FROM tf),
+       |h0 AS (
+       |  SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$iters
+       |SELECT doc_id, h AS lsa_ppm FROM h4
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q308: Luby-MIS replay — the q306 balance graph symmetrized, then
     * 24 fixed-PRF rounds (active-neighbor key minimum, local winners
     * selected, closed neighborhoods dropped), arithmetic identical to
@@ -8071,6 +8109,7 @@ object OracleSql {
     "q306_boruvka_msf" -> q306,
     "q307_bwt_runs" -> q307,
     "q308_luby_mis" -> q308,
+    "q309_lsa_topic" -> q309,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -1315,6 +1315,17 @@ object SparkEntry {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Round-10: latent-semantic topic direction — LSA's top singular
+    * pair as weighted HITS on the doc-term bipartite graph (the
+    * power method on A·Aᵀ), fully distributed because the TERM
+    * dimension is corpus-dependent (no bounded gram collapse like
+    * q298). Raw-count integer weights, L1 ppm renormalization per
+    * half-step; DuckDB replays all four rounds. */
+  private def qLsaTopic(s: SparkSession, dir: String): DataFrame =
+    operators.Lsa.topicProjections(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Round-10: GREEDY longest-match segmentation (the WordPiece/BERT
     * inference rule) against the same piece vocabulary q269
     * optimizes over — the production-tokenizer counterpart to
@@ -4461,7 +4472,8 @@ object SparkEntry {
       "q305_greedy_segment" -> (qGreedySegment _),
       "q306_boruvka_msf" -> (qBoruvkaMst _),
       "q307_bwt_runs" -> (qBwtRuns _),
-      "q308_luby_mis" -> (qLubyMis _))
+      "q308_luby_mis" -> (qLubyMis _),
+      "q309_lsa_topic" -> (qLsaTopic _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -550,6 +550,25 @@ class Round10Spec extends SparkSpec {
            else (1 to 9).forall(i => s(i.toLong)))
   }
 
+  test("lsa topicProjections: mass concentrates on the dominant topic " +
+      "block, L1 budget holds, and a lone off-topic doc is starved") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha beta gamma gamma"),
+      (3L, "beta gamma alpha alpha"),
+      (4L, "alpha gamma beta beta"),
+      (5L, "zeta eta")).toDF("doc_id", "text")
+    val out = operators.Lsa.topicProjections(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val big = Seq(1L, 2L, 3L, 4L).map(out).sum
+    val small = out(5L)
+    assert(big > 10 * math.max(small, 1L),
+      s"dominant block $big vs off-topic $small")
+    val total = out.values.sum
+    assert(total <= 1000000L && total >= 1000000L - out.size,
+      s"L1 budget: $total")
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
