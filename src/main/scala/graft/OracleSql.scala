@@ -5578,6 +5578,42 @@ object OracleSql {
       |FROM br JOIN rr USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q310: Dirichlet query-likelihood replay — collection model
+    * quantized to ppb first, then the same two composed floors per
+    * (doc, term), row_number top-10 per term. */
+  private val q310 =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |ct AS (SELECT COUNT(*) AS c_total FROM toks),
+      |q AS (SELECT unnest(['spark', 'stream', 'join', 'window'])
+      |        AS term),
+      |cf AS (
+      |  SELECT t.term,
+      |    (1000000000 * COUNT(*)) // ct.c_total AS cf_ppb
+      |  FROM toks t JOIN q USING (term) CROSS JOIN ct
+      |  GROUP BY t.term, ct.c_total),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM toks JOIN q USING (term)
+      |  GROUP BY doc_id, term),
+      |sc AS (
+      |  SELECT c.term, d.doc_id, COALESCE(tf.tf, 0) AS tf, d.dl,
+      |    (1000000 * COALESCE(tf.tf, 0)) // (d.dl + 2000)
+      |      + (2000 * c.cf_ppb) // (1000 * (d.dl + 2000)) AS p_ppm
+      |  FROM dl d CROSS JOIN cf c
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = c.term),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+      |    ORDER BY p_ppm DESC, doc_id) AS rnk FROM sc)
+      |SELECT term, doc_id, tf, dl, p_ppm, CAST(rnk AS INTEGER) AS rnk
+      |FROM rk WHERE rnk <= 10
+      |ORDER BY term, rnk""".stripMargin
+
   /** q309: LSA-topic replay — raw term-count weights, then four
     * weighted-HITS rounds (term sum, L1 ppm renorm, doc sum, renorm),
     * truncating division throughout. */
@@ -8110,6 +8146,7 @@ object OracleSql {
     "q307_bwt_runs" -> q307,
     "q308_luby_mis" -> q308,
     "q309_lsa_topic" -> q309,
+    "q310_dirichlet_ql" -> q310,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -1830,6 +1830,16 @@ object SparkEntry {
       k1 = 1.2, b = 0.75, topK = 10)
       .orderBy("term", "rnk")
 
+  /** Round-10: Dirichlet-smoothed query likelihood — the language-
+    * modeling retrieval ranker beside q85's BM25 (Zhai & Lafferty
+    * 2001): every doc scores every query term (the smoothing mass is
+    * the point), composed-floor fixed point, top-10 per term. */
+  private def qDirichletQl(s: SparkSession, dir: String): DataFrame =
+    TfIdf.dirichletQl(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "stream", "join", "window"),
+        mu = 2000L, topK = 10)
+      .orderBy("term", "rnk")
+
   /** Cross-source 5-gram content-overlap matrix (mirror detection). */
   private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text", n = 5)
@@ -4473,7 +4483,8 @@ object SparkEntry {
       "q306_boruvka_msf" -> (qBoruvkaMst _),
       "q307_bwt_runs" -> (qBwtRuns _),
       "q308_luby_mis" -> (qLubyMis _),
-      "q309_lsa_topic" -> (qLsaTopic _))
+      "q309_lsa_topic" -> (qLsaTopic _),
+      "q310_dirichlet_ql" -> (qDirichletQl _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

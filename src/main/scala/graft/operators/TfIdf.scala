@@ -64,6 +64,57 @@ object TfIdf {
     * Nothing scales with corpus size except the one tf aggregation
     * over matching postings.
     */
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * language-modeling retrieval counterpart to [[bm25]]'s
+    * probabilistic ranking: p(t|d) = (tf + μ·p(t|C)) / (dl + μ),
+    * collection model p(t|C) = cf(t)/|C|, in the engine's
+    * composed-floor fixed point (log-free, the q302 stance):
+    *
+    *   cf_ppb = (10⁹·cf(t)) div |C|
+    *   p_ppm  = (10⁶·tf) div (dl + μ) + (μ·cf_ppb) div (1000·(dl + μ))
+    *
+    * — the collection probability quantized FIRST so no intermediate
+    * carries a |C|-sized product (10⁶·tf·|C| overflows 2^63 on a
+    * 100 TB corpus); both floors replay exactly in DuckDB. Docs that
+    * do NOT contain a term still score (the smoothing mass — the
+    * defining difference from tf-only rankers), so the per-term
+    * candidate set is every doc; the topK cut keeps the output
+    * bounded.
+    *
+    * Scale shape: one filtered tf groupBy for the query lexicon, one
+    * corpus-wide (cf, |C|) aggregate (broadcast, term-lexicon-sized),
+    * a doc-length frame joined once, and the [[TopK.perGroupTopN]]
+    * per-term cut. */
+  def dirichletQl(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], mu: Long,
+                  topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+    val corpusTotal = toks.agg(count(lit(1)).as("c_total"))
+    val cf = toks
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("term"),
+        expr("(1000000000 * cf) div c_total").as("cf_ppb"))
+    val tf = toks
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = dl
+      .crossJoin(broadcast(cf)) // every doc scores every query term
+      .join(tf, Seq("doc_id", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .withColumn("p_ppm",
+        expr(s"(1000000 * tf) div (dl + $mu)" +
+          s" + ($mu * cf_ppb) div (1000 * (dl + $mu))"))
+    TopK.perGroupTopN(scored, Seq(col("term")),
+        Seq(col("p_ppm").desc, col("doc_id").asc), topK,
+        rankCol = "rnk")
+      .select("term", "doc_id", "tf", "dl", "p_ppm", "rnk")
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double, b: Double,
            topK: Int): DataFrame = {

@@ -569,6 +569,26 @@ class Round10Spec extends SparkSpec {
       s"L1 budget: $total")
   }
 
+  test("dirichletQl: hand closed form holds, absent terms still " +
+      "carry smoothing mass, and short docs lean harder on the " +
+      "collection model") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = operators.TfIdf.dirichletQl(docs, "doc_id", "text",
+        terms = Seq("a", "c"), mu = 10L, topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getInt(5))).toMap
+    // |C| = 6; cf_ppb(a) = 500000000, cf_ppb(c) = 166666666
+    assert(out(("a", 1L)) == ((2L, 153846L + 384615L, 2)))
+    assert(out(("a", 3L)) == ((1L, 90909L + 454545L, 1)))
+    assert(out(("a", 2L)) == ((0L, 416666L, 3)),
+      "a doc without the term must still score smoothing mass")
+    assert(out(("c", 2L))._3 == 1 && out(("c", 3L))._3 == 2 &&
+      out(("c", 1L))._3 == 3,
+      "shorter docs lean harder on the collection model")
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
