@@ -5652,6 +5652,88 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q312: changepoint replay — daily rollup, per-group prefix sums,
+    * the HUGEINT score S1l²·nr + S1r²·nl, argmax (score desc, k). */
+  private val q312 =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(x) AS s
+      |  FROM d GROUP BY event_type),
+      |c AS (
+      |  SELECT d.event_type, d.day, t.n, t.s,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1l,
+      |    LEAD(d.day, 1) OVER w AS lead_day
+      |  FROM d JOIN tot t USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+      |sc AS (
+      |  SELECT event_type, n, k, lead_day,
+      |    CAST(s1l AS HUGEINT) * CAST(s1l AS HUGEINT)
+      |        * CAST(n - k AS HUGEINT)
+      |      + CAST(s - s1l AS HUGEINT) * CAST(s - s1l AS HUGEINT)
+      |        * CAST(k AS HUGEINT) AS score
+      |  FROM c WHERE k < n),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY score DESC, k ASC) AS rn
+      |  FROM sc)
+      |SELECT event_type, n AS n_days, k AS best_k,
+      |  lead_day AS split_day,
+      |  CAST(score // 1000000 AS BIGINT) AS score_m
+      |FROM rk WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** q311: local-clustering replay — the q306 balance graph
+    * deduplicated undirected, brute triangle enumeration with
+    * x < y < z, per-corner counts, the same floor-ppm coefficient. */
+  private val q311 =
+    """WITH cust AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+      |  FROM customer),
+      |ld AS (
+      |  SELECT c_nationkey, ck, balc,
+      |    LEAD(ck, 1) OVER w AS ck1,
+      |    LEAD(ck, 2) OVER w AS ck2,
+      |    LEAD(ck, 3) OVER w AS ck3
+      |  FROM cust
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY balc, ck)),
+      |e0 AS (
+      |  SELECT ck AS u, ck1 AS v FROM ld WHERE ck1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT ck, ck2 FROM ld WHERE ck2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT ck, ck3 FROM ld WHERE ck3 IS NOT NULL),
+      |und AS MATERIALIZED (
+      |  SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM e0
+      |  WHERE u <> v GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY n),
+      |tri AS MATERIALIZED (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM und a
+      |  JOIN und b ON b.u = a.v
+      |  JOIN und c ON c.u = a.u AND c.v = b.v),
+      |tc AS (
+      |  SELECT n, COUNT(*) AS t FROM (
+      |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY n)
+      |SELECT deg.n AS node, deg.d AS degree,
+      |  COALESCE(tc.t, 0) AS triangles,
+      |  CASE WHEN deg.d >= 2
+      |    THEN (2000000 * COALESCE(tc.t, 0)) // (deg.d * (deg.d - 1))
+      |    ELSE 0 END AS lcc_ppm
+      |FROM deg LEFT JOIN tc ON tc.n = deg.n
+      |ORDER BY node""".stripMargin
+
   /** q308: Luby-MIS replay — the q306 balance graph symmetrized, then
     * 24 fixed-PRF rounds (active-neighbor key minimum, local winners
     * selected, closed neighborhoods dropped), arithmetic identical to
@@ -8147,6 +8229,8 @@ object OracleSql {
     "q308_luby_mis" -> q308,
     "q309_lsa_topic" -> q309,
     "q310_dirichlet_ql" -> q310,
+    "q311_clustering_coef" -> q311,
+    "q312_changepoint" -> q312,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

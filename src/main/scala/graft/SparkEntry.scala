@@ -906,6 +906,16 @@ object SparkEntry {
       .withColumnRenamed("group", "event_type")
       .orderBy("event_type", "day")
 
+  /** Round-10: exact least-squares changepoint per event type — one
+    * binary-segmentation step (the PELT/BinSeg primitive) on the
+    * daily-count axis; DECIMAL(38)/HUGEINT score arithmetic, argmax
+    * replayed exactly. */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.changepoint(Tables.events(s, dir),
+        "event_type", "ts")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type")
+
   /** Round-9: Bloom-filter registers — the membership twin of
     * q233/q243: per-priority Bloom bits over customer keys, the
     * union-mergeable state a distributed membership service ships. */
@@ -3566,6 +3576,15 @@ object SparkEntry {
         balanceNeighborEdges(s, dir).select("u", "v"))
       .orderBy("node")
 
+  /** Round-10: per-node local clustering coefficient over the q306
+    * balance graph — Watts–Strogatz c(v) as exact floor ppm via the
+    * degree-ordered triangle orientation (each triangle surfaces
+    * once, O(m^1.5) wedges). */
+  private def qClusteringCoef(s: SparkSession, dir: String): DataFrame =
+    operators.Triangles.perNode(
+        balanceNeighborEdges(s, dir).select("u", "v"))
+      .orderBy("node")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4484,7 +4503,9 @@ object SparkEntry {
       "q307_bwt_runs" -> (qBwtRuns _),
       "q308_luby_mis" -> (qLubyMis _),
       "q309_lsa_topic" -> (qLsaTopic _),
-      "q310_dirichlet_ql" -> (qDirichletQl _))
+      "q310_dirichlet_ql" -> (qDirichletQl _),
+      "q311_clustering_coef" -> (qClusteringCoef _),
+      "q312_changepoint" -> (qChangepoint _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4555,7 +4576,13 @@ object SparkEntry {
     // the 3-join LM support pass, and the gram-matrix PCA
     "q291_jpeg_progressive", "q292_stream_full_outer",
     "q293_unigram_em", "q294_pattern_scan", "q297_backoff_support",
-    "q298_pca_power", "q301_jpeg_encode")
+    "q298_pca_power", "q301_jpeg_encode",
+    // …and the session-2 additions: the KN smoother (one bigram-type
+    // shuffle), the Borůvka MSF + Luby MIS iterators, the BWT run
+    // profile (a second full suffix-array build), and the LSA
+    // weighted-HITS rounds
+    "q302_kneser_ney", "q306_boruvka_msf", "q307_bwt_runs",
+    "q308_luby_mis", "q309_lsa_topic")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -235,6 +235,58 @@ object Temporal {
         (col("cusum_neg") > col("h")).as("alarm_neg"))
   }
 
+  /** Exact single least-squares changepoint per series — one binary-
+    * segmentation step (Scott & Knott 1974; the primitive PELT/BinSeg
+    * iterate): over each group's daily-count series, the split k that
+    * minimizes SSE_left + SSE_right. Minimizing total SSE is
+    * equivalent to MAXIMIZING S1l²/nl + S1r²/nr (the S2 term is
+    * split-invariant), so the engine ranks candidates by the exact
+    * integer score
+    *
+    *   score(k) = S1l²·nr + S1r²·nl          (common denominator nl·nr)
+    *
+    * computed in DECIMAL(38,0) — squares of count prefix sums pass
+    * 2^63 on a 100 TB event stream; Spark decimal and DuckDB HUGEINT
+    * both carry the arithmetic exactly, so the argmax (score desc,
+    * k asc on ties) replays bit-for-bit. Published score is the
+    * floor-div by 10⁶ back into BIGINT.
+    *
+    * Scale shape: one daily rollup (map-side combined), per-group
+    * prefix sums + candidate ranking over |days|-bounded windows —
+    * never event volume. Series with < 2 days yield no row.
+    *
+    * Output: (group, n_days, best_k, split_day, score_m) — best_k =
+    * size of the left segment, split_day = first day of the right. */
+  def changepoint(events: DataFrame, groupCol: String,
+                  tsCol: String): DataFrame = {
+    val daily = events.select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("day")
+    val tot = daily.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val cand = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s1l", sum(col("x")).over(wOrd))
+      .join(broadcast(tot), "grp")
+      .filter(col("k") < col("n"))
+      .withColumn("lead_day", lead(col("day"), 1).over(wOrd))
+      .withColumn("score",
+        expr("""CAST(s1l AS DECIMAL(38,0)) * CAST(s1l AS DECIMAL(38,0))
+              |  * CAST(n - k AS DECIMAL(38,0))
+              |+ CAST(s - s1l AS DECIMAL(38,0))
+              |  * CAST(s - s1l AS DECIMAL(38,0))
+              |  * CAST(k AS DECIMAL(38,0))""".stripMargin))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("k").asc)
+    cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("grp").as("group"), col("n").as("n_days"),
+        col("k").as("best_k"), col("lead_day").as("split_day"),
+        expr("CAST(score DIV 1000000 AS BIGINT)").as("score_m"))
+  }
+
   /** Lagged cross-correlation SUFFICIENT STATISTICS between the daily
     * count series of every series pair — the lead/lag screen behind
     * "does activity in a precede activity in b?" telemetry questions:

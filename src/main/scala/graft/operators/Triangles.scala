@@ -51,4 +51,55 @@ object Triangles {
       Seq("a", "b"), "left_semi")
     closed.agg(F.count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-node triangle participation + LOCAL CLUSTERING COEFFICIENT
+    * (Watts & Strogatz 1998) — the per-node "how clique-like is my
+    * neighborhood" signal community detection and spam/bot analysis
+    * key on: c(v) = 2·T(v) / (d(v)·(d(v)−1)), published as the exact
+    * floor ppm (2·10⁶·T) div (d·(d−1)); degree-0/1 nodes report 0.
+    *
+    * Same degree-ordered orientation as [[count]] (each triangle
+    * materializes exactly once as a closed wedge), then one explode
+    * of the 3 corners and a grouped count — the O(m^{3/2}) bound
+    * carries over; nothing per-node ever exceeds the wedge set.
+    * Output: (node, degree, triangles, lcc_ppm), every node of the
+    * edge list present. */
+  def perNode(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // degree pass + orientation share one scan
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(F.count(lit(1)).as("d"))
+    val oriented = und
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+        "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.select(col("s"), col("t").as("a"))
+      .join(oriented.select(col("s"), col("t").as("b")), "s")
+      .filter(col("a") < col("b"))
+    val closed = wedges.join(
+      oriented.select(col("s").as("a"), col("t").as("b"))
+        .unionByName(oriented.select(col("t").as("a"), col("s").as("b"))),
+      Seq("a", "b"), "left_semi")
+    val perCorner = closed
+      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(F.count(lit(1)).as("t"))
+    deg.join(perCorner, Seq("n"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("n").as("node"), col("d").as("degree"),
+        col("t").as("triangles"),
+        expr("CASE WHEN d >= 2 THEN (2000000 * t) div (d * (d - 1))" +
+          " ELSE 0 END").as("lcc_ppm"))
+  }
 }

@@ -589,6 +589,63 @@ class Round10Spec extends SparkSpec {
       "shorter docs lean harder on the collection model")
   }
 
+  test("trianglesPerNode: closed forms on triangle-with-tail and " +
+      "K4, and totals agree with Triangles.count on random graphs") {
+    // triangle 1-2-3 with tail 3-4
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val o1 = operators.Triangles.perNode(g1.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(o1(1L) == ((2L, 1L, 1000000L)))
+    assert(o1(2L) == ((2L, 1L, 1000000L)))
+    assert(o1(3L) == ((3L, 1L, 333333L)))
+    assert(o1(4L) == ((1L, 0L, 0L)))
+    // K4: every node in 3 triangles, lcc = 1
+    val k4 = for (u <- 0 until 4; v <- u + 1 until 4)
+      yield (u.toLong, v.toLong)
+    val o2 = operators.Triangles.perNode(k4.toDF("u", "v"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(o2.forall(_ == ((3L, 1000000L))))
+    // consistency with the scalar counter: sum(per-node)/3 = total
+    val rnd = new scala.util.Random(311)
+    val es = for {
+      u <- 0 until 18; v <- u + 1 until 18 if rnd.nextInt(100) < 30
+    } yield (u.toLong, v.toLong)
+    val tot = operators.Triangles.count(es.toDF("u", "v"))
+      .collect().head.getLong(0)
+    val per = operators.Triangles.perNode(es.toDF("u", "v"))
+      .collect().map(_.getLong(2)).sum
+    assert(per == 3 * tot)
+  }
+
+  test("changepoint: a planted level shift is found at its true " +
+      "boundary and the score matches a brute-force replica") {
+    // type A: 8 days at 2/day then 6 days at 9/day; type B flat
+    val rows =
+      (1 to 8).flatMap(d => Seq.fill(2)(("A", d.toLong))) ++
+      (9 to 14).flatMap(d => Seq.fill(9)(("A", d.toLong))) ++
+      (1 to 10).flatMap(d => Seq.fill(3)(("B", d.toLong)))
+    val events = rows.toDF("event_type", "day")
+      .select(col("event_type"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val out = operators.Temporal.changepoint(events, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A")._1 == 14 && out("A")._2 == 8,
+      s"A split: ${out("A")}")
+    // brute-force argmax of S1l^2*nr + S1r^2*nl over the A series
+    val xs = Seq.fill(8)(2L) ++ Seq.fill(6)(9L)
+    val s = xs.sum
+    val best = (1 until xs.length).maxBy { k =>
+      val s1 = xs.take(k).sum
+      (BigInt(s1) * s1 * (xs.length - k) +
+        BigInt(s - s1) * (s - s1) * k, -k)
+    }
+    assert(best == 8)
+    // flat series: score = c²·n·k(n−k), peaked at the middle split
+    assert(out("B")._2 == 5)
+  }
+
   test("minedSpanRemoval: nothing mined (minSpan above any repeat) " +
       "returns every document unchanged") {
     val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
