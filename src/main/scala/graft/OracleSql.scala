@@ -5652,6 +5652,252 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q313: single-link clusters BY THEOREM (the q306 convention) —
+    * on the per-nation (balance, custkey) line metric, cutting the
+    * MST at t is exactly "break where the consecutive sorted gap
+    * exceeds t", so the SQL counts maximal runs of gaps ≤ 20000
+    * cents and never touches a graph algorithm: a wrong Borůvka
+    * pick, an incomplete contraction, or a lost singleton breaks the
+    * per-nation (n_clusters, max_size, n_singletons). */
+  private val q313 =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_nationkey, balc, c_custkey,
+      |    balc - LAG(balc) OVER (PARTITION BY c_nationkey
+      |      ORDER BY balc, c_custkey) AS gap
+      |  FROM c),
+      |cl AS (
+      |  SELECT c_nationkey,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 20000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY c_nationkey ORDER BY balc, c_custkey
+      |            ROWS UNBOUNDED PRECEDING) AS cl_id
+      |  FROM g),
+      |sz AS (
+      |  SELECT c_nationkey, cl_id, COUNT(*) AS n
+      |  FROM cl GROUP BY 1, 2)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(MAX(n) AS BIGINT) AS max_size,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_singletons
+      |FROM sz GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** q314: LZ77 replay — brute-force longest-previous-factor table
+    * (every j < i, stopped 32-cap common prefix; first out-of-bounds
+    * or mismatching k IS the length), then the greedy parse walked by
+    * a recursive CTE; Σ factor lengths telescopes to n_pos, so any
+    * parse drift breaks rows. lpfe/nn MATERIALIZED: the recursive
+    * walk references them per iteration. */
+  private val q314 =
+    """WITH RECURSIVE t AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    w -> w <> '') AS ws
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '),
+      |    w -> w <> '')) > 0),
+      |nn AS MATERIALIZED (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM t),
+      |p AS (
+      |  SELECT doc_id, ws, CAST(u.i AS BIGINT) AS i
+      |  FROM t, UNNEST(range(1, len(ws) + 1)) u(i)),
+      |cp AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ws[CAST(j.j AS BIGINT)] <> ws[i] THEN 0
+      |      ELSE COALESCE(list_filter(range(0, 32),
+      |        k -> i + k > len(ws)
+      |          OR ws[CAST(j.j + k AS BIGINT)]
+      |            <> ws[CAST(i + k AS BIGINT)])[1], 32)
+      |    END AS cpl
+      |  FROM p, UNNEST(range(1, i)) j(j)),
+      |lpfe AS MATERIALIZED (
+      |  SELECT p.doc_id, p.i AS pos, COALESCE(mx.m, 0) AS lpf
+      |  FROM p LEFT JOIN (SELECT doc_id, i, MAX(cpl) AS m
+      |                    FROM cp GROUP BY 1, 2) mx
+      |    ON mx.doc_id = p.doc_id AND mx.i = p.i),
+      |walk AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS pos FROM nn
+      |  UNION ALL
+      |  SELECT w.doc_id, w.pos + GREATEST(l.lpf, 1)
+      |  FROM walk w
+      |  JOIN lpfe l ON l.doc_id = w.doc_id AND l.pos = w.pos
+      |  JOIN nn ON nn.doc_id = w.doc_id
+      |  WHERE w.pos + GREATEST(l.lpf, 1) <= nn.n)
+      |SELECT w.doc_id, nn.n AS n_pos,
+      |  CAST(COUNT(*) AS BIGINT) AS n_factors,
+      |  CAST(SUM(CASE WHEN l.lpf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_literals,
+      |  CAST(MAX(GREATEST(l.lpf, 1)) AS BIGINT) AS max_factor_len
+      |FROM walk w
+      |JOIN lpfe l ON l.doc_id = w.doc_id AND l.pos = w.pos
+      |JOIN nn ON nn.doc_id = w.doc_id
+      |GROUP BY w.doc_id, nn.n ORDER BY w.doc_id""".stripMargin
+
+  /** q315: a-priori frequent-pair replay — distinct presences,
+    * frequent singletons by integer cross-multiply, per-doc pair
+    * self-join, the same cross-multiplied support gate and floor
+    * lift. */
+  private val q315 =
+    """WITH pres AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    string_split(lower(text), ' '), w -> w <> ''))) AS tok
+      |  FROM documents),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |f1 AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS sup1
+      |  FROM pres CROSS JOIN nd
+      |  GROUP BY tok, nd.n_docs
+      |  HAVING 1000000 * COUNT(*) >= 600000 * nd.n_docs),
+      |pr AS (
+      |  SELECT p.doc_id, p.tok, f1.sup1
+      |  FROM pres p JOIN f1 USING (tok))
+      |SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |  CAST(COUNT(*) AS BIGINT) AS sup_ab,
+      |  a.sup1 AS sup_a, b.sup1 AS sup_b,
+      |  CAST(nd.n_docs AS BIGINT) AS n_docs,
+      |  CAST((1000000 * COUNT(*) * nd.n_docs)
+      |    // (a.sup1 * b.sup1) AS BIGINT) AS lift_ppm
+      |FROM pr a JOIN pr b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |CROSS JOIN nd
+      |GROUP BY a.tok, b.tok, a.sup1, b.sup1, nd.n_docs
+      |HAVING 1000000 * COUNT(*) >= 600000 * nd.n_docs
+      |ORDER BY tok_a, tok_b""".stripMargin
+
+  /** q316: simplified-Soundex replay — same documented variant as
+    * [[graft.functions.Phonetic]]: translate code table, list-based
+    * adjacent-run collapse (RE2 has no backreferences, so the
+    * engine's `(.)\1+` regex is replayed with a filtered char list),
+    * drop-first/drop-zeros/rpad-3. */
+  private val q316 =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(p_name, ' '),
+      |    x -> x <> '')) AS word
+      |  FROM part),
+      |l AS (
+      |  SELECT word,
+      |    regexp_replace(upper(word), '[^A-Z]', '', 'g') AS ltr
+      |  FROM w),
+      |t AS (
+      |  SELECT word, ltr,
+      |    translate(ltr, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |      '01230120022455012623010202') AS d
+      |  FROM l),
+      |c AS (
+      |  SELECT word,
+      |    CASE WHEN length(ltr) = 0 THEN NULL
+      |      ELSE substr(ltr, 1, 1) || rpad(substr(replace(substr(
+      |        array_to_string(list_transform(
+      |          list_filter(range(1, length(d) + 1),
+      |            k -> k = 1 OR d[k] <> d[k-1]),
+      |          k -> d[k]), ''), 2), '0', ''), 1, 3), 3, '0')
+      |    END AS soundex
+      |  FROM t)
+      |SELECT soundex, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(word) AS sample_word
+      |FROM c GROUP BY soundex ORDER BY soundex""".stripMargin
+
+  /** q317: Mann–Kendall replay — the q288 daily rollup, pairwise
+    * sign sum, tie-corrected 18·Var as exact integers, the same
+    * cross-multiplied continuity-corrected significance gate. */
+  private val q317 =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT i.event_type,
+      |    CAST(SUM(SIGN(j.x - i.x)) AS BIGINT) AS s_stat
+      |  FROM d i JOIN d j
+      |    ON i.event_type = j.event_type AND i.day < j.day
+      |  GROUP BY 1),
+      |tg AS (SELECT event_type, x, COUNT(*) AS t FROM d GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM tg GROUP BY 1),
+      |v AS (
+      |  SELECT a.event_type, a.n, COALESCE(s.s_stat, 0) AS s_stat,
+      |    a.n * (a.n - 1) * (2 * a.n + 5) - a.tie_term AS var18
+      |  FROM a LEFT JOIN s USING (event_type))
+      |SELECT event_type, n, s_stat, var18,
+      |  CAST(CASE WHEN abs(s_stat) > 1
+      |    AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+      |        > 38416 * var18
+      |    THEN SIGN(s_stat) ELSE 0 END AS BIGINT) AS trend
+      |FROM v ORDER BY event_type""".stripMargin
+
+  /** q318: Hamilton apportionment replay — exact cents, floor
+    * quotas, largest-remainder top-up ranked (rem desc, nation). */
+  private val q318 =
+    """WITH bn AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM bn),
+      |q AS (
+      |  SELECT c_nationkey, cents,
+      |    CAST((1000 * cents) // t.t AS BIGINT) AS floor_seats,
+      |    CAST((1000 * cents) % t.t AS BIGINT) AS rem
+      |  FROM bn CROSS JOIN t),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey)
+      |      AS rk,
+      |    SUM(floor_seats) OVER () AS fs
+      |  FROM q)
+      |SELECT c_nationkey, cents, floor_seats, rem,
+      |  CAST(floor_seats + CASE WHEN rk <= 1000 - fs THEN 1 ELSE 0 END
+      |    AS BIGINT) AS seats
+      |FROM r ORDER BY c_nationkey""".stripMargin
+
+  /** q319: WHT perceptual-hash replay — the q218 closed-form raster
+    * per doc_id (BMP and PNG are both lossless, so decode returns
+    * the formula), nearest-resize to 8×8 by integer division, the
+    * 77/150/29 luma, the ±1 sequency-parity transform, lower-median
+    * AC threshold, two unsigned 32-bit halves. coef MATERIALIZED:
+    * referenced by both the median and the hash assembly. */
+  private val q319 =
+    """WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+      |    8 + (3 * doc_id) % 9 AS h
+      |  FROM documents),
+      |grid AS (
+      |  SELECT id, X.x AS gx, Y.y AS gy,
+      |    (77 * ((7 * ((X.x * w) // 8) + id) % 256)
+      |     + 150 * ((11 * ((Y.y * h) // 8) + 2 * id) % 256)
+      |     + 29 * (((X.x * w) // 8 + (Y.y * h) // 8 + 3 * id) % 256))
+      |      // 256 AS g
+      |  FROM dims, UNNEST(range(0, 8)) X(x), UNNEST(range(0, 8)) Y(y)),
+      |coef AS MATERIALIZED (
+      |  SELECT grid.id, u.u AS u, v.v AS v,
+      |    SUM(CASE WHEN (bit_count(u.u & gx) + bit_count(v.v & gy))
+      |        % 2 = 0
+      |      THEN g ELSE -g END) AS c
+      |  FROM grid, UNNEST(range(0, 8)) u(u), UNNEST(range(0, 8)) v(v)
+      |  GROUP BY 1, 2, 3),
+      |med AS (
+      |  SELECT id, c AS med FROM (
+      |    SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c)
+      |        AS rn
+      |    FROM coef WHERE NOT (u = 0 AND v = 0))
+      |  WHERE rn = 32),
+      |h AS (
+      |  SELECT coef.id,
+      |    CAST(SUM(CASE WHEN 8 * v + u >= 32 AND c > med
+      |      THEN (CAST(1 AS BIGINT) << (8 * v + u - 32))
+      |      ELSE 0 END) AS BIGINT) AS wht_hi,
+      |    CAST(SUM(CASE WHEN 8 * v + u BETWEEN 1 AND 31 AND c > med
+      |      THEN (CAST(1 AS BIGINT) << (8 * v + u))
+      |      ELSE 0 END) AS BIGINT) AS wht_lo
+      |  FROM coef JOIN med USING (id) GROUP BY 1)
+      |SELECT id AS doc_id, wht_hi, wht_lo,
+      |  CAST(COUNT(*) OVER (PARTITION BY wht_hi, wht_lo) AS BIGINT)
+      |    AS dup_count
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** q312: changepoint replay — daily rollup, per-group prefix sums,
     * the HUGEINT score S1l²·nr + S1r²·nl, argmax (score desc, k). */
   private val q312 =
@@ -8231,6 +8477,13 @@ object OracleSql {
     "q310_dirichlet_ql" -> q310,
     "q311_clustering_coef" -> q311,
     "q312_changepoint" -> q312,
+    "q313_single_link" -> q313,
+    "q314_lz_factors" -> q314,
+    "q315_frequent_pairs" -> q315,
+    "q316_soundex_blocks" -> q316,
+    "q317_mann_kendall" -> q317,
+    "q318_apportion" -> q318,
+    "q319_wht_hash" -> q319,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3585,6 +3585,148 @@ object SparkEntry {
         balanceNeighborEdges(s, dir).select("u", "v"))
       .orderBy("node")
 
+  /** Round-10: single-link hierarchical clustering at a fixed cut —
+    * the classic SLINK dendrogram level, computed the only way that
+    * scales: components of the MINIMUM SPANNING FOREST edges ≤ t
+    * (cutting the MST at t gives exactly the single-link clusters —
+    * the Gower & Ross 1969 equivalence), so the q306 Borůvka forest
+    * plus the contracted-union-find component resolver do all the
+    * work and no O(n²) dendrogram ever materializes. Cut at $200
+    * (20000 cents) over the per-nation balance graph; customers with
+    * no kept edge are singleton clusters (left join + coalesce).
+    * The oracle is again BY THEOREM: on the per-nation line metric,
+    * single-link clusters at t are exactly the maximal runs of
+    * consecutive (balance, custkey)-sorted gaps ≤ t — any wrong MST
+    * pick, lost component, or incomplete contraction breaks the
+    * per-nation cluster counts. */
+  private def qSingleLink(s: SparkSession, dir: String): DataFrame = {
+    val cutCents = 20000L
+    val kept = operators.Mst.boruvkaMsf(balanceNeighborEdges(s, dir))
+      .filter(col("w") <= cutCents)
+      .select(col("u").as("a"), col("v").as("b"))
+    val clusters = operators.DuplicateClusters.resolveContracted(kept)
+      .select(col("doc_id").as("ck"), col("cluster_id"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey"))
+      .join(clusters, Seq("ck"), "left")
+      .select(col("c_nationkey"),
+        coalesce(col("cluster_id"), col("ck")).as("cl"))
+      .groupBy("c_nationkey", "cl")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_clusters"),
+        max(col("sz")).as("max_size"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Round-10: token-level LZ77 factorization per document — the
+    * Lempel–Ziv complexity profile (greedy leftmost parse, matches
+    * capped at 32 tokens); map-only per-doc HOFs, the corpus-parallel
+    * shape. The replay oracle recomputes the LPF table brute-force
+    * and walks the parse with a recursive CTE — Σ factor lengths must
+    * telescope to n_pos, so any parse drift breaks rows. */
+  private def qLzFactors(s: SparkSession, dir: String): DataFrame =
+    operators.Lz.lzFactors(Tables.documents(s, dir), "doc_id", "text",
+        maxMatch = 32)
+      .orderBy("doc_id")
+
+  /** Round-10: a-priori frequent pairs with lift over document token
+    * sets — support ≥ 60% of the corpus by integer cross-multiply,
+    * pair candidates generated only from broadcast-pruned frequent
+    * singletons (downward closure). */
+  private def qFrequentPairs(s: SparkSession, dir: String): DataFrame =
+    operators.Itemsets.frequentPairs(Tables.documents(s, dir),
+        "doc_id", "text", minSupPpm = 600000L)
+      .orderBy("tok_a", "tok_b")
+
+  /** Round-10: simplified-Soundex phonetic blocking over part-name
+    * words — the record-linkage blocking key (q225's matching family
+    * gains the phonetic candidate generator): distinct words encode
+    * map-side (pure codegen string ops, no UDF), then one groupBy
+    * publishes block sizes and a deterministic sample word. */
+  private def qSoundexBlocks(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.part(s, dir)
+      .select(explode(filter(split(col("p_name"), " "),
+        w => w =!= "")).as("word"))
+      .withColumn("soundex",
+        graft.functions.Phonetic.soundexSimplified(col("word")))
+    words.groupBy("soundex")
+      .agg(countDistinct(col("word")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("word")).as("sample_word"))
+      .orderBy("soundex")
+  }
+
+  /** Round-10: Mann–Kendall monotone-trend test per event type over
+    * the daily count series — the nonparametric significance twin of
+    * q288's Theil–Sen slope (same rollup, same pair shape), exact
+    * integer S / 18·Var / continuity-corrected z by cross-multiply. */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    operators.Stats.mannKendall(daily, "event_type", "day", "x")
+      .select(col("grp").as("event_type"), col("n"), col("s_stat"),
+        col("var18"), col("trend"))
+      .orderBy("event_type")
+  }
+
+  /** Round-10: Hamilton largest-remainder apportionment — 1000 seats
+    * across nations by total open-order value in cents: floor quotas
+    * first, the leftover seats to the largest remainders (custkey-free
+    * deterministic tie-break on nation key). The classic integer
+    * allocation primitive (quota sampling, shard budgets, stratified
+    * row quotas all reduce to it); bounded groups, one tiny window. */
+  private def qApportion(s: SparkSession, dir: String): DataFrame = {
+    val seats = 1000L
+    val byNation = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long"))
+        .as("cents"))
+    val tot = byNation.agg(sum(col("cents")).as("t"))
+    val quotas = byNation.crossJoin(broadcast(tot))
+      .select(col("c_nationkey"), col("cents"),
+        expr(s"($seats * cents) div t").as("floor_seats"),
+        expr(s"($seats * cents) % t").as("rem"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("c_nationkey").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    // 25 nations: the global window is over a bounded dim table, not
+    // corpus data (the q288-style bounded-group contract)
+    quotas
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("short",
+        lit(seats) - sum(col("floor_seats")).over(wAll))
+      .select(col("c_nationkey"), col("cents"), col("floor_seats"),
+        col("rem"),
+        (col("floor_seats") +
+          when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("seats"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Round-10: WHT perceptual hash (integer pHash) + duplicate
+    * grouping over the q218 synthetic payload corpus — the spectral
+    * complement of dHash's gradient bits; same one-decode-pass
+    * window shape as q218. */
+  private def qWhtHash(s: SparkSession, dir: String): DataFrame = {
+    val payloads = operators.Multimodal.syntheticImagePayloads(
+      Tables.documents(s, dir), "doc_id")
+    val hashes = operators.Multimodal.imageWhtHash(s, payloads)
+      .select(col("doc_id"), col("wht_hi"), col("wht_lo"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wht_hi", "wht_lo")
+    hashes.withColumn("dup_count", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4505,7 +4647,14 @@ object SparkEntry {
       "q309_lsa_topic" -> (qLsaTopic _),
       "q310_dirichlet_ql" -> (qDirichletQl _),
       "q311_clustering_coef" -> (qClusteringCoef _),
-      "q312_changepoint" -> (qChangepoint _))
+      "q312_changepoint" -> (qChangepoint _),
+      "q313_single_link" -> (qSingleLink _),
+      "q314_lz_factors" -> (qLzFactors _),
+      "q315_frequent_pairs" -> (qFrequentPairs _),
+      "q316_soundex_blocks" -> (qSoundexBlocks _),
+      "q317_mann_kendall" -> (qMannKendall _),
+      "q318_apportion" -> (qApportion _),
+      "q319_wht_hash" -> (qWhtHash _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4582,7 +4731,13 @@ object SparkEntry {
     // profile (a second full suffix-array build), and the LSA
     // weighted-HITS rounds
     "q302_kneser_ney", "q306_boruvka_msf", "q307_bwt_runs",
-    "q308_luby_mis", "q309_lsa_topic")
+    "q308_luby_mis", "q309_lsa_topic",
+    // …and the session-3 additions: the MST-cut component resolver
+    // on top of a second Borůvka run, the per-doc LZ77 HOF parse
+    // (map-only — times the corpus-parallel nested-lambda path), the
+    // a-priori pair join, and the decode+WHT spectral hash pass
+    "q313_single_link", "q314_lz_factors", "q315_frequent_pairs",
+    "q319_wht_hash")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanCut.localCheckpointFlatStats
 
 /** Distributed minimum spanning forest by Borůvka's algorithm (1926;
   * the textbook distributed MST — Chung & Condon 1996's parallel form,
@@ -20,23 +21,27 @@ import org.apache.spark.sql.functions._
   *    a hash groupBy — map-side partial combine, NO window: a late
   *    round's giant component aggregates across partitions instead
   *    of sorting one (the house no-global-window rule);
-  *  - hooking gives a functional graph with exactly one 2-cycle per
-  *    merge tree (mutual minima under a total order); the smaller
-  *    label of each mutual pair roots it, and `jumps` pointer-jump
-  *    rounds (p ← p∘p, label tables only — component-sized, not
-  *    edge-sized) contract chains of length ≤ 2^jumps;
-  *  - lineage is cut per round (localCheckpoint), the suffix-array /
-  *    PageRank convention for unrolled iteration.
+  *  - the picked edges hook components into merge trees, and the
+  *    trees contract to canonical min-labels as the connected
+  *    components of the (c → oc) hook graph — label-table-sized,
+  *    resolved by [[DuplicateClusters.resolveContracted]]'s
+  *    partition-local union-find + bounded driver fold (~2 jobs,
+  *    replacing the textbook O(log² n) pointer-jump job storm);
+  *  - lineage is cut per round with a STATS-RESETTING checkpoint
+  *    ([[org.apache.spark.sql.graft.PlanCut]]): plain localCheckpoint
+  *    keeps the origin plan's Statistics snapshot, and under the
+  *    size-only estimator compounded join products across unrolled
+  *    rounds grow the BigInts until plan-time stats visitation hangs
+  *    the driver (observed at sf0.1 with the pointer-jump form).
   *
-  * Rounds and jumps are deterministic unrolls (no convergence loop),
-  * auto-sized as ⌈log₂ n⌉ + 1 from ONE node count (a single driver
-  * scalar — the emVocab/max-coverage convention): Borůvka halves the
-  * component count per round, and 2^jumps bounds the deepest hook
-  * chain (≤ n), so contraction is always COMPLETE — this matters for
-  * correctness, not just speed: a partially contracted label pair
-  * from the same merge tree would pick an intra-tree edge next round
-  * and close a cycle. Extra rounds no-op (no cross-component edges
-  * survive, the picks are empty, labels stable).
+  * Rounds are a deterministic unroll bounded by ⌈log₂ n⌉ + 1 from ONE
+  * node count (a single driver scalar — the emVocab/max-coverage
+  * convention): Borůvka halves the component count per round, and
+  * contraction is COMPLETE every round (exact connected components) —
+  * this matters for correctness, not just speed: a partially
+  * contracted label pair from the same merge tree would pick an
+  * intra-tree edge next round and close a cycle. Extra rounds no-op
+  * (no cross-component edges survive, the picks are empty).
   *
   * Returns the picked edge set (u, v, w) — callers aggregate weight /
   * count per partition key downstream. */
@@ -45,14 +50,20 @@ object Mst {
   def boruvkaMsf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // cut = localCheckpoint + stats reset: the p ⨝ p pointer jump and
+    // the m ⨝ m mutual probe DOUBLE the size-only stats' bit-length
+    // per pass; with plain localCheckpoint the snapshot compounds
+    // across rounds and plan-time stats visitation degenerates into
+    // multi-megabit BigInteger multiplies (a driver hang at sf0.1).
+    def cut(df: DataFrame): DataFrame = localCheckpointFlatStats(df)
     val e0 = edges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .transform(cut)
     var comp = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
       .distinct()
       .select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+      .transform(cut)
     val n = math.max(comp.count(), 2L)
     val bound = 64 - java.lang.Long.numberOfLeadingZeros(n - 1).toInt + 1
     var picked = spark.emptyDataset[(Long, Long, Long)]
@@ -78,46 +89,31 @@ object Mst {
       val m = half.groupBy("c").agg(min(col("cand")).as("best"))
         .select(col("c"), col("best.w").as("w"), col("best.a").as("a"),
           col("best.b").as("b"), col("best.oc").as("oc"))
-        .localCheckpoint()
+        .transform(cut)
       if (m.isEmpty) { merging = false }
       else {
         picked = picked
           .unionByName(m.select(col("a").as("u"), col("b").as("v"),
             col("w")).distinct())
-          .localCheckpoint()
-        // hook: p(c) = oc, except the smaller side of a mutual pair
-        // roots itself (breaks the one 2-cycle per merge tree)
-        val mutual = m.select(col("c"), col("oc"))
-          .join(m.select(col("c").as("oc"), col("oc").as("ococ")),
-            Seq("oc"))
-        var p = comp.select(col("comp").as("c")).distinct()
-          .join(mutual, Seq("c"), "left")
-          .select(col("c"),
-            when(col("oc").isNull, col("c")) // no incident edge: root
-              .when(col("ococ") === col("c") && col("c") < col("oc"),
-                col("c")) // mutual pair, smaller label wins
-              .otherwise(col("oc")).as("p"))
-          .localCheckpoint()
-        // pointer-jump to fixpoint: each pass squares reachable depth,
-        // so ≤ bound passes even on adversarial monotone chains; the
-        // fixpoint probe is a label-sized isEmpty, and COMPLETE
-        // contraction is what keeps later rounds cycle-free
-        var jump = 0
-        var moving = true
-        while (jump < bound && moving) {
-          val stepped = p.as("x")
-            .join(p.select(col("c").as("p"), col("p").as("pp")).as("y"),
-              Seq("p"))
-            .select(col("c"), col("p"), col("pp"))
-            .localCheckpoint()
-          moving = !stepped.filter(col("pp") =!= col("p")).isEmpty
-          p = stepped.select(col("c"), col("pp").as("p"))
-          jump += 1
-        }
-        comp = comp.join(p.select(col("c").as("comp"), col("p")),
-            Seq("comp"))
-          .select(col("node"), col("p").as("comp"))
-          .localCheckpoint()
+          .transform(cut)
+        // contract: the merge trees are exactly the connected
+        // components of the (c → oc) hook graph on component labels
+        // (component-sized, not edge-sized), and resolveContracted
+        // computes them COMPLETELY in ~2 jobs (partition-local
+        // union-find + bounded driver fold on the bridge edges) —
+        // vs O(log² n) pointer-jump jobs. Complete contraction is a
+        // correctness requirement: a partially contracted label pair
+        // from the same merge tree would pick an intra-tree edge next
+        // round and close a cycle. Min-label canonicalization is as
+        // good as any root choice — labels only need to be consistent
+        // per merged component.
+        val labels = DuplicateClusters.resolveContracted(
+            m.select(col("c").as("a"), col("oc").as("b")))
+          .select(col("doc_id").as("comp"), col("cluster_id"))
+        comp = comp.join(labels, Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("cluster_id"), col("comp")).as("comp"))
+          .transform(cut)
         round += 1
       }
     }

@@ -856,4 +856,74 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "byte_offset", "frame_key")
   }
+
+  /** Spectral perceptual hash — the pHash recipe (resize, transform
+    * to the frequency domain, threshold the low-frequency
+    * coefficients at their median) with the Walsh–Hadamard transform
+    * in place of the float DCT: H[u,x] = (−1)^popcount(u AND x) is
+    * the standard ±1 sequency basis, integer-exact end to end, so
+    * unlike cosine pHash the whole hash is deterministic across
+    * JVMs/SIMD AND oracle-replayable (the published WHT-hash variant
+    * of the pHash family; dHash q218 sees gradients, this sees the
+    * global frequency envelope, so it survives local pixel noise
+    * that flips dHash bits).
+    *
+    * Pipeline per payload: decode → nearest-resize to 8×8 (the q218
+    * integer mapping) → 77/150/29 luma → 2-D WHT
+    * coef(u,v) = Σ_{x,y} (−1)^popcount((u&x))·(−1)^popcount((v&y))·g
+    * → bit(8v+u) = 1 iff coef > lower-median of the 63 AC
+    * coefficients (DC = coef(0,0) is excluded from both the median
+    * pool and the bits — it is the brightness sum dHash-family
+    * hashes must ignore). Published as two unsigned 32-bit halves
+    * (the q218 convention; no 2⁶³ term). Map-only mapPartitions —
+    * the right shape for byte decode; undecodable payloads keep
+    * their row with decoded=false and zero hash. */
+  def imageWhtHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              val g8 = graft.functions.ImageCodec.resizeNearest(img, 8, 8)
+              val gray = g8.rgb.map(graft.functions.ImageCodec.luma)
+              val coef = new Array[Long](64)
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  var s = 0L
+                  var y = 0
+                  while (y < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      val neg = (java.lang.Integer.bitCount(u & x) +
+                        java.lang.Integer.bitCount(v & y)) & 1
+                      val g = gray(y * 8 + x).toLong
+                      s += (if (neg == 1) -g else g)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  coef(v * 8 + u) = s
+                  u += 1
+                }
+                v += 1
+              }
+              val ac = coef.drop(1).sorted // 63 ACs; lower median
+              val med = ac(31) // 32nd smallest = (63+1)/2, house lower median
+              var hash = 0L
+              var k = 1
+              while (k < 64) {
+                if (coef(k) > med) hash |= 1L << k
+                k += 1
+              }
+              (id, hash >>> 32, hash & 0xffffffffL, true)
+            case None => (id, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "wht_hi", "wht_lo", "decoded")
+  }
 }

@@ -577,6 +577,51 @@ object Stats {
         expr("(1000 * num) div den").as("slope_milli"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) per group —
+    * the nonparametric monotone-trend twin of [[theilSen]] (same
+    * bounded daily-rollup series, same O(n²) pair shape): S =
+    * Σ_{x_i<x_j} sign(y_j − y_i), with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over the y-tie
+    * groups — kept as the exact integer var18 (never divided by 18,
+    * so no rounding enters). Significance at α = 0.05 two-sided uses
+    * the normal approximation with continuity correction,
+    * z = (|S|−1)/√Var > 1.96, evaluated by integer cross-multiply:
+    * 10⁴·18·(|S|−1)² > 38416·var18 (1.96² = 3.8416 exactly), so the
+    * published trend ∈ {−1, 0, 1} is deterministic.
+    *
+    * Scale contract = theilSen's: the caller rolls up to a bounded
+    * per-group series first; n(n−1)(2n+5) fits a long to n ~ 2·10⁶
+    * points per group, far past any daily series.
+    *
+    * Output: (grp, n, s_stat, var18, trend). */
+  def mannKendall(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val s = pts.as("i").join(pts.as("j"),
+        col("i.grp") === col("j.grp") && col("i.x") < col("j.x"))
+      .groupBy(col("i.grp").as("grp"))
+      .agg(sum(signum(col("j.y") - col("i.y")).cast("long"))
+        .as("s_stat"))
+    val ties = pts.groupBy(col("grp"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_term"))
+    ties.join(s, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - col("tie_term")).as("var18"))
+      .withColumn("trend", expr(
+        """CASE WHEN abs(s_stat) > 1
+          |  AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+          |      > 38416 * var18
+          |  THEN CAST(sign(s_stat) AS BIGINT) ELSE 0L END""".stripMargin))
+  }
+
   /** Chi-square term–class association (the classic feature-selection
     * statistic, e.g. Yang & Pedersen 1997): for every (token, class)
     * the 2×2 presence table (a = class docs containing the token,
