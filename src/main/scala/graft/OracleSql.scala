@@ -8323,6 +8323,178 @@ object OracleSql {
       |      ELSE 0 END AS BIGINT) FROM a)
       |ORDER BY metric""".stripMargin
 
+  /** q320: KMV/Theta set-op replay — the same char-fold→affine PRF,
+    * bottom-32 per source, merged bottom-32 per pair, and the Beyer
+    * 2007 estimators ((k−1)·P div U_(k); ρ = matches/k) recomputed
+    * verbatim; exact audit columns from the distinct token sets. */
+  private val q320 =
+    """WITH el AS (
+      |  SELECT DISTINCT source, w AS tok
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split(lower(text), ' '),
+      |      x -> x <> '')) u(w)),
+      |hs AS (
+      |  SELECT DISTINCT source,
+      |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+      |     * 131 + 17) % 1000000007 AS h
+      |  FROM el),
+      |rk AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |  FROM hs),
+      |nh AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hash
+      |  FROM hs GROUP BY 1),
+      |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM el GROUP BY 1),
+      |sk AS (SELECT source, h, r FROM rk WHERE r <= 32),
+      |est AS (
+      |  SELECT n.source, e.n_exact,
+      |    CASE WHEN n.n_hash < 32 THEN n.n_hash
+      |         ELSE 31000000217 // k.h END AS est
+      |  FROM nh n
+      |  LEFT JOIN (SELECT source, h FROM sk WHERE r = 32) k
+      |    ON k.source = n.source
+      |  JOIN ex e ON e.source = n.source),
+      |pr AS (SELECT a.source AS sa, b.source AS sb
+      |  FROM (SELECT DISTINCT source FROM el) a,
+      |       (SELECT DISTINCT source FROM el) b
+      |  WHERE a.source < b.source),
+      |tg AS (
+      |  SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+      |    SELECT p.sa, p.sb, s.h, 1 AS ia, 0 AS ib
+      |    FROM pr p JOIN sk s ON s.source = p.sa
+      |    UNION ALL
+      |    SELECT p.sa, p.sb, s.h, 0, 1
+      |    FROM pr p JOIN sk s ON s.source = p.sb)
+      |  GROUP BY 1, 2, 3),
+      |mr AS (SELECT sa, sb, h, ia, ib,
+      |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+      |  FROM tg),
+      |mu AS (
+      |  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_merged,
+      |    MAX(CASE WHEN r = 32 THEN h END) AS hk,
+      |    CAST(SUM(ia * ib) AS BIGINT) AS matches
+      |  FROM mr WHERE r <= 32 GROUP BY 1, 2),
+      |uo AS (
+      |  SELECT sa, sb, matches, n_merged,
+      |    CASE WHEN n_merged < 32 THEN n_merged
+      |         ELSE 31000000217 // hk END AS est_union,
+      |    CASE WHEN n_merged < 32 THEN (matches * 1000000) // n_merged
+      |         ELSE (matches * 1000000) // 32 END AS jaccard_est_ppm
+      |  FROM mu),
+      |ep AS (
+      |  SELECT sa, sb, CAST(count(*) AS BIGINT) AS exact_union,
+      |    CAST(SUM(ia * ib) AS BIGINT) AS exact_inter FROM (
+      |    SELECT sa, sb, tok, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+      |      SELECT p.sa, p.sb, e.tok, 1 AS ia, 0 AS ib
+      |      FROM pr p JOIN el e ON e.source = p.sa
+      |      UNION ALL
+      |      SELECT p.sa, p.sb, e.tok, 0, 1
+      |      FROM pr p JOIN el e ON e.source = p.sb)
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2)
+      |SELECT u.sa, u.sb, ea.n_exact AS exact_a,
+      |  CAST(ea.est AS BIGINT) AS est_a,
+      |  eb.n_exact AS exact_b, CAST(eb.est AS BIGINT) AS est_b,
+      |  p.exact_union, CAST(u.est_union AS BIGINT) AS est_union,
+      |  p.exact_inter,
+      |  CAST(CASE WHEN u.n_merged < 32
+      |    THEN (u.matches * u.est_union) // u.n_merged
+      |    ELSE (u.matches * u.est_union) // 32 END AS BIGINT)
+      |    AS est_inter,
+      |  CAST(u.jaccard_est_ppm AS BIGINT) AS jaccard_est_ppm
+      |FROM uo u
+      |JOIN ep p ON p.sa = u.sa AND p.sb = u.sb
+      |JOIN est ea ON ea.source = u.sa
+      |JOIN est eb ON eb.source = u.sb
+      |ORDER BY u.sa, u.sb""".stripMargin
+
+  /** q321: FM-count BY THEOREM — the oracle never builds an index: it
+    * re-derives the same top-4-bigram/top-trigram pattern set
+    * (count desc, pattern asc) and counts occurrences NAIVELY from
+    * unnested token positions; backward search must agree exactly. */
+  private val q321 =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    x -> x <> '') AS ws
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, ws[u.i] AS t1, ws[u.i + 1] AS t2,
+      |    ws[u.i + 2] AS t3
+      |  FROM w, UNNEST(range(1, len(ws) + 1)) u(i)),
+      |big AS (SELECT t1 || ' ' || t2 AS pattern, count(*) AS c
+      |  FROM pos WHERE t2 IS NOT NULL GROUP BY 1),
+      |top4 AS (SELECT pattern FROM big
+      |  ORDER BY c DESC, pattern LIMIT 4),
+      |tri AS (SELECT t1 || ' ' || t2 || ' ' || t3 AS pattern,
+      |    count(*) AS c
+      |  FROM pos WHERE t3 IS NOT NULL GROUP BY 1
+      |  ORDER BY c DESC, pattern LIMIT 1),
+      |pats AS (SELECT pattern FROM top4
+      |  UNION ALL SELECT pattern FROM tri
+      |  UNION ALL SELECT 'zzabsent zzabsent'),
+      |hits AS (
+      |  SELECT p.pattern, s.doc_id, count(*) AS cnt
+      |  FROM pats p JOIN pos s
+      |    ON (s.t2 IS NOT NULL AND s.t1 || ' ' || s.t2 = p.pattern)
+      |    OR (s.t3 IS NOT NULL
+      |        AND s.t1 || ' ' || s.t2 || ' ' || s.t3 = p.pattern)
+      |  GROUP BY 1, 2)
+      |SELECT p.pattern,
+      |  CAST(COALESCE(count(h.doc_id), 0) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS n_occ
+      |FROM pats p LEFT JOIN hits h ON h.pattern = p.pattern
+      |GROUP BY 1 ORDER BY p.pattern""".stripMargin
+
+  /** q322: CUPED replay — identical moment sums (HUGEINT for the
+    * cross products, mirroring the engine's decimal(38,0)), identical
+    * PRF arm split, identical single-floor rationals; `//` and
+    * Spark's `div` both truncate toward zero, so every published
+    * integer matches bit-for-bit. */
+  private val q322 =
+    """WITH per AS (
+      |  SELECT o_custkey AS u,
+      |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS x,
+      |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+      |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS y
+      |  FROM orders GROUP BY 1),
+      |pop AS (
+      |  SELECT c.c_custkey AS u,
+      |    ((c.c_custkey * 1000003 + 12345) % 1000000007) % 2 AS arm,
+      |    CAST(COALESCE(p.x, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(p.y, 0) AS BIGINT) AS y
+      |  FROM customer c LEFT JOIN per p ON p.u = c.c_custkey),
+      |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(y * y) AS HUGEINT) AS syy
+      |  FROM pop),
+      |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+      |    CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+      |  FROM pop GROUP BY 1)
+      |SELECT CAST(a.arm AS BIGINT) AS arm, a.na AS n_units,
+      |  a.sxa AS sum_x, a.sya AS sum_y,
+      |  CAST((100 * a.sya) // a.na AS BIGINT) AS mean_y_centi,
+      |  CAST((100 * (CAST(a.sya AS HUGEINT)
+      |        * (g.n * g.sxx - g.sx * g.sx) * g.n
+      |      - (g.n * g.sxy - g.sx * g.sy)
+      |        * (CAST(a.sxa AS HUGEINT) * g.n
+      |           - g.sx * CAST(a.na AS HUGEINT))))
+      |     // ((g.n * g.sxx - g.sx * g.sx)
+      |        * CAST(a.na AS HUGEINT) * g.n) AS BIGINT)
+      |    AS mean_adj_centi,
+      |  CAST((1000 * (g.n * g.sxy - g.sx * g.sy))
+      |     // (g.n * g.sxx - g.sx * g.sx) AS BIGINT) AS theta_milli,
+      |  CAST(((1000000 * (g.n * g.sxy - g.sx * g.sy))
+      |       // (g.n * g.sxx - g.sx * g.sx)
+      |       * (g.n * g.sxy - g.sx * g.sy))
+      |     // (g.n * g.syy - g.sy * g.sy) AS BIGINT) AS rho2_ppm
+      |FROM a, g ORDER BY arm""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8484,6 +8656,9 @@ object OracleSql {
     "q317_mann_kendall" -> q317,
     "q318_apportion" -> q318,
     "q319_wht_hash" -> q319,
+    "q320_theta_sets" -> q320,
+    "q321_fm_count" -> q321,
+    "q322_cuped" -> q322,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3727,6 +3727,64 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-10: KMV/Theta-sketch set operations over per-source token
+    * vocabularies — distinct-count estimates that COMPOSE under
+    * union/intersection (Beyer et al. 2007), the mergeable-synopsis
+    * capability HLL (q49/q233) lacks; published next to the exact
+    * counts (the q283 audit convention). Bottom-k build rides the
+    * WindowGroupLimit rank pattern → map-side partial limits. */
+  private def qThetaSets(s: SparkSession, dir: String): DataFrame =
+    operators.KmvSketch.setOpEstimates(
+        Tables.documents(s, dir).select(col("source"),
+          explode(filter(split(lower(col("text")), " "),
+            w => w =!= "")).as("tok")),
+        "source", "tok", k = 32)
+      .orderBy("sa", "sb")
+
+  /** Round-10: FM-index backward search — occurrence counts of the
+    * corpus's top token bigrams/trigram (plus a known-absent literal)
+    * via m rank lookups per pattern on the q307 BWT, never a text
+    * scan; the oracle recounts naively from token positions, so the
+    * equality proves the whole SA → BWT → C/Occ → interval stack. */
+  private def qFmCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint() // one tokenize pass feeds both gram scans
+    // pattern selection is k-bounded (4+1 rows) and oracle-replayed:
+    // top bigrams/trigram by (count desc, pattern asc)
+    val top4 = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(ws)-2)," +
+        " i -> concat_ws(' ', ws[i], ws[i+1]))")).as("pat"))
+      .groupBy("pat").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pat").asc).limit(4)
+      .select("pat").as[String].collect().toSeq
+    val tri = toks.filter(size(col("ws")) >= 3)
+      .select(explode(expr("transform(sequence(0, size(ws)-3)," +
+        " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("pat"))
+      .groupBy("pat").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pat").asc).limit(1)
+      .select("pat").as[String].collect().toSeq
+    operators.FmIndex.countPatterns(s, docs, "doc_id", "text",
+        top4 ++ tri ++ Seq("zzabsent zzabsent"))
+      .orderBy("pattern")
+  }
+
+  /** Round-10: CUPED variance reduction (Deng et al. 2013) — the
+    * A/B-analysis staple: customers PRF-split into two arms, the
+    * post-1998-07 order spend adjusted by the pre-period covariate;
+    * θ, adjusted means, and the ρ² variance-reduction factor all
+    * integer-exact (decimal(38,0) cross products, composed floors). */
+  private def qCuped(s: SparkSession, dir: String): DataFrame =
+    operators.Experiments.cuped(
+        Tables.customer(s, dir).select(col("c_custkey").as("unit")),
+        Tables.orders(s, dir).select(col("o_custkey").as("unit"),
+          col("o_orderdate"), col("o_totalprice")),
+        "unit", "o_orderdate", "o_totalprice", "1998-07-01")
+      .orderBy("arm")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4654,7 +4712,10 @@ object SparkEntry {
       "q316_soundex_blocks" -> (qSoundexBlocks _),
       "q317_mann_kendall" -> (qMannKendall _),
       "q318_apportion" -> (qApportion _),
-      "q319_wht_hash" -> (qWhtHash _))
+      "q319_wht_hash" -> (qWhtHash _),
+      "q320_theta_sets" -> (qThetaSets _),
+      "q321_fm_count" -> (qFmCount _),
+      "q322_cuped" -> (qCuped _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4737,7 +4798,10 @@ object SparkEntry {
     // (map-only — times the corpus-parallel nested-lambda path), the
     // a-priori pair join, and the decode+WHT spectral hash pass
     "q313_single_link", "q314_lz_factors", "q315_frequent_pairs",
-    "q319_wht_hash")
+    "q319_wht_hash",
+    // round-10 session 4: the sketch set-ops, the FM search stack
+    // (exercises SA + BWT + as-of), and the experiment-analysis agg
+    "q320_theta_sets", "q321_fm_count", "q322_cuped")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
