@@ -8495,6 +8495,127 @@ object OracleSql {
       |     // (g.n * g.syy - g.sy * g.sy) AS BIGINT) AS rho2_ppm
       |FROM a, g ORDER BY arm""".stripMargin
 
+  /** q323: FD-audit replay — the identical two-level aggregation per
+    * candidate (distinct pairs → per-group n_y/rows/max → rollup),
+    * g₃ and ppm by the same integer divisions. */
+  private def fdBlock(name: String, table: String, lhs: String,
+                      rhs: String): String =
+    s"""SELECT '$name' AS fd, n_rows, n_groups, n_violating, excess,
+       |  g3, CAST((1000000 * g3) // n_rows AS BIGINT) AS g3_ppm
+       |FROM (
+       |  SELECT CAST(SUM(rws) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_violating,
+       |    CAST(SUM(n_y - 1) AS BIGINT) AS excess,
+       |    CAST(SUM(rws - maxc) AS BIGINT) AS g3
+       |  FROM (
+       |    SELECT x, COUNT(*) AS n_y, SUM(c) AS rws, MAX(c) AS maxc
+       |    FROM (
+       |      SELECT $lhs AS x, $rhs AS y, COUNT(*) AS c
+       |      FROM $table GROUP BY 1, 2)
+       |    GROUP BY x))""".stripMargin
+
+  private val q323 = Seq(
+      ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+      ("part.p_type->p_brand", "part", "p_type", "p_brand"),
+      ("part.p_size->p_brand", "part", "p_size", "p_brand"),
+      ("supplier.s_nationkey->s_name", "supplier",
+        "s_nationkey", "s_name"),
+      ("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      ("orders.o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"))
+    .map { case (n, t, l, r) => fdBlock(n, t, l, r) }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+
+  /** q324: Holt replay — the milli fixed-point recursion walked by a
+    * recursive CTE over the rn-ordered daily rollup; `//` and the
+    * engine's exact power-of-two double division both truncate
+    * toward zero, so negative trends agree. */
+  private val q324 =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |o AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day) AS rn
+      |  FROM d),
+      |nd AS (SELECT event_type, MAX(rn) AS n_days FROM o GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, 1 AS rn, 1000 * y AS s,
+      |    CAST(0 AS BIGINT) AS b
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, r.rn + 1,
+      |    (1000 * o.y + 3 * (r.s + r.b)) // 4,
+      |    (((1000 * o.y + 3 * (r.s + r.b)) // 4) - r.s + 3 * r.b) // 4
+      |  FROM r JOIN o ON o.event_type = r.event_type
+      |    AND o.rn = r.rn + 1)
+      |SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+      |  CAST(r.s AS BIGINT) AS level_milli,
+      |  CAST(r.b AS BIGINT) AS trend_milli,
+      |  CAST(r.s + r.b AS BIGINT) AS forecast_milli
+      |FROM r JOIN nd ON nd.event_type = r.event_type
+      |  AND r.rn = nd.n_days
+      |ORDER BY r.event_type""".stripMargin
+
+  /** q325: truss-profile replay — the q308 balance-graph fragment,
+    * then 8 unrolled peel rounds: per round, each edge's support is
+    * its common-neighbor count over the symmetrized survivor set,
+    * and survivors need support ≥ k−2 = 2. Converged rounds replay
+    * to identical sets, publishing the same zero removals the engine
+    * short-circuits to. */
+  private val q325 = {
+    val rounds = (0 until 8).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM e$r
+         |  UNION ALL SELECT v, u FROM e$r),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, COUNT(*) AS c
+         |  FROM e$r e
+         |  JOIN s$r s1 ON s1.a = e.u
+         |  JOIN s$r s2 ON s2.a = e.v AND s2.b = s1.b
+         |  GROUP BY e.u, e.v),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$r e
+         |  JOIN sup$r s ON s.u = e.u AND s.v = e.v AND s.c >= 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val prof = (1 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT COUNT(*) FROM e${r - 1})
+         |    - (SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_removed,
+         |  CAST((SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_remaining"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cust AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS ck, c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+       |  FROM customer),
+       |ld AS (
+       |  SELECT c_nationkey, ck, balc,
+       |    LEAD(ck, 1) OVER w AS ck1,
+       |    LEAD(ck, 2) OVER w AS ck2,
+       |    LEAD(ck, 3) OVER w AS ck3
+       |  FROM cust
+       |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY balc, ck)),
+       |eraw AS (
+       |  SELECT ck AS u, ck1 AS v FROM ld WHERE ck1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT ck, ck2 FROM ld WHERE ck2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT ck, ck3 FROM ld WHERE ck3 IS NOT NULL),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+       |  FROM eraw WHERE u <> v),
+       |$rounds
+       |$prof
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8659,6 +8780,9 @@ object OracleSql {
     "q320_theta_sets" -> q320,
     "q321_fm_count" -> q321,
     "q322_cuped" -> q322,
+    "q323_fd_audit" -> q323,
+    "q324_holt_trend" -> q324,
+    "q325_truss_profile" -> q325,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

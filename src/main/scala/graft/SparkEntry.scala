@@ -3785,6 +3785,51 @@ object SparkEntry {
         "unit", "o_orderdate", "o_totalprice", "1998-07-01")
       .orderBy("arm")
 
+  /** Round-10: approximate functional-dependency audit — the TANE/g₃
+    * profiling primitive over a bounded candidate list: key-based
+    * exact FDs report zero, the rest publish violation structure
+    * (violating groups, excess RHS values, the g₃ deletion bound). */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Profiling.fdAudit(Seq(
+        ("part.p_partkey->p_brand", Tables.part(s, dir),
+          "p_partkey", "p_brand"),
+        ("part.p_type->p_brand", Tables.part(s, dir),
+          "p_type", "p_brand"),
+        ("part.p_size->p_brand", Tables.part(s, dir),
+          "p_size", "p_brand"),
+        ("supplier.s_nationkey->s_name", Tables.supplier(s, dir),
+          "s_nationkey", "s_name"),
+        ("customer.c_nationkey->c_mktsegment", Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"),
+        ("orders.o_custkey->o_orderpriority", Tables.orders(s, dir),
+          "o_custkey", "o_orderpriority")))
+      .orderBy("fd")
+
+  /** Round-10: Holt double exponential smoothing per event type over
+    * the daily count series (the q288/q317 rollup) — level + trend +
+    * one-step forecast in milli fixed point, the ordered-fold shape. */
+  private def qHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    operators.Temporal.holtTrend(daily, "event_type", "day", "x")
+      .select(col("grp").as("event_type"),
+        col("n_days").cast("long").as("n_days"),
+        col("level_milli"), col("trend_milli"), col("forecast_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Round-10: bounded 4-truss peeling profile over the symmetrized
+    * balance graph — per-round edge removals and survivors (the
+    * cohesion-decay telemetry; the fixpoint is NOT bounded-round on
+    * chain graphs, the profile is). */
+  private def qTrussProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Truss.peelProfile(
+        balanceNeighborEdges(s, dir).select("u", "v"),
+        k = 4, rounds = 8)
+      .orderBy("round")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4715,7 +4760,10 @@ object SparkEntry {
       "q319_wht_hash" -> (qWhtHash _),
       "q320_theta_sets" -> (qThetaSets _),
       "q321_fm_count" -> (qFmCount _),
-      "q322_cuped" -> (qCuped _))
+      "q322_cuped" -> (qCuped _),
+      "q323_fd_audit" -> (qFdAudit _),
+      "q324_holt_trend" -> (qHoltTrend _),
+      "q325_truss_profile" -> (qTrussProfile _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4801,7 +4849,8 @@ object SparkEntry {
     "q319_wht_hash",
     // round-10 session 4: the sketch set-ops, the FM search stack
     // (exercises SA + BWT + as-of), and the experiment-analysis agg
-    "q320_theta_sets", "q321_fm_count", "q322_cuped")
+    "q320_theta_sets", "q321_fm_count", "q322_cuped",
+    "q323_fd_audit", "q324_holt_trend", "q325_truss_profile")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

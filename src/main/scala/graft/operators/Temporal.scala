@@ -454,4 +454,59 @@ object Temporal {
       .withColumn("overall_ppm", lit(overall))
       .withColumn("gap_ppm", col("rate_ppm") - col("overall_ppm"))
   }
+
+  /** Holt double exponential smoothing (Holt 1957) — level + linear
+    * trend, the forecasting step up from the memoryless EWMA (q148):
+    *
+    *   s_t = α·y_t + (1−α)·(s_{t−1} + b_{t−1})
+    *   b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1}
+    *
+    * with α = β = 1/4 so every update is integer-exact in milli
+    * fixed point: s' = (1000·y + 3·(s+b)) div 4,
+    * b' = ((s'−s) + 3·b) div 4 — one floor per component per step,
+    * `div` truncation identical on both engines (the q310
+    * composed-floor stance; negative trends truncate toward zero on
+    * both sides).
+    *
+    * Scale contract = theilSen/mannKendall's: the caller's series is
+    * a bounded per-group daily rollup, folded in ONE `aggregate` HOF
+    * over the group's sorted array (the q148 ordered-fold shape,
+    * codegen'd, no UDF) — per-group state is two longs, nothing
+    * corpus-wide orders. The oracle replays the recursion with a
+    * recursive CTE over the same rollup.
+    *
+    * Output: (grp, n_days, level_milli, trend_milli, forecast_milli)
+    * with forecast = s + b (one step ahead); init s₁ = 1000·y₁,
+    * b₁ = 0. */
+  def holtTrend(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    // ÷4 with truncation toward zero, exactly: /4 is a power-of-two
+    // double division (exact below 2^53 — milli levels stay ≪ that),
+    // and the long cast truncates toward zero like SQL div / DuckDB //
+    def idiv4(c: Column): Column = (c / lit(4)).cast("long")
+    val series = df.select(col(groupCol).as("grp"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("x"), col("y"))))
+        .as("xs"))
+    series.select(col("grp"), size(col("xs")).as("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), size(col("xs"))),
+          struct(
+            (element_at(col("xs"), 1).getField("y") * 1000L).as("s"),
+            lit(0L).as("b")),
+          (acc, e) => {
+            val sPrev = acc.getField("s")
+            val bPrev = acc.getField("b")
+            val sNew = idiv4(e.getField("y") * 1000L
+              + (sPrev + bPrev) * 3L)
+            val bNew = idiv4((sNew - sPrev) + bPrev * 3L)
+            struct(sNew.as("s"), bNew.as("b"))
+          }).as("st"))
+      .select(col("grp"), col("n_days"),
+        col("st").getField("s").as("level_milli"),
+        col("st").getField("b").as("trend_milli"),
+        (col("st").getField("s") + col("st").getField("b"))
+          .as("forecast_milli"))
+  }
 }
