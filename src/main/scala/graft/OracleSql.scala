@@ -8616,6 +8616,54 @@ object OracleSql {
        |ORDER BY round""".stripMargin
   }
 
+  /** q326: VARIANT replay — DuckDB's json_extract over the same
+    * props column; typed long extraction matches variant_get. */
+  private val q326 =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q327: TPC-H Q5 replay — identical join topology and the exact
+    * centi × (100 − discount-centi) integer revenue. */
+  private val q327 =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT) AS revenue_c4,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = c.c_nationkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  AND r.r_name = 'ASIA'
+      |GROUP BY n.n_name
+      |ORDER BY revenue_c4 DESC, n.n_name""".stripMargin
+
+  /** q328: TPC-H Q18 replay — grouped-quantity HAVING, join back,
+    * deterministic (qty desc, orderkey) top-100. */
+  private val q328 =
+    """WITH q AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+      |  FROM lineitem GROUP BY 1 HAVING qty_c > 30000)
+      |SELECT o.o_custkey AS c_custkey, o.o_orderkey, q.qty_c,
+      |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+      |FROM orders o JOIN q ON q.l_orderkey = o.o_orderkey
+      |ORDER BY q.qty_c DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8783,6 +8831,9 @@ object OracleSql {
     "q323_fd_audit" -> q323,
     "q324_holt_trend" -> q324,
     "q325_truss_profile" -> q325,
+    "q326_variant_stats" -> q326,
+    "q327_local_supplier_rev" -> q327,
+    "q328_large_orders" -> q328,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3830,6 +3830,77 @@ object SparkEntry {
         k = 4, rounds = 8)
       .orderBy("round")
 
+  /** Round-10: Spark 4 VARIANT ingestion of the events props JSON —
+    * parse_json → variant_get typed extraction (the semi-structured
+    * fast path that replaces schema-on-write from_json when the
+    * shape is open-ended), aggregated per event type. Complements
+    * q51's struct-typed from_json with the binary-variant path. */
+  private def qVariantStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("event_type")
+
+  /** Round-10: the TPC-H Q5 shape — local-supplier revenue by nation
+    * (customer and supplier in the SAME nation, region-filtered,
+    * one-year order window): the classic 6-table mixed broadcast/
+    * shuffle join tree. Revenue exact in 10⁻⁴-dollar integers
+    * (price cents × (100 − discount cents)). */
+  private def qLocalSupplierRevenue(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .join(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey").as("n_regionkey")),
+        Seq("n_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).as("revenue_c4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c4").desc, col("n_name"))
+  }
+
+  /** Round-10: the TPC-H Q18 shape — large-volume orders: HAVING on
+    * a grouped quantity rollup, semi-joined back to the fact tables,
+    * deterministic top-100. Quantities exact in centi units. */
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity") * 100).cast("long"))
+        .as("qty_c"))
+      .filter(col("qty_c") > 30000L)
+    Tables.orders(s, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("qty_c"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .orderBy(col("qty_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4763,7 +4834,10 @@ object SparkEntry {
       "q322_cuped" -> (qCuped _),
       "q323_fd_audit" -> (qFdAudit _),
       "q324_holt_trend" -> (qHoltTrend _),
-      "q325_truss_profile" -> (qTrussProfile _))
+      "q325_truss_profile" -> (qTrussProfile _),
+      "q326_variant_stats" -> (qVariantStats _),
+      "q327_local_supplier_rev" -> (qLocalSupplierRevenue _),
+      "q328_large_orders" -> (qLargeOrders _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4850,7 +4924,9 @@ object SparkEntry {
     // round-10 session 4: the sketch set-ops, the FM search stack
     // (exercises SA + BWT + as-of), and the experiment-analysis agg
     "q320_theta_sets", "q321_fm_count", "q322_cuped",
-    "q323_fd_audit", "q324_holt_trend", "q325_truss_profile")
+    "q323_fd_audit", "q324_holt_trend", "q325_truss_profile",
+    "q326_variant_stats", "q327_local_supplier_rev",
+    "q328_large_orders")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

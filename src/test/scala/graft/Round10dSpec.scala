@@ -98,6 +98,26 @@ class Round10dSpec extends SparkSpec {
     assert(prof.sliding(2).forall(p => p(1)._3 <= p.head._3))
   }
 
+  // --- classic OLAP shapes -----------------------------------------------------
+
+  test("q327 plan: dimension sides broadcast, no cartesian product") {
+    val df = SparkEntry.queries("q327_local_supplier_rev")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation/supplier sides should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "the 6-table tree must stay equi-joined")
+    assert(df.collect().map(_.getLong(1)).forall(_ > 0L))
+  }
+
+  test("q328: every returned order clears the quantity threshold " +
+      "and ordering is deterministic") {
+    val rows = SparkEntry.queries("q328_large_orders")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(rows.forall(_._1 > 30000L))
+    assert(rows.sameElements(rows.sortBy(r => (-r._1, r._2))))
+  }
+
   test("trussPeel: convergence short-circuit publishes zero rounds") {
     val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
     // k=3: support >= 1, the triangle is stable from round 1
