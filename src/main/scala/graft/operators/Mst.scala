@@ -66,8 +66,11 @@ object Mst {
       .transform(cut)
     val n = math.max(comp.count(), 2L)
     val bound = 64 - java.lang.Long.numberOfLeadingZeros(n - 1).toInt + 1
-    var picked = spark.emptyDataset[(Long, Long, Long)]
-      .toDF("u", "v", "w")
+    // per-round picks are already checkpointed (m) — collect the
+    // frames and union/dedupe ONCE at the end instead of paying a
+    // union+distinct+checkpoint job every round
+    val pickedRounds =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var merging = true
     while (round < bound && merging) {
@@ -92,10 +95,8 @@ object Mst {
         .transform(cut)
       if (m.isEmpty) { merging = false }
       else {
-        picked = picked
-          .unionByName(m.select(col("a").as("u"), col("b").as("v"),
-            col("w")).distinct())
-          .transform(cut)
+        pickedRounds += m.select(col("a").as("u"), col("b").as("v"),
+          col("w"))
         // contract: the merge trees are exactly the connected
         // components of the (c → oc) hook graph on component labels
         // (component-sized, not edge-sized), and resolveContracted
@@ -117,6 +118,8 @@ object Mst {
         round += 1
       }
     }
-    picked
+    if (pickedRounds.isEmpty)
+      spark.emptyDataset[(Long, Long, Long)].toDF("u", "v", "w")
+    else pickedRounds.reduce(_ unionByName _).distinct()
   }
 }
