@@ -8664,6 +8664,89 @@ object OracleSql {
       |ORDER BY q.qty_c DESC, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** q329: audio-WHT replay — the synthetic PCM closed form
+    * ((17i + 3·id) mod 2001 − 1000, the q304 convention) through the
+    * 64-term WHT definition sum; the engine's butterfly computes the
+    * same integers off the REAL decoded WAV bytes. */
+  private val q329 =
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |s AS (
+      |  SELECT id, t.i AS i, ((17 * t.i + 3 * id) % 2001) - 1000 AS v
+      |  FROM ids, UNNEST(range(0, 64)) t(i)),
+      |w AS (
+      |  SELECT id, u.u AS u,
+      |    SUM(CASE WHEN bit_count(u.u & s.i) % 2 = 1
+      |      THEN -v ELSE v END) AS wv
+      |  FROM s, UNNEST(range(0, 64)) u(u) GROUP BY 1, 2)
+      |SELECT id AS doc_id, CAST(u // 8 AS BIGINT) AS band,
+      |  CAST(SUM(wv * wv) AS BIGINT) AS energy
+      |FROM w GROUP BY 1, 2 ORDER BY doc_id, band""".stripMargin
+
+  /** q330: Sobel replay — closed-form raster at native size, 77/150/29
+    * luma, the 3×3 kernels as one windowed neighbor join. */
+  private val q330 =
+    """WITH dims AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+      |    8 + (3 * doc_id) % 9 AS h
+      |  FROM documents),
+      |lum AS (
+      |  SELECT id, X.x AS x, Y.y AS y, w, h,
+      |    (77 * ((7 * X.x + id) % 256)
+      |     + 150 * ((11 * Y.y + 2 * id) % 256)
+      |     + 29 * ((X.x + Y.y + 3 * id) % 256)) // 256 AS g
+      |  FROM dims, UNNEST(range(0, 16)) X(x), UNNEST(range(0, 16)) Y(y)
+      |  WHERE X.x < w AND Y.y < h),
+      |sob AS (
+      |  SELECT c.id, c.x, c.y,
+      |    SUM(CASE n.x - c.x
+      |      WHEN 1 THEN (CASE WHEN n.y = c.y THEN 2 ELSE 1 END) * n.g
+      |      WHEN -1 THEN -(CASE WHEN n.y = c.y THEN 2 ELSE 1 END) * n.g
+      |      ELSE 0 END) AS gx,
+      |    SUM(CASE n.y - c.y
+      |      WHEN 1 THEN (CASE WHEN n.x = c.x THEN 2 ELSE 1 END) * n.g
+      |      WHEN -1 THEN -(CASE WHEN n.x = c.x THEN 2 ELSE 1 END) * n.g
+      |      ELSE 0 END) AS gy
+      |  FROM lum c JOIN lum n ON n.id = c.id
+      |    AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+      |  WHERE c.x >= 1 AND c.x < c.w - 1 AND c.y >= 1
+      |    AND c.y < c.h - 1
+      |  GROUP BY 1, 2, 3)
+      |SELECT id AS doc_id, TRUE AS decoded,
+      |  CAST(COUNT(*) AS BIGINT) AS n_interior,
+      |  CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS sum_mag,
+      |  CAST(SUM(CASE WHEN abs(gx) + abs(gy) > 600 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_strong,
+      |  CAST(MAX(abs(gx) + abs(gy)) AS BIGINT) AS max_mag
+      |FROM sob GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q331: item-item CF replay — co-occurrence candidates, the same
+    * single-floor cos²-ppm, the same (score desc, nbr asc) top-3. */
+  private val q331 =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |  FROM lineitem),
+      |np AS (SELECT it, COUNT(*) AS n FROM bi GROUP BY 1),
+      |co AS (
+      |  SELECT a.it AS a, b.it AS b, CAST(COUNT(*) AS BIGINT) AS co
+      |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sc AS (
+      |  SELECT co.a, co.b, co.co,
+      |    (1000000 * co.co * co.co) // (na.n * nb.n) AS cos2_ppm
+      |  FROM co JOIN np na ON na.it = co.a JOIN np nb ON nb.it = co.b),
+      |dir AS (
+      |  SELECT a AS item, b AS nbr, co, cos2_ppm FROM sc
+      |  UNION ALL
+      |  SELECT b, a, co, cos2_ppm FROM sc),
+      |rk AS (
+      |  SELECT item, nbr, co, cos2_ppm,
+      |    row_number() OVER (PARTITION BY item
+      |      ORDER BY cos2_ppm DESC, nbr ASC) AS rk
+      |  FROM dir)
+      |SELECT item, CAST(rk AS BIGINT) AS rk, nbr, co,
+      |  CAST(cos2_ppm AS BIGINT) AS cos2_ppm
+      |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8834,6 +8917,9 @@ object OracleSql {
     "q326_variant_stats" -> q326,
     "q327_local_supplier_rev" -> q327,
     "q328_large_orders" -> q328,
+    "q329_audio_wht_bands" -> q329,
+    "q330_sobel_profile" -> q330,
+    "q331_item_item_cf" -> q331,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

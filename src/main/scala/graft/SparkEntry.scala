@@ -3901,6 +3901,33 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** Round-10: sequency-band audio energies — the integer WHT
+    * spectral envelope over real decoded PCM (q319's transform, q304's
+    * decode path), 8 bands per payload. */
+  private def qAudioWhtBands(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.audioWhtBands(s,
+        operators.Multimodal.syntheticAudioPayloads(
+          Tables.documents(s, dir), "doc_id"))
+      .orderBy("doc_id", "band")
+
+  /** Round-10: Sobel edge profile per decoded image — the
+    * edge-density quality gate, exact integer L1 Sobel on the luma. */
+  private def qSobelProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.imageSobelProfile(s,
+        operators.Multimodal.syntheticImagePayloads(
+          Tables.documents(s, dir), "doc_id"), thr = 600L)
+      .orderBy("doc_id")
+
+  /** Round-10: item-item collaborative filtering over order baskets —
+    * cosine²-ppm neighbors, co-occurrence candidates only, per-item
+    * deterministic top-3. */
+  private def qItemItemCf(s: SparkSession, dir: String): DataFrame =
+    operators.Recommend.itemItemTopK(
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("bk"),
+          col("l_partkey").as("it")),
+        "bk", "it", minCo = 2L, k = 3)
+      .orderBy("item", "rk")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4837,7 +4864,10 @@ object SparkEntry {
       "q325_truss_profile" -> (qTrussProfile _),
       "q326_variant_stats" -> (qVariantStats _),
       "q327_local_supplier_rev" -> (qLocalSupplierRevenue _),
-      "q328_large_orders" -> (qLargeOrders _))
+      "q328_large_orders" -> (qLargeOrders _),
+      "q329_audio_wht_bands" -> (qAudioWhtBands _),
+      "q330_sobel_profile" -> (qSobelProfile _),
+      "q331_item_item_cf" -> (qItemItemCf _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4926,7 +4956,8 @@ object SparkEntry {
     "q320_theta_sets", "q321_fm_count", "q322_cuped",
     "q323_fd_audit", "q324_holt_trend", "q325_truss_profile",
     "q326_variant_stats", "q327_local_supplier_rev",
-    "q328_large_orders")
+    "q328_large_orders", "q329_audio_wht_bands", "q330_sobel_profile",
+    "q331_item_item_cf")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

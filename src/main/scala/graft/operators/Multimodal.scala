@@ -926,4 +926,110 @@ object Multimodal {
       }
       .toDF("doc_id", "wht_hi", "wht_lo", "decoded")
   }
+
+  /** Sequency-band energy profile of decoded PCM — the q319 trick
+    * (integer Walsh–Hadamard transform in place of the float DFT)
+    * applied to audio: the 64-point WHT of the first 64 samples,
+    * W[u] = Σ_i (−1)^popcount(u AND i)·s_i, grouped into 8 sequency
+    * bands of 8 coefficients each with exact energy Σ W². The
+    * spectral-envelope feature every audio-quality gate wants
+    * (speech vs tone vs noise separate by band profile), with zero
+    * float anywhere — deterministic across JVMs and replayable
+    * arithmetically (|W| ≤ 64·2¹⁵, band energy ≤ 8·(64·2¹⁵)² fits a
+    * long with room). The fast butterfly (O(n log n)) computes the
+    * same integers as the definition sum the oracle replays.
+    * Map-only mapPartitions; docs shorter than 64 samples zero-pad
+    * (the synthetic corpus never is). Output: (doc_id, band,
+    * energy), 8 rows per decodable payload. */
+  def audioWhtBands(spark: SparkSession,
+                    payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          graft.functions.AudioCodec.decodeWav(bytes) match {
+            case Some(wav) =>
+              val w = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                w(i) = if (i < wav.samples.length)
+                  wav.samples(i).toLong else 0L
+                i += 1
+              }
+              // in-place fast WHT butterfly
+              var len = 1
+              while (len < 64) {
+                var s = 0
+                while (s < 64) {
+                  var j = s
+                  while (j < s + len) {
+                    val a = w(j); val b = w(j + len)
+                    w(j) = a + b
+                    w(j + len) = a - b
+                    j += 1
+                  }
+                  s += 2 * len
+                }
+                len *= 2
+              }
+              (0 until 8).map { band =>
+                var e = 0L
+                var u = band * 8
+                while (u < band * 8 + 8) { e += w(u) * w(u); u += 1 }
+                (id, band.toLong, e)
+              }
+            case None => Seq.empty
+          }
+        }
+      }
+      .toDF("doc_id", "band", "energy")
+  }
+
+  /** Sobel edge profile over the decoded raster — integer L1 Sobel
+    * (|Gx| + |Gy| on the 77/150/29 luma, the classic 3×3 kernels)
+    * per interior pixel, rolled up per image: interior count, total
+    * magnitude, strong-edge count (mag > thr) and max magnitude. The
+    * edge-density quality gate of image curation (blank/synthetic
+    * flats score ~0, textured crops score high), exact integers end
+    * to end; the oracle replays the closed-form raster and the 3×3
+    * convolution relationally. Map-only per-payload compute. */
+  def imageSobelProfile(spark: SparkSession, payloads: DataFrame,
+                        thr: Long): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              val w = img.width; val h = img.height
+              val g = img.rgb.map(graft.functions.ImageCodec.luma)
+              var n = 0L; var tot = 0L; var strong = 0L; var mx = 0L
+              var y = 1
+              while (y < h - 1) {
+                var x = 1
+                while (x < w - 1) {
+                  def p(dx: Int, dy: Int): Long =
+                    g((y + dy) * w + (x + dx)).toLong
+                  val gx = (p(1, -1) + 2 * p(1, 0) + p(1, 1)
+                    - p(-1, -1) - 2 * p(-1, 0) - p(-1, 1))
+                  val gy = (p(-1, 1) + 2 * p(0, 1) + p(1, 1)
+                    - p(-1, -1) - 2 * p(0, -1) - p(1, -1))
+                  val mag = math.abs(gx) + math.abs(gy)
+                  n += 1; tot += mag
+                  if (mag > thr) strong += 1
+                  if (mag > mx) mx = mag
+                  x += 1
+                }
+                y += 1
+              }
+              (id, true, n, tot, strong, mx)
+            case None => (id, false, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "decoded", "n_interior", "sum_mag",
+        "n_strong", "max_mag")
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-4 specs, part 3: audio WHT bands, Sobel profile,
+  * item-item CF. */
+class Round10eSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audioWhtBands: butterfly equals the definition sum on a real " +
+      "encoded WAV, DC band dominates a constant signal") {
+    val samples = Array.tabulate(64)(i => ((37 * i) % 401) - 200)
+    val wav = graft.functions.AudioCodec.encodeWavPcm16(8000, 1, samples)
+    val got = operators.Multimodal.audioWhtBands(spark,
+        Seq((1L, wav)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // definition sum
+    val w = Array.tabulate(64) { u =>
+      (0 until 64).map { i =>
+        val neg = java.lang.Integer.bitCount(u & i) % 2 == 1
+        if (neg) -samples(i).toLong else samples(i).toLong
+      }.sum
+    }
+    val exp = (0 until 8).map(b =>
+      b.toLong -> (b * 8 until b * 8 + 8).map(u => w(u) * w(u)).sum)
+      .toMap
+    assert(got == exp)
+    // constant signal: all energy in W[0]
+    val const = graft.functions.AudioCodec.encodeWavPcm16(8000, 1,
+      Array.fill(64)(100))
+    val cb = operators.Multimodal.audioWhtBands(spark,
+        Seq((2L, const)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(cb(0L) == 6400L * 6400L && (1 to 7).forall(b => cb(b.toLong) == 0L))
+  }
+
+  test("imageSobelProfile: flat image has zero edges, a vertical step " +
+      "edge yields the textbook 4x-step magnitude column") {
+    def img(w: Int, h: Int, f: (Int, Int) => Int) =
+      graft.functions.ImageCodec.encodeBmp24(
+        graft.functions.ImageCodec.Image(w, h,
+          Array.tabulate(w * h) { p =>
+            val v = f(p % w, p / w) & 0xff; (v << 16) | (v << 8) | v
+          }))
+    val flat = img(8, 8, (_, _) => 128)
+    val step = img(8, 8, (x, _) => if (x < 4) 0 else 200)
+    val got = operators.Multimodal.imageSobelProfile(spark,
+        Seq((1L, flat), (2L, step)).toDF("doc_id", "payload"),
+        thr = 600L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((36L, 0L, 0L, 0L)), "flat: no gradient")
+    // gray level of (v,v,v) luma = v; step 0→200 at x=4: columns 3 and
+    // 4 see |Gx| = 4·200 = 800, 6 rows each; all others zero
+    assert(got(2L) == ((36L, 12L * 800L, 12L, 800L)))
+  }
+
+  test("itemItemTopK: cosine ranking and both-direction publication " +
+      "on a hand basket fixture") {
+    // baskets: {1,2} ×3, {1,3} ×2, {2,3} ×1 → co(1,2)=3, co(1,3)=2,
+    // co(2,3)=1(below minCo)
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (20L, 1L), (20L, 3L), (21L, 1L), (21L, 3L),
+      (30L, 2L), (30L, 3L)).toDF("bk", "it")
+    val got = operators.Recommend.itemItemTopK(rows, "bk", "it",
+        minCo = 2L, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    // n1=5, n2=4, n3=3; cos2(1,2)=1e6·9/20=450000,
+    // cos2(1,3)=1e6·4/15=266666
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 3L, 450000L), (1L, 2L, 3L, 2L, 266666L),
+      (2L, 1L, 1L, 3L, 450000L),
+      (3L, 1L, 1L, 2L, 266666L)))
+  }
+}
