@@ -8747,6 +8747,45 @@ object OracleSql {
       |  CAST(cos2_ppm AS BIGINT) AS cos2_ppm
       |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin
 
+  /** q332: sequential-pattern replay — the same (ts, event_id)
+    * positional order, the same first/last-occurrence containment
+    * reductions, exact ppm support. */
+  private val q332 =
+    """WITH pos AS (
+      |  SELECT user_id AS u, event_type AS t,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS p
+      |  FROM events WHERE value >= 150.0),
+      |n AS (SELECT COUNT(DISTINCT u) AS n FROM pos),
+      |ends AS (
+      |  SELECT u, t, MIN(p) AS fp, MAX(p) AS lp
+      |  FROM pos GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT t AS pattern, CAST(1 AS BIGINT) AS len,
+      |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_entities
+      |  FROM ends GROUP BY 1),
+      |l2 AS (
+      |  SELECT a.t || '>' || b.t AS pattern, CAST(2 AS BIGINT) AS len,
+      |    CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_entities
+      |  FROM ends a JOIN ends b ON a.u = b.u AND a.fp < b.lp
+      |  GROUP BY 1),
+      |l3 AS (
+      |  SELECT a.t || '>' || m.t || '>' || c.t AS pattern,
+      |    CAST(3 AS BIGINT) AS len,
+      |    CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_entities
+      |  FROM ends a
+      |  JOIN ends c ON c.u = a.u
+      |  JOIN pos m ON m.u = a.u AND m.p > a.fp AND m.p < c.lp
+      |  GROUP BY 1),
+      |uni AS (
+      |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+      |  UNION ALL SELECT * FROM l3)
+      |SELECT pattern, len, n_entities,
+      |  CAST((1000000 * n_entities) // n.n AS BIGINT) AS support_ppm
+      |FROM uni, n
+      |WHERE n_entities * 1000000 >= 100000 * n.n
+      |ORDER BY len, pattern""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8920,6 +8959,7 @@ object OracleSql {
     "q329_audio_wht_bands" -> q329,
     "q330_sobel_profile" -> q330,
     "q331_item_item_cf" -> q331,
+    "q332_seq_patterns" -> q332,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3928,6 +3928,17 @@ object SparkEntry {
         "bk", "it", minCo = 2L, k = 3)
       .orderBy("item", "rk")
 
+  /** Round-10: sequential-pattern mining (GSP/PrefixSpan family,
+    * length ≤ 3, gaps allowed) over each user's high-value event
+    * sequence — the funnel-discovery primitive; the value ≥ 150
+    * filter sparsifies sequences so supports separate. */
+  private def qSeqPatterns(s: SparkSession, dir: String): DataFrame =
+    operators.SequentialPatterns.mine(
+        Tables.events(s, dir).filter(col("value") >= 150.0),
+        "user_id", "event_type", "ts", "event_id",
+        minSupPpm = 100000L)
+      .orderBy("len", "pattern")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4867,7 +4878,8 @@ object SparkEntry {
       "q328_large_orders" -> (qLargeOrders _),
       "q329_audio_wht_bands" -> (qAudioWhtBands _),
       "q330_sobel_profile" -> (qSobelProfile _),
-      "q331_item_item_cf" -> (qItemItemCf _))
+      "q331_item_item_cf" -> (qItemItemCf _),
+      "q332_seq_patterns" -> (qSeqPatterns _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4957,7 +4969,7 @@ object SparkEntry {
     "q323_fd_audit", "q324_holt_trend", "q325_truss_profile",
     "q326_variant_stats", "q327_local_supplier_rev",
     "q328_large_orders", "q329_audio_wht_bands", "q330_sobel_profile",
-    "q331_item_item_cf")
+    "q331_item_item_cf", "q332_seq_patterns")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

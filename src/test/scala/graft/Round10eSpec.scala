@@ -56,6 +56,40 @@ class Round10eSpec extends SparkSpec {
     assert(got(2L) == ((36L, 12L * 800L, 12L, 800L)))
   }
 
+  test("sequentialPatterns: containment reductions match brute-force " +
+      "subsequence checks on a hand fixture") {
+    // u1: a b a c   u2: b a c   u3: c a
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "c", 4L),
+      (2L, "b", 1L), (2L, "a", 2L), (2L, "c", 3L),
+      (3L, "c", 1L), (3L, "a", 2L))
+      .toDF("u", "t", "k")
+      .select(col("u"), col("t"), col("k").cast("timestamp").as("ts"),
+        col("k").as("tie"))
+    val got = operators.SequentialPatterns
+      .mine(ev, "u", "t", "ts", "tie", minSupPpm = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // brute force
+    val seqs = Map(1L -> "abac", 2L -> "bac", 3L -> "ca")
+    def contains(s: String, p: String): Boolean = {
+      var i = 0
+      s.foreach { c => if (i < p.length && c == p(i)) i += 1 }
+      i == p.length
+    }
+    val alpha = Seq("a", "b", "c")
+    val pats = alpha.map(a => a) ++
+      (for (a <- alpha; b <- alpha) yield s"$a>$b") ++
+      (for (a <- alpha; b <- alpha; c <- alpha) yield s"$a>$b>$c")
+    pats.foreach { p =>
+      val raw = p.split(">").mkString
+      val exp = seqs.values.count(contains(_, raw)).toLong
+      assert(got.getOrElse(p, 0L) == exp, s"pattern $p")
+    }
+    // spot: a>a supported only by u1; a>b>c unsupported anywhere? u1:
+    // a(1) b(2) c(4) yes! so a>b>c support 1
+    assert(got("a>a") == 1L && got("a>b>c") == 1L)
+  }
+
   test("itemItemTopK: cosine ranking and both-direction publication " +
       "on a hand basket fixture") {
     // baskets: {1,2} ×3, {1,3} ×2, {2,3} ×1 → co(1,2)=3, co(1,3)=2,
