@@ -8786,6 +8786,38 @@ object OracleSql {
       |WHERE n_entities * 1000000 >= 100000 * n.n
       |ORDER BY len, pattern""".stripMargin
 
+  /** q333: cheapest-supplier replay — same exact floor unit price,
+    * same (price, suppkey) argmin tuple. */
+  private val q333 =
+    """WITH offers AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    MIN((10000 * CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      // (100 * CAST(round(l_quantity * 100) AS BIGINT)))
+      |      AS best_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |arg AS (
+      |  SELECT pk, best_c, sk,
+      |    row_number() OVER (PARTITION BY pk
+      |      ORDER BY best_c, sk) AS rn
+      |  FROM offers)
+      |SELECT a.pk AS p_partkey, a.best_c AS unit_cents,
+      |  a.sk AS s_suppkey, s.s_name
+      |FROM arg a JOIN supplier s ON s.s_suppkey = a.sk
+      |WHERE a.rn = 1 ORDER BY p_partkey""".stripMargin
+
+  /** q334: Q13 replay — LEFT join before the double aggregation so
+    * zero-order customers stay in the histogram. */
+  private val q334 =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM (
+      |  SELECT c.c_custkey,
+      |    CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1)
+      |GROUP BY c_count
+      |ORDER BY n_customers DESC, c_count DESC""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8960,6 +8992,8 @@ object OracleSql {
     "q330_sobel_profile" -> q330,
     "q331_item_item_cf" -> q331,
     "q332_seq_patterns" -> q332,
+    "q333_cheapest_supplier" -> q333,
+    "q334_cust_order_histogram" -> q334,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3939,6 +3939,44 @@ object SparkEntry {
         minSupPpm = 100000L)
       .orderBy("len", "pattern")
 
+  /** Round-10: the TPC-H Q2 shape — cheapest supplier per part: the
+    * decorrelated argmin (per-part min over the offer stats, tie
+    * broken on supplier key, one join back to names). Offer price =
+    * each supplier's min observed unit price for the part in cents
+    * ((extendedprice cents) div quantity centi·100 — exact floor). */
+  private def qCheapestSupplier(s: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        expr("""(10000 * CAST(round(l_extendedprice * 100) AS BIGINT))
+                div (100 * CAST(round(l_quantity * 100) AS BIGINT))""")
+          .as("unit_c"))
+      .groupBy("pk", "sk").agg(min(col("unit_c")).as("best_c"))
+    val arg = offers
+      .groupBy("pk")
+      .agg(min(struct(col("best_c"), col("sk"))).as("m"))
+      .select(col("pk"), col("m.best_c").as("unit_cents"),
+        col("m.sk").as("sk"))
+    arg.join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("sk"), col("s_name"))), Seq("sk"))
+      .select(col("pk").as("p_partkey"), col("unit_cents"),
+        col("sk").as("s_suppkey"), col("s_name"))
+      .orderBy("p_partkey")
+  }
+
+  /** Round-10: the TPC-H Q13 shape — the distribution of orders per
+    * customer INCLUDING zero-order customers (left join before the
+    * double aggregation; dropping the zeros is the classic bug). */
+  private def qCustOrderHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        Seq("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4879,7 +4917,9 @@ object SparkEntry {
       "q329_audio_wht_bands" -> (qAudioWhtBands _),
       "q330_sobel_profile" -> (qSobelProfile _),
       "q331_item_item_cf" -> (qItemItemCf _),
-      "q332_seq_patterns" -> (qSeqPatterns _))
+      "q332_seq_patterns" -> (qSeqPatterns _),
+      "q333_cheapest_supplier" -> (qCheapestSupplier _),
+      "q334_cust_order_histogram" -> (qCustOrderHistogram _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -4969,7 +5009,8 @@ object SparkEntry {
     "q323_fd_audit", "q324_holt_trend", "q325_truss_profile",
     "q326_variant_stats", "q327_local_supplier_rev",
     "q328_large_orders", "q329_audio_wht_bands", "q330_sobel_profile",
-    "q331_item_item_cf", "q332_seq_patterns")
+    "q331_item_item_cf", "q332_seq_patterns",
+    "q333_cheapest_supplier", "q334_cust_order_histogram")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
