@@ -8818,6 +8818,89 @@ object OracleSql {
       |GROUP BY c_count
       |ORDER BY n_customers DESC, c_count DESC""".stripMargin
 
+  /** q335: ROUGE-L replay — the LCS DP unrolled as 40 materialized
+    * prefix-max rounds over (pair, j) rows: per candidate token i,
+    * tmp(j) = max(old(j), old(j−1) + eq) and new = running max of tmp
+    * (valid because LCS rows are monotone, so the new(j−1) term is
+    * exactly the prefix max); rounds past a candidate's length see a
+    * NULL token (eq = 0) and replay as provable no-ops on the
+    * monotone row. F1 = 2L/(n_a+n_b) as the same single floor. */
+  private val q335 = {
+    val rounds = (1 to 40).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT t.a, t.b, t.j,
+         |    MAX(t.tv) OVER (PARTITION BY t.a, t.b ORDER BY t.j
+         |      ROWS UNBOUNDED PRECEDING) AS v
+         |  FROM (
+         |    SELECT o.a, o.b, o.j,
+         |      CASE WHEN o.j = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE GREATEST(o.v, op.v +
+         |          CASE WHEN ct.tok IS NOT NULL AND rf.tb = ct.tok
+         |            THEN 1 ELSE 0 END)
+         |      END AS tv
+         |    FROM r${i - 1} o
+         |    LEFT JOIN r${i - 1} op
+         |      ON op.a = o.a AND op.b = o.b AND op.j = o.j - 1
+         |    LEFT JOIN refs rf
+         |      ON rf.a = o.a AND rf.b = o.b AND rf.j = o.j
+         |    LEFT JOIN (SELECT a, b, wa[$i] AS tok FROM pr) ct
+         |      ON ct.a = o.a AND ct.b = o.b) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs40 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '),
+       |      x -> x <> '')[1:40] AS ws
+       |  FROM documents),
+       |pr AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, a.ws AS wa, b.ws AS wb
+       |  FROM docs40 a JOIN docs40 b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 2 = 0 AND a.doc_id < 100),
+       |refs AS MATERIALIZED (
+       |  SELECT a, b, CAST(u.j AS BIGINT) AS j, wb[u.j] AS tb
+       |  FROM pr, UNNEST(range(1, len(wb) + 1)) u(j)),
+       |r0 AS (
+       |  SELECT a, b, CAST(u.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS v
+       |  FROM pr, UNNEST(range(0, len(wb) + 1)) u(j)),
+       |$rounds
+       |SELECT p.a, p.b, CAST(len(p.wa) AS BIGINT) AS n_a,
+       |  CAST(len(p.wb) AS BIGINT) AS n_b, CAST(r.v AS BIGINT) AS lcs,
+       |  CAST((2000000 * r.v) // (len(p.wa) + len(p.wb)) AS BIGINT)
+       |    AS rouge_l_f1_ppm
+       |FROM pr p JOIN r40 r
+       |  ON r.a = p.a AND r.b = p.b AND r.j = len(p.wb)
+       |ORDER BY p.a""".stripMargin
+  }
+
+  /** q336: key-skew replay — same string-cast histogram, same
+    * (count, key) ascending rank, same single-floor Gini. */
+  private def skewBlock(name: String, table: String,
+                        key: String): String =
+    s"""SELECT '$name' AS key, n_keys, n_rows, max_count,
+       |  CAST((1000000 * max_count) // n_rows AS BIGINT)
+       |    AS top1_share_ppm,
+       |  CAST((1000000 * (2 * wsum - (n_keys + 1) * n_rows))
+       |    // (n_keys * n_rows) AS BIGINT) AS gini_ppm
+       |FROM (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(c) AS BIGINT) AS n_rows,
+       |    CAST(MAX(c) AS BIGINT) AS max_count,
+       |    CAST(SUM(i * c) AS BIGINT) AS wsum
+       |  FROM (
+       |    SELECT c, k, row_number() OVER (ORDER BY c, k) AS i
+       |    FROM (
+       |      SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+       |      FROM $table GROUP BY 1)))""".stripMargin
+
+  private val q336 = Seq(
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type"),
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    .map { case (n, t, k) => skewBlock(n, t, k) }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY key")
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -8994,6 +9077,8 @@ object OracleSql {
     "q332_seq_patterns" -> q332,
     "q333_cheapest_supplier" -> q333,
     "q334_cust_order_histogram" -> q334,
+    "q335_rouge_l" -> q335,
+    "q336_key_skew" -> q336,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -3977,6 +3977,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_customers").desc, col("c_count").desc)
 
+  /** Round-10: ROUGE-L (LCS F1, 40-token cap) over adjacent doc-id
+    * pairs — the order-sensitive eval twin of BLEU (q260); the oracle
+    * replays the DP as 40 unrolled prefix-max rounds. */
+  private def qRougeL(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("a"))
+      .filter(col("a") % 2 === 0 && col("a") < 100)
+      .select(col("a"), (col("a") + 1).as("b"))
+    operators.Rouge.rougeLPairs(s, Tables.documents(s, dir),
+        "doc_id", "text", pairs, cap = 40)
+      .orderBy("a")
+  }
+
+  /** Round-10: partition-key skew telemetry — cardinality, heaviest
+    * key share, and the exact-ppm Gini of the key histogram for the
+    * join/bucket-key candidates a planner would vet. */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    operators.SkewProfile.keySkew(Seq(
+        ("documents.source", Tables.documents(s, dir), "source"),
+        ("events.event_type", Tables.events(s, dir), "event_type"),
+        ("events.user_id", Tables.events(s, dir), "user_id"),
+        ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+        ("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+        ("orders.o_custkey", Tables.orders(s, dir), "o_custkey")))
+      .orderBy("key")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4919,7 +4945,9 @@ object SparkEntry {
       "q331_item_item_cf" -> (qItemItemCf _),
       "q332_seq_patterns" -> (qSeqPatterns _),
       "q333_cheapest_supplier" -> (qCheapestSupplier _),
-      "q334_cust_order_histogram" -> (qCustOrderHistogram _))
+      "q334_cust_order_histogram" -> (qCustOrderHistogram _),
+      "q335_rouge_l" -> (qRougeL _),
+      "q336_key_skew" -> (qKeySkew _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5010,7 +5038,8 @@ object SparkEntry {
     "q326_variant_stats", "q327_local_supplier_rev",
     "q328_large_orders", "q329_audio_wht_bands", "q330_sobel_profile",
     "q331_item_item_cf", "q332_seq_patterns",
-    "q333_cheapest_supplier", "q334_cust_order_histogram")
+    "q333_cheapest_supplier", "q334_cust_order_histogram",
+    "q335_rouge_l", "q336_key_skew")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

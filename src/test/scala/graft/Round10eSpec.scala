@@ -90,6 +90,51 @@ class Round10eSpec extends SparkSpec {
     assert(got("a>a") == 1L && got("a>b>c") == 1L)
   }
 
+  test("rougeL: kernel LCS equals brute-force subsequence max on " +
+      "random tiny fixtures, F1 is the 2L/(n+m) floor") {
+    val rnd = new scala.util.Random(7)
+    def brute(x: Array[String], y: Array[String]): Int = {
+      // max common subsequence by bitmask over the shorter side
+      val (s, t) = if (x.length <= y.length) (x, y) else (y, x)
+      (0 until (1 << s.length)).map { m =>
+        val sub = s.indices.filter(i => (m & (1 << i)) != 0).map(s(_))
+        var i = 0
+        t.foreach { c => if (i < sub.length && c == sub(i)) i += 1 }
+        if (i == sub.length) sub.length else 0
+      }.max
+    }
+    (1 to 30).foreach { _ =>
+      val x = Array.fill(rnd.nextInt(8) + 1)(
+        ("a" + rnd.nextInt(3)).toString)
+      val y = Array.fill(rnd.nextInt(8) + 1)(
+        ("a" + rnd.nextInt(3)).toString)
+      assert(operators.Rouge.lcsLen(x, y) == brute(x, y),
+        s"${x.mkString(" ")} vs ${y.mkString(" ")}")
+    }
+    val docs = Seq((1L, "a b c d"), (2L, "a x c y")).toDF(
+      "doc_id", "text")
+    val got = operators.Rouge.rougeLPairs(spark, docs, "doc_id",
+        "text", Seq((1L, 2L)).toDF("a", "b"))
+      .collect().head
+    assert(got.getLong(4) == 2L) // LCS = a c
+    assert(got.getLong(5) == 2000000L * 2 / 8)
+  }
+
+  test("keySkew: uniform keys score Gini 0, a dominant key scores " +
+      "high, exact hand values") {
+    val uniform = (1 to 12).map(i => (i % 4).toString).toDF("k")
+    val skewed = (Seq.fill(9)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val got = operators.SkewProfile.keySkew(Seq(
+        ("uniform", uniform, "k"), ("skewed", skewed, "k")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("uniform") == ((4L, 12L, 3L, 250000L, 0L)))
+    // skewed: counts asc (a1,b1,c1,hot9): wsum=1+2+3+36=42, n=4, S=12
+    // gini = (2*42 - 5*12)/(4*12) = 24/48 = .5
+    assert(got("skewed") == ((4L, 12L, 9L, 750000L, 500000L)))
+  }
+
   test("itemItemTopK: cosine ranking and both-direction publication " +
       "on a hand basket fixture") {
     // baskets: {1,2} ×3, {1,3} ×2, {2,3} ×1 → co(1,2)=3, co(1,3)=2,
