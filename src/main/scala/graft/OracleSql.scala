@@ -8901,6 +8901,79 @@ object OracleSql {
     .map { case (n, t, k) => skewBlock(n, t, k) }
     .mkString("", "\nUNION ALL\n", "\nORDER BY key")
 
+  /** q337: two-proportion replay — same PRF arms, same HUGEINT
+    * cross-multiplied pooled z² decision. */
+  private val q337 =
+    """WITH conv AS (
+      |  SELECT DISTINCT o_custkey AS u FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |pop AS (
+      |  SELECT c.c_custkey AS u,
+      |    ((c.c_custkey * 1000003 + 12345) % 1000000007) % 2 AS arm,
+      |    CASE WHEN cv.u IS NULL THEN 0 ELSE 1 END AS conv
+      |  FROM customer c LEFT JOIN conv cv ON cv.u = c.c_custkey),
+      |g AS (SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_b
+      |  FROM pop)
+      |SELECT n_a, conv_a,
+      |  CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_ppm,
+      |  n_b, conv_b,
+      |  CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_ppm,
+      |  CAST((1000000 * conv_a) // n_a
+      |    - (1000000 * conv_b) // n_b AS BIGINT) AS diff_ppm,
+      |  (10000 * (CAST(conv_a AS HUGEINT) * n_b
+      |      - CAST(conv_b AS HUGEINT) * n_a)
+      |    * (CAST(conv_a AS HUGEINT) * n_b
+      |      - CAST(conv_b AS HUGEINT) * n_a)
+      |    * (n_a + n_b)
+      |   > 38416 * CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+      |    * (n_a + n_b - conv_a - conv_b)) AS significant
+      |FROM g""".stripMargin
+
+  /** q338: stationary-distribution replay — same exact-floor
+    * transition ppm, 24 unrolled π ← πP rounds with the identical
+    * per-state floor. */
+  private val q338 = {
+    val rounds = (1 to 24).map { r =>
+      s"""pi$r AS MATERIALIZED (
+         |  SELECT st.s, COALESCE(x.v, 0) AS v
+         |  FROM st LEFT JOIN (
+         |    SELECT p.j AS s,
+         |      SUM(pi${r - 1}.v * p.p_ppm) // 1000000 AS v
+         |    FROM p JOIN pi${r - 1} ON pi${r - 1}.s = p.i
+         |    GROUP BY 1) x ON x.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lg AS (
+       |  SELECT user_id AS u, event_type AS t,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |trans AS (
+       |  SELECT prev AS i, t AS j, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |outd AS (SELECT i, SUM(c) AS ci FROM trans GROUP BY 1),
+       |p AS MATERIALIZED (
+       |  SELECT t.i, t.j, (1000000 * t.c) // o.ci AS p_ppm
+       |  FROM trans t JOIN outd o ON o.i = t.i),
+       |st AS MATERIALIZED (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT i AS s FROM p UNION SELECT j FROM p)),
+       |pi0 AS (
+       |  SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM st)
+       |    AS BIGINT) AS v
+       |  FROM st),
+       |$rounds
+       |SELECT s AS state, CAST(v AS BIGINT) AS pi_ppm
+       |FROM pi24 ORDER BY state""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9079,6 +9152,8 @@ object OracleSql {
     "q334_cust_order_histogram" -> q334,
     "q335_rouge_l" -> q335,
     "q336_key_skew" -> q336,
+    "q337_two_proportion" -> q337,
+    "q338_markov_stationary" -> q338,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

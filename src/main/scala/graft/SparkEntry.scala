@@ -4003,6 +4003,30 @@ object SparkEntry {
         ("orders.o_custkey", Tables.orders(s, dir), "o_custkey")))
       .orderBy("key")
 
+  /** Round-10: two-proportion z-test on the PRF arm split —
+    * conversion = customer placed ≥ 1 URGENT order; the exact
+    * cross-multiplied pooled z² decision at α = 0.05. */
+  private def qTwoProportion(s: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("unit")).distinct()
+      .withColumn("cv", lit(1L))
+    val units = Tables.customer(s, dir)
+      .select(col("c_custkey").as("unit"))
+      .join(conv, Seq("unit"), "left")
+      .select(col("unit"), coalesce(col("cv"), lit(0L)).as("conv"))
+    operators.Experiments.twoProportion(units, "unit", "conv")
+  }
+
+  /** Round-10: stationary distribution of the event-type Markov
+    * chain — 24 integer-ppm power-iteration rounds over the lag-pair
+    * transition matrix (the q155 transitions closed into their
+    * long-run limit). */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame =
+    operators.Markov.stationaryPpm(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("state")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4947,7 +4971,9 @@ object SparkEntry {
       "q333_cheapest_supplier" -> (qCheapestSupplier _),
       "q334_cust_order_histogram" -> (qCustOrderHistogram _),
       "q335_rouge_l" -> (qRougeL _),
-      "q336_key_skew" -> (qKeySkew _))
+      "q336_key_skew" -> (qKeySkew _),
+      "q337_two_proportion" -> (qTwoProportion _),
+      "q338_markov_stationary" -> (qMarkovStationary _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5039,7 +5065,8 @@ object SparkEntry {
     "q328_large_orders", "q329_audio_wht_bands", "q330_sobel_profile",
     "q331_item_item_cf", "q332_seq_patterns",
     "q333_cheapest_supplier", "q334_cust_order_histogram",
-    "q335_rouge_l", "q336_key_skew")
+    "q335_rouge_l", "q336_key_skew", "q337_two_proportion",
+    "q338_markov_stationary")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -42,6 +42,47 @@ object Experiments {
 
   private val P = 1000000007L
 
+  /** Two-proportion z-test (the classic conversion-rate A/B gate) on
+    * a PRF arm split — exact integer decision: with conversions c_a
+    * of n_a vs c_b of n_b, pooled C = c_a + c_b over N = n_a + n_b,
+    * the pooled z² = (c_a·n_b − c_b·n_a)²·N / (n_a·n_b·C·(N−C)) and
+    * significance at α = 0.05 two-sided is the cross-multiplied
+    * compare 10⁴·(c_a·n_b − c_b·n_a)²·N > 38416·n_a·n_b·C·(N−C)
+    * (1.96² = 3.8416 exactly) — decimal(38,0) keeps every product
+    * exact (DuckDB replays in HUGEINT). Output: ONE row
+    * (n_a, conv_a, rate_a_ppm, n_b, conv_b, rate_b_ppm, diff_ppm,
+    * significant). */
+  def twoProportion(units: DataFrame, unitCol: String,
+                    convCol: String): DataFrame = {
+    val pop = units.select(col(unitCol).cast("long").as("u"),
+        col(convCol).cast("long").as("conv"))
+      .select(col("u"),
+        pmod(pmod(col("u") * 1000003L + 12345L, lit(P)), lit(2L))
+          .as("arm"), col("conv"))
+    pop.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .select(col("n_a"), col("conv_a"),
+        expr("(1000000 * conv_a) div n_a").as("rate_a_ppm"),
+        col("n_b"), col("conv_b"),
+        expr("(1000000 * conv_b) div n_b").as("rate_b_ppm"),
+        expr("(1000000 * conv_a) div n_a - (1000000 * conv_b) div n_b")
+          .as("diff_ppm"),
+        expr("""10000 * (CAST(conv_a AS DECIMAL(38,0)) * n_b
+                  - CAST(conv_b AS DECIMAL(38,0)) * n_a)
+                * (CAST(conv_a AS DECIMAL(38,0)) * n_b
+                  - CAST(conv_b AS DECIMAL(38,0)) * n_a)
+                * (n_a + n_b)
+              > 38416 * CAST(n_a AS DECIMAL(38,0)) * n_b
+                * (conv_a + conv_b)
+                * (n_a + n_b - conv_a - conv_b)""")
+          .as("significant"))
+  }
+
   /** units: (unitCol) dimension frame — the experiment population.
     * facts: (unitCol, tsCol, valueCol) — metric events.
     * Pre-period = ts < splitTs; post = ts >= splitTs.

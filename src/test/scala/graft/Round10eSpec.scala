@@ -135,6 +135,60 @@ class Round10eSpec extends SparkSpec {
     assert(got("skewed") == ((4L, 12L, 9L, 750000L, 500000L)))
   }
 
+  test("twoProportion: identical arms are insignificant, an extreme " +
+      "split is significant, BigInt replay matches") {
+    val P = BigInt(1000000007L)
+    def arm(u: Long): Long =
+      (((BigInt(u) * 1000003 + 12345) mod P) mod 2).toLong
+    // calm: exactly every 4th unit WITHIN each arm converts → equal
+    // rates by construction (a u%4 signal would correlate with the
+    // PRF arm in a small sample)
+    val byArm = (1L to 400L).groupBy(arm)
+    val calm = byArm.toSeq.flatMap { case (_, us) =>
+      us.sorted.zipWithIndex.map { case (u, i) =>
+        (u, if (i % 4 == 0) 1L else 0L) }
+    }
+    val gotCalm = operators.Experiments
+      .twoProportion(calm.toDF("unit", "conv"), "unit", "conv")
+      .collect().head
+    assert(!gotCalm.getBoolean(7), "near-equal rates insignificant")
+    val hot = (1L to 400L).map(u => (u, if (arm(u) == 0) 1L else 0L))
+    val gotHot = operators.Experiments
+      .twoProportion(hot.toDF("unit", "conv"), "unit", "conv")
+      .collect().head
+    assert(gotHot.getBoolean(7), "perfectly-split rates significant")
+    assert(gotHot.getLong(1) == gotHot.getLong(0), "arm0 all converted")
+    assert(gotHot.getLong(4) == 0L, "arm1 none converted")
+  }
+
+  test("markovStationary: two-state chain converges to the known " +
+      "closed form within the documented floor drain") {
+    // chain a→b always, b→a 1/3 of the time, b→b 2/3: exact
+    // stationary = (1/4, 3/4). Build a sequence realizing those
+    // transition counts: a b b b a b b b ... (a→b ×k, b→b ×2k, b→a
+    // ×(k-1)): p(a→b)=1e6, p(b→a)=333333 ppm, p(b→b)=666666 ppm.
+    val seq = (1 to 40).flatMap(_ => Seq("a", "b", "b", "b"))
+    val ev = seq.zipWithIndex.map { case (t, i) =>
+      (1L, t, i.toLong) }
+      .toDF("u", "t", "k")
+      .select(col("u"), col("t"), col("k").cast("timestamp").as("ts"),
+        col("k").as("tie"))
+    val got = operators.Markov
+      .stationaryPpm(ev, "u", "t", "ts", "tie")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // floors drain un-renormalized mass each round (documented
+    // semantics): the RATIO is the stable invariant. The EMPIRICAL
+    // chain has p(b→a) = 39/119 (the trailing b truncates one
+    // transition), so π_a/π_b = 39/119 exactly:
+    // a-share = 39/158 ≈ 246835 ppm.
+    val tot = got("a") + got("b")
+    assert(tot > 990000L && tot <= 1000000L, got.toString)
+    assert(math.abs(1000000L * got("a") / tot - 246835L) < 3000,
+      s"a share ${got("a")} of $tot")
+    assert(math.abs(1000000L * got("b") / tot - 753165L) < 3000,
+      s"b share ${got("b")} of $tot")
+  }
+
   test("itemItemTopK: cosine ranking and both-direction publication " +
       "on a hand basket fixture") {
     // baskets: {1,2} ×3, {1,3} ×2, {2,3} ×1 → co(1,2)=3, co(1,3)=2,
