@@ -8938,10 +8938,10 @@ object OracleSql {
       |FROM g""".stripMargin
 
   /** q338: stationary-distribution replay — same exact-floor
-    * transition ppm, 24 unrolled π ← πP rounds with the identical
+    * transition ppm, 12 unrolled π ← πP rounds with the identical
     * per-state floor. */
   private val q338 = {
-    val rounds = (1 to 24).map { r =>
+    val rounds = (1 to 12).map { r =>
       s"""pi$r AS MATERIALIZED (
          |  SELECT st.s, COALESCE(x.v, 0) AS v
          |  FROM st LEFT JOIN (
@@ -8971,7 +8971,7 @@ object OracleSql {
        |  FROM st),
        |$rounds
        |SELECT s AS state, CAST(v AS BIGINT) AS pi_ppm
-       |FROM pi24 ORDER BY state""".stripMargin
+       |FROM pi12 ORDER BY state""".stripMargin
   }
 
   val all: Map[String, String] = Map(

@@ -4019,7 +4019,7 @@ object SparkEntry {
   }
 
   /** Round-10: stationary distribution of the event-type Markov
-    * chain — 24 integer-ppm power-iteration rounds over the lag-pair
+    * chain — 12 integer-ppm power-iteration rounds over the lag-pair
     * transition matrix (the q155 transitions closed into their
     * long-run limit). */
   private def qMarkovStationary(s: SparkSession, dir: String): DataFrame =

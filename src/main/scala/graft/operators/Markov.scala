@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * machinery on the per-entity transition graph; Kemeny & Snell's
   * classic regular-chain limit): transition probabilities are exact
   * floors p_ij = 10⁶·c_ij div c_i from the per-entity (ts, tie)-lag
-  * pair counts, and each of the 24 unrolled rounds computes
+  * pair counts, and each of the 12 unrolled rounds computes
   * π'_j = (Σ_i π_i·p_ij) div 10⁶ — one floor per state per round,
   * replayed verbatim (the q102/q308 integer-ppm iteration stance; the
   * floor drains ≤ |states| ppm of mass per round, which is the
-  * documented fixed-point semantics, not drift).
+  * documented fixed-point semantics, not drift — and also why there
+  * is no EXACT fixed point to early-exit on: the 12-round unroll is
+  * the contract on both engines; well-mixed small-alphabet chains
+  * stationarize in far fewer).
   *
   * Scale shape: ONE bounded per-entity window builds the lag pairs
   * (the q14/q155 sessionization contract), a hash groupBy collapses
@@ -23,7 +26,7 @@ object Markov {
 
   def stationaryPpm(events: DataFrame, entityCol: String,
                     typeCol: String, tsCol: String, tieCol: String,
-                    rounds: Int = 24): DataFrame = {
+                    rounds: Int = 12): DataFrame = {
     val w = Window.partitionBy("u").orderBy(col("ts"), col("tie"))
     val lagged = events.select(col(entityCol).as("u"),
         col(typeCol).as("t"), col(tsCol).as("ts"),
@@ -48,7 +51,8 @@ object Markov {
       .localCheckpoint()
     var r = 0
     while (r < rounds) {
-      pi = p.join(pi.select(col("s").as("i"), col("pi_ppm")), Seq("i"))
+      val next = p
+        .join(pi.select(col("s").as("i"), col("pi_ppm")), Seq("i"))
         .groupBy(col("j").as("s"))
         .agg(sum(col("pi_ppm") * col("p_ppm")).as("num"))
         .select(col("s"), expr("num div 1000000").as("pi_ppm"))
@@ -58,6 +62,7 @@ object Markov {
         .select(col("s"),
           coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
         .localCheckpoint()
+      pi = next
       r += 1
     }
     pi.select(col("s").as("state"), col("pi_ppm"))
