@@ -2965,8 +2965,9 @@ object OracleSql {
       |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
       |  FROM judged WHERE disposition = 'kept'),
       |spans AS (
-      |  SELECT doc_id, (cum - n_tokens) // 512 AS start_w,
-      |    (cum - 1) // 512 AS end_w
+      |  SELECT doc_id,
+      |    CAST((cum - n_tokens) // 512 AS BIGINT) AS start_w,
+      |    CAST((cum - 1) // 512 AS BIGINT) AS end_w
       |  FROM kept)
       |SELECT j.doc_id, j.disposition, j.n_tokens, s.start_w, s.end_w
       |FROM judged j LEFT JOIN spans s ON j.doc_id = s.doc_id
@@ -5489,7 +5490,8 @@ object OracleSql {
       |  WHERE len(w) >= 2
       |  GROUP BY 1, 2),
       |lft AS (
-      |  SELECT w1, SUM(cb) AS c1, COUNT(*) AS n1l FROM bi GROUP BY w1),
+      |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS n1l
+      |  FROM bi GROUP BY w1),
       |cont AS (
       |  SELECT w2, COUNT(*) AS contc FROM bi GROUP BY w2),
       |tot AS (SELECT COUNT(*) AS ntot FROM bi)
@@ -5517,12 +5519,13 @@ object OracleSql {
       |      AS v
       |  FROM ids i, range(0, 64) t),
       |r AS (
-      |  SELECT a.doc_id, l.lag, SUM(a.v * b.v) AS rr
+      |  SELECT a.doc_id, l.lag, CAST(SUM(a.v * b.v) AS BIGINT) AS rr
       |  FROM lags l
       |  JOIN sm a ON a.t < 64 - l.lag
       |  JOIN sm b ON b.doc_id = a.doc_id AND b.t = a.t + l.lag
       |  GROUP BY 1, 2),
-      |r0 AS (SELECT doc_id, SUM(v * v) AS r0 FROM sm GROUP BY 1),
+      |r0 AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS r0
+      |       FROM sm GROUP BY 1),
       |best AS (
       |  SELECT doc_id, lag AS best_lag, rr AS r_best,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -5648,7 +5651,7 @@ object OracleSql {
        |h0 AS (
        |  SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS h FROM e),
        |$iters
-       |SELECT doc_id, h AS lsa_ppm FROM h4
+       |SELECT doc_id, CAST(h AS BIGINT) AS lsa_ppm FROM h4
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -6074,7 +6077,8 @@ object OracleSql {
       |       FROM g CROSS JOIN gt),
       |cb AS (SELECT c_nationkey, c_mktsegment, sbin, COUNT(*) AS gj
       |       FROM b GROUP BY 1, 2, 3),
-      |ct AS (SELECT c_nationkey, c_mktsegment, SUM(gj) AS class_size
+      |ct AS (SELECT c_nationkey, c_mktsegment,
+      |         CAST(SUM(gj) AS BIGINT) AS class_size
       |       FROM cb GROUP BY 1, 2),
       |fl AS (
       |  SELECT ct.c_nationkey, ct.c_mktsegment, ct.class_size,
@@ -6094,8 +6098,8 @@ object OracleSql {
       |      ORDER BY sbin) AS rk
       |  FROM fl)
       |SELECT c_nationkey, c_mktsegment, class_size,
-      |  CASE WHEN m > 1 THEN SUM(ABS(cum)) // (m - 1)
-      |       ELSE 0 END AS emd_ppm,
+      |  CAST(CASE WHEN m > 1 THEN SUM(ABS(cum)) // (m - 1)
+      |       ELSE 0 END AS BIGINT) AS emd_ppm,
       |  (CASE WHEN m > 1 THEN SUM(ABS(cum)) // (m - 1)
       |        ELSE 0 END) <= 250000 AS t_close
       |FROM cm WHERE rk < m
@@ -8656,7 +8660,8 @@ object OracleSql {
   private val q328 =
     """WITH q AS (
       |  SELECT l_orderkey,
-      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+      |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |      AS qty_c
       |  FROM lineitem GROUP BY 1 HAVING qty_c > 30000)
       |SELECT o.o_custkey AS c_custkey, o.o_orderkey, q.qty_c,
       |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c

@@ -246,6 +246,11 @@ object JpegCodec {
     var done = false
     while (!done && off + 4 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
+      // B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+      // code — skip the run so 0xFF is never read as the code itself
+      while (off + 2 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+        off += 1
+      if (off + 4 > bytes.length) return None
       val marker = bytes(off + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2 // standalone
@@ -532,6 +537,10 @@ object JpegCodec {
     var off = 2
     while (!sawEoi && off + 2 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
+      // B.1.1.2 fill bytes: skip 0xFF runs before the marker code
+      while (off + 2 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+        off += 1
+      if (off + 2 > bytes.length) return None
       val marker = bytes(off + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2

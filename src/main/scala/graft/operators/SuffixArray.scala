@@ -71,8 +71,10 @@ object SuffixArray {
     val dims = toks
       .agg(sum(size(col("ws"))).as("n"), max(size(col("ws"))).as("m"))
       .head
-    val n = dims.getLong(0)
-    val maxLen = dims.getInt(1)
+    // zero-row aggregates come back NULL: an all-empty corpus must
+    // fall through to the (empty) initial ranking, not NPE here
+    val n = if (dims.isNullAt(0)) 0L else dims.getLong(0)
+    val maxLen = if (dims.isNullAt(1)) 0 else dims.getInt(1)
 
     // Round shape (round-9 rework — from ~6 exchanges per round to 2):
     // the partner rank is a per-document lead(rank, k) window (offsets
@@ -327,7 +329,11 @@ object SuffixArray {
     // showed up twice in the q240 plan)
     val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
       .localCheckpoint()
-    val maxLen = toks.agg(max(size(col("ws")))).head.getInt(0)
+    // max over zero rows is NULL — read defensively so an empty
+    // tokenized corpus takes the lensArr.isEmpty early return below
+    // instead of NPE-ing on the driver
+    val maxLenRow = toks.agg(max(size(col("ws")))).head
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     // mined span fingerprints: ≤ topK distinct (h, len) rows — a
     // sanctioned bounded collect, so matching inlines as a literal
     // per-length hash set INSIDE the window-fingerprint expression
