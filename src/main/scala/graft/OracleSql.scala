@@ -8979,6 +8979,75 @@ object OracleSql {
        |FROM pi12 ORDER BY state""".stripMargin
   }
 
+  /** q339: SQLite-sink round trip — the engine writes the slice to a
+    * fresh .db and re-reads it through the DSv2 source; values must
+    * come back bit-exact, so the oracle is simply the same projection
+    * straight off the parquet tables. */
+  private val q339 =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+      |  CASE WHEN c.c_custkey % 7 = 0 THEN NULL
+      |       ELSE c.c_mktsegment END AS segment,
+      |  c.c_acctbal AS acctbal, n.n_name
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_custkey <= 1000
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q340/q341: quality-cascade replay — the ppm-exact rule gate +
+    * scorer (q17's blend in integers) and the one-row economics. The
+    * shared feature CTE mirrors Cascade.withDisposition term by term;
+    * every `//` is the same truncating division on both engines. */
+  private val cascadeCtes =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(w, x -> list_contains($enStop, x)))
+       |      AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents)),
+       |s AS (
+       |  SELECT doc_id, n_words,
+       |    (1000000 * n_distinct) // n_words AS div_ppm,
+       |    n_words BETWEEN 8 AND 80
+       |      AND (1000000 * n_distinct) // n_words >= 300000 AS s1_pass,
+       |    (4 * ((1000000 * least(n_words, 64)) // 64)
+       |     + 4 * ((1000000 * n_distinct) // n_words)
+       |     + 2 * least((4000000 * n_stop) // n_words, 1000000)) // 10
+       |      AS score_all
+       |  FROM f)""".stripMargin
+
+  private val q340 =
+    s"""$cascadeCtes
+       |SELECT doc_id, n_words, div_ppm, s1_pass,
+       |  CASE WHEN s1_pass THEN score_all END AS score_ppm,
+       |  s1_pass AND score_all >= 600000 AS kept
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  private val q341 =
+    s"""$cascadeCtes,
+       |a AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN s1_pass THEN 1 ELSE 0 END) AS n_s1_pass,
+       |    SUM(CASE WHEN s1_pass AND score_all >= 600000
+       |      THEN 1 ELSE 0 END) AS n_kept,
+       |    SUM(CASE WHEN score_all >= 600000 THEN 1 ELSE 0 END)
+       |      AS n_full_kept
+       |  FROM s)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_s1_pass AS BIGINT) AS n_s1_pass,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(n_full_kept AS BIGINT) AS n_full_kept,
+       |  CAST(CASE WHEN n_full_kept > 0
+       |    THEN (1000000 * n_kept) // n_full_kept ELSE 0 END AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(20 * n_docs AS BIGINT) AS cost_full,
+       |  CAST(n_docs + 20 * n_s1_pass AS BIGINT) AS cost_cascade,
+       |  CAST(CASE WHEN n_docs > 0
+       |    THEN (1000000 * (20 * n_docs - (n_docs + 20 * n_s1_pass)))
+       |      // (20 * n_docs) ELSE 0 END AS BIGINT) AS savings_ppm
+       |FROM a""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9159,6 +9228,9 @@ object OracleSql {
     "q336_key_skew" -> q336,
     "q337_two_proportion" -> q337,
     "q338_markov_stationary" -> q338,
+    "q339_sqlite_roundtrip" -> q339,
+    "q340_cascade_filter" -> q340,
+    "q341_cascade_econ" -> q341,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

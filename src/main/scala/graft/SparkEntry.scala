@@ -4027,6 +4027,22 @@ object SparkEntry {
         "user_id", "event_type", "ts", "event_id")
       .orderBy("state")
 
+  /** Round-11: per-document disposition of the two-stage quality
+    * cascade (cheap rule gate → ppm-exact scorer on survivors only;
+    * score_ppm NULL for gated docs pins that the expensive stage never
+    * ran for them). */
+  private def qCascadeFilter(s: SparkSession, dir: String): DataFrame =
+    operators.Cascade.cascadeFilter(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Round-11: the cascade's one-row economics vs the no-gate
+    * baseline — kept-set recall and the c_cheap·n + c_exp·survivors
+    * cost model that decides whether the gate pays for itself. */
+  private def qCascadeEconomics(s: SparkSession, dir: String): DataFrame =
+    operators.Cascade.cascadeEconomics(Tables.documents(s, dir),
+      "doc_id", "text")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -4237,6 +4253,49 @@ object SparkEntry {
         floor(col("happy") * 1024).as("happy_q"),
         floor(col("excited") * 1024).as("excited_q"))
       .orderBy("episode_id")
+
+  /** S6-closure twin of q177/q178: the reference's warehouse is a
+    * WRITABLE SQLite db (Scraper.py:261,282,313,382 CREATE/INSERT) —
+    * this closes the round trip with the from-scratch
+    * [[graft.sources.sqlite.SqliteWriter]]: a bounded customer slice
+    * (rowid-alias key, NULL-bearing text, REAL, multi-leaf b-tree with
+    * an interior root) plus the nation dim are written to a fresh .db
+    * and read back through the SAME DSv2 source that reads the real
+    * reference file; the output is the re-read rows themselves, so the
+    * oracle (the identical projection straight off parquet) pins
+    * value-exact fidelity through encode→page-layout→decode. The
+    * collect is bounded by the query contract (custkey ≤ 1000). */
+  private def qSqliteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.sqlite.SqliteWriter
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy("c_custkey")
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+      .orderBy("n_nationkey")
+    val db = java.nio.file.Files.createTempDirectory("graft_sqlite_rt")
+      .resolve("rt.db").toString
+    SqliteWriter.write(db, Seq(
+      SqliteWriter.TableSpec("customer_rt", cust.schema,
+        cust.collect().toSeq, rowidAlias = Some(0)),
+      SqliteWriter.TableSpec("nation_rt", nat.schema,
+        nat.collect().toSeq)))
+    def back(t: String) = s.read
+      .format("graft.sources.sqlite.SqliteSource")
+      .option("path", db).option("table", t).load()
+    back("customer_rt")
+      .join(back("nation_rt"), col("nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("bal_c"),
+        col("segment"), col("acctbal"), col("n_name"))
+      .orderBy("c_custkey")
+  }
 
   /** Deterministic raw-URL synthesis for q179 (the StrainApi
     * zero-egress convention: the INPUT is synthesized from the row
@@ -4973,7 +5032,10 @@ object SparkEntry {
       "q335_rouge_l" -> (qRougeL _),
       "q336_key_skew" -> (qKeySkew _),
       "q337_two_proportion" -> (qTwoProportion _),
-      "q338_markov_stationary" -> (qMarkovStationary _))
+      "q338_markov_stationary" -> (qMarkovStationary _),
+      "q339_sqlite_roundtrip" -> (qSqliteRoundtrip _),
+      "q340_cascade_filter" -> (qCascadeFilter _),
+      "q341_cascade_econ" -> (qCascadeEconomics _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

@@ -95,32 +95,43 @@ object SuffixArray {
 
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("off"))
-    // Radix-4 prefix extension (Manber–Myers generalized beyond
-    // doubling): with coverage k, the tuple (rank, rank@+k, rank@+2k,
-    // rank@+3k) orders prefixes of length 4k — the three leads share
-    // ONE window spec (a single WindowExec/exchange), and the dense
-    // re-rank just sorts a wider key, so a round costs the same 2
-    // exchanges as the doubling form while covering 4× instead of 2×:
-    // ⌈log₄ maxLen⌉ rounds (~55-token docs: 3 rounds, was 6). The
-    // missing-partner sentinel 0 sorts before every real rank, which
-    // is exactly the shorter-suffix-is-a-prefix case, at any radix.
+    // Adaptive-radix prefix extension (Manber–Myers generalized beyond
+    // doubling): with coverage k, the tuple (rank, rank@+k, …,
+    // rank@+(r−1)k) orders prefixes of length r·k — all r−1 leads
+    // share ONE window spec (a single WindowExec/exchange) and the
+    // dense re-rank just sorts a wider key, so a round costs the same
+    // 2 exchanges at ANY radix. Rounds are the scale bottleneck (each
+    // is a global barrier: straggler-bound, plan+job overhead), so the
+    // radix is chosen to hit the MINIMUM round count reachable at key
+    // width ≤ 16 longs (128 B/row bounds the re-rank exchange volume):
+    // R = ⌈log₁₆ maxLen⌉ rounds via r = ⌈maxLen^(1/R)⌉ — the smallest
+    // radix that still finishes in R rounds, keeping keys as narrow as
+    // the round budget allows. ~100-token docs: r = 10, 2 rounds
+    // (radix-4 took 4). A bytes-bound cluster would pin r = 4 (r/ln r
+    // minimizes total shuffled key bytes near e); rounds dominate well
+    // past sf0.1, so latency wins the default. The missing-partner
+    // sentinel 0 sorts before every real rank, which is exactly the
+    // shorter-suffix-is-a-prefix case, at any radix.
+    val rounds = math.max(1,
+      math.ceil(math.log(maxLen.toDouble) / math.log(16.0) - 1e-9).toInt)
+    val radix = math.max(4,
+      math.ceil(math.pow(maxLen.toDouble, 1.0 / rounds) - 1e-9).toInt)
     var k = 1L
     var done = false
     while (k < maxLen && !done) {
-      val paired = cur
-        .withColumn("rk2",
-          coalesce(lead(col("rank"), k.toInt).over(wDoc), lit(0L)))
-        .withColumn("rk3",
-          coalesce(lead(col("rank"), (2 * k).toInt).over(wDoc),
-            lit(0L)))
-        .withColumn("rk4",
-          coalesce(lead(col("rank"), (3 * k).toInt).over(wDoc),
-            lit(0L)))
+      val leadCols = (1 until radix).map { j =>
+        coalesce(
+          lead(col("rank"),
+            math.min(j.toLong * k, Int.MaxValue.toLong).toInt).over(wDoc),
+          lit(0L)).as(s"rk${j + 1}")
+      }
+      val paired = cur.select(
+        col("doc_id") +: col("off") +: col("rank") +: leadCols: _*)
       val (ranked, distinct) = Curation.globalDenseRanksWithCount(
-        paired, Seq("rank", "rk2", "rk3", "rk4"))
+        paired, "rank" +: (2 to radix).map(j => s"rk$j"))
       cur = ranked.select(col("doc_id"), col("off"),
         col("global_rank").as("rank"))
-      k *= 4
+      k *= radix
       done = distinct == n // all tuples distinct ⇒ every rank unique
     }
     cur.select(col("doc_id"), col("off"), col("rank").as("sa_rank"))

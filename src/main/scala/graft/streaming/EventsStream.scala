@@ -33,8 +33,25 @@ object EventsStream {
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                           mode: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).start()
+    // Stateful streaming operators allocate state stores PER shuffle
+    // partition (a stream-stream join keeps 4 per partition), and every
+    // micro-batch pays a commit + snapshot walk per store — at the
+    // session default of 32 partitions that is 128 store instances for
+    // the full-outer join, and store bookkeeping dominated the join
+    // itself (q292 plan audit, round 10). The conf is cloned into the
+    // query's own session AT START, so scoping it here is safe for the
+    // surrounding batch plans, and the RESULT is partition-count
+    // independent (same rows at any parallelism — only placement
+    // moves). A real deployment sizes this to state volume; the env
+    // override keeps that knob without a code change.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    val q =
+      try df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      finally spark.conf.set(key, prev)
     q.processAllAvailable()
     q.stop()
     spark.table(name)
