@@ -5128,7 +5128,9 @@ object SparkEntry {
     "q331_item_item_cf", "q332_seq_patterns",
     "q333_cheapest_supplier", "q334_cust_order_histogram",
     "q335_rouge_l", "q336_key_skew", "q337_two_proportion",
-    "q338_markov_stationary")
+    "q338_markov_stationary",
+    // round 11: the cascade pair (map-only gate + one-agg economics)
+    "q340_cascade_filter", "q341_cascade_econ")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
