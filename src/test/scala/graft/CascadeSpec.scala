@@ -68,6 +68,18 @@ class CascadeSpec extends SparkSpec {
     assert(r.getLong(7) == 0L)
   }
 
+  test("plan shape: cascadeFilter is map-only — no Exchange at all; " +
+      "cascadeEconomics shuffles exactly once (the final 1-group agg)") {
+    val f = Cascade.cascadeFilter(docs, "doc_id", "text")
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Exchange"),
+      s"gate+scorer must stay inside one map stage:\n$fPlan")
+    val e = Cascade.cascadeEconomics(docs, "doc_id", "text")
+    val ePlan = e.queryExecution.executedPlan.toString
+    assert(ePlan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"economics is one partial->final agg, one exchange:\n$ePlan")
+  }
+
   test("cascadeEconomics: empty corpus yields zeros, no div-by-zero") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val r = Cascade.cascadeEconomics(empty, "doc_id", "text").head()
