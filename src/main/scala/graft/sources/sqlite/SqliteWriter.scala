@@ -321,4 +321,31 @@ object SqliteWriter {
     tableTrees.foreach(_.foreach(out.write))
     Files.write(Paths.get(path), out.toByteArray)
   }
+
+  /** The 100 TB path made concrete: EXECUTOR-parallel sharded write —
+    * one `part-<partition>.db` per non-empty input partition under
+    * `dir`, each an independent, fully-valid SQLite database holding
+    * `table`, written inside `foreachPartition` (no driver collect,
+    * no cross-executor coordination; a shard is the same single-file
+    * container SQLite is). Readers union the shards — the exact dual
+    * of every multi-file columnar layout Spark already reads. Callers
+    * size partitions so a shard's rows fit one interior level
+    * (~10 k short rows; `repartition`/`maxRecordsPerFile`-style
+    * sizing upstream), which also bounds the per-task buffering this
+    * builder does. `rowidAlias` keys must then be unique PER SHARD —
+    * globally unique keys (the usual case) trivially satisfy that. */
+  def writeSharded(df: org.apache.spark.sql.DataFrame, dir: String,
+                   table: String,
+                   rowidAlias: Option[Int] = None): Unit = {
+    val schema = df.schema
+    Files.createDirectories(Paths.get(dir))
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val rows = it.toVector
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        write(s"$dir/part-$pid.db",
+          Seq(TableSpec(table, schema, rows, rowidAlias)))
+      }
+    }
+  }
 }

@@ -110,6 +110,29 @@ class SqliteWriterSpec extends SparkSpec {
     }
   }
 
+  test("writeSharded: executor-parallel shards union back to the " +
+      "input, each shard a real-sqlite-valid single-table db") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shard").toString
+    val df = (1 to 500).map(i => (i.toLong, s"name_$i", i * 0.5))
+      .toDF("id", "name", "score").repartition(4)
+    SqliteWriter.writeSharded(df, dir, "t", rowidAlias = Some(0))
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".db")).sortBy(_.getName)
+    assert(shards.length > 1, "expected multiple shards")
+    val back = shards.flatMap { f =>
+      val sf = SqliteFile(f.getPath)
+      val (root, sql) = sf.tables("t")
+      assert(sql.contains("\"id\" INTEGER PRIMARY KEY"))
+      sf.scanSubtree(root).map { case (rowid, vals) =>
+        (rowid, vals(1).asInstanceOf[String],
+          vals(2).asInstanceOf[Double])
+      }
+    }.toSet
+    assert(back ==
+      (1 to 500).map(i => (i.toLong, s"name_$i", i * 0.5)).toSet)
+  }
+
   test("empty table: a valid single empty leaf that scans to nothing") {
     val s2 = StructType(Seq(StructField("k", LongType)))
     val path = tmpDb()
