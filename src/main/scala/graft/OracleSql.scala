@@ -9048,6 +9048,21 @@ object OracleSql {
        |      // (20 * n_docs) ELSE 0 END AS BIGINT) AS savings_ppm
        |FROM a""".stripMargin
 
+  /** q342: sharded-sink replay — shard placement never changes the
+    * rollup, so the oracle is the plain per-nation aggregate off
+    * parquet (sums cast per the HUGEINT house rule). */
+  private val q342 =
+    """SELECT n.n_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_bal_c,
+      |  CAST(SUM(CASE WHEN c.c_custkey % 7 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_null_seg
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_custkey <= 1000
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9231,6 +9246,7 @@ object OracleSql {
     "q339_sqlite_roundtrip" -> q339,
     "q340_cascade_filter" -> q340,
     "q341_cascade_econ" -> q341,
+    "q342_sqlite_sharded" -> q342,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

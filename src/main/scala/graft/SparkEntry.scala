@@ -4297,6 +4297,44 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** The sharded twin of q339 — the sink's 100 TB shape driven
+    * through the gate: [[graft.sources.sqlite.SqliteWriter
+    * .writeSharded]] writes one independent .db per partition inside
+    * foreachPartition (executor-parallel, no driver collect), the
+    * shards are re-read through the DSv2 source and unioned, and the
+    * per-nation rollup must equal the parquet replay — a lost shard,
+    * a dropped row, or a mis-encoded value breaks the aggregate. */
+  private def qSqliteSharded(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.sqlite.SqliteWriter
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sqlite_shard").toString
+    SqliteWriter.writeSharded(cust.repartition(4, col("c_custkey")),
+      out, "customer_rt", rowidAlias = Some(0))
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".db")).map(_.getPath).sorted
+    val back = shards.map { p =>
+      s.read.format("graft.sources.sqlite.SqliteSource")
+        .option("path", p).option("table", "customer_rt").load()
+    }.reduce(_.unionByName(_))
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("n_name"))
+    back.join(broadcast(nat), Seq("nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_c")).as("sum_bal_c"),
+        sum(when(col("segment").isNull, 1L).otherwise(0L))
+          .as("n_null_seg"))
+      .orderBy("n_name")
+  }
+
   /** Deterministic raw-URL synthesis for q179 (the StrainApi
     * zero-egress convention: the INPUT is synthesized from the row
     * key so the oracle can derive the same strings; the OPERATOR —
@@ -5035,7 +5073,8 @@ object SparkEntry {
       "q338_markov_stationary" -> (qMarkovStationary _),
       "q339_sqlite_roundtrip" -> (qSqliteRoundtrip _),
       "q340_cascade_filter" -> (qCascadeFilter _),
-      "q341_cascade_econ" -> (qCascadeEconomics _))
+      "q341_cascade_econ" -> (qCascadeEconomics _),
+      "q342_sqlite_sharded" -> (qSqliteSharded _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
