@@ -29,11 +29,22 @@ object MakeSqliteDb {
     val s3 = StructType(Seq(
       StructField("key", LongType), StructField("v", StringType)))
     val rows3 = Seq(Row(42L, "a"), Row(7L, "b"), Row(1000000L, "c"))
+    // hostile corners: unicode (CJK + emoji + combining marks), a text
+    // payload just under the one-page limit, ±Infinity doubles, and a
+    // negative rowid-alias key (9-byte varint form)
+    val rows4 = Seq(
+      Row(1L, "漢字 héllo 👾 é", 1.0, null, null),
+      Row(2L, "x" * 4000, Double.PositiveInfinity, "big", null),
+      Row(3L, "", Double.NegativeInfinity, null,
+        Array.tabulate(256)(_.toByte)))
+    val rows5 = Seq(Row(-5L, "neg key"), Row(0L, "zero"), Row(9L, "pos"))
     SqliteWriter.write(path, Seq(
       TableSpec("types_t", s1, rows1),
       TableSpec("big_t", s2, rows2),
       TableSpec("alias_t", s3, rows3, rowidAlias = Some(0)),
-      TableSpec("empty_t", s3, Nil)))
+      TableSpec("empty_t", s3, Nil),
+      TableSpec("hostile_t", s1, rows4),
+      TableSpec("negalias_t", s3, rows5, rowidAlias = Some(0))))
     println(s"wrote $path")
   }
 }
