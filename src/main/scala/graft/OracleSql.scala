@@ -9063,6 +9063,38 @@ object OracleSql {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  /** q343: Cohen's-kappa replay over the cascade CTEs — quantized
+    * marginals (never an n² product), truncating division throughout,
+    * κ = 0 when pe hits 1e6 (both annotators constant). */
+  private val q343 =
+    s"""$cascadeCtes,
+       |a AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN s1_pass = (score_all >= 600000)
+       |      THEN 1 ELSE 0 END) AS n_agree,
+       |    SUM(CASE WHEN s1_pass THEN 1 ELSE 0 END) AS gate_yes,
+       |    SUM(CASE WHEN score_all >= 600000 THEN 1 ELSE 0 END)
+       |      AS scorer_yes
+       |  FROM s),
+       |p AS (
+       |  SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT)
+       |      AS n_agree,
+       |    CAST(gate_yes AS BIGINT) AS gate_yes,
+       |    CAST(scorer_yes AS BIGINT) AS scorer_yes,
+       |    CAST(CASE WHEN n > 0 THEN (1000000 * n_agree) // n
+       |      ELSE 0 END AS BIGINT) AS po_ppm,
+       |    CAST(CASE WHEN n > 0 THEN
+       |      (((1000000 * gate_yes) // n) * ((1000000 * scorer_yes) // n)
+       |       + ((1000000 * (n - gate_yes)) // n)
+       |         * ((1000000 * (n - scorer_yes)) // n)) // 1000000
+       |      ELSE 0 END AS BIGINT) AS pe_ppm
+       |  FROM a)
+       |SELECT n, n_agree, gate_yes, scorer_yes, po_ppm, pe_ppm,
+       |  CAST(CASE WHEN pe_ppm < 1000000 THEN
+       |    (1000000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm)
+       |    ELSE 0 END AS BIGINT) AS kappa_ppm
+       |FROM p""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9247,6 +9279,7 @@ object OracleSql {
     "q340_cascade_filter" -> q340,
     "q341_cascade_econ" -> q341,
     "q342_sqlite_sharded" -> q342,
+    "q343_cascade_kappa" -> q343,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4043,6 +4043,14 @@ object SparkEntry {
     operators.Cascade.cascadeEconomics(Tables.documents(s, dir),
       "doc_id", "text")
 
+  /** Round-11: Cohen's-kappa agreement between the cascade's cheap
+    * gate and the full scorer — the calibration audit that decides
+    * whether the gate is a faithful proxy (exact ppm; quantized
+    * marginals, so no n² term at any corpus size). */
+  private def qCascadeKappa(s: SparkSession, dir: String): DataFrame =
+    operators.Cascade.gateScorerKappa(Tables.documents(s, dir),
+      "doc_id", "text")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5074,7 +5082,8 @@ object SparkEntry {
       "q339_sqlite_roundtrip" -> (qSqliteRoundtrip _),
       "q340_cascade_filter" -> (qCascadeFilter _),
       "q341_cascade_econ" -> (qCascadeEconomics _),
-      "q342_sqlite_sharded" -> (qSqliteSharded _))
+      "q342_sqlite_sharded" -> (qSqliteSharded _),
+      "q343_cascade_kappa" -> (qCascadeKappa _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

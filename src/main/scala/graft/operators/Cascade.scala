@@ -73,6 +73,47 @@ object Cascade {
           .as("savings_ppm"))
   }
 
+  /** Gate-vs-scorer agreement (Cohen's kappa, 1960) — the calibration
+    * audit behind every cascade design decision: treat the cheap rule
+    * gate and the full scorer (threshold 600 000 ppm, no gate) as two
+    * binary annotators over the corpus and measure chance-corrected
+    * agreement. κ ≈ 1 ⇒ the gate is a faithful cheap proxy (raise its
+    * share of the budget); κ ≈ 0 ⇒ the gate is noise (drop it).
+    *
+    * Exact integer form, scale-safe: observed agreement
+    * po_ppm = 1e6·n_agree // n; chance agreement from the QUANTIZED
+    * marginals pe_ppm = (gy_ppm·sy_ppm + gn_ppm·sn_ppm) // 1e6 with
+    * x_ppm = 1e6·x // n — marginal ppms first, so no n² product
+    * anywhere (at 10¹⁰ docs n² overflows longs; marginal ppms never
+    * do). kappa_ppm = 1e6·(po_ppm − pe_ppm) // (1e6 − pe_ppm), 0 when
+    * the denominator is 0 (both annotators constant). One map-only
+    * scan + one aggregation, the q341 shape. */
+  def gateScorerKappa(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val d = withDisposition(docs, idCol, textCol)
+    d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("s1_pass") === (col("score_ppm") >= 600000L), 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when(col("s1_pass"), 1L).otherwise(0L)).as("gate_yes"),
+        sum(when(col("score_ppm") >= 600000L, 1L).otherwise(0L))
+          .as("scorer_yes"))
+      .select(col("n"), col("n_agree"), col("gate_yes"),
+        col("scorer_yes"),
+        expr("CASE WHEN n > 0 THEN 1000000 * n_agree div n" +
+          " ELSE 0 END").as("po_ppm"),
+        expr("CASE WHEN n > 0 THEN" +
+          " ((1000000 * gate_yes div n) * (1000000 * scorer_yes div n)" +
+          "  + (1000000 * (n - gate_yes) div n)" +
+          "    * (1000000 * (n - scorer_yes) div n)) div 1000000" +
+          " ELSE 0 END").as("pe_ppm"))
+      .select(col("n"), col("n_agree"), col("gate_yes"),
+        col("scorer_yes"), col("po_ppm"), col("pe_ppm"),
+        expr("CASE WHEN pe_ppm < 1000000 THEN" +
+          " 1000000 * (po_ppm - pe_ppm) div (1000000 - pe_ppm)" +
+          " ELSE 0 END").as("kappa_ppm"))
+  }
+
   /** Shared feature + disposition frame; `score_ppm` is computed for
     * ALL docs here so the economics can compare against the full
     * scorer — [[cascadeFilter]] masks it to survivors on output. */

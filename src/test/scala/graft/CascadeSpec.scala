@@ -80,6 +80,29 @@ class CascadeSpec extends SparkSpec {
       s"economics is one partial->final agg, one exchange:\n$ePlan")
   }
 
+  test("gateScorerKappa: hand-computed agreement on the fixture") {
+    // gate = [T,F,F,T], scorer(>=6e5) = [F,F,F,T] -> n_agree = 3,
+    // po = 3e6//4 = 750000; marginal ppms gy=500000, sy=250000 ->
+    // pe = (500000*250000 + 500000*750000)//1e6 = 500000;
+    // kappa = 1e6*(750000-500000)//(1e6-500000) = 500000
+    val r = Cascade.gateScorerKappa(docs, "doc_id", "text").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getLong(4) == 750000L, "po_ppm")
+    assert(r.getLong(5) == 500000L, "pe_ppm")
+    assert(r.getLong(6) == 500000L, "kappa_ppm")
+  }
+
+  test("gateScorerKappa: constant annotators pin the pe=1e6 guard") {
+    import spark.implicits._
+    // every doc fails the gate AND the scorer: po = 1e6, pe = 1e6 ->
+    // the kappa denominator is 0; the guard returns 0, not an error
+    val flat = Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text")
+    val r = Cascade.gateScorerKappa(flat, "doc_id", "text").head()
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
+    assert(r.getLong(6) == 0L)
+  }
+
   test("cascadeEconomics: empty corpus yields zeros, no div-by-zero") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val r = Cascade.cascadeEconomics(empty, "doc_id", "text").head()
