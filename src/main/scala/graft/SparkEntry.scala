@@ -5178,7 +5178,7 @@ object SparkEntry {
     "q335_rouge_l", "q336_key_skew", "q337_two_proportion",
     "q338_markov_stationary",
     // round 11: the cascade pair (map-only gate + one-agg economics)
-    "q340_cascade_filter", "q341_cascade_econ")
+    "q340_cascade_filter", "q341_cascade_econ", "q343_cascade_kappa")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
