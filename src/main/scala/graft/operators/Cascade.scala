@@ -80,6 +80,12 @@ object Cascade {
     * agreement. κ ≈ 1 ⇒ the gate is a faithful cheap proxy (raise its
     * share of the budget); κ ≈ 0 ⇒ the gate is noise (drop it).
     *
+    * The binary, quantized-marginal sibling of the generic
+    * [[Metrics.cohenKappa]] (multi-label, exact N·D−S form, exact to
+    * ~3·10⁹ rows): this form quantizes the marginals to ppm FIRST, so
+    * it stays overflow-free at any corpus size — the right trade for
+    * a 100 TB calibration audit where ±1 ppm is noise.
+    *
     * Exact integer form, scale-safe: observed agreement
     * po_ppm = 1e6·n_agree // n; chance agreement from the QUANTIZED
     * marginals pe_ppm = (gy_ppm·sy_ppm + gn_ppm·sn_ppm) // 1e6 with
