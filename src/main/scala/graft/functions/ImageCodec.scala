@@ -62,6 +62,9 @@ object ImageCodec {
     if (w.toLong * h > 64L * 1024 * 1024) return None // 64M-pixel guard
     val bytesPerPx = bpp / 8
     val stride = ((w * bytesPerPx + 3) / 4) * 4
+    // dataOff is attacker-controlled: a negative value makes the
+    // upper-bound sum below negative and "in bounds" — reject first
+    if (dataOff < 54) return None
     if (dataOff.toLong + stride.toLong * h > bytes.length) return None
     val out = new Array[Int](w * h)
     var y = 0
