@@ -31,31 +31,8 @@ object EventsStream {
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table. */
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                          mode: String): DataFrame = {
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    // Stateful streaming operators allocate state stores PER shuffle
-    // partition (a stream-stream join keeps 4 per partition), and every
-    // micro-batch pays a commit + snapshot walk per store — at the
-    // session default of 32 partitions that is 128 store instances for
-    // the full-outer join, and store bookkeeping dominated the join
-    // itself (q292 plan audit, round 10). The conf is cloned into the
-    // query's own session AT START, so scoping it here is safe for the
-    // surrounding batch plans, and the RESULT is partition-count
-    // independent (same rows at any parallelism — only placement
-    // moves). A real deployment sizes this to state volume; the env
-    // override keeps that knob without a code change.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key,
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
-    val q =
-      try df.writeStream.outputMode(mode).format("memory")
-        .queryName(name).start()
-      finally spark.conf.set(key, prev)
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-  }
+                          mode: String): DataFrame =
+    StreamRun.toMemory(spark, df, name, mode) // state-store sizing there
 
   /** Stream-static enrichment: the event stream joined to the static
     * customer dimension (broadcast — the dim is small and the join
@@ -259,16 +236,7 @@ object EventsStream {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value_dec"))
-    val name = "graft_stream_daily"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    StreamRun.toMemory(spark, agg, "graft_stream_daily", "complete")
       .select(
         col("window.start").as("day_start"),
         col("event_type"),

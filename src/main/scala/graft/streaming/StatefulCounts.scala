@@ -35,18 +35,9 @@ object StatefulCounts {
       }
       .toDF("user_id", "n_events")
 
-    val name = "graft_stateful_counts"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = counted.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
     // update-mode memory sink appends one row per key per trigger; the
     // final state is the max running count per user
-    spark.table(name)
+    StreamRun.toMemory(spark, counted, "graft_stateful_counts", "update")
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
   }

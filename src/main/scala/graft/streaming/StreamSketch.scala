@@ -36,16 +36,7 @@ object StreamSketch {
       .hllRegisterRows(stream, "event_type", "user_id", m)
       .groupBy(col("grp"), col("register"))
       .agg(max(col("rho")).cast("long").as("max_rho"))
-    val name = "graft_stream_hll"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = regs.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    StreamRun.toMemory(spark, regs, "graft_stream_hll", "complete")
       .select(col("grp").as("event_type"), col("register"),
         col("max_rho"))
   }

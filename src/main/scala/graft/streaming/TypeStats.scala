@@ -79,18 +79,11 @@ object TypeStats {
       .transformWithState(new StatsProcessor,
         TimeMode.None(), OutputMode.Update())
 
-    val name = "graft_type_stats"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = snapshots.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val sink = StreamRun.toMemory(spark, snapshots.toDF(),
+      "graft_type_stats", "update")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("n_events").desc)
-    spark.table(name)
+    sink
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
