@@ -9095,6 +9095,37 @@ object OracleSql {
        |    ELSE 0 END AS BIGINT) AS kappa_ppm
        |FROM p""".stripMargin
 
+  /** q344: hybrid-ANN RRF replay — the three retrieval oracles (q22
+    * brute, q175 portable LSH, q176 portable IVF) run verbatim as
+    * subqueries, projected to (query_id, neighbor_id, rank) and fused
+    * with the 1e6 // (60 + rank) contribution; the q175/q176
+    * constructions are already oracle-exact twins of the engine's, so
+    * the fusion compares rank-for-rank. */
+  private val q344 =
+    s"""WITH brute AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($q22)),
+       |lshr AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($q175)),
+       |ivfr AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($q176)),
+       |u AS (
+       |  SELECT * FROM brute
+       |  UNION ALL SELECT * FROM lshr
+       |  UNION ALL SELECT * FROM ivfr),
+       |f AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_methods
+       |  FROM u GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_ppm DESC, neighbor_id) AS fr
+       |  FROM f)
+       |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, neighbor_id,
+       |  rrf_ppm, n_methods
+       |FROM r WHERE fr <= 5
+       |ORDER BY query_id, fused_rank""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9280,6 +9311,7 @@ object OracleSql {
     "q341_cascade_econ" -> q341,
     "q342_sqlite_sharded" -> q342,
     "q343_cascade_kappa" -> q343,
+    "q344_ann_rrf" -> q344,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

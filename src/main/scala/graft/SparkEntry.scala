@@ -4051,6 +4051,34 @@ object SparkEntry {
     operators.Cascade.gateScorerKappa(Tables.documents(s, dir),
       "doc_id", "text")
 
+  /** Round-11: reciprocal-rank fusion of the THREE ANN retrieval
+    * rankings (exact brute q22 ⊕ hyperplane-LSH q175 ⊕ IVF q176) —
+    * the standard hybrid-retrieval ensemble, per QUERY vector:
+    * contribution 1e6 // (60 + rank) summed over the methods that
+    * surfaced the neighbor, top-5 fused per query with neighbor-id
+    * tie-breaks. n_methods carries the agreement count (a neighbor
+    * found by all three is the strongest evidence). The oracle
+    * replays all three retrievals as subqueries and fuses in SQL. */
+  private def qAnnRrf(s: SparkSession, dir: String): DataFrame = {
+    val parts = Seq(qAnnBrute(s, dir), qLshOracle(s, dir),
+        qIvfOracle(s, dir))
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank")))
+    val fused = parts.reduce(_.unionByName(_))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(expr("1000000 div (60 + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_methods"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id"))
+    fused
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+        col("rrf_ppm"), col("n_methods"))
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5083,7 +5111,8 @@ object SparkEntry {
       "q340_cascade_filter" -> (qCascadeFilter _),
       "q341_cascade_econ" -> (qCascadeEconomics _),
       "q342_sqlite_sharded" -> (qSqliteSharded _),
-      "q343_cascade_kappa" -> (qCascadeKappa _))
+      "q343_cascade_kappa" -> (qCascadeKappa _),
+      "q344_ann_rrf" -> (qAnnRrf _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
