@@ -79,8 +79,14 @@ final class SqliteFile(bytes: Array[Byte]) {
 
   private def varint(off: Int): (Long, Int) = varintOf(bytes, off)
 
-  /** Byte offset of page `pageNo` (1-based). */
-  private def pageOff(pageNo: Int): Int = (pageNo - 1) * pageSize
+  /** Byte offset of page `pageNo` (1-based). Long, NOT Int: a corrupt
+    * child/overflow page number around 2^19..2^31 (at 4 KB pages)
+    * would wrap an Int multiply to a small or negative base that
+    * passes the bounds checks and then throws a raw OOB deep in the
+    * scan — the overflow must happen before the comparison, never
+    * after. Callers narrow to Int only AFTER checking against
+    * `bytes.length` (itself an Int, so a bounded offset always fits). */
+  private def pageOff(pageNo: Int): Long = (pageNo - 1).toLong * pageSize
 
   // ---- b-tree walk -------------------------------------------------------
 
@@ -90,9 +96,9 @@ final class SqliteFile(bytes: Array[Byte]) {
   /** (pageType, cellOffsets, rightMostChild) for a b-tree page; page 1
     * hosts the 100-byte db header before its page header. */
   private def pageHeader(pageNo: Int): (Int, IndexedSeq[Int], Int) = {
-    chk(pageNo >= 1 && pageOff(pageNo).toLong + pageSize <= bytes.length,
+    chk(pageNo >= 1 && pageOff(pageNo) + pageSize <= bytes.length,
       s"page $pageNo out of file")
-    val base = pageOff(pageNo)
+    val base = pageOff(pageNo).toInt // bounded above, so it fits an Int
     val hdr = base + (if (pageNo == 1) 100 else 0)
     val typ = u8(hdr)
     val nCells = u16(hdr + 3)
@@ -168,11 +174,11 @@ final class SqliteFile(bytes: Array[Byte]) {
       var next = u32(off + local).toInt
       var hops = 0
       while (next != 0 && written < p) {
-        chk(next >= 1 && pageOff(next).toLong + pageSize <= bytes.length,
+        chk(next >= 1 && pageOff(next) + pageSize <= bytes.length,
           s"overflow page $next out of file")
         chk(hops < bytes.length / pageSize + 1,
           "overflow chain longer than the file (cycle?)")
-        val base = pageOff(next)
+        val base = pageOff(next).toInt // bounded above, so it fits an Int
         val take = math.min(usable - 4, p - written)
         System.arraycopy(bytes, base + 4, out, written, take)
         written += take

@@ -48,9 +48,13 @@ object SqliteWriter {
 
   private def varint(v: Long): Array[Byte] = {
     if (v >= 0 && v <= 0x7f) return Array(v.toByte)
-    // 9-byte form only needed below Long.MinValue-ish magnitudes the
-    // 8×7-bit form can't carry; emit minimal big-endian 7-bit groups
-    if (v < 0) { // negative rowids/lengths never occur here, but be total
+    // Any value needing more than 56 bits (negatives, and positives
+    // >= 2^56) must use the 9-byte form, whose NINTH byte carries all
+    // 8 raw bits — eight 7-bit continuation groups followed by a
+    // 7-bit tail can only express 56 bits and a spec-correct reader
+    // (SqliteFile.varintOf, and sqlite3 itself) would decode it
+    // shifted by one bit.
+    if (v < 0 || (v >>> 56) != 0) {
       val out = new Array[Byte](9)
       var x = v
       out(8) = (x & 0xff).toByte; x >>= 8
@@ -145,16 +149,21 @@ object SqliteWriter {
     u16(page, hdrBase + 3, cells.length)
     page(hdrBase + 7) = 0 // no fragmented bytes
     if (pageType == 0x05) u32(page, hdrBase + 8, right.toLong)
-    var content = PageSize
     val ptrBase = hdrBase + hdrLen
+    // Capacity check BEFORE any copy: the content cursor descends from
+    // the page end, so an overfull cell set would first clobber the
+    // header/pointer region and only then trip a post-hoc assert.
+    val cellBytes = cells.map(_.length).sum
+    require(ptrBase + 2 * cells.length + cellBytes <= PageSize,
+      s"page overflow: ${cells.length} cells, $cellBytes content bytes, " +
+        s"header base $hdrBase")
+    var content = PageSize
     cells.zipWithIndex.foreach { case (c, i) =>
       content -= c.length
       System.arraycopy(c, 0, page, content, c.length)
       u16(page, ptrBase + 2 * i, content)
     }
     u16(page, hdrBase + 5, if (content == 65536) 0 else content)
-    require(ptrBase + 2 * cells.length <= content,
-      s"page overflow: ${cells.length} cells")
     page
   }
 
@@ -299,6 +308,16 @@ object SqliteWriter {
           s"master record too large for page 1: ${spec.name}")
         (i + 1L, varint(rec.length.toLong) ++ varint(i + 1L) ++ rec)
     }
+    // sqlite_master lives on the single page 1 here (no overflow/
+    // multi-page schema b-tree in this writer's scope): bound the
+    // AGGREGATE usage — 100-byte db header + 8-byte page header +
+    // 2 bytes/cell pointer + the cells themselves — up front, so the
+    // failure is this message instead of header clobbering.
+    val masterBytes = masterCells.map(_._2.length).sum
+    require(100 + 8 + 2 * masterCells.length + masterBytes <= PageSize,
+      s"too many tables for the single-page sqlite_master: " +
+        s"${tables.length} tables need $masterBytes cell bytes " +
+        s"(limit ${PageSize - 108 - 2 * masterCells.length})")
     val masterPage = packPage(0x0d, hdrBase = 100, masterCells.map(_._2))
     val nPages = 1 + tableTrees.map(_.length).sum
     // 100-byte header
@@ -333,7 +352,22 @@ object SqliteWriter {
     * (~10 k short rows; `repartition`/`maxRecordsPerFile`-style
     * sizing upstream), which also bounds the per-task buffering this
     * builder does. `rowidAlias` keys must then be unique PER SHARD —
-    * globally unique keys (the usual case) trivially satisfy that. */
+    * globally unique keys (the usual case) trivially satisfy that.
+    *
+    * Commit protocol: each task writes `part-<pid>.db.tmp-<attempt>`
+    * (attempt-unique, so a speculative duplicate never shares a temp
+    * file with a live writer) and publishes it with an ATOMIC_MOVE
+    * rename — a reader listing `dir` sees either nothing or a complete
+    * shard, never torn bytes, and a retried task simply re-publishes
+    * over the same final name (idempotent: both attempts carry the
+    * same partition's rows).
+    *
+    * Filesystem assumption: `dir` must be visible to whoever reads the
+    * shards. On a real cluster that means a SHARED filesystem (NFS,
+    * or a mounted DFS that supports atomic rename); in `local[n]`
+    * (this repo's test mode) executor-local disk IS driver-local disk,
+    * so a plain path works. Object stores without atomic rename would
+    * need a manifest-commit layer instead. */
   def writeSharded(df: org.apache.spark.sql.DataFrame, dir: String,
                    table: String,
                    rowidAlias: Option[Int] = None): Unit = {
@@ -342,9 +376,14 @@ object SqliteWriter {
     df.foreachPartition { (it: Iterator[Row]) =>
       val rows = it.toVector
       if (rows.nonEmpty) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        write(s"$dir/part-$pid.db",
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = ctx.partitionId()
+        val tmp = Paths.get(dir, s"part-$pid.db.tmp-${ctx.taskAttemptId()}")
+        write(tmp.toString,
           Seq(TableSpec(table, schema, rows, rowidAlias)))
+        Files.move(tmp, Paths.get(dir, s"part-$pid.db"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
     }
   }
