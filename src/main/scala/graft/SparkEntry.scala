@@ -5207,7 +5207,10 @@ object SparkEntry {
     "q335_rouge_l", "q336_key_skew", "q337_two_proportion",
     "q338_markov_stationary",
     // round 11: the cascade pair (map-only gate + one-agg economics)
-    "q340_cascade_filter", "q341_cascade_econ", "q343_cascade_kappa")
+    "q340_cascade_filter", "q341_cascade_econ", "q343_cascade_kappa",
+    // round 12: the RRF fusion path — the only registered family that
+    // was correctness-gated but untimed (round-11 verdict item 1)
+    "q344_ann_rrf")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -138,20 +138,26 @@ object SuffixArray {
   }
 
   /** Per-document Burrows–Wheeler transform (Burrows & Wheeler 1994)
-    * at token granularity, derived from the SAME distributed suffix
-    * array the dedup family builds (BWT[j] = the token preceding the
-    * j-th suffix in suffix order; a sentinel token (U+0001) — binary-
+    * at token granularity (BWT[j] = the token preceding the j-th
+    * suffix in suffix order; a sentinel token (U+0001) — binary-
     * smallest in both UTF-8 orders — closes the rotation, so off = 1
     * wraps to it). Output: (doc_id, j, btok), j the 1-based per-doc
     * suffix-order position over the sentinel-extended sequence.
     *
-    * Scale shape: sentinel append is a map; the prior-token column is
-    * a per-doc lag (bounded partitions), NOT a join that ships token
-    * arrays per suffix row; the only exchange beyond
-    * [[tokenSuffixRanks]] is the co-partitioned (doc_id, off) join of
-    * ranks to positions. Within-doc ranks are strictly unique (two
-    * suffixes of one sentinel-terminated doc can never be equal), so
-    * the per-doc row_number is deterministic. */
+    * Scale shape (round-12 rework): the BWT is PER-DOCUMENT — unlike
+    * the global-rank SA that [[repeatedSpans]] needs (cross-doc rank
+    * ties ARE its repeat signal), suffix order here never crosses a
+    * document boundary. So it computes as ONE map over bounded docs
+    * (a local suffix sort per row, O(L log L) comparisons), zero
+    * shuffles, zero rounds — embarrassingly corpus-parallel, which is
+    * exactly the 100 TB shape. The previous derivation through the
+    * distributed prefix-doubling SA paid R global-barrier rounds ×
+    * 2 exchanges each to agree on cross-doc ranks the per-doc
+    * row_number then threw away (~9 s of q321's 14 at sf0.1).
+    * Pathologically long docs are the documented hazard (worst-case
+    * O(L² log L) token compares on adversarial repetition) — the cap
+    * convention applies upstream, and the global SA path remains for
+    * genuinely cross-document work. */
   def bwt(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bwt(sentinelToks(docs, idCol, textCol))
 
@@ -164,22 +170,50 @@ object SuffixArray {
         concat(col("ws"), array(lit("\u0001"))).as("ws"))
       .localCheckpoint()
 
+  /** Token order must match the engine's SQL string order (UTF8String
+    * = unsigned byte-wise over UTF-8), NOT Java's UTF-16
+    * String.compareTo - they disagree between supplementary characters
+    * and code points >= U+E000. */
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def bwt(toks: DataFrame): DataFrame = {
-    val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("off")
-    val prior = toks.select(col("doc_id"),
-        posexplode(col("ws")).as(Seq("off0", "tok")))
-      .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
-        col("tok"))
-      .withColumn("btok",
-        coalesce(lag(col("tok"), 1).over(wOff), lit("\u0001")))
-      .select(col("doc_id"), col("off"), col("btok"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("sa_rank")
-    tokenSuffixRanks(toks)
-      .withColumn("j", row_number().over(wRank).cast("long"))
-      .join(prior, Seq("doc_id", "off"))
-      .select(col("doc_id"), col("j"), col("btok"))
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("doc_id"), col("ws")).as[(Long, Seq[String])]
+      .flatMap { case (docId, ws) =>
+        val arr = ws.toArray
+        val n = arr.length
+        val bytes =
+          arr.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // suffix i < suffix k, token-wise; the sentinel terminator
+        // makes every within-doc suffix pair differ before either runs
+        // out, but guard the overrun anyway (totality on any input)
+        def less(i: Int, k: Int): Boolean = {
+          var p = i; var q = k
+          while (p < n && q < n) {
+            val d = utf8Compare(bytes(p), bytes(q))
+            if (d != 0) return d < 0
+            p += 1; q += 1
+          }
+          p == n && q < n
+        }
+        val order = (0 until n).sortWith(less)
+        order.iterator.zipWithIndex.map { case (off0, j0) =>
+          // off = 1 wraps the rotation to the sentinel = last token
+          (docId, (j0 + 1).toLong,
+            if (off0 == 0) arr(n - 1) else arr(off0 - 1))
+        }
+      }
+      .toDF("doc_id", "j", "btok")
   }
 
   /** Run-length profile of the [[bwt]] against the raw token order —

@@ -21,10 +21,15 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (n <- names) {
-      val df = SparkEntry.queries(n)(spark, dir)
-      if (explain) df.explain("formatted")
+      if (explain)
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // Bench starts its timer BEFORE query construction — eager
+      // localCheckpoints inside the builders do real cluster work, so
+      // timing only the final write undercounts (q321's SA build lives
+      // entirely in construction). Mirror Bench exactly.
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"TIMEONE $n%s sec=$sec%.3f")
     }
