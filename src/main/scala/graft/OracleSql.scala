@@ -9126,6 +9126,110 @@ object OracleSql {
        |FROM r WHERE fr <= 5
        |ORDER BY query_id, fused_rank""".stripMargin
 
+  /** q345–q347 shared CTE prefix: the deterministic two-run crawl
+    * simulation (SparkEntry.crawlSnapshots) and the char-fold content
+    * fingerprint (q132 convention), replayed exactly. */
+  private val crawlFpCtes =
+    """today AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+      |yesterday AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'legacyprefix ' || text
+      |         ELSE text END AS text
+      |  FROM today WHERE doc_id % 7 != 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM today WHERE doc_id % 13 = 0),
+      |fy AS (
+      |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(lower(text), ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+      |  FROM yesterday),
+      |ft AS (
+      |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(lower(text), ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+      |  FROM today)""".stripMargin
+
+  /** q345: fingerprint-level snapshot diff — one full outer join on
+    * doc_id, unchanged keys dropped, classification by presence/fp. */
+  private val q345 =
+    s"""WITH $crawlFpCtes,
+       |d AS (
+       |  SELECT COALESCE(fy.doc_id, ft.doc_id) AS doc_id,
+       |    CASE WHEN fy.doc_id IS NULL THEN 'added'
+       |         WHEN ft.doc_id IS NULL THEN 'removed'
+       |         WHEN fy.fp != ft.fp THEN 'changed' END AS change_type,
+       |    fy.fp AS fp_old, ft.fp AS fp_new
+       |  FROM fy FULL OUTER JOIN ft ON fy.doc_id = ft.doc_id)
+       |SELECT doc_id, change_type, fp_old, fp_new
+       |FROM d WHERE change_type IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
+  /** q346: delta-only near-dup — the q77 replay with the batch/corpus
+    * split driven by the q345 delta classification (added/changed vs
+    * unchanged) instead of a doc_id threshold. */
+  private val q346 =
+    s"""WITH $crawlFpCtes,
+       |delta AS (
+       |  SELECT COALESCE(fy.doc_id, ft.doc_id) AS doc_id
+       |  FROM fy FULL OUTER JOIN ft ON fy.doc_id = ft.doc_id
+       |  WHERE ft.doc_id IS NOT NULL
+       |    AND (fy.doc_id IS NULL OR fy.fp != ft.fp)),
+       |ws AS (
+       |  SELECT t.doc_id, string_split(lower(t.text), ' ') AS w,
+       |    (d.doc_id IS NOT NULL) AS in_batch
+       |  FROM today t LEFT JOIN delta d ON t.doc_id = d.doc_id),
+       |sh AS (
+       |  SELECT doc_id, in_batch,
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM ws WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+       |post AS (SELECT doc_id, in_batch, unnest(s) AS shingle FROM sh),
+       |rare AS (
+       |  SELECT doc_id, in_batch, shingle FROM post
+       |  WHERE shingle NOT IN (
+       |    SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) > 50)),
+       |pairs AS (
+       |  SELECT p1.doc_id AS a, p2.doc_id AS b, COUNT(*) AS common
+       |  FROM rare p1 JOIN rare p2 USING (shingle)
+       |  WHERE NOT p1.in_batch AND p2.in_batch
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT DISTINCT b AS doc_id FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |  WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.6),
+       |ex AS (
+       |  SELECT DISTINCT t2.doc_id
+       |  FROM today t2 JOIN delta dd ON t2.doc_id = dd.doc_id
+       |  JOIN today t1 ON lower(trim(t2.text)) = lower(trim(t1.text))
+       |  LEFT JOIN delta d1 ON t1.doc_id = d1.doc_id
+       |  WHERE d1.doc_id IS NULL)
+       |SELECT d.doc_id,
+       |  (ex.doc_id IS NOT NULL) AS dup_exact,
+       |  (near.doc_id IS NOT NULL) AS near_dup
+       |FROM delta d
+       |LEFT JOIN ex USING (doc_id)
+       |LEFT JOIN near USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q347: fingerprint-store CDC merge — unchanged keys keep run 1,
+    * added/changed take today's fp at run 2, removed keys drop. */
+  private val q347 =
+    s"""WITH $crawlFpCtes
+       |SELECT COALESCE(fy.doc_id, ft.doc_id) AS doc_id,
+       |  CASE WHEN fy.doc_id IS NULL OR fy.fp != ft.fp THEN ft.fp
+       |       ELSE fy.fp END AS fp,
+       |  CASE WHEN fy.doc_id IS NULL OR fy.fp != ft.fp
+       |       THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT)
+       |       END AS last_seen_run
+       |FROM fy FULL OUTER JOIN ft ON fy.doc_id = ft.doc_id
+       |WHERE ft.doc_id IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9312,6 +9416,9 @@ object OracleSql {
     "q342_sqlite_sharded" -> q342,
     "q343_cascade_kappa" -> q343,
     "q344_ann_rrf" -> q344,
+    "q345_snapshot_fp_diff" -> q345,
+    "q346_delta_dedup" -> q346,
+    "q347_fp_store_merge" -> q347,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

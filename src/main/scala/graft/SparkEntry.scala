@@ -4079,6 +4079,93 @@ object SparkEntry {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** Round-12: deterministic two-run crawl simulation over the
+    * documents table — the cross-run incrementality fixture shared by
+    * q345/q346/q347. "Yesterday" = today's docs minus the additions
+    * (doc_id % 7 == 3 absent), with doc_id % 11 == 0 carrying a stale
+    * text (a "legacyprefix " token prepended), plus retired rows
+    * (doc_id + 1000000 for doc_id % 13 == 0) that today no longer
+    * carries. */
+  private def crawlSnapshots(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val today = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val stale = when(col("doc_id") % 11 === 0,
+      concat(lit("legacyprefix "), col("text"))).otherwise(col("text"))
+    val yesterday = today.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), stale.as("text"))
+      .unionByName(today.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    (yesterday, today)
+  }
+
+  /** Portable content fingerprint: the house char-fold polynomial over
+    * lower(text) — DuckDB replays it exactly (list_reduce; the q132
+    * convention), and 8 bytes/doc is what a cross-run store SHIPS
+    * instead of text. */
+  private def contentFp(text: Column): Column =
+    aggregate(split(lower(text), ""), lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+
+  /** Round-12: snapshot diff at the FINGERPRINT level — yesterday's
+    * crawl vs today's, each reduced to (doc_id, fp) before the one
+    * full-outer join, so the reconciliation shuffle carries 8 bytes
+    * per doc instead of documents (the 100 TB point: the store is
+    * ~10⁻⁴ of the corpus). Output: per-key added/removed/changed with
+    * both fingerprints. */
+  private def qSnapshotFpDiff(s: SparkSession, dir: String): DataFrame = {
+    val (y, t) = crawlSnapshots(s, dir)
+    operators.Cdc.snapshotDiff(
+        y.select(col("doc_id"), contentFp(col("text")).as("fp")),
+        t.select(col("doc_id"), contentFp(col("text")).as("fp")),
+        "doc_id", Seq("fp"))
+      .select(col("doc_id"), col("change_type"),
+        col("a_fp").as("fp_old"), col("b_fp").as("fp_new"))
+      .orderBy("doc_id")
+  }
+
+  /** Round-12: delta-only near-dup — ONLY the docs the snapshot diff
+    * surfaced (added/changed) are screened, against the UNCHANGED
+    * remainder as the reference corpus (q77's banded machinery): the
+    * steady-state incremental shape where the daily delta is ~1% and
+    * re-deduping the whole corpus would be a 100× overspend. */
+  private def qDeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    val (y, t) = crawlSnapshots(s, dir)
+    val delta = operators.Cdc.snapshotDiff(
+        y.select(col("doc_id"), contentFp(col("text")).as("fp")),
+        t.select(col("doc_id"), contentFp(col("text")).as("fp")),
+        "doc_id", Seq("fp"))
+      .filter(col("change_type") =!= "removed")
+      .select("doc_id")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    operators.Dedup.incrementalFlags(
+        corpus = docs.join(delta, Seq("doc_id"), "left_anti"),
+        batch = docs.join(delta, Seq("doc_id"), "left_semi"),
+        idCol = "doc_id", textCol = "text", n = 3,
+        threshold = 0.6, maxShingleFreq = 50)
+      .orderBy("doc_id")
+  }
+
+  /** Round-12: fingerprint-store refresh — the diff folded back into
+    * yesterday's store as CDC ops (added/changed upsert with run 2,
+    * removed delete) via the house MERGE ([[operators.Cdc.apply]]):
+    * the store — the 100 TB side — never shuffles; only the touched
+    * keys broadcast. Output: the refreshed (doc_id, fp,
+    * last_seen_run) store. */
+  private def qFpStoreMerge(s: SparkSession, dir: String): DataFrame = {
+    val (y, t) = crawlSnapshots(s, dir)
+    val ya = y.select(col("doc_id"), contentFp(col("text")).as("fp"))
+    val ta = t.select(col("doc_id"), contentFp(col("text")).as("fp"))
+    val store = ya.withColumn("last_seen_run", lit(1L))
+    val changes = operators.Cdc.snapshotDiff(ya, ta, "doc_id", Seq("fp"))
+      .select(col("doc_id"), lit(1L).as("seq"),
+        when(col("change_type") === "removed", "D").otherwise("U").as("op"),
+        col("b_fp").as("fp"), lit(2L).as("last_seen_run"))
+    operators.Cdc.apply(store, changes, "doc_id", "seq", "op")
+      .orderBy("doc_id")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5112,7 +5199,10 @@ object SparkEntry {
       "q341_cascade_econ" -> (qCascadeEconomics _),
       "q342_sqlite_sharded" -> (qSqliteSharded _),
       "q343_cascade_kappa" -> (qCascadeKappa _),
-      "q344_ann_rrf" -> (qAnnRrf _))
+      "q344_ann_rrf" -> (qAnnRrf _),
+      "q345_snapshot_fp_diff" -> (qSnapshotFpDiff _),
+      "q346_delta_dedup" -> (qDeltaDedup _),
+      "q347_fp_store_merge" -> (qFpStoreMerge _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5209,8 +5299,10 @@ object SparkEntry {
     // round 11: the cascade pair (map-only gate + one-agg economics)
     "q340_cascade_filter", "q341_cascade_econ", "q343_cascade_kappa",
     // round 12: the RRF fusion path — the only registered family that
-    // was correctness-gated but untimed (round-11 verdict item 1)
-    "q344_ann_rrf")
+    // was correctness-gated but untimed (round-11 verdict item 1) —
+    // and the cross-run incrementality family
+    "q344_ann_rrf", "q345_snapshot_fp_diff", "q346_delta_dedup",
+    "q347_fp_store_merge")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -304,6 +304,38 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- cross-run incrementality family (q345–q347) -------------------------
+
+  test("crawl-snapshot family: diff classes partition the key space " +
+      "and the store merge is consistent with the diff") {
+    val diff = SparkEntry.queries("q345_snapshot_fp_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fixture law: added = doc_id % 7 == 3; removed = retired ids
+    // >= 1000000; changed = % 11 == 0 among docs present both days
+    diff.foreach { case (id, ct) =>
+      val expected =
+        if (id >= 1000000L) "removed"
+        else if (id % 7 == 3) "added"
+        else if (id % 11 == 0) "changed"
+        else fail(s"doc $id should be unchanged, diff says $ct")
+      assert(ct == expected, s"doc $id: $ct != $expected")
+    }
+    val store = SparkEntry.queries("q347_fp_store_merge")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(store.keys.forall(_ < 1000000L), "removed keys must drop")
+    store.foreach { case (id, run) =>
+      val touched = diff.get(id).exists(c => c == "added" || c == "changed")
+      assert(run == (if (touched) 2L else 1L),
+        s"doc $id: run $run vs diff ${diff.get(id)}")
+    }
+    // the delta-dedup batch is exactly the added+changed set
+    val dd = SparkEntry.queries("q346_delta_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val delta = diff.collect {
+      case (id, ct) if ct == "added" || ct == "changed" => id }.toSet
+    assert(dd == delta)
+  }
+
   // ---- 4. single-page sqlite_master aggregate bound -------------------------
 
   test("too many tables fails with the explicit master-page message, " +
