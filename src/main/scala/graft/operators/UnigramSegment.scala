@@ -19,16 +19,21 @@ import org.apache.spark.sql.functions._
   * oracle-replayable. Ties break to the lexicographically smallest
   * path string — fully deterministic.
   *
-  * Scale shape: the DP runs as BOUNDED ROUNDS over a relational
-  * state frame (word, pos, best, path) — round p extends the entries
-  * at pos = p by the ≤ maxPieceLen pieces starting there (one join
-  * against the vocabulary) and re-argmaxes per (word, pos) with a
-  * window over that BOUNDED partition; `cap` rounds total (the
-  * PageRank / suffix-array convention — a deterministic unrollable
-  * prefix, no convergence loop). State is O(|distinct words| · cap)
-  * rows; nothing token-stream-sized ever enters the DP. Words longer
-  * than `cap` simply produce no row (the honest boundary; raise cap
-  * for long-word corpora).
+  * Scale shape (round-12 rework): a tokenizer VOCABULARY is bounded
+  * by construction — |alphabet|^maxPieceLen at the absolute worst,
+  * 32k–250k entries in every production tokenizer — so it BROADCASTS
+  * (the sanctioned bounded collect, guarded at 5M entries), and the
+  * per-word Viterbi/greedy DP runs LOCALLY inside one map over
+  * DISTINCT words: O(len · maxPieceLen) hash probes per word, zero
+  * joins, zero rounds. That is exactly how production tokenizers
+  * deploy (every worker holds the vocab). The previous shape — cap
+  * relational rounds, each a vocabulary join + a per-cell window +
+  * a checkpoint barrier — paid 12 global barriers for work that
+  * never crosses a word boundary (the q321 per-doc-BWT lesson).
+  * Tie-breaks replicate the SQL engine exactly: argmax by
+  * (score desc, path UTF-8-binary asc), code-point character
+  * semantics for length/substring. Words longer than `cap` produce
+  * no row (the honest boundary; raise cap for long-word corpora).
   */
 object UnigramSegment {
 
@@ -59,45 +64,93 @@ object UnigramSegment {
     * `vocab` (from [[pieceVocab]]: (piece, score)). Output per word:
     * (word, best_score, n_pieces, segments) where segments is the
     * '|'-joined optimal piece sequence. */
+  /** Spark string/char semantics replicated for the local DP:
+    * code-point characters (substring/length count code points) and
+    * unsigned UTF-8 byte order for tie-breaks (UTF8String order). */
+  private def codePointChars(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + cc)
+      i += cc
+    }
+    out.toArray
+  }
+
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Collect + broadcast the piece vocabulary (bounded by
+    * construction: |alphabet|^maxPieceLen worst case, 32k-250k in any
+    * production tokenizer; guarded so a degenerate corpus fails loud
+    * instead of OOMing the driver). */
+  private def broadcastScores(vocab: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Map[String, Long]] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("score").cast("long"))
+      .as[(String, Long)].collect()
+    require(rows.length <= 5000000,
+      s"piece vocabulary has ${rows.length} entries — a tokenizer " +
+        "vocab is bounded (<= 5M); shrink maxPieceLen/minCount")
+    spark.sparkContext.broadcast(rows.toMap)
+  }
+
   def viterbiSegment(docs: DataFrame, textCol: String, vocab: DataFrame,
                      maxPieceLen: Int = 4, cap: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs.select(
         explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
           .as("word"))
       .distinct()
       .filter(length(col("word")) <= cap)
-    // materialize once: the vocabulary derivation is a full corpus
-    // substring explode — without the lineage cut every DP round's
-    // join would replay it (12× the dominant cost, bench-measured)
-    val voc = vocab.select(col("piece"), col("score")).localCheckpoint()
-    var state = words.select(col("word"), lit(0).as("pos"),
-      lit(0L).as("best"), lit("").as("path"))
-    val byCell = Window.partitionBy("word", "pos")
-      .orderBy(col("best").desc, col("path").asc)
-    for (p <- 0 until cap) {
-      val cands = (1 to maxPieceLen).map(l =>
-        struct(lit(l).as("l"),
-          substring(col("word"), p + 1, l).as("piece")))
-      val ext = state.filter(col("pos") === p)
-        .filter(length(col("word")) > p)
-        .select(col("word"), col("best"), col("path"),
-          explode(array(cands: _*)).as("c"))
-        .filter(length(col("c.piece")) === col("c.l"))
-        .select(col("word"), (col("c.l") + p).as("pos"),
-          col("best"), col("path"), col("c.piece").as("piece"))
-        .join(voc, Seq("piece"))
-        .select(col("word"), col("pos"),
-          (col("best") + col("score")).as("best"),
-          concat(col("path"), lit("|"), col("piece")).as("path"))
-      state = state.unionByName(ext)
-        .withColumn("rn", row_number().over(byCell))
-        .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint()
-    }
-    state.filter(col("pos") === length(col("word")))
-      .select(col("word"), col("best").as("best_score"),
-        (size(split(col("path"), "\\|")) - 1).as("n_pieces"),
-        substring(col("path"), 2, 10000).as("segments"))
+    val bc = broadcastScores(vocab)
+    val mpl = maxPieceLen
+    words.as[String].flatMap { w =>
+      val voc = bc.value
+      val cps = codePointChars(w)
+      val n = cps.length
+      // best(-1) = unreachable; ties keep the UTF-8-smallest path
+      val best = Array.fill[Long](n + 1)(-1L)
+      val path = new Array[String](n + 1)
+      best(0) = 0L; path(0) = ""
+      var p = 0
+      while (p < n) {
+        if (best(p) >= 0) {
+          var l = 1
+          while (l <= mpl && p + l <= n) {
+            val piece = cps.slice(p, p + l).mkString
+            val sc = voc.get(piece)
+            if (sc.isDefined) {
+              val nb = best(p) + sc.get
+              val np = path(p) + "|" + piece
+              val q = p + l
+              if (nb > best(q) ||
+                  (nb == best(q) && utf8Less(np, path(q)))) {
+                best(q) = nb; path(q) = np
+              }
+            }
+            l += 1
+          }
+        }
+        p += 1
+      }
+      if (best(n) < 0) None
+      else Some((w, best(n),
+        path(n).split("\\|", -1).length - 1, path(n).drop(1)))
+    }.toDF("word", "best_score", "n_pieces", "segments")
   }
 
   /** GREEDY longest-match-first segmentation (MaxMatch — the
@@ -112,47 +165,54 @@ object UnigramSegment {
     * spec). Single-char pieces are always in [[pieceVocab]], so every
     * word segments — no UNK path needed here.
     *
-    * Scale shape: the same bounded-round relational loop as
-    * [[viterbiSegment]], but the state is ONE row per word (greedy
-    * keeps no frontier): each of the `cap` rounds extends unfinished
-    * words by their longest matching piece (one vocabulary join, one
-    * row_number over the per-word candidate set — bounded partitions)
-    * and carries finished words through. */
+    * Scale shape: the same broadcast-vocab local scan as
+    * [[viterbiSegment]] — O(len · maxPieceLen) hash probes per
+    * distinct word inside one map, zero joins. A word with no
+    * matching piece at some position produces no row (only possible
+    * with a caller-supplied vocab missing single chars). */
   def greedySegment(docs: DataFrame, textCol: String, vocab: DataFrame,
                     maxPieceLen: Int = 4, cap: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs.select(
         explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
           .as("word"))
       .distinct()
       .filter(length(col("word")) <= cap)
-    val voc = vocab.select(col("piece")).localCheckpoint()
-    val byWord = Window.partitionBy("word")
-      .orderBy(length(col("piece")).desc)
-    var state = words.select(col("word"), lit(0).as("pos"),
-      lit("").as("path"))
-    for (_ <- 0 until cap) {
-      val fin = state.filter(col("pos") === length(col("word")))
-      val cands = (1 to maxPieceLen).map(l =>
-        struct(lit(l).as("l"),
-          expr(s"substring(word, pos + 1, $l)").as("piece")))
-      val ext = state.filter(col("pos") < length(col("word")))
-        .select(col("word"), col("pos"), col("path"),
-          explode(array(cands: _*)).as("c"))
-        .filter(length(col("c.piece")) === col("c.l"))
-        .select(col("word"), col("pos"), col("path"),
-          col("c.piece").as("piece"))
-        .join(voc, Seq("piece"))
-        .withColumn("rn", row_number().over(byWord))
-        .filter(col("rn") === 1)
-        .select(col("word"),
-          (col("pos") + length(col("piece"))).as("pos"),
-          concat(col("path"), lit("|"), col("piece")).as("path"))
-      state = fin.unionByName(ext).localCheckpoint()
+    val pieces = {
+      val rows = vocab.select(col("piece")).as[String].collect()
+      require(rows.length <= 5000000,
+        s"piece vocabulary has ${rows.length} entries — bounded by " +
+          "contract (<= 5M)")
+      spark.sparkContext.broadcast(rows.toSet)
     }
-    state.filter(col("pos") === length(col("word")))
-      .select(col("word"),
-        (size(split(col("path"), "\\|")) - 1).as("n_pieces"),
-        substring(col("path"), 2, 10000).as("segments"))
+    val mpl = maxPieceLen
+    words.as[String].flatMap { w =>
+      val voc = pieces.value
+      val cps = codePointChars(w)
+      val n = cps.length
+      val sb = new StringBuilder
+      var pos = 0
+      var stuck = false
+      while (pos < n && !stuck) {
+        var l = math.min(mpl, n - pos)
+        var found = 0
+        while (l >= 1 && found == 0) {
+          if (voc.contains(cps.slice(pos, pos + l).mkString)) found = l
+          l -= 1
+        }
+        if (found == 0) stuck = true
+        else {
+          sb.append('|').append(cps.slice(pos, pos + found).mkString)
+          pos += found
+        }
+      }
+      if (stuck) None
+      else {
+        val p = sb.toString
+        Some((w, p.split("\\|", -1).length - 1, p.drop(1)))
+      }
+    }.toDF("word", "n_pieces", "segments")
   }
 
   /** Kudo-2018-style EM vocabulary refinement WITH PRUNING — the
