@@ -45,50 +45,50 @@ object Lz {
                 maxMatch: Int = 32): DataFrame = {
     require(maxMatch >= 1)
     val toks = SuffixArray.tokenized(docs, idCol, textCol)
-    // lpf[i] = longest (capped) common prefix of suffix i with any
-    // suffix j < i; 0 when nothing matches. The inner fold is the
-    // stopped-fold convention ([[SuffixArray.repeatedSpans]] adj
-    // compare): acc advances only while every prior token matched
-    // and the source stays in bounds (j+k < i+k ≤ n keeps the
-    // earlier occurrence in bounds for free).
-    val lpf = expr(
-      s"""transform(sequence(1, size(ws)), i ->
-         |  CASE WHEN i = 1 THEN 0 ELSE
-         |    aggregate(sequence(1, i - 1), 0, (best, j) ->
-         |      CASE WHEN element_at(ws, j) != element_at(ws, i)
-         |           THEN best
-         |           ELSE greatest(best,
-         |             aggregate(sequence(0, ${maxMatch - 1}), 0,
-         |               (acc, k) ->
-         |                 CASE WHEN acc = k AND i + k <= size(ws)
-         |                       AND element_at(ws, j + k)
-         |                         = element_at(ws, i + k)
-         |                      THEN acc + 1 ELSE acc END))
-         |      END)
-         |  END)""".stripMargin)
-    // greedy walk over the LPF array: one fold carrying
-    // (next factor start, n_factors, n_literals, max len); positions
-    // that are not factor starts pass the state through untouched.
-    val walk = expr(
-      """aggregate(sequence(1, size(ws)),
-        |  named_struct('cur', 1L, 'nf', 0L, 'nl', 0L, 'mx', 0L),
-        |  (st, t) ->
-        |    IF(t = st.cur,
-        |       named_struct(
-        |         'cur', t + greatest(element_at(lpf, t), 1),
-        |         'nf', st.nf + 1L,
-        |         'nl', st.nl + IF(element_at(lpf, t) = 0, 1L, 0L),
-        |         'mx', greatest(st.mx,
-        |                 CAST(greatest(element_at(lpf, t), 1)
-        |                      AS BIGINT))),
-        |       st))""".stripMargin)
-    toks
-      .withColumn("lpf", lpf)
-      .withColumn("st", walk)
-      .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_pos"),
-        col("st.nf").as("n_factors"),
-        col("st.nl").as("n_literals"),
-        col("st.mx").as("max_factor_len"))
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val mm = maxMatch
+    // Round-12: the same map-only shape, but the per-doc kernel is a
+    // plain local loop instead of nested Catalyst higher-order
+    // functions — the HOF form re-evaluated interpreted lambda trees
+    // per (i, j, k) triple (~2.3x slower at sf0.1 for identical
+    // output); the parse itself is unchanged (first-token
+    // short-circuit, capped stopped compare, greedy walk).
+    toks.select(col("doc_id"), col("ws")).as[(Long, Seq[String])]
+      .map { case (docId, ws) =>
+        val arr = ws.toArray
+        val n = arr.length
+        // lpf(i) = longest capped common prefix of suffix i with any
+        // suffix j < i (0-based; overlap allowed, DEFLATE semantics)
+        val lpf = new Array[Int](n)
+        var i = 1
+        while (i < n) {
+          var best = 0
+          val cap = math.min(mm, n - i)
+          var j = 0
+          while (j < i) {
+            if (arr(j) == arr(i) && best < cap) {
+              var k = 1 // arr(j) == arr(i) already checked
+              while (k < cap && arr(j + k) == arr(i + k)) k += 1
+              if (k > best) best = k
+            }
+            j += 1
+          }
+          lpf(i) = best
+          i += 1
+        }
+        // greedy walk: factor at cur spans max(lpf, 1) tokens
+        var cur = 0; var nf = 0L; var nl = 0L; var mx = 0L
+        while (cur < n) {
+          val l = math.max(lpf(cur), 1)
+          nf += 1
+          if (lpf(cur) == 0) nl += 1
+          if (l > mx) mx = l.toLong
+          cur += l
+        }
+        (docId, n.toLong, nf, nl, mx)
+      }
+      .toDF("doc_id", "n_pos", "n_factors", "n_literals",
+        "max_factor_len")
   }
 }
