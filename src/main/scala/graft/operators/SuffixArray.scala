@@ -342,24 +342,16 @@ object SuffixArray {
     * lengths). Nothing corpus-sized ever shuffles except the token
     * rows of the one fingerprint pass and the flagged-window starts.
     *
-    * Window matching (round-10 rework — the r9 #1 efficiency flag):
-    * candidate windows used to hash as
-    * `xxhash64(concat_ws(slice(ws, i+1, len)))` — every position
-    * re-materialized a len-token slice, O(Σ tokens · |lens| · len)
-    * character work. Now a Rabin–Karp polynomial fingerprint is
-    * computed from ONE per-token prefix-sum pass, O(1) per (position,
-    * len): with per-token hash t_j and V_j = Σ_{i≤j} t_i·B^(maxLen−i)
-    * mod M (a cumulative window sum over per-doc token rows), the
-    * window [s, s+len−1] fingerprints as
-    * (V_e − V_{s−1})·B^e ≡ B^maxLen·polyhash(window) (mod M) —
-    * position-independent, so equal token spans collide exactly. Two
-    * independent (B, M) pairs with M < 2^31 (ANSI-safe products
-    * < 2^62) pack into one 62-bit join key, keeping the false-match
-    * probability at the old xxhash64's negligible level; the mined
-    * side folds the same polynomial over its (topK-bounded) slices.
-    * The oracle compares raw text, so the fingerprint is
-    * engine-internal. Driver state: one B^j table of maxDocLen
-    * longs — bounded by the longest single document, not the corpus.
+    * Span matching (round-12 rework): the mined set is topK-bounded
+    * by construction, so the spans' TOKEN SEQUENCES broadcast and
+    * every occurrence is found by exact per-length set lookup inside
+    * one map over the corpus — no fingerprint pass, no per-doc
+    * flagged-start aggregation, no removal join, no collision caveat.
+    * For a span set too large to broadcast, the round-10 Rabin–Karp
+    * prefix-sum formulation ([[windowFingerprints]] /
+    * [[spanFingerprints]], still spec-pinned) is the scalable path:
+    * O(1) per (position, len) from one cumulative pass, two packed
+    * (B, M) residues as the join key.
     *
     * Output: (doc_id, n_tokens, n_removed, clean_text) for every
     * document with ≥ 1 token after the [[tokenized]] empty-token
@@ -368,46 +360,60 @@ object SuffixArray {
                        minSpan: Int, topK: Int,
                        maxSpan: Int = 64): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
-    // topK rows; checkpointed so the sp and lens branches below don't
-    // each re-derive the mining tail (the heavy prefix is already
-    // checkpoint-cut inside repeatedSpans, but the dup/adj/top-k tail
-    // showed up twice in the q240 plan)
+    // topK rows; checkpointed so the span-collect below does not
+    // re-derive the mining tail (the heavy prefix is already
+    // checkpoint-cut inside repeatedSpans)
     val mined = repeatedSpans(toks, minSpan, topK, maxSpan)
       .localCheckpoint()
-    // max over zero rows is NULL — read defensively so an empty
-    // tokenized corpus takes the lensArr.isEmpty early return below
-    // instead of NPE-ing on the driver
-    val maxLenRow = toks.agg(max(size(col("ws")))).head
-    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-    // mined span fingerprints: ≤ topK distinct (h, len) rows — a
-    // sanctioned bounded collect, so matching inlines as a literal
-    // per-length hash set INSIDE the window-fingerprint expression
-    // (no broadcast-side exchange, no semi join, and the explode
-    // emits ONLY matching windows instead of every candidate)
-    val keep = spanFingerprints(mined, toks, maxLen)
-      .collect()
-      .groupBy(_.getInt(1))
-      .map { case (len, rs) => len -> rs.map(_.getLong(0)) }
-    val lensArr = keep.keys.toSeq.sorted
-    val output = (flagged: DataFrame) => {
-      val covered = (i: Column) => coalesce(
-        exists(col("ps"), p => i >= p.getField("pos") &&
-          i < p.getField("pos") + p.getField("len")), lit(false))
-      toks.join(flagged, Seq("doc_id"), "left")
-        .withColumn("kept", filter(col("ws"), (t, i) => not(covered(i))))
-        .select(col("doc_id"),
-          size(col("ws")).as("n_tokens"),
-          (size(col("ws")) - size(col("kept"))).as("n_removed"),
-          concat_ws(" ", col("kept")).as("clean_text"))
-    }
-    if (lensArr.isEmpty) // nothing mined: no doc has a covered token
-      return output(toks.select(col("doc_id")).limit(0)
-        .withColumn("ps", array().cast("array<struct<pos:int,len:int>>")))
-    val windows = windowFingerprints(toks, lensArr, maxLen, keep)
-    val flagged = windows
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("pos"), col("len"))).as("ps"))
-    output(flagged)
+    // Round-12: the mined span set is topK-BOUNDED by construction,
+    // so the spans themselves (not just their fingerprints) broadcast
+    // — matching becomes EXACT token-sequence lookup inside one map
+    // over the corpus (no fingerprint pass, no per-doc flagged-start
+    // aggregation, no join; and no Rabin-Karp collision caveat). The
+    // RK prefix-sum formulation ([[windowFingerprints]] /
+    // [[spanFingerprints]], spec-pinned) remains the scalable path
+    // for a span set too large to broadcast.
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val spanRows = broadcast(
+        mined.select(col("doc_id"), col("off"), col("span")))
+      .join(toks, "doc_id")
+      .select(slice(col("ws"), col("off").cast("int"),
+        col("span").cast("int")).as("sp"))
+      .distinct()
+      .collect().map(_.getSeq[String](0).toArray)
+    val byLen: Map[Int, Set[String]] = spanRows.groupBy(_.length)
+      .map { case (l, as) => l -> as.map(_.mkString("\u0000")).toSet }
+    val bc = spark.sparkContext.broadcast(byLen)
+    toks.select(col("doc_id"), col("ws")).as[(Long, Seq[String])]
+      .map { case (docId, ws) =>
+        val arr = ws.toArray
+        val n = arr.length
+        val covered = new Array[Boolean](n)
+        bc.value.foreach { case (len, set) =>
+          var p = 0
+          while (p + len <= n) {
+            if (set.contains(arr.slice(p, p + len).mkString("\u0000"))) {
+              var q = p
+              while (q < p + len) { covered(q) = true; q += 1 }
+            }
+            p += 1
+          }
+        }
+        val kept = new StringBuilder
+        var removed = 0
+        var i = 0
+        while (i < n) {
+          if (covered(i)) removed += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(arr(i))
+          }
+          i += 1
+        }
+        (docId, n, removed, kept.toString)
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
   }
 
   // Rabin–Karp double-modulus parameters: M < 2^31 keeps every
