@@ -304,6 +304,41 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- plan-shape tripwires for the local-kernel sweep ----------------------
+
+  test("plan shapes: the per-doc/per-word kernels stay shuffle-free " +
+      "(bwt, LZ parse, tokenizer DP, span matching)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c a b"), (2L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      p.sliding("Exchange".length).count(_ == "Exchange")
+    }
+    // bwt: one map over the checkpointed tokenized corpus — no
+    // exchange before the per-doc suffix sort (the plan's only
+    // exchanges belong to the consumer, none here)
+    val vocab = operators.UnigramSegment.pieceVocab(docs, "text")
+      .localCheckpoint() // isolate the DP stage from the vocab build
+    val seg = operators.UnigramSegment
+      .viterbiSegment(docs, "text", vocab)
+    // distinct-words is one exchange; the DP itself adds none
+    assert(exchanges(seg) <= 1,
+      s"viterbi DP must not join/window:\n" +
+        seg.queryExecution.executedPlan.toString)
+    val gre = operators.UnigramSegment
+      .greedySegment(docs, "text", vocab)
+    assert(exchanges(gre) <= 1, "greedy DP must not join/window")
+    val lz = operators.Lz.lzFactors(docs, "doc_id", "text")
+    assert(exchanges(lz) == 0,
+      s"LZ parse is map-only:\n" +
+        lz.queryExecution.executedPlan.toString)
+    val plans = Seq(seg, gre, lz).map(
+      _.queryExecution.executedPlan.toString)
+    assert(plans.forall(_.contains("SerializeFromObject")),
+      "expected the typed local kernel (object island) in every plan")
+  }
+
   // ---- cross-run incrementality family (q345–q347) -------------------------
 
   test("crawl-snapshot family: diff classes partition the key space " +
