@@ -9230,6 +9230,56 @@ object OracleSql {
        |WHERE ft.doc_id IS NOT NULL
        |ORDER BY doc_id""".stripMargin
 
+  /** q348: SQ8 recall replay — the per-dim [lo,hi] codebook, the
+    * (v−lo)·255 // span code, the lo + c·span // 255 reconstruction,
+    * the asymmetric integer-dot rankings, and the top-5 overlap all
+    * recomputed from the same fixed-point grid (q175 convention). */
+  private val q348 =
+    """WITH qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT i, MIN(q[i]) AS lo, MAX(q[i]) AS hi
+      |  FROM qv CROSS JOIN range(1, 65) t(i) GROUP BY i),
+      |cb AS (SELECT list(lo ORDER BY i) AS l, list(hi ORDER BY i) AS h
+      |       FROM st),
+      |dq AS (
+      |  SELECT vec_id, list_transform(range(1, 65), i ->
+      |    l[i] + ((q[i] - l[i]) * 255 // greatest(h[i] - l[i], 1))
+      |           * greatest(h[i] - l[i], 1) // 255) AS d
+      |  FROM qv CROSS JOIN cb),
+      |ex AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> a.q[i] * b.q[i]), 'sum') AS BIGINT) AS s
+      |  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id % 20 = 0),
+      |ext AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY s DESC, cid ASC) AS rn FROM ex) WHERE rn <= 5),
+      |sq AS (
+      |  SELECT a.vec_id AS qid, d.vec_id AS cid,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> a.q[i] * d.d[i]), 'sum') AS BIGINT) AS s
+      |  FROM qv a JOIN dq d ON d.vec_id <> a.vec_id
+      |  WHERE a.vec_id % 20 = 0),
+      |sqt AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY s DESC, cid ASC) AS rn FROM sq) WHERE rn <= 5),
+      |ov AS (
+      |  SELECT e.qid, COUNT(t.cid) AS ov
+      |  FROM ext e LEFT JOIN sqt t ON t.qid = e.qid AND t.cid = e.cid
+      |  GROUP BY e.qid)
+      |SELECT q.vec_id AS query_id,
+      |  CAST(COALESCE(o.ov, 0) AS BIGINT) AS n_overlap,
+      |  CAST(COALESCE(o.ov, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+      |FROM (SELECT vec_id FROM qv WHERE vec_id % 20 = 0) q
+      |LEFT JOIN ov o ON o.qid = q.vec_id
+      |ORDER BY query_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9419,6 +9469,7 @@ object OracleSql {
     "q345_snapshot_fp_diff" -> q345,
     "q346_delta_dedup" -> q346,
     "q347_fp_store_merge" -> q347,
+    "q348_sq8_recall" -> q348,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

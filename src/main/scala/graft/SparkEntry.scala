@@ -4166,6 +4166,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-12: scalar-int8 quantization recall audit — SQ8 codes
+    * (per-dim corpus [lo,hi] codebook, integer-exact) searched
+    * asymmetrically vs the exact integer-dot ranking; recall@5 per
+    * query, the gate a serving team rolls SQ8 out on. */
+  private def qSq8Recall(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.sq8Recall(Tables.embeddings(s, dir),
+        k = 5, queryMod = 20)
+      .orderBy("query_id")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5202,7 +5211,8 @@ object SparkEntry {
       "q344_ann_rrf" -> (qAnnRrf _),
       "q345_snapshot_fp_diff" -> (qSnapshotFpDiff _),
       "q346_delta_dedup" -> (qDeltaDedup _),
-      "q347_fp_store_merge" -> (qFpStoreMerge _))
+      "q347_fp_store_merge" -> (qFpStoreMerge _),
+      "q348_sq8_recall" -> (qSq8Recall _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5302,7 +5312,7 @@ object SparkEntry {
     // was correctness-gated but untimed (round-11 verdict item 1) —
     // and the cross-run incrementality family
     "q344_ann_rrf", "q345_snapshot_fp_diff", "q346_delta_dedup",
-    "q347_fp_store_merge")
+    "q347_fp_store_merge", "q348_sq8_recall")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -339,6 +339,33 @@ class Round12Spec extends SparkSpec {
       "expected the typed local kernel (object island) in every plan")
   }
 
+  // ---- SQ8 recall audit (q348) ----------------------------------------------
+
+  test("sq8Recall: lossless on grid-aligned vectors, total on a " +
+      "degenerate constant dimension, overlap bounded by k") {
+    import spark.implicits._
+    // values are multiples of 1/16 -> exactly representable on the
+    // 2^16 grid AND the 255-step per-dim scale loses nothing that
+    // changes any ranking; dim 3 is constant (hi == lo, span guard)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array((i % 7).toFloat / 16f, (i % 5).toFloat / 16f,
+        ((i * 3) % 11).toFloat / 16f, 0.25f))
+    }.toDF("vec_id", "embedding")
+    val r = operators.Similarity.sq8Recall(vecs, k = 3, queryMod = 10)
+      .collect()
+    assert(r.length == 4) // queries 0, 10, 20, 30
+    r.foreach { row =>
+      val ov = row.getLong(1)
+      assert(ov >= 0 && ov <= 3)
+      assert(row.getLong(2) == ov * 1000000L / 3)
+    }
+    // grid-aligned + coarse integer ranks: SQ8 must not lose recall
+    // on ties broken identically (both rankings use (s desc, cid asc))
+    assert(r.map(_.getLong(1)).sum >= 8,
+      s"grid-aligned vectors should keep near-perfect recall: " +
+        r.map(_.getLong(1)).mkString(","))
+  }
+
   // ---- cross-run incrementality family (q345–q347) -------------------------
 
   test("crawl-snapshot family: diff classes partition the key space " +
