@@ -627,9 +627,12 @@ object Similarity {
 
   /** Integer dot product of two quantized vectors (long overflow-safe
     * for |component| < 2^23 at 64 dims — far above the quantized
-    * embedding range). */
+    * embedding range). Round-12: routed through the native codegen'd
+    * [[org.apache.spark.sql.graft.IntDot]] expression — one fused
+    * loop instead of interpreted aggregate(zip_with(...)) lambda
+    * trees; long addition is exact, so the value is bit-identical. */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    org.apache.spark.sql.graft.GraftFunctions.intDot(a, b)
 
   /** Scalar int8 quantization (SQ8) recall audit — the MOST deployed
     * embedding compression (FAISS SQ8, pgvector halfvec/int8, every

@@ -123,6 +123,56 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: integer dot product of two long-array
+  * columns — the kernel under every portable-arithmetic ANN ranking
+  * (q175 LSH, q285 multi-probe, q344 fusion inputs, q348 SQ8):
+  * fixed-point vectors, exact integer scores. The interpreted
+  * `aggregate(zip_with(a,b,_*_), 0L, _+_)` form allocates a zipped
+  * array and evaluates lambda trees per element; this is one fused
+  * loop inside whole-stage codegen. Long addition is associative and
+  * exact, so the result is bit-identical to the HOF form at any
+  * evaluation order (pinned in NativeExprSpec). */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for graft's native expressions. */
 object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
@@ -130,5 +180,8 @@ object GraftFunctions {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def l2DistSq(a: Column, b: Column): Column =
     ExpressionUtils.column(L2DistanceSq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def intDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
