@@ -36,8 +36,15 @@ object SqliteSchema {
     * not the literal word INTEGER) is NOT an alias: its stored values
     * are real. */
   def parseCreate(sql: String): Seq[SqliteColumn] = {
+    // corruption contract (the SqliteFile chk convention): hostile or
+    // damaged sqlite_master SQL must surface as IllegalArgumentException
+    // naming the problem, never a raw StringIndexOutOfBounds/NoSuchElement
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported CREATE TABLE: $msg")
     val open = sql.indexOf('(')
-    val body = sql.substring(open + 1, sql.lastIndexOf(')'))
+    val closeIdx = sql.lastIndexOf(')')
+    if (open < 0 || closeIdx <= open) bad("no parenthesized column list")
+    val body = sql.substring(open + 1, closeIdx)
     // split on top-level commas only (parens can nest in constraints)
     val defs = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var start = 0
@@ -51,24 +58,36 @@ object SqliteSchema {
     val constraintKw =
       Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
     // identifier + the text after it, honoring "..."/[...]/`...` quoting
-    def splitName(d: String): (String, String) = d.head match {
-      case '"' | '`' =>
-        val close = d.indexOf(d.head, 1)
-        (d.substring(1, close), d.substring(close + 1))
-      case '[' =>
-        val close = d.indexOf(']', 1)
-        (d.substring(1, close), d.substring(close + 1))
-      case _ =>
-        val name = d.takeWhile(c => !c.isWhitespace)
-        (name, d.drop(name.length))
+    def splitName(d: String): (String, String) = {
+      if (d.isEmpty) bad("empty column definition")
+      d.head match {
+        case '"' | '`' =>
+          val close = d.indexOf(d.head, 1)
+          if (close < 0) bad("unterminated quoted identifier")
+          (d.substring(1, close), d.substring(close + 1))
+        case '[' =>
+          val close = d.indexOf(']', 1)
+          if (close < 0) bad("unterminated [identifier]")
+          (d.substring(1, close), d.substring(close + 1))
+        case _ =>
+          val name = d.takeWhile(c => !c.isWhitespace)
+          (name, d.drop(name.length))
+      }
     }
     // table-level `PRIMARY KEY (col)` names a rowid alias when that
     // column's type is exactly INTEGER
-    val tablePk: Option[String] = defs.map(_.trim).collectFirst {
-      case d if d.toUpperCase.startsWith("PRIMARY") =>
-        val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
-        splitName(inner.trim)._1
-    }
+    val tablePk: Option[String] = defs.map(_.trim)
+      .filter(d => d.toUpperCase.startsWith("PRIMARY"))
+      .flatMap { d =>
+        // a malformed table-level PRIMARY KEY (no parens / empty) is
+        // not an alias declaration we recognize — ignore, don't throw
+        val po = d.indexOf('('); val pc = d.lastIndexOf(')')
+        if (po < 0 || pc <= po) None
+        else {
+          val inner = d.substring(po + 1, pc).trim
+          if (inner.isEmpty) None else Some(splitName(inner)._1)
+        }
+      }.headOption
     defs.toSeq.map(_.trim).filter(_.nonEmpty).flatMap { d =>
       val (name, after) = splitName(d)
       if (constraintKw.contains(name.toUpperCase)) None

@@ -339,6 +339,42 @@ class Round12Spec extends SparkSpec {
       "expected the typed local kernel (object island) in every plan")
   }
 
+  // ---- CREATE TABLE parser fuzz ----------------------------------------------
+
+  test("SqliteSchema.parseCreate is fuzz-total: mutated/hostile SQL " +
+      "parses or fails with the explicit error, never a raw throw") {
+    import graft.sources.sqlite.SqliteSchema
+    val valid = """CREATE TABLE "t"("id" INTEGER PRIMARY KEY, """ +
+      """"name" TEXT, [sp ace] REAL, `bt` BLOB, plain, """ +
+      """PRIMARY KEY (id))"""
+    val r = new scala.util.Random(122L)
+    val muts = valid.indices.map { i =>
+      val a = valid.toCharArray; a(i) = (32 + r.nextInt(95)).toChar
+      new String(a)
+    }
+    val crafted = Seq(
+      "", "CREATE TABLE t", "CREATE TABLE t()", "()", "(,)",
+      "CREATE TABLE t(\"unterminated", "CREATE TABLE t([open",
+      "CREATE TABLE t(a,,b)", "CREATE TABLE t(PRIMARY KEY)",
+      "CREATE TABLE t(PRIMARY KEY ())", "not sql at all",
+      "CREATE TABLE t(a INTEGER PRIMARY KEY DESC)",
+      "CREATE TABLE t" + "(" * 50, "CREATE TABLE t(a" + ")" * 50)
+    (muts ++ crafted).foreach { s =>
+      try { SqliteSchema.parseCreate(s); () }
+      catch {
+        case _: IllegalArgumentException | _: IllegalStateException => ()
+        case e: Throwable =>
+          fail(s"parseCreate threw raw ${e.getClass.getSimpleName} " +
+            s"on: $s")
+      }
+    }
+    // the valid statement still parses to the expected shape
+    val cols = SqliteSchema.parseCreate(valid)
+    assert(cols.map(_.name) ==
+      Seq("id", "name", "sp ace", "bt", "plain"))
+    assert(cols.head.rowidAlias)
+  }
+
   // ---- SQ8 recall audit (q348) ----------------------------------------------
 
   test("sq8Recall: lossless on grid-aligned vectors, total on a " +
