@@ -112,7 +112,8 @@ object IvfIndex {
     * < 2^36, ×64 dims < 2^42 — well inside long (and ANSI-safe). */
   private def intDist2(a: org.apache.spark.sql.Column,
                        b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // native fused loop (round-12); bit-identical — integer arithmetic
+    org.apache.spark.sql.graft.GraftFunctions.intDist2(a, b)
 
   /** Portable Lloyd assignment: nearest centroid by INTEGER squared L2
     * (ties to the lower cluster id). vectors: (id, q); centroids:

@@ -89,7 +89,8 @@ object Quantization {
       .select(col("id"), col("sub.s").as("s"), col("sub.v8").as("v8"))
 
   private def subDist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // native fused loop (round-12); bit-identical — integer arithmetic
+    org.apache.spark.sql.graft.GraftFunctions.intDist2(a, b)
 
   /** Nearest codebook entry per (id, subspace): ties to the lower
     * code. subs: (id, s, v8); codebook: (s, code, cvec). */
@@ -366,8 +367,7 @@ object Quantization {
     val sl = ivfAdcTopK(queries, corpus, coarse, codebook,
       subspaces, subDim, nProbe, shortlist)
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _)
+      org.apache.spark.sql.graft.GraftFunctions.intDist2(a, b)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("exact_d2").asc, col("neighbor_id").asc)

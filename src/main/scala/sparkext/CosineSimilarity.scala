@@ -173,6 +173,56 @@ case class IntDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: integer squared L2 distance of two
+  * long-array columns — the kernel under the portable PQ/IVF family
+  * (Lloyd assignment, PQ encode, ADC re-rank: q176/q226/q227/q238/
+  * q242/q286 evaluate it per (vector × centroid/code) pair). One
+  * fused codegen loop replacing interpreted aggregate(zip_with(...));
+  * integer arithmetic, so bit-identical at any order (NativeExprSpec). */
+case class IntDist2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_dist2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for graft's native expressions. */
 object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
@@ -183,5 +233,8 @@ object GraftFunctions {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def intDot(a: Column, b: Column): Column =
     ExpressionUtils.column(IntDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def intDist2(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntDist2(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

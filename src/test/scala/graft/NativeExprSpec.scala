@@ -76,6 +76,23 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h, s"$n != $h") }
   }
 
+  test("native int_dist2 is bit-identical to the interpreted HOF form") {
+    import org.apache.spark.sql.functions._
+    val q = graft.operators.Similarity.quantize16($"embedding")
+    val emb = Tables.embeddings(spark, sf).limit(50).select(
+      $"vec_id", q.as("q"))
+    val pairs = emb.select($"vec_id".as("qid"), $"q".as("qa"))
+      .crossJoin(emb.select($"vec_id".as("cid"), $"q".as("qb")))
+    val rows = pairs.select(
+      org.apache.spark.sql.graft.GraftFunctions
+        .intDist2($"qa", $"qb").as("native"),
+      aggregate(zip_with($"qa", $"qb", (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) => assert(n == h, s"$n != $h") }
+  }
+
   test("native banded_lsh_buckets is bit-identical to the declarative form") {
     val emb = Tables.embeddings(spark, sf)
     val rows = emb.select(
