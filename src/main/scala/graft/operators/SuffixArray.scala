@@ -279,10 +279,33 @@ object SuffixArray {
 
   /** Pre-tokenized entry point (the [[tokenSuffixRanks]] convention):
     * `toks` = (doc_id, ws) from [[tokenized]], shared with any other
-    * consumer of the same corpus scan. */
+    * consumer of the same corpus scan.
+    *
+    * Round-13 rework: mining the top-K spans does not need full
+    * suffix ranks. [[repeatedSpansPruned]] ranks only the positions
+    * whose ℓ-token window repeats (the a-priori observation: every
+    * output row with span ≥ ℓ lives entirely inside that set) and
+    * reconstructs the EXACT global dense ranks of the K output rows
+    * with one counting pass — bit-identical output at a fraction of
+    * the global-barrier rounds. When the corpus cannot certify ≥ topK
+    * rows at span ≥ ℓ (sparse repeats, tiny fixtures), it falls back
+    * to [[repeatedSpansExact]], the full prefix-doubling path. */
   def repeatedSpans(toks: DataFrame, minSpan: Int, topK: Int,
                     maxSpan: Int): DataFrame = {
     require(minSpan >= 1 && maxSpan >= minSpan && topK >= 1)
+    val ell = math.min(math.max(8, minSpan), maxSpan)
+    repeatedSpansPruned(toks, minSpan, topK, maxSpan, ell)
+      .getOrElse(repeatedSpansExact(toks, minSpan, topK, maxSpan))
+  }
+
+  /** The exact full-suffix-array mining path (pre-round-13 body):
+    * rank EVERY suffix by distributed prefix doubling, then derive
+    * dup tie groups and adjacent-rank LCPs. Kept as the fallback for
+    * corpora whose top-K is not certified by the pruned path, and as
+    * the spec ground truth the pruned path is pinned against. */
+  private[graft] def repeatedSpansExact(toks: DataFrame, minSpan: Int,
+                                        topK: Int,
+                                        maxSpan: Int): DataFrame = {
     val ranks = tokenSuffixRanks(toks)
 
     // representative (min doc, then min off) + group size per rank
@@ -323,6 +346,206 @@ object SuffixArray {
       .orderBy(col("span").desc, col("sa_rank").asc, col("kind").asc)
       .limit(topK)
   }
+
+  /** Candidate-pruned span mining (round 13). Let S be the set of
+    * suffixes of length ≥ ℓ whose leading ℓ-token window occurs ≥ 2
+    * times in the corpus. Three facts make mining on S alone exact:
+    *
+    *  1. COMPLETENESS — every output row with span ≥ ℓ involves only
+    *     S-suffixes: a dup tie group of span ≥ ℓ is ≥ 2 positions
+    *     sharing their (length ≥ ℓ) prefix, and both sides of an adj
+    *     pair with LCP ≥ ℓ share an ℓ-window. Any suffix c strictly
+    *     between two suffixes a < b with LCP(a,b) ≥ ℓ satisfies
+    *     LCP(a,c) ≥ LCP(a,b) ≥ ℓ (the LCP-interval minimum property),
+    *     so c ∈ S too — hence adjacency WITHIN S at LCP ≥ ℓ is
+    *     exactly global adjacency, and tie groups of length ≥ ℓ sit
+    *     entirely inside S (equal suffixes share the window).
+    *  2. UNIQUENESS OUTSIDE S — a non-S suffix of length ≥ ℓ has a
+    *     corpus-unique ℓ-window, so the whole suffix is corpus-unique
+    *     (an equal pair would repeat the window), and it differs from
+    *     every S-suffix within the first ℓ tokens (its window is
+    *     unique, an S-window is not — they cannot be equal).
+    *  3. RANK RECONSTRUCTION — global dense rank = rank within S +
+    *     #(distinct non-S suffixes below). By (2) the non-S part
+    *     counts (a) length ≥ ℓ non-S positions, each its own distinct
+    *     suffix, ordered against a candidate by comparing ℓ-windows,
+    *     plus (b) distinct short suffixes (< ℓ tokens), ordered by
+    *     prefix rule. Both compare within ℓ tokens, so ONE pass over
+    *     the windowed corpus with the ≤ topK candidate prefixes
+    *     broadcast recovers the exact dense ranks.
+    *
+    * Ordering is preserved: within-S rank and global rank are order-
+    * isomorphic on S, so the top-K by (span desc, rank asc, kind asc)
+    * can be taken BEFORE correcting ranks — only K rows ever need the
+    * correction. Rows the pruning drops all have span < ℓ, so when
+    * ≥ topK candidates survive at span ≥ ℓ the result is bit-
+    * identical to [[repeatedSpansExact]]; otherwise returns None and
+    * the caller falls back.
+    *
+    * Scale shape: one corpus scan + ONE hash exchange (window
+    * counts), suffix ranking only over S (the repeat-involved
+    * fraction), one map-side counting pass for the correction, and a
+    * K-bounded driver collect — vs 3 full-corpus dense-rank sorts on
+    * the exact path. S materializes full (doc-length-bounded)
+    * suffixes, so the exact path remains the route for corpora where
+    * the duplicated fraction × doc length outweighs rank rounds. */
+  private[graft] def repeatedSpansPruned(toks: DataFrame, minSpan: Int,
+                                         topK: Int, maxSpan: Int,
+                                         ell: Int): Option[DataFrame] = {
+    require(ell >= minSpan && ell <= maxSpan)
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+
+    // every position with its ℓ-token window and the window's corpus
+    // count — the one corpus-sized exchange of the pruned path;
+    // checkpointed because both the S branch and the rank-correction
+    // branch read it
+    val counted = toks
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("off0", "w0")))
+      .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
+        slice(col("ws"), (col("off0") + 1).cast("int"), lit(ell))
+          .as("w"))
+      .withColumn("n_w", count(lit(1)).over(W.partitionBy("w")))
+      .localCheckpoint()
+
+    // S: repeat-involved positions, with their FULL (doc-bounded)
+    // suffix for exact within-S ranking; the pruned set is small by
+    // construction, so it broadcasts to the corpus side
+    val sPos = counted
+      .filter(col("n_w") >= 2 && size(col("w")) === ell)
+      .select(col("doc_id"), col("off"))
+    val sFull = toks.join(broadcast(sPos), "doc_id")
+      .select(col("doc_id"), col("off"),
+        (size(col("ws")).cast("long") - col("off") + 1L).as("suf_len"),
+        slice(col("ws"), col("off").cast("int"), size(col("ws")))
+          .as("suf"))
+    val (ranked, _) = Curation.globalDenseRanksWithCount(sFull, Seq("suf"))
+
+    // tie groups: size + min-(doc,off) representative, carrying the
+    // maxSpan-capped representative suffix for the adj LCP fold
+    val grp = ranked
+      .select(col("global_rank").as("srank"),
+        struct(col("doc_id"), col("off"), col("suf_len"),
+          slice(col("suf"), 1, maxSpan).as("csuf")).as("rec"))
+      .groupBy("srank")
+      .agg(count(lit(1)).as("n_occurrences"), min(col("rec")).as("rep"))
+      .select(col("srank"), col("n_occurrences"),
+        col("rep.doc_id").as("doc_id"), col("rep.off").as("off"),
+        col("rep.suf_len").as("suf_len"), col("rep.csuf").as("csuf"))
+      .localCheckpoint()
+
+    val dup = grp.filter(col("n_occurrences") >= 2)
+      .select(col("srank"), lit("dup").as("kind"),
+        col("suf_len").as("span"), col("n_occurrences"),
+        col("doc_id"), col("off"), col("csuf"))
+    val nxt = grp.select((col("srank") - 1).as("srank"),
+      col("csuf").as("csuf_b"))
+    val lcp = aggregate(
+      sequence(lit(1), least(size(col("csuf")), size(col("csuf_b")))),
+      lit(0),
+      (acc, j) => when(acc === j - 1 &&
+        element_at(col("csuf"), j) === element_at(col("csuf_b"), j), j)
+        .otherwise(acc))
+    val adj = grp.join(nxt, "srank")
+      .select(col("srank"), lit("adj").as("kind"),
+        lcp.cast("long").as("span"), lit(2L).as("n_occurrences"),
+        col("doc_id"), col("off"), col("csuf"))
+
+    // everything the pruning drops has span < ℓ, so ≥ topK survivors
+    // at span ≥ ℓ certify the global top-K is exactly these rows
+    val collected = dup.unionByName(adj)
+      .filter(col("span") >= ell)
+      .orderBy(col("span").desc, col("srank").asc, col("kind").asc)
+      .limit(topK)
+      .collect() // K-bounded by construction
+    if (collected.length < topK) return None
+
+    // exact global ranks for the K output rows: count distinct non-S
+    // suffixes below each candidate's ℓ-prefix in one map-side pass
+    val prefixes = collected
+      .map(_.getSeq[String](6).take(ell).toArray).distinct
+      .sortWith(lessTokens(_, _))
+    val prefB = spark.sparkContext.broadcast(
+      prefixes.map(_.map(_.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))))
+    val corrInput = counted
+      .filter(size(col("w")) === ell && col("n_w") === 1).select("w")
+      .unionByName(
+        counted.filter(size(col("w")) < ell).select("w").distinct())
+    val buckets = corrInput.as[Seq[String]].mapPartitions { it =>
+      val prefs = prefB.value
+      val cnt = new Array[Long](prefs.length + 1)
+      it.foreach { ws =>
+        val w = ws.iterator.map(_.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)).toArray
+        // lower bound: first candidate prefix with w below it
+        var lo = 0; var hi = prefs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lessBytes(w, prefs(mid))) hi = mid else lo = mid + 1
+        }
+        cnt(lo) += 1
+      }
+      Iterator.single(cnt)
+    }.reduce { (a, b) =>
+      val r = new Array[Long](a.length)
+      var i = 0
+      while (i < r.length) { r(i) = a(i) + b(i); i += 1 }
+      r
+    }
+    // candidates sorted ascending: #below(prefix_i) = Σ_{j ≤ i} cnt(j)
+    val below = new Array[Long](prefixes.length)
+    var run = 0L
+    for (i <- prefixes.indices) { run += buckets(i); below(i) = run }
+    val corrByPrefix: Map[Seq[String], Long] =
+      prefixes.zipWithIndex.map { case (p, i) =>
+        (p.toSeq: Seq[String]) -> below(i)
+      }.toMap
+
+    val outRows = collected.map { r =>
+      val corr = corrByPrefix(r.getSeq[String](6).take(ell))
+      org.apache.spark.sql.Row(r.getLong(0) + corr, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sa_rank",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("span",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_occurrences",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("off",
+        org.apache.spark.sql.types.LongType)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), schema))
+  }
+
+  /** Token-sequence compare in the engine's order (element-wise
+    * UTF8 binary, shorter-is-prefix-is-less) — MUST agree with
+    * Spark's array<string> ordering for the pruned path's binary
+    * search to be monotone. */
+  private def lessBytes(a: Array[Array[Byte]],
+                        b: Array[Array[Byte]]): Boolean = {
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m) {
+      val d = utf8Compare(a(i), b(i))
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def lessTokens(a: Array[String], b: Array[String]): Boolean =
+    lessBytes(
+      a.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      b.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** The Lee et al. 2022 end-to-end: mine the corpus-wide repeated
     * spans from the suffix array ([[repeatedSpans]]), then CUT every

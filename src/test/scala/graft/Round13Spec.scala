@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 13: the pruned span-mining path ([[operators.SuffixArray
+  * .repeatedSpansPruned]]) pinned bit-identical against the exact
+  * full-suffix-array path it replaces on the hot path, including the
+  * global sa_rank VALUES (the part the rank-reconstruction math has
+  * to get right), plus the fallback trigger. */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("repeatedSpansPruned: bit-identical to the exact path, " +
+    "including global sa_rank values, on a planted-repeat corpus") {
+    val phrase = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"prefix a $phrase suffix a"),
+      (2L, s"prefix b $phrase suffix b"),
+      (3L, s"$phrase"), // whole doc = the phrase → dup candidates too
+      (4L, "unrelated filler words with no long repeats at all"),
+      (5L, "another unique document of assorted filler tokens here")
+    ).toDF("doc_id", "text")
+    val toks = graft.operators.SuffixArray
+      .tokenized(docs, "doc_id", "text")
+    for (topK <- Seq(1, 3, 5)) {
+      val pruned = graft.operators.SuffixArray
+        .repeatedSpansPruned(toks, 2, topK, 64, 8)
+      assert(pruned.isDefined, s"pruned path must engage at topK=$topK")
+      val exact = graft.operators.SuffixArray
+        .repeatedSpansExact(toks, 2, topK, 64)
+      assert(rows(pruned.get) == rows(exact))
+    }
+  }
+
+  test("repeatedSpansPruned: short-suffix and unique-window rank " +
+    "corrections exercised (candidates not at rank 1)") {
+    // 'zz*' tokens sort AFTER everything in the repeated block, and
+    // 'aa*' tokens BEFORE — the candidate ranks must shift by exactly
+    // the distinct below-candidate unique/short suffixes
+    val rep = "mid mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9"
+    val docs = Seq(
+      (1L, s"aa1 aa2 $rep zz1"),
+      (2L, s"aa3 aa4 $rep zz2"),
+      (3L, "aa0 aa5 aa6") // short + unique material below candidates
+    ).toDF("doc_id", "text")
+    val toks = graft.operators.SuffixArray
+      .tokenized(docs, "doc_id", "text")
+    val pruned = graft.operators.SuffixArray
+      .repeatedSpansPruned(toks, 2, 2, 64, 8)
+    assert(pruned.isDefined)
+    val exact = graft.operators.SuffixArray
+      .repeatedSpansExact(toks, 2, 2, 64)
+    assert(rows(pruned.get) == rows(exact))
+  }
+
+  test("repeatedSpansPruned: returns None when fewer than topK rows " +
+    "survive at span >= ell, and the dispatcher falls back to exact") {
+    val docs = Seq(
+      (1L, "a short shared bit here"),
+      (2L, "b short shared bit there")
+    ).toDF("doc_id", "text") // longest repeat = 3 tokens < ell = 8
+    val toks = graft.operators.SuffixArray
+      .tokenized(docs, "doc_id", "text")
+    assert(graft.operators.SuffixArray
+      .repeatedSpansPruned(toks, 2, 5, 64, 8).isEmpty)
+    // the public API still answers, via the exact path
+    val out = graft.operators.SuffixArray
+      .repeatedSpans(docs, "doc_id", "text", minSpan = 2, topK = 5)
+    val exact = graft.operators.SuffixArray
+      .repeatedSpansExact(toks, 2, 5, 64)
+    assert(rows(out) == rows(exact))
+    assert(rows(out).head._3 == 3L) // "short shared bit"
+  }
+
+  test("repeatedSpansPruned: randomized small-vocab corpora agree " +
+    "with the exact path whenever the pruned path engages") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d")
+    var engaged = 0
+    for (trial <- 1 to 6) {
+      val docs = (1L to 12L).map { id =>
+        // small vocab + planted block → long accidental repeats
+        val planted =
+          if (id % 3 == 0) " p1 p2 p3 p4 p5 p6 p7 p8 p9 p10" else ""
+        val words = Seq.fill(10 + rnd.nextInt(30))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id, words + planted)
+      }.toDF("doc_id", "text")
+      val toks = graft.operators.SuffixArray
+        .tokenized(docs, "doc_id", "text")
+      val topK = 1 + rnd.nextInt(6)
+      val pruned = graft.operators.SuffixArray
+        .repeatedSpansPruned(toks, 2, topK, 64, 8)
+      pruned.foreach { p =>
+        engaged += 1
+        assert(rows(p) == rows(graft.operators.SuffixArray
+          .repeatedSpansExact(toks, 2, topK, 64)),
+          s"trial $trial topK $topK")
+      }
+    }
+    assert(engaged >= 2, "fixture should engage the pruned path")
+  }
+}
