@@ -3587,24 +3587,26 @@ object SparkEntry {
 
   /** Round-10: single-link hierarchical clustering at a fixed cut —
     * the classic SLINK dendrogram level, computed the only way that
-    * scales: components of the MINIMUM SPANNING FOREST edges ≤ t
-    * (cutting the MST at t gives exactly the single-link clusters —
-    * the Gower & Ross 1969 equivalence), so the q306 Borůvka forest
-    * plus the contracted-union-find component resolver do all the
-    * work and no O(n²) dendrogram ever materializes. Cut at $200
+    * scales, and (round 13) WITHOUT materializing the MSF at all: by
+    * the Gower & Ross 1969 equivalence, single-link clusters at t are
+    * exactly the connected components of the threshold graph
+    * {edges ≤ t} (the MSF preserves connectivity at every threshold,
+    * so the previous route through q306's Borůvka forest computed the
+    * same partition the hard way — O(log n) pick/contract rounds
+    * where one union-find component pass suffices;
+    * [[operators.Mst.singleLinkCut]]). The dendrogram/multi-cut
+    * product is what needs the MSF — that remains q306. Cut at $200
     * (20000 cents) over the per-nation balance graph; customers with
     * no kept edge are singleton clusters (left join + coalesce).
     * The oracle is again BY THEOREM: on the per-nation line metric,
     * single-link clusters at t are exactly the maximal runs of
-    * consecutive (balance, custkey)-sorted gaps ≤ t — any wrong MST
-    * pick, lost component, or incomplete contraction breaks the
-    * per-nation cluster counts. */
+    * consecutive (balance, custkey)-sorted gaps ≤ t — any lost
+    * component or incomplete contraction breaks the per-nation
+    * cluster counts. */
   private def qSingleLink(s: SparkSession, dir: String): DataFrame = {
     val cutCents = 20000L
-    val kept = operators.Mst.boruvkaMsf(balanceNeighborEdges(s, dir))
-      .filter(col("w") <= cutCents)
-      .select(col("u").as("a"), col("v").as("b"))
-    val clusters = operators.DuplicateClusters.resolveContracted(kept)
+    val clusters = operators.Mst
+      .singleLinkCut(balanceNeighborEdges(s, dir), cutCents)
       .select(col("doc_id").as("ck"), col("cluster_id"))
     Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("ck"),

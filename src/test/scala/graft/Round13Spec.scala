@@ -104,4 +104,55 @@ class Round13Spec extends SparkSpec {
     }
     assert(engaged >= 2, "fixture should engage the pruned path")
   }
+
+  // --- Borůvka contracted-edge rounds + driver-Kruskal finish ---------
+
+  test("boruvkaMsf: driver-finish path equals the pure-distributed " +
+    "path (localFinishEdges = 0) edge-for-edge on random graphs") {
+    val rnd = new scala.util.Random(313)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = (for {
+        u <- 0 until n; v <- u + 1 until n
+        if rnd.nextInt(100) < 15
+      } yield (u.toLong, v.toLong, (1 + rnd.nextInt(5)).toLong))
+        .toDF("u", "v", "w")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2))).toSet
+      val fast = rows(operators.Mst.boruvkaMsf(edges))
+      val pure = rows(operators.Mst.boruvkaMsf(edges,
+        localFinishEdges = 0))
+      assert(fast == pure, s"trial $trial")
+    }
+  }
+
+  test("boruvkaMsf: mid-run switch (tiny cap forces >= 1 distributed " +
+    "round before the driver finish) still yields the unique MSF") {
+    // path graph: 60 nodes, distinct weights -> unique MST of 59 edges
+    val edges = (0 until 59).map(i =>
+      (i.toLong, (i + 1).toLong, (100 - i).toLong)).toDF("u", "v", "w")
+    val got = operators.Mst.boruvkaMsf(edges, localFinishEdges = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 59)
+    assert(got.map(_._3).sum == (42 to 100).map(_.toLong).sum)
+  }
+
+  test("singleLinkCut: identical clusters to resolving the " +
+    "MSF-restricted edges (the Gower-Ross equivalence, exercised)") {
+    val rnd = new scala.util.Random(1313)
+    val edges = (for {
+      u <- 0 until 40; v <- u + 1 until 40
+      if rnd.nextInt(100) < 12
+    } yield (u.toLong, v.toLong, rnd.nextInt(30).toLong))
+      .toDF("u", "v", "w")
+    val cut = 12L
+    val direct = operators.Mst.singleLinkCut(edges, cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMst = operators.DuplicateClusters.resolveContracted(
+        operators.Mst.boruvkaMsf(edges).filter(col("w") <= cut)
+          .select(col("u").as("a"), col("v").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == viaMst)
+  }
 }
