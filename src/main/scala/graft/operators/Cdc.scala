@@ -22,10 +22,24 @@ object Cdc {
   /** @param snapshot current table state: (key, payload...)
     * @param changes  (key, seq, op ∈ I|U|D, payload...) — same payload
     *                 columns as the snapshot
-    * @return the new snapshot state */
+    * @return the new snapshot state
+    *
+    * Seq collisions (round-13 hardening): `seq` SHOULD totally order a
+    * key's changes, but a feed that violates that must still fold
+    * deterministically — two runs over the same rows in different
+    * partition orders cannot disagree. On a (key, seq) tie the winner
+    * is picked by (op, payload columns) ASCENDING, so a tied 'D'
+    * outranks 'I'/'U' (conservative: the tied delete removes) and
+    * exact duplicate rows collapse to themselves. Pinned by
+    * CdcAdversarialSpec; feeds with meaningful tie semantics must
+    * encode them in `seq`. */
   def apply(snapshot: DataFrame, changes: DataFrame,
             key: String, seq: String, op: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(seq).desc)
+    val tieCols = changes.columns.toSeq
+      .filterNot(c => c == key || c == seq || c == op)
+      .sorted.map(col(_).asc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seq).desc +: col(op).asc +: tieCols: _*)
     val last = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -47,7 +61,16 @@ object Cdc {
     * unchanged keys (the overwhelming majority in steady state) are
     * filtered out POST-join but pre-materialization, so the output is
     * only the delta. Column comparison is null-safe (`<=>`).
-    */
+    *
+    * Preconditions (round 13, CdcAdversarialSpec): `key` must be
+    * UNIQUE on each side — both inputs are SNAPSHOTS, i.e. keyed
+    * tables; a duplicated key fans out through the full-outer join
+    * like any keyed MERGE would. And when `compareCols` are
+    * fingerprints rather than content, a fingerprint COLLISION between
+    * the old and new value of a key reads as "unchanged" and is
+    * dropped from the diff — the inherent fp-level trade
+    * (1/modulus ≈ 1e-9 per changed key for the house charFold fp),
+    * pinned by spec so the behavior is a documented decision. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
     val an = a.select((key +: compareCols).map(c => col(c).as("a_" + c)): _*)
