@@ -185,6 +185,10 @@ object SuffixArray {
     a.length - b.length
   }
 
+  /** Docs longer than this switch from the naive comparison suffix
+    * sort to [[localSuffixOrder]] — see the guard note in [[bwt]]. */
+  private[graft] val NaiveSuffixSortCutoff = 4096
+
   private def bwt(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -194,19 +198,34 @@ object SuffixArray {
         val n = arr.length
         val bytes =
           arr.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // suffix i < suffix k, token-wise; the sentinel terminator
-        // makes every within-doc suffix pair differ before either runs
-        // out, but guard the overrun anyway (totality on any input)
-        def less(i: Int, k: Int): Boolean = {
-          var p = i; var q = k
-          while (p < n && q < n) {
-            val d = utf8Compare(bytes(p), bytes(q))
-            if (d != 0) return d < 0
-            p += 1; q += 1
-          }
-          p == n && q < n
-        }
-        val order = (0 until n).sortWith(less)
+        // Round-13 guard (promoted from the upstream cap CONVENTION to
+        // kernel enforcement): the naive comparison sort is fastest on
+        // ordinary docs but worst-case O(L²·logL) token compares on
+        // adversarial repetition ("a a a …" × 100k would straggle one
+        // task for hours at 100 TB). Above the cutoff the kernel
+        // switches to a local Manber–Myers prefix doubling —
+        // O(L·log²L) GUARANTEED, bit-identical order — so no document
+        // can blow up a partition. Truncation was rejected: it would
+        // silently alter the BWT of long docs; bounding the kernel's
+        // complexity keeps exact semantics at any length
+        // (Round13Spec pins naive ≡ doubling across the cutoff and
+        // runs the adversarial all-equal-token fixture).
+        val order: IndexedSeq[Int] =
+          if (n <= NaiveSuffixSortCutoff) {
+            // suffix i < suffix k, token-wise; the sentinel terminator
+            // makes every within-doc suffix pair differ before either
+            // runs out, but guard the overrun anyway (totality)
+            def less(i: Int, k: Int): Boolean = {
+              var p = i; var q = k
+              while (p < n && q < n) {
+                val d = utf8Compare(bytes(p), bytes(q))
+                if (d != 0) return d < 0
+                p += 1; q += 1
+              }
+              p == n && q < n
+            }
+            (0 until n).sortWith(less)
+          } else localSuffixOrder(bytes)
         order.iterator.zipWithIndex.map { case (off0, j0) =>
           // off = 1 wraps the rotation to the sentinel = last token
           (docId, (j0 + 1).toLong,
@@ -214,6 +233,52 @@ object SuffixArray {
         }
       }
       .toDF("doc_id", "j", "btok")
+  }
+
+  /** Local Manber–Myers suffix ordering over one token array —
+    * O(L·log²L) worst case regardless of content (the adversarial-doc
+    * guard for [[bwt]]). Rank by single token, then double the
+    * compared prefix per round via (rank, partner-rank) keys; a
+    * missing partner (shorter suffix) keys 0, which sorts before any
+    * real rank + 1 — exactly the shorter-suffix-is-a-prefix rule the
+    * naive comparator applies. Returns suffix start offsets in
+    * lexicographic suffix order. */
+  private[graft] def localSuffixOrder(
+      bytes: Array[Array[Byte]]): IndexedSeq[Int] = {
+    val n = bytes.length
+    if (n == 0) return IndexedSeq.empty
+    var order = (0 until n).sortWith((i, k) =>
+      utf8Compare(bytes(i), bytes(k)) < 0).toArray
+    val rank = new Array[Long](n)
+    var r = 0L
+    var j = 1
+    rank(order(0)) = 0L
+    while (j < n) {
+      if (utf8Compare(bytes(order(j)), bytes(order(j - 1))) != 0) r += 1
+      rank(order(j)) = r
+      j += 1
+    }
+    var k = 1
+    while (k < n && r + 1 < n) {
+      val key = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val partner = if (i + k < n) rank(i + k) + 1L else 0L
+        key(i) = rank(i) * (n + 1L) + partner // ranks < n ⇒ no overflow
+        i += 1
+      }
+      order = order.sortBy(key(_))
+      r = 0L
+      rank(order(0)) = 0L
+      j = 1
+      while (j < n) {
+        if (key(order(j)) != key(order(j - 1))) r += 1
+        rank(order(j)) = r
+        j += 1
+      }
+      k *= 2
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(order)
   }
 
   /** Run-length profile of the [[bwt]] against the raw token order —
