@@ -670,8 +670,12 @@ object SuffixArray {
         col("span").cast("int")).as("sp"))
       .distinct()
       .collect().map(_.getSeq[String](0).toArray)
-    val byLen: Map[Int, Set[String]] = spanRows.groupBy(_.length)
-      .map { case (l, as) => l -> as.map(_.mkString("\u0000")).toSet }
+    // span keys are the token SEQUENCES themselves (round-13 advisory:
+    // a NUL-joined string key let tokens containing U+0000 alias
+    // across boundaries); Seq equality is structural, so the lookup
+    // is collision-free by construction
+    val byLen: Map[Int, Set[Seq[String]]] = spanRows.groupBy(_.length)
+      .map { case (l, as) => l -> as.map(_.toSeq: Seq[String]).toSet }
     val bc = spark.sparkContext.broadcast(byLen)
     toks.select(col("doc_id"), col("ws")).as[(Long, Seq[String])]
       .map { case (docId, ws) =>
@@ -681,7 +685,7 @@ object SuffixArray {
         bc.value.foreach { case (len, set) =>
           var p = 0
           while (p + len <= n) {
-            if (set.contains(arr.slice(p, p + len).mkString("\u0000"))) {
+            if (set.contains(arr.slice(p, p + len).toSeq)) {
               var q = p
               while (q < p + len) { covered(q) = true; q += 1 }
             }

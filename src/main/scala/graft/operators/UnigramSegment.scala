@@ -104,7 +104,16 @@ object UnigramSegment {
     require(rows.length <= 5000000,
       s"piece vocabulary has ${rows.length} entries — a tokenizer " +
         "vocab is bounded (<= 5M); shrink maxPieceLen/minCount")
-    spark.sparkContext.broadcast(rows.toMap)
+    // duplicate pieces in a caller-supplied vocab keep the MAX score
+    // (round-13 advisory: rows.toMap silently kept the last row in
+    // collect order — nondeterministic; the pre-broadcast join DP
+    // considered every duplicate and the higher score dominates any
+    // path through a lower-scored copy of the same piece, so max is
+    // exactly the old argmax)
+    val dedup = rows.groupBy(_._1).map { case (p, vs) =>
+      p -> vs.iterator.map(_._2).max
+    }
+    spark.sparkContext.broadcast(dedup)
   }
 
   def viterbiSegment(docs: DataFrame, textCol: String, vocab: DataFrame,

@@ -379,10 +379,22 @@ object SqliteWriter {
         val ctx = org.apache.spark.TaskContext.get()
         val pid = ctx.partitionId()
         val tmp = Paths.get(dir, s"part-$pid.db.tmp-${ctx.taskAttemptId()}")
-        write(tmp.toString,
-          Seq(TableSpec(table, schema, rows, rowidAlias)))
-        Files.move(tmp, Paths.get(dir, s"part-$pid.db"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // tmp is deleted on ANY exit path (round-13 advisory): a failed
+        // or speculative-killed attempt must not leave tmp litter
+        // accumulating in the shard dir (readers ignore it, operators
+        // do not). After a successful move the delete is a no-op.
+        // REPLACE_EXISTING documents the re-publish intent; under
+        // ATOMIC_MOVE the javadoc says other options are ignored and
+        // replace-on-rename is the POSIX semantics this protocol
+        // assumes (see the filesystem note above — object stores need
+        // a manifest commit layer anyway).
+        try {
+          write(tmp.toString,
+            Seq(TableSpec(table, schema, rows, rowidAlias)))
+          Files.move(tmp, Paths.get(dir, s"part-$pid.db"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally Files.deleteIfExists(tmp)
         ()
       }
     }

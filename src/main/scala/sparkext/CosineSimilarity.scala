@@ -130,8 +130,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   * `aggregate(zip_with(a,b,_*_), 0L, _+_)` form allocates a zipped
   * array and evaluates lambda trees per element; this is one fused
   * loop inside whole-stage codegen. Long addition is associative and
-  * exact, so the result is bit-identical to the HOF form at any
-  * evaluation order (pinned in NativeExprSpec). */
+  * exact, so on EQUAL-LENGTH inputs the result is bit-identical to
+  * the HOF form at any evaluation order (pinned in NativeExprSpec).
+  * Mismatched lengths THROW (round-13 advisory: the HOF form
+  * null-pads to NULL there; silently truncating to the shorter array
+  * would rank on a wrong score — every kernel call site carries
+  * fixed-dimension vectors, so a mismatch is corrupt data and fails
+  * loud, the ANSI-mode house convention). */
 case class IntDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -144,7 +149,10 @@ case class IntDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"int_dot: length mismatch ($n vs ${y.numElements()})")
     var s = 0L; var i = 0
     while (i < n) {
       s += x.getLong(i) * y.getLong(i)
@@ -159,7 +167,12 @@ case class IntDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "int_dot: length mismatch (" + $n + " vs " +
+         |    $y.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $x.getLong($i) * $y.getLong($i);
@@ -178,7 +191,9 @@ case class IntDot(left: Expression, right: Expression)
   * (Lloyd assignment, PQ encode, ADC re-rank: q176/q226/q227/q238/
   * q242/q286 evaluate it per (vector × centroid/code) pair). One
   * fused codegen loop replacing interpreted aggregate(zip_with(...));
-  * integer arithmetic, so bit-identical at any order (NativeExprSpec). */
+  * integer arithmetic, so bit-identical at any order on EQUAL-LENGTH
+  * inputs (NativeExprSpec); mismatched lengths throw — see [[IntDot]]'s
+  * round-13 note. */
 case class IntDist2(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -191,7 +206,10 @@ case class IntDist2(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"int_dist2: length mismatch ($n vs ${y.numElements()})")
     var s = 0L; var i = 0
     while (i < n) {
       val d = x.getLong(i) - y.getLong(i)
@@ -208,7 +226,12 @@ case class IntDist2(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "int_dist2: length mismatch (" + $n + " vs " +
+         |    $y.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d = $x.getLong($i) - $y.getLong($i);

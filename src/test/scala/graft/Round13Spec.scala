@@ -219,4 +219,44 @@ class Round13Spec extends SparkSpec {
     assert(runs.toSeq == Seq(((n + 1).toLong, 2L, 2L)))
     assert(secs < 60.0, s"adversarial doc took $secs s — guard failed")
   }
+
+  // --- round-13 advisory fixes ----------------------------------------
+
+  test("int_dot / int_dist2: length mismatch fails loud instead of " +
+    "silently truncating (both eval and codegen paths)") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    for (fn <- Seq(org.apache.spark.sql.graft.GraftFunctions.intDot _,
+        org.apache.spark.sql.graft.GraftFunctions.intDist2 _)) {
+      val e = intercept[Exception] {
+        df.select(fn(col("a"), col("b"))).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("length mismatch")))
+    }
+    // equal lengths still agree with the HOF form
+    val ok = Seq((Seq(2L, 3L), Seq(5L, 7L))).toDF("a", "b")
+    assert(ok.select(org.apache.spark.sql.graft.GraftFunctions.intDot(col("a"), col("b")))
+      .head.getLong(0) == 31L)
+    assert(ok.select(org.apache.spark.sql.graft.GraftFunctions.intDist2(col("a"), col("b")))
+      .head.getLong(0) == 25L)
+  }
+
+  test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
+    "max score deterministically, matching a pre-deduped vocab") {
+    val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
+    val dupVocab = Seq(("a", 10L), ("ab", 5L), ("ab", 40L), ("b", 8L),
+      ("c", 9L), ("ab", 20L)).toDF("piece", "score")
+    val cleanVocab = Seq(("a", 10L), ("ab", 40L), ("b", 8L), ("c", 9L))
+      .toDF("piece", "score")
+    def seg(v: org.apache.spark.sql.DataFrame) =
+      graft.operators.UnigramSegment.viterbiSegment(docs, "text", v)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(3))).toSet
+    // run twice with different partitioning of the dup vocab — the
+    // old rows.toMap kept whichever duplicate collected last
+    assert(seg(dupVocab) == seg(cleanVocab))
+    assert(seg(dupVocab.repartition(5)) == seg(cleanVocab))
+  }
 }
