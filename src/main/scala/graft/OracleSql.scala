@@ -9280,6 +9280,90 @@ object OracleSql {
       |LEFT JOIN ov o ON o.qid = q.vec_id
       |ORDER BY query_id""".stripMargin
 
+  /** Shared q349/q350 SemDeDup chain: quantize, the q176 Lloyd replay
+    * at k = 8 / 2 iterations, per-vector integer norms, intra-cluster
+    * pairs, and the exact-integer cosine threshold (τ = 3/10):
+    * idot ≥ 0 ∧ idot²·100 ≥ 9·|a|²·|b|² in HUGEINT — the decimal128
+    * twin of the engine's DECIMAL(38,0) test. Every CTE is
+    * MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and the
+    * chained Lloyd rounds re-expand exponentially without it
+    * (measured 17 s → 0.24 s at sf0.01). */
+  private val semDedupCtes = {
+    val dims = 64; val k = 8
+    def assignCte(cent: String, out: String): String =
+      s"""d_$out AS MATERIALIZED (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS MATERIALIZED (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS MATERIALIZED (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS MATERIALIZED (
+         |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
+       |${assignCte("c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("c2", "lists")},
+       |n2 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(list_aggregate(list_transform(
+       |    range(1, ${dims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
+       |  FROM qv),
+       |dup AS MATERIALIZED (
+       |  SELECT cl, a, b FROM (
+       |    SELECT x.cl AS cl, x.vec_id AS a, y.vec_id AS b,
+       |      nx.n2 AS na, ny.n2 AS nb,
+       |      CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |        i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS idot
+       |    FROM lists x JOIN lists y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |    JOIN n2 nx ON nx.vec_id = x.vec_id
+       |    JOIN n2 ny ON ny.vec_id = y.vec_id)
+       |  WHERE idot >= 0
+       |    AND CAST(idot AS HUGEINT) * idot * 100 >= 9 * CAST(na AS HUGEINT) * nb)""".stripMargin
+  }
+
+  /** q349: SemDeDup first-arrival flags over the learned clusters. */
+  private val q349 =
+    s"""WITH $semDedupCtes
+       |SELECT l.vec_id, l.cl AS cluster_id,
+       |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_earlier_dups,
+       |  COALESCE(d.n, 0) = 0 AS keep
+       |FROM lists l LEFT JOIN (
+       |  SELECT b, COUNT(*) AS n FROM dup GROUP BY b) d ON d.b = l.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+
+  /** q350: keep-one-per-group — exact connected components of the dup
+    * edge set via the q47 recursive walk, min-id keeper. */
+  private val q350 =
+    s"""WITH RECURSIVE $semDedupCtes,
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM dup
+       |  UNION SELECT b AS src, a AS dst FROM dup),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, w.label FROM sym s JOIN walk w ON w.node = s.dst)
+       |SELECT node AS vec_id, MIN(label) AS group_id,
+       |  node = MIN(label) AS keep
+       |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9470,6 +9554,8 @@ object OracleSql {
     "q346_delta_dedup" -> q346,
     "q347_fp_store_merge" -> q347,
     "q348_sq8_recall" -> q348,
+    "q349_semdedup_kmeans" -> q349,
+    "q350_semdedup_groups" -> q350,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4177,6 +4177,60 @@ object SparkEntry {
         k = 5, queryMod = 20)
       .orderBy("query_id")
 
+  /** Round-13 SemDeDup prefix shared by q349/q350: quantized
+    * embeddings k-means-clustered by the portable Lloyd kernels
+    * (k = 8, 2 iterations — the q176 coarse-quantizer convention at
+    * twice the granularity, so the intra-cluster quadratic term
+    * shrinks). LEARNED clusters, unlike q92's curated label column —
+    * the missing embedding-space-dedup corner: at 100 TB nobody hands
+    * you labels; the quantizer IS the blocking scheme. */
+  private def semAssigned(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+    val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
+    // the self-join in semanticDupEdges (and q350's component pass)
+    // reads the assignment more than once — pin the Lloyd chain to one
+    // evaluation (cluster-assignment-sized, the globalRowIds convention)
+    IvfIndex.assignPortable(vecs, cents).localCheckpoint()
+  }
+
+  /** Round-13: SemDeDup (Abbas et al. 2023) over LEARNED k-means
+    * clusters — first-arrival keep flags from the exact-integer
+    * cosine edge set ([[operators.Similarity.semanticDupEdges]],
+    * τ = 3/10): a vector with any smaller-id cluster-mate at or above
+    * τ loses its keep flag. No float cosine anywhere — the oracle
+    * replays Lloyd, the norms, and the decimal128 threshold test
+    * verbatim. */
+  private def qSemDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    val assigned = semAssigned(s, dir).localCheckpoint()
+    val earlier = Similarity.semanticDupEdges(assigned, 3, 10)
+      .groupBy(col("b").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    assigned.select(col("id").as("vec_id"), col("cluster_id"))
+      .join(earlier, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        (coalesce(col("n_earlier_dups"), lit(0L)) === 0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Round-13: SemDeDup keep-one-per-GROUP resolution — the same
+    * exact-integer edge set folded into connected components
+    * ([[operators.DuplicateClusters.resolveContracted]]), electing
+    * the min-id member as the group keeper (the q47 convention in
+    * embedding space): transitive near-dup chains collapse to ONE
+    * survivor, where q349's first-arrival flags keep one per EDGE
+    * neighborhood. Rows only for vectors in some dup group. */
+  private def qSemDedupGroups(s: SparkSession, dir: String): DataFrame =
+    operators.DuplicateClusters.resolveContracted(
+        Similarity.semanticDupEdges(semAssigned(s, dir), 3, 10)
+          .select(col("a"), col("b")))
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("group_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5214,7 +5268,9 @@ object SparkEntry {
       "q345_snapshot_fp_diff" -> (qSnapshotFpDiff _),
       "q346_delta_dedup" -> (qDeltaDedup _),
       "q347_fp_store_merge" -> (qFpStoreMerge _),
-      "q348_sq8_recall" -> (qSq8Recall _))
+      "q348_sq8_recall" -> (qSq8Recall _),
+      "q349_semdedup_kmeans" -> (qSemDedupKmeans _),
+      "q350_semdedup_groups" -> (qSemDedupGroups _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5314,7 +5370,9 @@ object SparkEntry {
     // was correctness-gated but untimed (round-11 verdict item 1) —
     // and the cross-run incrementality family
     "q344_ann_rrf", "q345_snapshot_fp_diff", "q346_delta_dedup",
-    "q347_fp_store_merge", "q348_sq8_recall")
+    "q347_fp_store_merge", "q348_sq8_recall",
+    // round 13: the SemDeDup family (learned-cluster embedding dedup)
+    "q349_semdedup_kmeans", "q350_semdedup_groups")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -612,6 +612,44 @@ object Similarity {
         (coalesce(col("n_earlier_dups"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Intra-cluster semantic near-dup EDGES over LEARNED clusters with
+    * an EXACT integer cosine threshold — the round-13 SemDeDup
+    * composition: [[IvfIndex.trainPortable]]/[[IvfIndex
+    * .assignPortable]] supply the k-means clusters (vs [[semanticDedup]]'s
+    * curated label column), and the τ = num/den cosine test runs
+    * entirely in integers: cos(a,b) ≥ τ ⇔ idot ≥ 0 ∧
+    * idot²·den² ≥ num²·|a|²·|b|² — the squares live in decimal128
+    * (≤ 2^84·den² ≪ 10^38), which Spark's DECIMAL(38,0) and DuckDB's
+    * HUGEINT both compute exactly, so the oracle replays the edge set
+    * bit-for-bit with no float cosine anywhere.
+    *
+    * Scale shape (the SemDeDup point): the quadratic term is bounded
+    * PER CLUSTER — one equi-join on cluster_id (AQE splits a skewed
+    * mega-cluster), norms computed once per vector before the self
+    * join, the pair kernel is the fused codegen'd [[intDot]].
+    *
+    * `assigned`: (id, q, cluster_id). Output: (cluster_id, a, b) with
+    * a < b, only pairs at or above the threshold. */
+  def semanticDupEdges(assigned: DataFrame, thresholdNum: Int,
+                       thresholdDen: Int): DataFrame = {
+    require(thresholdNum >= 0 && thresholdDen > 0)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val withNorm = assigned.select(col("cluster_id").as("c"), col("id"),
+      col("q"), intDot(col("q"), col("q")).as("n2"))
+    val x = withNorm.select(col("c"), col("id").as("a"),
+      col("q").as("qa"), col("n2").as("na"))
+    val y = withNorm.select(col("c"), col("id").as("b"),
+      col("q").as("qb"), col("n2").as("nb"))
+    x.join(y, Seq("c")).filter(col("a") < col("b"))
+      .withColumn("idot", intDot(col("qa"), col("qb")))
+      .filter(col("idot") >= 0 &&
+        dec(col("idot")) * dec(col("idot")) *
+          lit(thresholdDen.toLong * thresholdDen) >=
+        lit(thresholdNum.toLong * thresholdNum) *
+          dec(col("na")) * dec(col("nb")))
+      .select(col("c").as("cluster_id"), col("a"), col("b"))
+  }
+
   // --- portable (oracle-replayable) hyperplane LSH ----------------------
 
   /** Fixed-point quantization of a float-vector column: each component

@@ -243,6 +243,55 @@ class Round13Spec extends SparkSpec {
       .head.getLong(0) == 25L)
   }
 
+  // --- SemDeDup over learned clusters (verdict ask #7) -----------------
+
+  test("semanticDupEdges: exact integer cosine threshold matches a " +
+    "double-precision brute force within each cluster") {
+    val rnd = new scala.util.Random(349)
+    val dims = 8
+    val vecs = (1L to 40L).map { id =>
+      (id, Seq.fill(dims)((rnd.nextInt(200001) - 100000).toLong),
+        id % 3) // 3 clusters
+    }
+    val assigned = vecs.toDF("id", "q", "cluster_id")
+    val got = graft.operators.Similarity
+      .semanticDupEdges(assigned, 3, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // brute force in exact BigInt arithmetic (the ground truth the
+    // decimal128 test must reproduce)
+    def dot(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val expect = (for {
+      (a, qa, ca) <- vecs; (b, qb, cb) <- vecs
+      if a < b && ca == cb
+      d = dot(qa, qb)
+      if d >= 0 && d * d * 100 >= 9 * dot(qa, qa) * dot(qb, qb)
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "fixture should produce edges")
+  }
+
+  test("semDedup group resolution: transitive chains collapse to one " +
+    "min-id keeper even when endpoints are not directly similar") {
+    // colinear-ish chain a~b, b~c but a!~c is impossible for cosine on
+    // a line; build it in 2 dims: 0°, 40°, 80° at tau = cos(45°)-ish
+    def vec(deg: Double) = Seq(
+      math.round(math.cos(math.toRadians(deg)) * 100000),
+      math.round(math.sin(math.toRadians(deg)) * 100000))
+    val assigned = Seq(
+      (1L, vec(0), 0L), (2L, vec(40), 0L), (3L, vec(80), 0L)
+    ).toDF("id", "q", "cluster_id")
+    val edges = graft.operators.Similarity
+      .semanticDupEdges(assigned, 7, 10) // tau = 0.7 < cos40 ~ 0.766
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(edges == Set((1L, 2L), (2L, 3L))) // cos80 ~ 0.17 < 0.7
+    val groups = graft.operators.DuplicateClusters.resolveContracted(
+        graft.operators.Similarity.semanticDupEdges(assigned, 7, 10)
+          .select(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
     "max score deterministically, matching a pre-deduped vocab") {
     val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
