@@ -9364,6 +9364,89 @@ object OracleSql {
        |  node = MIN(label) AS keep
        |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin
 
+  /** Shared q351/q352 incremental-index chain: quantize, split
+    * yesterday/delta on vec_id % 7, train Lloyd (k = 8, 2 iters) on
+    * YESTERDAY ONLY — the frozen serving index — then assign both
+    * sets against the frozen centroids keeping the winning distance.
+    * All MATERIALIZED (the q349 lesson). */
+  private val ivfRunCtes = {
+    val dims = 64; val k = 8
+    def assignCte(src: String, cent: String, out: String): String =
+      s"""d_$out AS MATERIALIZED (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM $src v CROSS JOIN $cent c),
+         |$out AS MATERIALIZED (
+         |  SELECT vec_id, q, cl, d2 FROM (
+         |    SELECT vec_id, q, cl, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS MATERIALIZED (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS MATERIALIZED (
+         |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |yv AS MATERIALIZED (SELECT vec_id, q FROM qv WHERE vec_id % 7 <> 3),
+       |dv AS MATERIALIZED (SELECT vec_id, q FROM qv WHERE vec_id % 7 = 3),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM yv ORDER BY vec_id LIMIT $k)),
+       |${assignCte("yv", "c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("yv", "c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("yv", "c2", "ya")},
+       |${assignCte("dv", "c2", "da")},
+       |base AS MATERIALIZED (SELECT cl FROM c2)""".stripMargin
+  }
+
+  /** q351: frozen-centroid delta assignment — per-cluster list size,
+    * delta arrivals, integer growth ppm, first delta id. */
+  private val q351 =
+    s"""WITH $ivfRunCtes
+       |SELECT b.cl AS cluster_id,
+       |  CAST(COALESCE(y.n, 0) AS BIGINT) AS n_yesterday,
+       |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_delta,
+       |  CAST(COALESCE(d.n, 0) * 1000000
+       |    // GREATEST(COALESCE(y.n, 0), 1) AS BIGINT) AS growth_ppm,
+       |  d.mn AS first_delta_id
+       |FROM base b
+       |LEFT JOIN (SELECT cl, COUNT(*) AS n FROM ya GROUP BY cl) y
+       |  ON y.cl = b.cl
+       |LEFT JOIN (SELECT cl, COUNT(*) AS n, MIN(vec_id) AS mn
+       |           FROM da GROUP BY cl) d ON d.cl = b.cl
+       |ORDER BY cluster_id""".stripMargin
+
+  /** q352: centroid drift audit — exact integer mean d2 per side and
+    * the cross-multiplied 25%-drift retrain flag in HUGEINT. */
+  private val q352 =
+    s"""WITH $ivfRunCtes
+       |SELECT b.cl AS cluster_id,
+       |  CAST(COALESCE(y.n, 0) AS BIGINT) AS n_yesterday,
+       |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_delta,
+       |  CAST(COALESCE(y.s, 0) // GREATEST(COALESCE(y.n, 0), 1) AS BIGINT)
+       |    AS mean_d2_yesterday,
+       |  CAST(COALESCE(d.s, 0) // GREATEST(COALESCE(d.n, 0), 1) AS BIGINT)
+       |    AS mean_d2_delta,
+       |  CAST(COALESCE(d.s, 0) AS HUGEINT) * COALESCE(y.n, 0) * 4 >
+       |    CAST(COALESCE(y.s, 0) AS HUGEINT) * COALESCE(d.n, 0) * 5
+       |    AS retrain
+       |FROM base b
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM ya GROUP BY cl) y ON y.cl = b.cl
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM da GROUP BY cl) d ON d.cl = b.cl
+       |ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9556,6 +9639,8 @@ object OracleSql {
     "q348_sq8_recall" -> q348,
     "q349_semdedup_kmeans" -> q349,
     "q350_semdedup_groups" -> q350,
+    "q351_ivf_delta_assign" -> q351,
+    "q352_centroid_drift" -> q352,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4231,6 +4231,84 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy("vec_id")
 
+  /** Round-13 incremental-index prefix shared by q351/q352: the
+    * cross-run shape for the SERVING ANN index. Training is the
+    * expensive, rarely-run step — yesterday's centroids are FROZEN;
+    * today's delta (vec_id % 7 == 3, the crawl-fixture convention)
+    * only ASSIGNS against them: one broadcast map pass, no retrain,
+    * no shuffle of the existing lists. At 100 TB this is the daily
+    * index refresh; q352's drift audit is the trigger that decides
+    * when re-clustering is actually due. */
+  private def ivfRuns(s: SparkSession,
+                      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+    val yesterday = all.filter(col("id") % 7 =!= 3)
+    val delta = all.filter(col("id") % 7 === 3)
+    val cents = IvfIndex.trainPortable(s, yesterday, k = 8, iters = 2)
+      .localCheckpoint() // frozen; read by both assignment passes
+    (yesterday, delta, cents)
+  }
+
+  /** Round-13: frozen-centroid delta assignment — per cluster, the
+    * existing list size, the delta arrivals, integer growth ppm, and
+    * the first delta id (empty clusters keep a row via the centroid
+    * base table; greatest(n,1) guards the ratio). */
+  private def qIvfDeltaAssign(s: SparkSession, dir: String): DataFrame = {
+    val (y, d, cents) = ivfRuns(s, dir)
+    val ny = IvfIndex.assignPortable(y, cents)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_yesterday"))
+    val nd = IvfIndex.assignPortable(d, cents)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_delta"),
+        min(col("id")).as("first_delta_id"))
+    cents.select(col("cluster_id"))
+      .join(ny, Seq("cluster_id"), "left")
+      .join(nd, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_yesterday"), lit(0L)).as("n_yesterday"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        expr("coalesce(n_delta, 0L) * 1000000L div " +
+          "greatest(coalesce(n_yesterday, 0L), 1L)").as("growth_ppm"),
+        col("first_delta_id"))
+      .orderBy("cluster_id")
+  }
+
+  /** Round-13: centroid drift audit over the frozen index — per
+    * cluster, exact integer mean squared distance of yesterday's
+    * members vs the delta's against the SAME frozen centroid; the
+    * retrain flag fires when the delta mean exceeds yesterday's by
+    * > 25%, tested as the cross-multiplied integer inequality
+    * 4·Σd2_delta·n_y > 5·Σd2_y·n_delta in DECIMAL(38,0)/HUGEINT (the
+    * q349 convention — sums reach 2^54, the products 2^68). A cluster
+    * with no delta (or no yesterday members) has no drift evidence
+    * and keeps retrain = false. */
+  private def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val (y, d, cents) = ivfRuns(s, dir)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val ya = IvfIndex.assignPortableWithDist(y, cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
+    val da = IvfIndex.assignPortableWithDist(d, cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
+    cents.select(col("cluster_id"))
+      .join(ya, Seq("cluster_id"), "left")
+      .join(da, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_y"), lit(0L)).as("n_yesterday"),
+        coalesce(col("n_d"), lit(0L)).as("n_delta"),
+        expr("coalesce(sum_y, 0L) div greatest(coalesce(n_y, 0L), 1L)")
+          .as("mean_d2_yesterday"),
+        expr("coalesce(sum_d, 0L) div greatest(coalesce(n_d, 0L), 1L)")
+          .as("mean_d2_delta"),
+        (dec(coalesce(col("sum_d"), lit(0L))) *
+            dec(coalesce(col("n_y"), lit(0L))) * lit(4) >
+          dec(coalesce(col("sum_y"), lit(0L))) *
+            dec(coalesce(col("n_d"), lit(0L))) * lit(5)).as("retrain"))
+      .orderBy("cluster_id")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5270,7 +5348,9 @@ object SparkEntry {
       "q347_fp_store_merge" -> (qFpStoreMerge _),
       "q348_sq8_recall" -> (qSq8Recall _),
       "q349_semdedup_kmeans" -> (qSemDedupKmeans _),
-      "q350_semdedup_groups" -> (qSemDedupGroups _))
+      "q350_semdedup_groups" -> (qSemDedupGroups _),
+      "q351_ivf_delta_assign" -> (qIvfDeltaAssign _),
+      "q352_centroid_drift" -> (qCentroidDrift _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5372,7 +5452,10 @@ object SparkEntry {
     "q344_ann_rrf", "q345_snapshot_fp_diff", "q346_delta_dedup",
     "q347_fp_store_merge", "q348_sq8_recall",
     // round 13: the SemDeDup family (learned-cluster embedding dedup)
-    "q349_semdedup_kmeans", "q350_semdedup_groups")
+    // and the incremental serving-index family (frozen-centroid delta
+    // assignment + drift-triggered retrain audit)
+    "q349_semdedup_kmeans", "q350_semdedup_groups",
+    "q351_ivf_delta_assign", "q352_centroid_drift")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -118,14 +118,21 @@ object IvfIndex {
   /** Portable Lloyd assignment: nearest centroid by INTEGER squared L2
     * (ties to the lower cluster id). vectors: (id, q); centroids:
     * (cluster_id, c) — both quantized-long arrays. */
-  def assignPortable(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignPortable(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignPortableWithDist(vectors, centroids)
+      .select(col("id"), col("q"), col("cluster_id"))
+
+  /** [[assignPortable]] keeping the winning integer distance — the
+    * round-13 drift audit (q352) aggregates it per cluster. */
+  def assignPortableWithDist(vectors: DataFrame,
+                             centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("d2").asc, col("cluster_id").asc)
     vectors.crossJoin(broadcast(centroids))
       .withColumn("d2", intDist2(col("q"), col("c")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("id"), col("q"), col("cluster_id"))
+      .select(col("id"), col("q"), col("cluster_id"), col("d2"))
   }
 
   /** Portable Lloyd training — the oracle-replayable twin of [[train]]:

