@@ -105,6 +105,31 @@ class Round13Spec extends SparkSpec {
     assert(engaged >= 2, "fixture should engage the pruned path")
   }
 
+  test("repeatedSpansPruned: agrees with exact across prune lengths " +
+    "(ell = 4, 8, 16) and when minSpan exceeds the default ell") {
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 8L).map { id =>
+      (id, s"u${id}a u${id}b $block u${id}c")
+    }.toDF("doc_id", "text")
+    val toks = graft.operators.SuffixArray
+      .tokenized(docs, "doc_id", "text")
+    for (ell <- Seq(4, 8, 16); topK <- Seq(2, 6)) {
+      val pruned = graft.operators.SuffixArray
+        .repeatedSpansPruned(toks, 2, topK, 64, ell)
+      assert(pruned.isDefined, s"ell=$ell topK=$topK")
+      assert(rows(pruned.get) ==
+        rows(graft.operators.SuffixArray
+          .repeatedSpansExact(toks, 2, topK, 64)), s"ell=$ell topK=$topK")
+    }
+    // minSpan = 12 > default ell=8: the dispatcher must lift ell to
+    // minSpan (completeness only needs spans >= minSpan) — compare
+    // through the public API
+    val viaApi = graft.operators.SuffixArray
+      .repeatedSpans(docs, "doc_id", "text", minSpan = 12, topK = 3)
+    assert(rows(viaApi) == rows(graft.operators.SuffixArray
+      .repeatedSpansExact(toks, 12, 3, 64)))
+  }
+
   // --- Borůvka contracted-edge rounds + driver-Kruskal finish ---------
 
   test("boruvkaMsf: driver-finish path equals the pure-distributed " +
