@@ -9447,6 +9447,57 @@ object OracleSql {
        |           FROM da GROUP BY cl) d ON d.cl = b.cl
        |ORDER BY cluster_id""".stripMargin
 
+  /** Shared q353/q354 packing walk: the first-fit-sequential fold
+    * replayed as a per-stratum recursive CTE over id-ordered rows
+    * (the q09 greedy-fold convention; every stratum's frontier steps
+    * in parallel, depth = max docs per stratum). */
+  private val packWalkCtes =
+    """t AS MATERIALIZED (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk(source, rn, doc_id, len, seq_id, seq_offset) AS (
+      |  SELECT source, rn, doc_id, n_chars,
+      |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.source, n.rn, n.doc_id, n.n_chars,
+      |    CASE WHEN w.seq_offset + w.len > 0
+      |           AND w.seq_offset + w.len + n.n_chars > 2000
+      |         THEN w.seq_id + 1 ELSE w.seq_id END,
+      |    CASE WHEN w.seq_offset + w.len > 0
+      |           AND w.seq_offset + w.len + n.n_chars > 2000
+      |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
+      |  FROM walk w JOIN t n ON n.source = w.source AND n.rn = w.rn + 1)"""
+      .stripMargin
+
+  /** q353: per-doc packing assignment replay. */
+  private val q353 =
+    s"""WITH RECURSIVE $packWalkCtes
+       |SELECT source, doc_id, CAST(len AS BIGINT) AS len,
+       |  seq_id, seq_offset
+       |FROM walk ORDER BY source, doc_id""".stripMargin
+
+  /** q354: packing-efficiency rollup over the same walk — final
+    * partial sequences are inherent, so the waste column counts FULL
+    * (non-final) sequences only. */
+  private val q354 =
+    s"""WITH RECURSIVE $packWalkCtes,
+       |per AS (
+       |  SELECT source, seq_id, COUNT(*) AS n_docs, SUM(len) AS fill
+       |  FROM walk GROUP BY source, seq_id),
+       |lastq AS (SELECT source, MAX(seq_id) AS last_seq
+       |          FROM per GROUP BY source)
+       |SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(p.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.fill) AS BIGINT) AS total_chars,
+       |  CAST(SUM(CASE WHEN p.seq_id <> l.last_seq THEN 2000 - p.fill
+       |    ELSE 0 END) AS BIGINT) AS full_seq_waste,
+       |  CAST(SUM(p.fill) * 1000000 // (COUNT(*) * 2000) AS BIGINT)
+       |    AS fill_ppm
+       |FROM per p JOIN lastq l ON l.source = p.source
+       |GROUP BY p.source ORDER BY p.source""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9641,6 +9692,8 @@ object OracleSql {
     "q350_semdedup_groups" -> q350,
     "q351_ivf_delta_assign" -> q351,
     "q352_centroid_drift" -> q352,
+    "q353_pack_sequences" -> q353,
+    "q354_packing_stats" -> q354,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4309,6 +4309,43 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** Round-13: training-batch sequence packing — per-source greedy
+    * sequential first-fit into 2000-char sequences
+    * ([[operators.Curation.packSequences]]); the per-doc assignment
+    * (sequence id + offset) is what a pretokenized-shard writer
+    * consumes. */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.packSequences(Tables.documents(s, dir),
+        "doc_id", "n_chars", "source", capacity = 2000L)
+      .orderBy("source", "doc_id")
+
+  /** Round-13: packing efficiency rollup — per source: sequences
+    * opened, docs and chars packed, exact integer fill ppm against
+    * the opened capacity, and the waste of FULL (non-final)
+    * sequences only (the final partial sequence is inherent, not
+    * packing loss). */
+  private def qPackingStats(s: SparkSession, dir: String): DataFrame = {
+    val cap = 2000L
+    val packed = operators.Curation.packSequences(
+      Tables.documents(s, dir), "doc_id", "n_chars", "source", cap)
+    val perSeq = packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("fill"))
+    val lastSeq = perSeq.groupBy("source")
+      .agg(max(col("seq_id")).as("last_seq"))
+    perSeq.join(lastSeq, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("fill")).as("total_chars"),
+        sum(when(col("seq_id") =!= col("last_seq"),
+          lit(cap) - col("fill")).otherwise(0L)).as("full_seq_waste"))
+      .withColumn("fill_ppm",
+        expr(s"total_chars * 1000000L div (n_seqs * ${cap}L)"))
+      .select("source", "n_seqs", "n_docs", "total_chars",
+        "full_seq_waste", "fill_ppm")
+      .orderBy("source")
+  }
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5350,7 +5387,9 @@ object SparkEntry {
       "q349_semdedup_kmeans" -> (qSemDedupKmeans _),
       "q350_semdedup_groups" -> (qSemDedupGroups _),
       "q351_ivf_delta_assign" -> (qIvfDeltaAssign _),
-      "q352_centroid_drift" -> (qCentroidDrift _))
+      "q352_centroid_drift" -> (qCentroidDrift _),
+      "q353_pack_sequences" -> (qPackSequences _),
+      "q354_packing_stats" -> (qPackingStats _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5455,7 +5494,8 @@ object SparkEntry {
     // and the incremental serving-index family (frozen-centroid delta
     // assignment + drift-triggered retrain audit)
     "q349_semdedup_kmeans", "q350_semdedup_groups",
-    "q351_ivf_delta_assign", "q352_centroid_drift")
+    "q351_ivf_delta_assign", "q352_centroid_drift",
+    "q353_pack_sequences", "q354_packing_stats")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

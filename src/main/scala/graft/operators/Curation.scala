@@ -891,4 +891,47 @@ object Curation {
     }
     picks.toDF("pick_round", "doc_id", "gain", "covered_total")
   }
+
+  /** Greedy sequential sequence packing (round 13) — the
+    * training-batch packing pass every tokenized corpus goes through
+    * before the trainer sees it: within each stratum, documents in id
+    * order fill fixed-`capacity` sequences FIRST-FIT-SEQUENTIALLY — a
+    * document that would overflow the current (non-empty) sequence
+    * opens the next one; a document longer than the capacity gets a
+    * sequence of its own (truncation is the tokenizer's concern, not
+    * the packer's). Deterministic by construction: the fold order is
+    * (stratum, id asc) and the rule has no ties.
+    *
+    * The fold is ORDER-DEPENDENT and does not decompose associatively
+    * (the current fill is carried state), so it runs per stratum as
+    * one bounded object-island fold over the id-sorted struct list —
+    * the qEwma/greedy-match convention: groups are stratum-sized,
+    * nothing orders globally, and the oracle replays the identical
+    * recurrence as a recursive CTE.
+    *
+    * Output: one row per document —
+    * (strataCol, idCol, len, seq_id, seq_offset), seq_id 0-based per
+    * stratum, seq_offset the fill before this document. */
+  def packSequences(docs: DataFrame, idCol: String, lenCol: String,
+                    strataCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(strataCol).cast("string").as("s"),
+        col(idCol).cast("long").as("_1"), col(lenCol).cast("long").as("_2"))
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("_1"), col("_2")))).as("xs"))
+      .as[(String, Seq[(Long, Long)])]
+      .flatMap { case (src, xs) =>
+        var seq = 0L
+        var fill = 0L
+        xs.map { case (id, len) =>
+          if (fill > 0 && fill + len > capacity) { seq += 1; fill = 0L }
+          val off = fill
+          fill += len
+          (src, id, len, seq, off)
+        }
+      }
+      .toDF(strataCol, idCol, "len", "seq_id", "seq_offset")
+  }
 }

@@ -373,6 +373,51 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // --- sequence packing (q353/q354) ------------------------------------
+
+  test("packSequences: hand-checked first-fit-sequential fill, " +
+    "oversize docs get their own sequence, partition-order invariant") {
+    val docs = Seq(
+      // stratum A, capacity 10: 4+5 fit seq0; 3 overflows -> seq1;
+      // an oversize 12 opens seq2 alone; 6 -> seq3
+      ("A", 1L, 4L), ("A", 2L, 5L), ("A", 3L, 3L), ("A", 4L, 12L),
+      ("A", 5L, 6L),
+      // stratum B: exact-fit boundary — 10 fills seq0 exactly, next
+      // opens seq1 (fill + len > cap strictly)
+      ("B", 10L, 10L), ("B", 11L, 1L),
+      // stratum C: zero-length docs never open a new sequence
+      ("C", 20L, 0L), ("C", 21L, 0L), ("C", 22L, 10L)
+    ).toDF("source", "doc_id", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation
+        .packSequences(df, "doc_id", "n_chars", "source", 10L)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(3), r.getLong(4)))).toMap
+    val got = run(docs)
+    val expect = Map(
+      ("A", 1L) -> ((0L, 0L)), ("A", 2L) -> ((0L, 4L)),
+      ("A", 3L) -> ((1L, 0L)), ("A", 4L) -> ((2L, 0L)),
+      ("A", 5L) -> ((3L, 0L)),
+      ("B", 10L) -> ((0L, 0L)), ("B", 11L) -> ((1L, 0L)),
+      ("C", 20L) -> ((0L, 0L)), ("C", 21L) -> ((0L, 0L)),
+      ("C", 22L) -> ((0L, 0L)))
+    assert(got == expect)
+    assert(run(docs.repartition(7)) == expect)
+    // invariants on real data: offsets + lens never exceed capacity
+    // except for single oversize docs; seq ids are dense per stratum
+    val real = graft.operators.Curation.packSequences(
+        spark.read.parquet(s"$sf/documents.parquet"),
+        "doc_id", "n_chars", "source", 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    real.foreach { case (src, len, _, off) =>
+      assert(off + len <= 2000L || off == 0L, s"$src overflow") }
+    real.groupBy(_._1).foreach { case (src, rs) =>
+      val seqs = rs.map(_._3).distinct.sorted.toSeq
+      assert(seqs == (0L until seqs.length.toLong).toSeq, s"$src dense")
+    }
+  }
+
   test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
     "max score deterministically, matching a pre-deduped vocab") {
     val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
