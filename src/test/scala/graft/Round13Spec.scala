@@ -418,6 +418,33 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- plan-shape tripwires for the round-13 operators -----------------
+
+  test("plan shapes: packSequences is one stratum exchange + object " +
+    "island; semanticDupEdges joins on the cluster key (no cartesian)") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      planOf(df).sliding("Exchange".length).count(_ == "Exchange")
+    val docs = Seq(("A", 1L, 4L), ("A", 2L, 5L), ("B", 3L, 2L))
+      .toDF("source", "doc_id", "n_chars")
+    val packed = graft.operators.Curation
+      .packSequences(docs, "doc_id", "n_chars", "source", 10L)
+    assert(exchanges(packed) <= 1,
+      s"packing fold must not add joins/windows:\n${planOf(packed)}")
+    assert(planOf(packed).contains("SerializeFromObject"),
+      "expected the typed per-stratum fold (object island)")
+    val assigned = Seq((1L, Seq(1L, 2L), 0L), (2L, Seq(2L, 1L), 0L),
+      (3L, Seq(9L, 9L), 1L)).toDF("id", "q", "cluster_id")
+      .localCheckpoint()
+    val edges = graft.operators.Similarity
+      .semanticDupEdges(assigned, 3, 10)
+    val p = planOf(edges)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"intra-cluster pairing must stay an equi-join:\n$p")
+  }
+
   test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
     "max score deterministically, matching a pre-deduped vocab") {
     val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
