@@ -9498,6 +9498,88 @@ object OracleSql {
        |FROM per p JOIN lastq l ON l.source = p.source
        |GROUP BY p.source ORDER BY p.source""".stripMargin
 
+  /** q355: the q349 SemDeDup chain instantiated TWICE — once on the
+    * exact quantized vectors, once on their SQ8 reconstructions (the
+    * q348 codebook formula) — with per-vector keep flags joined as an
+    * agreement audit. The chain generator prefixes every CTE name so
+    * both instances coexist in one WITH clause; all MATERIALIZED (the
+    * q349 inlining lesson). */
+  private val q355 = {
+    val dims = 64; val k = 8
+    def chain(src: String, p: String): String = {
+      def assignCte(cent: String, out: String): String =
+        s"""d_$out AS MATERIALIZED (
+           |  SELECT v.vec_id, v.q, c.cl,
+           |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+           |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+           |  FROM $src v CROSS JOIN $cent c),
+           |$out AS MATERIALIZED (
+           |  SELECT vec_id, q, cl FROM (
+           |    SELECT vec_id, q, cl,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           |    FROM d_$out)
+           |  WHERE rn = 1)""".stripMargin
+      def meanCte(assigned: String, out: String): String =
+        s"""m_$out AS MATERIALIZED (
+           |  SELECT cl, d,
+           |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+           |$out AS MATERIALIZED (
+           |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+      s"""c0$p AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         |    q AS c
+         |  FROM (SELECT vec_id, q FROM $src ORDER BY vec_id LIMIT $k)),
+         |${assignCte(s"c0$p", s"a0$p")},
+         |${meanCte(s"a0$p", s"c1$p")},
+         |${assignCte(s"c1$p", s"a1$p")},
+         |${meanCte(s"a1$p", s"c2$p")},
+         |${assignCte(s"c2$p", s"lists$p")},
+         |n2$p AS MATERIALIZED (
+         |  SELECT vec_id, CAST(list_aggregate(list_transform(
+         |    range(1, ${dims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
+         |  FROM $src),
+         |dup$p AS MATERIALIZED (
+         |  SELECT cl, a, b FROM (
+         |    SELECT x.cl AS cl, x.vec_id AS a, y.vec_id AS b,
+         |      nx.n2 AS na, ny.n2 AS nb,
+         |      CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |        i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS idot
+         |    FROM lists$p x JOIN lists$p y
+         |      ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |    JOIN n2$p nx ON nx.vec_id = x.vec_id
+         |    JOIN n2$p ny ON ny.vec_id = y.vec_id)
+         |  WHERE idot >= 0
+         |    AND CAST(idot AS HUGEINT) * idot * 100 >= 9 * CAST(na AS HUGEINT) * nb),
+         |keep$p AS MATERIALIZED (
+         |  SELECT l.vec_id, l.cl, COALESCE(d.n, 0) = 0 AS keep
+         |  FROM lists$p l LEFT JOIN (
+         |    SELECT b, COUNT(*) AS n FROM dup$p GROUP BY b) d
+         |    ON d.b = l.vec_id)""".stripMargin
+    }
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |st AS MATERIALIZED (
+       |  SELECT i, MIN(q[i]) AS lo, MAX(q[i]) AS hi
+       |  FROM qv CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY i),
+       |cb AS MATERIALIZED (
+       |  SELECT list(lo ORDER BY i) AS l, list(hi ORDER BY i) AS h
+       |  FROM st),
+       |rv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${dims + 1}), i ->
+       |    l[i] + ((q[i] - l[i]) * 255 // greatest(h[i] - l[i], 1))
+       |           * greatest(h[i] - l[i], 1) // 255) AS q
+       |  FROM qv CROSS JOIN cb),
+       |${chain("qv", "e")},
+       |${chain("rv", "r")}
+       |SELECT r.vec_id, r.cl AS cluster_sq8, r.keep AS keep_sq8,
+       |  e.keep AS keep_exact, r.keep = e.keep AS agree
+       |FROM keepr r JOIN keepe e ON e.vec_id = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9694,6 +9776,7 @@ object OracleSql {
     "q352_centroid_drift" -> q352,
     "q353_pack_sequences" -> q353,
     "q354_packing_stats" -> q354,
+    "q355_semdedup_sq8" -> q355,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

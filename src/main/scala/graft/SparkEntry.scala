@@ -4202,8 +4202,9 @@ object SparkEntry {
     * τ loses its keep flag. No float cosine anywhere — the oracle
     * replays Lloyd, the norms, and the decimal128 threshold test
     * verbatim. */
-  private def qSemDedupKmeans(s: SparkSession, dir: String): DataFrame = {
-    val assigned = semAssigned(s, dir).localCheckpoint()
+  /** First-arrival keep flags over an (id, q, cluster_id) assignment —
+    * the q349 body, shared by the SQ8-coded variant (q355). */
+  private def semKeepFlags(assigned: DataFrame): DataFrame = {
     val earlier = Similarity.semanticDupEdges(assigned, 3, 10)
       .groupBy(col("b").as("vec_id"))
       .agg(count(lit(1)).as("n_earlier_dups"))
@@ -4212,6 +4213,36 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster_id"),
         coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
         (coalesce(col("n_earlier_dups"), lit(0L)) === 0L).as("keep"))
+  }
+
+  private def qSemDedupKmeans(s: SparkSession, dir: String): DataFrame =
+    semKeepFlags(semAssigned(s, dir)).orderBy("vec_id")
+
+  /** Round-13: SemDeDup over SQ8 CODES — the storage-efficient path a
+    * 100 TB run actually stores (8-bit codes, 4× smaller than the
+    * fixed-point vectors): the SAME pipeline as q349 but clustering
+    * AND the dup test run on the SQ8 reconstructions
+    * ([[operators.Similarity.sq8ReconstructExpr]], the q348
+    * codebook), joined back against the exact-vector keep flags as an
+    * agreement audit — the gate that says whether quantization
+    * changes dedup DECISIONS, not just distances. */
+  private def qSemDedupSq8(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+      .localCheckpoint()
+    val rec = fp.select(col("id"),
+      Similarity.sq8ReconstructExpr(
+        fp.select(col("id").as("vec_id"), col("q"))).as("q"))
+    val centsR = IvfIndex.trainPortable(s, rec, k = 8, iters = 2)
+    val assignedR = IvfIndex.assignPortable(rec, centsR).localCheckpoint()
+    val sq8 = semKeepFlags(assignedR)
+      .select(col("vec_id"), col("cluster_id").as("cluster_sq8"),
+        col("keep").as("keep_sq8"))
+    val exact = semKeepFlags(semAssigned(s, dir))
+      .select(col("vec_id"), col("keep").as("keep_exact"))
+    sq8.join(exact, Seq("vec_id"))
+      .withColumn("agree", col("keep_sq8") === col("keep_exact"))
       .orderBy("vec_id")
   }
 
@@ -5389,7 +5420,8 @@ object SparkEntry {
       "q351_ivf_delta_assign" -> (qIvfDeltaAssign _),
       "q352_centroid_drift" -> (qCentroidDrift _),
       "q353_pack_sequences" -> (qPackSequences _),
-      "q354_packing_stats" -> (qPackingStats _))
+      "q354_packing_stats" -> (qPackingStats _),
+      "q355_semdedup_sq8" -> (qSemDedupSq8 _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5495,7 +5527,7 @@ object SparkEntry {
     // assignment + drift-triggered retrain audit)
     "q349_semdedup_kmeans", "q350_semdedup_groups",
     "q351_ivf_delta_assign", "q352_centroid_drift",
-    "q353_pack_sequences", "q354_packing_stats")
+    "q353_pack_sequences", "q354_packing_stats", "q355_semdedup_sq8")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -696,16 +696,18 @@ object Similarity {
     * query. Nothing corpus² anywhere.
     *
     * Output: (query_id, n_overlap, recall_ppm) per query. */
-  def sq8Recall(vectors: DataFrame, k: Int, queryMod: Int): DataFrame = {
-    val fp = vectors
-      .select(col("vec_id"), quantize16(col("embedding")).as("q"))
-      .localCheckpoint()
+  /** SQ8 reconstruction expression over a quantized-long column named
+    * `q`: per-dim [lo, hi] corpus codebook (dim-bounded collect,
+    * emitted as literals), 8-bit code + decode in exact integer
+    * arithmetic — the q348 formula, shared with the round-13
+    * SQ8-coded SemDeDup (q355). */
+  private[graft] def sq8ReconstructExpr(fp: DataFrame): Column = {
     val st = fp.select(posexplode(col("q")).as(Seq("d0", "v")))
       .groupBy("d0").agg(min("v").as("lo"), max("v").as("hi"))
       .orderBy("d0").collect()
     val losStr = st.map(_.getLong(1)).mkString("array(", "L,", "L)")
     val hisStr = st.map(_.getLong(2)).mkString("array(", "L,", "L)")
-    val dq = expr(
+    expr(
       s"""transform(q, (x, i) -> element_at($losStr, i + 1) +
          |  ((x - element_at($losStr, i + 1)) * 255 div
          |     greatest(element_at($hisStr, i + 1)
@@ -713,6 +715,13 @@ object Similarity {
          |  * greatest(element_at($hisStr, i + 1)
          |       - element_at($losStr, i + 1), 1L) div 255)"""
         .stripMargin)
+  }
+
+  def sq8Recall(vectors: DataFrame, k: Int, queryMod: Int): DataFrame = {
+    val fp = vectors
+      .select(col("vec_id"), quantize16(col("embedding")).as("q"))
+      .localCheckpoint()
+    val dq = sq8ReconstructExpr(fp)
     val queries = fp.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val w = Window.partitionBy(col("qid"))

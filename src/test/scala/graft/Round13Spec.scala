@@ -418,6 +418,21 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q355: the SQ8-coded SemDeDup audit is internally consistent — " +
+    "keep flags are booleans over the full vector set and agree " +
+    "exactly where the flags match") {
+    val out = SparkEntry.queries("q355_semdedup_sq8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length == nVecs)
+    out.foreach { case (id, s8, ex, agree) =>
+      assert(agree == (s8 == ex), s"vec $id") }
+    // the audit must not be vacuous: at sf0.001 the exact side keeps
+    // a strict subset of vectors (dups exist)
+    assert(out.exists(!_._3), "expected at least one exact-side dup")
+  }
+
   // ---- plan-shape tripwires for the round-13 operators -----------------
 
   test("plan shapes: packSequences is one stratum exchange + object " +
