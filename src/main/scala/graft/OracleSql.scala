@@ -9580,6 +9580,70 @@ object OracleSql {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  /** q356: the q349 chain up to the SCORED pairs (no threshold), then
+    * a VALUES-driven τ sweep — LEFT JOIN so a τ with zero survivors
+    * still reports its row. */
+  private val q356 = {
+    val dims = 64; val k = 8
+    def assignCte(cent: String, out: String): String =
+      s"""d_$out AS MATERIALIZED (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS MATERIALIZED (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS MATERIALIZED (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS MATERIALIZED (
+         |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
+       |${assignCte("c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("c2", "lists")},
+       |n2 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(list_aggregate(list_transform(
+       |    range(1, ${dims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
+       |  FROM qv),
+       |sc AS MATERIALIZED (
+       |  SELECT x.cl, x.vec_id AS a, y.vec_id AS b,
+       |    nx.n2 AS na, ny.n2 AS nb,
+       |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM lists x JOIN lists y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN n2 nx ON nx.vec_id = x.vec_id
+       |  JOIN n2 ny ON ny.vec_id = y.vec_id),
+       |taus(tau_num, tau_den) AS (VALUES (1, 5), (3, 10), (2, 5), (1, 2)),
+       |nv AS (SELECT COUNT(*) AS n FROM embeddings)
+       |SELECT CAST(t.tau_num AS BIGINT) AS tau_num,
+       |  CAST(t.tau_den AS BIGINT) AS tau_den,
+       |  CAST(COUNT(s.b) AS BIGINT) AS n_dup_edges,
+       |  CAST(COUNT(DISTINCT s.b) AS BIGINT) AS n_flagged,
+       |  CAST(nv.n - COUNT(DISTINCT s.b) AS BIGINT) AS n_kept
+       |FROM taus t CROSS JOIN nv
+       |LEFT JOIN sc s ON s.idot >= 0
+       |  AND CAST(s.idot AS HUGEINT) * s.idot * t.tau_den * t.tau_den
+       |      >= t.tau_num * t.tau_num * CAST(s.na AS HUGEINT) * s.nb
+       |GROUP BY t.tau_num, t.tau_den, nv.n
+       |ORDER BY t.tau_num * 1000000 // t.tau_den""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9777,6 +9841,7 @@ object OracleSql {
     "q353_pack_sequences" -> q353,
     "q354_packing_stats" -> q354,
     "q355_semdedup_sq8" -> q355,
+    "q356_semdedup_tau_sweep" -> q356,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

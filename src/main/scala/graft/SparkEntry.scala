@@ -4262,6 +4262,29 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy("vec_id")
 
+  /** Round-13: SemDeDup τ-sensitivity sweep — edge count, flagged
+    * count, and survivor count at τ ∈ {0.2, 0.3, 0.4, 0.5}, all from
+    * ONE checkpointed scored-pair pass
+    * ([[operators.Similarity.semanticScoredPairs]]; each τ is a
+    * map-side filtered aggregate). The telemetry that picks the
+    * threshold before a corpus-scale run — exact integers, so the
+    * curve is oracle-replayable, and monotone by construction
+    * (spec-pinned). */
+  private def qSemDedupTauSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = Similarity.semanticScoredPairs(semAssigned(s, dir))
+      .localCheckpoint()
+    val nVecs = Tables.embeddings(s, dir).count()
+    Seq((1, 5), (3, 10), (2, 5), (1, 2)).map { case (n, d) =>
+      scored.filter(Similarity.cosineAtLeast(n, d))
+        .agg(count(lit(1)).as("n_dup_edges"),
+          count_distinct(col("b")).as("n_flagged"))
+        .select(lit(n.toLong).as("tau_num"), lit(d.toLong).as("tau_den"),
+          col("n_dup_edges"), col("n_flagged"),
+          (lit(nVecs) - col("n_flagged")).as("n_kept"))
+    }.reduce(_ unionByName _)
+      .orderBy(expr("tau_num * 1000000L div tau_den"))
+  }
+
   /** Round-13 incremental-index prefix shared by q351/q352: the
     * cross-run shape for the SERVING ANN index. Training is the
     * expensive, rarely-run step — yesterday's centroids are FROZEN;
@@ -5421,7 +5444,8 @@ object SparkEntry {
       "q352_centroid_drift" -> (qCentroidDrift _),
       "q353_pack_sequences" -> (qPackSequences _),
       "q354_packing_stats" -> (qPackingStats _),
-      "q355_semdedup_sq8" -> (qSemDedupSq8 _))
+      "q355_semdedup_sq8" -> (qSemDedupSq8 _),
+      "q356_semdedup_tau_sweep" -> (qSemDedupTauSweep _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5527,7 +5551,8 @@ object SparkEntry {
     // assignment + drift-triggered retrain audit)
     "q349_semdedup_kmeans", "q350_semdedup_groups",
     "q351_ivf_delta_assign", "q352_centroid_drift",
-    "q353_pack_sequences", "q354_packing_stats", "q355_semdedup_sq8")
+    "q353_pack_sequences", "q354_packing_stats", "q355_semdedup_sq8",
+    "q356_semdedup_tau_sweep")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

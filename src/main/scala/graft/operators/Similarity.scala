@@ -631,9 +631,17 @@ object Similarity {
     * `assigned`: (id, q, cluster_id). Output: (cluster_id, a, b) with
     * a < b, only pairs at or above the threshold. */
   def semanticDupEdges(assigned: DataFrame, thresholdNum: Int,
-                       thresholdDen: Int): DataFrame = {
-    require(thresholdNum >= 0 && thresholdDen > 0)
-    def dec(c: Column) = c.cast("decimal(19,0)")
+                       thresholdDen: Int): DataFrame =
+    semanticScoredPairs(assigned)
+      .filter(cosineAtLeast(thresholdNum, thresholdDen))
+      .select(col("c").as("cluster_id"), col("a"), col("b"))
+
+  /** All intra-cluster pairs with the integer score components the
+    * exact cosine test needs — [[semanticDupEdges]] is one filter
+    * over this; the q356 τ-sensitivity sweep aggregates it at several
+    * thresholds from ONE pass. Output:
+    * (c, a, b, idot, na, nb) with a < b. */
+  def semanticScoredPairs(assigned: DataFrame): DataFrame = {
     val withNorm = assigned.select(col("cluster_id").as("c"), col("id"),
       col("q"), intDot(col("q"), col("q")).as("n2"))
     val x = withNorm.select(col("c"), col("id").as("a"),
@@ -642,12 +650,21 @@ object Similarity {
       col("q").as("qb"), col("n2").as("nb"))
     x.join(y, Seq("c")).filter(col("a") < col("b"))
       .withColumn("idot", intDot(col("qa"), col("qb")))
-      .filter(col("idot") >= 0 &&
-        dec(col("idot")) * dec(col("idot")) *
-          lit(thresholdDen.toLong * thresholdDen) >=
-        lit(thresholdNum.toLong * thresholdNum) *
-          dec(col("na")) * dec(col("nb")))
-      .select(col("c").as("cluster_id"), col("a"), col("b"))
+      .select(col("c"), col("a"), col("b"), col("idot"), col("na"),
+        col("nb"))
+  }
+
+  /** The exact integer cosine-≥-τ predicate over a
+    * [[semanticScoredPairs]] row (see [[semanticDupEdges]] scaladoc
+    * for the decimal128 bound). */
+  def cosineAtLeast(thresholdNum: Int, thresholdDen: Int): Column = {
+    require(thresholdNum >= 0 && thresholdDen > 0)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    col("idot") >= 0 &&
+      dec(col("idot")) * dec(col("idot")) *
+        lit(thresholdDen.toLong * thresholdDen) >=
+      lit(thresholdNum.toLong * thresholdNum) *
+        dec(col("na")) * dec(col("nb"))
   }
 
   // --- portable (oracle-replayable) hyperplane LSH ----------------------

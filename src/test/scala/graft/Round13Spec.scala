@@ -433,6 +433,27 @@ class Round13Spec extends SparkSpec {
     assert(out.exists(!_._3), "expected at least one exact-side dup")
   }
 
+  test("q356: the tau sweep is monotone (edges, flagged non-increasing " +
+    "in tau; kept non-decreasing) and each row is consistent") {
+    val out = SparkEntry.queries("q356_semdedup_tau_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 4)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    out.foreach { case (_, _, edges, flagged, kept) =>
+      assert(flagged <= edges && kept == nVecs - flagged)
+    }
+    val byTau = out.sortBy { case (n, d, _, _, _) => n.toDouble / d }
+    assert(byTau.map(_._3).toSeq == byTau.map(_._3).sortBy(-_).toSeq,
+      "edges must not increase with tau")
+    assert(byTau.map(_._4).toSeq == byTau.map(_._4).sortBy(-_).toSeq,
+      "flagged must not increase with tau")
+    // the 3/10 row must equal q349's flag counts exactly
+    val k349 = SparkEntry.queries("q349_semdedup_kmeans")(spark, sf)
+      .filter(!col("keep")).count()
+    assert(out.find(r => r._1 == 3 && r._2 == 10).get._4 == k349)
+  }
+
   // ---- plan-shape tripwires for the round-13 operators -----------------
 
   test("plan shapes: packSequences is one stratum exchange + object " +
