@@ -9644,6 +9644,104 @@ object OracleSql {
        |ORDER BY t.tau_num * 1000000 // t.tau_den""".stripMargin
   }
 
+  /** q357/q358 shared CTE prefix: the consistent-hash ring — vnode
+    * positions are the char-fold fingerprint (q132/q345 convention)
+    * over the label `shard:<s>:<v>` passed through the quadratic mix
+    * `(f² + f·2654435761 + 40503) mod 1e9+7` (the raw fold clusters
+    * similar labels — see [[graft.operators.HashRing]], replayed
+    * bit-for-bit here; f ≤ 1e9+6 keeps every term inside BIGINT).
+    * Key positions use the affine map of the mod-reduced key.
+    * `nShards` parameterizes the generate_series bound. */
+  private def ringCtes(nShards: Int) =
+    s"""vn AS (
+       |  SELECT CAST(s AS BIGINT) AS shard,
+       |    'shard:' || s || ':' || v AS label
+       |  FROM generate_series(0, ${nShards - 1}) t(s),
+       |       generate_series(0, 31) u(v)),
+       |vf AS (
+       |  SELECT shard,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(label, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+       |  FROM vn),
+       |vp AS (
+       |  SELECT shard,
+       |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+       |  FROM vf),
+       |keys AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ((doc_id % 1000000007) * 2654435761 + 40503)
+       |      % 1000000007 AS p
+       |  FROM documents)""".stripMargin
+
+  /** q357: ring shard-load audit — per shard, the theoretical arc
+    * share (wrap-around LAG over sorted vnode positions) vs the
+    * empirical successor-assignment key share. */
+  private val q357 =
+    s"""WITH ${ringCtes(16)},
+       |arcs AS (
+       |  SELECT shard, pos,
+       |    pos - COALESCE(LAG(pos) OVER (ORDER BY pos),
+       |      (SELECT MAX(pos) FROM vp) - 1000000007) AS arc
+       |  FROM vp),
+       |arcsum AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_vnodes,
+       |    CAST(SUM(arc) AS BIGINT) AS arc
+       |  FROM arcs GROUP BY 1),
+       |asg AS (
+       |  SELECT k.doc_id,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM keys k),
+       |cnt AS (
+       |  SELECT vp.shard, CAST(COUNT(*) AS BIGINT) AS n_keys
+       |  FROM asg a JOIN vp ON vp.pos = a.vpos
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keys)
+       |SELECT s.shard, s.n_vnodes,
+       |  CAST(s.arc * 1000000 // 1000000007 AS BIGINT) AS arc_ppm,
+       |  CAST(COALESCE(c.n_keys, 0) AS BIGINT) AS n_keys,
+       |  CAST(COALESCE(c.n_keys, 0) * 1000000 // t.n_total AS BIGINT)
+       |    AS load_ppm
+       |FROM arcsum s LEFT JOIN cnt c ON s.shard = c.shard, tot t
+       |ORDER BY s.shard""".stripMargin
+
+  /** q358: reshard movement 16 → 20 shards — the before-ring is the
+    * after-ring restricted to shards < 16 (identical vnode labels:
+    * the consistent-hashing contract), so one vnode table serves
+    * both sides; mod-N movement compared on the same keys. */
+  private val q358 =
+    s"""WITH ${ringCtes(20)},
+       |asg AS (
+       |  SELECT k.doc_id,
+       |    COALESCE((SELECT MIN(pos) FROM vp
+       |                WHERE shard < 16 AND pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp WHERE shard < 16)) AS vb,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp)) AS va
+       |  FROM keys k),
+       |m AS (
+       |  SELECT a.doc_id, vb.shard AS shard_before,
+       |    va.shard AS shard_after
+       |  FROM asg a
+       |  JOIN vp vb ON vb.pos = a.vb
+       |  JOIN vp va ON va.pos = a.va),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(CASE WHEN shard_before != shard_after
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved,
+       |    CAST(SUM(CASE WHEN doc_id % 16 != doc_id % 20
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+       |  FROM m)
+       |SELECT n_keys, ring_moved,
+       |  CAST(ring_moved * 1000000 // n_keys AS BIGINT)
+       |    AS ring_moved_ppm,
+       |  mod_moved,
+       |  CAST(mod_moved * 1000000 // n_keys AS BIGINT)
+       |    AS mod_moved_ppm
+       |FROM agg""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9842,6 +9940,8 @@ object OracleSql {
     "q354_packing_stats" -> q354,
     "q355_semdedup_sq8" -> q355,
     "q356_semdedup_tau_sweep" -> q356,
+    "q357_hash_ring" -> q357,
+    "q358_reshard_movement" -> q358,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4400,6 +4400,24 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Round-13: consistent-hash ring shard-load audit — 16 shards ×
+    * 32 vnodes over the documents table: theoretical arc share vs
+    * empirical key share per shard ([[operators.HashRing.loadAudit]]).
+    * Map-only assignment (ring = 128 driver constants as literals),
+    * one 16-row aggregation. */
+  private def qHashRing(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.loadAudit(s, Tables.documents(s, dir),
+      "doc_id", nShards = 16, vnodesPerShard = 32)
+
+  /** Round-13: reshard-movement audit, growing 16 → 20 shards —
+    * exact moved-key counts for the ring (≈ the 4/20 of keys the new
+    * shards' arcs steal) vs naive mod-N placement (≈ 1 − 1/20 — a
+    * near-full corpus rewrite). The single number that justifies
+    * consistent hashing at 100 TB. */
+  private def qReshardMovement(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.reshardAudit(Tables.documents(s, dir),
+      "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32)
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5445,7 +5463,9 @@ object SparkEntry {
       "q353_pack_sequences" -> (qPackSequences _),
       "q354_packing_stats" -> (qPackingStats _),
       "q355_semdedup_sq8" -> (qSemDedupSq8 _),
-      "q356_semdedup_tau_sweep" -> (qSemDedupTauSweep _))
+      "q356_semdedup_tau_sweep" -> (qSemDedupTauSweep _),
+      "q357_hash_ring" -> (qHashRing _),
+      "q358_reshard_movement" -> (qReshardMovement _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5552,7 +5572,10 @@ object SparkEntry {
     "q349_semdedup_kmeans", "q350_semdedup_groups",
     "q351_ivf_delta_assign", "q352_centroid_drift",
     "q353_pack_sequences", "q354_packing_stats", "q355_semdedup_sq8",
-    "q356_semdedup_tau_sweep")
+    "q356_semdedup_tau_sweep",
+    // round 13, session 2: consistent-hash placement (map-only ring
+    // assignment + the reshard-movement number that justifies it)
+    "q357_hash_ring", "q358_reshard_movement")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Consistent-hash ring sharding — the placement scheme a 100 TB
+  * corpus store / serving fleet actually uses, plus the telemetry
+  * that justifies it (how much data MOVES when the fleet grows).
+  *
+  * The reference pipeline writes everything into one SQLite file
+  * (`Scraper.py:261-420`); at warehouse scale the same rows land on N
+  * shards, and the naive placement `key mod N` reassigns ~(1 − 1/M)
+  * of all keys when N grows to M — a full-corpus rewrite for a 25%
+  * fleet grow. A hash ring with virtual nodes (Karger et al. 1997;
+  * the memcached/Dynamo placement scheme) moves only the arcs the new
+  * shards steal, ≈ (M−N)/M of keys, and the reshard audit below
+  * measures both numbers exactly.
+  *
+  * Portability: ring positions start from the repo's char-fold
+  * fingerprint (`(acc·31 + codepoint) mod 1e9+7`, the q132/q345
+  * convention) over the deterministic vnode label `"shard:<s>:<v>"` —
+  * but the raw fold is NOT avalanche: labels differing only in
+  * trailing digits land within a few thousand of each other, and an
+  * affine re-map preserves the translate structure (shards' vnode
+  * sets become shifted copies, measured as identical arc sums). So
+  * positions pass through a QUADRATIC mix, `(f² + f·2654435761 +
+  * 40503) mod 1e9+7`, which breaks the difference structure while
+  * staying bit-replayable in any BIGINT engine: f ≤ 1e9+6, so
+  * f² ≤ 1.0e18 and the full polynomial ≤ 3.7e18 < 2^63 — no overflow
+  * under ANSI mode. Key positions use the affine map alone (keys are
+  * arbitrary, not adversarially-similar constants).
+  *
+  * Scale shape: the ring is O(shards · vnodes) driver-side constants
+  * (128 entries here) embedded as array/map LITERALS — assignment is
+  * one map-only pass over the corpus (codegen'd array HOFs, no
+  * shuffle, nothing broadcast-joined); only the per-shard count agg
+  * shuffles, and that is |shards| rows after map-side partials.
+  */
+object HashRing {
+
+  val Mod = 1000000007L
+
+  /** Char-fold fingerprint of a vnode label (q132 convention, no
+    * case fold — labels are constants). */
+  def labelFold(label: String): Long =
+    label.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Mod)
+
+  /** Quadratic mix (see class doc): scatters the clustered label
+    * folds across the ring without losing BIGINT replayability. */
+  def mix(f: Long): Long = (f * f + f * 2654435761L + 40503L) % Mod
+
+  /** A vnode's ring position: mixed label fold. */
+  def labelPos(label: String): Long = mix(labelFold(label))
+
+  /** The ring: (position, shard) for every virtual node, sorted by
+    * position. Positions are distinct by construction-time check —
+    * the labels are fixed constants, so this either always holds or
+    * never does (it holds for every (shards ≤ 64, vnodes ≤ 64)). */
+  def ring(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long)] = {
+    val vs = for {
+      s <- 0 until nShards
+      v <- 0 until vnodesPerShard
+    } yield (labelPos(s"shard:$s:$v"), s.toLong)
+    require(vs.map(_._1).distinct.size == vs.size,
+      "vnode position collision — change vnodesPerShard")
+    vs.sortBy(_._1)
+  }
+
+  /** Key position on the ring: affine map of the key into [0, Mod).
+    * The key is reduced mod first so the multiply cannot overflow at
+    * any key magnitude (ANSI-safe at 100 TB key ranges). */
+  def keyPos(key: Column): Column =
+    pmod(pmod(key, lit(Mod)) * lit(2654435761L) + lit(40503L), lit(Mod))
+
+  /** Successor-vnode assignment: each key goes to the shard owning
+    * the first vnode clockwise from the key's position (wrap to the
+    * ring's minimum). Map-only: the ring is an array literal, the
+    * successor lookup a codegen'd `array_min(filter(...))`, the
+    * shard resolution a map-literal `element_at`. Adds `ring_pos`
+    * and `shard` (named `shardCol`). */
+  def assign(df: DataFrame, keyCol: String, nShards: Int,
+      vnodesPerShard: Int, shardCol: String = "shard"): DataFrame = {
+    val r = ring(nShards, vnodesPerShard)
+    val posArr = typedLit(r.map(_._1))
+    val posToShard = typedLit(r.toMap)
+    df.withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn(shardCol, element_at(posToShard, coalesce(
+        array_min(filter(posArr, x => x >= col("ring_pos"))),
+        lit(r.head._1))))
+  }
+
+  /** Per-shard arc ownership: (shard, n_vnodes, arc) where arc is the
+    * total ring length whose successor is one of the shard's vnodes
+    * (arcs sum to Mod exactly). Driver-computed from the same
+    * constants as [[ring]] — this is the THEORETICAL load share the
+    * empirical per-shard counts are audited against. */
+  def arcs(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long, Long)] = {
+    val r = ring(nShards, vnodesPerShard)
+    val prev = (r.last._1 - Mod) +: r.map(_._1).init
+    r.zip(prev).map { case ((pos, shard), pp) => (shard, pos - pp) }
+      .groupBy(_._1).toSeq
+      .map { case (s, as) => (s, as.size.toLong, as.map(_._2).sum) }
+      .sortBy(_._1)
+  }
+
+  /** Shard-load audit: one row per shard with the vnode count, the
+    * theoretical arc share (ppm of the ring) and the empirical key
+    * count + load share (ppm of the corpus). One map pass + one
+    * |shards|-row aggregation. */
+  def loadAudit(s: SparkSession, df: DataFrame, keyCol: String,
+      nShards: Int, vnodesPerShard: Int): DataFrame = {
+    val arcDf = s.createDataFrame(arcs(nShards, vnodesPerShard))
+      .toDF("shard", "n_vnodes", "arc")
+    val counts = assign(df, keyCol, nShards, vnodesPerShard)
+      .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+    arcDf.join(counts, Seq("shard"), "left")
+      .join(df.agg(count(lit(1)).as("n_total")))
+      .select(col("shard"), col("n_vnodes"),
+        expr(s"arc * 1000000L div ${Mod}L").as("arc_ppm"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        expr("coalesce(n_keys, 0L) * 1000000L div n_total")
+          .as("load_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Reshard-movement audit, ring vs mod-N, growing `nShards` →
+    * `nShardsAfter` (same vnode labels for surviving shards — the
+    * consistent-hashing contract). One row: exact moved counts and
+    * ppm for both schemes. Two map passes + one global agg; nothing
+    * corpus-sized shuffles. */
+  def reshardAudit(df: DataFrame, keyCol: String, nShards: Int,
+      nShardsAfter: Int, vnodesPerShard: Int): DataFrame = {
+    val before = assign(df, keyCol, nShards, vnodesPerShard, "shard_before")
+      .drop("ring_pos")
+    val both = assign(before, keyCol, nShardsAfter, vnodesPerShard,
+      "shard_after")
+    both.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L)
+          .otherwise(0L)).as("ring_moved"),
+        sum(when(pmod(col(keyCol), lit(nShards.toLong)) =!=
+            pmod(col(keyCol), lit(nShardsAfter.toLong)), 1L)
+          .otherwise(0L)).as("mod_moved"))
+      .select(col("n_keys"),
+        col("ring_moved"),
+        expr("ring_moved * 1000000L div n_keys").as("ring_moved_ppm"),
+        col("mod_moved"),
+        expr("mod_moved * 1000000L div n_keys").as("mod_moved_ppm"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HashRing
+
+/** Consistent-hash ring ([[operators.HashRing]]): structural ring
+  * invariants, the distributed assignment pinned against a local
+  * successor-scan reference, and the property that makes the scheme
+  * worth having — growing the ring only ever moves keys TO the new
+  * shards. */
+class HashRingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ring: positions distinct, sorted, arcs sum to Mod exactly") {
+    for ((s, v) <- Seq((16, 32), (20, 32), (4, 8))) {
+      val r = HashRing.ring(s, v)
+      assert(r.map(_._1).distinct.size === s * v)
+      assert(r.map(_._1) === r.map(_._1).sorted)
+      assert(r.forall(p => p._1 >= 0 && p._1 < HashRing.Mod))
+      val a = HashRing.arcs(s, v)
+      assert(a.size === s)
+      assert(a.map(_._2).sum === s.toLong * v)
+      assert(a.map(_._3).sum === HashRing.Mod)
+    }
+  }
+
+  test("mix kills the label-fold clustering the raw fold has") {
+    // raw folds of one-digit labels sit inside a few-thousand window;
+    // mixed positions must span the ring (the round-13 bug this
+    // construction exists to prevent).
+    val folds = (0 until 10).flatMap(s => (0 until 8)
+      .map(v => HashRing.labelFold(s"shard:$s:$v")))
+    assert(folds.max - folds.min < 10000L) // the raw fold DOES cluster
+    val mixed = folds.map(HashRing.mix).sorted
+    assert(mixed.max - mixed.min > HashRing.Mod / 2) // the mix does not
+  }
+
+  test("assign matches a local successor-scan reference") {
+    val r = HashRing.ring(16, 32)
+    def local(key: Long): Long = {
+      val p = ((key % HashRing.Mod) * 2654435761L + 40503L) % HashRing.Mod
+      r.find(_._1 >= p).getOrElse(r.head)._2
+    }
+    val keys = ((0L to 400L) ++ Seq(1000000006L, 999999999999L,
+      HashRing.Mod, HashRing.Mod * 3 + 17)).toDF("k")
+    val got = HashRing.assign(keys, "k", 16, 32)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    for ((k, s) <- got) assert(s === local(k), s"key $k")
+  }
+
+  test("growing 16 -> 20 shards moves keys ONLY to the new shards") {
+    val keys = (0L until 2000L).toDF("k")
+    val before = HashRing.assign(keys, "k", 16, 32, "shard_before")
+      .drop("ring_pos")
+    val both = HashRing.assign(before, "k", 20, 32, "shard_after")
+    val moved = both.filter(col("shard_before") =!= col("shard_after"))
+    assert(moved.count() > 0) // something moves…
+    assert(moved.filter(col("shard_after") < 16).count() === 0) // …only outward
+    // and survivors' assignments are untouched by construction of the
+    // shared labels: every key on an old shard after = same shard before
+    assert(both.filter(col("shard_after") < 16 &&
+      col("shard_before") =!= col("shard_after")).count() === 0)
+  }
+
+  test("loadAudit: 16 rows, keys conserved, arc shares sum to ~1e6") {
+    val keys = (0L until 1000L).toDF("doc_id")
+    val audit = HashRing.loadAudit(spark, keys, "doc_id", 16, 32)
+      .collect()
+    assert(audit.length === 16)
+    assert(audit.map(_.getAs[Long]("n_keys")).sum === 1000L)
+    val arcPpm = audit.map(_.getAs[Long]("arc_ppm")).sum
+    assert(arcPpm > 999950L && arcPpm <= 1000000L) // floor rounding only
+  }
+
+  test("plan shape: assign is map-only — ring embedded as literals, " +
+    "zero exchanges, zero joins") {
+    val keys = (0L until 100L).toDF("k")
+    val p = HashRing.assign(keys, "k", 16, 32)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
+  test("reshardAudit: ring beats mod-N on the documents fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val row = HashRing.reshardAudit(docs, "doc_id", 16, 20, 32)
+      .collect().head
+    val ringPpm = row.getAs[Long]("ring_moved_ppm")
+    val modPpm = row.getAs[Long]("mod_moved_ppm")
+    assert(ringPpm < modPpm / 2, s"ring $ringPpm vs mod $modPpm")
+  }
+}
