@@ -841,12 +841,22 @@ object Curation {
     * granularity knob (n = 1 is plain vocabulary coverage; small-
     * vocabulary corpora need n ≥ 2 for the objective to discriminate).
     *
-    * Scale shape: the covered-token set lives as a DATAFRAME (never
-    * on the driver — vocabularies are corpus-sized); each of the k
-    * rounds is one anti-join + groupBy + TakeOrdered(1). The only
-    * driver state is the k picked (doc, gain) rows — the sanctioned
-    * k-bounded loop (BPE / Coreset convention), with lineage cut on
-    * the growing covered set each round. Ties on the argmax break to
+    * Scale shape — lazy greedy (Minoux 1978) with an exactness
+    * certificate: ONE corpus pass aggregates per-doc (distinct count,
+    * token set) and TakeOrdered-collects the top `candidatePool` docs
+    * by initial count; the k rounds then run LOCALLY over those sets.
+    * A local round is provably the true greedy pick whenever its gain
+    * strictly exceeds the pool's minimum initial count: an uncollected
+    * doc's round-r gain is at most its initial count (coverage gain is
+    * monotone non-increasing as the covered set grows), which is at
+    * most that minimum. If the certificate ever fails — or ties make
+    * the doc-id tie-break ambiguous against uncollected docs — the
+    * remaining rounds fall back to the distributed anti-join + groupBy
+    * + TakeOrdered(1) loop, so the result is bit-identical either way.
+    * Driver state is bounded by candidatePool · maxDocShingles (the
+    * documented doc-length cap convention), plus the k picked rows.
+    * At 100 TB the happy path is one exchange + one bounded collect
+    * instead of k+1 corpus-wide passes. Ties on the argmax break to
     * the smaller doc id, so every pick is oracle-replayable with the
     * rounds unrolled as CTEs.
     *
@@ -856,37 +866,96 @@ object Curation {
     * covered_total) where covered_total is the running distinct-token
     * coverage (Σ gains — exact, since a gain counts only new tokens). */
   def greedyMaxCoverage(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
+                        n: Int, k: Int,
+                        candidatePool: Int = 512): DataFrame = {
     require(k >= 1, s"greedyMaxCoverage: k must be >= 1, got $k")
     require(n >= 1, s"greedyMaxCoverage: n must be >= 1, got $n")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.operators.Dedup.shingles(col(textCol), n))
-          .as("token"))
-      // shingles() is array_distinct per doc — (doc_id, token) is
-      // already duplicate-free, no cross-doc distinct shuffle needed
-      .localCheckpoint()
-    var covered = spark.emptyDataset[String].toDF("token")
+    // shinglePostings binds words(text) to an attribute BEFORE the
+    // n-gram lambda — inlining words() re-splits the text per element
+    // (the shingleHashArr re-evaluation hazard; measured 4 s → 0.3 s
+    // on this builder at sf0.1). Per-doc arrays are already distinct,
+    // so (doc_id, token) needs no cross-doc distinct shuffle.
+    val toks = graft.operators.Dedup.shinglePostings(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol)), "doc_id", textCol, n)
+      .withColumnRenamed("shingle", "token")
+
+    // ONE distributed pass: top-candidatePool docs by initial distinct
+    // count, WITH their token sets (collect_list is enough — per-doc
+    // tokens are already distinct). TakeOrderedAndProject bounds the
+    // collect at candidatePool rows.
+    val pool = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("cnt"), collect_list(col("token")).as("ts"))
+      .orderBy(col("cnt").desc, col("doc_id").asc)
+      .limit(candidatePool)
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        row.getSeq[String](2).toSet))
+    // all docs collected → the local greedy IS the greedy; otherwise
+    // certify each round against the pool's minimum initial count
+    val allCollected = pool.length < candidatePool
+    val cMin = if (pool.isEmpty) 0L else pool.last._2
+
+    var picked = Vector.empty[Long]
     var picks = Vector.empty[(Int, Long, Long, Long)]
+    var covered = Set.empty[String]
     var total = 0L
     var r = 1
     var done = false
-    while (r <= k && !done) {
-      val best = toks.join(covered, Seq("token"), "left_anti")
-        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val doc = best.head.getLong(0)
-        val gain = best.head.getLong(1)
-        total += gain
-        picks :+= ((r, doc, gain, total))
-        covered = covered
-          .union(toks.filter(col("doc_id") === doc).select("token"))
-          .localCheckpoint()
-        r += 1
+    var certified = true
+    while (r <= k && !done && certified) {
+      val gains = pool.iterator
+        .filterNot(p => picked.contains(p._1))
+        .map(p => (p._1, (p._3 diff covered).size.toLong, p._3))
+      val best = gains.foldLeft(Option.empty[(Long, Long, Set[String])]) {
+        case (acc, g) => acc match {
+          case Some(b) if b._2 > g._2 ||
+            (b._2 == g._2 && b._1 < g._1) => acc
+          case _ => Some(g)
+        }
+      }
+      best match {
+        case Some((doc, gain, ts)) if gain > 0 &&
+            (allCollected || gain > cMin) =>
+          // strict > cMin: an uncollected doc can tie at cMin with a
+          // smaller id, so equality is not certifiable locally
+          total += gain
+          picked :+= doc
+          picks :+= ((r, doc, gain, total))
+          covered = covered union ts
+          r += 1
+        case Some(_) if !allCollected => certified = false
+        case _ => done = true // nothing (collectable) can add coverage
+      }
+    }
+
+    // fallback: the distributed rounds, resuming from the certified
+    // prefix (covered = exactly the picked docs' tokens, re-derived
+    // from toks by an isin filter — AQE broadcasts the tiny side)
+    if (!certified) {
+      val toksM = toks.localCheckpoint()
+      done = false
+      while (r <= k && !done) {
+        val remaining =
+          if (picked.isEmpty) toksM
+          else toksM.join(
+            toksM.filter(col("doc_id").isin(picked: _*)).select("token"),
+            Seq("token"), "left_anti")
+        val best = remaining
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val doc = best.head.getLong(0)
+          val gain = best.head.getLong(1)
+          total += gain
+          picked :+= doc
+          picks :+= ((r, doc, gain, total))
+          r += 1
+        }
       }
     }
     picks.toDF("pick_round", "doc_id", "gain", "covered_total")

@@ -481,6 +481,39 @@ class Round13Spec extends SparkSpec {
       s"intra-cluster pairing must stay an equi-join:\n$p")
   }
 
+  test("greedyMaxCoverage: lazy-certified local path, distributed " +
+    "fallback, and all-collected local greedy agree bit-for-bit") {
+    // 40 docs with engineered overlap: low ids share a template (so
+    // later gains collapse below early initial counts — exactly the
+    // regime where the certificate fails), a few high ids are disjoint
+    val docs = (1L to 40L).map { i =>
+      val base = if (i <= 30) (0 until 8).map(j => s"w${(i + j) % 11}")
+                 else (0 until 6).map(j => s"z${i}_$j")
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(pool: Int) = graft.operators.Curation
+      .greedyMaxCoverage(docs, "doc_id", "text", n = 2, k = 5,
+        candidatePool = pool)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val exact = run(1000) // all 40 docs collected -> pure local greedy
+    // tiny pools force the certificate to fail mid-run -> the
+    // distributed fallback finishes; results must be identical
+    assert(run(2) == exact, "pool=2 (fallback) diverged")
+    assert(run(7) == exact, "pool=7 (fallback) diverged")
+    assert(run(40) == exact, "pool=40 boundary diverged")
+    // pool == 40 collects all 40 rows but length == candidatePool, so
+    // allCollected is conservatively false there — still exact via
+    // certificate/fallback; and early-stop still applies
+    val small = graft.operators.Curation
+      .greedyMaxCoverage(Seq((1L, "a b c"), (2L, "a b c"))
+        .toDF("doc_id", "text"), "doc_id", "text", n = 2, k = 4,
+        candidatePool = 1)
+      .collect()
+    assert(small.length == 1) // second doc adds nothing -> early stop
+  }
+
   test("viterbiSegment: duplicate pieces in a caller vocab keep the " +
     "max score deterministically, matching a pre-deduped vocab") {
     val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
