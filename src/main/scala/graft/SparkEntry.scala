@@ -3749,28 +3749,33 @@ object SparkEntry {
     * scan; the oracle recounts naively from token positions, so the
     * equality proves the whole SA → BWT → C/Occ → interval stack. */
   private def qFmCount(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"),
-        filter(split(lower(col("text")), " "), w => w =!= "").as("ws"))
-      .filter(size(col("ws")) > 0)
-      .localCheckpoint() // one tokenize pass feeds both gram scans
+    // ONE tokenize pass (SuffixArray.tokenized's binding/checkpoint)
+    // feeds the gram selection AND the FM kernel
+    val toks = operators.SuffixArray.tokenized(docs, "doc_id", "text")
     // pattern selection is k-bounded (4+1 rows) and oracle-replayed:
-    // top bigrams/trigram by (count desc, pattern asc)
-    val top4 = toks.filter(size(col("ws")) >= 2)
-      .select(explode(expr("transform(sequence(0, size(ws)-2)," +
-        " i -> concat_ws(' ', ws[i], ws[i+1]))")).as("pat"))
-      .groupBy("pat").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("pat").asc).limit(4)
-      .select("pat").as[String].collect().toSeq
-    val tri = toks.filter(size(col("ws")) >= 3)
-      .select(explode(expr("transform(sequence(0, size(ws)-3)," +
-        " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("pat"))
-      .groupBy("pat").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("pat").asc).limit(1)
-      .select("pat").as[String].collect().toSeq
-    operators.FmIndex.countPatterns(s, docs, "doc_id", "text",
-        top4 ++ tri ++ Seq("zzabsent zzabsent"))
+    // top bigrams/trigram by (count desc, pattern asc) — fused into
+    // ONE kind-tagged job (was two full groupBy+TakeOrdered jobs)
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(lit("b").as("kind"),
+        explode(expr("transform(sequence(0, size(ws)-2)," +
+          " i -> concat_ws(' ', ws[i], ws[i+1]))")).as("pat"))
+    val tr = toks.filter(size(col("ws")) >= 3)
+      .select(lit("t").as("kind"),
+        explode(expr("transform(sequence(0, size(ws)-3)," +
+          " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("pat"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind").orderBy(col("c").desc, col("pat").asc)
+    val sel = bi.unionByName(tr)
+      .groupBy("kind", "pat").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        when(col("kind") === "b", 4).otherwise(1))
+      .select("kind", "pat").collect()
+    val top4 = sel.filter(_.getString(0) == "b").map(_.getString(1)).toSeq
+    val tri1 = sel.filter(_.getString(0) == "t").map(_.getString(1)).toSeq
+    operators.FmIndex.countPatternsLocalToks(s, toks,
+        top4 ++ tri1 ++ Seq("zzabsent zzabsent"))
       .orderBy("pattern")
   }
 

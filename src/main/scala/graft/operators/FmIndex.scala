@@ -152,4 +152,129 @@ object FmIndex {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_occ"), lit(0L)).as("n_occ"))
   }
+
+  /** As [[countPatterns]], with the whole per-document FM stack —
+    * suffix order (the [[SuffixArray.guardedSuffixOrder]] kernel the
+    * BWT itself uses), BWT symbols, C table, Occ ranks, and the m ≤ 3
+    * backward interval steps — run INSIDE one typed map per document,
+    * the q307 object-island shape. Suffix order, C, and Occ never
+    * cross a document boundary, so the relational formulation's
+    * per-step corpus exchanges (C-table window + alphabet Occ window +
+    * as-of probe rounds, ~4 s of q321's 5.3 at sf0.1) buy nothing the
+    * local fold doesn't: this is ONE zero-shuffle pass emitting one
+    * row per surviving (doc, pattern) interval, then a
+    * |patterns|-row aggregation. Bit-identical to [[countPatterns]]
+    * (FmIndexSpec pins both paths on fixtures and a corpus slice);
+    * the relational path remains the reference and the route for
+    * engines where the doc-bounded kernel assumption fails. */
+  def countPatternsLocal(spark: SparkSession, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         patterns: Seq[String]): DataFrame =
+    countPatternsLocalToks(spark,
+      SuffixArray.tokenized(docs, idCol, textCol), patterns)
+
+  /** Pre-tokenized entry point (toks = (doc_id, ws array<string>),
+    * every ws non-empty — [[SuffixArray.tokenized]]'s contract);
+    * callers that already paid the tokenize pass (q321's top-gram
+    * selection) reuse it. */
+  private[graft] def countPatternsLocalToks(spark: SparkSession,
+      toks: DataFrame, patterns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(patterns.nonEmpty && patterns.forall(p =>
+      { val m = p.split(" ").length; m >= 1 && m <= 3 }),
+      "patterns must be 1..3 space-separated tokens")
+    val pats = patterns.zipWithIndex.map { case (p, id) =>
+      (id.toLong, p)
+    }
+    // backward-order steps per pattern; alphabet for the Occ lists
+    val steps: Array[(Long, Array[String])] =
+      pats.map { case (id, p) => (id, p.split(" ").reverse) }.toArray
+    val alpha: Array[String] =
+      patterns.flatMap(_.split(" ")).distinct.toArray
+
+    val hits = toks
+      .select(col("doc_id"),
+        concat(col("ws"), array(lit("\u0001"))).as("ws"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (_, ws) =>
+        val arr = ws.toArray
+        val n = arr.length
+        val bytes = arr.map(
+          _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val order = SuffixArray.guardedSuffixOrder(bytes)
+        // Occ position lists: 1-based BWT positions per alphabet sym
+        val posBy = new java.util.HashMap[String,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        val alphaSet = alpha.toSet
+        var j = 0
+        while (j < n) {
+          val b = if (order(j) == 0) arr(n - 1) else arr(order(j) - 1)
+          if (alphaSet(b)) {
+            var l = posBy.get(b)
+            if (l == null) {
+              l = new scala.collection.mutable.ArrayBuffer[Long]()
+              posBy.put(b, l)
+            }
+            l += (j + 1).toLong
+          }
+          j += 1
+        }
+        // C[sym] = #tokens (incl. the sentinel) strictly smaller, by
+        // the same binary UTF-8 order the suffix sort and the
+        // relational window's ORDER BY btok use
+        val cBy = new java.util.HashMap[String, java.lang.Long]()
+        def cOf(sym: String): Long = {
+          val got = cBy.get(sym)
+          if (got != null) got.longValue()
+          else {
+            val sb = sym.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            var c = 0L; var i = 0
+            while (i < n) {
+              if (SuffixArray.utf8Compare(bytes(i), sb) < 0) c += 1
+              i += 1
+            }
+            cBy.put(sym, java.lang.Long.valueOf(c)); c
+          }
+        }
+        // Occ(sym, i) = #entries ≤ i in the sorted position list
+        def occ(ps: scala.collection.mutable.ArrayBuffer[Long],
+                i: Long): Long = {
+          var lo = 0; var hi = ps.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ps(mid) <= i) lo = mid + 1 else hi = mid
+          }
+          lo.toLong
+        }
+        steps.iterator.flatMap { case (id, rev) =>
+          var lo = 1L
+          var hi = n.toLong
+          var dead = false
+          var si = 0
+          while (si < rev.length && !dead) {
+            val ps = posBy.get(rev(si))
+            if (ps == null) dead = true // symbol absent ⇒ empty interval
+            else {
+              val cless = cOf(rev(si))
+              val nl = cless + occ(ps, lo - 1) + 1
+              val nh = cless + occ(ps, hi)
+              lo = nl; hi = nh
+              if (lo > hi) dead = true
+            }
+            si += 1
+          }
+          if (dead) None else Some((id, hi - lo + 1))
+        }
+      }
+      .toDF("pattern_id", "width")
+
+    val perPattern = hits.groupBy("pattern_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("width")).as("n_occ"))
+    broadcast(pats.toDF("pattern_id", "pattern"))
+      .join(perPattern, Seq("pattern_id"), "left")
+      .select(col("pattern"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+  }
 }

@@ -174,7 +174,7 @@ object SuffixArray {
     * = unsigned byte-wise over UTF-8), NOT Java's UTF-16
     * String.compareTo - they disagree between supplementary characters
     * and code points >= U+E000. */
-  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+  private[graft] def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
     val m = math.min(a.length, b.length)
     var i = 0
     while (i < m) {
@@ -198,34 +198,7 @@ object SuffixArray {
         val n = arr.length
         val bytes =
           arr.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // Round-13 guard (promoted from the upstream cap CONVENTION to
-        // kernel enforcement): the naive comparison sort is fastest on
-        // ordinary docs but worst-case O(L²·logL) token compares on
-        // adversarial repetition ("a a a …" × 100k would straggle one
-        // task for hours at 100 TB). Above the cutoff the kernel
-        // switches to a local Manber–Myers prefix doubling —
-        // O(L·log²L) GUARANTEED, bit-identical order — so no document
-        // can blow up a partition. Truncation was rejected: it would
-        // silently alter the BWT of long docs; bounding the kernel's
-        // complexity keeps exact semantics at any length
-        // (Round13Spec pins naive ≡ doubling across the cutoff and
-        // runs the adversarial all-equal-token fixture).
-        val order: IndexedSeq[Int] =
-          if (n <= NaiveSuffixSortCutoff) {
-            // suffix i < suffix k, token-wise; the sentinel terminator
-            // makes every within-doc suffix pair differ before either
-            // runs out, but guard the overrun anyway (totality)
-            def less(i: Int, k: Int): Boolean = {
-              var p = i; var q = k
-              while (p < n && q < n) {
-                val d = utf8Compare(bytes(p), bytes(q))
-                if (d != 0) return d < 0
-                p += 1; q += 1
-              }
-              p == n && q < n
-            }
-            (0 until n).sortWith(less)
-          } else localSuffixOrder(bytes)
+        val order = guardedSuffixOrder(bytes)
         order.iterator.zipWithIndex.map { case (off0, j0) =>
           // off = 1 wraps the rotation to the sentinel = last token
           (docId, (j0 + 1).toLong,
@@ -233,6 +206,41 @@ object SuffixArray {
         }
       }
       .toDF("doc_id", "j", "btok")
+  }
+
+  /** One document's suffix order, adversarial-doc-guarded (the
+    * [[bwt]] kernel, shared with [[FmIndex.countPatternsLocal]]).
+    *
+    * Round-13 guard (promoted from the upstream cap CONVENTION to
+    * kernel enforcement): the naive comparison sort is fastest on
+    * ordinary docs but worst-case O(L²·logL) token compares on
+    * adversarial repetition ("a a a …" × 100k would straggle one
+    * task for hours at 100 TB). Above the cutoff the kernel
+    * switches to a local Manber–Myers prefix doubling —
+    * O(L·log²L) GUARANTEED, bit-identical order — so no document
+    * can blow up a partition. Truncation was rejected: it would
+    * silently alter the BWT of long docs; bounding the kernel's
+    * complexity keeps exact semantics at any length
+    * (Round13Spec pins naive ≡ doubling across the cutoff and
+    * runs the adversarial all-equal-token fixture). */
+  private[graft] def guardedSuffixOrder(
+      bytes: Array[Array[Byte]]): IndexedSeq[Int] = {
+    val n = bytes.length
+    if (n <= NaiveSuffixSortCutoff) {
+      // suffix i < suffix k, token-wise; the sentinel terminator
+      // makes every within-doc suffix pair differ before either
+      // runs out, but guard the overrun anyway (totality)
+      def less(i: Int, k: Int): Boolean = {
+        var p = i; var q = k
+        while (p < n && q < n) {
+          val d = utf8Compare(bytes(p), bytes(q))
+          if (d != 0) return d < 0
+          p += 1; q += 1
+        }
+        p == n && q < n
+      }
+      (0 until n).sortWith(less)
+    } else localSuffixOrder(bytes)
   }
 
   /** Local Manber–Myers suffix ordering over one token array —
