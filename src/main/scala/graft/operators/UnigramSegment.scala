@@ -244,17 +244,25 @@ object UnigramSegment {
     *
     * `emRounds` deterministic rounds (unrolled — the PageRank/q239
     * convention, no convergence test). Scale shape: each E-step is
-    * the [[viterbiSegment]] bounded-round DP over DISTINCT words; the
-    * M-step is one groupBy over path pieces plus a
-    * [[Curation.globalRowIds]] rank over the (vocabulary-sized,
-    * corpus-independent) candidate set — no single-partition window;
-    * the only driver scalar per round is the candidate count that
-    * fixes the prune cutoff.
+    * the [[viterbiSegment]] bounded-round DP over DISTINCT words,
+    * and the usage table it feeds is one groupBy over path pieces.
+    * The M-step (prune rank + rescore) then runs ON THE DRIVER over
+    * the collected usage table: usage's pieces are a subset of the
+    * current vocabulary, so the collect is bounded by exactly the
+    * ≤ 5M guard [[broadcastScores]] imposes one step later anyway —
+    * no new driver residency, and the per-round count job, global
+    * rank, union, and lineage checkpoint all collapse into local
+    * code (round-13 session 2: q293 the last vocab-sized distributed
+    * tail; the sort uses unsigned UTF-8 byte order and code-point
+    * lengths, matching the relational globalRowIds/length semantics
+    * it replaces).
     *
     * Output: the refined vocabulary (piece, score). */
   def emVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
               minCount: Long = 2L, cap: Int = 12, emRounds: Int = 1,
               prunePermille: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs.select(
         explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
           .as("word"))
@@ -263,28 +271,39 @@ object UnigramSegment {
       .localCheckpoint()
     var vocab = pieceVocab(docs, textCol, maxPieceLen, minCount)
       .select("piece", "score").localCheckpoint()
-    val singles = vocab.filter(length(col("piece")) === 1)
-      .select("piece").localCheckpoint()
+    // the seed alphabet (single code-point pieces) — never pruned;
+    // SQL length = code points, so collect through it
+    val singles: Array[String] = vocab
+      .filter(length(col("piece")) === 1)
+      .select("piece").as[String].collect()
     for (_ <- 0 until emRounds) {
       val seg = viterbiSegment(words.select(col("word").as("text")),
         "text", vocab, maxPieceLen, cap)
-      val usage = seg.join(words, "word")
+      val usage: Array[(String, Long)] = seg.join(words, "word")
         .select(explode(split(col("segments"), "\\|")).as("piece"),
           col("w_cnt"))
         .groupBy("piece").agg(sum(col("w_cnt")).as("usage"))
-        .localCheckpoint()
-      val multi = usage.filter(length(col("piece")) > 1)
-      val nPrune = multi.count() * prunePermille / 1000
-      val kept = Curation.globalRowIds(multi, Seq("usage", "piece"))
-        .filter(col("global_id") > nPrune)
-        .select("piece", "usage")
-      val singleUsage = singles.join(usage, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
-      vocab = kept.unionByName(singleUsage)
-        .select(col("piece"),
-          (col("usage") * length(col("piece")) * length(col("piece")))
-            .as("score"))
-        .localCheckpoint()
+        .as[(String, Long)].collect()
+      require(usage.length <= 5000000,
+        s"piece usage has ${usage.length} entries — a tokenizer " +
+          "vocab is bounded (<= 5M); shrink maxPieceLen/minCount")
+      val usageMap = usage.toMap // pieces are groupBy keys: unique
+      def cpLen(p: String): Long = p.codePointCount(0, p.length).toLong
+      val multi = usage.filter(p => cpLen(p._1) > 1)
+      val nPrune = (multi.length.toLong * prunePermille / 1000).toInt
+      // (usage asc, piece asc in unsigned UTF-8 order) — the exact
+      // total order globalRowIds ranked by; drop the bottom nPrune
+      val keptMulti = multi.sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 < b._2
+        else SuffixArray.utf8Compare(
+          a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }.drop(nPrune)
+      val next = keptMulti ++
+        singles.map(p => (p, usageMap.getOrElse(p, 0L)))
+      vocab = spark.createDataFrame(next.toSeq.map { case (p, u) =>
+          (p, u * cpLen(p) * cpLen(p))
+        }).toDF("piece", "score")
     }
     vocab
   }
