@@ -9742,6 +9742,76 @@ object OracleSql {
        |    AS mod_moved_ppm
        |FROM agg""".stripMargin
 
+  /** q359: MinHash band-geometry sweep — the q132 signature CTEs
+    * replayed once, candidates per banding as per-config UNIONs of
+    * band equi-joins, truth = exhaustive 3-gram Jaccard ≥ 1/2 via the
+    * posting self-join (lossless: disjoint pairs have J = 0). */
+  private val q359 = {
+    val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+    val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
+    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((h * $a + $b) % 1000000007) AS m$j"
+    }.mkString(",\n      |    ")
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val candCtes = configs.map { case (b, r) =>
+      val unions = (0 until b).map { i =>
+        val conds = (i * r until (i + 1) * r)
+          .map(j => s"s1.m$j = s2.m$j").mkString(" AND ")
+        s"SELECT s1.doc_id AS a, s2.doc_id AS b FROM sig s1 " +
+          s"JOIN sig s2 ON s1.doc_id < s2.doc_id AND $conds"
+      }.mkString("\n  UNION\n  ")
+      s"c${b}_$r AS (\n  $unions)"
+    }.mkString(",\n")
+    val rows = configs.map { case (b, r) =>
+      s"SELECT CAST($b AS BIGINT) AS bands, " +
+        s"CAST($r AS BIGINT) AS rows_per_band,\n" +
+        s"    (SELECT COUNT(*) FROM c${b}_$r) AS n_candidates,\n" +
+        s"    (SELECT COUNT(*) FROM c${b}_$r c JOIN truth t " +
+        s"ON t.a = c.a AND t.b = c.b) AS n_hit"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+       |  FROM w, UNNEST(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3),
+       |wh AS (
+       |  SELECT doc_id, tok,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM wh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+       |pr AS (
+       |  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+       |  FROM toks ta JOIN toks tb ON tb.tok = ta.tok
+       |    AND ta.doc_id < tb.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT p.a, p.b FROM pr p
+       |  JOIN sizes sa ON sa.doc_id = p.a
+       |  JOIN sizes sb ON sb.doc_id = p.b
+       |  WHERE 2 * p.inter >= sa.n + sb.n - p.inter),
+       |$candCtes,
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+       |res AS (
+       |  $rows)
+       |SELECT r.bands, r.rows_per_band,
+       |  CAST(r.n_candidates AS BIGINT) AS n_candidates,
+       |  nt.n_true,
+       |  CAST(r.n_hit AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN nt.n_true > 0
+       |    THEN r.n_hit * 1000000 // nt.n_true ELSE -1 END AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(CASE WHEN r.n_candidates > 0
+       |    THEN r.n_hit * 1000000 // r.n_candidates ELSE -1 END
+       |    AS BIGINT) AS precision_ppm
+       |FROM res r, nt
+       |ORDER BY r.bands DESC""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -9942,6 +10012,7 @@ object OracleSql {
     "q356_semdedup_tau_sweep" -> q356,
     "q357_hash_ring" -> q357,
     "q358_reshard_movement" -> q358,
+    "q359_lsh_band_sweep" -> q359,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4423,6 +4423,16 @@ object SparkEntry {
     operators.HashRing.reshardAudit(Tables.documents(s, dir),
       "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32)
 
+  /** Round-13: MinHash band-geometry sweep — measured candidate
+    * count / recall / precision for every banding (8×1, 4×2, 2×4,
+    * 1×8) of ONE k=8 portable signature against the exhaustive
+    * 3-gram Jaccard ≥ 1/2 truth set
+    * ([[operators.MinHashLSH.bandSweepAudit]]): the empirical
+    * S-curve that sizes a MinHash deployment. */
+  private def qLshBandSweep(s: SparkSession, dir: String): DataFrame =
+    operators.MinHashLSH.bandSweepAudit(Tables.documents(s, dir),
+      "doc_id", "text")
+
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
     * (nation, segment) class, the quantized 1-D earth-mover distance
@@ -5470,7 +5480,8 @@ object SparkEntry {
       "q355_semdedup_sq8" -> (qSemDedupSq8 _),
       "q356_semdedup_tau_sweep" -> (qSemDedupTauSweep _),
       "q357_hash_ring" -> (qHashRing _),
-      "q358_reshard_movement" -> (qReshardMovement _))
+      "q358_reshard_movement" -> (qReshardMovement _),
+      "q359_lsh_band_sweep" -> (qLshBandSweep _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5579,8 +5590,10 @@ object SparkEntry {
     "q353_pack_sequences", "q354_packing_stats", "q355_semdedup_sq8",
     "q356_semdedup_tau_sweep",
     // round 13, session 2: consistent-hash placement (map-only ring
-    // assignment + the reshard-movement number that justifies it)
-    "q357_hash_ring", "q358_reshard_movement")
+    // assignment + the reshard-movement number that justifies it) and
+    // the MinHash band-geometry sweep (one signature pass, 15 band
+    // joins, exhaustive-truth recall/precision per banding)
+    "q357_hash_ring", "q358_reshard_movement", "q359_lsh_band_sweep")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

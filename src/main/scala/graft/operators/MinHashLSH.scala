@@ -298,18 +298,21 @@ object MinHashLSH {
     * bit-for-bit DuckDB replay.
     *
     * @return (a, b, inter, uni) for verified near-duplicate pairs */
-  def nearDuplicatesPortable(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val as = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
-    val bs = Seq(17L, 29L, 47L, 71L, 89L, 107L, 131L, 151L)
-    // 1e9+7, NOT the 2^61-1 used by the xxhash pipelines: h*a must stay
-    // < 2^63 under ANSI mode with the literal multipliers above
-    val Pp = 1000000007L
-    // 3-word shingle SETS (the q19 granularity — unigram sets are too
-    // coherent on real corpora to discriminate near-dups); the token
-    // array is bound in a projection first (the repo-wide lambda-
-    // binding discipline) so the split runs once per row
-    val toks = docs
+  private val PortA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  private val PortB = Seq(17L, 29L, 47L, 71L, 89L, 107L, 131L, 151L)
+  // 1e9+7, NOT the 2^61-1 used by the xxhash pipelines: h*a must stay
+  // < 2^63 under ANSI mode with the literal multipliers above
+  private val PortP = 1000000007L
+
+  /** DISTINCT (doc_id, tok) 3-word shingles (the q19 granularity —
+    * unigram sets are too coherent on real corpora to discriminate
+    * near-dups); the token array is bound in a projection first (the
+    * repo-wide lambda-binding discipline) so the split runs once per
+    * row. Shared by [[nearDuplicatesPortable]] and
+    * [[bandSweepAudit]]. */
+  private[graft] def portableToks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -320,13 +323,24 @@ object MinHashLSH {
             element_at(col("ws"), i + 2),
             element_at(col("ws"), i + 3)))).as("tok"))
       .distinct()
+
+  /** Portable k=8 MinHash signature (doc_id, m0..m7): char-fold token
+    * hash (q26/q132 convention), fixed literal affine permutations —
+    * bit-for-bit DuckDB-replayable. */
+  private[graft] def portableSignature(toks: DataFrame): DataFrame = {
     val hashed = toks.withColumn("h",
       aggregate(split(col("tok"), ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(Pp))))
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(PortP))))
     val minAggs = (0 until 8).map { j =>
-      min(pmod(col("h") * as(j) + bs(j), lit(Pp))).as(s"m$j")
+      min(pmod(col("h") * PortA(j) + PortB(j), lit(PortP))).as(s"m$j")
     }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  def nearDuplicatesPortable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = portableToks(docs, idCol, textCol)
+    val sig = portableSignature(toks)
     def bandPairs(cols: Seq[String]): DataFrame = {
       val a = sig.select((("doc_id" +: cols)).map(col): _*).toDF(
         "a" +: cols: _*)
@@ -348,6 +362,85 @@ object MinHashLSH {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("a", "b", "inter", "uni")
+  }
+
+  /** Band/row trade-off audit over ONE portable-signature pass — the
+    * "how many hashes do I need" telemetry that sizes a MinHash
+    * deployment (the q356 τ-sweep pattern applied to LSH geometry).
+    * For every banding (b bands × r rows, b·r = 8) of the SAME k=8
+    * signature, publishes the measured candidate count, true-pair
+    * hits, recall, and precision against the EXHAUSTIVE 3-gram
+    * Jaccard ≥ 1/2 truth set. The S-curve theory (P[cand] =
+    * 1−(1−J^r)^b) says more rows per band trade recall for
+    * precision; this measures the actual trade on the actual corpus.
+    *
+    * Scale shape: one tokenize+distinct, one signature aggregation,
+    * then 8+4+2+1 = 15 band equi-joins over the (docs × 8-longs)
+    * signature table — each a bucketed join on a band key, candidates
+    * only ever materialize per bucket (no all-pairs). The truth set
+    * is the q19/q147 posting-join kernel (pairs sharing ≥ 1 shingle —
+    * lossless for J ≥ 1/2 > 0). All configs aggregate in ONE action:
+    * config-tagged union → distinct → left join truth → groupBy
+    * config. Integer-exact ppm; -1 sentinels for empty denominators.
+    *
+    * Output: (bands, rows_per_band, n_candidates, n_true, n_hit,
+    * recall_ppm, precision_ppm), one row per config. */
+  def bandSweepAudit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = portableToks(docs, idCol, textCol).localCheckpoint()
+    val sig = portableSignature(toks).localCheckpoint()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exhaustive truth: every pair sharing >= 1 shingle, exact integer
+    // Jaccard >= 1/2 (2·|∩| >= |∪|); disjoint pairs have J = 0
+    val truth = toks.select(col("doc_id").as("a"), col("tok"))
+      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")),
+        Seq("b"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select("a", "b")
+      .localCheckpoint()
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val cands = configs.map { case (b, r) =>
+      (0 until b).map { i =>
+        val cols = (i * r until (i + 1) * r).map(j => s"m$j")
+        val l = sig.select(("doc_id" +: cols).map(col): _*)
+          .toDF("a" +: cols: _*)
+        val rt = sig.select(("doc_id" +: cols).map(col): _*)
+          .toDF("b" +: cols: _*)
+        l.join(rt, cols).filter(col("a") < col("b"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"), col("a"), col("b"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).distinct()
+    val counted = cands
+      .join(truth.withColumn("t", lit(1L)), Seq("a", "b"), "left")
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("t")), lit(0L)).as("n_hit"))
+    // anchor on the config table: a banding with ZERO candidates must
+    // still publish its (0, 0) row, not vanish from the sweep
+    val spark = docs.sparkSession
+    val cfg = spark.createDataFrame(
+        configs.map { case (b, r) => (b.toLong, r.toLong) })
+      .toDF("bands", "rows_per_band")
+    cfg.join(counted, Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .join(truth.agg(count(lit(1)).as("n_true")))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"), col("n_hit"),
+        when(col("n_true") > 0,
+          expr("n_hit * 1000000L div n_true")).otherwise(-1L)
+          .as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("n_hit * 1000000L div n_candidates")).otherwise(-1L)
+          .as("precision_ppm"))
+      .orderBy(col("bands").desc)
   }
 
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */
