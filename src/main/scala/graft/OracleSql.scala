@@ -9742,6 +9742,30 @@ object OracleSql {
        |    AS mod_moved_ppm
        |FROM agg""".stripMargin
 
+  /** q360: reshard migration plan — the q358 assignment CTEs grouped
+    * into the per-(from, to) work order. */
+  private val q360 =
+    s"""WITH ${ringCtes(20)},
+       |asg AS (
+       |  SELECT k.doc_id,
+       |    COALESCE((SELECT MIN(pos) FROM vp
+       |                WHERE shard < 16 AND pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp WHERE shard < 16)) AS vb,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp)) AS va
+       |  FROM keys k),
+       |m AS (
+       |  SELECT a.doc_id, vb.shard AS shard_before,
+       |    va.shard AS shard_after
+       |  FROM asg a
+       |  JOIN vp vb ON vb.pos = a.vb
+       |  JOIN vp va ON va.pos = a.va)
+       |SELECT shard_before, shard_after,
+       |  CAST(COUNT(*) AS BIGINT) AS n_keys
+       |FROM m WHERE shard_before != shard_after
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** q359: MinHash band-geometry sweep — the q132 signature CTEs
     * replayed once, candidates per banding as per-config UNIONs of
     * band equi-joins, truth = exhaustive 3-gram Jaccard ≥ 1/2 via the
@@ -10013,6 +10037,7 @@ object OracleSql {
     "q357_hash_ring" -> q357,
     "q358_reshard_movement" -> q358,
     "q359_lsh_band_sweep" -> q359,
+    "q360_reshard_plan" -> q360,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

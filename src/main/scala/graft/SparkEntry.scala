@@ -4423,6 +4423,14 @@ object SparkEntry {
     operators.HashRing.reshardAudit(Tables.documents(s, dir),
       "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32)
 
+  /** Round-13: reshard migration plan — the work order behind q358's
+    * movement number: per (shard_before, shard_after) pair, the key
+    * count to move when the ring grows 16 → 20. Every destination is
+    * a new shard (≥ 16) by the consistent-hashing contract. */
+  private def qReshardPlan(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.reshardPlan(Tables.documents(s, dir),
+      "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32)
+
   /** Round-13: MinHash band-geometry sweep — measured candidate
     * count / recall / precision for every banding (8×1, 4×2, 2×4,
     * 1×8) of ONE k=8 portable signature against the exhaustive
@@ -5481,7 +5489,8 @@ object SparkEntry {
       "q356_semdedup_tau_sweep" -> (qSemDedupTauSweep _),
       "q357_hash_ring" -> (qHashRing _),
       "q358_reshard_movement" -> (qReshardMovement _),
-      "q359_lsh_band_sweep" -> (qLshBandSweep _))
+      "q359_lsh_band_sweep" -> (qLshBandSweep _),
+      "q360_reshard_plan" -> (qReshardPlan _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5593,7 +5602,8 @@ object SparkEntry {
     // assignment + the reshard-movement number that justifies it) and
     // the MinHash band-geometry sweep (one signature pass, 15 band
     // joins, exhaustive-truth recall/precision per banding)
-    "q357_hash_ring", "q358_reshard_movement", "q359_lsh_band_sweep")
+    "q357_hash_ring", "q358_reshard_movement", "q359_lsh_band_sweep",
+    "q360_reshard_plan")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -123,6 +123,24 @@ object HashRing {
       .orderBy("shard")
   }
 
+  /** Reshard migration plan, growing `nShards` → `nShardsAfter`: one
+    * row per (shard_before, shard_after) pair with the key count to
+    * move — the work order a migration executor consumes. Under the
+    * consistent-hashing contract every destination is a NEW shard
+    * (old shards only lose arcs to new vnodes), which
+    * [[reshardAudit]]'s companion spec pins. Same two map passes as
+    * the audit; the groupBy is |moved pairs| ≤ old·new rows. */
+  def reshardPlan(df: DataFrame, keyCol: String, nShards: Int,
+      nShardsAfter: Int, vnodesPerShard: Int): DataFrame = {
+    val before = assign(df, keyCol, nShards, vnodesPerShard, "shard_before")
+      .drop("ring_pos")
+    assign(before, keyCol, nShardsAfter, vnodesPerShard, "shard_after")
+      .filter(col("shard_before") =!= col("shard_after"))
+      .groupBy("shard_before", "shard_after")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("shard_before", "shard_after")
+  }
+
   /** Reshard-movement audit, ring vs mod-N, growing `nShards` →
     * `nShardsAfter` (same vnode labels for surviving shards — the
     * consistent-hashing contract). One row: exact moved counts and

@@ -81,6 +81,19 @@ class HashRingSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("reshardPlan: conserves the audit's moved count and only " +
+    "targets new shards") {
+    val keys = (0L until 1500L).toDF("doc_id")
+    val plan = HashRing.reshardPlan(keys, "doc_id", 16, 20, 32)
+      .collect()
+    val audit = HashRing.reshardAudit(keys, "doc_id", 16, 20, 32)
+      .collect().head
+    assert(plan.map(_.getAs[Long]("n_keys")).sum ===
+      audit.getAs[Long]("ring_moved"))
+    assert(plan.forall(_.getAs[Long]("shard_after") >= 16L))
+    assert(plan.forall(_.getAs[Long]("shard_before") < 16L))
+  }
+
   test("reshardAudit: ring beats mod-N on the documents fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val row = HashRing.reshardAudit(docs, "doc_id", 16, 20, 32)
