@@ -52,6 +52,22 @@ class BandSweepSpec extends SparkSpec {
     }
   }
 
+  test("truth boundary: a pair at EXACTLY J = 1/2 is in the truth " +
+    "set (2·|∩| >= |∪| is inclusive)") {
+    // doc 1 shingles: {a b c, b c d, c d e}; doc 2 shares exactly
+    // {a b c, b c d} and adds {x y z, y z w}: inter=2, union=5 ->
+    // J=2/5 < 1/2. Build an exact-1/2 pair instead: inter=2, na=3,
+    // nb=3 -> union=4 -> J=1/2. Tokens: doc1 "a b c d e" (3 shingles),
+    // doc2 "a b c d q" -> shingles {a b c, b c d, c d q}: inter=2,
+    // union=4, J exactly 1/2.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d q"),
+      (3L, "u v w x y")).toDF("doc_id", "text")
+    val out = operators.MinHashLSH.bandSweepAudit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.values.toSet == Set(1L), s"J=1/2 pair must be truth: $out")
+  }
+
   test("no near-dups: zero candidates rows survive with n_true = 0 " +
     "and the -1 recall sentinel") {
     val docs = Seq(

@@ -81,6 +81,41 @@ class HashRingSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("property: assignment matches the local successor scan and " +
+    "growth moves keys only outward, for random geometries") {
+    // scalacheck through its own runner (the PropertiesSpec pattern)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val geom = for {
+      s1 <- Gen.choose(2, 24)
+      grow <- Gen.choose(1, 8)
+      v <- Gen.oneOf(4, 8, 16, 32)
+      keys <- Gen.listOfN(60,
+        Gen.choose(0L, 4L * HashRing.Mod)).map(_.distinct)
+    } yield (s1, s1 + grow, v, keys)
+    val prop = Prop.forAll(geom) { case (s1, s2, v, keyList) =>
+      val r1 = HashRing.ring(s1, v)
+      val r2 = HashRing.ring(s2, v)
+      def local(r: Seq[(Long, Long)], key: Long): Long = {
+        val p = ((key % HashRing.Mod) * 2654435761L + 40503L) %
+          HashRing.Mod
+        r.find(_._1 >= p).getOrElse(r.head)._2
+      }
+      val df = keyList.toDF("k")
+      val got = HashRing.assign(df, "k", s1, v, "b")
+        .drop("ring_pos")
+      val both = HashRing.assign(got, "k", s2, v, "a")
+        .select("k", "b", "a").collect()
+      both.forall { row =>
+        val (k, b, a) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        b == local(r1, k) && a == local(r2, k) &&
+          (b == a || a >= s1) // moved ⇒ to a NEW shard only
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"ring property: ${res.status}")
+  }
+
   test("reshardPlan: conserves the audit's moved count and only " +
     "targets new shards") {
     val keys = (0L until 1500L).toDF("doc_id")
