@@ -4111,8 +4111,7 @@ object SparkEntry {
     * convention), and 8 bytes/doc is what a cross-run store SHIPS
     * instead of text. */
   private def contentFp(text: Column): Column =
-    aggregate(split(lower(text), ""), lit(0L),
-      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+    org.apache.spark.sql.graft.CharFoldHash.column(lower(text))
 
   /** Round-12: snapshot diff at the FINGERPRINT level — yesterday's
     * crawl vs today's, each reduced to (doc_id, fp) before the one

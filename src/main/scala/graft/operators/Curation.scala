@@ -676,8 +676,7 @@ object Curation {
                   isTarget: Column, buckets: Int): DataFrame = {
     val P = 1000000007L
     def bucket(w: Column): Column = {
-      val h = aggregate(split(w, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+      val h = org.apache.spark.sql.graft.CharFoldHash.column(w) // native fold, bit-pinned (NativeExprSpec)
       pmod(h, lit(buckets.toLong))
     }
     val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),

@@ -1127,8 +1127,7 @@ object Dedup {
     require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1; got $k/$w")
     val P = 1000000007L
     def tokHash(wd: Column): Column =
-      aggregate(split(wd, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+      org.apache.spark.sql.graft.CharFoldHash.column(wd) // native fold, bit-pinned (NativeExprSpec)
     val toks = filter(words(col(textCol)), t => t =!= "")
     val zero = struct(
       array().cast("array<bigint>").as("tring"),

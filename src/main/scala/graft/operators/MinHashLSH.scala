@@ -328,9 +328,11 @@ object MinHashLSH {
     * hash (q26/q132 convention), fixed literal affine permutations —
     * bit-for-bit DuckDB-replayable. */
   private[graft] def portableSignature(toks: DataFrame): DataFrame = {
-    val hashed = toks.withColumn("h",
-      aggregate(split(col("tok"), ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(PortP))))
+    // the native codegen'd fold — bit-pinned to the declarative
+    // aggregate(split(...)) idiom and the DuckDB list_reduce replay
+    // (NativeExprSpec); zero per-char array allocation on the path
+    // that hashes every shingle of the corpus
+    val hashed = toks.withColumn("h", org.apache.spark.sql.graft.CharFoldHash.column(col("tok")))
     val minAggs = (0 until 8).map { j =>
       min(pmod(col("h") * PortA(j) + PortB(j), lit(PortP))).as(s"m$j")
     }

@@ -91,8 +91,7 @@ object SimHash {
             element_at(col("ws"), i + 3)))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
     val hashed = toks.withColumn("h",
-      aggregate(split(col("tok"), ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(Pp))) % (1L << bits))
+      org.apache.spark.sql.graft.CharFoldHash.column(col("tok")) % (1L << bits)) // native fold (NativeExprSpec)
     val sumAggs = (0 until bits).map { i =>
       sum(when(expr(s"h div ${1L << i}") % 2 === 1, col("w"))
         .otherwise(-col("w"))).as(s"s$i")

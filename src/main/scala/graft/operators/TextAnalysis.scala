@@ -693,8 +693,7 @@ object TextAnalysis {
                   buckets: Int): DataFrame = {
     val P = 1000000007L
     def weight(w: Column): Column = {
-      val h = aggregate(split(w, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+      val h = org.apache.spark.sql.graft.CharFoldHash.column(w) // native fold, bit-pinned (NativeExprSpec)
       pmod(pmod(h, lit(buckets.toLong)) * 1000003L + 12345L, lit(P)) % 17L - 8L
     }
     docs
