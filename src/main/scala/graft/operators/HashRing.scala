@@ -74,12 +74,28 @@ object HashRing {
 
   /** Successor-vnode assignment: each key goes to the shard owning
     * the first vnode clockwise from the key's position (wrap to the
-    * ring's minimum). Map-only: the ring is an array literal, the
-    * successor lookup a codegen'd `array_min(filter(...))`, the
-    * shard resolution a map-literal `element_at`. Adds `ring_pos`
-    * and `shard` (named `shardCol`). */
+    * ring's minimum). Map-only, and O(log |ring|) per row: the
+    * sorted ring is baked into one native binary-search expression
+    * ([[org.apache.spark.sql.graft.RingShard]] — the original
+    * `array_min(filter(...))` + map-literal `element_at` walked all
+    * |ring| entries per row through interpreted HOFs, the wrong cost
+    * class for a whole-corpus pass; HashRingSpec pins native ==
+    * declarative == local scan). Adds `ring_pos` and `shard`
+    * (named `shardCol`). */
   def assign(df: DataFrame, keyCol: String, nShards: Int,
       vnodesPerShard: Int, shardCol: String = "shard"): DataFrame = {
+    val r = ring(nShards, vnodesPerShard)
+    df.withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn(shardCol, org.apache.spark.sql.graft.RingShard
+        .column(col("ring_pos"), r.map(_._1), r.map(_._2)))
+  }
+
+  /** The pre-native declarative assignment construction, kept as the
+    * independent twin HashRingSpec pins [[assign]] against (the
+    * ContentChunkStarts convention). */
+  private[graft] def assignDeclarative(df: DataFrame, keyCol: String,
+      nShards: Int, vnodesPerShard: Int,
+      shardCol: String = "shard"): DataFrame = {
     val r = ring(nShards, vnodesPerShard)
     val posArr = typedLit(r.map(_._1))
     val posToShard = typedLit(r.toMap)

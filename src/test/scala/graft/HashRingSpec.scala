@@ -72,6 +72,21 @@ class HashRingSpec extends SparkSpec {
     assert(arcPpm > 999950L && arcPpm <= 1000000L) // floor rounding only
   }
 
+  test("native RingShard assignment == the declarative HOF " +
+    "construction on mixed keys") {
+    val keys = ((0L to 500L) ++ Seq(HashRing.Mod - 1, HashRing.Mod,
+      999999999999L)).toDF("k")
+    for ((s, v) <- Seq((16, 32), (5, 8))) {
+      val nat = HashRing.assign(keys, "k", s, v)
+        .select("k", "shard").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toMap
+      val dec = HashRing.assignDeclarative(keys, "k", s, v)
+        .select("k", "shard").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toMap
+      assert(nat === dec, s"geometry ($s, $v)")
+    }
+  }
+
   test("plan shape: assign is map-only — ring embedded as literals, " +
     "zero exchanges, zero joins") {
     val keys = (0L until 100L).toDF("k")
