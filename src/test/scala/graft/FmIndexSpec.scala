@@ -49,6 +49,30 @@ class FmIndexSpec extends SparkSpec {
     assert(loc("x x") == ((1L, (n - 1).toLong)))
   }
 
+  test("property: local == relational on random small corpora and " +
+    "random patterns (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tok = Gen.oneOf("a", "b", "c", "ab", "Ω") // incl. multi-byte
+    val doc = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, tok))
+      .map(_.mkString(" "))
+    val corpusGen = for {
+      nd <- Gen.choose(1, 4)
+      ds <- Gen.listOfN(nd, doc)
+      np <- Gen.choose(1, 3)
+      ps <- Gen.listOfN(np, Gen.choose(1, 3)
+        .flatMap(m => Gen.listOfN(m, tok)).map(_.mkString(" ")))
+    } yield (ds, ps.distinct)
+    val prop = Prop.forAll(corpusGen) { case (ds, ps) =>
+      val docs = ds.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (rel, loc) = both(docs, ps)
+      rel == loc
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"fm property: ${res.status}")
+  }
+
   test("plan shape: the local FM kernel is one object island + one " +
     "aggregation exchange (plus the broadcast pattern join)") {
     val docs = Seq((1L, "a b a"), (2L, "b a b")).toDF("doc_id", "text")
