@@ -9766,6 +9766,69 @@ object OracleSql {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** q361: weighted ring load audit — capacity-proportional vnode
+    * counts from a VALUES capacity table (UNNEST(range(0, cap)) per
+    * shard), the same fold+mix position replay, wrap-around arcs,
+    * and the three ppm shares side by side. */
+  private val q361 = {
+    val caps = Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16,
+      8, 8, 8, 8)
+    val totalCap = caps.sum
+    val vals = caps.zipWithIndex
+      .map { case (c, s) => s"($s, $c)" }.mkString(", ")
+    s"""WITH caps AS (SELECT * FROM (VALUES $vals) c(shard, cap)),
+       |vn0 AS (
+       |  SELECT CAST(shard AS BIGINT) AS shard,
+       |    CAST(UNNEST(range(0, cap)) AS BIGINT) AS v
+       |  FROM caps),
+       |vn AS (
+       |  SELECT shard, 'shard:' || shard || ':' || v AS label FROM vn0),
+       |vf AS (
+       |  SELECT shard,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(label, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+       |  FROM vn),
+       |vp AS (
+       |  SELECT shard,
+       |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+       |  FROM vf),
+       |keys AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ((doc_id % 1000000007) * 2654435761 + 40503)
+       |      % 1000000007 AS p
+       |  FROM documents),
+       |arcs AS (
+       |  SELECT shard, pos,
+       |    pos - COALESCE(LAG(pos) OVER (ORDER BY pos),
+       |      (SELECT MAX(pos) FROM vp) - 1000000007) AS arc
+       |  FROM vp),
+       |arcsum AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_vnodes,
+       |    CAST(SUM(arc) AS BIGINT) AS arc
+       |  FROM arcs GROUP BY 1),
+       |asg AS (
+       |  SELECT k.doc_id,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= k.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM keys k),
+       |cnt AS (
+       |  SELECT vp.shard, CAST(COUNT(*) AS BIGINT) AS n_keys
+       |  FROM asg a JOIN vp ON vp.pos = a.vpos
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keys)
+       |SELECT s.shard, s.n_vnodes,
+       |  CAST(s.n_vnodes * 1000000 // $totalCap AS BIGINT)
+       |    AS capacity_ppm,
+       |  CAST(s.arc * 1000000 // 1000000007 AS BIGINT) AS arc_ppm,
+       |  CAST(COALESCE(c.n_keys, 0) AS BIGINT) AS n_keys,
+       |  CAST(COALESCE(c.n_keys, 0) * 1000000 // t.n_total AS BIGINT)
+       |    AS load_ppm
+       |FROM arcsum s LEFT JOIN cnt c ON s.shard = c.shard, tot t
+       |ORDER BY s.shard""".stripMargin
+  }
+
   /** q359: MinHash band-geometry sweep — the q132 signature CTEs
     * replayed once, candidates per banding as per-config UNIONs of
     * band equi-joins, truth = exhaustive 3-gram Jaccard ≥ 1/2 via the
@@ -10038,6 +10101,7 @@ object OracleSql {
     "q358_reshard_movement" -> q358,
     "q359_lsh_band_sweep" -> q359,
     "q360_reshard_plan" -> q360,
+    "q361_weighted_ring" -> q361,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

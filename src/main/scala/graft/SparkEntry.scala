@@ -4430,6 +4430,20 @@ object SparkEntry {
     operators.HashRing.reshardPlan(Tables.documents(s, dir),
       "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32)
 
+  /** The q361 heterogeneous fleet: two big boxes, four mediums, six
+    * standards, four smalls — capacity expressed as vnode count. */
+  private val q361Capacities =
+    Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16, 8, 8, 8, 8)
+
+  /** Round-13: WEIGHTED consistent-hash ring — capacity-proportional
+    * vnode counts for a heterogeneous fleet; the audit publishes
+    * capacity share, arc share, and measured load side by side
+    * ([[operators.HashRing.loadAuditWeighted]]): capacity-weighted
+    * placement with zero per-key state. */
+  private def qWeightedRing(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.loadAuditWeighted(s, Tables.documents(s, dir),
+      "doc_id", q361Capacities)
+
   /** Round-13: MinHash band-geometry sweep — measured candidate
     * count / recall / precision for every banding (8×1, 4×2, 2×4,
     * 1×8) of ONE k=8 portable signature against the exhaustive
@@ -5489,7 +5503,8 @@ object SparkEntry {
       "q357_hash_ring" -> (qHashRing _),
       "q358_reshard_movement" -> (qReshardMovement _),
       "q359_lsh_band_sweep" -> (qLshBandSweep _),
-      "q360_reshard_plan" -> (qReshardPlan _))
+      "q360_reshard_plan" -> (qReshardPlan _),
+      "q361_weighted_ring" -> (qWeightedRing _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5602,7 +5617,7 @@ object SparkEntry {
     // the MinHash band-geometry sweep (one signature pass, 15 band
     // joins, exhaustive-truth recall/precision per banding)
     "q357_hash_ring", "q358_reshard_movement", "q359_lsh_band_sweep",
-    "q360_reshard_plan")
+    "q360_reshard_plan", "q361_weighted_ring")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -56,13 +56,22 @@ object HashRing {
     * position. Positions are distinct by construction-time check —
     * the labels are fixed constants, so this either always holds or
     * never does (it holds for every (shards ≤ 64, vnodes ≤ 64)). */
-  def ring(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long)] = {
+  def ring(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long)] =
+    ringWeighted(Seq.fill(nShards)(vnodesPerShard))
+
+  /** WEIGHTED ring — shard s contributes `capacities(s)` vnodes, so
+    * its expected arc share is capacity-proportional: the
+    * heterogeneous-fleet form (mixed disk/machine generations), same
+    * labels, same mix, same successor rule. */
+  def ringWeighted(capacities: Seq[Int]): Seq[(Long, Long)] = {
+    require(capacities.nonEmpty && capacities.forall(_ >= 1),
+      "every shard needs >= 1 vnode")
     val vs = for {
-      s <- 0 until nShards
-      v <- 0 until vnodesPerShard
+      (c, s) <- capacities.zipWithIndex
+      v <- 0 until c
     } yield (labelPos(s"shard:$s:$v"), s.toLong)
     require(vs.map(_._1).distinct.size == vs.size,
-      "vnode position collision — change vnodesPerShard")
+      "vnode position collision — change capacities")
     vs.sortBy(_._1)
   }
 
@@ -110,8 +119,11 @@ object HashRing {
     * (arcs sum to Mod exactly). Driver-computed from the same
     * constants as [[ring]] — this is the THEORETICAL load share the
     * empirical per-shard counts are audited against. */
-  def arcs(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long, Long)] = {
-    val r = ring(nShards, vnodesPerShard)
+  def arcs(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long, Long)] =
+    arcsOf(ring(nShards, vnodesPerShard))
+
+  /** Per-shard arc ownership of an arbitrary (sorted) ring. */
+  private def arcsOf(r: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
     val prev = (r.last._1 - Mod) +: r.map(_._1).init
     r.zip(prev).map { case ((pos, shard), pp) => (shard, pos - pp) }
       .groupBy(_._1).toSeq
@@ -132,6 +144,42 @@ object HashRing {
     arcDf.join(counts, Seq("shard"), "left")
       .join(df.agg(count(lit(1)).as("n_total")))
       .select(col("shard"), col("n_vnodes"),
+        expr(s"arc * 1000000L div ${Mod}L").as("arc_ppm"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        expr("coalesce(n_keys, 0L) * 1000000L div n_total")
+          .as("load_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Successor assignment against a WEIGHTED ring ([[ringWeighted]]);
+    * same native binary-search expression as [[assign]]. */
+  def assignWeighted(df: DataFrame, keyCol: String, capacities: Seq[Int],
+      shardCol: String = "shard"): DataFrame = {
+    val r = ringWeighted(capacities)
+    df.withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn(shardCol, org.apache.spark.sql.graft.RingShard
+        .column(col("ring_pos"), r.map(_._1), r.map(_._2)))
+  }
+
+  /** Weighted-ring load audit: per shard, the vnode count, its
+    * CAPACITY share (ppm of total vnodes — the fleet's intent), its
+    * theoretical arc share, and the empirical key count + load share.
+    * The story the three ppm columns tell side by side: arc tracks
+    * capacity (more vnodes ⇒ proportionally more ring), and load
+    * tracks arc — capacity-weighted placement without any per-key
+    * state. Same shapes as [[loadAudit]]. */
+  def loadAuditWeighted(s: SparkSession, df: DataFrame, keyCol: String,
+      capacities: Seq[Int]): DataFrame = {
+    val r = ringWeighted(capacities)
+    val totalCap = capacities.map(_.toLong).sum
+    val arcDf = s.createDataFrame(arcsOf(r))
+      .toDF("shard", "n_vnodes", "arc")
+    val counts = assignWeighted(df, keyCol, capacities)
+      .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+    arcDf.join(counts, Seq("shard"), "left")
+      .join(df.agg(count(lit(1)).as("n_total")))
+      .select(col("shard"), col("n_vnodes"),
+        expr(s"n_vnodes * 1000000L div ${totalCap}L").as("capacity_ppm"),
         expr(s"arc * 1000000L div ${Mod}L").as("arc_ppm"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
         expr("coalesce(n_keys, 0L) * 1000000L div n_total")

@@ -131,6 +131,30 @@ class HashRingSpec extends SparkSpec {
     assert(res.passed, s"ring property: ${res.status}")
   }
 
+  test("weighted ring: vnode counts match capacities, arcs sum to " +
+    "Mod, and growing ONE shard's capacity only pulls keys toward it") {
+    val caps = Seq(8, 4, 2, 2)
+    val r = HashRing.ringWeighted(caps)
+    assert(r.size === caps.sum)
+    val keys = (0L until 800L).toDF("doc_id")
+    val audit = HashRing.loadAuditWeighted(spark, keys, "doc_id", caps)
+      .collect()
+    assert(audit.map(_.getAs[Long]("n_vnodes")).toSeq ===
+      caps.map(_.toLong))
+    assert(audit.map(_.getAs[Long]("n_keys")).sum === 800L)
+    val arcPpm = audit.map(_.getAs[Long]("arc_ppm")).sum
+    assert(arcPpm > 999950L && arcPpm <= 1000000L)
+    // grow shard 2 (2 -> 6 vnodes): its labels are a superset, every
+    // other shard's vnodes are unchanged, so arcs only move TO it
+    val before = HashRing.assignWeighted(keys, "doc_id", caps, "b")
+      .drop("ring_pos")
+    val both = HashRing.assignWeighted(before, "doc_id",
+      Seq(8, 4, 6, 2), "a")
+    assert(both.filter(col("b") =!= col("a")).count() > 0)
+    assert(both.filter(col("b") =!= col("a") && col("a") =!= 2)
+      .count() === 0)
+  }
+
   test("reshardPlan: conserves the audit's moved count and only " +
     "targets new shards") {
     val keys = (0L until 1500L).toDF("doc_id")
