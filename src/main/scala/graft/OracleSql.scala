@@ -9498,6 +9498,74 @@ object OracleSql {
        |FROM per p JOIN lastq l ON l.source = p.source
        |GROUP BY p.source ORDER BY p.source""".stripMargin
 
+  /** Shared q364/q365 SEGMENTED packing walk: the same first-fit
+    * recurrence as [[packWalkCtes]] but partitioned by (source,
+    * segment) — segment = floor(0-based per-source rank / 8) — with
+    * segment-local sequence ids spliced into per-stratum ids by a
+    * window over the per-SEGMENT sequence counts (mirrors
+    * Curation.packSequencesSegmented exactly). */
+  private val segWalkCtes =
+    """t14 AS MATERIALIZED (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |ts AS MATERIALIZED (
+      |  SELECT source, (rn - 1) // 8 AS seg, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source, (rn - 1) // 8
+      |      ORDER BY doc_id) AS srn
+      |  FROM t14),
+      |swalk(source, seg, srn, doc_id, len, lseq, seq_offset) AS (
+      |  SELECT source, seg, srn, doc_id, n_chars,
+      |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM ts WHERE srn = 1
+      |  UNION ALL
+      |  SELECT n.source, n.seg, n.srn, n.doc_id, n.n_chars,
+      |    CASE WHEN w.seq_offset + w.len > 0
+      |           AND w.seq_offset + w.len + n.n_chars > 2000
+      |         THEN w.lseq + 1 ELSE w.lseq END,
+      |    CASE WHEN w.seq_offset + w.len > 0
+      |           AND w.seq_offset + w.len + n.n_chars > 2000
+      |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
+      |  FROM swalk w JOIN ts n ON n.source = w.source
+      |    AND n.seg = w.seg AND n.srn = w.srn + 1),
+      |segb AS MATERIALIZED (
+      |  SELECT source, seg,
+      |    CAST(COALESCE(SUM(n_seqs) OVER (PARTITION BY source
+      |      ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS seq_base
+      |  FROM (SELECT source, seg, MAX(lseq) + 1 AS n_seqs
+      |        FROM swalk GROUP BY source, seg))""".stripMargin
+
+  /** q364: per-doc segment-packed assignment replay. */
+  private val q364 =
+    s"""WITH RECURSIVE $segWalkCtes
+       |SELECT w.source, w.doc_id, CAST(w.len AS BIGINT) AS len,
+       |  CAST(b.seq_base + w.lseq AS BIGINT) AS seq_id, w.seq_offset
+       |FROM swalk w JOIN segb b ON b.source = w.source
+       |  AND b.seg = w.seg
+       |ORDER BY w.source, w.doc_id""".stripMargin
+
+  /** q365: boundary-waste ledger — base-vs-segmented sequence counts
+    * and fill ppms per source, both walks replayed in one WITH. */
+  private val q365 =
+    s"""WITH RECURSIVE $packWalkCtes,
+       |$segWalkCtes,
+       |b AS (SELECT source, CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs_base,
+       |        CAST(SUM(len) AS BIGINT) AS total_chars
+       |      FROM walk GROUP BY source),
+       |g AS (SELECT source, CAST(SUM(mx + 1) AS BIGINT) AS n_seqs_seg
+       |      FROM (SELECT source, seg, MAX(lseq) AS mx
+       |            FROM swalk GROUP BY source, seg)
+       |      GROUP BY source)
+       |SELECT b.source, b.n_seqs_base, g.n_seqs_seg,
+       |  g.n_seqs_seg - b.n_seqs_base AS extra_seqs, b.total_chars,
+       |  CAST(b.total_chars * 1000000 // (b.n_seqs_base * 2000)
+       |    AS BIGINT) AS fill_ppm_base,
+       |  CAST(b.total_chars * 1000000 // (g.n_seqs_seg * 2000)
+       |    AS BIGINT) AS fill_ppm_seg
+       |FROM b JOIN g ON g.source = b.source
+       |ORDER BY b.source""".stripMargin
+
   /** q355: the q349 SemDeDup chain instantiated TWICE — once on the
     * exact quantized vectors, once on their SQ8 reconstructions (the
     * q348 codebook formula) — with per-vector keep flags joined as an
@@ -9674,6 +9742,49 @@ object OracleSql {
        |    ((doc_id % 1000000007) * 2654435761 + 40503)
        |      % 1000000007 AS p
        |  FROM documents)""".stripMargin
+
+  /** q363: replication audit — per key, rank every vnode by clockwise
+    * walk order from the key's position ((pos < p) sorts the
+    * non-wrapped arc first), keep each SHARD's first appearance, and
+    * take the 3 earliest distinct shards; per shard, primary (rank 1)
+    * vs replica (ranks 2-3) key counts and ppm shares. The key×vnode
+    * cross join is oracle-only brute force — the engine walks the
+    * ring natively. */
+  private val q363 =
+    s"""WITH ${ringCtes(16)},
+       |ord AS (
+       |  SELECT k.doc_id, vp.shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id
+       |      ORDER BY (vp.pos < k.p), vp.pos) AS rnk
+       |  FROM keys k CROSS JOIN vp),
+       |firsts AS (
+       |  SELECT doc_id, shard, MIN(rnk) AS fr
+       |  FROM ord GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fr)
+       |      AS replica_rank
+       |  FROM firsts),
+       |cnt AS (
+       |  SELECT shard,
+       |    CAST(SUM(CASE WHEN replica_rank = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_primary,
+       |    CAST(SUM(CASE WHEN replica_rank > 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_replica
+       |  FROM rep WHERE replica_rank <= 3 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keys)
+       |SELECT s.shard,
+       |  CAST(COALESCE(c.n_primary, 0) AS BIGINT) AS n_primary,
+       |  CAST(COALESCE(c.n_replica, 0) AS BIGINT) AS n_replica,
+       |  CAST(COALESCE(c.n_primary, 0) + COALESCE(c.n_replica, 0)
+       |    AS BIGINT) AS n_responsible,
+       |  CAST(COALESCE(c.n_primary, 0) * 1000000 // t.n_total
+       |    AS BIGINT) AS primary_ppm,
+       |  CAST((COALESCE(c.n_primary, 0) + COALESCE(c.n_replica, 0))
+       |    * 1000000 // t.n_total AS BIGINT) AS responsible_ppm
+       |FROM (SELECT DISTINCT shard FROM vp) s
+       |LEFT JOIN cnt c ON c.shard = s.shard, tot t
+       |ORDER BY s.shard""".stripMargin
 
   /** q357: ring shard-load audit — per shard, the theoretical arc
     * share (wrap-around LAG over sorted vnode positions) vs the
@@ -10102,6 +10213,9 @@ object OracleSql {
     "q359_lsh_band_sweep" -> q359,
     "q360_reshard_plan" -> q360,
     "q361_weighted_ring" -> q361,
+    "q363_ring_replicated" -> q363,
+    "q364_pack_segmented" -> q364,
+    "q365_pack_boundary_waste" -> q365,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4404,6 +4404,59 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Round-14: Dynamo-style ring REPLICATION — each key's first R=3
+    * DISTINCT-shard clockwise successors (primary + 2 replica
+    * holders) on the q357 geometry, audited per shard: primary share
+    * and total responsibility share in ppm
+    * ([[operators.HashRing.replicationAudit]]). n_responsible sums to
+    * 3× the corpus exactly; element 0 of every replica set is q357's
+    * primary (spec-pinned). */
+  private def qRingReplicated(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.replicationAudit(s, Tables.documents(s, dir),
+      "doc_id", nShards = 16, vnodesPerShard = 32, replicas = 3)
+
+  /** Round-14: SEGMENT-PACKED q353 — the unbounded-stratum packing
+    * path ([[operators.Curation.packSequencesSegmented]]): 8-doc
+    * segments (small enough to split every 25-doc fixture stratum
+    * four ways, so the splice is exercised, not vacuous) packed
+    * independently in parallel, segment-local sequence ids spliced
+    * into per-stratum ids via the per-SEGMENT summary window.
+    * Differs from q353 only at segment boundaries — the honest
+    * distribution cost q365 prices. */
+  private def qPackSegmented(s: SparkSession, dir: String): DataFrame =
+    operators.Curation.packSequencesSegmented(Tables.documents(s, dir),
+        "doc_id", "n_chars", "source", capacity = 2000L, segmentRows = 8L)
+      .orderBy("source", "doc_id")
+
+  /** Round-14: segment-boundary waste ledger — per source, sequences
+    * opened by the exact per-stratum fold (q353) vs the segment-packed
+    * form (q364) at the same capacity, the extra boundary sequences,
+    * and both integer fill ppms. The one-row-per-stratum answer to
+    * "what does distributing the non-associative fold cost?" —
+    * SCALE.md carries the segment-size curve. */
+  private def qPackBoundaryWaste(s: SparkSession, dir: String): DataFrame = {
+    val cap = 2000L
+    val docs = Tables.documents(s, dir)
+    val base = operators.Curation.packSequences(
+        docs, "doc_id", "n_chars", "source", cap)
+      .groupBy("source")
+      .agg((max(col("seq_id")) + 1L).as("n_seqs_base"),
+        sum(col("len")).as("total_chars"))
+    val seg = operators.Curation.packSequencesSegmented(
+        docs, "doc_id", "n_chars", "source", cap, segmentRows = 8L)
+      .groupBy("source")
+      .agg((max(col("seq_id")) + 1L).as("n_seqs_seg"))
+    base.join(seg, Seq("source"))
+      .select(col("source"), col("n_seqs_base"), col("n_seqs_seg"),
+        (col("n_seqs_seg") - col("n_seqs_base")).as("extra_seqs"),
+        col("total_chars"),
+        expr(s"total_chars * 1000000L div (n_seqs_base * ${cap}L)")
+          .as("fill_ppm_base"),
+        expr(s"total_chars * 1000000L div (n_seqs_seg * ${cap}L)")
+          .as("fill_ppm_seg"))
+      .orderBy("source")
+  }
+
   /** Round-13: consistent-hash ring shard-load audit — 16 shards ×
     * 32 vnodes over the documents table: theoretical arc share vs
     * empirical key share per shard ([[operators.HashRing.loadAudit]]).
@@ -5504,7 +5557,10 @@ object SparkEntry {
       "q358_reshard_movement" -> (qReshardMovement _),
       "q359_lsh_band_sweep" -> (qLshBandSweep _),
       "q360_reshard_plan" -> (qReshardPlan _),
-      "q361_weighted_ring" -> (qWeightedRing _))
+      "q361_weighted_ring" -> (qWeightedRing _),
+      "q363_ring_replicated" -> (qRingReplicated _),
+      "q364_pack_segmented" -> (qPackSegmented _),
+      "q365_pack_boundary_waste" -> (qPackBoundaryWaste _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77

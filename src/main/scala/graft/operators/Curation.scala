@@ -926,6 +926,12 @@ object Curation {
           covered = covered union ts
           r += 1
         case Some(_) if !allCollected => certified = false
+        // an exhausted INCOMPLETE pool must route to the distributed
+        // fallback, not terminate: today the pool's minimum-count doc
+        // can never pass the strict `gain > cMin` certificate, so this
+        // arm is unreachable — but that invariant is implicit, and a
+        // future certificate tweak must not silently truncate picks
+        case None if !allCollected => certified = false
         case _ => done = true // nothing (collectable) can add coverage
       }
     }
@@ -979,9 +985,21 @@ object Curation {
     *
     * Output: one row per document —
     * (strataCol, idCol, len, seq_id, seq_offset), seq_id 0-based per
-    * stratum, seq_offset the fill before this document. */
+    * stratum, seq_offset the fill before this document.
+    *
+    * Strata are bounded at [[MaxStratumRows]] (the UnigramSegment
+    * ≤5M broadcast-collect convention): a 100 TB run with an
+    * over-sized stratum fails LOUDLY with a pointer at
+    * [[packSequencesSegmented]] instead of OOMing one task. */
   def packSequences(docs: DataFrame, idCol: String, lenCol: String,
-                    strataCol: String, capacity: Long): DataFrame = {
+                    strataCol: String, capacity: Long): DataFrame =
+    packSequences(docs, idCol, lenCol, strataCol, capacity, MaxStratumRows)
+
+  /** Bound-parameterized form so the adversarial spec can exercise the
+    * guard without materializing 5M rows. */
+  private[graft] def packSequences(docs: DataFrame, idCol: String,
+      lenCol: String, strataCol: String, capacity: Long,
+      maxStratumRows: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -991,15 +1009,96 @@ object Curation {
       .agg(array_sort(collect_list(struct(col("_1"), col("_2")))).as("xs"))
       .as[(String, Seq[(Long, Long)])]
       .flatMap { case (src, xs) =>
-        var seq = 0L
-        var fill = 0L
-        xs.map { case (id, len) =>
-          if (fill > 0 && fill + len > capacity) { seq += 1; fill = 0L }
-          val off = fill
-          fill += len
-          (src, id, len, seq, off)
-        }
+        require(xs.size <= maxStratumRows,
+          s"stratum '$src' has ${xs.size} docs — the per-stratum fold " +
+            s"is bounded (<= $maxStratumRows); use packSequencesSegmented")
+        packFold(xs, capacity).map { case (id, len, seq, off) =>
+          (src, id, len, seq, off) }
       }
       .toDF(strataCol, idCol, "len", "seq_id", "seq_offset")
+  }
+
+  /** Per-stratum fold bound for [[packSequences]] — the ≤5M
+    * sanctioned-collect convention (UnigramSegment.broadcastScores):
+    * 5M (id, len) structs ≈ 160 MB per group, collectable; beyond it
+    * the fold throws instead of OOMing. */
+  val MaxStratumRows: Long = 5000000L
+
+  /** The first-fit-sequential recurrence shared by [[packSequences]]
+    * and [[packSequencesSegmented]] — id-sorted (id, len) in, one
+    * (id, len, seq, offset) row out per doc, seq 0-based local to the
+    * fold. */
+  private def packFold(xs: Seq[(Long, Long)], capacity: Long)
+      : Seq[(Long, Long, Long, Long)] = {
+    var seq = 0L
+    var fill = 0L
+    xs.map { case (id, len) =>
+      if (fill > 0 && fill + len > capacity) { seq += 1; fill = 0L }
+      val off = fill
+      fill += len
+      (id, len, seq, off)
+    }
+  }
+
+  /** SEGMENT-PACKED [[packSequences]] — the unbounded-stratum form.
+    * The fold is order-dependent and non-associative, so it cannot
+    * distribute within a stratum; what CAN distribute is the corpus:
+    * range-partition each stratum into ≤`segmentRows` SEGMENTS in doc
+    * order (per-stratum ranks via the [[globalRowIds]] partition-
+    * offset machinery — no single-partition window), pack every
+    * segment independently in parallel, then splice segment-local
+    * sequence ids into per-stratum ids by offsetting each segment
+    * with the sequence count of the segments before it (a window over
+    * the per-SEGMENT summary — #segments rows, corpus-size
+    * independent).
+    *
+    * The splice opens a fresh sequence at every segment boundary, so
+    * the output differs from [[packSequences]] only by boundary
+    * waste: ≤ (capacity − 1) chars per boundary, i.e. a vanishing
+    * ppm at real segment sizes (ledgered in SCALE.md). With
+    * `segmentRows` ≥ every stratum's row count the splice is the
+    * identity and the output is BIT-IDENTICAL to [[packSequences]]
+    * (spec-pinned). */
+  def packSequencesSegmented(docs: DataFrame, idCol: String,
+      lenCol: String, strataCol: String, capacity: Long,
+      segmentRows: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(segmentRows >= 1, s"segmentRows must be >= 1, got $segmentRows")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(strataCol).cast("string").as("s"),
+      col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"))
+    // per-stratum 0-based doc rank = global id in (stratum, id) order
+    // minus the stratum's first global id (|strata|-row broadcast)
+    val ranked = globalRowIds(base, Seq("s", "id"))
+    val strataBase = ranked.groupBy("s").agg(min("global_id").as("_base"))
+    val seg = ranked.join(broadcast(strataBase), Seq("s"))
+      .withColumn("seg",
+        expr(s"(global_id - _base) div ${segmentRows}L"))
+    val packedLocal = seg
+      .select(col("s"), col("seg"), struct(col("id"), col("len")).as("x"))
+      .groupBy("s", "seg")
+      .agg(array_sort(collect_list(col("x"))).as("xs"))
+      .as[(String, Long, Seq[(Long, Long)])]
+      .flatMap { case (src, g, xs) =>
+        packFold(xs, capacity).map { case (id, len, sq, off) =>
+          (src, g, id, len, sq, off) }
+      }
+      .toDF("s", "seg", "id", "len", "local_seq", "seq_offset")
+    // splice: each segment's sequence-id base = total sequences in
+    // earlier segments of its stratum; the window runs over one row
+    // per SEGMENT, never over the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("seg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val segBases = packedLocal.groupBy("s", "seg")
+      .agg((max(col("local_seq")) + 1L).as("_n_seqs"))
+      .withColumn("_seq_base", coalesce(sum(col("_n_seqs")).over(w), lit(0L)))
+      .select("s", "seg", "_seq_base")
+    packedLocal.join(segBases, Seq("s", "seg"))
+      .select(col("s").as(strataCol), col("id").as(idCol), col("len"),
+        (col("_seq_base") + col("local_seq")).as("seq_id"),
+        col("seq_offset"))
   }
 }

@@ -53,25 +53,52 @@ object HashRing {
   def labelPos(label: String): Long = mix(labelFold(label))
 
   /** The ring: (position, shard) for every virtual node, sorted by
-    * position. Positions are distinct by construction-time check —
-    * the labels are fixed constants, so this either always holds or
-    * never does (it holds for every (shards ≤ 64, vnodes ≤ 64)). */
+    * position. Positions are distinct — collisions (never observed
+    * for shards ≤ 64, vnodes ≤ 64) would resolve by the deterministic
+    * salt-retry in [[ringWeighted]]. */
   def ring(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long)] =
     ringWeighted(Seq.fill(nShards)(vnodesPerShard))
 
   /** WEIGHTED ring — shard s contributes `capacities(s)` vnodes, so
     * its expected arc share is capacity-proportional: the
     * heterogeneous-fleet form (mixed disk/machine generations), same
-    * labels, same mix, same successor rule. */
-  def ringWeighted(capacities: Seq[Int]): Seq[(Long, Long)] = {
+    * labels, same mix, same successor rule.
+    *
+    * Position collisions (two vnode labels mixing to the same ring
+    * point — possible in principle for arbitrary capacity vectors)
+    * resolve by DETERMINISTIC salt-retry: the later vnode in (shard,
+    * vnode) order re-mixes with label `"shard:<s>:<v>:r<N>"` for
+    * N = 1, 2, … until free. A collision-free fleet takes no retries,
+    * so every previously-valid ring is BIT-UNCHANGED (spec-pinned) —
+    * and arbitrary capacity vectors are now safe instead of throwing. */
+  def ringWeighted(capacities: Seq[Int]): Seq[(Long, Long)] =
+    ringWeightedWith(capacities, labelPos)
+
+  /** Position-function-parameterized form so the salt-retry mechanism
+    * is testable without hunting a real mix collision (sequential
+    * decimal labels collide only when two folds sum to exactly
+    * −2654435761 mod p — never observed in practical ranges). */
+  private[graft] def ringWeightedWith(capacities: Seq[Int],
+      posOf: String => Long): Seq[(Long, Long)] = {
     require(capacities.nonEmpty && capacities.forall(_ >= 1),
       "every shard needs >= 1 vnode")
+    val seen = scala.collection.mutable.HashSet.empty[Long]
     val vs = for {
       (c, s) <- capacities.zipWithIndex
       v <- 0 until c
-    } yield (labelPos(s"shard:$s:$v"), s.toLong)
-    require(vs.map(_._1).distinct.size == vs.size,
-      "vnode position collision — change capacities")
+    } yield {
+      var pos = posOf(s"shard:$s:$v")
+      var retry = 0
+      while (seen.contains(pos)) {
+        retry += 1
+        require(retry <= 4096,
+          s"shard:$s:$v cannot find a free ring position in 4096 " +
+            "salt retries — position space exhausted")
+        pos = posOf(s"shard:$s:$v:r$retry")
+      }
+      seen += pos
+      (pos, s.toLong)
+    }
     vs.sortBy(_._1)
   }
 
@@ -146,8 +173,66 @@ object HashRing {
       .select(col("shard"), col("n_vnodes"),
         expr(s"arc * 1000000L div ${Mod}L").as("arc_ppm"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
-        expr("coalesce(n_keys, 0L) * 1000000L div n_total")
-          .as("load_ppm"))
+        loadPpm.as("load_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Empirical load share with the repo's empty-denominator sentinel:
+    * an EMPTY corpus publishes -1, not a divide-by-zero (the
+    * bandSweepAudit convention). */
+  private val loadPpm: Column =
+    when(col("n_total") > 0,
+      expr("coalesce(n_keys, 0L) * 1000000L div n_total"))
+      .otherwise(lit(-1L))
+
+  /** REPLICATED assignment — Dynamo placement: each key maps to its
+    * first `replicas` DISTINCT-shard clockwise successors (element 0
+    * is exactly [[assign]]'s primary, spec-pinned). One native
+    * binary-search + bounded-walk expression per row
+    * ([[org.apache.spark.sql.graft.RingReplicas]]); still map-only.
+    * Adds `ring_pos` and an array column `replica_set` (walk order:
+    * index 0 = primary). */
+  def assignReplicated(df: DataFrame, keyCol: String, nShards: Int,
+      vnodesPerShard: Int, replicas: Int): DataFrame = {
+    val r = ring(nShards, vnodesPerShard)
+    df.withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn("replica_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), r.map(_._1), r.map(_._2), replicas))
+  }
+
+  /** Replication load audit: one row per shard with its PRIMARY key
+    * count (replica_rank 1) and its REPLICA key count (ranks
+    * 2..replicas), plus both shares in ppm of the corpus — the "who
+    * holds how much data, counting copies" capacity-planning table.
+    * n_responsible sums to replicas × corpus size exactly (each key
+    * names `replicas` distinct shards). Shape: one map pass + one
+    * posexplode (replicas rows per key) + a |shards|-row aggregation;
+    * zero-load shards keep a row via the driver arc table. */
+  def replicationAudit(s: SparkSession, df: DataFrame, keyCol: String,
+      nShards: Int, vnodesPerShard: Int, replicas: Int): DataFrame = {
+    val arcDf = s.createDataFrame(arcs(nShards, vnodesPerShard))
+      .toDF("shard", "n_vnodes", "arc").select("shard")
+    val counts = assignReplicated(df, keyCol, nShards, vnodesPerShard,
+        replicas)
+      .select(posexplode(col("replica_set")).as(Seq("rank0", "shard")))
+      .groupBy("shard")
+      .agg(sum(when(col("rank0") === 0, 1L).otherwise(0L))
+          .as("n_primary"),
+        sum(when(col("rank0") > 0, 1L).otherwise(0L)).as("n_replica"))
+    arcDf.join(counts, Seq("shard"), "left")
+      .join(df.agg(count(lit(1)).as("n_total")))
+      .select(col("shard"),
+        coalesce(col("n_primary"), lit(0L)).as("n_primary"),
+        coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+        (coalesce(col("n_primary"), lit(0L)) +
+          coalesce(col("n_replica"), lit(0L))).as("n_responsible"),
+        when(col("n_total") > 0,
+          expr("coalesce(n_primary, 0L) * 1000000L div n_total"))
+          .otherwise(lit(-1L)).as("primary_ppm"),
+        when(col("n_total") > 0,
+          expr("(coalesce(n_primary, 0L) + coalesce(n_replica, 0L)) " +
+            "* 1000000L div n_total"))
+          .otherwise(lit(-1L)).as("responsible_ppm"))
       .orderBy("shard")
   }
 
@@ -182,8 +267,7 @@ object HashRing {
         expr(s"n_vnodes * 1000000L div ${totalCap}L").as("capacity_ppm"),
         expr(s"arc * 1000000L div ${Mod}L").as("arc_ppm"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
-        expr("coalesce(n_keys, 0L) * 1000000L div n_total")
-          .as("load_ppm"))
+        loadPpm.as("load_ppm"))
       .orderBy("shard")
   }
 

@@ -73,3 +73,74 @@ object RingShard {
     ExpressionUtils.column(RingShard(
       ExpressionUtils.expression(pos), positions, shards))
 }
+
+/** Dynamo-style REPLICATED ring lookup: the first `replicas` DISTINCT
+  * shards clockwise from the key's ring position, in walk order —
+  * element 0 is exactly [[RingShard]]'s successor (spec-pinned), the
+  * rest are the replica holders a quorum read/write touches. One
+  * binary search + a bounded clockwise walk per row (the walk skips
+  * vnodes of already-collected shards; it terminates because
+  * `replicas` ≤ #distinct shards, checked at construction). Same
+  * addReferenceObj codegen stance as [[RingShard]]. */
+case class RingReplicas(child: Expression, positions: Seq[Long],
+                        shards: Seq[Long], replicas: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(positions.length == shards.length && positions.nonEmpty,
+    "ring must be non-empty with parallel positions/shards")
+  require(replicas >= 1 && replicas <= shards.distinct.length,
+    s"replicas=$replicas must be in [1, ${shards.distinct.length} " +
+      "(#distinct shards)]")
+
+  @transient private lazy val posArr: Array[Long] = positions.toArray
+  @transient private lazy val shardArr: Array[Long] = shards.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ring_replicas"
+
+  /** First `replicas` distinct shards clockwise from `p`. */
+  def lookup(p: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var lo = 0
+    var hi = posArr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (posArr(mid) >= p) hi = mid else lo = mid + 1
+    }
+    val start = if (lo == posArr.length) 0 else lo
+    val out = new Array[Long](replicas)
+    var n = 0
+    var i = start
+    while (n < replicas) {
+      val s = shardArr(i)
+      var dup = false
+      var j = 0
+      while (j < n && !dup) { if (out(j) == s) dup = true; j += 1 }
+      if (!dup) { out(n) = s; n += 1 }
+      i += 1
+      if (i == posArr.length) i = 0
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    lookup(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ringReplicas", this,
+      classOf[RingReplicas].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.lookup($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object RingReplicas {
+  def column(pos: Column, positions: Seq[Long], shards: Seq[Long],
+             replicas: Int): Column =
+    ExpressionUtils.column(RingReplicas(
+      ExpressionUtils.expression(pos), positions, shards, replicas))
+}

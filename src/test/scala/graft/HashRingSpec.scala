@@ -168,6 +168,102 @@ class HashRingSpec extends SparkSpec {
     assert(plan.forall(_.getAs[Long]("shard_before") < 16L))
   }
 
+  test("replicated assignment: replica sets are DISTINCT shards in " +
+    "walk order, element 0 is exactly the primary, and the native " +
+    "walk matches a local reference") {
+    val r = HashRing.ring(16, 32)
+    def localReps(key: Long, n: Int): Seq[Long] = {
+      val p = ((key % HashRing.Mod) * 2654435761L + 40503L) %
+        HashRing.Mod
+      val start = r.indexWhere(_._1 >= p) match {
+        case -1 => 0; case i => i }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = start
+      while (out.size < n) {
+        val s = r(i)._2
+        if (!out.contains(s)) out += s
+        i = (i + 1) % r.size
+      }
+      out.toSeq
+    }
+    val keys = ((0L to 400L) ++ Seq(1000000006L, 999999999999L,
+      HashRing.Mod, HashRing.Mod * 3 + 17)).toDF("k")
+    val got = HashRing.assignReplicated(keys, "k", 16, 32, replicas = 3)
+      .select("k", "replica_set").as[(Long, Seq[Long])].collect()
+    val primary = HashRing.assign(keys, "k", 16, 32)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    got.foreach { case (k, reps) =>
+      assert(reps.size === 3 && reps.distinct.size === 3, s"key $k")
+      assert(reps === localReps(k, 3), s"key $k")
+      assert(reps.head === primary(k), s"key $k primary")
+    }
+  }
+
+  test("replicationAudit: responsibility conserved at R × corpus, " +
+    "primary column equals loadAudit's key counts, 16 rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val audit = HashRing.replicationAudit(spark, docs, "doc_id",
+      16, 32, replicas = 3).collect()
+    assert(audit.length === 16)
+    val n = docs.count()
+    assert(audit.map(_.getAs[Long]("n_primary")).sum === n)
+    assert(audit.map(_.getAs[Long]("n_responsible")).sum === 3 * n)
+    val load = HashRing.loadAudit(spark, docs, "doc_id", 16, 32)
+      .select("shard", "n_keys").as[(Long, Long)].collect().toMap
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_primary") ===
+        load(r.getAs[Long]("shard")), s"shard ${r.get(0)}")
+    }
+  }
+
+  test("property: ringWeighted is total for random capacity vectors " +
+    "(distinct sorted positions, capacity-exact vnode counts) and " +
+    "BIT-UNCHANGED from the unsalted construction when no label " +
+    "collides") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caps = Gen.nonEmptyListOf(Gen.choose(1, 40)).map(_.take(32))
+    val prop = Prop.forAll(caps) { cs =>
+      val r = HashRing.ringWeighted(cs)
+      val naive = (for {
+        (c, s) <- cs.zipWithIndex
+        v <- 0 until c
+      } yield (HashRing.labelPos(s"shard:$s:$v"), s.toLong)).sortBy(_._1)
+      r.size == cs.sum &&
+        r.map(_._1).distinct.size == r.size &&
+        r.map(_._1) == r.map(_._1).sorted &&
+        ((naive.map(_._1).distinct.size != naive.size) || r == naive)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"weighted-ring property: ${res.status}")
+  }
+
+  test("salt-retry: under an injected tiny position space the " +
+    "unsalted labels DO collide and the retry walk still yields a " +
+    "total, distinct, deterministic ring; exhaustion fails loudly") {
+    // 97 slots, 60 vnodes: birthday collisions guaranteed in practice
+    val posOf = (l: String) => HashRing.labelFold(l) % 97L
+    val caps = Seq(20, 25, 15)
+    val naive = (for {
+      (c, s) <- caps.zipWithIndex; v <- 0 until c
+    } yield posOf(s"shard:$s:$v")).toSeq
+    assert(naive.distinct.size < naive.size,
+      "fixture must actually exercise the retry path")
+    val r = HashRing.ringWeightedWith(caps, posOf)
+    assert(r.size === caps.sum)
+    assert(r.map(_._1).distinct.size === r.size)
+    assert(r.map(_._1) === r.map(_._1).sorted)
+    // per-shard vnode counts survive the retries exactly
+    assert(r.groupBy(_._2).view.mapValues(_.size).toMap ===
+      caps.zipWithIndex.map { case (c, s) => s.toLong -> c }.toMap)
+    assert(r === HashRing.ringWeightedWith(caps, posOf), "deterministic")
+    // more vnodes than positions: the 4096-retry bound trips loudly
+    val ex = intercept[IllegalArgumentException] {
+      HashRing.ringWeightedWith(Seq(98), posOf)
+    }
+    assert(ex.getMessage.contains("position space exhausted"))
+  }
+
   test("reshardAudit: ring beats mod-N on the documents fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val row = HashRing.reshardAudit(docs, "doc_id", 16, 20, 32)
