@@ -9743,6 +9743,234 @@ object OracleSql {
        |      % 1000000007 AS p
        |  FROM documents)""".stripMargin
 
+  /** q362: the flagship training-data pipeline composite — every
+    * stage replayed as CTEs over the SURVIVOR set of the previous
+    * stage, in production order: token-floor curate → exact-text
+    * dedup (min-id keeper) → q132's portable MinHash near-dedup →
+    * the q349 SemDeDup chain re-trained on the survivors → q213's
+    * benchmark 8-gram decontamination (full-corpus benchmark, %10) →
+    * the q305 unigram vocab + greedy DP (12-char words; longer words
+    * charge ⌈len/4⌉) → the q353 pack walk at capacity 256. The final
+    * select assembles one audit row per stage. */
+  private val q362 = {
+    val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+    val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
+    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((h * $a + $b) % 1000000007) AS m$j"
+    }.mkString(",\n      |    ")
+    val dims = 64
+    val k = 8
+    def assignCte(cent: String, out: String): String =
+      s"""d_$out AS MATERIALIZED (
+         |  SELECT v.vec_id, v.q, c.cl,
+         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+         |  FROM qv v CROSS JOIN $cent c),
+         |$out AS MATERIALIZED (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d_$out)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(assigned: String, out: String): String =
+      s"""m_$out AS MATERIALIZED (
+         |  SELECT cl, d,
+         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
+         |$out AS MATERIALIZED (
+         |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+    val rounds = greedyRounds("gr", "vocab6")
+    s"""WITH RECURSIVE
+       |s0 AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source,
+       |    CAST(n_chars AS BIGINT) AS n_chars
+       |  FROM documents),
+       |s1 AS MATERIALIZED (
+       |  SELECT * FROM s0
+       |  WHERE len(string_split(lower(text), ' ')) >= 40),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1 WHERE doc_id IN (
+       |    SELECT MIN(doc_id) FROM s1 GROUP BY text)),
+       |w3 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM s2),
+       |t3 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+       |  FROM w3, UNNEST(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3),
+       |h3 AS (
+       |  SELECT doc_id, tok,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+       |  FROM t3),
+       |g3 AS (
+       |  SELECT doc_id, $mins
+       |  FROM h3 GROUP BY doc_id),
+       |c3 AS (
+       |  SELECT ga.doc_id AS a, gb.doc_id AS b FROM g3 ga JOIN g3 gb
+       |    ON ga.m0=gb.m0 AND ga.m1=gb.m1 AND ga.m2=gb.m2 AND ga.m3=gb.m3
+       |   AND ga.doc_id < gb.doc_id
+       |  UNION
+       |  SELECT ga.doc_id, gb.doc_id FROM g3 ga JOIN g3 gb
+       |    ON ga.m4=gb.m4 AND ga.m5=gb.m5 AND ga.m6=gb.m6 AND ga.m7=gb.m7
+       |   AND ga.doc_id < gb.doc_id),
+       |z3 AS (SELECT doc_id, COUNT(*) AS n FROM t3 GROUP BY 1),
+       |x3 AS (
+       |  SELECT c.a, c.b, COUNT(*) AS inter
+       |  FROM c3 c
+       |  JOIN t3 ta ON ta.doc_id = c.a
+       |  JOIN t3 tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |mp AS MATERIALIZED (
+       |  SELECT i.a, i.b
+       |  FROM x3 i JOIN z3 sa ON sa.doc_id = i.a
+       |  JOIN z3 sb ON sb.doc_id = i.b
+       |  WHERE 2 * i.inter >= sa.n + sb.n - i.inter),
+       |s3 AS MATERIALIZED (
+       |  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT b FROM mp)),
+       |qv AS MATERIALIZED (
+       |  SELECT e.vec_id, list_transform(e.embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings e JOIN s3 s ON s.doc_id = e.vec_id),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
+       |${assignCte("c0", "a0")},
+       |${meanCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${meanCte("a1", "c2")},
+       |${assignCte("c2", "lists")},
+       |n2 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(list_aggregate(list_transform(
+       |    range(1, ${dims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
+       |  FROM qv),
+       |dup AS MATERIALIZED (
+       |  SELECT cl, a, b FROM (
+       |    SELECT x.cl AS cl, x.vec_id AS a, y.vec_id AS b,
+       |      nx.n2 AS na, ny.n2 AS nb,
+       |      CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
+       |        i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS idot
+       |    FROM lists x JOIN lists y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |    JOIN n2 nx ON nx.vec_id = x.vec_id
+       |    JOIN n2 ny ON ny.vec_id = y.vec_id)
+       |  WHERE idot >= 0
+       |    AND CAST(idot AS HUGEINT) * idot * 100 >= 9 * CAST(na AS HUGEINT) * nb),
+       |s4 AS MATERIALIZED (
+       |  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT DISTINCT b FROM dup)),
+       |b5 AS (
+       |  SELECT doc_id, doc_id % 10 = 0 AS ib,
+       |    string_split(lower(text), ' ') AS ws
+       |  FROM s0),
+       |g5 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
+       |  FROM b5, UNNEST(range(1, len(ws) - 6)) t(i)
+       |  WHERE len(ws) >= 8),
+       |bg5 AS (
+       |  SELECT g5.shingle, g5.doc_id AS bench_doc
+       |  FROM g5 JOIN b5 USING (doc_id) WHERE b5.ib),
+       |flg AS MATERIALIZED (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM g5 c JOIN bg5 ON c.shingle = bg5.shingle
+       |    AND c.doc_id <> bg5.bench_doc
+       |  WHERE c.doc_id % 10 <> 0),
+       |s5 AS MATERIALIZED (
+       |  SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM flg)),
+       |toks6 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM s5),
+       |starts6 AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM (SELECT tok FROM toks6)),
+       |sub6 AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM starts6
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vocab6 AS MATERIALIZED (
+       |  SELECT piece FROM sub6 GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |words6 AS (
+       |  SELECT DISTINCT tok AS word FROM toks6 WHERE len(tok) <= 12),
+       |gr0 AS (
+       |  SELECT word, 0 AS pos, '' AS path FROM words6),
+       |$rounds,
+       |pieces AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS np
+       |  FROM gr12 WHERE pos = len(word)),
+       |dtok AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(CASE WHEN len(t.tok) <= 12 THEN p.np
+       |      ELSE (len(t.tok) + 3) // 4 END) AS BIGINT) AS n_tokens
+       |  FROM toks6 t LEFT JOIN pieces p ON p.word = t.tok GROUP BY 1),
+       |stok AS MATERIALIZED (
+       |  SELECT s.doc_id, s.source,
+       |    CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM s5 s LEFT JOIN dtok d USING (doc_id)),
+       |pt AS MATERIALIZED (
+       |  SELECT source, doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM stok),
+       |pwalk(source, rn, doc_id, len, seq_id, seq_offset) AS (
+       |  SELECT source, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM pt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.source, n.rn, n.doc_id, n.n_tokens,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_tokens > 256
+       |         THEN w.seq_id + 1 ELSE w.seq_id END,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_tokens > 256
+       |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
+       |  FROM pwalk w JOIN pt n ON n.source = w.source AND n.rn = w.rn + 1),
+       |nseq AS (
+       |  SELECT CAST(COALESCE(SUM(m + 1), 0) AS BIGINT) AS s
+       |  FROM (SELECT source, MAX(seq_id) AS m FROM pwalk GROUP BY source)),
+       |ttok AS (
+       |  SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t FROM stok),
+       |cr AS (
+       |  SELECT GREATEST(CAST(COALESCE(SUM(n_chars), 0) AS BIGINT), 1) AS c
+       |  FROM s0),
+       |sz AS (
+       |  SELECT 0 AS sno, 'raw' AS nm, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS ch FROM s0
+       |  UNION ALL SELECT 1, 'curate', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s1
+       |  UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s3
+       |  UNION ALL SELECT 4, 'semantic_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s4
+       |  UNION ALL SELECT 5, 'decontaminate', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s5),
+       |gate AS (
+       |  SELECT CAST(sno AS BIGINT) AS stage_no, nm AS stage,
+       |    CAST(COALESCE(LAG(n) OVER (ORDER BY sno), n) AS BIGINT)
+       |      AS docs_in,
+       |    n AS docs_out, ch AS chars_out
+       |  FROM sz)
+       |SELECT stage_no, stage, docs_in, docs_out,
+       |  docs_in - docs_out AS removed, chars_out,
+       |  CAST(chars_out * 1000000 // (SELECT c FROM cr) AS BIGINT)
+       |    AS mass_ppm,
+       |  CAST(-1 AS BIGINT) AS tokens_out, CAST(-1 AS BIGINT) AS n_seqs
+       |FROM gate
+       |UNION ALL
+       |SELECT 6, 'tokenize', z.n, z.n, 0, z.ch,
+       |  CAST(z.ch * 1000000 // (SELECT c FROM cr) AS BIGINT),
+       |  (SELECT t FROM ttok), CAST(-1 AS BIGINT)
+       |FROM sz z WHERE z.sno = 5
+       |UNION ALL
+       |SELECT 7, 'pack', z.n, z.n, 0, z.ch,
+       |  CAST(z.ch * 1000000 // (SELECT c FROM cr) AS BIGINT),
+       |  (SELECT t FROM ttok), (SELECT s FROM nseq)
+       |FROM sz z WHERE z.sno = 5
+       |ORDER BY stage_no""".stripMargin
+  }
+
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
     * non-wrapped arc first), keep each SHARD's first appearance, and
@@ -10010,6 +10238,33 @@ object OracleSql {
        |ORDER BY r.bands DESC""".stripMargin
   }
 
+  /** q366: band-geometry chooser — q359's sweep wrapped in the
+    * one-row argmax: max recall under a 50% precision floor, ties
+    * toward fewer candidates then more bands. */
+  private val q366 =
+    s"""SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+       |  recall_ppm, precision_ppm,
+       |  (precision_ppm >= 500000) AS qualifies
+       |FROM ($q359)
+       |ORDER BY qualifies DESC, recall_ppm DESC, n_candidates ASC,
+       |  bands DESC
+       |LIMIT 1""".stripMargin
+
+  /** q367: SemDeDup τ chooser — q356's sweep wrapped in the one-row
+    * argmax: most aggressive τ (max flagged) under a 50% retention
+    * floor, ties toward smaller τ. */
+  private val q367 =
+    s"""SELECT tau_num, tau_den, n_dup_edges, n_flagged, n_kept,
+       |  CAST(n_kept * 1000000 //
+       |    (SELECT COUNT(*) FROM embeddings) AS BIGINT) AS kept_ppm,
+       |  (CAST(n_kept * 1000000 //
+       |    (SELECT COUNT(*) FROM embeddings) AS BIGINT) >= 500000)
+       |    AS qualifies
+       |FROM ($q356)
+       |ORDER BY qualifies DESC, n_flagged DESC,
+       |  tau_num * 1000000 // tau_den ASC
+       |LIMIT 1""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_topk_nested_limit" -> q02,
@@ -10213,9 +10468,12 @@ object OracleSql {
     "q359_lsh_band_sweep" -> q359,
     "q360_reshard_plan" -> q360,
     "q361_weighted_ring" -> q361,
+    "q362_pipeline_composite" -> q362,
     "q363_ring_replicated" -> q363,
     "q364_pack_segmented" -> q364,
     "q365_pack_boundary_waste" -> q365,
+    "q366_band_chooser" -> q366,
+    "q367_tau_chooser" -> q367,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4404,6 +4404,118 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Round-14 FLAGSHIP: the training-data pipeline as ONE DAG — every
+    * stage the engine ships separately, composed in production order
+    * with a per-stage audit row: curate (q173 gate) → exact dedup
+    * (q15) → MinHash near-dedup (q132) → SemDeDup (q349, Lloyd re-run
+    * on the SURVIVOR subset — the honest pipeline semantics) →
+    * benchmark decontamination (q213, full-corpus benchmark set) →
+    * unigram tokenize (q305 vocab+greedy DP on survivors; words over
+    * the 12-char DP bound charge the ⌈len/4⌉ lower bound) → sequence
+    * pack (q353, capacity 256 tokens). Output: one row per stage —
+    * docs in/out, removed, surviving char mass (ppm of raw), and the
+    * tokenize/pack stages' token and sequence totals (−1 where not
+    * applicable). Every number is an exact integer; the oracle
+    * replays the full chain as staged CTEs.
+    *
+    * Scale shape: each stage is the registered operator's own plan
+    * (those plans are audited individually in PLANS.md); the splice
+    * between stages is an id semi/anti-join, and intermediate
+    * survivor sets are eagerly checkpointed once and reused by the
+    * stage audits — no stage recomputes its predecessors. */
+  private def qPipelineComposite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
+      .localCheckpoint()
+    // stage 1 — curate: the q173 quality gate (min-token floor). The
+    // blocklist screen stays OUT of this composite deliberately: the
+    // fixture's only blocklistable token is the planted dup marker
+    // itself, and screening it would starve the three dedup stages
+    // this DAG exists to chain (the screen is exercised standalone by
+    // q173/q174).
+    val toksOf = split(lower(col("text")), " ")
+    val s1 = docs.filter(size(toksOf) >= 40).localCheckpoint()
+    // stage 2 — exact dedup: q15's keeper election on raw text
+    val keeperIds = Dedup.exact(s1, col("text"), col("doc_id"))
+      .select(col("keeper_id").as("doc_id"))
+    val s2 = s1.join(keeperIds, Seq("doc_id"), "semi").localCheckpoint()
+    // stage 3 — near dedup: q132's portable MinHash pairs, drop the
+    // larger id of every J >= 1/2 pair (first-arrival)
+    val nearDrop = MinHashLSH.nearDuplicatesPortable(s2, "doc_id", "text")
+      .select(col("b").as("doc_id")).distinct()
+    val s3 = s2.join(nearDrop, Seq("doc_id"), "left_anti").localCheckpoint()
+    // stage 4 — SemDeDup: the q349 chain re-trained on the survivors
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+      .join(s3.select(col("doc_id").as("id")), Seq("id"))
+    val assigned = IvfIndex.assignPortable(vecs,
+        IvfIndex.trainPortable(s, vecs, k = 8, iters = 2))
+      .localCheckpoint()
+    val semDrop = Similarity.semanticDupEdges(assigned, 3, 10)
+      .select(col("b").as("doc_id")).distinct()
+    val s4 = s3.join(semDrop, Seq("doc_id"), "left_anti").localCheckpoint()
+    // stage 5 — decontaminate: q213 flags vs the FULL-corpus benchmark
+    // (per-doc flags depend only on the doc's own grams + the bench
+    // postings, so full-corpus evaluation IS survivor semantics)
+    val contamDrop = Dedup.benchmarkNgramContamination(docs,
+        "doc_id", "text", col("doc_id") % 10 === 0, n = 8)
+      .filter(col("flagged")).select("doc_id")
+    val s5 = s4.join(contamDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stage 6 — tokenize: q305 unigram vocab + greedy DP on survivors
+    val segs = UnigramSegment.greedySegment(s5, "text",
+        UnigramSegment.pieceVocab(s5, "text"))
+      .select(col("word"), col("n_pieces").cast("long").as("np"))
+    val occs = s5.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("tok"))
+    val docTokens = occs.join(segs, occs("tok") === segs("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(length(col("tok")) <= 12, col("np"))
+        .otherwise(expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")))
+        .as("n_tokens"))
+    val s5tok = s5.select("doc_id", "source")
+      .join(docTokens, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .localCheckpoint()
+    // stage 7 — pack: q353's first-fit fold at 256 tokens per sequence
+    val packed = Curation.packSequences(s5tok, "doc_id", "n_tokens",
+      "source", capacity = 256L)
+    // ---- the audit (exact scalars over the checkpointed stages) ----
+    def cnt(df: DataFrame): Long = df.count()
+    def chars(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+    val charsRaw = math.max(chars(docs), 1L)
+    val totTokens = s5tok.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head.getLong(0)
+    val nSeqs = packed.groupBy("source")
+      .agg((max(col("seq_id")) + 1L).as("ns"))
+      .agg(coalesce(sum(col("ns")), lit(0L))).head.getLong(0)
+    val sizes = Seq(docs, s1, s2, s3, s4, s5).map(d => (cnt(d), chars(d)))
+    val names = Seq("raw", "curate", "exact_dedup", "near_dedup",
+      "semantic_dedup", "decontaminate")
+    val gateRows = names.zipWithIndex.map { case (nm, i) =>
+      val in = if (i == 0) sizes.head._1 else sizes(i - 1)._1
+      val (out, ch) = sizes(i)
+      (i.toLong, nm, in, out, in - out, ch,
+        ch * 1000000L / charsRaw, -1L, -1L)
+    }
+    val tailRows = Seq(
+      (6L, "tokenize", sizes.last._1, sizes.last._1, 0L, sizes.last._2,
+        sizes.last._2 * 1000000L / charsRaw, totTokens, -1L),
+      (7L, "pack", sizes.last._1, sizes.last._1, 0L, sizes.last._2,
+        sizes.last._2 * 1000000L / charsRaw, totTokens, nSeqs))
+    import s.implicits._
+    (gateRows ++ tailRows)
+      .toDF("stage_no", "stage", "docs_in", "docs_out", "removed",
+        "chars_out", "mass_ppm", "tokens_out", "n_seqs")
+      .orderBy("stage_no")
+  }
+
   /** Round-14: Dynamo-style ring REPLICATION — each key's first R=3
     * DISTINCT-shard clockwise successors (primary + 2 replica
     * holders) on the q357 geometry, audited per shard: primary share
@@ -4506,6 +4618,35 @@ object SparkEntry {
   private def qLshBandSweep(s: SparkSession, dir: String): DataFrame =
     operators.MinHashLSH.bandSweepAudit(Tables.documents(s, dir),
       "doc_id", "text")
+
+  /** Round-14: band-geometry CHOOSER — the q359 sweep folded into the
+    * one-row decision a deployment needs (the q208_best_f1
+    * convention): among the measured bandings, the max-recall config
+    * subject to a 50% precision floor, ties broken toward fewer
+    * candidate pairs then more bands. Shares q359's single-signature
+    * sweep; the selection is one 4-row sort. */
+  private def qBandChooser(s: SparkSession, dir: String): DataFrame =
+    operators.MinHashLSH.bandSweepAudit(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("qualifies", col("precision_ppm") >= 500000L)
+      .orderBy(col("qualifies").desc, col("recall_ppm").desc,
+        col("n_candidates").asc, col("bands").desc)
+      .limit(1)
+
+  /** Round-14: SemDeDup τ CHOOSER — the q356 sensitivity sweep folded
+    * into its decision row: the most AGGRESSIVE τ (max flagged)
+    * subject to retaining ≥ 50% of the corpus, ties toward smaller τ.
+    * The "pick the threshold before the 100 TB run" step made
+    * actionable without a human reading the curve. */
+  private def qTauChooser(s: SparkSession, dir: String): DataFrame = {
+    val nVecs = Tables.embeddings(s, dir).count()
+    qSemDedupTauSweep(s, dir)
+      .withColumn("kept_ppm", expr(s"n_kept * 1000000L div ${nVecs}L"))
+      .withColumn("qualifies", col("kept_ppm") >= 500000L)
+      .orderBy(col("qualifies").desc, col("n_flagged").desc,
+        expr("tau_num * 1000000L div tau_den").asc)
+      .limit(1)
+  }
 
   /** Round-10: t-closeness audit — the anonymity ladder's third rung
     * (after q161 k-anonymity and q169 l-diversity): per
@@ -5558,9 +5699,12 @@ object SparkEntry {
       "q359_lsh_band_sweep" -> (qLshBandSweep _),
       "q360_reshard_plan" -> (qReshardPlan _),
       "q361_weighted_ring" -> (qWeightedRing _),
+      "q362_pipeline_composite" -> (qPipelineComposite _),
       "q363_ring_replicated" -> (qRingReplicated _),
       "q364_pack_segmented" -> (qPackSegmented _),
-      "q365_pack_boundary_waste" -> (qPackBoundaryWaste _))
+      "q365_pack_boundary_waste" -> (qPackBoundaryWaste _),
+      "q366_band_chooser" -> (qBandChooser _),
+      "q367_tau_chooser" -> (qTauChooser _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5673,7 +5817,13 @@ object SparkEntry {
     // the MinHash band-geometry sweep (one signature pass, 15 band
     // joins, exhaustive-truth recall/precision per banding)
     "q357_hash_ring", "q358_reshard_movement", "q359_lsh_band_sweep",
-    "q360_reshard_plan", "q361_weighted_ring")
+    "q360_reshard_plan", "q361_weighted_ring",
+    // round 14: the flagship end-to-end pipeline composite, ring
+    // replication, segment-packed packing + its boundary-waste
+    // ledger, and the sweep-to-decision choosers
+    "q362_pipeline_composite", "q363_ring_replicated",
+    "q364_pack_segmented", "q365_pack_boundary_waste",
+    "q366_band_chooser", "q367_tau_chooser")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -105,6 +105,86 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q362 stage order: audit rows chain exactly, masses are " +
+    "monotone, every dedup/filter stage is non-vacuous on the " +
+    "fixture, and gates match their standalone operators") {
+    val out = SparkEntry.queries("q362_pipeline_composite")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 8)
+    // stage k's docs_in is exactly stage k-1's docs_out, removed is
+    // exact, and nothing is ever re-added
+    for (i <- 1 until 8) {
+      assert(out(i).getLong(2) === out(i - 1).getLong(3), s"chain@$i")
+      assert(out(i).getLong(4) === out(i).getLong(2) - out(i).getLong(3))
+      assert(out(i).getLong(5) <= out(i - 1).getLong(5), s"mass@$i")
+    }
+    // the fixture exercises the curate gate, near-dedup, SemDeDup and
+    // decontamination (exact-dedup is honestly zero: the corpus has
+    // no byte-identical texts, asserted below)
+    val removedBy = out.map(r => r.getString(1) -> r.getLong(4)).toMap
+    for (stg <- Seq("curate", "near_dedup", "semantic_dedup",
+        "decontaminate"))
+      assert(removedBy(stg) > 0L, s"$stg must bite on the fixture")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(docs.select("text").distinct.count() === docs.count(),
+      "fixture has no exact dups, so exact_dedup = 0 is honest")
+    assert(removedBy("exact_dedup") === 0L)
+    // stage 1 gate replayed directly
+    assert(out(1).getLong(3) ===
+      docs.filter(size(split(lower(col("text")), " ")) >= 40).count())
+    // stage 3 removal = b-sides of the portable near-dup pairs among
+    // the gate survivors (per-doc signatures are subset-independent)
+    val s1 = docs.filter(size(split(lower(col("text")), " ")) >= 40)
+    val nearB = graft.operators.MinHashLSH
+      .nearDuplicatesPortable(s1, "doc_id", "text")
+      .select(col("b")).distinct().count()
+    assert(removedBy("near_dedup") === nearB)
+    // tokenize/pack stages preserve the doc set; totals are sane
+    assert(out(6).getLong(3) === out(5).getLong(3))
+    assert(out(7).getLong(3) === out(6).getLong(3))
+    val tokens = out(6).getLong(7)
+    val nSeqs = out(7).getLong(8)
+    assert(tokens > 0L && nSeqs > 0L)
+    // pack lower bounds: at least ceil(tokens/capacity), and at least
+    // one sequence per surviving source
+    val nSources = 20L // fixture sources; every source keeps >= 1 doc
+    assert(nSeqs >= tokens / 256L)
+    assert(nSeqs >= nSources || out(5).getLong(3) < nSources)
+  }
+
+  test("q366/q367 choosers: the selected row IS the sweep's argmax " +
+    "under its floor, replayed locally from the full sweep") {
+    // band chooser vs its own sweep
+    val sweep = SparkEntry.queries("q359_lsh_band_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val expectBand = sweep
+      .map(t => (t, t._7 >= 500000L))
+      .sortBy { case ((b, _, nc, _, _, rec, _), q) =>
+        (!q, -rec, nc, -b) }
+      .head
+    val gotBand = SparkEntry.queries("q366_band_chooser")(spark, sf)
+      .collect().head
+    assert((gotBand.getLong(0), gotBand.getLong(1)) ===
+      ((expectBand._1._1, expectBand._1._2)))
+    assert(gotBand.getBoolean(7) === expectBand._2)
+    // tau chooser vs its own sweep
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val tsweep = SparkEntry.queries("q356_semdedup_tau_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expectTau = tsweep
+      .map(t => (t, t._5 * 1000000L / nVecs >= 500000L))
+      .sortBy { case ((tn, td, _, fl, _), q) =>
+        (!q, -fl, tn * 1000000L / td) }
+      .head
+    val gotTau = SparkEntry.queries("q367_tau_chooser")(spark, sf)
+      .collect().head
+    assert((gotTau.getLong(0), gotTau.getLong(1)) ===
+      ((expectTau._1._1, expectTau._1._2)))
+    assert(gotTau.getBoolean(6) === expectTau._2)
+  }
+
   test("q364/q365 shape: q365 extra_seqs is non-negative and " +
     "fill_ppm_seg <= fill_ppm_base per source") {
     val out = SparkEntry.queries("q365_pack_boundary_waste")(spark, sf)
