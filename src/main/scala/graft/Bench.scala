@@ -50,8 +50,13 @@ object Bench {
     // can all land inside one stall window — spreading each query's
     // attempts across the whole run makes the per-query min robust to
     // bursty contention.
+    // SPARK_GRAFT_BENCH_RUNS=1 for the once-per-round FULL-BOARD tail
+    // sweep (367 queries × 3 would dominate the round); the driver
+    // never sets it, so the contract default stays best-of-3.
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(_.toInt).filter(_ >= 1).getOrElse(3)
     val best = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 3).foreach { _ =>
+    (1 to nRuns).foreach { _ =>
       benchNames.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
