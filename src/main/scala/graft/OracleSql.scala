@@ -9752,7 +9752,11 @@ object OracleSql {
     * the q305 unigram vocab + greedy DP (12-char words; longer words
     * charge ⌈len/4⌉) → the q353 pack walk at capacity 256. The final
     * select assembles one audit row per stage. */
-  private val q362 = {
+  /** Shared q362/q368 pipeline chain: the seven curation stages as
+    * CTEs, each reading the previous stage's survivor set (see q362
+    * doc); `pwalk` is the packed per-doc assignment of the final
+    * survivors. */
+  private val pipelineCtes = {
     val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
     val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
     val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
@@ -9780,8 +9784,7 @@ object OracleSql {
          |$out AS MATERIALIZED (
          |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
     val rounds = greedyRounds("gr", "vocab6")
-    s"""WITH RECURSIVE
-       |s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source,
        |    CAST(n_chars AS BIGINT) AS n_chars
        |  FROM documents),
@@ -9924,7 +9927,13 @@ object OracleSql {
        |    CASE WHEN w.seq_offset + w.len > 0
        |           AND w.seq_offset + w.len + n.n_tokens > 256
        |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
-       |  FROM pwalk w JOIN pt n ON n.source = w.source AND n.rn = w.rn + 1),
+       |  FROM pwalk w JOIN pt n ON n.source = w.source AND n.rn = w.rn + 1)""".stripMargin
+  }
+
+  /** q362: the per-stage audit rollup over the chain. */
+  private val q362 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
        |nseq AS (
        |  SELECT CAST(COALESCE(SUM(m + 1), 0) AS BIGINT) AS s
        |  FROM (SELECT source, MAX(seq_id) AS m FROM pwalk GROUP BY source)),
@@ -9969,6 +9978,99 @@ object OracleSql {
        |  (SELECT t FROM ttok), (SELECT s FROM nseq)
        |FROM sz z WHERE z.sno = 5
        |ORDER BY stage_no""".stripMargin
+
+
+  /** q368: the per-document provenance ledger over the same chain —
+    * each raw doc's first-removal stage (or 'kept') plus the packed
+    * sequence address for survivors. Five survivor left-joins, CASE
+    * in stage order. */
+  private val q368 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes
+       |SELECT d.doc_id,
+       |  CASE WHEN g1.doc_id IS NULL THEN 'short'
+       |       WHEN g2.doc_id IS NULL THEN 'exact_dup'
+       |       WHEN g3.doc_id IS NULL THEN 'near_dup'
+       |       WHEN g4.doc_id IS NULL THEN 'semantic_dup'
+       |       WHEN g5.doc_id IS NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS disposition,
+       |  CAST(COALESCE(w.seq_id, -1) AS BIGINT) AS seq_id,
+       |  CAST(COALESCE(w.seq_offset, -1) AS BIGINT) AS seq_offset
+       |FROM s0 d
+       |LEFT JOIN s1 g1 ON g1.doc_id = d.doc_id
+       |LEFT JOIN s2 g2 ON g2.doc_id = d.doc_id
+       |LEFT JOIN s3 g3 ON g3.doc_id = d.doc_id
+       |LEFT JOIN s4 g4 ON g4.doc_id = d.doc_id
+       |LEFT JOIN s5 g5 ON g5.doc_id = d.doc_id
+       |LEFT JOIN pwalk w ON w.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q369: weighted-ring replication audit — the q361 capacity vnode
+    * table + the q363 walk-rank replay, R = 3; publishes capacity
+    * intent vs measured primary / total-responsibility load. */
+  private val q369 = {
+    val caps = Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16,
+      8, 8, 8, 8)
+    val capRows = caps.zipWithIndex
+      .map { case (c, s) => s"($s, $c)" }.mkString(", ")
+    val totalCap = caps.sum
+    s"""WITH caps AS (SELECT * FROM (VALUES $capRows) c(shard, cap)),
+       |vn0 AS (
+       |  SELECT CAST(shard AS BIGINT) AS shard,
+       |    CAST(UNNEST(range(0, cap)) AS BIGINT) AS v
+       |  FROM caps),
+       |vn AS (
+       |  SELECT shard, 'shard:' || shard || ':' || v AS label FROM vn0),
+       |vf AS (
+       |  SELECT shard,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(label, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+       |  FROM vn),
+       |vp AS (
+       |  SELECT shard,
+       |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+       |  FROM vf),
+       |keys AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ((doc_id % 1000000007) * 2654435761 + 40503)
+       |      % 1000000007 AS p
+       |  FROM documents),
+       |ord AS (
+       |  SELECT k.doc_id, vp.shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id
+       |      ORDER BY (vp.pos < k.p), vp.pos) AS rnk
+       |  FROM keys k CROSS JOIN vp),
+       |firsts AS (
+       |  SELECT doc_id, shard, MIN(rnk) AS fr
+       |  FROM ord GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fr)
+       |      AS replica_rank
+       |  FROM firsts),
+       |cnt AS (
+       |  SELECT shard,
+       |    CAST(SUM(CASE WHEN replica_rank = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_primary,
+       |    CAST(SUM(CASE WHEN replica_rank > 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_replica
+       |  FROM rep WHERE replica_rank <= 3 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keys)
+       |SELECT CAST(c.shard AS BIGINT) AS shard,
+       |  CAST(c.cap AS BIGINT) AS n_vnodes,
+       |  CAST(c.cap * 1000000 // $totalCap AS BIGINT) AS capacity_ppm,
+       |  CAST(COALESCE(n.n_primary, 0) AS BIGINT) AS n_primary,
+       |  CAST(COALESCE(n.n_replica, 0) AS BIGINT) AS n_replica,
+       |  CAST(COALESCE(n.n_primary, 0) + COALESCE(n.n_replica, 0)
+       |    AS BIGINT) AS n_responsible,
+       |  CAST(COALESCE(n.n_primary, 0) * 1000000 // t.n_total
+       |    AS BIGINT) AS primary_ppm,
+       |  CAST((COALESCE(n.n_primary, 0) + COALESCE(n.n_replica, 0))
+       |    * 1000000 // t.n_total AS BIGINT) AS responsible_ppm
+       |FROM caps c LEFT JOIN cnt n ON n.shard = c.shard, tot t
+       |ORDER BY shard""".stripMargin
   }
 
   /** q363: replication audit — per key, rank every vnode by clockwise
@@ -10474,6 +10576,8 @@ object OracleSql {
     "q365_pack_boundary_waste" -> q365,
     "q366_band_chooser" -> q366,
     "q367_tau_chooser" -> q367,
+    "q368_pipeline_disposition" -> q368,
+    "q369_weighted_replication" -> q369,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

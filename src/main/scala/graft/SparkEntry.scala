@@ -4423,8 +4423,15 @@ object SparkEntry {
     * between stages is an id semi/anti-join, and intermediate
     * survivor sets are eagerly checkpointed once and reused by the
     * stage audits — no stage recomputes its predecessors. */
-  private def qPipelineComposite(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.DataFrame
+  /** The q362/q368 stage chain: raw docs plus the five survivor sets
+    * and the tokenized/packed tail, every set eagerly checkpointed so
+    * neither consumer recomputes a predecessor. */
+  private case class PipelineStages(docs: DataFrame, s1: DataFrame,
+    s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame,
+    s5tok: DataFrame, packed: DataFrame)
+
+  private def pipelineStages(s: SparkSession,
+      dir: String): PipelineStages = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("source"), col("n_chars").cast("long").as("n_chars"))
@@ -4484,7 +4491,14 @@ object SparkEntry {
       .localCheckpoint()
     // stage 7 — pack: q353's first-fit fold at 256 tokens per sequence
     val packed = Curation.packSequences(s5tok, "doc_id", "n_tokens",
-      "source", capacity = 256L)
+        "source", capacity = 256L)
+      .localCheckpoint()
+    PipelineStages(docs, s1, s2, s3, s4, s5, s5tok, packed)
+  }
+
+  private def qPipelineComposite(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    import st._
     // ---- the audit (exact scalars over the checkpointed stages) ----
     def cnt(df: DataFrame): Long = df.count()
     def chars(df: DataFrame): Long =
@@ -4514,6 +4528,40 @@ object SparkEntry {
       .toDF("stage_no", "stage", "docs_in", "docs_out", "removed",
         "chars_out", "mass_ppm", "tokens_out", "n_seqs")
       .orderBy("stage_no")
+  }
+
+  /** Round-14: per-document PROVENANCE ledger for the q362 pipeline —
+    * one row per RAW doc with the stage that removed it ('short',
+    * 'exact_dup', 'near_dup', 'semantic_dup', 'contaminated') or
+    * 'kept', and for survivors the packed (seq_id, seq_offset)
+    * training-batch address. The row-level twin of q362's stage
+    * totals — any single misrouted document flips the oracle hash —
+    * and the "why did my doc disappear" debug query a pipeline
+    * operator actually runs. Shares [[pipelineStages]]'s checkpointed
+    * chain; the classification is five id left-joins. */
+  private def qPipelineDisposition(s: SparkSession,
+      dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id")).withColumn(name, lit(true))
+    st.docs.select("doc_id")
+      .join(mark(st.s1, "_g1"), Seq("doc_id"), "left")
+      .join(mark(st.s2, "_g2"), Seq("doc_id"), "left")
+      .join(mark(st.s3, "_g3"), Seq("doc_id"), "left")
+      .join(mark(st.s4, "_g4"), Seq("doc_id"), "left")
+      .join(mark(st.s5, "_g5"), Seq("doc_id"), "left")
+      .join(st.packed.select(col("doc_id"), col("seq_id"),
+        col("seq_offset")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_g1").isNull, "short")
+          .when(col("_g2").isNull, "exact_dup")
+          .when(col("_g3").isNull, "near_dup")
+          .when(col("_g4").isNull, "semantic_dup")
+          .when(col("_g5").isNull, "contaminated")
+          .otherwise("kept").as("disposition"),
+        coalesce(col("seq_id"), lit(-1L)).as("seq_id"),
+        coalesce(col("seq_offset"), lit(-1L)).as("seq_offset"))
+      .orderBy("doc_id")
   }
 
   /** Round-14: Dynamo-style ring REPLICATION — each key's first R=3
@@ -4608,6 +4656,17 @@ object SparkEntry {
   private def qWeightedRing(s: SparkSession, dir: String): DataFrame =
     operators.HashRing.loadAuditWeighted(s, Tables.documents(s, dir),
       "doc_id", q361Capacities)
+
+  /** Round-14: replication on the WEIGHTED ring — the q361
+    * heterogeneous fleet under Dynamo R=3 placement: per shard, the
+    * capacity intent (vnode ppm) vs measured primary and
+    * total-responsibility load. Shows replica load tracks capacity
+    * with zero per-key state — replicas are just further successor
+    * walks over the same capacity-proportional arcs. */
+  private def qWeightedReplication(s: SparkSession,
+      dir: String): DataFrame =
+    operators.HashRing.replicationAuditWeighted(s,
+      Tables.documents(s, dir), "doc_id", q361Capacities, replicas = 3)
 
   /** Round-13: MinHash band-geometry sweep — measured candidate
     * count / recall / precision for every banding (8×1, 4×2, 2×4,
@@ -5704,7 +5763,9 @@ object SparkEntry {
       "q364_pack_segmented" -> (qPackSegmented _),
       "q365_pack_boundary_waste" -> (qPackBoundaryWaste _),
       "q366_band_chooser" -> (qBandChooser _),
-      "q367_tau_chooser" -> (qTauChooser _))
+      "q367_tau_chooser" -> (qTauChooser _),
+      "q368_pipeline_disposition" -> (qPipelineDisposition _),
+      "q369_weighted_replication" -> (qWeightedReplication _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5823,7 +5884,8 @@ object SparkEntry {
     // ledger, and the sweep-to-decision choosers
     "q362_pipeline_composite", "q363_ring_replicated",
     "q364_pack_segmented", "q365_pack_boundary_waste",
-    "q366_band_chooser", "q367_tau_chooser")
+    "q366_band_chooser", "q367_tau_chooser",
+    "q368_pipeline_disposition", "q369_weighted_replication")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

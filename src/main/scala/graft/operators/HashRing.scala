@@ -236,6 +236,55 @@ object HashRing {
       .orderBy("shard")
   }
 
+  /** [[assignReplicated]] against a WEIGHTED ring: Dynamo placement
+    * on the heterogeneous fleet — a big shard's vnodes appear more
+    * often in every walk, so it carries capacity-proportional PRIMARY
+    * and REPLICA load alike. */
+  def assignReplicatedWeighted(df: DataFrame, keyCol: String,
+      capacities: Seq[Int], replicas: Int): DataFrame = {
+    val r = ringWeighted(capacities)
+    df.withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn("replica_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), r.map(_._1), r.map(_._2), replicas))
+  }
+
+  /** [[replicationAudit]] on a weighted ring, with the fleet's
+    * capacity intent published alongside: per shard, capacity ppm of
+    * total vnodes vs measured primary and total-responsibility ppm of
+    * the corpus. The capacity-planning question this answers: does
+    * replica load ALSO track capacity (it does — replicas are just
+    * more successor walks over the same arcs). */
+  def replicationAuditWeighted(s: SparkSession, df: DataFrame,
+      keyCol: String, capacities: Seq[Int], replicas: Int): DataFrame = {
+    val r = ringWeighted(capacities)
+    val totalCap = capacities.map(_.toLong).sum
+    val arcDf = s.createDataFrame(arcsOf(r))
+      .toDF("shard", "n_vnodes", "arc")
+    val counts = assignReplicatedWeighted(df, keyCol, capacities,
+        replicas)
+      .select(posexplode(col("replica_set")).as(Seq("rank0", "shard")))
+      .groupBy("shard")
+      .agg(sum(when(col("rank0") === 0, 1L).otherwise(0L))
+          .as("n_primary"),
+        sum(when(col("rank0") > 0, 1L).otherwise(0L)).as("n_replica"))
+    arcDf.join(counts, Seq("shard"), "left")
+      .join(df.agg(count(lit(1)).as("n_total")))
+      .select(col("shard"), col("n_vnodes"),
+        expr(s"n_vnodes * 1000000L div ${totalCap}L").as("capacity_ppm"),
+        coalesce(col("n_primary"), lit(0L)).as("n_primary"),
+        coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+        (coalesce(col("n_primary"), lit(0L)) +
+          coalesce(col("n_replica"), lit(0L))).as("n_responsible"),
+        when(col("n_total") > 0,
+          expr("coalesce(n_primary, 0L) * 1000000L div n_total"))
+          .otherwise(lit(-1L)).as("primary_ppm"),
+        when(col("n_total") > 0,
+          expr("(coalesce(n_primary, 0L) + coalesce(n_replica, 0L)) " +
+            "* 1000000L div n_total"))
+          .otherwise(lit(-1L)).as("responsible_ppm"))
+      .orderBy("shard")
+  }
+
   /** Successor assignment against a WEIGHTED ring ([[ringWeighted]]);
     * same native binary-search expression as [[assign]]. */
   def assignWeighted(df: DataFrame, keyCol: String, capacities: Seq[Int],

@@ -152,6 +152,50 @@ class Round14Spec extends SparkSpec {
     assert(nSeqs >= nSources || out(5).getLong(3) < nSources)
   }
 
+  test("q368 disposition ledger: per-stage counts reconcile exactly " +
+    "with q362's audit, survivors carry a valid pack address, " +
+    "removed docs carry -1") {
+    val audit = SparkEntry.queries("q362_pipeline_composite")(spark, sf)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val led = SparkEntry.queries("q368_pipeline_disposition")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(led.length === audit("raw").getLong(3))
+    val byDisp = led.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val removals = Map(
+      "short" -> "curate", "exact_dup" -> "exact_dedup",
+      "near_dup" -> "near_dedup", "semantic_dup" -> "semantic_dedup",
+      "contaminated" -> "decontaminate")
+    removals.foreach { case (disp, stage) =>
+      assert(byDisp.getOrElse(disp, 0L) === audit(stage).getLong(4),
+        s"$disp vs $stage removed") }
+    assert(byDisp.getOrElse("kept", 0L) ===
+      audit("decontaminate").getLong(3))
+    led.foreach { case (id, disp, seq, off) =>
+      if (disp == "kept") assert(seq >= 0L && off >= 0L, s"doc $id")
+      else assert(seq === -1L && off === -1L, s"doc $id")
+    }
+  }
+
+  test("q369 weighted replication: 16 rows, responsibility conserved " +
+    "at 3x corpus, primary equals the weighted load audit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val caps = Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16,
+      8, 8, 8, 8)
+    val audit = graft.operators.HashRing.replicationAuditWeighted(
+      spark, docs, "doc_id", caps, replicas = 3).collect()
+    assert(audit.length === 16)
+    val n = docs.count()
+    assert(audit.map(_.getAs[Long]("n_primary")).sum === n)
+    assert(audit.map(_.getAs[Long]("n_responsible")).sum === 3 * n)
+    val load = graft.operators.HashRing.loadAuditWeighted(
+        spark, docs, "doc_id", caps)
+      .select("shard", "n_keys").as[(Long, Long)].collect().toMap
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_primary") ===
+        load(r.getAs[Long]("shard")), s"shard ${r.get(0)}") }
+  }
+
   test("q366/q367 choosers: the selected row IS the sweep's argmax " +
     "under its floor, replayed locally from the full sweep") {
     // band chooser vs its own sweep
