@@ -4476,24 +4476,33 @@ object SparkEntry {
     val segs = UnigramSegment.greedySegment(s5, "text",
         UnigramSegment.pieceVocab(s5, "text"))
       .select(col("word"), col("n_pieces").cast("long").as("np"))
-    val occs = s5.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
-        .as("tok"))
-    val docTokens = occs.join(segs, occs("tok") === segs("word"), "left")
-      .groupBy("doc_id")
-      .agg(sum(when(length(col("tok")) <= 12, col("np"))
-        .otherwise(expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")))
-        .as("n_tokens"))
-    val s5tok = s5.select("doc_id", "source")
-      .join(docTokens, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      .localCheckpoint()
+    val s5tok = docTokenFrame(s5, segs).localCheckpoint()
     // stage 7 — pack: q353's first-fit fold at 256 tokens per sequence
     val packed = Curation.packSequences(s5tok, "doc_id", "n_tokens",
         "source", capacity = 256L)
       .localCheckpoint()
     PipelineStages(docs, s1, s2, s3, s4, s5, s5tok, packed)
+  }
+
+  /** q305-convention per-doc token counts under a given (word, np)
+    * segment table: every word OCCURRENCE charges its greedy piece
+    * count; a word with no completed segmentation (>12 chars — or,
+    * under a FROZEN vocabulary, a word the vocab cannot span) charges
+    * the ⌈len/4⌉ lower bound. Output: (doc_id, source, n_tokens),
+    * token-free docs at 0. */
+  private def docTokenFrame(df: DataFrame, segs: DataFrame): DataFrame = {
+    val occs = df.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("tok"))
+    val counts = occs.join(segs, occs("tok") === segs("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("np").isNotNull, col("np"))
+        .otherwise(expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")))
+        .as("n_tokens"))
+    df.select("doc_id", "source")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
   private def qPipelineComposite(s: SparkSession, dir: String): DataFrame = {
@@ -4551,6 +4560,143 @@ object SparkEntry {
       .join(mark(st.s4, "_g4"), Seq("doc_id"), "left")
       .join(mark(st.s5, "_g5"), Seq("doc_id"), "left")
       .join(st.packed.select(col("doc_id"), col("seq_id"),
+        col("seq_offset")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_g1").isNull, "short")
+          .when(col("_g2").isNull, "exact_dup")
+          .when(col("_g3").isNull, "near_dup")
+          .when(col("_g4").isNull, "semantic_dup")
+          .when(col("_g5").isNull, "contaminated")
+          .otherwise("kept").as("disposition"),
+        coalesce(col("seq_id"), lit(-1L)).as("seq_id"),
+        coalesce(col("seq_offset"), lit(-1L)).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Round-14 session 2: the INCREMENTAL pipeline — q362's daily
+    * refresh. Yesterday's corpus (doc_id % 7 ≠ 3, the crawl-fixture
+    * split) runs the full chain once and FREEZES its serving
+    * artifacts: the curated survivor store, the k-means centroids
+    * (q351's frozen-index convention), the unigram vocabulary, and
+    * each stratum's mid-fill pack state. Today's delta (% 7 = 3)
+    * then flows through WITHOUT touching yesterday's state: gate →
+    * exact-vs-store (+ first-arrival within the delta) →
+    * cross-set MinHash near-dedup
+    * ([[operators.MinHashLSH.crossNearDuplicatesPortable]]: the
+    * store side always wins, the q346 convention) + delta-delta
+    * pairs → SemDeDup against FROZEN centroids (delta assigned, dup
+    * test vs yesterday's curated members + earlier delta) →
+    * benchmark decontamination (same fixed %10 bench) → tokenize
+    * with the FROZEN vocab (unspannable words charge ⌈len/4⌉) →
+    * pack CONTINUED from yesterday's per-stratum fill
+    * ([[operators.Curation.packSequencesContinued]]). Output: the
+    * q368-shaped ledger for the DELTA docs only — disposition +
+    * continued-numbering pack address.
+    *
+    * Scale shape: the store-side artifacts are computed once and
+    * checkpointed (in production they are yesterday's parquet);
+    * every delta stage is batch-sized except the cross joins, which
+    * are banded/cluster-keyed — the corpus never re-shuffles for
+    * the delta, which is the entire point of the incremental form. */
+  private def qPipelineDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+      .localCheckpoint()
+    val yDocs = docs.filter(col("doc_id") % 7 =!= 3)
+    val dDocs = docs.filter(col("doc_id") % 7 === 3)
+    def gate(df: DataFrame): DataFrame =
+      df.filter(size(split(lower(col("text")), " ")) >= 40)
+    val quant = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.quantize16(col("embedding")).as("q"))
+    // ---- yesterday: the full chain, artifacts frozen --------------
+    val y1 = gate(yDocs).localCheckpoint()
+    val y2 = y1.join(Dedup.exact(y1, col("text"), col("doc_id"))
+      .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
+    val y3 = y2.join(MinHashLSH.nearDuplicatesPortable(y2, "doc_id",
+        "text").select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val yVecs = quant.join(y3.select(col("doc_id").as("id")), Seq("id"))
+    val cents = IvfIndex.trainPortable(s, yVecs, k = 8, iters = 2)
+      .localCheckpoint() // FROZEN
+    val yAssigned = IvfIndex.assignPortable(yVecs, cents)
+      .localCheckpoint()
+    val y4 = y3.join(Similarity.semanticDupEdges(yAssigned, 3, 10)
+      .select(col("b").as("doc_id")).distinct(), Seq("doc_id"),
+      "left_anti")
+    val contamDrop = Dedup.benchmarkNgramContamination(docs,
+        "doc_id", "text", col("doc_id") % 10 === 0, n = 8)
+      .filter(col("flagged")).select("doc_id").localCheckpoint()
+    val y5 = y4.join(contamDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // the STORE
+    val vocab = UnigramSegment.pieceVocab(y5, "text")
+      .localCheckpoint() // FROZEN
+    val yTok = docTokenFrame(y5,
+      UnigramSegment.greedySegment(y5, "text", vocab)
+        .select(col("word"), col("n_pieces").cast("long").as("np")))
+    val carry = Curation.packCarry(
+      Curation.packSequences(yTok, "doc_id", "n_tokens", "source",
+        capacity = 256L), "doc_id", "source")
+    // ---- today's delta against the frozen state -------------------
+    val d1 = gate(dDocs).localCheckpoint()
+    val exactVsStore = d1.join(y5.select("text"), Seq("text"), "semi")
+      .select("doc_id")
+    val dKeepers = Dedup.exact(d1, col("text"), col("doc_id"))
+      .select(col("keeper_id").as("doc_id"))
+    val d2 = d1.join(dKeepers, Seq("doc_id"), "semi")
+      .join(exactVsStore, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val crossNear = MinHashLSH.crossNearDuplicatesPortable(y5, d2,
+        "doc_id", "text")
+      .select(col("b_id").as("doc_id")).distinct()
+    val deltaNear = MinHashLSH.nearDuplicatesPortable(d2, "doc_id",
+        "text")
+      .select(col("b").as("doc_id")).distinct()
+    val d3 = d2.join(crossNear.union(deltaNear).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val dVecs = quant.join(d3.select(col("doc_id").as("id")), Seq("id"))
+    val dAssigned = IvfIndex.assignPortable(dVecs, cents)
+      .localCheckpoint()
+    // cross dup: delta vec vs yesterday's CURATED members (y5) in the
+    // same frozen cluster, exact integer cosine >= 3/10 — the store
+    // member always wins
+    val yMem = yAssigned.join(y5.select(col("doc_id").as("id")),
+      Seq("id"))
+    val crossSem = {
+      val x = yMem.select(col("cluster_id").as("c"), col("id").as("a"),
+        col("q").as("qa"), Similarity.intDot(col("q"), col("q")).as("na"))
+      val y = dAssigned.select(col("cluster_id").as("c"),
+        col("id").as("b"), col("q").as("qb"),
+        Similarity.intDot(col("q"), col("q")).as("nb"))
+      x.join(y, Seq("c"))
+        .withColumn("idot", Similarity.intDot(col("qa"), col("qb")))
+        .filter(Similarity.cosineAtLeast(3, 10))
+        .select(col("b").as("doc_id")).distinct()
+    }
+    val deltaSem = Similarity.semanticDupEdges(dAssigned, 3, 10)
+      .select(col("b").as("doc_id")).distinct()
+    val d4 = d3.join(crossSem.union(deltaSem).distinct(),
+      Seq("doc_id"), "left_anti")
+    val d5 = d4.join(contamDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val dTok = docTokenFrame(d5,
+      UnigramSegment.greedySegment(d5, "text", vocab)
+        .select(col("word"), col("n_pieces").cast("long").as("np")))
+    val dPacked = Curation.packSequencesContinued(dTok, "doc_id",
+      "n_tokens", "source", capacity = 256L, carry)
+    // ---- the delta ledger (q368 shape) ----------------------------
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id")).withColumn(name, lit(true))
+    dDocs.select("doc_id")
+      .join(mark(d1, "_g1"), Seq("doc_id"), "left")
+      .join(mark(d2, "_g2"), Seq("doc_id"), "left")
+      .join(mark(d3, "_g3"), Seq("doc_id"), "left")
+      .join(mark(d4, "_g4"), Seq("doc_id"), "left")
+      .join(mark(d5, "_g5"), Seq("doc_id"), "left")
+      .join(dPacked.select(col("doc_id"), col("seq_id"),
         col("seq_offset")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("_g1").isNull, "short")
@@ -5765,7 +5911,8 @@ object SparkEntry {
       "q366_band_chooser" -> (qBandChooser _),
       "q367_tau_chooser" -> (qTauChooser _),
       "q368_pipeline_disposition" -> (qPipelineDisposition _),
-      "q369_weighted_replication" -> (qWeightedReplication _))
+      "q369_weighted_replication" -> (qWeightedReplication _),
+      "q370_pipeline_delta" -> (qPipelineDelta _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -5885,7 +6032,8 @@ object SparkEntry {
     "q362_pipeline_composite", "q363_ring_replicated",
     "q364_pack_segmented", "q365_pack_boundary_waste",
     "q366_band_chooser", "q367_tau_chooser",
-    "q368_pipeline_disposition", "q369_weighted_replication")
+    "q368_pipeline_disposition", "q369_weighted_replication",
+    "q370_pipeline_delta")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1024,14 +1024,16 @@ object Curation {
     * the fold throws instead of OOMing. */
   val MaxStratumRows: Long = 5000000L
 
-  /** The first-fit-sequential recurrence shared by [[packSequences]]
-    * and [[packSequencesSegmented]] — id-sorted (id, len) in, one
-    * (id, len, seq, offset) row out per doc, seq 0-based local to the
-    * fold. */
-  private def packFold(xs: Seq[(Long, Long)], capacity: Long)
+  /** The first-fit-sequential recurrence shared by [[packSequences]],
+    * [[packSequencesSegmented]] and [[packSequencesContinued]] —
+    * id-sorted (id, len) in, one (id, len, seq, offset) row out per
+    * doc, starting from carried state (seq0, fill0) ((0, 0) = a fresh
+    * fold). */
+  private def packFold(xs: Seq[(Long, Long)], capacity: Long,
+      seq0: Long = 0L, fill0: Long = 0L)
       : Seq[(Long, Long, Long, Long)] = {
-    var seq = 0L
-    var fill = 0L
+    var seq = seq0
+    var fill = fill0
     xs.map { case (id, len) =>
       if (fill > 0 && fill + len > capacity) { seq += 1; fill = 0L }
       val off = fill
@@ -1100,5 +1102,54 @@ object Curation {
       .select(col("s").as(strataCol), col("id").as(idCol), col("len"),
         (col("_seq_base") + col("local_seq")).as("seq_id"),
         col("seq_offset"))
+  }
+
+  /** CONTINUED [[packSequences]] — the incremental form a daily
+    * refresh runs: yesterday's pack pass left each stratum mid-fill;
+    * today's docs append in id order starting from that carried
+    * (seq, fill) state, first topping up yesterday's final partial
+    * sequence. `carry` has ≤1 row per stratum
+    * (strataCol, carry_seq, carry_fill) — [[packCarry]] derives it
+    * from a packed frame; strata absent from carry start fresh at
+    * (0, 0). Identical to running ONE fold over
+    * yesterday-then-today (the fold state is exactly (seq, fill)),
+    * which the continuation spec pins. */
+  def packSequencesContinued(docs: DataFrame, idCol: String,
+      lenCol: String, strataCol: String, capacity: Long,
+      carry: DataFrame): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(strataCol).cast("string").as("s"),
+        col(idCol).cast("long").as("_1"), col(lenCol).cast("long").as("_2"))
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("_1"), col("_2")))).as("xs"))
+      .join(carry.select(col(strataCol).cast("string").as("s"),
+        col("carry_seq").cast("long").as("_cs"),
+        col("carry_fill").cast("long").as("_cf")), Seq("s"), "left")
+      .select(col("s"), col("xs"),
+        coalesce(col("_cs"), lit(0L)).as("_cs"),
+        coalesce(col("_cf"), lit(0L)).as("_cf"))
+      .as[(String, Seq[(Long, Long)], Long, Long)]
+      .flatMap { case (src, xs, cs, cf) =>
+        require(xs.size <= MaxStratumRows,
+          s"stratum '$src' has ${xs.size} docs — the per-stratum fold " +
+            s"is bounded (<= $MaxStratumRows); use packSequencesSegmented")
+        packFold(xs, capacity, cs, cf).map { case (id, len, seq, off) =>
+          (src, id, len, seq, off) }
+      }
+      .toDF(strataCol, idCol, "len", "seq_id", "seq_offset")
+  }
+
+  /** Per-stratum carry state from a packed frame: the fold state
+    * after its LAST doc (max id — the fold order is id asc), i.e.
+    * (its seq_id, its seq_offset + len). |strata| rows. */
+  def packCarry(packed: DataFrame, idCol: String,
+      strataCol: String): DataFrame = {
+    val last = packed.groupBy(strataCol).agg(max(col(idCol)).as("_mx"))
+    packed.join(last, Seq(strataCol))
+      .filter(col(idCol) === col("_mx"))
+      .select(col(strataCol), col("seq_id").as("carry_seq"),
+        (col("seq_offset") + col("len")).as("carry_fill"))
   }
 }

@@ -445,6 +445,43 @@ object MinHashLSH {
       .orderBy(col("bands").desc)
   }
 
+  /** CROSS-SET [[nearDuplicatesPortable]] — the incremental form: the
+    * frozen STORE side vs today's BATCH side. Same portable k=8
+    * signatures, same two 4-row bands, same exact-Jaccard ≥ 1/2
+    * verify — but candidates pair one batch doc with one store doc
+    * (the store never self-joins), and the batch doc is always the
+    * loser (the store arrived first, whatever the ids say — the
+    * q346 cross-run convention). Output: (b_id, s_id, inter, uni)
+    * verified pairs. */
+  def crossNearDuplicatesPortable(store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tS = portableToks(store, idCol, textCol)
+    val tB = portableToks(batch, idCol, textCol)
+    val sS = portableSignature(tS)
+    val sB = portableSignature(tB)
+    def bandPairs(cols: Seq[String]): DataFrame = {
+      val b = sB.select(("doc_id" +: cols).map(col): _*)
+        .toDF("b_id" +: cols: _*)
+      val s = sS.select(("doc_id" +: cols).map(col): _*)
+        .toDF("s_id" +: cols: _*)
+      b.join(s, cols).select("b_id", "s_id")
+    }
+    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
+      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+      .distinct()
+    val nS = tS.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val nB = tB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    cands
+      .join(tB.toDF("b_id", "tok"), Seq("b_id"))
+      .join(tS.toDF("s_id", "tok"), Seq("s_id", "tok"))
+      .groupBy("b_id", "s_id").agg(count(lit(1)).as("inter"))
+      .join(nB.toDF("b_id", "nb"), Seq("b_id"))
+      .join(nS.toDF("s_id", "ns"), Seq("s_id"))
+      .withColumn("uni", col("nb") + col("ns") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("b_id", "s_id", "inter", "uni")
+  }
+
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */
   def signaturesFromPostings(post: DataFrame, k: Int): DataFrame = {
     val hashed = post.withColumn("h", abs(xxhash64(col("shingle"))) % 2147483647L)

@@ -152,6 +152,63 @@ class Round14Spec extends SparkSpec {
     assert(nSeqs >= nSources || out(5).getLong(3) < nSources)
   }
 
+  test("packSequencesContinued: continuing from packCarry state is " +
+    "IDENTICAL to one fold over yesterday-then-today, hand-checked " +
+    "and on ordered splits of the fixture") {
+    // hand fixture: capacity 10; yesterday A: 4,5 (seq0 fill9); B: 12
+    // (oversize, seq0 fill12) — today A: 2 (overflows -> seq1), 7
+    // (fits seq1? 2+7=9 <=10 yes off2); B: 1 (12>10 -> fill>0,
+    // 12+1>10 -> seq1 off0); C fresh: 3 (seq0)
+    val yDocs = Seq(("A", 1L, 4L), ("A", 2L, 5L), ("B", 3L, 12L))
+      .toDF("source", "doc_id", "n_chars")
+    val tDocs = Seq(("A", 10L, 2L), ("A", 11L, 7L), ("B", 12L, 1L),
+      ("C", 13L, 3L)).toDF("source", "doc_id", "n_chars")
+    val yPacked = graft.operators.Curation
+      .packSequences(yDocs, "doc_id", "n_chars", "source", 10L)
+    val carry = graft.operators.Curation
+      .packCarry(yPacked, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(carry.toSet === Set(("A", 0L, 9L), ("B", 0L, 12L)))
+    val cont = graft.operators.Curation.packSequencesContinued(
+        tDocs, "doc_id", "n_chars", "source", 10L,
+        graft.operators.Curation.packCarry(yPacked, "doc_id", "source"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(cont === Map(
+      ("A", 10L) -> ((1L, 0L)), ("A", 11L) -> ((1L, 2L)),
+      ("B", 12L) -> ((1L, 0L)), ("C", 13L) -> ((0L, 0L))))
+    // equivalence with the single fold when yesterday ids < today ids
+    val joint = graft.operators.Curation
+      .packSequences(yDocs.unionByName(tDocs), "doc_id", "n_chars",
+        "source", 10L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    cont.foreach { case (k, v) => assert(joint(k) === v, s"$k") }
+  }
+
+  test("q370 delta ledger: one row per delta doc, kept docs carry a " +
+    "CONTINUED pack address (seq >= the stratum's yesterday carry), " +
+    "removed docs carry -1, and the gate count replays") {
+    val out = SparkEntry.queries("q370_pipeline_delta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+    assert(out.length === delta.count())
+    out.foreach { case (id, disp, seq, off) =>
+      assert(id % 7 === 3)
+      if (disp == "kept") assert(seq >= 0L && off >= 0L, s"doc $id")
+      else assert(seq === -1L && off === -1L, s"doc $id")
+    }
+    val nShort = out.count(_._2 == "short")
+    val gateFail = delta
+      .filter(size(split(lower(col("text")), " ")) < 40).count()
+    assert(nShort.toLong === gateFail)
+    assert(out.exists(_._2 == "kept"), "delta must keep something")
+    assert(out.exists(r => r._2 == "near_dup" || r._2 == "semantic_dup"),
+      "a cross-run dedup stage must bite on the fixture delta")
+  }
+
   test("q368 disposition ledger: per-stage counts reconcile exactly " +
     "with q362's audit, survivors carry a valid pack address, " +
     "removed docs carry -1") {
