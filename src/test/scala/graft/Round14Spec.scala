@@ -186,6 +186,87 @@ class Round14Spec extends SparkSpec {
     cont.foreach { case (k, v) => assert(joint(k) === v, s"$k") }
   }
 
+  test("property: packSequencesContinued over a RANDOM ordered split " +
+    "equals the single fold, for random lengths/capacities/strata") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      cap <- Gen.choose(1L, 30L)
+      n <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(n, Gen.choose(0L, 40L))
+      strata <- Gen.listOfN(n, Gen.choose(0, 2))
+      cut <- Gen.choose(0, n)
+    } yield (cap, lens.zip(strata).zipWithIndex.map { case ((l, st), i) =>
+      (s"s$st", i.toLong, l) }, cut)
+    val prop = Prop.forAll(gen) { case (cap, rows, cut) =>
+      val df = rows.toDF("source", "doc_id", "n_chars")
+      val joint = graft.operators.Curation
+        .packSequences(df, "doc_id", "n_chars", "source", cap)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(3), r.getLong(4)))).toMap
+      val (yRows, tRows) = rows.splitAt(cut)
+      val cont =
+        if (tRows.isEmpty) Map.empty[(String, Long), (Long, Long)]
+        else if (yRows.isEmpty)
+          graft.operators.Curation.packSequences(
+              tRows.toDF("source", "doc_id", "n_chars"),
+              "doc_id", "n_chars", "source", cap)
+            .collect().map(r => ((r.getString(0), r.getLong(1)),
+              (r.getLong(3), r.getLong(4)))).toMap
+        else {
+          val yPacked = graft.operators.Curation.packSequences(
+            yRows.toDF("source", "doc_id", "n_chars"),
+            "doc_id", "n_chars", "source", cap)
+          graft.operators.Curation.packSequencesContinued(
+              tRows.toDF("source", "doc_id", "n_chars"),
+              "doc_id", "n_chars", "source", cap,
+              graft.operators.Curation.packCarry(yPacked, "doc_id",
+                "source"))
+            .collect().map(r => ((r.getString(0), r.getLong(1)),
+              (r.getLong(3), r.getLong(4)))).toMap
+        }
+      cont.forall { case (k, v) => joint(k) == v }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"continuation property: ${res.status}")
+  }
+
+  test("crossNearDuplicatesPortable: planted cross dup found, " +
+    "store-internal dups ignored, empty sides are total") {
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // store-internal dup
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // = store 1/2
+      (11L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.MinHashLSH
+      .crossNearDuplicatesPortable(store, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // batch 10 pairs with BOTH identical store docs; batch 11 with none
+    assert(pairs.toSet === Set((10L, 1L), (10L, 2L)))
+    val emptyB = graft.operators.MinHashLSH
+      .crossNearDuplicatesPortable(store, batch.limit(0), "doc_id",
+        "text")
+    assert(emptyB.count() === 0L)
+    val emptyS = graft.operators.MinHashLSH
+      .crossNearDuplicatesPortable(store.limit(0), batch, "doc_id",
+        "text")
+    assert(emptyS.count() === 0L)
+  }
+
+  test("plan shape: RingReplicas assignment is map-only (no exchange, " +
+    "no join) like the scalar RingShard path") {
+    val keys = (0L until 50L).toDF("k")
+    val assigned = graft.operators.HashRing
+      .assignReplicated(keys, "k", 16, 32, replicas = 3)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"replicated assignment must stay map-only:\n$plan")
+  }
+
   test("q370 delta ledger: one row per delta doc, kept docs carry a " +
     "CONTINUED pack address (seq >= the stratum's yesterday carry), " +
     "removed docs carry -1, and the gate count replays") {
