@@ -10418,6 +10418,49 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q371: the shard manifest — q362's packed sequences per-seq
+    * aggregated, keyed by the char-fold of "source:seq_id", placed by
+    * ring successor (q357 vnodes), rolled up per shard with zero-load
+    * rows kept. */
+  private val q371 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${ringCtes(16)},
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq),
+       |sa AS (
+       |  SELECT sp.n_docs, sp.n_tokens,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM sp),
+       |scnt AS (
+       |  SELECT vp.shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |    CAST(SUM(a.n_docs) AS BIGINT) AS n_docs,
+       |    CAST(SUM(a.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM sa a JOIN vp ON vp.pos = a.vpos GROUP BY 1),
+       |stot AS (
+       |  SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t FROM sq)
+       |SELECT s.shard,
+       |  CAST(COALESCE(c.n_seqs, 0) AS BIGINT) AS n_seqs,
+       |  CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN t.t > 0
+       |    THEN CAST(COALESCE(c.n_tokens, 0) * 1000000 // t.t AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS token_ppm
+       |FROM (SELECT DISTINCT shard FROM vp) s
+       |LEFT JOIN scnt c ON c.shard = s.shard, stot t
+       |ORDER BY s.shard""".stripMargin
+
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
     * non-wrapped arc first), keep each SHARD's first appearance, and
@@ -10924,6 +10967,7 @@ object OracleSql {
     "q368_pipeline_disposition" -> q368,
     "q369_weighted_replication" -> q369,
     "q370_pipeline_delta" -> q370,
+    "q371_shard_manifest" -> q371,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4710,6 +4710,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-14 session 2: the SHARD MANIFEST — where the pipeline's
+    * output actually lives. q362's packed sequences (the training
+    * batches) are placed on the q357 consistent-hash ring by the
+    * char-fold of their "source:seq_id" identity (the portable q132
+    * fold, computed by the native CharFoldHash expression), and the
+    * manifest reports per shard: sequences, documents, token mass,
+    * and the token share in ppm — the layout table a training job's
+    * data loader reads. Composes the two round-14 families end to
+    * end: curation output → placement. Zero-load shards keep a row
+    * (the loadAudit convention). */
+  private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val seqs = st.packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(col("source"), lit(":"), col("seq_id"))))
+    val assigned = operators.HashRing.assign(seqs, "k",
+      nShards = 16, vnodesPerShard = 32)
+    val counts = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val shards = s.createDataFrame(
+        operators.HashRing.arcs(16, 32).map(a => Tuple1(a._1)))
+      .toDF("shard")
+    shards.join(counts, Seq("shard"), "left")
+      .join(seqs.agg(coalesce(sum(col("n_tokens")), lit(0L))
+        .as("t_total")))
+      .select(col("shard"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("t_total") > 0,
+          expr("coalesce(n_tokens, 0L) * 1000000L div t_total"))
+          .otherwise(lit(-1L)).as("token_ppm"))
+      .orderBy("shard")
+  }
+
   /** Round-14: Dynamo-style ring REPLICATION — each key's first R=3
     * DISTINCT-shard clockwise successors (primary + 2 replica
     * holders) on the q357 geometry, audited per shard: primary share
@@ -5912,7 +5949,8 @@ object SparkEntry {
       "q367_tau_chooser" -> (qTauChooser _),
       "q368_pipeline_disposition" -> (qPipelineDisposition _),
       "q369_weighted_replication" -> (qWeightedReplication _),
-      "q370_pipeline_delta" -> (qPipelineDelta _))
+      "q370_pipeline_delta" -> (qPipelineDelta _),
+      "q371_shard_manifest" -> (qShardManifest _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6033,7 +6071,7 @@ object SparkEntry {
     "q364_pack_segmented", "q365_pack_boundary_waste",
     "q366_band_chooser", "q367_tau_chooser",
     "q368_pipeline_disposition", "q369_weighted_replication",
-    "q370_pipeline_delta")
+    "q370_pipeline_delta", "q371_shard_manifest")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -290,6 +290,47 @@ class Round14Spec extends SparkSpec {
       "a cross-run dedup stage must bite on the fixture delta")
   }
 
+  test("big-stratum stress: a 50k-doc stratum trips a 10k fold bound " +
+    "loudly, while the segmented path packs it with dense seq ids " +
+    "and exact capacity discipline") {
+    import spark.implicits._
+    val big = spark.range(50000)
+      .select(lit("S").as("source"), col("id").as("doc_id"),
+        (col("id") % 37 + 1).as("n_chars"))
+    val ex = intercept[Exception] {
+      graft.operators.Curation.packSequences(big, "doc_id", "n_chars",
+        "source", 1000L, maxStratumRows = 10000L).collect()
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("packSequencesSegmented")))
+    val seg = graft.operators.Curation.packSequencesSegmented(big,
+        "doc_id", "n_chars", "source", 1000L, segmentRows = 10000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(seg.length === 50000)
+    seg.foreach { case (id, len, _, off) =>
+      assert(off + len <= 1000L || off == 0L, s"doc $id") }
+    val seqs = seg.map(_._3).distinct.sorted
+    assert(seqs === (0L until seqs.length.toLong).toArray, "dense")
+  }
+
+  test("q371 shard manifest: 16 rows, sequences/docs/tokens conserved " +
+    "against the q362 audit totals") {
+    val man = SparkEntry.queries("q371_shard_manifest")(spark, sf)
+      .collect()
+    assert(man.length === 16)
+    val audit = SparkEntry.queries("q362_pipeline_composite")(spark, sf)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(man.map(_.getAs[Long]("n_seqs")).sum ===
+      audit("pack").getLong(8))
+    assert(man.map(_.getAs[Long]("n_docs")).sum ===
+      audit("pack").getLong(3))
+    assert(man.map(_.getAs[Long]("n_tokens")).sum ===
+      audit("pack").getLong(7))
+  }
+
   test("q368 disposition ledger: per-stage counts reconcile exactly " +
     "with q362's audit, survivors carry a valid pack address, " +
     "removed docs carry -1") {
