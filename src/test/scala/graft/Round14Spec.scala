@@ -316,6 +316,21 @@ class Round14Spec extends SparkSpec {
     assert(seqs === (0L until seqs.length.toLong).toArray, "dense")
   }
 
+  test("plan shape: the q368 ledger and q371 manifest contain no " +
+    "cartesian products; the one BroadcastNestedLoopJoin is the " +
+    "scalar t_total cross (q371) / none at all (q368)") {
+    val led = SparkEntry.queries("q368_pipeline_disposition")(spark, sf)
+    val ledPlan = led.queryExecution.executedPlan.toString
+    assert(!ledPlan.contains("CartesianProduct"), ledPlan.take(2000))
+    val man = SparkEntry.queries("q371_shard_manifest")(spark, sf)
+    val manPlan = man.queryExecution.executedPlan.toString
+    assert(!manPlan.contains("CartesianProduct"), manPlan.take(2000))
+    // the scalar-total cross joins must be 1-row broadcasts at most
+    val bnlj = "BroadcastNestedLoopJoin".r
+      .findAllIn(ledPlan + manPlan).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins: $bnlj")
+  }
+
   test("q371 shard manifest: 16 rows, sequences/docs/tokens conserved " +
     "against the q362 audit totals") {
     val man = SparkEntry.queries("q371_shard_manifest")(spark, sf)
