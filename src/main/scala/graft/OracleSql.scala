@@ -10461,6 +10461,62 @@ object OracleSql {
        |LEFT JOIN scnt c ON c.shard = s.shard, stot t
        |ORDER BY s.shard""".stripMargin
 
+  /** q372: replicated reshard movement 16 → 20 at R=3 — before/after
+    * replica sets from the q363 walk-rank replay (before = the
+    * 20-shard vnode table restricted to shards < 16, the q358
+    * shared-labels contract); copies_moved counts after-set members
+    * absent from the before set. */
+  private val q372 =
+    s"""WITH ${ringCtes(20)},
+       |ordb AS (
+       |  SELECT k.doc_id, vp.shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id
+       |      ORDER BY (vp.pos < k.p), vp.pos) AS rnk
+       |  FROM keys k CROSS JOIN vp WHERE vp.shard < 16),
+       |fb AS (SELECT doc_id, shard, MIN(rnk) AS fr
+       |       FROM ordb GROUP BY 1, 2),
+       |bset AS MATERIALIZED (
+       |  SELECT doc_id, shard, rk FROM (
+       |    SELECT doc_id, shard,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fr) AS rk
+       |    FROM fb)
+       |  WHERE rk <= 3),
+       |orda AS (
+       |  SELECT k.doc_id, vp.shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k.doc_id
+       |      ORDER BY (vp.pos < k.p), vp.pos) AS rnk
+       |  FROM keys k CROSS JOIN vp),
+       |fa AS (SELECT doc_id, shard, MIN(rnk) AS fr
+       |       FROM orda GROUP BY 1, 2),
+       |aset AS MATERIALIZED (
+       |  SELECT doc_id, shard, rk FROM (
+       |    SELECT doc_id, shard,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fr) AS rk
+       |    FROM fa)
+       |  WHERE rk <= 3),
+       |mov AS (
+       |  SELECT a.doc_id, a.shard FROM aset a
+       |  LEFT JOIN bset b ON b.doc_id = a.doc_id AND b.shard = a.shard
+       |  WHERE b.shard IS NULL),
+       |pm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, shard FROM bset WHERE rk = 1) b
+       |  JOIN (SELECT doc_id, shard FROM aset WHERE rk = 1) a
+       |    USING (doc_id)
+       |  WHERE b.shard <> a.shard),
+       |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)
+       |SELECT nk.n AS n_keys,
+       |  pm.n AS primary_moved,
+       |  CASE WHEN nk.n > 0
+       |    THEN CAST(pm.n * 1000000 // nk.n AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS primary_moved_ppm,
+       |  CAST((SELECT COUNT(*) FROM mov) AS BIGINT) AS copies_moved,
+       |  CASE WHEN nk.n > 0
+       |    THEN CAST((SELECT COUNT(*) FROM mov) * 1000000
+       |      // (nk.n * 3) AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS copies_moved_ppm
+       |FROM nk, pm""".stripMargin
+
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
     * non-wrapped arc first), keep each SHARD's first appearance, and
@@ -10968,6 +11024,7 @@ object OracleSql {
     "q369_weighted_replication" -> q369,
     "q370_pipeline_delta" -> q370,
     "q371_shard_manifest" -> q371,
+    "q372_replicated_reshard" -> q372,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -4851,6 +4851,16 @@ object SparkEntry {
     operators.HashRing.replicationAuditWeighted(s,
       Tables.documents(s, dir), "doc_id", q361Capacities, replicas = 3)
 
+  /** Round-14: REPLICATED reshard movement, 16 → 20 shards at R=3 —
+    * the copy-migration bill of growing a replicated fleet: primaries
+    * moved (q358's number, spec-pinned) plus the total copies that
+    * must transfer (per key, after-shards not already holding one).
+    * The number a capacity planner multiplies by bytes-per-key. */
+  private def qReplicatedReshard(s: SparkSession, dir: String): DataFrame =
+    operators.HashRing.replicatedReshardAudit(Tables.documents(s, dir),
+      "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32,
+      replicas = 3)
+
   /** Round-13: MinHash band-geometry sweep — measured candidate
     * count / recall / precision for every banding (8×1, 4×2, 2×4,
     * 1×8) of ONE k=8 portable signature against the exhaustive
@@ -5950,7 +5960,8 @@ object SparkEntry {
       "q368_pipeline_disposition" -> (qPipelineDisposition _),
       "q369_weighted_replication" -> (qWeightedReplication _),
       "q370_pipeline_delta" -> (qPipelineDelta _),
-      "q371_shard_manifest" -> (qShardManifest _))
+      "q371_shard_manifest" -> (qShardManifest _),
+      "q372_replicated_reshard" -> (qReplicatedReshard _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6071,7 +6082,8 @@ object SparkEntry {
     "q364_pack_segmented", "q365_pack_boundary_waste",
     "q366_band_chooser", "q367_tau_chooser",
     "q368_pipeline_disposition", "q369_weighted_replication",
-    "q370_pipeline_delta", "q371_shard_manifest")
+    "q370_pipeline_delta", "q371_shard_manifest",
+    "q372_replicated_reshard")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -285,6 +285,44 @@ object HashRing {
       .orderBy("shard")
   }
 
+  /** REPLICATED reshard-movement audit, growing `nShards` →
+    * `nShardsAfter` under R-way placement: the copy-migration bill a
+    * replicated fleet actually pays. Per key, the before/after
+    * replica sets (first R distinct-shard successors on each ring —
+    * surviving shards keep their vnode labels, the consistent-hashing
+    * contract); a COPY must move for every after-shard not already
+    * holding one (|A \ B|). One row: keys, primaries moved (exactly
+    * [[reshardAudit]]'s ring_moved, spec-pinned), total copies to
+    * move, and both ppm — copies_ppm against the R·keys placements.
+    * Two map passes + one global agg; nothing corpus-sized shuffles. */
+  def replicatedReshardAudit(df: DataFrame, keyCol: String,
+      nShards: Int, nShardsAfter: Int, vnodesPerShard: Int,
+      replicas: Int): DataFrame = {
+    val rb = ring(nShards, vnodesPerShard)
+    val ra = ring(nShardsAfter, vnodesPerShard)
+    val withSets = df
+      .withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn("before_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), rb.map(_._1), rb.map(_._2), replicas))
+      .withColumn("after_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), ra.map(_._1), ra.map(_._2), replicas))
+    withSets.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(element_at(col("after_set"), 1) =!=
+          element_at(col("before_set"), 1), 1L).otherwise(0L))
+          .as("primary_moved"),
+        sum(size(array_except(col("after_set"), col("before_set")))
+          .cast("long")).as("copies_moved"))
+      .select(col("n_keys"), col("primary_moved"),
+        when(col("n_keys") > 0,
+          expr("primary_moved * 1000000L div n_keys"))
+          .otherwise(lit(-1L)).as("primary_moved_ppm"),
+        col("copies_moved"),
+        when(col("n_keys") > 0,
+          expr(s"copies_moved * 1000000L div (n_keys * ${replicas}L)"))
+          .otherwise(lit(-1L)).as("copies_moved_ppm"))
+  }
+
   /** Successor assignment against a WEIGHTED ring ([[ringWeighted]]);
     * same native binary-search expression as [[assign]]. */
   def assignWeighted(df: DataFrame, keyCol: String, capacities: Seq[Int],

@@ -264,6 +264,25 @@ class HashRingSpec extends SparkSpec {
     assert(ex.getMessage.contains("position space exhausted"))
   }
 
+  test("replicatedReshardAudit: primary_moved equals reshardAudit's " +
+    "ring_moved, copies bounded by [new-primary count, R x keys], " +
+    "and every moved copy targets a shard in the after ring") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = HashRing.replicatedReshardAudit(docs, "doc_id",
+      16, 20, 32, replicas = 3).collect().head
+    val base = HashRing.reshardAudit(docs, "doc_id", 16, 20, 32)
+      .collect().head
+    assert(rep.getAs[Long]("n_keys") === base.getAs[Long]("n_keys"))
+    assert(rep.getAs[Long]("primary_moved") ===
+      base.getAs[Long]("ring_moved"))
+    val copies = rep.getAs[Long]("copies_moved")
+    assert(copies >= 0L && copies <= 3 * rep.getAs[Long]("n_keys"))
+    // a key whose primary moved to a NEW shard necessarily moves >= 1
+    // copy, so copies >= the new-primary subset of primary moves; at
+    // this geometry every moved primary IS a new shard (q358 contract)
+    assert(copies >= rep.getAs[Long]("primary_moved"))
+  }
+
   test("reshardAudit: ring beats mod-N on the documents fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val row = HashRing.reshardAudit(docs, "doc_id", 16, 20, 32)
