@@ -53,8 +53,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_RUNS=1 for the once-per-round FULL-BOARD tail
     // sweep (367 queries × 3 would dominate the round); the driver
     // never sets it, so the contract default stays best-of-3.
+    // toIntOption (not toInt) so a malformed value degrades to the
+    // contract default instead of killing the whole bench run
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to nRuns).foreach { _ =>
       benchNames.foreach { name =>

@@ -33,6 +33,9 @@ case class RingShard(child: Expression, positions: Seq[Long],
 
   require(positions.length == shards.length && positions.nonEmpty,
     "ring must be non-empty with parallel positions/shards")
+  require(RingShard.strictlyAscending(positions),
+    "ring positions must be strictly ascending (sorted, distinct) — " +
+      "the binary search silently mis-routes on an unsorted ring")
 
   @transient private lazy val posArr: Array[Long] = positions.toArray
   @transient private lazy val shardArr: Array[Long] = shards.toArray
@@ -72,6 +75,21 @@ object RingShard {
              shards: Seq[Long]): Column =
     ExpressionUtils.column(RingShard(
       ExpressionUtils.expression(pos), positions, shards))
+
+  /** Strictly-ascending check shared by both ring expressions: O(n)
+    * once per expression construction, and it implies sorted AND
+    * distinct in one pass (no extra allocation). */
+  private[graft] def strictlyAscending(xs: Seq[Long]): Boolean = {
+    val it = xs.iterator
+    if (!it.hasNext) return true
+    var prev = it.next()
+    while (it.hasNext) {
+      val x = it.next()
+      if (x <= prev) return false
+      prev = x
+    }
+    true
+  }
 }
 
 /** Dynamo-style REPLICATED ring lookup: the first `replicas` DISTINCT
@@ -91,6 +109,10 @@ case class RingReplicas(child: Expression, positions: Seq[Long],
   require(replicas >= 1 && replicas <= shards.distinct.length,
     s"replicas=$replicas must be in [1, ${shards.distinct.length} " +
       "(#distinct shards)]")
+  require(RingShard.strictlyAscending(positions),
+    "ring positions must be strictly ascending (sorted, distinct) — " +
+      "the binary search and clockwise walk silently return wrong " +
+      "replica sets on an unsorted or duplicated ring")
 
   @transient private lazy val posArr: Array[Long] = positions.toArray
   @transient private lazy val shardArr: Array[Long] = shards.toArray
