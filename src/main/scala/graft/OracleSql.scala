@@ -9809,13 +9809,14 @@ object OracleSql {
        |  SELECT doc_id, $mins
        |  FROM h3 GROUP BY doc_id),
        |c3 AS (
+       |  SELECT DISTINCT a, b FROM (
        |  SELECT ga.doc_id AS a, gb.doc_id AS b FROM g3 ga JOIN g3 gb
        |    ON ga.m0=gb.m0 AND ga.m1=gb.m1 AND ga.m2=gb.m2 AND ga.m3=gb.m3
        |   AND ga.doc_id < gb.doc_id
-       |  UNION
+       |  UNION ALL
        |  SELECT ga.doc_id, gb.doc_id FROM g3 ga JOIN g3 gb
        |    ON ga.m4=gb.m4 AND ga.m5=gb.m5 AND ga.m6=gb.m6 AND ga.m7=gb.m7
-       |   AND ga.doc_id < gb.doc_id),
+       |   AND ga.doc_id < gb.doc_id)),
        |z3 AS (SELECT doc_id, COUNT(*) AS n FROM t3 GROUP BY 1),
        |x3 AS (
        |  SELECT c.a, c.b, COUNT(*) AS inter
@@ -9904,7 +9905,7 @@ object OracleSql {
        |  FROM gr12 WHERE pos = len(word)),
        |dtok AS MATERIALIZED (
        |  SELECT t.doc_id,
-       |    CAST(SUM(CASE WHEN len(t.tok) <= 12 THEN p.np
+       |    CAST(SUM(CASE WHEN p.np IS NOT NULL THEN p.np
        |      ELSE (len(t.tok) + 3) // 4 END) AS BIGINT) AS n_tokens
        |  FROM toks6 t LEFT JOIN pieces p ON p.word = t.tok GROUP BY 1),
        |stok AS MATERIALIZED (
@@ -10082,78 +10083,106 @@ object OracleSql {
     * vocab tokenization (unspannable words charge ⌈len/4⌉), and the
     * pack walk CONTINUED from yesterday's carry. Final select: the
     * q368-shaped per-delta-doc ledger. */
-  private val q370 = {
+  // ---- incremental-pipeline CTE generators (q370/q373/q374) --------
+  // The store chain and the delta chain are each one reusable
+  // generator so the one-day (q370), two-day absorbing (q373), and
+  // signature-artifact (q374) replays share byte-identical stage SQL.
+
+  private val IncDims = 64
+
+  private val incMins = {
     val as = Seq(131, 137, 139, 149, 151, 157, 163, 167)
     val bs = Seq(17, 29, 47, 71, 89, 107, 131, 151)
-    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+    as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
       s"MIN((h * $a + $b) % 1000000007) AS m$j"
     }.mkString(",\n      |    ")
-    val dims = 64
-    def toksCte(src: String, out: String): String =
-      s"""w_$out AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-         |  FROM $src),
-         |$out AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
-         |  FROM w_$out, UNNEST(range(1, len(ws) - 1)) t(i)
-         |  WHERE len(ws) >= 3)""".stripMargin
-    def sigCte(toks: String, out: String): String =
-      s"""h_$out AS (
-         |  SELECT doc_id, tok,
-         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
-         |  FROM $toks),
-         |$out AS MATERIALIZED (
-         |  SELECT doc_id, $mins
-         |  FROM h_$out GROUP BY doc_id)""".stripMargin
-    def assignCte(src: String, cent: String, out: String): String =
-      s"""d_$out AS MATERIALIZED (
-         |  SELECT v.vec_id, v.q, c.cl,
-         |    CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
-         |  FROM $src v CROSS JOIN $cent c),
-         |$out AS MATERIALIZED (
-         |  SELECT vec_id, q, cl FROM (
-         |    SELECT vec_id, q, cl,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-         |    FROM d_$out)
-         |  WHERE rn = 1)""".stripMargin
-    def meanCte(assigned: String, out: String): String =
-      s"""m_$out AS MATERIALIZED (
-         |  SELECT cl, d,
-         |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-         |  FROM $assigned, UNNEST(range(1, ${dims + 1})) t(d) GROUP BY cl, d),
-         |$out AS MATERIALIZED (
-         |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
-    def normCte(src: String, out: String): String =
-      s"""$out AS (
-         |  SELECT vec_id, CAST(list_aggregate(list_transform(
-         |    range(1, ${dims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
-         |  FROM $src)""".stripMargin
+  }
+
+  private def incToksCte(src: String, out: String): String =
+    s"""w_$out AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM $src),
+       |$out AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+       |  FROM w_$out, UNNEST(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3)""".stripMargin
+
+  private def incSigCte(toks: String, out: String): String =
+    s"""h_$out AS (
+       |  SELECT doc_id, tok,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+       |  FROM $toks),
+       |$out AS MATERIALIZED (
+       |  SELECT doc_id, $incMins
+       |  FROM h_$out GROUP BY doc_id)""".stripMargin
+
+  private def incAssignCte(src: String, cent: String, out: String): String =
+    s"""d_$out AS MATERIALIZED (
+       |  SELECT v.vec_id, v.q, c.cl,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+       |  FROM $src v CROSS JOIN $cent c),
+       |$out AS MATERIALIZED (
+       |  SELECT vec_id, q, cl FROM (
+       |    SELECT vec_id, q, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_$out)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def incMeanCte(assigned: String, out: String): String =
+    s"""m_$out AS MATERIALIZED (
+       |  SELECT cl, d,
+       |    CAST(FLOOR(CAST(SUM(q[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM $assigned, UNNEST(range(1, ${IncDims + 1})) t(d) GROUP BY cl, d),
+       |$out AS MATERIALIZED (
+       |  SELECT cl, list(cv ORDER BY d) AS c FROM m_$out GROUP BY cl)""".stripMargin
+
+  private def incNormCte(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, CAST(list_aggregate(list_transform(
+       |    range(1, ${IncDims + 1}), i -> q[i] * q[i]), 'sum') AS BIGINT) AS n2
+       |  FROM $src)""".stripMargin
+
+  /** The exact-integer cosine ≥ 3/10 predicate between rows aliased
+    * x (store side) and y (delta side), norms nx/ny. */
+  private val incCosPred =
+    s"""CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) >= 0
+       |    AND CAST(CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS HUGEINT)
+       |      * CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) * 100
+       |      >= 9 * CAST(nx.n2 AS HUGEINT) * ny.n2""".stripMargin
+
+  /** The STORE build: run the full chain over `ad WHERE $dayFilter`,
+    * freezing centroids (fc2), vocab (fvocab), curated members
+    * (ymem), norms (yn2), carry (ycarry) and the full-corpus
+    * contamination flags (cflg). Emits CTEs: ad, y0..y5, ylists,
+    * yn2, ymem, cflg, fvocab, ycarry (+ internals). */
+  private def incStoreCtes(dayFilter: String): String = {
     val yRounds = greedyRounds("ygr", "fvocab")
-    val dRounds = greedyRounds("dgr", "fvocab")
-    s"""WITH RECURSIVE
-       |ad AS MATERIALIZED (
+    s"""ad AS MATERIALIZED (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source
        |  FROM documents),
-       |y0 AS (SELECT * FROM ad WHERE doc_id % 7 <> 3),
-       |dd0 AS (SELECT * FROM ad WHERE doc_id % 7 = 3),
+       |y0 AS (SELECT * FROM ad WHERE $dayFilter),
        |y1 AS MATERIALIZED (
        |  SELECT * FROM y0 WHERE len(string_split(lower(text), ' ')) >= 40),
        |y2 AS MATERIALIZED (
        |  SELECT * FROM y1 WHERE doc_id IN (
        |    SELECT MIN(doc_id) FROM y1 GROUP BY text)),
-       |${toksCte("y2", "yt")},
-       |${sigCte("yt", "ysig")},
+       |${incToksCte("y2", "yt")},
+       |${incSigCte("yt", "ysig")},
        |yc AS (
+       |  SELECT DISTINCT a, b FROM (
        |  SELECT ga.doc_id AS a, gb.doc_id AS b FROM ysig ga JOIN ysig gb
        |    ON ga.m0=gb.m0 AND ga.m1=gb.m1 AND ga.m2=gb.m2 AND ga.m3=gb.m3
        |   AND ga.doc_id < gb.doc_id
-       |  UNION
+       |  UNION ALL
        |  SELECT ga.doc_id, gb.doc_id FROM ysig ga JOIN ysig gb
        |    ON ga.m4=gb.m4 AND ga.m5=gb.m5 AND ga.m6=gb.m6 AND ga.m7=gb.m7
-       |   AND ga.doc_id < gb.doc_id),
+       |   AND ga.doc_id < gb.doc_id)),
        |yz AS (SELECT doc_id, COUNT(*) AS n FROM yt GROUP BY 1),
        |ymp AS MATERIALIZED (
        |  SELECT i.a, i.b FROM (
@@ -10175,24 +10204,18 @@ object OracleSql {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
        |    q AS c
        |  FROM (SELECT vec_id, q FROM yqv ORDER BY vec_id LIMIT 8)),
-       |${assignCte("yqv", "fc0", "fa0")},
-       |${meanCte("fa0", "fc1")},
-       |${assignCte("yqv", "fc1", "fa1")},
-       |${meanCte("fa1", "fc2")},
-       |${assignCte("yqv", "fc2", "ylists")},
-       |${normCte("yqv", "yn2")},
+       |${incAssignCte("yqv", "fc0", "fa0")},
+       |${incMeanCte("fa0", "fc1")},
+       |${incAssignCte("yqv", "fc1", "fa1")},
+       |${incMeanCte("fa1", "fc2")},
+       |${incAssignCte("yqv", "fc2", "ylists")},
+       |${incNormCte("yqv", "yn2")},
        |ydup AS MATERIALIZED (
        |  SELECT x.vec_id AS a, y.vec_id AS b FROM
        |    ylists x JOIN ylists y ON x.cl = y.cl AND x.vec_id < y.vec_id
        |    JOIN yn2 nx ON nx.vec_id = x.vec_id
        |    JOIN yn2 ny ON ny.vec_id = y.vec_id
-       |  WHERE CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) >= 0
-       |    AND CAST(CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS HUGEINT)
-       |      * CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) * 100
-       |      >= 9 * CAST(nx.n2 AS HUGEINT) * ny.n2),
+       |  WHERE $incCosPred),
        |y4 AS (SELECT * FROM y3 WHERE doc_id NOT IN
        |  (SELECT DISTINCT b FROM ydup)),
        |cb AS (
@@ -10268,118 +10291,127 @@ object OracleSql {
        |      ORDER BY rn DESC) AS rr
        |    FROM ywalk)
        |  WHERE rr = 1),
-       |d1 AS MATERIALIZED (
-       |  SELECT * FROM dd0 WHERE len(string_split(lower(text), ' ')) >= 40),
-       |d2 AS MATERIALIZED (
-       |  SELECT * FROM d1
-       |  WHERE text NOT IN (SELECT text FROM y5)
-       |    AND doc_id IN (SELECT MIN(doc_id) FROM d1 GROUP BY text)),
-       |${toksCte("d2", "dt")},
-       |${sigCte("dt", "dsig")},
-       |${toksCte("y5", "stt")},
-       |${sigCte("stt", "ssig")},
-       |xc AS (
+       |ymem AS (SELECT l.* FROM ylists l
+       |  JOIN y5 ON y5.doc_id = l.vec_id)""".stripMargin
+  }
+
+  /** One DELTA day with CTE prefix `p` against a frozen store:
+    * `storeDocs` (curated docs the exact/near stages dedup against),
+    * `storeMem`/`storeNorm` (frozen-cluster members + norms for the
+    * cross SemDeDup), `carry` (the pack continuation state). Emits
+    * ${p}d0 (the raw day), ${p}1..${p}5, ${p}walk (+ internals). */
+  private def incDeltaCtes(p: String, dayFilter: String,
+      storeDocs: String, storeMem: String, storeNorm: String,
+      carry: String): String = {
+    val rounds = greedyRounds(s"${p}gr", "fvocab")
+    s"""${p}d0 AS (SELECT * FROM ad WHERE $dayFilter),
+       |${p}1 AS MATERIALIZED (
+       |  SELECT * FROM ${p}d0
+       |  WHERE len(string_split(lower(text), ' ')) >= 40),
+       |${p}2 AS MATERIALIZED (
+       |  SELECT * FROM ${p}1
+       |  WHERE text NOT IN (SELECT text FROM $storeDocs)
+       |    AND doc_id IN (SELECT MIN(doc_id) FROM ${p}1 GROUP BY text)),
+       |${incToksCte(s"${p}2", s"${p}t")},
+       |${incSigCte(s"${p}t", s"${p}sig")},
+       |${incToksCte(storeDocs, s"${p}st")},
+       |${incSigCte(s"${p}st", s"${p}ssig")},
+       |${p}xc AS (
+       |  SELECT DISTINCT b_id, s_id FROM (
        |  SELECT b.doc_id AS b_id, s.doc_id AS s_id
-       |  FROM dsig b JOIN ssig s
+       |  FROM ${p}sig b JOIN ${p}ssig s
        |    ON b.m0=s.m0 AND b.m1=s.m1 AND b.m2=s.m2 AND b.m3=s.m3
-       |  UNION
-       |  SELECT b.doc_id, s.doc_id FROM dsig b JOIN ssig s
-       |    ON b.m4=s.m4 AND b.m5=s.m5 AND b.m6=s.m6 AND b.m7=s.m7),
-       |dz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1),
-       |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM stt GROUP BY 1),
-       |xmp AS MATERIALIZED (
+       |  UNION ALL
+       |  SELECT b.doc_id, s.doc_id FROM ${p}sig b JOIN ${p}ssig s
+       |    ON b.m4=s.m4 AND b.m5=s.m5 AND b.m6=s.m6 AND b.m7=s.m7)),
+       |${p}z AS (SELECT doc_id, COUNT(*) AS n FROM ${p}t GROUP BY 1),
+       |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}st GROUP BY 1),
+       |${p}xmp AS MATERIALIZED (
        |  SELECT i.b_id FROM (
        |    SELECT c.b_id, c.s_id, COUNT(*) AS inter
-       |    FROM xc c
-       |    JOIN dt tb ON tb.doc_id = c.b_id
-       |    JOIN stt ts ON ts.doc_id = c.s_id AND ts.tok = tb.tok
+       |    FROM ${p}xc c
+       |    JOIN ${p}t tb ON tb.doc_id = c.b_id
+       |    JOIN ${p}st ts ON ts.doc_id = c.s_id AND ts.tok = tb.tok
        |    GROUP BY 1, 2) i
-       |  JOIN dz nb ON nb.doc_id = i.b_id
-       |  JOIN sz2 ns ON ns.doc_id = i.s_id
+       |  JOIN ${p}z nb ON nb.doc_id = i.b_id
+       |  JOIN ${p}sz ns ON ns.doc_id = i.s_id
        |  WHERE 2 * i.inter >= nb.n + ns.n - i.inter),
-       |dc AS (
-       |  SELECT ga.doc_id AS a, gb.doc_id AS b FROM dsig ga JOIN dsig gb
+       |${p}c AS (
+       |  SELECT DISTINCT a, b FROM (
+       |  SELECT ga.doc_id AS a, gb.doc_id AS b
+       |  FROM ${p}sig ga JOIN ${p}sig gb
        |    ON ga.m0=gb.m0 AND ga.m1=gb.m1 AND ga.m2=gb.m2 AND ga.m3=gb.m3
        |   AND ga.doc_id < gb.doc_id
-       |  UNION
-       |  SELECT ga.doc_id, gb.doc_id FROM dsig ga JOIN dsig gb
+       |  UNION ALL
+       |  SELECT ga.doc_id, gb.doc_id FROM ${p}sig ga JOIN ${p}sig gb
        |    ON ga.m4=gb.m4 AND ga.m5=gb.m5 AND ga.m6=gb.m6 AND ga.m7=gb.m7
-       |   AND ga.doc_id < gb.doc_id),
-       |dmp AS MATERIALIZED (
+       |   AND ga.doc_id < gb.doc_id)),
+       |${p}mp AS MATERIALIZED (
        |  SELECT i.b FROM (
        |    SELECT c.a, c.b, COUNT(*) AS inter
-       |    FROM dc c
-       |    JOIN dt ta ON ta.doc_id = c.a
-       |    JOIN dt tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |    FROM ${p}c c
+       |    JOIN ${p}t ta ON ta.doc_id = c.a
+       |    JOIN ${p}t tb ON tb.doc_id = c.b AND tb.tok = ta.tok
        |    GROUP BY 1, 2) i
-       |  JOIN dz sa ON sa.doc_id = i.a
-       |  JOIN dz sb ON sb.doc_id = i.b
+       |  JOIN ${p}z sa ON sa.doc_id = i.a
+       |  JOIN ${p}z sb ON sb.doc_id = i.b
        |  WHERE 2 * i.inter >= sa.n + sb.n - i.inter),
-       |d3 AS MATERIALIZED (
-       |  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT b_id FROM xmp)
-       |    AND doc_id NOT IN (SELECT b FROM dmp)),
-       |dqv AS MATERIALIZED (
+       |${p}3 AS MATERIALIZED (
+       |  SELECT * FROM ${p}2
+       |  WHERE doc_id NOT IN (SELECT b_id FROM ${p}xmp)
+       |    AND doc_id NOT IN (SELECT b FROM ${p}mp)),
+       |${p}qv AS MATERIALIZED (
        |  SELECT e.vec_id, list_transform(e.embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
-       |  FROM embeddings e JOIN d3 s ON s.doc_id = e.vec_id),
-       |${assignCte("dqv", "fc2", "dlists")},
-       |${normCte("dqv", "dn2")},
-       |ymem AS (SELECT l.* FROM ylists l
-       |  JOIN y5 ON y5.doc_id = l.vec_id),
-       |xsem AS MATERIALIZED (
+       |  FROM embeddings e JOIN ${p}3 s ON s.doc_id = e.vec_id),
+       |${incAssignCte(s"${p}qv", "fc2", s"${p}lists")},
+       |${incNormCte(s"${p}qv", s"${p}n2")},
+       |${p}xsem AS MATERIALIZED (
        |  SELECT DISTINCT y.vec_id AS b FROM
-       |    ymem x JOIN dlists y ON x.cl = y.cl
-       |    JOIN yn2 nx ON nx.vec_id = x.vec_id
-       |    JOIN dn2 ny ON ny.vec_id = y.vec_id
-       |  WHERE CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) >= 0
-       |    AND CAST(CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS HUGEINT)
-       |      * CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) * 100
-       |      >= 9 * CAST(nx.n2 AS HUGEINT) * ny.n2),
-       |ddup AS MATERIALIZED (
+       |    $storeMem x JOIN ${p}lists y ON x.cl = y.cl
+       |    JOIN $storeNorm nx ON nx.vec_id = x.vec_id
+       |    JOIN ${p}n2 ny ON ny.vec_id = y.vec_id
+       |  WHERE $incCosPred),
+       |${p}dup AS MATERIALIZED (
        |  SELECT x.vec_id AS a, y.vec_id AS b FROM
-       |    dlists x JOIN dlists y ON x.cl = y.cl AND x.vec_id < y.vec_id
-       |    JOIN dn2 nx ON nx.vec_id = x.vec_id
-       |    JOIN dn2 ny ON ny.vec_id = y.vec_id
-       |  WHERE CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) >= 0
-       |    AND CAST(CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) AS HUGEINT)
-       |      * CAST(list_aggregate(list_transform(range(1, ${dims + 1}),
-       |      i -> x.q[i] * y.q[i]), 'sum') AS BIGINT) * 100
-       |      >= 9 * CAST(nx.n2 AS HUGEINT) * ny.n2),
-       |d4 AS (SELECT * FROM d3
-       |  WHERE doc_id NOT IN (SELECT b FROM xsem)
-       |    AND doc_id NOT IN (SELECT DISTINCT b FROM ddup)),
-       |d5 AS MATERIALIZED (
-       |  SELECT * FROM d4 WHERE doc_id NOT IN (SELECT doc_id FROM cflg)),
-       |dtoks AS MATERIALIZED (
+       |    ${p}lists x JOIN ${p}lists y
+       |    ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |    JOIN ${p}n2 nx ON nx.vec_id = x.vec_id
+       |    JOIN ${p}n2 ny ON ny.vec_id = y.vec_id
+       |  WHERE $incCosPred),
+       |${p}4 AS (SELECT * FROM ${p}3
+       |  WHERE doc_id NOT IN (SELECT b FROM ${p}xsem)
+       |    AND doc_id NOT IN (SELECT DISTINCT b FROM ${p}dup)),
+       |${p}5 AS MATERIALIZED (
+       |  SELECT * FROM ${p}4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cflg)),
+       |${p}toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
        |    x -> x <> '')) AS tok
-       |  FROM d5),
-       |dw6 AS (SELECT DISTINCT tok AS word FROM dtoks WHERE len(tok) <= 12),
-       |dgr0 AS (SELECT word, 0 AS pos, '' AS path FROM dw6),
-       |$dRounds,
-       |dpieces AS MATERIALIZED (
+       |  FROM ${p}5),
+       |${p}w6 AS (SELECT DISTINCT tok AS word FROM ${p}toks
+       |  WHERE len(tok) <= 12),
+       |${p}gr0 AS (SELECT word, 0 AS pos, '' AS path FROM ${p}w6),
+       |$rounds,
+       |${p}pieces AS MATERIALIZED (
        |  SELECT word,
        |    CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS np
-       |  FROM dgr12 WHERE pos = len(word)),
-       |ddt AS MATERIALIZED (
+       |  FROM ${p}gr12 WHERE pos = len(word)),
+       |${p}dt AS MATERIALIZED (
        |  SELECT t.doc_id,
        |    CAST(SUM(CASE WHEN p.np IS NOT NULL THEN p.np
        |      ELSE (len(t.tok) + 3) // 4 END) AS BIGINT) AS n_tokens
-       |  FROM dtoks t LEFT JOIN dpieces p ON p.word = t.tok GROUP BY 1),
-       |dstok AS MATERIALIZED (
+       |  FROM ${p}toks t LEFT JOIN ${p}pieces p ON p.word = t.tok
+       |  GROUP BY 1),
+       |${p}stok AS MATERIALIZED (
        |  SELECT s.doc_id, s.source,
        |    CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens
-       |  FROM d5 s LEFT JOIN ddt d USING (doc_id)),
-       |dpt AS MATERIALIZED (
+       |  FROM ${p}5 s LEFT JOIN ${p}dt d USING (doc_id)),
+       |${p}pt AS MATERIALIZED (
        |  SELECT source, doc_id, n_tokens,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |  FROM dstok),
-       |dwalk(source, rn, doc_id, len, seq_id, seq_offset) AS (
+       |  FROM ${p}stok),
+       |${p}walk(source, rn, doc_id, len, seq_id, seq_offset) AS (
        |  SELECT p.source, p.rn, p.doc_id, p.n_tokens,
        |    CASE WHEN COALESCE(c.cf, 0) > 0
        |           AND COALESCE(c.cf, 0) + p.n_tokens > 256
@@ -10387,7 +10419,7 @@ object OracleSql {
        |    CASE WHEN COALESCE(c.cf, 0) > 0
        |           AND COALESCE(c.cf, 0) + p.n_tokens > 256
        |         THEN CAST(0 AS BIGINT) ELSE COALESCE(c.cf, 0) END
-       |  FROM dpt p LEFT JOIN ycarry c ON c.source = p.source
+       |  FROM ${p}pt p LEFT JOIN $carry c ON c.source = p.source
        |  WHERE p.rn = 1
        |  UNION ALL
        |  SELECT n.source, n.rn, n.doc_id, n.n_tokens,
@@ -10397,9 +10429,14 @@ object OracleSql {
        |    CASE WHEN w.seq_offset + w.len > 0
        |           AND w.seq_offset + w.len + n.n_tokens > 256
        |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
-       |  FROM dwalk w JOIN dpt n ON n.source = w.source
-       |    AND n.rn = w.rn + 1)
-       |SELECT d.doc_id,
+       |  FROM ${p}walk w JOIN ${p}pt n ON n.source = w.source
+       |    AND n.rn = w.rn + 1)""".stripMargin
+  }
+
+  /** The q368-shaped per-delta-doc ledger select body for prefix `p`
+    * (no trailing ORDER BY — callers compose it). */
+  private def incLedgerSelect(p: String): String =
+    s"""SELECT d.doc_id,
        |  CASE WHEN g1.doc_id IS NULL THEN 'short'
        |       WHEN g2.doc_id IS NULL THEN 'exact_dup'
        |       WHEN g3.doc_id IS NULL THEN 'near_dup'
@@ -10408,15 +10445,86 @@ object OracleSql {
        |       ELSE 'kept' END AS disposition,
        |  CAST(COALESCE(w.seq_id, -1) AS BIGINT) AS seq_id,
        |  CAST(COALESCE(w.seq_offset, -1) AS BIGINT) AS seq_offset
-       |FROM dd0 d
-       |LEFT JOIN d1 g1 ON g1.doc_id = d.doc_id
-       |LEFT JOIN d2 g2 ON g2.doc_id = d.doc_id
-       |LEFT JOIN d3 g3 ON g3.doc_id = d.doc_id
-       |LEFT JOIN d4 g4 ON g4.doc_id = d.doc_id
-       |LEFT JOIN d5 g5 ON g5.doc_id = d.doc_id
-       |LEFT JOIN dwalk w ON w.doc_id = d.doc_id
+       |FROM ${p}d0 d
+       |LEFT JOIN ${p}1 g1 ON g1.doc_id = d.doc_id
+       |LEFT JOIN ${p}2 g2 ON g2.doc_id = d.doc_id
+       |LEFT JOIN ${p}3 g3 ON g3.doc_id = d.doc_id
+       |LEFT JOIN ${p}4 g4 ON g4.doc_id = d.doc_id
+       |LEFT JOIN ${p}5 g5 ON g5.doc_id = d.doc_id
+       |LEFT JOIN ${p}walk w ON w.doc_id = d.doc_id""".stripMargin
+
+  private val q370 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")}
+       |${incLedgerSelect("d")}
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** q373: the two-day ABSORBING loop — day 0 (doc_id % 7 ∉ {2,3})
+    * builds the frozen store; day 1 (% 7 = 2) runs the delta chain
+    * and is absorbed (store1 = y5 ∪ e5, members/norms extended,
+    * carry advanced per the packCarryMerge rule); day 2 (% 7 = 3)
+    * runs against the GROWN store. Final select: both day ledgers,
+    * day-tagged. */
+  private val q373 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 2 AND doc_id % 7 <> 3")},
+       |${incDeltaCtes("e", "doc_id % 7 = 2", "y5", "ymem", "yn2",
+          "ycarry")},
+       |store1 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM y5
+       |  UNION ALL SELECT doc_id, text, source FROM e5),
+       |smem1 AS (
+       |  SELECT * FROM ymem
+       |  UNION ALL
+       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
+       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
+       |ecl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ewalk)
+       |  WHERE rr = 1),
+       |carry1 AS (
+       |  SELECT source, cs, cf FROM ecl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM ycarry
+       |  WHERE source NOT IN (SELECT source FROM ecl)),
+       |${incDeltaCtes("f", "doc_id % 7 = 3", "store1", "smem1", "sn1",
+          "carry1")},
+       |led1 AS (${incLedgerSelect("e")}),
+       |led2 AS (${incLedgerSelect("f")})
+       |SELECT doc_id, day, disposition, seq_id, seq_offset FROM (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS day, disposition,
+       |    seq_id, seq_offset FROM led1
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS BIGINT), disposition,
+       |    seq_id, seq_offset FROM led2)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q374: the signature-store cross near-dup pass — the verified
+    * (batch, store) pairs of q370's near-dup stage. The engine reads
+    * the store side from the persisted (doc_id, m0..m7, n_toks)
+    * artifact; this replay recomputes signatures from text — equal
+    * by the artifact contract (additionally spec-pinned). */
+  private val q374 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")}
+       |SELECT i.b_id, i.s_id, CAST(i.inter AS BIGINT) AS inter,
+       |  CAST(nb.n + ns.n - i.inter AS BIGINT) AS uni
+       |FROM (
+       |  SELECT c.b_id, c.s_id, COUNT(*) AS inter
+       |  FROM dxc c
+       |  JOIN dt tb ON tb.doc_id = c.b_id
+       |  JOIN dst ts ON ts.doc_id = c.s_id AND ts.tok = tb.tok
+       |  GROUP BY 1, 2) i
+       |JOIN dz nb ON nb.doc_id = i.b_id
+       |JOIN dsz ns ON ns.doc_id = i.s_id
+       |WHERE 2 * i.inter >= nb.n + ns.n - i.inter
+       |ORDER BY i.b_id, i.s_id""".stripMargin
 
   /** q371: the shard manifest — q362's packed sequences per-seq
     * aggregated, keyed by the char-fold of "source:seq_id", placed by
@@ -10516,6 +10624,137 @@ object OracleSql {
        |      // (nk.n * 3) AS BIGINT)
        |    ELSE CAST(-1 AS BIGINT) END AS copies_moved_ppm
        |FROM nk, pm""".stripMargin
+
+  /** q375: WEIGHTED replicated reshard — the q361 capacity fleet
+    * grown by 64 vnodes of capacity either as one big box (cap 64)
+    * or four small ones (cap 16 each), R = 3. Weighted vnode tables
+    * per ring from capacity VALUES rows; before-set computed once
+    * (shared by both scenarios), each after-set via the q363
+    * walk-rank replay; copies_moved counts after-set members absent
+    * from the before set. */
+  private val q375 = {
+    val caps = Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16,
+      8, 8, 8, 8)
+    def capRows(cs: Seq[Int]): String = cs.zipWithIndex
+      .map { case (c, s) => s"($s, $c)" }.mkString(", ")
+    // weighted vnode position table from a capacity VALUES list
+    def vpCte(name: String, cs: Seq[Int]): String =
+      s"""${name}caps AS (SELECT * FROM (VALUES ${capRows(cs)})
+         |  c(shard, cap)),
+         |${name}vn0 AS (
+         |  SELECT CAST(shard AS BIGINT) AS shard,
+         |    CAST(UNNEST(range(0, cap)) AS BIGINT) AS v
+         |  FROM ${name}caps),
+         |${name}vf AS (
+         |  SELECT shard,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('shard:' || shard || ':' || v, ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+         |  FROM ${name}vn0),
+         |${name}vp AS (
+         |  SELECT shard,
+         |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+         |  FROM ${name}vf)""".stripMargin
+    // first-3-distinct-shard replica set against a vnode table
+    def rset(name: String, vp: String): String =
+      s"""${name}ord AS (
+         |  SELECT k.doc_id, t.shard,
+         |    ROW_NUMBER() OVER (PARTITION BY k.doc_id
+         |      ORDER BY (t.pos < k.p), t.pos) AS rnk
+         |  FROM keys k CROSS JOIN $vp t),
+         |${name}f AS (SELECT doc_id, shard, MIN(rnk) AS fr
+         |  FROM ${name}ord GROUP BY 1, 2),
+         |${name}set AS MATERIALIZED (
+         |  SELECT doc_id, shard, rk FROM (
+         |    SELECT doc_id, shard,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fr) AS rk
+         |    FROM ${name}f)
+         |  WHERE rk <= 3)""".stripMargin
+    // one audit row for a scenario whose after-set CTE is <s>set
+    def scenarioRow(label: String, s: String): String =
+      s"""SELECT '$label' AS scenario, nk.n AS n_keys,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |   FROM (SELECT doc_id, shard FROM bset WHERE rk = 1) b
+         |   JOIN (SELECT doc_id, shard FROM ${s}set WHERE rk = 1) a
+         |     USING (doc_id)
+         |   WHERE b.shard <> a.shard) AS primary_moved,
+         |  CASE WHEN nk.n > 0 THEN CAST(
+         |    (SELECT COUNT(*)
+         |     FROM (SELECT doc_id, shard FROM bset WHERE rk = 1) b
+         |     JOIN (SELECT doc_id, shard FROM ${s}set WHERE rk = 1) a
+         |       USING (doc_id)
+         |     WHERE b.shard <> a.shard) * 1000000 // nk.n AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END AS primary_moved_ppm,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${s}set a
+         |   LEFT JOIN bset b ON b.doc_id = a.doc_id
+         |     AND b.shard = a.shard
+         |   WHERE b.shard IS NULL) AS copies_moved,
+         |  CASE WHEN nk.n > 0 THEN CAST(
+         |    (SELECT COUNT(*) FROM ${s}set a
+         |     LEFT JOIN bset b ON b.doc_id = a.doc_id
+         |       AND b.shard = a.shard
+         |     WHERE b.shard IS NULL) * 1000000 // (nk.n * 3) AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END AS copies_moved_ppm
+         |FROM nk""".stripMargin
+    s"""WITH ${vpCte("b", caps)},
+       |${vpCte("g", caps :+ 64)},
+       |${vpCte("s", caps ++ Seq(16, 16, 16, 16))},
+       |keys AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ((doc_id % 1000000007) * 2654435761 + 40503)
+       |      % 1000000007 AS p
+       |  FROM documents),
+       |${rset("b", "bvp")},
+       |${rset("g", "gvp")},
+       |${rset("s", "svp")},
+       |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)
+       |SELECT * FROM (
+       |  ${scenarioRow("one_big", "g")}
+       |  UNION ALL
+       |  ${scenarioRow("four_small", "s")})
+       |ORDER BY scenario""".stripMargin
+  }
+
+  /** q376: the loader-contract manifest — q371's per-sequence shard
+    * placement with each shard's deterministic (source, seq_id) read
+    * order: 1-based sequence rank and the cumulative token offset
+    * where each sequence starts. */
+  private val q376 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${ringCtes(16)},
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq),
+       |sa AS (
+       |  SELECT sp.source, sp.seq_id, sp.n_docs, sp.n_tokens,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM sp),
+       |sb AS (
+       |  SELECT vp.shard, a.source, a.seq_id, a.n_docs, a.n_tokens
+       |  FROM sa a JOIN vp ON vp.pos = a.vpos)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY source, seq_id) AS BIGINT) AS seq_rank,
+       |  source, CAST(seq_id AS BIGINT) AS seq_id,
+       |  n_docs, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |    ORDER BY source, seq_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS token_offset
+       |FROM sb
+       |ORDER BY shard, seq_rank""".stripMargin
 
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
@@ -11025,6 +11264,10 @@ object OracleSql {
     "q370_pipeline_delta" -> q370,
     "q371_shard_manifest" -> q371,
     "q372_replicated_reshard" -> q372,
+    "q373_pipeline_two_day" -> q373,
+    "q374_sigstore_cross" -> q374,
+    "q375_weighted_reshard" -> q375,
+    "q376_loader_manifest" -> q376,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

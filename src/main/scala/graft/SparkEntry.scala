@@ -4598,20 +4598,52 @@ object SparkEntry {
     * every delta stage is batch-sized except the cross joins, which
     * are banded/cluster-keyed — the corpus never re-shuffles for
     * the delta, which is the entire point of the incremental form. */
-  private def qPipelineDelta(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("source"))
-      .localCheckpoint()
-    val yDocs = docs.filter(col("doc_id") % 7 =!= 3)
-    val dDocs = docs.filter(col("doc_id") % 7 === 3)
-    def gate(df: DataFrame): DataFrame =
-      df.filter(size(split(lower(col("text")), " ")) >= 40)
-    val quant = Tables.embeddings(s, dir)
-      .select(col("vec_id").cast("long").as("id"),
-        Similarity.quantize16(col("embedding")).as("q"))
-    // ---- yesterday: the full chain, artifacts frozen --------------
-    val y1 = gate(yDocs).localCheckpoint()
+  /** The FROZEN serving artifacts a daily-refresh store publishes
+    * (q370/q373/q374): curated docs, their frozen-cluster
+    * assignments, the Lloyd centroids, the unigram vocab, the
+    * per-stratum pack carry, and the MinHash signature-store artifact
+    * ([[operators.MinHashLSH.portableSignatureStore]] — doc_id,
+    * m0..m7, n_toks), plus the run-wide constants (full-corpus
+    * contamination flags and quantized vectors). In production every
+    * field is a parquet artifact; here each is localCheckpoint'ed
+    * once at build/absorb time. */
+  private[graft] case class PipelineStore(docs: DataFrame,
+    members: DataFrame, cents: DataFrame, vocab: DataFrame,
+    carry: DataFrame, sigs: DataFrame, contamDrop: DataFrame,
+    quant: DataFrame)
+
+  /** One delta day's outputs: the q368-shaped ledger plus exactly the
+    * pieces [[absorbPipelineDay]] folds back into the store — kept
+    * docs, their frozen-cluster assignments, their signature-store
+    * rows, and the continued pack frame (whose [[operators.Curation
+    * .packCarry]] becomes tomorrow's carry). */
+  private[graft] case class PipelineDeltaDay(ledger: DataFrame,
+    kept: DataFrame, keptMembers: DataFrame, keptSigs: DataFrame,
+    packed: DataFrame)
+
+  private def pipelineGate(df: DataFrame): DataFrame =
+    df.filter(size(split(lower(col("text")), " ")) >= 40)
+
+  /** Build the frozen store by running the FULL chain over `yDocs`
+    * (yesterday's corpus) once: gate → exact dedup → within-store
+    * near dedup → Lloyd train + SemDeDup → benchmark decontamination
+    * (flags computed over the FULL corpus `docs`, the fixed %10 bench
+    * convention) → freeze vocab, pack carry, and the signature
+    * artifact over the curated survivors. */
+  private def buildPipelineStore(s: SparkSession, dir: String,
+      yDocs: DataFrame, docs: DataFrame): PipelineStore =
+    buildPipelineStoreFrom(s, yDocs, docs,
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("id"),
+          Similarity.quantize16(col("embedding")).as("q")))
+
+  /** Fixture-injectable form (docs and quantized vectors passed in) —
+    * the fold-equivalence property spec drives the K-day loop over
+    * synthetic corpora through this entry. */
+  private[graft] def buildPipelineStoreFrom(s: SparkSession,
+      yDocs: DataFrame, docs: DataFrame,
+      quant: DataFrame): PipelineStore = {
+    val y1 = pipelineGate(yDocs).localCheckpoint()
     val y2 = y1.join(Dedup.exact(y1, col("text"), col("doc_id"))
       .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
     val y3 = y2.join(MinHashLSH.nearDuplicatesPortable(y2, "doc_id",
@@ -4638,18 +4670,39 @@ object SparkEntry {
         .select(col("word"), col("n_pieces").cast("long").as("np")))
     val carry = Curation.packCarry(
       Curation.packSequences(yTok, "doc_id", "n_tokens", "source",
-        capacity = 256L), "doc_id", "source")
-    // ---- today's delta against the frozen state -------------------
-    val d1 = gate(dDocs).localCheckpoint()
-    val exactVsStore = d1.join(y5.select("text"), Seq("text"), "semi")
-      .select("doc_id")
+        capacity = 256L), "doc_id", "source").localCheckpoint()
+    val members = yAssigned
+      .join(y5.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint()
+    val sigs = MinHashLSH.portableSignatureStore(y5, "doc_id", "text")
+      .localCheckpoint() // the near-dup ARTIFACT (q374)
+    PipelineStore(y5, members, cents, vocab, carry, sigs, contamDrop,
+      quant)
+  }
+
+  /** One delta day against a frozen [[PipelineStore]]: gate →
+    * exact-vs-store (+ first-arrival within the delta) → cross-set
+    * MinHash near-dedup READ FROM the signature artifact
+    * ([[operators.MinHashLSH.crossNearDuplicatesFromStore]] — store
+    * text touched only for banded candidates; spec-pinned equal to
+    * the recompute path) + delta-delta pairs → SemDeDup against
+    * FROZEN centroids (dup test vs the store's curated members, the
+    * store always wins) → the same fixed benchmark screen → frozen-
+    * vocab tokenize → pack CONTINUED from the store's carry. Every
+    * stage is delta-sized except the cross joins, which are banded /
+    * cluster-keyed; the store corpus never re-shuffles. */
+  private[graft] def pipelineDeltaDay(store: PipelineStore,
+      dDocs: DataFrame): PipelineDeltaDay = {
+    val d1 = pipelineGate(dDocs).localCheckpoint()
+    val exactVsStore = d1.join(store.docs.select("text"), Seq("text"),
+      "semi").select("doc_id")
     val dKeepers = Dedup.exact(d1, col("text"), col("doc_id"))
       .select(col("keeper_id").as("doc_id"))
     val d2 = d1.join(dKeepers, Seq("doc_id"), "semi")
       .join(exactVsStore, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val crossNear = MinHashLSH.crossNearDuplicatesPortable(y5, d2,
-        "doc_id", "text")
+    val crossNear = MinHashLSH.crossNearDuplicatesFromStore(store.sigs,
+        store.docs, d2, "doc_id", "text")
       .select(col("b_id").as("doc_id")).distinct()
     val deltaNear = MinHashLSH.nearDuplicatesPortable(d2, "doc_id",
         "text")
@@ -4657,17 +4710,16 @@ object SparkEntry {
     val d3 = d2.join(crossNear.union(deltaNear).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val dVecs = quant.join(d3.select(col("doc_id").as("id")), Seq("id"))
-    val dAssigned = IvfIndex.assignPortable(dVecs, cents)
-      .localCheckpoint()
-    // cross dup: delta vec vs yesterday's CURATED members (y5) in the
-    // same frozen cluster, exact integer cosine >= 3/10 — the store
-    // member always wins
-    val yMem = yAssigned.join(y5.select(col("doc_id").as("id")),
+    val dVecs = store.quant.join(d3.select(col("doc_id").as("id")),
       Seq("id"))
+    val dAssigned = IvfIndex.assignPortable(dVecs, store.cents)
+      .localCheckpoint()
+    // cross dup: delta vec vs the store's CURATED members in the same
+    // frozen cluster, exact integer cosine >= 3/10 — store wins
     val crossSem = {
-      val x = yMem.select(col("cluster_id").as("c"), col("id").as("a"),
-        col("q").as("qa"), Similarity.intDot(col("q"), col("q")).as("na"))
+      val x = store.members.select(col("cluster_id").as("c"),
+        col("id").as("a"), col("q").as("qa"),
+        Similarity.intDot(col("q"), col("q")).as("na"))
       val y = dAssigned.select(col("cluster_id").as("c"),
         col("id").as("b"), col("q").as("qb"),
         Similarity.intDot(col("q"), col("q")).as("nb"))
@@ -4680,17 +4732,17 @@ object SparkEntry {
       .select(col("b").as("doc_id")).distinct()
     val d4 = d3.join(crossSem.union(deltaSem).distinct(),
       Seq("doc_id"), "left_anti")
-    val d5 = d4.join(contamDrop, Seq("doc_id"), "left_anti")
+    val d5 = d4.join(store.contamDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val dTok = docTokenFrame(d5,
-      UnigramSegment.greedySegment(d5, "text", vocab)
+      UnigramSegment.greedySegment(d5, "text", store.vocab)
         .select(col("word"), col("n_pieces").cast("long").as("np")))
     val dPacked = Curation.packSequencesContinued(dTok, "doc_id",
-      "n_tokens", "source", capacity = 256L, carry)
-    // ---- the delta ledger (q368 shape) ----------------------------
+      "n_tokens", "source", capacity = 256L, store.carry)
+      .localCheckpoint()
     def mark(df: DataFrame, name: String) =
       df.select(col("doc_id")).withColumn(name, lit(true))
-    dDocs.select("doc_id")
+    val ledger = dDocs.select("doc_id")
       .join(mark(d1, "_g1"), Seq("doc_id"), "left")
       .join(mark(d2, "_g2"), Seq("doc_id"), "left")
       .join(mark(d3, "_g3"), Seq("doc_id"), "left")
@@ -4707,7 +4759,98 @@ object SparkEntry {
           .otherwise("kept").as("disposition"),
         coalesce(col("seq_id"), lit(-1L)).as("seq_id"),
         coalesce(col("seq_offset"), lit(-1L)).as("seq_offset"))
+    val keptMembers = dAssigned
+      .join(d5.select(col("doc_id").as("id")), Seq("id"))
+    val keptSigs = MinHashLSH.portableSignatureStore(d5, "doc_id",
+      "text")
+    PipelineDeltaDay(ledger, d5, keptMembers, keptSigs, dPacked)
+  }
+
+  /** The store ABSORBS a processed day — the nightly production loop:
+    * kept docs, their assignments, and their signature rows append;
+    * the carry advances ([[operators.Curation.packCarryMerge]]:
+    * strata the day touched take its fold state, untouched strata
+    * keep the old one). Centroids, vocab, and the benchmark flags
+    * stay FROZEN (retraining is an offline decision driven by the
+    * q352 drift audit, not part of the nightly). */
+  private[graft] def absorbPipelineDay(store: PipelineStore,
+      day: PipelineDeltaDay): PipelineStore = {
+    val cols = Seq("doc_id", "text", "source").map(col)
+    store.copy(
+      docs = store.docs.select(cols: _*)
+        .unionByName(day.kept.select(cols: _*)).localCheckpoint(),
+      members = store.members.unionByName(day.keptMembers)
+        .localCheckpoint(),
+      sigs = store.sigs.unionByName(day.keptSigs).localCheckpoint(),
+      carry = Curation.packCarryMerge(
+        Curation.packCarry(day.packed, "doc_id", "source"),
+        store.carry, "source").localCheckpoint())
+  }
+
+  private def pipelineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+      .localCheckpoint()
+
+  private def qPipelineDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    pipelineDeltaDay(store, docs.filter(col("doc_id") % 7 === 3))
+      .ledger.orderBy("doc_id")
+  }
+
+  /** Round-15: the K-DAY incremental loop (K = 2) — q370 proves one
+    * delta day against a frozen store; production runs the loop
+    * nightly with the store ABSORBING each day's kept docs. Day 0
+    * (doc_id % 7 ∉ {2,3}) builds the store and freezes centroids +
+    * vocab + benchmark flags for the whole horizon; day 1 (% 7 = 2)
+    * flows through as a delta and is absorbed — kept docs join the
+    * exact/near/semantic dedup base, the signature artifact extends,
+    * the pack carry advances; day 2 (% 7 = 3) then deduplicates
+    * against the GROWN store and packs with continued numbering after
+    * day 1's sequences. Output: the q368-shaped ledger for both delta
+    * days, day-tagged. The fold-equivalence property (two absorbed
+    * days == one batch delta over the union, modulo first-arrival
+    * winners) is spec-pinned over random id-ordered day splits
+    * (Round15Spec). */
+  private def qPipelineTwoDay(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val store1 = absorbPipelineDay(store0, day1)
+    val day2 = pipelineDeltaDay(store1,
+      docs.filter(col("doc_id") % 7 === 3))
+    day1.ledger.withColumn("day", lit(1L))
+      .unionByName(day2.ledger.withColumn("day", lit(2L)))
+      .select("doc_id", "day", "disposition", "seq_id", "seq_offset")
       .orderBy("doc_id")
+  }
+
+  /** Round-15: the SIGNATURE-STORE cross near-dup pass in isolation —
+    * q370's near-dup stage reads the store side from the persisted
+    * (doc_id, m0..m7, n_toks) artifact; this registers the verified
+    * cross pairs themselves so the artifact path has its own
+    * oracle-checked row set (the DuckDB replay recomputes signatures
+    * from text — the two paths are bit-equal by the artifact
+    * contract, additionally spec-pinned on random corpora). */
+  private def qSigStoreCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val d1 = pipelineGate(docs.filter(col("doc_id") % 7 === 3))
+    val d2 = d1.join(Dedup.exact(d1, col("text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
+      .join(d1.join(store.docs.select("text"), Seq("text"), "semi")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    MinHashLSH.crossNearDuplicatesFromStore(store.sigs, store.docs, d2,
+        "doc_id", "text")
+      .select(col("b_id"), col("s_id"), col("inter"), col("uni"))
+      .orderBy("b_id", "s_id")
   }
 
   /** Round-14 session 2: the SHARD MANIFEST — where the pipeline's
@@ -4856,6 +4999,61 @@ object SparkEntry {
     * moved (q358's number, spec-pinned) plus the total copies that
     * must transfer (per key, after-shards not already holding one).
     * The number a capacity planner multiplies by bytes-per-key. */
+  /** Round-15: WEIGHTED replicated reshard — the capacity-planning
+    * decision q372 can't price: growing the q361 heterogeneous fleet
+    * by 64 vnodes of capacity either as ONE big box (capacity 64) or
+    * FOUR small ones (capacity 16 each), R = 3 replication. Same key
+    * positions, same walk; only the after-ring differs — so the two
+    * rows isolate the placement consequence of the hardware choice
+    * (four small boxes scatter more vnodes, stealing more arcs and
+    * moving more copies; one big box concentrates the theft). Two
+    * map-only passes per scenario + one global agg
+    * ([[operators.HashRing.replicatedReshardAuditWeighted]]). */
+  private def qWeightedReshard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def scen(name: String, after: Seq[Int]): DataFrame =
+      operators.HashRing.replicatedReshardAuditWeighted(docs, "doc_id",
+          q361Capacities, after, replicas = 3)
+        .withColumn("scenario", lit(name))
+    scen("one_big", q361Capacities :+ 64)
+      .unionByName(scen("four_small",
+        q361Capacities ++ Seq(16, 16, 16, 16)))
+      .select("scenario", "n_keys", "primary_moved",
+        "primary_moved_ppm", "copies_moved", "copies_moved_ppm")
+      .orderBy("scenario")
+  }
+
+  /** Round-15: the LOADER-CONTRACT manifest — q371 gives a training
+    * job per-shard totals; the data loader that resumes from step N
+    * needs each shard's sequence ORDER and cumulative token offsets.
+    * One row per packed sequence: its shard, its 1-based rank within
+    * the shard's deterministic (source, seq_id) read order, and the
+    * token offset where it starts — so "resume shard 7 at step N" is
+    * one manifest lookup. The rank/offset window runs over
+    * |sequences| summary rows partitioned by shard, never over
+    * documents (corpus-size independent, the q371 scale stance);
+    * conservation against q371's per-shard totals is spec-pinned. */
+  private def qLoaderManifest(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val seqs = st.packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(col("source"), lit(":"), col("seq_id"))))
+    val assigned = operators.HashRing.assign(seqs, "k",
+      nShards = 16, vnodesPerShard = 32)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("source", "seq_id")
+    assigned
+      .withColumn("seq_rank", row_number().over(w).cast("long"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .select("shard", "seq_rank", "source", "seq_id", "n_docs",
+        "n_tokens", "token_offset")
+      .orderBy("shard", "seq_rank")
+  }
+
   private def qReplicatedReshard(s: SparkSession, dir: String): DataFrame =
     operators.HashRing.replicatedReshardAudit(Tables.documents(s, dir),
       "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32,
@@ -5961,7 +6159,11 @@ object SparkEntry {
       "q369_weighted_replication" -> (qWeightedReplication _),
       "q370_pipeline_delta" -> (qPipelineDelta _),
       "q371_shard_manifest" -> (qShardManifest _),
-      "q372_replicated_reshard" -> (qReplicatedReshard _))
+      "q372_replicated_reshard" -> (qReplicatedReshard _),
+      "q373_pipeline_two_day" -> (qPipelineTwoDay _),
+      "q374_sigstore_cross" -> (qSigStoreCross _),
+      "q375_weighted_reshard" -> (qWeightedReshard _),
+      "q376_loader_manifest" -> (qLoaderManifest _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6083,7 +6285,13 @@ object SparkEntry {
     "q366_band_chooser", "q367_tau_chooser",
     "q368_pipeline_disposition", "q369_weighted_replication",
     "q370_pipeline_delta", "q371_shard_manifest",
-    "q372_replicated_reshard")
+    "q372_replicated_reshard",
+    // round 15: the K-day absorbing-store loop (the most expensive
+    // registered DAG — two store builds' worth of chain), the
+    // signature-artifact near-dup path, the weighted-growth copy
+    // bill, and the per-sequence loader manifest
+    "q373_pipeline_two_day", "q374_sigstore_cross",
+    "q375_weighted_reshard", "q376_loader_manifest")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1134,11 +1134,92 @@ object Curation {
       .flatMap { case (src, xs, cs, cf) =>
         require(xs.size <= MaxStratumRows,
           s"stratum '$src' has ${xs.size} docs — the per-stratum fold " +
-            s"is bounded (<= $MaxStratumRows); use packSequencesSegmented")
+            s"is bounded (<= $MaxStratumRows); use " +
+            "packSequencesSegmentedContinued")
         packFold(xs, capacity, cs, cf).map { case (id, len, seq, off) =>
           (src, id, len, seq, off) }
       }
       .toDF(strataCol, idCol, "len", "seq_id", "seq_offset")
+  }
+
+  /** SEGMENT-PACKED [[packSequencesContinued]] — the unbounded-DELTA
+    * form, closing the API asymmetry between the batch pair
+    * ([[packSequences]] / [[packSequencesSegmented]]) and the
+    * incremental form: an over-bound delta stratum previously had no
+    * path (the continued fold fails loudly at [[MaxStratumRows]]).
+    * Composition of the two existing pieces: the FIRST segment of
+    * each stratum seeds its fold from the stratum's carried
+    * (seq, fill) state — producing ABSOLUTE sequence ids, exactly as
+    * [[packSequencesContinued]] would — and every later segment packs
+    * fresh and splices through the same per-SEGMENT summary window as
+    * [[packSequencesSegmented]] (segment 0's absolute max feeds the
+    * cumulative base, so later segments continue the numbering).
+    * Differs from the continued fold only at segment boundaries
+    * (≤ capacity − 1 waste per boundary, the q365-priced curve); with
+    * `segmentRows` ≥ every stratum's row count the output is
+    * BIT-IDENTICAL to [[packSequencesContinued]] (spec-pinned). */
+  def packSequencesSegmentedContinued(docs: DataFrame, idCol: String,
+      lenCol: String, strataCol: String, capacity: Long,
+      segmentRows: Long, carry: DataFrame): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(segmentRows >= 1, s"segmentRows must be >= 1, got $segmentRows")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(strataCol).cast("string").as("s"),
+      col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"))
+    val ranked = globalRowIds(base, Seq("s", "id"))
+    val strataBase = ranked.groupBy("s").agg(min("global_id").as("_base"))
+    val seg = ranked.join(broadcast(strataBase), Seq("s"))
+      .withColumn("seg",
+        expr(s"(global_id - _base) div ${segmentRows}L"))
+    // carry joins per stratum; only segment 0 consumes it
+    val packedLocal = seg
+      .select(col("s"), col("seg"), struct(col("id"), col("len")).as("x"))
+      .groupBy("s", "seg")
+      .agg(array_sort(collect_list(col("x"))).as("xs"))
+      .join(carry.select(col(strataCol).cast("string").as("s"),
+        col("carry_seq").cast("long").as("_cs"),
+        col("carry_fill").cast("long").as("_cf")), Seq("s"), "left")
+      .select(col("s"), col("seg"), col("xs"),
+        when(col("seg") === 0L, coalesce(col("_cs"), lit(0L)))
+          .otherwise(0L).as("_cs"),
+        when(col("seg") === 0L, coalesce(col("_cf"), lit(0L)))
+          .otherwise(0L).as("_cf"))
+      .as[(String, Long, Seq[(Long, Long)], Long, Long)]
+      .flatMap { case (src, g, xs, cs, cf) =>
+        packFold(xs, capacity, cs, cf).map { case (id, len, sq, off) =>
+          (src, g, id, len, sq, off) }
+      }
+      .toDF("s", "seg", "id", "len", "local_seq", "seq_offset")
+    // splice — identical window to packSequencesSegmented: segment 0's
+    // "_n_seqs" is max(local_seq)+1, which is ABSOLUTE (its fold
+    // started at carry_seq), so the cumulative base hands segment 1
+    // exactly (last absolute seq of segment 0) + 1, and the carried
+    // numbering propagates through every later segment.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("seg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val segBases = packedLocal.groupBy("s", "seg")
+      .agg((max(col("local_seq")) + 1L).as("_n_seqs"))
+      .withColumn("_seq_base", coalesce(sum(col("_n_seqs")).over(w), lit(0L)))
+      .select("s", "seg", "_seq_base")
+    packedLocal.join(segBases, Seq("s", "seg"))
+      .select(col("s").as(strataCol), col("id").as(idCol), col("len"),
+        (col("_seq_base") + col("local_seq")).as("seq_id"),
+        col("seq_offset"))
+  }
+
+  /** Carry reconciliation across refresh days: strata touched by the
+    * newer pack pass take its carry; untouched strata keep the older
+    * one — the per-stratum fold state a K-day absorb loop threads
+    * forward. Both inputs are (strataCol, carry_seq, carry_fill). */
+  def packCarryMerge(newer: DataFrame, older: DataFrame,
+      strataCol: String): DataFrame = {
+    val cols = Seq(col(strataCol), col("carry_seq"), col("carry_fill"))
+    newer.select(cols: _*).unionByName(
+      older.join(newer.select(strataCol), Seq(strataCol), "left_anti")
+        .select(cols: _*))
   }
 
   /** Per-stratum carry state from a packed frame: the fold state

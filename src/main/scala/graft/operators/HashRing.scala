@@ -54,8 +54,8 @@ object HashRing {
 
   /** The ring: (position, shard) for every virtual node, sorted by
     * position. Positions are distinct — collisions (never observed
-    * for shards ≤ 64, vnodes ≤ 64) would resolve by the deterministic
-    * salt-retry in [[ringWeighted]]. */
+    * for shards ≤ 64, vnodes ≤ 64) fail loudly at construction (the
+    * oracle replays unsalted positions; see [[ringWeighted]]). */
   def ring(nShards: Int, vnodesPerShard: Int): Seq[(Long, Long)] =
     ringWeighted(Seq.fill(nShards)(vnodesPerShard))
 
@@ -66,20 +66,31 @@ object HashRing {
     *
     * Position collisions (two vnode labels mixing to the same ring
     * point — possible in principle for arbitrary capacity vectors)
-    * resolve by DETERMINISTIC salt-retry: the later vnode in (shard,
-    * vnode) order re-mixes with label `"shard:<s>:<v>:r<N>"` for
-    * N = 1, 2, … until free. A collision-free fleet takes no retries,
-    * so every previously-valid ring is BIT-UNCHANGED (spec-pinned) —
-    * and arbitrary capacity vectors are now safe instead of throwing. */
+    * FAIL LOUDLY here: every DuckDB oracle replay (ringCtes,
+    * q369/q371/q372/q375) computes unsalted positions, so a silently
+    * salt-remapped ring would diverge from the oracle's geometry at
+    * hash-check time instead of construction time. A fleet that
+    * genuinely needs arbitrary capacity vectors without an oracle
+    * replay uses [[ringWeightedSalted]], whose deterministic
+    * salt-retry resolves collisions (and is BIT-IDENTICAL to this
+    * form whenever no label collides — spec-pinned). */
   def ringWeighted(capacities: Seq[Int]): Seq[(Long, Long)] =
-    ringWeightedWith(capacities, labelPos)
+    ringWeightedWith(capacities, labelPos, allowSalt = false)
+
+  /** Salt-retrying weighted ring: the later vnode in (shard, vnode)
+    * order re-mixes with label `"shard:<s>:<v>:r<N>"` for N = 1, 2, …
+    * until free. NOT oracle-replayed — registered queries use
+    * [[ringWeighted]] so any collision fails at construction rather
+    * than silently diverging from the SQL replay. */
+  def ringWeightedSalted(capacities: Seq[Int]): Seq[(Long, Long)] =
+    ringWeightedWith(capacities, labelPos, allowSalt = true)
 
   /** Position-function-parameterized form so the salt-retry mechanism
     * is testable without hunting a real mix collision (sequential
     * decimal labels collide only when two folds sum to exactly
     * −2654435761 mod p — never observed in practical ranges). */
   private[graft] def ringWeightedWith(capacities: Seq[Int],
-      posOf: String => Long): Seq[(Long, Long)] = {
+      posOf: String => Long, allowSalt: Boolean = true): Seq[(Long, Long)] = {
     require(capacities.nonEmpty && capacities.forall(_ >= 1),
       "every shard needs >= 1 vnode")
     val seen = scala.collection.mutable.HashSet.empty[Long]
@@ -90,6 +101,11 @@ object HashRing {
       var pos = posOf(s"shard:$s:$v")
       var retry = 0
       while (seen.contains(pos)) {
+        require(allowSalt,
+          s"vnode label shard:$s:$v collides with an earlier ring " +
+            "position — the DuckDB oracle replays UNSALTED positions, " +
+            "so this geometry would silently diverge from the replay; " +
+            "use ringWeightedSalted for fleets without an oracle")
         retry += 1
         require(retry <= 4096,
           s"shard:$s:$v cannot find a free ring position in 4096 " +
@@ -300,6 +316,47 @@ object HashRing {
       replicas: Int): DataFrame = {
     val rb = ring(nShards, vnodesPerShard)
     val ra = ring(nShardsAfter, vnodesPerShard)
+    val withSets = df
+      .withColumn("ring_pos", keyPos(col(keyCol)))
+      .withColumn("before_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), rb.map(_._1), rb.map(_._2), replicas))
+      .withColumn("after_set", org.apache.spark.sql.graft.RingReplicas
+        .column(col("ring_pos"), ra.map(_._1), ra.map(_._2), replicas))
+    withSets.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(element_at(col("after_set"), 1) =!=
+          element_at(col("before_set"), 1), 1L).otherwise(0L))
+          .as("primary_moved"),
+        sum(size(array_except(col("after_set"), col("before_set")))
+          .cast("long")).as("copies_moved"))
+      .select(col("n_keys"), col("primary_moved"),
+        when(col("n_keys") > 0,
+          expr("primary_moved * 1000000L div n_keys"))
+          .otherwise(lit(-1L)).as("primary_moved_ppm"),
+        col("copies_moved"),
+        when(col("n_keys") > 0,
+          expr(s"copies_moved * 1000000L div (n_keys * ${replicas}L)"))
+          .otherwise(lit(-1L)).as("copies_moved_ppm"))
+  }
+
+  /** [[replicatedReshardAudit]] on WEIGHTED rings — the
+    * capacity-planning form: the copy-migration bill of growing a
+    * HETEROGENEOUS fleet from `capsBefore` to `capsAfter` under R-way
+    * placement. Surviving shards keep every existing vnode label and
+    * may only GAIN vnodes (the consistent-hashing contract extended
+    * to capacity growth: `capsAfter` must prefix-dominate
+    * `capsBefore`), so arcs only move TOWARD new vnodes. Same two
+    * map passes + one global agg as the uniform form — the audit
+    * that answers "add one big box or four small ones". */
+  def replicatedReshardAuditWeighted(df: DataFrame, keyCol: String,
+      capsBefore: Seq[Int], capsAfter: Seq[Int],
+      replicas: Int): DataFrame = {
+    require(capsAfter.length >= capsBefore.length &&
+      capsBefore.zip(capsAfter).forall { case (b, a) => a >= b },
+      "capsAfter must keep every existing shard at >= its current " +
+        "capacity (surviving vnode labels are immutable)")
+    val rb = ringWeighted(capsBefore)
+    val ra = ringWeighted(capsAfter)
     val withSets = df
       .withColumn("ring_pos", keyPos(col(keyCol)))
       .withColumn("before_set", org.apache.spark.sql.graft.RingReplicas

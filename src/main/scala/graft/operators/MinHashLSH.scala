@@ -482,6 +482,69 @@ object MinHashLSH {
       .select("b_id", "s_id", "inter", "uni")
   }
 
+  /** The persistable SIGNATURE-STORE artifact for the incremental
+    * near-dup pass: one row per doc with the portable k=8 signature
+    * AND the doc's distinct-shingle count — (doc_id, m0..m7, n_toks).
+    * Persisting n_toks alongside the mins matters: the Jaccard verify
+    * needs the store side's set size, and reading it from the
+    * artifact keeps the store's TEXT untouched except for the
+    * candidate docs the verify actually intersects. Docs under 3
+    * words have no shingles and no row — exactly the docs
+    * [[portableSignature]] skips, so the artifact is the recompute
+    * path's signature frame bit-for-bit (spec-pinned). */
+  def portableSignatureStore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = portableToks(docs, idCol, textCol)
+    portableSignature(toks)
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks")),
+        Seq("doc_id"))
+  }
+
+  /** [[crossNearDuplicatesPortable]] reading the STORE side from a
+    * persisted [[portableSignatureStore]] artifact instead of
+    * recomputing it from text — the production nightly shape: the
+    * store's signatures and set sizes come off parquet, and store
+    * TEXT is touched only for the banded CANDIDATES the exact-Jaccard
+    * verify must intersect (a semi-join-sized slice, not the corpus).
+    * Output is bit-identical to the recompute path (spec-pinned):
+    * same signatures by the artifact contract, hence same candidate
+    * pairs, same verify arithmetic.
+    *
+    * @param sigStore  (doc_id, m0..m7, n_toks) — the frozen artifact
+    * @param storeDocs (idCol, textCol, …) — store docs, read only for
+    *                  verify-candidate shingles */
+  def crossNearDuplicatesFromStore(sigStore: DataFrame,
+      storeDocs: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tB = portableToks(batch, idCol, textCol)
+    val sB = portableSignature(tB)
+    def bandPairs(cols: Seq[String]): DataFrame = {
+      val b = sB.select(("doc_id" +: cols).map(col): _*)
+        .toDF("b_id" +: cols: _*)
+      val s = sigStore.select(("doc_id" +: cols).map(col): _*)
+        .toDF("s_id" +: cols: _*)
+      b.join(s, cols).select("b_id", "s_id")
+    }
+    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
+      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+      .distinct()
+    // store text is read ONLY for the candidate docs
+    val candStoreDocs = storeDocs.join(
+      cands.select(col("s_id").as(idCol)).distinct(), Seq(idCol), "semi")
+    val tSc = portableToks(candStoreDocs, idCol, textCol)
+    val nB = tB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    cands
+      .join(tB.toDF("b_id", "tok"), Seq("b_id"))
+      .join(tSc.toDF("s_id", "tok"), Seq("s_id", "tok"))
+      .groupBy("b_id", "s_id").agg(count(lit(1)).as("inter"))
+      .join(nB.toDF("b_id", "nb"), Seq("b_id"))
+      .join(sigStore.select(col("doc_id").as("s_id"),
+        col("n_toks").as("ns")), Seq("s_id"))
+      .withColumn("uni", col("nb") + col("ns") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("b_id", "s_id", "inter", "uni")
+  }
+
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */
   def signaturesFromPostings(post: DataFrame, k: Int): DataFrame = {
     val hashed = post.withColumn("h", abs(xxhash64(col("shingle"))) % 2147483647L)

@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round 15: the K-day absorbing pipeline loop (fold equivalence),
+  * segmented CONTINUED packing (the unbounded-delta path), the carry
+  * merge rule, the signature-store artifact, and the loader-manifest
+  * conservation pins. */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def packMap(df: DataFrame) =
+    df.select("source", "doc_id", "len", "seq_id", "seq_offset")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  // --- segmented CONTINUED packing -----------------------------------
+
+  test("packSequencesSegmentedContinued: with segmentRows >= every " +
+    "stratum it is BIT-IDENTICAL to packSequencesContinued (the " +
+    "identity splice), for carried and fresh strata alike") {
+    val docs = Seq(
+      ("A", 10L, 4L), ("A", 11L, 5L), ("A", 12L, 3L), ("A", 13L, 9L),
+      ("A", 14L, 2L), ("B", 20L, 6L), ("B", 21L, 6L), ("C", 30L, 1L))
+      .toDF("source", "doc_id", "n_chars")
+    // A mid-fill from yesterday (room for the first doc); B exactly
+    // full; C absent (fresh)
+    val carry = Seq(("A", 3L, 5L), ("B", 1L, 10L))
+      .toDF("source", "carry_seq", "carry_fill")
+    val cont = operators.Curation.packSequencesContinued(
+      docs, "doc_id", "n_chars", "source", 10L, carry)
+    val seg = operators.Curation.packSequencesSegmentedContinued(
+      docs, "doc_id", "n_chars", "source", 10L, segmentRows = 100L,
+      carry)
+    assert(packMap(seg) == packMap(cont))
+    // and the carried numbering actually continued: A starts at seq 3
+    val a10 = packMap(cont)(("A", 10L))
+    assert(a10 == (4L, 3L, 5L), s"A's first doc tops up the carry: $a10")
+    // B's carry is exactly full -> first B doc opens seq 2 at offset 0
+    assert(packMap(cont)(("B", 20L)) == (6L, 2L, 0L))
+    // C starts fresh at (0, 0)
+    assert(packMap(cont)(("C", 30L)) == (1L, 0L, 0L))
+  }
+
+  test("packSequencesSegmentedContinued: the FIRST segment is the " +
+    "continued fold's prefix bit-for-bit, later segments only add " +
+    "boundary waste (conservation + invariants pinned); a stratum " +
+    "over the continued bound packs through the segmented form") {
+    val rnd = new scala.util.Random(1501)
+    val n = 6000 // over a test-scaled per-stratum bound
+    val docs = (0 until n).map { i =>
+      ("big", i.toLong * 2 + 1, 1L + rnd.nextInt(9).toLong)
+    }.toDF("source", "doc_id", "n_chars")
+    val carry = Seq(("big", 5L, 4L)).toDF("source", "carry_seq",
+      "carry_fill")
+    val segRows = 512L
+    val seg = operators.Curation.packSequencesSegmentedContinued(
+      docs, "doc_id", "n_chars", "source", 20L, segRows, carry)
+    val rows = packMap(seg)
+    assert(rows.size === n, "every doc packs exactly once")
+    rows.foreach { case ((_, id), (len, sq, off)) =>
+      assert(off + len <= 20L, s"doc $id overfills: off=$off len=$len")
+      assert(sq >= 5L, s"doc $id numbered before the carry seq: $sq")
+    }
+    // first segment == continued prefix (same carry, same docs)
+    val prefix = docs.filter(col("doc_id") < (segRows * 2 + 1))
+    val contPrefix = packMap(operators.Curation.packSequencesContinued(
+      prefix, "doc_id", "n_chars", "source", 20L, carry))
+    contPrefix.foreach { case (k, v) =>
+      assert(rows(k) == v, s"first-segment row $k diverges: " +
+        s"${rows(k)} vs $v")
+    }
+    // sequence ids are contiguous from the carry seq
+    val seqs = rows.values.map(_._2).toSet
+    assert(seqs == (5L to seqs.max).toSet, "contiguous seq numbering")
+  }
+
+  test("packCarryMerge: strata in the newer carry take it, untouched " +
+    "strata keep the older carry") {
+    val newer = Seq(("A", 7L, 3L)).toDF("source", "carry_seq",
+      "carry_fill")
+    val older = Seq(("A", 2L, 9L), ("B", 4L, 1L))
+      .toDF("source", "carry_seq", "carry_fill")
+    val merged = operators.Curation.packCarryMerge(newer, older,
+        "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == Map("A" -> ((7L, 3L)), "B" -> ((4L, 1L))))
+  }
+
+  // --- signature-store artifact ---------------------------------------
+
+  test("portableSignatureStore: the artifact rows are the recompute " +
+    "path's signatures plus exact shingle counts; sub-3-word docs " +
+    "have no row") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val store = operators.MinHashLSH.portableSignatureStore(
+      docs, "doc_id", "text")
+    assert(store.columns.toSeq ===
+      Seq("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7",
+        "n_toks"))
+    val tiny = Seq((1L, "just two"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val t = operators.MinHashLSH.portableSignatureStore(tiny, "doc_id",
+      "text").collect()
+    assert(t.map(_.getLong(0)).toSet === Set(2L),
+      "a doc under 3 words has no shingles and no artifact row")
+    assert(t.head.getLong(9) === 2L, "two 3-shingles in a 4-word doc")
+  }
+
+  test("crossNearDuplicatesFromStore == crossNearDuplicatesPortable " +
+    "(bit-equal verified pairs) on the fixture split") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val store = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val sigs = operators.MinHashLSH.portableSignatureStore(store,
+      "doc_id", "text")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaStore = pairs(operators.MinHashLSH
+      .crossNearDuplicatesFromStore(sigs, store, batch, "doc_id",
+        "text")
+      .select("b_id", "s_id", "inter", "uni"))
+    val recompute = pairs(operators.MinHashLSH
+      .crossNearDuplicatesPortable(store, batch, "doc_id", "text")
+      .select("b_id", "s_id", "inter", "uni"))
+    assert(viaStore === recompute)
+    assert(recompute.nonEmpty,
+      "fixture must actually exercise the cross path")
+  }
+
+  // --- K-day fold equivalence (the q373 property) -----------------------
+  //
+  // Clean-family corpus: duplicate relations are CLOSED within each
+  // family (exact families share one text; near families have exactly
+  // 2 members, so the banded catch-or-miss is pairwise and identical
+  // in every scenario; semantic families share one embedding vector,
+  // cos = 1); bench docs are singletons so contamination never
+  // entangles with dedup; the day split is id-ordered, so
+  // first-arrival == min-id and the two-day absorbed fold must equal
+  // ONE delta fold over the union, bit for bit — ledger AND pack
+  // addresses.
+
+  private def cleanFamilyCorpus(seed: Int): (Seq[(Long, String, String)],
+      Seq[(Long, Array[Long])]) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def words(n: Int): Seq[String] =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val docs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String)]
+    val vecs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Long])]
+    var id = 1L
+    def nextId(): Long = { // family members never sit on the %10 bench
+      id += 1; while (id % 10 == 0) id += 1; id
+    }
+    val sources = Seq("s1", "s2")
+    def src(): String = sources(rnd.nextInt(sources.length))
+    // exact families (any size: text equality is transitive)
+    (0 until 8).foreach { _ =>
+      val t = words(50).mkString(" ")
+      (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+        docs += ((nextId(), t, src()))
+      }
+    }
+    // near families of EXACTLY 2 (pairwise catch-or-miss is
+    // scenario-independent; size 2 forbids transitivity gaps)
+    (0 until 6).foreach { _ =>
+      val base = words(50)
+      val t1 = base.mkString(" ")
+      val t2 = (base.take(47) ++ words(3)).mkString(" ")
+      docs += ((nextId(), t1, src())); docs += ((nextId(), t2, src()))
+    }
+    // semantic families: unique texts, one shared one-hot vector
+    (0 until 4).foreach { f =>
+      (0 until 2 + rnd.nextInt(2)).foreach { _ =>
+        val i = nextId()
+        docs += ((i, words(50).mkString(" "), src()))
+        vecs += ((i, Array.tabulate(64)(d =>
+          if (d == f * 3 + 1) 32768L else 0L)))
+      }
+    }
+    // singletons, shorts, and two bench docs (unique text, id % 10 = 0)
+    (0 until 6).foreach { _ =>
+      docs += ((nextId(), words(50).mkString(" "), src()))
+    }
+    (0 until 3).foreach { _ =>
+      docs += ((nextId(), words(10).mkString(" "), src()))
+    }
+    (0 until 2).foreach { k =>
+      id = (id / 10 + 1 + k) * 10
+      docs += ((id, words(50).mkString(" "), src()))
+    }
+    (docs.toSeq, vecs.toSeq)
+  }
+
+  test("pipeline fold equivalence: two absorbed delta days == one " +
+    "batch delta over the union, bit-exact (ledger + pack address), " +
+    "over a random clean-family corpus with a random id-ordered split") {
+    val (rows, vecRows) = cleanFamilyCorpus(1504)
+    val rnd = new scala.util.Random(1505)
+    val docsDf = rows.toDF("doc_id", "text", "source").localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    // random store/delta assignment, then an id-ordered day split of
+    // the delta (arrival order IS id order — the fixture convention)
+    val storeMask = rows.map(r => r._1 -> (rnd.nextInt(3) == 0)).toMap
+    val storeIds = rows.map(_._1).filter(storeMask)
+    val deltaIds = rows.map(_._1).filterNot(storeMask).sorted
+    val cut = deltaIds(deltaIds.length / 2 + rnd.nextInt(
+      deltaIds.length / 4))
+    val yDocs = docsDf.filter(col("doc_id").isin(storeIds: _*))
+    val dAll = docsDf.filter(!col("doc_id").isin(storeIds: _*))
+    val store0 = SparkEntry.buildPipelineStoreFrom(spark, yDocs,
+      docsDf, quant)
+    def led(df: DataFrame) = df
+      .select("doc_id", "disposition", "seq_id", "seq_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // A: one batch delta over the union
+    val oneShot = led(SparkEntry.pipelineDeltaDay(store0, dAll).ledger)
+    // B: two absorbed days
+    val day1 = SparkEntry.pipelineDeltaDay(store0,
+      dAll.filter(col("doc_id") <= cut))
+    val store1 = SparkEntry.absorbPipelineDay(store0, day1)
+    assert(store1.docs.count() ===
+      store0.docs.count() + day1.kept.count(),
+      "absorb grows the store by exactly the kept day")
+    val day2 = SparkEntry.pipelineDeltaDay(store1,
+      dAll.filter(col("doc_id") > cut))
+    val twoDay = led(day1.ledger.unionByName(day2.ledger))
+    assert(twoDay === oneShot)
+    // the corpus must actually exercise every removal stage
+    val disp = oneShot.map(_._2).toSet
+    assert(Set("short", "exact_dup", "near_dup", "kept")
+      .subsetOf(disp), s"weak fixture: $disp")
+  }
+
+  // --- loader manifest / weighted reshard conservation ------------------
+
+  test("q376 loader manifest: per-shard ranks are 1..n_seqs, offsets " +
+    "are exact exclusive prefix sums, and shard totals reconcile " +
+    "with q371") {
+    val man = SparkEntry.queries("q376_loader_manifest")(spark, sf)
+      .collect()
+    val byShard = man.groupBy(_.getLong(0))
+    byShard.foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to rs.length.toLong).toSeq, s"ranks dense on shard $shard")
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(6) === off,
+          s"offset mismatch on shard $shard rank ${r.getLong(1)}")
+        off += r.getLong(5)
+      }
+    }
+    val q371 = SparkEntry.queries("q371_shard_manifest")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    q371.foreach { case (shard, (nSeqs, nDocs, nTok)) =>
+      val rs = byShard.getOrElse(shard, Array.empty)
+      assert(rs.length.toLong === nSeqs, s"n_seqs shard $shard")
+      assert(rs.map(_.getLong(4)).sum === nDocs, s"n_docs shard $shard")
+      assert(rs.map(_.getLong(5)).sum === nTok, s"n_tokens shard $shard")
+    }
+  }
+
+  test("q375 weighted reshard: both scenarios audit the same corpus; " +
+    "copies bounded by [primaries, R x keys]; growth-only contract " +
+    "rejected when an existing shard shrinks") {
+    val out = SparkEntry.queries("q375_weighted_reshard")(spark, sf)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("four_small", "one_big"))
+    val nDocs = Tables.documents(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getLong(1) === nDocs)
+      assert(r.getLong(2) <= r.getLong(4),
+        "every moved primary is a moved copy")
+      assert(r.getLong(4) <= 3L * nDocs)
+      assert(r.getLong(4) > 0L, "growth must move something")
+    }
+    intercept[IllegalArgumentException] {
+      operators.HashRing.replicatedReshardAuditWeighted(
+        Tables.documents(spark, sf), "doc_id", Seq(4, 4), Seq(3, 4, 2),
+        replicas = 2)
+    }
+  }
+}
