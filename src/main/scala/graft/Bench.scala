@@ -80,10 +80,16 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout under sbt carries [info] decoration that defeats line
-    // parsers — also drop the bare JSON at a well-known file path
+    // parsers — also drop the bare JSON at a well-known file path.
+    // The FILE variant carries run metadata (runs/cpus/n_queries) so
+    // the committed artifact is self-contained even when the driver's
+    // stdout capture truncates; extra keys are harmless to JSON
+    // consumers and the stdout line above keeps the exact contract.
+    val fileJson = json.dropRight(1) +
+      f""","runs":$nRuns,"cpus":"$cpus","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

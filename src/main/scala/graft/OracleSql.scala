@@ -10756,6 +10756,125 @@ object OracleSql {
        |FROM sb
        |ORDER BY shard, seq_rank""".stripMargin
 
+  /** q377: SEGMENTED CONTINUED packing replay — yesterday (even
+    * doc_ids) through the plain q353 walk leaving a per-stratum
+    * carry, today (odd ids) through the q364 segment walk with the
+    * FIRST segment of each stratum seeded from that carry (absolute
+    * sequence ids); the splice window is byte-identical to q364's,
+    * and the carry seeding mirrors q370's continued walk base case. */
+  private val q377 =
+    s"""WITH RECURSIVE
+       |ty AS MATERIALIZED (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ywalk(source, rn, doc_id, len, seq_id, seq_offset) AS (
+       |  SELECT source, rn, doc_id, n_chars,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM ty WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.source, n.rn, n.doc_id, n.n_chars,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_chars > 2000
+       |         THEN w.seq_id + 1 ELSE w.seq_id END,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_chars > 2000
+       |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
+       |  FROM ywalk w JOIN ty n ON n.source = w.source
+       |    AND n.rn = w.rn + 1),
+       |qcarry AS MATERIALIZED (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ywalk)
+       |  WHERE rr = 1),
+       |td AS MATERIALIZED (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents WHERE doc_id % 2 <> 0),
+       |ts7 AS MATERIALIZED (
+       |  SELECT source, (rn - 1) // 8 AS seg, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source, (rn - 1) // 8
+       |      ORDER BY doc_id) AS srn
+       |  FROM td),
+       |swalk7(source, seg, srn, doc_id, len, lseq, seq_offset) AS (
+       |  SELECT t.source, t.seg, t.srn, t.doc_id, t.n_chars,
+       |    CASE WHEN t.seg = 0 AND COALESCE(c.cf, 0) > 0
+       |           AND COALESCE(c.cf, 0) + t.n_chars > 2000
+       |         THEN COALESCE(c.cs, 0) + 1
+       |         WHEN t.seg = 0 THEN COALESCE(c.cs, 0)
+       |         ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN t.seg = 0 AND COALESCE(c.cf, 0) > 0
+       |           AND COALESCE(c.cf, 0) + t.n_chars > 2000
+       |         THEN CAST(0 AS BIGINT)
+       |         WHEN t.seg = 0 THEN COALESCE(c.cf, 0)
+       |         ELSE CAST(0 AS BIGINT) END
+       |  FROM ts7 t LEFT JOIN qcarry c ON c.source = t.source
+       |  WHERE t.srn = 1
+       |  UNION ALL
+       |  SELECT n.source, n.seg, n.srn, n.doc_id, n.n_chars,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_chars > 2000
+       |         THEN w.lseq + 1 ELSE w.lseq END,
+       |    CASE WHEN w.seq_offset + w.len > 0
+       |           AND w.seq_offset + w.len + n.n_chars > 2000
+       |         THEN CAST(0 AS BIGINT) ELSE w.seq_offset + w.len END
+       |  FROM swalk7 w JOIN ts7 n ON n.source = w.source
+       |    AND n.seg = w.seg AND n.srn = w.srn + 1),
+       |segb7 AS MATERIALIZED (
+       |  SELECT source, seg,
+       |    CAST(COALESCE(SUM(n_seqs) OVER (PARTITION BY source
+       |      ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS seq_base
+       |  FROM (SELECT source, seg, MAX(lseq) + 1 AS n_seqs
+       |        FROM swalk7 GROUP BY source, seg))
+       |SELECT w.source, w.doc_id, CAST(w.len AS BIGINT) AS len,
+       |  CAST(b.seq_base + w.lseq AS BIGINT) AS seq_id, w.seq_offset
+       |FROM swalk7 w JOIN segb7 b ON b.source = w.source
+       |  AND b.seg = w.seg
+       |ORDER BY w.source, w.doc_id""".stripMargin
+
+  /** q378: the retrain trigger at the absorb boundary — the q352
+    * drift readout over the REAL pipeline store: store-member vs
+    * absorbed-day mean squared distance to the frozen centroids,
+    * reusing the store chain's d_ylists and day-1's d_elists
+    * all-pairs distance CTEs (winning row per vec). */
+  private val q378 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 2 AND doc_id % 7 <> 3")},
+       |${incDeltaCtes("e", "doc_id % 7 = 2", "y5", "ymem", "yn2",
+          "ycarry")},
+       |yd2 AS (
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_ylists) a
+       |  JOIN y5 ON y5.doc_id = a.vec_id
+       |  WHERE a.rn = 1),
+       |ed2 AS (
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_elists) a
+       |  JOIN e5 ON e5.doc_id = a.vec_id
+       |  WHERE a.rn = 1)
+       |SELECT b.cl AS cluster_id,
+       |  CAST(COALESCE(y.n, 0) AS BIGINT) AS n_store,
+       |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_absorbed,
+       |  CAST(COALESCE(y.s, 0) // GREATEST(COALESCE(y.n, 0), 1) AS BIGINT)
+       |    AS mean_d2_store,
+       |  CAST(COALESCE(d.s, 0) // GREATEST(COALESCE(d.n, 0), 1) AS BIGINT)
+       |    AS mean_d2_absorbed,
+       |  CAST(COALESCE(d.s, 0) AS HUGEINT) * COALESCE(y.n, 0) * 4 >
+       |    CAST(COALESCE(y.s, 0) AS HUGEINT) * COALESCE(d.n, 0) * 5
+       |    AS retrain
+       |FROM (SELECT DISTINCT cl FROM fc2) b
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM yd2 GROUP BY cl) y ON y.cl = b.cl
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM ed2 GROUP BY cl) d ON d.cl = b.cl
+       |ORDER BY cluster_id""".stripMargin
+
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
     * non-wrapped arc first), keep each SHARD's first appearance, and
@@ -11268,6 +11387,8 @@ object OracleSql {
     "q374_sigstore_cross" -> q374,
     "q375_weighted_reshard" -> q375,
     "q376_loader_manifest" -> q376,
+    "q377_pack_seg_continued" -> q377,
+    "q378_absorb_drift" -> q378,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

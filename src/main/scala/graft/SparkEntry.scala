@@ -5054,6 +5054,78 @@ object SparkEntry {
       .orderBy("shard", "seq_rank")
   }
 
+  /** Round-15: the RETRAIN TRIGGER read at the absorb boundary — the
+    * decision the K-day loop (q373) consults before freezing another
+    * day: per frozen cluster, the exact integer mean squared distance
+    * of the STORE's curated members vs the day's ABSORBED (kept)
+    * members, and the q352-convention flag (delta mean > 1.25× store
+    * mean, integer cross-multiply). The q352 drift audit composed
+    * with the real pipeline store instead of a raw id split — when
+    * `retrain` fires, the nightly stops freezing `cents` and goes
+    * back through [[buildPipelineStore]]'s training path. One
+    * broadcast-centroid assignment per side; the audit is |clusters|
+    * rows. */
+  private def qAbsorbDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val yV = store0.quant.join(
+      store0.docs.select(col("doc_id").as("id")), Seq("id"))
+    val dV = store0.quant.join(
+      day1.kept.select(col("doc_id").as("id")), Seq("id"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val ya = IvfIndex.assignPortableWithDist(yV, store0.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
+    val da = IvfIndex.assignPortableWithDist(dV, store0.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
+    store0.cents.select(col("cluster_id"))
+      .join(ya, Seq("cluster_id"), "left")
+      .join(da, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_y"), lit(0L)).as("n_store"),
+        coalesce(col("n_d"), lit(0L)).as("n_absorbed"),
+        expr("coalesce(sum_y, 0L) div greatest(coalesce(n_y, 0L), 1L)")
+          .as("mean_d2_store"),
+        expr("coalesce(sum_d, 0L) div greatest(coalesce(n_d, 0L), 1L)")
+          .as("mean_d2_absorbed"),
+        (dec(coalesce(col("sum_d"), lit(0L))) *
+            dec(coalesce(col("n_y"), lit(0L))) * lit(4) >
+          dec(coalesce(col("sum_y"), lit(0L))) *
+            dec(coalesce(col("n_d"), lit(0L))) * lit(5)).as("retrain"))
+      .orderBy("cluster_id")
+  }
+
+  /** Round-15: SEGMENTED CONTINUED packing as a registered query —
+    * the over-bound-DELTA path of the daily refresh
+    * ([[operators.Curation.packSequencesSegmentedContinued]]):
+    * yesterday (even doc_ids) packs with the exact per-stratum fold
+    * and leaves each stratum's carry; today (odd ids) packs in 8-doc
+    * segments, the FIRST segment of each stratum seeded from the
+    * carry (absolute sequence ids), later segments spliced through
+    * the per-segment summary window. Same q353/q364 geometry
+    * (capacity 2000, segment 8), so the three packing forms are
+    * directly comparable on one fixture. */
+  private def qPackSegContinued(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val y = docs.filter(col("doc_id") % 2 === 0)
+    val d = docs.filter(col("doc_id") % 2 =!= 0)
+    val carry = Curation.packCarry(
+      Curation.packSequences(y, "doc_id", "n_chars", "source", 2000L),
+      "doc_id", "source")
+    Curation.packSequencesSegmentedContinued(d, "doc_id", "n_chars",
+        "source", capacity = 2000L, segmentRows = 8L, carry)
+      .select(col("source"), col("doc_id"), col("len"), col("seq_id"),
+        col("seq_offset"))
+      .orderBy("source", "doc_id")
+  }
+
   private def qReplicatedReshard(s: SparkSession, dir: String): DataFrame =
     operators.HashRing.replicatedReshardAudit(Tables.documents(s, dir),
       "doc_id", nShards = 16, nShardsAfter = 20, vnodesPerShard = 32,
@@ -6163,7 +6235,9 @@ object SparkEntry {
       "q373_pipeline_two_day" -> (qPipelineTwoDay _),
       "q374_sigstore_cross" -> (qSigStoreCross _),
       "q375_weighted_reshard" -> (qWeightedReshard _),
-      "q376_loader_manifest" -> (qLoaderManifest _))
+      "q376_loader_manifest" -> (qLoaderManifest _),
+      "q377_pack_seg_continued" -> (qPackSegContinued _),
+      "q378_absorb_drift" -> (qAbsorbDrift _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6291,7 +6365,8 @@ object SparkEntry {
     // signature-artifact near-dup path, the weighted-growth copy
     // bill, and the per-sequence loader manifest
     "q373_pipeline_two_day", "q374_sigstore_cross",
-    "q375_weighted_reshard", "q376_loader_manifest")
+    "q375_weighted_reshard", "q376_loader_manifest",
+    "q377_pack_seg_continued", "q378_absorb_drift")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

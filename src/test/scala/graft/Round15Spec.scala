@@ -273,6 +273,54 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q377 segmented-continued: every odd doc packs exactly once, " +
+    "never overfilling, and each stratum's numbering continues the " +
+    "even-half carry") {
+    val out = SparkEntry.queries("q377_pack_seg_continued")(spark, sf)
+      .collect()
+    val oddIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toSet
+    assert(out.map(_.getLong(1)).toSet === oddIds)
+    out.foreach { r =>
+      assert(r.getLong(4) + r.getLong(2) <= 2000L,
+        s"overfill at doc ${r.getLong(1)}")
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val carry = operators.Curation.packCarry(
+      operators.Curation.packSequences(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "n_chars",
+        "source", 2000L), "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val minSeq = rs.map(_.getLong(3)).min
+      assert(minSeq >= carry.getOrElse(src, 0L),
+        s"stratum $src numbered before its carry")
+    }
+  }
+
+  test("q378 absorb drift: one row per frozen cluster, counts " +
+    "non-negative, means zero exactly when the side is empty, and " +
+    "the retrain flag follows the q352 integer cross-multiply") {
+    val out = SparkEntry.queries("q378_absorb_drift")(spark, sf)
+      .collect()
+    assert(out.length === 8, "k = 8 frozen clusters")
+    out.foreach { r =>
+      val (ny, nd) = (r.getLong(1), r.getLong(2))
+      assert(ny >= 0 && nd >= 0)
+      if (ny == 0) assert(r.getLong(3) === 0L)
+      if (nd == 0) {
+        assert(r.getLong(4) === 0L)
+        assert(!r.getBoolean(5), "empty absorbed side never retrains")
+      }
+    }
+    assert(out.map(_.getLong(2)).sum > 0,
+      "fixture must absorb at least one vectored doc")
+  }
+
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
     "copies bounded by [primaries, R x keys]; growth-only contract " +
     "rejected when an existing shard shrinks") {
