@@ -10834,6 +10834,42 @@ object OracleSql {
        |  AND b.seg = w.seg
        |ORDER BY w.source, w.doc_id""".stripMargin
 
+  /** q379: the incremental manifest diff — today's continued pack
+    * walk (q370's dwalk) grouped per (source, seq_id), placed on the
+    * q357 ring by the char-fold of "source:seq_id" (the q371 key —
+    * identical for the carried sequence, so its shard is stable),
+    * flagged extends_carry when the sequence is yesterday's carried
+    * partial. */
+  private val q379 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")},
+       |${ringCtes(16)},
+       |dman AS (
+       |  SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs_add,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens_add,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM dwalk GROUP BY source, seq_id),
+       |dmp2 AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM dman),
+       |dma AS (
+       |  SELECT m.source, m.seq_id, m.n_docs_add, m.n_tokens_add,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= m.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM dmp2 m)
+       |SELECT vp.shard, a.source, a.seq_id, a.n_docs_add,
+       |  a.n_tokens_add,
+       |  c.source IS NOT NULL AND a.seq_id = c.cs AS extends_carry
+       |FROM dma a JOIN vp ON vp.pos = a.vpos
+       |LEFT JOIN ycarry c ON c.source = a.source
+       |ORDER BY a.source, a.seq_id""".stripMargin
+
   /** q378: the retrain trigger at the absorb boundary — the q352
     * drift readout over the REAL pipeline store: store-member vs
     * absorbed-day mean squared distance to the frozen centroids,
@@ -11389,6 +11425,7 @@ object OracleSql {
     "q376_loader_manifest" -> q376,
     "q377_pack_seg_continued" -> q377,
     "q378_absorb_drift" -> q378,
+    "q379_manifest_delta" -> q379,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

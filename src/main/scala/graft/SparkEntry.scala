@@ -5054,6 +5054,40 @@ object SparkEntry {
       .orderBy("shard", "seq_rank")
   }
 
+  /** Round-15: the INCREMENTAL manifest — which q371-style manifest
+    * rows a delta day actually changes. Today's continued pack
+    * (q370's chain) touches, per stratum, AT MOST the carried partial
+    * sequence (same (source, seq_id) identity, so its char-fold ring
+    * placement is STABLE — the loader's already-downloaded shards
+    * stay valid) plus the brand-new sequences after it. One row per
+    * touched sequence: its shard, the docs/tokens ADDED today, and
+    * whether it extends yesterday's carry or is new. The nightly
+    * manifest update is therefore |delta sequences| rows — yesterday's
+    * manifest is never rewritten, only merged with this diff
+    * (reconciliation algebra spec-pinned via the pack continuation
+    * property). */
+  private def qManifestDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val day = pipelineDeltaDay(store,
+      docs.filter(col("doc_id") % 7 === 3))
+    val agg = day.packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs_add"),
+        sum(col("len")).as("n_tokens_add"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(col("source"), lit(":"), col("seq_id"))))
+    operators.HashRing.assign(agg, "k", nShards = 16,
+        vnodesPerShard = 32)
+      .join(store.carry.select(col("source"), col("carry_seq")),
+        Seq("source"), "left")
+      .select(col("shard"), col("source"), col("seq_id"),
+        col("n_docs_add"), col("n_tokens_add"),
+        (col("carry_seq").isNotNull &&
+          col("seq_id") === col("carry_seq")).as("extends_carry"))
+      .orderBy("source", "seq_id")
+  }
+
   /** Round-15: the RETRAIN TRIGGER read at the absorb boundary — the
     * decision the K-day loop (q373) consults before freezing another
     * day: per frozen cluster, the exact integer mean squared distance
@@ -6237,7 +6271,8 @@ object SparkEntry {
       "q375_weighted_reshard" -> (qWeightedReshard _),
       "q376_loader_manifest" -> (qLoaderManifest _),
       "q377_pack_seg_continued" -> (qPackSegContinued _),
-      "q378_absorb_drift" -> (qAbsorbDrift _))
+      "q378_absorb_drift" -> (qAbsorbDrift _),
+      "q379_manifest_delta" -> (qManifestDelta _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6366,7 +6401,8 @@ object SparkEntry {
     // bill, and the per-sequence loader manifest
     "q373_pipeline_two_day", "q374_sigstore_cross",
     "q375_weighted_reshard", "q376_loader_manifest",
-    "q377_pack_seg_continued", "q378_absorb_drift")
+    "q377_pack_seg_continued", "q378_absorb_drift",
+    "q379_manifest_delta")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

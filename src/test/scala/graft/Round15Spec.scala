@@ -200,21 +200,23 @@ class Round15Spec extends SparkSpec {
     (docs.toSeq, vecs.toSeq)
   }
 
-  test("pipeline fold equivalence: two absorbed delta days == one " +
+  test("pipeline fold equivalence: THREE absorbed delta days == one " +
     "batch delta over the union, bit-exact (ledger + pack address), " +
-    "over a random clean-family corpus with a random id-ordered split") {
+    "over a random clean-family corpus with random id-ordered splits") {
     val (rows, vecRows) = cleanFamilyCorpus(1504)
     val rnd = new scala.util.Random(1505)
     val docsDf = rows.toDF("doc_id", "text", "source").localCheckpoint()
     val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
       .toDF("id", "q").localCheckpoint()
-    // random store/delta assignment, then an id-ordered day split of
+    // random store/delta assignment, then id-ordered day splits of
     // the delta (arrival order IS id order — the fixture convention)
     val storeMask = rows.map(r => r._1 -> (rnd.nextInt(3) == 0)).toMap
     val storeIds = rows.map(_._1).filter(storeMask)
     val deltaIds = rows.map(_._1).filterNot(storeMask).sorted
-    val cut = deltaIds(deltaIds.length / 2 + rnd.nextInt(
-      deltaIds.length / 4))
+    val cut1 = deltaIds(deltaIds.length / 3 + rnd.nextInt(
+      deltaIds.length / 6))
+    val cut2 = deltaIds(2 * deltaIds.length / 3 + rnd.nextInt(
+      deltaIds.length / 6))
     val yDocs = docsDf.filter(col("doc_id").isin(storeIds: _*))
     val dAll = docsDf.filter(!col("doc_id").isin(storeIds: _*))
     val store0 = SparkEntry.buildPipelineStoreFrom(spark, yDocs,
@@ -226,17 +228,21 @@ class Round15Spec extends SparkSpec {
         r.getLong(3))).sortBy(_._1).toSeq
     // A: one batch delta over the union
     val oneShot = led(SparkEntry.pipelineDeltaDay(store0, dAll).ledger)
-    // B: two absorbed days
+    // B: three absorbed days (the K-day loop, K = 3)
     val day1 = SparkEntry.pipelineDeltaDay(store0,
-      dAll.filter(col("doc_id") <= cut))
+      dAll.filter(col("doc_id") <= cut1))
     val store1 = SparkEntry.absorbPipelineDay(store0, day1)
     assert(store1.docs.count() ===
       store0.docs.count() + day1.kept.count(),
       "absorb grows the store by exactly the kept day")
     val day2 = SparkEntry.pipelineDeltaDay(store1,
-      dAll.filter(col("doc_id") > cut))
-    val twoDay = led(day1.ledger.unionByName(day2.ledger))
-    assert(twoDay === oneShot)
+      dAll.filter(col("doc_id") > cut1 && col("doc_id") <= cut2))
+    val store2 = SparkEntry.absorbPipelineDay(store1, day2)
+    val day3 = SparkEntry.pipelineDeltaDay(store2,
+      dAll.filter(col("doc_id") > cut2))
+    val threeDay = led(day1.ledger.unionByName(day2.ledger)
+      .unionByName(day3.ledger))
+    assert(threeDay === oneShot)
     // the corpus must actually exercise every removal stage
     val disp = oneShot.map(_._2).toSet
     assert(Set("short", "exact_dup", "near_dup", "kept")
@@ -319,6 +325,50 @@ class Round15Spec extends SparkSpec {
     }
     assert(out.map(_.getLong(2)).sum > 0,
       "fixture must absorb at least one vectored doc")
+  }
+
+  test("q379 manifest delta: every kept q370 doc lands in exactly one " +
+    "delta-manifest row, at most one sequence per stratum extends the " +
+    "carry, and new sequences are contiguous after it") {
+    val man = SparkEntry.queries("q379_manifest_delta")(spark, sf)
+      .collect()
+    val kept = SparkEntry.queries("q370_pipeline_delta")(spark, sf)
+      .collect().count(_.getString(1) == "kept")
+    assert(man.map(_.getLong(3)).sum === kept.toLong,
+      "delta-manifest docs == q370 kept docs")
+    man.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val ext = rs.filter(_.getBoolean(5))
+      assert(ext.length <= 1, s"stratum $src extends >1 sequence")
+      val seqs = rs.map(_.getLong(2)).sorted
+      assert(seqs.toSet.size === seqs.length, s"dup seq rows in $src")
+      assert(seqs.last - seqs.head === seqs.length - 1,
+        s"touched sequences not contiguous in $src")
+      ext.headOption.foreach { e =>
+        assert(e.getLong(2) === seqs.head,
+          s"the extending sequence must be the FIRST touched in $src")
+      }
+    }
+    // the reconciliation algebra at the Curation level: the delta
+    // touches only sequences >= the stratum carry, so yesterday's
+    // manifest rows below the carry are never rewritten
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+    val carry = operators.Curation.packCarry(
+      operators.Curation.packSequences(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "n_chars",
+        "source", 2000L), "doc_id", "source")
+    val cmap = carry.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dm = operators.Curation.packSequencesContinued(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "n_chars",
+        "source", 2000L, carry)
+      .groupBy("source").agg(min(col("seq_id")).as("mn"))
+      .collect()
+    dm.foreach { r =>
+      assert(r.getLong(1) >= cmap.getOrElse(r.getString(0), 0L),
+        s"stratum ${r.getString(0)} touched a pre-carry sequence")
+    }
   }
 
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
