@@ -10870,6 +10870,52 @@ object OracleSql {
        |LEFT JOIN ycarry c ON c.source = a.source
        |ORDER BY a.source, a.seq_id""".stripMargin
 
+  /** q380: the serving-refresh composition — IVF top-5 at nProbe = 2
+    * under the FROZEN centroids, over inverted lists = store curated
+    * members (ylists ⋈ y5) plus the absorbed day's kept members
+    * (dlists ⋈ d5); probes are the q176 eval-set convention
+    * (vec_id % 20 = 0, uncurated), exact integer cosine ranking. */
+  private val q380 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")},
+       |aqv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |l380 AS (
+       |  SELECT l.vec_id, l.q, l.cl FROM ylists l
+       |  JOIN y5 ON y5.doc_id = l.vec_id
+       |  UNION ALL
+       |  SELECT l.vec_id, l.q, l.cl FROM dlists l
+       |  JOIN d5 ON d5.doc_id = l.vec_id),
+       |pd380 AS (
+       |  SELECT v.vec_id, v.q, c.cl,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS BIGINT) AS d2
+       |  FROM aqv v CROSS JOIN fc2 c WHERE v.vec_id % 20 = 0),
+       |p380 AS (
+       |  SELECT vec_id AS qid, q AS qq, cl FROM (
+       |    SELECT vec_id, q, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM pd380)
+       |  WHERE rn <= 2),
+       |sc380 AS (
+       |  SELECT p.qid, l.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> p.qq[i] * l.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM p380 p JOIN l380 l ON p.cl = l.cl AND l.vec_id <> p.qid)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  cid AS neighbor_id, idot, cid % 7 = 3 AS from_delta
+       |FROM (SELECT qid, cid, idot,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY idot DESC, cid ASC) AS rn
+       |      FROM sc380)
+       |WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** q378: the retrain trigger at the absorb boundary — the q352
     * drift readout over the REAL pipeline store: store-member vs
     * absorbed-day mean squared distance to the frozen centroids,
@@ -11426,6 +11472,7 @@ object OracleSql {
     "q377_pack_seg_continued" -> q377,
     "q378_absorb_drift" -> q378,
     "q379_manifest_delta" -> q379,
+    "q380_serving_refresh" -> q380,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

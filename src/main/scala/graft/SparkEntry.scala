@@ -5088,6 +5088,52 @@ object SparkEntry {
       .orderBy("source", "seq_id")
   }
 
+  /** Round-15: the SERVING-REFRESH composition — the freshly absorbed
+    * day is immediately searchable. The serving index's inverted
+    * lists are the store's curated members plus today's kept members
+    * (both already assigned under the FROZEN centroids — q351's
+    * delta-assign semantics — so the refresh appends lists, never
+    * re-clusters); probes are the q176 eval-set convention (every
+    * 20th vector, curated or not — queries come from outside the
+    * store). Output: IVF top-5 per probe at nProbe = 2 with exact
+    * integer cosine ranking, plus `from_delta` marking results served
+    * from TODAY's absorbed docs — the freshness a nightly loop
+    * actually buys. Probe side broadcast; corpus-sized lists never
+    * move (the searchPortable stance). */
+  private def qServingRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val day = pipelineDeltaDay(store,
+      docs.filter(col("doc_id") % 7 === 3))
+    val lists = store.members.unionByName(day.keptMembers)
+      .select(col("id").as("cid"), col("q").as("cq"), col("cluster_id"))
+    val probes0 = store.quant.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("q").as("qq"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    val probes = probes0.crossJoin(broadcast(store.cents))
+      .withColumn("d2",
+        org.apache.spark.sql.graft.GraftFunctions.intDist2(
+          col("qq"), col("c")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qq"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id").asc)
+    lists.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        Similarity.intDot(col("qq"), col("cq")).as("idot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("idot"), (col("neighbor_id") % 7 === 3).as("from_delta"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-15: the RETRAIN TRIGGER read at the absorb boundary — the
     * decision the K-day loop (q373) consults before freezing another
     * day: per frozen cluster, the exact integer mean squared distance
@@ -6272,7 +6318,8 @@ object SparkEntry {
       "q376_loader_manifest" -> (qLoaderManifest _),
       "q377_pack_seg_continued" -> (qPackSegContinued _),
       "q378_absorb_drift" -> (qAbsorbDrift _),
-      "q379_manifest_delta" -> (qManifestDelta _))
+      "q379_manifest_delta" -> (qManifestDelta _),
+      "q380_serving_refresh" -> (qServingRefresh _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6402,7 +6449,7 @@ object SparkEntry {
     "q373_pipeline_two_day", "q374_sigstore_cross",
     "q375_weighted_reshard", "q376_loader_manifest",
     "q377_pack_seg_continued", "q378_absorb_drift",
-    "q379_manifest_delta")
+    "q379_manifest_delta", "q380_serving_refresh")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -371,6 +371,31 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q380 serving refresh: dense ranks, no self-neighbors, " +
+    "non-increasing scores, and every delta-side result is a q370 " +
+    "KEPT doc (the index only serves absorbed survivors)") {
+    val out = SparkEntry.queries("q380_serving_refresh")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to rs.length.toLong).toSeq, s"ranks not dense for $qid")
+      assert(rs.length <= 5)
+      assert(sorted.sliding(2).forall(p => p.length < 2 ||
+        p(0).getLong(3) >= p(1).getLong(3)),
+        s"scores not non-increasing for $qid")
+      rs.foreach(r => assert(r.getLong(2) !== qid, "self-neighbor"))
+    }
+    val kept = SparkEntry.queries("q370_pipeline_delta")(spark, sf)
+      .collect().filter(_.getString(1) == "kept").map(_.getLong(0))
+      .toSet
+    out.filter(_.getBoolean(4)).foreach { r =>
+      assert(kept.contains(r.getLong(2)),
+        s"delta-side neighbor ${r.getLong(2)} was not absorbed")
+    }
+  }
+
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
     "copies bounded by [primaries, R x keys]; growth-only contract " +
     "rejected when an existing shard shrinks") {
