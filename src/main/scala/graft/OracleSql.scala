@@ -10916,6 +10916,96 @@ object OracleSql {
        |WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q381: tokenizer drift across the day boundary — yesterday's
+    * piece vocabulary (gated %7≠3 docs) vs the union-retrained one,
+    * every ≤12-char distinct word of the union greedily segmented
+    * under BOTH (two greedyRounds walks), classified and rolled up
+    * with occurrence mass and exact token delta; the VALUES anchor
+    * keeps provably-empty classes as 0-rows. */
+  private val q381 = {
+    val r1 = greedyRounds("g1gr", "vv1")
+    val r2 = greedyRounds("g2gr", "vv2")
+    s"""WITH RECURSIVE
+       |ad AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |gy AS (SELECT * FROM ad WHERE doc_id % 7 <> 3
+       |  AND len(string_split(lower(text), ' ')) >= 40),
+       |ga AS (SELECT * FROM ad
+       |  WHERE len(string_split(lower(text), ' ')) >= 40),
+       |ytk AS MATERIALIZED (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM gy),
+       |atk AS MATERIALIZED (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM ga),
+       |occ381 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM atk GROUP BY 1),
+       |ys AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM ytk),
+       |ysub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM ys JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vv1 AS MATERIALIZED (
+       |  SELECT piece FROM ysub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |as381 AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM atk),
+       |asub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM as381 JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |vv2 AS MATERIALIZED (
+       |  SELECT piece FROM asub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |w381 AS (SELECT DISTINCT tok AS word FROM atk
+       |  WHERE len(tok) <= 12),
+       |g1gr0 AS (SELECT word, 0 AS pos, '' AS path FROM w381),
+       |$r1,
+       |p1 AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS npy
+       |  FROM g1gr12 WHERE pos = len(word)),
+       |g2gr0 AS (SELECT word, 0 AS pos, '' AS path FROM w381),
+       |$r2,
+       |p2 AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(string_split(path, '|')) - 1 AS BIGINT) AS npa
+       |  FROM g2gr12 WHERE pos = len(word)),
+       |cls AS (
+       |  SELECT o.tok, o.occ,
+       |    CASE WHEN len(o.tok) > 12 THEN 'over_dp_bound'
+       |         WHEN p1.npy IS NULL AND p2.npa IS NULL THEN 'unspannable'
+       |         WHEN p1.npy IS NULL THEN 'newly_spannable'
+       |         WHEN p2.npa IS NULL THEN 'newly_unspannable'
+       |         WHEN p2.npa < p1.npy THEN 'fewer_pieces'
+       |         WHEN p2.npa > p1.npy THEN 'more_pieces'
+       |         ELSE 'unchanged' END AS change,
+       |    (COALESCE(p2.npa, (len(o.tok) + 3) // 4)
+       |      - COALESCE(p1.npy, (len(o.tok) + 3) // 4)) * o.occ AS delta
+       |  FROM occ381 o
+       |  LEFT JOIN p1 ON p1.word = o.tok
+       |  LEFT JOIN p2 ON p2.word = o.tok),
+       |agg381 AS (
+       |  SELECT change, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(occ) AS BIGINT) AS n_occ,
+       |    CAST(SUM(delta) AS BIGINT) AS token_delta
+       |  FROM cls GROUP BY change)
+       |SELECT a.change,
+       |  CAST(COALESCE(g.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(g.n_occ, 0) AS BIGINT) AS n_occ,
+       |  CAST(COALESCE(g.token_delta, 0) AS BIGINT) AS token_delta
+       |FROM (VALUES ('fewer_pieces'), ('more_pieces'),
+       |  ('newly_spannable'), ('newly_unspannable'), ('over_dp_bound'),
+       |  ('unchanged'), ('unspannable')) a(change)
+       |LEFT JOIN agg381 g ON g.change = a.change
+       |ORDER BY a.change""".stripMargin
+  }
+
   /** q378: the retrain trigger at the absorb boundary — the q352
     * drift readout over the REAL pipeline store: store-member vs
     * absorbed-day mean squared distance to the frozen centroids,
@@ -11473,6 +11563,7 @@ object OracleSql {
     "q378_absorb_drift" -> q378,
     "q379_manifest_delta" -> q379,
     "q380_serving_refresh" -> q380,
+    "q381_tokenizer_drift" -> q381,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -5079,13 +5079,85 @@ object SparkEntry {
         concat(col("source"), lit(":"), col("seq_id"))))
     operators.HashRing.assign(agg, "k", nShards = 16,
         vnodesPerShard = 32)
-      .join(store.carry.select(col("source"), col("carry_seq")),
-        Seq("source"), "left")
+      .join(broadcast(store.carry.select(col("source"),
+        col("carry_seq"))), Seq("source"), "left")
       .select(col("shard"), col("source"), col("seq_id"),
         col("n_docs_add"), col("n_tokens_add"),
         (col("carry_seq").isNotNull &&
           col("seq_id") === col("carry_seq")).as("extends_carry"))
       .orderBy("source", "seq_id")
+  }
+
+  /** Round-15: TOKENIZER DRIFT across the day boundary — the other
+    * artifact the nightly loop must decide whether to refreeze. The
+    * unigram vocabulary retrained on the grown corpus (yesterday ∪
+    * today, gate-surviving docs) is compared word by word against
+    * yesterday's frozen vocabulary: per change class, the distinct
+    * words affected, their total occurrence mass, and the exact token
+    * delta (unspannable and over-DP-bound words charge ⌈len/4⌉ on
+    * both sides). Because the piece vocabulary is count-monotone
+    * (a piece kept at count ≥ 2 stays kept when the corpus grows),
+    * retraining can only merge better: 'more_pieces' and
+    * 'newly_unspannable' are provably empty and published as 0-rows
+    * (spec-pinned) — the audit quantifies how much token mass a
+    * REFREEZE would save, which is the retrain trigger's tokenizer
+    * twin (q378). Two vocab builds + two greedy DP passes over the
+    * union's distinct words; the rollup is |classes| rows.
+    *
+    * Fixture honesty: the synthetic corpus has a CLOSED vocabulary
+    * (every piece of every word is frequent on both sides of the %7
+    * split at every threshold — probed in round 15), so all mass
+    * lands in 'unchanged' here; the drift mechanism itself is
+    * exercised by Round15Spec on a synthetic corpus where the delta
+    * day introduces genuinely new and newly-frequent pieces (the
+    * q362 exact-dedup-removes-0 honesty convention). */
+  private def qTokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    tokenizerDriftFrom(s,
+      pipelineGate(docs.filter(col("doc_id") % 7 =!= 3)),
+      pipelineGate(docs))
+  }
+
+  /** Fixture-injectable core of [[qTokenizerDrift]]: yesterday's
+    * corpus `y` vs the grown corpus `a` (both pre-gated). */
+  private[graft] def tokenizerDriftFrom(s: SparkSession, y: DataFrame,
+      a: DataFrame): DataFrame = {
+    val vy = UnigramSegment.pieceVocab(y, "text")
+    val va = UnigramSegment.pieceVocab(a, "text")
+    val occs = a.select(explode(filter(split(lower(col("text")), " "),
+        w => w =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("occ"))
+    val ny = UnigramSegment.greedySegment(a, "text", vy)
+      .select(col("word"), col("n_pieces").cast("long").as("npy"))
+    val na = UnigramSegment.greedySegment(a, "text", va)
+      .select(col("word"), col("n_pieces").cast("long").as("npa"))
+    val ceil = expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")
+    val classified = occs
+      .join(ny, occs("tok") === ny("word"), "left").drop(ny("word"))
+      .join(na, occs("tok") === na("word"), "left").drop(na("word"))
+      .select(col("tok"), col("occ"),
+        when(length(col("tok")) > 12, "over_dp_bound")
+          .when(col("npy").isNull && col("npa").isNull, "unspannable")
+          .when(col("npy").isNull, "newly_spannable")
+          .when(col("npa").isNull, "newly_unspannable")
+          .when(col("npa") < col("npy"), "fewer_pieces")
+          .when(col("npa") > col("npy"), "more_pieces")
+          .otherwise("unchanged").as("change"),
+        ((coalesce(col("npa"), ceil) - coalesce(col("npy"), ceil)) *
+          col("occ")).as("delta"))
+    val agg = classified.groupBy("change")
+      .agg(count(lit(1)).as("n_words"), sum(col("occ")).as("n_occ"),
+        sum(col("delta")).as("token_delta"))
+    import s.implicits._
+    val anchor = Seq("fewer_pieces", "more_pieces", "newly_spannable",
+      "newly_unspannable", "over_dp_bound", "unchanged", "unspannable")
+      .toDF("change")
+    anchor.join(agg, Seq("change"), "left")
+      .select(col("change"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("token_delta"), lit(0L)).as("token_delta"))
+      .orderBy("change")
   }
 
   /** Round-15: the SERVING-REFRESH composition — the freshly absorbed
@@ -6319,7 +6391,8 @@ object SparkEntry {
       "q377_pack_seg_continued" -> (qPackSegContinued _),
       "q378_absorb_drift" -> (qAbsorbDrift _),
       "q379_manifest_delta" -> (qManifestDelta _),
-      "q380_serving_refresh" -> (qServingRefresh _))
+      "q380_serving_refresh" -> (qServingRefresh _),
+      "q381_tokenizer_drift" -> (qTokenizerDrift _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6449,7 +6522,8 @@ object SparkEntry {
     "q373_pipeline_two_day", "q374_sigstore_cross",
     "q375_weighted_reshard", "q376_loader_manifest",
     "q377_pack_seg_continued", "q378_absorb_drift",
-    "q379_manifest_delta", "q380_serving_refresh")
+    "q379_manifest_delta", "q380_serving_refresh",
+    "q381_tokenizer_drift")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

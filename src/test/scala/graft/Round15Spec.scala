@@ -396,6 +396,42 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("tokenizer drift: a delta day that introduces new and " +
+    "newly-frequent pieces yields newly_spannable and fewer_pieces " +
+    "mass with a non-positive token delta; vocabulary monotonicity " +
+    "keeps more_pieces and newly_unspannable provably empty") {
+    // yesterday: 'abcd' everywhere, 'aabb' exactly once (its 2+-char
+    // pieces stay below minCount); today repeats 'aabb' (now frequent
+    // -> fewer pieces) and brings 'wxyz' (chars unseen yesterday ->
+    // newly spannable)
+    val pad = Seq.fill(39)("abcd").mkString(" ")
+    val y = Seq(
+      (1L, s"$pad abcd"), (2L, s"$pad abcd"), (3L, s"$pad aabb"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, s"$pad aabb aabb aabb aabb aabb"),
+      (5L, s"$pad wxyz wxyz wxyz"))
+      .toDF("doc_id", "text")
+    val out = SparkEntry.tokenizerDriftFrom(spark, y,
+        y.unionByName(delta))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("more_pieces") === ((0L, 0L, 0L)))
+    assert(out("newly_unspannable") === ((0L, 0L, 0L)))
+    val (fw, fo, fd) = out("fewer_pieces")
+    assert(fw === 1L && fo === 6L && fd < 0L,
+      s"'aabb' (6 occurrences) must merge better: $fw/$fo/$fd")
+    val (nw, no, nd) = out("newly_spannable")
+    assert(nw === 1L && no === 3L,
+      s"'wxyz' (3 occurrences) must become spannable: $nw/$no")
+    // 'wxyz' charged ceil(4/4)=1 both sides of the coalesce -> the
+    // class exists even at delta 0; spannability is the signal
+    assert(nd <= 0L)
+    assert(out("unchanged")._1 >= 1L, "'abcd' stays one piece")
+    val total = out.values.map(_._3).sum
+    assert(total <= 0L, s"retraining never costs tokens: $total")
+  }
+
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
     "copies bounded by [primaries, R x keys]; growth-only contract " +
     "rejected when an existing shard shrinks") {
