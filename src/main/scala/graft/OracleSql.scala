@@ -10916,6 +10916,60 @@ object OracleSql {
        |WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q382: multi-epoch loader order — q376's per-sequence placement
+    * crossed with epochs {0, 1}; each (epoch, sequence) sort key is
+    * the char-fold of "epoch:<e>:<source>:<seq_id>" through the
+    * quadratic mix, ranked per (shard, epoch) with (source, seq_id)
+    * tie-breaks and an epoch-local token prefix sum. */
+  private val q382 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${ringCtes(16)},
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id, CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq),
+       |sa AS (
+       |  SELECT sp.source, sp.seq_id, sp.n_tokens,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM sp),
+       |sb AS (
+       |  SELECT vp.shard, a.source, a.seq_id, a.n_tokens
+       |  FROM sa a JOIN vp ON vp.pos = a.vpos),
+       |sqe AS (
+       |  SELECT s.*, CAST(t.e AS BIGINT) AS epoch
+       |  FROM sb s CROSS JOIN (VALUES (0), (1)) t(e)),
+       |eff AS (
+       |  SELECT *,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(
+       |        'epoch:' || epoch || ':' || source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS ef
+       |  FROM sqe),
+       |posd AS (
+       |  SELECT *, (ef * ef + ef * 2654435761 + 40503)
+       |    % 1000000007 AS pos
+       |  FROM eff)
+       |SELECT CAST(shard AS BIGINT) AS shard, epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, epoch
+       |    ORDER BY pos, source, seq_id) AS BIGINT) AS read_rank,
+       |  source, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, epoch
+       |    ORDER BY pos, source, seq_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS token_offset
+       |FROM posd
+       |ORDER BY shard, epoch, read_rank""".stripMargin
+
   /** q381: tokenizer drift across the day boundary — yesterday's
     * piece vocabulary (gated %7≠3 docs) vs the union-retrained one,
     * every ≤12-char distinct word of the union greedily segmented
@@ -11564,6 +11618,7 @@ object OracleSql {
     "q379_manifest_delta" -> q379,
     "q380_serving_refresh" -> q380,
     "q381_tokenizer_drift" -> q381,
+    "q382_epoch_order" -> q382,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

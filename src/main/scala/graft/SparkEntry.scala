@@ -5088,6 +5088,45 @@ object SparkEntry {
       .orderBy("source", "seq_id")
   }
 
+  /** Round-15: MULTI-EPOCH loader order — training reads the same
+    * shards several times with a DIFFERENT deterministic shuffle per
+    * epoch (seeded, coordinator-free: any worker can recompute its
+    * shard's order). Each packed sequence's per-epoch sort key is the
+    * char-fold of "epoch:<e>:<source>:<seq_id>" passed through the
+    * ring's quadratic mix (the q357 avalanche treatment — raw folds
+    * of near-identical labels cluster); read_rank and the epoch-local
+    * token offset come from one window over |sequences| × |epochs|
+    * rows per shard, corpus-size independent like q376. Ties (never
+    * observed; possible in principle) break by (source, seq_id) so
+    * the order is total either way. */
+  private def qEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val seqs = st.packed.groupBy("source", "seq_id")
+      .agg(sum(col("len")).as("n_tokens"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(col("source"), lit(":"), col("seq_id"))))
+    val assigned = operators.HashRing.assign(seqs, "k",
+        nShards = 16, vnodesPerShard = 32)
+      .withColumn("epoch", explode(typedLit(Seq(0L, 1L))))
+      .withColumn("ef", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(lit("epoch:"), col("epoch"), lit(":"), col("source"),
+          lit(":"), col("seq_id"))))
+      .withColumn("pos",
+        expr("(ef * ef + ef * 2654435761L + 40503L) % 1000000007L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "epoch")
+      .orderBy("pos", "source", "seq_id")
+    assigned
+      .withColumn("read_rank", row_number().over(w).cast("long"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .select("shard", "epoch", "read_rank", "source", "seq_id",
+        "n_tokens", "token_offset")
+      .orderBy("shard", "epoch", "read_rank")
+  }
+
   /** Round-15: TOKENIZER DRIFT across the day boundary — the other
     * artifact the nightly loop must decide whether to refreeze. The
     * unigram vocabulary retrained on the grown corpus (yesterday ∪
@@ -6392,7 +6431,8 @@ object SparkEntry {
       "q378_absorb_drift" -> (qAbsorbDrift _),
       "q379_manifest_delta" -> (qManifestDelta _),
       "q380_serving_refresh" -> (qServingRefresh _),
-      "q381_tokenizer_drift" -> (qTokenizerDrift _))
+      "q381_tokenizer_drift" -> (qTokenizerDrift _),
+      "q382_epoch_order" -> (qEpochOrder _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6523,7 +6563,7 @@ object SparkEntry {
     "q375_weighted_reshard", "q376_loader_manifest",
     "q377_pack_seg_continued", "q378_absorb_drift",
     "q379_manifest_delta", "q380_serving_refresh",
-    "q381_tokenizer_drift")
+    "q381_tokenizer_drift", "q382_epoch_order")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -432,6 +432,39 @@ class Round15Spec extends SparkSpec {
     assert(total <= 0L, s"retraining never costs tokens: $total")
   }
 
+  test("q382 epoch order: each (shard, epoch) is a permutation of the " +
+    "shard's q376 manifest with dense ranks and exact epoch-local " +
+    "offsets, and the two epochs genuinely shuffle differently") {
+    val out = SparkEntry.queries("q382_epoch_order")(spark, sf)
+      .collect()
+    val man = SparkEntry.queries("q376_loader_manifest")(spark, sf)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getString(2), r.getLong(3))).toSet }
+    var anyDiff = false
+    out.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case ((shard, _), rs) =>
+        val sorted = rs.sortBy(_.getLong(2))
+        assert(sorted.map(_.getLong(2)).toSeq ===
+          (1L to rs.length.toLong).toSeq)
+        var off = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(6) === off); off += r.getLong(5)
+        }
+        assert(rs.map(r => (r.getString(3), r.getLong(4))).toSet ===
+          man(shard), s"shard $shard epoch set != manifest")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byEpoch = rs.groupBy(_.getLong(1)).map { case (e, xs) =>
+        e -> xs.sortBy(_.getLong(2))
+          .map(r => (r.getString(3), r.getLong(4))).toSeq }
+      if (byEpoch.size == 2 && byEpoch(0L) != byEpoch(1L))
+        anyDiff = true
+    }
+    assert(anyDiff, "epoch shuffles must differ somewhere")
+  }
+
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
     "copies bounded by [primaries, R x keys]; growth-only contract " +
     "rejected when an existing shard shrinks") {
