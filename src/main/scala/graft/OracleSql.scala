@@ -10916,6 +10916,32 @@ object OracleSql {
        |WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q383: quota admission — the day's kept docs (q370's dwalk rows)
+    * offered per source in id order, admitted while the cumulative
+    * token prefix stays within half the day's per-source offer. */
+  private val q383 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")},
+       |off383 AS (
+       |  SELECT source, doc_id, CAST(len AS BIGINT) AS n_tokens
+       |  FROM dwalk),
+       |bud383 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off383 GROUP BY 1),
+       |cum383 AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM off383)
+       |SELECT c.source, c.doc_id, c.n_tokens, c.cum_before,
+       |  c.cum_before + c.n_tokens <= b.budget AS admitted
+       |FROM cum383 c JOIN bud383 b USING (source)
+       |ORDER BY c.source, c.doc_id""".stripMargin
+
   /** q382: multi-epoch loader order — q376's per-sequence placement
     * crossed with epochs {0, 1}; each (epoch, sequence) sort key is
     * the char-fold of "epoch:<e>:<source>:<seq_id>" through the
@@ -11619,6 +11645,7 @@ object OracleSql {
     "q380_serving_refresh" -> q380,
     "q381_tokenizer_drift" -> q381,
     "q382_epoch_order" -> q382,
+    "q383_quota_admit" -> q383,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -5088,6 +5088,31 @@ object SparkEntry {
       .orderBy("source", "seq_id")
   }
 
+  /** Round-15: QUOTA-admission audit — the data-mixing knob applied
+    * to the absorb loop: the day's kept docs are offered per source
+    * in id order and admitted while the cumulative token mass stays
+    * within HALF the day's per-source offer (the fixture budget);
+    * the rest is the FIFO backlog tomorrow's run re-offers first
+    * ([[operators.Curation.quotaAdmitPrefix]] — prefix-truncation,
+    * order-preserving, windowable; backlog conservation across days
+    * is spec-pinned at the operator level). Output: one row per
+    * offered doc with its cumulative position and verdict. */
+  private def qQuotaAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val day = pipelineDeltaDay(store,
+      docs.filter(col("doc_id") % 7 === 3))
+    val offered = day.packed.select(col("source"), col("doc_id"),
+      col("len").as("n_tokens"))
+    val budgets = offered.groupBy("source")
+      .agg(expr("sum(n_tokens) div 2L").as("budget"))
+    Curation.quotaAdmitPrefix(offered, "doc_id", "n_tokens", "source",
+        budgets)
+      .select("source", "doc_id", "n_tokens", "cum_before", "admitted")
+      .orderBy("source", "doc_id")
+  }
+
   /** Round-15: MULTI-EPOCH loader order — training reads the same
     * shards several times with a DIFFERENT deterministic shuffle per
     * epoch (seeded, coordinator-free: any worker can recompute its
@@ -6432,7 +6457,8 @@ object SparkEntry {
       "q379_manifest_delta" -> (qManifestDelta _),
       "q380_serving_refresh" -> (qServingRefresh _),
       "q381_tokenizer_drift" -> (qTokenizerDrift _),
-      "q382_epoch_order" -> (qEpochOrder _))
+      "q382_epoch_order" -> (qEpochOrder _),
+      "q383_quota_admit" -> (qQuotaAdmit _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6563,7 +6589,8 @@ object SparkEntry {
     "q375_weighted_reshard", "q376_loader_manifest",
     "q377_pack_seg_continued", "q378_absorb_drift",
     "q379_manifest_delta", "q380_serving_refresh",
-    "q381_tokenizer_drift", "q382_epoch_order")
+    "q381_tokenizer_drift", "q382_epoch_order",
+    "q383_quota_admit")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

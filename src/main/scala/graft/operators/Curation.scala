@@ -1210,6 +1210,39 @@ object Curation {
         col("seq_offset"))
   }
 
+  /** QUOTA-admission for the absorb loop — the data-mixing knob: per
+    * stratum, admit docs in id order while the CUMULATIVE offered
+    * token mass stays within the stratum's budget (FIFO
+    * prefix-truncation: the stream is cut at the budget point and
+    * everything behind it waits — order-preserving, so yesterday's
+    * backlog, having smaller ids, is automatically offered first when
+    * tomorrow's union re-runs the same rule). Windowable and
+    * oracle-replayable precisely BECAUSE admission depends on the
+    * offered prefix, not the admitted subset (greedy skip-if-too-big
+    * admission is sequential state, the packSequences cost class).
+    * A doc larger than its stratum's whole budget blocks the stratum
+    * until budgets grow — production budgets sit far above any single
+    * document, and the audit makes the blockage visible rather than
+    * silently skipping. `budgets`: (strataCol, budget), missing
+    * strata = unlimited. Adds cum_before and admitted. */
+  def quotaAdmitPrefix(docs: DataFrame, idCol: String, tokCol: String,
+      strataCol: String, budgets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .join(broadcast(budgets.select(col(strataCol),
+        col("budget").cast("long").as("budget"))), Seq(strataCol),
+        "left")
+      .withColumn("admitted",
+        col("cum_before") + col(tokCol) <=
+          coalesce(col("budget"), lit(Long.MaxValue)))
+      .drop("budget")
+  }
+
   /** Carry reconciliation across refresh days: strata touched by the
     * newer pack pass take its carry; untouched strata keep the older
     * one — the per-stratum fold state a K-day absorb loop threads

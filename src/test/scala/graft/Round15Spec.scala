@@ -465,6 +465,63 @@ class Round15Spec extends SparkSpec {
     assert(anyDiff, "epoch shuffles must differ somewhere")
   }
 
+  test("quotaAdmitPrefix: admission is a per-stratum id-prefix, the " +
+    "budget is respected exactly, missing strata are unlimited, and " +
+    "the FIFO backlog loop conserves — day-2 re-offers the backlog " +
+    "first and (with room) admits it before fresh docs") {
+    val offered = Seq(
+      ("A", 1L, 5L), ("A", 2L, 5L), ("A", 3L, 5L), ("A", 4L, 5L),
+      ("B", 9L, 7L))
+      .toDF("source", "doc_id", "n_tokens")
+    val budgets = Seq(("A", 12L)).toDF("source", "budget")
+    val d1 = operators.Curation.quotaAdmitPrefix(offered, "doc_id",
+        "n_tokens", "source", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(3), r.getBoolean(4)))
+    val adm1 = d1.filter(_._4).map(x => (x._1, x._2)).toSet
+    assert(adm1 === Set(("A", 1L), ("A", 2L), ("B", 9L)),
+      s"A admits 2 of 4 under budget 12, B is unlimited: $adm1")
+    // prefix property: an admitted doc implies every earlier
+    // same-stratum doc admitted
+    d1.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(!sorted.sliding(2).exists(p =>
+        p.length == 2 && !p(0) && p(1)), "non-prefix admission")
+    }
+    // day 2: the backlog (ids 3, 4) plus a fresh doc; FIFO — the
+    // backlog's smaller ids are offered first by the same id-ordered
+    // rule, and conservation holds (admitted ∪ backlog == offered)
+    val day2 = Seq(("A", 3L, 5L), ("A", 4L, 5L), ("A", 20L, 5L))
+      .toDF("source", "doc_id", "n_tokens")
+    val d2 = operators.Curation.quotaAdmitPrefix(day2, "doc_id",
+        "n_tokens", "source", budgets)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4)))
+    assert(d2.filter(_._2).map(_._1).toSet === Set(3L, 4L),
+      "the backlog is admitted before the fresh doc")
+    assert((adm1.map(_._2) ++ d1.filterNot(_._4).map(_._2)).toSet ===
+      d1.map(_._2).toSet, "day-1 conservation")
+  }
+
+  test("plan shape: the round-15 corpus paths stay join-free where " +
+    "they must — weighted replicated reshard is map-only + one agg; " +
+    "quota admission is one window + a broadcast budget join") {
+    val keys = (0L until 50L).toDF("doc_id")
+    val reshard = operators.HashRing.replicatedReshardAuditWeighted(
+      keys, "doc_id", Seq(4, 4, 2), Seq(4, 4, 2, 2), replicas = 2)
+    val rp = reshard.queryExecution.executedPlan.toString
+    assert(!rp.contains("Join") && !rp.contains("CartesianProduct"),
+      s"weighted reshard must not join:\n$rp")
+    val offered = Seq(("A", 1L, 5L)).toDF("source", "doc_id",
+      "n_tokens")
+    val qa = operators.Curation.quotaAdmitPrefix(offered, "doc_id",
+      "n_tokens", "source", Seq(("A", 9L)).toDF("source", "budget"))
+    val qp = qa.queryExecution.executedPlan.toString
+    assert(qp.contains("BroadcastHashJoin") &&
+      !qp.contains("SortMergeJoin") &&
+      !qp.contains("CartesianProduct"),
+      s"budget join must broadcast:\n$qp")
+  }
+
   test("q375 weighted reshard: both scenarios audit the same corpus; " +
     "copies bounded by [primaries, R x keys]; growth-only contract " +
     "rejected when an existing shard shrinks") {
