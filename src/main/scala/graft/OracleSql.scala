@@ -10942,6 +10942,81 @@ object OracleSql {
        |FROM cum383 c JOIN bud383 b USING (source)
        |ORDER BY c.source, c.doc_id""".stripMargin
 
+  /** q384: the two-day quota ledger — q373's absorbing chains plus
+    * two FIFO prefix-admission windows: day 1 admits under half its
+    * offer, the rejects join day 2's offer with (offered_day, id)
+    * priority, day 2 admits under half the combined offer. */
+  private val q384 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 2 AND doc_id % 7 <> 3")},
+       |${incDeltaCtes("e", "doc_id % 7 = 2", "y5", "ymem", "yn2",
+          "ycarry")},
+       |store1 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM y5
+       |  UNION ALL SELECT doc_id, text, source FROM e5),
+       |smem1 AS (
+       |  SELECT * FROM ymem
+       |  UNION ALL
+       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
+       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
+       |ecl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ewalk)
+       |  WHERE rr = 1),
+       |carry1 AS (
+       |  SELECT source, cs, cf FROM ecl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM ycarry
+       |  WHERE source NOT IN (SELECT source FROM ecl)),
+       |${incDeltaCtes("f", "doc_id % 7 = 3", "store1", "smem1", "sn1",
+          "carry1")},
+       |off1 AS (
+       |  SELECT source, doc_id, CAST(len AS BIGINT) AS n_tokens,
+       |    CAST(1 AS BIGINT) AS offered_day
+       |  FROM ewalk),
+       |bud1 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off1 GROUP BY 1),
+       |cum1 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM off1),
+       |adm1 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum1 c JOIN bud1 b USING (source)),
+       |off2 AS (
+       |  SELECT *, offered_day * 1000000000000 + doc_id AS prio FROM (
+       |    SELECT source, doc_id, n_tokens, offered_day
+       |    FROM adm1 WHERE NOT admitted
+       |    UNION ALL
+       |    SELECT source, doc_id, CAST(len AS BIGINT),
+       |      CAST(2 AS BIGINT)
+       |    FROM fwalk)),
+       |bud2 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off2 GROUP BY 1),
+       |cum2 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY prio
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM off2),
+       |adm2 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum2 c JOIN bud2 b USING (source))
+       |SELECT doc_id, source, n_tokens, offered_day,
+       |  CAST(1 AS BIGINT) AS admitted_day
+       |FROM adm1 WHERE admitted
+       |UNION ALL
+       |SELECT doc_id, source, n_tokens, offered_day,
+       |  CAST(CASE WHEN admitted THEN 2 ELSE -1 END AS BIGINT)
+       |FROM adm2
+       |ORDER BY doc_id""".stripMargin
+
   /** q382: multi-epoch loader order — q376's per-sequence placement
     * crossed with epochs {0, 1}; each (epoch, sequence) sort key is
     * the char-fold of "epoch:<e>:<source>:<seq_id>" through the
@@ -11646,6 +11721,7 @@ object OracleSql {
     "q381_tokenizer_drift" -> q381,
     "q382_epoch_order" -> q382,
     "q383_quota_admit" -> q383,
+    "q384_quota_two_day" -> q384,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -5113,6 +5113,55 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
+  /** Round-15: the TWO-DAY quota ledger — the mixing knob (q383)
+    * threaded through the absorbing loop (q373). Admission gates only
+    * the TRAINING mix; the dedup store still absorbs every kept doc
+    * (so a fresh duplicate of a backlogged doc is caught by the
+    * store, and curation never re-runs on the backlog). Day 1's
+    * rejected docs join day 2's offer with FIFO priority (ordered by
+    * (offered_day, doc_id) — an explicit priority key, because the
+    * %7 day split interleaves ids); each day's budget is half that
+    * day's per-source offer. Output: one row per ever-offered doc —
+    * (doc_id, source, n_tokens, offered_day, admitted_day), with
+    * admitted_day = −1 for docs still backlogged after day 2. Token
+    * counts are frozen-vocab counts from the doc's own kept day. */
+  private def qQuotaTwoDay(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val store1 = absorbPipelineDay(store0, day1)
+    val day2 = pipelineDeltaDay(store1,
+      docs.filter(col("doc_id") % 7 === 3))
+    def offer(day: PipelineDeltaDay, d: Long): DataFrame =
+      day.packed.select(col("source"), col("doc_id"),
+        col("len").as("n_tokens"), lit(d).as("offered_day"))
+    val off1 = offer(day1, 1L).localCheckpoint()
+    val bud1 = off1.groupBy("source")
+      .agg(expr("sum(n_tokens) div 2L").as("budget"))
+    val adm1 = Curation.quotaAdmitPrefix(off1, "doc_id", "n_tokens",
+      "source", bud1).localCheckpoint()
+    val backlog = adm1.filter(!col("admitted"))
+      .select("source", "doc_id", "n_tokens", "offered_day")
+    val off2 = backlog.unionByName(offer(day2, 2L))
+      .withColumn("prio",
+        col("offered_day") * lit(1000000000000L) + col("doc_id"))
+      .localCheckpoint()
+    val bud2 = off2.groupBy("source")
+      .agg(expr("sum(n_tokens) div 2L").as("budget"))
+    val adm2 = Curation.quotaAdmitPrefix(off2, "prio", "n_tokens",
+      "source", bud2)
+    adm1.filter(col("admitted"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("offered_day"), lit(1L).as("admitted_day"))
+      .unionByName(adm2.select(col("doc_id"), col("source"),
+        col("n_tokens"), col("offered_day"),
+        when(col("admitted"), 2L).otherwise(-1L).as("admitted_day")))
+      .orderBy("doc_id")
+  }
+
   /** Round-15: MULTI-EPOCH loader order — training reads the same
     * shards several times with a DIFFERENT deterministic shuffle per
     * epoch (seeded, coordinator-free: any worker can recompute its
@@ -6458,7 +6507,8 @@ object SparkEntry {
       "q380_serving_refresh" -> (qServingRefresh _),
       "q381_tokenizer_drift" -> (qTokenizerDrift _),
       "q382_epoch_order" -> (qEpochOrder _),
-      "q383_quota_admit" -> (qQuotaAdmit _))
+      "q383_quota_admit" -> (qQuotaAdmit _),
+      "q384_quota_two_day" -> (qQuotaTwoDay _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6590,7 +6640,7 @@ object SparkEntry {
     "q377_pack_seg_continued", "q378_absorb_drift",
     "q379_manifest_delta", "q380_serving_refresh",
     "q381_tokenizer_drift", "q382_epoch_order",
-    "q383_quota_admit")
+    "q383_quota_admit", "q384_quota_two_day")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -502,6 +502,41 @@ class Round15Spec extends SparkSpec {
       d1.map(_._2).toSet, "day-1 conservation")
   }
 
+  test("q384 two-day quota: offered rows are exactly q373's kept docs " +
+    "per day, each day's budget is respected per source, and day-2 " +
+    "admission is a FIFO prefix over (offered_day, id)") {
+    val out = SparkEntry.queries("q384_quota_two_day")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val keptByDay = SparkEntry.queries("q373_pipeline_two_day")(spark,
+        sf).collect()
+      .filter(_.getString(2) == "kept")
+      .groupBy(_.getLong(1)).map { case (d, rs) =>
+        d -> rs.map(_.getLong(0)).toSet }
+    assert(out.filter(_._4 == 1L).map(_._1).toSet ===
+      keptByDay.getOrElse(1L, Set.empty),
+      "day-1 offer == q373 day-1 kept")
+    assert(out.filter(_._4 == 2L).map(_._1).toSet ===
+      keptByDay.getOrElse(2L, Set.empty),
+      "day-2 fresh offer == q373 day-2 kept")
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      val o1 = rs.filter(_._4 == 1L)
+      val b1 = o1.map(_._3).sum / 2
+      assert(o1.filter(_._5 == 1L).map(_._3).sum <= b1,
+        s"day-1 budget blown in $src")
+      val o2 = rs.filter(r => r._5 != 1L) // backlog + fresh
+      val b2 = o2.map(_._3).sum / 2
+      assert(o2.filter(_._5 == 2L).map(_._3).sum <= b2,
+        s"day-2 budget blown in $src")
+      val ordered = o2.sortBy(r => (r._4, r._1)).map(_._5 == 2L)
+      assert(!ordered.sliding(2).exists(p =>
+        p.length == 2 && !p(0) && p(1)),
+        s"day-2 admission not a FIFO prefix in $src")
+    }
+    assert(out.exists(_._5 == -1L) && out.exists(_._5 == 2L),
+      "fixture must exercise both backlog outcomes")
+  }
+
   test("plan shape: the round-15 corpus paths stay join-free where " +
     "they must — weighted replicated reshard is map-only + one agg; " +
     "quota admission is one window + a broadcast budget join") {
