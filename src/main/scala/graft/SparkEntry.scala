@@ -4863,14 +4863,20 @@ object SparkEntry {
     * data loader reads. Composes the two round-14 families end to
     * end: curation output → placement. Zero-load shards keep a row
     * (the loadAudit convention). */
+  /** Per-sequence ring placement shared by the manifest family
+    * (q371/q376/q379/q382): the char-fold of "source:seq_id" placed
+    * on the q357 ring — ONE definition of the manifest key. */
+  private def assignSeqRing(seqs: DataFrame): DataFrame =
+    operators.HashRing.assign(
+      seqs.withColumn("k", org.apache.spark.sql.graft.CharFoldHash
+        .column(concat(col("source"), lit(":"), col("seq_id")))),
+      "k", nShards = 16, vnodesPerShard = 32)
+
   private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
     val st = pipelineStages(s, dir)
     val seqs = st.packed.groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
-      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
-        concat(col("source"), lit(":"), col("seq_id"))))
-    val assigned = operators.HashRing.assign(seqs, "k",
-      nShards = 16, vnodesPerShard = 32)
+    val assigned = assignSeqRing(seqs)
     val counts = assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
@@ -5035,12 +5041,8 @@ object SparkEntry {
     * conservation against q371's per-shard totals is spec-pinned. */
   private def qLoaderManifest(s: SparkSession, dir: String): DataFrame = {
     val st = pipelineStages(s, dir)
-    val seqs = st.packed.groupBy("source", "seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
-      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
-        concat(col("source"), lit(":"), col("seq_id"))))
-    val assigned = operators.HashRing.assign(seqs, "k",
-      nShards = 16, vnodesPerShard = 32)
+    val assigned = assignSeqRing(st.packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("source", "seq_id")
     assigned
@@ -5075,10 +5077,7 @@ object SparkEntry {
     val agg = day.packed.groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs_add"),
         sum(col("len")).as("n_tokens_add"))
-      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
-        concat(col("source"), lit(":"), col("seq_id"))))
-    operators.HashRing.assign(agg, "k", nShards = 16,
-        vnodesPerShard = 32)
+    assignSeqRing(agg)
       .join(broadcast(store.carry.select(col("source"),
         col("carry_seq"))), Seq("source"), "left")
       .select(col("shard"), col("source"), col("seq_id"),
@@ -5175,18 +5174,13 @@ object SparkEntry {
     * the order is total either way. */
   private def qEpochOrder(s: SparkSession, dir: String): DataFrame = {
     val st = pipelineStages(s, dir)
-    val seqs = st.packed.groupBy("source", "seq_id")
-      .agg(sum(col("len")).as("n_tokens"))
-      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash.column(
-        concat(col("source"), lit(":"), col("seq_id"))))
-    val assigned = operators.HashRing.assign(seqs, "k",
-        nShards = 16, vnodesPerShard = 32)
+    val assigned = assignSeqRing(st.packed.groupBy("source", "seq_id")
+        .agg(sum(col("len")).as("n_tokens")))
       .withColumn("epoch", explode(typedLit(Seq(0L, 1L))))
       .withColumn("ef", org.apache.spark.sql.graft.CharFoldHash.column(
         concat(lit("epoch:"), col("epoch"), lit(":"), col("source"),
           lit(":"), col("seq_id"))))
-      .withColumn("pos",
-        expr("(ef * ef + ef * 2654435761L + 40503L) % 1000000007L"))
+      .withColumn("pos", operators.HashRing.mixColumn(col("ef")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard", "epoch")
       .orderBy("pos", "source", "seq_id")

@@ -52,6 +52,12 @@ object HashRing {
   /** A vnode's ring position: mixed label fold. */
   def labelPos(label: String): Long = mix(labelFold(label))
 
+  /** [[mix]] as a column expression — the one shared definition of
+    * the quadratic-mix constants for row-level keys (the q382 epoch
+    * sort key). f < Mod keeps every term inside long. */
+  def mixColumn(f: Column): Column =
+    pmod(f * f + f * lit(2654435761L) + lit(40503L), lit(Mod))
+
   /** The ring: (position, shard) for every virtual node, sorted by
     * position. Positions are distinct — collisions (never observed
     * for shards ≤ 64, vnodes ≤ 64) fail loudly at construction (the
@@ -313,31 +319,13 @@ object HashRing {
     * Two map passes + one global agg; nothing corpus-sized shuffles. */
   def replicatedReshardAudit(df: DataFrame, keyCol: String,
       nShards: Int, nShardsAfter: Int, vnodesPerShard: Int,
-      replicas: Int): DataFrame = {
-    val rb = ring(nShards, vnodesPerShard)
-    val ra = ring(nShardsAfter, vnodesPerShard)
-    val withSets = df
-      .withColumn("ring_pos", keyPos(col(keyCol)))
-      .withColumn("before_set", org.apache.spark.sql.graft.RingReplicas
-        .column(col("ring_pos"), rb.map(_._1), rb.map(_._2), replicas))
-      .withColumn("after_set", org.apache.spark.sql.graft.RingReplicas
-        .column(col("ring_pos"), ra.map(_._1), ra.map(_._2), replicas))
-    withSets.agg(
-        count(lit(1)).as("n_keys"),
-        sum(when(element_at(col("after_set"), 1) =!=
-          element_at(col("before_set"), 1), 1L).otherwise(0L))
-          .as("primary_moved"),
-        sum(size(array_except(col("after_set"), col("before_set")))
-          .cast("long")).as("copies_moved"))
-      .select(col("n_keys"), col("primary_moved"),
-        when(col("n_keys") > 0,
-          expr("primary_moved * 1000000L div n_keys"))
-          .otherwise(lit(-1L)).as("primary_moved_ppm"),
-        col("copies_moved"),
-        when(col("n_keys") > 0,
-          expr(s"copies_moved * 1000000L div (n_keys * ${replicas}L)"))
-          .otherwise(lit(-1L)).as("copies_moved_ppm"))
-  }
+      replicas: Int): DataFrame =
+    // the uniform fleet IS the constant-capacity weighted fleet
+    // (ring(n, v) already delegates to ringWeighted the same way),
+    // so the audit body lives once, in the weighted form
+    replicatedReshardAuditWeighted(df, keyCol,
+      Seq.fill(nShards)(vnodesPerShard),
+      Seq.fill(nShardsAfter)(vnodesPerShard), replicas)
 
   /** [[replicatedReshardAudit]] on WEIGHTED rings — the
     * capacity-planning form: the copy-migration bill of growing a

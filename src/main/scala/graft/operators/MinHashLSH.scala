@@ -510,6 +510,15 @@ object MinHashLSH {
     * same signatures by the artifact contract, hence same candidate
     * pairs, same verify arithmetic.
     *
+    * The artifact and `storeDocs` must describe the SAME store
+    * snapshot: a candidate whose doc has since been removed from
+    * `storeDocs` fails LOUDLY at execution (below) instead of
+    * silently vanishing from the verify joins, and a doc whose text
+    * changed after the artifact froze is the caller's contract
+    * violation the n_toks column cannot detect — re-extend the
+    * artifact on every absorb (the [[portableSignatureStore]]
+    * convention) and both stay impossible.
+    *
     * @param sigStore  (doc_id, m0..m7, n_toks) — the frozen artifact
     * @param storeDocs (idCol, textCol, …) — store docs, read only for
     *                  verify-candidate shingles */
@@ -528,9 +537,19 @@ object MinHashLSH {
     val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
       .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
       .distinct()
+    // artifact/store drift fails loudly: every banded candidate must
+    // resolve to a store doc (assert_true raises mid-execution on a
+    // null marker; the filter keeps the check out of column pruning)
+    val candIds = cands.select(col("s_id").as(idCol)).distinct()
+      .join(storeDocs.select(col(idCol), lit(true).as("_present")),
+        Seq(idCol), "left")
+      .filter(assert_true(col("_present"),
+        lit("crossNearDuplicatesFromStore: the signature artifact " +
+          "references a doc absent from storeDocs — artifact/store " +
+          "drift; re-extend the artifact on every absorb")).isNull)
+      .select(idCol)
     // store text is read ONLY for the candidate docs
-    val candStoreDocs = storeDocs.join(
-      cands.select(col("s_id").as(idCol)).distinct(), Seq(idCol), "semi")
+    val candStoreDocs = storeDocs.join(candIds, Seq(idCol), "semi")
     val tSc = portableToks(candStoreDocs, idCol, textCol)
     val nB = tB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     cands

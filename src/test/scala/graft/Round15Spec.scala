@@ -111,6 +111,31 @@ class Round15Spec extends SparkSpec {
     assert(t.head.getLong(9) === 2L, "two 3-shingles in a 4-word doc")
   }
 
+  test("crossNearDuplicatesFromStore: artifact/store drift fails " +
+    "LOUDLY — a banded candidate whose store doc was removed raises " +
+    "instead of silently vanishing from the verify") {
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val store = mk(Seq(1L, 2L))
+    val sigs = operators.MinHashLSH.portableSignatureStore(store,
+      "doc_id", "text")
+    val batch = mk(Seq(10L))
+    // intact store: the duplicate pair verifies
+    assert(operators.MinHashLSH.crossNearDuplicatesFromStore(sigs,
+      store, batch, "doc_id", "text").count() === 2L)
+    // doc 2 removed from the store but not the artifact -> loud
+    val ex = intercept[Exception] {
+      operators.MinHashLSH.crossNearDuplicatesFromStore(sigs,
+        store.filter(col("doc_id") === 1L), batch, "doc_id", "text")
+        .count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("artifact/store drift")),
+      s"expected the drift guard, got: $ex")
+  }
+
   test("crossNearDuplicatesFromStore == crossNearDuplicatesPortable " +
     "(bit-equal verified pairs) on the fixture split") {
     val docs = Tables.documents(spark, sf)
