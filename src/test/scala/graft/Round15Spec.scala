@@ -562,6 +562,45 @@ class Round15Spec extends SparkSpec {
       "fixture must exercise both backlog outcomes")
   }
 
+  test("property: quotaAdmitPrefix over random offers and budgets — " +
+    "admission is always a per-stratum id-prefix, admitted mass " +
+    "never exceeds the budget, cum_before is the exact exclusive " +
+    "prefix sum, and strata without a budget admit everything") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("A", "B", "C")
+        t <- Gen.choose(1L, 50L)
+      } yield (s, t))
+      budA <- Gen.choose(0L, 300L)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) =>
+      (s, i.toLong * 2 + 1, t) }, budA)
+    val prop = Prop.forAll(gen) { case (rows, budA) =>
+      val df = rows.toDF("source", "doc_id", "n_tokens")
+      val out = operators.Curation.quotaAdmitPrefix(df, "doc_id",
+          "n_tokens", "source",
+          Seq(("A", budA)).toDF("source", "budget"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      val bySrc = out.groupBy(_._1)
+      bySrc.forall { case (src, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val prefixOk = !sorted.map(_._5).sliding(2).exists(p =>
+          p.length == 2 && !p(0) && p(1))
+        val cumOk = sorted.scanLeft(0L)(_ + _._3).init
+          .zip(sorted).forall { case (c, r) => c == r._4 }
+        val budgetOk = src != "A" ||
+          rs.filter(_._5).map(_._3).sum <= budA
+        val unlimitedOk = src == "A" || rs.forall(_._5)
+        prefixOk && cumOk && budgetOk && unlimitedOk
+      } && out.length == rows.length
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"quota property: ${res.status}")
+  }
+
   test("plan shape: the round-15 corpus paths stay join-free where " +
     "they must — weighted replicated reshard is map-only + one agg; " +
     "quota admission is one window + a broadcast budget join") {
