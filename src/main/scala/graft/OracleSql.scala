@@ -10989,19 +10989,18 @@ object OracleSql {
        |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
        |  FROM cum1 c JOIN bud1 b USING (source)),
        |off2 AS (
-       |  SELECT *, offered_day * 1000000000000 + doc_id AS prio FROM (
-       |    SELECT source, doc_id, n_tokens, offered_day
-       |    FROM adm1 WHERE NOT admitted
-       |    UNION ALL
-       |    SELECT source, doc_id, CAST(len AS BIGINT),
-       |      CAST(2 AS BIGINT)
-       |    FROM fwalk)),
+       |  SELECT source, doc_id, n_tokens, offered_day
+       |  FROM adm1 WHERE NOT admitted
+       |  UNION ALL
+       |  SELECT source, doc_id, CAST(len AS BIGINT),
+       |    CAST(2 AS BIGINT)
+       |  FROM fwalk),
        |bud2 AS (
        |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
        |  FROM off2 GROUP BY 1),
        |cum2 AS (
        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
-       |    PARTITION BY source ORDER BY prio
+       |    PARTITION BY source ORDER BY offered_day, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS BIGINT) AS cb
        |  FROM off2),
@@ -11077,13 +11076,13 @@ object OracleSql {
     * under BOTH (two greedyRounds walks), classified and rolled up
     * with occurrence mass and exact token delta; the VALUES anchor
     * keeps provably-empty classes as 0-rows. */
-  private val q381 = {
+  private def tokenizerDriftSql(gyPredicate: String) = {
     val r1 = greedyRounds("g1gr", "vv1")
     val r2 = greedyRounds("g2gr", "vv2")
     s"""WITH RECURSIVE
        |ad AS MATERIALIZED (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
-       |gy AS (SELECT * FROM ad WHERE doc_id % 7 <> 3
+       |gy AS (SELECT * FROM ad WHERE $gyPredicate
        |  AND len(string_split(lower(text), ' ')) >= 40),
        |ga AS (SELECT * FROM ad
        |  WHERE len(string_split(lower(text), ' ')) >= 40),
@@ -11161,6 +11160,19 @@ object OracleSql {
        |ORDER BY a.change""".stripMargin
   }
 
+  private val q381 = tokenizerDriftSql("doc_id % 7 <> 3")
+
+  /** q389: the cold-start drift variant — yesterday's vocabulary is
+    * the BOOTSTRAP one, trained when the store held only its first
+    * gate-surviving document; the comparison corpus is the full gated
+    * fixture. Same classes and machinery as q381, but on this slice
+    * the fixture genuinely differentiates: `fewer_pieces` carries
+    * real mass (the closed-vocab fixture defeats every day-split
+    * variant — SCALE.md round 15 "fixture honesty"). */
+  private val q389 = tokenizerDriftSql(
+    """doc_id = (SELECT MIN(doc_id) FROM ad
+       |    WHERE len(string_split(lower(text), ' ')) >= 40)""".stripMargin)
+
   /** q378: the retrain trigger at the absorb boundary — the q352
     * drift readout over the REAL pipeline store: store-member vs
     * absorbed-day mean squared distance to the frozen centroids,
@@ -11201,6 +11213,363 @@ object OracleSql {
        |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
        |           FROM ed2 GROUP BY cl) d ON d.cl = b.cl
        |ORDER BY cluster_id""".stripMargin
+
+  /** q385: the RETRAIN arm executed — the absorbed store (q370's day
+    * folded in) gets fresh Lloyd centroids trained on its own member
+    * vectors (same deterministic seed: 8 lowest vec_ids, 2
+    * iterations), every member is re-assigned, the SemDeDup re-screen
+    * runs under the NEW blocking, and the per-cluster frozen-vs-
+    * retrained readout is published. Frozen-side distances reuse the
+    * chain's all-pairs CTEs (d_ylists/d_dlists, the q378 pattern). */
+  private val q385 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes("doc_id % 7 <> 3")},
+       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+          "ycarry")},
+       |rqv AS MATERIALIZED (
+       |  SELECT e.vec_id, list_transform(e.embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings e JOIN (
+       |    SELECT doc_id FROM y5 UNION ALL SELECT doc_id FROM d5) s
+       |    ON s.doc_id = e.vec_id),
+       |rc0 AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+       |    q AS c
+       |  FROM (SELECT vec_id, q FROM rqv ORDER BY vec_id LIMIT 8)),
+       |${incAssignCte("rqv", "rc0", "ra0")},
+       |${incMeanCte("ra0", "rc1")},
+       |${incAssignCte("rqv", "rc1", "ra1")},
+       |${incMeanCte("ra1", "rc2x")},
+       |${incAssignCte("rqv", "rc2x", "rlists")},
+       |${incNormCte("rqv", "rn2x")},
+       |fz AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_ylists) a
+       |  JOIN y5 ON y5.doc_id = a.vec_id WHERE a.rn = 1
+       |  UNION ALL
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_dlists) a
+       |  JOIN d5 ON d5.doc_id = a.vec_id WHERE a.rn = 1),
+       |rt AS MATERIALIZED (
+       |  SELECT vec_id, cl, d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_rlists)
+       |  WHERE rn = 1),
+       |mv AS (
+       |  SELECT f.cl, CAST(COUNT(*) AS BIGINT) AS n_re
+       |  FROM fz f JOIN rt r ON r.vec_id = f.vec_id AND r.cl <> f.cl
+       |  GROUP BY 1),
+       |rdup AS MATERIALIZED (
+       |  SELECT DISTINCT y.vec_id AS b FROM
+       |    rlists x JOIN rlists y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |    JOIN rn2x nx ON nx.vec_id = x.vec_id
+       |    JOIN rn2x ny ON ny.vec_id = y.vec_id
+       |  WHERE $incCosPred),
+       |dr AS (
+       |  SELECT r.cl, CAST(COUNT(*) AS BIGINT) AS n_drop
+       |  FROM rt r JOIN rdup d ON d.b = r.vec_id GROUP BY 1)
+       |SELECT b.cl AS cluster_id,
+       |  CAST(COALESCE(f.n, 0) AS BIGINT) AS n_frozen,
+       |  CAST(COALESCE(f.s, 0) // GREATEST(COALESCE(f.n, 0), 1)
+       |    AS BIGINT) AS mean_d2_frozen,
+       |  CAST(COALESCE(r.n, 0) AS BIGINT) AS n_retrained,
+       |  CAST(COALESCE(r.s, 0) // GREATEST(COALESCE(r.n, 0), 1)
+       |    AS BIGINT) AS mean_d2_retrained,
+       |  CAST(COALESCE(m.n_re, 0) AS BIGINT) AS n_reassigned,
+       |  CAST(COALESCE(d.n_drop, 0) AS BIGINT) AS n_dropped
+       |FROM (SELECT DISTINCT cl FROM fc2) b
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM fz GROUP BY cl) f ON f.cl = b.cl
+       |LEFT JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |           FROM rt GROUP BY cl) r ON r.cl = b.cl
+       |LEFT JOIN mv m ON m.cl = b.cl
+       |LEFT JOIN dr d ON d.cl = b.cl
+       |ORDER BY cluster_id""".stripMargin
+
+  /** q386: ring-change manifest migration — the packed sequences
+    * placed on the 16-shard ring (the q376 manifest, bit-equal on the
+    * before columns) and on the grown 20-shard ring, with both
+    * manifests' rank/offset windows and the moved/invalidated
+    * verdicts. */
+  private val q386 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${ringCtes(16)},
+       |w2n AS (
+       |  SELECT CAST(s AS BIGINT) AS shard,
+       |    'shard:' || s || ':' || v AS label
+       |  FROM generate_series(0, 19) t(s),
+       |       generate_series(0, 31) u(v)),
+       |w2f AS (
+       |  SELECT shard,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(label, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+       |  FROM w2n),
+       |w2p AS (
+       |  SELECT shard,
+       |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+       |  FROM w2f),
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq),
+       |sa AS (
+       |  SELECT sp.source, sp.seq_id, sp.n_docs, sp.n_tokens,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vb,
+       |    COALESCE((SELECT MIN(pos) FROM w2p WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM w2p)) AS va
+       |  FROM sp),
+       |sb AS (
+       |  SELECT a.source, a.seq_id, a.n_docs, a.n_tokens,
+       |    b.shard AS shard_before, w.shard AS shard_after
+       |  FROM sa a JOIN vp b ON b.pos = a.vb
+       |            JOIN w2p w ON w.pos = a.va),
+       |man AS (
+       |  SELECT source, seq_id, n_docs, n_tokens,
+       |    CAST(shard_before AS BIGINT) AS shard_before,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_before
+       |      ORDER BY source, seq_id) AS BIGINT) AS seq_rank_before,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_before
+       |      ORDER BY source, seq_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS token_offset_before,
+       |    CAST(shard_after AS BIGINT) AS shard_after,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_after
+       |      ORDER BY source, seq_id) AS BIGINT) AS seq_rank_after,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_after
+       |      ORDER BY source, seq_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS token_offset_after
+       |  FROM sb)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, n_docs,
+       |  n_tokens, shard_before, seq_rank_before, token_offset_before,
+       |  shard_after, seq_rank_after, token_offset_after,
+       |  shard_before <> shard_after AS moved,
+       |  shard_before <> shard_after
+       |    OR token_offset_before <> token_offset_after AS invalidated
+       |FROM man
+       |ORDER BY source, seq_id""".stripMargin
+
+  /** q387: the K = 3-day quota starvation ledger — three absorbing
+    * delta days (one more than q373), a FIFO (offered_day, doc_id)
+    * admission window per day at half the day's pending per-source
+    * mass, and the per-doc horizon verdict: admitted_day, wait_days,
+    * starved (re-offered and still pending), blocked (alone exceeds
+    * the final day's budget). */
+  private val q387 =
+    s"""WITH RECURSIVE
+       |${incStoreCtes(
+          "doc_id % 7 <> 1 AND doc_id % 7 <> 2 AND doc_id % 7 <> 3")},
+       |${incDeltaCtes("e", "doc_id % 7 = 1", "y5", "ymem", "yn2",
+          "ycarry")},
+       |store1 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM y5
+       |  UNION ALL SELECT doc_id, text, source FROM e5),
+       |smem1 AS (
+       |  SELECT * FROM ymem
+       |  UNION ALL
+       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
+       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
+       |ecl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ewalk)
+       |  WHERE rr = 1),
+       |carry1 AS (
+       |  SELECT source, cs, cf FROM ecl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM ycarry
+       |  WHERE source NOT IN (SELECT source FROM ecl)),
+       |${incDeltaCtes("f", "doc_id % 7 = 2", "store1", "smem1", "sn1",
+          "carry1")},
+       |store2 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM store1
+       |  UNION ALL SELECT doc_id, text, source FROM f5),
+       |smem2 AS (
+       |  SELECT * FROM smem1
+       |  UNION ALL
+       |  SELECT l.* FROM flists l JOIN f5 ON f5.doc_id = l.vec_id),
+       |sn2 AS (SELECT * FROM sn1 UNION ALL SELECT * FROM fn2),
+       |fcl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM fwalk)
+       |  WHERE rr = 1),
+       |carry2 AS (
+       |  SELECT source, cs, cf FROM fcl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM carry1
+       |  WHERE source NOT IN (SELECT source FROM fcl)),
+       |${incDeltaCtes("g", "doc_id % 7 = 3", "store2", "smem2", "sn2",
+          "carry2")},
+       |off1 AS (
+       |  SELECT source, doc_id, CAST(len AS BIGINT) AS n_tokens,
+       |    CAST(1 AS BIGINT) AS offered_day
+       |  FROM ewalk),
+       |bud1 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off1 GROUP BY 1),
+       |cum1 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY offered_day, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM off1),
+       |adm1 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum1 c JOIN bud1 b USING (source)),
+       |off2 AS (
+       |  SELECT source, doc_id, n_tokens, offered_day
+       |  FROM adm1 WHERE NOT admitted
+       |  UNION ALL
+       |  SELECT source, doc_id, CAST(len AS BIGINT),
+       |    CAST(2 AS BIGINT)
+       |  FROM fwalk),
+       |bud2 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off2 GROUP BY 1),
+       |cum2 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY offered_day, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM off2),
+       |adm2 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum2 c JOIN bud2 b USING (source)),
+       |off3 AS (
+       |  SELECT source, doc_id, n_tokens, offered_day
+       |  FROM adm2 WHERE NOT admitted
+       |  UNION ALL
+       |  SELECT source, doc_id, CAST(len AS BIGINT),
+       |    CAST(3 AS BIGINT)
+       |  FROM gwalk),
+       |bud3 AS (
+       |  SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM off3 GROUP BY 1),
+       |cum3 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY offered_day, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM off3),
+       |adm3 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum3 c JOIN bud3 b USING (source))
+       |SELECT doc_id, source, n_tokens, offered_day,
+       |  CAST(1 AS BIGINT) AS admitted_day,
+       |  CAST(1 - offered_day AS BIGINT) AS wait_days,
+       |  false AS starved, false AS blocked
+       |FROM adm1 WHERE admitted
+       |UNION ALL
+       |SELECT doc_id, source, n_tokens, offered_day,
+       |  CAST(2 AS BIGINT), CAST(2 - offered_day AS BIGINT),
+       |  false, false
+       |FROM adm2 WHERE admitted
+       |UNION ALL
+       |SELECT a.doc_id, a.source, a.n_tokens, a.offered_day,
+       |  CAST(CASE WHEN a.admitted THEN 3 ELSE -1 END AS BIGINT),
+       |  CAST(3 - a.offered_day AS BIGINT),
+       |  NOT a.admitted AND a.offered_day < 3,
+       |  NOT a.admitted AND a.n_tokens > b.budget
+       |FROM adm3 a JOIN bud3 b USING (source)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q388: epoch-order shuffle quality — q382's per-epoch orders
+    * compared per shard: the Spearman footrule Σd² and integer
+    * rho_ppm between the two epoch ranks, plus each epoch's longest
+    * same-source run (gaps-and-islands over the read order). */
+  private val q388 =
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${ringCtes(16)},
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id, CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq),
+       |sa AS (
+       |  SELECT sp.source, sp.seq_id, sp.n_tokens,
+       |    COALESCE((SELECT MIN(pos) FROM vp WHERE pos >= sp.p),
+       |             (SELECT MIN(pos) FROM vp)) AS vpos
+       |  FROM sp),
+       |sb AS (
+       |  SELECT vp.shard, a.source, a.seq_id, a.n_tokens
+       |  FROM sa a JOIN vp ON vp.pos = a.vpos),
+       |sqe AS (
+       |  SELECT s.*, CAST(t.e AS BIGINT) AS epoch
+       |  FROM sb s CROSS JOIN (VALUES (0), (1)) t(e)),
+       |eff AS (
+       |  SELECT *,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(
+       |        'epoch:' || epoch || ':' || source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS ef
+       |  FROM sqe),
+       |posd AS (
+       |  SELECT *, (ef * ef + ef * 2654435761 + 40503)
+       |    % 1000000007 AS pos
+       |  FROM eff),
+       |rk AS MATERIALIZED (
+       |  SELECT CAST(shard AS BIGINT) AS shard, epoch, source,
+       |    CAST(seq_id AS BIGINT) AS seq_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard, epoch
+       |      ORDER BY pos, source, seq_id) AS BIGINT) AS read_rank
+       |  FROM posd),
+       |ft AS (
+       |  SELECT e0.shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |    CAST(SUM((e0.read_rank - e1.read_rank)
+       |      * (e0.read_rank - e1.read_rank)) AS BIGINT) AS sum_d2
+       |  FROM rk e0 JOIN rk e1 ON e1.source = e0.source
+       |    AND e1.seq_id = e0.seq_id AND e1.epoch = 1
+       |  WHERE e0.epoch = 0 GROUP BY 1),
+       |runs AS (
+       |  SELECT shard, epoch, CAST(MAX(run_len) AS BIGINT) AS max_run
+       |  FROM (
+       |    SELECT shard, epoch, source, grp, COUNT(*) AS run_len
+       |    FROM (
+       |      SELECT shard, epoch, source,
+       |        read_rank - ROW_NUMBER() OVER (PARTITION BY shard,
+       |          epoch, source ORDER BY read_rank) AS grp
+       |      FROM rk)
+       |    GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1, 2)
+       |SELECT f.shard, f.n_seqs, f.sum_d2,
+       |  CAST(CASE WHEN f.n_seqs >= 2
+       |    THEN 1000000 - CAST(6000000 AS HUGEINT) * f.sum_d2
+       |      // (CAST(f.n_seqs AS HUGEINT)
+       |          * (f.n_seqs * f.n_seqs - 1))
+       |    ELSE -1 END AS BIGINT) AS rho_ppm,
+       |  r0.max_run AS max_run_e0, r1.max_run AS max_run_e1
+       |FROM ft f
+       |JOIN runs r0 ON r0.shard = f.shard AND r0.epoch = 0
+       |JOIN runs r1 ON r1.shard = f.shard AND r1.epoch = 1
+       |ORDER BY f.shard""".stripMargin
 
   /** q363: replication audit — per key, rank every vnode by clockwise
     * walk order from the key's position ((pos < p) sorts the
@@ -11722,6 +12091,11 @@ object OracleSql {
     "q382_epoch_order" -> q382,
     "q383_quota_admit" -> q383,
     "q384_quota_two_day" -> q384,
+    "q385_retrain_refreeze" -> q385,
+    "q386_ring_migration" -> q386,
+    "q387_quota_starvation" -> q387,
+    "q388_epoch_quality" -> q388,
+    "q389_tokenizer_drift_boot" -> q389,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

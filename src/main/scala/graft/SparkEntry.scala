@@ -4771,17 +4771,40 @@ object SparkEntry {
     * the carry advances ([[operators.Curation.packCarryMerge]]:
     * strata the day touched take its fold state, untouched strata
     * keep the old one). Centroids, vocab, and the benchmark flags
-    * stay FROZEN (retraining is an offline decision driven by the
-    * q352 drift audit, not part of the nightly). */
+    * stay FROZEN (retraining is the [[retrainPipelineStore]] arm,
+    * fired by the q378/q381 drift triggers — q385 runs it).
+    *
+    * Round-16 crash-safety pin: absorb is IDEMPOTENT (the Cdc
+    * insert-if-absent convention) — each append anti-joins the day's
+    * rows against the ids the store already holds, so a nightly that
+    * crashed after publishing and was re-run cannot double-append
+    * docs, members, or signatures (the carry merge is idempotent by
+    * construction: re-merging the same day's carry replaces each
+    * touched stratum with the identical fold state). absorb ∘ absorb
+    * == absorb is spec-pinned (Round16Spec). Scale shape: the three
+    * anti-joins are delta × store-ID joins — in production the store
+    * id sets are bucketed parquet, so only the delta side shuffles;
+    * the store corpus itself is still never reshuffled, only
+    * appended. Note the chain itself is ALSO crash-idempotent one
+    * level up: re-RUNNING [[pipelineDeltaDay]] on an absorbed day
+    * dedups everything against the store (exact_dup), so kept = ∅
+    * and absorb no-ops — the anti-joins here close the remaining
+    * window (re-absorbing a SAVED day artifact). */
   private[graft] def absorbPipelineDay(store: PipelineStore,
       day: PipelineDeltaDay): PipelineStore = {
     val cols = Seq("doc_id", "text", "source").map(col)
+    def fresh(rows: DataFrame, have: DataFrame, id: String) =
+      rows.join(have.select(id), Seq(id), "left_anti")
     store.copy(
       docs = store.docs.select(cols: _*)
-        .unionByName(day.kept.select(cols: _*)).localCheckpoint(),
-      members = store.members.unionByName(day.keptMembers)
+        .unionByName(fresh(day.kept.select(cols: _*), store.docs,
+          "doc_id")).localCheckpoint(),
+      members = store.members
+        .unionByName(fresh(day.keptMembers, store.members, "id"))
         .localCheckpoint(),
-      sigs = store.sigs.unionByName(day.keptSigs).localCheckpoint(),
+      sigs = store.sigs
+        .unionByName(fresh(day.keptSigs, store.sigs, "doc_id"))
+        .localCheckpoint(),
       carry = Curation.packCarryMerge(
         Curation.packCarry(day.packed, "doc_id", "source"),
         store.carry, "source").localCheckpoint())
@@ -5144,14 +5167,14 @@ object SparkEntry {
       "source", bud1).localCheckpoint()
     val backlog = adm1.filter(!col("admitted"))
       .select("source", "doc_id", "n_tokens", "offered_day")
-    val off2 = backlog.unionByName(offer(day2, 2L))
-      .withColumn("prio",
-        col("offered_day") * lit(1000000000000L) + col("doc_id"))
-      .localCheckpoint()
+    // FIFO priority = (offered_day, doc_id) as the admission window's
+    // own two-column sort — a packed `day * 10^12 + id` key would
+    // silently invert the order once doc_id crosses 10^12
+    val off2 = backlog.unionByName(offer(day2, 2L)).localCheckpoint()
     val bud2 = off2.groupBy("source")
       .agg(expr("sum(n_tokens) div 2L").as("budget"))
-    val adm2 = Curation.quotaAdmitPrefix(off2, "prio", "n_tokens",
-      "source", bud2)
+    val adm2 = Curation.quotaAdmitPrefix(off2,
+      Seq("offered_day", "doc_id"), "n_tokens", "source", bud2)
     adm1.filter(col("admitted"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("offered_day"), lit(1L).as("admitted_day"))
@@ -5357,6 +5380,304 @@ object SparkEntry {
           dec(coalesce(col("sum_y"), lit(0L))) *
             dec(coalesce(col("n_d"), lit(0L))) * lit(5)).as("retrain"))
       .orderBy("cluster_id")
+  }
+
+  /** Round-16: the RETRAIN arm of the nightly loop — what q378/q381
+    * only DECIDE, executed. The store is re-entered through
+    * [[buildPipelineStoreFrom]]'s training path over the GROWN curated
+    * corpus: gate/exact-dedup/near-dedup provably remove nothing on an
+    * already-curated store (every pair was compared at build or absorb
+    * time — the curation-idempotence pin, Round16Spec), so the retrain
+    * starts at Lloyd: new centroids trained on the store's own member
+    * vectors, a SemDeDup RE-SCREEN under the NEW blocking (retraining
+    * moves cluster walls, so pairs never co-blocked before are
+    * compared now — the one stage where a retrain can shrink the
+    * store), the vocabulary refrozen on the survivors, members
+    * re-assigned, signatures filtered. The pack carry is deliberately
+    * RETAINED: sequences already shipped are physical history (the
+    * q379 manifest-stability stance) — a refreeze changes how FUTURE
+    * days tokenize and pack, never the downloaded bytes. Equality
+    * with a full batch rebuild over the same corpus (docs, centroids,
+    * vocab, members, signatures) is spec-pinned. */
+  private[graft] def retrainPipelineStore(s: SparkSession,
+      store: PipelineStore): PipelineStore = {
+    val vecs = store.quant
+      .join(store.docs.select(col("doc_id").as("id")), Seq("id"))
+    val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
+      .localCheckpoint()
+    val assigned = IvfIndex.assignPortable(vecs, cents)
+      .localCheckpoint()
+    val drop = Similarity.semanticDupEdges(assigned, 3, 10)
+      .select(col("b").as("doc_id")).distinct()
+    val docs = store.docs.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val vocab = UnigramSegment.pieceVocab(docs, "text")
+      .localCheckpoint()
+    val members = assigned
+      .join(docs.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint()
+    val sigs = store.sigs.join(docs.select("doc_id"), Seq("doc_id"),
+      "semi").localCheckpoint()
+    store.copy(docs = docs, members = members, cents = cents,
+      vocab = vocab, sigs = sigs)
+  }
+
+  /** Round-16 (q385): RETRAIN vs FREEZE, measured — the absorbed
+    * store (q370's day folded in) retrained via
+    * [[retrainPipelineStore]] and compared against the frozen
+    * geometry per cluster: member count and exact integer mean
+    * squared distance under the FROZEN centroids vs under the
+    * RETRAINED ones (same member set — isolates the centroid
+    * movement), the members that change cluster, and the members the
+    * retrain's SemDeDup re-screen evicts (keyed by their retrained
+    * cluster). The readout behind the q378 trigger's price: what a
+    * refreeze actually buys in assignment tightness, and what it
+    * costs in re-curation. Scale shape: two broadcast-centroid
+    * assignments over the store members + |clusters|-row aggregates;
+    * the Lloyd retrain itself is the q351 training path (k seed
+    * vectors to the driver once, then map-side partial means). */
+  private def qRetrainRefreeze(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val day = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 3))
+    val store1 = absorbPipelineDay(store0, day)
+    val r = retrainPipelineStore(s, store1)
+    val vecs = store1.quant
+      .join(store1.docs.select(col("doc_id").as("id")), Seq("id"))
+    val fa = IvfIndex.assignPortableWithDist(vecs, store1.cents)
+      .localCheckpoint()
+    val ra = IvfIndex.assignPortableWithDist(vecs, r.cents)
+      .localCheckpoint()
+    val fAgg = fa.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_f"), sum(col("d2")).as("s_f"))
+    val rAgg = ra.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_r"), sum(col("d2")).as("s_r"))
+    val moved = fa.select(col("id"), col("cluster_id").as("fc"))
+      .join(ra.select(col("id"), col("cluster_id").as("rc")), Seq("id"))
+      .filter(col("fc") =!= col("rc"))
+      .groupBy(col("fc").as("cluster_id"))
+      .agg(count(lit(1)).as("n_re"))
+    val drops = ra.join(r.docs.select(col("doc_id").as("id")),
+        Seq("id"), "left_anti")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_drop"))
+    store1.cents.select("cluster_id")
+      .join(fAgg, Seq("cluster_id"), "left")
+      .join(rAgg, Seq("cluster_id"), "left")
+      .join(moved, Seq("cluster_id"), "left")
+      .join(drops, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_f"), lit(0L)).as("n_frozen"),
+        expr("coalesce(s_f, 0L) div greatest(coalesce(n_f, 0L), 1L)")
+          .as("mean_d2_frozen"),
+        coalesce(col("n_r"), lit(0L)).as("n_retrained"),
+        expr("coalesce(s_r, 0L) div greatest(coalesce(n_r, 0L), 1L)")
+          .as("mean_d2_retrained"),
+        coalesce(col("n_re"), lit(0L)).as("n_reassigned"),
+        coalesce(col("n_drop"), lit(0L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** Round-16 (q386): RING-CHANGE manifest migration — q379 pins the
+    * manifest under a DATA delta; this pins it under a FLEET change.
+    * The packed sequences are placed on the loader ring BEFORE
+    * (16 shards, the q376 geometry — the before-side columns are
+    * bit-equal to q376's manifest, spec-pinned) and AFTER growing to
+    * 20 shards (the q358 reshard), both in ONE map-only pass (two
+    * native ring lookups per row, no join); per sequence the manifest
+    * contract on each ring — shard, read rank, resume token offset —
+    * plus `moved` (primary changed: bytes must transfer) and
+    * `invalidated` (a loader resuming by (shard, token_offset) must
+    * re-download: it moved, or sequences leaving its shard shifted
+    * its offset). SUM(n_tokens WHERE invalidated) is the reshard's
+    * re-download bill in tokens — the number a migration planner
+    * multiplies by bytes-per-token; SCALE.md carries it. */
+  private def qRingMigration(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val seqs = st.packed.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash
+        .column(concat(col("source"), lit(":"), col("seq_id"))))
+    val both = operators.HashRing.assign(
+      operators.HashRing.assign(seqs, "k", nShards = 16,
+        vnodesPerShard = 32, shardCol = "shard_before"),
+      "k", nShards = 20, vnodesPerShard = 32, shardCol = "shard_after")
+    def manifest(shardCol: String, suffix: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(shardCol).orderBy("source", "seq_id")
+      Seq(row_number().over(w).cast("long").as(s"seq_rank_$suffix"),
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)).as(s"token_offset_$suffix"))
+    }
+    both
+      .select(Seq(col("shard_before"), col("shard_after"),
+        col("source"), col("seq_id"), col("n_docs"),
+        col("n_tokens")) ++
+        manifest("shard_before", "before") ++
+        manifest("shard_after", "after"): _*)
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      .withColumn("invalidated", col("moved") ||
+        col("token_offset_before") =!= col("token_offset_after"))
+      .select("source", "seq_id", "n_docs", "n_tokens",
+        "shard_before", "seq_rank_before", "token_offset_before",
+        "shard_after", "seq_rank_after", "token_offset_after",
+        "moved", "invalidated")
+      .orderBy("source", "seq_id")
+  }
+
+  /** Round-16 (q387): the K-DAY quota STARVATION audit — the mixing
+    * knob's failure mode, surfaced. Three delta days flow through the
+    * absorbing loop (q373's machinery, one more day); each day the
+    * pending queue (yesterday's backlog first, by the (offered_day,
+    * doc_id) FIFO window order) is admitted under HALF the day's
+    * per-source pending mass. One row per ever-offered doc:
+    * admitted_day (−1 = still backlogged at the horizon), wait_days
+    * (admission delay in days; for backlogged docs the age so far),
+    * `starved` (re-offered at least once and still pending — the
+    * unbounded-backlog signal, budget persistently below offer), and
+    * `blocked` (the doc alone exceeds its source's FINAL-day budget —
+    * it heads the queue and stalls the whole stratum behind it until
+    * budgets grow; documented at the operator,
+    * [[operators.Curation.quotaAdmitPrefix]], now measured). The
+    * K-day FIFO invariants (admitted_day non-decreasing in priority
+    * order, per-day backlog conservation) are scalacheck-pinned in
+    * Round16Spec. */
+  private def qQuotaStarvation(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val k = 3L
+    var store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 1 && col("doc_id") % 7 =!= 2
+        && col("doc_id") % 7 =!= 3), docs)
+    var backlog: DataFrame = null
+    var lastBud: DataFrame = null
+    var admitted: Seq[DataFrame] = Seq.empty
+    (1L to k).foreach { d =>
+      val day = pipelineDeltaDay(store,
+        docs.filter(col("doc_id") % 7 === d))
+      store = absorbPipelineDay(store, day)
+      val fresh = day.packed.select(col("source"), col("doc_id"),
+        col("len").as("n_tokens"), lit(d).as("offered_day"))
+      val pending = (if (backlog == null) fresh
+        else backlog.unionByName(fresh)).localCheckpoint()
+      val bud = pending.groupBy("source")
+        .agg(expr("sum(n_tokens) div 2L").as("budget"))
+      val adm = Curation.quotaAdmitPrefix(pending,
+          Seq("offered_day", "doc_id"), "n_tokens", "source", bud)
+        .localCheckpoint()
+      admitted :+= adm.filter(col("admitted"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("offered_day"), lit(d).as("admitted_day"))
+      backlog = adm.filter(!col("admitted"))
+        .select("source", "doc_id", "n_tokens", "offered_day")
+      if (d == k) lastBud = bud
+    }
+    val admAll = admitted.reduce(_ unionByName _)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("offered_day"), col("admitted_day"),
+        (col("admitted_day") - col("offered_day")).as("wait_days"),
+        lit(false).as("starved"), lit(false).as("blocked"))
+    val rest = backlog
+      .join(broadcast(lastBud), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("offered_day"), lit(-1L).as("admitted_day"),
+        (lit(k) - col("offered_day")).as("wait_days"),
+        (col("offered_day") < k).as("starved"),
+        (col("n_tokens") > coalesce(col("budget"),
+          lit(Long.MaxValue))).as("blocked"))
+    admAll.unionByName(rest).orderBy("doc_id")
+  }
+
+  /** Round-16 (q388): epoch-order shuffle QUALITY — q382's seeded
+    * per-epoch orders are deterministic by construction; this
+    * measures whether they actually LOOK shuffled. Per shard:
+    * the Spearman footrule machinery between the two epoch orders —
+    * Σd² of each sequence's (rank₀ − rank₁) and the integer rho in
+    * ppm (1e6 − 6e6·Σd² / n(n²−1); ≈0 for independent orders, 1e6 for
+    * identical — identical orders across epochs would mean the seed
+    * does nothing) — and the longest same-SOURCE run in each epoch's
+    * read order (source-mix clumping: a run of length ≫ 1 means a
+    * shard window trains on one source for many consecutive steps).
+    * All windows run over |sequences|-row summaries per shard
+    * (corpus-size independent, the q376 stance); the rollup is
+    * |shards| rows. */
+  private def qEpochQuality(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val assigned = assignSeqRing(st.packed.groupBy("source", "seq_id")
+        .agg(sum(col("len")).as("n_tokens")))
+      .withColumn("epoch", explode(typedLit(Seq(0L, 1L))))
+      .withColumn("ef", org.apache.spark.sql.graft.CharFoldHash.column(
+        concat(lit("epoch:"), col("epoch"), lit(":"), col("source"),
+          lit(":"), col("seq_id"))))
+      .withColumn("pos", operators.HashRing.mixColumn(col("ef")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "epoch")
+      .orderBy("pos", "source", "seq_id")
+    val ranked = assigned
+      .withColumn("read_rank", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    // cross-epoch footrule: one |sequences|-row self-join on the
+    // sequence identity (its shard is epoch-independent)
+    val e0 = ranked.filter(col("epoch") === 0L)
+      .select(col("shard"), col("source"), col("seq_id"),
+        col("read_rank").as("r0"))
+    val e1 = ranked.filter(col("epoch") === 1L)
+      .select(col("source"), col("seq_id"), col("read_rank").as("r1"))
+    val foot = e0.join(e1, Seq("source", "seq_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum((col("r0") - col("r1")) * (col("r0") - col("r1")))
+          .as("sum_d2"))
+      .select(col("shard"), col("n_seqs"), col("sum_d2"),
+        // decimal(38,0) keeps 6e6·Σd² exact (Σd² ≤ n³ overflows the
+        // 6e6-scaled long already at n ≈ 115k sequences per shard;
+        // ANSI mode would throw) — div on decimals is Spark's
+        // IntegralDivide, bit-equal to the oracle's HUGEINT //
+        when(col("n_seqs") >= 2, expr(
+          """CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) * sum_d2
+            |  DIV (CAST(n_seqs AS DECIMAL(38,0))
+            |    * (n_seqs * n_seqs - 1)) AS BIGINT)""".stripMargin))
+          .otherwise(lit(-1L)).as("rho_ppm"))
+    // longest same-source run per (shard, epoch): gaps-and-islands
+    // over the rank order — rank − per-source rank is constant within
+    // a consecutive same-source run
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "epoch", "source").orderBy("read_rank")
+    val runs = ranked
+      .withColumn("grp",
+        col("read_rank") - row_number().over(wSrc).cast("long"))
+      .groupBy("shard", "epoch", "source", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("shard", "epoch").agg(max(col("run_len")).as("max_run"))
+    val run0 = runs.filter(col("epoch") === 0L)
+      .select(col("shard"), col("max_run").as("max_run_e0"))
+    val run1 = runs.filter(col("epoch") === 1L)
+      .select(col("shard"), col("max_run").as("max_run_e1"))
+    foot.join(run0, Seq("shard")).join(run1, Seq("shard"))
+      .select("shard", "n_seqs", "sum_d2", "rho_ppm",
+        "max_run_e0", "max_run_e1")
+      .orderBy("shard")
+  }
+
+  /** Round-16 (q389): the DE-DEGENERATED tokenizer-drift readout —
+    * q381's registered output is all-`unchanged` because the fixture
+    * corpus has a CLOSED vocabulary across every day split (probed at
+    * thresholds 2..200, SCALE.md round 15 "fixture honesty"); the one
+    * slice the fixture genuinely differentiates is the COLD-START
+    * boundary: the vocabulary frozen at bootstrap, when the store
+    * held its FIRST document, vs retrained on the full grown corpus.
+    * Same audit, same classes, same oracle machinery as q381 — but
+    * two classes carry real mass here (`fewer_pieces` picks up the
+    * words the bootstrap vocab could only span char-by-char), so the
+    * oracle checks a non-trivial class split end to end. q381 stays
+    * registered as the production-shaped day-boundary audit. */
+  private def qTokenizerDriftBoot(s: SparkSession,
+      dir: String): DataFrame = {
+    val gated = pipelineGate(pipelineDocs(s, dir))
+    val boot = gated
+      .join(gated.agg(min(col("doc_id")).as("doc_id")), Seq("doc_id"))
+    tokenizerDriftFrom(s, boot, gated)
   }
 
   /** Round-15: SEGMENTED CONTINUED packing as a registered query —
@@ -6502,7 +6823,12 @@ object SparkEntry {
       "q381_tokenizer_drift" -> (qTokenizerDrift _),
       "q382_epoch_order" -> (qEpochOrder _),
       "q383_quota_admit" -> (qQuotaAdmit _),
-      "q384_quota_two_day" -> (qQuotaTwoDay _))
+      "q384_quota_two_day" -> (qQuotaTwoDay _),
+      "q385_retrain_refreeze" -> (qRetrainRefreeze _),
+      "q386_ring_migration" -> (qRingMigration _),
+      "q387_quota_starvation" -> (qQuotaStarvation _),
+      "q388_epoch_quality" -> (qEpochQuality _),
+      "q389_tokenizer_drift_boot" -> (qTokenizerDriftBoot _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6634,7 +6960,10 @@ object SparkEntry {
     "q377_pack_seg_continued", "q378_absorb_drift",
     "q379_manifest_delta", "q380_serving_refresh",
     "q381_tokenizer_drift", "q382_epoch_order",
-    "q383_quota_admit", "q384_quota_two_day")
+    "q383_quota_admit", "q384_quota_two_day",
+    "q385_retrain_refreeze", "q386_ring_migration",
+    "q387_quota_starvation", "q388_epoch_quality",
+    "q389_tokenizer_drift_boot")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

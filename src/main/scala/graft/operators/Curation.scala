@@ -1163,6 +1163,14 @@ object Curation {
       segmentRows: Long, carry: DataFrame): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(segmentRows >= 1, s"segmentRows must be >= 1, got $segmentRows")
+    // this IS the escape hatch packSequencesContinued's over-bound
+    // error directs callers to — but each SEGMENT still goes through
+    // the same per-group collect_list/packFold, so the bounded-fold
+    // contract must hold per segment or the guard it exists to
+    // provide is silently lost (round-16 advice item).
+    require(segmentRows <= MaxStratumRows,
+      s"segmentRows ($segmentRows) must be <= MaxStratumRows " +
+        s"($MaxStratumRows): each segment is folded on one task")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(strataCol).cast("string").as("s"),
@@ -1226,21 +1234,44 @@ object Curation {
     * silently skipping. `budgets`: (strataCol, budget), missing
     * strata = unlimited. Adds cum_before and admitted. */
   def quotaAdmitPrefix(docs: DataFrame, idCol: String, tokCol: String,
-      strataCol: String, budgets: DataFrame): DataFrame = {
+      strataCol: String, budgets: DataFrame): DataFrame =
+    quotaAdmitPrefix(docs, Seq(idCol), tokCol, strataCol, budgets)
+
+  /** Multi-column FIFO order — the two-day ledger's (offered_day,
+    * doc_id) priority expressed as the window's own sort instead of a
+    * packed arithmetic key (a `day * 10^12 + id` encoding silently
+    * inverts once ids cross 10^12; ordering by the columns directly
+    * has no such cliff — round-16 advice item). */
+  def quotaAdmitPrefix(docs: DataFrame, orderCols: Seq[String],
+      tokCol: String, strataCol: String,
+      budgets: DataFrame): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name >= 1 column")
+    // the two output columns and the internal budget alias are
+    // reserved: a caller frame already carrying one would be silently
+    // shadowed (or make the budget join ambiguous) — fail loudly
+    require(Seq("cum_before", "admitted", "_quota_budget")
+        .forall(r => !docs.columns.contains(r)),
+      "docs must not already carry cum_before/admitted/_quota_budget")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(idCol)
+      .partitionBy(strataCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
     docs
       .withColumn("cum_before",
         coalesce(sum(col(tokCol)).over(w), lit(0L)))
       .join(broadcast(budgets.select(col(strataCol),
-        col("budget").cast("long").as("budget"))), Seq(strataCol),
-        "left")
+        col("budget").cast("long").as("_quota_budget"))),
+        Seq(strataCol), "left")
+      // missing stratum = unlimited (admit), and the finite check is
+      // rearranged so cum_before + tok never evaluates: under ANSI
+      // mode a near-Long.MaxValue budget (or the old MaxValue
+      // sentinel) would overflow-throw on the addition; tok <= budget
+      // guarantees budget - tok is non-negative and exact
       .withColumn("admitted",
-        col("cum_before") + col(tokCol) <=
-          coalesce(col("budget"), lit(Long.MaxValue)))
-      .drop("budget")
+        col("_quota_budget").isNull ||
+          (col(tokCol) <= col("_quota_budget") &&
+            col("cum_before") <= col("_quota_budget") - col(tokCol)))
+      .drop("_quota_budget")
   }
 
   /** Carry reconciliation across refresh days: strata touched by the
