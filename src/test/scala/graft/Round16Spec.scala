@@ -1,0 +1,358 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round 16: the retrain arm (retrained == batch-built), absorb
+  * idempotence (the crash-safety pin), the K-day quota FIFO
+  * invariants, ring-migration conservation vs the q376 manifest, the
+  * epoch-quality stats, and the round's guard fixes. */
+class Round16Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cs = df.columns.sorted
+    df.select(cs.head, cs.tail: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def storeFields(st: SparkEntry.PipelineStore) = Seq(
+    "docs" -> st.docs, "members" -> st.members, "cents" -> st.cents,
+    "vocab" -> st.vocab, "sigs" -> st.sigs, "carry" -> st.carry)
+
+  private def assertStoreEqual(a: SparkEntry.PipelineStore,
+      b: SparkEntry.PipelineStore, skip: Set[String] = Set.empty): Unit =
+    storeFields(a).zip(storeFields(b)).foreach {
+      case ((n, fa), (_, fb)) if !skip.contains(n) =>
+        assert(rows(fa) === rows(fb), s"store field $n diverges")
+      case _ => ()
+    }
+
+  // --- absorb idempotence (the crash-safety pin) ------------------------
+
+  test("absorb is idempotent: re-absorbing the same saved day is a " +
+    "no-op on every artifact, and a PARTIAL crash (some artifacts " +
+    "written, some not) heals to the same store on retry") {
+    val (docRows, vecRows) = PipelineFixtures.cleanFamilyCorpus(1601)
+    val docsDf = docRows.toDF("doc_id", "text", "source")
+      .localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    val store0 = SparkEntry.buildPipelineStoreFrom(spark,
+      docsDf.filter(col("doc_id") % 3 =!= 0), docsDf, quant)
+    val day = SparkEntry.pipelineDeltaDay(store0,
+      docsDf.filter(col("doc_id") % 3 === 0))
+    assert(day.kept.count() > 0, "fixture must absorb something")
+    val store1 = SparkEntry.absorbPipelineDay(store0, day)
+    // full double-absorb: bit-equal store
+    assertStoreEqual(SparkEntry.absorbPipelineDay(store1, day), store1)
+    // partial crash: docs + members landed, sigs did not — the retry
+    // must append ONLY the missing artifact's rows
+    val partial = store1.copy(sigs = store0.sigs)
+    assertStoreEqual(SparkEntry.absorbPipelineDay(partial, day), store1)
+  }
+
+  test("chain-level crash idempotence: re-RUNNING the delta chain on " +
+    "an already-absorbed day dedups everything against the store " +
+    "(no doc survives) and the follow-up absorb is a no-op") {
+    val (docRows, vecRows) = PipelineFixtures.cleanFamilyCorpus(1602)
+    val docsDf = docRows.toDF("doc_id", "text", "source")
+      .localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    val store0 = SparkEntry.buildPipelineStoreFrom(spark,
+      docsDf.filter(col("doc_id") % 3 =!= 0), docsDf, quant)
+    val dayDocs = docsDf.filter(col("doc_id") % 3 === 0)
+    val day = SparkEntry.pipelineDeltaDay(store0, dayDocs)
+    val store1 = SparkEntry.absorbPipelineDay(store0, day)
+    val rerun = SparkEntry.pipelineDeltaDay(store1, dayDocs)
+    assert(rerun.kept.count() === 0L,
+      "every re-run doc must dedup against the absorbed store")
+    // every doc the first run KEPT (now absorbed) is caught as an
+    // exact dup of the store; first-run REJECTS re-reject (their
+    // dup partners or flags are unchanged — dispositions may differ
+    // in detail, e.g. a near-dup partner absorbed meanwhile)
+    val rerunDisp = rerun.ledger
+      .select("doc_id", "disposition").as[(Long, String)]
+      .collect().toMap
+    day.kept.select("doc_id").as[Long].collect().foreach { id =>
+      assert(rerunDisp(id) === "exact_dup",
+        s"absorbed doc $id must re-run as exact_dup: ${rerunDisp(id)}")
+    }
+    assert(!rerunDisp.values.exists(_ == "kept"))
+    assertStoreEqual(SparkEntry.absorbPipelineDay(store1, rerun), store1)
+  }
+
+  // --- the retrain arm (q385) -------------------------------------------
+
+  test("retrained == batch-built over the same corpus: " +
+    "retrainPipelineStore equals buildPipelineStoreFrom re-run on the " +
+    "grown store's curated docs, field by field (carry excluded by " +
+    "design: shipped sequences are physical history)") {
+    val (docRows, vecRows) = PipelineFixtures.cleanFamilyCorpus(1603)
+    val docsDf = docRows.toDF("doc_id", "text", "source")
+      .localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    val store0 = SparkEntry.buildPipelineStoreFrom(spark,
+      docsDf.filter(col("doc_id") % 3 =!= 0), docsDf, quant)
+    val day = SparkEntry.pipelineDeltaDay(store0,
+      docsDf.filter(col("doc_id") % 3 === 0))
+    val store1 = SparkEntry.absorbPipelineDay(store0, day)
+    val retrained = SparkEntry.retrainPipelineStore(spark, store1)
+    val batch = SparkEntry.buildPipelineStoreFrom(spark, store1.docs,
+      docsDf, quant)
+    assertStoreEqual(retrained, batch, skip = Set("carry"))
+    // and curation is idempotent on a curated corpus: the batch
+    // re-run's training base is the store itself (centroids trained
+    // on exactly the store's member vectors), so gate/exact/near
+    // removed nothing
+    val direct = operators.IvfIndex.trainPortable(spark,
+      quant.join(store1.docs.select(col("doc_id").as("id")), Seq("id")),
+      k = 8, iters = 2)
+    assert(rows(retrained.cents) === rows(direct),
+      "retrain centroids == Lloyd directly on the store members")
+    // the retained carry really is the absorbed one
+    assert(rows(retrained.carry) === rows(store1.carry))
+  }
+
+  test("q385 on the fixture: frozen and retrained sides cover the " +
+    "same member set, reassignments and drops are bounded by their " +
+    "cluster sizes, and the fixture actually reassigns and drops") {
+    val out = SparkEntry.queries("q385_retrain_refreeze")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.map(_._1).toSeq === (0L to 7L), "all 8 clusters anchored")
+    assert(out.map(_._2).sum === out.map(_._4).sum,
+      "frozen and retrained assignments cover the same members")
+    out.foreach { r =>
+      assert(r._6 <= r._2, s"cluster ${r._1}: more reassigned than held")
+      assert(r._7 <= r._4, s"cluster ${r._1}: more dropped than assigned")
+    }
+    assert(out.map(_._6).sum > 0, "fixture must actually reassign")
+    assert(out.map(_._7).sum > 0,
+      "fixture must exercise the SemDeDup re-screen")
+  }
+
+  // --- ring migration (q386) vs the q376 manifest ------------------------
+
+  test("q386 conservation: the before-side columns are exactly the " +
+    "q376 loader manifest; after-side ranks are dense per shard; " +
+    "moved implies invalidated; equal offsets on an unmoved sequence " +
+    "imply NOT invalidated") {
+    val mig = SparkEntry.queries("q386_ring_migration")(spark, sf)
+      .collect()
+    val man = SparkEntry.queries("q376_loader_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(0),
+        r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).sorted
+    val before = mig.map(r => (r.getString(0), r.getLong(1),
+        r.getLong(4), r.getLong(5), r.getLong(2), r.getLong(3),
+        r.getLong(6))).sorted
+    assert(before.toSeq === man.toSeq,
+      "before-side manifest must be bit-equal to q376")
+    mig.groupBy(_.getLong(7)).foreach { case (shard, rs) =>
+      assert(rs.map(_.getLong(8)).sorted.toSeq ===
+        (1L to rs.length.toLong).toSeq,
+        s"after-ranks dense on shard $shard")
+    }
+    mig.foreach { r =>
+      val (moved, inval) = (r.getBoolean(10), r.getBoolean(11))
+      val offEq = r.getLong(6) == r.getLong(9)
+      assert(!moved || inval, "moved implies invalidated")
+      assert(moved || !offEq || !inval,
+        "unmoved + equal offset must stay valid")
+      assert(moved || offEq || inval,
+        "a shifted offset invalidates the resume point")
+    }
+    assert(mig.exists(_.getBoolean(10)) &&
+      mig.exists(r => !r.getBoolean(11)),
+      "fixture must show both moved and still-valid sequences")
+  }
+
+  // --- K-day quota FIFO invariants (q387 property) -----------------------
+
+  test("property: the K-day quota fold over random offers/budgets — " +
+    "admitted_day is non-decreasing in (offered_day, id) priority " +
+    "order per source, each day's admission is a prefix of its " +
+    "pending queue, admitted mass respects each day's budget, and " +
+    "offered docs are conserved (admitted once XOR final backlog)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 3
+    val gen = for {
+      perDay <- Gen.listOfN(k, Gen.choose(0, 8))
+      toks <- Gen.listOfN(perDay.sum, Gen.choose(1L, 40L))
+      srcs <- Gen.listOfN(perDay.sum, Gen.oneOf("A", "B"))
+      budFrac <- Gen.choose(1L, 4L)
+    } yield (perDay, toks, srcs, budFrac)
+    val prop = Prop.forAll(gen) { case (perDay, toks, srcs, budFrac) =>
+      // day d offers its slice with ids interleaved across days (the
+      // %7-style split: arrival day is NOT id order)
+      val all = toks.zip(srcs).zipWithIndex.map { case ((t, s), i) =>
+        (s, i.toLong * 3 + 1, t) }
+      val slices = perDay.zipWithIndex.flatMap { case (n, d) =>
+        val start = perDay.take(d).sum
+        all.slice(start, start + n).map { case (s, id, t) =>
+          (s, id, t, d.toLong + 1) }
+      }
+      var backlog = Seq.empty[(String, Long, Long, Long)]
+      var admitted = Seq.empty[(String, Long, Long, Long, Long)]
+      var budgetOk = true
+      (1 to k).foreach { d =>
+        val pending = backlog ++ slices.filter(_._4 == d.toLong)
+        val df = pending.toDF("source", "doc_id", "n_tokens",
+          "offered_day")
+        val bud = pending.groupBy(_._1).map { case (s, rs) =>
+          (s, rs.map(_._3).sum / budFrac) }.toSeq
+          .toDF("source", "budget")
+        val adm = operators.Curation.quotaAdmitPrefix(df,
+            Seq("offered_day", "doc_id"), "n_tokens", "source", bud)
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getBoolean(5)))
+        val admDay = adm.filter(_._5)
+        budgetOk &&= admDay.groupBy(_._1).forall { case (s, rs) =>
+          rs.map(_._3).sum <= pending.filter(_._1 == s).map(_._3)
+            .sum / budFrac }
+        // prefix: in (offered_day, id) order per source, no admit
+        // after a reject
+        val prefixOk = adm.groupBy(_._1).forall { case (_, rs) =>
+          !rs.sortBy(r => (r._4, r._2)).map(_._5).sliding(2)
+            .exists(p => p.length == 2 && !p(0) && p(1)) }
+        budgetOk &&= prefixOk
+        admitted ++= admDay.map(r => (r._1, r._2, r._3, r._4,
+          d.toLong))
+        backlog = adm.filterNot(_._5).map(r => (r._1, r._2, r._3,
+          r._4))
+      }
+      val conserved = admitted.map(_._2).toSet.size == admitted.size &&
+        (admitted.map(_._2).toSet ++ backlog.map(_._2)).size ==
+          slices.size &&
+        admitted.size + backlog.size == slices.size
+      // FIFO across days: per source, order by (offered_day, id);
+      // admitted_day (backlog -> infinity) must be non-decreasing
+      val byDoc = admitted.map(r => r._2 -> r._5).toMap
+      val fifoOk = slices.groupBy(_._1).forall { case (_, rs) =>
+        val seq = rs.sortBy(r => (r._4, r._2))
+          .map(r => byDoc.getOrElse(r._2, Long.MaxValue))
+        seq.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      }
+      budgetOk && conserved && fifoOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"K-day quota property: ${res.status}")
+  }
+
+  test("q387 on the fixture: flags are consistent (starved/blocked " +
+    "only on unadmitted rows, wait_days = admitted_day - offered_day " +
+    "for admitted rows and horizon age otherwise), and the horizon " +
+    "actually leaves a backlog") {
+    val out = SparkEntry.queries("q387_quota_starvation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7)))
+    out.foreach { r =>
+      if (r._5 >= 0) {
+        assert(r._6 === r._5 - r._4, s"wait mismatch on ${r._1}")
+        assert(!r._7 && !r._8, s"flags on an admitted doc ${r._1}")
+      } else {
+        assert(r._6 === 3L - r._4, s"age mismatch on ${r._1}")
+        assert(r._7 === (r._4 < 3L), s"starved flag on ${r._1}")
+      }
+    }
+    assert(out.exists(_._5 == -1L), "horizon must leave a backlog")
+    assert(out.exists(r => r._5 > r._4),
+      "some doc must be admitted from the backlog (wait >= 1)")
+  }
+
+  // --- epoch quality (q388) ----------------------------------------------
+
+  test("q388: n_seqs reconciles with the q376 manifest per shard, " +
+    "sum_d2 is even and bounded by the reversed-order maximum, " +
+    "rho_ppm is in [-1e6, 1e6] and never exactly 1e6 (the seeded " +
+    "epoch shuffles must differ), runs are within [1, n_seqs]") {
+    val out = SparkEntry.queries("q388_epoch_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val manN = SparkEntry.queries("q376_loader_manifest")(spark, sf)
+      .collect().groupBy(_.getLong(0)).map { case (s, rs) =>
+        s -> rs.length.toLong }
+    assert(out.map(_._1).toSet === manN.keySet.filter(manN(_) > 0),
+      "every loaded shard audited")
+    out.foreach { r =>
+      assert(r._2 === manN(r._1), s"shard ${r._1} seq count")
+      val n = r._2
+      assert(r._3 % 2 === 0L, "footrule sum of (r0-r1)^2 is even")
+      assert(r._3 <= n * (n * n - 1L) / 3L,
+        s"sum_d2 exceeds the reversal bound on shard ${r._1}")
+      if (n >= 2) {
+        assert(r._4 <= 1000000L && r._4 >= -1000000L,
+          s"rho out of range on shard ${r._1}")
+        assert((r._4 == 1000000L) === (r._3 == 0L),
+          s"rho = 1e6 iff the epoch orders coincide on shard ${r._1}")
+      } else assert(r._4 === -1L)
+      assert(r._5 >= 1L && r._5 <= n && r._6 >= 1L && r._6 <= n)
+    }
+    assert(out.exists(r => r._2 >= 2 && r._4 != 1000000L),
+      "the seeded shuffles must actually differ somewhere")
+  }
+
+  // --- tokenizer drift de-degeneration (q389) ----------------------------
+
+  test("q389: the bootstrap-vocab slice genuinely differentiates — at " +
+    "least two change classes carry non-zero occurrence mass, " +
+    "fewer_pieces saves tokens (negative delta), and the monotone " +
+    "classes stay provably empty") {
+    val out = SparkEntry.queries("q389_tokenizer_drift_boot")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).map(r => r._1 -> r).toMap
+    assert(out.values.count(_._3 > 0) >= 2,
+      "at least two classes must carry mass")
+    assert(out("fewer_pieces")._3 > 0, "fewer_pieces must carry mass")
+    assert(out("fewer_pieces")._4 < 0,
+      "union retraining must save tokens")
+    assert(out("more_pieces")._2 === 0L &&
+      out("newly_unspannable")._2 === 0L,
+      "count-monotone vocab: growing the corpus cannot lose pieces")
+  }
+
+  // --- round-16 guard fixes ----------------------------------------------
+
+  test("quotaAdmitPrefix rejects reserved output columns and the " +
+    "segmented-continued pack rejects an over-bound segmentRows") {
+    val bad = Seq(("A", 1L, 2L, 3L))
+      .toDF("source", "doc_id", "n_tokens", "cum_before")
+    val budgets = Seq(("A", 10L)).toDF("source", "budget")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Curation.quotaAdmitPrefix(bad, "doc_id", "n_tokens",
+        "source", budgets)
+    }
+    assert(e1.getMessage.contains("cum_before"))
+    val docs = Seq(("A", 1L, 2L)).toDF("source", "doc_id", "n_chars")
+    val carry = Seq.empty[(String, Long, Long)]
+      .toDF("source", "carry_seq", "carry_fill")
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Curation.packSequencesSegmentedContinued(docs,
+        "doc_id", "n_chars", "source", capacity = 10L,
+        segmentRows = operators.Curation.MaxStratumRows + 1, carry)
+    }
+    assert(e2.getMessage.contains("MaxStratumRows"))
+  }
+
+  test("quotaAdmitPrefix: a budget at Long.MaxValue admits without " +
+    "overflow (the ANSI-mode addition the old predicate would throw " +
+    "on), and a doc above the budget is rejected without underflow") {
+    val docs = Seq(("A", 1L, Long.MaxValue - 1), ("A", 2L, 1L),
+      ("A", 4L, 1L), ("B", 3L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val budgets = Seq(("A", Long.MaxValue), ("B", 7L))
+      .toDF("source", "budget")
+    val out = operators.Curation.quotaAdmitPrefix(docs, "doc_id",
+        "n_tokens", "source", budgets)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(out(1L), "huge doc fits the huge budget")
+    assert(out(2L), "cum_before + tok == Long.MaxValue exactly fits " +
+      "(the old predicate's overflow point)")
+    assert(!out(4L), "one past the budget is rejected, not thrown")
+    assert(!out(3L), "a doc above its budget is rejected")
+  }
+}
