@@ -11221,9 +11221,13 @@ object OracleSql {
     * runs under the NEW blocking, and the per-cluster frozen-vs-
     * retrained readout is published. Frozen-side distances reuse the
     * chain's all-pairs CTEs (d_ylists/d_dlists, the q378 pattern). */
-  private val q385 =
-    s"""WITH RECURSIVE
-       |${incStoreCtes("doc_id % 7 <> 3")},
+  /** Shared q385/q390 retrain chain: the q370 store + delta, the
+    * grown store's member vectors (rqv), a fresh 2-iteration Lloyd
+    * (rc0 → rc2x) with the same deterministic seed, the re-assignment
+    * (rlists, with d_rlists carrying per-pair distances), norms, and
+    * the SemDeDup re-screen drops under the new blocking (rdup). */
+  private def retrainChainCtes: String =
+    s"""${incStoreCtes("doc_id % 7 <> 3")},
        |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
           "ycarry")},
        |rqv AS MATERIALIZED (
@@ -11242,6 +11246,16 @@ object OracleSql {
        |${incMeanCte("ra1", "rc2x")},
        |${incAssignCte("rqv", "rc2x", "rlists")},
        |${incNormCte("rqv", "rn2x")},
+       |rdup AS MATERIALIZED (
+       |  SELECT DISTINCT y.vec_id AS b FROM
+       |    rlists x JOIN rlists y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |    JOIN rn2x nx ON nx.vec_id = x.vec_id
+       |    JOIN rn2x ny ON ny.vec_id = y.vec_id
+       |  WHERE $incCosPred)""".stripMargin
+
+  private val q385 =
+    s"""WITH RECURSIVE
+       |$retrainChainCtes,
        |fz AS MATERIALIZED (
        |  SELECT a.vec_id, a.cl, a.d2 FROM (
        |    SELECT vec_id, cl, d2,
@@ -11264,12 +11278,6 @@ object OracleSql {
        |  SELECT f.cl, CAST(COUNT(*) AS BIGINT) AS n_re
        |  FROM fz f JOIN rt r ON r.vec_id = f.vec_id AND r.cl <> f.cl
        |  GROUP BY 1),
-       |rdup AS MATERIALIZED (
-       |  SELECT DISTINCT y.vec_id AS b FROM
-       |    rlists x JOIN rlists y ON x.cl = y.cl AND x.vec_id < y.vec_id
-       |    JOIN rn2x nx ON nx.vec_id = x.vec_id
-       |    JOIN rn2x ny ON ny.vec_id = y.vec_id
-       |  WHERE $incCosPred),
        |dr AS (
        |  SELECT r.cl, CAST(COUNT(*) AS BIGINT) AS n_drop
        |  FROM rt r JOIN rdup d ON d.b = r.vec_id GROUP BY 1)
@@ -11290,6 +11298,93 @@ object OracleSql {
        |LEFT JOIN mv m ON m.cl = b.cl
        |LEFT JOIN dr d ON d.cl = b.cl
        |ORDER BY cluster_id""".stripMargin
+
+  /** q390: serving drift under a retrain — the q380 IVF top-5 search
+    * replayed twice over the absorbed store: frozen lists (ylists ⋈
+    * y5 ∪ dlists ⋈ d5) under fc2 vs retrained, re-screened lists
+    * (rlists minus rdup) under rc2x; per probe the top-5 overlap and
+    * both top-1 ids. */
+  private val q390 =
+    s"""WITH RECURSIVE
+       |$retrainChainCtes,
+       |aqv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |lf AS MATERIALIZED (
+       |  SELECT l.vec_id, l.q, l.cl FROM ylists l
+       |  JOIN y5 ON y5.doc_id = l.vec_id
+       |  UNION ALL
+       |  SELECT l.vec_id, l.q, l.cl FROM dlists l
+       |  JOIN d5 ON d5.doc_id = l.vec_id),
+       |lr AS MATERIALIZED (
+       |  SELECT vec_id, q, cl FROM rlists
+       |  WHERE vec_id NOT IN (SELECT b FROM rdup)),
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id AS qid, q AS qq FROM aqv WHERE vec_id % 20 = 0),
+       |pdf AS (
+       |  SELECT p.qid, p.qq, c.cl,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> (p.qq[i] - c.c[i]) * (p.qq[i] - c.c[i])), 'sum')
+       |      AS BIGINT) AS d2
+       |  FROM prb p CROSS JOIN fc2 c),
+       |pf AS (
+       |  SELECT qid, qq, cl FROM (
+       |    SELECT qid, qq, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+       |    FROM pdf)
+       |  WHERE rn <= 2),
+       |pdr AS (
+       |  SELECT p.qid, p.qq, c.cl,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> (p.qq[i] - c.c[i]) * (p.qq[i] - c.c[i])), 'sum')
+       |      AS BIGINT) AS d2
+       |  FROM prb p CROSS JOIN rc2x c),
+       |pr AS (
+       |  SELECT qid, qq, cl FROM (
+       |    SELECT qid, qq, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+       |    FROM pdr)
+       |  WHERE rn <= 2),
+       |scf AS (
+       |  SELECT p.qid, l.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> p.qq[i] * l.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM pf p JOIN lf l ON p.cl = l.cl AND l.vec_id <> p.qid),
+       |t5f AS MATERIALIZED (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY idot DESC, cid ASC) AS rn
+       |    FROM scf)
+       |  WHERE rn <= 5),
+       |scr AS (
+       |  SELECT p.qid, l.vec_id AS cid,
+       |    CAST(list_aggregate(list_transform(range(1, ${IncDims + 1}),
+       |      i -> p.qq[i] * l.q[i]), 'sum') AS BIGINT) AS idot
+       |  FROM pr p JOIN lr l ON p.cl = l.cl AND l.vec_id <> p.qid),
+       |t5r AS MATERIALIZED (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY idot DESC, cid ASC) AS rn
+       |    FROM scr)
+       |  WHERE rn <= 5),
+       |ov AS (
+       |  SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM t5f f JOIN t5r r ON r.qid = f.qid AND r.cid = f.cid
+       |  GROUP BY 1)
+       |SELECT p.qid AS query_id,
+       |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(f1.cid, -1) AS BIGINT) AS top1_frozen,
+       |  CAST(COALESCE(r1.cid, -1) AS BIGINT) AS top1_retrained,
+       |  COALESCE(f1.cid = r1.cid, false) AS top1_same
+       |FROM prb p
+       |LEFT JOIN ov o ON o.qid = p.qid
+       |LEFT JOIN t5f f1 ON f1.qid = p.qid AND f1.rn = 1
+       |LEFT JOIN t5r r1 ON r1.qid = p.qid AND r1.rn = 1
+       |ORDER BY query_id""".stripMargin
 
   /** q386: ring-change manifest migration — the packed sequences
     * placed on the 16-shard ring (the q376 manifest, bit-equal on the
@@ -12096,6 +12191,7 @@ object OracleSql {
     "q387_quota_starvation" -> q387,
     "q388_epoch_quality" -> q388,
     "q389_tokenizer_drift_boot" -> q389,
+    "q390_retrain_serving" -> q390,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

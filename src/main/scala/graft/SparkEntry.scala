@@ -5479,6 +5479,77 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** Round-16 (q390): what a RETRAIN does to SERVING — the q380
+    * search replayed under both geometries. The same eval-set probes
+    * (every 20th vector, the q176 convention) run IVF top-5 at
+    * nProbe = 2 twice: against the absorbed store's members under the
+    * FROZEN centroids, and against the retrained store's re-assigned
+    * (and re-screened) members under the RETRAINED ones. Per probe:
+    * the top-5 overlap count and both top-1 ids — the end-to-end
+    * answer to "does the refreeze change what users see", the third
+    * panel of the q385 readout (assignment tightness, re-curation
+    * cost, serving drift). Plan shape: the q380 search twice (probe
+    * side broadcast after a broadcast-centroid nProbe ranking;
+    * corpus-sized lists never move) + one k-bounded overlap join on
+    * (probe, neighbor). */
+  private def qRetrainServing(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val day = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 3))
+    val store1 = absorbPipelineDay(store0, day)
+    val r = retrainPipelineStore(s, store1)
+    val probes0 = store1.quant.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("q").as("qq")).localCheckpoint()
+    def top5(members: DataFrame, cents: DataFrame): DataFrame = {
+      val lists = members.select(col("id").as("cid"),
+        col("q").as("cq"), col("cluster_id"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("cluster_id").asc)
+      val probes = probes0.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          org.apache.spark.sql.graft.GraftFunctions.intDist2(
+            col("qq"), col("c")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("qq"), col("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("idot").desc, col("neighbor_id").asc)
+      lists.join(broadcast(probes), Seq("cluster_id"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid").as("query_id"),
+          col("cid").as("neighbor_id"),
+          Similarity.intDot(col("qq"), col("cq")).as("idot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+    }
+    val f5 = top5(store1.members, store1.cents).localCheckpoint()
+    val r5 = top5(r.members, r.cents).localCheckpoint()
+    val ov = f5.select("query_id", "neighbor_id")
+      .join(r5.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    val t1f = f5.filter(col("rank") === 1L)
+      .select(col("query_id"), col("neighbor_id").as("t1f"))
+    val t1r = r5.filter(col("rank") === 1L)
+      .select(col("query_id"), col("neighbor_id").as("t1r"))
+    probes0.select(col("qid").as("query_id"))
+      .join(ov, Seq("query_id"), "left")
+      .join(t1f, Seq("query_id"), "left")
+      .join(t1r, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("t1f"), lit(-1L)).as("top1_frozen"),
+        coalesce(col("t1r"), lit(-1L)).as("top1_retrained"),
+        coalesce(col("t1f") === col("t1r"), lit(false))
+          .as("top1_same"))
+      .orderBy("query_id")
+  }
+
   /** Round-16 (q386): RING-CHANGE manifest migration — q379 pins the
     * manifest under a DATA delta; this pins it under a FLEET change.
     * The packed sequences are placed on the loader ring BEFORE
@@ -6828,7 +6899,8 @@ object SparkEntry {
       "q386_ring_migration" -> (qRingMigration _),
       "q387_quota_starvation" -> (qQuotaStarvation _),
       "q388_epoch_quality" -> (qEpochQuality _),
-      "q389_tokenizer_drift_boot" -> (qTokenizerDriftBoot _))
+      "q389_tokenizer_drift_boot" -> (qTokenizerDriftBoot _),
+      "q390_retrain_serving" -> (qRetrainServing _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -6963,7 +7035,7 @@ object SparkEntry {
     "q383_quota_admit", "q384_quota_two_day",
     "q385_retrain_refreeze", "q386_ring_migration",
     "q387_quota_starvation", "q388_epoch_quality",
-    "q389_tokenizer_drift_boot")
+    "q389_tokenizer_drift_boot", "q390_retrain_serving")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -133,6 +133,25 @@ class Round16Spec extends SparkSpec {
       "fixture must exercise the SemDeDup re-screen")
   }
 
+  test("q390: one row per eval probe, overlap bounded by k = 5, " +
+    "top1_same iff both top-1 ids exist and agree, and the retrain " +
+    "actually moves some result sets without destroying all of them") {
+    val out = SparkEntry.queries("q390_retrain_serving")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val probeIds = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long")).as[Long].collect()
+      .filter(_ % 20 == 0).toSet
+    assert(out.map(_._1).toSet === probeIds, "every 20th vector probed")
+    out.foreach { r =>
+      assert(r._2 >= 0 && r._2 <= 5, s"overlap out of [0,5] on ${r._1}")
+      assert(r._5 === (r._3 != -1L && r._3 == r._4),
+        s"top1_same inconsistent on ${r._1}")
+    }
+    assert(out.exists(!_._5) && out.exists(_._5),
+      "fixture must show both stable and drifted probes")
+  }
+
   // --- ring migration (q386) vs the q376 manifest ------------------------
 
   test("q386 conservation: the before-side columns are exactly the " +
