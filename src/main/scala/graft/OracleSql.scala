@@ -11461,6 +11461,100 @@ object OracleSql {
        |FROM man
        |ORDER BY source, seq_id""".stripMargin
 
+  /** q391: weighted fleet-growth migration — the q375 one-big vs
+    * four-small A/B at manifest granularity: the packed sequences
+    * placed on the q361 weighted ring and on each grown ring, with
+    * both manifests' rank/offset windows and the moved/invalidated
+    * verdicts, scenario-tagged. */
+  private val q391 = {
+    val caps = Seq(64, 64, 32, 32, 32, 32, 16, 16, 16, 16, 16, 16,
+      8, 8, 8, 8)
+    def capRows(cs: Seq[Int]): String = cs.zipWithIndex
+      .map { case (c, s) => s"($s, $c)" }.mkString(", ")
+    def vpCte(name: String, cs: Seq[Int]): String =
+      s"""${name}caps AS (SELECT * FROM (VALUES ${capRows(cs)})
+         |  c(shard, cap)),
+         |${name}vn0 AS (
+         |  SELECT CAST(shard AS BIGINT) AS shard,
+         |    CAST(UNNEST(range(0, cap)) AS BIGINT) AS v
+         |  FROM ${name}caps),
+         |${name}vf AS (
+         |  SELECT shard,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('shard:' || shard || ':' || v, ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS f
+         |  FROM ${name}vn0),
+         |${name}vp AS (
+         |  SELECT shard,
+         |    (f * f + f * 2654435761 + 40503) % 1000000007 AS pos
+         |  FROM ${name}vf)""".stripMargin
+    def scenario(label: String, vp: String): String =
+      s"""SELECT '$label' AS scenario, m.source, m.seq_id, m.n_tokens,
+         |  m.shard_before, m.seq_rank_before, m.token_offset_before,
+         |  m.shard_after, m.seq_rank_after, m.token_offset_after,
+         |  m.shard_before <> m.shard_after AS moved,
+         |  m.shard_before <> m.shard_after
+         |    OR m.token_offset_before <> m.token_offset_after
+         |    AS invalidated
+         |FROM (
+         |  SELECT source, seq_id, n_tokens,
+         |    CAST(shard_before AS BIGINT) AS shard_before,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_before
+         |      ORDER BY source, seq_id) AS BIGINT) AS seq_rank_before,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY shard_before ORDER BY source, seq_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS token_offset_before,
+         |    CAST(shard_after AS BIGINT) AS shard_after,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_after
+         |      ORDER BY source, seq_id) AS BIGINT) AS seq_rank_after,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY shard_after ORDER BY source, seq_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS token_offset_after
+         |  FROM (
+         |    SELECT a.source, a.seq_id, a.n_tokens,
+         |      b.shard AS shard_before, w.shard AS shard_after
+         |    FROM (
+         |      SELECT sp.source, sp.seq_id, sp.n_tokens,
+         |        COALESCE((SELECT MIN(pos) FROM bvp
+         |                  WHERE pos >= sp.p),
+         |                 (SELECT MIN(pos) FROM bvp)) AS vb,
+         |        COALESCE((SELECT MIN(pos) FROM $vp
+         |                  WHERE pos >= sp.p),
+         |                 (SELECT MIN(pos) FROM $vp)) AS va
+         |      FROM sp) a
+         |    JOIN bvp b ON b.pos = a.vb
+         |    JOIN $vp w ON w.pos = a.va)) m""".stripMargin
+    s"""WITH RECURSIVE
+       |$pipelineCtes,
+       |${vpCte("b", caps)},
+       |${vpCte("g", caps :+ 64)},
+       |${vpCte("s", caps ++ Seq(16, 16, 16, 16))},
+       |sq AS MATERIALIZED (
+       |  SELECT source, seq_id,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(source || ':' || seq_id, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS k
+       |  FROM pwalk GROUP BY source, seq_id),
+       |sp AS MATERIALIZED (
+       |  SELECT *, ((k % 1000000007) * 2654435761 + 40503)
+       |    % 1000000007 AS p
+       |  FROM sq)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+       |  shard_before, seq_rank_before, token_offset_before,
+       |  shard_after, seq_rank_after, token_offset_after,
+       |  moved, invalidated, scenario
+       |FROM (
+       |  ${scenario("one_big", "gvp")}
+       |  UNION ALL
+       |  ${scenario("four_small", "svp")})
+       |ORDER BY scenario, source, seq_id""".stripMargin
+  }
+
   /** q387: the K = 3-day quota starvation ledger — three absorbing
     * delta days (one more than q373), a FIFO (offered_day, doc_id)
     * admission window per day at half the day's pending per-source
@@ -12192,6 +12286,7 @@ object OracleSql {
     "q388_epoch_quality" -> q388,
     "q389_tokenizer_drift_boot" -> q389,
     "q390_retrain_serving" -> q390,
+    "q391_weighted_migration" -> q391,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -5598,6 +5598,55 @@ object SparkEntry {
       .orderBy("source", "seq_id")
   }
 
+  /** Round-16 (q391): WEIGHTED fleet-growth migration — the q375
+    * capacity-planning A/B (grow the q361 heterogeneous fleet by 64
+    * vnodes as ONE big box vs FOUR small ones) replayed at MANIFEST
+    * granularity: per scenario and packed sequence, both placements,
+    * both resume offsets, and the moved/invalidated verdicts — so the
+    * hardware decision is priced in re-downloaded tokens, not just
+    * moved keys (q375's number). Same one-pass shape as q386 (two
+    * native weighted-ring lookups per row, rings are driver
+    * constants); both scenarios share the before ring, so their
+    * before columns are identical (spec-pinned), and every moved
+    * sequence lands on a NEW shard (the consistent-hashing contract:
+    * old shards only lose arcs). */
+  private def qWeightedMigration(s: SparkSession, dir: String): DataFrame = {
+    val st = pipelineStages(s, dir)
+    val seqs = st.packed.groupBy("source", "seq_id")
+      .agg(sum(col("len")).as("n_tokens"))
+      .withColumn("k", org.apache.spark.sql.graft.CharFoldHash
+        .column(concat(col("source"), lit(":"), col("seq_id"))))
+      .localCheckpoint()
+    def manifest(shardCol: String, suffix: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(shardCol).orderBy("source", "seq_id")
+      Seq(row_number().over(w).cast("long").as(s"seq_rank_$suffix"),
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)).as(s"token_offset_$suffix"))
+    }
+    def scen(name: String, after: Seq[Int]): DataFrame =
+      operators.HashRing.assignWeighted(
+        operators.HashRing.assignWeighted(seqs, "k", q361Capacities,
+          "shard_before"), "k", after, "shard_after")
+        .select(Seq(lit(name).as("scenario"), col("source"),
+          col("seq_id"), col("n_tokens"), col("shard_before"),
+          col("shard_after")) ++
+          manifest("shard_before", "before") ++
+          manifest("shard_after", "after"): _*)
+        .withColumn("moved", col("shard_before") =!= col("shard_after"))
+        .withColumn("invalidated", col("moved") ||
+          col("token_offset_before") =!= col("token_offset_after"))
+    scen("one_big", q361Capacities :+ 64)
+      .unionByName(scen("four_small",
+        q361Capacities ++ Seq(16, 16, 16, 16)))
+      .select("scenario", "source", "seq_id", "n_tokens",
+        "shard_before", "seq_rank_before", "token_offset_before",
+        "shard_after", "seq_rank_after", "token_offset_after",
+        "moved", "invalidated")
+      .orderBy("scenario", "source", "seq_id")
+  }
+
   /** Round-16 (q387): the K-DAY quota STARVATION audit — the mixing
     * knob's failure mode, surfaced. Three delta days flow through the
     * absorbing loop (q373's machinery, one more day); each day the
@@ -6900,7 +6949,8 @@ object SparkEntry {
       "q387_quota_starvation" -> (qQuotaStarvation _),
       "q388_epoch_quality" -> (qEpochQuality _),
       "q389_tokenizer_drift_boot" -> (qTokenizerDriftBoot _),
-      "q390_retrain_serving" -> (qRetrainServing _))
+      "q390_retrain_serving" -> (qRetrainServing _),
+      "q391_weighted_migration" -> (qWeightedMigration _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -7035,7 +7085,8 @@ object SparkEntry {
     "q383_quota_admit", "q384_quota_two_day",
     "q385_retrain_refreeze", "q386_ring_migration",
     "q387_quota_starvation", "q388_epoch_quality",
-    "q389_tokenizer_drift_boot", "q390_retrain_serving")
+    "q389_tokenizer_drift_boot", "q390_retrain_serving",
+    "q391_weighted_migration")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -188,6 +188,37 @@ class Round16Spec extends SparkSpec {
       "fixture must show both moved and still-valid sequences")
   }
 
+  test("q391 weighted migration: both scenarios share identical " +
+    "before columns, every moved sequence lands on a NEW shard (old " +
+    "shards only lose arcs), and both scenarios actually move " +
+    "sequences (64 added vnodes each — the A/B isolates placement, " +
+    "not volume)") {
+    val out = SparkEntry.queries("q391_weighted_migration")(spark, sf)
+      .collect()
+    val byScen = out.groupBy(_.getString(0))
+    assert(byScen.keySet === Set("one_big", "four_small"))
+    def before(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sortBy(t => (t._1, t._2)).toSeq
+    assert(before(byScen("one_big")) === before(byScen("four_small")),
+      "the before ring is scenario-independent")
+    byScen.foreach { case (scen, rs) =>
+      val newShards = if (scen == "one_big") Set(16L)
+        else Set(16L, 17L, 18L, 19L)
+      rs.filter(_.getBoolean(10)).foreach { r =>
+        assert(newShards.contains(r.getLong(7)),
+          s"$scen: moved sequence to an OLD shard ${r.getLong(7)}")
+      }
+      rs.foreach { r =>
+        assert(!r.getBoolean(10) || r.getBoolean(11),
+          "moved implies invalidated")
+      }
+    }
+    val movedOf = byScen.view.mapValues(_.count(_.getBoolean(10))).toMap
+    assert(movedOf("one_big") > 0 && movedOf("four_small") > 0,
+      s"fixture must move something in both scenarios: $movedOf")
+  }
+
   // --- K-day quota FIFO invariants (q387 property) -----------------------
 
   test("property: the K-day quota fold over random offers/budgets — " +
