@@ -10302,8 +10302,9 @@ object OracleSql {
     * ${p}d0 (the raw day), ${p}1..${p}5, ${p}walk (+ internals). */
   private def incDeltaCtes(p: String, dayFilter: String,
       storeDocs: String, storeMem: String, storeNorm: String,
-      carry: String): String = {
-    val rounds = greedyRounds(s"${p}gr", "fvocab")
+      carry: String, cents: String = "fc2",
+      vocab: String = "fvocab"): String = {
+    val rounds = greedyRounds(s"${p}gr", vocab)
     s"""${p}d0 AS (SELECT * FROM ad WHERE $dayFilter),
        |${p}1 AS MATERIALIZED (
        |  SELECT * FROM ${p}d0
@@ -10364,7 +10365,7 @@ object OracleSql {
        |  SELECT e.vec_id, list_transform(e.embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
        |  FROM embeddings e JOIN ${p}3 s ON s.doc_id = e.vec_id),
-       |${incAssignCte(s"${p}qv", "fc2", s"${p}lists")},
+       |${incAssignCte(s"${p}qv", cents, s"${p}lists")},
        |${incNormCte(s"${p}qv", s"${p}n2")},
        |${p}xsem AS MATERIALIZED (
        |  SELECT DISTINCT y.vec_id AS b FROM
@@ -11221,20 +11222,27 @@ object OracleSql {
     * runs under the NEW blocking, and the per-cluster frozen-vs-
     * retrained readout is published. Frozen-side distances reuse the
     * chain's all-pairs CTEs (d_ylists/d_dlists, the q378 pattern). */
-  /** Shared q385/q390 retrain chain: the q370 store + delta, the
-    * grown store's member vectors (rqv), a fresh 2-iteration Lloyd
-    * (rc0 → rc2x) with the same deterministic seed, the re-assignment
-    * (rlists, with d_rlists carrying per-pair distances), norms, and
-    * the SemDeDup re-screen drops under the new blocking (rdup). */
-  private def retrainChainCtes: String =
-    s"""${incStoreCtes("doc_id % 7 <> 3")},
-       |${incDeltaCtes("d", "doc_id % 7 = 3", "y5", "ymem", "yn2",
+  /** Shared q385/q390/q392/q393 retrain chain: the store + one
+    * absorbed delta (prefix `dp`), the grown store's member vectors
+    * (rqv), a fresh 2-iteration Lloyd (rc0 → rc2x) with the same
+    * deterministic seed, the re-assignment (rlists, with d_rlists
+    * carrying per-pair distances), norms, and the SemDeDup re-screen
+    * drops under the new blocking (rdup). Defaults are the q385/q390
+    * geometry (store = %7≠3, delta d = %7=3); q392/q393 retrain at
+    * the day-1 boundary instead (store = %7∉{2,3}, delta e = %7=2)
+    * and then run day 2 under the refreeze. */
+  private def retrainChainCtes(
+      storeFilter: String = "doc_id % 7 <> 3",
+      dp: String = "d",
+      deltaFilter: String = "doc_id % 7 = 3"): String =
+    s"""${incStoreCtes(storeFilter)},
+       |${incDeltaCtes(dp, deltaFilter, "y5", "ymem", "yn2",
           "ycarry")},
        |rqv AS MATERIALIZED (
        |  SELECT e.vec_id, list_transform(e.embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
        |  FROM embeddings e JOIN (
-       |    SELECT doc_id FROM y5 UNION ALL SELECT doc_id FROM d5) s
+       |    SELECT doc_id FROM y5 UNION ALL SELECT doc_id FROM ${dp}5) s
        |    ON s.doc_id = e.vec_id),
        |rc0 AS MATERIALIZED (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
@@ -11255,7 +11263,7 @@ object OracleSql {
 
   private val q385 =
     s"""WITH RECURSIVE
-       |$retrainChainCtes,
+       |${retrainChainCtes()},
        |fz AS MATERIALIZED (
        |  SELECT a.vec_id, a.cl, a.d2 FROM (
        |    SELECT vec_id, cl, d2,
@@ -11306,7 +11314,7 @@ object OracleSql {
     * both top-1 ids. */
   private val q390 =
     s"""WITH RECURSIVE
-       |$retrainChainCtes,
+       |${retrainChainCtes()},
        |aqv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    list_transform(embedding,
@@ -11385,6 +11393,109 @@ object OracleSql {
        |LEFT JOIN t5f f1 ON f1.qid = p.qid AND f1.rn = 1
        |LEFT JOIN t5r r1 ON r1.qid = p.qid AND r1.rn = 1
        |ORDER BY query_id""".stripMargin
+
+  /** Shared q392/q393 chain: the q373 two-day geometry with the
+    * RETRAIN fired at the day-1 absorb boundary. retrainChainCtes
+    * (store = %7∉{2,3}, absorbed delta e = %7=2) yields the grown
+    * store and the refreeze (rc2x/rlists/rn2x/rdup); store1/smem1/
+    * sn1/carry1 replay the absorb exactly as q373; rs/rmem are the
+    * RETAINED store after the re-screen (docs minus rdup, members
+    * re-assigned under the new centroids), rvocab is the vocabulary
+    * REFROZEN on the survivors (the fvocab rule over rs). Day 2
+    * (%7=3) then runs TWICE: prefix f against the grown store under
+    * the old freeze (fc2/fvocab — bit-equal to q373's day 2), prefix
+    * g against the retained store under the new one (rc2x/rvocab).
+    * Both pack against the SAME carry1 — retrain retains pack
+    * history. */
+  private def refreezeChainCtes: String =
+    s"""${retrainChainCtes(
+          "doc_id % 7 <> 2 AND doc_id % 7 <> 3", "e",
+          "doc_id % 7 = 2")},
+       |store1 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM y5
+       |  UNION ALL SELECT doc_id, text, source FROM e5),
+       |smem1 AS (
+       |  SELECT * FROM ymem
+       |  UNION ALL
+       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
+       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
+       |ecl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ewalk)
+       |  WHERE rr = 1),
+       |carry1 AS (
+       |  SELECT source, cs, cf FROM ecl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM ycarry
+       |  WHERE source NOT IN (SELECT source FROM ecl)),
+       |rs AS MATERIALIZED (
+       |  SELECT * FROM store1
+       |  WHERE doc_id NOT IN (SELECT b FROM rdup)),
+       |rmem AS (SELECT l.* FROM rlists l JOIN rs ON rs.doc_id = l.vec_id),
+       |rtk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM rs),
+       |rvst AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM (SELECT tok FROM rtk)),
+       |rvsub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM rvst
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |rvocab AS MATERIALIZED (
+       |  SELECT piece FROM rvsub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |${incDeltaCtes("f", "doc_id % 7 = 3", "store1", "smem1", "sn1",
+          "carry1")},
+       |${incDeltaCtes("g", "doc_id % 7 = 3", "rs", "rmem", "rn2x",
+          "carry1", "rc2x", "rvocab")}""".stripMargin
+
+  /** q392: the loop CONTINUING THROUGH the refreeze — day 2's ledger
+    * under the old freeze joined per doc to its ledger under the new
+    * one, with the disposition-drift flag. */
+  private val q392 =
+    s"""WITH RECURSIVE
+       |$refreezeChainCtes,
+       |ledf AS (${incLedgerSelect("f")}),
+       |ledg AS (${incLedgerSelect("g")})
+       |SELECT f.doc_id,
+       |  f.disposition AS disp_frozen,
+       |  g.disposition AS disp_refrozen,
+       |  f.disposition <> g.disposition AS changed,
+       |  f.seq_id AS seq_frozen, f.seq_offset AS off_frozen,
+       |  g.seq_id AS seq_refrozen, g.seq_offset AS off_refrozen
+       |FROM ledf f JOIN ledg g ON g.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
+  /** q393: the refreeze REPACK BILL per source — day 2's kept-doc
+    * counts, packed token totals, and distinct new-sequence counts
+    * under both freezes, plus the token delta. */
+  private val q393 =
+    s"""WITH RECURSIVE
+       |$refreezeChainCtes
+       |SELECT sp.source,
+       |  CAST(COALESCE(fa.nd, 0) AS BIGINT) AS n_docs_frozen,
+       |  CAST(COALESCE(ga.nd, 0) AS BIGINT) AS n_docs_refrozen,
+       |  CAST(COALESCE(fa.tk, 0) AS BIGINT) AS tok_frozen,
+       |  CAST(COALESCE(ga.tk, 0) AS BIGINT) AS tok_refrozen,
+       |  CAST(COALESCE(ga.tk, 0) - COALESCE(fa.tk, 0) AS BIGINT)
+       |    AS tok_delta,
+       |  CAST(COALESCE(fw.ns, 0) AS BIGINT) AS n_seqs_frozen,
+       |  CAST(COALESCE(gw.ns, 0) AS BIGINT) AS n_seqs_refrozen
+       |FROM (SELECT DISTINCT source FROM ad WHERE doc_id % 7 = 3) sp
+       |LEFT JOIN (SELECT source, COUNT(*) AS nd, SUM(n_tokens) AS tk
+       |           FROM fstok GROUP BY 1) fa ON fa.source = sp.source
+       |LEFT JOIN (SELECT source, COUNT(*) AS nd, SUM(n_tokens) AS tk
+       |           FROM gstok GROUP BY 1) ga ON ga.source = sp.source
+       |LEFT JOIN (SELECT source, COUNT(DISTINCT seq_id) AS ns
+       |           FROM fwalk GROUP BY 1) fw ON fw.source = sp.source
+       |LEFT JOIN (SELECT source, COUNT(DISTINCT seq_id) AS ns
+       |           FROM gwalk GROUP BY 1) gw ON gw.source = sp.source
+       |ORDER BY sp.source""".stripMargin
 
   /** q386: ring-change manifest migration — the packed sequences
     * placed on the 16-shard ring (the q376 manifest, bit-equal on the
@@ -11561,9 +11672,12 @@ object OracleSql {
     * mass, and the per-doc horizon verdict: admitted_day, wait_days,
     * starved (re-offered and still pending), blocked (alone exceeds
     * the final day's budget). */
-  private val q387 =
-    s"""WITH RECURSIVE
-       |${incStoreCtes(
+  /** Shared q387/q394 horizon: the 3-absorbed-day chain (days e/f/g)
+    * plus the FIFO half-of-pending admission fold (off1..adm3 —
+    * q387's policy; also day 1 and day 2's pending set of the q394
+    * carryover arm, which shares them until the budgets diverge). */
+  private def quotaChainCtes: String =
+    s"""${incStoreCtes(
           "doc_id % 7 <> 1 AND doc_id % 7 <> 2 AND doc_id % 7 <> 3")},
        |${incDeltaCtes("e", "doc_id % 7 = 1", "y5", "ymem", "yn2",
           "ycarry")},
@@ -11662,7 +11776,11 @@ object OracleSql {
        |  FROM off3),
        |adm3 AS (
        |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
-       |  FROM cum3 c JOIN bud3 b USING (source))
+       |  FROM cum3 c JOIN bud3 b USING (source))""".stripMargin
+
+  private val q387 =
+    s"""WITH RECURSIVE
+       |$quotaChainCtes
        |SELECT doc_id, source, n_tokens, offered_day,
        |  CAST(1 AS BIGINT) AS admitted_day,
        |  CAST(1 - offered_day AS BIGINT) AS wait_days,
@@ -11681,6 +11799,147 @@ object OracleSql {
        |  NOT a.admitted AND a.n_tokens > b.budget
        |FROM adm3 a JOIN bud3 b USING (source)
        |ORDER BY doc_id""".stripMargin
+
+  /** q395: the nightly restarted from disk — the engine persists the
+    * absorbed store to parquet between days 2 and 3 and runs day 3
+    * off the cold reload; the replay here never persists, so the gate
+    * pins persistence TRANSPARENCY (the q387 horizon's day-3
+    * ledger). */
+  private val q395 =
+    s"""WITH RECURSIVE
+       |$quotaChainCtes
+       |${incLedgerSelect("g")}
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q394: the starvation remedy A/B — the q387 horizon admitted
+    * under both policies. Day 1 is shared (nothing to carry), day 2
+    * shares the pending window (day-1 admissions are identical) but
+    * diverges on the budget (base + day-1 unspent), day 3 re-walks
+    * its own pending. Final: per (policy, source) aggregates. */
+  private val q394 =
+    s"""WITH RECURSIVE
+       |$quotaChainCtes,
+       |ccar1 AS (
+       |  SELECT b.source,
+       |    b.budget - COALESCE(s.sp, 0) AS un
+       |  FROM bud1 b LEFT JOIN (
+       |    SELECT source, SUM(n_tokens) AS sp
+       |    FROM adm1 WHERE admitted GROUP BY 1) s USING (source)),
+       |cbud2 AS (
+       |  SELECT b.source,
+       |    CAST(b.budget + COALESCE(c.un, 0) AS BIGINT) AS budget
+       |  FROM bud2 b LEFT JOIN ccar1 c USING (source)),
+       |cadm2 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM cum2 c JOIN cbud2 b USING (source)),
+       |ccar2 AS (
+       |  SELECT b.source,
+       |    b.budget - COALESCE(s.sp, 0) AS un
+       |  FROM cbud2 b LEFT JOIN (
+       |    SELECT source, SUM(n_tokens) AS sp
+       |    FROM cadm2 WHERE admitted GROUP BY 1) s USING (source)),
+       |coff3 AS (
+       |  SELECT source, doc_id, n_tokens, offered_day
+       |  FROM cadm2 WHERE NOT admitted
+       |  UNION ALL
+       |  SELECT source, doc_id, CAST(len AS BIGINT),
+       |    CAST(3 AS BIGINT)
+       |  FROM gwalk),
+       |cbud3 AS (
+       |  SELECT o.source,
+       |    CAST(o.base + COALESCE(c.un, 0) AS BIGINT) AS budget
+       |  FROM (SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS base
+       |        FROM coff3 GROUP BY 1) o
+       |  LEFT JOIN ccar2 c USING (source)),
+       |ccum3 AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY offered_day, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cb
+       |  FROM coff3),
+       |cadm3 AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM ccum3 c JOIN cbud3 b USING (source)),
+       |spq AS (
+       |  SELECT source, COUNT(*) AS n_offered FROM (
+       |    SELECT source FROM off1
+       |    UNION ALL SELECT source FROM fwalk
+       |    UNION ALL SELECT source FROM gwalk)
+       |  GROUP BY 1),
+       |frows AS (
+       |  SELECT source, n_tokens, offered_day, CAST(1 AS BIGINT) AS aday
+       |  FROM adm1 WHERE admitted
+       |  UNION ALL
+       |  SELECT source, n_tokens, offered_day, CAST(2 AS BIGINT)
+       |  FROM adm2 WHERE admitted
+       |  UNION ALL
+       |  SELECT source, n_tokens, offered_day,
+       |    CAST(CASE WHEN admitted THEN 3 ELSE -1 END AS BIGINT)
+       |  FROM adm3),
+       |crows AS (
+       |  SELECT source, n_tokens, offered_day, CAST(1 AS BIGINT) AS aday
+       |  FROM adm1 WHERE admitted
+       |  UNION ALL
+       |  SELECT source, n_tokens, offered_day, CAST(2 AS BIGINT)
+       |  FROM cadm2 WHERE admitted
+       |  UNION ALL
+       |  SELECT source, n_tokens, offered_day,
+       |    CAST(CASE WHEN admitted THEN 3 ELSE -1 END AS BIGINT)
+       |  FROM cadm3),
+       |fstat AS (
+       |  SELECT source,
+       |    COUNT(*) FILTER (WHERE aday >= 0) AS n_admitted,
+       |    SUM(n_tokens) FILTER (WHERE aday >= 0) AS tok_admitted,
+       |    COUNT(*) FILTER (WHERE aday < 0) AS n_backlog,
+       |    COUNT(*) FILTER (WHERE aday < 0 AND offered_day < 3)
+       |      AS n_starved,
+       |    SUM(CASE WHEN aday >= 0 THEN aday - offered_day
+       |        ELSE 3 - offered_day END) AS sum_wait
+       |  FROM frows GROUP BY 1),
+       |cstat AS (
+       |  SELECT source,
+       |    COUNT(*) FILTER (WHERE aday >= 0) AS n_admitted,
+       |    SUM(n_tokens) FILTER (WHERE aday >= 0) AS tok_admitted,
+       |    COUNT(*) FILTER (WHERE aday < 0) AS n_backlog,
+       |    COUNT(*) FILTER (WHERE aday < 0 AND offered_day < 3)
+       |      AS n_starved,
+       |    SUM(CASE WHEN aday >= 0 THEN aday - offered_day
+       |        ELSE 3 - offered_day END) AS sum_wait
+       |  FROM crows GROUP BY 1),
+       |fblk AS (
+       |  SELECT a.source, COUNT(*) AS n_blocked
+       |  FROM adm3 a JOIN bud3 b USING (source)
+       |  WHERE NOT a.admitted AND a.n_tokens > b.budget
+       |  GROUP BY 1),
+       |cblk AS (
+       |  SELECT a.source, COUNT(*) AS n_blocked
+       |  FROM cadm3 a JOIN cbud3 b USING (source)
+       |  WHERE NOT a.admitted AND a.n_tokens > b.budget
+       |  GROUP BY 1)
+       |SELECT 'fifo' AS policy, sp.source,
+       |  CAST(sp.n_offered AS BIGINT) AS n_offered,
+       |  CAST(COALESCE(f.n_admitted, 0) AS BIGINT) AS n_admitted,
+       |  CAST(COALESCE(f.tok_admitted, 0) AS BIGINT) AS tok_admitted,
+       |  CAST(COALESCE(f.n_backlog, 0) AS BIGINT) AS n_backlog,
+       |  CAST(COALESCE(f.n_starved, 0) AS BIGINT) AS n_starved,
+       |  CAST(COALESCE(fb.n_blocked, 0) AS BIGINT) AS n_blocked,
+       |  CAST(COALESCE(f.sum_wait, 0) AS BIGINT) AS sum_wait
+       |FROM spq sp
+       |LEFT JOIN fstat f USING (source)
+       |LEFT JOIN fblk fb USING (source)
+       |UNION ALL
+       |SELECT 'carryover', sp.source,
+       |  CAST(sp.n_offered AS BIGINT),
+       |  CAST(COALESCE(c.n_admitted, 0) AS BIGINT),
+       |  CAST(COALESCE(c.tok_admitted, 0) AS BIGINT),
+       |  CAST(COALESCE(c.n_backlog, 0) AS BIGINT),
+       |  CAST(COALESCE(c.n_starved, 0) AS BIGINT),
+       |  CAST(COALESCE(cb2.n_blocked, 0) AS BIGINT),
+       |  CAST(COALESCE(c.sum_wait, 0) AS BIGINT)
+       |FROM spq sp
+       |LEFT JOIN cstat c USING (source)
+       |LEFT JOIN cblk cb2 USING (source)
+       |ORDER BY policy, source""".stripMargin
 
   /** q388: epoch-order shuffle quality — q382's per-epoch orders
     * compared per shard: the Spearman footrule Σd² and integer
@@ -12287,6 +12546,10 @@ object OracleSql {
     "q389_tokenizer_drift_boot" -> q389,
     "q390_retrain_serving" -> q390,
     "q391_weighted_migration" -> q391,
+    "q392_refreeze_loop" -> q392,
+    "q393_refreeze_repack" -> q393,
+    "q394_quota_carryover" -> q394,
+    "q395_store_restart" -> q395,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

@@ -5550,6 +5550,100 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Round-16 (q392): the nightly loop CONTINUING THROUGH a refreeze
+    * — q385/q390 price what a retrain changes about the store and its
+    * serving; this runs the loop's NEXT NIGHT under the new freeze.
+    * Day 0 builds the store, day 1 absorbs, the q378 boundary fires
+    * the retrain ([[retrainPipelineStore]]), and day 2 then flows
+    * through [[pipelineDeltaDay]] TWICE: once against the grown store
+    * under the OLD freeze (the q373 counterfactual) and once against
+    * the RETRAINED store — new centroids block the semantic stage,
+    * the refrozen vocabulary re-tokenizes the packing, the re-screen's
+    * evictions re-open exact/near doors their victims had closed
+    * (an evicted keeper no longer blocks tonight's duplicate of it).
+    * Output: day-2's dispositions and pack addresses under both
+    * freezes, joined per doc with a `changed` flag — the end-to-end
+    * answer to "what does flipping the freeze change about tomorrow's
+    * curation". The gate and contamination stages are text-only /
+    * frozen-flag stages, so `short`/`contaminated` are invariant
+    * between the arms (spec-pinned, Round16Spec). Scale shape: the
+    * q373 chain + the q385 retrain + one extra delta-day DAG — every
+    * cross join is still delta × store-members within a cluster, and
+    * the carry both arms pack against is the SAME merged artifact
+    * (retrain retains pack history: shipped sequences are physical).
+    */
+  private def qRefreezeLoop(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val store1 = absorbPipelineDay(store0, day1)
+    val r = retrainPipelineStore(s, store1)
+    val day2 = docs.filter(col("doc_id") % 7 === 3)
+    val f = pipelineDeltaDay(store1, day2).ledger
+      .select(col("doc_id"), col("disposition").as("disp_frozen"),
+        col("seq_id").as("seq_frozen"),
+        col("seq_offset").as("off_frozen"))
+    val g = pipelineDeltaDay(r, day2).ledger
+      .select(col("doc_id"), col("disposition").as("disp_refrozen"),
+        col("seq_id").as("seq_refrozen"),
+        col("seq_offset").as("off_refrozen"))
+    f.join(g, Seq("doc_id"))
+      .select(col("doc_id"), col("disp_frozen"), col("disp_refrozen"),
+        (col("disp_frozen") =!= col("disp_refrozen")).as("changed"),
+        col("seq_frozen"), col("off_frozen"),
+        col("seq_refrozen"), col("off_refrozen"))
+      .orderBy("doc_id")
+  }
+
+  /** Round-16 (q393): the REFREEZE REPACK BILL — the loader-side
+    * price of the vocabulary refreeze, per source. A retrain never
+    * rewrites shipped sequences (the q379/q385 stance), but it
+    * changes how every FUTURE day tokenizes and packs: day 2's kept
+    * docs under the old vocab vs the refrozen one differ in which
+    * docs survive (the q392 disposition drift), in token counts (the
+    * q381/q389 drift classes, now priced at pack granularity), and so
+    * in how many new 256-token sequences the night appends to each
+    * source's manifest. Output per source: kept-doc counts, packed
+    * token totals, distinct new sequence counts under both freezes,
+    * and the token delta — the number a capacity planner adds to the
+    * q386/q391 migration bills when deciding WHEN to flip a freeze.
+    * Same DAG as q392 (chain + retrain + two delta days); the
+    * readout is three |sources|-row aggregates. */
+  private def qRefreezeRepack(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val store0 = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val store1 = absorbPipelineDay(store0, day1)
+    val r = retrainPipelineStore(s, store1)
+    val day2 = docs.filter(col("doc_id") % 7 === 3)
+    def agg(p: DataFrame, tag: String): DataFrame =
+      p.groupBy("source").agg(
+        count(lit(1)).as(s"nd_$tag"),
+        sum(col("len")).as(s"tk_$tag"),
+        countDistinct(col("seq_id")).as(s"ns_$tag"))
+    val fa = agg(pipelineDeltaDay(store1, day2).packed, "f")
+    val ga = agg(pipelineDeltaDay(r, day2).packed, "g")
+    day2.select("source").distinct()
+      .join(fa, Seq("source"), "left")
+      .join(ga, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("nd_f"), lit(0L)).as("n_docs_frozen"),
+        coalesce(col("nd_g"), lit(0L)).as("n_docs_refrozen"),
+        coalesce(col("tk_f"), lit(0L)).as("tok_frozen"),
+        coalesce(col("tk_g"), lit(0L)).as("tok_refrozen"),
+        (coalesce(col("tk_g"), lit(0L)) -
+          coalesce(col("tk_f"), lit(0L))).as("tok_delta"),
+        coalesce(col("ns_f"), lit(0L)).as("n_seqs_frozen"),
+        coalesce(col("ns_g"), lit(0L)).as("n_seqs_refrozen"))
+      .orderBy("source")
+  }
+
   /** Round-16 (q386): RING-CHANGE manifest migration — q379 pins the
     * manifest under a DATA delta; this pins it under a FLEET change.
     * The packed sequences are placed on the loader ring BEFORE
@@ -5707,6 +5801,170 @@ object SparkEntry {
         (col("n_tokens") > coalesce(col("budget"),
           lit(Long.MaxValue))).as("blocked"))
     admAll.unionByName(rest).orderBy("doc_id")
+  }
+
+  /** Round-16 (q394): the starvation REMEDY, A/B'd — q387 surfaces
+    * the mixing knob's failure mode (budget persistently below offer
+    * → the backlog grows without bound); the standard fix is budget
+    * CARRYOVER: a source's unspent budget rolls into tomorrow, so a
+    * day that under-offers lends its slack to the day the backlog
+    * spikes. Same 3-day horizon and half-of-pending base budgets as
+    * q387; the chain runs ONCE (admission gates the training mix
+    * only — the store absorbs every kept doc regardless of policy),
+    * then two pure admission folds replay the offers: `fifo` (q387's
+    * policy) and `carryover` (effective budget = base + yesterday's
+    * unspent; day 1 is identical by construction — there is nothing
+    * to carry). One row per (policy, source): offered/admitted/
+    * backlog/starved/blocked counts, admitted token mass, and the
+    * total wait (admission delay for admitted docs + age-so-far for
+    * the horizon backlog) — the fairness-vs-throughput readout a
+    * mixing-policy owner compares before flipping the knob. Scale
+    * shape: per day one prefix-sum window + one broadcast
+    * |sources|-row budget join per policy; the carryover state is a
+    * |sources|-row frame threaded through the K-day driver fold,
+    * exactly like the pack carry. */
+  private def qQuotaCarryover(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    val k = 3
+    var store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 1 && col("doc_id") % 7 =!= 2
+        && col("doc_id") % 7 =!= 3), docs)
+    var offers: Seq[DataFrame] = Seq.empty
+    (1 to k).foreach { d =>
+      val day = pipelineDeltaDay(store,
+        docs.filter(col("doc_id") % 7 === d))
+      store = absorbPipelineDay(store, day)
+      offers :+= day.packed.select(col("source"), col("doc_id"),
+          col("len").as("n_tokens"), lit(d.toLong).as("offered_day"))
+        .localCheckpoint()
+    }
+    val spine = offers.reduce(_ unionByName _).groupBy("source")
+      .agg(count(lit(1)).as("n_offered")).localCheckpoint()
+    def fold(carryover: Boolean, policy: String): DataFrame = {
+      var backlog: DataFrame = null
+      var unspent: DataFrame = null
+      var admitted: Seq[DataFrame] = Seq.empty
+      var lastBud: DataFrame = null
+      (1 to k).foreach { d =>
+        val fresh = offers(d - 1)
+        val pending = (if (backlog == null) fresh
+          else backlog.unionByName(fresh)).localCheckpoint()
+        val base = pending.groupBy("source")
+          .agg(expr("sum(n_tokens) div 2L").as("_base"))
+        val bud = (if (!carryover || unspent == null)
+            base.select(col("source"), col("_base").as("budget"))
+          else base.join(unspent, Seq("source"), "left")
+            .select(col("source"),
+              (col("_base") + coalesce(col("_un"), lit(0L)))
+                .as("budget"))).localCheckpoint()
+        val adm = Curation.quotaAdmitPrefix(pending,
+            Seq("offered_day", "doc_id"), "n_tokens", "source", bud)
+          .localCheckpoint()
+        admitted :+= adm.filter(col("admitted"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("offered_day"), lit(d.toLong).as("admitted_day"))
+        backlog = adm.filter(!col("admitted"))
+          .select("source", "doc_id", "n_tokens", "offered_day")
+        if (carryover) {
+          val spent = adm.filter(col("admitted")).groupBy("source")
+            .agg(sum(col("n_tokens")).as("_sp"))
+          unspent = bud.join(spent, Seq("source"), "left")
+            .select(col("source"),
+              (col("budget") - coalesce(col("_sp"), lit(0L)))
+                .as("_un")).localCheckpoint()
+        }
+        if (d == k) lastBud = bud
+      }
+      val admAgg = admitted.reduce(_ unionByName _).groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(col("n_tokens")).as("tok_admitted"),
+          sum(col("admitted_day") - col("offered_day")).as("_wa"))
+      val backAgg = backlog.join(broadcast(lastBud), Seq("source"),
+          "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_backlog"),
+          sum(when(col("offered_day") < k, 1L).otherwise(0L))
+            .as("n_starved"),
+          sum(when(col("n_tokens") > coalesce(col("budget"),
+            lit(Long.MaxValue)), 1L).otherwise(0L)).as("n_blocked"),
+          sum(lit(k.toLong) - col("offered_day")).as("_wb"))
+      spine
+        .join(admAgg, Seq("source"), "left")
+        .join(backAgg, Seq("source"), "left")
+        .select(lit(policy).as("policy"), col("source"),
+          col("n_offered"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("tok_admitted"), lit(0L)).as("tok_admitted"),
+          coalesce(col("n_backlog"), lit(0L)).as("n_backlog"),
+          coalesce(col("n_starved"), lit(0L)).as("n_starved"),
+          coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+          (coalesce(col("_wa"), lit(0L)) +
+            coalesce(col("_wb"), lit(0L))).as("sum_wait"))
+    }
+    fold(carryover = false, "fifo")
+      .unionByName(fold(carryover = true, "carryover"))
+      .orderBy("policy", "source")
+  }
+
+  /** The store's four mutable artifacts plus the frozen ones, written
+    * as parquet directories under `dir` — the persistence layer the
+    * absorb loop's SCALE notes assume ("in production the store id
+    * sets are bucketed parquet"). docs partition by source (the strata
+    * the loop's packing, quotas, and manifests all key on — a cold
+    * reader prunes to the stratum it resumes); the remaining artifacts
+    * are id-keyed appends at fixture scale (production buckets them by
+    * their join key: doc_id for sigs, id for members). */
+  private[graft] def persistPipelineStore(st: PipelineStore,
+      dir: String): Unit = {
+    st.docs.write.mode("overwrite").partitionBy("source")
+      .parquet(s"$dir/docs")
+    Seq("members" -> st.members, "cents" -> st.cents,
+      "vocab" -> st.vocab, "carry" -> st.carry, "sigs" -> st.sigs,
+      "contam" -> st.contamDrop).foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n") }
+  }
+
+  /** Reload a persisted store COLD (quant re-derived from the
+    * embeddings table — it is a projection, not state). */
+  private[graft] def loadPipelineStore(s: SparkSession, dir: String,
+      quant: DataFrame): PipelineStore = {
+    def r(name: String) = s.read.parquet(s"$dir/$name")
+    PipelineStore(
+      r("docs").select("doc_id", "text", "source"), r("members"),
+      r("cents"), r("vocab"), r("carry"), r("sigs"), r("contam"),
+      quant)
+  }
+
+  /** Round-16 (q395): the nightly RESTARTED FROM DISK — the loop's
+    * artifacts are claimed parquet-persistable in every SCALE note;
+    * this makes the claim a gated query. Days 1–2 absorb in memory,
+    * the store is then written to parquet ([[persistPipelineStore]]:
+    * docs partitioned by source, the artifacts as id-keyed files) and
+    * reloaded COLD ([[loadPipelineStore]]), and day 3 runs entirely
+    * off the reloaded store. The output is day 3's q368-shaped
+    * ledger; the DuckDB oracle replays the horizon WITHOUT any
+    * persistence — so the gate pins persistence TRANSPARENCY
+    * (schema, types, and content survive the round trip; any
+    * corruption hash-mismatches). Store equality and ledger
+    * bit-equality are additionally spec-pinned (Round16Spec). Scale
+    * shape: unchanged from q373/q387 — the round trip adds one
+    * map-only write and one pruned scan per artifact, no shuffle. */
+  private def qStoreRestart(s: SparkSession, dir: String): DataFrame = {
+    val docs = pipelineDocs(s, dir)
+    var store = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 1 && col("doc_id") % 7 =!= 2
+        && col("doc_id") % 7 =!= 3), docs)
+    (1 to 2).foreach { d =>
+      val day = pipelineDeltaDay(store,
+        docs.filter(col("doc_id") % 7 === d))
+      store = absorbPipelineDay(store, day)
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_store_rt").toString
+    persistPipelineStore(store, tmp)
+    val cold = loadPipelineStore(s, tmp, store.quant)
+    pipelineDeltaDay(cold, docs.filter(col("doc_id") % 7 === 3))
+      .ledger.orderBy("doc_id")
   }
 
   /** Round-16 (q388): epoch-order shuffle QUALITY — q382's seeded
@@ -6950,7 +7208,11 @@ object SparkEntry {
       "q388_epoch_quality" -> (qEpochQuality _),
       "q389_tokenizer_drift_boot" -> (qTokenizerDriftBoot _),
       "q390_retrain_serving" -> (qRetrainServing _),
-      "q391_weighted_migration" -> (qWeightedMigration _))
+      "q391_weighted_migration" -> (qWeightedMigration _),
+      "q392_refreeze_loop" -> (qRefreezeLoop _),
+      "q393_refreeze_repack" -> (qRefreezeRepack _),
+      "q394_quota_carryover" -> (qQuotaCarryover _),
+      "q395_store_restart" -> (qStoreRestart _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -7086,7 +7348,9 @@ object SparkEntry {
     "q385_retrain_refreeze", "q386_ring_migration",
     "q387_quota_starvation", "q388_epoch_quality",
     "q389_tokenizer_drift_boot", "q390_retrain_serving",
-    "q391_weighted_migration")
+    "q391_weighted_migration", "q392_refreeze_loop",
+    "q393_refreeze_repack", "q394_quota_carryover",
+    "q395_store_restart")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -314,6 +314,49 @@ class Round16Spec extends SparkSpec {
       "some doc must be admitted from the backlog (wait >= 1)")
   }
 
+  test("q394: the fifo arm reconciles exactly with q387's per-doc " +
+    "audit, both policies conserve offers, and carryover actually " +
+    "remedies on the fixture (>= admitted token mass, <= starvation, " +
+    "and the policies separate)") {
+    val out = SparkEntry.queries("q394_quota_carryover")(spark, sf)
+      .collect()
+    val byPolicy = out.groupBy(_.getString(0))
+    assert(byPolicy.keySet === Set("fifo", "carryover"))
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(5),
+        s"offer conservation on ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(6) <= r.getLong(5) && r.getLong(7) <= r.getLong(5),
+        s"starved/blocked bounded by backlog on ${r.getString(1)}")
+    }
+    val audit = SparkEntry.queries("q387_quota_starvation")(spark, sf)
+      .collect()
+    val agg = audit.groupBy(_.getString(1)).map { case (s, rs) =>
+      s -> ((rs.length.toLong,
+        rs.count(_.getLong(4) >= 0).toLong,
+        rs.filter(_.getLong(4) >= 0).map(_.getLong(2)).sum,
+        rs.count(_.getLong(4) < 0).toLong,
+        rs.count(_.getBoolean(6)).toLong,
+        rs.count(_.getBoolean(7)).toLong,
+        rs.map(_.getLong(5)).sum))
+    }
+    byPolicy("fifo").foreach { r =>
+      val (no, na, tok, nb, ns, nbl, sw) = agg(r.getString(1))
+      assert(r.getLong(2) === no && r.getLong(3) === na &&
+        r.getLong(4) === tok && r.getLong(5) === nb &&
+        r.getLong(6) === ns && r.getLong(7) === nbl &&
+        r.getLong(8) === sw,
+        s"fifo arm diverges from q387 on ${r.getString(1)}")
+    }
+    def tot(p: String, i: Int) = byPolicy(p).map(_.getLong(i)).sum
+    assert(tot("carryover", 4) >= tot("fifo", 4),
+      "carryover must admit at least the fifo token mass here")
+    assert(tot("carryover", 6) <= tot("fifo", 6),
+      "carryover must not starve more here")
+    assert(tot("carryover", 3) != tot("fifo", 3) ||
+      tot("carryover", 4) != tot("fifo", 4),
+      "the fixture must separate the policies")
+  }
+
   // --- epoch quality (q388) ----------------------------------------------
 
   test("q388: n_seqs reconciles with the q376 manifest per shard, " +
@@ -363,6 +406,96 @@ class Round16Spec extends SparkSpec {
     assert(out("more_pieces")._2 === 0L &&
       out("newly_unspannable")._2 === 0L,
       "count-monotone vocab: growing the corpus cannot lose pieces")
+  }
+
+  // --- the loop through the refreeze (q392/q393) --------------------------
+
+  test("q392: the nightly continues through the refreeze — the gate " +
+    "verdict is freeze-invariant, frozen contamination flags can " +
+    "never be out-kept, pack addresses exist exactly for kept rows, " +
+    "and the refreeze visibly changes the night") {
+    val out = SparkEntry.queries("q392_refreeze_loop")(spark, sf)
+      .collect()
+    val day2 = Tables.documents(spark, sf)
+      .filter(col("doc_id").cast("long") % 7 === 3).count()
+    assert(out.length.toLong === day2, "one row per day-2 doc")
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    out.foreach { r =>
+      val (df, dg) = (r.getString(1), r.getString(2))
+      assert(r.getBoolean(3) === (df != dg), "changed flag consistency")
+      assert((df == "short") === (dg == "short"),
+        s"gate must be freeze-invariant on ${r.getLong(0)}")
+      assert(!(df == "contaminated" && dg == "kept") &&
+        !(dg == "contaminated" && df == "kept"),
+        s"contamination flags are frozen on ${r.getLong(0)}")
+      assert((r.getLong(4) >= 0) === (df == "kept"),
+        s"frozen pack address iff kept on ${r.getLong(0)}")
+      assert((r.getLong(6) >= 0) === (dg == "kept"),
+        s"refrozen pack address iff kept on ${r.getLong(0)}")
+    }
+    assert(out.exists(r => r.getBoolean(3) ||
+      r.getLong(6) != r.getLong(4) || r.getLong(7) != r.getLong(5)),
+      "the refreeze must change a disposition or a pack address")
+  }
+
+  test("q393: the repack bill reconciles with the q392 ledgers per " +
+    "source, tok_delta is exactly the difference of the arms, and " +
+    "sequence counts are bounded by kept docs") {
+    val bill = SparkEntry.queries("q393_refreeze_repack")(spark, sf)
+      .collect()
+    val led = SparkEntry.queries("q392_refreeze_loop")(spark, sf)
+      .collect()
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)].collect().toMap
+    def keptBy(col: Int) = led.filter(_.getString(col) == "kept")
+      .groupBy(r => srcOf(r.getLong(0)))
+      .map { case (s, rs) => s -> rs.length.toLong }
+    val (keptF, keptG) = (keptBy(1), keptBy(2))
+    bill.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) === keptF.getOrElse(s, 0L),
+        s"frozen kept-doc count on $s")
+      assert(r.getLong(2) === keptG.getOrElse(s, 0L),
+        s"refrozen kept-doc count on $s")
+      assert(r.getLong(5) === r.getLong(4) - r.getLong(3),
+        s"tok_delta consistency on $s")
+      assert(r.getLong(6) <= r.getLong(1) && r.getLong(7) <= r.getLong(2),
+        s"each kept doc lands in exactly one sequence on $s")
+      assert((r.getLong(6) == 0L) === (r.getLong(1) == 0L))
+    }
+    assert(bill.exists(r => r.getLong(5) != 0L),
+      "the refreeze must reprice at least one source")
+  }
+
+  // --- the nightly restarted from disk (q395) -----------------------------
+
+  test("persist + cold reload is transparent: every store artifact " +
+    "survives the parquet round trip bit-for-bit, and the next delta " +
+    "day off the cold store equals the in-memory one") {
+    val (docRows, vecRows) = PipelineFixtures.cleanFamilyCorpus(1604)
+    val docsDf = docRows.toDF("doc_id", "text", "source")
+      .localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    val store0 = SparkEntry.buildPipelineStoreFrom(spark,
+      docsDf.filter(col("doc_id") % 3 =!= 0), docsDf, quant)
+    val day = SparkEntry.pipelineDeltaDay(store0,
+      docsDf.filter(col("doc_id") % 3 === 0 &&
+        col("doc_id") % 2 === 0))
+    val store1 = SparkEntry.absorbPipelineDay(store0, day)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_store_rt_spec").toString
+    SparkEntry.persistPipelineStore(store1, tmp)
+    val cold = SparkEntry.loadPipelineStore(spark, tmp, quant)
+    assertStoreEqual(cold, store1)
+    assert(rows(cold.contamDrop) === rows(store1.contamDrop),
+      "contamination flags survive the round trip")
+    val nextDocs = docsDf.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") % 2 === 1)
+    assert(rows(SparkEntry.pipelineDeltaDay(cold, nextDocs).ledger) ===
+      rows(SparkEntry.pipelineDeltaDay(store1, nextDocs).ledger),
+      "the cold store's next night is bit-identical")
   }
 
   // --- round-16 guard fixes ----------------------------------------------
