@@ -10303,8 +10303,9 @@ object OracleSql {
   private def incDeltaCtes(p: String, dayFilter: String,
       storeDocs: String, storeMem: String, storeNorm: String,
       carry: String, cents: String = "fc2",
-      vocab: String = "fvocab"): String = {
+      vocab: String = "fvocab", vecScale: Int = 1): String = {
     val rounds = greedyRounds(s"${p}gr", vocab)
+    val scale = if (vecScale == 1) "" else s" * $vecScale"
     s"""${p}d0 AS (SELECT * FROM ad WHERE $dayFilter),
        |${p}1 AS MATERIALIZED (
        |  SELECT * FROM ${p}d0
@@ -10363,7 +10364,7 @@ object OracleSql {
        |    AND doc_id NOT IN (SELECT b FROM ${p}mp)),
        |${p}qv AS MATERIALIZED (
        |  SELECT e.vec_id, list_transform(e.embedding,
-       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)$scale) AS q
        |  FROM embeddings e JOIN ${p}3 s ON s.doc_id = e.vec_id),
        |${incAssignCte(s"${p}qv", cents, s"${p}lists")},
        |${incNormCte(s"${p}qv", s"${p}n2")},
@@ -11234,16 +11235,34 @@ object OracleSql {
   private def retrainChainCtes(
       storeFilter: String = "doc_id % 7 <> 3",
       dp: String = "d",
-      deltaFilter: String = "doc_id % 7 = 3"): String =
+      deltaFilter: String = "doc_id % 7 = 3",
+      dayScale: Int = 1): String = {
+    // store-side vectors are always unscaled; a dayScale != 1 models
+    // tonight's vectors arriving from a SHIFTED encoder (q397) — the
+    // day branch of the grown corpus scales, the store does not
+    val rqv =
+      if (dayScale == 1)
+        s"""rqv AS MATERIALIZED (
+           |  SELECT e.vec_id, list_transform(e.embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+           |  FROM embeddings e JOIN (
+           |    SELECT doc_id FROM y5 UNION ALL SELECT doc_id FROM ${dp}5) s
+           |    ON s.doc_id = e.vec_id),""".stripMargin
+      else
+        s"""rqv AS MATERIALIZED (
+           |  SELECT e.vec_id, list_transform(e.embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+           |  FROM embeddings e JOIN y5 s ON s.doc_id = e.vec_id
+           |  UNION ALL
+           |  SELECT e.vec_id, list_transform(e.embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+           |      * $dayScale) AS q
+           |  FROM embeddings e JOIN ${dp}5 s ON s.doc_id = e.vec_id),"""
+          .stripMargin
     s"""${incStoreCtes(storeFilter)},
        |${incDeltaCtes(dp, deltaFilter, "y5", "ymem", "yn2",
-          "ycarry")},
-       |rqv AS MATERIALIZED (
-       |  SELECT e.vec_id, list_transform(e.embedding,
-       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
-       |  FROM embeddings e JOIN (
-       |    SELECT doc_id FROM y5 UNION ALL SELECT doc_id FROM ${dp}5) s
-       |    ON s.doc_id = e.vec_id),
+          "ycarry", vecScale = dayScale)},
+       |$rqv
        |rc0 AS MATERIALIZED (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
        |    q AS c
@@ -11260,6 +11279,7 @@ object OracleSql {
        |    JOIN rn2x nx ON nx.vec_id = x.vec_id
        |    JOIN rn2x ny ON ny.vec_id = y.vec_id
        |  WHERE $incCosPred)""".stripMargin
+  }
 
   private val q385 =
     s"""WITH RECURSIVE
@@ -11810,6 +11830,108 @@ object OracleSql {
        |$quotaChainCtes
        |${incLedgerSelect("g")}
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q396: the nightly report — every stage scalar of one absorbed
+    * night (the q370 geometry), with the retrain metrics selected
+    * through the SAME q378 drift trigger the engine branches on, so
+    * the gate pins the decision and not just the arms. */
+  private def nightlyReportSql(chain: String): String =
+    s"""WITH RECURSIVE
+       |$chain,
+       |yd3 AS (
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_ylists) a
+       |  JOIN y5 ON y5.doc_id = a.vec_id
+       |  WHERE a.rn = 1),
+       |dd3 AS (
+       |  SELECT a.vec_id, a.cl, a.d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM d_dlists) a
+       |  JOIN d5 ON d5.doc_id = a.vec_id
+       |  WHERE a.rn = 1),
+       |fired AS (
+       |  SELECT COALESCE(BOOL_OR(
+       |    CAST(d.s AS HUGEINT) * y.n * 4 >
+       |      CAST(y.s AS HUGEINT) * d.n * 5), false) AS f
+       |  FROM (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |        FROM yd3 GROUP BY 1) y
+       |  JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+       |        FROM dd3 GROUP BY 1) d
+       |    USING (cl)),
+       |fzall AS (
+       |  SELECT l.vec_id, l.cl FROM ylists l
+       |  JOIN y5 ON y5.doc_id = l.vec_id
+       |  UNION ALL
+       |  SELECT l.vec_id, l.cl FROM dlists l
+       |  JOIN d5 ON d5.doc_id = l.vec_id),
+       |reas AS (
+       |  SELECT COUNT(*) AS n FROM fzall f
+       |  JOIN rlists r ON r.vec_id = f.vec_id
+       |  WHERE f.cl <> r.cl),
+       |evct AS (SELECT COUNT(*) AS n FROM rdup),
+       |qoff AS (SELECT source, doc_id,
+       |    CAST(len AS BIGINT) AS n_tokens FROM dwalk),
+       |qbud AS (SELECT source,
+       |    CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+       |  FROM qoff GROUP BY 1),
+       |qadm AS (
+       |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+       |  FROM (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cb FROM qoff) c
+       |  JOIN qbud b USING (source))
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'offered' AS metric,
+       |    (SELECT COUNT(*) FROM dd0) AS value
+       |  UNION ALL SELECT 'gated_out',
+       |    (SELECT COUNT(*) FROM dd0) - (SELECT COUNT(*) FROM d1)
+       |  UNION ALL SELECT 'exact_dup',
+       |    (SELECT COUNT(*) FROM d1) - (SELECT COUNT(*) FROM d2)
+       |  UNION ALL SELECT 'near_dup',
+       |    (SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM d3)
+       |  UNION ALL SELECT 'semantic_dup',
+       |    (SELECT COUNT(*) FROM d3) - (SELECT COUNT(*) FROM d4)
+       |  UNION ALL SELECT 'contaminated',
+       |    (SELECT COUNT(*) FROM d4) - (SELECT COUNT(*) FROM d5)
+       |  UNION ALL SELECT 'kept', (SELECT COUNT(*) FROM d5)
+       |  UNION ALL SELECT 'seqs_touched',
+       |    (SELECT COUNT(*) FROM
+       |      (SELECT DISTINCT source, seq_id FROM dwalk))
+       |  UNION ALL SELECT 'tokens_packed',
+       |    (SELECT COALESCE(SUM(len), 0) FROM dwalk)
+       |  UNION ALL SELECT 'trigger_fired',
+       |    (SELECT CASE WHEN f THEN 1 ELSE 0 END FROM fired)
+       |  UNION ALL SELECT 'members_reassigned',
+       |    (SELECT CASE WHEN f THEN (SELECT n FROM reas)
+       |            ELSE 0 END FROM fired)
+       |  UNION ALL SELECT 'members_evicted',
+       |    (SELECT CASE WHEN f THEN (SELECT n FROM evct)
+       |            ELSE 0 END FROM fired)
+       |  UNION ALL SELECT 'docs_admitted',
+       |    (SELECT COUNT(*) FILTER (WHERE admitted) FROM qadm)
+       |  UNION ALL SELECT 'docs_backlogged',
+       |    (SELECT COUNT(*) FILTER (WHERE NOT admitted) FROM qadm)
+       |  UNION ALL SELECT 'tokens_admitted',
+       |    (SELECT COALESCE(SUM(n_tokens) FILTER (WHERE admitted), 0)
+       |     FROM qadm))
+       |ORDER BY metric""".stripMargin
+
+  private val q396 = nightlyReportSql(retrainChainCtes())
+
+  /** q397: the ENCODER-SHIFT night — the q396 report replayed with
+    * tonight's vectors arriving at 2× quantized scale (a deterministic
+    * domain-shift simulation, the q345 "legacyprefix" convention: the
+    * upstream embedding model changed and nobody renormalized). The
+    * text-only stages are scale-invariant; the semantic stage's
+    * cosine verdict is too, but its cluster blocking is not, so the
+    * kept set may drift. The drift trigger fires and the retrain
+    * branch actually runs — the firing arm of the q396 decision,
+    * end-to-end under the oracle. */
+  private val q397 = nightlyReportSql(retrainChainCtes(dayScale = 2))
 
   /** q394: the starvation remedy A/B — the q387 horizon admitted
     * under both policies. Day 1 is shared (nothing to carry), day 2
@@ -12550,6 +12672,8 @@ object OracleSql {
     "q393_refreeze_repack" -> q393,
     "q394_quota_carryover" -> q394,
     "q395_store_restart" -> q395,
+    "q396_nightly_report" -> q396,
+    "q397_encoder_shift_night" -> q397,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

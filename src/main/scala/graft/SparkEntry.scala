@@ -5967,6 +5967,121 @@ object SparkEntry {
       .ledger.orderBy("doc_id")
   }
 
+  /** Round-16 (q396): the NIGHTLY REPORT — the whole night as one
+    * query, with the retrain DECISION actually taken. One delta day
+    * (the q370 geometry) flows through the chain and is absorbed;
+    * the q378 drift trigger is then evaluated (store-member vs
+    * absorbed-day mean-d2 under the frozen centroids, any cluster
+    * past 1.25×) and, ONLY if it fires, the q385 retrain runs on the
+    * grown store — the one-row decision collect is the nightly
+    * coordinator's branch, exactly the bounded driver action a real
+    * orchestrator performs. The output is the operator's report: one
+    * (metric, value) row per stage — the ledger's disposition counts,
+    * sequences touched and tokens packed, the trigger verdict, the
+    * retrain's reassignment/eviction counts (zero when frozen), and
+    * the night's quota admission (half-of-offer budgets, the q383
+    * single-day rule). The DuckDB oracle replays every scalar,
+    * selecting the retrain metrics through the same trigger CASE —
+    * so the gate pins the DECISION, not just the arms. Scale shape:
+    * every scalar is a 1-row aggregate over frames the chain already
+    * bounds; the branch collect is 1 row. */
+  private def qNightlyReport(s: SparkSession, dir: String): DataFrame =
+    nightlyReportFrom(s, dir, dayScale = 1)
+
+  /** Round-16 (q397): the ENCODER-SHIFT night — the q396 report with
+    * tonight's vectors arriving at 2× quantized scale (a
+    * deterministic domain-shift simulation, the q345 "legacyprefix"
+    * convention: the upstream embedding model changed and nobody
+    * renormalized). The gate/exact/near stages are text-only and so
+    * scale-invariant (spec-pinned); the semantic stage's cosine
+    * VERDICT is scale-invariant too, but its cluster BLOCKING is not
+    * (2v can sit nearest a different frozen centroid), so the kept
+    * set may legitimately drift. The d2 drift trigger fires, and the
+    * retrain branch — dead code on the calm q396 night — actually
+    * executes: Lloyd re-trains on the mixed-scale corpus and the
+    * report's reassignment/eviction rows go non-zero. Together
+    * q396/q397 gate both arms of the nightly decision end-to-end. */
+  private def qEncoderShiftNight(s: SparkSession, dir: String): DataFrame =
+    nightlyReportFrom(s, dir, dayScale = 2)
+
+  private def nightlyReportFrom(s: SparkSession, dir: String,
+      dayScale: Int): DataFrame = {
+    import s.implicits._
+    val docs = pipelineDocs(s, dir)
+    val base = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 3), docs)
+    val store0 = if (dayScale == 1) base
+      else base.copy(quant = base.quant.withColumn("q",
+        when(col("id") % 7 === 3,
+          transform(col("q"), x => x * lit(dayScale.toLong)))
+          .otherwise(col("q"))).localCheckpoint())
+    val day = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 3))
+    val store1 = absorbPipelineDay(store0, day)
+    def n(df: DataFrame): Long = df.count()
+    val disp = day.ledger.groupBy("disposition")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    def d(k: String) = disp.getOrElse(k, 0L)
+    // the q378 trigger over the night's store/day split
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val yV = store0.quant.join(
+      store0.docs.select(col("doc_id").as("id")), Seq("id"))
+    val dV = store0.quant.join(
+      day.kept.select(col("doc_id").as("id")), Seq("id"))
+    val ya = IvfIndex.assignPortableWithDist(yV, store0.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
+    val da = IvfIndex.assignPortableWithDist(dV, store0.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
+    val fired = ya.join(da, Seq("cluster_id"))
+      .filter(dec(col("sum_d")) * dec(col("n_y")) * lit(4) >
+        dec(col("sum_y")) * dec(col("n_d")) * lit(5))
+      .limit(1).count() > 0
+    val (nReassigned, nEvicted) =
+      if (!fired) (0L, 0L)
+      else {
+        val r = retrainPipelineStore(s, store1)
+        val sV = store1.quant.join(
+          store1.docs.select(col("doc_id").as("id")), Seq("id"))
+        val fz = IvfIndex.assignPortable(sV, store1.cents)
+          .select(col("id"), col("cluster_id").as("fc"))
+        val rz = IvfIndex.assignPortable(sV, r.cents)
+          .select(col("id"), col("cluster_id").as("rc"))
+        (n(fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc"))),
+          n(store1.docs) - n(r.docs))
+      }
+    val adm = Curation.quotaAdmitPrefix(
+      day.packed.select(col("source"), col("doc_id"),
+        col("len").as("n_tokens")),
+      "doc_id", "n_tokens", "source",
+      day.packed.groupBy("source")
+        .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
+    val admitted = adm.filter(col("admitted"))
+    val tokensAdmitted = admitted
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head()
+    val seqsTouched = n(day.packed.select("source", "seq_id").distinct())
+    val tokensPacked = day.packed
+      .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head()
+    Seq(
+      "offered" -> n(day.ledger),
+      "gated_out" -> d("short"),
+      "exact_dup" -> d("exact_dup"),
+      "near_dup" -> d("near_dup"),
+      "semantic_dup" -> d("semantic_dup"),
+      "contaminated" -> d("contaminated"),
+      "kept" -> d("kept"),
+      "seqs_touched" -> seqsTouched,
+      "tokens_packed" -> tokensPacked,
+      "trigger_fired" -> (if (fired) 1L else 0L),
+      "members_reassigned" -> nReassigned,
+      "members_evicted" -> nEvicted,
+      "docs_admitted" -> n(admitted),
+      "docs_backlogged" -> n(adm.filter(!col("admitted"))),
+      "tokens_admitted" -> tokensAdmitted)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   /** Round-16 (q388): epoch-order shuffle QUALITY — q382's seeded
     * per-epoch orders are deterministic by construction; this
     * measures whether they actually LOOK shuffled. Per shard:
@@ -7212,7 +7327,9 @@ object SparkEntry {
       "q392_refreeze_loop" -> (qRefreezeLoop _),
       "q393_refreeze_repack" -> (qRefreezeRepack _),
       "q394_quota_carryover" -> (qQuotaCarryover _),
-      "q395_store_restart" -> (qStoreRestart _))
+      "q395_store_restart" -> (qStoreRestart _),
+      "q396_nightly_report" -> (qNightlyReport _),
+      "q397_encoder_shift_night" -> (qEncoderShiftNight _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -7350,7 +7467,8 @@ object SparkEntry {
     "q389_tokenizer_drift_boot", "q390_retrain_serving",
     "q391_weighted_migration", "q392_refreeze_loop",
     "q393_refreeze_repack", "q394_quota_carryover",
-    "q395_store_restart")
+    "q395_store_restart", "q396_nightly_report",
+    "q397_encoder_shift_night")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

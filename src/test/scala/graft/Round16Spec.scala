@@ -468,6 +468,44 @@ class Round16Spec extends SparkSpec {
       "the refreeze must reprice at least one source")
   }
 
+  // --- the nightly report's two arms (q396/q397) --------------------------
+
+  test("q396/q397: the calm night stays frozen and the encoder-shift " +
+    "night fires and retrains; text-side ledger metrics are " +
+    "scale-invariant across the two; internal identities hold") {
+    def report(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val calm = report("q396_nightly_report")
+    val shift = report("q397_encoder_shift_night")
+    assert(calm.keySet === shift.keySet && calm.size === 15)
+    // decision arms
+    assert(calm("trigger_fired") === 0L &&
+      calm("members_reassigned") === 0L &&
+      calm("members_evicted") === 0L,
+      "the calm night must not retrain")
+    assert(shift("trigger_fired") === 1L &&
+      shift("members_reassigned") > 0L,
+      "the encoder-shift night must fire and move members")
+    // the text-only stages are scale-invariant; the semantic stage's
+    // cosine VERDICT is too, but its cluster BLOCKING is not (2v can
+    // sit nearest a different frozen centroid), so kept/pack/quota
+    // metrics may legitimately drift between the nights
+    Seq("offered", "gated_out", "exact_dup", "near_dup").foreach { m =>
+      assert(calm(m) === shift(m), s"$m must be scale-invariant")
+    }
+    // internal identities
+    Seq(calm, shift).foreach { r =>
+      assert(Seq("gated_out", "exact_dup", "near_dup", "semantic_dup",
+        "contaminated", "kept").map(r).sum === r("offered"),
+        "dispositions partition the offer")
+      assert(r("docs_admitted") + r("docs_backlogged") === r("kept"),
+        "every kept doc is offered to the quota")
+      assert(2L * r("tokens_admitted") <= r("tokens_packed"),
+        "half-of-offer budgets bind")
+      assert(r("seqs_touched") <= math.max(r("kept"), 1L))
+    }
+  }
+
   // --- the nightly restarted from disk (q395) -----------------------------
 
   test("persist + cold reload is transparent: every store artifact " +
