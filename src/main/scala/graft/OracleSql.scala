@@ -11922,6 +11922,181 @@ object OracleSql {
 
   private val q396 = nightlyReportSql(retrainChainCtes())
 
+  /** q398: two nights with the decision CHAINED — night 1 is the
+    * encoder-shift night (%7=2 vectors ×2) whose trigger fires;
+    * night 2 (%7=3) is replayed under BOTH candidate stores (frozen
+    * grown store and the retrained one) and every night-2 metric is
+    * selected through the night-1 trigger CASE — the oracle takes
+    * the decision itself rather than trusting the engine's branch. */
+  private val q398 = {
+    def win(allPairs: String, keep: String, out: String): String =
+      s"""$out AS (
+         |  SELECT a.vec_id, a.cl, a.d2 FROM (
+         |    SELECT vec_id, cl, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cl) AS rn
+         |    FROM $allPairs) a
+         |  JOIN $keep ON $keep.doc_id = a.vec_id
+         |  WHERE a.rn = 1)""".stripMargin
+    def trg(storeWin: String, dayWin: String, out: String): String =
+      s"""$out AS (
+         |  SELECT COALESCE(BOOL_OR(
+         |    CAST(d.s AS HUGEINT) * y.n * 4 >
+         |      CAST(y.s AS HUGEINT) * d.n * 5), false) AS f
+         |  FROM (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+         |        FROM $storeWin GROUP BY 1) y
+         |  JOIN (SELECT cl, SUM(d2) AS s, COUNT(*) AS n
+         |        FROM $dayWin GROUP BY 1) d
+         |    USING (cl))""".stripMargin
+    def quota(walk: String, p: String): String =
+      s"""${p}o AS (SELECT source, doc_id,
+         |    CAST(len AS BIGINT) AS n_tokens FROM $walk),
+         |${p}b AS (SELECT source,
+         |    CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+         |  FROM ${p}o GROUP BY 1),
+         |${p}a AS (
+         |  SELECT c.*, c.cb + c.n_tokens <= b.budget AS admitted
+         |  FROM (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb FROM ${p}o) c
+         |  JOIN ${p}b b USING (source))""".stripMargin
+    // per-night metric rows; d0/1..5/walk/quota prefixes and the
+    // trigger/retrain scalar expressions are passed as SQL snippets
+    def nightRows(night: Int, c: String => String): String = Seq(
+      "offered" -> c("offered"), "gated_out" -> c("gated_out"),
+      "exact_dup" -> c("exact_dup"), "near_dup" -> c("near_dup"),
+      "semantic_dup" -> c("semantic_dup"),
+      "contaminated" -> c("contaminated"), "kept" -> c("kept"),
+      "seqs_touched" -> c("seqs_touched"),
+      "tokens_packed" -> c("tokens_packed"),
+      "trigger_fired" -> c("trigger_fired"),
+      "members_reassigned" -> c("members_reassigned"),
+      "members_evicted" -> c("members_evicted"),
+      "docs_admitted" -> c("docs_admitted"),
+      "docs_backlogged" -> c("docs_backlogged"),
+      "tokens_admitted" -> c("tokens_admitted"))
+      .map { case (m, v) =>
+        s"SELECT CAST($night AS BIGINT) AS night, '$m' AS metric,\n" +
+          s"  CAST($v AS BIGINT) AS value" }
+      .mkString("\n  UNION ALL\n  ")
+    // scalar snippets for a plain (un-CASEd) chain with prefix p,
+    // quota prefix qp, trigger CTE t, retrain snippets re/ev
+    def arm(p: String, qp: String): Map[String, String] = Map(
+      "offered" -> s"(SELECT COUNT(*) FROM ${p}d0)",
+      "gated_out" ->
+        s"(SELECT COUNT(*) FROM ${p}d0) - (SELECT COUNT(*) FROM ${p}1)",
+      "exact_dup" ->
+        s"(SELECT COUNT(*) FROM ${p}1) - (SELECT COUNT(*) FROM ${p}2)",
+      "near_dup" ->
+        s"(SELECT COUNT(*) FROM ${p}2) - (SELECT COUNT(*) FROM ${p}3)",
+      "semantic_dup" ->
+        s"(SELECT COUNT(*) FROM ${p}3) - (SELECT COUNT(*) FROM ${p}4)",
+      "contaminated" ->
+        s"(SELECT COUNT(*) FROM ${p}4) - (SELECT COUNT(*) FROM ${p}5)",
+      "kept" -> s"(SELECT COUNT(*) FROM ${p}5)",
+      "seqs_touched" -> ("(SELECT COUNT(*) FROM " +
+        s"(SELECT DISTINCT source, seq_id FROM ${p}walk))"),
+      "tokens_packed" ->
+        s"(SELECT COALESCE(SUM(len), 0) FROM ${p}walk)",
+      "docs_admitted" ->
+        s"(SELECT COUNT(*) FILTER (WHERE admitted) FROM ${qp}a)",
+      "docs_backlogged" ->
+        s"(SELECT COUNT(*) FILTER (WHERE NOT admitted) FROM ${qp}a)",
+      "tokens_admitted" -> ("(SELECT COALESCE(SUM(n_tokens) " +
+        s"FILTER (WHERE admitted), 0) FROM ${qp}a)"))
+    val n1 = arm("e", "qe") ++ Map(
+      "trigger_fired" ->
+        "(SELECT CASE WHEN f THEN 1 ELSE 0 END FROM f1t)",
+      "members_reassigned" ->
+        "(SELECT CASE WHEN f THEN (SELECT n FROM reas) ELSE 0 END FROM f1t)",
+      "members_evicted" ->
+        "(SELECT CASE WHEN f THEN (SELECT n FROM evct) ELSE 0 END FROM f1t)")
+    val af = arm("f", "qf") ++ Map("trigger_fired" ->
+      "(SELECT CASE WHEN f THEN 1 ELSE 0 END FROM f2ft)")
+    val ag = arm("g", "qg") ++ Map("trigger_fired" ->
+      "(SELECT CASE WHEN f THEN 1 ELSE 0 END FROM f2rt)")
+    val n2 = (af.keySet ++ Set("members_reassigned",
+      "members_evicted")).map { m =>
+      val v =
+        if (m == "members_reassigned" || m == "members_evicted")
+          "0" // the horizon ends after night 2 — no retrain follows
+        else s"CASE WHEN (SELECT f FROM f1t) THEN ${ag(m)} " +
+          s"ELSE ${af(m)} END"
+      m -> v
+    }.toMap
+    s"""WITH RECURSIVE
+       |${retrainChainCtes(
+          "doc_id % 7 <> 2 AND doc_id % 7 <> 3", "e",
+          "doc_id % 7 = 2", dayScale = 2)},
+       |store1 AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM y5
+       |  UNION ALL SELECT doc_id, text, source FROM e5),
+       |smem1 AS (
+       |  SELECT * FROM ymem
+       |  UNION ALL
+       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
+       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
+       |ecl AS (
+       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY rn DESC) AS rr
+       |    FROM ewalk)
+       |  WHERE rr = 1),
+       |carry1 AS (
+       |  SELECT source, cs, cf FROM ecl
+       |  UNION ALL
+       |  SELECT source, cs, cf FROM ycarry
+       |  WHERE source NOT IN (SELECT source FROM ecl)),
+       |rs AS MATERIALIZED (
+       |  SELECT * FROM store1
+       |  WHERE doc_id NOT IN (SELECT b FROM rdup)),
+       |rmem AS (SELECT l.* FROM rlists l JOIN rs ON rs.doc_id = l.vec_id),
+       |rtk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS tok
+       |  FROM rs),
+       |rvst AS (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
+       |  FROM (SELECT tok FROM rtk)),
+       |rvsub AS (
+       |  SELECT substr(tok, s, l.v) AS piece
+       |  FROM rvst
+       |  JOIN (SELECT range AS v FROM range(1, 5)) l
+       |    ON s + l.v - 1 <= len(tok)),
+       |rvocab AS MATERIALIZED (
+       |  SELECT piece FROM rvsub GROUP BY piece
+       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
+       |${incDeltaCtes("f", "doc_id % 7 = 3", "store1", "smem1", "sn1",
+          "carry1")},
+       |${incDeltaCtes("g", "doc_id % 7 = 3", "rs", "rmem", "rn2x",
+          "carry1", "rc2x", "rvocab")},
+       |${win("d_ylists", "y5", "ywin")},
+       |${win("d_elists", "e5", "ewin")},
+       |${trg("ywin", "ewin", "f1t")},
+       |fzall AS (
+       |  SELECT vec_id, cl, d2 FROM ywin
+       |  UNION ALL SELECT vec_id, cl, d2 FROM ewin),
+       |reas AS (
+       |  SELECT COUNT(*) AS n FROM fzall z
+       |  JOIN rlists r ON r.vec_id = z.vec_id
+       |  WHERE z.cl <> r.cl),
+       |evct AS (SELECT COUNT(*) AS n FROM rdup),
+       |${win("d_flists", "f5", "fwin")},
+       |${trg("fzall", "fwin", "f2ft")},
+       |${win("d_rlists", "rs", "rwin")},
+       |${win("d_glists", "g5", "gwin")},
+       |${trg("rwin", "gwin", "f2rt")},
+       |${quota("ewalk", "qe")},
+       |${quota("fwalk", "qf")},
+       |${quota("gwalk", "qg")}
+       |SELECT night, metric, value FROM (
+       |  ${nightRows(1, n1)}
+       |  UNION ALL
+       |  ${nightRows(2, n2)})
+       |ORDER BY night, metric""".stripMargin
+  }
+
   /** q397: the ENCODER-SHIFT night — the q396 report replayed with
     * tonight's vectors arriving at 2× quantized scale (a deterministic
     * domain-shift simulation, the q345 "legacyprefix" convention: the
@@ -12674,6 +12849,7 @@ object OracleSql {
     "q395_store_restart" -> q395,
     "q396_nightly_report" -> q396,
     "q397_encoder_shift_night" -> q397,
+    "q398_nightly_loop" -> q398,
     "q270_schema_evolution" -> q270,
     "q271_mv_rewrite" -> q271,
     "q272_stream_hll" -> q272,

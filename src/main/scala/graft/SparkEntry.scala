@@ -6004,6 +6004,104 @@ object SparkEntry {
   private def qEncoderShiftNight(s: SparkSession, dir: String): DataFrame =
     nightlyReportFrom(s, dir, dayScale = 2)
 
+  /** Round-16 (q398): TWO NIGHTS, DECISION CHAINED — the last arrow
+    * of the loop diagram run end-to-end: night 1 is an encoder-shift
+    * night (%7=2 vectors ×2) whose q378 trigger FIRES, the q385
+    * retrain actually executes, and night 2 (%7=3) then runs against
+    * WHICHEVER store the decision produced (here: the refrozen one —
+    * new centroids, refrozen vocab, re-screened members, retained
+    * carry). q392 ran the continue-after-refreeze arm
+    * unconditionally and q396/q397 pinned a single night's decision;
+    * this chains decision → retrain → next night in one query. The
+    * DuckDB oracle computes the night-1 trigger itself and selects
+    * every night-2 metric through a CASE over BOTH candidate stores
+    * (frozen and refrozen night-2 chains both replayed), so the gate
+    * pins the chained decision, not a hard-coded path. Output: the
+    * q396 report per night, night-tagged (night 2's retrain rows are
+    * 0 — the horizon ends there; its trigger verdict is still
+    * reported). Scale shape: the q392 DAG plus one |clusters|-row
+    * trigger aggregate per night and the 1-row decision collect. */
+  private def qNightlyLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = pipelineDocs(s, dir)
+    val base = buildPipelineStore(s, dir,
+      docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
+      docs)
+    val store0 = base.copy(quant = base.quant.withColumn("q",
+      when(col("id") % 7 === 2, transform(col("q"), x => x * lit(2L)))
+        .otherwise(col("q"))).localCheckpoint())
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def trigger(st: PipelineStore, kept: DataFrame): Boolean = {
+      val yV = st.quant.join(st.docs.select(col("doc_id").as("id")),
+        Seq("id"))
+      val dV = st.quant.join(kept.select(col("doc_id").as("id")),
+        Seq("id"))
+      val ya = IvfIndex.assignPortableWithDist(yV, st.cents)
+        .groupBy("cluster_id")
+        .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
+      val da = IvfIndex.assignPortableWithDist(dV, st.cents)
+        .groupBy("cluster_id")
+        .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
+      ya.join(da, Seq("cluster_id"))
+        .filter(dec(col("sum_d")) * dec(col("n_y")) * lit(4) >
+          dec(col("sum_y")) * dec(col("n_d")) * lit(5))
+        .limit(1).count() > 0
+    }
+    def report(night: Long, day: PipelineDeltaDay, fired: Boolean,
+        nReassigned: Long, nEvicted: Long): Seq[(Long, String, Long)] = {
+      val disp = day.ledger.groupBy("disposition")
+        .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+      def d(k: String) = disp.getOrElse(k, 0L)
+      val adm = Curation.quotaAdmitPrefix(
+        day.packed.select(col("source"), col("doc_id"),
+          col("len").as("n_tokens")),
+        "doc_id", "n_tokens", "source",
+        day.packed.groupBy("source")
+          .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
+      Seq(
+        "offered" -> day.ledger.count(),
+        "gated_out" -> d("short"), "exact_dup" -> d("exact_dup"),
+        "near_dup" -> d("near_dup"),
+        "semantic_dup" -> d("semantic_dup"),
+        "contaminated" -> d("contaminated"), "kept" -> d("kept"),
+        "seqs_touched" ->
+          day.packed.select("source", "seq_id").distinct().count(),
+        "tokens_packed" -> day.packed
+          .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head(),
+        "trigger_fired" -> (if (fired) 1L else 0L),
+        "members_reassigned" -> nReassigned,
+        "members_evicted" -> nEvicted,
+        "docs_admitted" -> adm.filter(col("admitted")).count(),
+        "docs_backlogged" -> adm.filter(!col("admitted")).count(),
+        "tokens_admitted" -> adm.filter(col("admitted"))
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head())
+        .map { case (m, v) => (night, m, v) }
+    }
+    val day1 = pipelineDeltaDay(store0,
+      docs.filter(col("doc_id") % 7 === 2))
+    val store1 = absorbPipelineDay(store0, day1)
+    val fired1 = trigger(store0, day1.kept)
+    val (store2, re1, ev1) =
+      if (!fired1) (store1, 0L, 0L)
+      else {
+        val r = retrainPipelineStore(s, store1)
+        val sV = store1.quant.join(
+          store1.docs.select(col("doc_id").as("id")), Seq("id"))
+        val fz = IvfIndex.assignPortable(sV, store1.cents)
+          .select(col("id"), col("cluster_id").as("fc"))
+        val rz = IvfIndex.assignPortable(sV, r.cents)
+          .select(col("id"), col("cluster_id").as("rc"))
+        (r, fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc"))
+          .count(), store1.docs.count() - r.docs.count())
+      }
+    val day2 = pipelineDeltaDay(store2,
+      docs.filter(col("doc_id") % 7 === 3))
+    val fired2 = trigger(store2, day2.kept)
+    (report(1L, day1, fired1, re1, ev1) ++
+      report(2L, day2, fired2, 0L, 0L))
+      .toDF("night", "metric", "value").orderBy("night", "metric")
+  }
+
   private def nightlyReportFrom(s: SparkSession, dir: String,
       dayScale: Int): DataFrame = {
     import s.implicits._
@@ -7329,7 +7427,8 @@ object SparkEntry {
       "q394_quota_carryover" -> (qQuotaCarryover _),
       "q395_store_restart" -> (qStoreRestart _),
       "q396_nightly_report" -> (qNightlyReport _),
-      "q397_encoder_shift_night" -> (qEncoderShiftNight _))
+      "q397_encoder_shift_night" -> (qEncoderShiftNight _),
+      "q398_nightly_loop" -> (qNightlyLoop _))
 
   /** Headline subset timed by Bench. q32/q44/q47 are the round-1
     * perf-weak set (formerly cartesian/driver-collect paths); q70/q77
@@ -7468,7 +7567,7 @@ object SparkEntry {
     "q391_weighted_migration", "q392_refreeze_loop",
     "q393_refreeze_repack", "q394_quota_carryover",
     "q395_store_restart", "q396_nightly_report",
-    "q397_encoder_shift_night")
+    "q397_encoder_shift_night", "q398_nightly_loop")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

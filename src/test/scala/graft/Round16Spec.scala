@@ -506,6 +506,31 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("q398: the decided two-night loop — night 1 (encoder shift) " +
+    "fires and retrains, night 2 carries no retrain rows (horizon " +
+    "ends), and per-night identities hold") {
+    val out = SparkEntry.queries("q398_nightly_loop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.size === 30, "two nights x 15 metrics")
+    assert(out((1L, "trigger_fired")) === 1L,
+      "the encoder-shift night must fire")
+    assert(out((1L, "members_reassigned")) > 0L,
+      "the retrain must move members")
+    assert(out((2L, "members_reassigned")) === 0L &&
+      out((2L, "members_evicted")) === 0L,
+      "no retrain follows night 2")
+    Seq(1L, 2L).foreach { n =>
+      assert(Seq("gated_out", "exact_dup", "near_dup", "semantic_dup",
+        "contaminated", "kept").map(m => out((n, m))).sum ===
+        out((n, "offered")), s"night $n dispositions partition")
+      assert(out((n, "docs_admitted")) + out((n, "docs_backlogged")) ===
+        out((n, "kept")), s"night $n quota covers the kept docs")
+      assert(2L * out((n, "tokens_admitted")) <=
+        out((n, "tokens_packed")), s"night $n budgets bind")
+    }
+  }
+
   // --- the nightly restarted from disk (q395) -----------------------------
 
   test("persist + cold reload is transparent: every store artifact " +
