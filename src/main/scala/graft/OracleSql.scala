@@ -11427,10 +11427,10 @@ object OracleSql {
     * g against the retained store under the new one (rc2x/rvocab).
     * Both pack against the SAME carry1 — retrain retains pack
     * history. */
-  private def refreezeChainCtes: String =
+  private def refreezeChainCtes(dayScale: Int = 1): String =
     s"""${retrainChainCtes(
           "doc_id % 7 <> 2 AND doc_id % 7 <> 3", "e",
-          "doc_id % 7 = 2")},
+          "doc_id % 7 = 2", dayScale)},
        |store1 AS MATERIALIZED (
        |  SELECT doc_id, text, source FROM y5
        |  UNION ALL SELECT doc_id, text, source FROM e5),
@@ -11479,7 +11479,7 @@ object OracleSql {
     * one, with the disposition-drift flag. */
   private val q392 =
     s"""WITH RECURSIVE
-       |$refreezeChainCtes,
+       |${refreezeChainCtes()},
        |ledf AS (${incLedgerSelect("f")}),
        |ledg AS (${incLedgerSelect("g")})
        |SELECT f.doc_id,
@@ -11496,7 +11496,7 @@ object OracleSql {
     * under both freezes, plus the token delta. */
   private val q393 =
     s"""WITH RECURSIVE
-       |$refreezeChainCtes
+       |${refreezeChainCtes()}
        |SELECT sp.source,
        |  CAST(COALESCE(fa.nd, 0) AS BIGINT) AS n_docs_frozen,
        |  CAST(COALESCE(ga.nd, 0) AS BIGINT) AS n_docs_refrozen,
@@ -12026,51 +12026,7 @@ object OracleSql {
       m -> v
     }.toMap
     s"""WITH RECURSIVE
-       |${retrainChainCtes(
-          "doc_id % 7 <> 2 AND doc_id % 7 <> 3", "e",
-          "doc_id % 7 = 2", dayScale = 2)},
-       |store1 AS MATERIALIZED (
-       |  SELECT doc_id, text, source FROM y5
-       |  UNION ALL SELECT doc_id, text, source FROM e5),
-       |smem1 AS (
-       |  SELECT * FROM ymem
-       |  UNION ALL
-       |  SELECT l.* FROM elists l JOIN e5 ON e5.doc_id = l.vec_id),
-       |sn1 AS (SELECT * FROM yn2 UNION ALL SELECT * FROM en2),
-       |ecl AS (
-       |  SELECT source, seq_id AS cs, seq_offset + len AS cf FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY rn DESC) AS rr
-       |    FROM ewalk)
-       |  WHERE rr = 1),
-       |carry1 AS (
-       |  SELECT source, cs, cf FROM ecl
-       |  UNION ALL
-       |  SELECT source, cs, cf FROM ycarry
-       |  WHERE source NOT IN (SELECT source FROM ecl)),
-       |rs AS MATERIALIZED (
-       |  SELECT * FROM store1
-       |  WHERE doc_id NOT IN (SELECT b FROM rdup)),
-       |rmem AS (SELECT l.* FROM rlists l JOIN rs ON rs.doc_id = l.vec_id),
-       |rtk AS MATERIALIZED (
-       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-       |    x -> x <> '')) AS tok
-       |  FROM rs),
-       |rvst AS (
-       |  SELECT tok, unnest(generate_series(1, len(tok))) AS s
-       |  FROM (SELECT tok FROM rtk)),
-       |rvsub AS (
-       |  SELECT substr(tok, s, l.v) AS piece
-       |  FROM rvst
-       |  JOIN (SELECT range AS v FROM range(1, 5)) l
-       |    ON s + l.v - 1 <= len(tok)),
-       |rvocab AS MATERIALIZED (
-       |  SELECT piece FROM rvsub GROUP BY piece
-       |  HAVING len(piece) = 1 OR COUNT(*) >= 2),
-       |${incDeltaCtes("f", "doc_id % 7 = 3", "store1", "smem1", "sn1",
-          "carry1")},
-       |${incDeltaCtes("g", "doc_id % 7 = 3", "rs", "rmem", "rn2x",
-          "carry1", "rc2x", "rvocab")},
+       |${refreezeChainCtes(dayScale = 2)},
        |${win("d_ylists", "y5", "ywin")},
        |${win("d_elists", "e5", "ewin")},
        |${trg("ywin", "ewin", "f1t")},

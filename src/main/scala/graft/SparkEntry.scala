@@ -5916,6 +5916,16 @@ object SparkEntry {
     * their join key: doc_id for sigs, id for members). */
   private[graft] def persistPipelineStore(st: PipelineStore,
       dir: String): Unit = {
+    // source becomes a Hive partition VALUE: an empty string would
+    // round-trip as __HIVE_DEFAULT_PARTITION__ → null and silently
+    // corrupt every downstream source-keyed join — fail loudly
+    // instead (the bounded-guard convention); numeric-looking
+    // sources are handled on the read side (explicit schema defeats
+    // partition-column type inference)
+    require(st.docs.filter(col("source").isNull ||
+        col("source") === "").limit(1).count() == 0L,
+      "persistPipelineStore: docs carry a null/empty source — not " +
+        "representable as a partition value")
     st.docs.write.mode("overwrite").partitionBy("source")
       .parquet(s"$dir/docs")
     Seq("members" -> st.members, "cents" -> st.cents,
@@ -5929,8 +5939,15 @@ object SparkEntry {
   private[graft] def loadPipelineStore(s: SparkSession, dir: String,
       quant: DataFrame): PipelineStore = {
     def r(name: String) = s.read.parquet(s"$dir/$name")
+    // explicit schema: the partition column must come back as STRING
+    // even when every source value looks numeric (inference would
+    // re-type it and break source-keyed joins against the oracle)
+    val docs = s.read
+      .schema("doc_id BIGINT, text STRING, source STRING")
+      .parquet(s"$dir/docs")
+      .select("doc_id", "text", "source")
     PipelineStore(
-      r("docs").select("doc_id", "text", "source"), r("members"),
+      docs, r("members"),
       r("cents"), r("vocab"), r("carry"), r("sigs"), r("contam"),
       quant)
   }
@@ -6027,79 +6044,105 @@ object SparkEntry {
     val base = buildPipelineStore(s, dir,
       docs.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3),
       docs)
-    val store0 = base.copy(quant = base.quant.withColumn("q",
-      when(col("id") % 7 === 2, transform(col("q"), x => x * lit(2L)))
-        .otherwise(col("q"))).localCheckpoint())
-    def dec(c: Column) = c.cast("decimal(19,0)")
-    def trigger(st: PipelineStore, kept: DataFrame): Boolean = {
-      val yV = st.quant.join(st.docs.select(col("doc_id").as("id")),
-        Seq("id"))
-      val dV = st.quant.join(kept.select(col("doc_id").as("id")),
-        Seq("id"))
-      val ya = IvfIndex.assignPortableWithDist(yV, st.cents)
-        .groupBy("cluster_id")
-        .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
-      val da = IvfIndex.assignPortableWithDist(dV, st.cents)
-        .groupBy("cluster_id")
-        .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
-      ya.join(da, Seq("cluster_id"))
-        .filter(dec(col("sum_d")) * dec(col("n_y")) * lit(4) >
-          dec(col("sum_y")) * dec(col("n_d")) * lit(5))
-        .limit(1).count() > 0
-    }
-    def report(night: Long, day: PipelineDeltaDay, fired: Boolean,
-        nReassigned: Long, nEvicted: Long): Seq[(Long, String, Long)] = {
-      val disp = day.ledger.groupBy("disposition")
-        .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
-      def d(k: String) = disp.getOrElse(k, 0L)
-      val adm = Curation.quotaAdmitPrefix(
-        day.packed.select(col("source"), col("doc_id"),
-          col("len").as("n_tokens")),
-        "doc_id", "n_tokens", "source",
-        day.packed.groupBy("source")
-          .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
-      Seq(
-        "offered" -> day.ledger.count(),
-        "gated_out" -> d("short"), "exact_dup" -> d("exact_dup"),
-        "near_dup" -> d("near_dup"),
-        "semantic_dup" -> d("semantic_dup"),
-        "contaminated" -> d("contaminated"), "kept" -> d("kept"),
-        "seqs_touched" ->
-          day.packed.select("source", "seq_id").distinct().count(),
-        "tokens_packed" -> day.packed
-          .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head(),
-        "trigger_fired" -> (if (fired) 1L else 0L),
-        "members_reassigned" -> nReassigned,
-        "members_evicted" -> nEvicted,
-        "docs_admitted" -> adm.filter(col("admitted")).count(),
-        "docs_backlogged" -> adm.filter(!col("admitted")).count(),
-        "tokens_admitted" -> adm.filter(col("admitted"))
-          .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head())
-        .map { case (m, v) => (night, m, v) }
-    }
+    val store0 = base.copy(quant =
+      scaleDayQuant(base.quant, 2L, 2).localCheckpoint())
     val day1 = pipelineDeltaDay(store0,
       docs.filter(col("doc_id") % 7 === 2))
     val store1 = absorbPipelineDay(store0, day1)
-    val fired1 = trigger(store0, day1.kept)
+    val fired1 = driftTriggerFired(store0, day1.kept)
     val (store2, re1, ev1) =
-      if (!fired1) (store1, 0L, 0L)
-      else {
-        val r = retrainPipelineStore(s, store1)
-        val sV = store1.quant.join(
-          store1.docs.select(col("doc_id").as("id")), Seq("id"))
-        val fz = IvfIndex.assignPortable(sV, store1.cents)
-          .select(col("id"), col("cluster_id").as("fc"))
-        val rz = IvfIndex.assignPortable(sV, r.cents)
-          .select(col("id"), col("cluster_id").as("rc"))
-        (r, fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc"))
-          .count(), store1.docs.count() - r.docs.count())
-      }
+      if (!fired1) (store1, 0L, 0L) else retrainWithCounts(s, store1)
     val day2 = pipelineDeltaDay(store2,
       docs.filter(col("doc_id") % 7 === 3))
-    val fired2 = trigger(store2, day2.kept)
-    (report(1L, day1, fired1, re1, ev1) ++
-      report(2L, day2, fired2, 0L, 0L))
+    val fired2 = driftTriggerFired(store2, day2.kept)
+    (nightMetrics(s, day1, fired1, re1, ev1)
+        .map { case (m, v) => (1L, m, v) } ++
+      nightMetrics(s, day2, fired2, 0L, 0L)
+        .map { case (m, v) => (2L, m, v) })
       .toDF("night", "metric", "value").orderBy("night", "metric")
+  }
+
+  /** Tonight's vectors at ×`scale` — the encoder-shift perturbation
+    * (q397/q398): day ids (doc_id % 7 == `dayMod`) scale, the store
+    * side does not. */
+  private def scaleDayQuant(quant: DataFrame, dayMod: Long,
+      scale: Int): DataFrame =
+    quant.withColumn("q",
+      when(col("id") % 7 === dayMod,
+        transform(col("q"), x => x * lit(scale.toLong)))
+        .otherwise(col("q")))
+
+  /** The q378 drift rule as the nightly's boolean: ANY cluster where
+    * the day's mean d2 under the frozen centroids exceeds 5/4 of the
+    * store members' (exact integer cross-multiply in decimal(19,0) —
+    * both sums fit a long by ANSI, so the cast is lossless). */
+  private def driftTriggerFired(st: PipelineStore,
+      kept: DataFrame): Boolean = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val yV = st.quant.join(st.docs.select(col("doc_id").as("id")),
+      Seq("id"))
+    val dV = st.quant.join(kept.select(col("doc_id").as("id")),
+      Seq("id"))
+    val ya = IvfIndex.assignPortableWithDist(yV, st.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
+    val da = IvfIndex.assignPortableWithDist(dV, st.cents)
+      .groupBy("cluster_id")
+      .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
+    ya.join(da, Seq("cluster_id"))
+      .filter(dec(col("sum_d")) * dec(col("n_y")) * lit(4) >
+        dec(col("sum_y")) * dec(col("n_d")) * lit(5))
+      .limit(1).count() > 0
+  }
+
+  /** Execute the retrain and count what it changed: (retrained store,
+    * members whose cluster moved, docs the re-screen evicted). */
+  private def retrainWithCounts(s: SparkSession,
+      store1: PipelineStore): (PipelineStore, Long, Long) = {
+    val r = retrainPipelineStore(s, store1)
+    val sV = store1.quant.join(
+      store1.docs.select(col("doc_id").as("id")), Seq("id"))
+    val fz = IvfIndex.assignPortable(sV, store1.cents)
+      .select(col("id"), col("cluster_id").as("fc"))
+    val rz = IvfIndex.assignPortable(sV, r.cents)
+      .select(col("id"), col("cluster_id").as("rc"))
+    (r, fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc")).count(),
+      store1.docs.count() - r.docs.count())
+  }
+
+  /** One night's 15-metric operator report (shared by q396/q397/q398)
+    * — every value is a 1-row/≤6-row bounded aggregate over frames
+    * the delta chain already bounds. */
+  private def nightMetrics(s: SparkSession, day: PipelineDeltaDay,
+      fired: Boolean, nReassigned: Long,
+      nEvicted: Long): Seq[(String, Long)] = {
+    import s.implicits._
+    val disp = day.ledger.groupBy("disposition")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    def d(k: String) = disp.getOrElse(k, 0L)
+    val adm = Curation.quotaAdmitPrefix(
+      day.packed.select(col("source"), col("doc_id"),
+        col("len").as("n_tokens")),
+      "doc_id", "n_tokens", "source",
+      day.packed.groupBy("source")
+        .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
+    Seq(
+      "offered" -> day.ledger.count(),
+      "gated_out" -> d("short"), "exact_dup" -> d("exact_dup"),
+      "near_dup" -> d("near_dup"),
+      "semantic_dup" -> d("semantic_dup"),
+      "contaminated" -> d("contaminated"), "kept" -> d("kept"),
+      "seqs_touched" ->
+        day.packed.select("source", "seq_id").distinct().count(),
+      "tokens_packed" -> day.packed
+        .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head(),
+      "trigger_fired" -> (if (fired) 1L else 0L),
+      "members_reassigned" -> nReassigned,
+      "members_evicted" -> nEvicted,
+      "docs_admitted" -> adm.filter(col("admitted")).count(),
+      "docs_backlogged" -> adm.filter(!col("admitted")).count(),
+      "tokens_admitted" -> adm.filter(col("admitted"))
+        .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head())
   }
 
   private def nightlyReportFrom(s: SparkSession, dir: String,
@@ -6109,74 +6152,16 @@ object SparkEntry {
     val base = buildPipelineStore(s, dir,
       docs.filter(col("doc_id") % 7 =!= 3), docs)
     val store0 = if (dayScale == 1) base
-      else base.copy(quant = base.quant.withColumn("q",
-        when(col("id") % 7 === 3,
-          transform(col("q"), x => x * lit(dayScale.toLong)))
-          .otherwise(col("q"))).localCheckpoint())
+      else base.copy(quant =
+        scaleDayQuant(base.quant, 3L, dayScale).localCheckpoint())
     val day = pipelineDeltaDay(store0,
       docs.filter(col("doc_id") % 7 === 3))
     val store1 = absorbPipelineDay(store0, day)
-    def n(df: DataFrame): Long = df.count()
-    val disp = day.ledger.groupBy("disposition")
-      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
-    def d(k: String) = disp.getOrElse(k, 0L)
-    // the q378 trigger over the night's store/day split
-    def dec(c: Column) = c.cast("decimal(19,0)")
-    val yV = store0.quant.join(
-      store0.docs.select(col("doc_id").as("id")), Seq("id"))
-    val dV = store0.quant.join(
-      day.kept.select(col("doc_id").as("id")), Seq("id"))
-    val ya = IvfIndex.assignPortableWithDist(yV, store0.cents)
-      .groupBy("cluster_id")
-      .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
-    val da = IvfIndex.assignPortableWithDist(dV, store0.cents)
-      .groupBy("cluster_id")
-      .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
-    val fired = ya.join(da, Seq("cluster_id"))
-      .filter(dec(col("sum_d")) * dec(col("n_y")) * lit(4) >
-        dec(col("sum_y")) * dec(col("n_d")) * lit(5))
-      .limit(1).count() > 0
+    val fired = driftTriggerFired(store0, day.kept)
     val (nReassigned, nEvicted) =
       if (!fired) (0L, 0L)
-      else {
-        val r = retrainPipelineStore(s, store1)
-        val sV = store1.quant.join(
-          store1.docs.select(col("doc_id").as("id")), Seq("id"))
-        val fz = IvfIndex.assignPortable(sV, store1.cents)
-          .select(col("id"), col("cluster_id").as("fc"))
-        val rz = IvfIndex.assignPortable(sV, r.cents)
-          .select(col("id"), col("cluster_id").as("rc"))
-        (n(fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc"))),
-          n(store1.docs) - n(r.docs))
-      }
-    val adm = Curation.quotaAdmitPrefix(
-      day.packed.select(col("source"), col("doc_id"),
-        col("len").as("n_tokens")),
-      "doc_id", "n_tokens", "source",
-      day.packed.groupBy("source")
-        .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
-    val admitted = adm.filter(col("admitted"))
-    val tokensAdmitted = admitted
-      .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head()
-    val seqsTouched = n(day.packed.select("source", "seq_id").distinct())
-    val tokensPacked = day.packed
-      .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head()
-    Seq(
-      "offered" -> n(day.ledger),
-      "gated_out" -> d("short"),
-      "exact_dup" -> d("exact_dup"),
-      "near_dup" -> d("near_dup"),
-      "semantic_dup" -> d("semantic_dup"),
-      "contaminated" -> d("contaminated"),
-      "kept" -> d("kept"),
-      "seqs_touched" -> seqsTouched,
-      "tokens_packed" -> tokensPacked,
-      "trigger_fired" -> (if (fired) 1L else 0L),
-      "members_reassigned" -> nReassigned,
-      "members_evicted" -> nEvicted,
-      "docs_admitted" -> n(admitted),
-      "docs_backlogged" -> n(adm.filter(!col("admitted"))),
-      "tokens_admitted" -> tokensAdmitted)
+      else { val (_, re, ev) = retrainWithCounts(s, store1); (re, ev) }
+    nightMetrics(s, day, fired, nReassigned, nEvicted)
       .toDF("metric", "value").orderBy("metric")
   }
 

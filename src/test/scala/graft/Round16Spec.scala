@@ -561,6 +561,33 @@ class Round16Spec extends SparkSpec {
       "the cold store's next night is bit-identical")
   }
 
+  test("persistPipelineStore: numeric-looking sources survive the " +
+    "partitioned round trip AS STRINGS (inference defeated), and an " +
+    "empty source fails loudly instead of corrupting to null") {
+    val (docRows, vecRows) = PipelineFixtures.cleanFamilyCorpus(1605)
+    val docsDf = docRows.toDF("doc_id", "text", "source")
+      .withColumn("source", (col("doc_id") % 2 + 7).cast("string"))
+      .localCheckpoint()
+    val quant = vecRows.map { case (i, q) => (i, q.toSeq) }
+      .toDF("id", "q").localCheckpoint()
+    val store = SparkEntry.buildPipelineStoreFrom(spark, docsDf,
+      docsDf, quant)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_store_rt_num").toString
+    SparkEntry.persistPipelineStore(store, tmp)
+    val cold = SparkEntry.loadPipelineStore(spark, tmp, quant)
+    assert(cold.docs.schema("source").dataType ===
+      org.apache.spark.sql.types.StringType,
+      "partition-column inference must not re-type source")
+    assert(rows(cold.docs) === rows(store.docs))
+    val bad = store.copy(docs = store.docs.limit(1)
+      .withColumn("source", lit("")))
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.persistPipelineStore(bad, tmp + "_bad")
+    }
+    assert(e.getMessage.contains("null/empty source"))
+  }
+
   // --- round-16 guard fixes ----------------------------------------------
 
   test("quotaAdmitPrefix rejects reserved output columns and the " +
