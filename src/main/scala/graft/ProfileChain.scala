@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Optimization-round measurement tool (guide §1: measure first) — NOT
+  * a registered query. Times every sub-stage of the pipeline store
+  * chain (the cost center behind the q362–q398 bench family) at the
+  * bench scale factor, with per-block Spark job/stage/task counts from
+  * a listener, so optimization targets are chosen from numbers instead
+  * of guesses. Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.ProfileChain"
+  */
+object ProfileChain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicLong(0); val stages = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
+
+    def time[T](name: String)(f: => T): T = {
+      val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-42s ${dt}%8.3f s  jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%3d tasks=${tasks.get - k0}%5d")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- warmup at sf0.001 (Bench convention) ----
+    val warm = "/root/testdata/sf0.001"
+    locally {
+      noop(SparkEntry.queries("q370_pipeline_delta")(spark, warm))
+      noop(SparkEntry.queries("q385_retrain_refreeze")(spark, warm))
+    }
+    println(s"[profile] warmup done; profiling at $sfDir")
+
+    // ================= fine-grained store build =================
+    // mirrors buildPipelineStoreFrom stage by stage (localCheckpoint
+    // is eager, so each assignment is a timed barrier)
+    import org.apache.spark.sql.functions.{col, lit}
+    val docsAll = time("docs load+checkpoint") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("source"))
+        .localCheckpoint()
+    }
+    val yDocs = docsAll.filter(col("doc_id") % 7 =!= 3)
+    val quant = time("quantize embeddings (lazy def)") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long").as("id"),
+          operators.Similarity.quantize16(col("embedding")).as("q"))
+    }
+    val y1 = time("store: gate") {
+      SparkEntry.pipelineGate(yDocs).localCheckpoint()
+    }
+    val y2 = time("store: exact dedup (lazy+semi)") {
+      y1.join(operators.Dedup.exact(y1, col("text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
+    }
+    val y3 = time("store: near dedup + ckpt") {
+      y2.join(operators.MinHashLSH.nearDuplicatesPortable(y2, "doc_id",
+          "text").select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    val yVecs = quant.join(y3.select(col("doc_id").as("id")), Seq("id"))
+    val cents = time("store: Lloyd train k=8 iters=2") {
+      operators.IvfIndex.trainPortable(spark, yVecs, k = 8, iters = 2)
+        .localCheckpoint()
+    }
+    val yAssigned = time("store: assign vs centroids") {
+      operators.IvfIndex.assignPortable(yVecs, cents).localCheckpoint()
+    }
+    val y4 = time("store: semdedup anti (lazy)") {
+      y3.join(operators.Similarity.semanticDupEdges(yAssigned, 3, 10)
+        .select(col("b").as("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+    }
+    val contamDrop = time("store: contamination flags") {
+      operators.Dedup.benchmarkNgramContamination(docsAll,
+          "doc_id", "text", col("doc_id") % 10 === 0, n = 8)
+        .filter(col("flagged")).select("doc_id").localCheckpoint()
+    }
+    val y5 = time("store: decontaminate + ckpt (STORE)") {
+      y4.join(contamDrop, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    val vocab = time("store: pieceVocab") {
+      operators.UnigramSegment.pieceVocab(y5, "text").localCheckpoint()
+    }
+    val yTok = time("store: greedySegment+docTokenFrame (lazy)") {
+      SparkEntry.docTokenFrame(y5,
+        operators.UnigramSegment.greedySegment(y5, "text", vocab)
+          .select(col("word"), col("n_pieces").cast("long").as("np")))
+    }
+    val carry = time("store: pack + carry") {
+      operators.Curation.packCarry(
+        operators.Curation.packSequences(yTok, "doc_id", "n_tokens",
+          "source", capacity = 256L), "doc_id", "source")
+        .localCheckpoint()
+    }
+    val members = time("store: members") {
+      yAssigned.join(y5.select(col("doc_id").as("id")), Seq("id"))
+        .localCheckpoint()
+    }
+    val sigs = time("store: signature artifact") {
+      operators.MinHashLSH.portableSignatureStore(y5, "doc_id", "text")
+        .localCheckpoint()
+    }
+    val store = SparkEntry.PipelineStore(y5, members, cents, vocab,
+      carry, sigs, contamDrop, quant)
+
+    // ================= delta day =================
+    val dDocs = docsAll.filter(col("doc_id") % 7 === 3)
+    val day = time("deltaDay TOTAL (q370 shape)") {
+      SparkEntry.pipelineDeltaDay(store, dDocs)
+    }
+    time("deltaDay: ledger noop") { noop(day.ledger) }
+
+    // ================= absorb / retrain =================
+    val store1 = time("absorbPipelineDay") {
+      SparkEntry.absorbPipelineDay(store, day)
+    }
+    time("retrainPipelineStore") {
+      SparkEntry.retrainPipelineStore(spark, store1)
+    }
+
+    // ================= coarse query-level =================
+    for (q <- Seq("q362_pipeline_composite", "q370_pipeline_delta",
+        "q373_pipeline_two_day", "q385_retrain_refreeze",
+        "q392_refreeze_loop", "q387_quota_starvation",
+        "q383_quota_admit", "q376_loader_manifest",
+        "q382_epoch_order", "q374_sigstore_cross")) {
+      time(s"QUERY $q") {
+        noop(SparkEntry.queries(q)(spark, sfDir))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -4490,7 +4490,7 @@ object SparkEntry {
     * under a FROZEN vocabulary, a word the vocab cannot span) charges
     * the ⌈len/4⌉ lower bound. Output: (doc_id, source, n_tokens),
     * token-free docs at 0. */
-  private def docTokenFrame(df: DataFrame, segs: DataFrame): DataFrame = {
+  private[graft] def docTokenFrame(df: DataFrame, segs: DataFrame): DataFrame = {
     val occs = df.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), w => w =!= ""))
         .as("tok"))
@@ -4621,7 +4621,7 @@ object SparkEntry {
     kept: DataFrame, keptMembers: DataFrame, keptSigs: DataFrame,
     packed: DataFrame)
 
-  private def pipelineGate(df: DataFrame): DataFrame =
+  private[graft] def pipelineGate(df: DataFrame): DataFrame =
     df.filter(size(split(lower(col("text")), " ")) >= 40)
 
   /** Build the frozen store by running the FULL chain over `yDocs`
@@ -4630,7 +4630,7 @@ object SparkEntry {
     * (flags computed over the FULL corpus `docs`, the fixed %10 bench
     * convention) → freeze vocab, pack carry, and the signature
     * artifact over the curated survivors. */
-  private def buildPipelineStore(s: SparkSession, dir: String,
+  private[graft] def buildPipelineStore(s: SparkSession, dir: String,
       yDocs: DataFrame, docs: DataFrame): PipelineStore =
     buildPipelineStoreFrom(s, yDocs, docs,
       Tables.embeddings(s, dir)
