@@ -79,17 +79,25 @@ object ProfileChain {
     val y1 = time("store: gate") {
       SparkEntry.pipelineGate(yDocs).localCheckpoint()
     }
-    val y2 = time("store: exact dedup (lazy+semi)") {
+    val y2 = time("store: exact dedup + ckpt") {
       y1.join(operators.Dedup.exact(y1, col("text"), col("doc_id"))
         .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
+        .localCheckpoint()
+    }
+    val sigY2 = time("store: sign-once signature ckpt") {
+      operators.MinHashLSH.portableSignatureStore(y2, "doc_id", "text")
+        .localCheckpoint()
     }
     val y3 = time("store: near dedup + ckpt") {
-      y2.join(operators.MinHashLSH.nearDuplicatesPortable(y2, "doc_id",
-          "text").select(col("b").as("doc_id")).distinct(),
+      y2.join(operators.MinHashLSH.nearDuplicatesFromSigStore(sigY2,
+          y2, "doc_id", "text").select(col("b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .localCheckpoint()
     }
-    val yVecs = quant.join(y3.select(col("doc_id").as("id")), Seq("id"))
+    val yVecs = time("store: yVecs ckpt") {
+      quant.join(y3.select(col("doc_id").as("id")), Seq("id"))
+        .localCheckpoint()
+    }
     val cents = time("store: Lloyd train k=8 iters=2") {
       operators.IvfIndex.trainPortable(spark, yVecs, k = 8, iters = 2)
         .localCheckpoint()
@@ -128,8 +136,8 @@ object ProfileChain {
       yAssigned.join(y5.select(col("doc_id").as("id")), Seq("id"))
         .localCheckpoint()
     }
-    val sigs = time("store: signature artifact") {
-      operators.MinHashLSH.portableSignatureStore(y5, "doc_id", "text")
+    val sigs = time("store: signature artifact (slice)") {
+      sigY2.join(y5.select("doc_id"), Seq("doc_id"), "semi")
         .localCheckpoint()
     }
     val store = SparkEntry.PipelineStore(y5, members, cents, vocab,
@@ -137,6 +145,21 @@ object ProfileChain {
 
     // ================= delta day =================
     val dDocs = docsAll.filter(col("doc_id") % 7 === 3)
+    time("delta: gate+exact+sig+nearDrop (isolated)") {
+      val d1 = SparkEntry.pipelineGate(dDocs).localCheckpoint()
+      val d2 = d1.join(operators.Dedup.exact(d1, col("text"),
+          col("doc_id")).select(col("keeper_id").as("doc_id")),
+          Seq("doc_id"), "semi")
+        .join(d1.join(store.docs.select("text"), Seq("text"), "semi")
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val sigD2 = operators.MinHashLSH.portableSignatureStore(d2,
+        "doc_id", "text").localCheckpoint()
+      d2.join(operators.MinHashLSH.deltaNearDropIdsFromSig(store.sigs,
+          store.docs, sigD2, d2, "doc_id", "text"), Seq("doc_id"),
+          "left_anti")
+        .localCheckpoint()
+    }
     val day = time("deltaDay TOTAL (q370 shape)") {
       SparkEntry.pipelineDeltaDay(store, dDocs)
     }

@@ -4192,6 +4192,7 @@ object SparkEntry {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id").cast("long").as("id"),
         Similarity.quantize16(col("embedding")).as("q"))
+      .localCheckpoint() // round-16: Lloyd re-reads this 4×
     val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
     // the self-join in semanticDupEdges (and q350's component pass)
     // reads the assignment more than once — pin the Lloyd chain to one
@@ -4458,6 +4459,7 @@ object SparkEntry {
       .select(col("vec_id").cast("long").as("id"),
         Similarity.quantize16(col("embedding")).as("q"))
       .join(s3.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint() // round-16: Lloyd re-reads this 4×
     val assigned = IvfIndex.assignPortable(vecs,
         IvfIndex.trainPortable(s, vecs, k = 8, iters = 2))
       .localCheckpoint()
@@ -4494,7 +4496,12 @@ object SparkEntry {
     val occs = df.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), w => w =!= ""))
         .as("tok"))
-    val counts = occs.join(segs, occs("tok") === segs("word"), "left")
+    // round-16: segs is the distinct-word segment table — vocab-
+    // bounded by the same ≤5M contract as the broadcast DP that
+    // produced it, so broadcast it explicitly and the occurrence
+    // stream never shuffles for this join (guide §3.1)
+    val counts = occs.join(broadcast(segs),
+        occs("tok") === segs("word"), "left")
       .groupBy("doc_id")
       .agg(sum(when(col("np").isNotNull, col("np"))
         .otherwise(expr("CAST((length(tok) + 3) DIV 4 AS BIGINT)")))
@@ -4509,16 +4516,29 @@ object SparkEntry {
     val st = pipelineStages(s, dir)
     import st._
     // ---- the audit (exact scalars over the checkpointed stages) ----
-    def cnt(df: DataFrame): Long = df.count()
-    def chars(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
-    val charsRaw = math.max(chars(docs), 1L)
-    val totTokens = s5tok.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-      .head.getLong(0)
-    val nSeqs = packed.groupBy("source")
-      .agg((max(col("seq_id")) + 1L).as("ns"))
-      .agg(coalesce(sum(col("ns")), lit(0L))).head.getLong(0)
-    val sizes = Seq(docs, s1, s2, s3, s4, s5).map(d => (cnt(d), chars(d)))
+    // round-16: ONE driver action for all 14 scalars — each stage
+    // aggregate is a one-row frame over an already-checkpointed stage,
+    // so cross-joining them and collecting once replaces 14 sequential
+    // jobs (count, sum pairs) with a single plan the scheduler runs in
+    // one submission; the aggregates themselves are unchanged
+    val stageFrames = Seq(docs, s1, s2, s3, s4, s5)
+    val scalarRow = stageFrames.zipWithIndex
+      .map { case (d, i) =>
+        d.agg(count(lit(1)).as(s"c$i"),
+          coalesce(sum(col("n_chars")), lit(0L)).as(s"h$i"))
+      }
+      .reduce(_ crossJoin _)
+      .crossJoin(s5tok.agg(coalesce(sum(col("n_tokens")), lit(0L))
+        .as("tok")))
+      .crossJoin(packed.groupBy("source")
+        .agg((max(col("seq_id")) + 1L).as("ns"))
+        .agg(coalesce(sum(col("ns")), lit(0L)).as("nsq")))
+      .head
+    val charsRaw = math.max(scalarRow.getLong(1), 1L)
+    val totTokens = scalarRow.getLong(12)
+    val nSeqs = scalarRow.getLong(13)
+    val sizes = (0 until 6).map(i =>
+      (scalarRow.getLong(2 * i), scalarRow.getLong(2 * i + 1)))
     val names = Seq("raw", "curate", "exact_dedup", "near_dedup",
       "semantic_dedup", "decontaminate")
     val gateRows = names.zipWithIndex.map { case (nm, i) =>
@@ -4551,25 +4571,10 @@ object SparkEntry {
   private def qPipelineDisposition(s: SparkSession,
       dir: String): DataFrame = {
     val st = pipelineStages(s, dir)
-    def mark(df: DataFrame, name: String) =
-      df.select(col("doc_id")).withColumn(name, lit(true))
-    st.docs.select("doc_id")
-      .join(mark(st.s1, "_g1"), Seq("doc_id"), "left")
-      .join(mark(st.s2, "_g2"), Seq("doc_id"), "left")
-      .join(mark(st.s3, "_g3"), Seq("doc_id"), "left")
-      .join(mark(st.s4, "_g4"), Seq("doc_id"), "left")
-      .join(mark(st.s5, "_g5"), Seq("doc_id"), "left")
-      .join(st.packed.select(col("doc_id"), col("seq_id"),
-        col("seq_offset")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("_g1").isNull, "short")
-          .when(col("_g2").isNull, "exact_dup")
-          .when(col("_g3").isNull, "near_dup")
-          .when(col("_g4").isNull, "semantic_dup")
-          .when(col("_g5").isNull, "contaminated")
-          .otherwise("kept").as("disposition"),
-        coalesce(col("seq_id"), lit(-1L)).as("seq_id"),
-        coalesce(col("seq_offset"), lit(-1L)).as("seq_offset"))
+    // round-16: the six-way left-join chain became the shared
+    // [[stageDepthLedger]] tagged-union aggregation (one exchange)
+    stageDepthLedger(st.docs,
+        Seq(st.s1, st.s2, st.s3, st.s4, st.s5), st.packed)
       .orderBy("doc_id")
   }
 
@@ -4624,6 +4629,41 @@ object SparkEntry {
   private[graft] def pipelineGate(df: DataFrame): DataFrame =
     df.filter(size(split(lower(col("text")), " ")) >= 40)
 
+  /** Round-16 disposition ledger (shared by q368's composite chain
+    * and every delta day): the pipeline's survivor sets are NESTED,
+    * so a doc's disposition is decided by the DEEPEST set containing
+    * it. One tagged union + one groupBy(doc_id) — a single exchange —
+    * replaces the previous six-way left-join chain; the packed
+    * (seq_id, seq_offset) address rides the same aggregation (each
+    * doc has at most one packed row, so max over the lone non-null
+    * value is that value). Row-identical to the join form. */
+  private[graft] def stageDepthLedger(all: DataFrame,
+      stages: Seq[DataFrame], packed: DataFrame): DataFrame = {
+    def tagged(df: DataFrame, depth: Int): DataFrame =
+      df.select(col("doc_id"), lit(depth.toLong).as("_depth"),
+        lit(null).cast("long").as("_sq"),
+        lit(null).cast("long").as("_off"))
+    (tagged(all, 0) +: stages.zipWithIndex.map { case (d, i) =>
+        tagged(d, i + 1) })
+      .reduce(_ unionByName _)
+      .unionByName(packed.select(col("doc_id"),
+        lit(stages.length + 1L).as("_depth"),
+        col("seq_id").cast("long").as("_sq"),
+        col("seq_offset").cast("long").as("_off")))
+      .groupBy("doc_id")
+      .agg(max(col("_depth")).as("_d"), max(col("_sq")).as("_sq2"),
+        max(col("_off")).as("_off2"))
+      .select(col("doc_id"),
+        when(col("_d") === 0L, "short")
+          .when(col("_d") === 1L, "exact_dup")
+          .when(col("_d") === 2L, "near_dup")
+          .when(col("_d") === 3L, "semantic_dup")
+          .when(col("_d") === 4L, "contaminated")
+          .otherwise("kept").as("disposition"),
+        coalesce(col("_sq2"), lit(-1L)).as("seq_id"),
+        coalesce(col("_off2"), lit(-1L)).as("seq_offset"))
+  }
+
   /** Build the frozen store by running the FULL chain over `yDocs`
     * (yesterday's corpus) once: gate → exact dedup → within-store
     * near dedup → Lloyd train + SemDeDup → benchmark decontamination
@@ -4646,11 +4686,25 @@ object SparkEntry {
     val y1 = pipelineGate(yDocs).localCheckpoint()
     val y2 = y1.join(Dedup.exact(y1, col("text"), col("doc_id"))
       .select(col("keeper_id").as("doc_id")), Seq("doc_id"), "semi")
-    val y3 = y2.join(MinHashLSH.nearDuplicatesPortable(y2, "doc_id",
-        "text").select(col("b").as("doc_id")).distinct(),
+      .localCheckpoint()
+    // round-16 sign-once: the store corpus is tokenized+signed
+    // EXACTLY once — the same checkpointed frame drives the
+    // within-store near-dup band joins here and, sliced to the final
+    // survivors below, IS the frozen q374 signature artifact (the
+    // signature is a per-doc function, so the slice is bit-equal to
+    // re-signing y5 — the artifact contract). The old shape paid a
+    // second full tokenize+signature pass for the artifact.
+    val sigY2 = MinHashLSH.portableSignatureStore(y2, "doc_id", "text")
+      .localCheckpoint()
+    val y3 = y2.join(MinHashLSH.nearDuplicatesFromSigStore(sigY2, y2,
+        "doc_id", "text").select(col("b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    // round-16: checkpointed — Lloyd's seed scan, each training
+    // iteration, and the assignment below each re-evaluated this
+    // corpus-sized join (2 exchanges a time) through the lazy lineage
     val yVecs = quant.join(y3.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint()
     val cents = IvfIndex.trainPortable(s, yVecs, k = 8, iters = 2)
       .localCheckpoint() // FROZEN
     val yAssigned = IvfIndex.assignPortable(yVecs, cents)
@@ -4674,8 +4728,8 @@ object SparkEntry {
     val members = yAssigned
       .join(y5.select(col("doc_id").as("id")), Seq("id"))
       .localCheckpoint()
-    val sigs = MinHashLSH.portableSignatureStore(y5, "doc_id", "text")
-      .localCheckpoint() // the near-dup ARTIFACT (q374)
+    val sigs = sigY2.join(y5.select("doc_id"), Seq("doc_id"), "semi")
+      .localCheckpoint() // the near-dup ARTIFACT (q374) — see sigY2
     PipelineStore(y5, members, cents, vocab, carry, sigs, contamDrop,
       quant)
   }
@@ -4701,14 +4755,16 @@ object SparkEntry {
     val d2 = d1.join(dKeepers, Seq("doc_id"), "semi")
       .join(exactVsStore, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val crossNear = MinHashLSH.crossNearDuplicatesFromStore(store.sigs,
-        store.docs, d2, "doc_id", "text")
-      .select(col("b_id").as("doc_id")).distinct()
-    val deltaNear = MinHashLSH.nearDuplicatesPortable(d2, "doc_id",
-        "text")
-      .select(col("b").as("doc_id")).distinct()
-    val d3 = d2.join(crossNear.union(deltaNear).distinct(),
-        Seq("doc_id"), "left_anti")
+    // round-16 sign-once: the delta batch is tokenized+signed EXACTLY
+    // once; the checkpointed frame drives both near-dup passes (vs
+    // the store artifact and within the delta) and, sliced to the
+    // kept docs below, becomes the day's absorbed signature rows —
+    // the old shape signed d2 twice and re-signed d5
+    val sigD2 = MinHashLSH.portableSignatureStore(d2, "doc_id", "text")
+      .localCheckpoint()
+    val d3 = d2.join(MinHashLSH.deltaNearDropIdsFromSig(store.sigs,
+        store.docs, sigD2, d2, "doc_id", "text"), Seq("doc_id"),
+        "left_anti")
       .localCheckpoint()
     val dVecs = store.quant.join(d3.select(col("doc_id").as("id")),
       Seq("id"))
@@ -4731,7 +4787,8 @@ object SparkEntry {
     val deltaSem = Similarity.semanticDupEdges(dAssigned, 3, 10)
       .select(col("b").as("doc_id")).distinct()
     val d4 = d3.join(crossSem.union(deltaSem).distinct(),
-      Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // round-16: read by d5 AND the depth ledger
     val d5 = d4.join(store.contamDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val dTok = docTokenFrame(d5,
@@ -4740,29 +4797,19 @@ object SparkEntry {
     val dPacked = Curation.packSequencesContinued(dTok, "doc_id",
       "n_tokens", "source", capacity = 256L, store.carry)
       .localCheckpoint()
-    def mark(df: DataFrame, name: String) =
-      df.select(col("doc_id")).withColumn(name, lit(true))
-    val ledger = dDocs.select("doc_id")
-      .join(mark(d1, "_g1"), Seq("doc_id"), "left")
-      .join(mark(d2, "_g2"), Seq("doc_id"), "left")
-      .join(mark(d3, "_g3"), Seq("doc_id"), "left")
-      .join(mark(d4, "_g4"), Seq("doc_id"), "left")
-      .join(mark(d5, "_g5"), Seq("doc_id"), "left")
-      .join(dPacked.select(col("doc_id"), col("seq_id"),
-        col("seq_offset")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("_g1").isNull, "short")
-          .when(col("_g2").isNull, "exact_dup")
-          .when(col("_g3").isNull, "near_dup")
-          .when(col("_g4").isNull, "semantic_dup")
-          .when(col("_g5").isNull, "contaminated")
-          .otherwise("kept").as("disposition"),
-        coalesce(col("seq_id"), lit(-1L)).as("seq_id"),
-        coalesce(col("seq_offset"), lit(-1L)).as("seq_offset"))
+    // round-16 ledger (guide §2.4): the five stage sets are NESTED
+    // (d5 ⊆ d4 ⊆ … ⊆ d1 ⊆ dDocs), so the disposition is a pure
+    // function of the DEEPEST set containing the doc — a tagged union
+    // + one groupBy(doc_id) replaces six left joins (one exchange
+    // instead of a 6-join SMJ chain; the pack address rides the same
+    // aggregation as the packed row's max). Row-for-row identical to
+    // the join form.
+    val ledger = stageDepthLedger(dDocs,
+      Seq(d1, d2, d3, d4, d5), dPacked)
     val keptMembers = dAssigned
       .join(d5.select(col("doc_id").as("id")), Seq("id"))
-    val keptSigs = MinHashLSH.portableSignatureStore(d5, "doc_id",
-      "text")
+    val keptSigs = sigD2.join(d5.select("doc_id"), Seq("doc_id"),
+      "semi") // sign-once: the d2 frame sliced to kept docs
     PipelineDeltaDay(ledger, d5, keptMembers, keptSigs, dPacked)
   }
 
@@ -5403,6 +5450,7 @@ object SparkEntry {
       store: PipelineStore): PipelineStore = {
     val vecs = store.quant
       .join(store.docs.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint() // round-16: Lloyd re-reads this 4×
     val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
       .localCheckpoint()
     val assigned = IvfIndex.assignPortable(vecs, cents)
@@ -5446,6 +5494,7 @@ object SparkEntry {
     val r = retrainPipelineStore(s, store1)
     val vecs = store1.quant
       .join(store1.docs.select(col("doc_id").as("id")), Seq("id"))
+      .localCheckpoint() // round-16: read by both assignment passes
     val fa = IvfIndex.assignPortableWithDist(vecs, store1.cents)
       .localCheckpoint()
     val ra = IvfIndex.assignPortableWithDist(vecs, r.cents)
@@ -6106,8 +6155,15 @@ object SparkEntry {
       .select(col("id"), col("cluster_id").as("fc"))
     val rz = IvfIndex.assignPortable(sV, r.cents)
       .select(col("id"), col("cluster_id").as("rc"))
-    (r, fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc")).count(),
-      store1.docs.count() - r.docs.count())
+    // round-16: one driver action for the three counters (the q362
+    // scalar-collapse convention — the frames are checkpointed, the
+    // aggregates are one-row)
+    val row = fz.join(rz, Seq("id")).filter(col("fc") =!= col("rc"))
+      .agg(count(lit(1)).as("moved"))
+      .crossJoin(store1.docs.agg(count(lit(1)).as("n1")))
+      .crossJoin(r.docs.agg(count(lit(1)).as("nr")))
+      .head
+    (r, row.getLong(0), row.getLong(1) - row.getLong(2))
   }
 
   /** One night's 15-metric operator report (shared by q396/q397/q398)
@@ -6116,33 +6172,48 @@ object SparkEntry {
   private def nightMetrics(s: SparkSession, day: PipelineDeltaDay,
       fired: Boolean, nReassigned: Long,
       nEvicted: Long): Seq[(String, Long)] = {
-    import s.implicits._
-    val disp = day.ledger.groupBy("disposition")
-      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
-    def d(k: String) = disp.getOrElse(k, 0L)
     val adm = Curation.quotaAdmitPrefix(
       day.packed.select(col("source"), col("doc_id"),
         col("len").as("n_tokens")),
       "doc_id", "n_tokens", "source",
       day.packed.groupBy("source")
-        .agg(expr("sum(len) div 2L").as("budget"))).localCheckpoint()
+        .agg(expr("sum(len) div 2L").as("budget")))
+    // round-16: the whole report is ONE driver action (the q362
+    // scalar-collapse convention): disposition counts become
+    // conditional sums in a single pass over the ledger, the pack and
+    // admission tallies one pass each, cross-joined into one row —
+    // the previous shape paid ~9 sequential jobs for the same values
+    def dsum(name: String) = coalesce(
+      sum(when(col("disposition") === name, 1L).otherwise(0L)), lit(0L))
+    val row = day.ledger.agg(count(lit(1)).as("offered"),
+        dsum("short").as("g"), dsum("exact_dup").as("e"),
+        dsum("near_dup").as("nd"), dsum("semantic_dup").as("sd"),
+        dsum("contaminated").as("ct"), dsum("kept").as("k"))
+      .crossJoin(day.packed.agg(
+        countDistinct(col("source"), col("seq_id")).as("seqs"),
+        coalesce(sum(col("len")), lit(0L)).as("toks")))
+      .crossJoin(adm.agg(
+        coalesce(sum(when(col("admitted"), 1L).otherwise(0L)), lit(0L))
+          .as("da"),
+        coalesce(sum(when(!col("admitted"), 1L).otherwise(0L)), lit(0L))
+          .as("db"),
+        coalesce(sum(when(col("admitted"), col("n_tokens"))),
+          lit(0L)).as("ta")))
+      .head
     Seq(
-      "offered" -> day.ledger.count(),
-      "gated_out" -> d("short"), "exact_dup" -> d("exact_dup"),
-      "near_dup" -> d("near_dup"),
-      "semantic_dup" -> d("semantic_dup"),
-      "contaminated" -> d("contaminated"), "kept" -> d("kept"),
-      "seqs_touched" ->
-        day.packed.select("source", "seq_id").distinct().count(),
-      "tokens_packed" -> day.packed
-        .agg(coalesce(sum(col("len")), lit(0L))).as[Long].head(),
+      "offered" -> row.getLong(0),
+      "gated_out" -> row.getLong(1), "exact_dup" -> row.getLong(2),
+      "near_dup" -> row.getLong(3),
+      "semantic_dup" -> row.getLong(4),
+      "contaminated" -> row.getLong(5), "kept" -> row.getLong(6),
+      "seqs_touched" -> row.getLong(7),
+      "tokens_packed" -> row.getLong(8),
       "trigger_fired" -> (if (fired) 1L else 0L),
       "members_reassigned" -> nReassigned,
       "members_evicted" -> nEvicted,
-      "docs_admitted" -> adm.filter(col("admitted")).count(),
-      "docs_backlogged" -> adm.filter(!col("admitted")).count(),
-      "tokens_admitted" -> adm.filter(col("admitted"))
-        .agg(coalesce(sum(col("n_tokens")), lit(0L))).as[Long].head())
+      "docs_admitted" -> row.getLong(9),
+      "docs_backlogged" -> row.getLong(10),
+      "tokens_admitted" -> row.getLong(11))
   }
 
   private def nightlyReportFrom(s: SparkSession, dir: String,

@@ -308,59 +308,105 @@ object MinHashLSH {
     * unigram sets are too coherent on real corpora to discriminate
     * near-dups); the token array is bound in a projection first (the
     * repo-wide lambda-binding discipline) so the split runs once per
-    * row. Shared by [[nearDuplicatesPortable]] and
-    * [[bandSweepAudit]]. */
+    * row. Round-16 (guide §2.4, the [[Dedup.shinglePostings]]
+    * lesson): distinctness here is PER DOCUMENT (doc_id is part of
+    * the key), so `array_distinct` inside the per-row shingle array
+    * does the whole job map-side — the corpus-wide `.distinct()`
+    * shuffle the old shape paid before every signature/verify pass
+    * was pure waste. Zero exchanges. */
   private[graft] def portableToks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("ws")) - 3),
           i => concat_ws(" ",
             element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
-            element_at(col("ws"), i + 3)))).as("tok"))
-      .distinct()
+            element_at(col("ws"), i + 3))))).as("tok"))
 
-  /** Portable k=8 MinHash signature (doc_id, m0..m7): char-fold token
-    * hash (q26/q132 convention), fixed literal affine permutations —
-    * bit-for-bit DuckDB-replayable. */
+  /** Portable k=8 MinHash signature (doc_id, m0..m7, n): char-fold
+    * token hash (q26/q132 convention), fixed literal affine
+    * permutations — bit-for-bit DuckDB-replayable. `n` is the doc's
+    * distinct-shingle count, folded into the SAME aggregation
+    * (round-16, guide §2.4): every consumer needs the set size for
+    * the Jaccard verify, and computing it here removes a second
+    * groupBy over the full posting list plus two size joins from each
+    * near-dup operator. */
   private[graft] def portableSignature(toks: DataFrame): DataFrame = {
     // the native codegen'd fold — bit-pinned to the declarative
     // aggregate(split(...)) idiom and the DuckDB list_reduce replay
     // (NativeExprSpec); zero per-char array allocation on the path
-    // that hashes every shingle of the corpus
+    // that hashes every shingle of the corpus.
+    // Input is [[portableToks]]'s map-side-distinct posting stream,
+    // so the set size is a plain count in the SAME aggregation — one
+    // exchange on doc_id covers signature and size together.
     val hashed = toks.withColumn("h", org.apache.spark.sql.graft.CharFoldHash.column(col("tok")))
     val minAggs = (0 until 8).map { j =>
       min(pmod(col("h") * PortA(j) + PortB(j), lit(PortP))).as(s"m$j")
-    }
+    } :+ count(lit(1)).as("n")
     hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** Round-16 shape (guide §1.2 — fix the distributed algorithm):
+    * ONE tokenize+signature pass over the corpus (checkpointed: the
+    * old plan re-ran the full tokenize+distinct+aggregate subtree
+    * once per band-join SIDE — column pruning made each instance
+    * canonically distinct, so no exchange reuse fired and the corpus
+    * was scanned/hashed ~8×), band pairs carry both set sizes off the
+    * signature rows, and the exact-Jaccard verify tokenizes ONLY the
+    * candidate docs (the q374 semi-join-slice stance applied to the
+    * self-join: at 100 TB the verify's distinct-shingle shuffle is
+    * candidate-sized, not corpus-sized). Output unchanged. */
   def nearDuplicatesPortable(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = portableToks(docs, idCol, textCol)
-    val sig = portableSignature(toks)
-    def bandPairs(cols: Seq[String]): DataFrame = {
-      val a = sig.select((("doc_id" +: cols)).map(col): _*).toDF(
-        "a" +: cols: _*)
-      val b = sig.select((("doc_id" +: cols)).map(col): _*).toDF(
-        "b" +: cols: _*)
-      a.join(b, cols).filter(col("a") < col("b")).select("a", "b")
-    }
-    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
-      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+      textCol: String): DataFrame =
+    selfPairsFromSig(
+      portableSignature(portableToks(docs, idCol, textCol))
+        .localCheckpoint(),
+      docs, idCol, textCol)
+
+  /** The (doc_id, n, bno, k0..k3) banded view of a portable k=8
+    * signature frame: each row explodes into its two 4-row bands, so
+    * ONE equi-join on (bno, k0..k3) produces the pairs both separate
+    * band joins produced (round-16: halves the join count of every
+    * near-dup pass; a pair agreeing on both bands surfaces twice and
+    * the existing distinct dedups it, exactly as the union did). */
+  private def bandedView(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("n"), explode(array(
+        struct(lit(0L).as("bno"), col("m0").as("k0"),
+          col("m1").as("k1"), col("m2").as("k2"), col("m3").as("k3")),
+        struct(lit(1L).as("bno"), col("m4").as("k0"),
+          col("m5").as("k1"), col("m6").as("k2"), col("m7").as("k3"))))
+        .as("b"))
+      .select(col("doc_id"), col("n"), col("b.bno").as("bno"),
+        col("b.k0").as("k0"), col("b.k1").as("k1"),
+        col("b.k2").as("k2"), col("b.k3").as("k3"))
+
+  private val bandKey = Seq("bno", "k0", "k1", "k2", "k3")
+
+  /** Within-set band pairs + candidate-sliced exact-Jaccard verify
+    * over a precomputed (checkpointed) signature frame — the shared
+    * body of [[nearDuplicatesPortable]] and [[deltaNearDropIds]]. */
+  private def selfPairsFromSig(sig: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val banded = bandedView(sig)
+    val cands = banded.toDF(("a" +: "na" +: bandKey): _*)
+      .join(banded.toDF(("b" +: "nb" +: bandKey): _*), bandKey)
+      .filter(col("a") < col("b"))
+      .select("a", "b", "na", "nb")
       .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(toks.toDF("a", "tok"), Seq("a"))
-      .join(toks.toDF("b", "tok"), Seq("b", "tok")) // equi on (b, tok)
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("a", "na"), Seq("a"))
-      .join(sizes.toDF("b", "nb"), Seq("b"))
+    // a semi join dedups the id stream itself — no distinct exchange
+    val candIds = cands.select(col("a").as(idCol))
+      .union(cands.select(col("b").as(idCol)))
+    val candToks = portableToks(
+        docs.join(candIds, Seq(idCol), "semi"), idCol, textCol)
+      .localCheckpoint()
+    cands
+      .join(candToks.toDF("a", "tok"), Seq("a"))
+      .join(candToks.toDF("b", "tok"), Seq("b", "tok")) // equi (b, tok)
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("a", "b", "inter", "uni")
@@ -455,28 +501,28 @@ object MinHashLSH {
     * verified pairs. */
   def crossNearDuplicatesPortable(store: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val tS = portableToks(store, idCol, textCol)
-    val tB = portableToks(batch, idCol, textCol)
-    val sS = portableSignature(tS)
-    val sB = portableSignature(tB)
-    def bandPairs(cols: Seq[String]): DataFrame = {
-      val b = sB.select(("doc_id" +: cols).map(col): _*)
-        .toDF("b_id" +: cols: _*)
-      val s = sS.select(("doc_id" +: cols).map(col): _*)
-        .toDF("s_id" +: cols: _*)
-      b.join(s, cols).select("b_id", "s_id")
-    }
-    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
-      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+    // round-16: one signature pass per side (checkpointed — see
+    // [[nearDuplicatesPortable]]), sizes ride the band join, and the
+    // verify tokenizes only each side's CANDIDATE docs
+    val sS = portableSignature(portableToks(store, idCol, textCol))
+      .localCheckpoint()
+    val sB = portableSignature(portableToks(batch, idCol, textCol))
+      .localCheckpoint()
+    val cands = bandedView(sB).toDF(("b_id" +: "nb" +: bandKey): _*)
+      .join(bandedView(sS).toDF(("s_id" +: "ns" +: bandKey): _*),
+        bandKey)
+      .select("b_id", "s_id", "nb", "ns")
       .distinct()
-    val nS = tS.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val nB = tB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val tBc = portableToks(batch.join(
+        cands.select(col("b_id").as(idCol)),
+        Seq(idCol), "semi"), idCol, textCol)
+    val tSc = portableToks(store.join(
+        cands.select(col("s_id").as(idCol)),
+        Seq(idCol), "semi"), idCol, textCol)
     cands
-      .join(tB.toDF("b_id", "tok"), Seq("b_id"))
-      .join(tS.toDF("s_id", "tok"), Seq("s_id", "tok"))
-      .groupBy("b_id", "s_id").agg(count(lit(1)).as("inter"))
-      .join(nB.toDF("b_id", "nb"), Seq("b_id"))
-      .join(nS.toDF("s_id", "ns"), Seq("s_id"))
+      .join(tBc.toDF("b_id", "tok"), Seq("b_id"))
+      .join(tSc.toDF("s_id", "tok"), Seq("s_id", "tok"))
+      .groupBy("b_id", "s_id", "nb", "ns").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("nb") + col("ns") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("b_id", "s_id", "inter", "uni")
@@ -493,12 +539,11 @@ object MinHashLSH {
     * [[portableSignature]] skips, so the artifact is the recompute
     * path's signature frame bit-for-bit (spec-pinned). */
   def portableSignatureStore(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = portableToks(docs, idCol, textCol)
-    portableSignature(toks)
-      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks")),
-        Seq("doc_id"))
-  }
+      textCol: String): DataFrame =
+    // n_toks is the signature aggregation's own n (round-16) — the
+    // artifact is ONE pass over the posting list, not two plus a join
+    portableSignature(portableToks(docs, idCol, textCol))
+      .withColumnRenamed("n", "n_toks")
 
   /** [[crossNearDuplicatesPortable]] reading the STORE side from a
     * persisted [[portableSignatureStore]] artifact instead of
@@ -524,45 +569,144 @@ object MinHashLSH {
     *                  verify-candidate shingles */
   def crossNearDuplicatesFromStore(sigStore: DataFrame,
       storeDocs: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val tB = portableToks(batch, idCol, textCol)
-    val sB = portableSignature(tB)
-    def bandPairs(cols: Seq[String]): DataFrame = {
-      val b = sB.select(("doc_id" +: cols).map(col): _*)
-        .toDF("b_id" +: cols: _*)
-      val s = sigStore.select(("doc_id" +: cols).map(col): _*)
-        .toDF("s_id" +: cols: _*)
-      b.join(s, cols).select("b_id", "s_id")
-    }
-    val cands = bandPairs(Seq("m0", "m1", "m2", "m3"))
-      .union(bandPairs(Seq("m4", "m5", "m6", "m7")))
+      textCol: String): DataFrame =
+    // round-16: the batch signature pass runs ONCE (checkpointed —
+    // see [[nearDuplicatesPortable]]); both sides' set sizes ride the
+    // band join (batch n from the signature aggregation, store n_toks
+    // from the artifact), and BOTH verify sides are candidate-sliced
+    crossFromStoreWithSig(sigStore, storeDocs,
+      portableSignature(portableToks(batch, idCol, textCol))
+        .localCheckpoint(),
+      batch, idCol, textCol)
+
+  /** [[crossNearDuplicatesFromStore]] body over a precomputed
+    * (checkpointed) batch signature frame — shared with
+    * [[deltaNearDropIds]] so the incremental day signs its batch
+    * exactly once. */
+  private def crossFromStoreWithSig(sigStore: DataFrame,
+      storeDocs: DataFrame, sB: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bandedB = bandedView(sB)
+    val bandedS = bandedView(sigStore.withColumnRenamed("n_toks", "n"))
+    val cands = bandedB.toDF(("b_id" +: "nb" +: bandKey): _*)
+      .join(bandedS.toDF(("s_id" +: "ns" +: bandKey): _*), bandKey)
+      .select("b_id", "s_id", "nb", "ns")
       .distinct()
     // artifact/store drift fails loudly: every banded candidate must
     // resolve to a store doc (assert_true raises mid-execution on a
-    // null marker; the filter keeps the check out of column pruning)
-    val candIds = cands.select(col("s_id").as(idCol)).distinct()
-      .join(storeDocs.select(col(idCol), lit(true).as("_present")),
-        Seq(idCol), "left")
+    // null marker; the filter keeps the check out of column pruning).
+    // The SAME guarded left join carries the candidate docs' text
+    // through — store text is read ONLY for the candidate docs.
+    val candStoreDocs = cands.select(col("s_id").as(idCol)).distinct()
+      .join(storeDocs.withColumn("_present", lit(true)), Seq(idCol),
+        "left")
       .filter(assert_true(col("_present"),
         lit("crossNearDuplicatesFromStore: the signature artifact " +
           "references a doc absent from storeDocs — artifact/store " +
           "drift; re-extend the artifact on every absorb")).isNull)
-      .select(idCol)
-    // store text is read ONLY for the candidate docs
-    val candStoreDocs = storeDocs.join(candIds, Seq(idCol), "semi")
+      .drop("_present")
     val tSc = portableToks(candStoreDocs, idCol, textCol)
-    val nB = tB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val tBc = portableToks(batch.join(
+        cands.select(col("b_id").as(idCol)),
+        Seq(idCol), "semi"), idCol, textCol)
     cands
-      .join(tB.toDF("b_id", "tok"), Seq("b_id"))
+      .join(tBc.toDF("b_id", "tok"), Seq("b_id"))
       .join(tSc.toDF("s_id", "tok"), Seq("s_id", "tok"))
-      .groupBy("b_id", "s_id").agg(count(lit(1)).as("inter"))
-      .join(nB.toDF("b_id", "nb"), Seq("b_id"))
-      .join(sigStore.select(col("doc_id").as("s_id"),
-        col("n_toks").as("ns")), Seq("s_id"))
+      .groupBy("b_id", "s_id", "nb", "ns").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("nb") + col("ns") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("b_id", "s_id", "inter", "uni")
   }
+
+  /** The incremental day's BOTH near-dup passes from ONE batch
+    * signature pass (round-16, guide §1.2): batch-vs-store pairs read
+    * from the persisted artifact ([[crossNearDuplicatesFromStore]]
+    * semantics, drift guard included) and batch-internal pairs
+    * ([[nearDuplicatesPortable]] semantics) share the checkpointed
+    * batch signature frame; returns the DISTINCT dropped batch ids
+    * (the batch doc of every verified cross pair — the store always
+    * wins — plus the larger id of every verified internal pair).
+    * Bit-equal to unioning the two standalone operators, which is
+    * exactly what [[graft.SparkEntry.pipelineDeltaDay]] previously
+    * paid two tokenize+signature passes for. */
+  def deltaNearDropIds(sigStore: DataFrame, storeDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    deltaNearDropIdsFromSig(sigStore, storeDocs,
+      portableSignature(portableToks(batch, idCol, textCol))
+        .localCheckpoint()
+        .withColumnRenamed("n", "n_toks"),
+      batch, idCol, textCol)
+
+  /** [[deltaNearDropIds]] over a precomputed batch signature-store
+    * frame ((doc_id, m0..m7, n_toks) — [[portableSignatureStore]],
+    * checkpointed by the caller). The incremental day computes its
+    * batch signatures ONCE, runs both near-dup passes from them, and
+    * then slices the same frame per kept doc as the artifact rows it
+    * absorbs — zero re-tokenization anywhere in the night. The two
+    * verifies are FUSED here: one batch-side candidate tok slice
+    * feeds all three verify join sides, and the store slice comes off
+    * a single guarded left join (drift still fails loudly — the
+    * [[crossNearDuplicatesFromStore]] contract). Drop set bit-equal
+    * to unioning the two standalone operators. */
+  def deltaNearDropIdsFromSig(sigStore: DataFrame, storeDocs: DataFrame,
+      batchSigs: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bandedB = bandedView(batchSigs.withColumnRenamed("n_toks", "n"))
+    val bandedS = bandedView(sigStore.withColumnRenamed("n_toks", "n"))
+    val crossCands = bandedB.toDF(("b_id" +: "nb" +: bandKey): _*)
+      .join(bandedS.toDF(("s_id" +: "ns" +: bandKey): _*), bandKey)
+      .select("b_id", "s_id", "nb", "ns")
+      .distinct()
+    val selfCands = bandedB.toDF(("a" +: "na" +: bandKey): _*)
+      .join(bandedB.toDF(("b" +: "nb" +: bandKey): _*), bandKey)
+      .filter(col("a") < col("b"))
+      .select("a", "b", "na", "nb")
+      .distinct()
+    // one batch-side tok slice for all three verify sides (a semi
+    // join dedups the id stream itself — no distinct exchange)
+    val bIds = selfCands.select(col("a").as(idCol))
+      .union(selfCands.select(col("b").as(idCol)))
+      .union(crossCands.select(col("b_id").as(idCol)))
+    val tBc = portableToks(batch.join(bIds, Seq(idCol), "semi"),
+      idCol, textCol).localCheckpoint()
+    // guarded store slice: the SAME left join that asserts artifact/
+    // store consistency carries the candidate docs' text through
+    val candStoreDocs = crossCands.select(col("s_id").as(idCol))
+      .distinct()
+      .join(storeDocs.withColumn("_present", lit(true)), Seq(idCol),
+        "left")
+      .filter(assert_true(col("_present"),
+        lit("deltaNearDropIds: the signature artifact references a " +
+          "doc absent from storeDocs — artifact/store drift; " +
+          "re-extend the artifact on every absorb")).isNull)
+      .drop("_present")
+    val tSc = portableToks(candStoreDocs, idCol, textCol)
+    val crossDrop = crossCands
+      .join(tBc.toDF("b_id", "tok"), Seq("b_id"))
+      .join(tSc.toDF("s_id", "tok"), Seq("s_id", "tok"))
+      .groupBy("b_id", "s_id", "nb", "ns").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 2 >= col("nb") + col("ns") - col("inter"))
+      .select(col("b_id").as("doc_id"))
+    val selfDrop = selfCands
+      .join(tBc.toDF("a", "tok"), Seq("a"))
+      .join(tBc.toDF("b", "tok"), Seq("b", "tok"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("b").as("doc_id"))
+    crossDrop.union(selfDrop).distinct()
+  }
+
+  /** [[nearDuplicatesPortable]] over a precomputed signature-store
+    * frame — the batch-build twin of [[crossNearDuplicatesFromStore]]:
+    * band pairs and set sizes come off the artifact, text is
+    * tokenized only for verify candidates. Bit-equal to the recompute
+    * path by the artifact contract (same per-doc signature function).
+    * Lets [[graft.SparkEntry.buildPipelineStoreFrom]] sign its corpus
+    * once and reuse the frame as the frozen artifact. */
+  def nearDuplicatesFromSigStore(sigStore: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    selfPairsFromSig(sigStore.withColumnRenamed("n_toks", "n"),
+      docs, idCol, textCol)
 
   /** As `signatures`, over an existing (doc_id, shingle) posting list. */
   def signaturesFromPostings(post: DataFrame, k: Int): DataFrame = {

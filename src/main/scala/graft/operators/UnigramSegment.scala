@@ -44,17 +44,26 @@ object UnigramSegment {
     * (piece, cnt, score = cnt·len²). */
   def pieceVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                  minCount: Long = 2L): DataFrame = {
-    val toks = docs.select(
-      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-        .as("tok"))
-    toks
-      .select(explode(expr(
+    // Round-16 (guide §2.3, aggregate before you shuffle): words
+    // repeat Zipf-style, so count OCCURRENCES per distinct word first
+    // (one narrow aggregation with map-side partials), then explode
+    // the ~len·maxPieceLen substrings of each DISTINCT word once and
+    // weight by its occurrence count. Counts are bit-identical —
+    // Σ_occurrences substrings(w) == Σ_distinct w cnt(w)·substrings(w)
+    // — but the rows entering the piece aggregation drop from
+    // |occurrences|·len·4 to |distinct words|·len·4.
+    val wordCnt = docs.select(
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+    wordCnt
+      .select(col("wc"), explode(expr(
         s"""flatten(transform(sequence(1, length(tok)), s ->
            |  filter(transform(sequence(1, $maxPieceLen), l ->
            |    CASE WHEN s + l - 1 <= length(tok)
            |         THEN substring(tok, s, l) END),
            |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
-      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
       .withColumn("score",
         col("cnt") * length(col("piece")) * length(col("piece")))
