@@ -24,6 +24,15 @@ object Bench {
       // explode would drop anyway; excluding the rule is semantics-free.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Scan-parallelism floor (guide §6): the sf parquet files are
+      // far below maxPartitionBytes, so every scan otherwise opens as
+      // ONE partition and every map-side pass (tokenize, quantize,
+      // shingle) serializes on a single core until the first
+      // exchange. Scale-adaptive (derived from the worker count, not
+      // a tuned constant); at real scale inputs split on size and the
+      // floor is a no-op. Overridable for A/B (SPARK_GRAFT_MIN_SPLITS).
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -26,6 +26,7 @@ object ProfileChain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.files.minPartitionNum", cpus) // as Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,6 +60,18 @@ object ProfileChain {
       noop(SparkEntry.queries("q385_retrain_refreeze")(spark, warm))
     }
     println(s"[profile] warmup done; profiling at $sfDir")
+
+    // With SPARK_GRAFT_PROFILE_QUERIES set, skip the fine-grained
+    // chain replica and only profile the named registered queries.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_QUERIES")) {
+      sys.env("SPARK_GRAFT_PROFILE_QUERIES").split(",").toSeq
+        .filter(SparkEntry.queries.contains).foreach { q =>
+          time(s"QUERY $q") {
+            noop(SparkEntry.queries(q)(spark, sfDir))
+          }
+        }
+      spark.stop(); return
+    }
 
     // ================= fine-grained store build =================
     // mirrors buildPipelineStoreFrom stage by stage (localCheckpoint
@@ -174,11 +187,14 @@ object ProfileChain {
     }
 
     // ================= coarse query-level =================
-    for (q <- Seq("q362_pipeline_composite", "q370_pipeline_delta",
+    val queryList = sys.env.get("SPARK_GRAFT_PROFILE_QUERIES")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(Seq("q362_pipeline_composite", "q370_pipeline_delta",
         "q373_pipeline_two_day", "q385_retrain_refreeze",
         "q392_refreeze_loop", "q387_quota_starvation",
         "q383_quota_admit", "q376_loader_manifest",
-        "q382_epoch_order", "q374_sigstore_cross")) {
+        "q382_epoch_order", "q374_sigstore_cross"))
+    for (q <- queryList) {
       time(s"QUERY $q") {
         noop(SparkEntry.queries(q)(spark, sfDir))
       }

@@ -4189,10 +4189,13 @@ object SparkEntry {
     * the missing embedding-space-dedup corner: at 100 TB nobody hands
     * you labels; the quantizer IS the blocking scheme. */
   private def semAssigned(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (round-16 A/B): this lineage is a bare
+    // parquet scan + quantize map — recomputing it per Lloyd pass is
+    // cheaper than writing and re-reading blocks (unlike the chain's
+    // yVecs, whose lineage carries a join)
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id").cast("long").as("id"),
         Similarity.quantize16(col("embedding")).as("q"))
-      .localCheckpoint() // round-16: Lloyd re-reads this 4×
     val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
     // the self-join in semanticDupEdges (and q350's component pass)
     // reads the assignment more than once — pin the Lloyd chain to one
@@ -4316,9 +4319,9 @@ object SparkEntry {
     * base table; greatest(n,1) guards the ratio). */
   private def qIvfDeltaAssign(s: SparkSession, dir: String): DataFrame = {
     val (y, d, cents) = ivfRuns(s, dir)
-    val ny = IvfIndex.assignPortable(y, cents)
+    val ny = IvfIndex.assignPortableInlined(y, cents)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_yesterday"))
-    val nd = IvfIndex.assignPortable(d, cents)
+    val nd = IvfIndex.assignPortableInlined(d, cents)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_delta"),
         min(col("id")).as("first_delta_id"))
     cents.select(col("cluster_id"))
@@ -4345,10 +4348,10 @@ object SparkEntry {
   private def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
     val (y, d, cents) = ivfRuns(s, dir)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
-    val ya = IvfIndex.assignPortableWithDist(y, cents)
+    val ya = IvfIndex.assignPortableInlinedWithDist(y, cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
-    val da = IvfIndex.assignPortableWithDist(d, cents)
+    val da = IvfIndex.assignPortableInlinedWithDist(d, cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
     cents.select(col("cluster_id"))
@@ -4707,7 +4710,7 @@ object SparkEntry {
       .localCheckpoint()
     val cents = IvfIndex.trainPortable(s, yVecs, k = 8, iters = 2)
       .localCheckpoint() // FROZEN
-    val yAssigned = IvfIndex.assignPortable(yVecs, cents)
+    val yAssigned = IvfIndex.assignPortableInlined(yVecs, cents)
       .localCheckpoint()
     val y4 = y3.join(Similarity.semanticDupEdges(yAssigned, 3, 10)
       .select(col("b").as("doc_id")).distinct(), Seq("doc_id"),
@@ -4768,7 +4771,7 @@ object SparkEntry {
       .localCheckpoint()
     val dVecs = store.quant.join(d3.select(col("doc_id").as("id")),
       Seq("id"))
-    val dAssigned = IvfIndex.assignPortable(dVecs, store.cents)
+    val dAssigned = IvfIndex.assignPortableInlined(dVecs, store.cents)
       .localCheckpoint()
     // cross dup: delta vec vs the store's CURATED members in the same
     // frozen cluster, exact integer cosine >= 3/10 — store wins
@@ -5406,10 +5409,10 @@ object SparkEntry {
     val dV = store0.quant.join(
       day1.kept.select(col("doc_id").as("id")), Seq("id"))
     def dec(c: Column) = c.cast("decimal(19,0)")
-    val ya = IvfIndex.assignPortableWithDist(yV, store0.cents)
+    val ya = IvfIndex.assignPortableInlinedWithDist(yV, store0.cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
-    val da = IvfIndex.assignPortableWithDist(dV, store0.cents)
+    val da = IvfIndex.assignPortableInlinedWithDist(dV, store0.cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
     store0.cents.select(col("cluster_id"))
@@ -5453,7 +5456,7 @@ object SparkEntry {
       .localCheckpoint() // round-16: Lloyd re-reads this 4×
     val cents = IvfIndex.trainPortable(s, vecs, k = 8, iters = 2)
       .localCheckpoint()
-    val assigned = IvfIndex.assignPortable(vecs, cents)
+    val assigned = IvfIndex.assignPortableInlined(vecs, cents)
       .localCheckpoint()
     val drop = Similarity.semanticDupEdges(assigned, 3, 10)
       .select(col("b").as("doc_id")).distinct()
@@ -5495,9 +5498,9 @@ object SparkEntry {
     val vecs = store1.quant
       .join(store1.docs.select(col("doc_id").as("id")), Seq("id"))
       .localCheckpoint() // round-16: read by both assignment passes
-    val fa = IvfIndex.assignPortableWithDist(vecs, store1.cents)
+    val fa = IvfIndex.assignPortableInlinedWithDist(vecs, store1.cents)
       .localCheckpoint()
-    val ra = IvfIndex.assignPortableWithDist(vecs, r.cents)
+    val ra = IvfIndex.assignPortableInlinedWithDist(vecs, r.cents)
       .localCheckpoint()
     val fAgg = fa.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_f"), sum(col("d2")).as("s_f"))
@@ -6132,10 +6135,10 @@ object SparkEntry {
       Seq("id"))
     val dV = st.quant.join(kept.select(col("doc_id").as("id")),
       Seq("id"))
-    val ya = IvfIndex.assignPortableWithDist(yV, st.cents)
+    val ya = IvfIndex.assignPortableInlinedWithDist(yV, st.cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_y"), count(lit(1)).as("n_y"))
-    val da = IvfIndex.assignPortableWithDist(dV, st.cents)
+    val da = IvfIndex.assignPortableInlinedWithDist(dV, st.cents)
       .groupBy("cluster_id")
       .agg(sum(col("d2")).as("sum_d"), count(lit(1)).as("n_d"))
     ya.join(da, Seq("cluster_id"))
@@ -6151,9 +6154,9 @@ object SparkEntry {
     val r = retrainPipelineStore(s, store1)
     val sV = store1.quant.join(
       store1.docs.select(col("doc_id").as("id")), Seq("id"))
-    val fz = IvfIndex.assignPortable(sV, store1.cents)
+    val fz = IvfIndex.assignPortableInlined(sV, store1.cents)
       .select(col("id"), col("cluster_id").as("fc"))
-    val rz = IvfIndex.assignPortable(sV, r.cents)
+    val rz = IvfIndex.assignPortableInlined(sV, r.cents)
       .select(col("id"), col("cluster_id").as("rc"))
     // round-16: one driver action for the three counters (the q362
     // scalar-collapse convention — the frames are checkpointed, the

@@ -1290,11 +1290,14 @@ object Curation {
     * after its LAST doc (max id — the fold order is id asc), i.e.
     * (its seq_id, its seq_offset + len). |strata| rows. */
   def packCarry(packed: DataFrame, idCol: String,
-      strataCol: String): DataFrame = {
-    val last = packed.groupBy(strataCol).agg(max(col(idCol)).as("_mx"))
-    packed.join(last, Seq(strataCol))
-      .filter(col(idCol) === col("_mx"))
-      .select(col(strataCol), col("seq_id").as("carry_seq"),
-        (col("seq_offset") + col("len")).as("carry_fill"))
-  }
+      strataCol: String): DataFrame =
+    // round-16: one max_by aggregation replaces the max-id groupBy +
+    // self-join + filter (packed scanned once, one exchange; ids are
+    // unique per stratum so max_by is deterministic)
+    packed.groupBy(strataCol)
+      .agg(max_by(struct(col("seq_id").as("carry_seq"),
+        (col("seq_offset") + col("len")).as("carry_fill")),
+        col(idCol)).as("_c"))
+      .select(col(strataCol), col("_c.carry_seq").as("carry_seq"),
+        col("_c.carry_fill").as("carry_fill"))
 }

@@ -117,41 +117,58 @@ object IvfIndex {
 
   /** Portable Lloyd assignment: nearest centroid by INTEGER squared L2
     * (ties to the lower cluster id). vectors: (id, q); centroids:
-    * (cluster_id, c) — both quantized-long arrays. */
+    * (cluster_id, c) — both quantized-long arrays. LAZY (no driver
+    * action at construction) — callers whose centroid frame is
+    * already materialized (checkpointed) should prefer
+    * [[assignPortableInlined]], which is map-only. */
   def assignPortable(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignPortableWithDist(vectors, centroids)
       .select(col("id"), col("q"), col("cluster_id"))
 
   /** [[assignPortable]] keeping the winning integer distance — the
-    * round-13 drift audit (q352) aggregates it per cluster.
-    *
-    * Round-16 optimization (guide §2.4, remove shuffles outright): a
-    * centroid set is k-bounded by construction (k = 8 everywhere in
-    * the pipeline family), so it is collected once and inlined as
-    * LITERAL arrays — the argmin becomes ONE codegen'd projection,
-    * `least` over k (d2, cluster_id) structs, replacing the previous
-    * crossJoin(×k row blowup) + Window-by-id (a full shuffle AND sort
-    * of the vector corpus per assignment). Map-only is the production
-    * IVF shape: every worker holds the centroid set and the corpus
-    * never moves. Bit-identical: struct ordering compares d2 first,
-    * then cluster_id — exactly the old (d2 asc, cluster_id asc)
-    * row_number tie-break. */
+    * round-13 drift audit (q352) aggregates it per cluster. */
   def assignPortableWithDist(vectors: DataFrame,
                              centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("cluster_id").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", intDist2(col("q"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("q"), col("cluster_id"), col("d2"))
+  }
+
+  /** Round-16 MAP-ONLY portable assignment (guide §2.4, remove
+    * shuffles outright): the k-bounded centroid set is collected once
+    * and inlined as LITERAL arrays, so the argmin is ONE codegen'd
+    * projection — `least` over k (d2, cluster_id) structs — with zero
+    * joins and zero exchanges; the vector corpus never moves (the
+    * production IVF shape: every worker holds the centroid set).
+    * Bit-identical to [[assignPortableWithDist]]: struct ordering
+    * compares d2 first, then cluster_id — the same (d2 asc,
+    * cluster_id asc) tie-break.
+    *
+    * EAGER (one driver collect of k rows at construction): use where
+    * the centroid frame is already checkpointed (the pipeline-store
+    * chain always freezes/checkpoints its centroids), NOT on a lazy
+    * centroid lineage a query plan would otherwise evaluate only
+    * once. */
+  def assignPortableInlinedWithDist(vectors: DataFrame,
+                                    centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cents = centroids
       .select(col("cluster_id").cast("long"), col("c"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
     if (cents.isEmpty)
-      // empty centroid table ⇒ empty assignment (the old crossJoin
+      // empty centroid table ⇒ empty assignment (the crossJoin
       // semantics) with the contract schema
       vectors.select(col("id"), col("q"), lit(0L).as("cluster_id"),
         lit(0L).as("d2")).filter(lit(false))
     else {
       require(cents.length <= 65536,
-        s"assignPortable: ${cents.length} centroids — the inlined " +
-          "argmin is for k-bounded coarse quantizers (<= 65536)")
+        s"assignPortableInlined: ${cents.length} centroids — the " +
+          "inlined argmin is for k-bounded coarse quantizers (<= 65536)")
       val scored = cents.map { case (cid, c) =>
         struct(intDist2(col("q"), typedlit(c)).as("d2"),
           lit(cid).as("cluster_id"))
@@ -165,6 +182,12 @@ object IvfIndex {
     }
   }
 
+  /** [[assignPortableInlinedWithDist]] without the distance column. */
+  def assignPortableInlined(vectors: DataFrame,
+                            centroids: DataFrame): DataFrame =
+    assignPortableInlinedWithDist(vectors, centroids)
+      .select(col("id"), col("q"), col("cluster_id"))
+
   /** Portable Lloyd training — the oracle-replayable twin of [[train]]:
     * quantized integer vectors, integer distances, and centroid means
     * as `floor(sum / n)` where the division runs in double (sums stay
@@ -176,34 +199,30 @@ object IvfIndex {
   def trainPortable(spark: SparkSession, vectors: DataFrame, k: Int,
                     iters: Int): DataFrame = {
     import spark.implicits._
-    val seeds = vectors.orderBy(col("id")).limit(k)
+    var centroids = vectors.orderBy(col("id")).limit(k)
       .orderBy(col("id")).select(col("q"))
       .as[Seq[Long]].collect().zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
-    var centroids = seeds.toSeq.toDF("cluster_id", "c")
-    // Round-16 Lloyd update (guide §2.3/§2.4): per-dimension sums as
-    // `dims` separate aggregates in ONE groupBy(cluster_id) — map-side
-    // partials carry (dims+1) longs per (partition × cluster) and a
-    // single k-row exchange replaces the old posexplode (×dims row
-    // blowup) + (cluster, pos) aggregation + second per-cluster
-    // collect_list aggregation. floor(sum/count) arithmetic unchanged
-    // (sums stay < 2^53, quotient exact in double). dims comes from
-    // the already-collected seed vectors — no extra action. The
-    // assignment inside each iteration is [[assignPortable]]'s inlined
-    // map-only argmin, so one Lloyd iteration is exactly one pass over
-    // the vectors with one k-row exchange — the textbook shape.
-    val dims = seeds.headOption.map(_._2.length).getOrElse(0)
+      .toSeq.toDF("cluster_id", "c")
+    // The loop stays fully LAZY (one nested plan the caller evaluates
+    // once) — round 16 A/B'd two eager/partial-agg reshapes here and
+    // both LOST on the q238-class callers that evaluate the returned
+    // centroid frame more than once (a per-iteration driver collect
+    // charges construction-time jobs; a groupBy(id, q) argmin falls
+    // off the hash-aggregate path because q is an array). The window
+    // argmin + posexplode means below is the measured-fastest lazy
+    // form; chain callers checkpoint the result and assign with
+    // [[assignPortableInlined]].
     (0 until iters).foreach { _ =>
-      val dimSums = (0 until dims).map(i =>
-        sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      val aggs = dimSums :+ count(lit(1)).as("cnt")
       centroids = assignPortable(vectors, centroids)
+        .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
         .groupBy(col("cluster_id"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("cluster_id"),
-          array((0 until dims).map(i =>
-            floor(col(s"s$i").cast("double") / col("cnt"))
-              .cast("long")): _*).as("c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("c"))
     }
     centroids
   }
