@@ -43,6 +43,12 @@ object PlanDump {
         operators.MinHashLSH.portableSignatureStore(docs, "doc_id", "text")),
       "op_assign" -> (() => operators.IvfIndex.assignPortable(quant,
         operators.IvfIndex.trainPortable(spark, quant, 8, 2))),
+      // the chain's assignment shape: centroids checkpointed, argmin
+      // inlined (compare against op_assign_before — the window form)
+      "op_assign_inlined" -> (() =>
+        operators.IvfIndex.assignPortableInlined(quant,
+          operators.IvfIndex.trainPortable(spark, quant, 8, 2)
+            .localCheckpoint())),
       "op_contam" -> (() => operators.Dedup.benchmarkNgramContamination(
         docs, "doc_id", "text", col("doc_id") % 10 === 0, n = 8)),
       "op_piecevocab" -> (() =>

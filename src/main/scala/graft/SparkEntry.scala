@@ -5978,7 +5978,13 @@ object SparkEntry {
         col("source") === "").limit(1).count() == 0L,
       "persistPipelineStore: docs carry a null/empty source — not " +
         "representable as a partition value")
-    st.docs.write.mode("overwrite").partitionBy("source")
+    // cluster by the partition key before the write (guide §6): an
+    // un-clustered write emits one file per (input split × source) —
+    // the many-small-files problem at scale and ~640 commit
+    // round-trips at fixture scale; one hash exchange on source
+    // yields one file per stratum per non-empty shuffle partition
+    st.docs.repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source")
       .parquet(s"$dir/docs")
     Seq("members" -> st.members, "cents" -> st.cents,
       "vocab" -> st.vocab, "carry" -> st.carry, "sigs" -> st.sigs,

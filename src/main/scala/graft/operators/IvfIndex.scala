@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Training is a few Lloyd iterations, fully distributed: assign =
   * argmin-distance join (cross with the tiny centroid set, window
-  * argmin), update = centroidsLong-style mean per cluster.
+  * argmin — or, for callers whose centroids are already
+  * checkpointed, the round-16 [[assignPortableInlined]] map-only
+  * literal argmin), update = centroidsLong-style mean per cluster.
   * Deterministic: centroids initialize from the `k` lowest vec_ids.
   *
   * Scale shape: corpus stays put; each query joins to its probed

@@ -594,17 +594,21 @@ object MinHashLSH {
       .distinct()
     // artifact/store drift fails loudly: every banded candidate must
     // resolve to a store doc (assert_true raises mid-execution on a
-    // null marker; the filter keeps the check out of column pruning).
-    // The SAME guarded left join carries the candidate docs' text
-    // through — store text is read ONLY for the candidate docs.
-    val candStoreDocs = cands.select(col("s_id").as(idCol)).distinct()
-      .join(storeDocs.withColumn("_present", lit(true)), Seq(idCol),
-        "left")
+    // null marker). The guard MUST stay on its own join side: fusing
+    // it into the tokenize chain lets Catalyst reorder the shingle
+    // size filter below the assert filter and silently drop the
+    // null-text row the assert exists to catch (caught by the
+    // Round15Spec drift test when round 16 tried the fused form).
+    val candIds = cands.select(col("s_id").as(idCol)).distinct()
+      .join(storeDocs.select(col(idCol), lit(true).as("_present")),
+        Seq(idCol), "left")
       .filter(assert_true(col("_present"),
         lit("crossNearDuplicatesFromStore: the signature artifact " +
           "references a doc absent from storeDocs — artifact/store " +
           "drift; re-extend the artifact on every absorb")).isNull)
-      .drop("_present")
+      .select(idCol)
+    // store text is read ONLY for the candidate docs
+    val candStoreDocs = storeDocs.join(candIds, Seq(idCol), "semi")
     val tSc = portableToks(candStoreDocs, idCol, textCol)
     val tBc = portableToks(batch.join(
         cands.select(col("b_id").as(idCol)),
@@ -669,18 +673,19 @@ object MinHashLSH {
       .union(crossCands.select(col("b_id").as(idCol)))
     val tBc = portableToks(batch.join(bIds, Seq(idCol), "semi"),
       idCol, textCol).localCheckpoint()
-    // guarded store slice: the SAME left join that asserts artifact/
-    // store consistency carries the candidate docs' text through
-    val candStoreDocs = crossCands.select(col("s_id").as(idCol))
-      .distinct()
-      .join(storeDocs.withColumn("_present", lit(true)), Seq(idCol),
-        "left")
+    // guarded store slice — the guard keeps its own join side (see
+    // crossFromStoreWithSig: a fused form lets filter reordering
+    // silently drop the row the assert exists to catch)
+    val candSIds = crossCands.select(col("s_id").as(idCol)).distinct()
+      .join(storeDocs.select(col(idCol), lit(true).as("_present")),
+        Seq(idCol), "left")
       .filter(assert_true(col("_present"),
         lit("deltaNearDropIds: the signature artifact references a " +
           "doc absent from storeDocs — artifact/store drift; " +
           "re-extend the artifact on every absorb")).isNull)
-      .drop("_present")
-    val tSc = portableToks(candStoreDocs, idCol, textCol)
+      .select(idCol)
+    val tSc = portableToks(storeDocs.join(candSIds, Seq(idCol), "semi"),
+      idCol, textCol)
     val crossDrop = crossCands
       .join(tBc.toDF("b_id", "tok"), Seq("b_id"))
       .join(tSc.toDF("s_id", "tok"), Seq("s_id", "tok"))
